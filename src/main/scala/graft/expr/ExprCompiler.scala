@@ -1,0 +1,174 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles the reference's arithmetic expression DSL to Catalyst
+  * `Column`s, preserving its all-double / NaN-as-null semantics
+  * (mercari/pipeline `util/ExpressionUtil.java:243-276,277-530`):
+  *
+  *  - every variable is read as double; null → NaN
+  *    (`ExpressionUtil.eval:243-252`)
+  *  - timestamps → epoch MICROS, dates → epoch days, time → micros of
+  *    day (`ExpressionUtil.getAsDouble:255-276`)
+  *  - comparison operators return 1.0/0.0 and follow JAVA NaN rules
+  *    (NaN compares false) — NOT Spark's NaN-largest ordering, so every
+  *    comparison carries an `isnan` guard
+  *  - `if`/`&`/`|`/`!` treat "> 0" as true, with NaN → false
+  *  - a NaN result becomes SQL NULL (`ExpressionUtil.eval:250-251`)
+  *
+  * Compiling (rather than interpreting per-row like the reference's
+  * exp4j path) keeps the whole expression inside whole-stage codegen.
+  */
+object ExprCompiler {
+  import ExprParser._
+
+  private val nan = lit(Double.NaN)
+
+  /** Resolve a variable reference to a double-typed Column.
+    * `index` is the `field[k]` form (stateful-lag offset or array
+    * element — context decides; see SelectCompiler / WindowCompiler). */
+  type Resolver = (String, Option[Int]) => Column
+
+  /** Default resolver: schema-aware conversion per getAsDouble. */
+  def schemaResolver(schema: StructType): Resolver = (name, idx) => {
+    val fieldType = schema.find(_.name == name).map(_.dataType)
+    val base = idx match {
+      case Some(i) => element_at(col(name), i + 1)
+      case None => col(name)
+    }
+    val elemType = (fieldType, idx) match {
+      case (Some(ArrayType(et, _)), Some(_)) => Some(et)
+      case (t, _) => t
+    }
+    toDouble(base, elemType)
+  }
+
+  /** Convert a column of the given type to reference double semantics. */
+  def toDouble(c: Column, dt: Option[DataType]): Column = {
+    val conv = dt match {
+      case Some(TimestampType) => unix_micros(c).cast(DoubleType)
+      case Some(TimestampNTZType) =>
+        unix_micros(c.cast(TimestampType)).cast(DoubleType)
+      case Some(DateType) => unix_date(c).cast(DoubleType)
+      case _ => c.cast(DoubleType)
+    }
+    coalesce(conv, nan)
+  }
+
+  /** Compile source text → double Column (NaN kept; see toNullable). */
+  def compile(expression: String, schema: StructType): Column =
+    compile(ExprParser.parse(expression), schemaResolver(schema))
+
+  def compile(ast: Ast, resolve: Resolver): Column = {
+    def go(a: Ast): Column = a match {
+      case Num(v) => lit(v)
+      case Const("pi") | Const("π") => lit(math.Pi)
+      case Const("e") => lit(math.E)
+      case Const("φ") => lit(1.61803398874d)
+      case Const(other) =>
+        throw new IllegalArgumentException(s"unknown constant $other")
+      case Var(n, i) => resolve(n, i)
+      case Unary("-", e) => -go(e)
+      case Unary("!", e) => b2d(!truthy(go(e)))
+      case Unary(op, _) =>
+        throw new IllegalArgumentException(s"unknown unary $op")
+      case Bin(op, l, r) => binOp(op, go(l), go(r))
+      case Call(fn, args) => call(fn, args.map(go))
+    }
+    go(ast)
+  }
+
+  /** Final form for output/filter use: NaN → NULL (eval:250-251). */
+  def toNullable(c: Column): Column = when(!isnan(c), c)
+
+  /** "value > 0" truthiness with Java NaN semantics (NaN → false). */
+  def truthy(c: Column): Column = !isnan(c) && (c > lit(0d))
+
+  private def b2d(c: Column): Column = when(c, 1d).otherwise(0d)
+  private def anyNan(l: Column, r: Column): Column = isnan(l) || isnan(r)
+
+  private def binOp(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" =>
+      // Java double division: x/0 → ±Inf (0/0 → NaN). Spark's Divide
+      // nulls out a zero divisor, so guard explicitly.
+      when(r === lit(0d),
+        when(l > 0d, lit(Double.PositiveInfinity))
+          .when(l < 0d, lit(Double.NegativeInfinity))
+          .otherwise(nan))
+        .otherwise(l / r)
+    case "%" =>
+      // Java: x % 0 → NaN; Spark Remainder → NULL. Guard.
+      when(r === lit(0d), nan).otherwise(l % r)
+    case "^" => pow(l, r)
+    case "=" => when(anyNan(l, r), 0d).otherwise(b2d(l === r))
+    case "!=" => when(anyNan(l, r), 1d).otherwise(b2d(l =!= r))
+    case ">" => when(anyNan(l, r), 0d).otherwise(b2d(l > r))
+    case ">=" => when(anyNan(l, r), 0d).otherwise(b2d(l >= r))
+    case "<" => when(anyNan(l, r), 0d).otherwise(b2d(l < r))
+    case "<=" => when(anyNan(l, r), 0d).otherwise(b2d(l <= r))
+    case "&" => b2d(truthy(l) && truthy(r))
+    case "|" => b2d(truthy(l) || truthy(r))
+    case other =>
+      throw new IllegalArgumentException(s"unknown operator $other")
+  }
+
+  private val micros: Map[String, Long] = Map(
+    "microsecond" -> 1L, "millisecond" -> 1000L, "second" -> 1000000L,
+    "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
+
+  private def call(fn: String, args: List[Column]): Column = (fn, args) match {
+    case ("abs", a :: Nil) => abs(a)
+    case ("acos", a :: Nil) => acos(a)
+    case ("asin", a :: Nil) => asin(a)
+    case ("atan", a :: Nil) => atan(a)
+    case ("cbrt", a :: Nil) => cbrt(a)
+    case ("ceil", a :: Nil) => ceil(a).cast(DoubleType)
+    case ("cos", a :: Nil) => cos(a)
+    case ("cosh", a :: Nil) => cosh(a)
+    case ("exp", a :: Nil) => exp(a)
+    case ("floor", a :: Nil) => floor(a).cast(DoubleType)
+    case ("log", a :: Nil) => coalesce(log(a), nan)
+    case ("log10", a :: Nil) => coalesce(log10(a), nan)
+    case ("log2", a :: Nil) => coalesce(log2(a), nan)
+    case ("sin", a :: Nil) => sin(a)
+    case ("sinh", a :: Nil) => sinh(a)
+    case ("sqrt", a :: Nil) => sqrt(a)
+    case ("tan", a :: Nil) => tan(a)
+    case ("tanh", a :: Nil) => tanh(a)
+    case ("signum", a :: Nil) => signum(a)
+    case ("if", c :: t :: f :: Nil) => when(truthy(c), t).otherwise(f)
+    case ("max", a :: b :: Nil) =>
+      when(anyNan(a, b), nan).otherwise(greatest(a, b))
+    case ("min", a :: b :: Nil) =>
+      when(anyNan(a, b), nan).otherwise(least(a, b))
+    case ("timestamp_to_date", ts :: tz :: Nil) =>
+      // epoch micros + tz hours → epoch days (TimestampToDateFunction)
+      when(isnan(ts) || isnan(tz), nan)
+        .otherwise(floor((ts + tz * lit(3600000000d)) / lit(86400000000d))
+          .cast(DoubleType))
+    case (diff, a :: b :: Nil) if diff.startsWith("timestamp_diff_") =>
+      val unit = diff.stripPrefix("timestamp_diff_")
+      val k = micros.getOrElse(unit,
+        throw new IllegalArgumentException(s"unknown unit $unit"))
+      if (k == 1L) a - b
+      else when(anyNan(a, b), nan)
+        .otherwise(((a - b) / lit(k.toDouble)).cast(LongType)
+          .cast(DoubleType))
+    case (sw, as) if sw == "switch" || sw.matches("switch\\d+") =>
+      // switch(c1,v1,c2,v2,...): first cond > 0 wins, default 0.0
+      if (as.size % 2 != 0)
+        throw new IllegalArgumentException("switch needs even arg count")
+      as.grouped(2).foldRight(lit(0d): Column) {
+        case (List(c, v), acc) => when(truthy(c), v).otherwise(acc)
+        case (_, acc) => acc
+      }
+    case (other, as) =>
+      throw new IllegalArgumentException(
+        s"unknown function $other/${as.size}")
+  }
+}

