@@ -1,0 +1,144 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.config.Json
+import graft.config.Json._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Config-driven pipeline: YAML/JSON `sources`/`transforms`/`sinks`
+  * declaration → a DAG of DataFrames, planned and executed by Catalyst.
+  *
+  * This is the Spark-native counterpart of the reference's
+  * `MPipeline.apply` fixpoint loop (mercari/pipeline
+  * `MPipeline.java:109-237`): we repeatedly apply any module whose
+  * `inputs` and `waits` are already materialized. Unlike the reference
+  * (where the Beam graph IS the plan and there is no optimizer), every
+  * module here is a pure `DataFrame → DataFrame` builder, so the whole
+  * pipeline collapses into one Catalyst plan per sink — predicate
+  * pushdown, column pruning, and join selection run across module
+  * boundaries for free.
+  */
+object Pipeline {
+
+  case class ModuleCfg(
+      name: String,
+      module: String,
+      inputs: Seq[String],
+      waits: Seq[String],
+      params: JsonNode,
+      node: JsonNode) {
+    def param(key: String): Option[JsonNode] = params(key)
+  }
+
+  type Builder = (SparkSession, ModuleCfg, Map[String, DataFrame]) =>
+    Map[String, DataFrame]
+
+  /** Module registry — plain map, no classpath scanning. */
+  val sources: Map[String, Builder] = Map(
+    "create" -> CreateSource.build,
+    "storage" -> StorageSource.build,
+    "files" -> StorageSource.build,
+    "parquet" -> StorageSource.build,
+    "jdbc" -> JdbcSource.build)
+
+  val transforms: Map[String, Builder] = Map(
+    "filter" -> FilterTransform.build,
+    "select" -> SelectTransform.build,
+    "aggregation" -> AggregationTransform.build,
+    "partition" -> PartitionTransform.build,
+    "union" -> UnionTransform.build,
+    "unnest" -> UnnestTransform.build,
+    "lookup" -> LookupTransform.build,
+    "compare" -> CompareTransform.build,
+    "limit" -> LimitTransform.build,
+    "sql" -> SqlTransform.build,
+    "beamsql" -> SqlTransform.build,
+    "deserialize" -> DeserializeTransform.build,
+    "reshuffle" -> ReshuffleTransform.build,
+    "window" -> WindowTransform.build,
+    "tokenize" -> TokenizeTransform.build,
+    "dedup" -> DedupTransform.build,
+    "similarity" -> SimilarityTransform.build,
+    "textAnalysis" -> TextAnalysisTransform.build)
+
+  val sinks: Map[String, Builder] = Map(
+    "storage" -> StorageSink.build,
+    "files" -> StorageSink.build,
+    "debug" -> DebugSink.build,
+    "text" -> TextSink.build)
+
+  /** Parse + build all collections; sinks are NOT executed. */
+  def build(spark: SparkSession, configText: String,
+      args: Map[String, String] = Map.empty): Map[String, DataFrame] =
+    run(spark, configText, args, executeSinks = false)
+
+  /** Parse + build + execute sink actions in dependency order. */
+  def execute(spark: SparkSession, configText: String,
+      args: Map[String, String] = Map.empty): Map[String, DataFrame] =
+    run(spark, configText, args, executeSinks = true)
+
+  private def run(spark: SparkSession, configText: String,
+      args: Map[String, String], executeSinks: Boolean)
+      : Map[String, DataFrame] = {
+    val text = substituteArgs(configText, args)
+    val root = Json.parse(text)
+
+    def modCfgs(section: String): Seq[(ModuleCfg, Builder, String)] =
+      root.arrOf(section).filterNot(_.bool("ignore").getOrElse(false))
+        .map { n =>
+          val module = n.str("module").getOrElse(
+            throw new IllegalArgumentException(s"module required: $n"))
+          val registry = section match {
+            case "sources" => sources
+            case "transforms" => transforms
+            case _ => sinks
+          }
+          val builder = registry.getOrElse(module,
+            throw new IllegalArgumentException(
+              s"unknown $section module: $module"))
+          val name = n.str("name").getOrElse(
+            throw new IllegalArgumentException(s"name required: $n"))
+          val inputs = n.strArr("inputs") ++ n.str("input").toSeq
+          (ModuleCfg(name, module, inputs, n.strArr("waits"),
+            n("parameters").getOrElse(Json.obj()), n), builder, section)
+        }
+
+    val all = modCfgs("sources") ++ modCfgs("transforms") ++
+      modCfgs("sinks")
+
+    var collections = Map.empty[String, DataFrame]
+    var done = Set.empty[String]
+    var pending = all
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      val (ready, notReady) = pending.partition { case (cfg, _, _) =>
+        (cfg.inputs ++ cfg.waits).forall(i =>
+          collections.contains(i) || done.contains(i.split('.').head))
+      }
+      ready.foreach { case (cfg, builder, section) =>
+        val ins = cfg.inputs.map(i => i -> collections(i)).toMap
+        val outs = builder(spark, cfg, ins)
+        collections ++= outs
+        done += cfg.name
+        if (section == "sinks" && executeSinks)
+          SinkExecutor.execute(spark, cfg, ins.values.headOption)
+        progress = true
+      }
+      pending = notReady
+    }
+    if (pending.nonEmpty)
+      throw new IllegalArgumentException(
+        "No input for modules: " + pending.map(_._1.name).mkString(", ") +
+          "; available: " + collections.keys.mkString(", "))
+    collections
+  }
+
+  /** `${args.key}` substitution (FreeMarker-subset of the reference's
+    * config templating, `config/Config.java:551-563`). */
+  def substituteArgs(text: String, args: Map[String, String]): String =
+    args.foldLeft(text) { case (t, (k, v)) =>
+      t.replace("${args." + k + "}", v).replace("${" + k + "}", v)
+    }
+}

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines —
+  * all pure Catalyst column expressions (no UDFs), so they stay inside
+  * whole-stage codegen and scale linearly with no shuffle:
+  * tokenization, shingling, MinHash signatures, SimHash, language-ID
+  * heuristics, quality scoring, token counting, fingerprinting.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens, punctuation stripped. */
+  def tokens(text: Column): Column =
+    filter(
+      split(lower(regexp_replace(text, "[^\\p{L}\\p{Nd}']+", " ")), " "),
+      t => t =!= "")
+
+  /** Word k-shingles: overlapping k-grams of the token array.
+    * Short docs (< k tokens) yield the whole token join as 1 shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Character n-grams (for n-gram Jaccard similarity). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) < n, array(t))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** MinHash signature: `m` permutations approximated by seeded
+    * xxhash64 over the shingle set; sig(i) = min over shingles. */
+  def minhashSignature(shingleArr: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      s => array_min(transform(shingleArr, x => xxhash64(x, s))))
+
+  /** LSH band keys: split an m-length signature into `bands` bands of
+    * m/bands rows, each hashed to one long. Docs sharing any band key
+    * are near-duplicate candidates. */
+  def lshBands(sig: Column, m: Int, bands: Int): Column = {
+    val r = m / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(sig, b * r + 1, lit(r)), b))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit weighted vote of token
+    * hashes. Pure expression: 64 aggregates over the token array. */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    // one pass over tokens with a 64-long vote accumulator:
+    // votes[b] += (bit b of hash) ? +1 : -1
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+      (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
+        .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming-LSH band keys for simhash: split 64 bits into `bands`
+    * chunks; equal chunk → candidate pair (hamming ≤ 64-64/bands). */
+  def simhashBands(sh: Column, bands: Int): Column = {
+    val width = 64 / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws("_", b.cast(StringType),
+        call_function("shiftright", sh, b * width)
+          .bitwiseAND(lit((1L << width) - 1)).cast(StringType)))
+  }
+
+  /** Jaccard similarity of two string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** Cosine similarity of two float-array embeddings. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Random-hyperplane LSH bucket for an embedding: sign bits of
+    * `planes` deterministic projections (seeded, plan-time vectors). */
+  def hyperplaneBucket(emb: Column, dim: Int, planes: Int,
+      seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planeVecs: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bits = planeVecs.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(emb, lit(p.toArray), (x, w) => x * w),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  // --- language ID (n-gram/stopword heuristic over common words) ---
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it",
+      "for", "with", "was", "are", "this", "have"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
+      "del", "se", "las", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du",
+      "une", "que", "est", "pour", "qui", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit",
+      "ist", "des", "im", "nicht", "ein", "eine", "auf"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这",
+      "中", "大", "来", "上", "国", "个"))
+
+  /** Heuristic language ID: argmax over per-language stopword hit
+    * ratios; "und" (undetermined) when no marker hits. */
+  def languageId(text: Column): Column = languageId(text, tokens(text))
+
+  /** Variant taking a pre-materialized token column (avoids inlining
+    * the tokenizer expression once per language). */
+  def languageId(text: Column, toks: Column): Column = {
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(array_intersect(toks, array(words.map(lit): _*)))
+      // zh has no space-tokens: count marker chars in raw text instead
+      val score =
+        if (lang == "zh")
+          words.map(w => size(split(text, w, -1)) - 1)
+            .reduce[Column](_ + _)
+        else hits
+      struct(score.cast(DoubleType).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length, alpha ratio, stopword
+    * ratio, mean word length sanity, repetition (distinct ratio). */
+  def qualityScore(text: Column): Column = qualityScore(text, tokens(text))
+
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast(DoubleType)
+    val lenScore = least(nTok / lit(20.0d), lit(1.0d))
+    val alphaRatio =
+      length(regexp_replace(text, "[^\\p{L}\\s]", "")).cast(DoubleType) /
+        greatest(length(text).cast(DoubleType), lit(1.0d))
+    val distinctRatio =
+      size(array_distinct(toks)).cast(DoubleType) /
+        greatest(nTok, lit(1.0d))
+    val en = langMarkers.values.flatten.toSeq.distinct
+    val stopRatio =
+      size(array_intersect(toks, array(en.map(lit): _*))).cast(DoubleType) /
+        greatest(nTok, lit(1.0d))
+    val stopScore = least(stopRatio * lit(5.0d), lit(1.0d))
+    round(lenScore * lit(0.3d) + alphaRatio * lit(0.3d) +
+      distinctRatio * lit(0.2d) + stopScore * lit(0.2d), 6)
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex segments + digits +
+    * punctuation each count as a token (GPT-2-style pre-tokenizer
+    * approximation). */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(text,
+      """(?U)(?<=\s)|(?=\s)|(?<=[\p{P}])|(?=[\p{P}])"""),
+      t => trim(t) =!= "")) +
+      (length(text) / lit(8)).cast(IntegerType) // long-word split approx
+
+  /** Document fingerprint: stable 64-bit content hash of normalized
+    * text (case/whitespace/punct-insensitive). */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+}

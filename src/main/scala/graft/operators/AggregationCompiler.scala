@@ -1,0 +1,140 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.config.Json._
+import graft.expr.{ExprCompiler, FilterCompiler}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles one aggregation op config to a Catalyst aggregate Column
+  * (reference `util/pipeline/aggregation/AggregateFunction.java:15-29`
+  * ops: count/max/min/argmax/argmin/last/first/sum/avg/std/
+  * simple_regression/array_agg/any).
+  *
+  * The reference hand-builds Combine accumulators with explicit
+  * partial/merge/extract (`Aggregation.java:115-207`); here every op is
+  * a built-in Spark aggregate, so HashAggregateExec does partial
+  * (map-side) aggregation and AQE handles hot keys — the `fanout`
+  * parameter becomes unnecessary.
+  *
+  * Uniform per-op parameters (`AggregateFunction.java:60-75`):
+  * `field` or `expression` as the value; `condition` filters the rows
+  * feeding that aggregate (compiled to `when(cond, v)` so it stays one
+  * pass — no per-condition shuffle).
+  */
+object AggregationCompiler {
+
+  def compile(op: JsonNode, schema: StructType): Column = {
+    val func = op.str("op").orElse(op.str("func")).getOrElse(
+      throw new IllegalArgumentException(s"aggregation op required: $op"))
+    val name = op.str("name").getOrElse(func)
+
+    def valueCol: Column = op.str("expression") match {
+      case Some(e) =>
+        ExprCompiler.toNullable(ExprCompiler.compile(e, schema))
+      case None =>
+        col(op.str("field").getOrElse(
+          throw new IllegalArgumentException(
+            s"aggregation $func requires field or expression")))
+    }
+    // per-op condition → only matching rows feed the aggregate
+    def guarded(c: Column): Column = op("condition") match {
+      case Some(condNode) =>
+        when(FilterCompiler.compile(condNode, schema), c)
+      case None => c
+    }
+    def eventTime: Column =
+      if (schema.fieldNames.contains("__event_time")) col("__event_time")
+      else monotonically_increasing_id()
+
+    val agg: Column = func match {
+      case "count" =>
+        op("condition") match {
+          case Some(condNode) =>
+            count(when(FilterCompiler.compile(condNode, schema), lit(1)))
+          case None => count(lit(1))
+        }
+      case "sum" => sum(guarded(valueCol))
+      case "max" => max(guarded(valueCol))
+      case "min" => min(guarded(valueCol))
+      case "avg" =>
+        (op.str("weightField"), op.str("weightExpression")) match {
+          case (None, None) => avg(guarded(valueCol))
+          case (wf, we) => // weighted mean (Avg.java:74-79)
+            val w = we.map(e => ExprCompiler.toNullable(
+                ExprCompiler.compile(e, schema)))
+              .getOrElse(col(wf.get)).cast(DoubleType)
+            val v = guarded(valueCol.cast(DoubleType))
+            sum(v * w) / sum(when(v.isNotNull, w))
+        }
+      case "std" | "var" =>
+        val v = guarded(valueCol.cast(DoubleType))
+        val ddof = op.int("ddof").getOrElse(1)
+        val isVar = func == "var" || op.bool("outputVar").getOrElse(false)
+        val base = (ddof, isVar) match {
+          case (1, false) => stddev_samp(v)
+          case (0, false) => stddev_pop(v)
+          case (1, true) => var_samp(v)
+          case (0, true) => var_pop(v)
+          case (d, asVar) => // general ddof: n·varPop/(n-d)
+            val vv = var_pop(v) * count(v) / (count(v) - lit(d))
+            if (asVar) vv else sqrt(vv)
+        }
+        base
+      case "first" => min_by(guarded(fieldsCol(op)), guarded(eventTime))
+      case "last" => max_by(guarded(fieldsCol(op)), guarded(eventTime))
+      case "argmax" => max_by(guarded(fieldsCol(op)), guarded(comparing(op, schema)))
+      case "argmin" => min_by(guarded(fieldsCol(op)), guarded(comparing(op, schema)))
+      case "array_agg" =>
+        val v = guarded(fieldsCol(op))
+        val collected =
+          if (op.bool("distinct").getOrElse(false)) collect_set(v)
+          else collect_list(v)
+        op.str("order").map {
+          case "descending" | "desc" => sort_array(collected, asc = false)
+          case _ => sort_array(collected)
+        }.getOrElse(collected)
+      case "any" => any_value(guarded(fieldsCol(op)), lit(true))
+      case "simple_regression" =>
+        // per-group OLS (SimpleRegression.java): y = field, x = xField
+        // or event-time millis → struct(slope, intercept, rmse)
+        val y = guarded(valueCol.cast(DoubleType))
+        val x = op.str("xField")
+          .map(f => guarded(col(f).cast(DoubleType)))
+          .getOrElse(guarded(
+            (eventTime.cast(DoubleType) * lit(1000d))))
+        val slope = regr_slope(y, x)
+        val intercept = regr_intercept(y, x)
+        // RMSE via regression algebra: sqrt(SSE/n),
+        // SSE = Syy - slope^2 * Sxx  (per-group sums of squares)
+        val n = regr_count(y, x)
+        val syy = regr_syy(y, x)
+        val sxx = regr_sxx(y, x)
+        val sse = greatest(syy - pow(regr_slope(y, x), 2) * sxx, lit(0d))
+        struct(slope.as("slope"), intercept.as("intercept"),
+          sqrt(sse / n).as("rmse"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown aggregation op: $other")
+    }
+    agg.as(name)
+  }
+
+  /** `field` or multi-`fields` (struct) value for first/last/argmax/
+    * array_agg (`ArgMax.java:92-111`, `Last.java:72-90`). */
+  private def fieldsCol(op: JsonNode): Column = {
+    val fields = op.strArr("fields")
+    if (fields.size > 1) struct(fields.map(col): _*)
+    else col(fields.headOption.orElse(op.str("field")).getOrElse(
+      throw new IllegalArgumentException(s"op requires field(s): $op")))
+  }
+
+  private def comparing(op: JsonNode, schema: StructType): Column =
+    op.str("comparingExpression") match {
+      case Some(e) =>
+        ExprCompiler.toNullable(ExprCompiler.compile(e, schema))
+      case None => col(op.str("comparingField").getOrElse(
+        throw new IllegalArgumentException(
+          s"argmax/argmin requires comparingField: $op")))
+    }
+}

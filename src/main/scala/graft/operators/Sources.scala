@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import graft.ops.SelectCompiler
+import graft.expr.FilterCompiler
+import graft.schema.SchemaMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Shared source post-processing: timestampAttribute → `__event_time`
+  * column (the reference attaches event time to every element —
+  * `module/Source.java:46-76`), then optional filter/select. */
+object SourceCommon {
+  def finish(df: DataFrame, cfg: ModuleCfg): Map[String, DataFrame] = {
+    var cur = df
+    cfg.node.str("timestampAttribute").foreach { attr =>
+      cur = cur.withColumn("__event_time", col(attr).cast(TimestampType))
+    }
+    cfg.param("filter").foreach { f =>
+      cur = cur.filter(FilterCompiler.compile(f, cur.schema))
+    }
+    cfg.param("select").foreach { s => cur = SelectCompiler(cur, s) }
+    Map(cfg.name -> cur)
+  }
+}
+
+/** `create` source — in-memory data generation (reference
+  * `source/CreateSource.java`): literal `elements` with an explicit
+  * schema, or a `from`/`to`/`interval` sequence built on
+  * `spark.range` (distributed, like the reference's splittable DoFn
+  * `CreateSource.java:394-444`). */
+object CreateSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val p = cfg.params
+    val df = p("elements") match {
+      case Some(elements) =>
+        // inline elements → JSON lines → schema'd reader
+        val json = elements.elems.map(_.toString)
+        import spark.implicits._
+        val ds = spark.createDataset(json)
+        p("schema").orElse(p("fields")) match {
+          case Some(s) =>
+            val st =
+              if (s.isArray) StructType(s.elems.map(SchemaMapper.toStructField))
+              else SchemaMapper.toStructType(s)
+            spark.read.schema(st).json(ds)
+          case None => spark.read.json(ds)
+        }
+      case None =>
+        // sequence: from/to/interval over int64 or date/timestamp
+        val from = p("from").map(_.asText).getOrElse("0")
+        val to = p("to").map(_.asText).getOrElse("0")
+        val interval = p("interval").map(_.asLong).getOrElse(1L)
+        val typ = p.str("type").getOrElse(
+          if (from.forall(c => c.isDigit || c == '-')) "int64" else "timestamp")
+        typ match {
+          case "int64" | "long" | "int32" | "int" =>
+            spark.range(from.toLong, to.toLong + 1, interval)
+              .withColumnRenamed("id", "value")
+          case "date" =>
+            spark.range(0, 1 +
+                (java.time.LocalDate.parse(to).toEpochDay -
+                  java.time.LocalDate.parse(from).toEpochDay) / interval,
+                1)
+              .select(date_add(to_date(lit(from)),
+                (col("id") * interval).cast(IntegerType)).as("value"))
+          case _ => // timestamp sequence, interval in seconds
+            val f = java.time.Instant.parse(from).getEpochSecond
+            val t = java.time.Instant.parse(to).getEpochSecond
+            spark.range(f, t + 1, interval)
+              .select(timestamp_seconds(col("id")).as("value"))
+        }
+    }
+    SourceCommon.finish(df, cfg)
+  }
+}
+
+/** `storage`/`files` source — avro/parquet/csv/json readers
+  * (reference `source/StorageSource.java:88-93,209-239`). Field
+  * projection and filters become Catalyst pushdown into the scan. */
+object StorageSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val p = cfg.params
+    val paths = p.strArr("path") ++ p.strArr("paths") ++
+      p.strArr("input") ++ p.strArr("inputs")
+    require(paths.nonEmpty, s"storage source requires path: ${cfg.name}")
+    val format = p.str("format").getOrElse {
+      paths.head.split('.').lastOption.getOrElse("parquet") match {
+        case "csv" => "csv" case "json" | "jsonl" => "json"
+        case "avro" => "avro" case _ => "parquet"
+      }
+    }
+    var reader = spark.read.format(format)
+    p("schema").foreach(s =>
+      reader = reader.schema(SchemaMapper.toStructType(s)))
+    if (format == "csv")
+      reader = reader
+        .option("header", p.bool("header").getOrElse(true).toString)
+        .option("inferSchema", p("schema").isEmpty.toString)
+    p("options").foreach(_.names.foreach { k =>
+      reader = reader.option(k, cfg.params("options").get.str(k).get)
+    })
+    var df = reader.load(paths: _*)
+    // `fields` projection prunes the scan (StorageSource.java:209-239)
+    val fields = p.strArr("fields")
+    if (fields.nonEmpty) df = df.select(fields.map(col): _*)
+    SourceCommon.finish(df, cfg)
+  }
+}
+
+/** `jdbc` source — Spark's built-in partitioned JDBC reader covers the
+  * reference's keyFields/splitSize parallel split (`JdbcSource.java:56-62`). */
+object JdbcSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val p = cfg.params
+    var reader = spark.read.format("jdbc")
+      .option("url", p.str("url").getOrElse(
+        throw new IllegalArgumentException("jdbc requires url")))
+    p.str("table").foreach(t => reader = reader.option("dbtable", t))
+    p.str("query").foreach(q => reader = reader.option("query", q))
+    p.str("driver").foreach(d => reader = reader.option("driver", d))
+    p.str("user").foreach(u => reader = reader.option("user", u))
+    p.str("password").foreach(w => reader = reader.option("password", w))
+    p.str("keyField").foreach { k => // split parallel read
+      reader = reader.option("partitionColumn", k)
+        .option("numPartitions", p.int("numPartitions").getOrElse(8).toString)
+        .option("lowerBound", p.str("lowerBound").getOrElse("0"))
+        .option("upperBound", p.str("upperBound").getOrElse("1000000"))
+    }
+    reader = reader.option("fetchsize",
+      p.int("fetchSize").getOrElse(50000).toString) // JdbcSource.java:346
+    SourceCommon.finish(reader.load(), cfg)
+  }
+}

