@@ -1,13 +1,818 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each exercising the engine end-to-end (config →
+  * Pipeline → Catalyst), plus a DuckDB oracle in `oracleSql`.
+  *
+  * Conventions for oracle parity:
+  *  - double aggregates are rounded (4-6 decimals) on BOTH sides so
+  *    summation-order ulps can't flip the hash compare;
+  *  - no raw timestamp outputs (epoch micros/days instead);
+  *  - every aggregate/computed column is aliased identically in the
+  *    Spark config and the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Build one named collection from a config over `dir`'s tables. */
+  private def pipe(out: String, config: String)(
+      spark: SparkSession, dir: String): DataFrame =
+    Pipeline.build(spark, config, Map("dir" -> dir))(out)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.6 aggregation: groupBy + count/sum/min/max/avg + per-op condition
+    "q1_pricing" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters:
+      path: "${dir}/lineitem.parquet"
+      filter: [{key: l_shipdate, op: "<", value: "1995-12-01"}]
+transforms:
+  - name: out
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag, l_linestatus]
+      aggregations:
+        - input: li
+          fields:
+            - {name: sum_qty, op: sum, field: l_quantity}
+            - {name: n_rows, op: count}
+            - {name: n_big, op: count, condition: [{key: l_quantity, op: ">", value: 40}]}
+            - {name: max_qty, op: max, field: l_quantity}
+            - {name: min_qty, op: min, field: l_quantity}
+      select:
+        - {name: l_returnflag}
+        - {name: l_linestatus}
+        - {name: sum_qty}
+        - {name: n_rows}
+        - {name: n_big}
+        - {name: max_qty}
+        - {name: min_qty}
+"""),
+
+    // §2.4 filter condition tree (and/or/in/match) + §2.3 select
+    "q2_filter" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: out
+    module: filter
+    inputs: [li]
+    parameters:
+      filter:
+        and:
+          - {key: l_quantity, op: ">", value: 45}
+          - or:
+              - {key: l_returnflag, op: in, value: [A, R]}
+              - {key: l_linestatus, op: match, value: "^F"}
+          - {key: l_shipdate, op: "<", value: "1996-01-01"}
+      select:
+        - {name: l_orderkey}
+        - {name: l_linenumber}
+        - {name: revenue, expression: "round(l_extendedprice * (1 - l_discount), 4)"}
+        - {name: flag_status, func: concat, fields: [l_returnflag, l_linestatus], delimiter: "/"}
+"""),
+
+    // §2.10 sql module: join + aggregate through spark.sql
+    "q3_sql_join" -> pipe("out", """
+sources:
+  - name: customer
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+  - name: nation
+    module: storage
+    parameters: {path: "${dir}/nation.parquet"}
+transforms:
+  - name: out
+    module: sql
+    inputs: [customer, orders, nation]
+    parameters:
+      sql: >
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+"""),
+
+    // §2.5 lookup: broadcast side-input join
+    "q4_lookup" -> pipe("out", """
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+  - name: customer
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+transforms:
+  - name: out
+    module: lookup
+    inputs: [orders, customer]
+    parameters:
+      lookups:
+        - {sideInput: customer, keyField: o_custkey, sideKeyField: c_custkey, name: cust}
+      select:
+        - {name: o_orderkey}
+        - {name: c_name, field: cust.c_name}
+        - {name: total2, expression: "round(o_totalprice * 2, 2)"}
+"""),
+
+    // §2.8 partition: filter-routed multi-output
+    "q5_partition" -> pipe("parts.returned", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: parts
+    module: partition
+    inputs: [li]
+    parameters:
+      exclusive: true
+      partitions:
+        - name: returned
+          filter: [{key: l_returnflag, op: "=", value: R}]
+          select:
+            - {name: l_orderkey}
+            - {name: l_linenumber}
+            - {name: l_quantity}
+        - name: rest
+"""),
+
+    // §2.8 union: by-name n-ary union
+    "q6_union" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: parts
+    module: partition
+    inputs: [li]
+    parameters:
+      partitions:
+        - name: a
+          filter: [{key: l_returnflag, op: "=", value: A}]
+        - name: r
+          filter: [{key: l_returnflag, op: "=", value: R}]
+  - name: u
+    module: union
+    inputs: [parts.a, parts.r]
+  - name: out
+    module: select
+    inputs: [u]
+    parameters:
+      select:
+        - {name: l_orderkey}
+        - {name: l_linenumber}
+        - {name: l_returnflag}
+        - {name: src, field: __source_index, type: int32}
+"""),
+
+    // §2.8 unnest/flatten + tokenize: explode word tokens, count
+    "q7_unnest" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: toks
+    module: tokenize
+    inputs: [docs]
+    parameters:
+      fields:
+        - {field: text, name: token, pattern: "\\s+", lowercase: true}
+  - name: flat
+    module: unnest
+    inputs: [toks]
+    parameters: {flattenField: token}
+  - name: out
+    module: aggregation
+    inputs: [flat]
+    parameters:
+      groupFields: [token]
+      aggregations:
+        - input: flat
+          fields:
+            - {name: n, op: count}
+"""),
+
+    // §2.7 window: lag / row_number / framed running sum
+    "q8_window" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: w
+    module: window
+    inputs: [ev]
+    parameters:
+      groupFields: [user_id]
+      orderField: ts
+      fields:
+        - {name: rn, func: row_number}
+        - {name: prev_value, func: lag, field: value, offset: 1}
+        - {name: run3, func: sum, field: value, range: {count: 3}}
+  - name: out
+    module: select
+    inputs: [w]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: user_id}
+        - {name: value}
+        - {name: rn, type: int32}
+        - {name: prev_value}
+        - {name: run3r, expression: "round(run3, 4)"}
+"""),
+
+    // §2.8 limit: per-key top-N with deterministic ordering
+    "q9_limit" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: out
+    module: limit
+    inputs: [ev]
+    parameters:
+      count: 2
+      keyFields: [user_id]
+      orderFields: [value, event_id]
+      select:
+        - {name: user_id}
+        - {name: event_id}
+        - {name: value}
+"""),
+
+    // §2.6 first/last (min_by/max_by on event time)
+    "q10_first_last" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters:
+      path: "${dir}/events.parquet"
+transforms:
+  - name: out
+    module: aggregation
+    inputs: [ev]
+    parameters:
+      groupFields: [user_id]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: first_value, op: first, field: value, orderField: ts}
+            - {name: last_value, op: last, field: value, orderField: ts}
+            - {name: last_type, op: argmax, field: event_type, comparingField: ts}
+            - {name: n, op: count}
+"""),
+
+    // §2.6 std/var + weighted avg
+    "q11_stats" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag]
+      aggregations:
+        - input: li
+          fields:
+            - {name: sd_samp, op: std, field: l_quantity, ddof: 1}
+            - {name: sd_pop, op: std, field: l_quantity, ddof: 0}
+            - {name: v_samp, op: std, field: l_quantity, ddof: 1, outputVar: true}
+            - {name: wavg, op: avg, field: l_quantity, weightField: l_extendedprice}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: sd_samp_r, expression: "round(sd_samp, 4)"}
+        - {name: sd_pop_r, expression: "round(sd_pop, 4)"}
+        - {name: v_samp_r, expression: "round(v_samp, 4)"}
+        - {name: wavg_r, expression: "round(wavg, 4)"}
+"""),
+
+    // §2.6 simple_regression via regr_* algebra
+    "q12_regression" -> pipe("out", """
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [orders]
+    parameters:
+      groupFields: [o_orderpriority]
+      aggregations:
+        - input: orders
+          fields:
+            - {name: reg, op: simple_regression, field: o_totalprice, xField: o_custkey}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: o_orderpriority}
+        - {name: slope_r, expression: "round(reg.slope, 6)"}
+        - {name: icept_r, expression: "round(reg.intercept, 4)"}
+        - {name: rmse_r, expression: "round(reg.rmse, 4)"}
+"""),
+
+    // §2.6 array_agg distinct + sorted
+    "q13_array_agg" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: out
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag]
+      aggregations:
+        - input: li
+          fields:
+            - {name: statuses, op: array_agg, field: l_linestatus, distinct: true, order: ascending}
+            - {name: n, op: count}
+"""),
+
+    // dedup exact: canonical docs by normalized content
+    "q14_dedup_exact" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters: {method: exact, field: text, idField: doc_id, keep: canonical}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: source}
+"""),
+
+    // text analysis: token count + md5 content hash
+    "q15_text_stats" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: ta
+    module: textAnalysis
+    inputs: [docs]
+    parameters: {field: text, features: [tokens]}
+  - name: out
+    module: select
+    inputs: [ta]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: n_tokens, type: int32}
+        - {name: text_md5, func: hash, field: text, algorithm: MD5}
+"""),
+
+    // §2.8 deserialize: JSON payload field → struct → aggregate
+    "q16_json" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: de
+    module: deserialize
+    inputs: [ev]
+    parameters:
+      field: props
+      outputField: p
+      format: json
+      schema: {fields: [{name: k, type: int64}]}
+  - name: agg
+    module: aggregation
+    inputs: [de]
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: de
+          fields:
+            - {name: sum_k, op: sum, field: p.k}
+            - {name: n, op: count}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: event_type}
+        - {name: sum_k, type: int64}
+        - {name: n}
+"""),
+
+    // §2.3 select function battery: nullif/switch/hash/base64
+    "q17_select_funcs" -> pipe("out", """
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [orders]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: status_or_null, func: nullif, field: o_orderstatus,
+           condition: [{key: o_orderstatus, op: "=", value: O}]}
+        - {name: tier, func: switch, cases:
+            [{when: [{key: o_totalprice, op: ">", value: 200000}], value: high},
+             {when: [{key: o_totalprice, op: ">", value: 100000}], value: mid}],
+           default: low}
+        - {name: key_sha, func: hash, field: o_orderkey, algorithm: SHA-256}
+        - {name: pri_b64, func: base64_encode, field: o_orderpriority}
+"""),
+
+    // §2.3 expression DSL: math funcs, if, timestamp_to_date
+    "q18_expression" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [li]
+    parameters:
+      select:
+        - {name: l_orderkey}
+        - {name: l_linenumber}
+        - {name: math_mix, expression: "round(sqrt(l_quantity) + log(l_extendedprice) + if(l_discount > 0.05, 1, 0) + min(l_tax, 0.04), 6)"}
+        - {name: ship_epoch_day, expression: "timestamp_to_date(l_shipdate, 0)", type: int64}
+"""),
+
+    // §2.5 compare: full-outer field diff (rows-only check)
+    "q19_compare" -> pipe("out", """
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: v1
+    module: select
+    inputs: [orders]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: o_totalprice}
+        - {name: o_orderstatus}
+  - name: v2
+    module: select
+    inputs: [orders]
+    parameters:
+      filter: [{key: o_orderkey, op: "<", value: 999999}]
+      select:
+        - {name: o_orderkey}
+        - {name: o_totalprice, expression: "if(o_totalprice > 150000, o_totalprice + 1, o_totalprice)"}
+        - {name: o_orderstatus}
+  - name: cmp
+    module: compare
+    inputs: [v1, v2]
+    parameters:
+      primaryKeyFields: [o_orderkey]
+  - name: out
+    module: aggregation
+    inputs: [cmp]
+    parameters:
+      groupFields: [result]
+      aggregations:
+        - input: cmp
+          fields:
+            - {name: n, op: count}
+"""),
+
+    // dedup minhash LSH (rows-only: LSH bucketing isn't SQL-expressible)
+    "q20_dedup_minhash" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters: {method: minhash, field: text, idField: doc_id}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
+    // dedup simhash (rows-only)
+    "q21_dedup_simhash" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters: {method: simhash, field: text, idField: doc_id}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
+    // dedup embedding-cosine (rows-only)
+    "q22_dedup_embedding" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [emb]
+    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.9}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: vec_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
+    // similarity: brute-force cosine top-k (oracle via list_cosine_similarity)
+    "q23_knn" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters: {method: bruteforce, field: embedding, idField: vec_id, k: 5}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
+    // similarity: LSH-bucketed ANN (rows-only; approximate)
+    "q24_knn_lsh" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters: {method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
+    // language id + quality (rows-only: heuristic formulas)
+    "q25_langid" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: ta
+    module: textAnalysis
+    inputs: [docs]
+    parameters: {field: text, features: [language, quality]}
+  - name: out
+    module: aggregation
+    inputs: [ta]
+    parameters:
+      groupFields: [lang_id]
+      aggregations:
+        - input: ta
+          fields:
+            - {name: n, op: count}
+            - {name: avg_q, op: avg, expression: "round(quality, 2)"}
+""")
+  )
+
+  // ---------------------------------------------------------------
+  /** DuckDB oracle for each hash-comparable query. Omitted entries
+    * (compare/minhash/simhash/embedding/lsh/langid) get the driver's
+    * rows-only check — their LSH/heuristic internals aren't
+    * SQL-expressible. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n_rows,
+           count(*) FILTER (l_quantity > 40) AS n_big,
+           max(l_quantity) AS max_qty,
+           min(l_quantity) AS min_qty
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1995-12-01'
+         GROUP BY 1, 2""",
+
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           l_returnflag || '/' || l_linestatus AS flag_status
+         FROM lineitem
+         WHERE l_quantity > 45
+           AND (l_returnflag IN ('A','R') OR regexp_matches(l_linestatus, '^F'))
+           AND l_shipdate < TIMESTAMP '1996-01-01'""",
+
+    "q3_sql_join" ->
+      """SELECT n.n_name, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderstatus = 'F'
+         GROUP BY n.n_name""",
+
+    "q4_lookup" ->
+      """SELECT o.o_orderkey, c.c_name,
+           round(o.o_totalprice * 2, 2) AS total2
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+
+    "q5_partition" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_returnflag = 'R'""",
+
+    "q6_union" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE l_returnflag WHEN 'A' THEN 0 ELSE 1 END AS src
+         FROM lineitem WHERE l_returnflag IN ('A','R')""",
+
+    "q7_unnest" ->
+      """SELECT t.token, count(*) AS n
+         FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS token
+               FROM documents) t
+         GROUP BY t.token""",
+
+    "q8_window" ->
+      """SELECT event_id, user_id, value,
+           CAST(row_number() OVER w AS INT) AS rn,
+           lag(value) OVER w AS prev_value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS run3r
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
+
+    "q9_limit" ->
+      """SELECT user_id, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id DESC) AS rn
+           FROM events) WHERE rn <= 2""",
+
+    "q10_first_last" ->
+      """SELECT user_id,
+           min_by(value, ts) AS first_value,
+           max_by(value, ts) AS last_value,
+           max_by(event_type, ts) AS last_type,
+           count(*) AS n
+         FROM events GROUP BY user_id""",
+
+    "q11_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_samp_r,
+           round(stddev_pop(l_quantity), 4) AS sd_pop_r,
+           round(var_samp(l_quantity), 4) AS v_samp_r,
+           round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 4) AS wavg_r
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q12_regression" ->
+      """SELECT o_orderpriority,
+           round(regr_slope(o_totalprice, o_custkey), 6) AS slope_r,
+           round(regr_intercept(o_totalprice, o_custkey), 4) AS icept_r,
+           round(sqrt(greatest(regr_syy(o_totalprice, o_custkey)
+               - regr_slope(o_totalprice, o_custkey) ^ 2
+                 * regr_sxx(o_totalprice, o_custkey), 0)
+             / regr_count(o_totalprice, o_custkey)), 4) AS rmse_r
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q13_array_agg" ->
+      """SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q14_dedup_exact" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY array_to_string(list_filter(string_split(
+               lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+               ' '), x -> x <> ''), ' ')
+             ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1""",
+
+    "q15_text_stats" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+             ' '), x -> x <> '')) AS INT) AS n_tokens,
+           md5(text) AS text_md5
+         FROM documents""",
+
+    "q16_json" ->
+      """SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           count(*) AS n
+         FROM events GROUP BY event_type""",
+
+    "q17_select_funcs" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+             AS status_or_null,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS tier,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha,
+           to_base64(ENCODE(o_orderpriority)) AS pri_b64
+         FROM orders""",
+
+    "q18_expression" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity) + ln(l_extendedprice)
+             + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+             + least(l_tax, 0.04), 6) AS math_mix,
+           CAST(floor(epoch_us(l_shipdate) / 86400000000.0) AS BIGINT)
+             AS ship_epoch_day
+         FROM lineitem""",
+
+    "q23_knn" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE c.vec_id <> q.vec_id)
+         WHERE rank <= 5"""
+  )
 }

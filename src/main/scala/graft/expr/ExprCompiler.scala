@@ -142,6 +142,10 @@ object ExprCompiler {
     case ("tanh", a :: Nil) => tanh(a)
     case ("signum", a :: Nil) => signum(a)
     case ("if", c :: t :: f :: Nil) => when(truthy(c), t).otherwise(f)
+    case ("round", a :: s :: Nil) => // parity-plus: HALF_UP rounding
+      call_function("round", a, s.cast(IntegerType)).cast(DoubleType)
+    case ("round", a :: Nil) =>
+      call_function("round", a).cast(DoubleType)
     case ("max", a :: b :: Nil) =>
       when(anyNan(a, b), nan).otherwise(greatest(a, b))
     case ("min", a :: b :: Nil) =>

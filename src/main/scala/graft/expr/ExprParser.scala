@@ -60,9 +60,10 @@ object ExprParser {
         }
         out += TNum(s.substring(start, i).toDouble)
       } else if (c.isLetter || c == '_' || c == 'π' || c == 'φ') {
+        // identifiers may be dotted paths into struct fields (reg.slope)
         val start = i
         while (i < n && (s(i).isLetterOrDigit || s(i) == '_' ||
-            s(i) == 'π' || s(i) == 'φ')) i += 1
+            s(i) == '.' || s(i) == 'π' || s(i) == 'φ')) i += 1
         out += TIdent(s.substring(start, i))
       } else c match {
         case '(' => out += TLParen; i += 1

@@ -44,9 +44,10 @@ object AggregationCompiler {
         when(FilterCompiler.compile(condNode, schema), c)
       case None => c
     }
-    def eventTime: Column =
+    def eventTime: Column = op.str("orderField").map(col).getOrElse {
       if (schema.fieldNames.contains("__event_time")) col("__event_time")
       else monotonically_increasing_id()
+    }
 
     val agg: Column = func match {
       case "count" =>

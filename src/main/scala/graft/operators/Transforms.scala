@@ -152,8 +152,8 @@ object UnnestTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    // flattenField itself is handled once by TransformCommon.finish
     var df = TransformCommon.single(cfg, inputs)
-    cfg.params.str("flattenField").foreach(f => df = flatten(df, f))
     cfg.params.str("path").foreach { path =>
       val prefix = cfg.params.bool("prefix").getOrElse(false)
       df.schema.find(_.name == path).map(_.dataType) match {
@@ -270,13 +270,16 @@ object LimitTransform {
     val out =
       if (keys.isEmpty) df.limit(n)
       else {
-        val order = cfg.params.str("orderField")
-          .map(f => col(f).desc)
-          .getOrElse(if (df.columns.contains("__event_time"))
-            col("__event_time").desc else monotonically_increasing_id().asc)
+        val orderFields =
+          cfg.params.str("orderField").toSeq ++ cfg.params.strArr("orderFields")
+        val order =
+          if (orderFields.nonEmpty) orderFields.map(f => col(f).desc)
+          else if (df.columns.contains("__event_time"))
+            Seq(col("__event_time").desc)
+          else Seq(monotonically_increasing_id().asc)
         df.withColumn("__rn",
             row_number().over(Window.partitionBy(keys.map(col): _*)
-              .orderBy(order)))
+              .orderBy(order: _*)))
           .filter(col("__rn") <= n).drop("__rn")
       }
     Map(cfg.name -> TransformCommon.finish(out, cfg))

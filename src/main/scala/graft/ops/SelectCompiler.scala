@@ -48,7 +48,11 @@ object SelectCompiler {
       else if (sel("field").isDefined && sel("type").isDefined) "cast"
       else if (sel("field").isDefined) "rename"
       else if (sel("value").isDefined && sel("type").isDefined) "constant"
-      else if (sel("type").isDefined) "cast"
+      // bare {name, type} → cast of the name field (reference requires
+      // size==2 here — a type key NEXT TO expression/text is an output
+      // cast, not a cast func: SelectFunction.java:115)
+      else if (sel("type").isDefined &&
+        sel.names.filterNot(_ == "ignore").size == 2) "cast"
       else if (sel("expression").isDefined) "expression"
       else if (sel("text").isDefined) "text"
       else if (sel("fields").isDefined) "struct"
