@@ -40,7 +40,8 @@ object Pipeline {
     "storage" -> StorageSource.build,
     "files" -> StorageSource.build,
     "parquet" -> StorageSource.build,
-    "jdbc" -> JdbcSource.build)
+    "jdbc" -> JdbcSource.build,
+    "rate" -> RateSource.build)
 
   val transforms: Map[String, Builder] = Map(
     "filter" -> FilterTransform.build,
@@ -57,6 +58,9 @@ object Pipeline {
     "deserialize" -> DeserializeTransform.build,
     "reshuffle" -> ReshuffleTransform.build,
     "window" -> WindowTransform.build,
+    "stateful" -> graft.streaming.StatefulTransform.build,
+    "crypto" -> CryptoTransform.build,
+    "multimodal" -> MultimodalTransform.build,
     "tokenize" -> TokenizeTransform.build,
     "dedup" -> DedupTransform.build,
     "similarity" -> SimilarityTransform.build,
@@ -66,6 +70,7 @@ object Pipeline {
     "storage" -> StorageSink.build,
     "files" -> StorageSink.build,
     "debug" -> DebugSink.build,
+    "memory" -> DebugSink.build,
     "text" -> TextSink.build)
 
   /** Parse + build all collections; sinks are NOT executed. */

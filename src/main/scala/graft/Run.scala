@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** CLI entry point — the counterpart of the reference's
+  * `MPipeline.main` (`MPipeline.java:49-77`): load a YAML/JSON config,
+  * build the DataFrame DAG, execute sinks, drain any streaming
+  * queries.
+  *
+  *   spark-submit --class graft.Run pipelinespark.jar config.yaml \
+  *     [--args k=v ...] [--drain]
+  *
+  * `--drain`: process all available streaming data then stop (the
+  * batch-catch-up / test mode); without it, streaming queries run
+  * until termination.
+  */
+object Run {
+  def main(argv: Array[String]): Unit = {
+    require(argv.nonEmpty, "usage: graft.Run <config path> [--args k=v] [--drain]")
+    val configPath = argv(0)
+    val drain = argv.contains("--drain")
+    val args = argv.sliding(2).collect {
+      case Array("--args", kv) if kv.contains('=') =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .appName(s"graft:${Paths.get(configPath).getFileName}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val configText = Files.readString(Paths.get(configPath))
+    val collections = Pipeline.execute(spark, configText, args)
+    System.err.println(
+      s"[graft] built ${collections.size} collections: " +
+        collections.keys.toSeq.sorted.mkString(", "))
+
+    val queries = graft.streaming.StreamRunner.activeQueries
+    if (queries.nonEmpty) {
+      System.err.println(s"[graft] ${queries.size} streaming queries active")
+      if (drain) {
+        graft.streaming.StreamRunner.drainAll()
+        // let the no-data micro-batch advance the watermark and flush
+        // append-mode windows before stopping
+        Thread.sleep(2000)
+        graft.streaming.StreamRunner.drainAll()
+        graft.streaming.StreamRunner.stopAll()
+      } else {
+        spark.streams.awaitAnyTermination()
+      }
+    }
+    // surface async failures instead of exiting 0 silently
+    queries.flatMap(q => Option(q.exception).flatten).foreach { e =>
+      System.err.println(s"[graft] streaming query failed: ${e.getMessage}")
+      sys.exit(1)
+    }
+    spark.stop()
+  }
+}

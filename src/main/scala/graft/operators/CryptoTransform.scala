@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `crypto` transform (reference `module/transform/CryptoTransform
+  * .java` — AES field encrypt/decrypt; KMS/RSA vendor paths are out of
+  * local scope per SURVEY §7.5). Uses Spark's built-in
+  * `aes_encrypt`/`aes_decrypt` expressions (codegen'd, GCM default).
+  *
+  * parameters:
+  *   mode: encrypt | decrypt
+  *   key: 16/24/32-byte secret (config-provided)
+  *   fields: [names] — each replaced (encrypt → binary, decrypt →
+  *     string) or suffixed via `suffix`
+  */
+object CryptoTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val mode = p.str("mode").getOrElse("encrypt")
+    val key = p.str("key").getOrElse(
+      throw new IllegalArgumentException("crypto requires key"))
+    require(Set(16, 24, 32).contains(key.length),
+      s"AES key must be 16/24/32 bytes, got ${key.length}")
+    val suffix = p.str("suffix").getOrElse("")
+    val algo = p.str("algorithm").getOrElse("GCM")
+    p.strArr("fields").foreach { f =>
+      val out = if (suffix.isEmpty) f else s"$f$suffix"
+      val c = mode match {
+        case "encrypt" =>
+          aes_encrypt(col(f).cast(StringType).cast(BinaryType),
+            lit(key), lit(algo))
+        case "decrypt" =>
+          aes_decrypt(col(f), lit(key), lit(algo)).cast(StringType)
+        case other =>
+          throw new IllegalArgumentException(s"crypto mode: $other")
+      }
+      df = df.withColumn(out, c)
+    }
+    Map(cfg.name -> TransformCommon.finish(df, cfg))
+  }
+}

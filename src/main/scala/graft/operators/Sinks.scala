@@ -12,13 +12,16 @@ import org.apache.spark.sql.types.StringType
   * SinkExecutor at execute() time, keeping build() side-effect free. */
 object SinkExecutor {
   def execute(spark: SparkSession, cfg: ModuleCfg,
-      input: Option[DataFrame]): Unit = cfg.module match {
-    case "storage" | "files" => StorageSink.write(cfg, input.get)
-    case "text" => TextSink.write(cfg, input.get)
-    case "debug" => input.foreach(_.show(
-      cfg.params.int("limit").getOrElse(20), truncate = false))
-    case _ =>
-  }
+      input: Option[DataFrame]): Unit =
+    if (input.exists(_.isStreaming))
+      graft.streaming.StreamRunner.start(cfg, input.get)
+    else cfg.module match {
+      case "storage" | "files" => StorageSink.write(cfg, input.get)
+      case "text" => TextSink.write(cfg, input.get)
+      case "debug" => input.foreach(_.show(
+        cfg.params.int("limit").getOrElse(20), truncate = false))
+      case _ =>
+    }
 }
 
 /** `storage` sink (reference `module/sink/StorageSink.java`): write

@@ -95,20 +95,57 @@ object StorageSource {
         case "avro" => "avro" case _ => "parquet"
       }
     }
-    var reader = spark.read.format(format)
-    p("schema").foreach(s =>
-      reader = reader.schema(SchemaMapper.toStructType(s)))
-    if (format == "csv")
-      reader = reader
-        .option("header", p.bool("header").getOrElse(true).toString)
-        .option("inferSchema", p("schema").isEmpty.toString)
-    p("options").foreach(_.names.foreach { k =>
-      reader = reader.option(k, cfg.params("options").get.str(k).get)
-    })
-    var df = reader.load(paths: _*)
+    val streaming = p.bool("stream").getOrElse(false)
+    var df =
+      if (streaming) {
+        // Structured Streaming file source: same formats, same schema
+        var r = spark.readStream.format(format)
+        val schema = p("schema").map(SchemaMapper.toStructType).getOrElse(
+          // file streams need an explicit schema; infer from a batch
+          // read of the existing files (driver-side, once)
+          spark.read.format(format).load(paths: _*).schema)
+        r = r.schema(schema)
+        if (format == "csv")
+          r = r.option("header", p.bool("header").getOrElse(true).toString)
+        p("options").foreach(_.names.foreach { k =>
+          r = r.option(k, cfg.params("options").get.str(k).get)
+        })
+        r.load(paths.head)
+      } else {
+        var reader = spark.read.format(format)
+        p("schema").foreach(s =>
+          reader = reader.schema(SchemaMapper.toStructType(s)))
+        if (format == "csv")
+          reader = reader
+            .option("header", p.bool("header").getOrElse(true).toString)
+            .option("inferSchema", p("schema").isEmpty.toString)
+        p("options").foreach(_.names.foreach { k =>
+          reader = reader.option(k, cfg.params("options").get.str(k).get)
+        })
+        reader.load(paths: _*)
+      }
     // `fields` projection prunes the scan (StorageSource.java:209-239)
     val fields = p.strArr("fields")
     if (fields.nonEmpty) df = df.select(fields.map(col): _*)
+    SourceCommon.finish(df, cfg)
+  }
+}
+
+/** `rate` streaming source — the reference's streaming `create` rate
+  * mode (`CreateSource.java:159-172`, Beam GenerateSequence) maps to
+  * Spark's built-in rate source: (timestamp, value) rows. */
+object RateSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val p = cfg.params
+    var r = spark.readStream.format("rate")
+      .option("rowsPerSecond",
+        p.int("rowsPerSecond").getOrElse(10).toString)
+    p.int("numPartitions").foreach(n =>
+      r = r.option("numPartitions", n.toString))
+    var df = r.load()
+    if (!cfg.node.str("timestampAttribute").isDefined)
+      df = df.withColumn("__event_time", col("timestamp"))
     SourceCommon.finish(df, cfg)
   }
 }

@@ -59,15 +59,29 @@ object AggregationTransform {
     val groupFields = cfg.params.strArr("groupFields")
     val defs = cfg.params.arrOf("aggregations")
     require(defs.nonEmpty, "aggregation requires aggregations parameter")
+    // strategy block (SURVEY §2.9): window group column + watermark,
+    // same window() semantics in batch and streaming
+    val strategyNode = cfg.node("strategy").orElse(cfg.param("strategy"))
 
     val perInput: Seq[DataFrame] = defs.map { d =>
       val inName = d.str("input").getOrElse(cfg.inputs.head)
-      val df = inputs.getOrElse(inName, inputs(cfg.inputs.head))
+      var df = inputs.getOrElse(inName, inputs(cfg.inputs.head))
+      val windowCol = strategyNode.flatMap { st =>
+        // watermark first: it casts the ts field to TimestampType in
+        // place, so the window then references the bare watermarked
+        // attribute (a cast wrapper would break watermark tracking)
+        df = graft.streaming.Strategy.applyWatermark(df, st,
+          st.str("timestampField").getOrElse("__event_time"))
+        graft.streaming.Strategy.eventTimeCol(df, st)
+          .flatMap(ts => graft.streaming.Strategy.windowColumn(st, ts))
+      }
+      val groupCols =
+        windowCol.map(_.as("window")).toSeq ++ groupFields.map(col)
       val aggCols = d.arrOf("fields")
         .filterNot(_.bool("ignore").getOrElse(false))
         .map(AggregationCompiler.compile(_, df.schema))
-      if (groupFields.nonEmpty)
-        df.groupBy(groupFields.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      if (groupCols.nonEmpty)
+        df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
     }
     // multi-input: merge per-input aggregates on the group key

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.config.Json._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Windowing strategy — the Spark mapping of the reference's
+  * per-module `strategy` block (`module/Strategy.java:118-218`):
+  * `global | fixed(size) | sliding(size, period) | session(gap) |
+  * calendar(day/week/month/year, timezone)` with `unit`
+  * (second/minute/hour/day), `offset`, `allowedLateness`.
+  *
+  * Batch and streaming share this: `window()`/`session_window()` group
+  * columns work in both; `allowedLateness` becomes `withWatermark` on
+  * streaming inputs (SURVEY §2.9). Beam's early/late/composite
+  * triggers and accumulating panes have no Structured Streaming
+  * equivalent — output modes append/update are the documented
+  * approximation; triggers are query-level (see StreamRunner).
+  */
+object Strategy {
+
+  private def seconds(node: JsonNode, field: String): Option[Long] = {
+    val unit = node.str("unit").getOrElse("second")
+    val mult = unit match {
+      case "second" => 1L
+      case "minute" => 60L
+      case "hour" => 3600L
+      case "day" => 86400L
+      case other =>
+        throw new IllegalArgumentException(s"unknown time unit: $other")
+    }
+    node(field).map(_.asLong * mult)
+  }
+
+  private def dur(s: Long): String = s"$s seconds"
+
+  /** Event-time column for a module: explicit `timestampField`, else
+    * the engine's `__event_time`, else null. The bare attribute is
+    * used when it is already TimestampType — wrapping the watermarked
+    * column in a (no-op) cast strips Spark's watermark tracking and
+    * fails append-mode aggregations. */
+  def eventTimeCol(df: DataFrame, node: JsonNode): Option[Column] =
+    node.str("timestampField").map { f =>
+      if (df.schema.fields.exists(x => x.name == f &&
+          x.dataType == TimestampType)) col(f)
+      else col(f).cast(TimestampType)
+    }.orElse(
+      if (df.columns.contains("__event_time"))
+        Some(col("__event_time")) else None)
+
+  /** Window group Column for a strategy node, or None for global. */
+  def windowColumn(strategy: JsonNode, ts: Column): Option[Column] = {
+    val w = strategy("window").getOrElse(strategy)
+    w.str("type").getOrElse("global") match {
+      case "global" => None
+      case "fixed" =>
+        val size = seconds(w, "size").getOrElse(
+          throw new IllegalArgumentException("fixed window requires size"))
+        val off = seconds(w, "offset").getOrElse(0L)
+        Some(window(ts, dur(size), dur(size), dur(off)))
+      case "sliding" =>
+        val size = seconds(w, "size").get
+        val period = seconds(w, "period").get
+        Some(window(ts, dur(size), dur(period),
+          dur(seconds(w, "offset").getOrElse(0L))))
+      case "session" =>
+        val gap = seconds(w, "gap").getOrElse(
+          throw new IllegalArgumentException("session window requires gap"))
+        Some(session_window(ts, dur(gap)))
+      case "calendar" =>
+        // month/year windows via date_trunc in the strategy timezone
+        val tz = w.str("timezone").getOrElse("UTC")
+        val unit = w.str("unit").getOrElse("day")
+        val local = from_utc_timestamp(ts, tz)
+        val truncated = unit match {
+          case "day" => date_trunc("DAY", local)
+          case "week" => date_trunc("WEEK", local)
+          case "month" => date_trunc("MONTH", local)
+          case "year" => date_trunc("YEAR", local)
+          case other => throw new IllegalArgumentException(
+            s"calendar unit: $other")
+        }
+        Some(to_utc_timestamp(truncated, tz).as("window_start"))
+      case other =>
+        throw new IllegalArgumentException(s"window type: $other")
+    }
+  }
+
+  /** Apply watermark from `allowedLateness` when the input streams.
+    * Parquet timestamps usually surface as TIMESTAMP_NTZ, which
+    * `withWatermark` rejects — cast to TimestampType first (session
+    * tz is UTC, so the instant is unchanged). */
+  def applyWatermark(df: DataFrame, strategy: JsonNode,
+      tsField: String): DataFrame =
+    if (!df.isStreaming) df
+    else {
+      val lateness = strategy("window")
+        .flatMap(w => seconds(w, "allowedLateness"))
+        .orElse(seconds(strategy, "allowedLateness"))
+        .getOrElse(0L)
+      val cast =
+        if (df.schema.fields.exists(f => f.name == tsField &&
+            f.dataType != TimestampType))
+          df.withColumn(tsField, col(tsField).cast(TimestampType))
+        else df
+      cast.withWatermark(tsField, dur(math.max(lateness, 1)))
+    }
+}

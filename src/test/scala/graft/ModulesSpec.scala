@@ -1,0 +1,149 @@
+package graft
+
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ModulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("crypto: aes encrypt/decrypt round-trips") {
+    val config = """
+      |sources:
+      |  - name: c
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/customer.parquet}
+      |transforms:
+      |  - name: enc
+      |    module: crypto
+      |    inputs: [c]
+      |    parameters:
+      |      mode: encrypt
+      |      key: "0123456789abcdef"
+      |      fields: [c_name]
+      |      suffix: _enc
+      |  - name: dec
+      |    module: crypto
+      |    inputs: [enc]
+      |    parameters:
+      |      mode: decrypt
+      |      key: "0123456789abcdef"
+      |      fields: [c_name_enc]
+      |      suffix: _dec
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val bad = dfs("dec")
+      .filter($"c_name" =!= $"c_name_enc_dec").count()
+    assert(bad == 0)
+    // ciphertext actually differs from plaintext
+    assert(dfs("enc").select($"c_name_enc").schema.head.dataType.typeName
+      == "binary")
+  }
+
+  test("multimodal: decode/resize/embed plumbing over binary column") {
+    val media = Seq(
+      (1L, "IMG:640x480x3:payloadpayload".getBytes("ISO-8859-1")),
+      (2L, "IMG:1024x768x3:otherpayload".getBytes("ISO-8859-1")),
+      (3L, "not-an-image".getBytes("ISO-8859-1")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "content")
+
+    val cfg = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse("""
+        {"ops": [
+          {"op": "decode", "field": "content", "name": "meta"},
+          {"op": "resize", "field": "content", "name": "thumb",
+           "width": 64, "height": 64},
+          {"op": "embed", "field": "content", "name": "vec", "dim": 16},
+          {"op": "frame_sample", "field": "content", "name": "frames",
+           "frames": 3}
+        ]}"""), graft.config.Json.obj())
+    val out = graft.operators.MultimodalTransform
+      .build(spark, cfg, Map("in" -> media))("mm")
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("media_id") -> r).toMap
+    assert(rows(1L).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Int]("width") == 640)
+    assert(!rows(3L).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Boolean]("ok"))
+    assert(!rows(4L).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Boolean]("ok"))
+    assert(new String(rows(1L).getAs[Array[Byte]]("thumb"), "ISO-8859-1")
+      .startsWith("IMG:64x64x3:"))
+    assert(rows(2L).getAs[scala.collection.Seq[Float]]("vec").size == 16)
+    assert(rows(1L).getAs[scala.collection.Seq[Array[Byte]]]("frames").size == 3)
+    // determinism: same content → same embedding
+    val v1 = graft.operators.MultimodalTransform.StubCodecs
+      .embed("abc".getBytes, 8).toSeq
+    val v2 = graft.operators.MultimodalTransform.StubCodecs
+      .embed("abc".getBytes, 8).toSeq
+    assert(v1 == v2)
+  }
+
+  test("stateful lag: batch matches window-function semantics") {
+    val config = """
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/events.parquet}
+      |transforms:
+      |  - name: st
+      |    module: stateful
+      |    inputs: [ev]
+      |    parameters:
+      |      groupFields: [user_id]
+      |      orderField: ts
+      |      fields:
+      |        - {name: prev_v, field: value, offset: 1}
+      |        - {name: prev2_v, field: value, offset: 2}
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val got = dfs("st")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val exp = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("prev_v", lag($"value", 1).over(w))
+      .withColumn("prev2_v", lag($"value", 2).over(w))
+    assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
+  }
+
+  test("stateful lag: streaming buffer across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stateful")
+      .toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: st
+      |    module: stateful
+      |    inputs: [ev]
+      |    parameters:
+      |      groupFields: [user_id]
+      |      orderField: ts
+      |      fields:
+      |        - {name: prev_v, field: value, offset: 1}
+      |sinks:
+      |  - name: lagged
+      |    module: memory
+      |    input: st
+      |    parameters: {outputMode: append}
+      |""".stripMargin
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    val got = spark.sql("SELECT user_id, ts, value, prev_v FROM lagged")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val exp = spark.read.parquet(s"$dir/in")
+      .select($"user_id", $"ts", $"value",
+        lag($"value", 1).over(w).as("prev_v"))
+    assert(got.count() == 1000)
+    assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
+    StreamRunner.stopAll()
+  }
+}
