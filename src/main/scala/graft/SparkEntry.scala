@@ -631,6 +631,102 @@ transforms:
         - {name: rank, type: int32}
 """),
 
+    // §2.1 create source: distributed sequence generation
+    "q26_create_seq" -> pipe("out", """
+sources:
+  - name: seq
+    module: create
+    parameters: {from: 1, to: 1000, interval: 1, type: int64}
+transforms:
+  - name: out
+    module: select
+    inputs: [seq]
+    parameters:
+      select:
+        - {name: value}
+        - {name: sq, expression: "value * value"}
+"""),
+
+    // §2.8 crypto: aes round-trip is the identity (oracle-checkable)
+    "q27_crypto_roundtrip" -> pipe("out", """
+sources:
+  - name: c
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+transforms:
+  - name: enc
+    module: crypto
+    inputs: [c]
+    parameters: {mode: encrypt, key: "0123456789abcdef", fields: [c_name], suffix: _e}
+  - name: dec
+    module: crypto
+    inputs: [enc]
+    parameters: {mode: decrypt, key: "0123456789abcdef", fields: [c_name_e], suffix: _d}
+  - name: out
+    module: select
+    inputs: [dec]
+    parameters:
+      select:
+        - {name: c_custkey}
+        - {name: c_name_dec, field: c_name_e_d}
+"""),
+
+    // §2.3 bytes_encode/decode round-trip (HBase-style big-endian)
+    "q28_bytes_roundtrip" -> pipe("out", """
+sources:
+  - name: c
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+transforms:
+  - name: enc
+    module: select
+    inputs: [c]
+    parameters:
+      select:
+        - {name: c_custkey}
+        - {name: b, func: bytes_encode, field: c_acctbal}
+  - name: out
+    module: select
+    inputs: [enc]
+    parameters:
+      select:
+        - {name: c_custkey}
+        - {name: bal_rt, func: bytes_decode, field: b, type: float64}
+"""),
+
+    // §2.3 json / json_path select funcs
+    "q29_json_funcs" -> pipe("out", """
+sources:
+  - name: n
+    module: storage
+    parameters: {path: "${dir}/nation.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [n]
+    parameters:
+      select:
+        - {name: n_nationkey}
+        - {name: j, func: json, fields: [n_nationkey, n_name]}
+        - {name: name_back, func: json_path, field: j, path: "$.n_name"}
+"""),
+
+    // §2.3 text template (FreeMarker-subset interpolation)
+    "q30_template" -> pipe("out", """
+sources:
+  - name: o
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [o]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: msg, func: text, text: "order ${o_orderkey} is ${o_orderpriority}"}
+"""),
+
     // language id + quality (rows-only: heuristic formulas)
     "q25_langid" -> pipe("out", """
 sources:
@@ -802,6 +898,29 @@ transforms:
            CAST(floor(epoch_us(l_shipdate) / 86400000000.0) AS BIGINT)
              AS ship_epoch_day
          FROM lineitem""",
+
+    "q26_create_seq" ->
+      """SELECT CAST(range AS BIGINT) AS value,
+           CAST(range * range AS DOUBLE) AS sq
+         FROM range(1, 1001)""",
+
+    "q27_crypto_roundtrip" ->
+      """SELECT c_custkey, c_name AS c_name_dec FROM customer""",
+
+    "q28_bytes_roundtrip" ->
+      """SELECT c_custkey, c_acctbal AS bal_rt FROM customer""",
+
+    "q29_json_funcs" ->
+      """SELECT n_nationkey,
+           '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name
+             || '"}' AS j,
+           n_name AS name_back
+         FROM nation""",
+
+    "q30_template" ->
+      """SELECT o_orderkey,
+           'order ' || o_orderkey || ' is ' || o_orderpriority AS msg
+         FROM orders""",
 
     "q23_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (

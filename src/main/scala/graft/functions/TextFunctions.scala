@@ -82,29 +82,52 @@ object TextFunctions {
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
 
-  /** Cosine similarity of two float-array embeddings. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
+  /** Cosine similarity of two float-array embeddings. Tight-loop UDF:
+    * Catalyst higher-order functions are interpreted per element
+    * (zip_with + aggregate ≈ 3 lambda dispatches per dim per row),
+    * while a JVM while-loop over the arrays is the genuinely
+    * imperative-numeric case the SURVEY §4 UDF budget exists for. */
+  val cosine: (Column, Column) => Column = {
+    val f = udf { (a: Seq[Float], b: Seq[Float]) =>
+      if (a == null || b == null) null
+      else {
+        val n = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+    }
+    (a, b) => f(a, b)
   }
 
   /** Random-hyperplane LSH bucket for an embedding: sign bits of
-    * `planes` deterministic projections (seeded, plan-time vectors). */
+    * `planes` deterministic projections (seeded, plan-time vectors).
+    * Tight-loop UDF for the same reason as cosine. */
   def hyperplaneBucket(emb: Column, dim: Int, planes: Int,
       seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val planeVecs: Seq[Seq[Double]] =
-      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val bits = planeVecs.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(emb, lit(p.toArray), (x, w) => x * w),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    val planeVecs: Array[Array[Double]] =
+      Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val f = udf { (a: Seq[Float]) =>
+      if (a == null) null
+      else {
+        var bucket = 0L
+        var p = 0
+        while (p < planeVecs.length) {
+          val plane = planeVecs(p)
+          var dot = 0.0; var i = 0
+          val n = math.min(a.length, plane.length)
+          while (i < n) { dot += a(i) * plane(i); i += 1 }
+          if (dot > 0) bucket |= (1L << p)
+          p += 1
+        }
+        java.lang.Long.valueOf(bucket)
+      }
     }
-    bits.reduce(_ + _)
+    f(emb)
   }
 
   // --- language ID (n-gram/stopword heuristic over common words) ---
@@ -177,7 +200,12 @@ object TextFunctions {
       (length(text) / lit(8)).cast(IntegerType) // long-word split approx
 
   /** Document fingerprint: stable 64-bit content hash of normalized
-    * text (case/whitespace/punct-insensitive). */
+    * text (case/whitespace/punct-insensitive). Single regex pass:
+    * the tokenizer's split+filter+join over the same pattern produces
+    * exactly trim() of the collapsed string (runs of separators become
+    * one space), so this is equivalent to
+    * `xxhash64(concat_ws(" ", tokens(text)))` at a fraction of the
+    * per-row cost. */
   def fingerprint(text: Column): Column =
-    xxhash64(concat_ws(" ", tokens(text)))
+    xxhash64(trim(lower(regexp_replace(text, "[^\\p{L}\\p{Nd}']+", " "))))
 }

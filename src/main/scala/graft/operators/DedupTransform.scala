@@ -81,14 +81,19 @@ object DedupTransform {
     Map(cfg.name -> TransformCommon.finish(kept, cfg))
   }
 
-  /** Exact dedup: min id per normalized-content hash. */
+  /** Exact dedup: min id per normalized-content hash. groupBy + join
+    * back rather than a Window: the aggregate side is only
+    * (fingerprint, min_id) — partially aggregated map-side and
+    * broadcast-joinable — where a Window would shuffle AND sort every
+    * full-width row. */
   def exact(df: DataFrame, textField: String, idField: String): DataFrame = {
-    val w = Window.partitionBy(fingerprint(col(textField)))
-      .orderBy(col(idField))
-    df.withColumn("__min_id", min(col(idField)).over(w))
+    val withFp = df.withColumn("__fp", fingerprint(col(textField)))
+    val minIds = withFp.groupBy("__fp")
+      .agg(min(col(idField)).as("__min_id"))
+    withFp.join(minIds, "__fp")
       .withColumn("__dup_of",
         when(col(idField) =!= col("__min_id"), col("__min_id")))
-      .drop("__min_id")
+      .drop("__fp", "__min_id")
   }
 
   /** (id, piece) rows → (id, sig: array of m per-permutation minima).
