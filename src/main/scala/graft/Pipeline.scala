@@ -104,7 +104,10 @@ object Pipeline {
               s"unknown $section module: $module"))
           val name = n.str("name").getOrElse(
             throw new IllegalArgumentException(s"name required: $n"))
-          val inputs = n.strArr("inputs") ++ n.str("input").toSeq
+          // sideInputs (broadcast lookup collections, MPipeline.java
+          // `sideInputs`) resolve through the same readiness rule
+          val inputs = n.strArr("inputs") ++ n.str("input").toSeq ++
+            n.strArr("sideInputs")
           (ModuleCfg(name, module, inputs, n.strArr("waits"),
             n("parameters").getOrElse(Json.obj()), n), builder, section)
         }

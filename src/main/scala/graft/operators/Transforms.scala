@@ -330,20 +330,43 @@ object DeserializeTransform {
       case "json" =>
         val st = schema.getOrElse(
           throw new IllegalArgumentException("deserialize json needs schema"))
+        // PERMISSIVE mode yields an all-null struct for malformed
+        // input — detect via the corrupt-record column instead
+        val st2 = st.add("_corrupt_record", StringType)
         df = df.withColumn(outField,
-          from_json(col(field).cast(StringType), st))
+            from_json(col(field).cast(StringType), st2,
+              Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+          .withColumn("__bad", col(s"$outField._corrupt_record").isNotNull)
+          .withColumn(outField, col(outField).dropFields("_corrupt_record"))
       case "csv" =>
         val st = schema.getOrElse(
           throw new IllegalArgumentException("deserialize csv needs schema"))
         df = df.withColumn(outField,
-          from_csv(col(field).cast(StringType), st, Map.empty[String, String]))
+            from_csv(col(field).cast(StringType), st,
+              Map.empty[String, String]))
+          .withColumn("__bad",
+            col(field).isNotNull && col(outField).isNull)
       case other =>
         throw new IllegalArgumentException(s"deserialize format: $other")
     }
+    // dead-letter surface (§2.11 MErrorHandler/MFailure): unparseable
+    // payloads route to `<name>.failures` instead of failing the job
+    // (failFast: true raises instead)
+    df = df.withColumn("__bad", coalesce(col("__bad"), lit(false)))
+    val bad = col("__bad")
+    val failures = df.filter(bad).drop("__bad")
+    val good =
+      if (cfg.node.bool("failFast").getOrElse(false))
+        df.withColumn(outField, when(bad,
+          raise_error(concat(lit(s"deserialize failed for $field: "),
+            col(field).cast(StringType)))).otherwise(col(outField)))
+      else df.filter(!bad)
+    var out = good.drop("__bad")
     if (cfg.params.bool("flatten").getOrElse(false))
-      df = df.select((df.columns.filterNot(_ == outField).map(col) :+
+      out = out.select((out.columns.filterNot(_ == outField).map(col) :+
         col(s"$outField.*")).toSeq: _*)
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    Map(cfg.name -> TransformCommon.finish(out, cfg),
+      s"${cfg.name}.failures" -> failures)
   }
 }
 

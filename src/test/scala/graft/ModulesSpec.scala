@@ -146,4 +146,35 @@ class ModulesSpec extends AnyFunSuite {
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
     StreamRunner.stopAll()
   }
+
+  test("deserialize dead-letter: malformed payloads route to .failures") {
+    val config = """
+      |sources:
+      |  - name: raw
+      |    module: create
+      |    parameters:
+      |      elements:
+      |        [{"id": 1, "payload": "{\"k\": 7}"},
+      |         {"id": 2, "payload": "not json"},
+      |         {"id": 3, "payload": "{\"k\": 9}"},
+      |         {"id": 4, "payload": null}]
+      |      schema:
+      |        fields:
+      |          - {name: id, type: int64}
+      |          - {name: payload, type: string}
+      |transforms:
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [raw]
+      |    parameters:
+      |      field: payload
+      |      outputField: p
+      |      format: json
+      |      schema: {fields: [{name: k, type: int64}]}
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    assert(dfs("de").count() == 3) // null payload passes through (null p)
+    assert(dfs("de.failures").select("id").as[Long].collect().toSet
+      == Set(2L))
+  }
 }
