@@ -41,6 +41,9 @@ object Pipeline {
     "files" -> StorageSource.build,
     "parquet" -> StorageSource.build,
     "jdbc" -> JdbcSource.build,
+    // incremental query-per-interval batch (reference microbatch) =
+    // a file stream + checkpoint + AvailableNow catch-up
+    "microbatch" -> StorageSource.build,
     "rate" -> RateSource.build)
 
   val transforms: Map[String, Builder] = Map(
@@ -62,6 +65,8 @@ object Pipeline {
     "crypto" -> CryptoTransform.build,
     "multimodal" -> MultimodalTransform.build,
     "tokenize" -> TokenizeTransform.build,
+    // deprecated reference module: per-key processors ≡ window module
+    "processing" -> WindowTransform.build,
     "dedup" -> DedupTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build)

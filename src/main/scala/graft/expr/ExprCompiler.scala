@@ -94,12 +94,17 @@ object ExprCompiler {
     case "-" => l - r
     case "*" => l * r
     case "/" =>
-      // Java double division: x/0 → ±Inf (0/0 → NaN). Spark's Divide
-      // nulls out a zero divisor, so guard explicitly.
+      // Java double division: x/0 → ±Inf with IEEE zero-sign rules
+      // (x/-0.0 flips sign; 0/0 → NaN). Spark's Divide nulls out any
+      // zero divisor, so guard explicitly; -0.0 === 0.0 in Spark, so
+      // the sign of zero is recovered from the string form (only
+      // evaluated in the zero branch).
+      val rNegZero = r.cast(StringType).startsWith("-")
       when(r === lit(0d),
-        when(l > 0d, lit(Double.PositiveInfinity))
-          .when(l < 0d, lit(Double.NegativeInfinity))
-          .otherwise(nan))
+        when(l === lit(0d), nan)
+          .when((l > 0d && !rNegZero) || (l < 0d && rNegZero),
+            lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity)))
         .otherwise(l / r)
     case "%" =>
       // Java: x % 0 → NaN; Spark Remainder → NULL. Guard.

@@ -120,6 +120,13 @@ object PartitionTransform {
       p("select").foreach(s => child = SelectCompiler(child, s))
       p.str("flattenField").foreach(f =>
         child = UnnestTransform.flatten(child, f))
+      // per-partition SQL (`Partition.java:116-120`: the filtered rows
+      // register under the partition's name; reference runs embedded
+      // Calcite, here Catalyst via spark.sql)
+      p.str("sql").foreach { sql =>
+        child.createOrReplaceTempView(pname)
+        child = spark.sql(sql)
+      }
       out += s"${cfg.name}.$pname" -> child
       if (exclusive) prior = prior || coalesce(cond, lit(false))
     }
@@ -254,19 +261,19 @@ object CompareTransform {
     val rt = r.select(keys.map(col) ++ Seq(struct(
       commonCols.map(col): _*).as("__r")): _*)
     val joined = lt.join(rt, keys, "full_outer")
-    val diffs = array(commonCols.map { c =>
-      when(!(col(s"__l.$c") <=> col(s"__r.$c")),
-        concat_ws(":", lit(c),
-          coalesce(col(s"__l.$c").cast(StringType), lit("null")),
-          coalesce(col(s"__r.$c").cast(StringType), lit("null"))))
-    }: _*)
+      .withColumn("__diffs", filter(array(commonCols.map { c =>
+        when(!(col(s"__l.$c") <=> col(s"__r.$c")),
+          concat_ws(":", lit(c),
+            coalesce(col(s"__l.$c").cast(StringType), lit("null")),
+            coalesce(col(s"__r.$c").cast(StringType), lit("null"))))
+      }: _*), _.isNotNull)) // computed once, referenced twice below
     val out = joined.select(
       keys.map(col) :+
         when(col("__l").isNull, lit("only_" + rn))
           .when(col("__r").isNull, lit("only_" + ln))
-          .when(size(filter(diffs, _.isNotNull)) === 0, lit("match"))
+          .when(size(col("__diffs")) === 0, lit("match"))
           .otherwise(lit("difference")).as("result") :+
-        filter(diffs, _.isNotNull).as("differences"): _*)
+        col("__diffs").as("differences"): _*)
     Map(cfg.name -> TransformCommon.finish(out, cfg))
   }
 }

@@ -131,6 +131,39 @@ object SelectCompiler {
             .getOrElse(lit(cs("value").map(scalar).orNull))
           when(coalesce(cond, lit(false)), v).otherwise(acc)
         }
+      case "http" =>
+        // per-row GET of a url field or ${...} template (Http.java)
+        val url = sel.str("text").orElse(sel.str("url")) match {
+          case Some(t) => TemplateCompiler.compile(t, schema)
+          case None => col(field).cast(StringType)
+        }
+        HttpFunctions.httpGet(url,
+          sel.int("timeoutMillis").getOrElse(10000))
+      case "scrape" =>
+        // regex-subset of the reference's jsoup scrape (Scrape.java):
+        // named `pattern` with one capture group over an HTML field
+        val pattern = sel.str("pattern").getOrElse(
+          // selector-ish convenience: <tag ...>capture</tag>
+          sel.str("selector") match {
+            case Some(tag) => s"(?s)<$tag[^>]*>(.*?)</$tag>"
+            case None => throw new IllegalArgumentException(
+              "scrape requires pattern or selector")
+          })
+        regexp_extract(col(field).cast(StringType), pattern, 1)
+      case "reshape" =>
+        // array reshape (Reshape.java): shape [rows, cols] → nested
+        // arrays; shape [-1] → flatten one level
+        val shape = sel.arrOf("shape").map(_.asInt)
+        shape match {
+          case Seq(-1) => flatten(col(field))
+          case Seq(_, cols) =>
+            transform(
+              sequence(lit(0),
+                ((size(col(field)) - 1) / cols).cast(IntegerType)),
+              i => slice(col(field), i * cols + 1, lit(cols)))
+          case other => throw new IllegalArgumentException(
+            s"reshape shape: $other")
+        }
       case "generate" =>
         sel.str("type").getOrElse("uuid") match {
           case "uuid" => expr("uuid()")

@@ -1,0 +1,61 @@
+package graft
+
+import graft.config.Json
+import graft.ops.{HttpFunctions, SelectCompiler}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SelectFuncsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("http select func with injected client") {
+    HttpFunctions.client = HttpFunctions.EchoClient
+    try {
+      val df = Seq((1L, "svc-a"), (2L, "svc-b")).toDF("id", "svc")
+      val out = SelectCompiler(df, Json.parse(
+        """[
+          {"name": "id"},
+          {"name": "body", "func": "http",
+           "text": "http://internal/${svc}/info"}
+        ]"""))
+      val rows = out.as[(Long, String)].collect().toMap
+      assert(rows(1L) == "echo:http://internal/svc-a/info")
+      assert(rows(2L) == "echo:http://internal/svc-b/info")
+    } finally HttpFunctions.client = HttpFunctions.DefaultClient
+  }
+
+  test("scrape: selector and pattern extraction") {
+    val df = Seq(
+      (1L, "<html><title>Hello</title><body>x</body></html>"),
+      (2L, "<html><title>World</title></html>")
+    ).toDF("id", "html")
+    val out = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "id"},
+        {"name": "title", "func": "scrape", "field": "html",
+         "selector": "title"},
+        {"name": "via_pattern", "func": "scrape", "field": "html",
+         "pattern": "<title>(\\w+)</title>"}
+      ]"""))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1L) == ("Hello", "Hello"))
+    assert(rows(2L) == ("World", "World"))
+  }
+
+  test("reshape: chunk and flatten") {
+    val df = Seq((1L, Seq(1, 2, 3, 4, 5, 6))).toDF("id", "arr")
+    val out = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "id"},
+        {"name": "m", "func": "reshape", "field": "arr", "shape": [2, 3]}
+      ]"""))
+    val m = out.select("m").as[Seq[Seq[Int]]].head()
+    assert(m == Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    val flat = SelectCompiler(out, Json.parse(
+      """[
+        {"name": "back", "func": "reshape", "field": "m", "shape": [-1]}
+      ]"""))
+    assert(flat.select("back").as[Seq[Int]].head() == Seq(1, 2, 3, 4, 5, 6))
+  }
+}
