@@ -56,6 +56,7 @@ object Pipeline {
     "lookup" -> LookupTransform.build,
     "compare" -> CompareTransform.build,
     "limit" -> LimitTransform.build,
+    "set" -> SetTransform.build,
     "sql" -> SqlTransform.build,
     "beamsql" -> SqlTransform.build,
     "deserialize" -> DeserializeTransform.build,
@@ -74,6 +75,7 @@ object Pipeline {
   val sinks: Map[String, Builder] = Map(
     "storage" -> StorageSink.build,
     "files" -> StorageSink.build,
+    "jdbc" -> JdbcSink.build,
     "debug" -> DebugSink.build,
     "memory" -> DebugSink.build,
     "text" -> TextSink.build)

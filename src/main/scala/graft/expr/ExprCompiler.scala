@@ -122,6 +122,15 @@ object ExprCompiler {
       throw new IllegalArgumentException(s"unknown operator $other")
   }
 
+  /** Spark's floor/ceil return LONG, collapsing ±Inf/NaN to
+    * Long.MinValue/0 — Java's Math.floor/ceil return double and
+    * preserve non-finite inputs. */
+  private def nonFinitePreserving(a: Column,
+      f: Column => Column): Column =
+    when(isnan(a) || a === lit(Double.PositiveInfinity) ||
+      a === lit(Double.NegativeInfinity), a)
+      .otherwise(f(a).cast(DoubleType))
+
   private val micros: Map[String, Long] = Map(
     "microsecond" -> 1L, "millisecond" -> 1000L, "second" -> 1000000L,
     "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
@@ -132,11 +141,11 @@ object ExprCompiler {
     case ("asin", a :: Nil) => asin(a)
     case ("atan", a :: Nil) => atan(a)
     case ("cbrt", a :: Nil) => cbrt(a)
-    case ("ceil", a :: Nil) => ceil(a).cast(DoubleType)
+    case ("ceil", a :: Nil) => nonFinitePreserving(a, ceil)
     case ("cos", a :: Nil) => cos(a)
     case ("cosh", a :: Nil) => cosh(a)
     case ("exp", a :: Nil) => exp(a)
-    case ("floor", a :: Nil) => floor(a).cast(DoubleType)
+    case ("floor", a :: Nil) => nonFinitePreserving(a, floor)
     case ("log", a :: Nil) => coalesce(log(a), nan)
     case ("log10", a :: Nil) => coalesce(log10(a), nan)
     case ("log2", a :: Nil) => coalesce(log2(a), nan)

@@ -17,6 +17,7 @@ object SinkExecutor {
       graft.streaming.StreamRunner.start(cfg, input.get)
     else cfg.module match {
       case "storage" | "files" => StorageSink.write(cfg, input.get)
+      case "jdbc" => JdbcSink.write(cfg, input.get)
       case "text" => TextSink.write(cfg, input.get)
       case "debug" => input.foreach(_.show(
         cfg.params.int("limit").getOrElse(20), truncate = false))
@@ -76,4 +77,28 @@ object DebugSink {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] =
     Map(cfg.name -> TransformCommon.single(cfg, inputs))
+}
+
+/** `jdbc` sink (reference `module/sink/JdbcSink.java`): append/
+  * overwrite via Spark's built-in JDBC writer; upsert ops would need
+  * foreachBatch MERGE (documented slot). */
+object JdbcSink {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+    Map(cfg.name -> TransformCommon.single(cfg, inputs))
+
+  def write(cfg: ModuleCfg, df: DataFrame): Unit = {
+    val p = cfg.params
+    var w = df.write.format("jdbc")
+      .option("url", p.str("url").getOrElse(
+        throw new IllegalArgumentException("jdbc sink requires url")))
+      .option("dbtable", p.str("table").getOrElse(
+        throw new IllegalArgumentException("jdbc sink requires table")))
+      .mode(p.str("mode").getOrElse("append"))
+    p.str("driver").foreach(d => w = w.option("driver", d))
+    p.str("user").foreach(u => w = w.option("user", u))
+    p.str("password").foreach(x => w = w.option("password", x))
+    p.int("batchSize").foreach(b => w = w.option("batchsize", b.toString))
+    w.save()
+  }
 }

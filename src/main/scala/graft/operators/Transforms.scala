@@ -278,31 +278,109 @@ object CompareTransform {
   }
 }
 
-/** `limit` (reference `util/pipeline/Limit.java`): global count limit
-  * or per-key top-N by event time (`fields` = key fields). Per-key →
-  * row_number window, the scalable form of the reference's keyed
-  * stateful counter DoFn. */
+/** `limit` (reference `util/pipeline/Limit.java:38-66,102-135`):
+  * global count limit, global ordered top-k, or per-key first/top-N.
+  *
+  * Reference semantics: per key, rows are event-time sorted
+  * (@RequiresTimeSortedInput), rows before `outputStartAt` are
+  * dropped, then the first `count` rows emit (order: ascending).
+  * `order: descending` gives latest-N/top-k instead. Batch → a
+  * row_number window; streaming → a keyed stateful counter
+  * (flatMapGroupsWithState) carrying the emitted-count across
+  * micro-batches. */
 object LimitTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val df = TransformCommon.single(cfg, inputs)
-    val n = cfg.params.int("count").getOrElse(10)
-    val keys = cfg.params.strArr("keyFields") ++ cfg.params.strArr("fields")
+    var df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val n = p.int("count").getOrElse(10)
+    val keys = p.strArr("keyFields") ++ p.strArr("fields")
+    val orderFields = p.str("orderField").toSeq ++ p.strArr("orderFields")
+    val asc = p.str("order").exists(o =>
+      o.startsWith("asc") || o == "ascending")
+    p.str("outputStartAt").foreach { at =>
+      val ts = orderFields.headOption.map(col)
+        .getOrElse(col("__event_time"))
+      df = df.filter(ts >= to_timestamp(lit(at)))
+    }
     val out =
-      if (keys.isEmpty) df.limit(n)
+      if (df.isStreaming && keys.nonEmpty)
+        streamingLimit(df, keys, orderFields, n)
+      else if (keys.isEmpty && orderFields.nonEmpty)
+        // global top-k: TakeOrderedAndProject — no full sort
+        df.orderBy(orderFields.map(f =>
+          if (asc) col(f).asc else col(f).desc): _*).limit(n)
+      else if (keys.isEmpty) df.limit(n)
       else {
-        val orderFields =
-          cfg.params.str("orderField").toSeq ++ cfg.params.strArr("orderFields")
         val order =
-          if (orderFields.nonEmpty) orderFields.map(f => col(f).desc)
+          if (orderFields.nonEmpty) orderFields.map(f =>
+            if (asc) col(f).asc else col(f).desc)
           else if (df.columns.contains("__event_time"))
-            Seq(col("__event_time").desc)
+            Seq(if (asc) col("__event_time").asc
+              else col("__event_time").desc)
           else Seq(monotonically_increasing_id().asc)
         df.withColumn("__rn",
             row_number().over(Window.partitionBy(keys.map(col): _*)
               .orderBy(order: _*)))
           .filter(col("__rn") <= n).drop("__rn")
       }
+    Map(cfg.name -> TransformCommon.finish(out, cfg))
+  }
+
+  /** Streaming per-key first-N: stateful emitted-count per key; rows
+    * within a micro-batch sort by the order field (the documented
+    * approximation of @RequiresTimeSortedInput, SURVEY §7.4.2). */
+  private def streamingLimit(df: DataFrame, keys: Seq[String],
+      orderFields: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val ordIdx = orderFields.headOption.map(schema.fieldIndex)
+      .orElse(if (schema.fieldNames.contains("__event_time"))
+        Some(schema.fieldIndex("__event_time")) else None)
+    implicit val outEnc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    implicit val stateEnc = Encoders.scalaInt
+    df.groupByKey(row =>
+        keyIdx.map(i => String.valueOf(row.get(i))).mkString(" "))(
+        Encoders.STRING)
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Int]) =>
+          var emitted = state.getOption.getOrElse(0)
+          val sorted = ordIdx match {
+            case Some(oi) => rows.toSeq.sortBy(_.get(oi) match {
+              case t: java.sql.Timestamp => t.getTime
+              case num: Number => num.longValue()
+              case other => if (other == null) 0L else other.hashCode.toLong
+            })
+            case None => rows.toSeq
+          }
+          val out = sorted.take(math.max(0, n - emitted))
+          emitted += out.size
+          state.update(emitted)
+          out.iterator
+      }.toDF()
+  }
+}
+
+/** `set` — intersect/except/distinct-union (parity-plus: the
+  * reference has no set operators, SURVEY §2.8; free in Spark). */
+object SetTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    require(cfg.inputs.size >= 2, "set module requires 2+ inputs")
+    val dfs = cfg.inputs.map(inputs(_))
+    val op = cfg.params.str("op").getOrElse("intersect")
+    val out = op match {
+      case "intersect" => dfs.reduceLeft(_.intersect(_))
+      case "except" | "difference" => dfs.reduceLeft(_.except(_))
+      case "union_distinct" =>
+        dfs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+          .distinct()
+      case other => throw new IllegalArgumentException(s"set op: $other")
+    }
     Map(cfg.name -> TransformCommon.finish(out, cfg))
   }
 }

@@ -177,4 +177,75 @@ class ModulesSpec extends AnyFunSuite {
     assert(dfs("de.failures").select("id").as[Long].collect().toSet
       == Set(2L))
   }
+
+  test("set module: intersect and except") {
+    val config = """
+      |sources:
+      |  - name: li
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/lineitem.parquet}
+      |transforms:
+      |  - name: pa
+      |    module: select
+      |    inputs: [li]
+      |    parameters:
+      |      filter: [{key: l_quantity, op: ">", value: 25}]
+      |      select: [{name: l_orderkey}]
+      |  - name: pb
+      |    module: select
+      |    inputs: [li]
+      |    parameters:
+      |      filter: [{key: l_returnflag, op: "=", value: R}]
+      |      select: [{name: l_orderkey}]
+      |  - name: both
+      |    module: set
+      |    inputs: [pa, pb]
+      |    parameters: {op: intersect}
+      |  - name: onlyA
+      |    module: set
+      |    inputs: [pa, pb]
+      |    parameters: {op: except}
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val a = dfs("pa").distinct.count(); val b = dfs("both").count()
+    val ex = dfs("onlyA").count()
+    assert(b > 0 && ex > 0 && b + ex == a)
+  }
+
+  test("streaming per-key limit: first-N in time order across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slimit")
+      .toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: firstTwo
+      |    module: limit
+      |    inputs: [ev]
+      |    parameters: {count: 2, keyFields: [user_id], orderField: ts, order: ascending}
+      |sinks:
+      |  - name: limited
+      |    module: memory
+      |    input: firstTwo
+      |    parameters: {outputMode: append}
+      |""".stripMargin
+    Pipeline.execute(spark, config)
+    graft.streaming.StreamRunner.drainAll()
+    val got = spark.sql("SELECT user_id, ts, event_id FROM limited")
+    // at most 2 per user, and they are that user's 2 earliest events
+    val perUser = got.groupBy("user_id").count()
+    assert(perUser.agg(max("count")).as[Long].head() <= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val exp = spark.read.parquet(s"$dir/in")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select("user_id", "ts", "event_id")
+    assert(got.except(exp).count() == 0)
+    graft.streaming.StreamRunner.stopAll()
+  }
 }
