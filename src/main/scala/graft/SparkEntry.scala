@@ -727,6 +727,106 @@ transforms:
         - {name: msg, func: text, text: "order ${o_orderkey} is ${o_orderpriority}"}
 """),
 
+    // §2.9 fixed event-time window aggregation (batch form)
+    "q31_fixed_window" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: tsfix
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: event_type}
+        - {name: value}
+        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
+  - name: ts3
+    module: select
+    inputs: [tsfix]
+    parameters:
+      select:
+        - {name: event_type}
+        - {name: value}
+        - {name: ts, field: secs, type: timestamp}
+  - name: agg
+    module: aggregation
+    inputs: [ts3]
+    strategy:
+      timestampField: ts
+      window: {type: fixed, unit: hour, size: 6}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ts3
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: win_start, expression: "window.start / 1000000", type: int64}
+        - {name: event_type}
+        - {name: n}
+        - {name: total_r, expression: "round(total, 4)"}
+"""),
+
+    // §2.9 calendar window (date_trunc day, UTC)
+    "q32_calendar_window" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: tsfix
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: value}
+        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
+  - name: ts3
+    module: select
+    inputs: [tsfix]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: value}
+        - {name: ts, field: secs, type: timestamp}
+  - name: agg
+    module: aggregation
+    inputs: [ts3]
+    strategy:
+      timestampField: ts
+      window: {type: calendar, unit: day}
+    parameters:
+      aggregations:
+        - input: ts3
+          fields:
+            - {name: n, op: count}
+            - {name: uniq_users, op: array_agg, field: user_id, distinct: true, order: ascending}
+  - name: day
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: day0, field: window, type: date}
+        - {name: n}
+        - {name: uniq_users}
+  - name: out
+    module: select
+    inputs: [day]
+    parameters:
+      select:
+        - {name: day_str, field: day0, type: string}
+        - {name: n}
+        - {name: uniq_users}
+"""),
+
     // language id + quality (rows-only: heuristic formulas)
     "q25_langid" -> pipe("out", """
 sources:
@@ -921,6 +1021,19 @@ transforms:
       """SELECT o_orderkey,
            'order ' || o_orderkey || ' is ' || o_orderpriority AS msg
          FROM orders""",
+
+    "q31_fixed_window" ->
+      """SELECT CAST(floor(floor(epoch_ns(ts) / 1000000000) / 21600)
+             * 21600 AS BIGINT) AS win_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_r
+         FROM events GROUP BY 1, 2""",
+
+    "q32_calendar_window" ->
+      """SELECT CAST(CAST(to_timestamp(floor(epoch_ns(ts) / 1000000000))
+             AS DATE) AS VARCHAR) AS day_str,
+           count(*) AS n,
+           list_sort(list(DISTINCT user_id)) AS uniq_users
+         FROM events GROUP BY 1""",
 
     "q23_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (

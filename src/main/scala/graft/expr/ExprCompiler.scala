@@ -31,9 +31,19 @@ object ExprCompiler {
     * element — context decides; see SelectCompiler / WindowCompiler). */
   type Resolver = (String, Option[Int]) => Column
 
-  /** Default resolver: schema-aware conversion per getAsDouble. */
+  /** Default resolver: schema-aware conversion per getAsDouble.
+    * Dotted names resolve through nested structs so e.g. a
+    * `window.start` timestamp still converts to epoch micros. */
   def schemaResolver(schema: StructType): Resolver = (name, idx) => {
-    val fieldType = schema.find(_.name == name).map(_.dataType)
+    def pathType(dt: org.apache.spark.sql.types.DataType,
+        parts: List[String]): Option[org.apache.spark.sql.types.DataType] =
+      (dt, parts) match {
+        case (t, Nil) => Some(t)
+        case (s: StructType, p :: rest) =>
+          s.find(_.name == p).flatMap(f => pathType(f.dataType, rest))
+        case _ => None
+      }
+    val fieldType = pathType(schema, name.split('.').toList)
     val base = idx match {
       case Some(i) => element_at(col(name), i + 1)
       case None => col(name)

@@ -42,6 +42,19 @@ object DedupTransform {
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(df.columns.head)
 
+    val keepCanonical = p.str("keep")
+      .exists(k => k == "canonical" || k == "first")
+    if (method == "exact" && keepCanonical) {
+      // canonical-only exact dedup: one shuffle, no join, fingerprint
+      // computed once — groupBy(fp) → min_by(whole row, id)
+      val cols = df.columns.toSeq
+      val kept = df
+        .groupBy(fingerprint(col(textField)).as("__fp"))
+        .agg(min_by(struct(cols.map(col): _*), col(idField)).as("__keep"))
+        .select(cols.map(c => col(s"__keep.$c")): _*)
+      return Map(cfg.name -> TransformCommon.finish(kept, cfg))
+    }
+
     val out = method match {
       case "exact" => exact(df, textField, idField)
       case "minhash" =>
