@@ -827,6 +827,32 @@ transforms:
         - {name: uniq_users}
 """),
 
+    // similarity: IVF ANN (rows-only; centroid cells approximate)
+    "q33_knn_ivf" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters: {method: ivf, field: embedding, idField: vec_id, k: 5, centroids: 16, nProbe: 6}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
     // language id + quality (rows-only: heuristic formulas)
     "q25_langid" -> pipe("out", """
 sources:

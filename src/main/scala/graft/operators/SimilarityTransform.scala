@@ -57,6 +57,26 @@ object SimilarityTransform {
         cB.join(broadcast(qB), Seq("__bucket"))
           .dropDuplicates("query_id", "neighbor_id")
           .drop("__bucket")
+      case "ivf" =>
+        // IVF: corpus vectors assign to their nearest centroid once;
+        // each query probes the nProbe nearest centroid cells. The
+        // centroid table is tiny and broadcast with the probe join —
+        // corpus never shuffles. Centroid fit = nIter Lloyd steps,
+        // driver-side on a deterministic seed sample (the standard
+        // train-then-index split; swappable for an external codebook).
+        val nCells = p.int("centroids").getOrElse(16)
+        val nProbe = p.int("nProbe").getOrElse(4)
+        val centroids = fitCentroids(corpus, embField,
+          nCells, p.int("fitIterations").getOrElse(2))
+        val assignC = assignUdf(centroids, 1)
+        val assignQ = assignUdf(centroids, nProbe)
+        val cB = c.withColumn("__cell",
+          assignC(col("__c_emb"))(0))
+        val qB = q.withColumn("__cell",
+          explode(assignQ(col("__q_emb"))))
+        cB.join(broadcast(qB), Seq("__cell"))
+          .dropDuplicates("query_id", "neighbor_id")
+          .drop("__cell")
       case other =>
         throw new IllegalArgumentException(s"similarity method: $other")
     }
@@ -72,4 +92,54 @@ object SimilarityTransform {
       .select("query_id", "neighbor_id", "score", "rank")
     Map(cfg.name -> TransformCommon.finish(topk, cfg))
   }
+
+  /** Lloyd iterations over a deterministic sample: init = first
+    * nCells vectors by id; assign → elementwise mean per cell. */
+  private def fitCentroids(corpus: DataFrame, embField: String,
+      nCells: Int, iters: Int): Array[Array[Float]] = {
+    val sample = corpus.select(col(embField).as("__e"))
+      .limit(math.max(nCells * 50, 500))
+      .collect().map(_.getSeq[Float](0).toArray)
+    var cents = sample.take(nCells)
+    var it = 0
+    while (it < iters && sample.nonEmpty) {
+      val sums = Array.fill(cents.length)(
+        new Array[Double](sample.head.length))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val cIdx = nearest(cents, v, 1)(0)
+        counts(cIdx) += 1
+        var i = 0
+        while (i < v.length) { sums(cIdx)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { ci =>
+        if (counts(ci) == 0) cents(ci)
+        else sums(ci).map(s => (s / counts(ci)).toFloat)
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  private def nearest(cents: Array[Array[Float]], v: Array[Float],
+      n: Int): Array[Int] = {
+    val scored = cents.indices.map { ci =>
+      val c = cents(ci)
+      var dot = 0.0; var nc = 0.0; var nv = 0.0; var i = 0
+      val len = math.min(c.length, v.length)
+      while (i < len) {
+        dot += c(i).toDouble * v(i); nc += c(i).toDouble * c(i)
+        nv += v(i).toDouble * v(i); i += 1
+      }
+      ci -> dot / (math.sqrt(nc) * math.sqrt(nv) + 1e-12)
+    }
+    scored.sortBy(-_._2).take(n).map(_._1).toArray
+  }
+
+  private def assignUdf(centroids: Array[Array[Float]],
+      nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      if (v == null) Array.empty[Int]
+      else nearest(centroids, v.toArray, nProbe)
+    }
 }

@@ -248,4 +248,30 @@ class ModulesSpec extends AnyFunSuite {
     assert(got.except(exp).count() == 0)
     graft.streaming.StreamRunner.stopAll()
   }
+
+  test("similarity IVF: recall vs brute force on sf0.001") {
+    def knn(method: String, extra: String = "") = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: emb
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/embeddings.parquet}
+      |transforms:
+      |  - name: q
+      |    module: filter
+      |    inputs: [emb]
+      |    parameters:
+      |      filter: [{key: vec_id, op: "<", value: 20}]
+      |  - name: knn
+      |    module: similarity
+      |    inputs: [emb, q]
+      |    parameters: {method: $method, field: embedding, idField: vec_id, k: 10$extra}
+      |""".stripMargin)("knn")
+    val exact = knn("bruteforce").select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = knn("ivf", ", centroids: 8, nProbe: 4")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.6, s"IVF recall $recall")
+    assert(ivf.forall { case (q, n) => q < 20 && n != q })
+  }
 }
