@@ -4,11 +4,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Text-analysis primitives for large-scale training-data pipelines —
-  * all pure Catalyst column expressions (no UDFs), so they stay inside
-  * whole-stage codegen and scale linearly with no shuffle:
-  * tokenization, shingling, MinHash signatures, SimHash, language-ID
-  * heuristics, quality scoring, token counting, fingerprinting.
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, LSH band keys, Jaccard/cosine similarity,
+  * language-ID heuristics, quality scoring, token counting,
+  * fingerprinting. Everything here is either a codegen'd Catalyst
+  * column expression or (for vector math) a tight-loop UDF.
+  * MinHash/SimHash SIGNATURE computation lives in DedupTransform
+  * (explode → groupBy form) — see the NOTE below.
   */
 object TextFunctions {
 
@@ -35,11 +37,10 @@ object TextFunctions {
         i => t.substr(i, lit(n))))
   }
 
-  /** MinHash signature: `m` permutations approximated by seeded
-    * xxhash64 over the shingle set; sig(i) = min over shingles. */
-  def minhashSignature(shingleArr: Column, m: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)),
-      s => array_min(transform(shingleArr, x => xxhash64(x, s))))
+  // NOTE: signature computation deliberately has NO nested-HOF form
+  // here — see DedupTransform.minhashSignatures/simhashSignatures for
+  // the explode → codegen'd hash → groupBy formulation and the
+  // CollapseProject-into-lambda re-evaluation hazard it avoids.
 
   /** LSH band keys: split an m-length signature into `bands` bands of
     * m/bands rows, each hashed to one long. Docs sharing any band key
@@ -48,23 +49,6 @@ object TextFunctions {
     val r = m / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => hash(slice(sig, b * r + 1, lit(r)), b))
-  }
-
-  /** 64-bit SimHash over tokens: per-bit weighted vote of token
-    * hashes. Pure expression: 64 aggregates over the token array. */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    // one pass over tokens with a 64-long vote accumulator:
-    // votes[b] += (bit b of hash) ? +1 : -1
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, b) => a + when(call_function("shiftright", h, b)
-          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
-    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
-      (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
-        .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
   /** Hamming-LSH band keys for simhash: split 64 bits into `bands`
