@@ -853,6 +853,152 @@ transforms:
         - {name: rank, type: int32}
 """),
 
+    // dedup ngram-Jaccard (rows-only: LSH candidates + verification)
+    "q34_dedup_ngram" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters: {method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
+    // §2.6 aggregation over expression inputs + per-op condition combo
+    "q35_agg_expression" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag]
+      aggregations:
+        - input: li
+          fields:
+            - {name: revenue, op: sum, expression: "l_extendedprice * (1 - l_discount)"}
+            - {name: disc_rev, op: sum, expression: "l_extendedprice * (1 - l_discount)",
+               condition: [{key: l_discount, op: ">", value: 0.03}]}
+            - {name: max_charge, op: max, expression: "l_extendedprice * (1 - l_discount) * (1 + l_tax)"}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: revenue_r, expression: "round(revenue, 2)"}
+        - {name: disc_rev_r, expression: "round(disc_rev, 2)"}
+        - {name: max_charge_r, expression: "round(max_charge, 4)"}
+"""),
+
+    // §2.8 union with mappings rename table
+    "q36_union_mappings" -> pipe("out", """
+sources:
+  - name: c
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+  - name: s
+    module: storage
+    parameters: {path: "${dir}/supplier.parquet"}
+transforms:
+  - name: u
+    module: union
+    inputs: [c, s]
+    parameters:
+      mappings:
+        - outputField: entity_key
+          inputs:
+            - {input: c, field: c_custkey}
+            - {input: s, field: s_suppkey}
+        - outputField: entity_name
+          inputs:
+            - {input: c, field: c_name}
+            - {input: s, field: s_name}
+  - name: out
+    module: select
+    inputs: [u]
+    parameters:
+      select:
+        - {name: entity_key, type: int64}
+        - {name: entity_name}
+        - {name: kind, field: __source_name}
+"""),
+
+    // §2.8 limit: reference default first-N ascending by event time
+    "q37_limit_first" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: out
+    module: limit
+    inputs: [ev]
+    parameters:
+      count: 3
+      keyFields: [user_id]
+      orderField: ts
+      order: ascending
+      select:
+        - {name: user_id}
+        - {name: event_id}
+"""),
+
+    // §2.9 session window (gap 30 min) — oracle via gaps-and-islands
+    "q38_session_window" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: tsfix
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
+  - name: ts3
+    module: select
+    inputs: [tsfix]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: ts, field: secs, type: timestamp}
+  - name: agg
+    module: aggregation
+    inputs: [ts3]
+    strategy:
+      timestampField: ts
+      window: {type: session, unit: minute, gap: 30}
+    parameters:
+      groupFields: [user_id]
+      aggregations:
+        - input: ts3
+          fields:
+            - {name: n, op: count}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: sess_start, expression: "window.start / 1000000", type: int64}
+        - {name: n}
+"""),
+
     // language id + quality (rows-only: heuristic formulas)
     "q25_langid" -> pipe("out", """
 sources:
@@ -1047,6 +1193,47 @@ transforms:
       """SELECT o_orderkey,
            'order ' || o_orderkey || ' is ' || o_orderpriority AS msg
          FROM orders""",
+
+    "q35_agg_expression" ->
+      """SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r,
+           round(sum(l_extendedprice * (1 - l_discount))
+             FILTER (l_discount > 0.03), 2) AS disc_rev_r,
+           round(max(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+             AS max_charge_r
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q36_union_mappings" ->
+      """SELECT c_custkey AS entity_key, c_name AS entity_name,
+             'c' AS kind FROM customer
+         UNION ALL
+         SELECT s_suppkey AS entity_key, s_name AS entity_name,
+             's' AS kind FROM supplier""",
+
+    "q37_limit_first" ->
+      """SELECT user_id, event_id FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events) WHERE rn <= 3""",
+
+    "q38_session_window" ->
+      """WITH t AS (
+           SELECT user_id,
+             CAST(floor(epoch_ns(ts) / 1000000000) AS BIGINT) AS s
+           FROM events),
+         o AS (
+           SELECT user_id, s,
+             CASE WHEN lag(s) OVER w IS NULL
+                    OR s - lag(s) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY s)),
+         g AS (
+           SELECT user_id, s,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s
+               ROWS UNBOUNDED PRECEDING) AS grp
+           FROM o)
+         SELECT user_id, CAST(min(s) AS BIGINT) AS sess_start,
+           count(*) AS n
+         FROM g GROUP BY user_id, grp""",
 
     "q31_fixed_window" ->
       """SELECT CAST(floor(floor(epoch_ns(ts) / 1000000000) / 21600)
