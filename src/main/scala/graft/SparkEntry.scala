@@ -999,6 +999,50 @@ transforms:
         - {name: n}
 """),
 
+    // §2.9 sliding window (2h size / 1h period): each event lands in
+    // size/period overlapping windows
+    "q39_sliding_window" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: tsfix
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: event_type}
+        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
+  - name: ts3
+    module: select
+    inputs: [tsfix]
+    parameters:
+      select:
+        - {name: event_type}
+        - {name: ts, field: secs, type: timestamp}
+  - name: agg
+    module: aggregation
+    inputs: [ts3]
+    strategy:
+      timestampField: ts
+      window: {type: sliding, unit: hour, size: 2, period: 1}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ts3
+          fields:
+            - {name: n, op: count}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: win_start, expression: "window.start / 1000000", type: int64}
+        - {name: event_type}
+        - {name: n}
+"""),
+
     // language id + quality (rows-only: heuristic formulas)
     "q25_langid" -> pipe("out", """
 sources:
@@ -1234,6 +1278,22 @@ transforms:
          SELECT user_id, CAST(min(s) AS BIGINT) AS sess_start,
            count(*) AS n
          FROM g GROUP BY user_id, grp""",
+
+    "q39_sliding_window" ->
+      """WITH t AS (
+           SELECT event_type,
+             CAST(floor(epoch_ns(ts) / 1000000000) AS BIGINT) AS s
+           FROM events),
+         w AS (
+           SELECT event_type, s,
+             unnest([CAST(floor(s / 3600) * 3600 AS BIGINT),
+                     CAST(floor(s / 3600) * 3600 - 3600 AS BIGINT)])
+               AS win_start
+           FROM t)
+         SELECT win_start, event_type, count(*) AS n
+         FROM w
+         WHERE s >= win_start AND s < win_start + 7200
+         GROUP BY win_start, event_type""",
 
     "q31_fixed_window" ->
       """SELECT CAST(floor(floor(epoch_ns(ts) / 1000000000) / 21600)
