@@ -54,11 +54,14 @@ object Run {
         spark.streams.awaitAnyTermination()
       }
     }
-    // surface async failures instead of exiting 0 silently
-    queries.flatMap(q => Option(q.exception).flatten).foreach { e =>
-      System.err.println(s"[graft] streaming query failed: ${e.getMessage}")
-      sys.exit(1)
-    }
+    // surface async failures instead of exiting 0 silently — check ALL
+    // started queries: one that died in its first micro-batch is
+    // already absent from activeQueries
+    graft.streaming.StreamRunner.allQueries
+      .flatMap(q => Option(q.exception).flatten).foreach { e =>
+        System.err.println(s"[graft] streaming query failed: ${e.getMessage}")
+        sys.exit(1)
+      }
     spark.stop()
   }
 }

@@ -111,7 +111,7 @@ object ExprCompiler {
       // evaluated in the zero branch).
       val rNegZero = r.cast(StringType).startsWith("-")
       when(r === lit(0d),
-        when(l === lit(0d), nan)
+        when(isnan(l) || l === lit(0d), nan) // NaN/0 and 0/0 → NaN
           .when((l > 0d && !rNegZero) || (l < 0d && rNegZero),
             lit(Double.PositiveInfinity))
           .otherwise(lit(Double.NegativeInfinity)))

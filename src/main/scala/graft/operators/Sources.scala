@@ -55,8 +55,11 @@ object CreateSource {
         val from = p("from").map(_.asText).getOrElse("0")
         val to = p("to").map(_.asText).getOrElse("0")
         val interval = p("interval").map(_.asLong).getOrElse(1L)
-        val typ = p.str("type").getOrElse(
-          if (from.forall(c => c.isDigit || c == '-')) "int64" else "timestamp")
+        val typ = p.str("type").getOrElse {
+          if (from.matches("""\d{4}-\d{2}-\d{2}""")) "date"
+          else if (from.matches("""-?\d+""")) "int64"
+          else "timestamp"
+        }
         typ match {
           case "int64" | "long" | "int32" | "int" =>
             spark.range(from.toLong, to.toLong + 1, interval)
@@ -110,7 +113,8 @@ object StorageSource {
         p("options").foreach(_.names.foreach { k =>
           r = r.option(k, cfg.params("options").get.str(k).get)
         })
-        r.load(paths.head)
+        // readStream.load takes one path; several paths union
+        paths.map(r.load).reduceLeft(_.unionByName(_))
       } else {
         var reader = spark.read.format(format)
         p("schema").foreach(s =>

@@ -128,7 +128,9 @@ object PartitionTransform {
         child = spark.sql(sql)
       }
       out += s"${cfg.name}.$pname" -> child
-      if (exclusive) prior = prior || coalesce(cond, lit(false))
+      // `defaults` must exclude every partition's matches in BOTH
+      // modes; only row ROUTING is exclusive-dependent
+      prior = prior || coalesce(cond, lit(false))
     }
     // default output: rows matching no partition
     out += s"${cfg.name}.defaults" -> df.filter(!prior)
@@ -221,9 +223,14 @@ object LookupTransform {
       val flatten = lk.bool("flatten").getOrElse(false)
       val outName = lk.str("name").getOrElse(sideName)
       if (flatten) {
-        // flatten looked-up fields directly into the row
+        // flatten looked-up fields directly into the row; side columns
+        // colliding with main columns get the lookup-name prefix so
+        // the join can't produce ambiguous references
+        val mainCols = df.columns.toSet
         val renamed = side.columns.filterNot(_ == sideKey).foldLeft(side) {
-          (s, c) => s.withColumnRenamed(c, c)
+          (s, c) =>
+            if (mainCols.contains(c)) s.withColumnRenamed(c, s"${outName}_$c")
+            else s
         }
         df = df.join(broadcast(renamed),
           df(keyField) === renamed(sideKey), "left")
@@ -305,7 +312,7 @@ object LimitTransform {
     }
     val out =
       if (df.isStreaming && keys.nonEmpty)
-        streamingLimit(df, keys, orderFields, n)
+        streamingLimit(df, keys, orderFields, n, asc)
       else if (keys.isEmpty && orderFields.nonEmpty)
         // global top-k: TakeOrderedAndProject — no full sort
         df.orderBy(orderFields.map(f =>
@@ -329,9 +336,11 @@ object LimitTransform {
 
   /** Streaming per-key first-N: stateful emitted-count per key; rows
     * within a micro-batch sort by the order field (the documented
-    * approximation of @RequiresTimeSortedInput, SURVEY §7.4.2). */
+    * approximation of @RequiresTimeSortedInput, SURVEY §7.4.2).
+    * NOTE the engine-wide default is DESCENDING top-N (the common
+    * curation ask); reference Limit.java first-N = `order: ascending`. */
   private def streamingLimit(df: DataFrame, keys: Seq[String],
-      orderFields: Seq[String], n: Int): DataFrame = {
+      orderFields: Seq[String], n: Int, asc: Boolean): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -343,18 +352,21 @@ object LimitTransform {
     implicit val outEnc = ExpressionEncoder(RowEncoder.encoderFor(schema))
     implicit val stateEnc = Encoders.scalaInt
     df.groupByKey(row =>
-        keyIdx.map(i => String.valueOf(row.get(i))).mkString(" "))(
+        keyIdx.map(i => String.valueOf(row.get(i))).mkString("\u0001"))(
         Encoders.STRING)
       .flatMapGroupsWithState[Int, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[Int]) =>
           var emitted = state.getOption.getOrElse(0)
+          def sortKey(r: Row): Long = ordIdx.map(oi => r.get(oi) match {
+            case t: java.sql.Timestamp => t.getTime
+            case num: Number => num.longValue()
+            case other => if (other == null) 0L else other.hashCode.toLong
+          }).getOrElse(0L)
           val sorted = ordIdx match {
-            case Some(oi) => rows.toSeq.sortBy(_.get(oi) match {
-              case t: java.sql.Timestamp => t.getTime
-              case num: Number => num.longValue()
-              case other => if (other == null) 0L else other.hashCode.toLong
-            })
+            case Some(_) =>
+              val s = rows.toSeq.sortBy(sortKey)
+              if (asc) s else s.reverse
             case None => rows.toSeq
           }
           val out = sorted.take(math.max(0, n - emitted))
@@ -392,7 +404,12 @@ object SetTransform {
 object SqlTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    inputs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    // dotted collection names (partition outputs `parts.a`,
+    // dead-letter `.failures`) are invalid temp-view names — register
+    // them with underscores; SQL references the sanitized name
+    inputs.foreach { case (n, df) =>
+      df.createOrReplaceTempView(n.replace('.', '_'))
+    }
     val sql = cfg.params.str("sql").getOrElse(
       throw new IllegalArgumentException("sql module requires sql"))
     Map(cfg.name -> TransformCommon.finish(spark.sql(sql), cfg))

@@ -16,11 +16,20 @@ object StreamRunner {
 
   def activeQueries: Seq[StreamingQuery] = active.toSeq.filter(_.isActive)
 
+  /** Every query started this session, dead or alive — consult this
+    * (not activeQueries) when surfacing failures: a query that died in
+    * its first micro-batch is already inactive. */
+  def allQueries: Seq[StreamingQuery] = active.toSeq
+
   def start(cfg: ModuleCfg, df: DataFrame): StreamingQuery = {
     val p = cfg.params
+    // default mode: file sinks only support append (the watermark
+    // plumbing exists to finalize windows for exactly this case);
+    // memory/debug sinks show the running aggregate via complete
+    val fileSink = cfg.module == "storage" || cfg.module == "files"
     var w = df.writeStream
       .outputMode(p.str("outputMode").getOrElse(
-        if (hasAggregation(df)) "complete" else "append"))
+        if (hasAggregation(df) && !fileSink) "complete" else "append"))
     p.str("checkpointLocation").foreach(c =>
       w = w.option("checkpointLocation", c))
     // trigger from the module's strategy (Strategy.java:232-343):
