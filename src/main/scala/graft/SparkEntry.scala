@@ -350,7 +350,7 @@ sources:
     module: storage
     parameters: {path: "${dir}/lineitem.parquet"}
 transforms:
-  - name: out
+  - name: agg
     module: aggregation
     inputs: [li]
     parameters:
@@ -358,8 +358,16 @@ transforms:
       aggregations:
         - input: li
           fields:
-            - {name: statuses, op: array_agg, field: l_linestatus, distinct: true, order: ascending}
+            - {name: statuses_arr, op: array_agg, field: l_linestatus, distinct: true, order: ascending}
             - {name: n, op: count}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: statuses, func: concat, fields: [statuses_arr], delimiter: ","}
+        - {name: n}
 """),
 
     // dedup exact: canonical docs by normalized content
@@ -824,7 +832,7 @@ transforms:
       select:
         - {name: day_str, field: day0, type: string}
         - {name: n}
-        - {name: uniq_users}
+        - {name: uniq_users, func: concat, fields: [uniq_users], delimiter: ","}
 """),
 
     // similarity: IVF ANN (rows-only; centroid cells approximate)
@@ -1167,7 +1175,8 @@ transforms:
 
     "q13_array_agg" ->
       """SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
 
@@ -1305,7 +1314,8 @@ transforms:
       """SELECT CAST(CAST(to_timestamp(floor(epoch_ns(ts) / 1000000000))
              AS DATE) AS VARCHAR) AS day_str,
            count(*) AS n,
-           list_sort(list(DISTINCT user_id)) AS uniq_users
+           array_to_string(list_sort(list(DISTINCT user_id)), ',')
+             AS uniq_users
          FROM events GROUP BY 1""",
 
     "q23_knn" ->

@@ -77,9 +77,16 @@ object SelectCompiler {
         sel.str("type").map(t => c.cast(SchemaMapper.baseType(t, sel)))
           .getOrElse(c)
       case "concat" =>
+        // array-typed fields join element-wise (concat_ws semantics);
+        // scalars cast to string
         val delim = sel.str("delimiter").getOrElse("")
         concat_ws(delim,
-          sel.strArr("fields").map(f => col(f).cast(StringType)): _*)
+          sel.strArr("fields").map { f =>
+            schema.find(_.name == f).map(_.dataType) match {
+              case Some(_: ArrayType) => col(f).cast(ArrayType(StringType))
+              case _ => col(f).cast(StringType)
+            }
+          }: _*)
       case "nullif" =>
         val cond = FilterCompiler.compile(sel("condition").orNull, schema)
         when(!coalesce(cond, lit(false)), col(field))
