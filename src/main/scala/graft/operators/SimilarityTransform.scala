@@ -3,9 +3,10 @@ package graft.operators
 import graft.Pipeline.ModuleCfg
 import graft.config.Json._
 import graft.functions.TextFunctions._
+import graft.functions.TopKFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** `similarity` transform — approximate-nearest-neighbor search over
   * an embedding column (`Array[Float]`).
@@ -84,20 +85,40 @@ object SimilarityTransform {
     val withScore = scored
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", cosine(col("__q_emb"), col("__c_emb")))
+    // Bounded top-k aggregate instead of a per-query Window rank: the
+    // hash aggregate prunes to ≤k map-side, so the shuffle carries
+    // O(partitions × queries × k) rows — never the scored corpus.
+    val idType = corpus.schema(idField).dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val topAgg =
+      if (integralId) TopKFunctions.topKLong(k,
+        col("score"), col("neighbor_id").cast(LongType))
+      else TopKFunctions.topKString(k,
+        col("score"), col("neighbor_id").cast(StringType))
     val topk = withScore
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+      .groupBy(col("query_id"))
+      .agg(topAgg.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        col("col._2").cast(idType).as("neighbor_id"),
+        col("col._1").as("score"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
     Map(cfg.name -> TransformCommon.finish(topk, cfg))
   }
 
-  /** Lloyd iterations over a deterministic sample: init = first
-    * nCells vectors by id; assign → elementwise mean per cell. */
+  /** Lloyd iterations over a deterministic pseudo-random sample:
+    * rows ordered by content hash → TakeOrderedAndProject (per-
+    * partition heap + bounded driver merge), so the sample is
+    * uniform-ish over the whole corpus even when the data is sorted
+    * or partitioned by some key — a head `limit()` would be biased.
+    * Init = first nCells sampled vectors; assign → elementwise mean. */
   private def fitCentroids(corpus: DataFrame, embField: String,
       nCells: Int, iters: Int): Array[Array[Float]] = {
     val sample = corpus.select(col(embField).as("__e"))
+      .orderBy(xxhash64(col("__e")))
       .limit(math.max(nCells * 50, 500))
       .collect().map(_.getSeq[Float](0).toArray)
     var cents = sample.take(nCells)
