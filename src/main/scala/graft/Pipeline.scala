@@ -128,9 +128,13 @@ object Pipeline {
     var progress = true
     while (pending.nonEmpty && progress) {
       progress = false
+      // inputs must resolve to an actual collection (a typo'd
+      // sub-output like `parts.missing` falls through to the friendly
+      // unresolved-modules error); waits only need the module done
       val (ready, notReady) = pending.partition { case (cfg, _, _) =>
-        (cfg.inputs ++ cfg.waits).forall(i =>
-          collections.contains(i) || done.contains(i.split('.').head))
+        cfg.inputs.forall(collections.contains) &&
+          cfg.waits.forall(w => collections.contains(w) ||
+            done.contains(w.split('.').head))
       }
       ready.foreach { case (cfg, builder, section) =>
         val ins = cfg.inputs.map(i => i -> collections(i)).toMap

@@ -257,6 +257,7 @@ transforms:
       count: 2
       keyFields: [user_id]
       orderFields: [value, event_id]
+      order: descending
       select:
         - {name: user_id}
         - {name: event_id}

@@ -31,6 +31,7 @@ object Json {
     }
     def str(field: String): Option[String] = apply(field).map(_.asText)
     def int(field: String): Option[Int] = apply(field).map(_.asInt)
+    def long(field: String): Option[Long] = apply(field).map(_.asLong)
     def dbl(field: String): Option[Double] = apply(field).map(_.asDouble)
     def bool(field: String): Option[Boolean] = apply(field).map(_.asBoolean)
     def elems: Seq[JsonNode] =

@@ -141,6 +141,13 @@ object ExprCompiler {
       a === lit(Double.NegativeInfinity), a)
       .otherwise(f(a).cast(DoubleType))
 
+  /** Java Math.log/log10 semantics: 0 → -Infinity, negative/NaN →
+    * NaN. Spark's log family nulls both out, so branch on zero before
+    * the coalesce-to-NaN fallback. */
+  private def logSemantics(a: Column, f: Column => Column): Column =
+    when(a === lit(0d), lit(Double.NegativeInfinity))
+      .otherwise(coalesce(f(a), nan))
+
   private val micros: Map[String, Long] = Map(
     "microsecond" -> 1L, "millisecond" -> 1000L, "second" -> 1000000L,
     "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
@@ -156,9 +163,11 @@ object ExprCompiler {
     case ("cosh", a :: Nil) => cosh(a)
     case ("exp", a :: Nil) => exp(a)
     case ("floor", a :: Nil) => nonFinitePreserving(a, floor)
-    case ("log", a :: Nil) => coalesce(log(a), nan)
-    case ("log10", a :: Nil) => coalesce(log10(a), nan)
-    case ("log2", a :: Nil) => coalesce(log2(a), nan)
+    // log(0) is -Infinity in Java Math (exp4j semantics); Spark's
+    // log returns null there, which would coalesce to NaN
+    case ("log", a :: Nil) => logSemantics(a, log)
+    case ("log10", a :: Nil) => logSemantics(a, log10)
+    case ("log2", a :: Nil) => logSemantics(a, log2)
     case ("sin", a :: Nil) => sin(a)
     case ("sinh", a :: Nil) => sinh(a)
     case ("sqrt", a :: Nil) => sqrt(a)

@@ -211,6 +211,17 @@ object LookupTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     var df = TransformCommon.single(cfg, inputs)
     val sideNames = cfg.node.strArr("sideInputs")
+    // Side inputs are small by the reference's contract, but an
+    // unconditional broadcast() OOMs the driver on a mis-sized side
+    // table. Broadcast only under the (configurable) threshold; above
+    // it fall back to a plain join and let Catalyst/AQE pick the
+    // strategy from runtime stats.
+    val threshold = cfg.params.long("broadcastThreshold")
+      .getOrElse(256L * 1024 * 1024)
+    def maybeBroadcast(s: DataFrame): DataFrame = {
+      val est = s.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= threshold) broadcast(s) else s
+    }
     cfg.params.arrOf("lookups").foreach { lk =>
       val sideName = lk.str("sideInput")
         .orElse(lk.str("input")).getOrElse(sideNames.head)
@@ -303,8 +314,9 @@ object LimitTransform {
     val n = p.int("count").getOrElse(10)
     val keys = p.strArr("keyFields") ++ p.strArr("fields")
     val orderFields = p.str("orderField").toSeq ++ p.strArr("orderFields")
-    val asc = p.str("order").exists(o =>
-      o.startsWith("asc") || o == "ascending")
+    // default ascending = reference Limit.java first-N semantics;
+    // `order: descending` gives latest-N/top-k
+    val asc = p.str("order").forall(o => o.startsWith("asc"))
     p.str("outputStartAt").foreach { at =>
       val ts = orderFields.headOption.map(col)
         .getOrElse(col("__event_time"))
@@ -336,9 +348,7 @@ object LimitTransform {
 
   /** Streaming per-key first-N: stateful emitted-count per key; rows
     * within a micro-batch sort by the order field (the documented
-    * approximation of @RequiresTimeSortedInput, SURVEY §7.4.2).
-    * NOTE the engine-wide default is DESCENDING top-N (the common
-    * curation ask); reference Limit.java first-N = `order: ascending`. */
+    * approximation of @RequiresTimeSortedInput, SURVEY §7.4.2). */
   private def streamingLimit(df: DataFrame, keys: Seq[String],
       orderFields: Seq[String], n: Int, asc: Boolean): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -360,8 +370,12 @@ object LimitTransform {
           var emitted = state.getOption.getOrElse(0)
           def sortKey(r: Row): Long = ordIdx.map(oi => r.get(oi) match {
             case t: java.sql.Timestamp => t.getTime
+            case t: java.time.Instant => t.toEpochMilli
             case num: Number => num.longValue()
-            case other => if (other == null) 0L else other.hashCode.toLong
+            case null => 0L
+            case other => throw new IllegalArgumentException(
+              "streaming limit orderField must be numeric or timestamp, " +
+                s"got ${other.getClass.getSimpleName}")
           }).getOrElse(0L)
           val sorted = ordIdx match {
             case Some(_) =>

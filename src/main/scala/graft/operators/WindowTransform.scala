@@ -29,7 +29,13 @@ object WindowTransform {
     var df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val keys = p.strArr("groupFields")
-    val orderCol: Column = p.str("orderField").map(col).getOrElse(
+    val orderField = p.str("orderField")
+    val orderType: Option[DataType] =
+      orderField.flatMap(f => df.schema.find(_.name == f).map(_.dataType))
+        .orElse(if (df.columns.contains("__event_time"))
+          df.schema.find(_.name == "__event_time").map(_.dataType)
+        else None)
+    val orderCol: Column = orderField.map(col).getOrElse(
       if (df.columns.contains("__event_time")) col("__event_time")
       else monotonically_increasing_id())
     val baseW =
@@ -39,22 +45,39 @@ object WindowTransform {
     p.arrOf("fields").foreach { f =>
       val name = f.str("name").getOrElse(
         throw new IllegalArgumentException("window field requires name"))
-      df = df.withColumn(name, compileField(f, df.schema, baseW, orderCol))
+      df = df.withColumn(name,
+        compileField(f, df.schema, baseW, orderCol, orderType))
     }
     Map(cfg.name -> TransformCommon.finish(df, cfg))
   }
 
   private def frame(f: com.fasterxml.jackson.databind.JsonNode,
-      baseW: WindowSpec, orderCol: Column): WindowSpec =
+      baseW: WindowSpec, orderCol: Column,
+      orderType: Option[DataType]): WindowSpec =
     f("range") match {
       case Some(r) =>
         (r.int("count"), r.int("duration")) match {
           case (Some(n), _) =>
             baseW.rowsBetween(-(n.toLong - 1), Window.currentRow)
           case (_, Some(seconds)) =>
-            // duration frame needs a numeric order key → epoch seconds
-            baseW.orderBy(unix_timestamp(orderCol))
-              .rangeBetween(-seconds.toLong, Window.currentRow)
+            // duration frame needs a numeric order key. unix_timestamp
+            // on a numeric column parses it as a date STRING → null →
+            // the frame orders on all-null keys, so branch on type:
+            // numeric columns order as-is (duration in the column's
+            // own unit), timestamps via unix_micros (sub-second safe),
+            // strings/dates via parse.
+            orderType match {
+              case Some(_: NumericType) =>
+                baseW.orderBy(orderCol)
+                  .rangeBetween(-seconds.toLong, Window.currentRow)
+              case Some(TimestampType) | Some(TimestampNTZType) =>
+                baseW.orderBy(unix_micros(orderCol.cast(TimestampType)))
+                  .rangeBetween(-seconds.toLong * 1000000L,
+                    Window.currentRow)
+              case _ =>
+                baseW.orderBy(unix_timestamp(orderCol))
+                  .rangeBetween(-seconds.toLong, Window.currentRow)
+            }
           case _ => baseW.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)
         }
@@ -63,11 +86,12 @@ object WindowTransform {
     }
 
   private def compileField(f: com.fasterxml.jackson.databind.JsonNode,
-      schema: StructType, baseW: WindowSpec, orderCol: Column): Column = {
+      schema: StructType, baseW: WindowSpec, orderCol: Column,
+      orderType: Option[DataType]): Column = {
     val func = f.str("func").orElse(f.str("op")).getOrElse(
       if (f("expression").isDefined) "expression" else "lag")
     def in: Column = col(f.str("field").getOrElse(f.str("name").get))
-    val w = frame(f, baseW, orderCol)
+    val w = frame(f, baseW, orderCol, orderType)
     func match {
       case "lag" => lag(in, f.int("offset").getOrElse(1)).over(baseW)
       case "lead" => lead(in, f.int("offset").getOrElse(1)).over(baseW)

@@ -75,7 +75,7 @@ class ExprPropertySpec extends AnyFunSuite {
       1 -> genExpr(depth - 1).map(Unary("-", _)),
       1 -> genExpr(depth - 1).map(Unary("!", _)),
       2 -> (for {
-        fn <- Gen.oneOf("abs", "sqrt", "floor", "if", "max", "min")
+        fn <- Gen.oneOf("abs", "sqrt", "floor", "log", "if", "max", "min")
         e1 <- genExpr(depth - 1); e2 <- genExpr(depth - 1)
         e3 <- genExpr(depth - 1)
       } yield fn match {

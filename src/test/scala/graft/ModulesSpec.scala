@@ -274,4 +274,46 @@ class ModulesSpec extends AnyFunSuite {
     assert(recall > 0.6, s"IVF recall $recall")
     assert(ivf.forall { case (q, n) => q < 20 && n != q })
   }
+
+  test("window range duration frame on a numeric (long) order column") {
+    // events.ts surfaces as nanos-long; a duration frame must order
+    // on the numeric value itself, not unix_timestamp(string-parse)
+    val config = """
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/events.parquet}
+      |transforms:
+      |  - name: secs
+      |    module: select
+      |    inputs: [ev]
+      |    parameters:
+      |      select:
+      |        - {name: user_id}
+      |        - {name: value}
+      |        - {name: s, expression: "floor(ts / 1000000000)", type: int64}
+      |  - name: w
+      |    module: window
+      |    inputs: [secs]
+      |    parameters:
+      |      groupFields: [user_id]
+      |      orderField: s
+      |      fields:
+      |        - {name: roll, func: sum, field: value, range: {duration: 3600}}
+      |""".stripMargin
+    val got = Pipeline.build(spark, config)("w")
+    // a numeric order key must never produce an all-null frame order:
+    // every row's trailing sum includes at least its own value
+    val bad = got.filter($"roll".isNull || $"roll" < $"value" - 1e-6)
+      .count()
+    assert(bad == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"s")
+      .rangeBetween(-3600L, 0L)
+    val exp = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"value",
+        floor($"ts" / 1000000000L).cast("long").as("s"))
+      .withColumn("roll", sum($"value").over(w))
+    assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
+  }
 }
