@@ -1,6 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{struct, sum, xxhash64}
 object Bench {
+  /** Forces evaluation of EVERY output column: under a bare count()
+    * Catalyst prunes unreferenced projections, so select-heavy queries
+    * would be benched as near-noops. Hashing struct("*") keeps the
+    * full projection in the measured plan.
+    */
+  private def consume(df: DataFrame): Unit = {
+    val cols = df.columns
+    if (cols.isEmpty) { df.count(); () }
+    else
+      // xxhash64 rejects some types (e.g. map); fall back to a
+      // full-width string hash rather than a pruned count
+      try df.agg(sum(xxhash64(struct(cols.head, cols.tail: _*)))).collect()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          df.agg(sum(xxhash64(df.columns.map(c =>
+            org.apache.spark.sql.functions.col(c).cast("string")): _*))).collect()
+      }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,12 +35,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged
     // for one-time initialization
-    try SparkEntry.queries("q2_filter")(spark, sfDir).count()
+    try consume(SparkEntry.queries("q2_filter")(spark, sfDir))
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
