@@ -283,6 +283,8 @@ transforms:
             - {name: first_value, op: first, field: value, orderField: ts}
             - {name: last_value, op: last, field: value, orderField: ts}
             - {name: last_type, op: argmax, field: event_type, comparingField: ts}
+            - {name: first_type, op: argmin, field: event_type, comparingField: ts}
+            - {name: uid_any, op: any, field: user_id}
             - {name: n, op: count}
 """),
 
@@ -710,14 +712,23 @@ sources:
     module: storage
     parameters: {path: "${dir}/nation.parquet"}
 transforms:
-  - name: out
+  - name: mk
     module: select
     inputs: [n]
     parameters:
       select:
         - {name: n_nationkey}
+        - {name: n_name}
+        - {name: m, func: map, fields: [n_name, n_regionkey]}
+  - name: out
+    module: select
+    inputs: [mk]
+    parameters:
+      select:
+        - {name: n_nationkey}
         - {name: j, func: json, fields: [n_nationkey, n_name]}
         - {name: name_back, func: json_path, field: j, path: "$.n_name"}
+        - {name: mj, func: json, field: m}
 """),
 
     // §2.3 text template (FreeMarker-subset interpolation)
@@ -1153,6 +1164,8 @@ transforms:
            min_by(value, ts) AS first_value,
            max_by(value, ts) AS last_value,
            max_by(event_type, ts) AS last_type,
+           min_by(event_type, ts) AS first_type,
+           any_value(user_id) AS uid_any,
            count(*) AS n
          FROM events GROUP BY user_id""",
 
@@ -1240,8 +1253,30 @@ transforms:
       """SELECT n_nationkey,
            '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name
              || '"}' AS j,
-           n_name AS name_back
+           n_name AS name_back,
+           '{"n_name":"' || n_name || '","n_regionkey":"'
+             || CAST(n_regionkey AS VARCHAR) || '"}' AS mj
          FROM nation""",
+
+    "q19_compare" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+         v2 AS (
+           SELECT o_orderkey,
+             CASE WHEN o_totalprice > 150000 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+           FROM orders WHERE o_orderkey < 999999)
+         SELECT CASE
+             WHEN v1.o_orderkey IS NULL THEN 'only_v2'
+             WHEN v2.o_orderkey IS NULL THEN 'only_v1'
+             WHEN v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+              AND v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+               THEN 'match'
+             ELSE 'difference' END AS result,
+           count(*) AS n
+         FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+         GROUP BY 1""",
 
     "q30_template" ->
       """SELECT o_orderkey,

@@ -102,7 +102,10 @@ object SelectCompiler {
         map(sel.strArr("fields").flatMap(f =>
           Seq(lit(f), col(f).cast(StringType))): _*)
       case "json" =>
-        to_json(structColumn(sel, schema))
+        // fields → struct serialization; bare field → serialize an
+        // existing map/struct/array column directly
+        if (sel("fields").isDefined) to_json(structColumn(sel, schema))
+        else to_json(col(field))
       case "json_path" =>
         val p0 = sel.str("path").get
         val p = if (p0.startsWith("$")) p0 else s"$$.$p0"
