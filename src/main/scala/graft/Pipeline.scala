@@ -64,6 +64,7 @@ object Pipeline {
     "window" -> WindowTransform.build,
     "stateful" -> graft.streaming.StatefulTransform.build,
     "crypto" -> CryptoTransform.build,
+    "http" -> HttpTransform.build,
     "multimodal" -> MultimodalTransform.build,
     "tokenize" -> TokenizeTransform.build,
     // deprecated reference module: per-key processors ≡ window module
