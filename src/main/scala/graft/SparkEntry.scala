@@ -1084,6 +1084,39 @@ transforms:
           fields:
             - {name: n, op: count}
             - {name: avg_q, op: avg, expression: "round(quality, 2)"}
+"""),
+
+    // §2.11 select error routing: rows whose cast nulls out a non-null
+    // input split to .failures; main output = successfully-cast rows
+    // (TRY_CAST semantics in the oracle)
+    "q40_try_cast" -> pipe("out", """
+sources:
+  - name: o
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: mk
+    module: select
+    inputs: [o]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: flag3, expression: "o_orderkey % 3"}
+        - {name: sx, func: text, text: "x${o_orderkey}"}
+        - {name: sok, func: text, text: "${o_orderkey}"}
+        - name: s
+          func: switch
+          cases:
+            - {when: {key: flag3, op: "=", value: 0}, field: sx}
+            - {when: {key: flag3, op: ">=", value: 0}, field: sok}
+  - name: out
+    module: select
+    inputs: [mk]
+    outputFailure: true
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: v, field: s, type: int64}
 """)
   )
 
@@ -1364,6 +1397,16 @@ transforms:
            FROM embeddings c
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
            WHERE c.vec_id <> q.vec_id)
-         WHERE rank <= 5"""
+         WHERE rank <= 5""",
+
+    "q40_try_cast" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+               THEN 'x' || CAST(o_orderkey AS VARCHAR)
+               ELSE CAST(o_orderkey AS VARCHAR) END AS s
+           FROM orders)
+         SELECT o_orderkey, CAST(s AS BIGINT) AS v FROM t
+         WHERE TRY_CAST(s AS BIGINT) IS NOT NULL"""
   )
 }

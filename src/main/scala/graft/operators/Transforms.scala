@@ -27,6 +27,33 @@ object TransformCommon {
     require(inputs.nonEmpty, s"module ${cfg.name} requires an input")
     inputs(cfg.inputs.head)
   }
+
+  /** §2.11 routed variant of `finish` (reference `module/MErrorHandler`
+    * breadth): with `outputFailure: true`, rows whose select steps
+    * error (lossy cast / typed expression / bytes_decode nulling out a
+    * non-null input) split to `<name>.failures` with `__error`;
+    * `failFast: true` raises instead. Default keeps the legacy lenient
+    * null-out, emitting no failures collection. */
+  def finishRouted(df0: DataFrame, cfg: ModuleCfg): Map[String, DataFrame] = {
+    var df = df0
+    cfg.param("filter").orElse(cfg.param("filters")).foreach { f =>
+      df = df.filter(FilterCompiler.compile(f, df.schema))
+    }
+    def flag(k: String) =
+      cfg.node.bool(k).orElse(cfg.params.bool(k)).getOrElse(false)
+    var failures: Option[DataFrame] = None
+    cfg.param("select").foreach { s =>
+      if (flag("failFast")) df = SelectCompiler.applyFailFast(df, s)
+      else if (flag("outputFailure")) {
+        val (m, f) = SelectCompiler.applyWithFailures(df, s)
+        df = m; failures = Some(f)
+      } else df = SelectCompiler(df, s)
+    }
+    cfg.node.str("flattenField").orElse(cfg.params.str("flattenField"))
+      .foreach(f => df = UnnestTransform.flatten(df, f))
+    Map(cfg.name -> df) ++
+      failures.map(f => s"${cfg.name}.failures" -> f)
+  }
 }
 
 /** `filter` transform (reference `module/transform/FilterTransform`):
@@ -35,16 +62,14 @@ object TransformCommon {
 object FilterTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] =
-    Map(cfg.name -> TransformCommon.finish(
-      TransformCommon.single(cfg, inputs), cfg))
+    TransformCommon.finishRouted(TransformCommon.single(cfg, inputs), cfg)
 }
 
 /** `select` transform (reference `module/transform/SelectTransform`). */
 object SelectTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] =
-    Map(cfg.name -> TransformCommon.finish(
-      TransformCommon.single(cfg, inputs), cfg))
+    TransformCommon.finishRouted(TransformCommon.single(cfg, inputs), cfg)
 }
 
 /** `aggregation` transform (reference

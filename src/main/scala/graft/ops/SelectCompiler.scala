@@ -25,21 +25,102 @@ import org.apache.spark.sql.types._
   */
 object SelectCompiler {
 
-  /** Apply a select config (JSON array) to a DataFrame. */
+  /** Apply a select config (JSON array) to a DataFrame (lenient:
+    * lossy steps null out, reference legacy semantics). */
   def apply(df: DataFrame, selects: JsonNode): DataFrame = {
-    if (selects == null || !selects.isArray || selects.isEmpty) return df
+    val (cur, outNames, _) = fold(df, selects)
+    if (outNames.isEmpty) df else cur.select(outNames.map(col): _*)
+  }
+
+  /** §2.11 error routing (reference `module/MErrorHandler`/`MFailure`
+    * from the Select stage): rows where a lossy step — explicit or
+    * inferred `cast`, `expression` with an output type, `bytes_decode`
+    * — nulls out a non-null input split off to a failures frame
+    * carrying the INPUT columns plus `__error` (first failing step's
+    * message). Both frames derive from one folded projection, so
+    * Catalyst plans the step expressions once per branch. */
+  def applyWithFailures(df: DataFrame, selects: JsonNode)
+      : (DataFrame, DataFrame) = {
+    val (cur, outNames, errOpt) = fold(df, selects)
+    if (outNames.isEmpty)
+      return (df, df.withColumn("__error", lit(null: String))
+        .filter(lit(false)))
+    errOpt match {
+      case None =>
+        (cur.select(outNames.map(col): _*),
+          df.withColumn("__error", lit(null: String)).filter(lit(false)))
+      case Some(err) =>
+        val tagged = cur.withColumn("__error", err)
+        (tagged.filter(col("__error").isNull)
+          .select(outNames.map(col): _*),
+          tagged.filter(col("__error").isNotNull)
+            .select((df.columns.toSeq :+ "__error").map(col): _*))
+    }
+  }
+
+  /** failFast: any lossy-step error raises instead of routing. */
+  def applyFailFast(df: DataFrame, selects: JsonNode): DataFrame = {
+    val (cur, outNames, errOpt) = fold(df, selects)
+    if (outNames.isEmpty) return df
+    errOpt match {
+      case None => cur.select(outNames.map(col): _*)
+      case Some(err) =>
+        // the raise must live inside a selected column or Catalyst
+        // prunes it away (same trick as deserialize failFast)
+        val head = when(err.isNotNull, raise_error(err))
+          .otherwise(col(outNames.head)).as(outNames.head)
+        cur.select(head +: outNames.tail.map(col): _*)
+    }
+  }
+
+  private def fold(df: DataFrame, selects: JsonNode)
+      : (DataFrame, Seq[String], Option[Column]) = {
+    if (selects == null || !selects.isArray || selects.isEmpty)
+      return (df, Seq.empty, None)
     var cur = df
     val outNames = Vector.newBuilder[String]
+    val errors = Vector.newBuilder[Column]
     selects.elems.foreach { sel =>
       if (!sel.bool("ignore").getOrElse(false)) {
         val name = sel.str("name").getOrElse(
           throw new IllegalArgumentException(s"select requires name: $sel"))
         val c = compileField(sel, cur.schema)
+        stepError(sel, cur.schema, c).foreach(errors += _)
         cur = cur.withColumn(name, c)
         outNames += name
       }
     }
-    cur.select(outNames.result().distinct.map(col): _*)
+    val errs = errors.result()
+    (cur, outNames.result().distinct,
+      if (errs.isEmpty) None else Some(coalesce(errs: _*)))
+  }
+
+  /** Error message Column for a lossy step, null when the row is fine.
+    * Detection is null-out under ANSI-off semantics: the source value
+    * is non-null but the converted result is null. */
+  private def stepError(sel: JsonNode, schema: StructType,
+      result: Column): Option[Column] = {
+    val name = sel.str("name").get
+    def field = sel.str("field").getOrElse(name)
+    def msg(kind: String, src: Column): Column =
+      when(src.isNotNull && result.isNull,
+        concat(lit(s"$kind failed for $name: value="),
+          src.cast(StringType)))
+    inferFunc(sel) match {
+      case "cast" =>
+        Some(msg(s"cast to ${sel.str("type").get}", col(field)))
+      case "expression" if sel.str("type").isDefined =>
+        // only the output cast is lossy; the expression itself may
+        // produce legitimate nulls
+        val pre = ExprCompiler.toNullable(
+          ExprCompiler.compile(sel.str("expression").get, schema))
+        Some(when(pre.isNotNull && result.isNull,
+          lit(s"cast to ${sel.str("type").get} failed for $name")))
+      case "bytes_decode" =>
+        Some(msg(s"bytes_decode to ${sel.str("type").getOrElse("string")}",
+          col(field)))
+      case _ => None
+    }
   }
 
   def inferFunc(sel: JsonNode): String =

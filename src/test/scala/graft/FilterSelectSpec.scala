@@ -118,4 +118,43 @@ class FilterSelectSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("tier")).toSet == Set("low", "mid", "high"))
     assert(out.map(_.getAs[String]("msg")).contains("user alice is #1"))
   }
+
+  test("select §2.11: bad cast routes to .failures instead of failing") {
+    val rows = Seq((1L, "10"), (2L, "oops"), (3L, "30"))
+      .toDF("id", "raw")
+    val dfs = Pipeline.transforms("select")(spark,
+      Pipeline.ModuleCfg("s", "select", Seq("in"), Nil,
+        Json.parse("""{"select": [
+          {"name": "id"},
+          {"name": "v", "field": "raw", "type": "int64"}]}"""),
+        Json.parse("""{"outputFailure": true}""")),
+      Map("in" -> rows))
+    val main = dfs("s").orderBy("id").collect()
+    assert(main.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    assert(main.map(_.getAs[Long]("v")).toSeq == Seq(10L, 30L))
+    val fails = dfs("s.failures").collect()
+    assert(fails.length == 1)
+    assert(fails.head.getAs[Long]("id") == 2L)
+    assert(fails.head.getAs[String]("raw") == "oops") // input preserved
+    assert(fails.head.getAs[String]("__error").contains("cast to int64"))
+  }
+
+  test("select §2.11: failFast raises on lossy cast; default stays lenient") {
+    val rows = Seq((1L, "10"), (2L, "oops")).toDF("id", "raw")
+    val cfgSel = Json.parse("""{"select": [
+      {"name": "id"},
+      {"name": "v", "field": "raw", "type": "int64"}]}""")
+    val strict = Pipeline.transforms("select")(spark,
+      Pipeline.ModuleCfg("s", "select", Seq("in"), Nil, cfgSel,
+        Json.parse("""{"failFast": true}""")), Map("in" -> rows))
+    val e = intercept[Exception] { strict("s").collect() }
+    assert(e.getMessage != null)
+    // default: legacy lenient null-out, no failures collection
+    val lenient = Pipeline.transforms("select")(spark,
+      Pipeline.ModuleCfg("s", "select", Seq("in"), Nil, cfgSel,
+        Json.obj()), Map("in" -> rows))
+    assert(!lenient.contains("s.failures"))
+    val out = lenient("s").orderBy("id").collect()
+    assert(out.length == 2 && out(1).isNullAt(out(1).fieldIndex("v")))
+  }
 }
