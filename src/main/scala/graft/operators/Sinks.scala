@@ -55,21 +55,55 @@ object StorageSink {
   }
 }
 
-/** `text` sink (reference `module/sink/TextSink.java` — FreeMarker
-  * template per record): template compiles to a `concat` Column, one
-  * line per record, written as text. */
+/** `text` sink (reference `module/sink/TextSink.java:200-430` —
+  * FreeMarker template per record, one OBJECT per record at a
+  * templated path).
+  *
+  * Two modes, switched on whether the output path itself is
+  * templated:
+  *  - path contains `${field}` refs → per-record files (the
+  *    reference's TemplateDoFn): path + body templates render as
+  *    codegen'd columns, then a `foreachPartition` writes one file
+  *    per record through the Hadoop FileSystem API (local/HDFS/
+  *    object stores alike, one FS handle per partition).
+  *  - plain path → one text line per record (scalable default; the
+  *    distributed-write shape you want when records are rows, not
+  *    documents).
+  */
 object TextSink {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] =
     Map(cfg.name -> TransformCommon.single(cfg, inputs))
 
   def write(cfg: ModuleCfg, df: DataFrame): Unit = {
-    val template = cfg.params.str("template").getOrElse("${" +
+    val p = cfg.params
+    val out = p.str("output").orElse(p.str("path")).getOrElse(
+      throw new IllegalArgumentException("text sink requires output"))
+    val template = p.str("template").getOrElse("${" +
       df.columns.head + "}")
-    val line = TemplateCompiler.compile(template, df.schema)
-    df.select(line.cast(StringType).as("value"))
-      .write.mode("overwrite")
-      .text(cfg.params.str("output").orElse(cfg.params.str("path")).get)
+    val body = TemplateCompiler.compile(template, df.schema)
+    if (TemplateCompiler.referencedFields(out).nonEmpty) {
+      val pathCol = TemplateCompiler.compile(out, df.schema)
+      val charset = p.str("charset").getOrElse("UTF-8")
+      df.select(pathCol.cast(StringType).as("__path"),
+          body.cast(StringType).as("__body"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          var fs: org.apache.hadoop.fs.FileSystem = null
+          rows.foreach { r =>
+            val path = new org.apache.hadoop.fs.Path(r.getString(0))
+            if (fs == null) {
+              fs = path.getFileSystem(conf)
+              fs.setWriteChecksum(false) // no .crc sidecars per record
+            }
+            val os = fs.create(path, true)
+            try os.write(r.getString(1).getBytes(charset))
+            finally os.close()
+          }
+        }
+    } else
+      df.select(body.cast(StringType).as("value"))
+        .write.mode("overwrite").text(out)
   }
 }
 

@@ -234,4 +234,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupOf(2L).contains(1L)) // near-dup → dup of 1
     assert(dupOf(3L).isEmpty) // distinct content survives
   }
+
+  test("text sink: templated path writes one file per record") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textsink").toString
+    val rows = Seq((1, "alice"), (2, "bob"), (3, "carol"))
+      .toDF("id", "name")
+    val cfg = Pipeline.ModuleCfg("t", "text", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"output": """" + dir + """/user-${id}.txt",
+           "template": "hello ${name} (#${id})"}"""),
+      graft.config.Json.obj())
+    graft.operators.TextSink.write(cfg, rows)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("user-1.txt", "user-2.txt", "user-3.txt"))
+    val c = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "user-2.txt")), "UTF-8")
+    assert(c == "hello bob (#2)")
+  }
 }
