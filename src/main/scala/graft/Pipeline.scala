@@ -44,7 +44,9 @@ object Pipeline {
     // incremental query-per-interval batch (reference microbatch) =
     // a file stream + checkpoint + AvailableNow catch-up
     "microbatch" -> StorageSource.build,
-    "rate" -> RateSource.build)
+    "rate" -> RateSource.build,
+    "kafka" -> KafkaSource.build,
+    "iceberg" -> IcebergSource.build)
 
   val transforms: Map[String, Builder] = Map(
     "filter" -> FilterTransform.build,
@@ -79,7 +81,8 @@ object Pipeline {
     "jdbc" -> JdbcSink.build,
     "debug" -> DebugSink.build,
     "memory" -> DebugSink.build,
-    "text" -> TextSink.build)
+    "text" -> TextSink.build,
+    "iceberg" -> IcebergSink.build)
 
   /** Parse + build all collections; sinks are NOT executed. */
   def build(spark: SparkSession, configText: String,

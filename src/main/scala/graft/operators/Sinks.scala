@@ -18,6 +18,7 @@ object SinkExecutor {
     else cfg.module match {
       case "storage" | "files" => StorageSink.write(cfg, input.get)
       case "jdbc" => JdbcSink.write(cfg, input.get)
+      case "iceberg" => IcebergSink.write(cfg, input.get)
       case "text" => TextSink.write(cfg, input.get)
       case "debug" => input.foreach(_.show(
         cfg.params.int("limit").getOrElse(20), truncate = false))
@@ -104,6 +105,38 @@ object TextSink {
     } else
       df.select(body.cast(StringType).as("value"))
         .write.mode("overwrite").text(out)
+  }
+}
+
+/** `iceberg` sink slot (reference `sink/IcebergSink.java`): writeTo
+  * the catalog table (append/overwrite). Runtime jar not bundled —
+  * missing provider raises an actionable error naming the jar. */
+object IcebergSink {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+    Map(cfg.name -> TransformCommon.single(cfg, inputs))
+
+  def write(cfg: ModuleCfg, df: DataFrame): Unit = {
+    val p = cfg.params
+    val table = p.str("table").orElse(p.str("output")).getOrElse(
+      throw new IllegalArgumentException("iceberg sink requires table"))
+    try {
+      val w = df.writeTo(table)
+      p.str("mode").getOrElse("append") match {
+        case "overwrite" => w.replace()
+        case "create" => w.create()
+        case _ => w.append()
+      }
+    } catch {
+      case e: Exception
+          if e.toString.contains("Failed to find") ||
+            e.toString.contains("ClassNotFound") ||
+            e.toString.contains("Catalog") =>
+        throw new IllegalStateException(
+          "iceberg sink requires the iceberg-spark-runtime jar and a " +
+            "configured catalog (--packages org.apache.iceberg:" +
+            "iceberg-spark-runtime-<spark>_2.13:<version>)", e)
+    }
   }
 }
 

@@ -179,3 +179,75 @@ object JdbcSource {
     SourceCommon.finish(reader.load(), cfg)
   }
 }
+
+/** `kafka` source (reference `source/KafkaSource.java:120-260`):
+  * maps to Structured Streaming's kafka format — bootstrapServers /
+  * topic|topics|topicPattern / groupId / startOffset. Output carries
+  * the raw kafka columns (key, value binary, topic, partition,
+  * offset, timestamp); payload decoding composes with the
+  * `deserialize` module, exactly like the reference's Format step.
+  * The connector jar (spark-sql-kafka-0-10) is NOT bundled — config
+  * validates first, then a missing provider raises an actionable
+  * error naming the jar. */
+object KafkaSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val p = cfg.params
+    val servers = p.str("bootstrapServers").getOrElse(
+      throw new IllegalArgumentException(
+        "kafka source requires bootstrapServers"))
+    val topics = p.str("topic").map(Seq(_)).getOrElse(p.strArr("topics"))
+    val topicPattern = p.str("topicPattern")
+    if (topics.isEmpty && topicPattern.isEmpty)
+      throw new IllegalArgumentException(
+        "kafka source requires topic, topics or topicPattern")
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+    if (topics.nonEmpty) r = r.option("subscribe", topics.mkString(","))
+    topicPattern.foreach(tp => r = r.option("subscribePattern", tp))
+    p.str("groupId").foreach(g => r = r.option("kafka.group.id", g))
+    p.str("startOffset").foreach { o => // earliest|latest
+      r = r.option("startingOffsets", o)
+    }
+    val df =
+      try r.load()
+      catch {
+        case e: Exception
+            if e.toString.contains("Failed to find") ||
+              e.toString.contains("ClassNotFound") =>
+          throw new IllegalStateException(
+            "kafka source requires the spark-sql-kafka-0-10 connector " +
+              "jar on the classpath (--packages org.apache.spark:" +
+              "spark-sql-kafka-0-10_2.13:<spark version>)", e)
+      }
+    SourceCommon.finish(
+      df.withColumn("__event_time", col("timestamp")), cfg)
+  }
+}
+
+/** `iceberg` source/sink slots (reference `source/IcebergSource.java:108`,
+  * `sink/IcebergSink.java`): table reads/writes through the iceberg
+  * Spark runtime catalog. The runtime jar is NOT bundled — config
+  * validates first, then a missing provider raises an actionable
+  * error naming the jar. */
+object IcebergSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val p = cfg.params
+    val table = p.str("table").orElse(p.str("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "iceberg source requires table or path"))
+    val df =
+      try spark.read.format("iceberg").load(table)
+      catch {
+        case e: Exception
+            if e.toString.contains("Failed to find") ||
+              e.toString.contains("ClassNotFound") =>
+          throw new IllegalStateException(
+            "iceberg source requires the iceberg-spark-runtime jar on " +
+              "the classpath (--packages org.apache.iceberg:" +
+              "iceberg-spark-runtime-<spark>_2.13:<version>)", e)
+      }
+    SourceCommon.finish(df, cfg)
+  }
+}

@@ -451,7 +451,18 @@ object SqlTransform {
     }
     val sql = cfg.params.str("sql").getOrElse(
       throw new IllegalArgumentException("sql module requires sql"))
-    Map(cfg.name -> TransformCommon.finish(spark.sql(sql), cfg))
+    // named / positional SQL parameters (BeamSQLTransform.java:149-187)
+    // map onto Spark's parameterized spark.sql
+    val named = cfg.param("namedParameters").map(n =>
+      n.names.map(k => k -> graft.config.Json.scalar(n(k).get)).toMap)
+      .getOrElse(Map.empty[String, Any])
+    val positional = cfg.param("positionalParameters").map(
+      _.elems.map(graft.config.Json.scalar)).getOrElse(Seq.empty)
+    val out =
+      if (named.nonEmpty) spark.sql(sql, named)
+      else if (positional.nonEmpty) spark.sql(sql, positional.toArray)
+      else spark.sql(sql)
+    Map(cfg.name -> TransformCommon.finish(out, cfg))
   }
 }
 

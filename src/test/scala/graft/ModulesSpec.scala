@@ -8,6 +8,54 @@ class ModulesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("kafka/iceberg registry slots: config validates, jar error is actionable") {
+    // kafka: config errors fire before any jar lookup
+    val noServers = intercept[IllegalArgumentException] {
+      Pipeline.sources("kafka")(spark,
+        Pipeline.ModuleCfg("k", "kafka", Nil, Nil,
+          graft.config.Json.parse("""{"topic": "t"}"""),
+          graft.config.Json.obj()), Map.empty)
+    }
+    assert(noServers.getMessage.contains("bootstrapServers"))
+    val noTopic = intercept[IllegalArgumentException] {
+      Pipeline.sources("kafka")(spark,
+        Pipeline.ModuleCfg("k", "kafka", Nil, Nil,
+          graft.config.Json.parse("""{"bootstrapServers": "b:9092"}"""),
+          graft.config.Json.obj()), Map.empty)
+    }
+    assert(noTopic.getMessage.contains("topic"))
+    // jar absent in this environment → actionable error naming it
+    val noJar = intercept[IllegalStateException] {
+      Pipeline.sources("kafka")(spark,
+        Pipeline.ModuleCfg("k", "kafka", Nil, Nil,
+          graft.config.Json.parse(
+            """{"bootstrapServers": "b:9092", "topic": "t"}"""),
+          graft.config.Json.obj()), Map.empty)
+    }
+    assert(noJar.getMessage.contains("spark-sql-kafka"))
+    val noIce = intercept[IllegalStateException] {
+      Pipeline.sources("iceberg")(spark,
+        Pipeline.ModuleCfg("i", "iceberg", Nil, Nil,
+          graft.config.Json.parse("""{"table": "db.t"}"""),
+          graft.config.Json.obj()), Map.empty)
+    }
+    assert(noIce.getMessage.contains("iceberg-spark-runtime"))
+  }
+
+  test("sql module: named and positional parameters") {
+    val rows = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag")
+    def run(params: String) = Pipeline.transforms("sql")(spark,
+      Pipeline.ModuleCfg("q", "sql", Seq("rows"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("rows" -> rows))("q")
+    val named = run("""{"sql": "SELECT id FROM rows WHERE id > :lo AND tag <> :skip",
+      "namedParameters": {"lo": 1, "skip": "c"}}""")
+    assert(named.as[Int].collect().toSeq == Seq(2))
+    val positional = run("""{"sql": "SELECT id FROM rows WHERE id > ? AND tag <> ?",
+      "positionalParameters": [1, "c"]}""")
+    assert(positional.as[Int].collect().toSeq == Seq(2))
+  }
+
   test("crypto: aes encrypt/decrypt round-trips") {
     val config = """
       |sources:
