@@ -537,9 +537,17 @@ object ReshuffleTransform {
   }
 }
 
-/** `tokenize` (reference `transform/TokenizeTransform` — Lucene
-  * analyzer chains). Spark-native: regex/whitespace tokenizers with
-  * lowercase + stopword filters as Catalyst expressions. */
+/** `tokenize` (reference `transform/TokenizeTransform.java:62-120` —
+  * Lucene charFilters → tokenizer → tokenFilters chains, see
+  * `functions/TokenAnalyzer.scala` for the supported types).
+  *
+  * Two paths per field: a declared `tokenizer`/`charFilters`/`filters`
+  * chain compiles to one tight-loop UDF (single evaluation per
+  * document, patterns precompiled — NOT chained higher-order
+  * functions, which re-evaluate upstream expressions per element
+  * after CollapseProject inlining); the legacy simple keys
+  * (pattern/lowercase/stopWords) keep the fully-codegen'd
+  * split/lower/filter Column path. */
 object TokenizeTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
@@ -547,13 +555,22 @@ object TokenizeTransform {
     cfg.params.arrOf("fields").foreach { f =>
       val in = f.str("field").orElse(f.str("input")).get
       val out = f.str("name").getOrElse(s"${in}_tokens")
-      val pattern = f.str("pattern").getOrElse("\\s+")
-      var c: Column = split(col(in).cast(StringType), pattern)
-      if (f.bool("lowercase").getOrElse(true))
-        c = transform(c, t => lower(t))
-      c = filter(c, t => t =!= "")
-      val stop = f.strArr("stopWords")
-      if (stop.nonEmpty) c = filter(c, t => !t.isin(stop: _*))
+      val c: Column =
+        if (f("tokenizer").isDefined || f("charFilters").isDefined ||
+          f("filters").isDefined) {
+          val chain = graft.functions.TokenAnalyzer.compile(f)
+          val analyze = udf((s: String) => chain.analyze(s))
+          analyze(col(in).cast(StringType))
+        } else {
+          val pattern = f.str("pattern").getOrElse("\\s+")
+          var c0: Column = split(col(in).cast(StringType), pattern)
+          if (f.bool("lowercase").getOrElse(true))
+            c0 = transform(c0, t => lower(t))
+          c0 = filter(c0, t => t =!= "")
+          val stop = f.strArr("stopWords")
+          if (stop.nonEmpty) c0 = filter(c0, t => !t.isin(stop: _*))
+          c0
+        }
       df = df.withColumn(out, c)
     }
     Map(cfg.name -> TransformCommon.finish(df, cfg))
