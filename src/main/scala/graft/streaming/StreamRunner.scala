@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.Pipeline.ModuleCfg
 import graft.config.Json._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Starts streaming sinks (SURVEY §2.9): `writeStream` with the
@@ -21,7 +22,106 @@ object StreamRunner {
     * its first micro-batch is already inactive. */
   def allQueries: Seq[StreamingQuery] = active.toSeq
 
+  /** Pane store for triggered memory/debug sinks: one buffer of
+    * (paneTiming, row) per query name. */
+  val paneStore = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.mutable.ListBuffer[(String, Row)]]()
+
   def start(cfg: ModuleCfg, df: DataFrame): StreamingQuery = {
+    val trig = cfg.node("strategy").flatMap(_.apply("trigger"))
+    val trigType = trig.flatMap(_.str("type")).getOrElse("")
+    if (trigType == "afterWatermark" &&
+      trig.exists(_.apply("earlyFiringTrigger").isDefined))
+      return startEarlyFiring(cfg, df, trig.get)
+    if (trigType == "afterPane")
+      return startAfterPane(cfg, df, trig.get)
+    startPlain(cfg, df)
+  }
+
+  /** Beam `AfterWatermark.pastEndOfWindow().withEarlyFirings(
+    * afterProcessingTime(delay))` approximation
+    * (`module/Strategy.java:276-297`): TWO queries over the same
+    * aggregation plan — an UPDATE-mode query with a ProcessingTime
+    * trigger of the early-firing delay emits speculative panes
+    * (`__pane = early`) every interval while windows are open, and an
+    * APPEND-mode query emits each window exactly once when the
+    * watermark closes it (`__pane = onTime`, Beam's ON_TIME pane).
+    * The cost of the approximation is duplicated aggregation state —
+    * the price of pane multiplexing on an engine with one output mode
+    * per query. Returns the append (authoritative) query; both
+    * register for drain/stop. */
+  private def startEarlyFiring(cfg: ModuleCfg, df: DataFrame,
+      trig: com.fasterxml.jackson.databind.JsonNode): StreamingQuery = {
+    val early = trig("earlyFiringTrigger").get
+    val delayMs = early.int("pastFirstElementDelay").map(_ * 1000L)
+      .getOrElse(1000L)
+    val earlyQ = df.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(delayMs))
+      .option("checkpointLocation", checkpoint(cfg))
+      .foreachBatch(paneWriter(cfg, "early"))
+      .start()
+    active += earlyQ
+    val finalQ = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint(cfg))
+      .foreachBatch(paneWriter(cfg, "onTime"))
+      .start()
+    active += finalQ
+    finalQ
+  }
+
+  /** Beam `AfterPane.elementCountAtLeast(n)` approximation
+    * (`module/Strategy.java:320`): UPDATE-mode panes pass through only
+    * once the group's declared count aggregate (`countField`, a count
+    * op the aggregation already computes) reaches n. */
+  private def startAfterPane(cfg: ModuleCfg, df: DataFrame,
+      trig: com.fasterxml.jackson.databind.JsonNode): StreamingQuery = {
+    val n = trig.int("elementCountAtLeast").getOrElse(1)
+    val countField = trig.str("countField").getOrElse(
+      df.columns.find(_ == "n").getOrElse(
+        throw new IllegalArgumentException(
+          "afterPane requires countField naming a count aggregate")))
+    val q = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint(cfg))
+      .foreachBatch(paneWriter(cfg, "pane",
+        pre = b => b.filter(col(countField) >= n)))
+      .start()
+    active += q
+    q
+  }
+
+  /** foreachBatch body: tag panes, then append to the sink (memory
+    * buffer or files). */
+  private def paneWriter(cfg: ModuleCfg, tag: String,
+      pre: DataFrame => DataFrame = identity)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val tagged = pre(batch).withColumn("__pane", lit(tag))
+    cfg.module match {
+      case "debug" | "memory" =>
+        val rows = tagged.collect()
+        val buf = paneStore.computeIfAbsent(cfg.name,
+          _ => scala.collection.mutable.ListBuffer.empty)
+        buf.synchronized {
+          rows.foreach(r => buf += ((r.getAs[String]("__pane"),
+            r)))
+        }
+      case _ =>
+        val path = cfg.params.str("output")
+          .orElse(cfg.params.str("path")).get
+        tagged.write.mode("append")
+          .format(cfg.params.str("format").getOrElse("parquet"))
+          .save(path)
+    }
+  }
+
+  private def checkpoint(cfg: ModuleCfg): String =
+    cfg.params.str("checkpointLocation").getOrElse(
+      java.nio.file.Files.createTempDirectory(
+        s"graft-ckpt-${cfg.name}-").toString)
+
+  private def startPlain(cfg: ModuleCfg, df: DataFrame): StreamingQuery = {
     val p = cfg.params
     // default mode: file sinks only support append (the watermark
     // plumbing exists to finalize windows for exactly this case);

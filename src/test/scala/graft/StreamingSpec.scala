@@ -142,4 +142,126 @@ class StreamingSpec extends AnyFunSuite {
     val dfs = Pipeline.build(spark, config)
     assert(dfs("sel").isStreaming)
   }
+
+  /** Write one parquet FILE (not directory) into `$dir/in` so the
+    * file-stream source picks each staged batch up as a new file. */
+  private def stageParquet(dir: String, file: String,
+      rows: Seq[(Long, Long, Double)]): Unit = {
+    val tmp = s"$dir/tmp-$file"
+    rows.toDF("id", "secs", "value")
+      .select($"id", timestamp_seconds($"secs").as("ts"), $"value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val inDir = new java.io.File(s"$dir/in")
+    inDir.mkdirs()
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(inDir, s"$file.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Beam trigger approximation (Strategy.java:276-320): early panes
+    * emit while the watermark has not closed the window; a late
+    * refinement after closure tags onTime. */
+  test("afterWatermark early firing: early pane before close, onTime after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-early")
+      .toString
+    def writeBatch(file: String, rows: Seq[(Long, Long, Double)]): Unit =
+      stageParquet(dir, file, rows)
+    // batch 1: windows [0,6h) and [6,12h) and [12,18h); watermark
+    // after the batch = 13:00 - 6h lateness = 07:00 > 06:00
+    writeBatch("b1", Seq((1L, 3600L, 1.0), (2L, 25200L, 1.0),
+      (3L, 46800L, 1.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 6}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: panes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |""".stripMargin
+    StreamRunner.paneStore.remove("panes")
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("panes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    // early panes fired for ALL windows — including [6,12h) and
+    // [12,18h), which the watermark (07:00) has NOT closed yet
+    val earlyB1 = panes("early")
+    assert(earlyB1.map(winStart).toSet == Set(0L, 21600L, 43200L))
+    // the append side fired the ON_TIME pane only for the closed
+    // [0,6h) window
+    assert(panes("onTime").map(winStart) == List(0L))
+    // batch 2 at 19:00 pushes the watermark to 13:00 → [6,12h)
+    // closes and fires its ON_TIME pane
+    writeBatch("b2", Seq((4L, 68400L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("onTime").map(winStart).toSet == Set(0L, 21600L))
+    assert(panes("onTime").forall(_.getAs[Long]("n") == 1L))
+    StreamRunner.stopAll()
+  }
+
+  test("afterPane elementCountAtLeast: panes gated on count threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pane")
+      .toString
+    stageParquet(dir, "b1",
+      Seq((1L, 3600L, 1.0), (2L, 3700L, 1.0), (3L, 25200L, 1.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: gated
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger: {type: afterPane, elementCountAtLeast: 2, countField: n}
+      |""".stripMargin
+    StreamRunner.paneStore.remove("gated")
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    val panes = StreamRunner.paneStore.get("gated").toList
+    // the single-element [6,12h) window is withheld; [0,6h) passes
+    assert(panes.nonEmpty)
+    assert(panes.forall(_._2.getAs[Long]("n") >= 2L))
+    StreamRunner.stopAll()
+  }
 }
