@@ -46,7 +46,8 @@ object Pipeline {
     "microbatch" -> StorageSource.build,
     "rate" -> RateSource.build,
     "kafka" -> KafkaSource.build,
-    "iceberg" -> IcebergSource.build)
+    "iceberg" -> IcebergSource.build,
+    "http" -> HttpSource.build)
 
   val transforms: Map[String, Builder] = Map(
     "filter" -> FilterTransform.build,

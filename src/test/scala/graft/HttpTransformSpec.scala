@@ -160,6 +160,40 @@ class HttpTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("http source: one-shot batch emits one row per request") {
+    withClient(new RecordingHttpClient) {
+      val dfs = Pipeline.sources("http")(spark,
+        Pipeline.ModuleCfg("src", "http", Nil, Nil,
+          graft.config.Json.parse("""
+            {"requests": [
+               {"endpoint": "http://svc/a"},
+               {"endpoint": "http://svc/b", "method": "POST",
+                "body": "ping"}],
+             "response": {"format": "text"}}"""),
+          graft.config.Json.obj()), Map.empty)
+      val out = dfs("src").orderBy("body").collect()
+      assert(out.length == 2)
+      val bodies = out.map(_.getAs[String]("body")).sorted
+      assert(bodies(0) == "GET:http://svc/a:h=:b=")
+      assert(bodies(1) == "POST:http://svc/b:h=:b=ping")
+      assert(out.forall(_.getAs[Int]("statusCode") == 200))
+    }
+  }
+
+  test("http source: rate > 0 builds a polling stream") {
+    withClient(new RecordingHttpClient) {
+      val dfs = Pipeline.sources("http")(spark,
+        Pipeline.ModuleCfg("src", "http", Nil, Nil,
+          graft.config.Json.parse("""
+            {"requests": [{"endpoint": "http://svc/poll"}],
+             "rate": 5, "response": {"format": "text"}}"""),
+          graft.config.Json.obj()), Map.empty)
+      assert(dfs("src").isStreaming)
+      assert(dfs("src").schema.fieldNames.toSeq ==
+        Seq("statusCode", "body", "headers", "timestamp"))
+    }
+  }
+
   test("http: rate limit spaces per-executor calls") {
     withClient(new RecordingHttpClient) {
       val rows = (1 to 6).map(i => (i, s"n$i")).toDF("id", "name")
