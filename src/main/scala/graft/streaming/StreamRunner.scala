@@ -27,15 +27,48 @@ object StreamRunner {
   val paneStore = new java.util.concurrent.ConcurrentHashMap[
     String, scala.collection.mutable.ListBuffer[(String, Row)]]()
 
+  /** Composite-trigger normalization (`module/Strategy.java:262-343`):
+    * Structured Streaming has one repeating query-level trigger, so
+    * Beam composites reduce to their closest repeating element —
+    * `repeatedly(X)` → X (SS triggers already repeat), `afterFirst` →
+    * the child that would fire first (shortest processing-time delay,
+    * else the first child), `afterAll` → the child that fires last,
+    * `afterEach` → its first child, `orFinally(availableNow)` → the
+    * main trigger (SS stops via query management, not trigger state).
+    * Lossy by construction; each reduction is deterministic and
+    * documented here. */
+  private[graft] def normalizeTrigger(
+      t: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    def delayOf(n: com.fasterxml.jackson.databind.JsonNode): Long =
+      if (n.str("type").contains("afterProcessingTime"))
+        n.int("pastFirstElementDelay").getOrElse(1).toLong
+      else Long.MaxValue
+    t.str("type").getOrElse("") match {
+      case "repeatedly" =>
+        t("foreverTrigger").map(normalizeTrigger).getOrElse(t)
+      case "afterFirst" | "afterAll" | "afterEach" =>
+        val children = t.arrOf("childrenTriggers").map(normalizeTrigger)
+        if (children.isEmpty) t
+        else t.str("type").get match {
+          case "afterFirst" => children.minBy(delayOf)
+          case "afterAll" => children.maxBy(delayOf)
+          case _ => children.head
+        }
+      case _ => t
+    }
+  }
+
   def start(cfg: ModuleCfg, df: DataFrame): StreamingQuery = {
     val trig = cfg.node("strategy").flatMap(_.apply("trigger"))
+      .map(normalizeTrigger)
     val trigType = trig.flatMap(_.str("type")).getOrElse("")
     if (trigType == "afterWatermark" &&
       trig.exists(_.apply("earlyFiringTrigger").isDefined))
       return startEarlyFiring(cfg, df, trig.get)
     if (trigType == "afterPane")
       return startAfterPane(cfg, df, trig.get)
-    startPlain(cfg, df)
+    startPlain(cfg, df, trig)
   }
 
   /** Beam `AfterWatermark.pastEndOfWindow().withEarlyFirings(
@@ -121,7 +154,9 @@ object StreamRunner {
       java.nio.file.Files.createTempDirectory(
         s"graft-ckpt-${cfg.name}-").toString)
 
-  private def startPlain(cfg: ModuleCfg, df: DataFrame): StreamingQuery = {
+  private def startPlain(cfg: ModuleCfg, df: DataFrame,
+      trig: Option[com.fasterxml.jackson.databind.JsonNode])
+      : StreamingQuery = {
     val p = cfg.params
     // default mode: file sinks only support append (the watermark
     // plumbing exists to finalize windows for exactly this case);
@@ -135,7 +170,7 @@ object StreamRunner {
     // trigger from the module's strategy (Strategy.java:232-343):
     // afterProcessingTime(delay) → ProcessingTime; batch catch-up →
     // AvailableNow; default = micro-batch ASAP
-    cfg.node("strategy").flatMap(_.apply("trigger")) match {
+    trig match {
       case Some(t) if t.str("type").contains("afterProcessingTime") =>
         w = w.trigger(Trigger.ProcessingTime(
           t.int("delay").getOrElse(1) * 1000L))

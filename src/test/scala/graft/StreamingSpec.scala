@@ -143,6 +143,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(dfs("sel").isStreaming)
   }
 
+  test("composite triggers normalize to their closest repeating element") {
+    import graft.config.Json
+    import graft.config.Json.NodeOps
+    def norm(j: String): String =
+      StreamRunner.normalizeTrigger(Json.parse(j)).str("type").getOrElse("")
+    // repeatedly(forever X) → X: SS triggers repeat inherently
+    assert(norm("""{"type": "repeatedly",
+      "foreverTrigger": {"type": "afterProcessingTime",
+        "pastFirstElementDelay": 5}}""") == "afterProcessingTime")
+    // afterFirst picks the child that would fire first
+    val first = StreamRunner.normalizeTrigger(Json.parse("""
+      {"type": "afterFirst", "childrenTriggers": [
+        {"type": "afterPane", "elementCountAtLeast": 100},
+        {"type": "afterProcessingTime", "pastFirstElementDelay": 2}]}"""))
+    assert(first.str("type").contains("afterProcessingTime"))
+    // nested composites reduce recursively
+    assert(norm("""{"type": "afterEach", "childrenTriggers": [
+      {"type": "repeatedly",
+       "foreverTrigger": {"type": "availableNow"}}]}""") == "availableNow")
+  }
+
   /** Write one parquet FILE (not directory) into `$dir/in` so the
     * file-stream source picks each staged batch up as a new file. */
   private def stageParquet(dir: String, file: String,
