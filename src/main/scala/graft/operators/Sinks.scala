@@ -42,17 +42,58 @@ object StorageSink {
     val format = p.str("format").getOrElse("parquet")
     var df = df0
     p.int("numShards").filter(_ > 0).foreach(n => df = df.repartition(n))
-    var writer = df.write.format(format).mode(
-      p.str("mode").getOrElse("overwrite"))
-    val partitionFields = p.strArr("partitionFields") ++
-      p.strArr("dynamicSplitFields")
-    if (partitionFields.nonEmpty)
-      writer = writer.partitionBy(partitionFields: _*)
-    if (format == "csv")
-      writer = writer.option("header",
-        p.bool("header").getOrElse(true).toString)
-    p.str("compression").foreach(c => writer = writer.option("compression", c))
-    writer.save(path)
+    def configure(w: org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]) = {
+      var writer = w
+      if (format == "csv")
+        writer = writer.option("header",
+          p.bool("header").getOrElse(true).toString)
+      p.str("compression").foreach(c =>
+        writer = writer.option("compression", c))
+      writer
+    }
+    if (TemplateCompiler.referencedFields(path).nonEmpty) {
+      // dynamic destinations (StorageSink.java:221-303 ObjectNameDoFn
+      // + FileIO.writeDynamic): the rendered per-record template is
+      // the destination. Spark-first: render as a column, partitionBy
+      // it (one distributed write, records grouped per destination),
+      // then one driver-side FS rename per DESTINATION (not per row)
+      // from the __dest=<escaped> layout to the literal template path.
+      // Deviation: each destination holds sharded part files rather
+      // than one object (that is the scalable shape).
+      val idx = path.indexOf("${")
+      val slash = path.lastIndexOf('/', idx)
+      require(slash > 0, s"dynamic output needs a static base dir: $path")
+      val base = path.substring(0, slash)
+      val rel = path.substring(slash + 1)
+      val dest = TemplateCompiler.compile(rel, df.schema)
+      configure(df.withColumn("__dest", dest)
+        .write.format(format).mode(p.str("mode").getOrElse("overwrite"))
+        .partitionBy("__dest")).save(base)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(conf)
+      fs.listStatus(basePath).filter(_.getPath.getName.startsWith("__dest="))
+        .foreach { st =>
+          val escaped = st.getPath.getName.stripPrefix("__dest=")
+          // Spark escapes partition values %XX-style ('/' → %2F);
+          // shield literal '+' from URLDecoder's plus-is-space rule
+          val key = java.net.URLDecoder.decode(
+            escaped.replace("+", "%2B"), "UTF-8")
+          val target = new org.apache.hadoop.fs.Path(basePath, key)
+          if (fs.exists(target)) fs.delete(target, true)
+          Option(target.getParent).foreach(fs.mkdirs)
+          fs.rename(st.getPath, target)
+        }
+    } else {
+      var writer = configure(df.write.format(format).mode(
+        p.str("mode").getOrElse("overwrite")))
+      val partitionFields = p.strArr("partitionFields") ++
+        p.strArr("dynamicSplitFields")
+      if (partitionFields.nonEmpty)
+        writer = writer.partitionBy(partitionFields: _*)
+      writer.save(path)
+    }
   }
 }
 

@@ -235,6 +235,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupOf(3L).isEmpty) // distinct content survives
   }
 
+  test("storage sink: templated output routes records to dynamic destinations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dyndest").toString
+    val rows = Seq((1, "A", "x"), (2, "B", "y"), (3, "A", "z"))
+      .toDF("id", "grp", "v")
+    val cfg = Pipeline.ModuleCfg("s", "storage", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"output": """" + dir + """/out/${grp}/data",
+           "format": "csv"}"""),
+      graft.config.Json.obj())
+    graft.operators.StorageSink.write(cfg, rows)
+    def csv(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/out/$sub/data")
+      assert(d.isDirectory, s"missing destination dir: $d")
+      d.listFiles().filter(_.getName.endsWith(".csv")).toSeq
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    }
+    val a = csv("A")
+    assert(a.count(_ == "id,grp,v") >= 1 && a.contains("1,A,x") &&
+      a.contains("3,A,z"))
+    assert(csv("B").contains("2,B,y"))
+    // the escaped partition layout is fully renamed away
+    assert(!new java.io.File(s"$dir/out").listFiles()
+      .exists(_.getName.startsWith("__dest=")))
+  }
+
   test("text sink: templated path writes one file per record") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("textsink").toString
