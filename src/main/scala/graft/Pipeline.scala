@@ -47,7 +47,8 @@ object Pipeline {
     "rate" -> RateSource.build,
     "kafka" -> KafkaSource.build,
     "iceberg" -> IcebergSource.build,
-    "http" -> HttpSource.build)
+    "http" -> HttpSource.build,
+    "websocket" -> WebSocketSource.build)
 
   val transforms: Map[String, Builder] = Map(
     "filter" -> FilterTransform.build,

@@ -187,9 +187,12 @@ object DebugSink {
     Map(cfg.name -> TransformCommon.single(cfg, inputs))
 }
 
-/** `jdbc` sink (reference `module/sink/JdbcSink.java`): append/
-  * overwrite via Spark's built-in JDBC writer; upsert ops would need
-  * foreachBatch MERGE (documented slot). */
+/** `jdbc` sink (reference `module/sink/JdbcSink.java` +
+  * `util/gcp/JdbcUtil.createStatement:233-420`): plain inserts go
+  * through Spark's built-in JDBC writer; `op: insertOrUpdate |
+  * insertOrDoNothing` generates the dialect-specific upsert statement
+  * (mysql ON DUPLICATE KEY, postgresql/h2 ON CONFLICT, sqlserver
+  * MERGE) and executes it batched per partition. */
 object JdbcSink {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] =
@@ -197,16 +200,95 @@ object JdbcSink {
 
   def write(cfg: ModuleCfg, df: DataFrame): Unit = {
     val p = cfg.params
-    var w = df.write.format("jdbc")
-      .option("url", p.str("url").getOrElse(
-        throw new IllegalArgumentException("jdbc sink requires url")))
-      .option("dbtable", p.str("table").getOrElse(
-        throw new IllegalArgumentException("jdbc sink requires table")))
-      .mode(p.str("mode").getOrElse("append"))
-    p.str("driver").foreach(d => w = w.option("driver", d))
-    p.str("user").foreach(u => w = w.option("user", u))
-    p.str("password").foreach(x => w = w.option("password", x))
-    p.int("batchSize").foreach(b => w = w.option("batchsize", b.toString))
-    w.save()
+    val url = p.str("url").getOrElse(
+      throw new IllegalArgumentException("jdbc sink requires url"))
+    val table = p.str("table").getOrElse(
+      throw new IllegalArgumentException("jdbc sink requires table"))
+    val op = p.str("op").getOrElse("insert")
+    if (op == "insert" || op == "INSERT") {
+      var w = df.write.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .mode(p.str("mode").getOrElse("append"))
+      p.str("driver").foreach(d => w = w.option("driver", d))
+      p.str("user").foreach(u => w = w.option("user", u))
+      p.str("password").foreach(x => w = w.option("password", x))
+      p.int("batchSize").foreach(b => w = w.option("batchsize", b.toString))
+      w.save()
+    } else {
+      val keys = p.strArr("keyFields")
+      require(keys.nonEmpty, s"jdbc op $op requires keyFields")
+      val sql = upsertStatement(dialect(url), table,
+        df.columns.toSeq, keys, op)
+      val user = p.str("user")
+      val password = p.str("password")
+      val batchSize = p.int("batchSize").getOrElse(1000)
+      val width = df.columns.length
+      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.nonEmpty) {
+          val props = new java.util.Properties()
+          user.foreach(props.setProperty("user", _))
+          password.foreach(props.setProperty("password", _))
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(sql)
+            var n = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < width) { ps.setObject(i + 1, r.get(i)); i += 1 }
+              ps.addBatch()
+              n += 1
+              if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }
+            }
+            ps.executeBatch(); conn.commit()
+          } finally conn.close()
+        }
+      }
+    }
+  }
+
+  /** DB family from the JDBC url (JdbcUtil.DB). */
+  def dialect(url: String): String =
+    if (url.startsWith("jdbc:mysql")) "mysql"
+    else if (url.startsWith("jdbc:postgresql")) "postgresql"
+    else if (url.startsWith("jdbc:h2")) "h2"
+    else if (url.startsWith("jdbc:sqlserver")) "sqlserver"
+    else throw new IllegalArgumentException(
+      s"unsupported jdbc upsert dialect for url: $url")
+
+  /** Upsert statement per dialect (JdbcUtil.createStatement). */
+  def upsertStatement(db: String, table: String, cols: Seq[String],
+      keys: Seq[String], op: String): String = {
+    val update = op == "insertOrUpdate" || op == "INSERT_OR_UPDATE"
+    val nonKeys = cols.filterNot(keys.contains)
+    val insert = s"INSERT INTO $table (${cols.mkString(",")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(",")})"
+    db match {
+      case "mysql" =>
+        // doNothing = touch only key cols, the reference's trick
+        val set = (if (update) nonKeys else keys)
+          .map(c => s"`$c` = VALUES(`$c`)").mkString(",")
+        s"$insert ON DUPLICATE KEY UPDATE $set"
+      case "postgresql" | "h2" =>
+        val action =
+          if (update) "DO UPDATE SET " +
+            nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(",")
+          else "DO NOTHING"
+        s"$insert ON CONFLICT (${keys.mkString(",")}) $action"
+      case "sqlserver" =>
+        val on = keys.map(k => s"T.$k = S.$k").mkString(" AND ")
+        val matched =
+          if (update && nonKeys.nonEmpty)
+            " WHEN MATCHED THEN UPDATE SET " +
+              nonKeys.map(c => s"T.$c = S.$c").mkString(",")
+          else ""
+        s"MERGE INTO $table AS T USING " +
+          s"(VALUES (${cols.map(_ => "?").mkString(",")})) AS " +
+          s"S (${cols.mkString(",")}) ON ($on)$matched" +
+          s" WHEN NOT MATCHED THEN INSERT (${cols.mkString(",")})" +
+          s" VALUES (${cols.map(c => s"S.$c").mkString(",")});"
+      case other => throw new IllegalArgumentException(
+        s"unsupported dialect: $other")
+    }
   }
 }

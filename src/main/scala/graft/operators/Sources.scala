@@ -225,6 +225,24 @@ object KafkaSource {
   }
 }
 
+/** `websocket` source slot (reference `source/WebSocketSource.java`,
+  * 812 LoC): a push-based socket subscription has no Structured
+  * Streaming mapping without a custom DataSource V2 continuous
+  * provider — config validates, then raises a documented
+  * not-supported error (SURVEY §7.5 treats it as a connector slot). */
+object WebSocketSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    cfg.params.str("endpoint").getOrElse(
+      throw new IllegalArgumentException(
+        "websocket source requires endpoint"))
+    throw new IllegalStateException(
+      "websocket source is a connector slot: push subscriptions need a " +
+        "custom DataSourceV2 continuous stream provider; bridge through " +
+        "kafka or the polling http source instead")
+  }
+}
+
 /** `iceberg` source/sink slots (reference `source/IcebergSource.java:108`,
   * `sink/IcebergSink.java`): table reads/writes through the iceberg
   * Spark runtime catalog. The runtime jar is NOT bundled — config

@@ -42,6 +42,34 @@ class ModulesSpec extends AnyFunSuite {
     assert(noIce.getMessage.contains("iceberg-spark-runtime"))
   }
 
+  test("jdbc upsert statements per dialect; websocket slot error") {
+    import graft.operators.JdbcSink
+    assert(JdbcSink.upsertStatement("mysql", "t",
+      Seq("id", "a", "b"), Seq("id"), "insertOrUpdate") ==
+      "INSERT INTO t (id,a,b) VALUES (?,?,?) ON DUPLICATE KEY UPDATE " +
+        "`a` = VALUES(`a`),`b` = VALUES(`b`)")
+    assert(JdbcSink.upsertStatement("postgresql", "t",
+      Seq("id", "a"), Seq("id"), "insertOrDoNothing") ==
+      "INSERT INTO t (id,a) VALUES (?,?) ON CONFLICT (id) DO NOTHING")
+    assert(JdbcSink.upsertStatement("postgresql", "t",
+      Seq("id", "a"), Seq("id"), "insertOrUpdate") ==
+      "INSERT INTO t (id,a) VALUES (?,?) ON CONFLICT (id) " +
+        "DO UPDATE SET a = EXCLUDED.a")
+    val merge = JdbcSink.upsertStatement("sqlserver", "t",
+      Seq("id", "a"), Seq("id"), "insertOrUpdate")
+    assert(merge.startsWith("MERGE INTO t AS T USING (VALUES (?,?))"))
+    assert(merge.contains("WHEN MATCHED THEN UPDATE SET T.a = S.a"))
+    assert(merge.contains("WHEN NOT MATCHED THEN INSERT (id,a)"))
+    assert(JdbcSink.dialect("jdbc:postgresql://h/db") == "postgresql")
+    val ws = intercept[IllegalStateException] {
+      Pipeline.sources("websocket")(spark,
+        Pipeline.ModuleCfg("w", "websocket", Nil, Nil,
+          graft.config.Json.parse("""{"endpoint": "wss://x"}"""),
+          graft.config.Json.obj()), Map.empty)
+    }
+    assert(ws.getMessage.contains("connector slot"))
+  }
+
   test("sql module: named and positional parameters") {
     val rows = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag")
     def run(params: String) = Pipeline.transforms("sql")(spark,
