@@ -1345,8 +1345,10 @@ transforms:
            FROM events),
          o AS (
            SELECT user_id, s,
+             -- Spark session_window merges an event at EXACTLY
+             -- start+gap (closed interval): break only beyond the gap
              CASE WHEN lag(s) OVER w IS NULL
-                    OR s - lag(s) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+                    OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY s)),
          g AS (
            SELECT user_id, s,
