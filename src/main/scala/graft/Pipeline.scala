@@ -41,9 +41,9 @@ object Pipeline {
     "files" -> StorageSource.build,
     "parquet" -> StorageSource.build,
     "jdbc" -> JdbcSource.build,
-    // incremental query-per-interval batch (reference microbatch) =
-    // a file stream + checkpoint + AvailableNow catch-up
-    "microbatch" -> StorageSource.build,
+    // incremental query-per-interval (reference microbatch): ranged
+    // JDBC query per tick, or the file-stream fallback without url/sql
+    "microbatch" -> MicrobatchSource.build,
     "rate" -> RateSource.build,
     "kafka" -> KafkaSource.build,
     "iceberg" -> IcebergSource.build,

@@ -70,6 +70,29 @@ class ModulesSpec extends AnyFunSuite {
     assert(ws.getMessage.contains("connector slot"))
   }
 
+  test("microbatch: range variable substitution and file fallback") {
+    import graft.operators.MicrobatchSource
+    val sql = """SELECT * FROM t
+      WHERE c >= TIMESTAMP_SECONDS(${__EVENT_EPOCH_SECOND_PRE__})
+        AND c < TIMESTAMP_SECONDS(${__EVENT_EPOCH_SECOND__})
+        AND m < ${__EVENT_EPOCH_MILLISECOND__}
+        AND i < '${__EVENT_DATETIME_ISO__}'"""
+    val s = MicrobatchSource.substitute(sql, 1700000000L, 1700000060L)
+    assert(s.contains("TIMESTAMP_SECONDS(1700000000)"))
+    assert(s.contains("TIMESTAMP_SECONDS(1700000060)"))
+    assert(s.contains("m < 1700000060000"))
+    assert(s.contains("i < '2023-11-14T22:14:20Z'"))
+    // without url/sql the module keeps the file-stream alias
+    val dir = java.nio.file.Files.createTempDirectory("mb").toString
+    spark.range(3).toDF("v").write.mode("overwrite").parquet(s"$dir/d")
+    val dfs = Pipeline.sources("microbatch")(spark,
+      Pipeline.ModuleCfg("m", "microbatch", Nil, Nil,
+        graft.config.Json.parse(
+          s"""{"path": "$dir/d", "stream": true}"""),
+        graft.config.Json.obj()), Map.empty)
+    assert(dfs("m").isStreaming)
+  }
+
   test("sql module: named and positional parameters") {
     val rows = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag")
     def run(params: String) = Pipeline.transforms("sql")(spark,
