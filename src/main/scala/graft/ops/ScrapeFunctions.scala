@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** `scrape` select func (reference `util/pipeline/select/Scrape.java`
+  * — jsoup selectors over an HTML field, `mode: first|repeated`,
+  * `attribute`, post-`pattern`+`group`, `trim`).
+  *
+  * jsoup is not on the classpath, so this is a dependency-free
+  * selector subset implemented as a tight-loop UDF: simple selectors
+  * `tag`, `#id`, `.class`, `tag.class#id` and descendant chains
+  * (`div.item a`). Element matching is regex-based over well-formed
+  * HTML — nested SAME-TAG elements inside a match are not balanced
+  * (documented approximation); nested `fields` (struct output) are
+  * not supported. Text extraction strips tags, decodes the common
+  * entities, and collapses whitespace like jsoup's `text()`.
+  */
+object ScrapeFunctions {
+
+  case class Selector(tag: Option[String], id: Option[String],
+      classes: Seq[String])
+
+  def parseSelector(s: String): Seq[Selector] =
+    s.trim.split("\\s+").toSeq.map { part =>
+      val m = java.util.regex.Pattern
+        .compile("([a-zA-Z][\\w-]*)?((?:[#.][\\w-]+)*)").matcher(part)
+      if (!m.matches())
+        throw new IllegalArgumentException(s"unsupported selector: $part")
+      val tag = Option(m.group(1))
+      val quals = Option(m.group(2)).getOrElse("")
+      val qualParts = java.util.regex.Pattern.compile("[#.][\\w-]+")
+        .matcher(quals)
+      var id: Option[String] = None
+      val classes = Seq.newBuilder[String]
+      while (qualParts.find()) {
+        val q = qualParts.group()
+        if (q.startsWith("#")) id = Some(q.drop(1))
+        else classes += q.drop(1)
+      }
+      Selector(tag, id, classes.result())
+    }
+
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "source", "track", "wbr")
+
+  /** (attrsText, innerHtml) of every element matching one simple
+    * selector, in document order. */
+  def findElements(html: String, sel: Selector): Seq[(String, String)] = {
+    val tagPat = sel.tag.getOrElse("[a-zA-Z][\\w-]*")
+    val open = java.util.regex.Pattern.compile(
+      s"<($tagPat)\\b([^>]*)>", java.util.regex.Pattern.CASE_INSENSITIVE)
+    val m = open.matcher(html)
+    val out = Seq.newBuilder[(String, String)]
+    while (m.find()) {
+      val tag = m.group(1).toLowerCase
+      val attrs = m.group(2)
+      val matches =
+        sel.id.forall(i => attrValue(attrs, "id").contains(i)) &&
+          sel.classes.forall(c => attrValue(attrs, "class")
+            .exists(_.split("\\s+").contains(c)))
+      if (matches) {
+        val inner =
+          if (voidTags.contains(tag) || attrs.trim.endsWith("/")) ""
+          else {
+            val close = html.indexOf(s"</$tag>", m.end)
+            if (close < 0) "" else html.substring(m.end, close)
+          }
+        out += ((attrs, inner))
+      }
+    }
+    out.result()
+  }
+
+  def attrValue(attrs: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile(
+      name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))",
+      java.util.regex.Pattern.CASE_INSENSITIVE).matcher(attrs)
+    if (m.find()) Option(m.group(2)).orElse(Option(m.group(3)))
+      .orElse(Option(m.group(4)))
+    else None
+  }
+
+  def textOf(innerHtml: String): String = innerHtml
+    .replaceAll("(?s)<script.*?</script>", " ")
+    .replaceAll("(?s)<style.*?</style>", " ")
+    .replaceAll("<[^>]*>", " ")
+    .replace("&nbsp;", " ").replace("&amp;", "&")
+    .replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&#39;", "'")
+    .replaceAll("\\s+", " ").trim
+
+  /** Apply a selector chain: descendant parts walk into innerHtml. */
+  def select(html: String, chain: Seq[Selector]): Seq[(String, String)] =
+    chain.foldLeft(Seq(("", html))) { (current, sel) =>
+      current.flatMap { case (_, inner) => findElements(inner, sel) }
+    }
+
+  def scrape(field: Column, selector: String, attribute: Option[String],
+      pattern: Option[String], group: Int, repeated: Boolean,
+      trimOut: Boolean): Column = {
+    val chain = parseSelector(selector)
+    val pat = pattern.map(java.util.regex.Pattern.compile)
+    def extract(el: (String, String)): Option[String] = {
+      val raw = attribute match {
+        case Some(a) => attrValue(el._1, a).getOrElse("")
+        case None => textOf(el._2)
+      }
+      val matched = pat match {
+        case Some(p) =>
+          val m = p.matcher(raw)
+          if (m.find()) Some(m.group(math.min(group, m.groupCount())))
+          else None
+        case None => Some(raw)
+      }
+      matched.map(v => if (trimOut) v.trim else v)
+    }
+    if (repeated) {
+      val f = udf { (html: String) =>
+        if (html == null) Seq.empty[String]
+        else select(html, chain).flatMap(extract)
+      }
+      f(field)
+    } else {
+      val f = udf { (html: String) =>
+        if (html == null) null
+        else select(html, chain).flatMap(extract).headOption.orNull
+      }
+      f(field)
+    }
+  }
+}

@@ -231,16 +231,22 @@ object SelectCompiler {
         HttpFunctions.httpGet(url,
           sel.int("timeoutMillis").getOrElse(10000))
       case "scrape" =>
-        // regex-subset of the reference's jsoup scrape (Scrape.java):
-        // named `pattern` with one capture group over an HTML field
-        val pattern = sel.str("pattern").getOrElse(
-          // selector-ish convenience: <tag ...>capture</tag>
-          sel.str("selector") match {
-            case Some(tag) => s"(?s)<$tag[^>]*>(.*?)</$tag>"
-            case None => throw new IllegalArgumentException(
-              "scrape requires pattern or selector")
-          })
-        regexp_extract(col(field).cast(StringType), pattern, 1)
+        // reference Scrape.java: jsoup selector + mode + attribute +
+        // post-pattern. With a selector → ScrapeFunctions (CSS-subset
+        // matcher); bare `pattern` keeps the codegen'd regex extract.
+        sel.str("selector") match {
+          case Some(selector) =>
+            ScrapeFunctions.scrape(col(field).cast(StringType), selector,
+              sel.str("attribute"), sel.str("pattern"),
+              sel.int("group").getOrElse(1),
+              sel.str("mode").exists(_.equalsIgnoreCase("repeated")),
+              sel.bool("trim").getOrElse(true))
+          case None =>
+            val pattern = sel.str("pattern").getOrElse(
+              throw new IllegalArgumentException(
+                "scrape requires pattern or selector"))
+            regexp_extract(col(field).cast(StringType), pattern, 1)
+        }
       case "reshape" =>
         // array reshape (Reshape.java): shape [rows, cols] → nested
         // arrays; shape [-1] → flatten one level

@@ -58,4 +58,34 @@ class SelectFuncsSpec extends AnyFunSuite {
       ]"""))
     assert(flat.select("back").as[Seq[Int]].head() == Seq(1, 2, 3, 4, 5, 6))
   }
+
+  test("scrape: CSS-subset selectors, attributes, repeated mode, pattern") {
+    val html =
+      """<html><body>
+        |<div class="item" id="main"><span class="price">$ 12.50</span>
+        |  <a href="/p/1">One</a></div>
+        |<div class="item"><span class="price">$ 7</span>
+        |  <a href="/p/2">Two</a></div>
+        |<div class="other"><a href="/x">skip</a></div>
+        |</body></html>""".stripMargin
+    val df = spark.createDataFrame(Seq(Tuple1(html))).toDF("html")
+    val sel = Json.parse("""[
+      {"name": "html"},
+      {"name": "first_price", "func": "scrape", "field": "html",
+       "selector": "div.item span.price"},
+      {"name": "main_price", "func": "scrape", "field": "html",
+       "selector": "#main .price"},
+      {"name": "links", "func": "scrape", "field": "html",
+       "selector": "div.item a", "attribute": "href",
+       "mode": "repeated"},
+      {"name": "amount", "func": "scrape", "field": "html",
+       "selector": "div.item span.price",
+       "pattern": "([0-9.]+)", "group": 1}]""")
+    val out = SelectCompiler(df, sel).collect()(0)
+    assert(out.getAs[String]("first_price") == "$ 12.50")
+    assert(out.getAs[String]("main_price") == "$ 12.50")
+    assert(out.getSeq[String](out.fieldIndex("links")) ==
+      Seq("/p/1", "/p/2"))
+    assert(out.getAs[String]("amount") == "12.50")
+  }
 }
