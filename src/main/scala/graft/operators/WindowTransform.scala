@@ -126,6 +126,35 @@ object WindowTransform {
         bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
           case ((b, i), acc) => when(in <= b, i).otherwise(acc)
         }
+      case "argmax" =>
+        max_by(in, col(f.str("comparingField").getOrElse(
+          f.str("field").get))).over(w)
+      case "argmin" =>
+        min_by(in, col(f.str("comparingField").getOrElse(
+          f.str("field").get))).over(w)
+      case "simple_regression" | "linear_regression" =>
+        // processing learner/LinearRegression.java: rolling per-key
+        // OLS over the frame; y = field, x = xField or the order key
+        val y = in.cast(DoubleType)
+        val x = f.str("xField").map(c => col(c).cast(DoubleType))
+          .getOrElse(orderCol.cast(DoubleType))
+        val slope = regr_slope(y, x).over(w)
+        val icept = regr_intercept(y, x).over(w)
+        val sse = greatest(
+          regr_syy(y, x).over(w) -
+            pow(regr_slope(y, x).over(w), 2) * regr_sxx(y, x).over(w),
+          lit(0d))
+        struct(slope.as("slope"), icept.as("intercept"),
+          sqrt(sse / regr_count(y, x).over(w)).as("rmse"))
+      case "linear_filter" =>
+        // processing signal/LinearFilter.java FIR form: output =
+        // sum_i coefficients(i) * lag(field, i) over the key window
+        val coeffs = f.arrOf("coefficients").map(_.asDouble)
+        require(coeffs.nonEmpty, "linear_filter requires coefficients")
+        coeffs.zipWithIndex.map { case (c, i) =>
+          val v = if (i == 0) in else lag(in, i).over(baseW)
+          v.cast(DoubleType) * lit(c)
+        }.reduce(_ + _)
       case other =>
         throw new IllegalArgumentException(s"unknown window func: $other")
     }

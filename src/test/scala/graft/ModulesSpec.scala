@@ -70,6 +70,31 @@ class ModulesSpec extends AnyFunSuite {
     assert(ws.getMessage.contains("connector slot"))
   }
 
+  test("window processing: rolling regression and linear filter") {
+    val rows = Seq(
+      ("k", 1L, 2.0), ("k", 2L, 4.0), ("k", 3L, 6.0), ("k", 4L, 8.0))
+      .toDF("k", "t", "v")
+    val dfs = Pipeline.transforms("window")(spark,
+      Pipeline.ModuleCfg("w", "window", Seq("in"), Nil,
+        graft.config.Json.parse("""{
+          "groupFields": ["k"], "orderField": "t",
+          "fields": [
+            {"name": "reg", "func": "linear_regression", "field": "v",
+             "range": {"count": 3}},
+            {"name": "smooth", "func": "linear_filter", "field": "v",
+             "coefficients": [0.5, 0.5]}]}"""),
+        graft.config.Json.obj()), Map("in" -> rows))
+    val out = dfs("w").orderBy("t").collect()
+    // v = 2t exactly → rolling slope 2, rmse 0 once 2+ points exist
+    val last = out.last
+    val reg = last.getAs[org.apache.spark.sql.Row]("reg")
+    assert(math.abs(reg.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(reg.getAs[Double]("rmse")) < 1e-9)
+    // FIR smoother: 0.5*v + 0.5*lag(v)
+    assert(last.getAs[Double]("smooth") == 7.0)
+    assert(out.head.isNullAt(out.head.fieldIndex("smooth"))) // no lag yet
+  }
+
   test("microbatch: range variable substitution and file fallback") {
     import graft.operators.MicrobatchSource
     val sql = """SELECT * FROM t
