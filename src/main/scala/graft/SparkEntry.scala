@@ -1086,6 +1086,43 @@ transforms:
             - {name: avg_q, op: avg, expression: "round(quality, 2)"}
 """),
 
+    // §2.7 processing processors: rolling per-key OLS + FIR smoother
+    "q41_rolling_regression" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: xs
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: event_id}
+        - {name: ts}
+        - {name: value}
+        - {name: xsec, expression: "ts / 1000000000"}
+  - name: w
+    module: window
+    inputs: [xs]
+    parameters:
+      groupFields: [user_id]
+      orderField: ts
+      fields:
+        - {name: reg, func: linear_regression, field: value, xField: xsec, range: {count: 5}}
+        - {name: sm, func: linear_filter, field: value, coefficients: [0.6, 0.4]}
+  - name: out
+    module: select
+    inputs: [w]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: event_id}
+        - {name: slope_r, expression: "round(reg.slope, 6) + 0"}
+        - {name: sm_r, expression: "round(sm, 6) + 0"}
+"""),
+
     // §2.11 select error routing: rows whose cast nulls out a non-null
     // input split to .failures; main output = successfully-cast rows
     // (TRY_CAST semantics in the oracle)
@@ -1438,6 +1475,19 @@ transforms:
          )
          SELECT lang_id, count(*) AS n, avg(round(quality, 2)) AS avg_q
          FROM lang GROUP BY lang_id""",
+
+    "q41_rolling_regression" ->
+      """WITH xs AS (
+           SELECT user_id, event_id, ts, value,
+             epoch_ns(ts) / 1000000000.0 AS xsec
+           FROM events)
+         SELECT user_id, event_id,
+           round(regr_slope(value, xsec) OVER w, 6) + 0.0 AS slope_r,
+           round(0.6 * value + 0.4 * lag(value) OVER w2, 6) + 0.0 AS sm_r
+         FROM xs
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY ts)""",
 
     "q40_try_cast" ->
       """WITH t AS (
