@@ -42,6 +42,6 @@ object CryptoTransform {
       }
       df = df.withColumn(out, c)
     }
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    TransformCommon.finishRouted(df, cfg)
   }
 }

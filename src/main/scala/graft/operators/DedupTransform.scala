@@ -52,7 +52,7 @@ object DedupTransform {
         .groupBy(fingerprint(col(textField)).as("__fp"))
         .agg(min_by(struct(cols.map(col): _*), col(idField)).as("__keep"))
         .select(cols.map(c => col(s"__keep.$c")): _*)
-      return Map(cfg.name -> TransformCommon.finish(kept, cfg))
+      return TransformCommon.finishRouted(kept, cfg)
     }
 
     val out = method match {
@@ -91,7 +91,7 @@ object DedupTransform {
         out.filter(col("__dup_of").isNull).drop("__dup_of")
       case _ => out
     }
-    Map(cfg.name -> TransformCommon.finish(kept, cfg))
+    TransformCommon.finishRouted(kept, cfg)
   }
 
   /** Exact dedup: min id per normalized-content hash. groupBy + join

@@ -106,7 +106,7 @@ object MultimodalTransform {
           throw new IllegalArgumentException(s"multimodal op: $other")
       }
     }
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    TransformCommon.finishRouted(df, cfg)
   }
 
   /** mapPartitions with schema evolution: append `out` of type `dt`

@@ -106,7 +106,7 @@ object SimilarityTransform {
         col("col._2").cast(idType).as("neighbor_id"),
         col("col._1").as("score"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
-    Map(cfg.name -> TransformCommon.finish(topk, cfg))
+    TransformCommon.finishRouted(topk, cfg)
   }
 
   /** Lloyd iterations over a deterministic pseudo-random sample:

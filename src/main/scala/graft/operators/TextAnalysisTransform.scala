@@ -37,6 +37,6 @@ object TextAnalysisTransform {
         throw new IllegalArgumentException(s"textAnalysis feature: $other")
     }
     df = df.drop("__toks")
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    TransformCommon.finishRouted(df, cfg)
   }
 }

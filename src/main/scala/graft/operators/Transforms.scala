@@ -114,9 +114,10 @@ object AggregationTransform {
       if (groupFields.nonEmpty) a.join(b, groupFields, "full_outer")
       else a.crossJoin(b)
     }
-    var out = TransformCommon.finish(merged, cfg)
-    cfg.param("limit").flatMap(_.int("count")).foreach(n => out = out.limit(n))
-    Map(cfg.name -> out)
+    val routed = TransformCommon.finishRouted(merged, cfg)
+    cfg.param("limit").flatMap(_.int("count"))
+      .map(n => routed.updated(cfg.name, routed(cfg.name).limit(n)))
+      .getOrElse(routed)
   }
 }
 
@@ -186,7 +187,7 @@ object UnionTransform {
     }
     val unioned = withIdx.reduceLeft(
       _.unionByName(_, allowMissingColumns = true))
-    Map(cfg.name -> TransformCommon.finish(unioned, cfg))
+    TransformCommon.finishRouted(unioned, cfg)
   }
 }
 
@@ -215,7 +216,7 @@ object UnnestTransform {
         case _ =>
       }
     }
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    TransformCommon.finishRouted(df, cfg)
   }
 
   private def expand(df: DataFrame, path: String, st: StructType,
@@ -280,7 +281,7 @@ object LookupTransform {
           .drop("__lk_key")
       }
     }
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    TransformCommon.finishRouted(df, cfg)
   }
 }
 
@@ -317,7 +318,7 @@ object CompareTransform {
           .when(size(col("__diffs")) === 0, lit("match"))
           .otherwise(lit("difference")).as("result") :+
         col("__diffs").as("differences"): _*)
-    Map(cfg.name -> TransformCommon.finish(out, cfg))
+    TransformCommon.finishRouted(out, cfg)
   }
 }
 
@@ -368,7 +369,7 @@ object LimitTransform {
               .orderBy(order: _*)))
           .filter(col("__rn") <= n).drop("__rn")
       }
-    Map(cfg.name -> TransformCommon.finish(out, cfg))
+    TransformCommon.finishRouted(out, cfg)
   }
 
   /** Streaming per-key first-N: stateful emitted-count per key; rows
@@ -432,7 +433,7 @@ object SetTransform {
           .distinct()
       case other => throw new IllegalArgumentException(s"set op: $other")
     }
-    Map(cfg.name -> TransformCommon.finish(out, cfg))
+    TransformCommon.finishRouted(out, cfg)
   }
 }
 
@@ -462,7 +463,7 @@ object SqlTransform {
       if (named.nonEmpty) spark.sql(sql, named)
       else if (positional.nonEmpty) spark.sql(sql, positional.toArray)
       else spark.sql(sql)
-    Map(cfg.name -> TransformCommon.finish(out, cfg))
+    TransformCommon.finishRouted(out, cfg)
   }
 }
 
@@ -573,6 +574,6 @@ object TokenizeTransform {
         }
       df = df.withColumn(out, c)
     }
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    TransformCommon.finishRouted(df, cfg)
   }
 }

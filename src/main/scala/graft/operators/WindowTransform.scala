@@ -48,7 +48,7 @@ object WindowTransform {
       df = df.withColumn(name,
         compileField(f, df.schema, baseW, orderCol, orderType))
     }
-    Map(cfg.name -> TransformCommon.finish(df, cfg))
+    TransformCommon.finishRouted(df, cfg)
   }
 
   private def frame(f: com.fasterxml.jackson.databind.JsonNode,
