@@ -223,13 +223,38 @@ object SelectCompiler {
           when(coalesce(cond, lit(false)), v).otherwise(acc)
         }
       case "http" =>
-        // per-row GET of a url field or ${...} template (Http.java)
+        // per-row call of a url field or ${...} template (Http.java);
+        // method/headers/body ride the full Client.send surface
         val url = sel.str("text").orElse(sel.str("url")) match {
           case Some(t) => TemplateCompiler.compile(t, schema)
           case None => col(field).cast(StringType)
         }
-        HttpFunctions.httpGet(url,
-          sel.int("timeoutMillis").getOrElse(10000))
+        val timeout = sel.int("timeoutMillis").getOrElse(10000)
+        val method = sel.str("method").getOrElse("GET")
+        val headerNode = sel("headers")
+        val bodyTmpl = sel.str("body")
+        if (method == "GET" && headerNode.isEmpty && bodyTmpl.isEmpty)
+          HttpFunctions.httpGet(url, timeout)
+        else {
+          val headersCol: Column = headerNode match {
+            case Some(h) if h.names.nonEmpty =>
+              map(h.names.flatMap(k => Seq(lit(k),
+                TemplateCompiler.compile(h.str(k).get, schema))): _*)
+            case _ => map()
+          }
+          val bodyCol = bodyTmpl.map(TemplateCompiler.compile(_, schema))
+            .getOrElse(lit(""))
+          val c = HttpFunctions.client // capture at plan time
+          val m = method
+          val f = udf { (u: String, hs: Map[String, String], b: String) =>
+            if (u == null) null
+            else try new String(c.send(m, u,
+              if (hs == null) Map.empty[String, String] else hs,
+              b, timeout).body, "UTF-8")
+            catch { case e: Exception => s"__error:${e.getMessage}" }
+          }.asNondeterministic()
+          f(url, headersCol, bodyCol)
+        }
       case "scrape" =>
         // reference Scrape.java: jsoup selector + mode + attribute +
         // post-pattern. With a selector → ScrapeFunctions (CSS-subset

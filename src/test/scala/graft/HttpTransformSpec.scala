@@ -160,6 +160,19 @@ class HttpTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("http select func: POST with templated headers and body") {
+    withClient(new RecordingHttpClient) {
+      val rows = Seq((5, "n5")).toDF("id", "name")
+      val out = graft.ops.SelectCompiler(rows, graft.config.Json.parse("""
+        [{"name": "id"},
+         {"name": "resp", "func": "http", "url": "http://svc/${id}",
+          "method": "POST", "headers": {"X-Auth": "t-${id}"},
+          "body": "b-${name}"}]""")).collect()
+      assert(out.head.getAs[String]("resp") ==
+        "POST:http://svc/5:h=t-5:b=b-n5")
+    }
+  }
+
   test("http source: one-shot batch emits one row per request") {
     withClient(new RecordingHttpClient) {
       val dfs = Pipeline.sources("http")(spark,
