@@ -63,8 +63,11 @@ object ScrapeFunctions {
         val inner =
           if (voidTags.contains(tag) || attrs.trim.endsWith("/")) ""
           else {
-            val close = html.indexOf(s"</$tag>", m.end)
-            if (close < 0) "" else html.substring(m.end, close)
+            // close tag matched case-insensitively, like the open tag
+            val closeM = java.util.regex.Pattern.compile(s"</$tag\\s*>",
+              java.util.regex.Pattern.CASE_INSENSITIVE).matcher(html)
+            if (closeM.find(m.end)) html.substring(m.end, closeM.start)
+            else ""
           }
         out += ((attrs, inner))
       }
