@@ -90,11 +90,17 @@ object HttpSource {
         bodySchema.map(st => from_json(text, st)).getOrElse(text)
       case _ => decode(col("__http.body"), "UTF-8")
     }
-    val out = called.select(
+    val out = called.filter(col("__http.error").isNull).select(
       col("__http.statusCode").cast(IntegerType).as("statusCode"),
       bodyOut.as("body"),
       col("__http.headers").as("headers"),
       timestamp_micros(col("__http.timestampMicros")).as("timestamp"))
-    SourceCommon.finish(out, cfg)
+    // failed requests (exhausted retries, non-acceptable 4xx) route to
+    // <name>.failures with the request row + __error, like the
+    // transform — not silently emitted as all-null rows
+    val failures = called.filter(col("__http.error").isNotNull)
+      .withColumn("__error", col("__http.error")).drop("__http")
+    SourceCommon.finish(out, cfg) +
+      (s"${cfg.name}.failures" -> failures)
   }
 }

@@ -41,10 +41,15 @@ object HttpTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val df = TransformCommon.single(cfg, inputs)
-    val req = cfg.param("request")
-      .orElse(cfg.param("requests").flatMap(_.elems.headOption))
-      .getOrElse(throw new IllegalArgumentException(
+    val req = cfg.param("request").getOrElse {
+      val reqs = cfg.param("requests").map(_.elems).getOrElse(Seq.empty)
+      if (reqs.size > 1) throw new IllegalArgumentException(
+        "http transform supports one request per module (the reference " +
+          "caller also sends only `request`); use multiple http modules " +
+          "or the http source for request fan-out")
+      reqs.headOption.getOrElse(throw new IllegalArgumentException(
         "http transform requires parameters.request"))
+    }
     val resp = cfg.param("response").getOrElse(graft.config.Json.obj())
     val format = resp.str("format").getOrElse("text")
     require(Set("text", "bytes", "json").contains(format),

@@ -13,14 +13,17 @@ import graft.config.Json._
   * (`__EVENT_EPOCH_SECOND_PRE__`, `__EVENT_EPOCH_SECOND__`, the
   * millisecond and ISO variants).
   *
-  * Spark-first: a rate stream ticks once per interval; tick k maps
-  * deterministically to the contiguous range
-  * [start + k*interval, start + (k+1)*interval) clamped by
-  * `gapSecond` behind wall-clock and `maxDurationMinute` — so ranges
-  * need no external checkpoint state (Structured Streaming's own
-  * checkpoint replays ticks exactly-once). Each tick runs the ranged
-  * JDBC query inside the executor; the output schema comes from a
-  * one-time driver-side WHERE 1=0 probe.
+  * Spark-first: a per-second rate stream drives range emission. Tick
+  * timestamps are deterministic under checkpoint replay, so each tick
+  * computes exactly the ranges whose end moved `gapSecond` behind the
+  * tick time since the previous tick (the first tick emits the whole
+  * backlog since `startDatetime` — catch-up). Ranges are contiguous
+  * [start+(k-1)*I, start+k*I) windows clamped by `maxDurationMinute`;
+  * no external checkpoint state is needed. Each range runs the JDBC
+  * query inside the executor; the output schema comes from a one-time
+  * driver-side WHERE 1=0 probe. Set `startDatetime` explicitly for
+  * restart determinism — the default is the build-time clock, so a
+  * restarted driver re-anchors ranges.
   *
   * Without `url`+`sql` the module falls back to the file-stream
   * behavior (new files per directory scan), the storage alias it had
@@ -74,16 +77,25 @@ object MicrobatchSource {
 
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", "1").load()
-      .filter(col("value") % interval === 0)
     val out = ticks.mapPartitions { rows =>
       rows.flatMap { r =>
-        val k = r.getAs[Long](1) / interval // (timestamp, value)
-        val pre = start + k * interval
-        val nowGap = System.currentTimeMillis() / 1000L - gap
-        val end = math.min(math.min(pre + interval, pre + maxDuration),
-          nowGap)
-        if (end <= pre) Iterator.empty
-        else {
+        // tick (timestamp, value): timestamp is deterministic under
+        // checkpoint replay (streamStart + value seconds) — never
+        // consult the wall clock here. Range k (1-based) is
+        // [start+(k-1)*I, start+k*I); it becomes safe once its end is
+        // gapSecond behind the tick time. Each tick emits the ranges
+        // that became safe since the previous tick; the FIRST tick
+        // (value 0) emits the whole backlog since startDatetime.
+        val t = r.getTimestamp(0).getTime / 1000L
+        val v = r.getLong(1)
+        def safeUpTo(ts: Long): Long =
+          math.max(0L, (ts - gap - start) / interval)
+        val safe = safeUpTo(t)
+        val prevSafe = if (v == 0L) 0L else safeUpTo(t - 1)
+        (prevSafe + 1 to safe).iterator.flatMap { k =>
+          val end = start + k * interval
+          val pre = math.max(start + (k - 1) * interval,
+            end - maxDuration)
           val props = new java.util.Properties()
           user.foreach(props.setProperty("user", _))
           password.foreach(props.setProperty("password", _))

@@ -137,8 +137,22 @@ object HttpFunctions {
         if (r.status >= 400 && r.status < 500 && !acceptable.contains(r.status))
           return CallResult(Some(r.status), r.body, r.headers, nowMicros,
             Some(s"Illegal response code: ${r.status} for endpoint: $url"))
+        // NOTE: 5xx responses emit as normal output rows — the
+        // reference only rejects non-acceptable 4xx
+        // (HttpTransform.java HttpCaller.call)
         return CallResult(Some(r.status), r.body, r.headers, nowMicros, None)
       } catch {
+        case e: InterruptedException =>
+          // Spark task kill — never swallow
+          Thread.currentThread().interrupt()
+          throw e
+        case e @ (_: IllegalArgumentException |
+            _: java.net.URISyntaxException) =>
+          // malformed URL etc: terminal user error, no retry
+          // (the reference's UserCodeExecutionException split)
+          return CallResult(None, null, null,
+            System.currentTimeMillis() * 1000L,
+            Some(s"Illegal request for endpoint $url: ${e.getMessage}"))
         case e: Exception =>
           attempt += 1
           if (attempt > backoff.maxRetries ||

@@ -28,8 +28,8 @@ object SelectCompiler {
   /** Apply a select config (JSON array) to a DataFrame (lenient:
     * lossy steps null out, reference legacy semantics). */
   def apply(df: DataFrame, selects: JsonNode): DataFrame = {
-    val (cur, outNames, _) = fold(df, selects)
-    if (outNames.isEmpty) df else cur.select(outNames.map(col): _*)
+    val f = fold(df, selects, withErrors = false)
+    if (f.outNames.isEmpty) df else f.cur.select(f.outNames.map(col): _*)
   }
 
   /** §2.11 error routing (reference `module/MErrorHandler`/`MFailure`
@@ -37,62 +37,80 @@ object SelectCompiler {
     * inferred `cast`, `expression` with an output type, `bytes_decode`
     * — nulls out a non-null input split off to a failures frame
     * carrying the INPUT columns plus `__error` (first failing step's
-    * message). Both frames derive from one folded projection, so
-    * Catalyst plans the step expressions once per branch. */
+    * message). Error predicates and overwritten input columns
+    * MATERIALIZE inside the fold before each replacement, so in-place
+    * conversions (step name == source field) are detected against the
+    * original value and failures carry the pre-conversion inputs. */
   def applyWithFailures(df: DataFrame, selects: JsonNode)
       : (DataFrame, DataFrame) = {
-    val (cur, outNames, errOpt) = fold(df, selects)
-    if (outNames.isEmpty)
-      return (df, df.withColumn("__error", lit(null: String))
-        .filter(lit(false)))
-    errOpt match {
-      case None =>
-        (cur.select(outNames.map(col): _*),
-          df.withColumn("__error", lit(null: String)).filter(lit(false)))
-      case Some(err) =>
-        val tagged = cur.withColumn("__error", err)
-        (tagged.filter(col("__error").isNull)
-          .select(outNames.map(col): _*),
-          tagged.filter(col("__error").isNotNull)
-            .select((df.columns.toSeq :+ "__error").map(col): _*))
-    }
+    val f = fold(df, selects, withErrors = true)
+    def emptyFailures = df.withColumn("__error", lit(null: String))
+      .filter(lit(false))
+    if (f.outNames.isEmpty) return (df, emptyFailures)
+    if (f.errCols.isEmpty)
+      return (f.cur.select(f.outNames.map(col): _*), emptyFailures)
+    val err = coalesce(f.errCols.map(col): _*)
+    val tagged = f.cur.withColumn("__error", err)
+    (tagged.filter(col("__error").isNull)
+      .select(f.outNames.map(col): _*),
+      tagged.filter(col("__error").isNotNull)
+        .select(df.columns.toSeq.map(n =>
+          col(f.stashed.getOrElse(n, n)).as(n)) :+ col("__error"): _*))
   }
 
   /** failFast: any lossy-step error raises instead of routing. */
   def applyFailFast(df: DataFrame, selects: JsonNode): DataFrame = {
-    val (cur, outNames, errOpt) = fold(df, selects)
-    if (outNames.isEmpty) return df
-    errOpt match {
-      case None => cur.select(outNames.map(col): _*)
-      case Some(err) =>
-        // the raise must live inside a selected column or Catalyst
-        // prunes it away (same trick as deserialize failFast)
-        val head = when(err.isNotNull, raise_error(err))
-          .otherwise(col(outNames.head)).as(outNames.head)
-        cur.select(head +: outNames.tail.map(col): _*)
-    }
+    val f = fold(df, selects, withErrors = true)
+    if (f.outNames.isEmpty) return df
+    if (f.errCols.isEmpty) return f.cur.select(f.outNames.map(col): _*)
+    val err = coalesce(f.errCols.map(col): _*)
+    // the raise must live inside a selected column or Catalyst
+    // prunes it away (same trick as deserialize failFast)
+    val head = when(err.isNotNull, raise_error(err))
+      .otherwise(col(f.outNames.head)).as(f.outNames.head)
+    f.cur.select(head +: f.outNames.tail.map(col): _*)
   }
 
-  private def fold(df: DataFrame, selects: JsonNode)
-      : (DataFrame, Seq[String], Option[Column]) = {
+  private case class Folded(cur: DataFrame, outNames: Seq[String],
+      errCols: Seq[String], stashed: Map[String, String])
+
+  private def fold(df: DataFrame, selects: JsonNode,
+      withErrors: Boolean): Folded = {
     if (selects == null || !selects.isArray || selects.isEmpty)
-      return (df, Seq.empty, None)
+      return Folded(df, Seq.empty, Seq.empty, Map.empty)
     var cur = df
     val outNames = Vector.newBuilder[String]
-    val errors = Vector.newBuilder[Column]
+    val errCols = Vector.newBuilder[String]
+    val stashed = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
     selects.elems.foreach { sel =>
       if (!sel.bool("ignore").getOrElse(false)) {
         val name = sel.str("name").getOrElse(
           throw new IllegalArgumentException(s"select requires name: $sel"))
         val c = compileField(sel, cur.schema)
-        stepError(sel, cur.schema, c).foreach(errors += _)
+        if (withErrors) {
+          // the error predicate references the step's SOURCE columns:
+          // materialize it before the replacement below so an
+          // in-place conversion still sees the original value
+          stepError(sel, cur.schema, c).foreach { e =>
+            val ec = s"__err_$i"; i += 1
+            cur = cur.withColumn(ec, e)
+            errCols += ec
+          }
+          // first overwrite of an input column: stash the original
+          // for the failures projection
+          if (df.columns.contains(name) && !stashed.contains(name)) {
+            val sc = s"__orig_$name"
+            cur = cur.withColumn(sc, col(name))
+            stashed(name) = sc
+          }
+        }
         cur = cur.withColumn(name, c)
         outNames += name
       }
     }
-    val errs = errors.result()
-    (cur, outNames.result().distinct,
-      if (errs.isEmpty) None else Some(coalesce(errs: _*)))
+    Folded(cur, outNames.result().distinct, errCols.result(),
+      stashed.toMap)
   }
 
   /** Error message Column for a lossy step, null when the row is fine.

@@ -88,16 +88,18 @@ object StreamRunner {
     val early = trig("earlyFiringTrigger").get
     val delayMs = early.int("pastFirstElementDelay").map(_ * 1000L)
       .getOrElse(1000L)
+    // each query needs its OWN checkpoint: a shared configured path
+    // would collide on query metadata/offsets
     val earlyQ = df.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(delayMs))
-      .option("checkpointLocation", checkpoint(cfg))
+      .option("checkpointLocation", checkpoint(cfg) + "/early")
       .foreachBatch(paneWriter(cfg, "early"))
       .start()
     active += earlyQ
     val finalQ = df.writeStream
       .outputMode("append")
-      .option("checkpointLocation", checkpoint(cfg))
+      .option("checkpointLocation", checkpoint(cfg) + "/final")
       .foreachBatch(paneWriter(cfg, "onTime"))
       .start()
     active += finalQ
@@ -172,8 +174,11 @@ object StreamRunner {
     // AvailableNow; default = micro-batch ASAP
     trig match {
       case Some(t) if t.str("type").contains("afterProcessingTime") =>
+        // reference field name is pastFirstElementDelay
+        // (Strategy.java:247); `delay` kept as an alias
         w = w.trigger(Trigger.ProcessingTime(
-          t.int("delay").getOrElse(1) * 1000L))
+          t.int("pastFirstElementDelay").orElse(t.int("delay"))
+            .getOrElse(1) * 1000L))
       case Some(t) if t.str("type").contains("availableNow") =>
         w = w.trigger(Trigger.AvailableNow())
       case _ =>

@@ -139,6 +139,23 @@ class FilterSelectSpec extends AnyFunSuite {
     assert(fails.head.getAs[String]("__error").contains("cast to int64"))
   }
 
+  test("select §2.11: IN-PLACE cast (name == field) still routes failures") {
+    val rows = Seq((1L, "10"), (2L, "oops")).toDF("id", "raw")
+    val dfs = Pipeline.transforms("select")(spark,
+      Pipeline.ModuleCfg("s", "select", Seq("in"), Nil,
+        Json.parse("""{"select": [
+          {"name": "id"},
+          {"name": "raw", "type": "int64"}]}"""),
+        Json.parse("""{"outputFailure": true}""")),
+      Map("in" -> rows))
+    val main = dfs("s").collect()
+    assert(main.length == 1 && main.head.getAs[Long]("raw") == 10L)
+    val fails = dfs("s.failures").collect()
+    assert(fails.length == 1)
+    assert(fails.head.getAs[String]("raw") == "oops") // ORIGINAL value
+    assert(fails.head.getAs[String]("__error").contains("cast to int64"))
+  }
+
   test("select §2.11: failFast raises on lossy cast; default stays lenient") {
     val rows = Seq((1L, "10"), (2L, "oops")).toDF("id", "raw")
     val cfgSel = Json.parse("""{"select": [
