@@ -1123,6 +1123,98 @@ transforms:
         - {name: sm_r, expression: "round(sm, 6) + 0"}
 """),
 
+    // tokenize analyzer chain (lowercase + stop + length + shingles) —
+    // the DuckDB-replicable subset; Porter/ngram filters stay unit-only
+    "q42_tokenize_chain" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: tk
+    module: tokenize
+    inputs: [docs]
+    parameters:
+      fields:
+        - name: toks
+          input: text
+          tokenizer: {type: WhitespaceTokenizer}
+          filters:
+            - {type: LowerCaseFilter}
+            - {type: StopFilter, words: [the, and, of]}
+            - {type: LengthFilter, min: 3, max: 12}
+            - {type: ShingleFilter, minShingleSize: 2, maxShingleSize: 2,
+               outputUnigrams: false}
+  - name: out
+    module: select
+    inputs: [tk]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: joined, func: concat, fields: [toks], delimiter: "|"}
+"""),
+
+    // §2.8 set ops: intersect / except with SQL-standard bag semantics
+    "q43_set_ops" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: keys
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: event_type}
+  - name: big
+    module: filter
+    inputs: [keys]
+    parameters:
+      filter: {key: user_id, op: "<", value: 300}
+  - name: clicky
+    module: filter
+    inputs: [keys]
+    parameters:
+      filter: {key: event_type, op: in, value: [click, view]}
+  - name: inter
+    module: set
+    inputs: [big, clicky]
+    parameters: {op: intersect}
+  - name: diff
+    module: set
+    inputs: [big, clicky]
+    parameters: {op: except}
+  - name: iflag
+    module: select
+    inputs: [inter]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: event_type}
+        - {name: src, value: "i", type: string}
+  - name: dflag
+    module: select
+    inputs: [diff]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: event_type}
+        - {name: src, value: "d", type: string}
+  - name: both
+    module: union
+    inputs: [iflag, dflag]
+  - name: out
+    module: select
+    inputs: [both]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: event_type}
+        - {name: src}
+"""),
+
     // §2.11 select error routing: rows whose cast nulls out a non-null
     // input split to .failures; main output = successfully-cast rows
     // (TRY_CAST semantics in the oracle)
@@ -1475,6 +1567,32 @@ transforms:
          )
          SELECT lang_id, count(*) AS n, avg(round(quality, 2)) AS avg_q
          FROM lang GROUP BY lang_id""",
+
+    "q42_tokenize_chain" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               list_filter(regexp_split_to_array(text, '\s+'),
+                 x -> x <> ''), x -> lower(x)),
+               x -> x NOT IN ('the', 'and', 'of')
+                 AND length(x) >= 3 AND length(x) <= 12) AS toks
+           FROM documents)
+         SELECT doc_id,
+           array_to_string(list_transform(
+             generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> toks[i] || ' ' || toks[i + 1]), '|') AS joined
+         FROM t""",
+
+    "q43_set_ops" ->
+      """WITH keys AS (SELECT user_id, event_type FROM events),
+         big AS (SELECT * FROM keys WHERE user_id < 300),
+         clicky AS (SELECT * FROM keys
+                    WHERE event_type IN ('click', 'view'))
+         SELECT user_id, event_type, 'i' AS src FROM
+           (SELECT * FROM big INTERSECT SELECT * FROM clicky)
+         UNION ALL
+         SELECT user_id, event_type, 'd' AS src FROM
+           (SELECT * FROM big EXCEPT SELECT * FROM clicky)""",
 
     "q41_rolling_regression" ->
       """WITH xs AS (

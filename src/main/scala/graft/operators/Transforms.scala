@@ -61,8 +61,15 @@ object TransformCommon {
   * Catalyst Filter node → pushdown-eligible. */
 object FilterTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
-      inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    // FilterTransform.java:42 validation — a typo'd parameter key
+    // must not silently pass every row through
+    require(cfg.param("filter").orElse(cfg.param("filters"))
+      .orElse(cfg.param("select")).isDefined,
+      s"filter module ${cfg.name} requires filters or select " +
+        s"(got: ${cfg.params.names.mkString(", ")})")
     TransformCommon.finishRouted(TransformCommon.single(cfg, inputs), cfg)
+  }
 }
 
 /** `select` transform (reference `module/transform/SelectTransform`). */
