@@ -25,13 +25,20 @@ object Run {
         val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap
 
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .appName(s"graft:${Paths.get(configPath).getFileName}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // size the shuffle to the machine when the submitter didn't: the
+    // 200-partition default drowns local runs in tiny tasks (AQE
+    // coalesces, but the sort/exchange setup cost is real)
+    if (!new org.apache.spark.SparkConf()
+        .contains("spark.sql.shuffle.partitions"))
+      builder = builder.config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val configText = Files.readString(Paths.get(configPath))
