@@ -47,6 +47,25 @@ object MicrobatchSource {
     .replace("${__EVENT_DATETIME_ISO__}",
       java.time.Instant.ofEpochSecond(endEpochSecond).toString)
 
+  /** Ranges (pre, end] that became safe at the tick with timestamp
+    * `tickEpochSecond` / value `tickValue` (both deterministic under
+    * checkpoint replay). Range k (1-based) is
+    * [start+(k-1)*interval, start+k*interval), safe once its end is
+    * `gap` behind the tick time; the first tick emits the whole
+    * backlog; long ranges clamp to the trailing `maxDuration`. */
+  def tickRanges(tickEpochSecond: Long, tickValue: Long, start: Long,
+      interval: Long, gap: Long, maxDuration: Long): Seq[(Long, Long)] = {
+    def safeUpTo(ts: Long): Long =
+      math.max(0L, (ts - gap - start) / interval)
+    val safe = safeUpTo(tickEpochSecond)
+    val prevSafe =
+      if (tickValue == 0L) 0L else safeUpTo(tickEpochSecond - 1)
+    (prevSafe + 1 to safe).map { k =>
+      val end = start + k * interval
+      (math.max(start + (k - 1) * interval, end - maxDuration), end)
+    }
+  }
+
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val p = cfg.params
@@ -88,14 +107,8 @@ object MicrobatchSource {
         // (value 0) emits the whole backlog since startDatetime.
         val t = r.getTimestamp(0).getTime / 1000L
         val v = r.getLong(1)
-        def safeUpTo(ts: Long): Long =
-          math.max(0L, (ts - gap - start) / interval)
-        val safe = safeUpTo(t)
-        val prevSafe = if (v == 0L) 0L else safeUpTo(t - 1)
-        (prevSafe + 1 to safe).iterator.flatMap { k =>
-          val end = start + k * interval
-          val pre = math.max(start + (k - 1) * interval,
-            end - maxDuration)
+        tickRanges(t, v, start, interval, gap, maxDuration)
+          .iterator.flatMap { case (pre, end) =>
           val props = new java.util.Properties()
           user.foreach(props.setProperty("user", _))
           password.foreach(props.setProperty("password", _))

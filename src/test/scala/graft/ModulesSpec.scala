@@ -95,6 +95,28 @@ class ModulesSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("smooth"))) // no lag yet
   }
 
+  test("microbatch: tick-to-range mapping is contiguous and gap-safe") {
+    import graft.operators.MicrobatchSource.tickRanges
+    val start = 1000L; val I = 60L; val gap = 30L; val maxD = 3600L
+    // stream starts 5 intervals after startDatetime: first tick
+    // emits the whole safe backlog
+    val t0 = start + 5 * I
+    val first = tickRanges(t0, 0L, start, I, gap, maxD)
+    assert(first == Seq((1000L, 1060L), (1060L, 1120L), (1120L, 1180L),
+      (1180L, 1240L)))       // 4 ranges: 5th interval not yet gap-safe
+    // subsequent per-second ticks emit nothing until a new range
+    // becomes safe, then exactly one — contiguously
+    val emitted = (1L to 3 * I).flatMap(s =>
+      tickRanges(t0 + s, s, start, I, gap, maxD))
+    assert(emitted == Seq((1240L, 1300L), (1300L, 1360L), (1360L, 1420L)))
+    // union of first + subsequent is gapless and non-overlapping
+    val all = first ++ emitted
+    assert(all.sliding(2).forall { case Seq(a, b) => a._2 == b._1 })
+    // maxDuration clamps the range length
+    val clamped = tickRanges(start + 10000, 0L, start, 7200L, 0L, 3600L)
+    assert(clamped.forall { case (p, e) => e - p <= 3600L })
+  }
+
   test("microbatch: range variable substitution and file fallback") {
     import graft.operators.MicrobatchSource
     val sql = """SELECT * FROM t
