@@ -1215,6 +1215,41 @@ transforms:
         - {name: src}
 """),
 
+    // §2.8 deserialize csv: template-encode → parse round trip
+    "q44_deserialize_csv" -> pipe("out", """
+sources:
+  - name: o
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: enc
+    module: select
+    inputs: [o]
+    parameters:
+      select:
+        - {name: line, func: text, text: "${o_orderkey},${o_orderstatus},${o_totalprice}"}
+  - name: dec
+    module: deserialize
+    inputs: [enc]
+    parameters:
+      field: line
+      format: csv
+      flatten: true
+      schema:
+        fields:
+          - {name: k, type: int64}
+          - {name: st, type: string}
+          - {name: tp, type: float64}
+  - name: out
+    module: select
+    inputs: [dec]
+    parameters:
+      select:
+        - {name: k}
+        - {name: st}
+        - {name: tp}
+"""),
+
     // §2.11 select error routing: rows whose cast nulls out a non-null
     // input split to .failures; main output = successfully-cast rows
     // (TRY_CAST semantics in the oracle)
@@ -1567,6 +1602,10 @@ transforms:
          )
          SELECT lang_id, count(*) AS n, avg(round(quality, 2)) AS avg_q
          FROM lang GROUP BY lang_id""",
+
+    "q44_deserialize_csv" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+           o_totalprice AS tp FROM orders""",
 
     "q42_tokenize_chain" ->
       """WITH t AS (

@@ -95,6 +95,23 @@ class ModulesSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("smooth"))) // no lag yet
   }
 
+  test("limit: outputStartAt drops rows before the event-time cutoff") {
+    val rows = Seq(
+      ("a", "2024-01-01 00:00:00", 1), ("a", "2024-01-20 00:00:00", 2),
+      ("a", "2024-01-25 00:00:00", 3), ("b", "2024-01-10 00:00:00", 4))
+      .toDF("k", "tss", "id")
+      .withColumn("t", to_timestamp(col("tss"))).drop("tss")
+    val dfs = Pipeline.transforms("limit")(spark,
+      Pipeline.ModuleCfg("l", "limit", Seq("in"), Nil,
+        graft.config.Json.parse("""{"count": 1, "keyFields": ["k"],
+          "orderField": "t", "outputStartAt": "2024-01-15 00:00:00"}"""),
+        graft.config.Json.obj()), Map("in" -> rows))
+    val out = dfs("l").select("id").as[Int].collect().sorted.toSeq
+    // a: first row at/after the cutoff is id=2; b: all rows before
+    // the cutoff → nothing
+    assert(out == Seq(2))
+  }
+
   test("microbatch: tick-to-range mapping is contiguous and gap-safe") {
     import graft.operators.MicrobatchSource.tickRanges
     val start = 1000L; val I = 60L; val gap = 30L; val maxD = 3600L
