@@ -75,8 +75,13 @@ object FilterTransform {
 /** `select` transform (reference `module/transform/SelectTransform`). */
 object SelectTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
-      inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    require(cfg.param("select").orElse(cfg.param("filter"))
+      .orElse(cfg.param("filters")).isDefined,
+      s"select module ${cfg.name} requires select " +
+        s"(got: ${cfg.params.names.mkString(", ")})")
     TransformCommon.finishRouted(TransformCommon.single(cfg, inputs), cfg)
+  }
 }
 
 /** `aggregation` transform (reference
@@ -560,6 +565,9 @@ object TokenizeTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     var df = TransformCommon.single(cfg, inputs)
+    require(cfg.params.arrOf("fields").nonEmpty,
+      s"tokenize module ${cfg.name} requires fields " +
+        s"(got: ${cfg.params.names.mkString(", ")})")
     cfg.params.arrOf("fields").foreach { f =>
       val in = f.str("field").orElse(f.str("input")).get
       val out = f.str("name").getOrElse(s"${in}_tokens")

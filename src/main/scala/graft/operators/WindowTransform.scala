@@ -28,6 +28,9 @@ object WindowTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     var df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
+    require(p.arrOf("fields").nonEmpty,
+      s"window module ${cfg.name} requires fields " +
+        s"(got: ${p.names.mkString(", ")})")
     val keys = p.strArr("groupFields")
     val orderField = p.str("orderField")
     val orderType: Option[DataType] =
