@@ -31,11 +31,13 @@ object Run {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-    // size the shuffle to the machine when the submitter didn't: the
-    // 200-partition default drowns local runs in tiny tasks (AQE
-    // coalesces, but the sort/exchange setup cost is real)
-    if (!new org.apache.spark.SparkConf()
-        .contains("spark.sql.shuffle.partitions"))
+    // size the shuffle to the machine for LOCAL runs when the
+    // submitter didn't: the 200-partition default drowns local runs
+    // in tiny tasks. Cluster submissions keep the Spark default —
+    // the driver's core count says nothing about cluster parallelism.
+    val submitted = new org.apache.spark.SparkConf()
+    if (!submitted.contains("spark.sql.shuffle.partitions") &&
+      submitted.get("spark.master", "").startsWith("local"))
       builder = builder.config("spark.sql.shuffle.partitions",
         Runtime.getRuntime.availableProcessors().toString)
     val spark = builder.getOrCreate()

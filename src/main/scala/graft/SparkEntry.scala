@@ -1154,7 +1154,8 @@ transforms:
         - {name: joined, func: concat, fields: [toks], delimiter: "|"}
 """),
 
-    // §2.8 set ops: intersect / except with SQL-standard bag semantics
+    // §2.8 set ops: intersect / except (DISTINCT set semantics, like
+    // SQL INTERSECT/EXCEPT without ALL)
     "q43_set_ops" -> pipe("out", """
 sources:
   - name: ev

@@ -84,7 +84,7 @@ object FilterCompiler {
   def leafPredicate(c: Column, dt: DataType, op: String,
       valueNode: JsonNode): Column = {
     val valueIsNull = valueNode == null || valueNode.isNull
-    val opNorm = op.trim.toLowerCase
+    val opNorm = op.trim.toLowerCase(java.util.Locale.ROOT)
 
     if (valueIsNull) return opNorm match {
       case "=" | "==" => c.isNull

@@ -32,7 +32,7 @@ object TextFunctions {
     val f = udf { (s: String) =>
       if (s == null) Seq.empty[String]
       else {
-        val toks = s.toLowerCase
+        val toks = s.toLowerCase(java.util.Locale.ROOT)
           .split("[^\\p{L}\\p{Nd}']+").filter(_.nonEmpty)
         if (toks.length < k) Seq(toks.mkString(" "))
         else (0 to toks.length - k)
@@ -50,7 +50,7 @@ object TextFunctions {
     val f = udf { (s: String) =>
       if (s == null) Seq.empty[String]
       else {
-        val t = s.toLowerCase
+        val t = s.toLowerCase(java.util.Locale.ROOT)
         if (t.length < n) Seq(t)
         else (0 to t.length - n).map(i => t.substring(i, i + n))
       }

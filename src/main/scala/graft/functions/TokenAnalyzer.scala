@@ -70,7 +70,7 @@ object TokenAnalyzer {
         s => tag.matcher(s).replaceAll("")
       case "NormalizeCharFilter" =>
         val form = java.text.Normalizer.Form.valueOf(
-          c.str("form").getOrElse("NFKC").toUpperCase)
+          c.str("form").getOrElse("NFKC").toUpperCase(java.util.Locale.ROOT))
         s => java.text.Normalizer.normalize(s, form)
       case other => throw new IllegalArgumentException(
         s"unsupported charFilter type: $other")
@@ -135,8 +135,8 @@ object TokenAnalyzer {
 
   private def tokenFilter(c: JsonNode): TokenFilter =
     c.str("type").getOrElse("") match {
-      case "LowerCaseFilter" => _.map(_.toLowerCase)
-      case "UpperCaseFilter" => _.map(_.toUpperCase)
+      case "LowerCaseFilter" => _.map(_.toLowerCase(java.util.Locale.ROOT))
+      case "UpperCaseFilter" => _.map(_.toUpperCase(java.util.Locale.ROOT))
       case "LengthFilter" =>
         val min = c.int("min").getOrElse(0)
         val max = c.int("max").getOrElse(Int.MaxValue)
@@ -145,8 +145,8 @@ object TokenAnalyzer {
         val words = c.strArr("words").toSet
         val ignoreCase = c.bool("ignoreCase").getOrElse(false)
         if (ignoreCase) {
-          val lower = words.map(_.toLowerCase)
-          ts => ts.filterNot(t => lower.contains(t.toLowerCase))
+          val lower = words.map(_.toLowerCase(java.util.Locale.ROOT))
+          ts => ts.filterNot(t => lower.contains(t.toLowerCase(java.util.Locale.ROOT)))
         } else _.filterNot(words.contains)
       case "KeepWordFilter" =>
         val words = c.strArr("words").toSet
@@ -230,7 +230,7 @@ object TokenAnalyzer {
 
     def stem(word: String): String = {
       if (word == null || word.length <= 2) return word
-      var w = word.toLowerCase
+      var w = word.toLowerCase(java.util.Locale.ROOT)
       // step 1a
       if (w.endsWith("sses")) w = w.dropRight(2)
       else if (w.endsWith("ies")) w = w.dropRight(2)

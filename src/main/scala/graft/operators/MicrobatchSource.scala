@@ -47,7 +47,7 @@ object MicrobatchSource {
     .replace("${__EVENT_DATETIME_ISO__}",
       java.time.Instant.ofEpochSecond(endEpochSecond).toString)
 
-  /** Ranges (pre, end] that became safe at the tick with timestamp
+  /** Ranges [pre, end) that became safe at the tick with timestamp
     * `tickEpochSecond` / value `tickValue` (both deterministic under
     * checkpoint replay). Range k (1-based) is
     * [start+(k-1)*interval, start+k*interval), safe once its end is

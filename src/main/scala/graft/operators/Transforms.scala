@@ -506,11 +506,16 @@ object DeserializeTransform {
       case "csv" =>
         val st = schema.getOrElse(
           throw new IllegalArgumentException("deserialize csv needs schema"))
+        // PERMISSIVE from_csv yields an all-null STRUCT (not null) for
+        // malformed lines, and outputField often equals field — detect
+        // failures via the corrupt-record column like the json branch
+        val st2 = st.add("_corrupt_record", StringType)
         df = df.withColumn(outField,
-            from_csv(col(field).cast(StringType), st,
-              Map.empty[String, String]))
-          .withColumn("__bad",
-            col(field).isNotNull && col(outField).isNull)
+            from_csv(col(field).cast(StringType), st2,
+              Map("mode" -> "PERMISSIVE",
+                "columnNameOfCorruptRecord" -> "_corrupt_record")))
+          .withColumn("__bad", col(s"$outField._corrupt_record").isNotNull)
+          .withColumn(outField, col(outField).dropFields("_corrupt_record"))
       case other =>
         throw new IllegalArgumentException(s"deserialize format: $other")
     }

@@ -57,7 +57,7 @@ object BytesCodec {
     else new String(v, java.nio.charset.StandardCharsets.UTF_8))
 
   def decode(c: Column, typeName: String): Column =
-    typeName.toLowerCase match {
+    typeName.toLowerCase(java.util.Locale.ROOT) match {
       case "int64" | "long" => decLong(c)
       case "int32" | "int" | "integer" => decInt(c)
       case "float64" | "double" => decDouble(c)

@@ -45,7 +45,7 @@ object HttpFunctions {
         timeoutMillis: Int): Resp = {
       var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMillis.toLong))
-        .method(method.toUpperCase,
+        .method(method.toUpperCase(java.util.Locale.ROOT),
           java.net.http.HttpRequest.BodyPublishers.ofString(
             if (body == null) "" else body))
       headers.foreach { case (k, v) => b = b.header(k, v) }

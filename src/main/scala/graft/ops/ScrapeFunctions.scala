@@ -53,7 +53,7 @@ object ScrapeFunctions {
     val m = open.matcher(html)
     val out = Seq.newBuilder[(String, String)]
     while (m.find()) {
-      val tag = m.group(1).toLowerCase
+      val tag = m.group(1).toLowerCase(java.util.Locale.ROOT)
       val attrs = m.group(2)
       val matches =
         sel.id.forall(i => attrValue(attrs, "id").contains(i)) &&

@@ -332,7 +332,7 @@ object SelectCompiler {
       case Some(s) => concat(input, lit(s))
       case None => input
     }
-    val algo = sel.str("algorithm").getOrElse("SHA-256").toUpperCase
+    val algo = sel.str("algorithm").getOrElse("SHA-256").toUpperCase(java.util.Locale.ROOT)
     val hashed = algo match {
       case "MD5" => md5(salted.cast(BinaryType))
       case "SHA-1" | "SHA1" => sha1(salted.cast(BinaryType))

@@ -20,7 +20,7 @@ object SchemaMapper {
   }
 
   def baseType(typeName: String, node: JsonNode): DataType =
-    typeName.toLowerCase match {
+    typeName.toLowerCase(java.util.Locale.ROOT) match {
       case "bool" | "boolean" => BooleanType
       case "string" | "json" | "geography" => StringType
       case "bytes" => BinaryType
@@ -55,7 +55,7 @@ object SchemaMapper {
   def toStructField(node: JsonNode): StructField = {
     val name = node.str("name").getOrElse(
       throw new IllegalArgumentException(s"field requires name: $node"))
-    val mode = node.str("mode").getOrElse("nullable").toLowerCase
+    val mode = node.str("mode").getOrElse("nullable").toLowerCase(java.util.Locale.ROOT)
     val base = toDataType(node)
     mode match {
       case "repeated" => StructField(name, ArrayType(base), nullable = true)

@@ -341,6 +341,42 @@ class ModulesSpec extends AnyFunSuite {
       == Set(2L))
   }
 
+  test("deserialize csv dead-letter: malformed lines route via corrupt record") {
+    val config = """
+      |sources:
+      |  - name: raw
+      |    module: create
+      |    parameters:
+      |      elements:
+      |        [{"id": 1, "line": "7,ok,1.5"},
+      |         {"id": 2, "line": "oops"},
+      |         {"id": 3, "line": "9,fine,2.25"}]
+      |      schema:
+      |        fields:
+      |          - {name: id, type: int64}
+      |          - {name: line, type: string}
+      |transforms:
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [raw]
+      |    parameters:
+      |      field: line
+      |      format: csv
+      |      flatten: true
+      |      schema:
+      |        fields:
+      |          - {name: k, type: int64}
+      |          - {name: s, type: string}
+      |          - {name: v, type: float64}
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    // outputField defaults to the input field: the all-null-struct
+    // PERMISSIVE result must still be detected as malformed
+    assert(dfs("de").select("k").as[Long].collect().toSet == Set(7L, 9L))
+    assert(dfs("de.failures").select("id").as[Long].collect().toSet
+      == Set(2L))
+  }
+
   test("set module: intersect and except") {
     val config = """
       |sources:
