@@ -197,8 +197,16 @@ object UnionTransform {
       df.withColumn("__source_index", lit(i))
         .withColumn("__source_name", lit(n))
     }
-    val unioned = withIdx.reduceLeft(
+    var unioned = withIdx.reduceLeft(
       _.unionByName(_, allowMissingColumns = true))
+    // keyed union (Union.java:234-326 UnionWithKey): a group key built
+    // from commonFields rides along for downstream keyed stages
+    val keyFields = cfg.params.strArr("keyFields") ++
+      cfg.params.strArr("commonFields")
+    if (keyFields.nonEmpty)
+      unioned = unioned.withColumn("__union_key",
+        concat_ws("", keyFields.map(f =>
+          col(f).cast(StringType)): _*))
     TransformCommon.finishRouted(unioned, cfg)
   }
 }

@@ -377,6 +377,17 @@ class ModulesSpec extends AnyFunSuite {
       == Set(2L))
   }
 
+  test("union keyed mode attaches the commonFields group key") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((2, "y")).toDF("k", "v")
+    val dfs = Pipeline.transforms("union")(spark,
+      Pipeline.ModuleCfg("u", "union", Seq("a", "b"), Nil,
+        graft.config.Json.parse("""{"commonFields": ["k", "v"]}"""),
+        graft.config.Json.obj()), Map("a" -> a, "b" -> b))
+    val keys = dfs("u").select("__union_key").as[String].collect().toSet
+    assert(keys == Set("1x", "2y"))
+  }
+
   test("set module: intersect and except") {
     val config = """
       |sources:
