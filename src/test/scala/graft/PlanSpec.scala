@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard for the scale-critical properties:
+  * pushdown, pruning, and the absence of single-partition funnels.
+  * These are the 100 TB posture invariants — a change that silently
+  * loses one of them passes every row-level test while becoming a
+  * cluster bottleneck. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q2 filter tree pushes predicates into the parquet scan") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters: ["), "no pushdown block in scan")
+    assert(!p.contains("PushedFilters: []"), "empty pushdown")
+  }
+
+  test("q1 scan is pruned to the referenced columns") {
+    val p = plan("q1_pricing")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 4 columns used: quantity, returnflag, linestatus, shipdate
+    assert(read.contains("l_quantity") && read.contains("l_shipdate"))
+    assert(!read.contains("l_extendedprice"),
+      "scan reads columns the query never touches")
+    // map-side combine before the exchange
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no partial aggregation below the shuffle")
+  }
+
+  test("q23 similarity top-k has no per-query Window funnel") {
+    val p = plan("q23_knn")
+    assert(!p.contains("Window"),
+      "similarity ranking regressed to a single-partition-per-query " +
+        "window sort")
+    assert(p.contains("Aggregate"), "expected partial top-k aggregate")
+  }
+
+  test("q14 exact dedup aggregates narrow keys, not full-width rows") {
+    val p = plan("q14_dedup_exact")
+    // the aggregate side carries only (fingerprint, min id)
+    assert(p.contains("xxhash64"))
+    assert(p.contains("partial_min") || p.contains("min("),
+      "missing map-side min combine")
+  }
+}
