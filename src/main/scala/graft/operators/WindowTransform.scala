@@ -28,10 +28,15 @@ object WindowTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     var df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
-    require(p.arrOf("fields").nonEmpty,
+    // the deprecated `processing` alias declares per-stage `steps`
+    // (ProcessingTransform.java:47-139); flatten them into fields
+    val fields = p.arrOf("fields") ++
+      p.arrOf("stages").flatMap(_.arrOf("steps"))
+    require(fields.nonEmpty,
       s"window module ${cfg.name} requires fields " +
         s"(got: ${p.names.mkString(", ")})")
-    val keys = p.strArr("groupFields")
+    val keys = p.strArr("groupFields") ++
+      p.arrOf("stages").flatMap(_.strArr("groupFields"))
     val orderField = p.str("orderField")
     val orderType: Option[DataType] =
       orderField.flatMap(f => df.schema.find(_.name == f).map(_.dataType))
@@ -45,7 +50,7 @@ object WindowTransform {
       if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
       else Window.partitionBy().orderBy(orderCol)
 
-    p.arrOf("fields").foreach { f =>
+    fields.foreach { f =>
       val name = f.str("name").getOrElse(
         throw new IllegalArgumentException("window field requires name"))
       df = df.withColumn(name,
@@ -91,9 +96,11 @@ object WindowTransform {
   private def compileField(f: com.fasterxml.jackson.databind.JsonNode,
       schema: StructType, baseW: WindowSpec, orderCol: Column,
       orderType: Option[DataType]): Column = {
-    val func = f.str("func").orElse(f.str("op")).getOrElse(
-      if (f("expression").isDefined) "expression" else "lag")
-    def in: Column = col(f.str("field").getOrElse(f.str("name").get))
+    // `type`/`input` are the processing-steps spellings
+    val func = f.str("func").orElse(f.str("op")).orElse(f.str("type"))
+      .getOrElse(if (f("expression").isDefined) "expression" else "lag")
+    def in: Column = col(f.str("field").orElse(f.str("input"))
+      .getOrElse(f.str("name").get))
     val w = frame(f, baseW, orderCol, orderType)
     func match {
       case "lag" => lag(in, f.int("offset").getOrElse(1)).over(baseW)

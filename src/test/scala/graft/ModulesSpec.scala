@@ -377,6 +377,23 @@ class ModulesSpec extends AnyFunSuite {
       == Set(2L))
   }
 
+  test("processing alias accepts reference stages/steps config shape") {
+    val rows = Seq(("k", 1L, 2.0), ("k", 2L, 5.0), ("k", 3L, 8.0))
+      .toDF("k", "t", "v")
+    val dfs = Pipeline.transforms("processing")(spark,
+      Pipeline.ModuleCfg("p", "processing", Seq("in"), Nil,
+        graft.config.Json.parse("""{
+          "orderField": "t",
+          "stages": [{"groupFields": ["k"], "steps": [
+            {"name": "running", "type": "sum", "input": "v"},
+            {"name": "prev", "type": "lag", "input": "v"}]}]}"""),
+        graft.config.Json.obj()), Map("in" -> rows))
+    val out = dfs("p").orderBy("t").collect()
+    assert(out.map(_.getAs[Double]("running")).toSeq ==
+      Seq(2.0, 7.0, 15.0))
+    assert(out.last.getAs[Double]("prev") == 5.0)
+  }
+
   test("union keyed mode attaches the commonFields group key") {
     val a = Seq((1, "x")).toDF("k", "v")
     val b = Seq((2, "y")).toDF("k", "v")
