@@ -81,8 +81,19 @@ object HttpSource {
           .select(col("__r.*"))
       }
 
-    val called = requestRows.withColumn("__http",
+    // Both <name> and <name>.failures derive from this one
+    // nondeterministic call column. Persist the batch frame so a
+    // pipeline consuming both outputs (two Spark actions) doesn't
+    // re-fire every request — and so a row can't flip between
+    // main/failures across executions. Lazy: materialized on the
+    // first action, reused by the second. Streaming polls can't
+    // persist; there, consuming both outputs means two independent
+    // streaming queries each issuing the requests (documented caveat,
+    // same as the http transform).
+    val calledRaw = requestRows.withColumn("__http",
       callUdf(col("endpoint"), col("method"), col("headers"), col("body")))
+    val called =
+      if (calledRaw.isStreaming) calledRaw else calledRaw.persist()
     val bodyOut: Column = format match {
       case "bytes" => col("__http.body")
       case "json" =>

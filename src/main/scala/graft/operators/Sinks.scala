@@ -127,17 +127,33 @@ object TextSink {
     if (TemplateCompiler.referencedFields(out).nonEmpty) {
       val pathCol = TemplateCompiler.compile(out, df.schema)
       val charset = p.str("charset").getOrElse("UTF-8")
+      // repartition by rendered path: rows sharing a path colocate,
+      // so clobbering collisions are detected exactly (otherwise two
+      // records racing across partitions overwrite each other with a
+      // nondeterministic winner). FileSystem handles are resolved per
+      // scheme+authority, not reused across schemes.
       df.select(pathCol.cast(StringType).as("__path"),
           body.cast(StringType).as("__body"))
+        .repartition(col("__path"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           val conf = new org.apache.hadoop.conf.Configuration()
-          var fs: org.apache.hadoop.fs.FileSystem = null
+          val fsCache = scala.collection.mutable.Map
+            .empty[String, org.apache.hadoop.fs.FileSystem]
+          val seen = scala.collection.mutable.Set.empty[String]
           rows.foreach { r =>
-            val path = new org.apache.hadoop.fs.Path(r.getString(0))
-            if (fs == null) {
-              fs = path.getFileSystem(conf)
-              fs.setWriteChecksum(false) // no .crc sidecars per record
-            }
+            val pathStr = r.getString(0)
+            if (!seen.add(pathStr))
+              throw new IllegalStateException(
+                s"text sink: multiple records render the same path " +
+                  s"$pathStr — make the path template unique per record")
+            val path = new org.apache.hadoop.fs.Path(pathStr)
+            val uri = path.toUri
+            val fsKey = s"${uri.getScheme}://${uri.getAuthority}"
+            val fs = fsCache.getOrElseUpdate(fsKey, {
+              val f = path.getFileSystem(conf)
+              f.setWriteChecksum(false) // no .crc sidecars per record
+              f
+            })
             val os = fs.create(path, true)
             try os.write(r.getString(1).getBytes(charset))
             finally os.close()

@@ -200,13 +200,16 @@ object UnionTransform {
     var unioned = withIdx.reduceLeft(
       _.unionByName(_, allowMissingColumns = true))
     // keyed union (Union.java:234-326 UnionWithKey): a group key built
-    // from commonFields rides along for downstream keyed stages
+    // from commonFields rides along for downstream keyed stages.
+    // Joined with '#' like the reference SchemaUtil.createGroupKeysFunction,
+    // nulls coalesced to "" so field positions survive: concat_ws
+    // silently drops nulls (colliding ("a",null,"b") with ("a","b")).
     val keyFields = cfg.params.strArr("keyFields") ++
       cfg.params.strArr("commonFields")
     if (keyFields.nonEmpty)
       unioned = unioned.withColumn("__union_key",
-        concat_ws("", keyFields.map(f =>
-          col(f).cast(StringType)): _*))
+        concat_ws("#", keyFields.map(f =>
+          coalesce(col(f).cast(StringType), lit(""))): _*))
     TransformCommon.finishRouted(unioned, cfg)
   }
 }
@@ -362,7 +365,8 @@ object LimitTransform {
     val orderFields = p.str("orderField").toSeq ++ p.strArr("orderFields")
     // default ascending = reference Limit.java first-N semantics;
     // `order: descending` gives latest-N/top-k
-    val asc = p.str("order").forall(o => o.startsWith("asc"))
+    val asc = p.str("order").forall(o =>
+      o.toLowerCase(java.util.Locale.ROOT).startsWith("asc"))
     p.str("outputStartAt").foreach { at =>
       val ts = orderFields.headOption.map(col)
         .getOrElse(col("__event_time"))

@@ -29,32 +29,43 @@ object WindowTransform {
     var df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     // the deprecated `processing` alias declares per-stage `steps`
-    // (ProcessingTransform.java:47-139); flatten them into fields
-    val fields = p.arrOf("fields") ++
-      p.arrOf("stages").flatMap(_.arrOf("steps"))
-    require(fields.nonEmpty,
+    // (ProcessingTransform.java:47-139), executed SEQUENTIALLY, each
+    // stage over its OWN groupFields (falling back to the top-level
+    // ones). Merging all stages into one window spec would silently
+    // compute different results when stages disagree on keys.
+    val topFields = p.arrOf("fields")
+    val stages = p.arrOf("stages")
+    require(topFields.nonEmpty || stages.nonEmpty,
       s"window module ${cfg.name} requires fields " +
         s"(got: ${p.names.mkString(", ")})")
-    val keys = p.strArr("groupFields") ++
-      p.arrOf("stages").flatMap(_.strArr("groupFields"))
+    val stageList: Seq[(Seq[String], Seq[com.fasterxml.jackson.databind.JsonNode])] =
+      (if (topFields.nonEmpty) Seq((p.strArr("groupFields"), topFields))
+       else Nil) ++
+        stages.map { s =>
+          val sk = s.strArr("groupFields")
+          (if (sk.nonEmpty) sk else p.strArr("groupFields"),
+            s.arrOf("steps"))
+        }
     val orderField = p.str("orderField")
-    val orderType: Option[DataType] =
-      orderField.flatMap(f => df.schema.find(_.name == f).map(_.dataType))
-        .orElse(if (df.columns.contains("__event_time"))
-          df.schema.find(_.name == "__event_time").map(_.dataType)
-        else None)
-    val orderCol: Column = orderField.map(col).getOrElse(
-      if (df.columns.contains("__event_time")) col("__event_time")
-      else monotonically_increasing_id())
-    val baseW =
-      if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
-      else Window.partitionBy().orderBy(orderCol)
-
-    fields.foreach { f =>
-      val name = f.str("name").getOrElse(
-        throw new IllegalArgumentException("window field requires name"))
-      df = df.withColumn(name,
-        compileField(f, df.schema, baseW, orderCol, orderType))
+    stageList.foreach { case (keys, fields) =>
+      val orderType: Option[DataType] =
+        orderField.flatMap(f => df.schema.find(_.name == f).map(_.dataType))
+          .orElse(if (df.columns.contains("__event_time"))
+            df.schema.find(_.name == "__event_time").map(_.dataType)
+          else None)
+      val orderCol: Column = orderField.map(col).getOrElse(
+        if (df.columns.contains("__event_time")) col("__event_time")
+        else monotonically_increasing_id())
+      val baseW =
+        if (keys.nonEmpty)
+          Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+        else Window.partitionBy().orderBy(orderCol)
+      fields.foreach { f =>
+        val name = f.str("name").getOrElse(
+          throw new IllegalArgumentException("window field requires name"))
+        df = df.withColumn(name,
+          compileField(f, df.schema, baseW, orderCol, orderType))
+      }
     }
     TransformCommon.finishRouted(df, cfg)
   }

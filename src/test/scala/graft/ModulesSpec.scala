@@ -402,7 +402,56 @@ class ModulesSpec extends AnyFunSuite {
         graft.config.Json.parse("""{"commonFields": ["k", "v"]}"""),
         graft.config.Json.obj()), Map("a" -> a, "b" -> b))
     val keys = dfs("u").select("__union_key").as[String].collect().toSet
-    assert(keys == Set("1x", "2y"))
+    assert(keys == Set("1#x", "2#y"))
+  }
+
+  test("union key keeps null field positions; no prefix collisions") {
+    val a = Seq(("a", Option.empty[String], Some("b")),
+      ("a", Some("b"), Option.empty[String])).toDF("x", "y", "z")
+    val dfs = Pipeline.transforms("union")(spark,
+      Pipeline.ModuleCfg("u", "union", Seq("a"), Nil,
+        graft.config.Json.parse("""{"commonFields": ["x", "y", "z"]}"""),
+        graft.config.Json.obj()), Map("a" -> a))
+    val keys = dfs("u").select("__union_key").as[String].collect().toSet
+    // null fields coalesce to "" but keep their slot: the two rows
+    // must produce DISTINCT keys
+    assert(keys == Set("a##b", "a#b#"))
+  }
+
+  test("processing: multiple stages run sequentially over their own keys") {
+    val rows = Seq(
+      ("g1", "h1", 1L, 1.0), ("g1", "h2", 2L, 2.0),
+      ("g2", "h1", 3L, 4.0), ("g2", "h2", 4L, 8.0))
+      .toDF("g", "h", "t", "v")
+    val dfs = Pipeline.transforms("processing")(spark,
+      Pipeline.ModuleCfg("p", "processing", Seq("in"), Nil,
+        graft.config.Json.parse("""{
+          "orderField": "t",
+          "stages": [
+            {"groupFields": ["g"], "steps": [
+              {"name": "sum_g", "type": "sum", "input": "v"}]},
+            {"groupFields": ["h"], "steps": [
+              {"name": "sum_h", "type": "sum", "input": "sum_g"}]}]}"""),
+        graft.config.Json.obj()), Map("in" -> rows))
+    val out = dfs("p").orderBy("t").collect()
+    // stage 1 partitions by g: running sums 1,3 | 4,12
+    assert(out.map(_.getAs[Double]("sum_g")).toSeq ==
+      Seq(1.0, 3.0, 4.0, 12.0))
+    // stage 2 partitions by h over stage-1 output: h1→1,5; h2→3,15
+    assert(out.map(_.getAs[Double]("sum_h")).toSeq ==
+      Seq(1.0, 3.0, 5.0, 15.0))
+  }
+
+  test("limit: order parsing is case-insensitive") {
+    val rows = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v")
+    def run(order: String) = Pipeline.transforms("limit")(spark,
+      Pipeline.ModuleCfg("l", "limit", Seq("in"), Nil,
+        graft.config.Json.parse(
+          s"""{"count": 1, "orderField": "v", "order": "$order"}"""),
+        graft.config.Json.obj()), Map("in" -> rows))("l")
+      .select("id").as[Int].collect().toSeq
+    assert(run("ASCENDING") == Seq(1))
+    assert(run("Descending") == Seq(3))
   }
 
   test("set module: intersect and except") {

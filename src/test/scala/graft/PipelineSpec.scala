@@ -278,4 +278,20 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "user-2.txt")), "UTF-8")
     assert(c == "hello bob (#2)")
   }
+
+  test("text sink: colliding rendered paths fail instead of clobbering") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textsinkc").toString
+    val rows = Seq((1, "alice"), (1, "bob")).toDF("id", "name")
+    val cfg = Pipeline.ModuleCfg("t", "text", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"output": """" + dir + """/user-${id}.txt",
+           "template": "${name}"}"""),
+      graft.config.Json.obj())
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.TextSink.write(cfg, rows)
+    }
+    assert(e.getMessage.contains("render the same path") ||
+      Option(e.getCause).exists(_.getMessage.contains("render the same path")))
+  }
 }
