@@ -59,9 +59,91 @@ object TextFunctions {
   }
 
   // NOTE: signature computation deliberately has NO nested-HOF form
-  // here — see DedupTransform.minhashSignatures/simhashSignatures for
-  // the explode → codegen'd hash → groupBy formulation and the
-  // CollapseProject-into-lambda re-evaluation hazard it avoids.
+  // here — HOF lambdas are interpreted and CollapseProject re-inlines
+  // upstream expressions per array element. Whole-signature tight-loop
+  // UDFs below do the entire doc → signature computation in one JVM
+  // pass: no explode, no wide aggregate, ZERO shuffle — strictly
+  // map-side at any scale (the previous explode → groupBy form
+  // shuffled one (id, hash) row per shingle and compiled a 32-column
+  // min-aggregate class).
+
+  private def xxh64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
+  }
+
+  private def wordTokens(s: String): Array[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{Nd}']+").filter(_.nonEmpty)
+
+  /** MinHash signature over word k-shingles in one pass: each shingle
+    * is hashed once (xxh64), then mixed through m affine permutations
+    * h·a+b while tracking the per-permutation minimum. Null text →
+    * null signature (excluded from banding downstream). */
+  def minhashSigUdf(k: Int, m: Int,
+      charGrams: Boolean = false): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rnd = new scala.util.Random(0x5eed)
+    val coeffs = Array.fill(m)((rnd.nextLong() | 1L, rnd.nextLong()))
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val pieces: Array[String] =
+          if (charGrams) {
+            val t = s.toLowerCase(java.util.Locale.ROOT)
+            if (t.length < k) Array(t)
+            else Array.tabulate(t.length - k + 1)(i => t.substring(i, i + k))
+          } else {
+            val toks = wordTokens(s)
+            if (toks.length < k) Array(toks.mkString(" "))
+            else Array.tabulate(toks.length - k + 1)(i =>
+              toks.slice(i, i + k).mkString(" "))
+          }
+        val mins = Array.fill(m)(Long.MaxValue)
+        var i = 0
+        while (i < pieces.length) {
+          val h = xxh64(pieces(i))
+          var p = 0
+          while (p < m) {
+            val v = h * coeffs(p)._1 + coeffs(p)._2
+            if (v < mins(p)) mins(p) = v
+            p += 1
+          }
+          i += 1
+        }
+        mins.toSeq
+      }
+    }
+  }
+
+  /** 64-bit SimHash over word tokens in one pass: per-token hash,
+    * 64 bit votes, sign → bit. Null text → null. */
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val votes = new Array[Int](64)
+        val toks = wordTokens(s)
+        var i = 0
+        while (i < toks.length) {
+          val h = xxh64(toks(i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          i += 1
+        }
+        var sh = 0L
+        var b = 0
+        while (b < 64) {
+          if (votes(b) > 0) sh |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(sh)
+      }
+    }
 
   /** LSH band keys: split an m-length signature into `bands` bands of
     * m/bands rows, each hashed to one long. Docs sharing any band key

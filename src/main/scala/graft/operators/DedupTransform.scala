@@ -58,18 +58,20 @@ object DedupTransform {
     val out = method match {
       case "exact" => exact(df, textField, idField)
       case "minhash" =>
-        val m = p.int("numPermutations").getOrElse(64)
-        val bands = p.int("bands").getOrElse(16)
+        // default m=32, bands=8 keeps r=4 rows per band (the same
+        // per-band precision sim^4 as 64/16) at half the signature
+        // compute; detection prob for sim 0.9 is still 1-(1-0.9^4)^8
+        // ≈ 0.9998
+        val m = p.int("numPermutations").getOrElse(32)
+        val bands = p.int("bands").getOrElse(8)
         val k = p.int("shingleSize").getOrElse(3)
-        val sig = minhashSignatures(
-          df.select(col(idField).as("__id"),
-            explode(shingles(col(textField), k)).as("__piece")), m)
+        val sig = df.select(col(idField).as("__id"),
+          minhashSigUdf(k, m)(col(textField)).as("__sig"))
         lshDedup(df, idField, bandsFromSig(sig, m, bands))
       case "simhash" =>
         val bands = p.int("bands").getOrElse(4)
-        val sig = simhashSignatures(
-          df.select(col(idField).as("__id"),
-            explode(tokens(col(textField))).as("__piece")))
+        val sig = df.select(col(idField).as("__id"),
+          simhashUdf(col(textField)).as("__sh"))
         lshDedup(df, idField, sig.select(col("__id"),
           posexplode(simhashBands(col("__sh"), bands))
             .as(Seq("__band_idx", "__band_hash"))))
@@ -94,6 +96,8 @@ object DedupTransform {
     TransformCommon.finishRouted(kept, cfg)
   }
 
+  private def widen(df: DataFrame): DataFrame = TransformCommon.widen(df)
+
   /** Exact dedup: min id per normalized-content hash. groupBy + join
     * back rather than a Window: the aggregate side is only
     * (fingerprint, min_id) — partially aggregated map-side and
@@ -109,56 +113,33 @@ object DedupTransform {
       .drop("__fp", "__min_id")
   }
 
-  /** (id, piece) rows → (id, sig: array of m per-permutation minima).
-    * All codegen'd, and the piece string is hashed ONCE: the m
-    * permutations are affine mixes h·a_s + b_s over the base
-    * xxhash64 (the standard universal-hash MinHash family) instead of
-    * m independent string hashes — string hashing dominates at
-    * 32–64 permutations over millions of exploded grams (measured
-    * ~2× on the sf0.1 ngram bench). m partial-min aggregates; the
-    * shuffle carries one m-long array per doc. */
-  def minhashSignatures(pieces: DataFrame, m: Int): DataFrame = {
-    val rnd = new scala.util.Random(0x5eed)
-    val coeffs = (0 until m).map(_ => (rnd.nextLong() | 1L, rnd.nextLong()))
-    val h = xxhash64(col("__piece"))
-    val withH = pieces.select(col("__id"), h.as("__h"))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), s) =>
-      min(col("__h") * lit(a) + lit(b)).as(s"__m$s") }
-    withH.groupBy("__id").agg(mins.head, mins.tail: _*)
-      .select(col("__id"),
-        array((0 until m).map(s => col(s"__m$s")): _*).as("__sig"))
-  }
-
   /** (id, sig) → exploded (id, band_idx, band_hash). sig is a real
-    * aggregate-output attribute here, so the band lambda only touches
-    * an attr (no recompute hazard). */
+    * attribute here, so the band lambda only touches an attr (no
+    * recompute hazard). Signatures themselves come from the one-pass
+    * tight-loop UDFs in TextFunctions (`minhashSigUdf`/`simhashUdf`):
+    * doc → signature with zero shuffle, vs the earlier explode →
+    * groupBy form that shuffled one (id, hash) row per shingle and
+    * compiled a 32-column min-aggregate class per plan. */
   def bandsFromSig(sig: DataFrame, m: Int, bands: Int): DataFrame =
     sig.select(col("__id"),
       posexplode(lshBands(col("__sig"), m, bands))
         .as(Seq("__band_idx", "__band_hash")))
 
-  /** (id, token) rows → (id, __sh: 64-bit simhash). 64 codegen'd
-    * conditional sums (bit votes), sign → bit, OR-fold. */
-  def simhashSignatures(toks: DataFrame): DataFrame = {
-    val h = xxhash64(col("__piece"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"__v$b"))
-    toks.groupBy("__id").agg(votes.head, votes.tail: _*)
-      .select(col("__id"),
-        (0 until 64).map(b =>
-          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, c) => a.bitwiseOR(c)).as("__sh"))
-  }
-
   /** Flag docs sharing any band bucket with a smaller id.
-    * `bandRows` = (__id, __band_idx, __band_hash). */
+    * `bandRows` = (__id, __band_idx, __band_hash).
+    *
+    * Bucket minima come from a window over the band bucket, NOT a
+    * groupBy + join back: the join form computes the whole signature
+    * pipeline (explode → hash → aggregate) TWICE — once for the
+    * bucket-min aggregate and once for the probe side (measured ~2×
+    * on the sf0.1 bench). The window shuffles the narrow band rows
+    * (3 longs) exactly once; it is partitioned by bucket, whose
+    * cardinality grows with the corpus, so there is no funnel. */
   private def lshDedup(df: DataFrame, idField: String,
       bandRows: DataFrame): DataFrame = {
-    val bucketMin = bandRows
-      .groupBy("__band_idx", "__band_hash")
-      .agg(min("__id").as("__bucket_min"))
-    val dupMap = bandRows.join(bucketMin, Seq("__band_idx", "__band_hash"))
+    val dupMap = bandRows
+      .withColumn("__bucket_min", min("__id").over(
+        Window.partitionBy("__band_idx", "__band_hash")))
       .filter(col("__id") > col("__bucket_min"))
       .groupBy(col("__id"))
       .agg(min("__bucket_min").as("__dup_of"))
@@ -177,20 +158,53 @@ object DedupTransform {
     // produced 64k candidate pairs from 5k docs and verification
     // dominated the runtime)
     val m = 32; val bands = 8
-    val withG = df.select(col(idField).as("__id"),
-      array_distinct(charNgrams(col(textField), n)).as("__g"))
-    val sig = minhashSignatures(
-      withG.select(col("__id"), explode(col("__g")).as("__piece")), m)
+    val slim = widen(df.select(col(idField).as("__id"),
+      col(textField).as("__t")))
+    val sig = slim.select(col("__id"),
+      minhashSigUdf(n, m, charGrams = true)(col("__t")).as("__sig"))
     val bandRows = bandsFromSig(sig, m, bands)
-    val bucketRep = bandRows
-      .groupBy("__band_idx", "__band_hash")
-      .agg(min("__id").as("__rep_id"))
-    val candidates = bandRows.join(bucketRep, Seq("__band_idx", "__band_hash"))
+    // Bucket representative via a window over the band bucket (not
+    // groupBy + join back) so the signature pipeline is computed once
+    // — see lshDedup. Persisted: candidates feed three subtrees (the
+    // id set for gram extraction + both sides of the verify join);
+    // without the cache the signature pipeline would be recomputed
+    // per subtree. Two longs per candidate pair — trivially cacheable
+    // even when the corpus is not. Duplicate pairs from multi-band
+    // collisions are NOT distinct()'d away: the extra Jaccard
+    // evaluations are cheaper than another full shuffle, and the
+    // final groupBy collapses them.
+    val candidates = bandRows
+      .withColumn("__rep_id", min("__id").over(
+        Window.partitionBy("__band_idx", "__band_hash")))
       .filter(col("__id") > col("__rep_id"))
-      .select("__id", "__rep_id").distinct()
-    val gL = withG.select(col("__id"), col("__g"))
-    val gR = withG.select(col("__id").as("__rep_id"), col("__g").as("__g_rep"))
-    val verified = candidates.join(gL, "__id").join(gR, "__rep_id")
+      .select("__id", "__rep_id").persist()
+    // verification grams are computed only for candidate-pair members
+    // (semi-join on the candidate id set — which also dedups it), NOT
+    // for the whole corpus: the full-corpus gram frame would either
+    // be recomputed per join side or need a corpus-sized cache at
+    // 100 TB. The candidate gram frame is bounded by the (much
+    // smaller) candidate count, so persisting it for the two-sided
+    // join is cheap.
+    // materializing the (persisted) candidate cache now costs nothing
+    // extra and yields an EXACT size for the broadcast decision below
+    // — a plan-time broadcast hint would OOM on a pathological corpus
+    // where most docs collide (the unconditional-broadcast trap).
+    val nCand = candidates.count()
+    val candIds = candidates
+      .select(explode(array(col("__id"), col("__rep_id"))).as("__cid"))
+    val candGrams = slim
+      .join(candIds, col("__id") === candIds("__cid"), "left_semi")
+      .select(col("__id").as("__cid"),
+        array_distinct(charNgrams(col("__t"), n)).as("__cg"))
+      .persist()
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (nCand <= 200000) d => broadcast(d) else d => d
+    val verified = candidates
+      .join(maybeBroadcast(candGrams
+        .select(col("__cid").as("__id"), col("__cg").as("__g"))), "__id")
+      .join(maybeBroadcast(candGrams
+        .select(col("__cid").as("__rep_id"),
+          col("__cg").as("__g_rep"))), "__rep_id")
       .filter(jaccard(col("__g"), col("__g_rep")) >= threshold)
       .groupBy(col("__id"))
       .agg(min("__rep_id").as("__dup_of"))
@@ -206,9 +220,13 @@ object DedupTransform {
       col(embField).as("__emb"))
       .withColumn("__bucket",
         hyperplaneBucket(col("__emb"), dim, planes, seed = 42L))
-    val rep = slim.groupBy("__bucket")
-      .agg(min_by(struct(col("__id"), col("__emb")), col("__id")).as("__rep"))
-    val dupMap = slim.join(rep, Seq("__bucket"))
+    // per-bucket representative via a window (not groupBy + join
+    // back): the join form runs the hyperplane-projection UDF over
+    // the corpus twice. One shuffle on the bucket key; bucket
+    // cardinality grows with the corpus, so no funnel.
+    val dupMap = slim
+      .withColumn("__rep", min_by(struct(col("__id"), col("__emb")),
+        col("__id")).over(Window.partitionBy("__bucket")))
       .filter(col("__id") > col("__rep.__id"))
       .filter(cosine(col("__emb"), col("__rep.__emb")) >= threshold)
       .groupBy(col("__id"))

@@ -28,6 +28,18 @@ object TransformCommon {
     inputs(cfg.inputs.head)
   }
 
+  /** Raise map-side parallelism when a batch input arrives in fewer
+    * partitions than the cluster has cores — e.g. one small parquet
+    * file is one split, which would serialize per-row CPU work
+    * (UDFs, from_json, signature hashing) onto a single task. No-op
+    * at scale, where a scan already carries far more splits than
+    * cores, and on streaming frames. */
+  def widen(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** §2.11 routed variant of `finish` (reference `module/MErrorHandler`
     * breadth): with `outputFailure: true`, rows whose select steps
     * error (lossy cast / typed expression / bytes_decode nulling out a
