@@ -96,8 +96,6 @@ object DedupTransform {
     TransformCommon.finishRouted(kept, cfg)
   }
 
-  private def widen(df: DataFrame): DataFrame = TransformCommon.widen(df)
-
   /** Exact dedup: min id per normalized-content hash. groupBy + join
     * back rather than a Window: the aggregate side is only
     * (fingerprint, min_id) — partially aggregated map-side and
@@ -158,8 +156,8 @@ object DedupTransform {
     // produced 64k candidate pairs from 5k docs and verification
     // dominated the runtime)
     val m = 32; val bands = 8
-    val slim = widen(df.select(col(idField).as("__id"),
-      col(textField).as("__t")))
+    val slim = df.select(col(idField).as("__id"),
+      col(textField).as("__t"))
     val sig = slim.select(col("__id"),
       minhashSigUdf(n, m, charGrams = true)(col("__t")).as("__sig"))
     val bandRows = bandsFromSig(sig, m, bands)

@@ -77,7 +77,10 @@ object MultimodalTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    var df = TransformCommon.single(cfg, inputs)
+    // codec work is pure per-row CPU (decode/resize/embed): spread it
+    // across cores when the input arrives under-partitioned — e.g. a
+    // single small parquet split (no-op at scale / on streams)
+    var df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
     cfg.params.arrOf("ops").foreach { o =>
       val op = o.str("op").getOrElse("decode")
       val field = o.str("field").getOrElse("content")
