@@ -128,6 +128,25 @@ object Pipeline {
     val all = modCfgs("sources") ++ modCfgs("transforms") ++
       modCfgs("sinks")
 
+    // nearest-ancestor strategy block for each module: the reference
+    // declares windowing/trigger/accumulation strategy on the
+    // windowing TRANSFORM, while Structured Streaming applies trigger
+    // and output mode at the QUERY (sink). Sinks resolve their own
+    // strategy first, then walk up their inputs — so a reference
+    // config with `strategy.mode` on the aggregation is honored
+    // rather than silently ignored.
+    val nodeByName: Map[String, (JsonNode, Seq[String])] =
+      all.map { case (cfg, _, _) => cfg.name -> ((cfg.node, cfg.inputs)) }
+        .toMap
+    def upstreamStrategy(name: String, seen: Set[String]): Option[JsonNode] =
+      if (seen.contains(name)) None
+      else nodeByName.get(name).flatMap { case (node, ins) =>
+        node("strategy").orElse(
+          ins.iterator
+            .map(i => upstreamStrategy(i.split('.').head, seen + name))
+            .collectFirst { case Some(s) => s })
+      }
+
     var collections = Map.empty[String, DataFrame]
     var done = Set.empty[String]
     var pending = all
@@ -148,7 +167,8 @@ object Pipeline {
         collections ++= outs
         done += cfg.name
         if (section == "sinks" && executeSinks)
-          SinkExecutor.execute(spark, cfg, ins.values.headOption)
+          SinkExecutor.execute(spark, cfg, ins.values.headOption,
+            upstreamStrategy(cfg.name, Set.empty))
         progress = true
       }
       pending = notReady

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.StringType
   * SinkExecutor at execute() time, keeping build() side-effect free. */
 object SinkExecutor {
   def execute(spark: SparkSession, cfg: ModuleCfg,
-      input: Option[DataFrame]): Unit =
+      input: Option[DataFrame],
+      upstreamStrategy: Option[com.fasterxml.jackson.databind.JsonNode] =
+        None): Unit =
     if (input.exists(_.isStreaming))
-      graft.streaming.StreamRunner.start(cfg, input.get)
+      graft.streaming.StreamRunner.start(cfg, input.get, upstreamStrategy)
     else cfg.module match {
       case "storage" | "files" => StorageSink.write(cfg, input.get)
       case "jdbc" => JdbcSink.write(cfg, input.get)

@@ -1,20 +1,23 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{from_json, udf}
+import org.apache.spark.sql.types._
 
 /** `scrape` select func (reference `util/pipeline/select/Scrape.java`
   * — jsoup selectors over an HTML field, `mode: first|repeated`,
-  * `attribute`, post-`pattern`+`group`, `trim`).
+  * `attribute`, post-`pattern`+`group`, `trim`, and nested `fields`
+  * producing struct / array-of-struct output per matched element,
+  * evaluated relative to that element like `Scrape.extract`).
   *
   * jsoup is not on the classpath, so this is a dependency-free
   * selector subset implemented as a tight-loop UDF: simple selectors
   * `tag`, `#id`, `.class`, `tag.class#id` and descendant chains
   * (`div.item a`). Element matching is regex-based over well-formed
   * HTML — nested SAME-TAG elements inside a match are not balanced
-  * (documented approximation); nested `fields` (struct output) are
-  * not supported. Text extraction strips tags, decodes the common
-  * entities, and collapses whitespace like jsoup's `text()`.
+  * (documented approximation). Text extraction strips tags, decodes
+  * the common entities, and collapses whitespace like jsoup's
+  * `text()`.
   */
 object ScrapeFunctions {
 
@@ -131,5 +134,111 @@ object ScrapeFunctions {
       }
       f(field)
     }
+  }
+
+  // --- nested `fields` (Scrape.java:236-258 element-typed output) ---
+
+  /** One scrape node of a nested spec tree. Leaves (no `fields`)
+    * extract a string; inner nodes produce a struct whose children
+    * are selected WITHIN the matched element's inner HTML. */
+  case class Spec(name: String, chain: Seq[Selector],
+      attribute: Option[String], pattern: Option[java.util.regex.Pattern],
+      group: Int, repeated: Boolean, trim: Boolean, fields: Seq[Spec])
+
+  def parseSpec(node: com.fasterxml.jackson.databind.JsonNode): Spec = {
+    import graft.config.Json._
+    Spec(
+      node.str("name").getOrElse("value"),
+      parseSelector(node.str("selector").getOrElse(
+        throw new IllegalArgumentException("scrape field requires selector"))),
+      node.str("attribute"),
+      node.str("pattern").map(java.util.regex.Pattern.compile),
+      node.int("group").getOrElse(1),
+      node.str("mode").exists(_.equalsIgnoreCase("repeated")),
+      node.bool("trim").getOrElse(true),
+      node.arrOf("fields").map(parseSpec))
+  }
+
+  private def fieldType(s: Spec): DataType =
+    if (s.fields.isEmpty) StringType
+    else StructType(s.fields.map(f =>
+      StructField(f.name, childType(f), nullable = true)))
+
+  private def childType(s: Spec): DataType =
+    if (s.repeated) ArrayType(fieldType(s)) else fieldType(s)
+
+  /** Element struct schema of one matched element for `spec`. */
+  def structSchema(spec: Spec): StructType =
+    StructType(spec.fields.map(f =>
+      StructField(f.name, childType(f), nullable = true)))
+
+  private def extractLeaf(el: (String, String), s: Spec): Option[String] = {
+    val raw = s.attribute match {
+      case Some(a) => attrValue(el._1, a).getOrElse("")
+      case None => textOf(el._2)
+    }
+    val matched = s.pattern match {
+      case Some(p) =>
+        val m = p.matcher(raw)
+        if (m.find()) Some(m.group(math.min(s.group, m.groupCount())))
+        else None
+      case None => Some(raw)
+    }
+    matched.map(v => if (s.trim) v.trim else v)
+  }
+
+  // object-level: re-initialized per executor, never serialized into
+  // the UDF closure (ObjectMapper is not Serializable)
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def elementNode(spec: Spec, el: (String, String)):
+      com.fasterxml.jackson.databind.node.ObjectNode = {
+    val o = mapper.createObjectNode()
+    spec.fields.foreach { f =>
+      val childEls = select(el._2, f.chain)
+      if (f.fields.nonEmpty) {
+        if (f.repeated) {
+          val a = o.putArray(f.name)
+          childEls.foreach(c => a.add(elementNode(f, c)))
+        } else childEls.headOption match {
+          case Some(c) => o.set[com.fasterxml.jackson.databind.JsonNode](
+            f.name, elementNode(f, c))
+          case None => o.putNull(f.name)
+        }
+      } else {
+        if (f.repeated) {
+          val a = o.putArray(f.name)
+          childEls.flatMap(c => extractLeaf(c, f)).foreach(a.add)
+        } else childEls.headOption.flatMap(c => extractLeaf(c, f)) match {
+          case Some(v) => o.put(f.name, v)
+          case None => o.putNull(f.name)
+        }
+      }
+    }
+    o
+  }
+
+  /** Nested scrape: matched elements → struct (or array of structs in
+    * repeated mode). The UDF emits JSON which `from_json` parses with
+    * the schema derived from the spec tree — the dynamic-schema
+    * bridge, since UDF return types must be known statically. */
+  def scrapeStruct(field: Column, spec: Spec): Column = {
+    val elemSchema = structSchema(spec)
+    val outType: DataType =
+      if (spec.repeated) ArrayType(elemSchema) else elemSchema
+    val f = udf { (html: String) =>
+      if (html == null) null
+      else {
+        val els = select(html, spec.chain)
+        if (spec.repeated) {
+          val a = mapper.createArrayNode()
+          els.foreach(e => a.add(elementNode(spec, e)))
+          mapper.writeValueAsString(a)
+        } else els.headOption
+          .map(e => mapper.writeValueAsString(elementNode(spec, e)))
+          .orNull
+      }
+    }
+    from_json(f(field), outType)
   }
 }

@@ -276,8 +276,12 @@ object SelectCompiler {
       case "scrape" =>
         // reference Scrape.java: jsoup selector + mode + attribute +
         // post-pattern. With a selector → ScrapeFunctions (CSS-subset
-        // matcher); bare `pattern` keeps the codegen'd regex extract.
+        // matcher); nested `fields` → struct output per element; bare
+        // `pattern` keeps the codegen'd regex extract.
         sel.str("selector") match {
+          case Some(selector) if sel.arrOf("fields").nonEmpty =>
+            ScrapeFunctions.scrapeStruct(col(field).cast(StringType),
+              ScrapeFunctions.parseSpec(sel))
           case Some(selector) =>
             ScrapeFunctions.scrape(col(field).cast(StringType), selector,
               sel.str("attribute"), sel.str("pattern"),

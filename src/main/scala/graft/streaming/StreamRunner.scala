@@ -59,16 +59,20 @@ object StreamRunner {
     }
   }
 
-  def start(cfg: ModuleCfg, df: DataFrame): StreamingQuery = {
-    val trig = cfg.node("strategy").flatMap(_.apply("trigger"))
-      .map(normalizeTrigger)
+  def start(cfg: ModuleCfg, df: DataFrame,
+      upstreamStrategy: Option[com.fasterxml.jackson.databind.JsonNode] =
+        None): StreamingQuery = {
+    // sink-level strategy wins; otherwise the nearest upstream
+    // module's (where the reference declares it — see Pipeline)
+    val strategy = cfg.node("strategy").orElse(upstreamStrategy)
+    val trig = strategy.flatMap(_.apply("trigger")).map(normalizeTrigger)
     val trigType = trig.flatMap(_.str("type")).getOrElse("")
     if (trigType == "afterWatermark" &&
       trig.exists(_.apply("earlyFiringTrigger").isDefined))
       return startEarlyFiring(cfg, df, trig.get)
     if (trigType == "afterPane")
       return startAfterPane(cfg, df, trig.get)
-    startPlain(cfg, df, trig)
+    startPlain(cfg, df, trig, strategy)
   }
 
   /** Beam `AfterWatermark.pastEndOfWindow().withEarlyFirings(
@@ -157,15 +161,33 @@ object StreamRunner {
         s"graft-ckpt-${cfg.name}-").toString)
 
   private def startPlain(cfg: ModuleCfg, df: DataFrame,
-      trig: Option[com.fasterxml.jackson.databind.JsonNode])
+      trig: Option[com.fasterxml.jackson.databind.JsonNode],
+      strategy: Option[com.fasterxml.jackson.databind.JsonNode] = None)
       : StreamingQuery = {
     val p = cfg.params
     // default mode: file sinks only support append (the watermark
     // plumbing exists to finalize windows for exactly this case);
     // memory/debug sinks show the running aggregate via complete
     val fileSink = cfg.module == "storage" || cfg.module == "files"
+    // Beam accumulation mode from the strategy block
+    // (Strategy.java:84-89,358-362): discarding → append panes;
+    // accumulating → the running aggregate (complete for memory
+    // sinks, update otherwise; file sinks stay append — Structured
+    // Streaming cannot rewrite files). `retracting` is rejected by
+    // the reference itself (Strategy.java:87) and here.
+    val accMode = strategy.flatMap(_.str("mode")).map {
+      case "discarding" => "append"
+      case "accumulating" =>
+        if (fileSink) "append"
+        else if (hasAggregation(df)) "complete" else "update"
+      case "retracting" => throw new IllegalArgumentException(
+        "accumulation mode 'retracting' is unsupported (the reference " +
+          "rejects it too)")
+      case other => throw new IllegalArgumentException(
+        s"accumulation mode: $other")
+    }
     var w = df.writeStream
-      .outputMode(p.str("outputMode").getOrElse(
+      .outputMode(p.str("outputMode").orElse(accMode).getOrElse(
         if (hasAggregation(df) && !fileSink) "complete" else "append"))
     p.str("checkpointLocation").foreach(c =>
       w = w.option("checkpointLocation", c))

@@ -88,4 +88,34 @@ class SelectFuncsSpec extends AnyFunSuite {
       Seq("/p/1", "/p/2"))
     assert(out.getAs[String]("amount") == "12.50")
   }
+
+  test("scrape: nested fields produce array-of-struct per element") {
+    val html =
+      """<html><body>
+        |<div class="item"><span class="price">$ 12.50</span>
+        |  <a href="/p/1">One</a><a href="/p/2">Alt</a></div>
+        |<div class="item"><span class="price">$ 7</span>
+        |  <a href="/p/3">Two</a></div>
+        |</body></html>""".stripMargin
+    val df = spark.createDataFrame(Seq(Tuple1(html))).toDF("html")
+    val sel = Json.parse("""[
+      {"name": "items", "func": "scrape", "field": "html",
+       "selector": "div.item", "mode": "repeated",
+       "fields": [
+         {"name": "price", "selector": "span.price",
+          "pattern": "([0-9.]+)", "group": 1},
+         {"name": "links", "selector": "a", "attribute": "href",
+          "mode": "repeated"},
+         {"name": "label", "selector": "a"}]}]""")
+    val out = SelectCompiler(df, sel)
+    val rows = out.selectExpr("inline(items)").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("price") == "12.50")
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("links")) ==
+      Seq("/p/1", "/p/2"))
+    assert(rows(0).getAs[String]("label") == "One")
+    assert(rows(1).getAs[String]("price") == "7")
+    assert(rows(1).getSeq[String](rows(1).fieldIndex("links")) ==
+      Seq("/p/3"))
+  }
 }

@@ -58,6 +58,45 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  test("strategy accumulation mode maps to output modes; retracting rejected") {
+    val base = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    timestampAttribute: ts
+      |    parameters: {path: $stagingDir/events, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6}
+      |      mode: MODE
+      |    parameters:
+      |      groupFields: [event_type]
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: accout
+      |    module: memory
+      |    input: agg
+      |""".stripMargin
+    // accumulating → complete: the running aggregate is visible
+    Pipeline.execute(spark, base.replace("MODE", "accumulating"))
+    StreamRunner.drainAll()
+    val n = spark.sql("SELECT sum(n) FROM accout").as[Long].head()
+    assert(n == 1000L)
+    StreamRunner.stopAll()
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.execute(spark, base.replace("MODE", "retracting"))
+    }
+    assert(e.getMessage.contains("retracting"))
+    StreamRunner.stopAll()
+  }
+
   test("session window on batch input") {
     val config = s"""
       |sources:
