@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Per-module logging taps (reference `module/Logging.java` — named
+  * log points on any module, logged per element as data flows).
+  *
+  * Per-row driver logging is a non-starter at scale, so the Spark
+  * mapping is `Dataset.observe`: named metrics (row count, an
+  * example-value sample) collected DURING execution with zero plan
+  * interference — no extra action, no UDF in the predicate path, no
+  * pushdown loss — surfaced through a QueryExecutionListener at the
+  * configured level. The observed metrics of the last completed
+  * action are also kept in `observed` for tests and the Run CLI.
+  */
+object LoggingTaps {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** metric name → observed values of the most recent action. */
+  val observed = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Any]]()
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession,
+        java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit =
+    if (registered.add(spark))
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            val m = row.getValuesMap[Any](row.schema.fieldNames)
+            observed.put(name, m)
+            val (tag, level) = name.split('|') match {
+              case Array(n, l) => (n, l)
+              case _ => (name, "info")
+            }
+            val msg = s"[logging:$tag] $m"
+            level match {
+              case "trace" => log.trace(msg)
+              case "debug" => log.debug(msg)
+              case "warn" => log.warn(msg)
+              case "error" => log.error(msg)
+              case _ => log.info(msg)
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
+  /** Attach an observation tap to a module output. Metric name
+    * encodes the level so the listener (which only sees the name)
+    * can honor it. Streaming frames support observe too; their
+    * metrics surface via streaming progress instead of this
+    * listener. */
+  def tap(df: DataFrame, module: String, name: String,
+      level: String): DataFrame =
+    df.observe(s"$module.$name|$level", count(lit(1)).as("count"))
+}

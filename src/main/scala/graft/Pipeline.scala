@@ -163,7 +163,23 @@ object Pipeline {
       }
       ready.foreach { case (cfg, builder, section) =>
         val ins = cfg.inputs.map(i => i -> collections(i)).toMap
-        val outs = builder(spark, cfg, ins)
+        var outs = builder(spark, cfg, ins)
+        // `loggings` taps (module/Logging.java): observation metrics
+        // on the named outputs, logged when an action completes
+        val loggings = cfg.node.arrOf("loggings") ++
+          cfg.node("logging").toSeq
+        if (loggings.nonEmpty) {
+          LoggingTaps.register(spark)
+          loggings.foreach { lg =>
+            val target = lg.str("name").filter(outs.contains)
+              .getOrElse(cfg.name)
+            val level = lg.str("level").getOrElse("info")
+            outs.get(target).filterNot(_.isStreaming).foreach { d =>
+              outs = outs.updated(target,
+                LoggingTaps.tap(d, cfg.name, target, level))
+            }
+          }
+        }
         collections ++= outs
         done += cfg.name
         if (section == "sinks" && executeSinks)

@@ -139,9 +139,17 @@ object AggregationTransform {
       else a.crossJoin(b)
     }
     val routed = TransformCommon.finishRouted(merged, cfg)
-    cfg.param("limit").flatMap(_.int("count"))
-      .map(n => routed.updated(cfg.name, routed(cfg.name).limit(n)))
-      .getOrElse(routed)
+    // post-aggregation `limit` is a full Limit config in the reference
+    // (AggregationTransform.java:181-186 routes through the Limit
+    // util): per-key top/first-N when keyFields/orderField are given,
+    // plain limit(n) otherwise
+    cfg.param("limit").map { l =>
+      val limited = LimitTransform.build(spark,
+        ModuleCfg(cfg.name, "limit", Seq("__agg"), Nil, l,
+          graft.config.Json.obj()),
+        Map("__agg" -> routed(cfg.name)))(cfg.name)
+      routed.updated(cfg.name, limited)
+    }.getOrElse(routed)
   }
 }
 
@@ -478,6 +486,51 @@ object SetTransform {
   * reference's MDT_* UDAF/UDF registrations map to Spark built-ins
   * (collect_list/collect_set/count distinct/greatest/least/uuid). */
 object SqlTransform {
+
+  /** Reference MDT_* aggregate names → Spark built-ins, rewritten in
+    * the SQL text (BeamSQLTransform.java:179-186). Output element
+    * order of the distinct variants is unspecified in the reference
+    * too (HashSet iteration). */
+  private[operators] def rewriteMdtSql(sql: String): String = {
+    var s = sql
+    for (t <- Seq("INT64", "STRING", "FLOAT64")) {
+      s = s.replaceAll(s"(?i)MDT_ARRAY_AGG_DISTINCT_$t\\s*\\(",
+        "collect_set(")
+      s = s.replaceAll(s"(?i)MDT_ARRAY_AGG_$t\\s*\\(", "collect_list(")
+      s = s.replaceAll(s"(?i)MDT_COUNT_DISTINCT_$t\\s*\\(",
+        "count(DISTINCT ")
+    }
+    s.replaceAll("(?i)MDT_GENERATE_UUID\\s*\\(\\s*\\)", "uuid()")
+  }
+
+  /** Scalar MDT_* UDFs with the reference's exact null semantics
+    * (MathFunctions/ArrayFunctions: greatest/least treat null as
+    * missing; contains_all is false on any null input). */
+  private def registerMdtUdfs(spark: SparkSession): Unit = {
+    def g[T](ge: Boolean)(implicit ord: Ordering[T]): (T, T) => T =
+      (a, b) =>
+        if (a == null) b else if (b == null) a
+        else if (ord.gteq(a, b) == ge) a else b
+    spark.udf.register("MDT_GREATEST_INT64",
+      (a: java.lang.Long, b: java.lang.Long) =>
+        g[java.lang.Long](ge = true)(Ordering.by(_.longValue))(a, b))
+    spark.udf.register("MDT_GREATEST_FLOAT64",
+      (a: java.lang.Double, b: java.lang.Double) =>
+        g[java.lang.Double](ge = true)(Ordering.by(_.doubleValue))(a, b))
+    spark.udf.register("MDT_LEAST_INT64",
+      (a: java.lang.Long, b: java.lang.Long) =>
+        g[java.lang.Long](ge = false)(Ordering.by(_.longValue))(a, b))
+    spark.udf.register("MDT_LEAST_FLOAT64",
+      (a: java.lang.Double, b: java.lang.Double) =>
+        g[java.lang.Double](ge = false)(Ordering.by(_.doubleValue))(a, b))
+    spark.udf.register("MDT_CONTAINS_ALL_INT64",
+      (a: Seq[java.lang.Long], b: Seq[java.lang.Long]) =>
+        if (a == null || b == null) false else b.forall(a.contains))
+    spark.udf.register("MDT_CONTAINS_ALL_STRING",
+      (a: Seq[String], b: Seq[String]) =>
+        if (a == null || b == null) false else b.forall(a.contains))
+  }
+
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     // dotted collection names (partition outputs `parts.a`,
@@ -486,8 +539,9 @@ object SqlTransform {
     inputs.foreach { case (n, df) =>
       df.createOrReplaceTempView(n.replace('.', '_'))
     }
-    val sql = cfg.params.str("sql").getOrElse(
-      throw new IllegalArgumentException("sql module requires sql"))
+    registerMdtUdfs(spark)
+    val sql = rewriteMdtSql(cfg.params.str("sql").getOrElse(
+      throw new IllegalArgumentException("sql module requires sql")))
     // named / positional SQL parameters (BeamSQLTransform.java:149-187)
     // map onto Spark's parameterized spark.sql
     val named = cfg.param("namedParameters").map(n =>

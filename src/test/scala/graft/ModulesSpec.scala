@@ -171,6 +171,51 @@ class ModulesSpec extends AnyFunSuite {
     assert(positional.as[Int].collect().toSeq == Seq(2))
   }
 
+  test("sql module: MDT_* reference UDFs and UDAF rewrites") {
+    val rows = Seq((1L, 2L, 1.5, "a"), (1L, 5L, 0.5, "b"),
+      (2L, 3L, 2.5, "a")).toDF("k", "v", "f", "tag")
+    def run(sql: String) = Pipeline.transforms("sql")(spark,
+      Pipeline.ModuleCfg("q", "sql", Seq("rows"), Nil,
+        graft.config.Json.parse(
+          s"""{"sql": "${sql.replace("\"", "\\\"")}"}"""),
+        graft.config.Json.obj()),
+      Map("rows" -> rows))("q")
+    val r1 = run("SELECT MDT_GREATEST_INT64(k, v) AS g, " +
+      "MDT_LEAST_FLOAT64(f, 1.0) AS l FROM rows WHERE k = 2")
+      .collect()(0)
+    assert(r1.getAs[Long]("g") == 3L && r1.getAs[Double]("l") == 1.0)
+    val r2 = run("SELECT k, MDT_ARRAY_AGG_INT64(v) AS vs, " +
+      "MDT_COUNT_DISTINCT_STRING(tag) AS nt FROM rows " +
+      "GROUP BY k ORDER BY k").collect()
+    assert(r2(0).getSeq[Long](1).sorted == Seq(2L, 5L))
+    assert(r2(0).getAs[Long]("nt") == 2L)
+    val r3 = run("SELECT MDT_CONTAINS_ALL_STRING(" +
+      "MDT_ARRAY_AGG_STRING(tag), array('a','b')) AS c FROM rows")
+      .collect()(0)
+    assert(r3.getAs[Boolean]("c"))
+    assert(run("SELECT MDT_GENERATE_UUID() AS u FROM rows LIMIT 1")
+      .collect()(0).getAs[String]("u").length == 36)
+  }
+
+  test("aggregation limit: full limit config applies per-key top-N") {
+    val rows = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0),
+      ("b", 1, 7.0), ("b", 2, 30.0)).toDF("g", "sub", "v")
+    val dfs = Pipeline.transforms("aggregation")(spark,
+      Pipeline.ModuleCfg("agg", "aggregation", Seq("in"), Nil,
+        graft.config.Json.parse("""{
+          "groupFields": ["g", "sub"],
+          "aggregations": [{"input": "in", "fields": [
+            {"name": "total", "op": "sum", "field": "v"}]}],
+          "limit": {"count": 1, "keyFields": ["g"],
+                    "orderField": "total", "order": "descending"}}"""),
+        graft.config.Json.obj()), Map("in" -> rows))
+    val out = dfs("agg").orderBy("g").collect()
+    // top-1 total per g: a -> (a,2,20), b -> (b,2,30)
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("total") == 20.0)
+    assert(out(1).getAs[Double]("total") == 30.0)
+  }
+
   test("crypto: aes encrypt/decrypt round-trips") {
     val config = """
       |sources:

@@ -279,6 +279,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(c == "hello bob (#2)")
   }
 
+  test("logging taps observe module output counts without plan damage") {
+    val config = """
+      |sources:
+      |  - name: li
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/lineitem.parquet}
+      |transforms:
+      |  - name: big
+      |    module: filter
+      |    inputs: [li]
+      |    loggings: [{name: big, level: info}]
+      |    parameters:
+      |      filters: [{key: l_quantity, op: ">", value: 45}]
+      |""".stripMargin
+    val dfs = Pipeline.build(spark, config)
+    val n = dfs("big").count()
+    // listener fires asynchronously after the action completes
+    val eventually = (1 to 50).exists { _ =>
+      val m = graft.LoggingTaps.observed.get("big.big|info")
+      if (m == null) { Thread.sleep(100); false }
+      else { assert(m("count") == n); true }
+    }
+    assert(eventually, "observed metric never arrived")
+    // the tap must not break scan pushdown
+    val plan = dfs("big").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      !plan.contains("PushedFilters: []"))
+  }
+
   test("text sink: colliding rendered paths fail instead of clobbering") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("textsinkc").toString
