@@ -1251,6 +1251,82 @@ transforms:
         - {name: tp}
 """),
 
+    // §2.10 sql module with the reference's MDT_* UDF/UDAF surface
+    "q45_sql_mdt" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: out
+    module: sql
+    inputs: [li]
+    parameters:
+      sql: "SELECT l_returnflag, array_join(array_sort(MDT_ARRAY_AGG_DISTINCT_STRING(l_linestatus)), ',') AS ls, MDT_COUNT_DISTINCT_STRING(l_linestatus) AS n, MDT_GREATEST_INT64(max(l_orderkey), 100) AS mx, MDT_LEAST_FLOAT64(round(min(l_extendedprice), 2), 1e9) AS mn FROM li GROUP BY l_returnflag"
+"""),
+
+    // §2.6 aggregation post-limit: per-key top-N via the full Limit
+    // config (count + keyFields + orderField)
+    "q46_agg_limit" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag, l_linestatus]
+      aggregations:
+        - input: li
+          fields:
+            - {name: total, op: sum, field: l_extendedprice}
+      limit: {count: 1, keyFields: [l_returnflag], orderField: total, order: descending}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: l_linestatus}
+        - {name: total_r, expression: "round(total, 2)"}
+"""),
+
+    // §2.3 scrape round-trip: text template renders HTML, scrape
+    // extracts text / attribute / nested-field struct back out
+    "q47_scrape" -> pipe("out", """
+sources:
+  - name: o
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: mk
+    module: select
+    inputs: [o]
+    parameters:
+      select:
+        - {name: html, func: text, text: '<div class="o"><span class="k">${o_orderkey}</span><a href="/o/${o_orderkey}">${o_orderstatus}</a></div>'}
+  - name: sc
+    module: select
+    inputs: [mk]
+    parameters:
+      select:
+        - {name: key_txt, func: scrape, field: html, selector: "span.k"}
+        - {name: href, func: scrape, field: html, selector: "a", attribute: href}
+        - name: item
+          func: scrape
+          field: html
+          selector: "div.o"
+          fields:
+            - {name: label, selector: "a"}
+  - name: out
+    module: sql
+    inputs: [sc]
+    parameters:
+      sql: "SELECT key_txt, href, item.label AS label FROM sc"
+"""),
+
     // §2.11 select error routing: rows whose cast nulls out a non-null
     // input split to .failures; main output = successfully-cast rows
     // (TRY_CAST semantics in the oracle)
@@ -1655,6 +1731,32 @@ transforms:
                ELSE CAST(o_orderkey AS VARCHAR) END AS s
            FROM orders)
          SELECT o_orderkey, CAST(s AS BIGINT) AS v FROM t
-         WHERE TRY_CAST(s AS BIGINT) IS NOT NULL"""
+         WHERE TRY_CAST(s AS BIGINT) IS NOT NULL""",
+
+    "q45_sql_mdt" ->
+      """SELECT l_returnflag,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))),
+             ',') AS ls,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n,
+           CAST(greatest(max(l_orderkey), 100) AS BIGINT) AS mx,
+           least(round(min(l_extendedprice), 2), 1e9) AS mn
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q46_agg_limit" ->
+      """WITH a AS (
+           SELECT l_returnflag, l_linestatus,
+             sum(l_extendedprice) AS total
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus,
+           round(total, 2) + 0.0 AS total_r
+         FROM a
+         QUALIFY row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY total DESC) = 1""",
+
+    "q47_scrape" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS key_txt,
+           '/o/' || CAST(o_orderkey AS VARCHAR) AS href,
+           o_orderstatus AS label
+         FROM orders"""
   )
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * the common entities, and collapses whitespace like jsoup's
   * `text()`.
   */
-object ScrapeFunctions {
+object ScrapeFunctions extends Serializable {
 
   case class Selector(tag: Option[String], id: Option[String],
       classes: Seq[String])
@@ -187,9 +187,10 @@ object ScrapeFunctions {
     matched.map(v => if (s.trim) v.trim else v)
   }
 
-  // object-level: re-initialized per executor, never serialized into
-  // the UDF closure (ObjectMapper is not Serializable)
-  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // @transient lazy: re-initialized after deserialization on each
+  // executor (ObjectMapper itself is not Serializable)
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def elementNode(spec: Spec, el: (String, String)):
       com.fasterxml.jackson.databind.node.ObjectNode = {
