@@ -1358,6 +1358,54 @@ transforms:
       select:
         - {name: o_orderkey}
         - {name: v, field: s, type: int64}
+"""),
+
+    // training-data decontamination: flag corpus docs sharing any
+    // 8-word-gram with a benchmark subset (broadcast gram semi-join)
+    "q48_decontaminate" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: bench
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 97 = 0"
+  - name: dd
+    module: dedup
+    inputs: [docs, bench]
+    parameters: {method: decontaminate, field: text, idField: doc_id, ngramSize: 8}
+  - name: out
+    module: sql
+    inputs: [dd]
+    parameters:
+      sql: "SELECT doc_id, __contaminated AS contaminated FROM dd"
+"""),
+
+    // Gopher-style repetition/symbol signals over documents with
+    // synthetic line breaks + symbols injected by SQL upstream
+    "q49_repetition" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: prep
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, replace(text, ' the ', concat(chr(10), '#... the ')) AS text FROM docs"
+  - name: ta
+    module: textAnalysis
+    inputs: [prep]
+    parameters: {field: text, features: [repetition]}
+  - name: out
+    module: sql
+    inputs: [ta]
+    parameters:
+      sql: "SELECT doc_id, round(dup_line_frac, 6) AS dlf, round(dup_word_frac, 6) AS dwf, round(top_bigram_frac, 6) AS tbf, round(symbol_ratio, 6) AS sr FROM ta"
 """)
   )
 
@@ -1757,6 +1805,59 @@ transforms:
       """SELECT CAST(o_orderkey AS VARCHAR) AS key_txt,
            '/o/' || CAST(o_orderkey AS VARCHAR) AS href,
            o_orderstatus AS label
-         FROM orders"""
+         FROM orders""",
+
+    "q48_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+             ' '), x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) < 8
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')) END) AS g
+           FROM toks),
+         bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
+         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    "q49_repetition" ->
+      """WITH prep AS (
+           SELECT doc_id,
+             replace(text, ' the ', chr(10) || '#... the ') AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), x -> x <> '')
+               AS lines,
+             list_filter(string_split(
+               lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+               ' '), x -> x <> '') AS tk
+           FROM prep),
+         grams AS (
+           SELECT doc_id, len(tk) - 1 AS total,
+             unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS g
+           FROM base WHERE len(tk) >= 3),
+         counts AS (
+           SELECT doc_id, total, g, count(*) AS c
+           FROM grams GROUP BY doc_id, total, g),
+         top AS (
+           SELECT doc_id, max(CAST(c AS DOUBLE) / total) AS tbf
+           FROM counts GROUP BY doc_id)
+         SELECT b.doc_id,
+           round(CASE WHEN len(b.lines) <= 1 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE)
+               / len(b.lines) END, 6) AS dlf,
+           round(CASE WHEN len(b.tk) <= 1 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(b.tk)) AS DOUBLE)
+               / len(b.tk) END, 6) AS dwf,
+           round(coalesce(top.tbf, 0.0), 6) AS tbf,
+           round(CAST(len(regexp_extract_all(b.text, '#|\.{3}|…'))
+               AS DOUBLE) / greatest(len(b.tk), 1), 6) AS sr
+         FROM base b LEFT JOIN top ON b.doc_id = top.doc_id"""
   )
 }

@@ -286,6 +286,50 @@ object TextFunctions {
       t => trim(t) =!= "")) +
       (length(text) / lit(8)).cast(IntegerType) // long-word split approx
 
+  /** Fraction of word n-grams occupied by the single most frequent
+    * n-gram — the Gopher-style "top n-gram fraction" repetition
+    * signal. Docs with fewer than two n-grams score 0.0 (a single
+    * gram is trivially "most frequent"). Tight-loop UDF: frequency
+    * counting inside an array is imperative work (a HOF chain would
+    * re-tokenize per gram — see the CollapseProject note above). */
+  def topGramFracUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) 0.0
+      else {
+        val toks = wordTokens(s)
+        val total = toks.length - n + 1
+        if (total < 2) 0.0
+        else {
+          val m = new java.util.HashMap[String, Int]()
+          var i = 0
+          var best = 0
+          while (i < total) {
+            var j = 1
+            val sb = new java.lang.StringBuilder(toks(i))
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            val c = m.merge(sb.toString, 1, Integer.sum(_, _))
+            if (c > best) best = c
+            i += 1
+          }
+          best.toDouble / total
+        }
+      }
+    }
+
+  /** Non-empty lines of a document (for duplicate-line repetition
+    * signals). The filter lambda touches only its element, so the
+    * split child is evaluated once per row (no CollapseProject
+    * re-evaluation hazard — that needs an upstream expr INSIDE the
+    * lambda body). */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => l =!= "")
+
+  /** 1 - distinct/total over an array column; 0.0 for 0/1 elements. */
+  def dupFrac(arr: Column): Column =
+    when(size(arr) <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(arr)).cast(DoubleType) /
+        size(arr).cast(DoubleType))
+
   /** Document fingerprint: stable 64-bit content hash of normalized
     * text (case/whitespace/punct-insensitive). Single regex pass:
     * the tokenizer's split+filter+join over the same pattern produces

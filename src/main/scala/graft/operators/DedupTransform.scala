@@ -85,6 +85,23 @@ object DedupTransform {
         val planes = p.int("planes").getOrElse(12)
         val threshold = p.dbl("threshold").getOrElse(0.95)
         embeddingDedup(df, embField, idField, dim, planes, threshold)
+      case "decontaminate" =>
+        // benchmark decontamination: needs the benchmark collection as
+        // a second input (or an explicit benchmarkInput name)
+        val benchName = p.str("benchmarkInput")
+          .orElse(cfg.inputs.drop(1).headOption)
+          .getOrElse(throw new IllegalArgumentException(
+            "dedup decontaminate requires a second input " +
+              "(the benchmark collection) or a benchmarkInput parameter"))
+        val bench = inputs.getOrElse(benchName,
+          throw new IllegalArgumentException(
+            s"dedup decontaminate: unknown benchmark input '$benchName'"))
+        val out = decontaminate(df, bench, textField,
+          p.str("benchmarkField").getOrElse(textField), idField,
+          n = p.int("ngramSize").getOrElse(8),
+          remove = p.str("action").contains("remove"),
+          broadcastLimit = p.int("broadcastThreshold").getOrElse(2000000))
+        return TransformCommon.finishRouted(out, cfg)
       case other =>
         throw new IllegalArgumentException(s"dedup method: $other")
     }
@@ -208,6 +225,46 @@ object DedupTransform {
       .agg(min("__rep_id").as("__dup_of"))
     df.join(verified, col(idField) === verified("__id"), "left")
       .drop("__id")
+  }
+
+  /** Benchmark decontamination: flag (or remove) corpus docs sharing
+    * any word n-gram with a benchmark/eval collection — the standard
+    * train/test-overlap scrub for LLM training data (n-gram overlap a
+    * la GPT-3 appendix C; default n=8 word-grams).
+    *
+    * Scale shape: benchmark gram sets are small by nature (eval suites
+    * are MBs, the corpus is TBs) → distinct benchmark grams are
+    * broadcast (guarded by an exact count so a pathologically large
+    * benchmark degrades to a shuffle join instead of OOMing the
+    * driver). Corpus grams are exploded map-side and left-semi joined
+    * against the broadcast set, so nothing corpus-sized ever
+    * shuffles: only matched doc ids (bounded by the corpus row count,
+    * in practice a tiny fraction) reach the distinct + final join.
+    */
+  private def decontaminate(df: DataFrame, bench: DataFrame,
+      textField: String, benchField: String, idField: String,
+      n: Int, remove: Boolean, broadcastLimit: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(col(benchField), n)).as("__gram"))
+      .distinct().persist()
+    // materializing the (persisted) gram set yields an EXACT size for
+    // the broadcast decision — same pattern as ngramDedup's candidate
+    // count; the count action costs one scan of the small benchmark.
+    val nGrams = benchGrams.count()
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (nGrams <= broadcastLimit) b => broadcast(b) else identity
+    val hits = df
+      .select(col(idField).as("__id"),
+        explode(shingles(col(textField), n)).as("__gram"))
+      .join(maybeBroadcast(benchGrams), Seq("__gram"), "left_semi")
+      .select("__id").distinct()
+    if (remove)
+      df.join(hits, df(idField) === hits("__id"), "left_anti")
+    else
+      df.join(hits.withColumn("__hit", lit(true)),
+          df(idField) === hits("__id"), "left")
+        .withColumn("__contaminated", coalesce(col("__hit"), lit(false)))
+        .drop("__id", "__hit")
   }
 
   /** Embedding cosine near-dup via hyperplane LSH buckets. */

@@ -33,6 +33,18 @@ object TextAnalysisTransform {
       case "fingerprint" =>
         df = df.withColumn("fingerprint", xxhash64(concat_ws(" ", tk)))
       case "chars" => df = df.withColumn("n_chars_computed", length(t))
+      case "repetition" =>
+        // Gopher-style repetition/symbol signals: duplicate-line and
+        // duplicate-word fractions, top-bigram fraction, symbol-to-
+        // word ratio ("#", "...", "…"). All map-side; the only UDF is
+        // the bigram frequency count (imperative by nature).
+        df = df
+          .withColumn("dup_line_frac", dupFrac(docLines(t)))
+          .withColumn("dup_word_frac", dupFrac(tk))
+          .withColumn("top_bigram_frac", topGramFracUdf(2)(t))
+          .withColumn("symbol_ratio",
+            regexp_count(t, lit("#|\\.{3}|…")).cast("double") /
+              greatest(size(tk), lit(1)).cast("double"))
       case other =>
         throw new IllegalArgumentException(s"textAnalysis feature: $other")
     }

@@ -235,6 +235,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupOf(3L).isEmpty) // distinct content survives
   }
 
+  test("decontaminate flags and removes docs sharing benchmark n-grams") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally unrelated words about spark engines and columnar io layers"),
+      (3L, "prefix words here then alpha beta gamma delta epsilon zeta eta theta trailing")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("text")
+    def run(extra: String) = graft.operators.DedupTransform.build(spark,
+      graft.Pipeline.ModuleCfg("dc", "dedup", Seq("d", "b"), Nil,
+        graft.config.Json.parse(
+          s"""{"method":"decontaminate","field":"text","idField":"doc_id",
+              "ngramSize":8$extra}"""),
+        graft.config.Json.obj()),
+      Map("d" -> docs, "b" -> bench))("dc")
+    val flags = run("").select("doc_id", "__contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(1L) && flags(3L) && !flags(2L))
+    val kept = run(""","action":"remove"""").select("doc_id")
+      .as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("textAnalysis repetition signals") {
+    val docs = Seq((1L, "x y x y x\nfoo\nfoo\n### ... done"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysisTransform.build(spark,
+      graft.Pipeline.ModuleCfg("ta", "textAnalysis", Seq("d"), Nil,
+        graft.config.Json.parse(
+          """{"field":"text","features":["repetition"]}"""),
+        graft.config.Json.obj()),
+      Map("d" -> docs))("ta").collect().head
+    // lines: [x y x y x, foo, foo, ### ... done] -> 1 - 3/4
+    assert(math.abs(out.getAs[Double]("dup_line_frac") - 0.25) < 1e-9)
+    // tokens: x y x y x foo foo done (8, 4 distinct) -> 0.5
+    assert(math.abs(out.getAs[Double]("dup_word_frac") - 0.5) < 1e-9)
+    // bigrams: "x y" twice of 7 total
+    assert(math.abs(out.getAs[Double]("top_bigram_frac") - 2.0 / 7) < 1e-9)
+    // symbols: 3 x '#' + 1 x '...' over 8 words
+    assert(math.abs(out.getAs[Double]("symbol_ratio") - 0.5) < 1e-9)
+  }
+
   test("storage sink: templated output routes records to dynamic destinations") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dyndest").toString

@@ -40,6 +40,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Aggregate"), "expected partial top-k aggregate")
   }
 
+  test("q48 decontaminate semi-joins corpus grams against a broadcast") {
+    val p = plan("q48_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "benchmark gram set should broadcast (corpus grams must never " +
+        "shuffle for the containment probe)")
+  }
+
   test("q14 exact dedup aggregates narrow keys, not full-width rows") {
     val p = plan("q14_dedup_exact")
     // the aggregate side carries only (fingerprint, min id)
