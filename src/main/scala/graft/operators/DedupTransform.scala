@@ -85,6 +85,14 @@ object DedupTransform {
         val planes = p.int("planes").getOrElse(12)
         val threshold = p.dbl("threshold").getOrElse(0.95)
         embeddingDedup(df, embField, idField, dim, planes, threshold)
+      case "lines" =>
+        // CCNet/RefinedWeb-style boilerplate strip: remove every line
+        // whose corpus-wide frequency reaches minCount
+        val out = lineDedup(df, textField, idField,
+          minCount = p.int("minCount").getOrElse(2),
+          broadcastLimit = p.long("broadcastThreshold")
+            .getOrElse(256L * 1024 * 1024))
+        return TransformCommon.finishRouted(out, cfg)
       case "decontaminate" =>
         // benchmark decontamination: needs the benchmark collection as
         // a second input (or an explicit benchmarkInput name)
@@ -225,6 +233,56 @@ object DedupTransform {
       .agg(min("__rep_id").as("__dup_of"))
     df.join(verified, col(idField) === verified("__id"), "left")
       .drop("__id")
+  }
+
+  /** Line-level boilerplate dedup (CCNet §3.1 / RefinedWeb line-wise
+    * filtering): a line whose corpus-wide frequency reaches `minCount`
+    * is boilerplate (nav bars, cookie banners, copyright footers) and
+    * is stripped from every document; the doc's text is reassembled
+    * from the surviving lines in order.
+    *
+    * Scale shape: the frequency aggregate map-side-combines duplicate
+    * lines per task before the shuffle, so the hot "Home" line that
+    * appears a billion times shuffles once per task, not once per
+    * occurrence — the skew that a count-over-Window.partitionBy(line)
+    * would funnel into one partition never materializes. The banned
+    * set (distinct lines at freq >= minCount) is boilerplate-sized,
+    * not corpus-sized, and broadcasts under a guarded threshold; the
+    * flagging join is then map-side. One real shuffle remains: the
+    * per-doc reassembly groupBy, which carries exactly the retained
+    * text once.
+    */
+  private def lineDedup(df: DataFrame, textField: String,
+      idField: String, minCount: Int, broadcastLimit: Long): DataFrame = {
+    val lines = df
+      .select(col(idField).as("__id"),
+        posexplode(split(col(textField), "\n")).as(Seq("__idx", "__raw")))
+      .withColumn("__line", trim(col("__raw")))
+      .filter(col("__line") =!= "")
+      .select("__id", "__idx", "__line")
+    val banned = lines.groupBy("__line")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("__line"), lit(true).as("__ban"))
+    val maybeBroadcast: DataFrame => DataFrame = b => {
+      val est = b.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= broadcastLimit) broadcast(b) else b
+    }
+    // one groupBy computes both outputs: collect_list drops the nulls
+    // that `when` (no otherwise) produces for banned lines
+    val rebuilt = lines
+      .join(maybeBroadcast(banned), Seq("__line"), "left")
+      .groupBy("__id")
+      .agg(
+        sum(when(col("__ban"), 1L).otherwise(0L)).as("__rm"),
+        array_join(expr("transform(" +
+          "array_sort(collect_list(CASE WHEN __ban IS NULL THEN " +
+          "struct(__idx, __line) END)), x -> x.__line)"), "\n")
+          .as("__clean"))
+    df.join(rebuilt, df(idField) === rebuilt("__id"), "left")
+      .withColumn(textField, coalesce(col("__clean"), lit("")))
+      .withColumn("__removed_lines", coalesce(col("__rm"), lit(0L)))
+      .drop("__id", "__rm", "__clean")
   }
 
   /** Benchmark decontamination: flag (or remove) corpus docs sharing

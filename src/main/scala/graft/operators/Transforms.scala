@@ -312,14 +312,14 @@ object LookupTransform {
             if (mainCols.contains(c)) s.withColumnRenamed(c, s"${outName}_$c")
             else s
         }
-        df = df.join(broadcast(renamed),
+        df = df.join(maybeBroadcast(renamed),
           df(keyField) === renamed(sideKey), "left")
           .drop(renamed(sideKey))
       } else {
         val sideStruct = side.select(col(sideKey).as("__lk_key"),
           struct(side.columns.filterNot(_ == sideKey).map(col).toSeq: _*)
             .as(outName))
-        df = df.join(broadcast(sideStruct),
+        df = df.join(maybeBroadcast(sideStruct),
           df(keyField) === sideStruct("__lk_key"), "left")
           .drop("__lk_key")
       }

@@ -235,6 +235,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupOf(3L).isEmpty) // distinct content survives
   }
 
+  test("lines dedup strips corpus-frequent boilerplate lines") {
+    val docs = Seq(
+      (1L, "HEADER\nunique body one\nFOOTER"),
+      (2L, "HEADER\nunique body two\nFOOTER"),
+      (3L, "HEADER\nunique body three\nFOOTER"),
+      (4L, "  HEADER  \n\nonly body four")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.DedupTransform.build(spark,
+      graft.Pipeline.ModuleCfg("dd", "dedup", Seq("d"), Nil,
+        graft.config.Json.parse(
+          """{"method":"lines","field":"text","idField":"doc_id",
+              "minCount":3}"""),
+        graft.config.Json.obj()),
+      Map("d" -> docs))("dd")
+    val m = out.select("doc_id", "text", "__removed_lines")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // HEADER appears 4x (trim-normalized), FOOTER 3x -> both banned
+    assert(m(1L) == ("unique body one", 2L))
+    assert(m(2L) == ("unique body two", 2L))
+    assert(m(3L) == ("unique body three", 2L))
+    // empty lines are dropped silently, not counted as removed
+    assert(m(4L) == ("only body four", 1L))
+  }
+
   test("decontaminate flags and removes docs sharing benchmark n-grams") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
