@@ -74,6 +74,7 @@ object Pipeline {
     // deprecated reference module: per-key processors ≡ window module
     "processing" -> WindowTransform.build,
     "dedup" -> DedupTransform.build,
+    "sample" -> SampleTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build)
 

@@ -1431,6 +1431,32 @@ transforms:
     inputs: [dd]
     parameters:
       sql: "SELECT doc_id, text, __removed_lines AS removed FROM dd"
+"""),
+
+    // deterministic hash sampling: stratified keep-rates per
+    // l_returnflag, reproducible cross-engine (md5-bucket predicate)
+    "q51_sample" -> pipe("smp", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: proj
+    module: select
+    inputs: [li]
+    parameters:
+      select:
+        - {name: l_orderkey}
+        - {name: l_linenumber}
+        - {name: l_returnflag}
+  - name: smp
+    module: sample
+    inputs: [proj]
+    parameters:
+      keyFields: [l_orderkey, l_linenumber]
+      stratifyField: l_returnflag
+      fraction: 1.0
+      rates: {A: 0.2, N: 0.05, R: 1.0}
 """)
   )
 
@@ -1919,6 +1945,16 @@ transforms:
            coalesce(r.rm, 0) AS removed
          FROM prep p
          LEFT JOIN keeps k ON p.doc_id = k.doc_id
-         LEFT JOIN rem r ON p.doc_id = r.doc_id"""
+         LEFT JOIN rem r ON p.doc_id = r.doc_id""",
+
+    // thresholds: 0.2*2^32 = 0x33333333, 0.05*2^32 = 0x0ccccccc,
+    // 1.0 -> 'g' (keep all: sorts after every hex digit)
+    "q51_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+         FROM lineitem
+         WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+             CAST(l_linenumber AS VARCHAR)), 1, 8) <
+           CASE l_returnflag WHEN 'A' THEN '33333333'
+             WHEN 'N' THEN '0ccccccc' ELSE 'g' END"""
   )
 }

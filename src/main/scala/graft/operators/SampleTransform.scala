@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `sample` transform — deterministic, reproducible down-sampling for
+  * large-scale training-data pipelines.
+  *
+  * Sampling is HASH-based, not `rand(seed)`-based, on purpose:
+  *  - re-runs (and partial re-runs after failures) select the SAME
+  *    rows, so downstream caches/joins stay consistent;
+  *  - the decision is a pure function of the row key, independent of
+  *    partitioning — `rand(seed)` changes its row assignment whenever
+  *    the partition layout changes, which at 100 TB it always does;
+  *  - any other engine (or a DuckDB oracle) can replicate the exact
+  *    sample from the same key column.
+  *
+  * A row is kept when the first 8 hex chars of md5(key) — an unbiased
+  * uniform 32-bit value — fall below `fraction * 2^32`. Equal-length
+  * lowercase-hex strings compare lexicographically exactly like the
+  * numbers they encode, so the predicate is a plain string compare:
+  * codegen'd, zero shuffle, pushdown-friendly.
+  *
+  * Parameters:
+  *  - `keyFields`: columns forming the sampling key (joined with '#',
+  *    nulls → ""); `keyField` accepted as the singular form.
+  *  - `fraction`: global keep rate in [0,1].
+  *  - `stratifyField` + `rates: {value: rate, ...}`: per-stratum keep
+  *    rates (e.g. down-sample English, keep all of a rare language);
+  *    strata not listed fall back to `fraction` (default 1.0 — keep).
+  *  - `salt`: optional string mixed into the key so independent
+  *    samples over the same corpus are uncorrelated.
+  */
+object SampleTransform {
+
+  /** fraction → 8-hex-char threshold string ("33333333" for 0.2). */
+  private[operators] def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"sample fraction must be in [0,1], got $fraction")
+    val t = (fraction * 4294967296.0).toLong
+    if (t >= 0xFFFFFFFFL) "g" // sorts after every hex digit → keep all
+    else f"$t%08x"
+  }
+
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    import graft.config.Json._
+    val df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val keyFields = {
+      val ks = p.strArr("keyFields") ++ p.str("keyField")
+      require(ks.nonEmpty, "sample: keyFields is required")
+      ks
+    }
+    val salt = p.str("salt")
+    val keyParts = salt.map(s => lit(s) :: Nil).getOrElse(Nil) ++
+      keyFields.map(f => coalesce(col(f).cast("string"), lit("")))
+    val bucket = substring(md5(concat_ws("#", keyParts: _*)), 1, 8)
+    val defaultFraction = p.dbl("fraction").getOrElse(1.0)
+    val threshold: Column = p("rates") match {
+      case Some(rates) if rates.names.nonEmpty =>
+        val strat = p.str("stratifyField").getOrElse(
+          throw new IllegalArgumentException(
+            "sample: rates requires stratifyField"))
+        rates.names.foldLeft(lit(thresholdHex(defaultFraction))) {
+          (acc, value) =>
+            when(col(strat).cast("string") === lit(value),
+              lit(thresholdHex(rates.dbl(value).get))).otherwise(acc)
+        }
+      case _ => lit(thresholdHex(defaultFraction))
+    }
+    TransformCommon.finishRouted(df.filter(bucket < threshold), cfg)
+  }
+}

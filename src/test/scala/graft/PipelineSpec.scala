@@ -260,6 +260,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(4L) == ("only body four", 1L))
   }
 
+  test("hash sample: deterministic, stratified, salt-decorrelated") {
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    def run(params: String) = graft.operators.SampleTransform.build(spark,
+      graft.Pipeline.ModuleCfg("s", "sample", Seq("d"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("d" -> rows))("s")
+    val p = """{"keyField":"id","fraction":0.3}"""
+    val picked = run(p).select("id").as[Long].collect().toSet
+    // deterministic: the same rows every run
+    assert(run(p).select("id").as[Long].collect().toSet == picked)
+    // unbiased-ish: 30% +- 5pp of 2000
+    assert(picked.size > 500 && picked.size < 700)
+    // fraction bounds
+    assert(run("""{"keyField":"id","fraction":1.0}""").count() == 2000)
+    assert(run("""{"keyField":"id","fraction":0.0}""").count() == 0)
+    // stratified: group a kept in full, group b heavily down-sampled
+    val strat = run("""{"keyField":"id","stratifyField":"grp",
+      "rates":{"a":1.0,"b":0.1}}""")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(strat("a") == 1000)
+    assert(strat("b") > 50 && strat("b") < 150)
+    // salt decorrelates: overlap of two 30% samples ~ 9%, not 30%
+    val salted = run("""{"keyField":"id","fraction":0.3,"salt":"s2"}""")
+      .select("id").as[Long].collect().toSet
+    val overlap = picked.intersect(salted).size
+    assert(overlap < picked.size / 2)
+  }
+
   test("decontaminate flags and removes docs sharing benchmark n-grams") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
