@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Pipeline.ModuleCfg
 import graft.config.Json._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -27,22 +27,51 @@ object StreamRunner {
   val paneStore = new java.util.concurrent.ConcurrentHashMap[
     String, scala.collection.mutable.ListBuffer[(String, Row)]]()
 
+  /** afterProcessingTime delay in millis, honoring the reference's
+    * `pastFirstElementDelayUnit` (`Strategy.java:247-248`; second when
+    * absent) and the `delay` alias. */
+  private[graft] def delayMillis(
+      n: com.fasterxml.jackson.databind.JsonNode): Long = {
+    val base = n.long("pastFirstElementDelay").orElse(n.long("delay"))
+      .getOrElse(1L)
+    val mult = n.str("pastFirstElementDelayUnit")
+      .orElse(n.str("unit")).getOrElse("second") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case other => throw new IllegalArgumentException(
+        s"trigger delay unit: $other")
+    }
+    base * mult
+  }
+
   /** Composite-trigger normalization (`module/Strategy.java:262-343`):
     * Structured Streaming has one repeating query-level trigger, so
     * Beam composites reduce to their closest repeating element —
     * `repeatedly(X)` → X (SS triggers already repeat), `afterFirst` →
     * the child that would fire first (shortest processing-time delay,
     * else the first child), `afterAll` → the child that fires last,
-    * `afterEach` → its first child, `orFinally(availableNow)` → the
-    * main trigger (SS stops via query management, not trigger state).
+    * `afterEach` → its first child. A `finalTrigger` (Beam orFinally,
+    * `Strategy.java:337-343`) is validated like the reference —
+    * composite/repeated final triggers are rejected — then dropped:
+    * Structured Streaming ends queries via query management
+    * (stop/AvailableNow drain), not trigger state.
     * Lossy by construction; each reduction is deterministic and
     * documented here. */
   private[graft] def normalizeTrigger(
       t: com.fasterxml.jackson.databind.JsonNode)
       : com.fasterxml.jackson.databind.JsonNode = {
+    t("finalTrigger").foreach { ft =>
+      val ftType = ft.str("type").getOrElse("")
+      if (Set("repeatedly", "afterFirst", "afterAll",
+          "afterEach").contains(ftType))
+        throw new IllegalArgumentException(
+          s"finalTrigger must be a once-trigger, got $ftType " +
+            "(the reference rejects repeated final triggers too)")
+    }
     def delayOf(n: com.fasterxml.jackson.databind.JsonNode): Long =
-      if (n.str("type").contains("afterProcessingTime"))
-        n.int("pastFirstElementDelay").getOrElse(1).toLong
+      if (n.str("type").contains("afterProcessingTime")) delayMillis(n)
       else Long.MaxValue
     t.str("type").getOrElse("") match {
       case "repeatedly" =>
@@ -87,18 +116,70 @@ object StreamRunner {
     * the price of pane multiplexing on an engine with one output mode
     * per query. Returns the append (authoritative) query; both
     * register for drain/stop. */
+  /** Per-sink event-time frontier: the max window end (epoch millis)
+    * seen in batches BEFORE the current one. Beam pane timing maps
+    * onto it — a pane for a window whose end precedes the frontier
+    * fires after event time passed the window, i.e. a LATE pane;
+    * the frontier advances after each batch, mirroring how a
+    * watermark in effect during batch N was computed from batch N-1.
+    * Driver-side, one long per sink. */
+  private val frontiers = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]()
+
+  /** Window-end column of a pane batch, if windowed. */
+  private def windowEndCol(batch: DataFrame): Option[Column] =
+    if (batch.columns.contains("window")) Some(col("window.end"))
+    else if (batch.columns.contains("window_start"))
+      Some(col("window_start")) // calendar windows: start stands in
+    else None
+
+  /** Beam `AfterWatermark.pastEndOfWindow().withEarlyFirings(...)
+    * [.withLateFirings(...)]` approximation
+    * (`module/Strategy.java:276-297`), pane timing keyed on the
+    * event-time frontier (max window end of previous batches):
+    *
+    *  - update-mode query, ProcessingTime trigger of the early delay:
+    *    emits panes while windows evolve. A pane whose window end is
+    *    ahead of the frontier is EARLY; one behind it is a
+    *    post-window refinement — LATE when `lateFiringTrigger` is
+    *    declared, silently dropped otherwise (Beam fires late panes
+    *    only when a late firing is configured).
+    *  - append-mode query: emits each window exactly once when the
+    *    watermark (delayed by allowedLateness) passes it — Beam's
+    *    ON_TIME pane when lateness is 0, the closing/FINAL pane
+    *    (late data folded in) when lateness > 0.
+    *
+    * The cost of the approximation is duplicated aggregation state —
+    * the price of pane multiplexing on an engine with one output mode
+    * per query. */
   private def startEarlyFiring(cfg: ModuleCfg, df: DataFrame,
       trig: com.fasterxml.jackson.databind.JsonNode): StreamingQuery = {
     val early = trig("earlyFiringTrigger").get
-    val delayMs = early.int("pastFirstElementDelay").map(_ * 1000L)
-      .getOrElse(1000L)
+    val delayMs = delayMillis(early)
+    val hasLate = trig("lateFiringTrigger").isDefined
+    frontiers.remove(cfg.name)
     // each query needs its OWN checkpoint: a shared configured path
     // would collide on query metadata/offsets
     val earlyQ = df.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(delayMs))
       .option("checkpointLocation", checkpoint(cfg) + "/early")
-      .foreachBatch(paneWriter(cfg, "early"))
+      .foreachBatch(paneWriter(cfg, "early",
+        tagOf = batch => windowEndCol(batch).map { end =>
+          val fPrev = frontiers.getOrDefault(cfg.name,
+            java.lang.Long.MIN_VALUE).longValue()
+          // advance the frontier AFTER snapshotting it: panes in this
+          // batch are judged against where event time stood before it
+          val batchMax = batch.agg(max(end.cast("long"))).collect()
+            .headOption.flatMap(r => Option(r.get(0)))
+            .map(_.asInstanceOf[Long] * 1000L)
+          batchMax.foreach(m => frontiers.merge(cfg.name,
+            java.lang.Long.valueOf(m),
+            (a, b) => if (a >= b) a else b))
+          when(end.cast("long") * 1000L < fPrev, "late")
+            .otherwise("early")
+        }.getOrElse(lit("early")),
+        post = b => if (hasLate) b else b.filter(col("__pane") =!= "late")))
       .start()
     active += earlyQ
     val finalQ = df.writeStream
@@ -131,12 +212,15 @@ object StreamRunner {
     q
   }
 
-  /** foreachBatch body: tag panes, then append to the sink (memory
-    * buffer or files). */
+  /** foreachBatch body: tag panes (fixed `tag` or per-row `tagOf`
+    * column), then append to the sink (memory buffer or files). */
   private def paneWriter(cfg: ModuleCfg, tag: String,
-      pre: DataFrame => DataFrame = identity)
+      pre: DataFrame => DataFrame = identity,
+      tagOf: DataFrame => Column = null,
+      post: DataFrame => DataFrame = identity)
       : (DataFrame, Long) => Unit = { (batch, _) =>
-    val tagged = pre(batch).withColumn("__pane", lit(tag))
+    val tagCol = Option(tagOf).map(_(batch)).getOrElse(lit(tag))
+    val tagged = post(pre(batch).withColumn("__pane", tagCol))
     cfg.module match {
       case "debug" | "memory" =>
         val rows = tagged.collect()

@@ -201,6 +201,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(norm("""{"type": "afterEach", "childrenTriggers": [
       {"type": "repeatedly",
        "foreverTrigger": {"type": "availableNow"}}]}""") == "availableNow")
+    // finalTrigger (Beam orFinally) is validated like the reference,
+    // then dropped: SS ends queries via query management
+    assert(norm("""{"type": "afterProcessingTime",
+      "pastFirstElementDelay": 5,
+      "finalTrigger": {"type": "afterPane", "elementCountAtLeast": 1}}
+      """) == "afterProcessingTime")
+    intercept[IllegalArgumentException] {
+      StreamRunner.normalizeTrigger(Json.parse(
+        """{"type": "afterProcessingTime",
+           "finalTrigger": {"type": "repeatedly"}}"""))
+    }
+    // afterProcessingTime delays honor the reference's unit field
+    assert(StreamRunner.delayMillis(Json.parse(
+      """{"type": "afterProcessingTime", "pastFirstElementDelay": 2,
+         "pastFirstElementDelayUnit": "minute"}""")) == 120000L)
+    assert(StreamRunner.delayMillis(Json.parse(
+      """{"type": "afterProcessingTime",
+         "pastFirstElementDelay": 3}""")) == 3000L)
   }
 
   /** Write one parquet FILE (not directory) into `$dir/in` so the
@@ -282,6 +300,83 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.drainAll()
     assert(panes("onTime").map(winStart).toSet == Set(0L, 21600L))
     assert(panes("onTime").forall(_.getAs[Long]("n") == 1L))
+    StreamRunner.stopAll()
+  }
+
+  /** Beam lateFiringTrigger (Strategy.java:283-297): a pane refining
+    * a window that event time already passed (the frontier) is LATE;
+    * the append query's single firing is the closing pane with late
+    * data folded in (accumulating final). */
+  test("afterWatermark late firing: post-window refinements tag late") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-late")
+      .toString
+    // batch 1: [0,6h) and [12,18h). Watermark after b1 =
+    // 13:00 - 8h lateness = 05:00, so no window is append-closed yet,
+    // but the event-time frontier stands at 18:00
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 46800L, 1.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 8}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: latepanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |        lateFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |""".stripMargin
+    StreamRunner.paneStore.remove("latepanes")
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("latepanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    // first batch: everything is an early pane (frontier was unset)
+    assert(panes("early").map(winStart).toSet == Set(0L, 43200L))
+    assert(panes("late").isEmpty && panes("onTime").isEmpty)
+    // batch 2: a row at 02:00 refines [0,6h) AFTER the frontier
+    // (18:00) passed it — a LATE pane; watermark (05:00) still admits
+    // the row into state
+    stageParquet(dir, "b2", Seq((3L, 7200L, 1.0)))
+    StreamRunner.drainAll()
+    val late = panes("late")
+    assert(late.map(winStart) == List(0L))
+    assert(late.head.getAs[Long]("n") == 2L)
+    // the refinement surfaced only as a late pane, never as early
+    assert(!panes("early").exists(r => winStart(r) == 0L &&
+      r.getAs[Long]("n") == 2L))
+    // batch 3 at 15:00: [12,18h) refines while the frontier sits at
+    // its own end (18:00) — NOT late; the watermark moves to 07:00
+    // and the append query fires [0,6h)'s closing pane with the late
+    // row folded in (accumulating final)
+    stageParquet(dir, "b3", Seq((4L, 54000L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("early").exists(r => winStart(r) == 43200L &&
+      r.getAs[Long]("n") == 2L))
+    assert(panes("onTime").map(r => (winStart(r),
+      r.getAs[Long]("n"))) == List((0L, 2L)))
     StreamRunner.stopAll()
   }
 
