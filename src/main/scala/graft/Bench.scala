@@ -37,7 +37,12 @@ object Bench {
     // for one-time initialization
     try consume(SparkEntry.queries("q2_filter")(spark, sfDir))
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional comma-separated filter for local micro-benching; the
+    // driver never sets it, so round benches always cover everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try consume(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -75,6 +75,7 @@ object Pipeline {
     "processing" -> WindowTransform.build,
     "dedup" -> DedupTransform.build,
     "sample" -> SampleTransform.build,
+    "pack" -> PackTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build)
 

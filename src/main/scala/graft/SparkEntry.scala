@@ -1457,6 +1457,26 @@ transforms:
       stratifyField: l_returnflag
       fraction: 1.0
       rates: {A: 0.2, N: 0.05, R: 1.0}
+"""),
+
+    // sequence packing: greedy per-partition token-budget bins.
+    // Partitioning-dependent assignment -> rows-only gate; the unit
+    // spec asserts exact packing on a known partition layout
+    "q52_pack" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: pk
+    module: pack
+    inputs: [docs]
+    parameters: {field: text, tokenBudget: 512}
+  - name: out
+    module: sql
+    inputs: [pk]
+    parameters:
+      sql: "SELECT __sequence_id AS seq, count(*) AS docs, sum(__tokens) AS toks, max(CASE WHEN __oversize THEN 1 ELSE 0 END) AS oversize FROM pk GROUP BY 1"
 """)
   )
 

@@ -89,9 +89,7 @@ object DedupTransform {
         // CCNet/RefinedWeb-style boilerplate strip: remove every line
         // whose corpus-wide frequency reaches minCount
         val out = lineDedup(df, textField, idField,
-          minCount = p.int("minCount").getOrElse(2),
-          broadcastLimit = p.long("broadcastThreshold")
-            .getOrElse(256L * 1024 * 1024))
+          minCount = p.int("minCount").getOrElse(2))
         return TransformCommon.finishRouted(out, cfg)
       case "decontaminate" =>
         // benchmark decontamination: needs the benchmark collection as
@@ -208,11 +206,11 @@ object DedupTransform {
     // 100 TB. The candidate gram frame is bounded by the (much
     // smaller) candidate count, so persisting it for the two-sided
     // join is cheap.
-    // materializing the (persisted) candidate cache now costs nothing
-    // extra and yields an EXACT size for the broadcast decision below
-    // — a plan-time broadcast hint would OOM on a pathological corpus
-    // where most docs collide (the unconditional-broadcast trap).
-    val nCand = candidates.count()
+    // join strategy is left to AQE: it converts to broadcast from the
+    // ACTUAL runtime size of the gram frame and falls back to a
+    // (skew-handled) shuffle join otherwise — same safety as an exact
+    // pre-count without the blocking count() job the previous version
+    // paid before verification could start.
     val candIds = candidates
       .select(explode(array(col("__id"), col("__rep_id"))).as("__cid"))
     val candGrams = slim
@@ -220,14 +218,12 @@ object DedupTransform {
       .select(col("__id").as("__cid"),
         array_distinct(charNgrams(col("__t"), n)).as("__cg"))
       .persist()
-    val maybeBroadcast: DataFrame => DataFrame =
-      if (nCand <= 200000) d => broadcast(d) else d => d
     val verified = candidates
-      .join(maybeBroadcast(candGrams
-        .select(col("__cid").as("__id"), col("__cg").as("__g"))), "__id")
-      .join(maybeBroadcast(candGrams
+      .join(candGrams
+        .select(col("__cid").as("__id"), col("__cg").as("__g")), "__id")
+      .join(candGrams
         .select(col("__cid").as("__rep_id"),
-          col("__cg").as("__g_rep"))), "__rep_id")
+          col("__cg").as("__g_rep")), "__rep_id")
       .filter(jaccard(col("__g"), col("__g_rep")) >= threshold)
       .groupBy(col("__id"))
       .agg(min("__rep_id").as("__dup_of"))
@@ -247,13 +243,13 @@ object DedupTransform {
     * occurrence — the skew that a count-over-Window.partitionBy(line)
     * would funnel into one partition never materializes. The banned
     * set (distinct lines at freq >= minCount) is boilerplate-sized,
-    * not corpus-sized, and broadcasts under a guarded threshold; the
-    * flagging join is then map-side. One real shuffle remains: the
-    * per-doc reassembly groupBy, which carries exactly the retained
-    * text once.
+    * not corpus-sized; AQE converts the flagging join to broadcast
+    * from its runtime size, making it map-side. One real shuffle
+    * remains: the per-doc reassembly groupBy, which carries exactly
+    * the retained text once.
     */
   private def lineDedup(df: DataFrame, textField: String,
-      idField: String, minCount: Int, broadcastLimit: Long): DataFrame = {
+      idField: String, minCount: Int): DataFrame = {
     val lines = df
       .select(col(idField).as("__id"),
         posexplode(split(col(textField), "\n")).as(Seq("__idx", "__raw")))
@@ -264,14 +260,14 @@ object DedupTransform {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
       .select(col("__line"), lit(true).as("__ban"))
-    val maybeBroadcast: DataFrame => DataFrame = b => {
-      val est = b.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= broadcastLimit) broadcast(b) else b
-    }
+    // flag join strategy is AQE's call: the banned side is
+    // boilerplate-sized in practice and converts to broadcast from
+    // runtime stats; a pathological corpus (every line repeated)
+    // degrades to a skew-handled shuffle join instead of an OOM.
     // one groupBy computes both outputs: collect_list drops the nulls
     // that `when` (no otherwise) produces for banned lines
     val rebuilt = lines
-      .join(maybeBroadcast(banned), Seq("__line"), "left")
+      .join(banned, Seq("__line"), "left")
       .groupBy("__id")
       .agg(
         sum(when(col("__ban"), 1L).otherwise(0L)).as("__rm"),

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `pack` transform — greedy sequence packing for LLM training data:
+  * assign documents to fixed token-budget training sequences (context
+  * windows) so short docs share a window instead of wasting pad
+  * tokens.
+  *
+  * Packing is per-partition sequential greedy (close the current
+  * sequence when the next doc would overflow the budget) — the
+  * standard scale shape: each task packs its own partition with O(1)
+  * state and zero shuffle or coordination; sequence ids are made
+  * globally unique with the partition id. A corpus-global optimal
+  * bin-packing would serialize the whole corpus through one
+  * scheduler, for a few percent fill improvement. Fill efficiency on
+  * shuffled corpora approaches the first-fit bound regardless of
+  * partition count.
+  *
+  * Token counts come from `countField` (a precomputed column, e.g.
+  * textAnalysis `n_tokens`) or a whitespace tokenization of `field`.
+  * A doc alone exceeding the budget gets its own sequence (flagged
+  * `__oversize`) — truncation is a tokenizer decision, not a packing
+  * one.
+  *
+  * Output = input rows + `__tokens`, `__sequence_id` (partition-seq),
+  * `__seq_pos` (doc's position in its sequence), `__oversize`.
+  * Downstream materializes sequences with groupBy(__sequence_id).
+  */
+object PackTransform {
+
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val budget = p.long("tokenBudget").getOrElse(2048L)
+    require(budget > 0, s"pack: tokenBudget must be positive, got $budget")
+    val field = p.str("field").getOrElse("text")
+    val counted = p.str("countField") match {
+      case Some(c) => df.withColumn("__tokens", col(c).cast(LongType))
+      case None => df.withColumn("__tokens",
+        when(length(trim(col(field))) === 0, 0L)
+          .otherwise(size(split(trim(col(field)), "\\s+")).cast(LongType)))
+    }
+    val outSchema = counted.schema
+      .add("__sequence_id", StringType)
+      .add("__seq_pos", IntegerType)
+      .add("__oversize", BooleanType)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val tokIdx = counted.schema.fieldNames.indexOf("__tokens")
+    val packed = counted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var seq = 0L
+      var pos = 0
+      var used = 0L
+      it.map { row =>
+        val t = math.max(if (row.isNullAt(tokIdx)) 0L
+          else row.getLong(tokIdx), 1L)
+        if (used > 0 && used + t > budget) {
+          seq += 1; pos = 0; used = 0L
+        }
+        used += t
+        val out = Row.fromSeq(row.toSeq :+ s"$pid-$seq" :+ pos :+
+          (t > budget))
+        pos += 1
+        out
+      }
+    }(enc)
+    TransformCommon.finishRouted(packed, cfg)
+  }
+}

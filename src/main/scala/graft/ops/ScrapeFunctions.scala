@@ -47,12 +47,25 @@ object ScrapeFunctions extends Serializable {
   private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "source", "track", "wbr")
 
+  /** Compiled-pattern cache: the scrape UDFs run per ROW, and
+    * Pattern.compile per row dominated the runtime (~200µs/call
+    * measured at sf0.1 — 6× the actual matching work). Keyed on
+    * (regex, flags); executor-global and bounded by the distinct
+    * selector/tag/attribute vocabulary of the configs. */
+  private val patternCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.regex.Pattern]()
+  private def cached(regex: String,
+      flags: Int = 0): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(s"$flags\u0000$regex",
+      _ => java.util.regex.Pattern.compile(regex, flags))
+  private val CI = java.util.regex.Pattern.CASE_INSENSITIVE
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
   /** (attrsText, innerHtml) of every element matching one simple
     * selector, in document order. */
   def findElements(html: String, sel: Selector): Seq[(String, String)] = {
     val tagPat = sel.tag.getOrElse("[a-zA-Z][\\w-]*")
-    val open = java.util.regex.Pattern.compile(
-      s"<($tagPat)\\b([^>]*)>", java.util.regex.Pattern.CASE_INSENSITIVE)
+    val open = cached(s"<($tagPat)\\b([^>]*)>", CI)
     val m = open.matcher(html)
     val out = Seq.newBuilder[(String, String)]
     while (m.find()) {
@@ -61,14 +74,13 @@ object ScrapeFunctions extends Serializable {
       val matches =
         sel.id.forall(i => attrValue(attrs, "id").contains(i)) &&
           sel.classes.forall(c => attrValue(attrs, "class")
-            .exists(_.split("\\s+").contains(c)))
+            .exists(v => WsPat.split(v).contains(c)))
       if (matches) {
         val inner =
           if (voidTags.contains(tag) || attrs.trim.endsWith("/")) ""
           else {
             // close tag matched case-insensitively, like the open tag
-            val closeM = java.util.regex.Pattern.compile(s"</$tag\\s*>",
-              java.util.regex.Pattern.CASE_INSENSITIVE).matcher(html)
+            val closeM = cached(s"</$tag\\s*>", CI).matcher(html)
             if (closeM.find(m.end)) html.substring(m.end, closeM.start)
             else ""
           }
@@ -79,22 +91,29 @@ object ScrapeFunctions extends Serializable {
   }
 
   def attrValue(attrs: String, name: String): Option[String] = {
-    val m = java.util.regex.Pattern.compile(
-      name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))",
-      java.util.regex.Pattern.CASE_INSENSITIVE).matcher(attrs)
+    val m = cached(
+      name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))", CI)
+      .matcher(attrs)
     if (m.find()) Option(m.group(2)).orElse(Option(m.group(3)))
       .orElse(Option(m.group(4)))
     else None
   }
 
-  def textOf(innerHtml: String): String = innerHtml
-    .replaceAll("(?s)<script.*?</script>", " ")
-    .replaceAll("(?s)<style.*?</style>", " ")
-    .replaceAll("<[^>]*>", " ")
-    .replace("&nbsp;", " ").replace("&amp;", "&")
-    .replace("&lt;", "<").replace("&gt;", ">")
-    .replace("&quot;", "\"").replace("&#39;", "'")
-    .replaceAll("\\s+", " ").trim
+  private val ScriptPat =
+    java.util.regex.Pattern.compile("(?s)<script.*?</script>")
+  private val StylePat =
+    java.util.regex.Pattern.compile("(?s)<style.*?</style>")
+  private val TagPat = java.util.regex.Pattern.compile("<[^>]*>")
+
+  def textOf(innerHtml: String): String = {
+    val noTags = TagPat.matcher(StylePat.matcher(ScriptPat
+      .matcher(innerHtml).replaceAll(" ")).replaceAll(" "))
+      .replaceAll(" ")
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+    WsPat.matcher(noTags).replaceAll(" ").trim
+  }
 
   /** Apply a selector chain: descendant parts walk into innerHtml. */
   def select(html: String, chain: Seq[Selector]): Seq[(String, String)] =

@@ -289,6 +289,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap < picked.size / 2)
   }
 
+  test("pack: greedy token-budget sequence packing invariants") {
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens
+      (2L, "d e"),          // 2 -> fits with doc1 (5 <= 6)
+      (3L, "f g h i"),      // 4 -> overflow, new sequence
+      (4L, "j"),            // 1 -> fits (5 <= 6)
+      (5L, "k l m n o p q r")) // 8 > budget -> own oversize sequence
+      .toDF("doc_id", "text").coalesce(1)
+    val out = graft.operators.PackTransform.build(spark,
+      graft.Pipeline.ModuleCfg("pk", "pack", Seq("d"), Nil,
+        graft.config.Json.parse(
+          """{"field":"text","idField":"doc_id","tokenBudget":6}"""),
+        graft.config.Json.obj()),
+      Map("d" -> docs))("pk")
+    val rows = out.select("doc_id", "__tokens", "__sequence_id",
+      "__seq_pos", "__oversize")
+      .as[(Long, Long, String, Int, Boolean)].collect().sortBy(_._1)
+    val bySeq = rows.groupBy(_._3)
+    // exact greedy assignment on the single partition
+    assert(rows.map(r => (r._1, r._3, r._4)).toSeq == Seq(
+      (1L, "0-0", 0), (2L, "0-0", 1), (3L, "0-1", 0), (4L, "0-1", 1),
+      (5L, "0-2", 0)))
+    // invariant: no multi-doc sequence exceeds the budget
+    bySeq.values.filter(_.length > 1).foreach { s =>
+      assert(s.map(_._2).sum <= 6L)
+    }
+    // oversize doc flagged and alone
+    assert(rows.find(_._1 == 5L).exists(_._5))
+    assert(bySeq(rows.find(_._1 == 5L).get._3).length == 1)
+    // positions contiguous from 0 within each sequence
+    bySeq.values.foreach { s =>
+      assert(s.map(_._4).sorted.toSeq == (0 until s.length))
+    }
+  }
+
   test("decontaminate flags and removes docs sharing benchmark n-grams") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
