@@ -1477,6 +1477,30 @@ transforms:
     inputs: [pk]
     parameters:
       sql: "SELECT __sequence_id AS seq, count(*) AS docs, sum(__tokens) AS toks, max(CASE WHEN __oversize THEN 1 ELSE 0 END) AS oversize FROM pk GROUP BY 1"
+"""),
+
+    // PII scrub: inject synthetic emails/IPs/phones, then detect and
+    // mask via the RE2-parity chain (email -> ip -> phone)
+    "q53_pii" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: prep
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, concat(text, ' Contact user', CAST(doc_id AS STRING), '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' at ', CAST(doc_id % 256 AS STRING), '.168.0.1 today') AS text FROM docs"
+  - name: ta
+    module: textAnalysis
+    inputs: [prep]
+    parameters: {field: text, features: [pii]}
+  - name: out
+    module: sql
+    inputs: [ta]
+    parameters:
+      sql: "SELECT doc_id, pii_emails, pii_ips, pii_phones, text_masked FROM ta"
 """)
   )
 
@@ -1975,6 +1999,37 @@ transforms:
          WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
              CAST(l_linenumber AS VARCHAR)), 1, 8) <
            CASE l_returnflag WHEN 'A' THEN '33333333'
-             WHEN 'N' THEN '0ccccccc' ELSE 'g' END"""
+             WHEN 'N' THEN '0ccccccc' ELSE 'g' END""",
+
+    "q53_pii" ->
+      """WITH prep AS (
+           SELECT doc_id, text || ' Contact user' ||
+             CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at ' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.168.0.1 today' AS text
+           FROM documents),
+         m AS (
+           SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g') AS t1
+           FROM prep),
+         m2 AS (
+           SELECT *, regexp_replace(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2
+           FROM m)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS pii_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS BIGINT) AS pii_ips,
+           CAST(len(regexp_extract_all(t2,
+             '\+?\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}')) AS BIGINT)
+             AS pii_phones,
+           regexp_replace(t2, '\+?\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}',
+             '[PHONE]', 'g') AS text_masked
+         FROM m2"""
   )
 }

@@ -45,6 +45,28 @@ object TextAnalysisTransform {
           .withColumn("symbol_ratio",
             regexp_count(t, lit("#|\\.{3}|…")).cast("double") /
               greatest(size(tk), lit(1)).cast("double"))
+      case "pii" =>
+        // PII detection/masking (the CCNet/Dolma-style scrub step).
+        // Patterns are deliberately RE2-compatible (no lookaround, no
+        // backreferences) so an external engine can replicate the
+        // masking bit-for-bit; the chain order (email → ip → phone)
+        // is part of the contract — each count/mask runs on the
+        // previous step's output so digit runs inside an already-
+        // masked span are never double-counted.
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\+?\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}"
+        val t1 = regexp_replace(t, email, "[EMAIL]")
+        val t2 = regexp_replace(t1, ip, "[IP]")
+        val t3 = regexp_replace(t2, phone, "[PHONE]")
+        df = df
+          .withColumn("pii_emails",
+            regexp_count(t, lit(email)).cast("long"))
+          .withColumn("pii_ips",
+            regexp_count(t1, lit(ip)).cast("long"))
+          .withColumn("pii_phones",
+            regexp_count(t2, lit(phone)).cast("long"))
+          .withColumn("text_masked", t3)
       case other =>
         throw new IllegalArgumentException(s"textAnalysis feature: $other")
     }

@@ -347,6 +347,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Seq(2L))
   }
 
+  test("textAnalysis pii feature masks emails, ips, phones in order") {
+    val docs = Seq(
+      (1L, "mail a.b+c@x-corp.io and 10.0.0.1 then +81-03-1234 end"),
+      (2L, "no pii here, just 42 words and 1.5 numbers"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysisTransform.build(spark,
+      graft.Pipeline.ModuleCfg("ta", "textAnalysis", Seq("d"), Nil,
+        graft.config.Json.parse("""{"field":"text","features":["pii"]}"""),
+        graft.config.Json.obj()),
+      Map("d" -> docs))("ta")
+    val rows = out.select("doc_id", "pii_emails", "pii_ips",
+      "pii_phones", "text_masked")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 1L, 1L, 1L,
+      "mail [EMAIL] and [IP] then [PHONE] end")))
+    assert(rows(1) == ((2L, 0L, 0L, 0L,
+      "no pii here, just 42 words and 1.5 numbers")))
+  }
+
   test("textAnalysis repetition signals") {
     val docs = Seq((1L, "x y x y x\nfoo\nfoo\n### ... done"))
       .toDF("doc_id", "text")

@@ -54,4 +54,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("min("),
       "missing map-side min combine")
   }
+
+  test("q51 sample is a pure map-side filter: no shuffle, no UDF") {
+    val p = plan("q51_sample")
+    assert(!p.contains("Exchange"),
+      "hash sampling must not shuffle — the keep decision is a pure " +
+        "function of the row")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "sampling predicate left the codegen path")
+  }
+
+  test("q52 pack plan has no shuffle before the packer") {
+    // per-partition greedy packing: mapPartitions directly over the
+    // scan; a shuffle would mean the packer lost its zero-movement
+    // contract (the downstream summary agg may shuffle)
+    val p = SparkEntry.queries("q52_pack")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val packIdx = p.indexOf("MapPartitions")
+    val exchIdx = p.lastIndexOf("Exchange")
+    assert(packIdx >= 0, "pack stage missing from plan")
+    assert(exchIdx < packIdx,
+      "shuffle below the packer — packing must consume scan output " +
+        "in place")
+  }
+
+  test("q50 line dedup: frequency count is a partial aggregate, " +
+      "not a window funnel") {
+    val p = plan("q50_dedup_lines")
+    assert(p.contains("partial_count"),
+      "line frequencies must map-side combine (skew safety: the hot " +
+        "boilerplate line shuffles once per task, not per occurrence)")
+    assert(!p.linesIterator.exists(l => l.contains("Window") &&
+        l.contains("__line")),
+      "per-line window count funnels every occurrence of a hot line " +
+        "into one partition")
+  }
 }
