@@ -46,7 +46,13 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that persist() intermediates (dedup candidate sets,
+        // decontamination gram sets) would otherwise accumulate cached
+        // blocks across all 50+ queries — measured 3× slowdown on late
+        // queries from the memory/GC pressure, not from their plans
+        spark.catalog.clearCache()
+        name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
