@@ -540,7 +540,7 @@ transforms:
   - name: dd
     module: dedup
     inputs: [docs]
-    parameters: {method: minhash, field: text, idField: doc_id}
+    parameters: {method: minhash, field: text, idField: doc_id, hashAlgo: md5}
   - name: out
     module: select
     inputs: [dd]
@@ -883,7 +883,7 @@ transforms:
   - name: dd
     module: dedup
     inputs: [docs]
-    parameters: {method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7}
+    parameters: {method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7, hashAlgo: md5}
   - name: out
     module: select
     inputs: [dd]
@@ -1694,6 +1694,102 @@ transforms:
            count(*) AS n
          FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
          GROUP BY 1""",
+
+    // q20/q34 run dedup in hashAlgo: md5 mode, whose every step (gram
+    // extraction, per-seed min-md5 signature, banded bucket keys,
+    // bucket-min rep, Jaccard verify) is reproducible in ANSI SQL —
+    // the point of the mode: LSH dedup decisions auditable by any
+    // engine. The oracles below replay the exact pipeline in DuckDB.
+    "q20_dedup_minhash" ->
+      """WITH toks0 AS (
+           SELECT doc_id, a[i] AS tok, i AS ord
+           FROM (SELECT doc_id, regexp_split_to_array(lower(text),
+                   '[^\p{L}\p{Nd}'']+') AS a
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(range(1, len(a) + 1)) u(i)
+           WHERE a[i] <> ''),
+         toks AS (
+           SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos,
+             count(*) OVER (PARTITION BY doc_id) AS n
+           FROM toks0),
+         grams AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' '
+                 || lead(tok, 2) OVER w AS gram
+           FROM toks WHERE n >= 3
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           QUALIFY pos <= n - 2
+           UNION ALL
+           SELECT d.doc_id, coalesce(s.joined, '') AS gram
+           FROM documents d
+           LEFT JOIN (SELECT doc_id,
+                        string_agg(tok, ' ' ORDER BY pos) AS joined
+                      FROM toks GROUP BY doc_id
+                      HAVING count(*) < 3) s USING (doc_id)
+           WHERE d.text IS NOT NULL
+             AND d.doc_id NOT IN (SELECT doc_id FROM toks WHERE n >= 3)),
+         sig AS (
+           SELECT doc_id, s, min(md5(s::VARCHAR || ':' || gram)) AS mh
+           FROM grams CROSS JOIN range(0, 32) t(s)
+           GROUP BY doc_id, s),
+         bandkeys AS (
+           SELECT doc_id, s // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY s)) AS bh
+           FROM sig GROUP BY doc_id, s // 4),
+         cand AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys),
+         dup AS (
+           SELECT doc_id, min(rep) AS dup_of
+           FROM cand WHERE doc_id > rep GROUP BY doc_id)
+         SELECT d.doc_id, CAST(dup.dup_of AS BIGINT) AS dup_of
+         FROM documents d LEFT JOIN dup USING (doc_id)""",
+
+    "q34_dedup_ngram" ->
+      """WITH lows AS (
+           SELECT doc_id, lower(text) AS t
+           FROM documents WHERE text IS NOT NULL),
+         grams AS (
+           SELECT doc_id, substr(t, i::INT, 5) AS gram
+           FROM lows, LATERAL unnest(range(1, length(t) - 3)) u(i)
+           WHERE length(t) >= 5
+           UNION ALL
+           SELECT doc_id, t AS gram FROM lows WHERE length(t) < 5),
+         sig AS (
+           SELECT doc_id, s, min(md5(s::VARCHAR || ':' || gram)) AS mh
+           FROM grams CROSS JOIN range(0, 32) t(s)
+           GROUP BY doc_id, s),
+         bandkeys AS (
+           SELECT doc_id, s // 4 AS band_idx,
+             md5(string_agg(mh, '|' ORDER BY s)) AS bh
+           FROM sig GROUP BY doc_id, s // 4),
+         cand AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys),
+         cpairs AS (
+           SELECT DISTINCT doc_id AS a, rep AS b
+           FROM cand WHERE doc_id > rep),
+         dgrams AS (SELECT DISTINCT doc_id, gram FROM grams),
+         gsize AS (
+           SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, count(*) AS i
+           FROM cpairs p
+           JOIN dgrams ga ON ga.doc_id = p.a
+           JOIN dgrams gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+           GROUP BY p.a, p.b),
+         ver AS (
+           SELECT i.a, min(i.b) AS dup_of
+           FROM inter i
+           JOIN gsize sa ON sa.doc_id = i.a
+           JOIN gsize sb ON sb.doc_id = i.b
+           WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.7
+           GROUP BY i.a)
+         SELECT d.doc_id, CAST(ver.dup_of AS BIGINT) AS dup_of
+         FROM documents d LEFT JOIN ver ON d.doc_id = ver.a""",
 
     "q30_template" ->
       """SELECT o_orderkey,

@@ -117,6 +117,71 @@ object TextFunctions {
     }
   }
 
+  /** MinHash signature in cross-engine-reproducible md5 mode: the
+    * per-permutation value is the MINIMUM (lexicographic) hex md5 of
+    * `"<seed>:<gram>"` over the doc's grams. Hex strings order
+    * identically in the JVM, DuckDB, and any ANSI engine, so the
+    * signature — and therefore every LSH bucketing decision — can be
+    * recomputed bit-for-bit by plain SQL (`min(md5(s || ':' || g))`).
+    * Use when dedup decisions must be auditable/portable across
+    * engines; the default xx64 mode is ~an order of magnitude cheaper
+    * per gram and preferred when only this engine consumes them.
+    * Null text → null signature (excluded from banding downstream). */
+  def minhashSigMd5Udf(k: Int, m: Int,
+      charGrams: Boolean = false): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val pieces: Array[String] =
+          if (charGrams) {
+            val t = s.toLowerCase(java.util.Locale.ROOT)
+            if (t.length < k) Array(t)
+            else Array.tabulate(t.length - k + 1)(i => t.substring(i, i + k))
+          } else {
+            val toks = wordTokens(s)
+            if (toks.length < k) Array(toks.mkString(" "))
+            else Array.tabulate(toks.length - k + 1)(i =>
+              toks.slice(i, i + k).mkString(" "))
+          }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        val mins = new Array[String](m)
+        var p = 0
+        while (p < m) {
+          val prefix = (p + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          while (i < pieces.length) {
+            md.reset()
+            md.update(prefix)
+            md.update(pieces(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val d = md.digest()
+            val sb = new Array[Char](32)
+            var j = 0
+            while (j < 16) {
+              sb(2 * j) = hex((d(j) >> 4) & 0xf)
+              sb(2 * j + 1) = hex(d(j) & 0xf)
+              j += 1
+            }
+            val h = new String(sb)
+            if (mins(p) == null || h < mins(p)) mins(p) = h
+            i += 1
+          }
+          p += 1
+        }
+        mins.toSeq
+      }
+    }
+  }
+
+  /** LSH band keys for an md5-mode signature (array<string>): band b's
+    * key is the hex md5 of the `|`-joined per-band mins — again
+    * reproducible as `md5(string_agg(mh, '|' ORDER BY s))` in SQL. */
+  def lshBandsMd5(sig: Column, m: Int, bands: Int): Column = {
+    val r = m / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(sig, b * r + 1, lit(r)))))
+  }
+
   /** 64-bit SimHash over word tokens in one pass: per-token hash,
     * 64 bit votes, sign → bit. Null text → null. */
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =

@@ -65,9 +65,12 @@ object DedupTransform {
         val m = p.int("numPermutations").getOrElse(32)
         val bands = p.int("bands").getOrElse(8)
         val k = p.int("shingleSize").getOrElse(3)
+        val md5Mode = p.str("hashAlgo").contains("md5")
+        val sigUdf = if (md5Mode) minhashSigMd5Udf(k, m)
+          else minhashSigUdf(k, m)
         val sig = df.select(col(idField).as("__id"),
-          minhashSigUdf(k, m)(col(textField)).as("__sig"))
-        lshDedup(df, idField, bandsFromSig(sig, m, bands))
+          sigUdf(col(textField)).as("__sig"))
+        lshDedup(df, idField, bandsFromSig(sig, m, bands, md5Mode))
       case "simhash" =>
         val bands = p.int("bands").getOrElse(4)
         val sig = df.select(col(idField).as("__id"),
@@ -78,7 +81,8 @@ object DedupTransform {
       case "ngram" =>
         val n = p.int("ngramSize").getOrElse(5)
         val threshold = p.dbl("threshold").getOrElse(0.8)
-        ngramDedup(df, textField, idField, n, threshold)
+        ngramDedup(df, textField, idField, n, threshold,
+          md5Mode = p.str("hashAlgo").contains("md5"))
       case "embedding" =>
         val embField = p.str("field").getOrElse("embedding")
         val dim = p.int("dim").getOrElse(64)
@@ -141,9 +145,11 @@ object DedupTransform {
     * doc → signature with zero shuffle, vs the earlier explode →
     * groupBy form that shuffled one (id, hash) row per shingle and
     * compiled a 32-column min-aggregate class per plan. */
-  def bandsFromSig(sig: DataFrame, m: Int, bands: Int): DataFrame =
+  def bandsFromSig(sig: DataFrame, m: Int, bands: Int,
+      md5Mode: Boolean = false): DataFrame =
     sig.select(col("__id"),
-      posexplode(lshBands(col("__sig"), m, bands))
+      posexplode(if (md5Mode) lshBandsMd5(col("__sig"), m, bands)
+        else lshBands(col("__sig"), m, bands))
         .as(Seq("__band_idx", "__band_hash")))
 
   /** Flag docs sharing any band bucket with a smaller id.
@@ -172,7 +178,7 @@ object DedupTransform {
     * exact Jaccard within buckets (verification join touches only
     * candidate pairs, never the full corpus cross-product). */
   private def ngramDedup(df: DataFrame, textField: String, idField: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, md5Mode: Boolean = false): DataFrame = {
     // r = m/bands = 4 hash rows per band: collision prob per band is
     // sim^4, so 8 bands give ~99% recall at sim 0.8 while keeping the
     // false-candidate rate ~50x below r=2 banding (r=2 at sf0.1
@@ -181,9 +187,10 @@ object DedupTransform {
     val m = 32; val bands = 8
     val slim = df.select(col(idField).as("__id"),
       col(textField).as("__t"))
-    val sig = slim.select(col("__id"),
-      minhashSigUdf(n, m, charGrams = true)(col("__t")).as("__sig"))
-    val bandRows = bandsFromSig(sig, m, bands)
+    val sigUdf = if (md5Mode) minhashSigMd5Udf(n, m, charGrams = true)
+      else minhashSigUdf(n, m, charGrams = true)
+    val sig = slim.select(col("__id"), sigUdf(col("__t")).as("__sig"))
+    val bandRows = bandsFromSig(sig, m, bands, md5Mode)
     // Bucket representative via a window over the band bucket (not
     // groupBy + join back) so the signature pipeline is computed once
     // — see lshDedup. Persisted: candidates feed three subtrees (the

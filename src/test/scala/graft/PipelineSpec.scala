@@ -235,6 +235,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupOf(3L).isEmpty) // distinct content survives
   }
 
+  test("minhash dedup md5 mode matches default mode's decisions") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val cfg = graft.Pipeline.ModuleCfg("dd", "dedup", Seq("d"), Nil,
+      graft.config.Json.parse(
+        """{"method":"minhash","field":"text","idField":"doc_id",
+            "numPermutations":32,"bands":16,"shingleSize":3,
+            "hashAlgo":"md5"}"""),
+      graft.config.Json.obj())
+    val out = graft.operators.DedupTransform.build(
+      spark, cfg, Map("d" -> docs))("dd")
+    val dupOf = out.select("doc_id", "__dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(dupOf(1L).isEmpty)
+    assert(dupOf(4L).contains(1L))
+    assert(dupOf(2L).contains(1L))
+    assert(dupOf(3L).isEmpty)
+  }
+
   test("lines dedup strips corpus-frequent boilerplate lines") {
     val docs = Seq(
       (1L, "HEADER\nunique body one\nFOOTER"),
