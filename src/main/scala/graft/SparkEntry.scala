@@ -560,7 +560,7 @@ transforms:
   - name: dd
     module: dedup
     inputs: [docs]
-    parameters: {method: simhash, field: text, idField: doc_id}
+    parameters: {method: simhash, field: text, idField: doc_id, hashAlgo: md5}
   - name: out
     module: select
     inputs: [dd]
@@ -580,7 +580,7 @@ transforms:
   - name: dd
     module: dedup
     inputs: [emb]
-    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.9}
+    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.3, planes: 6, hashAlgo: md5}
   - name: out
     module: select
     inputs: [dd]

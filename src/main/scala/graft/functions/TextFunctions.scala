@@ -182,6 +182,49 @@ object TextFunctions {
       b => md5(concat_ws("|", slice(sig, b * r + 1, lit(r)))))
   }
 
+  /** SimHash in cross-engine-reproducible md5 mode: the per-token
+    * 64-bit hash is the first 64 bits of md5(token) read MSB-first,
+    * and the output is a 64-char '0'/'1' string (bit b at position
+    * b+1) instead of a packed long — a SQL engine rebuilds it with
+    * hex-digit arithmetic over md5() and string_agg. Vote tie (count
+    * 0, including the empty document) → '0'. Null text → null. */
+  val simhashMd5Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](64)
+        val toks = wordTokens(s)
+        var i = 0
+        while (i < toks.length) {
+          val d = md.digest(
+            toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var b = 0
+          while (b < 64) {
+            if (((d(b / 8) >> (7 - b % 8)) & 1) == 1) votes(b) += 1
+            else votes(b) -= 1
+            b += 1
+          }
+          i += 1
+        }
+        val sb = new Array[Char](64)
+        var b = 0
+        while (b < 64) {
+          sb(b) = if (votes(b) > 0) '1' else '0'
+          b += 1
+        }
+        new String(sb)
+      }
+    }
+
+  /** Hamming-LSH band keys for an md5-mode simhash bit string: the
+    * 64/bands-char substring per band (`substr` in SQL). */
+  def simhashBandsMd5(sh: Column, bands: Int): Column = {
+    val width = 64 / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => sh.substr(b * width + 1, lit(width)))
+  }
+
   /** 64-bit SimHash over word tokens in one pass: per-token hash,
     * 64 bit votes, sign → bit. Null text → null. */
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -277,6 +320,45 @@ object TextFunctions {
           p += 1
         }
         java.lang.Long.valueOf(bucket)
+      }
+    }
+    f(emb)
+  }
+
+  /** Hyperplane LSH bucket in cross-engine-reproducible md5 mode:
+    * plane p's component i is uniform in [-1, 1), derived from the
+    * first 8 hex digits of md5("plane:p:i") — a SQL engine recomputes
+    * the identical planes with md5() + hex-digit arithmetic, so
+    * bucket assignments replay outside the JVM. Uniform (not
+    * gaussian) components keep the same sign-projection LSH
+    * guarantees: the distribution is symmetric around 0. The bucket
+    * is a '1'/'0' string, one char per plane (dot > 0 → '1'). */
+  def hyperplaneBucketMd5(emb: Column, dim: Int, planes: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(p: Int, i: Int): Double = {
+      val h = md.digest(
+        s"plane:$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex digits = first 4 bytes, MSB-first, as unsigned
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      v.toDouble / 4294967296.0 * 2.0 - 1.0
+    }
+    val planeVecs: Array[Array[Double]] =
+      Array.tabulate(planes)(p => Array.tabulate(dim)(i => u(p, i)))
+    val f = udf { (a: Seq[Float]) =>
+      if (a == null) null
+      else {
+        val sb = new Array[Char](planeVecs.length)
+        var p = 0
+        while (p < planeVecs.length) {
+          val plane = planeVecs(p)
+          var dot = 0.0; var i = 0
+          val n = math.min(a.length, plane.length)
+          while (i < n) { dot += a(i) * plane(i); i += 1 }
+          sb(p) = if (dot > 0) '1' else '0'
+          p += 1
+        }
+        new String(sb)
       }
     }
     f(emb)

@@ -73,10 +73,14 @@ object DedupTransform {
         lshDedup(df, idField, bandsFromSig(sig, m, bands, md5Mode))
       case "simhash" =>
         val bands = p.int("bands").getOrElse(4)
+        val md5Mode = p.str("hashAlgo").contains("md5")
+        val shUdf = if (md5Mode) simhashMd5Udf else simhashUdf
+        val bandFn: Column => Column =
+          if (md5Mode) simhashBandsMd5(_, bands) else simhashBands(_, bands)
         val sig = df.select(col(idField).as("__id"),
-          simhashUdf(col(textField)).as("__sh"))
+          shUdf(col(textField)).as("__sh"))
         lshDedup(df, idField, sig.select(col("__id"),
-          posexplode(simhashBands(col("__sh"), bands))
+          posexplode(bandFn(col("__sh")))
             .as(Seq("__band_idx", "__band_hash"))))
       case "ngram" =>
         val n = p.int("ngramSize").getOrElse(5)
@@ -88,7 +92,8 @@ object DedupTransform {
         val dim = p.int("dim").getOrElse(64)
         val planes = p.int("planes").getOrElse(12)
         val threshold = p.dbl("threshold").getOrElse(0.95)
-        embeddingDedup(df, embField, idField, dim, planes, threshold)
+        embeddingDedup(df, embField, idField, dim, planes, threshold,
+          md5Mode = p.str("hashAlgo").contains("md5"))
       case "lines" =>
         // CCNet/RefinedWeb-style boilerplate strip: remove every line
         // whose corpus-wide frequency reaches minCount
@@ -331,11 +336,13 @@ object DedupTransform {
   /** Embedding cosine near-dup via hyperplane LSH buckets. */
   private def embeddingDedup(df: DataFrame, embField: String,
       idField: String, dim: Int, planes: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, md5Mode: Boolean = false): DataFrame = {
+    val bucketCol =
+      if (md5Mode) hyperplaneBucketMd5(col("__emb"), dim, planes)
+      else hyperplaneBucket(col("__emb"), dim, planes, seed = 42L)
     val slim = df.select(col(idField).as("__id"),
       col(embField).as("__emb"))
-      .withColumn("__bucket",
-        hyperplaneBucket(col("__emb"), dim, planes, seed = 42L))
+      .withColumn("__bucket", bucketCol)
     // per-bucket representative via a window (not groupBy + join
     // back): the join form runs the hyperplane-projection UDF over
     // the corpus twice. One shuffle on the bucket key; bucket
