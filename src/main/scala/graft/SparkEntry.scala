@@ -530,7 +530,10 @@ transforms:
             - {name: n, op: count}
 """),
 
-    // dedup minhash LSH (rows-only: LSH bucketing isn't SQL-expressible)
+    // dedup minhash LSH in hashAlgo:md5 mode — one md5 per gram +
+    // Kirsch-Mitzenmacher lanes, fully replayed by the DuckDB oracle
+    // (q34 likewise; q21/q22 have md5-mode replays too; q24/q33 stay
+    // rows-only)
     "q20_dedup_minhash" -> pipe("out", """
 sources:
   - name: docs
@@ -1696,10 +1699,12 @@ transforms:
          GROUP BY 1""",
 
     // q20/q34 run dedup in hashAlgo: md5 mode, whose every step (gram
-    // extraction, per-seed min-md5 signature, banded bucket keys,
-    // bucket-min rep, Jaccard verify) is reproducible in ANSI SQL —
-    // the point of the mode: LSH dedup decisions auditable by any
-    // engine. The oracles below replay the exact pipeline in DuckDB.
+    // extraction, one-md5-per-gram Kirsch-Mitzenmacher lane signature
+    // `(h1 + p·h2 + p²·h3) mod 2^32` over the digest's 32-bit words,
+    // banded bucket keys, bucket-min rep, Jaccard verify) is
+    // reproducible in ANSI SQL — the point of the mode: LSH dedup
+    // decisions auditable by any engine. The oracles below replay the
+    // exact pipeline in DuckDB.
     "q20_dedup_minhash" ->
       """WITH toks0 AS (
            SELECT doc_id, a[i] AS tok, i AS ord
@@ -1729,13 +1734,20 @@ transforms:
                       HAVING count(*) < 3) s USING (doc_id)
            WHERE d.text IS NOT NULL
              AND d.doc_id NOT IN (SELECT doc_id FROM toks WHERE n >= 3)),
+         gh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
+           FROM grams),
          sig AS (
-           SELECT doc_id, s, min(md5(s::VARCHAR || ':' || gram)) AS mh
-           FROM grams CROSS JOIN range(0, 32) t(s)
+           SELECT doc_id, s,
+             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
+           FROM gh CROSS JOIN range(0, 32) t(s)
            GROUP BY doc_id, s),
          bandkeys AS (
            SELECT doc_id, s // 4 AS band_idx,
-             md5(string_agg(mh, '|' ORDER BY s)) AS bh
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
            FROM sig GROUP BY doc_id, s // 4),
          cand AS (
            SELECT doc_id,
@@ -1757,13 +1769,20 @@ transforms:
            WHERE length(t) >= 5
            UNION ALL
            SELECT doc_id, t AS gram FROM lows WHERE length(t) < 5),
+         gh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
+           FROM grams),
          sig AS (
-           SELECT doc_id, s, min(md5(s::VARCHAR || ':' || gram)) AS mh
-           FROM grams CROSS JOIN range(0, 32) t(s)
+           SELECT doc_id, s,
+             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
+           FROM gh CROSS JOIN range(0, 32) t(s)
            GROUP BY doc_id, s),
          bandkeys AS (
            SELECT doc_id, s // 4 AS band_idx,
-             md5(string_agg(mh, '|' ORDER BY s)) AS bh
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
            FROM sig GROUP BY doc_id, s // 4),
          cand AS (
            SELECT doc_id,

@@ -117,16 +117,23 @@ object TextFunctions {
     }
   }
 
-  /** MinHash signature in cross-engine-reproducible md5 mode: the
-    * per-permutation value is the MINIMUM (lexicographic) hex md5 of
-    * `"<seed>:<gram>"` over the doc's grams. Hex strings order
-    * identically in the JVM, DuckDB, and any ANSI engine, so the
-    * signature — and therefore every LSH bucketing decision — can be
-    * recomputed bit-for-bit by plain SQL (`min(md5(s || ':' || g))`).
-    * Use when dedup decisions must be auditable/portable across
-    * engines; the default xx64 mode is ~an order of magnitude cheaper
-    * per gram and preferred when only this engine consumes them.
-    * Null text → null signature (excluded from banding downstream). */
+  /** MinHash signature in cross-engine-reproducible md5 mode: each
+    * gram is md5-digested ONCE; the digest's first three 32-bit words
+    * (MSB-first, = hex substrings 1-8 / 9-16 / 17-24) seed a
+    * Kirsch-Mitzenmacher family, lane p = (h1 + p·h2 + p²·h3) mod
+    * 2^32, and the signature is the per-lane minimum over the doc's
+    * grams. Every quantity is exact integer arithmetic on the md5
+    * hex string, so the signature — and therefore every LSH bucketing
+    * decision — can be recomputed bit-for-bit by plain SQL:
+    * `min((('0x'||substr(md5(g),1,8))::BIGINT + p*h2 + p*p*h3) %
+    * 4294967296)`. One digest per gram keeps this within ~2× of the
+    * default xx64 mode (the previous per-seed-digest formulation cost
+    * m digests per gram — 32× the arithmetic for the same recall).
+    * NOTE: grams are built from UTF-16 code units (String.length /
+    * substring); for char-gram mode this matches SQL engines'
+    * code-point semantics only for BMP text — see README "md5 replay
+    * mode". Null text → null signature (callers exclude null
+    * signatures from banding). */
   def minhashSigMd5Udf(k: Int, m: Int,
       charGrams: Boolean = false): org.apache.spark.sql.expressions.UserDefinedFunction = {
     udf { (s: String) =>
@@ -144,42 +151,40 @@ object TextFunctions {
               toks.slice(i, i + k).mkString(" "))
           }
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = "0123456789abcdef".toCharArray
-        val mins = new Array[String](m)
-        var p = 0
-        while (p < m) {
-          val prefix = (p + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          var i = 0
-          while (i < pieces.length) {
-            md.reset()
-            md.update(prefix)
-            md.update(pieces(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val d = md.digest()
-            val sb = new Array[Char](32)
-            var j = 0
-            while (j < 16) {
-              sb(2 * j) = hex((d(j) >> 4) & 0xf)
-              sb(2 * j + 1) = hex(d(j) & 0xf)
-              j += 1
-            }
-            val h = new String(sb)
-            if (mins(p) == null || h < mins(p)) mins(p) = h
-            i += 1
+        val mins = Array.fill(m)(Long.MaxValue)
+        var i = 0
+        while (i < pieces.length) {
+          val d = md.digest(
+            pieces(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          val h3 = ((d(8) & 0xffL) << 24) | ((d(9) & 0xffL) << 16) |
+            ((d(10) & 0xffL) << 8) | (d(11) & 0xffL)
+          var p = 0
+          while (p < m) {
+            // max h1 + 31·h2 + 961·h3 < 2^42: no signed-64 overflow
+            val v = (h1 + p * h2 + p.toLong * p * h3) & 0xffffffffL
+            if (v < mins(p)) mins(p) = v
+            p += 1
           }
-          p += 1
+          i += 1
         }
         mins.toSeq
       }
     }
   }
 
-  /** LSH band keys for an md5-mode signature (array<string>): band b's
-    * key is the hex md5 of the `|`-joined per-band mins — again
-    * reproducible as `md5(string_agg(mh, '|' ORDER BY s))` in SQL. */
+  /** LSH band keys for an md5-mode signature (array<long> of 32-bit
+    * lane minima): band b's key is the hex md5 of the `|`-joined
+    * decimal lane values — reproducible as
+    * `md5(string_agg(mh::VARCHAR, '|' ORDER BY s))` in SQL. */
   def lshBandsMd5(sig: Column, m: Int, bands: Int): Column = {
     val r = m / bands
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|", slice(sig, b * r + 1, lit(r)))))
+      b => md5(concat_ws("|",
+        transform(slice(sig, b * r + 1, lit(r)), v => v.cast(StringType)))))
   }
 
   /** SimHash in cross-engine-reproducible md5 mode: the per-token

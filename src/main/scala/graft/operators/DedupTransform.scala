@@ -36,7 +36,10 @@ object DedupTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val df = TransformCommon.single(cfg, inputs)
+    // signature/gram UDFs are arithmetic-dense per row: a small input
+    // (one parquet split) would serialize them onto one task, so widen
+    // to cluster parallelism first (no-op at scale — see widen docs)
+    val df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
     val p = cfg.params
     val method = p.str("method").getOrElse("exact")
     val textField = p.str("field").getOrElse("text")
@@ -68,8 +71,13 @@ object DedupTransform {
         val md5Mode = p.str("hashAlgo").contains("md5")
         val sigUdf = if (md5Mode) minhashSigMd5Udf(k, m)
           else minhashSigUdf(k, m)
+        // null-text docs get a null signature; without this filter the
+        // band expression maps them all to the same constant key
+        // (md5("") / hash(null, b)) and they'd be flagged duplicates
+        // of each other
         val sig = df.select(col(idField).as("__id"),
           sigUdf(col(textField)).as("__sig"))
+          .filter(col("__sig").isNotNull)
         lshDedup(df, idField, bandsFromSig(sig, m, bands, md5Mode))
       case "simhash" =>
         val bands = p.int("bands").getOrElse(4)
@@ -77,8 +85,10 @@ object DedupTransform {
         val shUdf = if (md5Mode) simhashMd5Udf else simhashUdf
         val bandFn: Column => Column =
           if (md5Mode) simhashBandsMd5(_, bands) else simhashBands(_, bands)
+        // see minhash note: null simhash must not reach the band keys
         val sig = df.select(col(idField).as("__id"),
           shUdf(col(textField)).as("__sh"))
+          .filter(col("__sh").isNotNull)
         lshDedup(df, idField, sig.select(col("__id"),
           posexplode(bandFn(col("__sh")))
             .as(Seq("__band_idx", "__band_hash"))))
@@ -195,6 +205,7 @@ object DedupTransform {
     val sigUdf = if (md5Mode) minhashSigMd5Udf(n, m, charGrams = true)
       else minhashSigUdf(n, m, charGrams = true)
     val sig = slim.select(col("__id"), sigUdf(col("__t")).as("__sig"))
+      .filter(col("__sig").isNotNull) // null text: never a candidate
     val bandRows = bandsFromSig(sig, m, bands, md5Mode)
     // Bucket representative via a window over the band bucket (not
     // groupBy + join back) so the signature pipeline is computed once
@@ -203,14 +214,16 @@ object DedupTransform {
     // without the cache the signature pipeline would be recomputed
     // per subtree. Two longs per candidate pair — trivially cacheable
     // even when the corpus is not. Duplicate pairs from multi-band
-    // collisions are NOT distinct()'d away: the extra Jaccard
-    // evaluations are cheaper than another full shuffle, and the
-    // final groupBy collapses them.
+    // collisions ARE distinct()'d: true near-dups collide in most of
+    // the 8 bands, so skipping the distinct re-runs the (two
+    // ~|doc|-element array) Jaccard verify up to 8× per pair —
+    // measured 3× the verify stage time at sf0.1 — while the distinct
+    // itself shuffles only 16 bytes/pair.
     val candidates = bandRows
       .withColumn("__rep_id", min("__id").over(
         Window.partitionBy("__band_idx", "__band_hash")))
       .filter(col("__id") > col("__rep_id"))
-      .select("__id", "__rep_id").persist()
+      .select("__id", "__rep_id").distinct().persist()
     // verification grams are computed only for candidate-pair members
     // (semi-join on the candidate id set — which also dedups it), NOT
     // for the whole corpus: the full-corpus gram frame would either
@@ -343,6 +356,9 @@ object DedupTransform {
     val slim = df.select(col(idField).as("__id"),
       col(embField).as("__emb"))
       .withColumn("__bucket", bucketCol)
+      // null embeddings share the null bucket — exclude them rather
+      // than flag them as duplicates of each other
+      .filter(col("__bucket").isNotNull)
     // per-bucket representative via a window (not groupBy + join
     // back): the join form runs the hyperplane-projection UDF over
     // the corpus twice. One shuffle on the bucket key; bucket

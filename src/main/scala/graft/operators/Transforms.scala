@@ -36,6 +36,11 @@ object TransformCommon {
     * cores, and on streaming frames. */
   def widen(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    // partition-count probe builds the physical plan once at
+    // config-build time; `spark.graft.widen=false` skips it entirely
+    // for very large plans where even planning twice is noticeable
+    if (!df.sparkSession.conf.get("spark.graft.widen", "true").toBoolean)
+      return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

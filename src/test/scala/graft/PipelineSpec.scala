@@ -258,6 +258,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupOf(3L).isEmpty)
   }
 
+  test("null-text docs are never flagged as duplicates of each other") {
+    // regression: null text → null signature; without an explicit
+    // isNotNull filter before banding the band expression maps every
+    // null-sig doc to one constant key (md5("") / hash(null, b)) and
+    // they all collapse into a single bogus duplicate cluster
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]),
+      (4L, "completely different content about spark query engines")
+    ).toDF("doc_id", "text")
+    for (params <- Seq(
+        """{"method":"minhash","field":"text","idField":"doc_id"}""",
+        """{"method":"minhash","field":"text","idField":"doc_id","hashAlgo":"md5"}""",
+        """{"method":"simhash","field":"text","idField":"doc_id"}""",
+        """{"method":"simhash","field":"text","idField":"doc_id","hashAlgo":"md5"}""",
+        """{"method":"ngram","field":"text","idField":"doc_id","hashAlgo":"md5"}""")) {
+      val out = graft.operators.DedupTransform.build(spark,
+        graft.Pipeline.ModuleCfg("dd", "dedup", Seq("d"), Nil,
+          graft.config.Json.parse(params), graft.config.Json.obj()),
+        Map("d" -> docs))("dd")
+      val dupOf = out.select("doc_id", "__dup_of").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(dupOf.size == 4 && dupOf.values.forall(_.isEmpty), params)
+    }
+    val embDocs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.DedupTransform.build(spark,
+      graft.Pipeline.ModuleCfg("dd", "dedup", Seq("d"), Nil,
+        graft.config.Json.parse(
+          """{"method":"embedding","field":"embedding","idField":"vec_id",
+              "dim":4,"planes":4}"""),
+        graft.config.Json.obj()),
+      Map("d" -> embDocs))("dd")
+    val dupOf = out.select("vec_id", "__dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(dupOf.size == 3 && dupOf.values.forall(_.isEmpty))
+  }
+
   test("lines dedup strips corpus-frequent boilerplate lines") {
     val docs = Seq(
       (1L, "HEADER\nunique body one\nFOOTER"),
