@@ -553,7 +553,8 @@ transforms:
         - {name: dup_of, field: __dup_of, type: int64}
 """),
 
-    // dedup simhash (rows-only)
+    // dedup simhash in hashAlgo:md5 mode — per-token md5 bit votes,
+    // DuckDB-replayed oracle
     "q21_dedup_simhash" -> pipe("out", """
 sources:
   - name: docs
@@ -573,7 +574,10 @@ transforms:
         - {name: dup_of, field: __dup_of, type: int64}
 """),
 
-    // dedup embedding-cosine (rows-only)
+    // dedup embedding-cosine in md5 hyperplane mode — buckets + cosine
+    // verify DuckDB-replayed. The test embeddings have no planted
+    // near-dups (max pairwise cosine ~0.51), so 0.35/6-plane keeps the
+    // verify selective while still exercising non-empty dup output.
     "q22_dedup_embedding" -> pipe("out", """
 sources:
   - name: emb
@@ -583,7 +587,7 @@ transforms:
   - name: dd
     module: dedup
     inputs: [emb]
-    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.3, planes: 6, hashAlgo: md5}
+    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.35, planes: 6, hashAlgo: md5}
   - name: out
     module: select
     inputs: [dd]
@@ -634,7 +638,7 @@ transforms:
   - name: knn
     module: similarity
     inputs: [emb, q]
-    parameters: {method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8}
+    parameters: {method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8, hashAlgo: md5}
   - name: out
     module: select
     inputs: [knn]
@@ -1462,9 +1466,14 @@ transforms:
       rates: {A: 0.2, N: 0.05, R: 1.0}
 """),
 
-    // sequence packing: greedy per-partition token-budget bins.
-    // Partitioning-dependent assignment -> rows-only gate; the unit
-    // spec asserts exact packing on a known partition layout
+    // sequence packing: greedy per-partition token-budget bins. WHICH
+    // sequence a doc lands in depends on the partition layout, so the
+    // gate emits only partition-INVARIANT aggregates plus a
+    // packing-invariant check the oracle can assert: every
+    // non-oversize sequence fits the budget, every oversize doc is
+    // alone in its sequence, and the sequence count reaches the
+    // ceil(total/budget) lower bound. The unit spec asserts exact
+    // packing on a known partition layout.
     "q52_pack" -> pipe("out", """
 sources:
   - name: docs
@@ -1479,7 +1488,7 @@ transforms:
     module: sql
     inputs: [pk]
     parameters:
-      sql: "SELECT __sequence_id AS seq, count(*) AS docs, sum(__tokens) AS toks, max(CASE WHEN __oversize THEN 1 ELSE 0 END) AS oversize FROM pk GROUP BY 1"
+      sql: "WITH s AS (SELECT __sequence_id, sum(__tokens) AS raw_toks, sum(greatest(__tokens, 1)) AS st, count(*) AS docs, max(CASE WHEN __oversize THEN 1 ELSE 0 END) AS os FROM pk GROUP BY __sequence_id) SELECT sum(docs) AS n_docs, sum(raw_toks) AS total_tokens, sum(CASE WHEN os = 1 THEN docs ELSE 0 END) AS n_oversize, CAST(sum(CASE WHEN os = 0 AND st > 512 THEN 1 ELSE 0 END) = 0 AND sum(CASE WHEN os = 1 AND docs > 1 THEN 1 ELSE 0 END) = 0 AND count(*) >= ceil(sum(st) / 512.0) AS BOOLEAN) AS packed_ok FROM s"
 """),
 
     // PII scrub: inject synthetic emails/IPs/phones, then detect and
@@ -1810,6 +1819,92 @@ transforms:
          SELECT d.doc_id, CAST(ver.dup_of AS BIGINT) AS dup_of
          FROM documents d LEFT JOIN ver ON d.doc_id = ver.a""",
 
+    // q21 md5-mode simhash replay: bit b of a token's hash is bit
+    // (3 - b%4) of hex digit b/4 of md5(token); every token OCCURRENCE
+    // votes +1/-1 per bit; sign -> '1'/'0', 64-char string; 4 bands of
+    // 16 chars; bucket-min rep. Token-less docs simhash to all-'0'.
+    "q21_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, a[i] AS tok
+           FROM (SELECT doc_id, regexp_split_to_array(lower(text),
+                   '[^\p{L}\p{Nd}'']+') AS a
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(range(1, len(a) + 1)) u(i)
+           WHERE a[i] <> ''),
+         votes AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (('0x' || substr(md5(tok), b // 4 + 1, 1))
+                   ::INT >> (3 - b % 4)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+           FROM toks CROSS JOIN range(0, 64) t(b)
+           GROUP BY doc_id, b),
+         sh AS (
+           SELECT d.doc_id,
+             coalesce(v.s, repeat('0', 64)) AS sh
+           FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+           LEFT JOIN (SELECT doc_id, string_agg(
+                        CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY b) AS s
+                      FROM votes GROUP BY doc_id) v USING (doc_id)),
+         bandkeys AS (
+           SELECT doc_id, b AS band_idx, substr(sh, b * 16 + 1, 16) AS bh
+           FROM sh CROSS JOIN range(0, 4) t(b)),
+         cand AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys),
+         dup AS (
+           SELECT doc_id, min(rep) AS dup_of
+           FROM cand WHERE doc_id > rep GROUP BY doc_id)
+         SELECT d.doc_id, CAST(dup.dup_of AS BIGINT) AS dup_of
+         FROM documents d LEFT JOIN dup USING (doc_id)""",
+
+    // q22 md5-mode hyperplane replay: plane p component i is uniform
+    // [-1,1) from the first 8 hex digits of md5('plane:p:i'); bucket =
+    // sign string of the 6 projections; min-id rep per bucket; cosine
+    // (double-widened floats, same formula as the engine) >= 0.35.
+    "q22_dedup_embedding" ->
+      """WITH pl AS (
+           SELECT p, i,
+             ('0x' || substr(md5('plane:' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 6) t(p) CROSS JOIN range(0, 64) s(i)),
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         dots AS (
+           SELECT e.vec_id, pl.p,
+             sum(e.embedding[pl.i + 1]::DOUBLE * pl.u) AS dot
+           FROM e JOIN pl ON pl.i < len(e.embedding)
+           GROUP BY e.vec_id, pl.p),
+         buck AS (
+           SELECT vec_id,
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM dots GROUP BY vec_id),
+         cand AS (
+           SELECT vec_id, min(vec_id) OVER (PARTITION BY bucket) AS rep
+           FROM buck),
+         pairs AS (
+           SELECT vec_id AS a, rep AS b FROM cand WHERE vec_id > rep),
+         cosv AS (
+           SELECT p.a, p.b,
+             sum(ea.embedding[u.i]::DOUBLE * eb.embedding[u.i]::DOUBLE) /
+             (sqrt(sum(ea.embedding[u.i]::DOUBLE
+                     * ea.embedding[u.i]::DOUBLE)) *
+              sqrt(sum(eb.embedding[u.i]::DOUBLE
+                     * eb.embedding[u.i]::DOUBLE))) AS c
+           FROM pairs p
+           JOIN e ea ON ea.vec_id = p.a
+           JOIN e eb ON eb.vec_id = p.b,
+           LATERAL unnest(range(1,
+             least(len(ea.embedding), len(eb.embedding)) + 1)) u(i)
+           GROUP BY p.a, p.b),
+         dup AS (
+           SELECT a, min(b) AS dup_of FROM cosv WHERE c >= 0.35 GROUP BY a)
+         SELECT em.vec_id, CAST(dup.dup_of AS BIGINT) AS dup_of
+         FROM embeddings em LEFT JOIN dup ON em.vec_id = dup.a""",
+
     "q30_template" ->
       """SELECT o_orderkey,
            'order ' || o_orderkey || ' is ' || o_orderpriority AS msg
@@ -1899,6 +1994,50 @@ transforms:
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
            WHERE c.vec_id <> q.vec_id)
          WHERE rank <= 5""",
+
+    // q24 md5-mode LSH replay: table t's plane p component i is
+    // uniform [-1,1) from md5('t<t>:p:i'); candidates = distinct
+    // same-(table,bucket) pairs; exact cosine rank over candidates
+    // (score desc, id asc — TopKFunctions ordering).
+    "q24_knn_lsh" ->
+      """WITH pl AS (
+           SELECT t, p, i,
+             ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 8) tt(t)
+           CROSS JOIN range(0, 6) pp(p)
+           CROSS JOIN range(0, 64) s(i)),
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         dots AS (
+           SELECT e.vec_id, pl.t, pl.p,
+             sum(e.embedding[pl.i + 1]::DOUBLE * pl.u) AS dot
+           FROM e JOIN pl ON pl.i < len(e.embedding)
+           GROUP BY e.vec_id, pl.t, pl.p),
+         buck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM dots GROUP BY vec_id, t),
+         pairs AS (
+           SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+           FROM buck cb
+           JOIN (SELECT * FROM buck WHERE vec_id < 5) qb
+             ON cb.bucket = qb.bucket
+           WHERE cb.vec_id <> qb.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                 CAST(eq.embedding AS DOUBLE[]),
+                 CAST(ec.embedding AS DOUBLE[])) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN e eq ON eq.vec_id = p.query_id
+           JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
 
     // exact replication of the langid/quality heuristics
     // (TextFunctions.languageId/qualityScore) in DuckDB SQL: stopword
@@ -2115,6 +2254,25 @@ transforms:
              CAST(l_linenumber AS VARCHAR)), 1, 8) <
            CASE l_returnflag WHEN 'A' THEN '33333333'
              WHEN 'N' THEN '0ccccccc' ELSE 'g' END""",
+
+    // q52 verifies pack's partition-invariant aggregates: doc/token/
+    // oversize totals recomputed from the source table, and packed_ok
+    // — an invariant greedy packing always satisfies — asserted TRUE.
+    // A packing bug (overfilled sequence, split oversize doc, missing
+    // doc) flips one of the Spark-side values and fails the compare.
+    "q52_pack" ->
+      """WITH t AS (
+           SELECT CASE WHEN text IS NULL THEN NULL
+                       WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS toks
+           FROM documents)
+         SELECT count(*) AS n_docs,
+           sum(toks) AS total_tokens,
+           sum(CASE WHEN greatest(coalesce(toks, 0), 1) > 512
+               THEN 1 ELSE 0 END) AS n_oversize,
+           TRUE AS packed_ok
+         FROM t""",
 
     "q53_pii" ->
       """WITH prep AS (

@@ -338,11 +338,12 @@ object TextFunctions {
     * gaussian) components keep the same sign-projection LSH
     * guarantees: the distribution is symmetric around 0. The bucket
     * is a '1'/'0' string, one char per plane (dot > 0 → '1'). */
-  def hyperplaneBucketMd5(emb: Column, dim: Int, planes: Int): Column = {
+  def hyperplaneBucketMd5(emb: Column, dim: Int, planes: Int,
+      prefix: String = "plane"): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def u(p: Int, i: Int): Double = {
       val h = md.digest(
-        s"plane:$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"$prefix:$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 8 hex digits = first 4 bytes, MSB-first, as unsigned
       val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
         ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)

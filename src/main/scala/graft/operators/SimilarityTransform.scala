@@ -46,15 +46,22 @@ object SimilarityTransform {
         val planes = p.int("planes").getOrElse(8)
         val tables = p.int("tables").getOrElse(4)
         val dim = p.int("dim").getOrElse(64)
+        // hashAlgo: md5 derives table t's planes from md5("t<t>:p:i")
+        // — bucket assignments replayable by any SQL engine (same
+        // audit mode as dedup; see hyperplaneBucketMd5)
+        val md5Mode = p.str("hashAlgo").contains("md5")
         // several independent hash tables → explode over table index
         def buckets(emb: org.apache.spark.sql.Column) = array(
           (0 until tables).map(t =>
             concat_ws("_", lit(t),
-              hyperplaneBucket(emb, dim, planes, seed = 1000L + t))): _*)
-        val cB = c.withColumn("__bucket",
-          explode(buckets(col("__c_emb"))))
-        val qB = q.withColumn("__bucket",
-          explode(buckets(col("__q_emb"))))
+              if (md5Mode) hyperplaneBucketMd5(emb, dim, planes, s"t$t")
+              else hyperplaneBucket(emb, dim, planes, seed = 1000L + t))): _*)
+        // null embeddings bucket to null; concat_ws would silently
+        // collapse them into one "t" bucket — drop them instead
+        val cB = c.filter(col("__c_emb").isNotNull)
+          .withColumn("__bucket", explode(buckets(col("__c_emb"))))
+        val qB = q.filter(col("__q_emb").isNotNull)
+          .withColumn("__bucket", explode(buckets(col("__q_emb"))))
         cB.join(broadcast(qB), Seq("__bucket"))
           .dropDuplicates("query_id", "neighbor_id")
           .drop("__bucket")
