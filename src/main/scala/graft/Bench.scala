@@ -57,7 +57,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop FIRST, print LAST: the harness reads the tail of stdout and
+    // any straggler log line after the JSON breaks its one-line
+    // contract (this, plus per-query UDF re-registration WARNs, left
+    // rounds 3-5 with unparseable bench files)
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
