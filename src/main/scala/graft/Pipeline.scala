@@ -64,6 +64,7 @@ object Pipeline {
     "sql" -> SqlTransform.build,
     "beamsql" -> SqlTransform.build,
     "deserialize" -> DeserializeTransform.build,
+    "serialize" -> SerializeTransform.build,
     "reshuffle" -> ReshuffleTransform.build,
     "window" -> WindowTransform.build,
     "stateful" -> graft.streaming.StatefulTransform.build,

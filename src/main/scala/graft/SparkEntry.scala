@@ -1513,6 +1513,47 @@ transforms:
     inputs: [ta]
     parameters:
       sql: "SELECT doc_id, pii_emails, pii_ips, pii_phones, text_masked FROM ta"
+"""),
+
+    // serialize -> deserialize avro round trip (reference
+    // Serialize.java avro format): raw-binary single records, wire
+    // schema canonically nullable so the config-derived reader schema
+    // matches the writer's bit-exactly. Oracle = identity on orders.
+    "q54_avro_roundtrip" -> pipe("out", """
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ser
+    module: serialize
+    inputs: [orders]
+    parameters:
+      format: avro
+      fields: [o_orderkey, o_orderstatus, o_totalprice]
+      outputField: payload
+  - name: keep
+    module: sql
+    inputs: [ser]
+    parameters:
+      sql: "SELECT payload FROM ser"
+  - name: de
+    module: deserialize
+    inputs: [keep]
+    parameters:
+      format: avro
+      field: payload
+      outputField: rec
+      schema:
+        fields:
+          - {name: o_orderkey, type: int64}
+          - {name: o_orderstatus, type: string}
+          - {name: o_totalprice, type: float64}
+  - name: out
+    module: sql
+    inputs: [de]
+    parameters:
+      sql: "SELECT rec.o_orderkey AS o_orderkey, rec.o_orderstatus AS o_orderstatus, rec.o_totalprice AS o_totalprice FROM de"
 """)
   )
 
@@ -2273,6 +2314,10 @@ transforms:
                THEN 1 ELSE 0 END) AS n_oversize,
            TRUE AS packed_ok
          FROM t""",
+
+    // avro round trip is lossless -> plain identity oracle
+    "q54_avro_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
 
     "q53_pii" ->
       """WITH prep AS (

@@ -608,6 +608,60 @@ object DeserializeTransform {
                 "columnNameOfCorruptRecord" -> "_corrupt_record")))
           .withColumn("__bad", col(s"$outField._corrupt_record").isNotNull)
           .withColumn(outField, col(outField).dropFields("_corrupt_record"))
+      case "avro" =>
+        // reference Format.avro (DeserializeTransform.java:117-121,
+        // Serialize.java avro branch): raw-binary single records
+        // decoded with a GenericDatumReader. Wire schema comes from
+        // `avroSchema` (JSON) or is derived from the Spark-style
+        // `schema` param; decode failures flag __bad for the shared
+        // dead-letter routing below. mapPartitions so the reader is
+        // built once per partition.
+        val avroJson = cfg.params.str("avroSchema")
+          .getOrElse(graft.ops.AvroCodec.toAvroSchema(schema.getOrElse(
+            throw new IllegalArgumentException(
+              "deserialize avro needs avroSchema or schema"))).toString)
+        val decFn = new graft.ops.AvroCodec.RowDecoderFn(avroJson)
+        val recType = graft.ops.AvroCodec.toStructType(avroJson)
+        val fieldIdx = df.schema.fieldNames.indexOf(field)
+        require(fieldIdx >= 0, s"deserialize: unknown field '$field'")
+        require(df.schema(field).dataType == BinaryType,
+          s"deserialize avro: field '$field' must be binary, got " +
+            df.schema(field).dataType.simpleString)
+        val replaceIdx = df.schema.fieldNames.indexOf(outField)
+        val outSchema =
+          (if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
+            .updated(replaceIdx, StructField(outField, recType)))
+          else df.schema.add(outField, recType))
+            .add("__bad", BooleanType)
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(outSchema))
+        df = df.mapPartitions { it =>
+          it.map { row =>
+            val bytes = if (row.isNullAt(fieldIdx)) null
+              else row.getAs[Array[Byte]](fieldIdx)
+            val rec = decFn.decode(bytes)
+            val bad = bytes != null && rec == null
+            org.apache.spark.sql.Row.fromSeq(
+              (if (replaceIdx >= 0) row.toSeq.updated(replaceIdx, rec)
+              else row.toSeq :+ rec) :+ bad)
+          }
+        }(enc)
+      case "protobuf" =>
+        // validated slot (reference DeserializeTransform.java:91-95):
+        // parameter contract enforced here, decoding needs the
+        // spark-protobuf module which is not bundled
+        cfg.params.str("descriptorFile").getOrElse(
+          throw new IllegalArgumentException(
+            "deserialize protobuf requires descriptorFile"))
+        cfg.params.str("messageName").getOrElse(
+          throw new IllegalArgumentException(
+            "deserialize protobuf requires messageName"))
+        throw new IllegalStateException(
+          "protobuf deserialization requires the spark-protobuf module " +
+            "on the classpath (--packages org.apache.spark:" +
+            "spark-protobuf_2.13:<spark version>) plus the compiled " +
+            "descriptor set; json, csv and avro formats are built in")
       case other =>
         throw new IllegalArgumentException(s"deserialize format: $other")
     }

@@ -386,6 +386,54 @@ class ModulesSpec extends AnyFunSuite {
       == Set(2L))
   }
 
+  test("serialize avro -> deserialize avro round-trips; corrupt bytes route to .failures") {
+    val rows = Seq(
+      (1L, "alpha", 1.5, Seq(1L, 2L), ("x", 7L)),
+      (2L, null.asInstanceOf[String], -0.25, Seq.empty[Long], ("y", 8L)),
+      (3L, "gamma", 0.0, Seq(42L), null.asInstanceOf[(String, Long)])
+    ).toDF("id", "name", "score", "tags", "nested")
+    val ser = graft.operators.SerializeTransform.build(spark,
+      graft.Pipeline.ModuleCfg("ser", "serialize", Seq("d"), Nil,
+        graft.config.Json.parse(
+          """{"format":"avro",
+              "fields":["id","name","score","tags","nested"],
+              "outputField":"payload"}"""),
+        graft.config.Json.obj()),
+      Map("d" -> rows))("ser")
+    assert(ser.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // corrupt one payload to exercise the dead-letter route
+    val mangled = ser.select($"id", $"payload").withColumn("payload",
+      when($"id" === 2L, lit(Array[Byte](1, 2))).otherwise($"payload"))
+    val dfs = graft.operators.DeserializeTransform.build(spark,
+      graft.Pipeline.ModuleCfg("de", "deserialize", Seq("m"), Nil,
+        graft.config.Json.parse(
+          """{"format":"avro","field":"payload","outputField":"rec",
+              "schema":{"fields":[
+                {"name":"id","type":"int64"},
+                {"name":"name","type":"string"},
+                {"name":"score","type":"float64"},
+                {"name":"tags","type":"int64","mode":"repeated"},
+                {"name":"nested","type":"struct","fields":[
+                  {"name":"_1","type":"string"},
+                  {"name":"_2","type":"int64"}]}]}}"""),
+        graft.config.Json.obj()),
+      Map("m" -> mangled))
+    // Note: a 2-byte buffer CAN decode under some schemas (avro binary
+    // is not self-describing) — here it cannot satisfy the record
+    // layout, so it must land in failures
+    assert(dfs("de.failures").select("id").as[Long].collect().toSet
+      == Set(2L))
+    val back = dfs("de")
+      .select($"rec.id", $"rec.name", $"rec.score", $"rec.tags",
+        $"rec.nested")
+      .as[(Long, String, Double, Seq[Long], (String, Long))]
+      .collect().sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (1L, "alpha", 1.5, Seq(1L, 2L), ("x", 7L)),
+      (3L, "gamma", 0.0, Seq(42L), null.asInstanceOf[(String, Long)])))
+  }
+
   test("deserialize csv dead-letter: malformed lines route via corrupt record") {
     val config = """
       |sources:
