@@ -1,7 +1,7 @@
 package graft
 
 import com.fasterxml.jackson.databind.JsonNode
-import graft.config.Json
+import graft.config.{ConfigLoader, Json}
 import graft.config.Json._
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -89,21 +89,42 @@ object Pipeline {
     "text" -> TextSink.build,
     "iceberg" -> IcebergSink.build)
 
-  /** Parse + build all collections; sinks are NOT executed. */
+  /** Parse + build all collections; sinks are NOT executed.
+    * `context` selects tagged modules (reference `--context=`). */
   def build(spark: SparkSession, configText: String,
-      args: Map[String, String] = Map.empty): Map[String, DataFrame] =
-    run(spark, configText, args, executeSinks = false)
+      args: Map[String, String] = Map.empty,
+      context: Option[String] = None): Map[String, DataFrame] =
+    run(spark, configText, args, context, executeSinks = false)
 
-  /** Parse + build + execute sink actions in dependency order. */
+  /** Parse + build + execute sink actions in dependency order. On
+    * failure, falls back to `system.failure.alterConfig` when one is
+    * declared (reference `MPipeline.java:93-106`). */
   def execute(spark: SparkSession, configText: String,
-      args: Map[String, String] = Map.empty): Map[String, DataFrame] =
-    run(spark, configText, args, executeSinks = true)
+      args: Map[String, String] = Map.empty,
+      context: Option[String] = None): Map[String, DataFrame] =
+    executeRec(spark, configText, args, context, depth = 0)
+
+  private def executeRec(spark: SparkSession, configText: String,
+      args: Map[String, String], context: Option[String], depth: Int)
+      : Map[String, DataFrame] =
+    try run(spark, configText, args, context, executeSinks = true)
+    catch {
+      case e: Throwable =>
+        // re-resolving may itself fail (bad config) — keep the
+        // original error in that case
+        val alter =
+          try ConfigLoader.resolve(configText, args, context)
+            .failure.alterConfig
+          catch { case _: Throwable => None }
+        if (alter.isEmpty || depth >= 4) throw e
+        else executeRec(spark, alter.get, args, context, depth + 1)
+    }
 
   private def run(spark: SparkSession, configText: String,
-      args: Map[String, String], executeSinks: Boolean)
-      : Map[String, DataFrame] = {
-    val text = substituteArgs(configText, args)
-    val root = Json.parse(text)
+      args: Map[String, String], context: Option[String],
+      executeSinks: Boolean): Map[String, DataFrame] = {
+    val resolved = ConfigLoader.resolve(configText, args, context)
+    val root = resolved.root
 
     def modCfgs(section: String): Seq[(ModuleCfg, Builder, String)] =
       root.arrOf(section).filterNot(_.bool("ignore").getOrElse(false))

@@ -9,21 +9,28 @@ import java.nio.file.{Files, Paths}
   * queries.
   *
   *   spark-submit --class graft.Run pipelinespark.jar config.yaml \
-  *     [--args k=v ...] [--drain]
+  *     [--args k=v ...] [--context ctx] [--drain]
   *
   * `--drain`: process all available streaming data then stop (the
   * batch-catch-up / test mode); without it, streaming queries run
-  * until termination.
+  * until termination. `--context` selects tagged modules, the
+  * reference's per-environment overlay (`MPipelineOptions.context`).
   */
 object Run {
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Run <config path> [--args k=v] [--drain]")
+    require(argv.nonEmpty,
+      "usage: graft.Run <config path> [--args k=v] [--context ctx] [--drain]")
     val configPath = argv(0)
     val drain = argv.contains("--drain")
     val args = argv.sliding(2).collect {
       case Array("--args", kv) if kv.contains('=') =>
         val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap
+    val context = argv.sliding(2).collectFirst {
+      case Array("--context", c) if !c.startsWith("--") => c
+    }.orElse(argv.collectFirst {
+      case a if a.startsWith("--context=") => a.stripPrefix("--context=")
+    })
 
     var builder = SparkSession.builder()
       .appName(s"graft:${Paths.get(configPath).getFileName}")
@@ -44,7 +51,7 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
 
     val configText = Files.readString(Paths.get(configPath))
-    val collections = Pipeline.execute(spark, configText, args)
+    val collections = Pipeline.execute(spark, configText, args, context)
     System.err.println(
       s"[graft] built ${collections.size} collections: " +
         collections.keys.toSeq.sorted.mkString(", "))
