@@ -48,7 +48,8 @@ object Pipeline {
     "kafka" -> KafkaSource.build,
     "iceberg" -> IcebergSource.build,
     "http" -> HttpSource.build,
-    "websocket" -> WebSocketSource.build)
+    "websocket" -> WebSocketSource.build,
+    "pubsub" -> PubSubSource.build)
 
   val transforms: Map[String, Builder] = Map(
     "filter" -> FilterTransform.build,
@@ -75,6 +76,7 @@ object Pipeline {
     // deprecated reference module: per-key processors ≡ window module
     "processing" -> WindowTransform.build,
     "dedup" -> DedupTransform.build,
+    "onnx" -> OnnxTransform.build,
     "sample" -> SampleTransform.build,
     "pack" -> PackTransform.build,
     "similarity" -> SimilarityTransform.build,
@@ -87,7 +89,8 @@ object Pipeline {
     "debug" -> DebugSink.build,
     "memory" -> DebugSink.build,
     "text" -> TextSink.build,
-    "iceberg" -> IcebergSink.build)
+    "iceberg" -> IcebergSink.build,
+    "pubsub" -> PubSubSink.build)
 
   /** Parse + build all collections; sinks are NOT executed.
     * `context` selects tagged modules (reference `--context=`). */

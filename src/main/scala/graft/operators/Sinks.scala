@@ -310,3 +310,20 @@ object JdbcSink {
     }
   }
 }
+
+/** `pubsub` sink slot (reference `sink/PubSubSink.java`): validated
+  * topic contract, then the same connector-slot error as the source —
+  * publish via a Pub/Sub→Kafka bridge (kafka foreachBatch writer) or
+  * the Pub/Sub Lite connector. */
+object PubSubSink {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    cfg.params.str("topic").getOrElse(
+      throw new IllegalArgumentException("pubsub sink requires topic"))
+    throw new IllegalStateException(
+      "pubsub sink is a connector slot: no Structured Streaming " +
+        "DataSource exists for Cloud Pub/Sub — bridge through kafka " +
+        "or the Pub/Sub Lite connector " +
+        "(com.google.cloud:pubsublite-spark-sql-streaming)")
+  }
+}

