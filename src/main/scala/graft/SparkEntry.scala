@@ -490,7 +490,7 @@ transforms:
         - {name: ship_epoch_day, expression: "timestamp_to_date(l_shipdate, 0)", type: int64}
 """),
 
-    // §2.5 compare: full-outer field diff (rows-only check)
+    // §2.5 compare: full-outer field diff
     "q19_compare" -> pipe("out", """
 sources:
   - name: orders
@@ -532,8 +532,8 @@ transforms:
 
     // dedup minhash LSH in hashAlgo:md5 mode — one md5 per gram +
     // Kirsch-Mitzenmacher lanes, fully replayed by the DuckDB oracle
-    // (q34 likewise; q21/q22 have md5-mode replays too; q24/q33 stay
-    // rows-only)
+    // (q34 likewise; q21/q22/q24 have md5-mode replays too; only q33's
+    // iterative IVF fit stays rows-only)
     "q20_dedup_minhash" -> pipe("out", """
 sources:
   - name: docs
@@ -623,7 +623,9 @@ transforms:
         - {name: rank, type: int32}
 """),
 
-    // similarity: LSH-bucketed ANN (rows-only; approximate)
+    // similarity: LSH-bucketed ANN in hashAlgo:md5 mode — plane
+    // derivation, bucket assignment, cosine and top-k all replay in
+    // the DuckDB oracle
     "q24_knn_lsh" -> pipe("out", """
 sources:
   - name: emb
@@ -880,7 +882,8 @@ transforms:
         - {name: rank, type: int32}
 """),
 
-    // dedup ngram-Jaccard (rows-only: LSH candidates + verification)
+    // dedup ngram-Jaccard in hashAlgo:md5 mode — K-M lane signatures,
+    // banded candidates and the Jaccard verify replay in DuckDB
     "q34_dedup_ngram" -> pipe("out", """
 sources:
   - name: docs
@@ -1070,7 +1073,8 @@ transforms:
         - {name: n}
 """),
 
-    // language id + quality (rows-only: heuristic formulas)
+    // language id + quality (oracled: the heuristic formulas are
+    // plain arithmetic, re-expressed in the DuckDB SQL)
     "q25_langid" -> pipe("out", """
 sources:
   - name: docs
@@ -1558,10 +1562,11 @@ transforms:
   )
 
   // ---------------------------------------------------------------
-  /** DuckDB oracle for each hash-comparable query. Omitted entries
-    * (compare/minhash/simhash/embedding/lsh/langid) get the driver's
-    * rows-only check — their LSH/heuristic internals aren't
-    * SQL-expressible. */
+  /** DuckDB oracle for each hash-comparable query. The md5-mode
+    * dedup/similarity gates (q20/q21/q22/q24/q34) replay their full
+    * hash pipelines in SQL; the one omission is q33 — an iterative
+    * Lloyd IVF fit isn't reasonably SQL-replayable, so it keeps the
+    * driver's rows-only check plus a recall unit test. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

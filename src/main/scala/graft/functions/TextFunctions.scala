@@ -334,10 +334,14 @@ object TextFunctions {
     * plane p's component i is uniform in [-1, 1), derived from the
     * first 8 hex digits of md5("plane:p:i") — a SQL engine recomputes
     * the identical planes with md5() + hex-digit arithmetic, so
-    * bucket assignments replay outside the JVM. Uniform (not
-    * gaussian) components keep the same sign-projection LSH
-    * guarantees: the distribution is symmetric around 0. The bucket
-    * is a '1'/'0' string, one char per plane (dot > 0 → '1'). */
+    * bucket assignments replay outside the JVM. Caveat: uniform
+    * components are symmetric but not rotation-invariant, so this
+    * only APPROXIMATELY preserves the standard SRP collision
+    * probability 1-θ/π (which assumes gaussian planes) — bucket
+    * recall can differ slightly from the gaussian default mode;
+    * precision is unaffected because the downstream cosine-threshold
+    * verify filters every candidate pair. The bucket is a '1'/'0'
+    * string, one char per plane (dot > 0 → '1'). */
   def hyperplaneBucketMd5(emb: Column, dim: Int, planes: Int,
       prefix: String = "plane"): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
