@@ -41,7 +41,10 @@ object Bench {
     // driver never sets it, so round benches always cover everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // benchOnly: default-hash-mode twins of the md5 audit gates —
+    // measured but not oracle-checked (their md5 twins verify)
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -1562,6 +1562,84 @@ transforms:
   )
 
   // ---------------------------------------------------------------
+  /** Default-(xxhash64)-hash variants of the five md5-audit LSH
+    * gates. Bench-only: excluded from `queries`, so the driver's
+    * correctness battery is unchanged (xxhash64 isn't SQL-replayable
+    * — these same pipelines verify through their md5-mode twins), but
+    * the default hash path keeps end-to-end execution coverage and
+    * the bench measures BOTH modes, restoring round-over-round
+    * comparability that the r5 md5-gate switch broke (ADVICE r5). */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = {
+    def dedupDocs(params: String) = s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$${dir}/documents.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters: {$params}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""
+    Map(
+      "q20x_minhash_xx64" -> pipe("out",
+        dedupDocs("method: minhash, field: text, idField: doc_id")),
+      "q21x_simhash_xx64" -> pipe("out",
+        dedupDocs("method: simhash, field: text, idField: doc_id")),
+      "q34x_ngram_xx64" -> pipe("out", dedupDocs(
+        "method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7")),
+      "q22x_embedding_xx64" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [emb]
+    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.35, planes: 6}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: vec_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+      "q24x_knn_lsh_xx64" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters: {method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""))
+  }
+
+  // ---------------------------------------------------------------
   /** DuckDB oracle for each hash-comparable query. The md5-mode
     * dedup/similarity gates (q20/q21/q22/q24/q34) replay their full
     * hash pipelines in SQL; the one omission is q33 — an iterative

@@ -36,13 +36,21 @@ object TransformCommon {
     * cores, and on streaming frames. */
   def widen(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    // partition-count probe builds the physical plan once at
-    // config-build time; `spark.graft.widen=false` skips it entirely
-    // for very large plans where even planning twice is noticeable
+    // `spark.graft.widen=false` skips the probe entirely for very
+    // large plans where even optimizing twice is noticeable
     if (!df.sparkSession.conf.get("spark.graft.widen", "true").toBoolean)
       return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // estimate split count from optimizer stats (file-listing size /
+    // maxPartitionBytes) instead of df.rdd.getNumPartitions — the RDD
+    // probe built the full physical plan AND its RDD DAG on the
+    // driver per widen() call; stats come from the already-cached
+    // logical optimization. Overestimating is harmless (skips a
+    // repartition that big inputs don't need).
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perSplit = BigInt(df.sparkSession.sessionState.conf
+      .filesMaxPartitionBytes)
+    if (bytes < perSplit * target) df.repartition(target) else df
   }
 
   /** §2.11 routed variant of `finish` (reference `module/MErrorHandler`
