@@ -35,7 +35,7 @@ object Pipeline {
     Map[String, DataFrame]
 
   /** Module registry — plain map, no classpath scanning. */
-  val sources: Map[String, Builder] = Map(
+  val sources: Map[String, Builder] = Map[String, Builder](
     "create" -> CreateSource.build,
     "storage" -> StorageSource.build,
     "files" -> StorageSource.build,
@@ -49,9 +49,10 @@ object Pipeline {
     "iceberg" -> IcebergSource.build,
     "http" -> HttpSource.build,
     "websocket" -> WebSocketSource.build,
-    "pubsub" -> PubSubSource.build)
+    "pubsub" -> PubSubSource.build) ++
+    VendorSlots.sources // §7.5: configs parse, slots fail actionably
 
-  val transforms: Map[String, Builder] = Map(
+  val transforms: Map[String, Builder] = Map[String, Builder](
     "filter" -> FilterTransform.build,
     "select" -> SelectTransform.build,
     "aggregation" -> AggregationTransform.build,
@@ -80,9 +81,10 @@ object Pipeline {
     "sample" -> SampleTransform.build,
     "pack" -> PackTransform.build,
     "similarity" -> SimilarityTransform.build,
-    "textAnalysis" -> TextAnalysisTransform.build)
+    "textAnalysis" -> TextAnalysisTransform.build) ++
+    VendorSlots.transforms
 
-  val sinks: Map[String, Builder] = Map(
+  val sinks: Map[String, Builder] = Map[String, Builder](
     "storage" -> StorageSink.build,
     "files" -> StorageSink.build,
     "jdbc" -> JdbcSink.build,
@@ -90,7 +92,8 @@ object Pipeline {
     "memory" -> DebugSink.build,
     "text" -> TextSink.build,
     "iceberg" -> IcebergSink.build,
-    "pubsub" -> PubSubSink.build)
+    "pubsub" -> PubSubSink.build) ++
+    VendorSlots.sinks
 
   /** Parse + build all collections; sinks are NOT executed.
     * `context` selects tagged modules (reference `--context=`). */

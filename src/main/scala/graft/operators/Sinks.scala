@@ -24,6 +24,7 @@ object SinkExecutor {
       case "text" => TextSink.write(cfg, input.get)
       case "debug" => input.foreach(_.show(
         cfg.params.int("limit").getOrElse(20), truncate = false))
+      case "copyfile" => CopyFileSink.write(cfg, input)
       case _ =>
     }
 }
