@@ -36,12 +36,16 @@ object DedupTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    // signature/gram UDFs are arithmetic-dense per row: a small input
-    // (one parquet split) would serialize them onto one task, so widen
-    // to cluster parallelism first (no-op at scale — see widen docs)
-    val df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
+    val raw = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val method = p.str("method").getOrElse("exact")
+    // signature/gram UDFs are arithmetic-dense per row: a small input
+    // (one parquet split) would serialize them onto one task, so widen
+    // to cluster parallelism first (no-op at scale — see widen docs).
+    // NOT for exact: one codegen'd fingerprint per row is cheaper
+    // than the exchange the widen inserts (measured 2.4s -> 6.6s on
+    // the q14 gate when widen applied to it).
+    val df = if (method == "exact") raw else TransformCommon.widen(raw)
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(df.columns.head)
 
