@@ -1558,6 +1558,85 @@ transforms:
     inputs: [de]
     parameters:
       sql: "SELECT rec.o_orderkey AS o_orderkey, rec.o_orderstatus AS o_orderstatus, rec.o_totalprice AS o_totalprice FROM de"
+"""),
+
+    // §2.8 onnx inference via the documented stub:linear session —
+    // exercises the real mapPartitions batching/mapping/schema path;
+    // the stub model (out = 2*x + 1) replays as plain SQL
+    "q55_onnx_stub" -> pipe("out", """
+sources:
+  - name: o
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: keep
+    module: select
+    inputs: [o]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: o_totalprice}
+  - name: inf
+    module: onnx
+    inputs: [keep]
+    parameters:
+      bufferSize: 64
+      model:
+        path: "stub:linear"
+        outputSchemaFields:
+          - {name: score, type: float64}
+      inferences:
+        - mappings:
+            - inputs: {x: o_totalprice}
+              outputs: {score: out}
+  - name: out
+    module: select
+    inputs: [inf]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: score}
+"""),
+
+    // multimodal plumbing end-to-end: synthesize stub-format image
+    // bytes from document fields, decode + resize + re-decode; the
+    // stub codec's header arithmetic replays as plain SQL
+    "q56_multimodal" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: img
+    module: select
+    inputs: [docs]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: w, expression: "n_chars % 640 + 1", type: int64}
+        - {name: h, expression: "doc_id % 480 + 1", type: int64}
+        - {name: hdrs, func: text, text: "IMG:${w}x${h}x3:payload"}
+        - {name: content, field: hdrs, type: bytes}
+  - name: mm
+    module: multimodal
+    inputs: [img]
+    parameters:
+      ops:
+        - {op: decode, field: content, name: meta}
+        - {op: resize, field: content, name: content2, width: 64, height: 32}
+        - {op: decode, field: content2, name: meta2}
+  - name: out
+    module: select
+    inputs: [mm]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: width, field: meta.width, type: int64}
+        - {name: height, field: meta.height, type: int64}
+        - {name: channels, field: meta.channels, type: int64}
+        - {name: ok, field: meta.ok}
+        - {name: width2, field: meta2.width, type: int64}
+        - {name: height2, field: meta2.height, type: int64}
 """)
   )
 
@@ -2401,6 +2480,24 @@ transforms:
     // avro round trip is lossless -> plain identity oracle
     "q54_avro_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+
+    // stub:linear onnx session: out = 2*x + 1, elementwise — both
+    // engines run the identical IEEE double mul/add
+    "q55_onnx_stub" ->
+      """SELECT o_orderkey, 2 * o_totalprice + 1 AS score
+         FROM orders""",
+
+    // StubCodecs header arithmetic: decode returns the header dims;
+    // resize re-headers to the target dims
+    "q56_multimodal" ->
+      """SELECT doc_id,
+           CAST(n_chars % 640 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           true AS ok,
+           CAST(64 AS BIGINT) AS width2,
+           CAST(32 AS BIGINT) AS height2
+         FROM documents""",
 
     "q53_pii" ->
       """WITH prep AS (

@@ -53,12 +53,36 @@ object OnnxTransform {
     * whole var (tests) rather than capturing per-query state. */
   @volatile var sessionFactory: String => Session = defaultFactory
 
-  private def defaultFactory: String => Session = { path =>
-    throw new IllegalStateException(
-      "onnx transform requires the onnxruntime jar on the classpath " +
-        "(com.microsoft.onnxruntime:onnxruntime:<version>); install a " +
-        s"Session factory for model '$path' via OnnxTransform" +
-        ".sessionFactory to plug a runtime in")
+  /** Honestly-stubbed CI/test session (same stance as
+    * `MultimodalTransform.StubCodecs`): a `stub:linear` model path
+    * runs a deterministic linear "model" — every output tensor t is
+    * `2*x + 1` over the first input tensor, elementwise per row —
+    * so the full mapPartitions batching pipeline exercises under the
+    * driver's DuckDB oracle without the onnxruntime jar. Real model
+    * paths raise the connector-slot error until a runtime-backed
+    * factory is installed. */
+  class LinearStubSession extends Session with java.io.Serializable {
+    def run(inputs: Map[String, IndexedSeq[Any]], n: Int)
+        : Map[String, IndexedSeq[Any]] = {
+      val first = inputs.valuesIterator.next()
+      Map("out" -> (0 until n).map { i =>
+        (2.0 * (first(i) match {
+          case null => 0.0
+          case v: Number => v.doubleValue()
+          case v => v.toString.toDouble
+        }) + 1.0): Any
+      })
+    }
+  }
+
+  private def defaultFactory: String => Session = {
+    case stub if stub.startsWith("stub:") => new LinearStubSession
+    case path =>
+      throw new IllegalStateException(
+        "onnx transform requires the onnxruntime jar on the classpath " +
+          "(com.microsoft.onnxruntime:onnxruntime:<version>); install a " +
+          s"Session factory for model '$path' via OnnxTransform" +
+          ".sessionFactory to plug a runtime in")
   }
 
   private case class Mapping(inputs: Map[String, String],
