@@ -45,15 +45,26 @@ object TextFunctions {
   /** Character n-grams (for n-gram Jaccard similarity). Tight-loop
     * UDF for the same CollapseProject reason as `shingles`: the
     * lowered text would re-lower once per gram — O(len²) per doc
-    * (measured 5× on the sf0.1 ngram-dedup bench). */
+    * (measured 5× on the sf0.1 ngram-dedup bench). Grams iterate
+    * Unicode CODE POINTS (offsetByCodePoints), not UTF-16 units:
+    * matches SQL engines' length()/substr() semantics (DuckDB,
+    * Trino, BigQuery) so md5-mode gram replays hold for non-BMP text
+    * (emoji, supplementary CJK) too — surrogate pairs stay intact
+    * inside grams. */
+  private[graft] def codePointGrams(t: String, n: Int): Array[String] = {
+    val cps = t.codePointCount(0, t.length)
+    if (cps < n) Array(t)
+    else Array.tabulate(cps - n + 1) { i =>
+      val a = t.offsetByCodePoints(0, i)
+      t.substring(a, t.offsetByCodePoints(a, n))
+    }
+  }
+
   def charNgrams(text: Column, n: Int): Column = {
     val f = udf { (s: String) =>
       if (s == null) Seq.empty[String]
-      else {
-        val t = s.toLowerCase(java.util.Locale.ROOT)
-        if (t.length < n) Seq(t)
-        else (0 to t.length - n).map(i => t.substring(i, i + n))
-      }
+      else codePointGrams(
+        s.toLowerCase(java.util.Locale.ROOT), n).toSeq
     }
     f(text)
   }
@@ -90,11 +101,9 @@ object TextFunctions {
       if (s == null) null
       else {
         val pieces: Array[String] =
-          if (charGrams) {
-            val t = s.toLowerCase(java.util.Locale.ROOT)
-            if (t.length < k) Array(t)
-            else Array.tabulate(t.length - k + 1)(i => t.substring(i, i + k))
-          } else {
+          if (charGrams)
+            codePointGrams(s.toLowerCase(java.util.Locale.ROOT), k)
+          else {
             val toks = wordTokens(s)
             if (toks.length < k) Array(toks.mkString(" "))
             else Array.tabulate(toks.length - k + 1)(i =>
@@ -129,22 +138,20 @@ object TextFunctions {
     * 4294967296)`. One digest per gram keeps this within ~2× of the
     * default xx64 mode (the previous per-seed-digest formulation cost
     * m digests per gram — 32× the arithmetic for the same recall).
-    * NOTE: grams are built from UTF-16 code units (String.length /
-    * substring); for char-gram mode this matches SQL engines'
-    * code-point semantics only for BMP text — see README "md5 replay
-    * mode". Null text → null signature (callers exclude null
-    * signatures from banding). */
+    * Char-grams iterate code points (`codePointGrams`), matching SQL
+    * substr() for all of Unicode; the remaining caveat is exotic
+    * lower() case mappings (see README "md5 replay mode"). Null
+    * text → null signature (callers exclude null signatures from
+    * banding). */
   def minhashSigMd5Udf(k: Int, m: Int,
       charGrams: Boolean = false): org.apache.spark.sql.expressions.UserDefinedFunction = {
     udf { (s: String) =>
       if (s == null) null
       else {
         val pieces: Array[String] =
-          if (charGrams) {
-            val t = s.toLowerCase(java.util.Locale.ROOT)
-            if (t.length < k) Array(t)
-            else Array.tabulate(t.length - k + 1)(i => t.substring(i, i + k))
-          } else {
+          if (charGrams)
+            codePointGrams(s.toLowerCase(java.util.Locale.ROOT), k)
+          else {
             val toks = wordTokens(s)
             if (toks.length < k) Array(toks.mkString(" "))
             else Array.tabulate(toks.length - k + 1)(i =>
