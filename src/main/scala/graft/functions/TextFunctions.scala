@@ -53,11 +53,23 @@ object TextFunctions {
     * inside grams. */
   private[graft] def codePointGrams(t: String, n: Int): Array[String] = {
     val cps = t.codePointCount(0, t.length)
-    if (cps < n) Array(t)
-    else Array.tabulate(cps - n + 1) { i =>
-      val a = t.offsetByCodePoints(0, i)
-      t.substring(a, t.offsetByCodePoints(a, n))
+    if (cps < n) return Array(t)
+    // slide both window edges by one code point per gram — a
+    // tabulate over offsetByCodePoints(0, i) would rescan from the
+    // string head per gram, O(len²) per document
+    val out = new Array[String](cps - n + 1)
+    var start = 0
+    var end = t.offsetByCodePoints(0, n)
+    var i = 0
+    while (i < out.length) {
+      out(i) = t.substring(start, end)
+      if (i < out.length - 1) {
+        start = t.offsetByCodePoints(start, 1)
+        end = t.offsetByCodePoints(end, 1)
+      }
+      i += 1
     }
+    out
   }
 
   def charNgrams(text: Column, n: Int): Column = {
