@@ -223,6 +223,45 @@ object Pipeline {
       throw new IllegalArgumentException(
         "No input for modules: " + pending.map(_._1.name).mkString(", ") +
           "; available: " + collections.keys.mkString(", "))
+
+    // pipeline-level failure sinks (`failures:` +
+    // `system.failure.union: true` — reference MErrorHandler): union
+    // every module's `.failures` collection into a canonical
+    // BadRecord envelope (module, record-as-json, error) and run each
+    // declared failure sink over it
+    val failureCfgs = root.arrOf("failures")
+      .filterNot(_.bool("ignore").getOrElse(false))
+    if (executeSinks && failureCfgs.nonEmpty && resolved.failure.union &&
+        !resolved.failure.failFast.getOrElse(false)) {
+      import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+      val fails = collections.toSeq
+        .filter { case (n, d) => n.endsWith(".failures") && !d.isStreaming }
+        .sortBy(_._1)
+      if (fails.nonEmpty) {
+        val canon = fails.map { case (n, d) =>
+          val payload = d.columns.filterNot(_ == "__error")
+          d.select(
+            lit(n.stripSuffix(".failures")).as("module"),
+            to_json(struct(payload.map(col): _*)).as("record"),
+            (if (d.columns.contains("__error")) col("__error").cast("string")
+             else lit(null).cast("string")).as("error"))
+        }
+        val union = canon.reduce(_ unionByName _)
+        failureCfgs.foreach { n =>
+          val module = n.str("module").getOrElse(
+            throw new IllegalArgumentException(
+              s"failures entry requires module: $n"))
+          val builder = sinks.getOrElse(module,
+            throw new IllegalArgumentException(
+              s"unknown failures module: $module"))
+          val name = n.str("name").getOrElse("failures")
+          val cfg = ModuleCfg(name, module, Seq("__failures"), Nil,
+            n("parameters").getOrElse(Json.obj()), n)
+          builder(spark, cfg, Map("__failures" -> union))
+          SinkExecutor.execute(spark, cfg, Some(union), None)
+        }
+      }
+    }
     collections
   }
 

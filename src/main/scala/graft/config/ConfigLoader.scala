@@ -117,11 +117,22 @@ object ConfigLoader {
       alterConfig = failureNode.flatMap(_.str("alterConfig")))
 
     val rootObj = root.asInstanceOf[ObjectNode]
-    Seq("sources", "transforms", "sinks").foreach { section =>
+    // pipeline-level failure sinks (`failures:` section +
+    // `system.failure.union: true`, MErrorHandler.java:37-48): when
+    // active, modules route bad records instead of the lenient
+    // null-out, so the union has something to collect — the Spark
+    // analogue of Beam's pipeline BadRecord handler hooking every
+    // module automatically
+    val failuresActive = root.arrOf("failures").nonEmpty &&
+      failure.union && !failure.failFast.getOrElse(false)
+    Seq("sources", "transforms", "sinks", "failures").foreach { section =>
       root.arrOf(section).foreach { m =>
         applyContext(m, context)
-        failure.failFast.foreach(ff =>
-          m.asInstanceOf[ObjectNode].put("failFast", ff))
+        val obj = m.asInstanceOf[ObjectNode]
+        failure.failFast.foreach(ff => obj.put("failFast", ff))
+        if (failuresActive && section != "sinks" &&
+            section != "failures" && !obj.has("outputFailure"))
+          obj.put("outputFailure", true)
       }
     }
 

@@ -244,6 +244,61 @@ class ConfigSpec extends AnyFunSuite {
       .encodeToString(body.getBytes(StandardCharsets.UTF_8))
     assert(Pipeline.build(spark, b64)("in").count() == 3)
   }
+
+  test("pipeline-level failures section unions bad records into "
+      + "declared failure sinks (system.failure.union)") {
+    val dir = Files.createTempDirectory("graft-failures")
+    val out = dir.resolve("badrecords")
+    // two modules produce failures: a lossy cast select and a json
+    // deserialize with a corrupt row; outputFailure is stamped
+    // automatically when the pipeline failure handler is active
+    val config = s"""
+      |system:
+      |  failure: {union: true}
+      |sources:
+      |  - name: in
+      |    module: create
+      |    parameters:
+      |      elements:
+      |        - {s: "12", j: "{\\"v\\": 1}"}
+      |        - {s: "oops", j: "{\\"v\\": 2}"}
+      |        - {s: "34", j: "notjson"}
+      |      schema:
+      |        fields:
+      |          - {name: s, type: string}
+      |          - {name: j, type: string}
+      |transforms:
+      |  - name: sel
+      |    module: select
+      |    inputs: [in]
+      |    parameters:
+      |      select:
+      |        - {name: n, field: s, type: int64}
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [in]
+      |    parameters:
+      |      format: json
+      |      field: j
+      |      outputField: rec
+      |      schema: {fields: [{name: v, type: int64}]}
+      |sinks:
+      |  - name: outmain
+      |    module: memory
+      |    inputs: [sel]
+      |failures:
+      |  - name: bad
+      |    module: storage
+      |    parameters: {path: "${out.toString}", format: json}
+      |""".stripMargin
+    Pipeline.execute(spark, config)
+    val bad = spark.read.json(out.toString)
+    val rows = bad.collect()
+    assert(rows.nonEmpty)
+    val mods = rows.map(_.getAs[String]("module")).toSet
+    assert(mods.contains("sel")) // the lossy cast row
+    assert(rows.forall(r => r.getAs[String]("record") != null))
+  }
 }
 
 /** Small indirection so the spec can assert on resolved args without
