@@ -215,6 +215,16 @@ object Pipeline {
         if (section == "sinks" && executeSinks)
           SinkExecutor.execute(spark, cfg, ins.values.headOption,
             upstreamStrategy(cfg.name, Set.empty))
+        // module-scoped failure sinks (ModuleConfig.failures): this
+        // module's bad records only, same envelope as pipeline-level
+        if (executeSinks)
+          outs.get(s"${cfg.name}.failures").filterNot(_.isStreaming)
+            .foreach { f =>
+              val env = failureEnvelope(Seq(cfg.name -> f))
+              cfg.node.arrOf("failures")
+                .filterNot(_.bool("ignore").getOrElse(false))
+                .foreach(runFailureSink(spark, _, env))
+            }
         progress = true
       }
       pending = notReady
@@ -233,36 +243,47 @@ object Pipeline {
       .filterNot(_.bool("ignore").getOrElse(false))
     if (executeSinks && failureCfgs.nonEmpty && resolved.failure.union &&
         !resolved.failure.failFast.getOrElse(false)) {
-      import org.apache.spark.sql.functions.{col, lit, struct, to_json}
       val fails = collections.toSeq
         .filter { case (n, d) => n.endsWith(".failures") && !d.isStreaming }
         .sortBy(_._1)
+        .map { case (n, d) => n.stripSuffix(".failures") -> d }
       if (fails.nonEmpty) {
-        val canon = fails.map { case (n, d) =>
-          val payload = d.columns.filterNot(_ == "__error")
-          d.select(
-            lit(n.stripSuffix(".failures")).as("module"),
-            to_json(struct(payload.map(col): _*)).as("record"),
-            (if (d.columns.contains("__error")) col("__error").cast("string")
-             else lit(null).cast("string")).as("error"))
-        }
-        val union = canon.reduce(_ unionByName _)
-        failureCfgs.foreach { n =>
-          val module = n.str("module").getOrElse(
-            throw new IllegalArgumentException(
-              s"failures entry requires module: $n"))
-          val builder = sinks.getOrElse(module,
-            throw new IllegalArgumentException(
-              s"unknown failures module: $module"))
-          val name = n.str("name").getOrElse("failures")
-          val cfg = ModuleCfg(name, module, Seq("__failures"), Nil,
-            n("parameters").getOrElse(Json.obj()), n)
-          builder(spark, cfg, Map("__failures" -> union))
-          SinkExecutor.execute(spark, cfg, Some(union), None)
-        }
+        val union = failureEnvelope(fails)
+        failureCfgs.foreach(runFailureSink(spark, _, union))
       }
     }
     collections
+  }
+
+  /** Canonical BadRecord envelope over `.failures` frames:
+    * (module, record-as-json, error). */
+  private def failureEnvelope(
+      fails: Seq[(String, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    fails.map { case (moduleName, d) =>
+      val payload = d.columns.filterNot(_ == "__error")
+      d.select(
+        lit(moduleName).as("module"),
+        to_json(struct(payload.map(col): _*)).as("record"),
+        (if (d.columns.contains("__error")) col("__error").cast("string")
+         else lit(null).cast("string")).as("error"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Build + execute one `failures:` sink entry over an envelope. */
+  private def runFailureSink(spark: SparkSession, n: JsonNode,
+      envelope: DataFrame): Unit = {
+    val module = n.str("module").getOrElse(
+      throw new IllegalArgumentException(
+        s"failures entry requires module: $n"))
+    val builder = sinks.getOrElse(module,
+      throw new IllegalArgumentException(
+        s"unknown failures module: $module"))
+    val name = n.str("name").getOrElse("failures")
+    val cfg = ModuleCfg(name, module, Seq("__failures"), Nil,
+      n("parameters").getOrElse(Json.obj()), n)
+    builder(spark, cfg, Map("__failures" -> envelope))
+    SinkExecutor.execute(spark, cfg, Some(envelope), None)
   }
 
   /** `${args.key}` substitution (FreeMarker-subset of the reference's

@@ -130,7 +130,11 @@ object ConfigLoader {
         applyContext(m, context)
         val obj = m.asInstanceOf[ObjectNode]
         failure.failFast.foreach(ff => obj.put("failFast", ff))
-        if (failuresActive && section != "sinks" &&
+        // module-scoped failures (`failures:` on the module itself)
+        // route that module's bad records regardless of the global
+        // union flag
+        val moduleScoped = m.arrOf("failures").nonEmpty
+        if ((failuresActive || moduleScoped) && section != "sinks" &&
             section != "failures" && !obj.has("outputFailure"))
           obj.put("outputFailure", true)
       }

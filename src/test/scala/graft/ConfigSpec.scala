@@ -299,6 +299,43 @@ class ConfigSpec extends AnyFunSuite {
     assert(mods.contains("sel")) // the lossy cast row
     assert(rows.forall(r => r.getAs[String]("record") != null))
   }
+
+  test("module-scoped failures route one module's bad records "
+      + "without the global union flag") {
+    val dir = Files.createTempDirectory("graft-modfail")
+    val out = dir.resolve("bad")
+    val config = s"""
+      |sources:
+      |  - name: in
+      |    module: create
+      |    parameters:
+      |      elements:
+      |        - {s: "12"}
+      |        - {s: "oops"}
+      |      schema: {fields: [{name: s, type: string}]}
+      |transforms:
+      |  - name: sel
+      |    module: select
+      |    inputs: [in]
+      |    failures:
+      |      - name: bad
+      |        module: storage
+      |        parameters: {path: "${out.toString}", format: json}
+      |    parameters:
+      |      select:
+      |        - {name: n, field: s, type: int64}
+      |sinks:
+      |  - name: outmain
+      |    module: memory
+      |    inputs: [sel]
+      |""".stripMargin
+    val dfs = Pipeline.execute(spark, config)
+    assert(dfs("sel").count() == 1) // good row routed through
+    val bad = spark.read.json(out.toString).collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("module") == "sel")
+    assert(bad.head.getAs[String]("record").contains("oops"))
+  }
 }
 
 /** Small indirection so the spec can assert on resolved args without
