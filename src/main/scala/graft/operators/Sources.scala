@@ -17,7 +17,9 @@ object SourceCommon {
   def finish(df: DataFrame, cfg: ModuleCfg): Map[String, DataFrame] = {
     var cur = df
     cfg.node.str("timestampAttribute").foreach { attr =>
-      cur = cur.withColumn("__event_time", col(attr).cast(TimestampType))
+      // epoch-unit-aware (ns/µs/ms/s by magnitude) for numeric columns
+      cur = cur.withColumn("__event_time",
+        graft.streaming.Strategy.toTimestamp(cur, attr))
     }
     cfg.param("filter").foreach { f =>
       cur = cur.filter(FilterCompiler.compile(f, cur.schema))

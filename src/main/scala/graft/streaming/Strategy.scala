@@ -36,19 +36,41 @@ object Strategy {
 
   private def dur(s: Long): String = s"$s seconds"
 
+  /** Numeric epoch → timestamp with unit detected by magnitude:
+    * ns ≥ 1e17, µs ≥ 1e14, ms ≥ 1e11, else seconds — correct for any
+    * real-world instant between 1973 and ~5000 in any of the four
+    * units. A bare cast assumes SECONDS, so a nanos column (e.g.
+    * parquet timestamp[ns] read under nanosAsLong) silently clamped
+    * to +294247-01-10 (Long.MaxValue µs) and append-mode windows
+    * never closed. */
+  private[graft] def epochToTimestamp(c: Column): Column = {
+    val a = abs(c)
+    when(a >= 100000000000000000L,
+        timestamp_micros((c / 1000L).cast("long")))
+      .when(a >= 100000000000000L, timestamp_micros(c.cast("long")))
+      .when(a >= 100000000000L, timestamp_millis(c.cast("long")))
+      .otherwise(c.cast(TimestampType))
+  }
+
+  private[graft] def toTimestamp(df: DataFrame, field: String): Column = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    df.schema.fields.find(_.name == field).map(_.dataType) match {
+      case Some(TimestampType) => col(field)
+      case Some(LongType) | Some(IntegerType) => epochToTimestamp(col(field))
+      case _ => col(field).cast(TimestampType)
+    }
+  }
+
   /** Event-time column for a module: explicit `timestampField`, else
     * the engine's `__event_time`, else null. The bare attribute is
     * used when it is already TimestampType — wrapping the watermarked
     * column in a (no-op) cast strips Spark's watermark tracking and
     * fails append-mode aggregations. */
   def eventTimeCol(df: DataFrame, node: JsonNode): Option[Column] =
-    node.str("timestampField").map { f =>
-      if (df.schema.fields.exists(x => x.name == f &&
-          x.dataType == TimestampType)) col(f)
-      else col(f).cast(TimestampType)
-    }.orElse(
-      if (df.columns.contains("__event_time"))
-        Some(col("__event_time")) else None)
+    node.str("timestampField").map(f => toTimestamp(df, f))
+      .orElse(
+        if (df.columns.contains("__event_time"))
+          Some(col("__event_time")) else None)
 
   /** Window group Column for a strategy node, or None for global. */
   def windowColumn(strategy: JsonNode, ts: Column): Option[Column] = {
@@ -103,7 +125,7 @@ object Strategy {
       val cast =
         if (df.schema.fields.exists(f => f.name == tsField &&
             f.dataType != TimestampType))
-          df.withColumn(tsField, col(tsField).cast(TimestampType))
+          df.withColumn(tsField, toTimestamp(df, tsField))
         else df
       cast.withWatermark(tsField, dur(math.max(lateness, 1)))
     }
