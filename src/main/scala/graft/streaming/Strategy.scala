@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.TimestampType
   */
 object Strategy {
 
+  private val DurationLit = """(\d+)\s*(s|sec|second|seconds|m|min|minute|minutes|h|hour|hours|d|day|days)""".r
+
   private def seconds(node: JsonNode, field: String): Option[Long] = {
     val unit = node.str("unit").getOrElse("second")
     val mult = unit match {
@@ -31,7 +33,24 @@ object Strategy {
       case other =>
         throw new IllegalArgumentException(s"unknown time unit: $other")
     }
-    node(field).map(_.asLong * mult)
+    node(field).map { v =>
+      if (v.isNumber) v.asLong * mult
+      else v.asText.trim match {
+        // duration literal carries its own unit ("90s", "5m", "2h");
+        // a bare numeric string uses the node's `unit`
+        case s if s.matches("""\d+""") => s.toLong * mult
+        case DurationLit(n, u) =>
+          n.toLong * (u.head match {
+            case 's' => 1L case 'm' => 60L case 'h' => 3600L
+            case 'd' => 86400L
+          })
+        case other =>
+          // asLong would silently yield 0 here (a "60 s" typo became
+          // a zero-width window crash three modules later)
+          throw new IllegalArgumentException(
+            s"cannot parse duration '$other' for strategy field '$field'")
+      }
+    }
   }
 
   private def dur(s: Long): String = s"$s seconds"

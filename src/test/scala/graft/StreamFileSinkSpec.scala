@@ -65,4 +65,19 @@ class StreamFileSinkSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
     assert(joined.count() == n)
   }
+
+  test("strategy duration literals parse; garbage raises instead of "
+      + "a zero-width window") {
+    import graft.streaming.Strategy
+    import graft.config.Json
+    def win(sz: String) = Strategy.windowColumn(
+      Json.parse(s"""{"window": {"type": "fixed", "size": $sz}}"""),
+      org.apache.spark.sql.functions.col("ts"))
+    assert(win("60").isDefined)          // numeric + default unit
+    assert(win("\"90s\"").isDefined)     // literal with unit
+    assert(win("\"5m\"").isDefined)
+    assert(win("\"2h\"").isDefined)
+    val e = intercept[IllegalArgumentException] { win("\"sixty\"") }
+    assert(e.getMessage.contains("cannot parse duration"))
+  }
 }
