@@ -80,4 +80,56 @@ class StreamFileSinkSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { win("\"sixty\"") }
     assert(e.getMessage.contains("cannot parse duration"))
   }
+
+  test("session windows drain through a file sink with nanos "
+      + "event time") {
+    val in = Files.createTempDirectory("graft-sfs2-in")
+    val out = Files.createTempDirectory("graft-sfs2-out").resolve("w")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(in.toString)
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: "${in.toString}", format: parquet, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: session, unit: minute, gap: 30}
+      |    parameters:
+      |      groupFields: [user_id]
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: snk
+      |    module: storage
+      |    inputs: [agg]
+      |    parameters: {path: "${out.toString}", format: parquet,
+      |                 checkpointLocation: "${in.toString}-ckpt"}
+      |""".stripMargin
+    Pipeline.execute(spark, config)
+    graft.streaming.StreamRunner.drainAll()
+    Thread.sleep(2000)
+    graft.streaming.StreamRunner.drainAll()
+    graft.streaming.StreamRunner.stopAll()
+    val got = spark.read.parquet(out.toString)
+    assert(got.count() > 0, "no sessions flushed")
+    // sessions must never exceed their batch-computed count, and all
+    // flushed (user, n) pairs must exist in the batch session plan
+    import org.apache.spark.sql.functions._
+    val batch = spark.read.parquet(in.toString)
+      .groupBy(session_window(graft.streaming.Strategy
+          .epochToTimestamp(col("ts")), "30 minutes").as("window"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val joined = got.alias("s").join(batch.alias("b"),
+      col("s.window.start") === col("b.window.start") &&
+        col("s.user_id") === col("b.user_id"))
+    assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
+  }
 }
