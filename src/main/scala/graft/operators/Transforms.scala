@@ -135,7 +135,8 @@ object AggregationTransform {
         df = graft.streaming.Strategy.applyWatermark(df, st,
           st.str("timestampField").getOrElse("__event_time"))
         graft.streaming.Strategy.eventTimeCol(df, st)
-          .flatMap(ts => graft.streaming.Strategy.windowColumn(st, ts))
+          .flatMap(ts => graft.streaming.Strategy.windowColumn(st, ts,
+            df.isStreaming))
       }
       val groupCols =
         windowCol.map(_.as("window")).toSeq ++ groupFields.map(col)

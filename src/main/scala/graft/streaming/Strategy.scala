@@ -25,7 +25,9 @@ object Strategy {
 
   private def seconds(node: JsonNode, field: String): Option[Long] = {
     val unit = node.str("unit").getOrElse("second")
-    val mult = unit match {
+    // lazy: calendar strategies reuse `unit` for day/week/month/year,
+    // which only matters when a seconds-valued field is actually read
+    lazy val mult = unit match {
       case "second" => 1L
       case "minute" => 60L
       case "hour" => 3600L
@@ -91,8 +93,11 @@ object Strategy {
         if (df.columns.contains("__event_time"))
           Some(col("__event_time")) else None)
 
-  /** Window group Column for a strategy node, or None for global. */
-  def windowColumn(strategy: JsonNode, ts: Column): Option[Column] = {
+  /** Window group Column for a strategy node, or None for global.
+    * `streaming` switches calendar day/week to append-safe fixed
+    * windows (see the calendar case). */
+  def windowColumn(strategy: JsonNode, ts: Column,
+      streaming: Boolean = false): Option[Column] = {
     val w = strategy("window").getOrElse(strategy)
     w.str("type").getOrElse("global") match {
       case "global" => None
@@ -114,16 +119,41 @@ object Strategy {
         // month/year windows via date_trunc in the strategy timezone
         val tz = w.str("timezone").getOrElse("UTC")
         val unit = w.str("unit").getOrElse("day")
-        val local = from_utc_timestamp(ts, tz)
-        val truncated = unit match {
-          case "day" => date_trunc("DAY", local)
-          case "week" => date_trunc("WEEK", local)
-          case "month" => date_trunc("MONTH", local)
-          case "year" => date_trunc("YEAR", local)
-          case other => throw new IllegalArgumentException(
-            s"calendar unit: $other")
+        if (streaming) {
+          // grouping by a date_trunc'd column loses the watermark
+          // linkage (append mode then fails with a cryptic Spark
+          // error), so streaming day/week map to true fixed windows
+          // offset to local midnight / local Monday — same buckets,
+          // append-safe; the group column is the standard window
+          // struct. Standard (non-DST) offset of the zone; month/year
+          // have no fixed duration and stay batch-only.
+          val tzOff = java.time.ZoneId.of(tz).getRules
+            .getStandardOffset(java.time.Instant.EPOCH).getTotalSeconds
+          unit match {
+            case "day" =>
+              val off = ((86400 - tzOff) % 86400 + 86400) % 86400
+              Some(window(ts, "1 day", "1 day", dur(off)))
+            case "week" => // epoch was a Thursday; Monday = +4 days
+              val wk = 7 * 86400
+              val off = ((4 * 86400 - tzOff) % wk + wk) % wk
+              Some(window(ts, "7 days", "7 days", dur(off)))
+            case other => throw new IllegalArgumentException(
+              s"calendar unit '$other' has no fixed duration and " +
+                "cannot stream in append mode — aggregate day windows " +
+                "and roll up downstream, or run this module in batch")
+          }
+        } else {
+          val local = from_utc_timestamp(ts, tz)
+          val truncated = unit match {
+            case "day" => date_trunc("DAY", local)
+            case "week" => date_trunc("WEEK", local)
+            case "month" => date_trunc("MONTH", local)
+            case "year" => date_trunc("YEAR", local)
+            case other => throw new IllegalArgumentException(
+              s"calendar unit: $other")
+          }
+          Some(to_utc_timestamp(truncated, tz).as("window_start"))
         }
-        Some(to_utc_timestamp(truncated, tz).as("window_start"))
       case other =>
         throw new IllegalArgumentException(s"window type: $other")
     }
