@@ -39,9 +39,29 @@ object SimilarityTransform {
     val c = corpus.select(col(idField).as("neighbor_id"),
       col(embField).as("__c_emb"))
 
+    val idType = corpus.schema(idField).dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val k0 = k
+
     val scored = p.str("method").getOrElse("bruteforce") match {
       case "bruteforce" =>
-        c.crossJoin(broadcast(q))
+        // single-decode tight loop instead of crossJoin + per-pair
+        // UDF: the pairwise form re-converted BOTH ArrayData sides
+        // for every (corpus, query) pair — measured 18.4s for
+        // 40k×1000 at local[32], ~all of it conversion, not FLOPs.
+        // Queries were already the driver-materialized broadcast
+        // side; corpus vectors now decode once per row, each
+        // partition keeps per-query top-k heaps under TopKAgg's
+        // exact ordering, and only partitions×queries×k candidate
+        // rows reach the (unchanged) global top-k aggregate.
+        return TransformCommon.finishRouted(
+          globalTopK(
+            bruteforceScores(c, q, k0, idType, integralId),
+            k0, idType, integralId),
+          cfg)
       case "lsh" =>
         val planes = p.int("planes").getOrElse(8)
         val tables = p.int("tables").getOrElse(4)
@@ -57,14 +77,24 @@ object SimilarityTransform {
               if (md5Mode) hyperplaneBucketMd5(emb, dim, planes, s"t$t")
               else hyperplaneBucket(emb, dim, planes, seed = 1000L + t))): _*)
         // null embeddings bucket to null; concat_ws would silently
-        // collapse them into one "t" bucket — drop them instead
+        // collapse them into one "t" bucket — drop them instead.
+        // Candidates stay NARROW (two ids): carrying both embedding
+        // arrays through the multi-table dedup shuffle measured 75s
+        // for 40k×1000 — the ngramDedup candidate design applies
+        // identically here (ids-only dedup, then re-attach payloads)
         val cB = c.filter(col("__c_emb").isNotNull)
           .withColumn("__bucket", explode(buckets(col("__c_emb"))))
+          .select("neighbor_id", "__bucket")
         val qB = q.filter(col("__q_emb").isNotNull)
           .withColumn("__bucket", explode(buckets(col("__q_emb"))))
+          .select("query_id", "__bucket")
         cB.join(broadcast(qB), Seq("__bucket"))
+          .select("query_id", "neighbor_id")
           .dropDuplicates("query_id", "neighbor_id")
-          .drop("__bucket")
+          // corpus embeddings once per unique pair (AQE picks the
+          // join); query embeddings re-attach broadcast — no shuffle
+          .join(c, Seq("neighbor_id"))
+          .join(broadcast(q), Seq("query_id"))
       case "ivf" =>
         // IVF: corpus vectors assign to their nearest centroid once;
         // each query probes the nProbe nearest centroid cells. The
@@ -80,11 +110,16 @@ object SimilarityTransform {
         val assignQ = assignUdf(centroids, nProbe)
         val cB = c.withColumn("__cell",
           assignC(col("__c_emb"))(0))
+          .select("neighbor_id", "__cell")
         val qB = q.withColumn("__cell",
           explode(assignQ(col("__q_emb"))))
+          .select("query_id", "__cell")
+        // same narrow-candidate shape as lsh
         cB.join(broadcast(qB), Seq("__cell"))
+          .select("query_id", "neighbor_id")
           .dropDuplicates("query_id", "neighbor_id")
-          .drop("__cell")
+          .join(c, Seq("neighbor_id"))
+          .join(broadcast(q), Seq("query_id"))
       case other =>
         throw new IllegalArgumentException(s"similarity method: $other")
     }
@@ -92,20 +127,23 @@ object SimilarityTransform {
     val withScore = scored
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", cosine(col("__q_emb"), col("__c_emb")))
-    // Bounded top-k aggregate instead of a per-query Window rank: the
-    // hash aggregate prunes to ≤k map-side, so the shuffle carries
-    // O(partitions × queries × k) rows — never the scored corpus.
-    val idType = corpus.schema(idField).dataType
-    val integralId = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    TransformCommon.finishRouted(
+      globalTopK(withScore, k, idType, integralId), cfg)
+  }
+
+  /** Bounded top-k aggregate instead of a per-query Window rank: the
+    * hash aggregate prunes to ≤k map-side, so the shuffle carries
+    * O(partitions × queries × k) rows — never the scored corpus.
+    * Input: (query_id, neighbor_id, score). */
+  private def globalTopK(withScore: DataFrame, k: Int,
+      idType: DataType, integralId: Boolean): DataFrame = {
     val topAgg =
       if (integralId) TopKFunctions.topKLong(k,
         col("score"), col("neighbor_id").cast(LongType))
       else TopKFunctions.topKString(k,
         col("score"), col("neighbor_id").cast(StringType))
-    val topk = withScore
+    withScore
       .groupBy(col("query_id"))
       .agg(topAgg.as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
@@ -113,7 +151,96 @@ object SimilarityTransform {
         col("col._2").cast(idType).as("neighbor_id"),
         col("col._1").as("score"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
-    TransformCommon.finishRouted(topk, cfg)
+  }
+
+  /** Per-partition scored top-k candidates for brute force:
+    * (query_id, neighbor_id, score) rows, ≤ queries×k per partition.
+    * Arithmetic is bit-identical to `TextFunctions.cosine` (index-
+    * ordered double accumulation over min(len), final
+    * dot/(sqrt·sqrt)) and the heap eviction order is exactly
+    * TopKAgg's (score desc, NaN largest, id asc), so partition-local
+    * pruning can never discard a row the global aggregate would have
+    * kept. */
+  private def bruteforceScores(c: DataFrame, q: DataFrame, k: Int,
+      idType: DataType, integralId: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.Row
+    val spark = c.sparkSession
+    // queries are the contract-small side (they were broadcast
+    // before); materialize once, ship via a broadcast variable
+    val qRows = q.filter(col("__q_emb").isNotNull).collect()
+    val qIds: Array[Any] = qRows.map(_.get(0))
+    val qVecs: Array[Array[Float]] =
+      qRows.map(_.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast((qIds, qVecs))
+    val idOrd: Ordering[Any] =
+      if (integralId) Ordering.by((a: Any) =>
+        a.asInstanceOf[Number].longValue)
+      else Ordering.by((a: Any) => String.valueOf(a))
+    val outSchema = StructType(Seq(
+      StructField("query_id", idType), StructField("neighbor_id", idType),
+      StructField("score", DoubleType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    c.filter(col("__c_emb").isNotNull).mapPartitions { it =>
+      val (ids, vecs) = bc.value
+      val nQ = ids.length
+      // per-query norm sums, index-ordered like the cosine UDF; valid
+      // for equal-length pairs (the overwhelming case) — mismatched
+      // lengths recompute pairwise over min(len)
+      val qNorm = vecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        s
+      }
+      // worst-at-head eviction heap per query, TopKAgg's exact order
+      val pairOrd = new Ordering[(Double, Any)] {
+        def compare(a: (Double, Any), b: (Double, Any)): Int = {
+          val cc = java.lang.Double.compare(b._1, a._1)
+          if (cc != 0) cc else idOrd.compare(a._2, b._2)
+        }
+      }
+      val heaps = Array.fill(nQ)(
+        new scala.collection.mutable.PriorityQueue[(Double, Any)]()(pairOrd))
+      it.foreach { row =>
+        val nid = row.get(0)
+        val seq = row.getSeq[Float](1)
+        val arr = seq.toArray // decode ONCE per corpus row
+        var cNorm = 0.0
+        var i = 0
+        while (i < arr.length) { cNorm += arr(i).toDouble * arr(i); i += 1 }
+        var qi = 0
+        while (qi < nQ) {
+          if (ids(qi) != nid) {
+            val qv = vecs(qi)
+            val n = math.min(arr.length, qv.length)
+            var dot = 0.0; i = 0
+            while (i < n) { dot += arr(i).toDouble * qv(i); i += 1 }
+            val (na, nb) =
+              if (arr.length == qv.length) (cNorm, qNorm(qi))
+              else { // rare mismatched-length fallback: UDF semantics
+                var a2 = 0.0; var b2 = 0.0; i = 0
+                while (i < n) {
+                  a2 += arr(i).toDouble * arr(i)
+                  b2 += qv(i).toDouble * qv(i); i += 1
+                }
+                (a2, b2)
+              }
+            // NOTE argument order: cosine(q, c) → dot/(sqrt(nq)*sqrt(nc))
+            val score = dot / (math.sqrt(nb) * math.sqrt(na))
+            val h = heaps(qi)
+            val cand = (score, nid)
+            if (h.size < k) h.enqueue(cand)
+            else if (pairOrd.compare(cand, h.head) < 0) {
+              h.dequeue(); h.enqueue(cand)
+            }
+          }
+          qi += 1
+        }
+      }
+      (0 until nQ).iterator.flatMap { qi =>
+        heaps(qi).iterator.map { case (s, nid) => Row(ids(qi), nid, s) }
+      }
+    }(enc)
   }
 
   /** Lloyd iterations over a deterministic pseudo-random sample:

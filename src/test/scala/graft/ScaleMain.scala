@@ -19,6 +19,23 @@ object ScaleMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SCALE_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = st.stageInfo
+            val d = for { a <- i.submissionTime; b <- i.completionTime } yield b - a
+            val m = i.taskMetrics
+            if (d.exists(_ > 300))
+              println(f"STAGE ${i.stageId}%4d ${d.get}%6d ms tasks=${i.numTasks}%4d " +
+                f"cpu=${m.executorCpuTime / 1000000}%6d gc=${m.jvmGCTime}%5d " +
+                f"shr=${m.shuffleReadMetrics.totalBytesRead / 1024 / 1024}%4dMB " +
+                f"shw=${m.shuffleWriteMetrics.bytesWritten / 1024 / 1024}%4dMB " +
+                i.name.takeWhile(_ != '\n').take(40))
+          }
+        })
+    val skipDocs = sys.env.contains("SCALE_SKIP_DOCS")
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n0 = docs0.count()
     // replicate with unique ids; every 3rd copy keeps text identical
@@ -49,6 +66,7 @@ object ScaleMain {
         ModuleCfg("dd", "dedup", Seq("d"), Nil, Json.parse(params),
           Json.obj()), Map("d" -> docs))("dd")
 
+    if (!skipDocs) {
     time("exact-canonical") { dedup(
       """{"method":"exact","field":"text","idField":"doc_id","keep":"canonical"}""") }
     time("exact") { dedup(
@@ -65,6 +83,41 @@ object ScaleMain {
           """{"field":"text","analyses":["langid","quality","tokens","fingerprint"]}"""),
           Json.obj()), Map("d" -> docs))("ta")
     }
+    }
+    docs.unpersist()
+
+    // ANN: iid synthetic vectors (replicated real vectors collide in
+    // every LSH bucket by construction — near-dups are precisely what
+    // LSH groups — which turns the ANN benchmark into bruteforce +
+    // dedup); sin-hash components are deterministic and decorrelated
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embN = emb0.count()
+    val dim = emb0.select(size(col("embedding"))).head.getInt(0)
+    // per-dimension frequency must differ NON-linearly or every
+    // vector is a phase-shifted copy of one waveform (a 2-D circle in
+    // R^dim — 12 LSH planes then cut only ~24 arcs and buckets
+    // degenerate; measured 591 CPU-s of cosine on the collisions)
+    val emb = spark.range(embN * mult)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(col("id").cast("double") *
+            (i.cast("double") + lit(17.0)) * 2654435761.0 +
+            i.cast("double")).cast("float")).as("embedding"))
+      .repartition(32).persist()
+    val embTotal = emb.count()
+    val step = math.max(embTotal / 1000, 1L)
+    val queries = emb.filter(col("vec_id") % step === 0).persist()
+    val nq = queries.count()
+    println(s"SCALE embeddings: $embN -> $embTotal vectors, $nq queries")
+    def knn(params: String): DataFrame =
+      graft.operators.SimilarityTransform.build(spark,
+        ModuleCfg("knn", "similarity", Seq("c", "q"), Nil,
+          Json.parse(params), Json.obj()),
+        Map("c" -> emb, "q" -> queries))("knn")
+    time("knn-bruteforce") { knn(
+      """{"method":"bruteforce","field":"embedding","idField":"vec_id","k":5}""") }
+    time("knn-lsh") { knn(
+      """{"method":"lsh","field":"embedding","idField":"vec_id","k":5,"planes":12,"tables":4}""") }
     spark.stop()
   }
 }
