@@ -105,7 +105,15 @@ object SelectTransform {
       .orElse(cfg.param("filters")).isDefined,
       s"select module ${cfg.name} requires select " +
         s"(got: ${cfg.params.names.mkString(", ")})")
-    TransformCommon.finishRouted(TransformCommon.single(cfg, inputs), cfg)
+    var df = TransformCommon.single(cfg, inputs)
+    // scrape/http steps are heavy per-row work (regex chains, remote
+    // calls); a single-split input would serialize them onto one task
+    // (q47: 2.5s of regex on one core). Plain projections never widen
+    // — the exchange costs more than codegen'd column work saves.
+    val heavy = cfg.param("select").exists(_.elems.exists(s =>
+      s.str("func").exists(f => f == "scrape" || f == "http")))
+    if (heavy) df = TransformCommon.widen(df)
+    TransformCommon.finishRouted(df, cfg)
   }
 }
 
