@@ -2471,9 +2471,9 @@ transforms:
                   END AS toks
            FROM documents)
          SELECT count(*) AS n_docs,
-           sum(toks) AS total_tokens,
-           sum(CASE WHEN greatest(coalesce(toks, 0), 1) > 512
-               THEN 1 ELSE 0 END) AS n_oversize,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN greatest(coalesce(toks, 0), 1) > 512
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
            TRUE AS packed_ok
          FROM t""",
 
