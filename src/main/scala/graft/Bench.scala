@@ -33,25 +33,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured queries aren't charged
-    // for one-time initialization: cover the filter, aggregation, and
-    // window codegen paths (q10-q13 were paying ~0.5s of first-agg
-    // JIT each); caches cleared after so no data is pre-staged beyond
-    // what q2's scan already touched in every prior round
-    Seq("q2_filter", "q1_pricing", "q8_window").foreach { w =>
-      try consume(SparkEntry.queries(w)(spark, sfDir))
-      catch { case _: Throwable => }
-    }
-    spark.catalog.clearCache()
     // optional comma-separated filter for local micro-benching; the
     // driver never sets it, so round benches always cover everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
     // benchOnly: default-hash-mode twins of the md5 audit gates —
     // measured but not oracle-checked (their md5 twins verify)
-    val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
+    val selected = (SparkEntry.queries ++ SparkEntry.benchOnly)
       .toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Warm EVERY selected query's plan once before timing anything: a
+    // partial warmup (r5/r6 covered only filter/agg/window codegen)
+    // left whichever paths ran first in the battery charged 2-6x
+    // their steady-state cost for one-time JIT/class-loading (q54
+    // measured 6.98s in battery vs 1.19s isolated; q49 2.6s vs 0.7s
+    // warm) — which poisoned round-over-round comparisons. A full
+    // pre-run makes battery == isolated == steady state.
+    selected.foreach { case (_, fn) =>
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try consume(fn(spark, sfDir)) catch { case _: Throwable => () }

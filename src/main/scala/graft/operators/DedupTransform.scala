@@ -44,8 +44,13 @@ object DedupTransform {
     // to cluster parallelism first (no-op at scale — see widen docs).
     // NOT for exact: one codegen'd fingerprint per row is cheaper
     // than the exchange the widen inserts (measured 2.4s -> 6.6s on
-    // the q14 gate when widen applied to it).
-    val df = if (method == "exact") raw else TransformCommon.widen(raw)
+    // the q14 gate when widen applied to it). NOT for lines either:
+    // its per-row work (split+trim) is fingerprint-cheap, and the
+    // input is referenced three times (line freq, rebuild, final
+    // join), so the un-cached widen exchange re-executes per
+    // reference (measured 2.2s -> 3.9s of stage time on q50).
+    val df = if (method == "exact" || method == "lines") raw
+      else TransformCommon.widen(raw)
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(df.columns.head)
 

@@ -21,6 +21,12 @@ object TextAnalysisTransform {
       case Seq() => Seq("language", "quality", "tokens", "fingerprint")
       case fs => fs
     }
+    // repetition/pii are regex-chain + UDF heavy per row (~0.5ms/doc);
+    // a one-split input would serialize that onto a single task
+    // (measured 2.3s single-task on the q49 gate). The cheap column
+    // features never widen — the exchange costs more than they do.
+    if (features.exists(f => f == "repetition" || f == "pii"))
+      df = TransformCommon.widen(df)
     // tokenize once; every feature references the materialized array
     df = df.withColumn("__toks", tokens(t))
     val tk = col("__toks")

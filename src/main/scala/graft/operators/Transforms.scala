@@ -50,7 +50,17 @@ object TransformCommon {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val perSplit = BigInt(df.sparkSession.sessionState.conf
       .filesMaxPartitionBytes)
-    if (bytes < perSplit * target) df.repartition(target) else df
+    // plans with no real stats (LogicalRDD from mapPartitions outputs
+    // — onnx/multimodal feeding dedup/similarity) report the
+    // defaultSizeInBytes sentinel, which would silently skip the
+    // repartition this probe exists to provide — fall back to the
+    // partition-count probe for those
+    val sentinel = BigInt(df.sparkSession.sessionState.conf
+      .defaultSizeInBytes)
+    val narrow =
+      if (bytes >= sentinel) df.rdd.getNumPartitions < target
+      else bytes < perSplit * target
+    if (narrow) df.repartition(target) else df
   }
 
   /** §2.11 routed variant of `finish` (reference `module/MErrorHandler`

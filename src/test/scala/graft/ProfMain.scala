@@ -32,10 +32,14 @@ object ProfMain {
           f"tasks=${i.numTasks}%3d  ${i.name.takeWhile(_ != '\n').take(60)}")
       }
     })
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.agg(sum(xxhash64(struct(df.columns.head, df.columns.tail: _*)))).collect()
-    println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // two passes: pass 1 absorbs JIT/codegen first-use cost, pass 2
+    // is the steady-state number a battery position would see
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.agg(sum(xxhash64(struct(df.columns.head, df.columns.tail: _*)))).collect()
+      println(f"TOTAL pass$pass ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
