@@ -1637,6 +1637,71 @@ transforms:
         - {name: ok, field: meta.ok}
         - {name: width2, field: meta2.width, type: int64}
         - {name: height2, field: meta2.height, type: int64}
+"""),
+
+    // storage avro CONTAINER FILES (not the q54 binary-column codec):
+    // distributed AvroKeyOutputFormat write, block-splittable
+    // AvroKeyInputFormat read — the roundtrip is lossless so the
+    // oracle is the identity projection on the source table
+    "q57_avro_files" -> ((s: SparkSession, dir: String) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q57_avro").getAbsolutePath
+      Pipeline.execute(s, s"""
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "$dir/orders.parquet"}
+transforms:
+  - name: sel
+    module: sql
+    inputs: [orders]
+    parameters:
+      sql: "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+sinks:
+  - name: wr
+    module: storage
+    input: sel
+    parameters: {output: "$tmp", format: avro}
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: out
+    module: storage
+    parameters: {path: "$tmp", format: avro}
+""")("out")
+    }),
+
+    // §2.11 failure routing consumed END-TO-END: deterministic bad
+    // payloads (doc_id % 10 == 0) fail json deserialize and land in
+    // the module's `.failures` collection, which a downstream sql
+    // step reads like any other collection
+    "q58_failures" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: prep
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN concat('oops', CAST(doc_id AS STRING)) ELSE concat('{\"id\":', CAST(doc_id AS STRING), ',\"v\":\"ok\"}') END AS payload FROM docs"
+  - name: de
+    module: deserialize
+    inputs: [prep]
+    parameters:
+      format: json
+      field: payload
+      outputField: rec
+      schema:
+        fields:
+          - {name: id, type: int64}
+          - {name: v, type: string}
+  - name: out
+    module: sql
+    inputs: [de.failures]
+    parameters:
+      sql: "SELECT doc_id, payload FROM de_failures"
 """)
   )
 
@@ -2498,6 +2563,17 @@ transforms:
            CAST(64 AS BIGINT) AS width2,
            CAST(32 AS BIGINT) AS height2
          FROM documents""",
+
+    // container-file roundtrip is lossless -> identity oracle (q54's
+    // twin for the FILE path)
+    "q57_avro_files" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+
+    // exactly the injected-bad rows (doc_id % 10 == 0) must surface
+    // in the .failures collection, payload intact
+    "q58_failures" ->
+      """SELECT doc_id, 'oops' || CAST(doc_id AS VARCHAR) AS payload
+         FROM documents WHERE doc_id % 10 = 0""",
 
     "q53_pii" ->
       """WITH prep AS (

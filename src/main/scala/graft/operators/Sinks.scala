@@ -45,6 +45,17 @@ object StorageSink {
     val format = p.str("format").getOrElse("parquet")
     var df = df0
     p.int("numShards").filter(_ > 0).foreach(n => df = df.repartition(n))
+    if (format == "avro") {
+      // container files via avro-core/avro-mapred (no spark-avro jar
+      // in this image) — one file per partition, see ops/AvroFiles
+      require(TemplateCompiler.referencedFields(path).isEmpty,
+        "storage avro sink does not support dynamic destination " +
+          "templates; use parquet/csv/json for templated outputs")
+      graft.ops.AvroFiles.write(df, path, p.str("compression")
+        .orElse(p.str("codec")),
+        overwrite = p.str("mode").forall(_ == "overwrite"))
+      return
+    }
     def configure(w: org.apache.spark.sql.DataFrameWriter[
         org.apache.spark.sql.Row]) = {
       var writer = w

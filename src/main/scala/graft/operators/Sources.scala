@@ -101,8 +101,19 @@ object StorageSource {
       }
     }
     val streaming = p.bool("stream").getOrElse(false)
+    if (format == "avro" && streaming)
+      throw new IllegalStateException(
+        "storage avro streaming needs the spark-avro module on the " +
+          "classpath (--packages org.apache.spark:spark-avro_2.13:" +
+          "<spark version>); batch avro, and parquet/csv/json in both " +
+          "modes, are built in")
     var df =
-      if (streaming) {
+      if (format == "avro") {
+        // container files via avro-core/avro-mapred (no spark-avro
+        // jar in this image) — block-splittable, see ops/AvroFiles
+        graft.ops.AvroFiles.read(spark, paths,
+          p("schema").map(SchemaMapper.toStructType))
+      } else if (streaming) {
         // Structured Streaming file source: same formats, same schema
         var r = spark.readStream.format(format)
         val schema = p("schema").map(SchemaMapper.toStructType).getOrElse(

@@ -45,6 +45,9 @@ object AvroCodec {
     case ASchema.Type.LONG => s.getLogicalType match {
       case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros =>
         TimestampType
+      case _: LogicalTypes.LocalTimestampMillis |
+           _: LogicalTypes.LocalTimestampMicros =>
+        TimestampNTZType
       case _ => LongType
     }
     case ASchema.Type.FLOAT => FloatType
@@ -98,6 +101,8 @@ object AvroCodec {
       case DateType =>
         LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
       case TimestampType => LogicalTypes.timestampMicros()
+        .addToSchema(ASchema.create(ASchema.Type.LONG))
+      case TimestampNTZType => LogicalTypes.localTimestampMicros()
         .addToSchema(ASchema.create(ASchema.Type.LONG))
       case ArrayType(et, _) =>
         ASchema.createArray(avroType(et, s"${name}_item", nullable = true))
@@ -157,6 +162,15 @@ object AvroCodec {
       } catch { case scala.util.control.NonFatal(_) => null }
   }
 
+  /** Container-file record (already decoded by a DataFileReader) →
+    * Row of `st` — the read half of `AvroFiles`. */
+  def recordToRow(rec: GenericRecord, s: ASchema, st: StructType): Row =
+    fromAvro(rec, s, st).asInstanceOf[Row]
+
+  /** Row → GenericRecord for container-file writes (`AvroFiles`). */
+  def rowToRecord(row: Row, st: StructType, s: ASchema): GenericRecord =
+    toAvro(row, st, s).asInstanceOf[GenericRecord]
+
   private def toAvro(v: Any, dt: DataType, s0: ASchema): Any = {
     if (v == null) return null
     val s = if (s0.getType == ASchema.Type.UNION)
@@ -184,6 +198,9 @@ object AvroCodec {
         t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
       case (TimestampType, t: java.time.Instant) =>
         t.getEpochSecond * 1000000L + t.getNano / 1000L
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L
       case _ => v
     }
   }
@@ -219,6 +236,15 @@ object AvroCodec {
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
           Math.floorDiv(micros, 1000000L),
           Math.floorMod(micros, 1000000L) * 1000L))
+      case (TimestampNTZType, l: java.lang.Long) =>
+        val micros = s.getLogicalType match {
+          case _: LogicalTypes.LocalTimestampMillis => l * 1000L
+          case _ => l.longValue
+        }
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
       case _ => v
     }
   }
