@@ -112,23 +112,46 @@ object Pipeline {
 
   private def executeRec(spark: SparkSession, configText: String,
       args: Map[String, String], context: Option[String], depth: Int)
-      : Map[String, DataFrame] =
-    try run(spark, configText, args, context, executeSinks = true)
-    catch {
-      case e: Throwable =>
-        // re-resolving may itself fail (bad config) — keep the
-        // original error in that case
-        val alter =
-          try ConfigLoader.resolve(configText, args, context)
-            .failure.alterConfig
-          catch { case _: Throwable => None }
-        if (alter.isEmpty || depth >= 4) throw e
-        else executeRec(spark, alter.get, args, context, depth + 1)
-    }
+      : Map[String, DataFrame] = {
+    // alterConfig fallback wraps GRAPH CONSTRUCTION only, mirroring
+    // the reference's scope (MPipeline.java:93-106 catches around
+    // apply, not run): once sink actions start, a failure propagates
+    // rather than replaying an alternate pipeline on top of whatever
+    // the primary already wrote
+    val (collections, actions) =
+      try runPhased(spark, configText, args, context, executeSinks = true)
+      catch {
+        case e: Throwable =>
+          // re-resolving may itself fail (bad config) — keep the
+          // original error in that case
+          val alter =
+            try ConfigLoader.resolve(configText, args, context)
+              .failure.alterConfig
+            catch { case _: Throwable => None }
+          if (alter.isEmpty || depth >= 4) throw e
+          else return executeRec(spark, alter.get, args, context, depth + 1)
+      }
+    actions.foreach(_.apply())
+    collections
+  }
 
   private def run(spark: SparkSession, configText: String,
       args: Map[String, String], context: Option[String],
       executeSinks: Boolean): Map[String, DataFrame] = {
+    val (collections, actions) =
+      runPhased(spark, configText, args, context, executeSinks)
+    actions.foreach(_.apply())
+    collections
+  }
+
+  /** Build the whole collection graph, returning the deferred sink /
+    * failure-sink actions instead of running them — the Beam-like
+    * construct-then-run split (graph apply vs pipeline.run()). */
+  private def runPhased(spark: SparkSession, configText: String,
+      args: Map[String, String], context: Option[String],
+      executeSinks: Boolean)
+      : (Map[String, DataFrame], Seq[() => Unit]) = {
+    val deferred = scala.collection.mutable.ArrayBuffer[() => Unit]()
     val resolved = ConfigLoader.resolve(configText, args, context)
     val root = resolved.root
 
@@ -212,9 +235,11 @@ object Pipeline {
         }
         collections ++= outs
         done += cfg.name
-        if (section == "sinks" && executeSinks)
-          SinkExecutor.execute(spark, cfg, ins.values.headOption,
-            upstreamStrategy(cfg.name, Set.empty))
+        if (section == "sinks" && executeSinks) {
+          val strat = upstreamStrategy(cfg.name, Set.empty)
+          val in = ins.values.headOption
+          deferred += (() => SinkExecutor.execute(spark, cfg, in, strat))
+        }
         // module-scoped failure sinks (ModuleConfig.failures): this
         // module's bad records only, same envelope as pipeline-level
         if (executeSinks)
@@ -223,7 +248,8 @@ object Pipeline {
               val env = failureEnvelope(Seq(cfg.name -> f))
               cfg.node.arrOf("failures")
                 .filterNot(_.bool("ignore").getOrElse(false))
-                .foreach(runFailureSink(spark, _, env))
+                .foreach(fc => deferred += (() =>
+                  runFailureSink(spark, fc, env)))
             }
         progress = true
       }
@@ -249,10 +275,11 @@ object Pipeline {
         .map { case (n, d) => n.stripSuffix(".failures") -> d }
       if (fails.nonEmpty) {
         val union = failureEnvelope(fails)
-        failureCfgs.foreach(runFailureSink(spark, _, union))
+        failureCfgs.foreach(fc => deferred += (() =>
+          runFailureSink(spark, fc, union)))
       }
     }
-    collections
+    (collections, deferred.toSeq)
   }
 
   /** Canonical BadRecord envelope over `.failures` frames:

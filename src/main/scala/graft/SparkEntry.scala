@@ -1639,6 +1639,41 @@ transforms:
         - {name: height2, field: meta2.height, type: int64}
 """),
 
+    // q33's oracled twin: same IVF assignment/probe/top-k, but with
+    // an external codebook (centroids = the embeddings of 16 fixed
+    // corpus ids) instead of the Lloyd auto-fit — every step is
+    // deterministic SQL
+    "q33c_knn_ivf_codebook" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters:
+      method: ivf
+      field: embedding
+      idField: vec_id
+      k: 5
+      nProbe: 6
+      codebookIds: [0, 31, 62, 93, 124, 155, 186, 217, 248, 279, 310, 341, 372, 403, 434, 465]
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
     // storage avro CONTAINER FILES (not the q54 binary-column codec):
     // distributed AvroKeyOutputFormat write, block-splittable
     // AvroKeyInputFormat read — the roundtrip is lossless so the
@@ -2563,6 +2598,47 @@ transforms:
            CAST(64 AS BIGINT) AS width2,
            CAST(32 AS BIGINT) AS height2
          FROM documents""",
+
+    // IVF with external codebook: cell p = position p in the
+    // codebookIds list (ascending ids here, so row_number over
+    // vec_id reproduces it); corpus assigns to its nearest centroid,
+    // queries probe the 6 nearest, candidates rank by cosine with
+    // the q24 tie-break
+    "q33c_knn_ivf_codebook" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         cents AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding AS cvec
+           FROM e WHERE vec_id IN (0, 31, 62, 93, 124, 155, 186, 217,
+             248, 279, 310, 341, 372, 403, 434, 465)),
+         sims AS (
+           SELECT e.vec_id, cents.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(cents.cvec AS DOUBLE[])) DESC, cents.cell) AS rn
+           FROM e CROSS JOIN cents),
+         c_assign AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
+         q_assign AS (
+           SELECT vec_id, cell FROM sims WHERE rn <= 6 AND vec_id < 5),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                 CAST(eq.embedding AS DOUBLE[]),
+                 CAST(ec.embedding AS DOUBLE[])) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN e eq ON eq.vec_id = p.query_id
+           JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
 
     // container-file roundtrip is lossless -> identity oracle (q54's
     // twin for the FILE path)

@@ -104,8 +104,16 @@ object SimilarityTransform {
         // train-then-index split; swappable for an external codebook).
         val nCells = p.int("centroids").getOrElse(16)
         val nProbe = p.int("nProbe").getOrElse(4)
-        val centroids = fitCentroids(corpus, embField,
-          nCells, p.int("fitIterations").getOrElse(2))
+        // external codebook (`codebookIds`: corpus ids whose vectors
+        // become the centroid table, in the given order) makes the
+        // whole index deterministic and SQL-replayable — the oracled
+        // path. Default stays the Lloyd auto-fit.
+        val codebookIds = p.arrOf("codebookIds").map(_.asLong)
+        val centroids =
+          if (codebookIds.nonEmpty)
+            codebookFromIds(corpus, embField, idField, codebookIds)
+          else fitCentroids(corpus, embField,
+            nCells, p.int("fitIterations").getOrElse(2))
         val assignC = assignUdf(centroids, 1)
         val assignQ = assignUdf(centroids, nProbe)
         val cB = c.withColumn("__cell",
@@ -241,6 +249,21 @@ object SimilarityTransform {
         heaps(qi).iterator.map { case (s, nid) => Row(ids(qi), nid, s) }
       }
     }(enc)
+  }
+
+  /** External IVF codebook: centroid p is the embedding of corpus id
+    * `ids(p)` — driver-side collect bounded by the codebook size (a
+    * codebook is centroids-count-sized by definition, never
+    * corpus-sized). */
+  private def codebookFromIds(corpus: DataFrame, embField: String,
+      idField: String, ids: Seq[Long]): Array[Array[Float]] = {
+    val byId = corpus
+      .filter(col(idField).isin(ids: _*))
+      .select(col(idField).cast("long"), col(embField))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    ids.map(id => byId.getOrElse(id, throw new IllegalArgumentException(
+      s"similarity ivf codebookIds: id $id not in corpus"))).toArray
   }
 
   /** Lloyd iterations over a deterministic pseudo-random sample:

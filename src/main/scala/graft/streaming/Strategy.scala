@@ -66,8 +66,11 @@ object Strategy {
     * never closed. */
   private[graft] def epochToTimestamp(c: Column): Column = {
     val a = abs(c)
+    // integral div, NOT `/` (which promotes to double: at ~1.7e18 ns
+    // the double ulp is ~256 ns, so truncation could land 1µs off an
+    // exact integer-arithmetic replay at a window boundary)
     when(a >= 100000000000000000L,
-        timestamp_micros((c / 1000L).cast("long")))
+        timestamp_micros(call_function("div", c.cast("long"), lit(1000L))))
       .when(a >= 100000000000000L, timestamp_micros(c.cast("long")))
       .when(a >= 100000000000L, timestamp_millis(c.cast("long")))
       .otherwise(c.cast(TimestampType))
@@ -127,8 +130,26 @@ object Strategy {
           // append-safe; the group column is the standard window
           // struct. Standard (non-DST) offset of the zone; month/year
           // have no fixed duration and stay batch-only.
-          val tzOff = java.time.ZoneId.of(tz).getRules
-            .getStandardOffset(java.time.Instant.EPOCH).getTotalSeconds
+          // a fixed-size window can only model zones whose UTC offset
+          // never changes: in a DST zone the streaming buckets would
+          // silently shift 1h against the batch date_trunc plan for
+          // half the year — reject loudly instead (mirrors the
+          // month/year rejection below)
+          val rules = java.time.ZoneId.of(tz).getRules
+          val now = java.time.Instant.now()
+          // "effectively fixed": no DST rules and no scheduled offset
+          // change ahead — Asia/Tokyo (last transition 1951) passes,
+          // America/New_York is rejected
+          if (!rules.isFixedOffset &&
+              (!rules.getTransitionRules.isEmpty ||
+                rules.nextTransition(now) != null))
+            throw new IllegalArgumentException(
+              s"streaming calendar windows need a fixed-offset " +
+                s"timezone ('$tz' observes DST/offset transitions, so " +
+                "fixed 1-day buckets would drift from batch " +
+                "date_trunc); use a fixed offset like UTC or +09:00, " +
+                "or run this module in batch")
+          val tzOff = rules.getOffset(now).getTotalSeconds
           unit match {
             case "day" =>
               val off = ((86400 - tzOff) % 86400 + 86400) % 86400

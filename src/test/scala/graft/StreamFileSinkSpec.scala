@@ -81,6 +81,21 @@ class StreamFileSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot parse duration"))
   }
 
+  test("streaming calendar windows reject DST zones, accept " +
+      "effectively-fixed ones") {
+    import graft.streaming.Strategy
+    import graft.config.Json
+    def cal(tz: String) = Strategy.windowColumn(
+      Json.parse(
+        s"""{"window": {"type": "calendar", "unit": "day", "timezone": "$tz"}}"""),
+      org.apache.spark.sql.functions.col("ts"), streaming = true)
+    assert(cal("UTC").isDefined)
+    assert(cal("+09:00").isDefined)
+    assert(cal("Asia/Tokyo").isDefined) // no transitions since 1951
+    val e = intercept[IllegalArgumentException] { cal("America/New_York") }
+    assert(e.getMessage.contains("fixed-offset"))
+  }
+
   test("session windows drain through a file sink with nanos "
       + "event time") {
     val in = Files.createTempDirectory("graft-sfs2-in")
