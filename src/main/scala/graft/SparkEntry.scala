@@ -1706,6 +1706,46 @@ sources:
 """)("out")
     }),
 
+    // native protobuf wire codec roundtrip (ops/ProtoCodec, q54's
+    // protobuf twin): all values are nonzero/non-empty so proto3's
+    // absent-default convention can't null anything
+    "q59_protobuf_roundtrip" -> pipe("out", """
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ser
+    module: serialize
+    inputs: [orders]
+    parameters:
+      format: protobuf
+      fields: [o_orderkey, o_orderstatus, o_totalprice]
+      outputField: payload
+  - name: keep
+    module: sql
+    inputs: [ser]
+    parameters:
+      sql: "SELECT payload FROM ser"
+  - name: de
+    module: deserialize
+    inputs: [keep]
+    parameters:
+      format: protobuf
+      field: payload
+      outputField: rec
+      schema:
+        fields:
+          - {name: o_orderkey, type: int64}
+          - {name: o_orderstatus, type: string}
+          - {name: o_totalprice, type: float64}
+  - name: out
+    module: sql
+    inputs: [de]
+    parameters:
+      sql: "SELECT rec.o_orderkey AS o_orderkey, rec.o_orderstatus AS o_orderstatus, rec.o_totalprice AS o_totalprice FROM de"
+"""),
+
     // §2.11 failure routing consumed END-TO-END: deterministic bad
     // payloads (doc_id % 10 == 0) fail json deserialize and land in
     // the module's `.failures` collection, which a downstream sql
@@ -2643,6 +2683,10 @@ transforms:
     // container-file roundtrip is lossless -> identity oracle (q54's
     // twin for the FILE path)
     "q57_avro_files" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+
+    // protobuf roundtrip is lossless for nonzero values -> identity
+    "q59_protobuf_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
 
     // exactly the injected-bad rows (doc_id % 10 == 0) must surface

@@ -22,6 +22,49 @@ import org.apache.spark.sql.types._
   * (default `payload`). The input columns are preserved; the payload
   * column is appended (or replaces an existing column of that name).
   */
+/** Shared protobuf descriptor resolution for serialize/deserialize:
+  * `descriptorFile` (a protoc FileDescriptorSet, read through the
+  * Hadoop FS so gs://-style paths work) + `messageName`, or a
+  * canonical descriptor derived from a Spark schema when no file is
+  * given. */
+object ProtoTransformCommon {
+  def resolveDescriptor(spark: SparkSession,
+      p: com.fasterxml.jackson.databind.JsonNode,
+      schemaForDerivation: Option[StructType])
+      : (Array[Byte], String) =
+    p.str("descriptorFile") match {
+      case Some(path) =>
+        val msgName = p.str("messageName").getOrElse(
+          throw new IllegalArgumentException(
+            "protobuf with descriptorFile requires messageName"))
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(hp)
+        val bytes =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            bos.toByteArray
+          } finally in.close()
+        // parse eagerly so a bad descriptor fails at build time with
+        // a config-shaped error, not inside a task
+        graft.ops.ProtoCodec.parseDescriptorSet(bytes)
+          .message(msgName)
+        (bytes, msgName)
+      case None =>
+        val st = schemaForDerivation.getOrElse(
+          throw new IllegalArgumentException(
+            "protobuf requires descriptorFile+messageName, or a " +
+              "schema to derive a canonical descriptor from"))
+        val msgName = p.str("messageName").getOrElse("graft.Record")
+        val schema = graft.ops.ProtoCodec.schemaToDescriptor(st, msgName)
+        (graft.ops.ProtoCodec.toDescriptorSetBytes(schema), msgName)
+    }
+}
+
 object SerializeTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
@@ -62,18 +105,36 @@ object SerializeTransform {
           }
         }(enc)
       case "protobuf" =>
-        // reference DeserializeTransform.java:91-95 parameter contract
-        p.str("descriptorFile").getOrElse(
-          throw new IllegalArgumentException(
-            "serialize protobuf requires descriptorFile"))
-        p.str("messageName").getOrElse(
-          throw new IllegalArgumentException(
-            "serialize protobuf requires messageName"))
-        throw new IllegalStateException(
-          "protobuf serialization requires the spark-protobuf module " +
-            "on the classpath (--packages org.apache.spark:" +
-            "spark-protobuf_2.13:<spark version>) plus the compiled " +
-            "descriptor set; json and avro formats are built in")
+        // native wire-format codec (ops/ProtoCodec — no protobuf jar
+        // ships in this image): descriptorFile+messageName use a
+        // protoc-compiled FileDescriptorSet; without one the
+        // descriptor derives canonically from the selected fields'
+        // schema (field numbers 1..n), which the deserialize side
+        // reproduces — see ProtoCodec.schemaToDescriptor
+        val srcSchema = StructType(fieldNames.map(f => df.schema(f)))
+        val (descBytes, msgName) =
+          ProtoTransformCommon.resolveDescriptor(spark, p,
+            Some(srcSchema))
+        val idxs = fieldNames.map(f =>
+          df.schema.fieldNames.indexOf(f)).toArray
+        val encFn = new graft.ops.ProtoCodec.RowEncoderFn(
+          descBytes, msgName)
+        val replaceIdx = df.schema.fieldNames.indexOf(outField)
+        val outSchema =
+          if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
+            .updated(replaceIdx, StructField(outField, BinaryType)))
+          else df.schema.add(outField, BinaryType)
+        val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+        df.mapPartitions { it =>
+          it.map { row =>
+            val payload =
+              encFn.encode(Row.fromSeq(idxs.toSeq.map(row.get)))
+            Row.fromSeq(
+              if (replaceIdx >= 0)
+                row.toSeq.updated(replaceIdx, payload)
+              else row.toSeq :+ payload)
+          }
+        }(enc)
       case other =>
         throw new IllegalArgumentException(s"serialize format: $other")
     }

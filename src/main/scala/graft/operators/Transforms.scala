@@ -675,20 +675,43 @@ object DeserializeTransform {
           }
         }(enc)
       case "protobuf" =>
-        // validated slot (reference DeserializeTransform.java:91-95):
-        // parameter contract enforced here, decoding needs the
-        // spark-protobuf module which is not bundled
-        cfg.params.str("descriptorFile").getOrElse(
-          throw new IllegalArgumentException(
-            "deserialize protobuf requires descriptorFile"))
-        cfg.params.str("messageName").getOrElse(
-          throw new IllegalArgumentException(
-            "deserialize protobuf requires messageName"))
-        throw new IllegalStateException(
-          "protobuf deserialization requires the spark-protobuf module " +
-            "on the classpath (--packages org.apache.spark:" +
-            "spark-protobuf_2.13:<spark version>) plus the compiled " +
-            "descriptor set; json, csv and avro formats are built in")
+        // native wire-format decode (ops/ProtoCodec — the reference
+        // links protobuf-java, DeserializeTransform.java:117-121; no
+        // protobuf jar ships here so the engine carries its own
+        // reader). Descriptor: protoc FileDescriptorSet via
+        // descriptorFile+messageName, or derived canonically from
+        // the `schema` param (matching the serialize side).
+        val (descBytes, msgName) =
+          ProtoTransformCommon.resolveDescriptor(spark, cfg.params,
+            schema)
+        val decFn = new graft.ops.ProtoCodec.RowDecoderFn(
+          descBytes, msgName)
+        val recType = decFn.structType
+        val fieldIdx = df.schema.fieldNames.indexOf(field)
+        require(fieldIdx >= 0, s"deserialize: unknown field '$field'")
+        require(df.schema(field).dataType == BinaryType,
+          s"deserialize protobuf: field '$field' must be binary, got " +
+            df.schema(field).dataType.simpleString)
+        val replaceIdx = df.schema.fieldNames.indexOf(outField)
+        val outSchema =
+          (if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
+            .updated(replaceIdx, StructField(outField, recType)))
+          else df.schema.add(outField, recType))
+            .add("__bad", BooleanType)
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(outSchema))
+        df = df.mapPartitions { it =>
+          it.map { row =>
+            val bytes = if (row.isNullAt(fieldIdx)) null
+              else row.getAs[Array[Byte]](fieldIdx)
+            val rec = decFn.decode(bytes)
+            val bad = bytes != null && rec == null
+            org.apache.spark.sql.Row.fromSeq(
+              (if (replaceIdx >= 0) row.toSeq.updated(replaceIdx, rec)
+              else row.toSeq :+ rec) :+ bad)
+          }
+        }(enc)
       case other =>
         throw new IllegalArgumentException(s"deserialize format: $other")
     }

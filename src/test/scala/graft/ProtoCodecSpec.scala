@@ -1,0 +1,277 @@
+package graft
+
+import graft.ops.{ProtoCodec, ProtoWire}
+import graft.ops.ProtoCodec._
+import graft.ops.ProtoWire.{Reader, Writer, WtLen, WtVarint}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native protobuf wire codec (ops/ProtoWire + ops/ProtoCodec): the
+  * encoding itself is pinned against the public spec byte-for-byte,
+  * then descriptor/row roundtrips, then the module surface. */
+class ProtoCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("varint encoding matches the spec's worked examples") {
+    // protobuf.dev/programming-guides/encoding: 150 -> 0x96 0x01
+    val w = new Writer
+    w.writeVarint(150L)
+    assert(w.toByteArray.toSeq === Seq(0x96.toByte, 0x01.toByte))
+    // -1 is 10 bytes of 0xff..0x01 (sign-extended uint64)
+    val w2 = new Writer
+    w2.writeVarint(-1L)
+    assert(w2.toByteArray.length === 10)
+    for (v <- Seq(0L, 1L, 127L, 128L, 300L, Long.MaxValue, Long.MinValue,
+        -1L)) {
+      val ww = new Writer
+      ww.writeVarint(v)
+      assert(new Reader(ww.toByteArray).readVarint() === v)
+    }
+  }
+
+  test("zigzag matches the spec table") {
+    // spec: 0->0, -1->1, 1->2, -2->3, 2147483647->4294967294
+    assert(ProtoWire.zigzagEncode(0L) === 0L)
+    assert(ProtoWire.zigzagEncode(-1L) === 1L)
+    assert(ProtoWire.zigzagEncode(1L) === 2L)
+    assert(ProtoWire.zigzagEncode(-2L) === 3L)
+    assert(ProtoWire.zigzagEncode(2147483647L) === 4294967294L)
+    for (v <- Seq(0L, -1L, 1L, Long.MinValue, Long.MaxValue, 42L, -42L))
+      assert(ProtoWire.zigzagDecode(ProtoWire.zigzagEncode(v)) === v)
+  }
+
+  test("message encoding matches the spec's Test1 example") {
+    // spec: message Test1 { int32 a = 1; } with a=150 -> 08 96 01
+    val schema = PbSchema(Map("Test1" -> PbMessage("Test1",
+      Vector(PbField("a", 1, 1, TInt32, "")), mapEntry = false)),
+      Map.empty)
+    val bytes = ProtoCodec.encode(schema, "Test1", Row(150))
+    assert(bytes.toSeq ===
+      Seq(0x08.toByte, 0x96.toByte, 0x01.toByte))
+    assert(ProtoCodec.decode(schema, "Test1", bytes) === Row(150))
+  }
+
+  test("schema -> descriptor -> descriptor-set bytes -> schema " +
+      "roundtrip preserves the struct") {
+    val st = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("flag", BooleanType),
+      StructField("blob", BinaryType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, LongType)),
+      StructField("at", TimestampType),
+      StructField("sub", StructType(Seq(
+        StructField("x", IntegerType),
+        StructField("y", FloatType))))))
+    val schema = schemaToDescriptor(st, "graft.T")
+    val bytes = toDescriptorSetBytes(schema)
+    val parsed = parseDescriptorSet(bytes)
+    val st2 = toStructType(parsed, "graft.T")
+    assert(st2.fields.map(f => (f.name, f.dataType)).toSeq ===
+      st.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("row roundtrip across every supported type") {
+    val st = StructType(Seq(
+      StructField("id", LongType),
+      StructField("neg", IntegerType),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("ratio", FloatType),
+      StructField("flag", BooleanType),
+      StructField("blob", BinaryType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("nums", ArrayType(LongType)),
+      StructField("attrs", MapType(StringType, LongType)),
+      StructField("at", TimestampType),
+      StructField("sub", StructType(Seq(
+        StructField("x", IntegerType))))))
+    val schema = schemaToDescriptor(st, "graft.T")
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-05-04T03:02:01.123456789Z"))
+    val row = Row(42L, -7, "héllo ☃", 3.5d, 1.25f, true,
+      Array[Byte](0, 1, -1), Seq("a", "b"), Seq(1L, -2L, 3L),
+      Map("k1" -> 1L, "k2" -> 2L), ts, Row(9))
+    val got = ProtoCodec.decode(schema, "graft.T",
+      ProtoCodec.encode(schema, "graft.T", row))
+    assert(got.getLong(0) === 42L)
+    assert(got.getInt(1) === -7)
+    assert(got.getString(2) === "héllo ☃")
+    assert(got.getDouble(3) === 3.5d)
+    assert(got.getFloat(4) === 1.25f)
+    assert(got.getBoolean(5) === true)
+    assert(got.getAs[Array[Byte]](6).toSeq === Seq[Byte](0, 1, -1))
+    assert(got.getSeq[String](7) === Seq("a", "b"))
+    assert(got.getSeq[Long](8) === Seq(1L, -2L, 3L))
+    assert(got.getMap[String, Long](9) === Map("k1" -> 1L, "k2" -> 2L))
+    assert(got.getAs[java.sql.Timestamp](10) === ts)
+    assert(got.getStruct(11) === Row(9))
+  }
+
+  test("null fields are omitted on the wire and decode back to null") {
+    val st = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val schema = schemaToDescriptor(st, "graft.T")
+    val bytes = ProtoCodec.encode(schema, "graft.T", Row(null, null))
+    assert(bytes.length === 0)
+    assert(ProtoCodec.decode(schema, "graft.T", bytes) === Row(null, null))
+  }
+
+  test("packed repeated scalars decode (expanded is what we write)") {
+    val schema = PbSchema(Map("P" -> PbMessage("P",
+      Vector(PbField("v", 1, 3, TInt64, "")), mapEntry = false)),
+      Map.empty)
+    // hand-encode packed: tag(1,LEN) + len + varints 3,270,86942 (spec)
+    val inner = new Writer
+    Seq(3L, 270L, 86942L).foreach(inner.writeVarint)
+    val w = new Writer
+    w.writeTag(1, WtLen)
+    w.writeBytes(inner.toByteArray)
+    val got = ProtoCodec.decode(schema, "P", w.toByteArray)
+    assert(got.getSeq[Long](0) === Seq(3L, 270L, 86942L))
+  }
+
+  test("enums decode to symbols; sint/fixed variants roundtrip") {
+    val schema = PbSchema(
+      Map("M" -> PbMessage("M", Vector(
+        PbField("color", 1, 1, TEnum, "Color"),
+        PbField("s32", 2, 1, TSInt32, ""),
+        PbField("s64", 3, 1, TSInt64, ""),
+        PbField("f32", 4, 1, TSFixed32, ""),
+        PbField("f64", 5, 1, TSFixed64, "")), mapEntry = false)),
+      Map("Color" -> PbEnum("Color",
+        Map(0 -> "RED", 1 -> "GREEN", 2 -> "BLUE"))))
+    val row = Row("GREEN", -5, -6L, -7, -8L)
+    val got = ProtoCodec.decode(schema, "M",
+      ProtoCodec.encode(schema, "M", row))
+    assert(got === Row("GREEN", -5, -6L, -7, -8L))
+  }
+
+  test("wrapper types unwrap to nullable scalars") {
+    val schema = PbSchema(Map("W" -> PbMessage("W", Vector(
+      PbField("s", 1, 1, TMessage, "google.protobuf.StringValue"),
+      PbField("n", 2, 1, TMessage, "google.protobuf.Int64Value")),
+      mapEntry = false)), Map.empty)
+    assert(toStructType(schema, "W") === StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType))))
+    val got = ProtoCodec.decode(schema, "W",
+      ProtoCodec.encode(schema, "W", Row("x", 5L)))
+    assert(got === Row("x", 5L))
+  }
+
+  test("RowDecoderFn nulls out garbage bytes instead of throwing") {
+    val st = StructType(Seq(StructField("id", LongType)))
+    val schema = schemaToDescriptor(st, "graft.T")
+    val fn = new RowDecoderFn(toDescriptorSetBytes(schema), "graft.T")
+    assert(fn.decode(Array[Byte](0x08, -1)) === null) // truncated varint
+    assert(fn.decode(null) === null)
+  }
+
+  test("serialize -> deserialize protobuf pipeline roundtrip " +
+      "(schema-derived descriptor)") {
+    val out = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: orders
+      |    module: storage
+      |    parameters: {path: "/root/testdata/sf0.001/orders.parquet"}
+      |transforms:
+      |  - name: ser
+      |    module: serialize
+      |    inputs: [orders]
+      |    parameters:
+      |      format: protobuf
+      |      fields: [o_orderkey, o_orderstatus, o_totalprice]
+      |      outputField: payload
+      |  - name: keep
+      |    module: sql
+      |    inputs: [ser]
+      |    parameters: {sql: "SELECT payload FROM ser"}
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [keep]
+      |    parameters:
+      |      format: protobuf
+      |      field: payload
+      |      outputField: rec
+      |      schema:
+      |        fields:
+      |          - {name: o_orderkey, type: int64}
+      |          - {name: o_orderstatus, type: string}
+      |          - {name: o_totalprice, type: float64}
+      |""".stripMargin)("de")
+    val orig = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert(out.filter(org.apache.spark.sql.functions.col("__bad")).count() === 0)
+    assert(out.count() === orig.count())
+    val a = out.selectExpr("sum(rec.o_orderkey)", "sum(rec.o_totalprice)")
+      .head
+    val b = orig.selectExpr("sum(o_orderkey)", "sum(o_totalprice)").head
+    assert(a === b)
+  }
+
+  test("descriptorFile path: export, read back through the module") {
+    val st = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val schema = schemaToDescriptor(st, "graft.test.Doc")
+    val descPath = java.nio.file.Files
+      .createTempDirectory("protodesc").resolve("doc.desc")
+    java.nio.file.Files.write(descPath, toDescriptorSetBytes(schema))
+    val out = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: src
+      |    module: create
+      |    parameters:
+      |      elements:
+      |        - {id: 1, name: a}
+      |        - {id: 2, name: b}
+      |      schema:
+      |        fields:
+      |          - {name: id, type: int64}
+      |          - {name: name, type: string}
+      |transforms:
+      |  - name: ser
+      |    module: serialize
+      |    inputs: [src]
+      |    parameters:
+      |      format: protobuf
+      |      descriptorFile: "$descPath"
+      |      messageName: graft.test.Doc
+      |      outputField: payload
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [ser]
+      |    parameters:
+      |      format: protobuf
+      |      descriptorFile: "$descPath"
+      |      messageName: graft.test.Doc
+      |      field: payload
+      |      outputField: rec
+      |""".stripMargin)("de")
+    val rows = out.selectExpr("rec.id", "rec.name").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows === Seq((1L, "a"), (2L, "b")))
+    // unknown message name fails at build time, listing what exists
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: src
+        |    module: create
+        |    parameters:
+        |      elements: [{id: 1}]
+        |      schema: {fields: [{name: id, type: int64}]}
+        |transforms:
+        |  - name: ser
+        |    module: serialize
+        |    inputs: [src]
+        |    parameters:
+        |      format: protobuf
+        |      descriptorFile: "$descPath"
+        |      messageName: graft.test.Nope
+        |      outputField: payload
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("graft.test.Doc"))
+  }
+}
