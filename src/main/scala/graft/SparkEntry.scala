@@ -1706,6 +1706,23 @@ sources:
 """)("out")
     }),
 
+    // FreeMarker-subset template directives (<#if>/<#elseif>/<#else>
+    // + builtins) compiled to when-chains — replays as CASE in SQL
+    "q60_template_cond" -> pipe("out", """
+sources:
+  - name: orders
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [orders]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: label, func: text, text: "${o_orderstatus?lower_case}:<#if o_totalprice gte 200000>big<#elseif o_totalprice gte 100000>mid<#else>small</#if>"}
+"""),
+
     // native protobuf wire codec roundtrip (ops/ProtoCodec, q54's
     // protobuf twin): all values are nonzero/non-empty so proto3's
     // absent-default convention can't null anything
@@ -2684,6 +2701,15 @@ transforms:
     // twin for the FILE path)
     "q57_avro_files" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+
+    // template if/elseif/else == CASE; ?lower_case == lower()
+    "q60_template_cond" ->
+      """SELECT o_orderkey,
+           lower(o_orderstatus) || ':' ||
+             CASE WHEN o_totalprice >= 200000 THEN 'big'
+                  WHEN o_totalprice >= 100000 THEN 'mid'
+                  ELSE 'small' END AS label
+         FROM orders""",
 
     // protobuf roundtrip is lossless for nonzero values -> identity
     "q59_protobuf_roundtrip" ->
