@@ -69,7 +69,10 @@ object SerializeTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val df = TransformCommon.single(cfg, inputs)
+    // payload packing is per-row CPU work (to_json/to_csv/codec
+    // loops); widen one-split inputs so it parallelizes (see
+    // DeserializeTransform)
+    val df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
     val p = cfg.params
     val outField = p.str("outputField").getOrElse("payload")
     val fieldNames = {

@@ -604,7 +604,10 @@ object SqlTransform {
 object DeserializeTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    var df = TransformCommon.single(cfg, inputs)
+    // payload parsing is per-row CPU work (from_json/from_csv/codec
+    // loops) — a one-split input would run it on a single task
+    // (q16: 0.85s of from_json serialized on one core at sf0.1)
+    var df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
     val field = cfg.params.str("field").getOrElse("payload")
     val outField = cfg.params.str("outputField").getOrElse(field)
     val format = cfg.params.str("format").getOrElse("json")

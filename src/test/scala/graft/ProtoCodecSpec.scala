@@ -208,7 +208,11 @@ class ProtoCodecSpec extends AnyFunSuite {
     val a = out.selectExpr("sum(rec.o_orderkey)", "sum(rec.o_totalprice)")
       .head
     val b = orig.selectExpr("sum(o_orderkey)", "sum(o_totalprice)").head
-    assert(a === b)
+    assert(a.getLong(0) === b.getLong(0))
+    // the roundtrip is bit-exact per value, but widen() repartitions
+    // change double SUMMATION order — compare with an ulp-scale band
+    assert(math.abs(a.getDouble(1) - b.getDouble(1)) <
+      math.ulp(b.getDouble(1)) * 64)
   }
 
   test("descriptorFile path: export, read back through the module") {
