@@ -295,18 +295,24 @@ object SelectCompiler {
             regexp_extract(col(field).cast(StringType), pattern, 1)
         }
       case "reshape" =>
-        // array reshape (Reshape.java): shape [rows, cols] → nested
-        // arrays; shape [-1] → flatten one level
+        // array reshape (Reshape.java): shape [d1, ..., dk] nests a
+        // flat array one level per trailing dimension (the leading
+        // dim is derived from the data, numpy-style -1); shape [-1]
+        // flattens one level
         val shape = sel.arrOf("shape").map(_.asInt)
+        def chunk(c: Column, width: Int): Column =
+          transform(
+            sequence(lit(0), ((size(c) - 1) / width).cast(IntegerType)),
+            i => slice(c, i * width + 1, lit(width)))
         shape match {
           case Seq(-1) => flatten(col(field))
-          case Seq(_, cols) =>
-            transform(
-              sequence(lit(0),
-                ((size(col(field)) - 1) / cols).cast(IntegerType)),
-              i => slice(col(field), i * cols + 1, lit(cols)))
+          case dims if dims.length >= 2 && dims.tail.forall(_ > 0) =>
+            // innermost dimension first: [2,3,4] → chunk(4) then
+            // chunk(3); the outer count falls out of the data
+            dims.tail.reverse.foldLeft(col(field))(chunk)
           case other => throw new IllegalArgumentException(
-            s"reshape shape: $other")
+            s"reshape shape: $other (expected [-1] or [d1, ..., dk] " +
+              "with positive trailing dims)")
         }
       case "generate" =>
         sel.str("type").getOrElse("uuid") match {

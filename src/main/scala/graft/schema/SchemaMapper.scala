@@ -48,6 +48,16 @@ object SchemaMapper {
         // reference rejects type:array (Schema.java:659) — arrays are
         // mode:repeated; accept it anyway with itemType for ergonomics
         ArrayType(node("itemType").map(toDataType).getOrElse(StringType))
+      case "matrix" =>
+        // reference Schema.java:733 matrix(valueType, shape): one
+        // nesting level per shape dimension; the shape itself rides
+        // in column metadata (Spark arrays are unbounded) — see
+        // toStructField
+        val vt = node("matrixValueType").orElse(node("valueType"))
+          .map(toDataType).getOrElse(FloatType)
+        val shape = node.arrOf("shape").map(_.asInt)
+        require(shape.nonEmpty, "matrix type requires shape: [dims...]")
+        shape.foldLeft(vt)((t, _) => ArrayType(t))
       case other =>
         throw new IllegalArgumentException(s"unknown type: $other")
     }
@@ -57,10 +67,20 @@ object SchemaMapper {
       throw new IllegalArgumentException(s"field requires name: $node"))
     val mode = node.str("mode").getOrElse("nullable").toLowerCase(java.util.Locale.ROOT)
     val base = toDataType(node)
+    // shape (matrix) and symbols (enumeration) are type REFINEMENTS
+    // Spark's lattice can't carry — record them as column metadata so
+    // downstream modules (reshape, validators) can read them back
+    val mb = new MetadataBuilder()
+    val shape = node.arrOf("shape").map(_.asLong)
+    if (shape.nonEmpty) mb.putLongArray("shape", shape.toArray)
+    val symbols = node.strArr("symbols")
+    if (symbols.nonEmpty) mb.putStringArray("symbols", symbols.toArray)
+    val meta = mb.build()
     mode match {
-      case "repeated" => StructField(name, ArrayType(base), nullable = true)
-      case "required" => StructField(name, base, nullable = false)
-      case _ => StructField(name, base, nullable = true)
+      case "repeated" =>
+        StructField(name, ArrayType(base), nullable = true, meta)
+      case "required" => StructField(name, base, nullable = false, meta)
+      case _ => StructField(name, base, nullable = true, meta)
     }
   }
 

@@ -59,6 +59,29 @@ class SelectFuncsSpec extends AnyFunSuite {
     assert(flat.select("back").as[Seq[Int]].head() == Seq(1, 2, 3, 4, 5, 6))
   }
 
+  test("reshape: 3-dim shape nests innermost-first; matrix schema " +
+      "type carries shape metadata") {
+    val df = Seq((1L, List.range(1, 13))).toDF("id", "arr")
+    val out = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "m", "func": "reshape", "field": "arr", "shape": [2, 2, 3]}
+      ]"""))
+    val m = out.select("m").as[Seq[Seq[Seq[Int]]]].head()
+    assert(m == Seq(
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6)),
+      Seq(Seq(7, 8, 9), Seq(10, 11, 12))))
+    // schema type matrix → nested arrays + shape metadata
+    val st = graft.schema.SchemaMapper.toStructType(Json.parse(
+      """{"fields": [
+        {"name": "emb", "type": "matrix", "shape": [4, 8],
+         "valueType": {"type": "float32"}}]}"""))
+    assert(st("emb").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(st("emb").metadata.getLongArray("shape").toSeq === Seq(4L, 8L))
+  }
+
   test("scrape: CSS-subset selectors, attributes, repeated mode, pattern") {
     val html =
       """<html><body>
