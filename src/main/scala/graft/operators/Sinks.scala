@@ -51,9 +51,13 @@ object StorageSink {
       require(TemplateCompiler.referencedFields(path).isEmpty,
         "storage avro sink does not support dynamic destination " +
           "templates; use parquet/csv/json for templated outputs")
+      val mode = p.str("mode").getOrElse("overwrite")
+      require(mode == "overwrite",
+        s"storage avro sink supports mode: overwrite only (got " +
+          s"'$mode'); the Hadoop output format cannot append into an " +
+          "existing directory — write to a fresh path instead")
       graft.ops.AvroFiles.write(df, path, p.str("compression")
-        .orElse(p.str("codec")),
-        overwrite = p.str("mode").forall(_ == "overwrite"))
+        .orElse(p.str("codec")), overwrite = true)
       return
     }
     def configure(w: org.apache.spark.sql.DataFrameWriter[

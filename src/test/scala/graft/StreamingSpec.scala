@@ -163,6 +163,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("protobuf deserialize runs on a streaming frame") {
+    // stage: batch-serialize rows to proto payloads in parquet, then
+    // stream-read the staged files and decode on the unbounded frame
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-pb").toString
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: n
+      |    module: storage
+      |    parameters: {path: "/root/testdata/sf0.001/nation.parquet"}
+      |transforms:
+      |  - name: ser
+      |    module: serialize
+      |    inputs: [n]
+      |    parameters:
+      |      format: protobuf
+      |      fields: [n_nationkey, n_name]
+      |      outputField: payload
+      |  - name: keep
+      |    module: sql
+      |    inputs: [ser]
+      |    parameters: {sql: "SELECT payload FROM ser"}
+      |sinks:
+      |  - name: snk
+      |    module: storage
+      |    input: keep
+      |    parameters: {output: "$dir/staged", format: parquet}
+      |""".stripMargin)
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: src
+      |    module: storage
+      |    parameters: {path: "$dir/staged", stream: true}
+      |transforms:
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [src]
+      |    parameters:
+      |      format: protobuf
+      |      field: payload
+      |      outputField: rec
+      |      schema:
+      |        fields:
+      |          - {name: n_nationkey, type: int64}
+      |          - {name: n_name, type: string}
+      |  - name: out
+      |    module: sql
+      |    inputs: [de]
+      |    parameters:
+      |      sql: "SELECT rec.n_nationkey AS k, rec.n_name AS v FROM de"
+      |sinks:
+      |  - name: pbout
+      |    module: memory
+      |    input: out
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    val out = spark.sql("SELECT * FROM pbout")
+    assert(out.count() === 25)
+    assert(out.filter($"k" === 21).select("v").as[String].head() ===
+      spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .filter($"n_nationkey" === 21).select("n_name").as[String].head())
+    StreamRunner.stopAll()
+  }
+
   test("rate source smoke: streaming plan builds") {
     val config = """
       |sources:
