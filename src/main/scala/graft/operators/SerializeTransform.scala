@@ -91,22 +91,7 @@ object SerializeTransform {
         val idxs = fieldNames.map(f =>
           df.schema.fieldNames.indexOf(f)).toArray
         val encFn = new AvroCodec.RowEncoderFn(srcSchema, avroJson)
-        val replaceIdx = df.schema.fieldNames.indexOf(outField)
-        val outSchema =
-          if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
-            .updated(replaceIdx, StructField(outField, BinaryType)))
-          else df.schema.add(outField, BinaryType)
-        val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-        df.mapPartitions { it =>
-          it.map { row =>
-            val payload =
-              encFn.encode(Row.fromSeq(idxs.toSeq.map(row.get)))
-            Row.fromSeq(
-              if (replaceIdx >= 0)
-                row.toSeq.updated(replaceIdx, payload)
-              else row.toSeq :+ payload)
-          }
-        }(enc)
+        TransformCommon.encodePayload(df, idxs, outField, encFn.encode)
       case "protobuf" =>
         // native wire-format codec (ops/ProtoCodec — no protobuf jar
         // ships in this image): descriptorFile+messageName use a
@@ -118,26 +103,24 @@ object SerializeTransform {
         val (descBytes, msgName) =
           ProtoTransformCommon.resolveDescriptor(spark, p,
             Some(srcSchema))
-        val idxs = fieldNames.map(f =>
-          df.schema.fieldNames.indexOf(f)).toArray
+        // align columns to the MESSAGE's field order BY NAME: a
+        // protoc descriptor is free to order/number fields any way it
+        // likes, so positional pairing would silently write values
+        // under each other's field numbers. Descriptor fields with no
+        // selected column encode as absent; selected columns missing
+        // from the message are an error.
+        val msgFields = graft.ops.ProtoCodec
+          .parseDescriptorSet(descBytes).message(msgName).fields
+        fieldNames.foreach(f => require(msgFields.exists(_.name == f),
+          s"serialize protobuf: field '$f' is not in message " +
+            s"'$msgName' (has: ${msgFields.map(_.name).mkString(", ")})"))
+        val selected = fieldNames.toSet
+        val idxs = msgFields.map(mf =>
+          if (selected(mf.name)) df.schema.fieldNames.indexOf(mf.name)
+          else -1).toArray
         val encFn = new graft.ops.ProtoCodec.RowEncoderFn(
           descBytes, msgName)
-        val replaceIdx = df.schema.fieldNames.indexOf(outField)
-        val outSchema =
-          if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
-            .updated(replaceIdx, StructField(outField, BinaryType)))
-          else df.schema.add(outField, BinaryType)
-        val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-        df.mapPartitions { it =>
-          it.map { row =>
-            val payload =
-              encFn.encode(Row.fromSeq(idxs.toSeq.map(row.get)))
-            Row.fromSeq(
-              if (replaceIdx >= 0)
-                row.toSeq.updated(replaceIdx, payload)
-              else row.toSeq :+ payload)
-          }
-        }(enc)
+        TransformCommon.encodePayload(df, idxs, outField, encFn.encode)
       case other =>
         throw new IllegalArgumentException(s"serialize format: $other")
     }

@@ -56,6 +56,10 @@ object StorageSink {
         s"storage avro sink supports mode: overwrite only (got " +
           s"'$mode'); the Hadoop output format cannot append into an " +
           "existing directory — write to a fresh path instead")
+      require((p.strArr("partitionFields") ++
+          p.strArr("dynamicSplitFields")).isEmpty,
+        "storage avro sink does not support partitionFields; use " +
+          "parquet for partitioned layouts")
       graft.ops.AvroFiles.write(df, path, p.str("compression")
         .orElse(p.str("codec")), overwrite = true)
       return

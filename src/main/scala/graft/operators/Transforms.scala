@@ -63,6 +63,70 @@ object TransformCommon {
     if (narrow) df.repartition(target) else df
   }
 
+  /** Append/replace a binary payload column computed by a per-row
+    * encoder over selected columns (avro/protobuf serialize share
+    * this skeleton). `srcIdxs` entries of -1 feed null (for
+    * descriptor fields with no matching column). */
+  def encodePayload(df: DataFrame, srcIdxs: Array[Int],
+      outField: String, encode: org.apache.spark.sql.Row => Array[Byte])
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val replaceIdx = df.schema.fieldNames.indexOf(outField)
+    val outSchema =
+      if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
+        .updated(replaceIdx, StructField(outField, BinaryType)))
+      else df.schema.add(outField, BinaryType)
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema))
+    df.mapPartitions { it =>
+      it.map { row =>
+        val payload = encode(Row.fromSeq(
+          srcIdxs.toSeq.map(i => if (i < 0) null else row.get(i))))
+        Row.fromSeq(
+          if (replaceIdx >= 0) row.toSeq.updated(replaceIdx, payload)
+          else row.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
+  /** Decode a binary column into a struct + `__bad` flag
+    * (avro/protobuf deserialize share this skeleton); `decode`
+    * returns null on failure and the shared dead-letter routing
+    * downstream turns `__bad` into `.failures`. */
+  def decodePayload(df: DataFrame, field: String, outField: String,
+      recType: org.apache.spark.sql.types.StructType,
+      decode: Array[Byte] => org.apache.spark.sql.Row): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, StructField, StructType}
+    val fieldIdx = df.schema.fieldNames.indexOf(field)
+    require(fieldIdx >= 0, s"deserialize: unknown field '$field'")
+    require(df.schema(field).dataType == BinaryType,
+      s"deserialize: field '$field' must be binary, got " +
+        df.schema(field).dataType.simpleString)
+    val replaceIdx = df.schema.fieldNames.indexOf(outField)
+    val outSchema =
+      (if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
+        .updated(replaceIdx, StructField(outField, recType)))
+      else df.schema.add(outField, recType))
+        .add("__bad", BooleanType)
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema))
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(fieldIdx)) null
+          else row.getAs[Array[Byte]](fieldIdx)
+        val rec = decode(bytes)
+        val bad = bytes != null && rec == null
+        Row.fromSeq(
+          (if (replaceIdx >= 0) row.toSeq.updated(replaceIdx, rec)
+          else row.toSeq :+ rec) :+ bad)
+      }
+    }(enc)
+  }
+
   /** §2.11 routed variant of `finish` (reference `module/MErrorHandler`
     * breadth): with `outputFailure: true`, rows whose select steps
     * error (lossy cast / typed expression / bytes_decode nulling out a
@@ -651,32 +715,8 @@ object DeserializeTransform {
             throw new IllegalArgumentException(
               "deserialize avro needs avroSchema or schema"))).toString)
         val decFn = new graft.ops.AvroCodec.RowDecoderFn(avroJson)
-        val recType = graft.ops.AvroCodec.toStructType(avroJson)
-        val fieldIdx = df.schema.fieldNames.indexOf(field)
-        require(fieldIdx >= 0, s"deserialize: unknown field '$field'")
-        require(df.schema(field).dataType == BinaryType,
-          s"deserialize avro: field '$field' must be binary, got " +
-            df.schema(field).dataType.simpleString)
-        val replaceIdx = df.schema.fieldNames.indexOf(outField)
-        val outSchema =
-          (if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
-            .updated(replaceIdx, StructField(outField, recType)))
-          else df.schema.add(outField, recType))
-            .add("__bad", BooleanType)
-        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
-          org.apache.spark.sql.catalyst.encoders.RowEncoder
-            .encoderFor(outSchema))
-        df = df.mapPartitions { it =>
-          it.map { row =>
-            val bytes = if (row.isNullAt(fieldIdx)) null
-              else row.getAs[Array[Byte]](fieldIdx)
-            val rec = decFn.decode(bytes)
-            val bad = bytes != null && rec == null
-            org.apache.spark.sql.Row.fromSeq(
-              (if (replaceIdx >= 0) row.toSeq.updated(replaceIdx, rec)
-              else row.toSeq :+ rec) :+ bad)
-          }
-        }(enc)
+        df = TransformCommon.decodePayload(df, field, outField,
+          graft.ops.AvroCodec.toStructType(avroJson), decFn.decode)
       case "protobuf" =>
         // native wire-format decode (ops/ProtoCodec — the reference
         // links protobuf-java, DeserializeTransform.java:117-121; no
@@ -689,32 +729,8 @@ object DeserializeTransform {
             schema)
         val decFn = new graft.ops.ProtoCodec.RowDecoderFn(
           descBytes, msgName)
-        val recType = decFn.structType
-        val fieldIdx = df.schema.fieldNames.indexOf(field)
-        require(fieldIdx >= 0, s"deserialize: unknown field '$field'")
-        require(df.schema(field).dataType == BinaryType,
-          s"deserialize protobuf: field '$field' must be binary, got " +
-            df.schema(field).dataType.simpleString)
-        val replaceIdx = df.schema.fieldNames.indexOf(outField)
-        val outSchema =
-          (if (replaceIdx >= 0) StructType(df.schema.fields.toSeq
-            .updated(replaceIdx, StructField(outField, recType)))
-          else df.schema.add(outField, recType))
-            .add("__bad", BooleanType)
-        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
-          org.apache.spark.sql.catalyst.encoders.RowEncoder
-            .encoderFor(outSchema))
-        df = df.mapPartitions { it =>
-          it.map { row =>
-            val bytes = if (row.isNullAt(fieldIdx)) null
-              else row.getAs[Array[Byte]](fieldIdx)
-            val rec = decFn.decode(bytes)
-            val bad = bytes != null && rec == null
-            org.apache.spark.sql.Row.fromSeq(
-              (if (replaceIdx >= 0) row.toSeq.updated(replaceIdx, rec)
-              else row.toSeq :+ rec) :+ bad)
-          }
-        }(enc)
+        df = TransformCommon.decodePayload(df, field, outField,
+          decFn.structType, decFn.decode)
       case other =>
         throw new IllegalArgumentException(s"deserialize format: $other")
     }

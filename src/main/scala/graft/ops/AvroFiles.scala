@@ -71,8 +71,14 @@ object AvroFiles {
     val sc = df.sparkSession.sparkContext
     val hconf = new Configuration(sc.hadoopConfiguration)
     hconf.set("avro.schema.output.key", json)
-    codec.foreach(c => hconf.set("avro.output.codec",
-      if (c == "none") "null" else c))
+    codec.filterNot(c => c == "none" || c == "null").foreach { c =>
+      // AvroKeyOutputFormat consults avro.output.codec only when the
+      // generic FileOutputFormat compress switch is on (default off)
+      // — without this the codec request is silently ignored and
+      // files come out uncompressed
+      hconf.setBoolean("mapreduce.output.fileoutputformat.compress", true)
+      hconf.set("avro.output.codec", c)
+    }
     val target = new Path(path)
     if (overwrite) {
       val fs = target.getFileSystem(sc.hadoopConfiguration)

@@ -45,7 +45,13 @@ object ProtoCodec {
     def repeated: Boolean = label == LabelRepeated
   }
   case class PbMessage(name: String, fields: Vector[PbField],
-      mapEntry: Boolean)
+      mapEntry: Boolean) {
+    // hot-path index, built once per descriptor (not per record);
+    // lazy val re-derives after java serialization
+    @transient lazy val byNumber: Map[Int, (PbField, Int)] =
+      fields.iterator.zipWithIndex
+        .map { case (f, i) => f.number -> ((f, i)) }.toMap
+  }
   case class PbEnum(name: String, byNumber: Map[Int, String])
   case class PbSchema(messages: Map[String, PbMessage],
       enums: Map[String, PbEnum]) {
@@ -249,8 +255,7 @@ object ProtoCodec {
 
   private def decodeMsg(schema: PbSchema, msg: PbMessage,
       r: Reader): Any = {
-    val byNumber = msg.fields.iterator.zipWithIndex
-      .map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val byNumber = msg.byNumber
     val values = new Array[Any](msg.fields.length)
     msg.fields.iterator.zipWithIndex.foreach { case (f, i) =>
       if (f.repeated) values(i) =

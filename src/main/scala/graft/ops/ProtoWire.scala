@@ -84,9 +84,13 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case WtVarint => readVarint()
-      case WtFixed64 => pos += 8
+      case WtFixed64 =>
+        require(pos + 8 <= end, "protobuf: truncated fixed64")
+        pos += 8
       case WtLen => readLen()
-      case WtFixed32 => pos += 4
+      case WtFixed32 =>
+        require(pos + 4 <= end, "protobuf: truncated fixed32")
+        pos += 4
       case WtStartGroup => // structural skip until matching end-group
         var depth = 1
         while (depth > 0 && hasMore) {
@@ -97,6 +101,10 @@ object ProtoWire {
             case other => skip(other)
           }
         }
+        // a message that ends mid-group is truncated, not valid —
+        // without this a cut-off record would decode as good instead
+        // of routing to .failures
+        require(depth == 0, "protobuf: truncated group")
       case WtEndGroup => ()
       case other =>
         throw new IllegalArgumentException(s"protobuf: wire type $other")

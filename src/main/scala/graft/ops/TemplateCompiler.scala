@@ -92,15 +92,6 @@ object TemplateCompiler {
     out.result().distinct
   }
 
-  // kept for callers that splice their own parts (text sink line mode)
-  def split(template: String): Seq[Either[String, String]] =
-    parse(template).map {
-      case Text(s) => Left(s)
-      case Interp(r, _) => Right(r)
-      case other => throw new IllegalArgumentException(
-        s"template: directives not supported in this context: $other")
-    }
-
   // ----- parser ----------------------------------------------------
 
   private val InterpRe =
@@ -363,9 +354,12 @@ object TemplateCompiler {
         chained.otherwise(
           elseBody.map(compileNodes(_, env)).getOrElse(lit("")))
       case ForList(ref, varName, body) =>
-        array_join(
+        // coalesce: a NULL array would null the whole concat through
+        // array_join — a null list renders empty like every other
+        // null in templates
+        coalesce(array_join(
           transform(valueCol(ref, env),
-            x => compileNodes(body, env + (varName -> x))), "")
+            x => compileNodes(body, env + (varName -> x))), ""), lit(""))
     }
     if (parts.isEmpty) lit("")
     else if (parts.size == 1) parts.head.cast(StringType)

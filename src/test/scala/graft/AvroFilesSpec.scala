@@ -72,6 +72,47 @@ class AvroFilesSpec extends AnyFunSuite {
     assert(back.count() === nation.count())
   }
 
+  test("avro sink compression actually applies (container header codec)") {
+    val dir = java.nio.file.Files.createTempDirectory("avrocodec").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    graft.ops.AvroFiles.write(nation, s"$dir/snappy", Some("snappy"),
+      overwrite = true)
+    graft.ops.AvroFiles.write(nation, s"$dir/plain", None,
+      overwrite = true)
+    def codecOf(d: String): String = {
+      val f = new java.io.File(d).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".avro")).head
+      val in = new java.io.FileInputStream(f)
+      try {
+        val r = new org.apache.avro.file.DataFileStream(in,
+          new org.apache.avro.generic.GenericDatumReader[Any]())
+        Option(r.getMetaString("avro.codec")).getOrElse("null")
+      } finally in.close()
+    }
+    assert(codecOf(s"$dir/snappy") === "snappy")
+    assert(codecOf(s"$dir/plain") === "null")
+  }
+
+  test("avro sink rejects partitionFields loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.execute(spark, s"""
+        |sources:
+        |  - name: n
+        |    module: storage
+        |    parameters: {path: "$sf/nation.parquet"}
+        |sinks:
+        |  - name: snk
+        |    module: storage
+        |    input: n
+        |    parameters:
+        |      output: "/tmp/avro_part_nope"
+        |      format: avro
+        |      partitionFields: [n_regionkey]
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("partitionFields"))
+  }
+
   test("storage avro streaming raises the actionable slot error") {
     val e = intercept[IllegalStateException] {
       Pipeline.build(spark, s"""

@@ -168,6 +168,75 @@ class ProtoCodecSpec extends AnyFunSuite {
     val fn = new RowDecoderFn(toDescriptorSetBytes(schema), "graft.T")
     assert(fn.decode(Array[Byte](0x08, -1)) === null) // truncated varint
     assert(fn.decode(null) === null)
+    // truncated fixed64 under an UNKNOWN field number must flag bad
+    // too (skip() used to walk past the end silently)
+    val w = new Writer
+    w.writeTag(99, ProtoWire.WtFixed64)
+    val bytes = w.toByteArray ++ Array[Byte](1, 2, 3) // 3 of 8 bytes
+    assert(fn.decode(bytes) === null)
+  }
+
+  test("descriptorFile encode aligns columns to message fields by " +
+      "NAME, not position") {
+    // message declares (id=1, name=2); serialize selects [name, id] —
+    // reversed. Positional pairing would write the name string under
+    // field 1 and the id under field 2.
+    val schema = PbSchema(Map("graft.R" -> PbMessage("graft.R", Vector(
+      PbField("id", 1, 1, TInt64, ""),
+      PbField("name", 2, 1, TString, "")), mapEntry = false)),
+      Map.empty)
+    val descPath = java.nio.file.Files
+      .createTempDirectory("protoalign").resolve("r.desc")
+    java.nio.file.Files.write(descPath, toDescriptorSetBytes(schema))
+    val out = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: src
+      |    module: create
+      |    parameters:
+      |      elements: [{id: 7, name: x}]
+      |      schema:
+      |        fields:
+      |          - {name: id, type: int64}
+      |          - {name: name, type: string}
+      |transforms:
+      |  - name: ser
+      |    module: serialize
+      |    inputs: [src]
+      |    parameters:
+      |      format: protobuf
+      |      descriptorFile: "$descPath"
+      |      messageName: graft.R
+      |      fields: [name, id]
+      |      outputField: payload
+      |""".stripMargin)("ser")
+    val payload = out.select("payload").head.getAs[Array[Byte]](0)
+    assert(ProtoCodec.decode(schema, "graft.R", payload) ===
+      Row(7L, "x"))
+    // a selected column missing from the message raises at build time
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: src
+        |    module: create
+        |    parameters:
+        |      elements: [{id: 7, oops: y}]
+        |      schema:
+        |        fields:
+        |          - {name: id, type: int64}
+        |          - {name: oops, type: string}
+        |transforms:
+        |  - name: ser
+        |    module: serialize
+        |    inputs: [src]
+        |    parameters:
+        |      format: protobuf
+        |      descriptorFile: "$descPath"
+        |      messageName: graft.R
+        |      fields: [id, oops]
+        |      outputField: payload
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("'oops' is not in message"))
   }
 
   test("serialize -> deserialize protobuf pipeline roundtrip " +

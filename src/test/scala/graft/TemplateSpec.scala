@@ -45,6 +45,13 @@ class TemplateSpec extends AnyFunSuite {
       Seq("[A][B]", ""))
   }
 
+  test("null array in <#list> renders empty, not a null template") {
+    val d = Seq((1L, Seq("a")), (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "tags")
+    assert(render("id=${id}<#list tags as t>[${t}]</#list>", d) ===
+      Seq("id=1[a]", "id=2"))
+  }
+
   test("nested if inside list; loop var shadows columns") {
     val t = "<#list tags as x><#if x == \"a\">first<#else>:${x}</#if></#list>"
     assert(render(t, df) === Seq("first:b", ""))
