@@ -1706,6 +1706,41 @@ sources:
 """)("out")
     }),
 
+    // reshape select func end-to-end: first 6 words -> 2x3 matrix,
+    // element access + flatten replayed with 1-indexed DuckDB lists
+    "q61_reshape" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: prep
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, slice(split(text, ' '), 1, 6) AS w FROM docs WHERE size(split(text, ' ')) >= 6"
+  - name: resh
+    module: select
+    inputs: [prep]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: m, func: reshape, field: w, shape: [2, 3]}
+  - name: flat
+    module: select
+    inputs: [resh]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: m}
+        - {name: back, func: reshape, field: m, shape: [-1]}
+  - name: out
+    module: sql
+    inputs: [flat]
+    parameters:
+      sql: "SELECT doc_id, element_at(element_at(m, 1), 2) AS r1c2, element_at(element_at(m, 2), 3) AS r2c3, size(m) AS n_rows, array_join(back, ' ') AS rejoined FROM flat"
+"""),
+
     // FreeMarker-subset template directives (<#if>/<#elseif>/<#else>
     // + builtins) compiled to when-chains — replays as CASE in SQL
     "q60_template_cond" -> pipe("out", """
@@ -2701,6 +2736,18 @@ transforms:
     // twin for the FILE path)
     "q57_avro_files" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+
+    // reshape [2,3] then flatten: element (r,c) of the matrix is the
+    // 1-indexed word (r-1)*3+c; flatten rejoins the slice
+    "q61_reshape" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ')[1:6] AS ws
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 6)
+         SELECT doc_id, ws[2] AS r1c2, ws[6] AS r2c3,
+           CAST(2 AS INT) AS n_rows,
+           array_to_string(ws, ' ') AS rejoined
+         FROM w""",
 
     // template if/elseif/else == CASE; ?lower_case == lower()
     "q60_template_cond" ->
