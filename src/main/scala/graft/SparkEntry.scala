@@ -1706,6 +1706,30 @@ sources:
 """)("out")
     }),
 
+    // stateful module (batch leg): keyed lag buffers == window LAG;
+    // event_id is unique so the ordering is deterministic
+    "q62_stateful" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: st
+    module: stateful
+    inputs: [ev]
+    parameters:
+      groupFields: [event_type]
+      orderField: event_id
+      fields:
+        - {name: prev_value, field: value, offset: 1}
+        - {name: prev3_id, field: event_id, offset: 3}
+  - name: out
+    module: sql
+    inputs: [st]
+    parameters:
+      sql: "SELECT event_id, event_type, prev_value, prev3_id FROM st"
+"""),
+
     // reshape select func end-to-end: first 6 words -> 2x3 matrix,
     // element access + flatten replayed with 1-indexed DuckDB lists
     "q61_reshape" -> pipe("out", """
@@ -2736,6 +2760,15 @@ transforms:
     // twin for the FILE path)
     "q57_avro_files" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+
+    // keyed lag == LAG window over the same deterministic order
+    "q62_stateful" ->
+      """SELECT event_id, event_type,
+           lag(value, 1) OVER (PARTITION BY event_type
+             ORDER BY event_id) AS prev_value,
+           lag(event_id, 3) OVER (PARTITION BY event_type
+             ORDER BY event_id) AS prev3_id
+         FROM events""",
 
     // reshape [2,3] then flatten: element (r,c) of the matrix is the
     // 1-indexed word (r-1)*3+c; flatten rejoins the slice
