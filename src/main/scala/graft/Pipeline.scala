@@ -68,6 +68,7 @@ object Pipeline {
     "deserialize" -> DeserializeTransform.build,
     "serialize" -> SerializeTransform.build,
     "reshuffle" -> ReshuffleTransform.build,
+    "example" -> ExampleTransform.build,
     "window" -> WindowTransform.build,
     "stateful" -> graft.streaming.StatefulTransform.build,
     "crypto" -> CryptoTransform.build,

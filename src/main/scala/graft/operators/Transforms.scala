@@ -758,6 +758,26 @@ object DeserializeTransform {
 /** `reshuffle` (reference `transform/ReshuffleTransform` — a fusion
   * break). Spark stages already break at shuffles; kept as an explicit
   * `repartition` for output-shard control. */
+/** `example` dev transform (reference `ExampleTransform.java`):
+  * union the inputs, print every element to executor stdout, pass
+  * rows through unchanged. Debug-only by nature — the per-row
+  * println deliberately lives outside codegen, exactly like the
+  * reference's PrintDoFn. */
+object ExampleTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    require(inputs.nonEmpty, s"module ${cfg.name} requires an input")
+    val df = cfg.inputs.map(inputs(_)).reduceLeft(_.unionByName(_))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(df.schema))
+    val out = df.mapPartitions { it =>
+      it.map { row => println(s"debug: $row"); row }
+    }(enc)
+    Map(cfg.name -> out)
+  }
+}
+
 object ReshuffleTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {

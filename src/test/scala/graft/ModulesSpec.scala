@@ -8,6 +8,28 @@ class ModulesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("example transform: unions inputs and passes rows through") {
+    val out = Pipeline.build(spark, """
+      |sources:
+      |  - name: a
+      |    module: create
+      |    parameters:
+      |      elements: [{id: 1}, {id: 2}]
+      |      schema: {fields: [{name: id, type: int64}]}
+      |  - name: b
+      |    module: create
+      |    parameters:
+      |      elements: [{id: 3}]
+      |      schema: {fields: [{name: id, type: int64}]}
+      |transforms:
+      |  - name: ex
+      |    module: example
+      |    inputs: [a, b]
+      |""".stripMargin)("ex")
+    assert(out.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+  }
+
   test("kafka/iceberg registry slots: config validates, jar error is actionable") {
     // kafka: config errors fire before any jar lookup
     val noServers = intercept[IllegalArgumentException] {
