@@ -25,8 +25,13 @@ object CryptoTransform {
     val mode = p.str("mode").getOrElse("encrypt")
     val key = p.str("key").getOrElse(
       throw new IllegalArgumentException("crypto requires key"))
-    require(Set(16, 24, 32).contains(key.length),
-      s"AES key must be 16/24/32 bytes, got ${key.length}")
+    // aes_encrypt consumes the key's UTF-8 BYTES — validating
+    // key.length (UTF-16 chars) would pass a multibyte key here and
+    // fail every row at execution
+    val keyBytes =
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    require(Set(16, 24, 32).contains(keyBytes),
+      s"AES key must be 16/24/32 UTF-8 bytes, got $keyBytes")
     val suffix = p.str("suffix").getOrElse("")
     val algo = p.str("algorithm").getOrElse("GCM")
     p.strArr("fields").foreach { f =>

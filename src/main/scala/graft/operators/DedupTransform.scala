@@ -232,6 +232,11 @@ object DedupTransform {
       .withColumn("__rep_id", min("__id").over(
         Window.partitionBy("__band_idx", "__band_hash")))
       .filter(col("__id") > col("__rep_id"))
+      // persisted for the two downstream consumers; lifetime is the
+      // application's (consumers run at sink-action time, after
+      // build returns, so an unpersist here would defeat the cache).
+      // Blocks are ids-only/bounded and MEMORY_AND_DISK-evictable;
+      // batch harnesses (Verify/Bench) clearCache between pipelines.
       .select("__id", "__rep_id").distinct().persist()
     // verification grams are computed only for candidate-pair members
     // (semi-join on the candidate id set — which also dedups it), NOT

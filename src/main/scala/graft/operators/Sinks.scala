@@ -95,6 +95,7 @@ object StorageSink {
       val conf = new org.apache.hadoop.conf.Configuration()
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(conf)
+      val append = p.str("mode").contains("append")
       fs.listStatus(basePath).filter(_.getPath.getName.startsWith("__dest="))
         .foreach { st =>
           val escaped = st.getPath.getName.stripPrefix("__dest=")
@@ -103,9 +104,20 @@ object StorageSink {
           val key = java.net.URLDecoder.decode(
             escaped.replace("+", "%2B"), "UTF-8")
           val target = new org.apache.hadoop.fs.Path(basePath, key)
-          if (fs.exists(target)) fs.delete(target, true)
-          Option(target.getParent).foreach(fs.mkdirs)
-          fs.rename(st.getPath, target)
+          if (append && fs.exists(target)) {
+            // append mode must not replace prior runs' data: move the
+            // new part files (UUID-unique names) into the existing
+            // destination instead of deleting it
+            fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
+              fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(target, f.getPath.getName))
+            }
+            fs.delete(st.getPath, true)
+          } else {
+            if (fs.exists(target)) fs.delete(target, true)
+            Option(target.getParent).foreach(fs.mkdirs)
+            fs.rename(st.getPath, target)
+          }
         }
     } else {
       var writer = configure(df.write.format(format).mode(

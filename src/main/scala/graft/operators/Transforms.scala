@@ -207,9 +207,16 @@ object AggregationTransform {
     // same window() semantics in batch and streaming
     val strategyNode = cfg.node("strategy").orElse(cfg.param("strategy"))
 
+    var anyWindow = false
     val perInput: Seq[DataFrame] = defs.map { d =>
       val inName = d.str("input").getOrElse(cfg.inputs.head)
-      var df = inputs.getOrElse(inName, inputs(cfg.inputs.head))
+      // a typo'd input must fail loudly — falling back to the first
+      // input would aggregate the wrong data with plausible numbers
+      val df0 = inputs.getOrElse(inName,
+        throw new IllegalArgumentException(
+          s"aggregation ${cfg.name}: unknown input '$inName' " +
+            s"(available: ${inputs.keys.toSeq.sorted.mkString(", ")})"))
+      var df = df0
       val windowCol = strategyNode.flatMap { st =>
         // watermark first: it casts the ts field to TimestampType in
         // place, so the window then references the bare watermarked
@@ -220,6 +227,7 @@ object AggregationTransform {
           .flatMap(ts => graft.streaming.Strategy.windowColumn(st, ts,
             df.isStreaming))
       }
+      if (windowCol.isDefined) anyWindow = true
       val groupCols =
         windowCol.map(_.as("window")).toSeq ++ groupFields.map(col)
       val aggCols = d.arrOf("fields")
@@ -229,9 +237,14 @@ object AggregationTransform {
         df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
     }
-    // multi-input: merge per-input aggregates on the group key
+    // multi-input: merge per-input aggregates on the FULL group key —
+    // including the window column when a strategy produced one, or
+    // rows from unrelated windows would cross-pair and the result
+    // would carry two ambiguous 'window' columns
+    val mergeKeys =
+      (if (anyWindow) Seq("window") else Nil) ++ groupFields
     val merged = perInput.reduceLeft { (a, b) =>
-      if (groupFields.nonEmpty) a.join(b, groupFields, "full_outer")
+      if (mergeKeys.nonEmpty) a.join(b, mergeKeys, "full_outer")
       else a.crossJoin(b)
     }
     val routed = TransformCommon.finishRouted(merged, cfg)
@@ -260,6 +273,9 @@ object PartitionTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val df = TransformCommon.single(cfg, inputs)
     val parts = cfg.params.arrOf("partitions")
+    require(parts.nonEmpty,
+      s"partition module ${cfg.name} requires partitions: [...] " +
+        s"(got: ${cfg.params.names.mkString(", ")})")
     val exclusive = cfg.params.bool("exclusive").getOrElse(true)
     val conds = parts.map(p =>
       p("filter").map(FilterCompiler.compile(_, df.schema))
@@ -491,6 +507,13 @@ object LimitTransform {
     val out =
       if (df.isStreaming && keys.nonEmpty)
         streamingLimit(df, keys, orderFields, n, asc)
+      else if (df.isStreaming && orderFields.nonEmpty)
+        // global ordered top-k on a stream: Spark rejects orderBy on
+        // unbounded frames, so funnel through the keyed stateful
+        // top-k under one synthetic key (global state is inherently
+        // single-keyed; n is contract-small)
+        streamingLimit(df.withColumn("__gl", lit(1)),
+          Seq("__gl"), orderFields, n, asc).drop("__gl")
       else if (keys.isEmpty && orderFields.nonEmpty)
         // global top-k: TakeOrderedAndProject — no full sort
         df.orderBy(orderFields.map(f =>

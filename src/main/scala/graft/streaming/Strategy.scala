@@ -24,9 +24,14 @@ object Strategy {
   private val DurationLit = """(\d+)\s*(s|sec|second|seconds|m|min|minute|minutes|h|hour|hours|d|day|days)""".r
 
   private def seconds(node: JsonNode, field: String): Option[Long] = {
-    val unit = node.str("unit").getOrElse("second")
-    // lazy: calendar strategies reuse `unit` for day/week/month/year,
-    // which only matters when a seconds-valued field is actually read
+    // calendar strategies use `unit` for the BUCKET (day/week/month/
+    // year), not as a duration multiplier — a numeric duration field
+    // on a calendar node (offset, allowedLateness) is plain seconds;
+    // otherwise {unit: day, allowedLateness: 600} silently meant 600
+    // DAYS and {unit: week, ...} threw on a valid config
+    val unit =
+      if (node.str("type").contains("calendar")) "second"
+      else node.str("unit").getOrElse("second")
     lazy val mult = unit match {
       case "second" => 1L
       case "minute" => 60L
@@ -110,8 +115,11 @@ object Strategy {
         val off = seconds(w, "offset").getOrElse(0L)
         Some(window(ts, dur(size), dur(size), dur(off)))
       case "sliding" =>
-        val size = seconds(w, "size").get
-        val period = seconds(w, "period").get
+        val size = seconds(w, "size").getOrElse(
+          throw new IllegalArgumentException("sliding window requires size"))
+        val period = seconds(w, "period").getOrElse(
+          throw new IllegalArgumentException(
+            "sliding window requires period"))
         Some(window(ts, dur(size), dur(period),
           dur(seconds(w, "offset").getOrElse(0L))))
       case "session" =>

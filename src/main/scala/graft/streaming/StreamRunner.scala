@@ -280,11 +280,10 @@ object StreamRunner {
     // AvailableNow; default = micro-batch ASAP
     trig match {
       case Some(t) if t.str("type").contains("afterProcessingTime") =>
-        // reference field name is pastFirstElementDelay
-        // (Strategy.java:247); `delay` kept as an alias
-        w = w.trigger(Trigger.ProcessingTime(
-          t.int("pastFirstElementDelay").orElse(t.int("delay"))
-            .getOrElse(1) * 1000L))
+        // delayMillis honors pastFirstElementDelayUnit — a hardcoded
+        // *1000 here once made {delay: 500, unit: millisecond} fire
+        // every 500 SECONDS
+        w = w.trigger(Trigger.ProcessingTime(delayMillis(t)))
       case Some(t) if t.str("type").contains("availableNow") =>
         w = w.trigger(Trigger.AvailableNow())
       case _ =>
