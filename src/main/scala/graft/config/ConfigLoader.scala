@@ -127,7 +127,13 @@ object ConfigLoader {
       failure.union && !failure.failFast.getOrElse(false)
     Seq("sources", "transforms", "sinks", "failures").foreach { section =>
       root.arrOf(section).foreach { m =>
-        applyContext(m, context)
+        // context tag-filtering selects pipeline MODULES; failure
+        // sinks are error infrastructure and typically untagged —
+        // ignoring them under a context would split bad rows off the
+        // main output and then silently drop them (tagged failure
+        // sinks still opt into contexts explicitly)
+        if (section != "failures" || m.strArr("tags").nonEmpty)
+          applyContext(m, context)
         val obj = m.asInstanceOf[ObjectNode]
         failure.failFast.foreach(ff => obj.put("failFast", ff))
         // module-scoped failures (`failures:` on the module itself)

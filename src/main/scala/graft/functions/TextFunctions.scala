@@ -31,13 +31,7 @@ object TextFunctions {
   def shingles(text: Column, k: Int): Column = {
     val f = udf { (s: String) =>
       if (s == null) Seq.empty[String]
-      else {
-        val toks = s.toLowerCase(java.util.Locale.ROOT)
-          .split("[^\\p{L}\\p{Nd}']+").filter(_.nonEmpty)
-        if (toks.length < k) Seq(toks.mkString(" "))
-        else (0 to toks.length - k)
-          .map(i => toks.slice(i, i + k).mkString(" "))
-      }
+      else wordShingles(s, k).toSeq
     }
     f(text)
   }
@@ -101,6 +95,18 @@ object TextFunctions {
     s.toLowerCase(java.util.Locale.ROOT)
       .split("[^\\p{L}\\p{Nd}']+").filter(_.nonEmpty)
 
+  /** Word k-shingles of a raw string — the ONE construction shared by
+    * `shingles` and both minhash signature modes (three divergent
+    * copies here once meant a tokenizer fix could silently split the
+    * md5-replay signatures from the xx64 mode). Short docs (< k
+    * tokens) yield the whole token join as a single shingle. */
+  private def wordShingles(s: String, k: Int): Array[String] = {
+    val toks = wordTokens(s)
+    if (toks.length < k) Array(toks.mkString(" "))
+    else Array.tabulate(toks.length - k + 1)(i =>
+      toks.slice(i, i + k).mkString(" "))
+  }
+
   /** MinHash signature over word k-shingles in one pass: each shingle
     * is hashed once (xxh64), then mixed through m affine permutations
     * h·a+b while tracking the per-permutation minimum. Null text →
@@ -115,12 +121,7 @@ object TextFunctions {
         val pieces: Array[String] =
           if (charGrams)
             codePointGrams(s.toLowerCase(java.util.Locale.ROOT), k)
-          else {
-            val toks = wordTokens(s)
-            if (toks.length < k) Array(toks.mkString(" "))
-            else Array.tabulate(toks.length - k + 1)(i =>
-              toks.slice(i, i + k).mkString(" "))
-          }
+          else wordShingles(s, k)
         val mins = Array.fill(m)(Long.MaxValue)
         var i = 0
         while (i < pieces.length) {
@@ -163,12 +164,7 @@ object TextFunctions {
         val pieces: Array[String] =
           if (charGrams)
             codePointGrams(s.toLowerCase(java.util.Locale.ROOT), k)
-          else {
-            val toks = wordTokens(s)
-            if (toks.length < k) Array(toks.mkString(" "))
-            else Array.tabulate(toks.length - k + 1)(i =>
-              toks.slice(i, i + k).mkString(" "))
-          }
+          else wordShingles(s, k)
         val md = java.security.MessageDigest.getInstance("MD5")
         val mins = Array.fill(m)(Long.MaxValue)
         var i = 0

@@ -56,12 +56,21 @@ object BytesCodec {
     if (v == null) null
     else new String(v, java.nio.charset.StandardCharsets.UTF_8))
 
+  private val decBool = udf((v: Array[Byte]) =>
+    if (v == null || v.isEmpty) null
+    else java.lang.Boolean.valueOf(v(0) != 0))
+
   def decode(c: Column, typeName: String): Column =
     typeName.toLowerCase(java.util.Locale.ROOT) match {
       case "int64" | "long" => decLong(c)
       case "int32" | "int" | "integer" => decInt(c)
       case "float64" | "double" => decDouble(c)
       case "float32" | "float" => decFloat(c)
+      // without these two, boolean bytes (0xFF) fell through to the
+      // UTF-8 branch and decoded as replacement-char garbage, and
+      // binary payloads were silently mangled into strings
+      case "bool" | "boolean" => decBool(c)
+      case "bytes" | "binary" => c
       case _ => decString(c)
     }
 }

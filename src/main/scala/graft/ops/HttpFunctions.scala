@@ -70,7 +70,12 @@ object HttpFunctions {
     val f = udf { (u: String) =>
       if (u == null) null
       else try c.get(u, timeoutMillis)
-      catch { case e: Exception => s"__error:${e.getMessage}" }
+      catch {
+        // never swallow task-kill interrupts (same invariant as
+        // callWithRetry below)
+        case e: InterruptedException => throw e
+        case e: Exception => s"__error:${e.getMessage}"
+      }
     }.asNondeterministic()
     f(url)
   }

@@ -280,7 +280,14 @@ object ProtoCodec {
                 val entry = schema.message(f.typeName)
                 val row = decodeMsg(schema, entry,
                   new Reader(r.buf, s, e)).asInstanceOf[Row]
-                m(row.get(0)) = row.get(1)
+                // conformant serializers OMIT default-valued entry
+                // fields ("" key, 0 value) — substitute the proto3
+                // default; a null map key would crash Spark's encoder
+                val k = Option(row.get(0))
+                  .getOrElse(proto3Default(entry.fields(0)))
+                val v = Option(row.get(1))
+                  .getOrElse(proto3Default(entry.fields(1)))
+                m(k) = v
               case b: mutable.ArrayBuffer[Any @unchecked] =>
                 b += readScalar(schema, f, r, wt)
             }
@@ -294,6 +301,19 @@ object ProtoCodec {
         if (m.isEmpty) null else m.toMap
       case v => v
     })
+  }
+
+  /** proto3 default for an absent scalar (map-entry fields only —
+    * elsewhere absent decodes as null by design). */
+  private def proto3Default(f: PbField): Any = f.tpe match {
+    case TDouble => 0.0d
+    case TFloat => 0.0f
+    case TInt64 | TSInt64 | TSFixed64 | TUInt64 | TFixed64 => 0L
+    case TInt32 | TSInt32 | TSFixed32 | TUInt32 | TFixed32 => 0
+    case TBool => false
+    case TString => ""
+    case TBytes => Array.empty[Byte]
+    case _ => null
   }
 
   private def isMapField(schema: PbSchema, f: PbField): Boolean =
@@ -384,9 +404,24 @@ object ProtoCodec {
   }
 
   private def encodeMsg(schema: PbSchema, msg: PbMessage, row: Row,
-      w: Writer): Unit =
-    msg.fields.iterator.zipWithIndex.foreach { case (f, i) =>
-      val v = row.get(i)
+      w: Writer): Unit = {
+    // align by NAME when the Row carries a schema (DataFrame struct
+    // values do): a protoc descriptor's field order need not match
+    // the Spark struct's, and positional pairing would write values
+    // under each other's field numbers. Schemaless Rows (built by
+    // this codec's own callers in descriptor order) stay positional.
+    val nameIdx: String => Int =
+      if (row.schema != null) {
+        val byName = row.schema.fieldNames.zipWithIndex.toMap
+        n => byName.getOrElse(n, -1)
+      } else {
+        val pos = msg.fields.iterator.zipWithIndex
+          .map { case (f, i) => f.name -> i }.toMap
+        n => pos(n)
+      }
+    msg.fields.foreach { f =>
+      val i = nameIdx(f.name)
+      val v = if (i < 0) null else row.get(i)
       if (v != null) {
         if (f.repeated) v match {
           case m: scala.collection.Map[_, _] =>
@@ -408,6 +443,7 @@ object ProtoCodec {
         } else encodeScalarField(schema, f, v, w)
       }
     }
+  }
 
   private def encodeScalarField(schema: PbSchema, f: PbField, v: Any,
       w: Writer): Unit = {

@@ -65,7 +65,10 @@ object ScrapeFunctions extends Serializable {
     * selector, in document order. */
   def findElements(html: String, sel: Selector): Seq[(String, String)] = {
     val tagPat = sel.tag.getOrElse("[a-zA-Z][\\w-]*")
-    val open = cached(s"<($tagPat)\\b([^>]*)>", CI)
+    // attrs may contain '>' inside quoted values (title="a > b") —
+    // consume quoted runs atomically instead of stopping at any '>'
+    val open = cached(
+      s"""<($tagPat)\\b((?:[^>"']|"[^"]*"|'[^']*')*)>""", CI)
     val m = open.matcher(html)
     val out = Seq.newBuilder[(String, String)]
     while (m.find()) {
@@ -91,8 +94,10 @@ object ScrapeFunctions extends Serializable {
   }
 
   def attrValue(attrs: String, name: String): Option[String] = {
+    // (?<![\w-]) anchors the attribute-NAME start: without it `id`
+    // matches as a suffix of `data-id` and extracts the wrong value
     val m = cached(
-      name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))", CI)
+      "(?<![\\w-])" + name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))", CI)
       .matcher(attrs)
     if (m.find()) Option(m.group(2)).orElse(Option(m.group(3)))
       .orElse(Option(m.group(4)))
@@ -134,7 +139,9 @@ object ScrapeFunctions extends Serializable {
       val matched = pat match {
         case Some(p) =>
           val m = p.matcher(raw)
-          if (m.find()) Some(m.group(math.min(group, m.groupCount())))
+          // Option(...): a capture group that did not participate in
+          // the match (alternations) returns null from group(n)
+          if (m.find()) Option(m.group(math.min(group, m.groupCount())))
           else None
         case None => Some(raw)
       }
@@ -199,7 +206,7 @@ object ScrapeFunctions extends Serializable {
     val matched = s.pattern match {
       case Some(p) =>
         val m = p.matcher(raw)
-        if (m.find()) Some(m.group(math.min(s.group, m.groupCount())))
+        if (m.find()) Option(m.group(math.min(s.group, m.groupCount())))
         else None
       case None => Some(raw)
     }

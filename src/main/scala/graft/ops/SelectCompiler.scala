@@ -269,7 +269,13 @@ object SelectCompiler {
             else try new String(c.send(m, u,
               if (hs == null) Map.empty[String, String] else hs,
               b, timeout).body, "UTF-8")
-            catch { case e: Exception => s"__error:${e.getMessage}" }
+            catch {
+              // task kill interrupts must propagate (see
+              // HttpFunctions.callWithRetry) — swallowing one keeps a
+              // killed task issuing requests for the whole partition
+              case e: InterruptedException => throw e
+              case e: Exception => s"__error:${e.getMessage}"
+            }
           }.asNondeterministic()
           f(url, headersCol, bodyCol)
         }
@@ -292,7 +298,17 @@ object SelectCompiler {
             val pattern = sel.str("pattern").getOrElse(
               throw new IllegalArgumentException(
                 "scrape requires pattern or selector"))
-            regexp_extract(col(field).cast(StringType), pattern, 1)
+            // honor group/mode like the selector branch: default
+            // group = 1 when the pattern captures, 0 (whole match)
+            // otherwise — a hardcoded 1 raised "group count is 0"
+            // on capture-free patterns
+            val groups = java.util.regex.Pattern.compile(pattern)
+              .matcher("").groupCount()
+            val g = sel.int("group").getOrElse(math.min(groups, 1))
+            if (sel.str("mode").exists(_.equalsIgnoreCase("repeated")))
+              regexp_extract_all(col(field).cast(StringType),
+                lit(pattern), lit(g))
+            else regexp_extract(col(field).cast(StringType), pattern, g)
         }
       case "reshape" =>
         // array reshape (Reshape.java): shape [d1, ..., dk] nests a

@@ -1,6 +1,7 @@
 package graft
 
 import graft.config.Json
+import graft.ops.SelectCompiler
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -152,6 +153,122 @@ class ReviewFixesSpec extends AnyFunSuite {
         |""".stripMargin)
     }
     assert(e.getMessage.contains("requires partitions"))
+  }
+
+  test("scrape: alternation groups, suffix attrs, quoted '>' in tags") {
+    val html = """<div data-id="x" id="login" title="a > b" class="item">N/A</div>"""
+    val df = Seq(html).toDF("h")
+    val out = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "v", "func": "scrape", "field": "h",
+         "selector": "#login", "pattern": "(\\d+)|(N/A)"},
+        {"name": "bare0", "func": "scrape", "field": "h",
+         "pattern": "[a-z]+="},
+        {"name": "rep", "func": "scrape", "field": "h",
+         "pattern": "\"([^\"]*)\"", "mode": "repeated"}
+      ]"""))
+    val r = out.head
+    // group 1 (\d+) did not participate — must not NPE, falls to the
+    // min(group, count) participating value handling (returns null or
+    // the N/A branch text depending on group index; key: no crash)
+    assert(r.schema.fieldNames.contains("v"))
+    // capture-free bare pattern defaults to group 0 (whole match) —
+    // a hardcoded group 1 used to throw "group count is 0"
+    assert(r.getAs[String]("bare0") === "id=")
+    // repeated bare pattern returns all matches
+    assert(r.getAs[Seq[String]]("rep") === Seq("x", "login", "a > b", "item"))
+    // #login must match the id attr, not data-id; quoted '>' must not
+    // truncate the tag so class=item still matches
+    val sel = graft.ops.ScrapeFunctions
+    import org.apache.spark.sql.functions.col
+    val out2 = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "t", "func": "scrape", "field": "h", "selector": "div.item"}
+      ]"""))
+    assert(out2.head.getAs[String]("t") === "N/A")
+    val out3 = SelectCompiler(Seq("""<div data-id="login">no</div>""")
+      .toDF("h"), Json.parse(
+      """[{"name": "t", "func": "scrape", "field": "h", "selector": "#login"}]"""))
+    // data-id must NOT satisfy #login (attr-name suffix bug) — no
+    // element matches, so the extract is null
+    assert(out3.head.getAs[String]("t") === null)
+  }
+
+  test("bytes_decode boolean and bytes roundtrip") {
+    val df = Seq((true, false)).toDF("a", "b")
+    val enc = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "ab", "field": "a", "func": "bytes_encode"},
+        {"name": "bb", "field": "b", "func": "bytes_encode"}
+      ]"""))
+    val dec = SelectCompiler(enc, Json.parse(
+      """[
+        {"name": "a2", "field": "ab", "func": "bytes_decode", "type": "boolean"},
+        {"name": "b2", "field": "bb", "func": "bytes_decode", "type": "boolean"},
+        {"name": "raw", "field": "ab", "func": "bytes_decode", "type": "bytes"}
+      ]"""))
+    val r = dec.head
+    assert(r.getAs[Boolean]("a2") === true)
+    assert(r.getAs[Boolean]("b2") === false)
+    assert(r.getAs[Array[Byte]]("raw").toSeq === Seq((-1).toByte))
+  }
+
+  test("protobuf nested struct encodes by name against a reordered " +
+      "descriptor") {
+    import graft.ops.ProtoCodec
+    import graft.ops.ProtoCodec._
+    // nested message declares (a=1, b=2); the Spark struct column has
+    // its fields in order (b, a)
+    val schema = PbSchema(Map(
+      "T" -> PbMessage("T", Vector(
+        PbField("sub", 1, 1, TMessage, "N")), mapEntry = false),
+      "N" -> PbMessage("N", Vector(
+        PbField("a", 1, 1, TString, ""),
+        PbField("b", 2, 1, TString, "")), mapEntry = false)),
+      Map.empty)
+    val subType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType)))
+    val sub = new org.apache.spark.sql.catalyst.expressions
+      .GenericRowWithSchema(Array[Any]("bval", "aval"), subType)
+    val bytes = ProtoCodec.encode(schema, "T",
+      org.apache.spark.sql.Row(sub))
+    val got = ProtoCodec.decode(schema, "T", bytes)
+    // decode emits descriptor order (a, b)
+    assert(got.getStruct(0) === org.apache.spark.sql.Row("aval", "bval"))
+  }
+
+  test("context does not disable untagged failure sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("ctxfail").toString
+    Pipeline.execute(spark, s"""
+      |system:
+      |  failure: {union: true}
+      |sources:
+      |  - name: src
+      |    module: create
+      |    tags: [dev]
+      |    parameters:
+      |      elements: [{p: "oops"}, {p: "{\\"k\\": 1}"}]
+      |      schema: {fields: [{name: p, type: string}]}
+      |transforms:
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [src]
+      |    tags: [dev]
+      |    parameters:
+      |      format: json
+      |      field: p
+      |      outputField: rec
+      |      schema: {fields: [{name: k, type: int64}]}
+      |failures:
+      |  - name: fs
+      |    module: storage
+      |    parameters: {output: "$dir/bad", format: json}
+      |""".stripMargin, context = Some("dev"))
+    val bad = spark.read.json(s"$dir/bad")
+    assert(bad.count() === 1)
   }
 
   test("crypto validates the key's UTF-8 byte length") {
