@@ -53,10 +53,20 @@ object Bench {
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+        // a failed query must not masquerade as a fast one: record it
+        // loudly on stderr and in the JSON errors key (benchOnly
+        // queries have no oracle twin to catch breakage otherwise)
+        try consume(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            errors += name
+            System.err.println(
+              s"bench: $name FAILED: ${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(200)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries that persist() intermediates (dedup candidate sets,
         // decontamination gram sets) would otherwise accumulate cached
@@ -74,7 +84,8 @@ object Bench {
     // rounds 3-5 with unparseable bench files)
     spark.stop()
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -24,10 +24,13 @@ object LoggingTaps {
   val observed = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Any]]()
 
+  // weak keys: a strong set would pin every stopped SparkSession (and
+  // its whole object graph) for the JVM lifetime in session-per-run
+  // harnesses
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession,
-        java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def register(spark: SparkSession): Unit =
     if (registered.add(spark))

@@ -153,6 +153,15 @@ object Pipeline {
       executeSinks: Boolean)
       : (Map[String, DataFrame], Seq[() => Unit]) = {
     val deferred = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    // sink actions by module name, once-guarded: a module that WAITS
+    // on a sink needs that sink's write to have actually happened
+    // before it builds (read-after-write), even though un-awaited
+    // sink actions stay deferred to the post-build phase
+    val sinkActions = scala.collection.mutable.Map[String, () => Unit]()
+    def once(f: () => Unit): () => Unit = {
+      val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+      () => if (ran.compareAndSet(false, true)) f()
+    }
     val resolved = ConfigLoader.resolve(configText, args, context)
     val root = resolved.root
 
@@ -216,6 +225,12 @@ object Pipeline {
             done.contains(w.split('.').head))
       }
       ready.foreach { case (cfg, builder, section) =>
+        // waits on a SINK mean "after its write" — run that sink's
+        // action now (once-guarded) so eager readers (storage schema
+        // inference) see the files
+        if (executeSinks)
+          cfg.waits.foreach(w =>
+            sinkActions.get(w.split('.').head).foreach(_.apply()))
         val ins = cfg.inputs.map(i => i -> collections(i)).toMap
         var outs = builder(spark, cfg, ins)
         // `loggings` taps (module/Logging.java): observation metrics
@@ -225,8 +240,14 @@ object Pipeline {
         if (loggings.nonEmpty) {
           LoggingTaps.register(spark)
           loggings.foreach { lg =>
-            val target = lg.str("name").filter(outs.contains)
-              .getOrElse(cfg.name)
+            // a named target must exist: silently tapping the main
+            // output instead would log plausible counts for a metric
+            // that was never attached
+            lg.str("name").filterNot(outs.contains).foreach(n =>
+              throw new IllegalArgumentException(
+                s"logging on ${cfg.name}: no output '$n' " +
+                  s"(has: ${outs.keys.toSeq.sorted.mkString(", ")})"))
+            val target = lg.str("name").getOrElse(cfg.name)
             val level = lg.str("level").getOrElse("info")
             outs.get(target).filterNot(_.isStreaming).foreach { d =>
               outs = outs.updated(target,
@@ -238,8 +259,13 @@ object Pipeline {
         done += cfg.name
         if (section == "sinks" && executeSinks) {
           val strat = upstreamStrategy(cfg.name, Set.empty)
-          val in = ins.values.headOption
-          deferred += (() => SinkExecutor.execute(spark, cfg, in, strat))
+          // the DECLARED first input, not ins.values.headOption: Map
+          // iteration order is hash-based beyond 4 entries, so a sink
+          // with several sideInputs could write the wrong frame
+          val in = cfg.inputs.headOption.map(ins)
+          val act = once(() => SinkExecutor.execute(spark, cfg, in, strat))
+          deferred += act
+          sinkActions(cfg.name) = act
         }
         // module-scoped failure sinks (ModuleConfig.failures): this
         // module's bad records only, same envelope as pipeline-level
@@ -317,7 +343,13 @@ object Pipeline {
   /** `${args.key}` substitution (FreeMarker-subset of the reference's
     * config templating, `config/Config.java:551-563`). */
   def substituteArgs(text: String, args: Map[String, String]): String =
-    args.foldLeft(text) { case (t, (k, v)) =>
+    // deterministic order (longest key first): a hash-ordered fold
+    // made nested placeholders in arg VALUES substitute differently
+    // across runs, and a short key could clobber a longer one's
+    // prefix. Bare `${k}` (no args. prefix) is the reference's
+    // shorthand and can shadow row-template fields of the same name —
+    // prefer `${args.k}` in configs that template rows.
+    args.toSeq.sortBy(-_._1.length).foldLeft(text) { case (t, (k, v)) =>
       t.replace("${args." + k + "}", v).replace("${" + k + "}", v)
     }
 }

@@ -67,7 +67,17 @@ object Run {
         graft.streaming.StreamRunner.drainAll()
         graft.streaming.StreamRunner.stopAll()
       } else {
-        spark.streams.awaitAnyTermination()
+        // loop until NO query remains: a single awaitAnyTermination
+        // returns when the first (e.g. an availableNow catch-up)
+        // query finishes, and spark.stop() below would then kill the
+        // still-running continuous queries mid-stream. A failed query
+        // breaks out so its exception surfaces at the check below.
+        while (spark.streams.active.nonEmpty &&
+            graft.streaming.StreamRunner.allQueries
+              .forall(q => q.exception.isEmpty)) {
+          spark.streams.awaitAnyTermination()
+          spark.streams.resetTerminated()
+        }
       }
     }
     // surface async failures instead of exiting 0 silently — check ALL

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
     val Array(sfDir, outDir, rest @ _*) = args
     // optional 3rd arg: comma-separated query names (fast iteration)
     val only = rest.headOption.map(_.split(",").toSet)

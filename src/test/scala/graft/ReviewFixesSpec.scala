@@ -271,6 +271,33 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(bad.count() === 1)
   }
 
+  test("waits on a sink runs its write before the waiter builds " +
+      "(read-after-write)") {
+    val dir = java.nio.file.Files.createTempDirectory("waits").toString
+    val out = Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: src
+      |    module: create
+      |    parameters:
+      |      elements: [{id: 1}, {id: 2}]
+      |      schema: {fields: [{name: id, type: int64}]}
+      |  - name: back
+      |    module: storage
+      |    waits: [wr]
+      |    parameters: {path: "$dir/staged"}
+      |sinks:
+      |  - name: wr
+      |    module: storage
+      |    input: src
+      |    parameters: {output: "$dir/staged", format: parquet}
+      |  - name: snk
+      |    module: storage
+      |    input: back
+      |    parameters: {output: "$dir/final", format: parquet}
+      |""".stripMargin)
+    assert(spark.read.parquet(s"$dir/final").count() === 2)
+  }
+
   test("crypto validates the key's UTF-8 byte length") {
     val e = intercept[IllegalArgumentException] {
       Pipeline.build(spark, """
