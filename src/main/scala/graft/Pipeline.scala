@@ -118,9 +118,12 @@ object Pipeline {
     // the reference's scope (MPipeline.java:93-106 catches around
     // apply, not run): once sink actions start, a failure propagates
     // rather than replaying an alternate pipeline on top of whatever
-    // the primary already wrote
+    // the primary already wrote. sinksStarted catches the waits-
+    // triggered case, where a sink action runs DURING construction.
+    val sinksStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val (collections, actions) =
-      try runPhased(spark, configText, args, context, executeSinks = true)
+      try runPhased(spark, configText, args, context, executeSinks = true,
+        sinksStarted)
       catch {
         case e: Throwable =>
           // re-resolving may itself fail (bad config) — keep the
@@ -129,10 +132,13 @@ object Pipeline {
             try ConfigLoader.resolve(configText, args, context)
               .failure.alterConfig
             catch { case _: Throwable => None }
-          if (alter.isEmpty || depth >= 4) throw e
+          if (alter.isEmpty || depth >= 4 || sinksStarted.get) throw e
           else return executeRec(spark, alter.get, args, context, depth + 1)
       }
-    actions.foreach(_.apply())
+    // operator-persisted frames (ngram candidates, benchmark grams)
+    // live exactly as long as the run's sink actions need them
+    try actions.foreach(_.apply())
+    finally graft.ops.CacheTracker.releaseAll()
     collections
   }
 
@@ -150,7 +156,9 @@ object Pipeline {
     * construct-then-run split (graph apply vs pipeline.run()). */
   private def runPhased(spark: SparkSession, configText: String,
       args: Map[String, String], context: Option[String],
-      executeSinks: Boolean)
+      executeSinks: Boolean,
+      sinksStarted: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false))
       : (Map[String, DataFrame], Seq[() => Unit]) = {
     val deferred = scala.collection.mutable.ArrayBuffer[() => Unit]()
     // sink actions by module name, once-guarded: a module that WAITS
@@ -160,7 +168,7 @@ object Pipeline {
     val sinkActions = scala.collection.mutable.Map[String, () => Unit]()
     def once(f: () => Unit): () => Unit = {
       val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
-      () => if (ran.compareAndSet(false, true)) f()
+      () => if (ran.compareAndSet(false, true)) { sinksStarted.set(true); f() }
     }
     val resolved = ConfigLoader.resolve(configText, args, context)
     val root = resolved.root
@@ -268,16 +276,22 @@ object Pipeline {
           sinkActions(cfg.name) = act
         }
         // module-scoped failure sinks (ModuleConfig.failures): this
-        // module's bad records only, same envelope as pipeline-level
+        // module's bad records only, same envelope as pipeline-level.
+        // Streaming frames drain through foreachBatch — the reference
+        // routes BadRecords uniformly in both modes (MErrorHandler).
         if (executeSinks)
-          outs.get(s"${cfg.name}.failures").filterNot(_.isStreaming)
-            .foreach { f =>
-              val env = failureEnvelope(Seq(cfg.name -> f))
-              cfg.node.arrOf("failures")
-                .filterNot(_.bool("ignore").getOrElse(false))
-                .foreach(fc => deferred += (() =>
-                  runFailureSink(spark, fc, env)))
-            }
+          outs.get(s"${cfg.name}.failures").foreach { f =>
+            val fcs = cfg.node.arrOf("failures")
+              .filterNot(_.bool("ignore").getOrElse(false))
+            if (fcs.nonEmpty)
+              deferred += (() =>
+                if (f.isStreaming)
+                  startStreamingFailureSinks(spark, fcs, cfg.name, f)
+                else {
+                  val env = failureEnvelope(Seq(cfg.name -> f))
+                  fcs.foreach(fc => runFailureSink(spark, fc, env))
+                })
+          }
         progress = true
       }
       pending = notReady
@@ -296,14 +310,22 @@ object Pipeline {
       .filterNot(_.bool("ignore").getOrElse(false))
     if (executeSinks && failureCfgs.nonEmpty && resolved.failure.union &&
         !resolved.failure.failFast.getOrElse(false)) {
-      val fails = collections.toSeq
-        .filter { case (n, d) => n.endsWith(".failures") && !d.isStreaming }
+      val (streamingFails, fails) = collections.toSeq
+        .filter(_._1.endsWith(".failures"))
         .sortBy(_._1)
         .map { case (n, d) => n.stripSuffix(".failures") -> d }
+        .partition(_._2.isStreaming)
       if (fails.nonEmpty) {
         val union = failureEnvelope(fails)
         failureCfgs.foreach(fc => deferred += (() =>
           runFailureSink(spark, fc, union)))
+      }
+      // streaming modules' bad records drain continuously through
+      // foreachBatch into the same declared sinks (reference routes
+      // BadRecords uniformly in batch and streaming — MErrorHandler)
+      streamingFails.foreach { case (moduleName, d) =>
+        deferred += (() =>
+          startStreamingFailureSinks(spark, failureCfgs, moduleName, d))
       }
     }
     (collections, deferred.toSeq)
@@ -324,9 +346,11 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
-  /** Build + execute one `failures:` sink entry over an envelope. */
+  /** Build + execute one `failures:` sink entry over an envelope.
+    * `forceAppend` is set on streaming micro-batches, where a
+    * per-batch overwrite would clobber earlier batches' bad rows. */
   private def runFailureSink(spark: SparkSession, n: JsonNode,
-      envelope: DataFrame): Unit = {
+      envelope: DataFrame, forceAppend: Boolean = false): Unit = {
     val module = n.str("module").getOrElse(
       throw new IllegalArgumentException(
         s"failures entry requires module: $n"))
@@ -334,10 +358,43 @@ object Pipeline {
       throw new IllegalArgumentException(
         s"unknown failures module: $module"))
     val name = n.str("name").getOrElse("failures")
-    val cfg = ModuleCfg(name, module, Seq("__failures"), Nil,
-      n("parameters").getOrElse(Json.obj()), n)
+    val params0 = n("parameters").getOrElse(Json.obj())
+    val params =
+      if (!forceAppend) params0
+      else {
+        val copy = params0.deepCopy[JsonNode]()
+        copy.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("mode", "append")
+        copy
+      }
+    val cfg = ModuleCfg(name, module, Seq("__failures"), Nil, params, n)
     builder(spark, cfg, Map("__failures" -> envelope))
     SinkExecutor.execute(spark, cfg, Some(envelope), None)
+  }
+
+  /** Streaming leg of the failure envelope: one foreachBatch query per
+    * streaming `.failures` frame, draining each micro-batch's bad rows
+    * through the declared failure sinks (append semantics). Uniform
+    * with batch routing, as the reference's MErrorHandler is. */
+  private def startStreamingFailureSinks(spark: SparkSession,
+      failureCfgs: Seq[JsonNode], moduleName: String,
+      failures: DataFrame): Unit = {
+    // named function value: picks the Scala foreachBatch overload
+    // unambiguously (the Java VoidFunction2 one shadows lambdas)
+    val drain: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty) {
+        val env = failureEnvelope(Seq(moduleName -> batch))
+        failureCfgs.foreach(fc =>
+          runFailureSink(spark, fc, env, forceAppend = true))
+      }
+    val q = failures.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(
+          s"graft-failures-$moduleName-").toString)
+      .foreachBatch(drain)
+      .start()
+    graft.streaming.StreamRunner.register(q)
   }
 
   /** `${args.key}` substitution (FreeMarker-subset of the reference's

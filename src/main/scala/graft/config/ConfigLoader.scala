@@ -123,17 +123,20 @@ object ConfigLoader {
     // null-out, so the union has something to collect — the Spark
     // analogue of Beam's pipeline BadRecord handler hooking every
     // module automatically
-    val failuresActive = root.arrOf("failures").nonEmpty &&
+    // context tag-filtering applies to failure sinks exactly like
+    // modules (FailureConfig.applyContext, Config.java:380): an
+    // untagged failure sink under a context is disabled, so a config
+    // that switches failure destinations via tags (untagged prod +
+    // tags:[dev] dev sink) never double-writes. Resolved BEFORE
+    // failuresActive so bad records aren't split off the main output
+    // when every declared failure sink is context-disabled.
+    root.arrOf("failures").foreach(applyContext(_, context))
+    val failuresActive = root.arrOf("failures")
+        .exists(!_.bool("ignore").getOrElse(false)) &&
       failure.union && !failure.failFast.getOrElse(false)
-    Seq("sources", "transforms", "sinks", "failures").foreach { section =>
+    Seq("sources", "transforms", "sinks").foreach { section =>
       root.arrOf(section).foreach { m =>
-        // context tag-filtering selects pipeline MODULES; failure
-        // sinks are error infrastructure and typically untagged —
-        // ignoring them under a context would split bad rows off the
-        // main output and then silently drop them (tagged failure
-        // sinks still opt into contexts explicitly)
-        if (section != "failures" || m.strArr("tags").nonEmpty)
-          applyContext(m, context)
+        applyContext(m, context)
         val obj = m.asInstanceOf[ObjectNode]
         failure.failFast.foreach(ff => obj.put("failFast", ff))
         // module-scoped failures (`failures:` on the module itself)
@@ -141,7 +144,7 @@ object ConfigLoader {
         // union flag
         val moduleScoped = m.arrOf("failures").nonEmpty
         if ((failuresActive || moduleScoped) && section != "sinks" &&
-            section != "failures" && !obj.has("outputFailure"))
+            !obj.has("outputFailure"))
           obj.put("outputFailure", true)
       }
     }

@@ -232,12 +232,14 @@ object DedupTransform {
       .withColumn("__rep_id", min("__id").over(
         Window.partitionBy("__band_idx", "__band_hash")))
       .filter(col("__id") > col("__rep_id"))
-      // persisted for the two downstream consumers; lifetime is the
-      // application's (consumers run at sink-action time, after
-      // build returns, so an unpersist here would defeat the cache).
-      // Blocks are ids-only/bounded and MEMORY_AND_DISK-evictable;
-      // batch harnesses (Verify/Bench) clearCache between pipelines.
-      .select("__id", "__rep_id").distinct().persist()
+      // persisted for the two downstream consumers; consumers run
+      // at sink-action time, after build returns, so an unpersist
+      // here would defeat the cache — CacheTracker releases it when
+      // Pipeline.execute's sink actions complete. Blocks are
+      // ids-only/bounded and MEMORY_AND_DISK-evictable; batch
+      // harnesses (Verify/Bench) clearCache between pipelines.
+      .select("__id", "__rep_id").distinct()
+      .transform(graft.ops.CacheTracker.trackPersist)
     // verification grams are computed only for candidate-pair members
     // (semi-join on the candidate id set — which also dedups it), NOT
     // for the whole corpus: the full-corpus gram frame would either
@@ -256,7 +258,7 @@ object DedupTransform {
       .join(candIds, col("__id") === candIds("__cid"), "left_semi")
       .select(col("__id").as("__cid"),
         array_distinct(charNgrams(col("__t"), n)).as("__cg"))
-      .persist()
+      .transform(graft.ops.CacheTracker.trackPersist)
     val verified = candidates
       .join(candGrams
         .select(col("__cid").as("__id"), col("__cg").as("__g")), "__id")
@@ -339,7 +341,7 @@ object DedupTransform {
       n: Int, remove: Boolean, broadcastLimit: Int): DataFrame = {
     val benchGrams = bench
       .select(explode(shingles(col(benchField), n)).as("__gram"))
-      .distinct().persist()
+      .distinct().transform(graft.ops.CacheTracker.trackPersist)
     // materializing the (persisted) gram set yields an EXACT size for
     // the broadcast decision — same pattern as ngramDedup's candidate
     // count; the count action costs one scan of the small benchmark.

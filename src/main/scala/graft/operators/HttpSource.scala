@@ -93,7 +93,8 @@ object HttpSource {
     val calledRaw = requestRows.withColumn("__http",
       callUdf(col("endpoint"), col("method"), col("headers"), col("body")))
     val called =
-      if (calledRaw.isStreaming) calledRaw else calledRaw.persist()
+      if (calledRaw.isStreaming) calledRaw
+      else graft.ops.CacheTracker.trackPersist(calledRaw)
     val bodyOut: Column = format match {
       case "bytes" => col("__http.body")
       case "json" =>

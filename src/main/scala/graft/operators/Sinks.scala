@@ -104,19 +104,28 @@ object StorageSink {
           val key = java.net.URLDecoder.decode(
             escaped.replace("+", "%2B"), "UTF-8")
           val target = new org.apache.hadoop.fs.Path(basePath, key)
+          // fs.rename signals failure by RETURNING false (cross-fs
+          // move, name collision) — deleting staging after a silent
+          // false would destroy the run's output with no error
+          def renameOrFail(src: org.apache.hadoop.fs.Path,
+              dst: org.apache.hadoop.fs.Path): Unit =
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(
+                s"storage sink: rename $src -> $dst failed; staging " +
+                  "left in place under " + st.getPath)
           if (append && fs.exists(target)) {
             // append mode must not replace prior runs' data: move the
             // new part files (UUID-unique names) into the existing
             // destination instead of deleting it
             fs.listStatus(st.getPath).filter(_.isFile).foreach { f =>
-              fs.rename(f.getPath,
+              renameOrFail(f.getPath,
                 new org.apache.hadoop.fs.Path(target, f.getPath.getName))
             }
             fs.delete(st.getPath, true)
           } else {
             if (fs.exists(target)) fs.delete(target, true)
             Option(target.getParent).foreach(fs.mkdirs)
-            fs.rename(st.getPath, target)
+            renameOrFail(st.getPath, target)
           }
         }
     } else {

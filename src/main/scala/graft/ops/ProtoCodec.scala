@@ -266,6 +266,14 @@ object ProtoCodec {
       val (num, wt) = r.readTag()
       byNumber.get(num) match {
         case None => r.skip(wt)
+        // a wire type that disagrees with the descriptor (schema
+        // evolution, foreign writer, reused field number) is an
+        // UNKNOWN field, as protobuf-java treats it — reading it with
+        // the declared type's reader would desync the stream and
+        // silently corrupt every later field
+        case Some((f, _)) if wt != wireOf(f.tpe) &&
+            !(f.repeated && wt == WtLen && packable(f.tpe)) =>
+          r.skip(wt)
         case Some((f, i)) =>
           if (f.repeated && wt == WtLen && packable(f.tpe)) {
             // packed scalars: one length-delimited run of values
@@ -375,11 +383,20 @@ object ProtoCodec {
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(seconds, nanos))
   }
 
+  private def wrapperWire(dt: DataType): Int = dt match {
+    case DoubleType => WtFixed64
+    case FloatType => WtFixed32
+    case StringType | BinaryType => WtLen
+    case _ => WtVarint
+  }
+
   private def decodeWrapper(r: Reader, dt: DataType): Any = {
     var out: Any = null
     while (r.hasMore) {
       val (f, wt) = r.readTag()
-      if (f == 1) out = dt match {
+      // same unknown-field rule as decodeMsg: a value field with the
+      // wrong wire type is skipped, not misread
+      if (f == 1 && wt == wrapperWire(dt)) out = dt match {
         case DoubleType => java.lang.Double.longBitsToDouble(r.readFixed64())
         case FloatType => java.lang.Float.intBitsToFloat(r.readFixed32())
         case LongType => r.readVarint()

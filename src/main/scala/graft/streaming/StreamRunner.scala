@@ -17,6 +17,10 @@ object StreamRunner {
 
   def activeQueries: Seq[StreamingQuery] = active.toSeq.filter(_.isActive)
 
+  /** Register an externally-started query (failure-sink drains, custom
+    * sources) for the same drain/stop lifecycle as sink queries. */
+  def register(q: StreamingQuery): Unit = active += q
+
   /** Every query started this session, dead or alive — consult this
     * (not activeQueries) when surfacing failures: a query that died in
     * its first micro-batch is already inactive. */

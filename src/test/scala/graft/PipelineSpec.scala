@@ -523,6 +523,39 @@ class PipelineSpec extends AnyFunSuite {
       !plan.contains("PushedFilters: []"))
   }
 
+  test("execute() releases operator-persisted frames once sink " +
+      "actions complete") {
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("unpersist").toString
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: docs
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/documents.parquet}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [docs]
+      |    parameters:
+      |      method: ngram
+      |      field: text
+      |      idField: doc_id
+      |      ngramSize: 5
+      |      threshold: 0.7
+      |sinks:
+      |  - name: out
+      |    module: storage
+      |    input: dd
+      |    parameters: {output: "$dir/out", format: parquet}
+      |""".stripMargin)
+    assert(spark.read.parquet(s"$dir/out").count() > 0)
+    // ngramDedup persists candidates + candidate grams during the
+    // write; a long-lived session must not accrete those blocks
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "cached RDDs leaked past execute(): " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name))
+  }
+
   test("text sink: colliding rendered paths fail instead of clobbering") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("textsinkc").toString

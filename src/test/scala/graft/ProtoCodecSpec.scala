@@ -162,6 +162,55 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(got === Row("x", 5L))
   }
 
+  test("a field whose wire type disagrees with the descriptor is " +
+      "skipped as unknown, not misread") {
+    // declared: a:int32(1), b:string(2). A foreign writer (schema
+    // evolution / reused field number) sends field 1 length-delimited.
+    // protobuf-java treats the mismatch as an unknown field; reading
+    // it as varint would desync the stream and corrupt field 2.
+    val schema = PbSchema(Map("M" -> PbMessage("M", Vector(
+      PbField("a", 1, 1, TInt32, ""),
+      PbField("b", 2, 1, TString, "")), mapEntry = false)), Map.empty)
+    val w = new Writer
+    w.writeTag(1, WtLen)
+    w.writeBytes("xyz".getBytes("UTF-8"))
+    w.writeTag(2, WtLen)
+    w.writeBytes("ok".getBytes("UTF-8"))
+    assert(ProtoCodec.decode(schema, "M", w.toByteArray) ===
+      Row(null, "ok"))
+    // reverse direction: a string field arriving as varint
+    val w2 = new Writer
+    w2.writeTag(2, WtVarint)
+    w2.writeVarint(150L)
+    w2.writeTag(1, WtVarint)
+    w2.writeVarint(7L)
+    assert(ProtoCodec.decode(schema, "M", w2.toByteArray) ===
+      Row(7, null))
+    // repeated packable accepts BOTH its scalar wire type and LEN
+    // (packed), but skips anything else (here fixed32 for an int64)
+    val rep = PbSchema(Map("P" -> PbMessage("P",
+      Vector(PbField("v", 1, 3, TInt64, "")), mapEntry = false)),
+      Map.empty)
+    val w3 = new Writer
+    w3.writeTag(1, ProtoWire.WtFixed32)
+    w3.writeFixed32(99)
+    w3.writeTag(1, WtVarint)
+    w3.writeVarint(5L)
+    assert(ProtoCodec.decode(rep, "P", w3.toByteArray)
+      .getSeq[Long](0) === Seq(5L))
+    // wrapper value field with wrong wire type decodes to null
+    val ws = PbSchema(Map("W" -> PbMessage("W", Vector(
+      PbField("n", 1, 1, TMessage, "google.protobuf.Int64Value")),
+      mapEntry = false)), Map.empty)
+    val inner = new Writer
+    inner.writeTag(1, WtLen)
+    inner.writeBytes("zz".getBytes("UTF-8"))
+    val w4 = new Writer
+    w4.writeTag(1, WtLen)
+    w4.writeBytes(inner.toByteArray)
+    assert(ProtoCodec.decode(ws, "W", w4.toByteArray) === Row(null))
+  }
+
   test("RowDecoderFn nulls out garbage bytes instead of throwing") {
     val st = StructType(Seq(StructField("id", LongType)))
     val schema = schemaToDescriptor(st, "graft.T")

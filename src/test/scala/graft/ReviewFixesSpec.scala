@@ -240,7 +240,11 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(got.getStruct(0) === org.apache.spark.sql.Row("aval", "bval"))
   }
 
-  test("context does not disable untagged failure sinks") {
+  test("context filters failure sinks like modules: untagged is " +
+      "disabled, the matching tagged one runs alone") {
+    // FailureConfig.applyContext (reference Config.java:380): a
+    // context disables untagged failure sinks too, so tag-switched
+    // destinations (untagged prod + tags:[dev]) never double-write
     val dir = java.nio.file.Files.createTempDirectory("ctxfail").toString
     Pipeline.execute(spark, s"""
       |system:
@@ -263,12 +267,17 @@ class ReviewFixesSpec extends AnyFunSuite {
       |      outputField: rec
       |      schema: {fields: [{name: k, type: int64}]}
       |failures:
-      |  - name: fs
+      |  - name: prod
       |    module: storage
-      |    parameters: {output: "$dir/bad", format: json}
+      |    parameters: {output: "$dir/prod-bad", format: json}
+      |  - name: devSink
+      |    module: storage
+      |    tags: [dev]
+      |    parameters: {output: "$dir/dev-bad", format: json}
       |""".stripMargin, context = Some("dev"))
-    val bad = spark.read.json(s"$dir/bad")
-    assert(bad.count() === 1)
+    assert(spark.read.json(s"$dir/dev-bad").count() === 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/prod-bad")))
   }
 
   test("waits on a sink runs its write before the waiter builds " +

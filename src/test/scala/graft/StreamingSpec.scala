@@ -228,6 +228,61 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  test("streaming failure sinks drain bad records (module-scoped + " +
+      "pipeline-level), uniform with batch routing") {
+    // the reference routes BadRecords identically in batch and
+    // streaming (MErrorHandler / failure sinks); here a streaming
+    // deserialize's dead-letter rows must land in BOTH the module-
+    // scoped sink and the pipeline-level union sink via foreachBatch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-fail").toString
+    Seq("oops", """{"k": 1}""", """{"k": 2}""", "also-bad").toDF("p")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Pipeline.execute(spark, s"""
+      |system:
+      |  failure: {union: true}
+      |sources:
+      |  - name: src
+      |    module: storage
+      |    parameters: {path: "$dir/in", stream: true}
+      |transforms:
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [src]
+      |    failures:
+      |      - name: modBad
+      |        module: storage
+      |        parameters: {output: "$dir/mod-bad", format: json}
+      |    parameters:
+      |      format: json
+      |      field: p
+      |      outputField: rec
+      |      schema: {fields: [{name: k, type: int64}]}
+      |sinks:
+      |  - name: out
+      |    module: storage
+      |    input: de
+      |    parameters:
+      |      output: "$dir/out"
+      |      format: parquet
+      |      checkpointLocation: "$dir/ckpt"
+      |failures:
+      |  - name: pipeBad
+      |    module: storage
+      |    parameters: {output: "$dir/pipe-bad", format: json}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    StreamRunner.stopAll()
+    val modBad = spark.read.json(s"$dir/mod-bad")
+    assert(modBad.count() === 2)
+    assert(modBad.select("module").distinct.as[String].collect().toSeq ===
+      Seq("de"))
+    assert(modBad.filter($"record".contains("oops")).count() === 1)
+    val pipeBad = spark.read.json(s"$dir/pipe-bad")
+    assert(pipeBad.count() === 2)
+    assert(spark.read.parquet(s"$dir/out").count() === 2)
+  }
+
   test("rate source smoke: streaming plan builds") {
     val config = """
       |sources:
