@@ -238,21 +238,94 @@ object KafkaSource {
   }
 }
 
-/** `websocket` source slot (reference `source/WebSocketSource.java`,
-  * 812 LoC): a push-based socket subscription has no Structured
-  * Streaming mapping without a custom DataSource V2 continuous
-  * provider — config validates, then raises a documented
-  * not-supported error (SURVEY §7.5 treats it as a connector slot). */
+/** `websocket` source (reference `source/WebSocketSource.java`):
+  * streaming frames from a ws:// subscription via the custom
+  * DataSource V2 micro-batch provider (`graft.sources.WebSocketStream`
+  * — driver-buffered frames, the shape of Spark's own socket source).
+  * Subscription `requests` fire on open, `heartbeatRequests` on a
+  * timer; payloads parse per `format`:
+  *  - `json` (+ `schema`): `from_json` into a struct, flattened to
+  *    top-level columns (reference outputType element); malformed
+  *    payloads route to `<name>.failures`. `isArrayContent: true`
+  *    explodes a JSON-array payload into one record per element.
+  *  - `text` / `bytes`: raw payload column.
+  * `receivedTimestampField` names the receive-time column; a
+  * field-typed `eventtimeField` becomes `__event_time`.
+  *
+  * Caveat (same as the http source): a pipeline consuming BOTH the
+  * main output and `.failures` runs two streaming queries, i.e. two
+  * independent subscriptions to the endpoint. */
 object WebSocketSource {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    cfg.params.str("endpoint").getOrElse(
+    val p = cfg.params
+    val endpoint = p.str("endpoint").getOrElse(
       throw new IllegalArgumentException(
         "websocket source requires endpoint"))
-    throw new IllegalStateException(
-      "websocket source is a connector slot: push subscriptions need a " +
-        "custom DataSourceV2 continuous stream provider; bridge through " +
-        "kafka or the polling http source instead")
+    var r = spark.readStream
+      .format(classOf[graft.sources.WebSocketTableProvider].getName)
+      .option("endpoint", endpoint)
+    p("requests").foreach(n => r = r.option("requests", n.toString))
+    p("heartbeatRequests").foreach(n =>
+      r = r.option("heartbeatRequests", n.toString))
+    p.int("heartbeatIntervalSeconds").foreach(s =>
+      r = r.option("heartbeatIntervalSeconds", s.toString))
+    p.int("requestIntervalSeconds").foreach(s =>
+      r = r.option("requestIntervalSeconds", s.toString))
+    var df = r.load() // payload binary, timestamp
+    p.str("receivedTimestampField").foreach(f =>
+      df = df.withColumn(f, col("timestamp")))
+    val format = p.str("format").getOrElse("json")
+    val out: Map[String, DataFrame] = format match {
+      case "json" =>
+        val st = p("schema").map(graft.schema.SchemaMapper.toStructType)
+          .getOrElse(throw new IllegalArgumentException(
+            "websocket json format requires schema"))
+        val text = decode(col("payload"), "UTF-8")
+        val keep = df.columns.filterNot(_ == "payload").map(col)
+        if (p.bool("isArrayContent").getOrElse(false)) {
+          // a frame carrying a JSON ARRAY fans out one record per
+          // element (WebSocketSource isArrayContent)
+          val parsed = df
+            .withColumn("__arr",
+              from_json(text, ArrayType(st)))
+            .withColumn("__bad",
+              col("__arr").isNull && col("payload").isNotNull)
+          val good = parsed.filter(!col("__bad"))
+            .select((keep :+ explode(col("__arr")).as("__rec")).toSeq: _*)
+            .select((keep :+ col("__rec.*")).toSeq: _*)
+          val bad = parsed.filter(col("__bad"))
+            .select(text.as("payload"), col("timestamp"))
+          Map(cfg.name -> good, s"${cfg.name}.failures" -> bad)
+        } else {
+          val st2 = st.add("_corrupt_record", StringType)
+          val parsed = df
+            .withColumn("__rec", from_json(text, st2,
+              Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+            .withColumn("__bad",
+              col("__rec._corrupt_record").isNotNull)
+          val good = parsed.filter(!col("__bad"))
+            .withColumn("__rec",
+              col("__rec").dropFields("_corrupt_record"))
+            .select((keep :+ col("__rec.*")).toSeq: _*)
+          val bad = parsed.filter(col("__bad"))
+            .select(text.as("payload"), col("timestamp"))
+          Map(cfg.name -> good, s"${cfg.name}.failures" -> bad)
+        }
+      case "text" =>
+        Map(cfg.name -> df.withColumn("payload",
+          decode(col("payload"), "UTF-8")))
+      case "bytes" => Map(cfg.name -> df)
+      case other => throw new IllegalArgumentException(
+        s"websocket format: $other (json|text|bytes)")
+    }
+    val main = out(cfg.name)
+    val withEt = p.str("eventtimeField")
+      .filter(main.columns.contains)
+      .map(f => main.withColumn("__event_time",
+        graft.streaming.Strategy.toTimestamp(main, f)))
+      .getOrElse(main.withColumn("__event_time", col("timestamp")))
+    out ++ SourceCommon.finish(withEt, cfg)
   }
 }
 
