@@ -47,21 +47,40 @@ object StorageSink {
     p.int("numShards").filter(_ > 0).foreach(n => df = df.repartition(n))
     if (format == "avro") {
       // container files via avro-core/avro-mapred (no spark-avro jar
-      // in this image) — one file per partition, see ops/AvroFiles
-      require(TemplateCompiler.referencedFields(path).isEmpty,
-        "storage avro sink does not support dynamic destination " +
-          "templates; use parquet/csv/json for templated outputs")
+      // in this image) — see ops/AvroFiles. Destination parity with
+      // csv/json/parquet (StorageSink.java:222-303): template paths
+      // and partitionFields both route through writeDynamic; append
+      // mode writes uniquely-named files next to prior runs.
       val mode = p.str("mode").getOrElse("overwrite")
-      require(mode == "overwrite",
-        s"storage avro sink supports mode: overwrite only (got " +
-          s"'$mode'); the Hadoop output format cannot append into an " +
-          "existing directory — write to a fresh path instead")
-      require((p.strArr("partitionFields") ++
-          p.strArr("dynamicSplitFields")).isEmpty,
-        "storage avro sink does not support partitionFields; use " +
-          "parquet for partitioned layouts")
-      graft.ops.AvroFiles.write(df, path, p.str("compression")
-        .orElse(p.str("codec")), overwrite = true)
+      val codec = p.str("compression").orElse(p.str("codec"))
+      val partitionFields = p.strArr("partitionFields") ++
+        p.strArr("dynamicSplitFields")
+      if (TemplateCompiler.referencedFields(path).nonEmpty) {
+        val idx = path.indexOf("${")
+        val slash = path.lastIndexOf('/', idx)
+        require(slash > 0,
+          s"dynamic output needs a static base dir: $path")
+        val base = path.substring(0, slash)
+        val rel = path.substring(slash + 1)
+        graft.ops.AvroFiles.writeDynamic(df, base,
+          TemplateCompiler.compile(rel, df.schema), codec,
+          overwrite = mode != "append")
+      } else if (partitionFields.nonEmpty) {
+        // hive-style key=value subdirs; values %-escaped like Spark's
+        // partitionBy ('+' shielding handled on the csv read path).
+        // Partition fields stay IN the records (avro is row-major;
+        // readers get full rows without path reconstruction).
+        val dest = concat_ws("/", partitionFields.map(f =>
+          concat(lit(f + "="), coalesce(
+            url_encode(col(f).cast(StringType)),
+            lit("__HIVE_DEFAULT_PARTITION__")))): _*)
+        graft.ops.AvroFiles.writeDynamic(df, path, dest, codec,
+          overwrite = mode != "append")
+      } else if (mode == "append")
+        graft.ops.AvroFiles.writeDynamic(df, path, lit(""), codec,
+          overwrite = false)
+      else
+        graft.ops.AvroFiles.write(df, path, codec, overwrite = true)
       return
     }
     def configure(w: org.apache.spark.sql.DataFrameWriter[

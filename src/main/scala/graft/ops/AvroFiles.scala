@@ -94,6 +94,71 @@ object AvroFiles {
       hconf)
   }
 
+  /** Dynamic-destination container-file write (storage sink
+    * partitionFields / template destinations, reference
+    * `sink/StorageSink.java:222-303`): each row's `destCol` renders a
+    * base-relative subdirectory; one shuffle colocates each
+    * destination in one task, then every task streams one container
+    * file per destination it holds through `DataFileWriter` — a
+    * single distributed job regardless of destination count, no
+    * driver-side rename pass. File names are task+uuid unique, so
+    * `overwrite = false` appends safely next to prior runs. An empty
+    * rendered destination writes directly under `base` (plain append
+    * mode). Unlike parquet `partitionBy`, partition fields stay IN
+    * the records — avro readers get full rows without path
+    * reconstruction. */
+  def writeDynamic(df: DataFrame, base: String,
+      destCol: org.apache.spark.sql.Column, codec: Option[String],
+      overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.functions.struct
+    val payload = df.schema
+    val json = AvroCodec.toAvroSchema(payload).toString
+    val codecName = codec.filterNot(c => c == "none" || c == "null")
+    val sc = df.sparkSession.sparkContext
+    if (overwrite) {
+      val target = new Path(base)
+      val fs = target.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(target)) fs.delete(target, true)
+    }
+    val staged = df
+      .select(destCol.cast(org.apache.spark.sql.types.StringType)
+          .as("__dest"),
+        struct(payload.fieldNames.toSeq.map(col): _*).as("__row"))
+      .repartition(col("__dest"))
+    staged.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val s = new ASchema.Parser().parse(json)
+        val conf = new Configuration()
+        val writers = scala.collection.mutable.Map[
+          String, org.apache.avro.file.DataFileWriter[GenericRecord]]()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val unique = java.util.UUID.randomUUID().toString.take(8)
+        try {
+          it.foreach { r =>
+            val dest = Option(r.getString(0)).getOrElse("")
+            val w = writers.getOrElseUpdate(dest, {
+              val dir = if (dest.isEmpty) new Path(base)
+                else new Path(base, dest)
+              val p = new Path(dir, f"part-$pid%05d-$unique.avro")
+              val fs = p.getFileSystem(conf)
+              val dfw = new org.apache.avro.file.DataFileWriter[
+                GenericRecord](
+                new org.apache.avro.generic.GenericDatumWriter[
+                  GenericRecord](s))
+              codecName.foreach(c => dfw.setCodec(
+                org.apache.avro.file.CodecFactory.fromString(c)))
+              dfw.create(s, fs.create(p, false))
+              dfw
+            })
+            w.append(AvroCodec.rowToRecord(r.getStruct(1), payload, s))
+          }
+        } finally writers.values.foreach { w =>
+          try w.close() catch { case _: Throwable => }
+        }
+      }
+    }
+  }
+
   /** Writer schema of the first non-empty data file under `paths`
     * (literal file, directory, or glob). */
   private def headerSchema(conf: Configuration,

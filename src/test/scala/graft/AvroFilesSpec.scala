@@ -93,24 +93,62 @@ class AvroFilesSpec extends AnyFunSuite {
     assert(codecOf(s"$dir/plain") === "null")
   }
 
-  test("avro sink rejects partitionFields loudly") {
-    val e = intercept[IllegalArgumentException] {
-      Pipeline.execute(spark, s"""
-        |sources:
-        |  - name: n
-        |    module: storage
-        |    parameters: {path: "$sf/nation.parquet"}
-        |sinks:
-        |  - name: snk
-        |    module: storage
-        |    input: n
-        |    parameters:
-        |      output: "/tmp/avro_part_nope"
-        |      format: avro
-        |      partitionFields: [n_regionkey]
-        |""".stripMargin)
-    }
-    assert(e.getMessage.contains("partitionFields"))
+  test("avro sink partitionFields: hive-style subdirs, records keep " +
+      "all fields, reads back via the avro source path") {
+    val dir = java.nio.file.Files.createTempDirectory("avropart").toString
+    val out = s"$dir/nation_avro"
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: n
+      |    module: storage
+      |    parameters: {path: "$sf/nation.parquet"}
+      |sinks:
+      |  - name: snk
+      |    module: storage
+      |    input: n
+      |    parameters:
+      |      output: "$out"
+      |      format: avro
+      |      partitionFields: [n_regionkey]
+      |""".stripMargin)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(dirs === (0 to 4).map(r => s"n_regionkey=$r"))
+    // read back through the same source path the q57 gate uses
+    val back = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: rd
+      |    module: storage
+      |    parameters: {path: "$out/*/", format: avro}
+      |""".stripMargin)("rd")
+    assert(back.count() === 25)
+    // unlike parquet partitionBy, the partition field stays IN rows
+    assert(back.columns.contains("n_regionkey"))
+    assert(back.groupBy("n_regionkey").count().count() === 5)
+  }
+
+  test("avro sink template destinations and append mode") {
+    val dir = java.nio.file.Files.createTempDirectory("avrotmpl").toString
+    def run(): Unit = Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: n
+      |    module: storage
+      |    parameters: {path: "$sf/nation.parquet"}
+      |sinks:
+      |  - name: snk
+      |    module: storage
+      |    input: n
+      |    parameters:
+      |      output: "$dir/by-region/r$${n_regionkey}"
+      |      format: avro
+      |      mode: append
+      |""".stripMargin)
+    run(); run() // append: second run adds files, never clobbers
+    val back = graft.ops.AvroFiles.read(spark,
+      Seq(s"$dir/by-region/*/"), None)
+    assert(back.count() === 50)
+    assert(new java.io.File(s"$dir/by-region/r2").listFiles()
+      .count(_.getName.endsWith(".avro")) >= 2)
   }
 
   test("storage avro streaming raises the actionable slot error") {
