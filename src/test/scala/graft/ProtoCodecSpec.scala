@@ -333,6 +333,104 @@ class ProtoCodecSpec extends AnyFunSuite {
       math.ulp(b.getDouble(1)) * 64)
   }
 
+  // ----- foreign interop fixture ----------------------------------
+  // Descriptor set + message bytes hand-derived from the PUBLIC wire
+  // spec (protobuf.dev encoding docs + descriptor.proto field
+  // numbers) with test-local byte builders — deliberately NOT
+  // produced by ProtoWire/ProtoCodec, so the decoder is pinned
+  // against an independent construction of the format, the way
+  // protoc-generated data would exercise it.
+  private def fvint(n: Long): Array[Byte] = {
+    var v = n
+    val b = scala.collection.mutable.ArrayBuffer[Byte]()
+    while ((v & ~0x7fL) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+    b += v.toByte
+    b.toArray
+  }
+  private def ftag(f: Int, wt: Int): Array[Byte] = fvint((f << 3) | wt)
+  private def fld(f: Int, b: Array[Byte]): Array[Byte] =
+    ftag(f, 2) ++ fvint(b.length) ++ b
+  private def fstr(f: Int, s: String): Array[Byte] =
+    fld(f, s.getBytes("UTF-8"))
+  private def fvar(f: Int, n: Long): Array[Byte] = ftag(f, 0) ++ fvint(n)
+
+  /** syntax=proto3; package fix;
+    * message Event { int64 id=1; string name=2; repeated int32
+    *   values=3; Inner inner=4; map<string,int64> attrs=5;
+    *   Color color=6; }
+    * message Inner { double score=1; }
+    * enum Color { RED=0; GREEN=1; } */
+  private lazy val foreignDescriptorSet: Array[Byte] = {
+    // FieldDescriptorProto: name=1 number=3 label=4 type=5 type_name=6
+    def field(name: String, num: Int, label: Int, tpe: Int,
+        typeName: String = ""): Array[Byte] =
+      fstr(1, name) ++ fvar(3, num) ++ fvar(4, label) ++ fvar(5, tpe) ++
+        (if (typeName.isEmpty) Array.empty[Byte] else fstr(6, typeName))
+    // map<string,int64> compiles to nested AttrsEntry with
+    // MessageOptions(7).map_entry(7)=true
+    val attrsEntry = fstr(1, "AttrsEntry") ++
+      fld(2, field("key", 1, 1, 9)) ++    // TYPE_STRING=9
+      fld(2, field("value", 2, 1, 3)) ++  // TYPE_INT64=3
+      fld(7, fvar(7, 1))
+    val event = fstr(1, "Event") ++
+      fld(2, field("id", 1, 1, 3)) ++
+      fld(2, field("name", 2, 1, 9)) ++
+      fld(2, field("values", 3, 3, 5)) ++ // LABEL_REPEATED=3, TYPE_INT32=5
+      fld(2, field("inner", 4, 1, 11, ".fix.Inner")) ++
+      fld(2, field("attrs", 5, 3, 11, ".fix.Event.AttrsEntry")) ++
+      fld(2, field("color", 6, 1, 14, ".fix.Color")) ++
+      fld(3, attrsEntry) // nested_type=3
+    val inner = fstr(1, "Inner") ++
+      fld(2, field("score", 1, 1, 1)) // TYPE_DOUBLE=1
+    val color = fstr(1, "Color") ++
+      fld(2, fstr(1, "RED") ++ fvar(2, 0)) ++
+      fld(2, fstr(1, "GREEN") ++ fvar(2, 1))
+    // FileDescriptorProto: name=1 package=2 message_type=4 enum_type=5
+    // syntax=12; FileDescriptorSet: file=1
+    val file = fstr(1, "fixture.proto") ++ fstr(2, "fix") ++
+      fld(4, event) ++ fld(4, inner) ++ fld(5, color) ++
+      fstr(12, "proto3")
+    fld(1, file)
+  }
+
+  test("foreign descriptor-set fixture parses to the expected schema " +
+      "and its message bytes decode exactly") {
+    val schema = parseDescriptorSet(foreignDescriptorSet)
+    assert(toStructType(schema, "fix.Event") === StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("values", ArrayType(IntegerType)),
+      StructField("inner", StructType(Seq(
+        StructField("score", DoubleType)))),
+      StructField("attrs", MapType(StringType, LongType)),
+      StructField("color", StringType))))
+    // Event{id=150, name="héllo", values=[3,270,86942] PACKED,
+    // inner={score=1.5}, attrs={"a":1}, color=GREEN} — field bytes
+    // laid out per the spec's worked examples (150 -> 0x96 0x01;
+    // packed run 3,270,86942 -> 03 8e 02 9e a7 05; 1.5 double ->
+    // little-endian 0x3FF8000000000000)
+    val msg =
+      fvar(1, 150L) ++
+      fstr(2, "héllo") ++
+      fld(3, Array[Byte](0x03, 0x8e.toByte, 0x02, 0x9e.toByte,
+        0xa7.toByte, 0x05)) ++
+      fld(4, ftag(1, 1) ++ Array[Byte](0, 0, 0, 0, 0, 0,
+        0xf8.toByte, 0x3f)) ++
+      fld(5, fstr(1, "a") ++ fvar(2, 1L)) ++
+      fvar(6, 1L)
+    val row = ProtoCodec.decode(schema, "fix.Event", msg)
+    assert(row.getLong(0) === 150L)
+    assert(row.getString(1) === "héllo")
+    assert(row.getSeq[Int](2) === Seq(3, 270, 86942))
+    assert(row.getStruct(3) === Row(1.5d))
+    assert(row.getMap[String, Long](4) === Map("a" -> 1L))
+    assert(row.getString(5) === "GREEN")
+    // and the codec's own encode of that row replays to the same row
+    val again = ProtoCodec.decode(schema, "fix.Event",
+      ProtoCodec.encode(schema, "fix.Event", row))
+    assert(again === row)
+  }
+
   test("descriptorFile path: export, read back through the module") {
     val st = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))

@@ -500,6 +500,116 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  /** Beam programming-guide scenario: the DEFAULT trigger
+    * (AfterWatermark.pastEndOfWindow, no early/late firings) emits
+    * exactly ONE pane per window — the final pane, after the
+    * watermark passes the window end — never a speculative or
+    * duplicate firing. */
+  test("default trigger pane sequence: one final pane per window, " +
+      "only after the watermark closes it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-default")
+      .toString
+    // batch 1: rows in [0,6h) and [12,18h); watermark after b1 =
+    // 13:00 - 2h lateness = 11:00 → only [0,6h) is closed
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 4000L, 1.0),
+      (3L, 46800L, 1.0)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 2}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: finals
+      |    module: memory
+      |    input: agg
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def seen(): Seq[(Long, Long)] =
+      spark.sql("SELECT window.start, n FROM finals").collect().toSeq
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1)))
+    assert(seen() === Seq((0L, 2L)))
+    // batch 2 at 21:00 moves the watermark to 19:00 → [12,18h)
+    // closes; [0,6h) must NOT fire again (exactly one final pane)
+    stageParquet(dir, "b2", Seq((4L, 75600L, 1.0)))
+    StreamRunner.drainAll()
+    assert(seen().sorted === Seq((0L, 2L), (43200L, 1L)))
+    StreamRunner.stopAll()
+  }
+
+  /** Beam programming-guide scenario: data later than window end +
+    * allowedLateness is DROPPED — it neither fires a late pane nor
+    * mutates any window's final contents. */
+  test("beyond-allowed-lateness data is dropped: no pane, no " +
+      "refinement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drop")
+      .toString
+    // [0,6h) has one row; the 31:00 row pushes the watermark to
+    // 30:00, far past [0,6h)+1h lateness
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 111600L, 1.0)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: droppanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |        lateFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("droppanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    assert(panes("early").map(winStart).toSet === Set(0L, 108000L))
+    // batch 2: a row at 02:00 — [0,6h) ended 24h before the
+    // watermark, lateness 1h → Beam drops it. No late pane for
+    // [0,6h); its count stays 1 in every pane ever fired.
+    stageParquet(dir, "b2", Seq((3L, 7200L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("late").isEmpty)
+    assert(StreamRunner.paneStore.get("droppanes").toList
+      .filter(p => winStart(p._2) == 0L)
+      .forall(_._2.getAs[Long]("n") == 1L))
+    StreamRunner.stopAll()
+  }
+
   test("afterPane elementCountAtLeast: panes gated on count threshold") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pane")
       .toString
