@@ -64,7 +64,8 @@ class ModulesSpec extends AnyFunSuite {
     assert(noIce.getMessage.contains("iceberg-spark-runtime"))
   }
 
-  test("jdbc upsert statements per dialect; websocket slot error") {
+  test("jdbc upsert statements per dialect; websocket builds a " +
+      "streaming plan") {
     import graft.operators.JdbcSink
     assert(JdbcSink.upsertStatement("mysql", "t",
       Seq("id", "a", "b"), Seq("id"), "insertOrUpdate") ==
@@ -83,13 +84,24 @@ class ModulesSpec extends AnyFunSuite {
     assert(merge.contains("WHEN MATCHED THEN UPDATE SET T.a = S.a"))
     assert(merge.contains("WHEN NOT MATCHED THEN INSERT (id,a)"))
     assert(JdbcSink.dialect("jdbc:postgresql://h/db") == "postgresql")
-    val ws = intercept[IllegalStateException] {
+    // websocket now builds a real streaming frame (no connection is
+    // opened at build time — the MicroBatchStream connects on query
+    // start); json format parses to schema'd columns + .failures
+    val ws = Pipeline.sources("websocket")(spark,
+      Pipeline.ModuleCfg("w", "websocket", Nil, Nil,
+        graft.config.Json.parse(
+          """{"endpoint": "ws://127.0.0.1:1/", "format": "json",
+             "schema": {"fields": [{"name": "k", "type": "int64"}]}}"""),
+        graft.config.Json.obj()), Map.empty)
+    assert(ws("w").isStreaming)
+    assert(ws("w").columns.contains("k"))
+    assert(ws.contains("w.failures"))
+    val noEp = intercept[IllegalArgumentException] {
       Pipeline.sources("websocket")(spark,
         Pipeline.ModuleCfg("w", "websocket", Nil, Nil,
-          graft.config.Json.parse("""{"endpoint": "wss://x"}"""),
-          graft.config.Json.obj()), Map.empty)
+          graft.config.Json.obj(), graft.config.Json.obj()), Map.empty)
     }
-    assert(ws.getMessage.contains("connector slot"))
+    assert(noEp.getMessage.contains("endpoint"))
   }
 
   test("window processing: rolling regression and linear filter") {

@@ -83,6 +83,33 @@ object ScaleMain {
           """{"field":"text","analyses":["langid","quality","tokens","fingerprint"]}"""),
           Json.obj()), Map("d" -> docs))("ta")
     }
+    // q59 path at scale: two mapPartitions codec passes (encode then
+    // decode) over the full corpus — linear, shuffle-free
+    time("proto-roundtrip") {
+      val ser = graft.operators.SerializeTransform.build(spark,
+        ModuleCfg("ser", "serialize", Seq("d"), Nil, Json.parse(
+          """{"format":"protobuf","fields":["doc_id","text"],"outputField":"payload"}"""),
+          Json.obj()), Map("d" -> docs))("ser")
+        .select("payload")
+      graft.operators.DeserializeTransform.build(spark,
+        ModuleCfg("de", "deserialize", Seq("s"), Nil, Json.parse(
+          """{"format":"protobuf","field":"payload","outputField":"rec",
+             "schema":{"fields":[{"name":"doc_id","type":"int64"},
+                                 {"name":"text","type":"string"}]}}"""),
+          Json.obj()), Map("s" -> ser))("de")
+    }
+    // q57 path at scale: container-file write then the splittable
+    // avro-mapred read — read fan-out scales with bytes via sync
+    // markers, not file count
+    val avroDir = java.nio.file.Files
+      .createTempDirectory("scale-avro").toString + "/docs"
+    val tAvroW = System.nanoTime()
+    graft.ops.AvroFiles.write(docs, avroDir, None, overwrite = true)
+    println(f"SCALE avro-write            " +
+      f"${(System.nanoTime() - tAvroW) / 1e9}%6.2f s")
+    time("avro-read") {
+      graft.ops.AvroFiles.read(spark, Seq(avroDir), None)
+    }
     }
     docs.unpersist()
 
