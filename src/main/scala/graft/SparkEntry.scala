@@ -1853,7 +1853,48 @@ transforms:
     inputs: [de.failures]
     parameters:
       sql: "SELECT doc_id, payload FROM de_failures"
+"""),
+
+    // r8 avro destination parity: partitionFields write (one
+    // container-file set per hive-style key=value subdir, fields
+    // kept IN records) must roundtrip value-exact through the
+    // splittable read
+    "q63_avro_partitioned" -> ((s: SparkSession, dir: String) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q63_avro").getAbsolutePath
+      Pipeline.execute(s, s"""
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "$dir/customer.parquet"}
+transforms:
+  - name: sel
+    module: sql
+    inputs: [cust]
+    parameters:
+      sql: "SELECT c_custkey, c_mktsegment, c_acctbal FROM cust"
+sinks:
+  - name: wr
+    module: storage
+    input: sel
+    parameters:
+      output: "$tmp"
+      format: avro
+      partitionFields: [c_mktsegment]
 """)
+      Pipeline.build(s, s"""
+sources:
+  - name: back
+    module: storage
+    parameters: {path: "$tmp/*/", format: avro}
+transforms:
+  - name: out
+    module: sql
+    inputs: [back]
+    parameters:
+      sql: "SELECT c_custkey, c_mktsegment, c_acctbal FROM back"
+""")("out")
+    })
   )
 
   // ---------------------------------------------------------------
@@ -2760,6 +2801,11 @@ transforms:
     // twin for the FILE path)
     "q57_avro_files" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+
+    // partitioned-avro roundtrip: the layout changes, the values
+    // must not
+    "q63_avro_partitioned" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer""",
 
     // keyed lag == LAG window over the same deterministic order
     "q62_stateful" ->
