@@ -451,14 +451,57 @@ object ProtoCodec {
               w.writeBytes(ew.toByteArray)
             }
           case seq: scala.collection.Seq[_] =>
-            // expanded form (each element tagged) — legal proto3
-            // wire data; decoders accept packed and expanded alike
-            seq.foreach(e => encodeScalarField(schema, f, e, w))
+            if (packable(f.tpe) && seq.nonEmpty) {
+              // packed form — the proto3 serializer default for
+              // packable repeated scalars (one LEN run of bare
+              // values); string/bytes/message stay expanded per spec
+              val pw = new Writer
+              seq.foreach(e => encodeScalarValue(schema, f, e, pw))
+              w.writeTag(f.number, WtLen)
+              w.writeBytes(pw.toByteArray)
+            } else
+              seq.foreach(e => encodeScalarField(schema, f, e, w))
           case other => throw new IllegalArgumentException(
             s"protobuf: repeated field '${f.name}' got " +
               other.getClass.getName)
         } else encodeScalarField(schema, f, v, w)
       }
+    }
+  }
+
+  /** Bare value bytes of a PACKABLE scalar (no tag) — the element
+    * encoding inside a packed run. */
+  private def encodeScalarValue(schema: PbSchema, f: PbField, v: Any,
+      w: Writer): Unit = {
+    if (v == null) return
+    f.tpe match {
+      case TDouble => w.writeFixed64(java.lang.Double.doubleToLongBits(
+        v.asInstanceOf[Number].doubleValue))
+      case TFloat => w.writeFixed32(java.lang.Float.floatToIntBits(
+        v.asInstanceOf[Number].floatValue))
+      case TInt64 | TUInt64 => w.writeVarint(
+        v.asInstanceOf[Number].longValue)
+      case TInt32 | TUInt32 => w.writeVarint(
+        v.asInstanceOf[Number].intValue.toLong)
+      case TSInt64 => w.writeVarint(zigzagEncode(
+        v.asInstanceOf[Number].longValue))
+      case TSInt32 => w.writeVarint(zigzagEncode(
+        v.asInstanceOf[Number].intValue.toLong))
+      case TFixed64 | TSFixed64 => w.writeFixed64(
+        v.asInstanceOf[Number].longValue)
+      case TFixed32 | TSFixed32 => w.writeFixed32(
+        v.asInstanceOf[Number].intValue)
+      case TBool => w.writeVarint(if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case TEnum =>
+        val e = schema.enums.getOrElse(f.typeName,
+          throw new IllegalArgumentException(
+            s"protobuf: enum '${f.typeName}' not in descriptor set"))
+        val num = e.byNumber.collectFirst {
+          case (n, sym) if sym == v.toString => n
+        }.getOrElse(v.toString.toInt)
+        w.writeVarint(num.toLong)
+      case other => throw new IllegalArgumentException(
+        s"protobuf: type $other is not packable")
     }
   }
 

@@ -120,7 +120,8 @@ class ProtoCodecSpec extends AnyFunSuite {
     assert(ProtoCodec.decode(schema, "graft.T", bytes) === Row(null, null))
   }
 
-  test("packed repeated scalars decode (expanded is what we write)") {
+  test("packed repeated scalars decode AND encode (proto3 default " +
+      "wire form)") {
     val schema = PbSchema(Map("P" -> PbMessage("P",
       Vector(PbField("v", 1, 3, TInt64, "")), mapEntry = false)),
       Map.empty)
@@ -132,6 +133,21 @@ class ProtoCodecSpec extends AnyFunSuite {
     w.writeBytes(inner.toByteArray)
     val got = ProtoCodec.decode(schema, "P", w.toByteArray)
     assert(got.getSeq[Long](0) === Seq(3L, 270L, 86942L))
+    // our encoder emits the same packed bytes (the protoc default
+    // for packable repeated scalars), byte-exact per the spec example
+    assert(ProtoCodec.encode(schema, "P",
+      Row(Seq(3L, 270L, 86942L))).toSeq === w.toByteArray.toSeq)
+    // strings are NOT packable — repeated strings stay expanded
+    val ss = PbSchema(Map("S" -> PbMessage("S",
+      Vector(PbField("t", 1, 3, TString, "")), mapEntry = false)),
+      Map.empty)
+    val enc = ProtoCodec.encode(schema = ss, "S", Row(Seq("a", "b")))
+    assert(ProtoCodec.decode(ss, "S", enc).getSeq[String](0) ===
+      Seq("a", "b"))
+    val exp = new Writer
+    exp.writeTag(1, WtLen); exp.writeString("a")
+    exp.writeTag(1, WtLen); exp.writeString("b")
+    assert(enc.toSeq === exp.toByteArray.toSeq)
   }
 
   test("enums decode to symbols; sint/fixed variants roundtrip") {
