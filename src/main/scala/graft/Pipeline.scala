@@ -136,9 +136,16 @@ object Pipeline {
           else return executeRec(spark, alter.get, args, context, depth + 1)
       }
     // operator-persisted frames (ngram candidates, benchmark grams)
-    // live exactly as long as the run's sink actions need them
+    // live exactly as long as the run's sink actions need them.
+    // With streaming queries still running, "done" hasn't happened —
+    // a live micro-batch plan may reference a tracked frame (e.g. a
+    // batch http snapshot joined into a stream), so release is
+    // skipped and falls to session cleanup (clearCache) as before.
     try actions.foreach(_.apply())
-    finally graft.ops.CacheTracker.releaseAll()
+    finally {
+      if (graft.streaming.StreamRunner.activeQueries.isEmpty)
+        graft.ops.CacheTracker.releaseAll()
+    }
     collections
   }
 

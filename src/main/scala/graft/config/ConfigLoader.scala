@@ -141,8 +141,12 @@ object ConfigLoader {
         failure.failFast.foreach(ff => obj.put("failFast", ff))
         // module-scoped failures (`failures:` on the module itself)
         // route that module's bad records regardless of the global
-        // union flag
-        val moduleScoped = m.arrOf("failures").nonEmpty
+        // union flag. Context filters them by the same rule as
+        // pipeline-level failure sinks (and as the module itself);
+        // only survivors flip outputFailure on.
+        m.arrOf("failures").foreach(applyContext(_, context))
+        val moduleScoped = m.arrOf("failures")
+          .exists(!_.bool("ignore").getOrElse(false))
         if ((failuresActive || moduleScoped) && section != "sinks" &&
             !obj.has("outputFailure"))
           obj.put("outputFailure", true)

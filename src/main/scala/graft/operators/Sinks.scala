@@ -52,6 +52,12 @@ object StorageSink {
       // and partitionFields both route through writeDynamic; append
       // mode writes uniquely-named files next to prior runs.
       val mode = p.str("mode").getOrElse("overwrite")
+      // csv/json/parquet hand ignore/errorifexists to Spark's writer;
+      // the avro path implements its modes itself and must not
+      // silently treat them as a destructive overwrite
+      require(mode == "overwrite" || mode == "append",
+        s"storage avro sink supports mode: overwrite|append (got " +
+          s"'$mode')")
       val codec = p.str("compression").orElse(p.str("codec"))
       val partitionFields = p.strArr("partitionFields") ++
         p.strArr("dynamicSplitFields")
@@ -77,8 +83,11 @@ object StorageSink {
         graft.ops.AvroFiles.writeDynamic(df, path, dest, codec,
           overwrite = mode != "append")
       } else if (mode == "append")
+        // constant destination: colocate=false keeps the input
+        // partitioning (a repartition on a constant would collapse
+        // the whole write into one task)
         graft.ops.AvroFiles.writeDynamic(df, path, lit(""), codec,
-          overwrite = false)
+          overwrite = false, colocate = false)
       else
         graft.ops.AvroFiles.write(df, path, codec, overwrite = true)
       return

@@ -320,8 +320,13 @@ object WebSocketSource {
         s"websocket format: $other (json|text|bytes)")
     }
     val main = out(cfg.name)
+    // a typo'd eventtimeField must not silently fall back to receive
+    // time — windows would aggregate over arrival order untraceably
+    p.str("eventtimeField").foreach(f =>
+      require(main.columns.contains(f),
+        s"websocket eventtimeField '$f' is not an output column " +
+          s"(has: ${main.columns.sorted.mkString(", ")})"))
     val withEt = p.str("eventtimeField")
-      .filter(main.columns.contains)
       .map(f => main.withColumn("__event_time",
         graft.streaming.Strategy.toTimestamp(main, f)))
       .getOrElse(main.withColumn("__event_time", col("timestamp")))

@@ -151,6 +151,50 @@ class AvroFilesSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".avro")) >= 2)
   }
 
+  test("plain avro append keeps input partitioning and rejects " +
+      "unknown modes") {
+    val dir = java.nio.file.Files.createTempDirectory("avroapp").toString
+    val out = s"$dir/plain"
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: n
+      |    module: storage
+      |    parameters: {path: "$sf/nation.parquet"}
+      |sinks:
+      |  - name: snk
+      |    module: storage
+      |    input: n
+      |    parameters:
+      |      output: "$out"
+      |      format: avro
+      |      mode: append
+      |      numShards: 4
+      |""".stripMargin)
+    // 4 shards → 4 writer tasks → multiple files (a constant-dest
+    // repartition would have collapsed this to one)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length >= 2)
+    assert(graft.ops.AvroFiles.read(spark, Seq(out), None).count() === 25)
+    // no staging leftovers
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith(".graft-staging")))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.execute(spark, s"""
+        |sources:
+        |  - name: n
+        |    module: storage
+        |    parameters: {path: "$sf/nation.parquet"}
+        |sinks:
+        |  - name: snk
+        |    module: storage
+        |    input: n
+        |    parameters: {output: "$dir/nope", format: avro, mode: ignore}
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("overwrite|append"))
+  }
+
   test("storage avro streaming raises the actionable slot error") {
     val e = intercept[IllegalStateException] {
       Pipeline.build(spark, s"""

@@ -280,6 +280,40 @@ class ReviewFixesSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/prod-bad")))
   }
 
+  test("context filters MODULE-scoped failure sinks by the same rule") {
+    val dir = java.nio.file.Files.createTempDirectory("ctxmodf").toString
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: src
+      |    module: create
+      |    tags: [dev]
+      |    parameters:
+      |      elements: [{p: "oops"}, {p: "{\\"k\\": 1}"}]
+      |      schema: {fields: [{name: p, type: string}]}
+      |transforms:
+      |  - name: de
+      |    module: deserialize
+      |    inputs: [src]
+      |    tags: [dev]
+      |    failures:
+      |      - name: prod
+      |        module: storage
+      |        parameters: {output: "$dir/prod-bad", format: json}
+      |      - name: devSink
+      |        module: storage
+      |        tags: [dev]
+      |        parameters: {output: "$dir/dev-bad", format: json}
+      |    parameters:
+      |      format: json
+      |      field: p
+      |      outputField: rec
+      |      schema: {fields: [{name: k, type: int64}]}
+      |""".stripMargin, context = Some("dev"))
+    assert(spark.read.json(s"$dir/dev-bad").count() === 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/prod-bad")))
+  }
+
   test("waits on a sink runs its write before the waiter builds " +
       "(read-after-write)") {
     val dir = java.nio.file.Files.createTempDirectory("waits").toString
