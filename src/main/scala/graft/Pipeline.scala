@@ -121,32 +121,37 @@ object Pipeline {
     // the primary already wrote. sinksStarted catches the waits-
     // triggered case, where a sink action runs DURING construction.
     val sinksStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val (collections, actions) =
-      try runPhased(spark, configText, args, context, executeSinks = true,
-        sinksStarted)
-      catch {
-        case e: Throwable =>
-          // re-resolving may itself fail (bad config) — keep the
-          // original error in that case
-          val alter =
-            try ConfigLoader.resolve(configText, args, context)
-              .failure.alterConfig
-            catch { case _: Throwable => None }
-          if (alter.isEmpty || depth >= 4 || sinksStarted.get) throw e
-          else return executeRec(spark, alter.get, args, context, depth + 1)
-      }
     // operator-persisted frames (ngram candidates, benchmark grams)
-    // live exactly as long as the run's sink actions need them.
-    // With streaming queries still running, "done" hasn't happened —
-    // a live micro-batch plan may reference a tracked frame (e.g. a
-    // batch http snapshot joined into a stream), so release is
-    // skipped and falls to session cleanup (clearCache) as before.
-    try actions.foreach(_.apply())
-    finally {
-      if (graft.streaming.StreamRunner.activeQueries.isEmpty)
-        graft.ops.CacheTracker.releaseAll()
+    // live exactly as long as THIS run's sink actions need them; the
+    // scope releases them at the end — unless this run started
+    // streaming queries, whose live micro-batch plans may reference
+    // a tracked frame (e.g. a batch http snapshot joined into a
+    // stream); those frames fall to session cleanup (clearCache).
+    val cacheScope = graft.ops.CacheTracker.beginScope()
+    val queriesBefore = graft.streaming.StreamRunner.allQueries.size
+    try {
+      val (collections, actions) =
+        try runPhased(spark, configText, args, context,
+          executeSinks = true, sinksStarted)
+        catch {
+          case e: Throwable =>
+            // re-resolving may itself fail (bad config) — keep the
+            // original error in that case
+            val alter =
+              try ConfigLoader.resolve(configText, args, context)
+                .failure.alterConfig
+              catch { case _: Throwable => None }
+            if (alter.isEmpty || depth >= 4 || sinksStarted.get) throw e
+            else return executeRec(spark, alter.get, args, context,
+              depth + 1)
+        }
+      actions.foreach(_.apply())
+      collections
+    } finally {
+      val startedStreaming =
+        graft.streaming.StreamRunner.allQueries.size > queriesBefore
+      cacheScope.close(release = !startedStreaming)
     }
-    collections
   }
 
   private def run(spark: SparkSession, configText: String,

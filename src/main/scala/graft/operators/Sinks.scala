@@ -51,7 +51,8 @@ object StorageSink {
       // csv/json/parquet (StorageSink.java:222-303): template paths
       // and partitionFields both route through writeDynamic; append
       // mode writes uniquely-named files next to prior runs.
-      val mode = p.str("mode").getOrElse("overwrite")
+      // case-insensitive like Spark's DataFrameWriter.mode
+      val mode = p.str("mode").getOrElse("overwrite").toLowerCase
       // csv/json/parquet hand ignore/errorifexists to Spark's writer;
       // the avro path implements its modes itself and must not
       // silently treat them as a destructive overwrite
@@ -123,7 +124,7 @@ object StorageSink {
       val conf = new org.apache.hadoop.conf.Configuration()
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(conf)
-      val append = p.str("mode").contains("append")
+      val append = p.str("mode").exists(_.equalsIgnoreCase("append"))
       fs.listStatus(basePath).filter(_.getPath.getName.startsWith("__dest="))
         .foreach { st =>
           val escaped = st.getPath.getName.stripPrefix("__dest=")

@@ -94,123 +94,14 @@ object AvroFiles {
       hconf)
   }
 
-  /** Dynamic-destination container-file write (storage sink
-    * partitionFields / template destinations, reference
-    * `sink/StorageSink.java:222-303`): each row's `destCol` renders a
-    * base-relative subdirectory; with `colocate` one shuffle places
-    * each destination in one task, then every task streams one
-    * container file per destination it holds through
-    * `DataFileWriter` — a single distributed job regardless of
-    * destination count. Tasks write into a run-scoped STAGING dir and
-    * the driver moves files into place only after the whole job
-    * succeeds (checked renames), so failed/retried task attempts
-    * never leave partial or duplicate files at final paths: an
-    * attempt re-creates its staged file with overwrite, and staging
-    * is deleted on any failure. File names are run+partition unique,
-    * so `overwrite = false` appends safely next to prior runs. An
-    * empty rendered destination writes directly under `base` (plain
-    * append mode — pass `colocate = false` there, a constant
-    * destination would collapse the shuffle to one task). Unlike
-    * parquet `partitionBy`, partition fields stay IN the records —
-    * avro readers get full rows without path reconstruction. */
+  /** Dynamic-destination container-file write — see
+    * [[AvroFilesDynamic]] for the commit protocol (sibling staging,
+    * attempt-unique files, last-attempt-wins checked renames). */
   def writeDynamic(df: DataFrame, base: String,
       destCol: org.apache.spark.sql.Column, codec: Option[String],
-      overwrite: Boolean, colocate: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.struct
-    val payload = df.schema
-    val json = AvroCodec.toAvroSchema(payload).toString
-    val codecName = codec.filterNot(c => c == "none" || c == "null")
-    val sc = df.sparkSession.sparkContext
-    val basePath = new Path(base)
-    val driverFs = basePath.getFileSystem(sc.hadoopConfiguration)
-    if (overwrite && driverFs.exists(basePath))
-      driverFs.delete(basePath, true)
-    val run = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new Path(basePath, s".graft-staging-$run")
-    val stagingStr = staging.toString
-    var staged = df
-      .select(destCol.cast(org.apache.spark.sql.types.StringType)
-          .as("__dest"),
-        struct(payload.fieldNames.toSeq.map(col): _*).as("__row"))
-    if (colocate) staged = staged.repartition(col("__dest"))
-    try {
-      staged.foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
-          val s = new ASchema.Parser().parse(json)
-          val conf = new Configuration()
-          val writers = scala.collection.mutable.Map[
-            String, org.apache.avro.file.DataFileWriter[GenericRecord]]()
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          var failed: Throwable = null
-          try {
-            it.foreach { r =>
-              val dest = Option(r.getString(0)).getOrElse("")
-              val w = writers.getOrElseUpdate(dest, {
-                val dir = if (dest.isEmpty) new Path(stagingStr)
-                  else new Path(stagingStr, dest)
-                // run+partition naming (no attempt id): a RETRIED
-                // attempt recreates the same staged file with
-                // overwrite=true instead of stacking a duplicate
-                val p = new Path(dir, f"part-$pid%05d-$run.avro")
-                val fs = p.getFileSystem(conf)
-                val dfw = new org.apache.avro.file.DataFileWriter[
-                  GenericRecord](
-                  new org.apache.avro.generic.GenericDatumWriter[
-                    GenericRecord](s))
-                codecName.foreach(c => dfw.setCodec(
-                  org.apache.avro.file.CodecFactory.fromString(c)))
-                dfw.create(s, fs.create(p, true))
-                dfw
-              })
-              w.append(AvroCodec.rowToRecord(r.getStruct(1), payload, s))
-            }
-          } catch { case t: Throwable => failed = t; throw t }
-          finally writers.values.foreach { w =>
-            // close() flushes the final buffered block — a failure
-            // here IS data loss and must fail the task (unless the
-            // task is already failing, where close is best-effort
-            // cleanup)
-            try w.close()
-            catch { case t: Throwable => if (failed == null) throw t }
-          }
-        }
-      }
-      // job succeeded: move every staged file into the final layout,
-      // checking each rename (a silent false would lose the file
-      // when staging is deleted below)
-      if (driverFs.exists(staging)) {
-        val files = driverFs.listFiles(staging, true)
-        val stagingUri = staging.toUri.getPath
-        while (files.hasNext) {
-          val f = files.next()
-          if (f.isFile) {
-            val rel = f.getPath.toUri.getPath.stripPrefix(stagingUri)
-              .stripPrefix("/")
-            val target = new Path(basePath, rel)
-            Option(target.getParent).foreach(driverFs.mkdirs)
-            if (!driverFs.rename(f.getPath, target)) {
-              // do NOT fall through to the cleanup below — the
-              // un-moved files are the only copy of this run's data
-              throw new StagedRenameException(
-                s"avro write: rename ${f.getPath} -> $target failed; " +
-                  s"output left staged under $staging")
-            }
-          }
-        }
-        driverFs.delete(staging, true)
-      }
-    } catch {
-      case e: StagedRenameException => throw e
-      case e: Throwable =>
-        // failed job/attempt leftovers must not pollute the layout
-        if (driverFs.exists(staging)) driverFs.delete(staging, true)
-        throw e
-    }
-  }
-
-  /** Rename-phase failure: staging is intentionally preserved. */
-  private final class StagedRenameException(msg: String)
-    extends java.io.IOException(msg)
+      overwrite: Boolean, colocate: Boolean = true): Unit =
+    AvroFilesDynamic.writeDynamic(df, base, destCol, codec, overwrite,
+      colocate)
 
   /** Writer schema of the first non-empty data file under `paths`
     * (literal file, directory, or glob). */
