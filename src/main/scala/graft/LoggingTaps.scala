@@ -32,30 +32,50 @@ object LoggingTaps {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  private def emit(name: String,
+      row: org.apache.spark.sql.Row): Unit = {
+    val m = row.getValuesMap[Any](row.schema.fieldNames)
+    observed.put(name, m)
+    val (tag, level) = name.split('|') match {
+      case Array(n, l) => (n, l)
+      case _ => (name, "info")
+    }
+    val msg = s"[logging:$tag] $m"
+    level match {
+      case "trace" => log.trace(msg)
+      case "debug" => log.debug(msg)
+      case "warn" => log.warn(msg)
+      case "error" => log.error(msg)
+      case _ => log.info(msg)
+    }
+  }
+
   def register(spark: SparkSession): Unit =
-    if (registered.add(spark))
+    if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            val m = row.getValuesMap[Any](row.schema.fieldNames)
-            observed.put(name, m)
-            val (tag, level) = name.split('|') match {
-              case Array(n, l) => (n, l)
-              case _ => (name, "info")
-            }
-            val msg = s"[logging:$tag] $m"
-            level match {
-              case "trace" => log.trace(msg)
-              case "debug" => log.debug(msg)
-              case "warn" => log.warn(msg)
-              case "error" => log.error(msg)
-              case _ => log.info(msg)
-            }
+            emit(name, row)
           }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
+      // streaming taps surface per micro-batch through the streaming
+      // progress (observe works on streaming frames; only the
+      // delivery channel differs)
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            e.progress.observedMetrics.forEach { (name, row) =>
+              emit(name, row)
+            }
+          override def onQueryTerminated(
+              e: QueryTerminatedEvent): Unit = ()
+        })
+    }
 
   /** Attach an observation tap to a module output. Metric name
     * encodes the level so the listener (which only sees the name)

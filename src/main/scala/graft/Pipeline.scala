@@ -269,7 +269,9 @@ object Pipeline {
                   s"(has: ${outs.keys.toSeq.sorted.mkString(", ")})"))
             val target = lg.str("name").getOrElse(cfg.name)
             val level = lg.str("level").getOrElse("info")
-            outs.get(target).filterNot(_.isStreaming).foreach { d =>
+            // streaming frames tap too: observe() metrics surface
+            // per micro-batch through the StreamingQueryListener leg
+            outs.get(target).foreach { d =>
               outs = outs.updated(target,
                 LoggingTaps.tap(d, cfg.name, target, level))
             }
