@@ -195,6 +195,39 @@ class AvroFilesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overwrite|append"))
   }
 
+  test("avro dynamic overwrite is crash-safe: a failed job leaves " +
+      "the previous data intact and no staging") {
+    val dir = java.nio.file.Files.createTempDirectory("avrocrash")
+      .toString
+    val out = s"$dir/data"
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.ops.AvroFiles.writeDynamic(nation, out,
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("r="),
+        org.apache.spark.sql.functions.col("n_regionkey")),
+      None, overwrite = true)
+    assert(graft.ops.AvroFiles.read(spark, Seq(s"$out/*/"), None)
+      .count() === 25)
+    // second overwrite run whose job FAILS mid-write: the old
+    // destination must survive (sibling staging — nothing is deleted
+    // until the job succeeds) and staging must be cleaned up
+    val boom = org.apache.spark.sql.functions.udf((k: Long) =>
+      if (k >= 0) throw new RuntimeException("boom") else k)
+    intercept[org.apache.spark.SparkException] {
+      graft.ops.AvroFiles.writeDynamic(
+        nation.withColumn("n_nationkey", boom(col("n_nationkey"))),
+        out, org.apache.spark.sql.functions.lit("r=9"), None,
+        overwrite = true)
+    }
+    assert(graft.ops.AvroFiles.read(spark, Seq(s"$out/*/"), None)
+      .count() === 25)
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".graft-staging"))
+    assert(leftovers.isEmpty,
+      s"staging not cleaned: ${leftovers.map(_.getName).toSeq}")
+  }
+
   test("storage avro streaming raises the actionable slot error") {
     val e = intercept[IllegalStateException] {
       Pipeline.build(spark, s"""
