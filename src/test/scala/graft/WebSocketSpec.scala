@@ -123,6 +123,74 @@ class WebSocketSpec extends AnyFunSuite {
     throw new IllegalStateException("unreachable")
   }
 
+  test("websocket source: heartbeats fire on the timer and a dropped " +
+      "connection reconnects and resubscribes") {
+    val received =
+      new java.util.concurrent.LinkedBlockingQueue[String]()
+    // server that closes the socket after the subscription, forcing
+    // the client's reconnect path; the second connection stays up
+    val server = new ServerSocket(0)
+    @volatile var connections = 0
+    val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          connections += 1
+          val myConn = connections
+          val conn = new Thread(() => {
+            try {
+              val in = sock.getInputStream
+              val out = sock.getOutputStream
+              handshake(in, out)
+              received.put(readTextFrame(in)) // subscription
+              if (myConn == 1) sock.close() // drop first connection
+              else {
+                // second connection: collect heartbeats
+                while (!server.isClosed)
+                  received.put(readTextFrame(in))
+              }
+            } catch { case _: Throwable => }
+          }, "ws-hb-conn")
+          conn.setDaemon(true)
+          conn.start()
+        }
+      } catch { case _: Throwable => }
+    }, "ws-hb-server")
+    t.setDaemon(true)
+    t.start()
+    try {
+      Pipeline.execute(spark, s"""
+        |sources:
+        |  - name: hb
+        |    module: websocket
+        |    parameters:
+        |      endpoint: "ws://127.0.0.1:${server.getLocalPort}/"
+        |      requests: ["sub"]
+        |      heartbeatRequests: ["ping"]
+        |      heartbeatIntervalSeconds: 1
+        |      format: text
+        |sinks:
+        |  - name: hbout
+        |    module: memory
+        |    input: hb
+        |""".stripMargin)
+      def nextMsg(): String =
+        received.poll(20, java.util.concurrent.TimeUnit.SECONDS)
+      // first connection: subscription, then the server drops it
+      assert(nextMsg() === "sub")
+      // reconnect: the client resubscribes on the NEW connection
+      assert(nextMsg() === "sub")
+      assert(connections >= 2)
+      // heartbeats arrive on the live connection within the timer
+      val hb = Iterator.continually(nextMsg())
+        .take(5).find(_ == "ping")
+      assert(hb.contains("ping"), "no heartbeat within the window")
+    } finally {
+      StreamRunner.stopAll()
+      server.close()
+    }
+  }
+
   test("websocket source: subscribe, receive json frames, route " +
       "malformed payloads to failures") {
     val received =
