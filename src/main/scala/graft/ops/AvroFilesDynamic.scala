@@ -33,7 +33,14 @@ import org.apache.spark.util.SerializableConfiguration
   * would collapse the write into one task. Unlike parquet
   * `partitionBy`, partition fields stay IN the records. Executor-side
   * filesystem access uses the session's Hadoop configuration
-  * (credentials/endpoints), broadcast per job. */
+  * (credentials/endpoints), broadcast per job.
+  *
+  * Driver-side commit work is one rename per final file — with
+  * `colocate` that is one per destination (plus retried attempts'
+  * discards), the same order as the csv/json/parquet template path's
+  * per-destination rename loop and of Spark's own v1 file committer;
+  * destinations ≪ rows by construction, so the loop stays bounded at
+  * scale. */
 object AvroFilesDynamic {
 
   def writeDynamic(df: DataFrame, base: String,
