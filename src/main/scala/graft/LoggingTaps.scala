@@ -63,14 +63,21 @@ object LoggingTaps {
       })
       // streaming taps surface per micro-batch through the streaming
       // progress (observe works on streaming frames; only the
-      // delivery channel differs)
+      // delivery channel differs). foreachBatch-drained sinks (pane
+      // writers, failure drains) ALSO re-fire the batch listener when
+      // their inner action executes the micro-batch plan — skip the
+      // progress emit when that leg already recorded these exact
+      // values, so each batch logs once (cost: a repeat batch with
+      // byte-identical values skips its log line; `observed` stays
+      // correct either way)
       spark.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
           override def onQueryStarted(e: QueryStartedEvent): Unit = ()
           override def onQueryProgress(e: QueryProgressEvent): Unit =
             e.progress.observedMetrics.forEach { (name, row) =>
-              emit(name, row)
+              val m = row.getValuesMap[Any](row.schema.fieldNames)
+              if (observed.get(name) != m) emit(name, row)
             }
           override def onQueryTerminated(
               e: QueryTerminatedEvent): Unit = ()

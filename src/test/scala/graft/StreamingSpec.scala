@@ -615,34 +615,37 @@ class StreamingSpec extends AnyFunSuite {
       .toString
     stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 7200L, 5.0),
       (3L, 10800L, 9.0)))
-    graft.LoggingTaps.observed.remove("big.big|info")
-    Pipeline.execute(spark, s"""
-      |sources:
-      |  - name: ev
-      |    module: storage
-      |    parameters: {path: $dir/in, stream: true}
-      |transforms:
-      |  - name: big
-      |    module: filter
-      |    inputs: [ev]
-      |    loggings: [{name: big, level: info}]
-      |    parameters:
-      |      filters: [{key: value, op: ">", value: 2}]
-      |sinks:
-      |  - name: slogout
-      |    module: memory
-      |    input: big
-      |    parameters: {outputMode: append}
-      |""".stripMargin)
-    StreamRunner.drainAll()
-    // StreamingQueryListener delivery is async after the batch
-    val seen = (1 to 50).exists { _ =>
-      val m = graft.LoggingTaps.observed.get("big.big|info")
-      if (m == null) { Thread.sleep(100); false }
-      else { assert(m("count") == 2L); true }
-    }
-    assert(seen, "streaming observed metric never arrived")
-    StreamRunner.stopAll()
+    // module name distinct from PipelineSpec's batch tap test —
+    // `observed` is a process-global map and suites share the JVM
+    graft.LoggingTaps.observed.remove("sbig.sbig|info")
+    try {
+      Pipeline.execute(spark, s"""
+        |sources:
+        |  - name: ev
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |transforms:
+        |  - name: sbig
+        |    module: filter
+        |    inputs: [ev]
+        |    loggings: [{name: sbig, level: info}]
+        |    parameters:
+        |      filters: [{key: value, op: ">", value: 2}]
+        |sinks:
+        |  - name: slogout
+        |    module: memory
+        |    input: sbig
+        |    parameters: {outputMode: append}
+        |""".stripMargin)
+      StreamRunner.drainAll()
+      // StreamingQueryListener delivery is async after the batch
+      val seen = (1 to 50).exists { _ =>
+        val m = graft.LoggingTaps.observed.get("sbig.sbig|info")
+        if (m == null) { Thread.sleep(100); false }
+        else { assert(m("count") == 2L); true }
+      }
+      assert(seen, "streaming observed metric never arrived")
+    } finally StreamRunner.stopAll()
   }
 
   test("afterPane elementCountAtLeast: panes gated on count threshold") {
