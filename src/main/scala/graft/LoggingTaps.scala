@@ -32,21 +32,45 @@ object LoggingTaps {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  private def emit(name: String,
+  // last-emitted value signature per metric — the single atomic gate
+  // both delivery legs go through. foreachBatch-drained streaming
+  // sinks fire BOTH the batch QueryExecutionListener (their inner
+  // action) and the streaming progress, on independent async buses in
+  // either order; `putIfChanged` makes whichever arrives first emit
+  // and the other skip, so each batch logs once regardless of
+  // ordering. Signatures render arrays by value (Array.equals is
+  // reference equality). Cost: a repeat action with byte-identical
+  // values skips its log line; `observed` is updated either way.
+  private val lastEmitted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def signature(m: Map[String, Any]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      val s = v match {
+        case a: Array[_] => a.mkString("[", ",", "]")
+        case x => String.valueOf(x)
+      }
+      s"$k=$s"
+    }.mkString(";")
+
+  private def emitOnce(name: String,
       row: org.apache.spark.sql.Row): Unit = {
     val m = row.getValuesMap[Any](row.schema.fieldNames)
     observed.put(name, m)
-    val (tag, level) = name.split('|') match {
-      case Array(n, l) => (n, l)
-      case _ => (name, "info")
-    }
-    val msg = s"[logging:$tag] $m"
-    level match {
-      case "trace" => log.trace(msg)
-      case "debug" => log.debug(msg)
-      case "warn" => log.warn(msg)
-      case "error" => log.error(msg)
-      case _ => log.info(msg)
+    val sig = signature(m)
+    if (lastEmitted.put(name, sig) != sig) {
+      val (tag, level) = name.split('|') match {
+        case Array(n, l) => (n, l)
+        case _ => (name, "info")
+      }
+      val msg = s"[logging:$tag] $m"
+      level match {
+        case "trace" => log.trace(msg)
+        case "debug" => log.debug(msg)
+        case "warn" => log.warn(msg)
+        case "error" => log.error(msg)
+        case _ => log.info(msg)
+      }
     }
   }
 
@@ -56,28 +80,22 @@ object LoggingTaps {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            emit(name, row)
+            emitOnce(name, row)
           }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
       // streaming taps surface per micro-batch through the streaming
       // progress (observe works on streaming frames; only the
-      // delivery channel differs). foreachBatch-drained sinks (pane
-      // writers, failure drains) ALSO re-fire the batch listener when
-      // their inner action executes the micro-batch plan — skip the
-      // progress emit when that leg already recorded these exact
-      // values, so each batch logs once (cost: a repeat batch with
-      // byte-identical values skips its log line; `observed` stays
-      // correct either way)
+      // delivery channel differs); emitOnce dedupes against the
+      // batch-listener leg above in either delivery order
       spark.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
           override def onQueryStarted(e: QueryStartedEvent): Unit = ()
           override def onQueryProgress(e: QueryProgressEvent): Unit =
             e.progress.observedMetrics.forEach { (name, row) =>
-              val m = row.getValuesMap[Any](row.schema.fieldNames)
-              if (observed.get(name) != m) emit(name, row)
+              emitOnce(name, row)
             }
           override def onQueryTerminated(
               e: QueryTerminatedEvent): Unit = ()

@@ -128,6 +128,7 @@ object Pipeline {
     // a tracked frame (e.g. a batch http snapshot joined into a
     // stream); those frames fall to session cleanup (clearCache).
     val cacheScope = graft.ops.CacheTracker.beginScope()
+    var scopeClosed = false
     val queriesBefore = graft.streaming.StreamRunner.allQueries.size
     try {
       val (collections, actions) =
@@ -142,15 +143,28 @@ object Pipeline {
                 .failure.alterConfig
               catch { case _: Throwable => None }
             if (alter.isEmpty || depth >= 4 || sinksStarted.get) throw e
-            else return executeRec(spark, alter.get, args, context,
-              depth + 1)
+            else {
+              // the failed attempt's frames are orphans: no sink ran
+              // (sinksStarted guards the waits case, which rethrows
+              // above), so nothing — including any streaming query
+              // the RETRY starts — can reference them. Release here,
+              // before the retry frame opens its own scope, so the
+              // retry's streaming queries aren't mis-attributed to
+              // this frame in the finally below.
+              cacheScope.close(release = true)
+              scopeClosed = true
+              return executeRec(spark, alter.get, args, context,
+                depth + 1)
+            }
         }
       actions.foreach(_.apply())
       collections
     } finally {
-      val startedStreaming =
-        graft.streaming.StreamRunner.allQueries.size > queriesBefore
-      cacheScope.close(release = !startedStreaming)
+      if (!scopeClosed) {
+        val startedStreaming =
+          graft.streaming.StreamRunner.allQueries.size > queriesBefore
+        cacheScope.close(release = !startedStreaming)
+      }
     }
   }
 

@@ -51,8 +51,11 @@ object StorageSink {
       // csv/json/parquet (StorageSink.java:222-303): template paths
       // and partitionFields both route through writeDynamic; append
       // mode writes uniquely-named files next to prior runs.
-      // case-insensitive like Spark's DataFrameWriter.mode
-      val mode = p.str("mode").getOrElse("overwrite").toLowerCase
+      // case-insensitive like Spark's DataFrameWriter.mode (which
+      // lowercases with Locale.ROOT — default-locale lowercasing
+      // breaks "OVERWRITE" under Turkish-family locales)
+      val mode = p.str("mode").getOrElse("overwrite")
+        .toLowerCase(java.util.Locale.ROOT)
       // csv/json/parquet hand ignore/errorifexists to Spark's writer;
       // the avro path implements its modes itself and must not
       // silently treat them as a destructive overwrite

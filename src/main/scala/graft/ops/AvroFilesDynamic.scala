@@ -12,20 +12,23 @@ import org.apache.spark.util.SerializableConfiguration
   * `sink/StorageSink.java:222-303`).
   *
   * Commit protocol, in order:
-  *  1. tasks write attempt-unique files (`part-<pid>-a<attempt>-<run>
-  *     .avro`) into a run-scoped SIBLING staging dir — the existing
-  *     destination is untouched while the job runs, and concurrent
-  *     attempts of one partition (speculation, zombie retries) can
-  *     never interleave on one stream;
+  *  1. tasks write attempt-unique files into a run-scoped SIBLING
+  *     staging dir under an `.inprogress` suffix, and rename to the
+  *     committed name (`part-<pid>-a<attempt>-<run>.avro`) only after
+  *     a successful close — a killed or failed attempt (speculation,
+  *     zombie retries) leaves only `.inprogress` files, which the
+  *     commit step ignores, so a partial file can never be selected;
+  *     the existing destination is untouched while the job runs;
   *  2. only after the whole job succeeds: `overwrite` deletes the old
-  *     base, then the driver picks the HIGHEST attempt per
-  *     (destination, partition) — the one whose task Spark saw
-  *     complete last — renames it to its final `part-<pid>-<run>
-  *     .avro` path (each rename checked), and drops earlier attempts'
-  *     leftovers;
-  *  3. staging is removed — kept in place only when a rename failed
-  *     (the staged files are then the only copy, and the error names
-  *     the dir); cleanup failures never mask the job's own error.
+  *     base (delete checked), then the driver picks one committed
+  *     attempt per (destination, partition) — all committed attempts
+  *     hold the complete partition, the highest id is taken for
+  *     determinism — renames it to its final `part-<pid>-<run>.avro`
+  *     path (each rename checked), and drops other attempts' files;
+  *  3. staging is removed — kept in place when any commit-phase step
+  *     failed after the job succeeded (the staged files may then be
+  *     the only copy, and the error names the dir); cleanup failures
+  *     never mask the job's own error.
   *
   * `colocate` adds the one shuffle that places each destination in a
   * single task (one file per destination); pass `colocate = false`
@@ -75,8 +78,10 @@ object AvroFilesDynamic {
     def writeTask(it: Iterator[Row]): Unit = if (it.hasNext) {
       val s = new ASchema.Parser().parse(json)
       val conf = bconf.value
-      val writers = scala.collection.mutable.Map[
-        String, org.apache.avro.file.DataFileWriter[GenericRecord]]()
+      // dest -> (writer, in-progress path, committed path)
+      val writers = scala.collection.mutable.Map[String,
+        (org.apache.avro.file.DataFileWriter[GenericRecord],
+          Path, Path)]()
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
       val attempt = tc.taskAttemptId()
@@ -84,19 +89,21 @@ object AvroFilesDynamic {
       try {
         it.foreach { r =>
           val dest = Option(r.getString(0)).getOrElse("")
-          val w = writers.getOrElseUpdate(dest, {
+          val (w, _, _) = writers.getOrElseUpdate(dest, {
             val dir = if (dest.isEmpty) new Path(stagingStr)
               else new Path(stagingStr, dest)
-            val p = new Path(dir, f"part-$pid%05d-a$attempt-$run.avro")
-            val fs = p.getFileSystem(conf)
+            val done = new Path(dir,
+              f"part-$pid%05d-a$attempt-$run.avro")
+            val tmp = done.suffix(".inprogress")
+            val fs = tmp.getFileSystem(conf)
             val dfw = new org.apache.avro.file.DataFileWriter[
               GenericRecord](
               new org.apache.avro.generic.GenericDatumWriter[
                 GenericRecord](s))
             codecName.foreach(c => dfw.setCodec(
               org.apache.avro.file.CodecFactory.fromString(c)))
-            dfw.create(s, fs.create(p, true))
-            dfw
+            dfw.create(s, fs.create(tmp, true))
+            (dfw, tmp, done)
           })
           w.append(AvroCodec.rowToRecord(r.getStruct(1), payload, s))
         }
@@ -105,7 +112,7 @@ object AvroFilesDynamic {
         // close() flushes each writer's final buffered block — a
         // failure IS data loss and must fail the task, but every
         // writer still gets closed (no leaked streams/leases)
-        writers.values.foreach { w =>
+        writers.values.foreach { case (w, _, _) =>
           try w.close()
           catch {
             case t: Throwable => if (failed == null) failed = t
@@ -113,59 +120,79 @@ object AvroFilesDynamic {
         }
         if (failed != null) throw failed
       }
+      // only a fully-written-and-closed attempt commits its files; a
+      // task killed or failed anywhere above leaves `.inprogress`
+      // names the driver-side commit step never matches
+      writers.values.foreach { case (_, tmp, done) =>
+        val fs = tmp.getFileSystem(conf)
+        if (!fs.rename(tmp, done))
+          throw new java.io.IOException(
+            s"avro write: task commit rename $tmp -> $done failed")
+      }
     }
 
-    var renameFailed = false
+    // set once the job has succeeded and a commit-phase step failed:
+    // from that point the staged files may be the ONLY copy of the
+    // data (overwrite deletes the old base first), so cleanup must
+    // leave them in place for manual recovery
+    var preserveStaging = false
     try {
       stagedDf.foreachPartition(writeTask _)
       // ---- job succeeded; commit ----
-      if (overwrite && driverFs.exists(basePath))
-        driverFs.delete(basePath, true)
-      if (driverFs.exists(staging)) {
-        // highest attempt per (destination, partition) wins — it is
-        // the attempt whose completion Spark recorded; earlier
-        // attempts' files (partial or complete) are dropped
-        val staged = scala.collection.mutable.ArrayBuffer[
-          (String, Int, Long, Path)]()
-        val AttemptName = """part-(\d+)-a(\d+)-.*\.avro""".r
-        val files = driverFs.listFiles(staging, true)
-        val stagingPrefix = staging.toUri.getPath
-        while (files.hasNext) {
-          val f = files.next()
-          if (f.isFile) {
-            val rel = f.getPath.toUri.getPath
-              .stripPrefix(stagingPrefix).stripPrefix("/")
-            val dir = rel.lastIndexOf('/') match {
-              case -1 => ""
-              case i => rel.substring(0, i)
-            }
-            f.getPath.getName match {
-              case AttemptName(p, a) =>
-                staged += ((dir, p.toInt, a.toLong, f.getPath))
-              case _ => // foreign file in staging: ignore
+      try {
+        if (overwrite && driverFs.exists(basePath) &&
+            !driverFs.delete(basePath, true))
+          throw new java.io.IOException(
+            s"avro write: deleting $basePath for overwrite failed; " +
+              s"output left staged under $staging")
+        if (driverFs.exists(staging)) {
+          // each committed (task-renamed) attempt holds the complete
+          // partition — pick the highest id per (destination,
+          // partition) for determinism, drop the rest; `.inprogress`
+          // leftovers of killed attempts never match the pattern
+          val staged = scala.collection.mutable.ArrayBuffer[
+            (String, Int, Long, Path)]()
+          val AttemptName = """part-(\d+)-a(\d+)-.*\.avro""".r
+          val files = driverFs.listFiles(staging, true)
+          val stagingPrefix = staging.toUri.getPath
+          while (files.hasNext) {
+            val f = files.next()
+            if (f.isFile) {
+              val rel = f.getPath.toUri.getPath
+                .stripPrefix(stagingPrefix).stripPrefix("/")
+              val dir = rel.lastIndexOf('/') match {
+                case -1 => ""
+                case i => rel.substring(0, i)
+              }
+              f.getPath.getName match {
+                case AttemptName(p, a) =>
+                  staged += ((dir, p.toInt, a.toLong, f.getPath))
+                case _ => // foreign/in-progress file: ignore
+              }
             }
           }
+          staged.groupBy(e => (e._1, e._2)).foreach {
+            case ((dir, pid), attempts) =>
+              val winner = attempts.maxBy(_._3)._4
+              val targetDir =
+                if (dir.isEmpty) basePath else new Path(basePath, dir)
+              driverFs.mkdirs(targetDir)
+              val target = new Path(targetDir,
+                f"part-$pid%05d-$run.avro")
+              if (!driverFs.rename(winner, target))
+                throw new java.io.IOException(
+                  s"avro write: rename $winner -> $target failed; " +
+                    s"output left staged under $staging")
+          }
         }
-        staged.groupBy(e => (e._1, e._2)).foreach {
-          case ((dir, pid), attempts) =>
-            val winner = attempts.maxBy(_._3)._4
-            val targetDir =
-              if (dir.isEmpty) basePath else new Path(basePath, dir)
-            driverFs.mkdirs(targetDir)
-            val target = new Path(targetDir,
-              f"part-$pid%05d-$run.avro")
-            if (!driverFs.rename(winner, target)) {
-              renameFailed = true
-              throw new java.io.IOException(
-                s"avro write: rename $winner -> $target failed; " +
-                  s"output left staged under $staging")
-            }
-        }
+      } catch {
+        // ANY commit-phase failure (delete, mkdirs, listFiles or
+        // rename returning false OR throwing) preserves staging
+        case t: Throwable => preserveStaging = true; throw t
       }
     } finally {
-      // cleanup must never mask the real error; staging is preserved
-      // only when a rename failed (staged files are the only copy)
-      if (!renameFailed)
+      // cleanup must never mask the real error
+      if (!preserveStaging)
         try {
           if (driverFs.exists(staging)) driverFs.delete(staging, true)
         } catch { case _: Throwable => }

@@ -176,10 +176,16 @@ class WebSocketSpec extends AnyFunSuite {
         |""".stripMargin)
       def nextMsg(): String =
         received.poll(20, java.util.concurrent.TimeUnit.SECONDS)
+      // the 1 s heartbeat timer runs independently of connection
+      // state, so a "ping" can land before either subscription frame
+      // (e.g. between reconnect and the resubscribe send) — skip
+      // pings when waiting for the subs
+      def nextSub(): String = Iterator.continually(nextMsg())
+        .dropWhile(_ == "ping").next()
       // first connection: subscription, then the server drops it
-      assert(nextMsg() === "sub")
+      assert(nextSub() === "sub")
       // reconnect: the client resubscribes on the NEW connection
-      assert(nextMsg() === "sub")
+      assert(nextSub() === "sub")
       assert(connections >= 2)
       // heartbeats arrive on the live connection within the timer
       val hb = Iterator.continually(nextMsg())
