@@ -36,9 +36,9 @@ object LoggingTaps {
   // both delivery legs go through. foreachBatch-drained streaming
   // sinks fire BOTH the batch QueryExecutionListener (their inner
   // action) and the streaming progress, on independent async buses in
-  // either order; `putIfChanged` makes whichever arrives first emit
-  // and the other skip, so each batch logs once regardless of
-  // ordering. Signatures render arrays by value (Array.equals is
+  // either order; the atomic put-and-compare in emitOnce makes
+  // whichever arrives first emit and the other skip, so each batch
+  // logs once regardless of ordering. Signatures render arrays by value (Array.equals is
   // reference equality). Cost: a repeat action with byte-identical
   // values skips its log line; `observed` is updated either way.
   private val lastEmitted =

@@ -234,6 +234,55 @@ class ConfigSpec extends AnyFunSuite {
     assert(spark.read.parquet(out.toString).count() == 3)
   }
 
+  test("alterConfig retry releases the failed attempt's " +
+      "operator-persisted frames") {
+    spark.catalog.clearCache()
+    val dir = Files.createTempDirectory("graft-alter-rel")
+    val out = dir.resolve("out")
+    val alter = dir.resolve("alter.json")
+    Files.write(alter,
+      s"""{
+         |  $elems,
+         |  "sinks": [{
+         |    "name": "snk", "module": "storage", "inputs": ["in"],
+         |    "parameters": {"path": "${out.toString}", "format": "parquet"}
+         |  }]
+         |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    // dedup ngram trackPersists candidate frames while ITS graph
+    // builds; the downstream bad module then fails construction, so
+    // the alterConfig retry runs — the failed attempt's persists are
+    // orphans and must be released, not accreted for the session
+    Pipeline.execute(spark, s"""
+      |system:
+      |  failure: {alterConfig: "${alter.toString}"}
+      |sources:
+      |  - name: docs
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/documents.parquet}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [docs]
+      |    parameters:
+      |      method: ngram
+      |      field: text
+      |      idField: doc_id
+      |      ngramSize: 5
+      |      threshold: 0.7
+      |  - name: boom
+      |    module: select
+      |    inputs: [dd]
+      |    parameters:
+      |      select:
+      |        - {func: concat, fields: [doc_id]}
+      |""".stripMargin)
+    assert(spark.read.parquet(out.toString).count() == 3)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "failed attempt's cached RDDs leaked past the alterConfig " +
+        "retry: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name))
+  }
+
   test("config text may be a local file path or data: base64") {
     val dir = Files.createTempDirectory("graft-cfgfile")
     val f = dir.resolve("p.json")

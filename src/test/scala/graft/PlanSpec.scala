@@ -89,4 +89,24 @@ class PlanSpec extends AnyFunSuite {
       "per-line window count funnels every occurrence of a hot line " +
         "into one partition")
   }
+
+  // codec paths: the only allowed Exchange is the deliberate
+  // round-robin widen that spreads codec CPU across cores — a
+  // hash/range exchange would mean the per-row encode/decode path
+  // acquired a keyed shuffle it does not need
+  private def assertNoKeyedShuffle(q: String): Unit = {
+    val p = plan(q)
+    val keyed = p.linesIterator.filter(l => l.contains("Exchange") &&
+      (l.contains("hashpartitioning") || l.contains("rangepartitioning")))
+    assert(keyed.isEmpty,
+      s"codec path shuffles on a key: ${keyed.mkString("; ")}")
+  }
+
+  test("q59 protobuf roundtrip has no keyed shuffle") {
+    assertNoKeyedShuffle("q59_protobuf_roundtrip")
+  }
+
+  test("q54 avro byte roundtrip has no keyed shuffle") {
+    assertNoKeyedShuffle("q54_avro_roundtrip")
+  }
 }

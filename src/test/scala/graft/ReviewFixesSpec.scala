@@ -341,6 +341,26 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/final").count() === 2)
   }
 
+  test("CacheTracker scopes are isolated: closing one run's scope " +
+      "releases its frames only") {
+    import graft.ops.CacheTracker
+    val outer = CacheTracker.beginScope()
+    val a = CacheTracker.trackPersist(Seq(1, 2).toDF("x"))
+    a.count()
+    // nested scope (alterConfig retry / reentrant execute): its
+    // release must not touch the outer scope's frames
+    val inner = CacheTracker.beginScope()
+    val b = CacheTracker.trackPersist(Seq(3).toDF("y"))
+    b.count()
+    inner.close(release = true)
+    Thread.sleep(200) // unpersist is async
+    assert(a.storageLevel.useMemory, "outer frame released by inner scope")
+    assert(!b.storageLevel.useMemory, "inner frame not released")
+    outer.close(release = true)
+    Thread.sleep(200)
+    assert(!a.storageLevel.useMemory, "outer frame survived its close")
+  }
+
   test("crypto validates the key's UTF-8 byte length") {
     val e = intercept[IllegalArgumentException] {
       Pipeline.build(spark, """

@@ -110,6 +110,18 @@ object ScaleMain {
     time("avro-read") {
       graft.ops.AvroFiles.read(spark, Seq(avroDir), None)
     }
+    // q63 path at scale: dynamic-destination write — per-task
+    // streaming writers, .inprogress finalize, one driver rename per
+    // (destination, partition); destination count stays fixed as the
+    // corpus grows, so driver commit work must not scale with rows
+    val dynDir = java.nio.file.Files
+      .createTempDirectory("scale-avro-dyn").toString + "/docs"
+    val tDyn = System.nanoTime()
+    graft.ops.AvroFilesDynamic.writeDynamic(docs, dynDir,
+      concat(lit("d="), pmod(col("doc_id"), lit(16))), None,
+      overwrite = true)
+    println(f"SCALE avro-write-dynamic    " +
+      f"${(System.nanoTime() - tDyn) / 1e9}%6.2f s")
     }
     docs.unpersist()
 
