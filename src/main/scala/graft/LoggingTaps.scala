@@ -15,12 +15,28 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * pushdown loss — surfaced through a QueryExecutionListener at the
   * configured level. The observed metrics of the last completed
   * action are also kept in `observed` for tests and the Run CLI.
+  *
+  * Delivery ownership: a tap on a STREAMING frame carries a `|s`
+  * marker in its metric name (set at `tap()` time, where
+  * `df.isStreaming` is known). foreachBatch-drained streaming sinks
+  * fire BOTH the batch QueryExecutionListener (their inner action)
+  * and the streaming progress, on independent async buses in either
+  * order — so the streaming-progress leg owns `|s` metrics
+  * exclusively and the batch listener skips them. Each leg then
+  * emits unconditionally: one log line per batch action, one per
+  * micro-batch, with no cross-bus value comparison (a value-based
+  * gate would drop steady-state batches whose counts repeat, and
+  * re-order across batch boundaries).
   */
 object LoggingTaps {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** metric name → observed values of the most recent action. */
+  /** Suffix marking a metric observed on a streaming frame. */
+  private val StreamMark = "|s"
+
+  /** metric name (`module.name|level`, marker stripped) → observed
+    * values of the most recent action / micro-batch. */
   val observed = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Any]]()
 
@@ -32,45 +48,22 @@ object LoggingTaps {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  // last-emitted value signature per metric — the single atomic gate
-  // both delivery legs go through. foreachBatch-drained streaming
-  // sinks fire BOTH the batch QueryExecutionListener (their inner
-  // action) and the streaming progress, on independent async buses in
-  // either order; the atomic put-and-compare in emitOnce makes
-  // whichever arrives first emit and the other skip, so each batch
-  // logs once regardless of ordering. Signatures render arrays by value (Array.equals is
-  // reference equality). Cost: a repeat action with byte-identical
-  // values skips its log line; `observed` is updated either way.
-  private val lastEmitted =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def signature(m: Map[String, Any]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) =>
-      val s = v match {
-        case a: Array[_] => a.mkString("[", ",", "]")
-        case x => String.valueOf(x)
-      }
-      s"$k=$s"
-    }.mkString(";")
-
-  private def emitOnce(name: String,
+  private def emit(name: String,
       row: org.apache.spark.sql.Row): Unit = {
+    val key = name.stripSuffix(StreamMark)
     val m = row.getValuesMap[Any](row.schema.fieldNames)
-    observed.put(name, m)
-    val sig = signature(m)
-    if (lastEmitted.put(name, sig) != sig) {
-      val (tag, level) = name.split('|') match {
-        case Array(n, l) => (n, l)
-        case _ => (name, "info")
-      }
-      val msg = s"[logging:$tag] $m"
-      level match {
-        case "trace" => log.trace(msg)
-        case "debug" => log.debug(msg)
-        case "warn" => log.warn(msg)
-        case "error" => log.error(msg)
-        case _ => log.info(msg)
-      }
+    observed.put(key, m)
+    val (tag, level) = key.split('|') match {
+      case Array(n, l) => (n, l)
+      case _ => (key, "info")
+    }
+    val msg = s"[logging:$tag] $m"
+    level match {
+      case "trace" => log.trace(msg)
+      case "debug" => log.debug(msg)
+      case "warn" => log.warn(msg)
+      case "error" => log.error(msg)
+      case _ => log.info(msg)
     }
   }
 
@@ -80,22 +73,24 @@ object LoggingTaps {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            emitOnce(name, row)
+            // streaming-marked metrics (seen here when a foreachBatch
+            // inner action executes the observed plan) belong to the
+            // streaming-progress leg below
+            if (!name.endsWith(StreamMark)) emit(name, row)
           }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
-      // streaming taps surface per micro-batch through the streaming
-      // progress (observe works on streaming frames; only the
-      // delivery channel differs); emitOnce dedupes against the
-      // batch-listener leg above in either delivery order
+      // streaming taps surface once per micro-batch through the
+      // streaming progress, which reports each observe exactly once
+      // per batch regardless of how the sink drains it
       spark.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
           override def onQueryStarted(e: QueryStartedEvent): Unit = ()
           override def onQueryProgress(e: QueryProgressEvent): Unit =
             e.progress.observedMetrics.forEach { (name, row) =>
-              emitOnce(name, row)
+              if (name.endsWith(StreamMark)) emit(name, row)
             }
           override def onQueryTerminated(
               e: QueryTerminatedEvent): Unit = ()
@@ -103,11 +98,13 @@ object LoggingTaps {
     }
 
   /** Attach an observation tap to a module output. Metric name
-    * encodes the level so the listener (which only sees the name)
-    * can honor it. Streaming frames support observe too; their
-    * metrics surface via streaming progress instead of this
-    * listener. */
+    * encodes the level (and, for streaming frames, the `|s` delivery
+    * marker) so the listeners — which only see the name — can honor
+    * both. */
   def tap(df: DataFrame, module: String, name: String,
-      level: String): DataFrame =
-    df.observe(s"$module.$name|$level", count(lit(1)).as("count"))
+      level: String): DataFrame = {
+    val mark = if (df.isStreaming) StreamMark else ""
+    df.observe(s"$module.$name|$level$mark",
+      count(lit(1)).as("count"))
+  }
 }

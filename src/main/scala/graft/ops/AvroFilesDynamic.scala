@@ -62,12 +62,27 @@ object AvroFilesDynamic {
     val run = java.util.UUID.randomUUID().toString.take(8)
     // SIBLING staging: the old destination stays intact until the job
     // has succeeded, so overwrite is crash-safe (nothing is deleted
-    // on a failed run)
-    val parent = Option(basePath.getParent).getOrElse(basePath)
-    driverFs.mkdirs(parent)
+    // on a failed run). When basePath IS a filesystem/bucket root it
+    // has no sibling — staging then lives UNDER basePath and the
+    // overwrite step below spares it explicitly (deleting basePath
+    // recursively would wipe the freshly staged data too).
+    val parentOpt = Option(basePath.getParent)
+    val stagingParent = parentOpt.getOrElse(basePath)
+    driverFs.mkdirs(stagingParent)
     val staging = driverFs.makeQualified(
-      new Path(parent, s".graft-staging-$run-${basePath.getName}"))
+      new Path(stagingParent,
+        s".graft-staging-$run-${basePath.getName}"))
     val stagingStr = staging.toString
+    // run-liveness marker: tasks refuse to (re)create staged files
+    // once the driver has finalized the run and removed staging, so a
+    // zombie/speculative attempt that outlives the job cannot
+    // resurrect an orphaned .graft-staging-* dir (a narrow
+    // check-then-create race remains — it can leave at most one
+    // attempt's `.inprogress` files, never committed data)
+    val marker = new Path(staging, "_GRAFT_RUNNING")
+    driverFs.mkdirs(staging)
+    driverFs.create(marker, true).close()
+    val markerStr = marker.toString
     val bconf = new SerializableConfiguration(hconf)
     var stagedDf = df
       .select(destCol.cast(org.apache.spark.sql.types.StringType)
@@ -96,6 +111,13 @@ object AvroFilesDynamic {
               f"part-$pid%05d-a$attempt-$run.avro")
             val tmp = done.suffix(".inprogress")
             val fs = tmp.getFileSystem(conf)
+            // zombie guard: once the driver finalized the run the
+            // marker is gone — creating a file now would resurrect
+            // the staging dir nothing will ever clean up
+            if (!fs.exists(new Path(markerStr)))
+              throw new java.io.IOException(
+                "avro write: stale task attempt — run already " +
+                  s"finalized (missing $markerStr)")
             val dfw = new org.apache.avro.file.DataFileWriter[
               GenericRecord](
               new org.apache.avro.generic.GenericDatumWriter[
@@ -140,11 +162,25 @@ object AvroFilesDynamic {
       stagedDf.foreachPartition(writeTask _)
       // ---- job succeeded; commit ----
       try {
-        if (overwrite && driverFs.exists(basePath) &&
-            !driverFs.delete(basePath, true))
-          throw new java.io.IOException(
-            s"avro write: deleting $basePath for overwrite failed; " +
-              s"output left staged under $staging")
+        if (overwrite && driverFs.exists(basePath)) {
+          if (parentOpt.isDefined) {
+            if (!driverFs.delete(basePath, true))
+              throw new java.io.IOException(
+                s"avro write: deleting $basePath for overwrite " +
+                  s"failed; output left staged under $staging")
+          } else
+            // basePath is a root: staging lives under it, so delete
+            // the old contents child-by-child, sparing staging
+            driverFs.listStatus(basePath)
+              .filterNot(_.getPath.getName == staging.getName)
+              .foreach { st =>
+                if (!driverFs.delete(st.getPath, true))
+                  throw new java.io.IOException(
+                    s"avro write: deleting ${st.getPath} for " +
+                      s"overwrite failed; output left staged under " +
+                      s"$staging")
+              }
+        }
         if (driverFs.exists(staging)) {
           // each committed (task-renamed) attempt holds the complete
           // partition — pick the highest id per (destination,

@@ -180,8 +180,13 @@ class WebSocketSpec extends AnyFunSuite {
       // state, so a "ping" can land before either subscription frame
       // (e.g. between reconnect and the resubscribe send) — skip
       // pings when waiting for the subs
+      // bounded: if resubscribe-on-reconnect ever breaks while the
+      // heartbeat timer keeps feeding pings, an unbounded dropWhile
+      // would spin forever — cap the skip so the test FAILS instead
+      // of hanging
       def nextSub(): String = Iterator.continually(nextMsg())
-        .dropWhile(_ == "ping").next()
+        .take(30).dropWhile(_ == "ping")
+        .nextOption().orNull
       // first connection: subscription, then the server drops it
       assert(nextSub() === "sub")
       // reconnect: the client resubscribes on the NEW connection
