@@ -297,6 +297,18 @@ object TextFunctions {
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
 
+  /** Jaccard for arrays already known element-distinct: |a∪b| =
+    * |a|+|b|−|a∩b|, so the union's second hash-set build is replaced
+    * by two O(1) lengths — same integer counts, bit-identical result.
+    * Only valid when BOTH inputs are deduplicated (e.g. via
+    * `array_distinct`); on arrays with repeats it overcounts the
+    * union. */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast(DoubleType) /
+      (size(a) + size(b) - inter).cast(DoubleType)
+  }
+
   /** Cosine similarity of two float-array embeddings. Tight-loop UDF:
     * Catalyst higher-order functions are interpreted per element
     * (zip_with + aggregate ≈ 3 lambda dispatches per dim per row),

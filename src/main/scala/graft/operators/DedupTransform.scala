@@ -265,7 +265,10 @@ object DedupTransform {
       .join(candGrams
         .select(col("__cid").as("__rep_id"),
           col("__cg").as("__g_rep")), "__rep_id")
-      .filter(jaccard(col("__g"), col("__g_rep")) >= threshold)
+      // both gram arrays are array_distinct'd above, so the
+      // single-set-build jaccard applies (skips the union's second
+      // hash set per pair — the verify filter's dominant cost)
+      .filter(jaccardDistinct(col("__g"), col("__g_rep")) >= threshold)
       .groupBy(col("__id"))
       .agg(min("__rep_id").as("__dup_of"))
     df.join(verified, col(idField) === verified("__id"), "left")
