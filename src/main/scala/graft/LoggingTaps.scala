@@ -27,6 +27,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * micro-batch, with no cross-bus value comparison (a value-based
   * gate would drop steady-state batches whose counts repeat, and
   * re-order across batch boundaries).
+  *
+  * Metrics NOT created by `tap()` (user-made `Dataset.observe`) are
+  * surfaced by both legs verbatim; a user observe on a
+  * foreachBatch-drained stream may therefore log per batch on each
+  * bus — the engine's own taps never do.
   */
 object LoggingTaps {
 
@@ -90,7 +95,11 @@ object LoggingTaps {
           override def onQueryStarted(e: QueryStartedEvent): Unit = ()
           override def onQueryProgress(e: QueryProgressEvent): Unit =
             e.progress.observedMetrics.forEach { (name, row) =>
-              if (name.endsWith(StreamMark)) emit(name, row)
+              // unmarked metrics here are user-made Dataset.observe
+              // calls on streaming frames (every tap() on a streaming
+              // frame carries the marker) — surface those too rather
+              // than silently dropping them
+              emit(name, row)
             }
           override def onQueryTerminated(
               e: QueryTerminatedEvent): Unit = ()
@@ -103,8 +112,16 @@ object LoggingTaps {
     * both. */
   def tap(df: DataFrame, module: String, name: String,
       level: String): DataFrame = {
+    // normalize: the level and tag are embedded in the metric name,
+    // so an unknown level (e.g. a config typo of "s") or a '|' in a
+    // tag must not be able to forge the delivery marker or break the
+    // name parse — unknown levels log at info, as before
+    val lvl = level match {
+      case "trace" | "debug" | "info" | "warn" | "error" => level
+      case _ => "info"
+    }
+    val tag = s"$module.$name".replace("|", "_")
     val mark = if (df.isStreaming) StreamMark else ""
-    df.observe(s"$module.$name|$level$mark",
-      count(lit(1)).as("count"))
+    df.observe(s"$tag|$lvl$mark", count(lit(1)).as("count"))
   }
 }

@@ -100,6 +100,12 @@ object AvroFilesDynamic {
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
       val attempt = tc.taskAttemptId()
+      // zombie guard, checked once per task at its first writer
+      // creation: a live task's creates always precede job end (the
+      // job waits on it), so only a zombie/speculative attempt that
+      // outlived the run can see the marker gone — one existence RPC
+      // per task, not per destination
+      var markerChecked = false
       var failed: Throwable = null
       try {
         it.foreach { r =>
@@ -111,13 +117,16 @@ object AvroFilesDynamic {
               f"part-$pid%05d-a$attempt-$run.avro")
             val tmp = done.suffix(".inprogress")
             val fs = tmp.getFileSystem(conf)
-            // zombie guard: once the driver finalized the run the
-            // marker is gone — creating a file now would resurrect
-            // the staging dir nothing will ever clean up
-            if (!fs.exists(new Path(markerStr)))
-              throw new java.io.IOException(
-                "avro write: stale task attempt — run already " +
-                  s"finalized (missing $markerStr)")
+            // once the driver finalized the run the marker is gone —
+            // creating a file now would resurrect the staging dir
+            // nothing will ever clean up
+            if (!markerChecked) {
+              if (!fs.exists(new Path(markerStr)))
+                throw new java.io.IOException(
+                  "avro write: stale task attempt — run already " +
+                    s"finalized (missing $markerStr)")
+              markerChecked = true
+            }
             val dfw = new org.apache.avro.file.DataFileWriter[
               GenericRecord](
               new org.apache.avro.generic.GenericDatumWriter[
@@ -170,9 +179,13 @@ object AvroFilesDynamic {
                   s"failed; output left staged under $staging")
           } else
             // basePath is a root: staging lives under it, so delete
-            // the old contents child-by-child, sparing staging
+            // the old contents child-by-child, sparing EVERY
+            // .graft-staging-* dir — not just this run's: a prior
+            // failed commit's preserved staging may be the only copy
+            // of that run's data, and a concurrent run's staging is
+            // live
             driverFs.listStatus(basePath)
-              .filterNot(_.getPath.getName == staging.getName)
+              .filterNot(_.getPath.getName.startsWith(".graft-staging-"))
               .foreach { st =>
                 if (!driverFs.delete(st.getPath, true))
                   throw new java.io.IOException(
