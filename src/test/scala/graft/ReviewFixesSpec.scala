@@ -361,6 +361,40 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(!a.storageLevel.useMemory, "outer frame survived its close")
   }
 
+  test("tap normalizes unknown logging levels so they cannot forge " +
+      "the streaming delivery marker") {
+    // a config typo of `level: s` would otherwise build the metric
+    // name "m.n|s", which the batch listener skips as stream-marked
+    // and the tap silently vanishes
+    val df = Seq(1, 2, 3).toDF("v")
+    graft.LoggingTaps.register(spark)
+    graft.LoggingTaps.observed.remove("m.n|info")
+    graft.LoggingTaps.tap(df, "m", "n", "s").count()
+    val eventually = (1 to 50).exists { _ =>
+      val m = graft.LoggingTaps.observed.get("m.n|info")
+      if (m == null) { Thread.sleep(100); false }
+      else { assert(m("count") == 3L); true }
+    }
+    assert(eventually, "tap with unknown level never surfaced")
+  }
+
+  test("jaccardDistinct equals the two-set jaccard on distinct arrays") {
+    import graft.functions.TextFunctions.{jaccard, jaccardDistinct}
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      def arr() = rnd.shuffle(('a' to 'z').map(_.toString))
+        .take(1 + rnd.nextInt(25)).toSeq
+      (i, arr(), arr())
+    }
+    val df = rows.toDF("i", "a", "b")
+      .select(jaccard($"a", $"b").as("j"),
+        jaccardDistinct($"a", $"b").as("jd"))
+    // bit-identical, not approximately equal: the identity
+    // |a∪b| = |a|+|b|−|a∩b| holds exactly for distinct inputs
+    assert(df.filter($"j" =!= $"jd" ||
+      ($"j".isNull =!= $"jd".isNull)).count() === 0)
+  }
+
   test("crypto validates the key's UTF-8 byte length") {
     val e = intercept[IllegalArgumentException] {
       Pipeline.build(spark, """
