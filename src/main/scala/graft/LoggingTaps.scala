@@ -37,8 +37,18 @@ object LoggingTaps {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Suffix marking a metric observed on a streaming frame. */
+  /** Suffix marking a tap metric observed on a streaming frame (kept
+    * in the NAME so the two same-named taps of a batch and a
+    * streaming pipeline sharing one session stay distinct). */
   private val StreamMark = "|s"
+
+  /** Names `tap()` created for streaming frames — the authoritative
+    * ownership set: the batch listener skips exactly these (their
+    * delivery belongs to the streaming-progress leg), so a user-made
+    * `Dataset.observe` whose name merely ends in "|s" is untouched.
+    * One entry per configured streaming tap; bounded. */
+  private val streamTapNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** metric name (`module.name|level`, marker stripped) → observed
     * values of the most recent action / micro-batch. */
@@ -55,7 +65,10 @@ object LoggingTaps {
 
   private def emit(name: String,
       row: org.apache.spark.sql.Row): Unit = {
-    val key = name.stripSuffix(StreamMark)
+    // strip the marker only from our own tap names — a user metric
+    // that happens to end in "|s" keeps its key verbatim
+    val key = if (streamTapNames.contains(name))
+      name.stripSuffix(StreamMark) else name
     val m = row.getValuesMap[Any](row.schema.fieldNames)
     observed.put(key, m)
     val (tag, level) = key.split('|') match {
@@ -78,10 +91,11 @@ object LoggingTaps {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            // streaming-marked metrics (seen here when a foreachBatch
-            // inner action executes the observed plan) belong to the
-            // streaming-progress leg below
-            if (!name.endsWith(StreamMark)) emit(name, row)
+            // our streaming-tap metrics (seen here when a
+            // foreachBatch inner action executes the observed plan)
+            // belong to the streaming-progress leg below; everything
+            // else — batch taps and user observes — emits here
+            if (!streamTapNames.contains(name)) emit(name, row)
           }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
@@ -122,6 +136,8 @@ object LoggingTaps {
     }
     val tag = s"$module.$name".replace("|", "_")
     val mark = if (df.isStreaming) StreamMark else ""
-    df.observe(s"$tag|$lvl$mark", count(lit(1)).as("count"))
+    val metric = s"$tag|$lvl$mark"
+    if (df.isStreaming) streamTapNames.add(metric)
+    df.observe(metric, count(lit(1)).as("count"))
   }
 }

@@ -38,6 +38,17 @@ object StorageSink {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] =
     Map(cfg.name -> TransformCommon.single(cfg, inputs))
 
+  /** Split a `${field}`-templated output path into (static base dir,
+    * per-record relative template) — one rule for every format so
+    * the avro and csv/json/parquet template sinks accept the same
+    * paths. */
+  private def splitTemplatePath(path: String): (String, String) = {
+    val idx = path.indexOf("${")
+    val slash = path.lastIndexOf('/', idx)
+    require(slash > 0, s"dynamic output needs a static base dir: $path")
+    (path.substring(0, slash), path.substring(slash + 1))
+  }
+
   def write(cfg: ModuleCfg, df0: DataFrame): Unit = {
     val p = cfg.params
     val path = p.str("output").orElse(p.str("path")).getOrElse(
@@ -66,12 +77,7 @@ object StorageSink {
       val partitionFields = p.strArr("partitionFields") ++
         p.strArr("dynamicSplitFields")
       if (TemplateCompiler.referencedFields(path).nonEmpty) {
-        val idx = path.indexOf("${")
-        val slash = path.lastIndexOf('/', idx)
-        require(slash > 0,
-          s"dynamic output needs a static base dir: $path")
-        val base = path.substring(0, slash)
-        val rel = path.substring(slash + 1)
+        val (base, rel) = splitTemplatePath(path)
         graft.ops.AvroFiles.writeDynamic(df, base,
           TemplateCompiler.compile(rel, df.schema), codec,
           overwrite = mode != "append")
@@ -115,11 +121,7 @@ object StorageSink {
       // from the __dest=<escaped> layout to the literal template path.
       // Deviation: each destination holds sharded part files rather
       // than one object (that is the scalable shape).
-      val idx = path.indexOf("${")
-      val slash = path.lastIndexOf('/', idx)
-      require(slash > 0, s"dynamic output needs a static base dir: $path")
-      val base = path.substring(0, slash)
-      val rel = path.substring(slash + 1)
+      val (base, rel) = splitTemplatePath(path)
       val dest = TemplateCompiler.compile(rel, df.schema)
       configure(df.withColumn("__dest", dest)
         .write.format(format).mode(p.str("mode").getOrElse("overwrite"))

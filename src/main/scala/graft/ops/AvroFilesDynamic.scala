@@ -154,6 +154,18 @@ object AvroFilesDynamic {
       // only a fully-written-and-closed attempt commits its files; a
       // task killed or failed anywhere above leaves `.inprogress`
       // names the driver-side commit step never matches
+      if (writers.nonEmpty) {
+        // re-check liveness before renaming to committed names: a
+        // zombie that passed the first-writer check, then outlived
+        // the run (driver finalized, staging gone) while creating
+        // MORE destination writers, must not promote its files —
+        // resurrected staging may then hold only `.inprogress` names
+        val fs0 = writers.values.head._2.getFileSystem(conf)
+        if (!fs0.exists(new Path(markerStr)))
+          throw new java.io.IOException(
+            "avro write: stale task attempt — run already finalized " +
+              s"(missing $markerStr); staged files left in progress")
+      }
       writers.values.foreach { case (_, tmp, done) =>
         val fs = tmp.getFileSystem(conf)
         if (!fs.rename(tmp, done))
@@ -234,6 +246,11 @@ object AvroFilesDynamic {
                     s"output left staged under $staging")
           }
         }
+        // a zero-row input under overwrite must leave an EMPTY
+        // destination, not a missing one (Spark's own overwrite of an
+        // empty frame leaves an empty dir; downstream readers expect
+        // the path to exist)
+        if (!driverFs.exists(basePath)) driverFs.mkdirs(basePath)
       } catch {
         // ANY commit-phase failure (delete, mkdirs, listFiles or
         // rename returning false OR throwing) preserves staging

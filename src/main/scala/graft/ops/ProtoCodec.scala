@@ -481,6 +481,7 @@ object ProtoCodec {
         v.asInstanceOf[Number].floatValue))
       case TInt64 | TUInt64 => w.writeVarint(
         v.asInstanceOf[Number].longValue)
+      // negative int32 encodes as 10-byte sign-extended varint
       case TInt32 | TUInt32 => w.writeVarint(
         v.asInstanceOf[Number].intValue.toLong)
       case TSInt64 => w.writeVarint(zigzagEncode(
@@ -509,51 +510,20 @@ object ProtoCodec {
       w: Writer): Unit = {
     if (v == null) return
     f.tpe match {
-      case TDouble =>
-        w.writeTag(f.number, WtFixed64)
-        w.writeFixed64(java.lang.Double.doubleToLongBits(
-          v.asInstanceOf[Number].doubleValue))
-      case TFloat =>
-        w.writeTag(f.number, WtFixed32)
-        w.writeFixed32(java.lang.Float.floatToIntBits(
-          v.asInstanceOf[Number].floatValue))
-      case TInt64 | TUInt64 =>
-        w.writeTag(f.number, WtVarint)
-        w.writeVarint(v.asInstanceOf[Number].longValue)
-      case TInt32 | TUInt32 =>
-        w.writeTag(f.number, WtVarint)
-        // negative int32 encodes as 10-byte sign-extended varint
-        w.writeVarint(v.asInstanceOf[Number].intValue.toLong)
-      case TSInt64 =>
-        w.writeTag(f.number, WtVarint)
-        w.writeVarint(zigzagEncode(v.asInstanceOf[Number].longValue))
-      case TSInt32 =>
-        w.writeTag(f.number, WtVarint)
-        w.writeVarint(zigzagEncode(v.asInstanceOf[Number].intValue.toLong))
-      case TFixed64 | TSFixed64 =>
-        w.writeTag(f.number, WtFixed64)
-        w.writeFixed64(v.asInstanceOf[Number].longValue)
-      case TFixed32 | TSFixed32 =>
-        w.writeTag(f.number, WtFixed32)
-        w.writeFixed32(v.asInstanceOf[Number].intValue)
-      case TBool =>
-        w.writeTag(f.number, WtVarint)
-        w.writeVarint(if (v.asInstanceOf[Boolean]) 1L else 0L)
       case TString =>
         w.writeTag(f.number, WtLen)
         w.writeString(v.toString)
       case TBytes =>
         w.writeTag(f.number, WtLen)
         w.writeBytes(v.asInstanceOf[Array[Byte]])
-      case TEnum =>
-        val e = schema.enums.getOrElse(f.typeName,
-          throw new IllegalArgumentException(
-            s"protobuf: enum '${f.typeName}' not in descriptor set"))
-        val num = e.byNumber.collectFirst {
-          case (n, sym) if sym == v.toString => n
-        }.getOrElse(v.toString.toInt)
-        w.writeTag(f.number, WtVarint)
-        w.writeVarint(num.toLong)
+      case TDouble | TFloat | TInt64 | TUInt64 | TInt32 | TUInt32 |
+          TSInt64 | TSInt32 | TFixed64 | TSFixed64 | TFixed32 |
+          TSFixed32 | TBool | TEnum =>
+        // packable scalars: one shared element encoding with the
+        // packed path (a fix there is a fix here), tag wire type is
+        // exactly wireOf
+        w.writeTag(f.number, wireOf(f.tpe))
+        encodeScalarValue(schema, f, v, w)
       case TMessage =>
         val body = new Writer
         f.typeName match {

@@ -94,8 +94,21 @@ case class WsOffset(count: Long) extends Offset {
 class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val endpoint = Option(options.get("endpoint")).getOrElse(
     throw new IllegalArgumentException("websocket source requires endpoint"))
+  // eager URI/scheme validation: a malformed endpoint must fail the
+  // query at construction, not disappear into the reconnect loop
+  private val endpointUri = {
+    val u = URI.create(endpoint)
+    val scheme = Option(u.getScheme).map(_.toLowerCase(
+      java.util.Locale.ROOT)).getOrElse("")
+    if (scheme != "ws" && scheme != "wss")
+      throw new IllegalArgumentException(
+        s"websocket endpoint must be ws:// or wss://, got: $endpoint")
+    u
+  }
   private val requests =
     WebSocketStream.parseRequests(options.getOrDefault("requests", ""))
   private val heartbeats = WebSocketStream.parseRequests(
@@ -133,7 +146,7 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
       ws.request(1)
       requests.zipWithIndex.foreach { case (r, i) =>
         scheduler.schedule(new Runnable {
-          def run(): Unit = ws.sendText(r, true)
+          def run(): Unit = sendSerial(ws, r)
         }, requestIntervalMs * i, TimeUnit.MILLISECONDS)
       }
     }
@@ -168,12 +181,29 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
       scheduleReconnect()
   }
 
-  private def connect(): Unit =
-    if (!stopped) {
-      val client = HttpClient.newHttpClient()
-      socket = client.newWebSocketBuilder()
-        .buildAsync(URI.create(endpoint), new Listener).join()
+  // one client for the stream's lifetime: a client per reconnect
+  // attempt would leak a selector thread + pool per attempt on a
+  // flapping endpoint (they linger until GC)
+  private val client = HttpClient.newHttpClient()
+
+  /** java.net.http.WebSocket forbids a second text send while one is
+    * outstanding (the violating send fails its future, silently here
+    * since nothing awaited it) — so every send runs on the
+    * single-threaded scheduler and joins its future: sends can never
+    * overlap, and a failure is logged instead of vanishing. The
+    * connection-level recovery stays with onError/onClose. */
+  private def sendSerial(ws: WebSocket, msg: String): Unit =
+    try ws.sendText(msg, true).join()
+    catch {
+      case t: Throwable =>
+        log.warn(s"websocket send failed (${t.getMessage}); " +
+          "relying on reconnect")
     }
+
+  private def connect(): Unit =
+    if (!stopped)
+      socket = client.newWebSocketBuilder()
+        .buildAsync(endpointUri, new Listener).join()
 
   private def scheduleReconnect(): Unit =
     if (!stopped)
@@ -183,13 +213,22 @@ class WebSocketMicroBatchStream(options: CaseInsensitiveStringMap)
           catch { case _: Throwable => scheduleReconnect() }
       }, 1, TimeUnit.SECONDS)
 
-  connect()
+  // the initial connect gets the same 1 s-backoff retry as any later
+  // drop: a query started during a transient endpoint outage comes up
+  // when the endpoint does (URI/scheme errors failed eagerly above)
+  try connect()
+  catch {
+    case t: Throwable =>
+      log.warn(s"websocket initial connect to $endpoint failed " +
+        s"(${t.getMessage}); retrying")
+      scheduleReconnect()
+  }
   if (heartbeats.nonEmpty && heartbeatIntervalSec > 0)
     scheduler.scheduleAtFixedRate(new Runnable {
       def run(): Unit = {
         val ws = socket
         if (ws != null && !stopped)
-          heartbeats.foreach(h => ws.sendText(h, true))
+          heartbeats.foreach(h => sendSerial(ws, h))
       }
     }, heartbeatIntervalSec, heartbeatIntervalSec, TimeUnit.SECONDS)
 
