@@ -202,6 +202,61 @@ class WebSocketSpec extends AnyFunSuite {
     }
   }
 
+  test("websocket source: every entry of a multi-request " +
+      "subscription list arrives (sends are serialized)") {
+    // java.net.http.WebSocket rejects overlapping sends — with three
+    // zero-interval requests, unserialized sendText calls silently
+    // dropped every request after the first
+    val received =
+      new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val conn = new Thread(() => {
+            try {
+              val in = sock.getInputStream
+              val out = sock.getOutputStream
+              handshake(in, out)
+              while (!server.isClosed)
+                received.put(readTextFrame(in))
+            } catch { case _: Throwable => }
+          }, "ws-multi-conn")
+          conn.setDaemon(true)
+          conn.start()
+        }
+      } catch { case _: Throwable => }
+    }, "ws-multi-server")
+    t.setDaemon(true)
+    t.start()
+    try {
+      Pipeline.execute(spark, s"""
+        |sources:
+        |  - name: ms
+        |    module: websocket
+        |    parameters:
+        |      endpoint: "ws://127.0.0.1:${server.getLocalPort}/"
+        |      requests: ["subA", "subB", "subC"]
+        |      format: text
+        |sinks:
+        |  - name: out
+        |    module: memory
+        |    input: ms
+        |""".stripMargin)
+      val got = scala.collection.mutable.Set[String]()
+      val deadline = System.nanoTime + 20L * 1000 * 1000 * 1000
+      while (got.size < 3 && System.nanoTime < deadline) {
+        val m = received.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+        if (m != null) got += m
+      }
+      assert(got === Set("subA", "subB", "subC"))
+    } finally {
+      StreamRunner.stopAll()
+      server.close()
+    }
+  }
+
   test("websocket source: subscribe, receive json frames, route " +
       "malformed payloads to failures") {
     val received =
