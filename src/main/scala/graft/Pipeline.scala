@@ -295,10 +295,16 @@ object Pipeline {
         done += cfg.name
         if (section == "sinks" && executeSinks) {
           val strat = upstreamStrategy(cfg.name, Set.empty)
-          // the DECLARED first input, not ins.values.headOption: Map
-          // iteration order is hash-based beyond 4 entries, so a sink
-          // with several sideInputs could write the wrong frame
-          val in = cfg.inputs.headOption.map(ins)
+          // the frame registered under the sink's own name — which is
+          // its DECLARED first input (sink build() is side-effect
+          // free), and carries any `loggings` tap applied above: the
+          // write is the only action that would ever execute a sink
+          // tap's observed plan. Fallback: the declared first input,
+          // never ins.values.headOption (Map iteration order is
+          // hash-based beyond 4 entries, so a sink with several
+          // sideInputs could write the wrong frame).
+          val in = outs.get(cfg.name)
+            .orElse(cfg.inputs.headOption.map(ins))
           val act = once(() => SinkExecutor.execute(spark, cfg, in, strat))
           deferred += act
           sinkActions(cfg.name) = act
@@ -382,9 +388,9 @@ object Pipeline {
     val module = n.str("module").getOrElse(
       throw new IllegalArgumentException(
         s"failures entry requires module: $n"))
-    val builder = sinks.getOrElse(module,
+    if (!sinks.contains(module))
       throw new IllegalArgumentException(
-        s"unknown failures module: $module"))
+        s"unknown failures module: $module")
     val name = n.str("name").getOrElse("failures")
     val params0 = n("parameters").getOrElse(Json.obj())
     val params =
@@ -395,8 +401,10 @@ object Pipeline {
           .put("mode", "append")
         copy
       }
+    // sink builders are side-effect free (they only register the
+    // input frame under the sink's name — the write happens in
+    // SinkExecutor), so there is nothing to build here
     val cfg = ModuleCfg(name, module, Seq("__failures"), Nil, params, n)
-    builder(spark, cfg, Map("__failures" -> envelope))
     SinkExecutor.execute(spark, cfg, Some(envelope), None)
   }
 

@@ -223,9 +223,20 @@ object AggregationTransform {
         // attribute (a cast wrapper would break watermark tracking)
         df = graft.streaming.Strategy.applyWatermark(df, st,
           st.str("timestampField").getOrElse("__event_time"))
-        graft.streaming.Strategy.eventTimeCol(df, st)
-          .flatMap(ts => graft.streaming.Strategy.windowColumn(st, ts,
-            df.isStreaming))
+        val ts = graft.streaming.Strategy.eventTimeCol(df, st)
+        // a declared non-global window with no resolvable event time
+        // must fail loudly: silently dropping it would collapse all
+        // time buckets into one global group with plausible numbers
+        val declared = st("window").getOrElse(st)
+          .str("type").filter(_ != "global")
+        if (ts.isEmpty && declared.isDefined)
+          throw new IllegalArgumentException(
+            s"aggregation ${cfg.name}: strategy declares a " +
+              s"'${declared.get}' window but input '$inName' has no " +
+              "event time — set strategy.timestampField or provide " +
+              "an __event_time column")
+        ts.flatMap(t => graft.streaming.Strategy.windowColumn(st, t,
+          df.isStreaming))
       }
       if (windowCol.isDefined) anyWindow = true
       val groupCols =

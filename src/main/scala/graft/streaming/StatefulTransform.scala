@@ -36,6 +36,15 @@ object StatefulTransform {
         f.str("field").get,
         f.int("offset").getOrElse(1))
     }
+    require(fields.nonEmpty,
+      s"stateful ${cfg.name}: fields must be non-empty")
+    fields.foreach { case (name, _, k) =>
+      // validated on BOTH legs: the streaming buffer indexes k-1, so
+      // an unchecked 0 would pass in batch (lag(_, 0) = current row)
+      // and crash executors in streaming
+      require(k >= 1,
+        s"stateful ${cfg.name}: offset for '$name' must be >= 1, got $k")
+    }
     val out =
       if (!df.isStreaming) {
         val w = Window.partitionBy(keys.map(col): _*)
@@ -62,27 +71,33 @@ object StatefulTransform {
     implicit val outEnc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     implicit val stateEnc = Encoders.kryo[List[List[Any]]]
 
+    // length-prefixed key encoding: a plain mkString collides for
+    // null vs the string "null" and for values containing the
+    // separator, silently merging two keys' lag buffers (the batch
+    // leg partitions on the real columns and would disagree)
     val grouped = df.groupByKey(row =>
-      keyIdx.map(i => String.valueOf(row.get(i))).mkString("\u0001"))(
-      Encoders.STRING)
+      keyIdx.map { i =>
+        val v = row.get(i)
+        if (v == null) "\u0000"
+        else { val x = String.valueOf(v); x.length.toString + ":" + x }
+      }.mkString("\u0001"))(Encoders.STRING)
 
     grouped.flatMapGroupsWithState[List[List[Any]], Row](
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_, rows, state: GroupState[List[List[Any]]]) =>
         // buffer: most-recent-first lists of the lagged fields' values
         var buf: List[List[Any]] = state.getOption.getOrElse(Nil)
-        val sorted = rows.toSeq.sortBy { r =>
-          val v = r.get(ordIdx)
-          v match {
-            case t: java.sql.Timestamp => t.getTime
-            case n: Number => n.longValue()
-            case other => if (other == null) 0L else other.hashCode.toLong
-          }
+        // true value ordering, matching the batch leg's orderBy —
+        // hashCode is not monotonic and would lag against effectively
+        // random predecessors for string/date order fields
+        val sorted = rows.toSeq.sortWith { (a, b) =>
+          compareOrd(a.get(ordIdx), b.get(ordIdx)) < 0
         }
         val outRows = sorted.map { r =>
-          val lagged = fieldIdx.map { case (fi, k) =>
-            if (buf.size >= k) buf(k - 1)(fieldIdx.indexWhere(_._1 == fi))
-            else null
+          // buffer entries are stored in fieldIdx order, so field
+          // j's lagged value sits at position j — no per-row scan
+          val lagged = fieldIdx.zipWithIndex.map { case ((_, k), j) =>
+            if (buf.size >= k) buf(k - 1)(j) else null
           }
           buf = fieldIdx.map { case (fi, _) => r.get(fi) }.toList :: buf
           if (buf.size > bufSize) buf = buf.take(bufSize)
@@ -91,6 +106,22 @@ object StatefulTransform {
         state.update(buf)
         outRows.iterator
     }.toDF()
+  }
+
+  /** Order-field comparison with SQL null-first semantics (matching
+    * `Window.orderBy`'s default asc_nulls_first). Spark columns are
+    * uniformly typed and every orderable Spark type surfaces as a
+    * `Comparable` (Timestamp, Date, String, boxed numerics,
+    * BigDecimal), so anything else is a config error worth failing
+    * loudly on. */
+  private def compareOrd(x: Any, y: Any): Int = (x, y) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (a: Comparable[_], b) if a.getClass.isInstance(b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    case (a, _) => throw new IllegalArgumentException(
+      s"stateful: order field type ${a.getClass.getName} is not orderable")
   }
 }
 

@@ -88,9 +88,36 @@ object StreamRunner {
           case "afterAll" => children.maxBy(delayOf)
           case _ => children.head
         }
+      case "afterWatermark" =>
+        // the early/late firing children need the same reduction —
+        // otherwise a composite early trigger (e.g. repeatedly(
+        // afterProcessingTime(30))) reads as a node with no delay
+        // field and silently fires at the 1-second default
+        val early = t("earlyFiringTrigger").map(normalizeTrigger)
+        val late = t("lateFiringTrigger").map(normalizeTrigger)
+        if (early.isEmpty && late.isEmpty) t
+        else {
+          val o = t.deepCopy[
+            com.fasterxml.jackson.databind.node.ObjectNode]
+          early.foreach(e => o.set[com.fasterxml.jackson.databind
+            .JsonNode]("earlyFiringTrigger", e))
+          late.foreach(l => o.set[com.fasterxml.jackson.databind
+            .JsonNode]("lateFiringTrigger", l))
+          o
+        }
       case _ => t
     }
   }
+
+  /** Pane-multiplexed triggers route through `paneWriter`, which can
+    * drain to buffers and file sinks only — anything else must fail
+    * at start, not with a None.get inside foreachBatch. */
+  private def requirePaneSink(cfg: ModuleCfg): Unit =
+    if (!Set("debug", "memory", "storage", "files").contains(cfg.module))
+      throw new IllegalArgumentException(
+        "trigger pane multiplexing supports storage/files/memory/" +
+          s"debug sinks, got '${cfg.module}' — use a plain trigger " +
+          "for this sink")
 
   def start(cfg: ModuleCfg, df: DataFrame,
       upstreamStrategy: Option[com.fasterxml.jackson.databind.JsonNode] =
@@ -158,10 +185,15 @@ object StreamRunner {
     * per query. */
   private def startEarlyFiring(cfg: ModuleCfg, df: DataFrame,
       trig: com.fasterxml.jackson.databind.JsonNode): StreamingQuery = {
+    requirePaneSink(cfg)
     val early = trig("earlyFiringTrigger").get
     val delayMs = delayMillis(early)
     val hasLate = trig("lateFiringTrigger").isDefined
     frontiers.remove(cfg.name)
+    // a fresh run starts a fresh pane buffer — a retry (alterConfig)
+    // or second execute in the same session must not append to the
+    // failed attempt's panes
+    paneStore.remove(cfg.name)
     // each query needs its OWN checkpoint: a shared configured path
     // would collide on query metadata/offsets
     val earlyQ = df.writeStream
@@ -201,6 +233,8 @@ object StreamRunner {
     * op the aggregation already computes) reaches n. */
   private def startAfterPane(cfg: ModuleCfg, df: DataFrame,
       trig: com.fasterxml.jackson.databind.JsonNode): StreamingQuery = {
+    requirePaneSink(cfg)
+    paneStore.remove(cfg.name)
     val n = trig.int("elementCountAtLeast").getOrElse(1)
     val countField = trig.str("countField").getOrElse(
       df.columns.find(_ == "n").getOrElse(

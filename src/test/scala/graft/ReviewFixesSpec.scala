@@ -395,6 +395,74 @@ class ReviewFixesSpec extends AnyFunSuite {
       ($"j".isNull =!= $"jd".isNull)).count() === 0)
   }
 
+  test("logging taps on a sink module emit through the sink's write") {
+    // the sink action must execute the TAPPED frame — building the
+    // action from the raw input silently skipped sink-level taps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sinktap").toString
+    graft.LoggingTaps.observed.remove("snk.snk|info")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: li
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/region.parquet}
+      |sinks:
+      |  - name: snk
+      |    module: storage
+      |    input: li
+      |    loggings: [{name: snk, level: info}]
+      |    parameters: {output: "$dir/out", format: parquet}
+      |""".stripMargin)
+    val eventually = (1 to 50).exists { _ =>
+      val m = graft.LoggingTaps.observed.get("snk.snk|info")
+      if (m == null) { Thread.sleep(100); false }
+      else { assert(m("count") == 5L); true }
+    }
+    assert(eventually, "sink tap never emitted")
+  }
+
+  test("a declared non-global window with no event time fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, """
+        |sources:
+        |  - name: r
+        |    module: storage
+        |    parameters: {path: /root/testdata/sf0.001/region.parquet}
+        |transforms:
+        |  - name: agg
+        |    module: aggregation
+        |    inputs: [r]
+        |    strategy:
+        |      window: {type: fixed, unit: minute, size: 1}
+        |    parameters:
+        |      aggregations:
+        |        - input: r
+        |          fields: [{name: n, op: count}]
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("no event time"))
+  }
+
+  test("stateful rejects offset < 1 on both legs") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, """
+        |sources:
+        |  - name: li
+        |    module: storage
+        |    parameters: {path: /root/testdata/sf0.001/lineitem.parquet}
+        |transforms:
+        |  - name: st
+        |    module: stateful
+        |    inputs: [li]
+        |    parameters:
+        |      groupFields: [l_suppkey]
+        |      orderField: l_shipdate
+        |      fields: [{name: prev, field: l_quantity, offset: 0}]
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("offset"))
+  }
+
   test("crypto validates the key's UTF-8 byte length") {
     val e = intercept[IllegalArgumentException] {
       Pipeline.build(spark, """
