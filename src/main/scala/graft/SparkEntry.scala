@@ -1894,6 +1894,48 @@ transforms:
     parameters:
       sql: "SELECT c_custkey, c_mktsegment, c_acctbal FROM back"
 """)("out")
+    }),
+
+    // jdbc sink → jdbc source roundtrip against the embedded Derby
+    // that ships with Spark (no extra jar): insert write, then a
+    // keyField-split parallel read back (4 partition ranges over
+    // c_custkey). Values must survive the dialect mapping both ways
+    // (BIGINT/INTEGER/DOUBLE/VARCHAR-as-CLOB).
+    "q64_jdbc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      System.setProperty("derby.stream.error.file",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_derby.log").getAbsolutePath)
+      Pipeline.execute(s, s"""
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "$dir/customer.parquet"}
+sinks:
+  - name: wr
+    module: jdbc
+    input: cust
+    parameters:
+      url: "jdbc:derby:memory:graftq64;create=true"
+      table: customer_rt
+      mode: overwrite
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: back
+    module: jdbc
+    parameters:
+      url: "jdbc:derby:memory:graftq64"
+      table: customer_rt
+      keyField: c_custkey
+      numPartitions: 4
+      upperBound: "100000"
+transforms:
+  - name: out
+    module: sql
+    inputs: [back]
+    parameters:
+      sql: "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM back"
+""")("out")
     })
   )
 
@@ -2806,6 +2848,12 @@ transforms:
     // must not
     "q63_avro_partitioned" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer""",
+
+    // jdbc roundtrip through embedded Derby is the identity on the
+    // selected columns
+    "q64_jdbc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer""",
 
     // keyed lag == LAG window over the same deterministic order
     "q62_stateful" ->

@@ -310,12 +310,12 @@ object JdbcSink {
     } else {
       val keys = p.strArr("keyFields")
       require(keys.nonEmpty, s"jdbc op $op requires keyFields")
-      val sql = upsertStatement(dialect(url), table,
-        df.columns.toSeq, keys, op)
+      val db = dialect(url)
+      val sql = upsertStatement(db, table, df.columns.toSeq, keys, op)
+      val order = upsertParamOrder(db, df.columns.toSeq, keys, op).toArray
       val user = p.str("user")
       val password = p.str("password")
       val batchSize = p.int("batchSize").getOrElse(1000)
-      val width = df.columns.length
       df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
           val props = new java.util.Properties()
@@ -328,7 +328,9 @@ object JdbcSink {
             var n = 0
             rows.foreach { r =>
               var i = 0
-              while (i < width) { ps.setObject(i + 1, r.get(i)); i += 1 }
+              while (i < order.length) {
+                ps.setObject(i + 1, r.get(order(i))); i += 1
+              }
               ps.addBatch()
               n += 1
               if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }
@@ -346,8 +348,23 @@ object JdbcSink {
     else if (url.startsWith("jdbc:postgresql")) "postgresql"
     else if (url.startsWith("jdbc:h2")) "h2"
     else if (url.startsWith("jdbc:sqlserver")) "sqlserver"
+    else if (url.startsWith("jdbc:derby")) "derby"
     else throw new IllegalArgumentException(
       s"unsupported jdbc upsert dialect for url: $url")
+
+  /** Column index (into `cols`) bound at each `?` of
+    * `upsertStatement`, in statement order. Identity for the
+    * single-VALUES dialects; Derby's MERGE repeats columns (ON keys,
+    * UPDATE SET non-keys, INSERT values). */
+  def upsertParamOrder(db: String, cols: Seq[String],
+      keys: Seq[String], op: String): Seq[Int] = db match {
+    case "derby" =>
+      val update = op == "insertOrUpdate" || op == "INSERT_OR_UPDATE"
+      val keyIdx = keys.map(cols.indexOf)
+      val nonKeyIdx = cols.indices.filterNot(keyIdx.contains)
+      keyIdx ++ (if (update) nonKeyIdx else Nil) ++ cols.indices
+    case _ => cols.indices
+  }
 
   /** Upsert statement per dialect (JdbcUtil.createStatement). */
   def upsertStatement(db: String, table: String, cols: Seq[String],
@@ -380,6 +397,19 @@ object JdbcSink {
           s"S (${cols.mkString(",")}) ON ($on)$matched" +
           s" WHEN NOT MATCHED THEN INSERT (${cols.mkString(",")})" +
           s" VALUES (${cols.map(c => s"S.$c").mkString(",")});"
+      case "derby" =>
+        // Derby's MERGE source must be a table (no VALUES derived
+        // table) — use the one-row SYSIBM.SYSDUMMY1 and bind the row
+        // as plain parameters; upsertParamOrder gives the binding.
+        val on = keys.map(k => s"T.$k = ?").mkString(" AND ")
+        val matched =
+          if (update && nonKeys.nonEmpty)
+            " WHEN MATCHED THEN UPDATE SET " +
+              nonKeys.map(c => s"$c = ?").mkString(",")
+          else ""
+        s"MERGE INTO $table T USING SYSIBM.SYSDUMMY1 ON ($on)$matched" +
+          s" WHEN NOT MATCHED THEN INSERT (${cols.mkString(",")})" +
+          s" VALUES (${cols.map(_ => "?").mkString(",")})"
       case other => throw new IllegalArgumentException(
         s"unsupported dialect: $other")
     }
