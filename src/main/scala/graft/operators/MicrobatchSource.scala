@@ -88,15 +88,42 @@ object MicrobatchSource {
     // one-time schema probe: empty-range query, driver side
     var probe = spark.read.format("jdbc").option("url", url)
       .option("query",
-        s"SELECT * FROM (${substitute(sql, 0, 0)}) __probe WHERE 1=0")
+        // alias must start with a letter: Derby/Oracle reject
+        // leading-underscore ordinary identifiers
+        s"SELECT * FROM (${substitute(sql, 0, 0)}) graft_probe WHERE 1=0")
     user.foreach(u => probe = probe.option("user", u))
     password.foreach(x => probe = probe.option("password", x))
     val schema = probe.load().schema
     val width = schema.length
 
+    // typed getters matched to the probed schema: getObject would
+    // surface CLOB handles for the CLOB columns Spark's own jdbc
+    // writer creates from strings, and box SMALLINT/REAL as the
+    // JVM types of the driver's choosing — either breaks the row
+    // encoder at runtime, after the plan already validated
+    val types = schema.fields.map(_.dataType)
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", "1").load()
     val out = ticks.mapPartitions { rows =>
+      import org.apache.spark.sql.types._
+      def get(rs: java.sql.ResultSet, i: Int, t: DataType): Any = {
+        val v = t match {
+          case StringType => rs.getString(i)
+          case BinaryType => rs.getBytes(i)
+          case TimestampType => rs.getTimestamp(i)
+          case DateType => rs.getDate(i)
+          case ByteType => rs.getByte(i)
+          case ShortType => rs.getShort(i)
+          case IntegerType => rs.getInt(i)
+          case LongType => rs.getLong(i)
+          case FloatType => rs.getFloat(i)
+          case DoubleType => rs.getDouble(i)
+          case BooleanType => rs.getBoolean(i)
+          case _: DecimalType => rs.getBigDecimal(i)
+          case _ => rs.getObject(i)
+        }
+        if (rs.wasNull()) null else v
+      }
       rows.flatMap { r =>
         // tick (timestamp, value): timestamp is deterministic under
         // checkpoint replay (streamStart + value seconds) — never
@@ -120,7 +147,9 @@ object MicrobatchSource {
             while (rs.next()) {
               val vals = new Array[Any](width)
               var i = 0
-              while (i < width) { vals(i) = rs.getObject(i + 1); i += 1 }
+              while (i < width) {
+                vals(i) = get(rs, i + 1, types(i)); i += 1
+              }
               buf += Row.fromSeq(vals.toIndexedSeq)
             }
             buf.result().iterator
