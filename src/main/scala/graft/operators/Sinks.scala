@@ -306,6 +306,11 @@ object JdbcSink {
       p.str("user").foreach(u => w = w.option("user", u))
       p.str("password").foreach(x => w = w.option("password", x))
       p.int("batchSize").foreach(b => w = w.option("batchsize", b.toString))
+      // cap concurrent DB connections (Spark coalesces to n tasks);
+      // parity-plus: at cluster scale an uncapped write opens one
+      // connection per input partition
+      p.int("numPartitions").foreach(n =>
+        w = w.option("numPartitions", n.toString))
       w.save()
     } else {
       val keys = p.strArr("keyFields")
@@ -316,7 +321,10 @@ object JdbcSink {
       val user = p.str("user")
       val password = p.str("password")
       val batchSize = p.int("batchSize").getOrElse(1000)
-      df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // same connection-fan-out cap as the insert path
+      val capped = p.int("numPartitions")
+        .map(df.coalesce).getOrElse(df)
+      capped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
           val props = new java.util.Properties()
           user.foreach(props.setProperty("user", _))

@@ -42,7 +42,8 @@ class JdbcDerbySpec extends AnyFunSuite {
       .toDF("k", "name", "v")
     // drive the sink writer directly on the frames (the executed
     // upsert path is what's under test, not config plumbing)
-    val cfg = mkCfg("up1", "insertOrUpdate", """"batchSize": 2,""")
+    val cfg = mkCfg("up1", "insertOrUpdate",
+      """"batchSize": 2, "numPartitions": 2,""")
     graft.operators.JdbcSink.write(cfg, base)
     // second wave: update k=2, k=3; insert k=4
     val wave2 = Seq((2L, "B", 20.0), (3L, "C", 30.0), (4L, "d", 4.0))
