@@ -54,6 +54,12 @@ object DedupTransform {
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(df.columns.head)
 
+    // transitive: resolve __dup_of to the connected-component minimum
+    // (hash-min propagation over the candidate/verified pair set) so
+    // chains A~B, B~C collapse to one cluster even when A and C never
+    // shared a bucket
+    val transitive = p.bool("transitive").getOrElse(false)
+    val maxIter = p.int("maxIterations").getOrElse(50)
     val keepCanonical = p.str("keep")
       .exists(k => k == "canonical" || k == "first")
     if (method == "exact" && keepCanonical) {
@@ -87,7 +93,8 @@ object DedupTransform {
         val sig = df.select(col(idField).as("__id"),
           sigUdf(col(textField)).as("__sig"))
           .filter(col("__sig").isNotNull)
-        lshDedup(df, idField, bandsFromSig(sig, m, bands, md5Mode))
+        lshDedup(df, idField, bandsFromSig(sig, m, bands, md5Mode),
+          transitive, maxIter)
       case "simhash" =>
         val bands = p.int("bands").getOrElse(4)
         val md5Mode = p.str("hashAlgo").contains("md5")
@@ -100,19 +107,21 @@ object DedupTransform {
           .filter(col("__sh").isNotNull)
         lshDedup(df, idField, sig.select(col("__id"),
           posexplode(bandFn(col("__sh")))
-            .as(Seq("__band_idx", "__band_hash"))))
+            .as(Seq("__band_idx", "__band_hash"))), transitive, maxIter)
       case "ngram" =>
         val n = p.int("ngramSize").getOrElse(5)
         val threshold = p.dbl("threshold").getOrElse(0.8)
         ngramDedup(df, textField, idField, n, threshold,
-          md5Mode = p.str("hashAlgo").contains("md5"))
+          md5Mode = p.str("hashAlgo").contains("md5"),
+          transitive = transitive, maxIter = maxIter)
       case "embedding" =>
         val embField = p.str("field").getOrElse("embedding")
         val dim = p.int("dim").getOrElse(64)
         val planes = p.int("planes").getOrElse(12)
         val threshold = p.dbl("threshold").getOrElse(0.95)
         embeddingDedup(df, embField, idField, dim, planes, threshold,
-          md5Mode = p.str("hashAlgo").contains("md5"))
+          md5Mode = p.str("hashAlgo").contains("md5"),
+          transitive = transitive, maxIter = maxIter)
       case "lines" =>
         // CCNet/RefinedWeb-style boilerplate strip: remove every line
         // whose corpus-wide frequency reaches minCount
@@ -187,13 +196,20 @@ object DedupTransform {
     * (3 longs) exactly once; it is partitioned by bucket, whose
     * cardinality grows with the corpus, so there is no funnel. */
   private def lshDedup(df: DataFrame, idField: String,
-      bandRows: DataFrame): DataFrame = {
-    val dupMap = bandRows
+      bandRows: DataFrame, transitive: Boolean = false,
+      maxIter: Int = 50): DataFrame = {
+    val bucketPairs = bandRows
       .withColumn("__bucket_min", min("__id").over(
         Window.partitionBy("__band_idx", "__band_hash")))
       .filter(col("__id") > col("__bucket_min"))
-      .groupBy(col("__id"))
-      .agg(min("__bucket_min").as("__dup_of"))
+    val dupMap =
+      if (transitive)
+        componentMin(bucketPairs
+          .select(col("__id"), col("__bucket_min").as("__rep_id"))
+          .distinct(), maxIter)
+      else bucketPairs
+        .groupBy(col("__id"))
+        .agg(min("__bucket_min").as("__dup_of"))
     df.join(dupMap, col(idField) === dupMap("__id"), "left")
       .drop("__id")
   }
@@ -202,7 +218,8 @@ object DedupTransform {
     * exact Jaccard within buckets (verification join touches only
     * candidate pairs, never the full corpus cross-product). */
   private def ngramDedup(df: DataFrame, textField: String, idField: String,
-      n: Int, threshold: Double, md5Mode: Boolean = false): DataFrame = {
+      n: Int, threshold: Double, md5Mode: Boolean = false,
+      transitive: Boolean = false, maxIter: Int = 50): DataFrame = {
     // r = m/bands = 4 hash rows per band: collision prob per band is
     // sim^4, so 8 bands give ~99% recall at sim 0.8 while keeping the
     // false-candidate rate ~50x below r=2 banding (r=2 at sf0.1
@@ -259,7 +276,7 @@ object DedupTransform {
       .select(col("__id").as("__cid"),
         array_distinct(charNgrams(col("__t"), n)).as("__cg"))
       .transform(graft.ops.CacheTracker.trackPersist)
-    val verified = candidates
+    val verifiedPairs = candidates
       .join(candGrams
         .select(col("__cid").as("__id"), col("__cg").as("__g")), "__id")
       .join(candGrams
@@ -269,8 +286,12 @@ object DedupTransform {
       // single-set-build jaccard applies (skips the union's second
       // hash set per pair — the verify filter's dominant cost)
       .filter(jaccardDistinct(col("__g"), col("__g_rep")) >= threshold)
-      .groupBy(col("__id"))
-      .agg(min("__rep_id").as("__dup_of"))
+    val verified =
+      if (transitive)
+        componentMin(verifiedPairs.select("__id", "__rep_id"), maxIter)
+      else verifiedPairs
+        .groupBy(col("__id"))
+        .agg(min("__rep_id").as("__dup_of"))
     df.join(verified, col(idField) === verified("__id"), "left")
       .drop("__id")
   }
@@ -365,10 +386,82 @@ object DedupTransform {
         .drop("__id", "__hit")
   }
 
+  /** Component-minimum labels over an undirected pair set (cols
+    * `__id`, `__rep_id`) by plain hash-min propagation: every vertex
+    * repeatedly adopts the minimum of its own and its neighbors'
+    * labels until a fixpoint. Labels decrease monotonically, so the
+    * fixpoint is exactly the connected-component minimum — chains
+    * A~B (bucket 1), B~C (bucket 2) resolve to one cluster even
+    * though A and C never shared a bucket.
+    *
+    * Scale shape: the edge list is the (ids-only, already bounded)
+    * candidate/verified pair set, never the corpus; each iteration
+    * shuffles |E| label rows + |V| merge rows and converges in
+    * eccentricity(component min) hops. Near-dup clusters are
+    * shallow (a dup resembles the doc it duplicates), so typical
+    * convergence is 2-4 iterations; a graph still moving after
+    * `maxIter` fails loudly rather than returning partial labels.
+    * Returns (`__id`, `__dup_of`) for every vertex below its
+    * component min. */
+  private[graft] def componentMin(pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    // localCheckpoint (not persist) on every iterate: an iterative
+    // self-join grows the logical plan ~2x per hop — persist truncates
+    // recompute but not analysis, so by ~15 hops Catalyst is
+    // re-optimizing a million-node plan and the driver OOMs. Lineage
+    // truncation each round keeps the plan O(1) per iteration; the
+    // checkpoint blocks it leaves behind are |V| label rows per hop,
+    // bounded by the few hops a dup graph needs, and are dropped with
+    // the iterate they replace.
+    val edges = pairs
+      .select(col("__id").as("__s"), col("__rep_id").as("__d"))
+      .union(pairs
+        .select(col("__rep_id").as("__s"), col("__id").as("__d")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("__s").as("__v"), col("__s").as("__l"))
+      .distinct()
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"dedup transitive: component labels still changing after " +
+            s"$maxIter iterations — the duplicate graph has a chain " +
+            "longer than maxIter; raise maxIterations or lower the " +
+            "similarity threshold")
+      val nbrMin = edges.join(labels, edges("__s") === labels("__v"))
+        .select(edges("__d").as("__v"), labels("__l").as("__nl"))
+        .groupBy("__v").agg(min("__nl").as("__nl"))
+      val next = labels.join(nbrMin, Seq("__v"), "left")
+        .select(col("__v"),
+          least(col("__l"), coalesce(col("__nl"), col("__l")))
+            .as("__l"))
+        .localCheckpoint(true)
+      // convergence probe: any label that still decreased this round?
+      converged = next
+        .join(labels.withColumnRenamed("__l", "__prev"), "__v")
+        .filter(col("__l") < col("__prev"))
+        .limit(1).count() == 0L
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    val out = labels.filter(col("__l") < col("__v"))
+      .select(col("__v").as("__id"), col("__l").as("__dup_of"))
+      .transform(graft.ops.CacheTracker.trackPersist)
+    out.count()
+    labels.unpersist()
+    out
+  }
+
   /** Embedding cosine near-dup via hyperplane LSH buckets. */
   private def embeddingDedup(df: DataFrame, embField: String,
       idField: String, dim: Int, planes: Int,
-      threshold: Double, md5Mode: Boolean = false): DataFrame = {
+      threshold: Double, md5Mode: Boolean = false,
+      transitive: Boolean = false, maxIter: Int = 50): DataFrame = {
     val bucketCol =
       if (md5Mode) hyperplaneBucketMd5(col("__emb"), dim, planes)
       else hyperplaneBucket(col("__emb"), dim, planes, seed = 42L)
@@ -382,13 +475,19 @@ object DedupTransform {
     // back): the join form runs the hyperplane-projection UDF over
     // the corpus twice. One shuffle on the bucket key; bucket
     // cardinality grows with the corpus, so no funnel.
-    val dupMap = slim
+    val verifiedPairs = slim
       .withColumn("__rep", min_by(struct(col("__id"), col("__emb")),
         col("__id")).over(Window.partitionBy("__bucket")))
       .filter(col("__id") > col("__rep.__id"))
       .filter(cosine(col("__emb"), col("__rep.__emb")) >= threshold)
-      .groupBy(col("__id"))
-      .agg(min(col("__rep.__id")).as("__dup_of"))
+    val dupMap =
+      if (transitive)
+        componentMin(verifiedPairs
+          .select(col("__id"), col("__rep.__id").as("__rep_id"))
+          .distinct(), maxIter)
+      else verifiedPairs
+        .groupBy(col("__id"))
+        .agg(min(col("__rep.__id")).as("__dup_of"))
     df.join(dupMap, col(idField) === dupMap("__id"), "left")
       .drop("__id")
   }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transitive dedup: hash-min component labels over the candidate
+  * pair graph. */
+class DedupTransitiveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def close(pairs: Seq[(Long, Long)], maxIter: Int = 50) =
+    graft.operators.DedupTransform.componentMin(
+      pairs.toDF("__id", "__rep_id"), maxIter)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("chains, stars and separate components resolve to cluster minima") {
+    // component {1,5,9,12}: chain 12-9-5-1; component {20,30}: direct;
+    // singleton pair component {40,41}
+    val labels = close(Seq(5L -> 1L, 9L -> 5L, 12L -> 9L,
+      30L -> 20L, 41L -> 40L))
+    assert(labels === Set(5L -> 1L, 9L -> 1L, 12L -> 1L,
+      30L -> 20L, 41L -> 40L))
+  }
+
+  test("closure crosses buckets in both directions") {
+    // min-id doc appears as the LARGER side of one pair: 3~7 and 3~1
+    val labels = close(Seq(7L -> 3L, 3L -> 1L))
+    assert(labels === Set(7L -> 1L, 3L -> 1L))
+  }
+
+  test("empty pair set yields no labels") {
+    assert(close(Nil) === Set.empty[(Long, Long)])
+  }
+
+  test("an unconverged graph fails loudly at maxIter") {
+    // a 6-hop chain cannot converge in 2 iterations
+    val e = intercept[IllegalStateException] {
+      close(Seq(2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 5L,
+        7L -> 6L), maxIter = 2)
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
+  test("dedup module surfaces transitive labels through config") {
+    // identical texts guarantee shared buckets regardless of hash
+    // mode — this test pins the config-to-closure wiring; chain
+    // resolution itself is pinned by the direct componentMin tests
+    // above and by the q65 oracle gate on real chained data
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "completely different text about something else entirely")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.transforms("dedup")(spark,
+      Pipeline.ModuleCfg("dd", "dedup", Seq("docs"), Nil,
+        graft.config.Json.parse(
+          """{"method": "simhash", "field": "text",
+              "idField": "doc_id", "transitive": true}"""),
+        graft.config.Json.obj()),
+      Map("docs" -> docs))("dd")
+    val labels = out.select(col("doc_id"), col("__dup_of"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    // docs 2 and 3 must label to 1 (directly or through each other);
+    // doc 4 must stay canonical
+    assert(labels(1L) == null)
+    assert(labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(4L) == null)
+  }
+}
