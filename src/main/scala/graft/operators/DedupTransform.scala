@@ -34,6 +34,8 @@ import org.apache.spark.sql.types._
   */
 object DedupTransform {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val raw = TransformCommon.single(cfg, inputs)
@@ -396,11 +398,12 @@ object DedupTransform {
     *
     * Scale shape: the edge list is the (ids-only, already bounded)
     * candidate/verified pair set, never the corpus; each iteration
-    * shuffles |E| label rows + |V| merge rows and converges in
-    * eccentricity(component min) hops. Near-dup clusters are
-    * shallow (a dup resembles the doc it duplicates), so typical
-    * convergence is 2-4 iterations; a graph still moving after
-    * `maxIter` fails loudly rather than returning partial labels.
+    * shuffles |E| label rows + |V| merge rows, and the per-round
+    * pointer jump halves the remaining chain depth so convergence
+    * is O(log diameter) hops. Near-dup clusters are shallow (a dup
+    * resembles the doc it duplicates), so typical convergence is a
+    * handful of rounds; a graph still moving after `maxIter` fails
+    * loudly rather than returning partial labels.
     * Returns (`__id`, `__dup_of`) for every vertex below its
     * component min. */
   private[graft] def componentMin(pairs: DataFrame,
@@ -409,15 +412,22 @@ object DedupTransform {
     // self-join grows the logical plan ~2x per hop — persist truncates
     // recompute but not analysis, so by ~15 hops Catalyst is
     // re-optimizing a million-node plan and the driver OOMs. Lineage
-    // truncation each round keeps the plan O(1) per iteration; the
-    // checkpoint blocks it leaves behind are |V| label rows per hop,
-    // bounded by the few hops a dup graph needs, and are dropped with
-    // the iterate they replace.
+    // truncation each round keeps the plan O(1) per iteration. Each
+    // iterate leaves |V| label rows in MEMORY_AND_DISK checkpoint
+    // blocks (Dataset.unpersist cannot drop them — it only uncaches
+    // cache-manager entries); the ContextCleaner frees them as
+    // superseded iterates become unreachable, and the hop count is
+    // small (dup-graph diameter), so peak block usage stays bounded.
+    // hash-partition edges on the probe key before checkpointing:
+    // LogicalRDD keeps the partitioning, so the per-hop edges⋈labels
+    // join never re-shuffles the (static) edge list — only the
+    // label side moves each iteration
     val edges = pairs
       .select(col("__id").as("__s"), col("__rep_id").as("__d"))
       .union(pairs
         .select(col("__rep_id").as("__s"), col("__id").as("__d")))
       .distinct()
+      .repartition(col("__s"))
       .localCheckpoint(true)
     var labels = edges.select(col("__s").as("__v"), col("__s").as("__l"))
       .distinct()
@@ -434,27 +444,36 @@ object DedupTransform {
       val nbrMin = edges.join(labels, edges("__s") === labels("__v"))
         .select(edges("__d").as("__v"), labels("__l").as("__nl"))
         .groupBy("__v").agg(min("__nl").as("__nl"))
-      val next = labels.join(nbrMin, Seq("__v"), "left")
-        .select(col("__v"),
+      val merged = labels.join(nbrMin, Seq("__v"), "left")
+        .select(col("__v"), col("__l").as("__l0"),
           least(col("__l"), coalesce(col("__nl"), col("__l")))
             .as("__l"))
+      // pointer jump (path doubling): also adopt the label OF your
+      // label, halving the remaining chain depth each round — hop
+      // count is O(log diameter) instead of O(diameter), which is
+      // what keeps adversarially deep near-dup chains (templated
+      // docs drifting gradually) from needing hundreds of rounds
+      val jumpSrc = merged
+        .select(col("__v").as("__jv"), col("__l").as("__jl"))
+      // fold the did-anything-change flag into the iterate itself:
+      // probing via a next-vs-previous join would add a second
+      // shuffle join per hop, where a flag computed in the same
+      // projection is free and the probe over the checkpointed
+      // frame is a shuffle-less scan
+      val next = merged.join(jumpSrc, col("__l") === col("__jv"), "left")
+        .select(col("__v"),
+          least(col("__l"), coalesce(col("__jl"), col("__l")))
+            .as("__l"), col("__l0"))
+        .select(col("__v"), col("__l"),
+          (col("__l") < col("__l0")).as("__changed"))
         .localCheckpoint(true)
-      // convergence probe: any label that still decreased this round?
-      converged = next
-        .join(labels.withColumnRenamed("__l", "__prev"), "__v")
-        .filter(col("__l") < col("__prev"))
-        .limit(1).count() == 0L
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("__changed")).limit(1).count() == 0L
+      labels = next.select("__v", "__l")
       it += 1
     }
-    edges.unpersist()
-    val out = labels.filter(col("__l") < col("__v"))
+    log.info(s"dedup transitive: component labels converged in $it hops")
+    labels.filter(col("__l") < col("__v"))
       .select(col("__v").as("__id"), col("__l").as("__dup_of"))
-      .transform(graft.ops.CacheTracker.trackPersist)
-    out.count()
-    labels.unpersist()
-    out
   }
 
   /** Embedding cosine near-dup via hyperplane LSH buckets. */

@@ -19,6 +19,8 @@ object ScaleMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.operators", org.apache.logging.log4j.Level.INFO)
     if (sys.env.contains("SCALE_STAGES"))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -75,6 +77,8 @@ object ScaleMain {
       """{"method":"minhash","field":"text","idField":"doc_id"}""") }
     time("simhash") { dedup(
       """{"method":"simhash","field":"text","idField":"doc_id"}""") }
+    time("simhash-transitive") { dedup(
+      """{"method":"simhash","field":"text","idField":"doc_id","transitive":true}""") }
     time("ngram-jaccard") { dedup(
       """{"method":"ngram","field":"text","idField":"doc_id","ngramSize":5,"threshold":0.7}""") }
     time("textAnalysis") {
@@ -124,6 +128,8 @@ object ScaleMain {
       f"${(System.nanoTime() - tDyn) / 1e9}%6.2f s")
     }
     docs.unpersist()
+
+    if (sys.env.contains("SCALE_SKIP_EMB")) { spark.stop(); return }
 
     // ANN: iid synthetic vectors (replicated real vectors collide in
     // every LSH bucket by construction — near-dups are precisely what
