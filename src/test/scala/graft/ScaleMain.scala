@@ -55,11 +55,23 @@ object ScaleMain {
     println(s"SCALE corpus: $n0 -> $total docs (x$mult)")
 
     def time(name: String)(f: => DataFrame): Unit = {
+      // a scenario's operator-internal persists release when it ends;
+      // a blanket clearCache() would also evict the shared corpus,
+      // making every later scenario re-pay the single-task replica
+      // build — which poisoned the 100x numbers by up to 9 s
+      val cacheScope = graft.ops.CacheTracker.beginScope()
       val t0 = System.nanoTime()
       val df = f
-      val n = df.count()
+      // force EVERY output column, not a bare count: Catalyst
+      // eliminates a left join whose right keys are provably unique
+      // when no right-side column is referenced, so count() would
+      // time the dedup paths with their entire dup-map pipeline
+      // optimized away (exactly what Bench.consume guards against)
+      val n = df.agg(count(lit(1)),
+        sum(xxhash64(df.columns.map(c => col(c).cast("string")): _*)))
+        .head.getLong(0)
       println(f"SCALE $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
-      spark.catalog.clearCache()
+      cacheScope.close(release = true)
     }
     import graft.Pipeline.ModuleCfg
     import graft.config.Json
