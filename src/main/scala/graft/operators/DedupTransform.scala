@@ -41,6 +41,22 @@ object DedupTransform {
     val raw = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val method = p.str("method").getOrElse("exact")
+    // corpus-wide dedup needs a bounded input: every method except
+    // decontaminate compares each doc against the WHOLE corpus
+    // (bucket windows, corpus-wide line frequencies, iterative
+    // closure), none of which can execute incrementally — without
+    // this guard a streaming frame surfaces as an opaque Spark
+    // unsupported-operation error at sink-start time (or a
+    // mid-build crash for transitive). Decontaminate is the one
+    // streamable method: a stream-static semi-join against the
+    // bounded benchmark side.
+    if (raw.isStreaming && method != "decontaminate")
+      throw new IllegalArgumentException(
+        s"dedup method '$method' requires a bounded (batch) input: " +
+          "corpus-wide deduplication cannot run incrementally on a " +
+          "stream. Dedup the corpus in a batch stage, or use " +
+          "method: decontaminate (stream-against-static), or window " +
+          "the stream upstream and dedup each window's batch output.")
     // signature/gram UDFs are arithmetic-dense per row: a small input
     // (one parquet split) would serialize them onto one task, so widen
     // to cluster parallelism first (no-op at scale — see widen docs).

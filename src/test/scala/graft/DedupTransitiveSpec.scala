@@ -42,6 +42,55 @@ class DedupTransitiveSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxIter"))
   }
 
+  private def runDedup(params: String,
+      docs: org.apache.spark.sql.DataFrame) =
+    Pipeline.transforms("dedup")(spark,
+      Pipeline.ModuleCfg("dd", "dedup", Seq("docs"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("docs" -> docs))("dd")
+
+  test("transitive wires through ngram and embedding methods") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "unrelated content entirely about other things altogether")
+    ).toDF("doc_id", "text")
+    val ng = runDedup(
+      """{"method": "ngram", "field": "text", "idField": "doc_id",
+          "threshold": 0.8, "transitive": true}""", docs)
+      .select("doc_id", "__dup_of").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(ng(2L) == 1L && ng(3L) == 1L && ng(1L) == -1L && ng(4L) == -1L)
+
+    val emb = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.fill(8)(1.0f)),
+      (4L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val ed = runDedup(
+      """{"method": "embedding", "field": "embedding",
+          "idField": "vec_id", "dim": 8, "planes": 6,
+          "threshold": 0.99, "transitive": true}""", emb)
+      .select("vec_id", "__dup_of").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(ed(2L) == 1L && ed(3L) == 1L && ed(1L) == -1L && ed(4L) == -1L)
+  }
+
+  test("streaming input fails actionably for corpus-wide methods") {
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    val e = intercept[IllegalArgumentException] {
+      runDedup(
+        """{"method": "simhash", "field": "text", "idField": "doc_id",
+            "transitive": true}""", stream)
+    }
+    assert(e.getMessage.contains("bounded"))
+  }
+
   test("dedup module surfaces transitive labels through config") {
     // identical texts guarantee shared buckets regardless of hash
     // mode — this test pins the config-to-closure wiring; chain
