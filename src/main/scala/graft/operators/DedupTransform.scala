@@ -19,6 +19,10 @@ import org.apache.spark.sql.types._
   *    n-gram Jaccard within buckets.
   *  - `embedding`: cosine near-dup via random-hyperplane LSH buckets
   *    + within-bucket cosine verification.
+  *  - `semdedup`: k-means-cluster embedding dedup (SemDeDup,
+  *    arXiv:2303.09540) — nearest-centroid cells + within-cell cosine
+  *    against a representative (default: the paper's
+  *    keep-farthest-from-centroid policy).
   *
   * PERFORMANCE NOTE: signatures are computed via an explode →
   * codegen'd hash → groupBy(min/sum) pipeline, NOT via nested
@@ -140,6 +144,25 @@ object DedupTransform {
         embeddingDedup(df, embField, idField, dim, planes, threshold,
           md5Mode = p.str("hashAlgo").contains("md5"),
           transitive = transitive, maxIter = maxIter)
+      case "semdedup" =>
+        val embField = p.str("field").getOrElse("embedding")
+        val threshold = p.dbl("threshold").getOrElse(0.9)
+        val codebookIds = p.arrOf("codebookIds").map(_.asLong)
+        // external codebook (ids whose vectors become the centroids,
+        // in order) makes the clustering deterministic and
+        // SQL-replayable — the oracled path, same contract as
+        // similarity ivf codebookIds. Default: Lloyd auto-fit over a
+        // deterministic sample (SimilarityTransform.fitCentroids).
+        val centroids =
+          if (codebookIds.nonEmpty)
+            SimilarityTransform.codebookFromIds(df, embField, idField,
+              codebookIds)
+          else SimilarityTransform.fitCentroids(df, embField,
+            p.int("centroids").getOrElse(16),
+            p.int("fitIterations").getOrElse(2))
+        semDedup(df, embField, idField, centroids, threshold,
+          repPolicy = p.str("repPolicy").getOrElse("centroidFar"),
+          transitive, maxIter)
       case "lines" =>
         // CCNet/RefinedWeb-style boilerplate strip: remove every line
         // whose corpus-wide frequency reaches minCount
@@ -490,6 +513,90 @@ object DedupTransform {
     log.info(s"dedup transitive: component labels converged in $it hops")
     labels.filter(col("__l") < col("__v"))
       .select(col("__v").as("__id"), col("__l").as("__dup_of"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    * the embeddings, then dedup WITHIN each cluster against a single
+    * representative. Complements `embedding` (hyperplane-LSH buckets):
+    * clusters follow the data's density instead of random cuts, so
+    * semantic duplicates that straddle an LSH hyperplane still land in
+    * one cell.
+    *
+    * `repPolicy` picks the kept representative per cell:
+    *  - `centroidFar` (default, the paper's policy): the doc LEAST
+    *    similar to its centroid survives — SemDeDup keeps cluster-edge
+    *    examples because near-centroid points are the semantically
+    *    redundant ones. Ties break on min id.
+    *  - `minId`: smallest id, consistent with every other method.
+    *
+    * Scale shape: the centroid table is codebook-sized and ships in
+    * the assignment UDF's closure (a broadcast, never a shuffle); the
+    * corpus shuffles ONCE on the cell key for the window
+    * representative; cell count is a knob (`centroids`) that grows
+    * with the corpus, so cells stay bounded and there is no funnel.
+    * Within-cell work is rep-vs-member — O(|cell|), not the paper's
+    * literal O(|cell|²) pairwise pass; chains collapse via
+    * `transitive: true` (min-id canonicalization) instead. */
+  private def semDedup(df: DataFrame, embField: String, idField: String,
+      centroids: Array[Array[Float]], threshold: Double,
+      repPolicy: String, transitive: Boolean, maxIter: Int): DataFrame = {
+    val assign = SimilarityTransform.assignUdf(centroids, 1)
+    val slim = df.select(col(idField).as("__id"),
+      col(embField).as("__emb"))
+      // null embeddings would all assign to one junk cell — exclude
+      .filter(col("__emb").isNotNull)
+      .withColumn("__cell", assign(col("__emb"))(0))
+    // per-cell representative via a window (not groupBy + join back):
+    // the join form runs the assignment UDF over the corpus twice —
+    // same reasoning as embeddingDedup's bucket window
+    val withRep = repPolicy match {
+      case "minId" =>
+        slim.withColumn("__rep",
+          min_by(struct(col("__id"), col("__emb")), col("__id"))
+            .over(Window.partitionBy("__cell")))
+      case "centroidFar" =>
+        slim.withColumn("__csim",
+          cellSim(centroids)(col("__emb"), col("__cell")))
+          .withColumn("__rep",
+            min_by(struct(col("__id"), col("__emb")),
+              struct(col("__csim"), col("__id")))
+              .over(Window.partitionBy("__cell")))
+      case other => throw new IllegalArgumentException(
+        s"dedup semdedup repPolicy: $other (centroidFar | minId)")
+    }
+    val verifiedPairs = withRep
+      .filter(col("__id") =!= col("__rep.__id"))
+      .filter(cosine(col("__emb"), col("__rep.__emb")) >= threshold)
+    val dupMap =
+      if (transitive)
+        componentMin(verifiedPairs
+          .select(col("__id"), col("__rep.__id").as("__rep_id"))
+          .distinct(), maxIter)
+      else verifiedPairs
+        .select(col("__id"), col("__rep.__id").as("__dup_of"))
+        // one rep per cell and one cell per doc → __id is already
+        // unique; distinct only guards the degenerate all-identical
+        // case and shuffles two longs per flagged doc
+        .distinct()
+    df.join(dupMap, col(idField) === dupMap("__id"), "left")
+      .drop("__id")
+  }
+
+  /** Cosine of a vector to its assigned cell's centroid — the same
+    * index-ordered double loop as `TextFunctions.cosine` (and the same
+    * arithmetic a SQL oracle's list_cosine_similarity computes), with
+    * NO epsilon: this value ORDERS the rep choice, so it must replay
+    * bit-identically. */
+  private def cellSim(cents: Array[Array[Float]]) = udf {
+    (v: Seq[Float], cell: Int) =>
+      val c = cents(cell)
+      val n = math.min(v.length, c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = v(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Embedding cosine near-dup via hyperplane LSH buckets. */

@@ -255,7 +255,7 @@ object SimilarityTransform {
     * `ids(p)` — driver-side collect bounded by the codebook size (a
     * codebook is centroids-count-sized by definition, never
     * corpus-sized). */
-  private def codebookFromIds(corpus: DataFrame, embField: String,
+  private[operators] def codebookFromIds(corpus: DataFrame, embField: String,
       idField: String, ids: Seq[Long]): Array[Array[Float]] = {
     val byId = corpus
       .filter(col(idField).isin(ids: _*))
@@ -272,7 +272,7 @@ object SimilarityTransform {
     * uniform-ish over the whole corpus even when the data is sorted
     * or partitioned by some key — a head `limit()` would be biased.
     * Init = first nCells sampled vectors; assign → elementwise mean. */
-  private def fitCentroids(corpus: DataFrame, embField: String,
+  private[operators] def fitCentroids(corpus: DataFrame, embField: String,
       nCells: Int, iters: Int): Array[Array[Float]] = {
     val sample = corpus.select(col(embField).as("__e"))
       .orderBy(xxhash64(col("__e")))
@@ -314,7 +314,7 @@ object SimilarityTransform {
     scored.sortBy(-_._2).take(n).map(_._1).toArray
   }
 
-  private def assignUdf(centroids: Array[Array[Float]],
+  private[operators] def assignUdf(centroids: Array[Array[Float]],
       nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Seq[Float]) =>
       if (v == null) Array.empty[Int]
