@@ -80,6 +80,7 @@ object Pipeline {
     "dedup" -> DedupTransform.build,
     "onnx" -> OnnxTransform.build,
     "sample" -> SampleTransform.build,
+    "mixture" -> MixtureTransform.build,
     "pack" -> PackTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build) ++

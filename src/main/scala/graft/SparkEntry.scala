@@ -626,6 +626,73 @@ transforms:
         - {name: dup_of, field: __dup_of, type: int64}
 """),
 
+    // weighted corpus mixture: 2.5 epochs of "web", 1 of "code", a
+    // 0.25 hash-sample of "wiki" — every leg a map-side filter (the
+    // plan is a Union of filtered scans, zero shuffle), md5-bucket
+    // fractional epochs replayed verbatim by the DuckDB oracle.
+    "q67_mixture" -> pipe("mix", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet", fields: [doc_id, source]}
+transforms:
+  - name: web
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: source, op: in, value: [src0, src1, src2, src3, src4, src5, src6]}]
+  - name: code
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: source, op: in, value: [src7, src8, src9, src10, src11, src12, src13]}]
+  - name: wiki
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: source, op: in, value: [src14, src15, src16, src17, src18, src19]}]
+  - name: mix
+    module: mixture
+    inputs: [web, code, wiki]
+    parameters:
+      keyFields: [doc_id]
+      weights: {web: 2.5, code: 1.0, wiki: 0.25}
+      sourceField: mix_source
+      epochField: mix_epoch
+"""),
+
+    // Gopher rule-set filter: discrete per-rule quality signals +
+    // keep conjunction. Paper-default thresholds except minWords (30:
+    // the synthetic docs run 10-99 words) and minStopHits (1: the
+    // synthetic vocabulary carries only "the" from Gopher's 8-word
+    // list, so the default 2 would reject every doc and leave the
+    // keep flag untested).
+    "q68_gopher" -> pipe("ta", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: ta
+    module: textAnalysis
+    inputs: [docs]
+    parameters:
+      field: text
+      features: [gopher]
+      minWords: 30
+      minStopHits: 1
+      select:
+        - {name: doc_id}
+        - {name: gopher_n_words}
+        - {name: gopher_mean_word_len}
+        - {name: gopher_symbol_ratio}
+        - {name: gopher_bullet_ratio}
+        - {name: gopher_ellipsis_ratio}
+        - {name: gopher_alpha_ratio}
+        - {name: gopher_stop_hits}
+        - {name: gopher_keep}
+"""),
+
     // dedup embedding-cosine in md5 hyperplane mode — buckets + cosine
     // verify DuckDB-replayed. The test embeddings have no planted
     // near-dups (max pairwise cosine ~0.51), so 0.35/6-plane keeps the
@@ -2561,6 +2628,85 @@ transforms:
            GROUP BY a)
          SELECT em.vec_id, CAST(dup.dup_of AS BIGINT) AS dup_of
          FROM embeddings em LEFT JOIN dup ON em.vec_id = dup.a""",
+
+    // q67 mixture replay: one SELECT per epoch leg; fractional legs
+    // filter on the engine's exact md5-bucket predicate keyed
+    // input#epoch#doc_id (0.5 → 0x80000000, 0.25 → 0x40000000).
+    "q67_mixture" ->
+      """WITH web AS (SELECT doc_id, source FROM documents
+           WHERE source IN ('src0','src1','src2','src3','src4','src5','src6')),
+         code AS (SELECT doc_id, source FROM documents
+           WHERE source IN ('src7','src8','src9','src10','src11','src12','src13')),
+         wiki AS (SELECT doc_id, source FROM documents
+           WHERE source IN ('src14','src15','src16','src17','src18','src19'))
+         SELECT doc_id, source, 'web' AS mix_source,
+           CAST(0 AS INTEGER) AS mix_epoch FROM web
+         UNION ALL
+         SELECT doc_id, source, 'web', CAST(1 AS INTEGER) FROM web
+         UNION ALL
+         SELECT doc_id, source, 'web', CAST(2 AS INTEGER) FROM web
+         WHERE substr(md5('web#2#' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '80000000'
+         UNION ALL
+         SELECT doc_id, source, 'code', CAST(0 AS INTEGER) FROM code
+         UNION ALL
+         SELECT doc_id, source, 'wiki', CAST(0 AS INTEGER) FROM wiki
+         WHERE substr(md5('wiki#0#' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '40000000'""",
+
+    // q68 Gopher rules replay: whitespace words, blank lines dropped,
+    // normalized-token stop-word membership — each formula mirrors
+    // the engine's Column expression operand-for-operand.
+    "q68_gopher" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '') AS words,
+             list_filter(string_split(text, chr(10)),
+               l -> trim(l) <> '') AS lines,
+             list_filter(string_split(
+               lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+               ' '), x -> x <> '') AS tk,
+             CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               AS word_chars,
+             CAST(len(regexp_extract_all(text, '#|\.{3}|…')) AS DOUBLE)
+               AS n_symbols
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS gopher_n_words,
+             round(word_chars /
+               greatest(len(words), 1), 6) AS gopher_mean_word_len,
+             round(n_symbols /
+               greatest(len(words), 1), 6) AS gopher_symbol_ratio,
+             round(CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*[•\-\*]'))) AS DOUBLE) /
+               greatest(len(lines), 1), 6) AS gopher_bullet_ratio,
+             round(CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) /
+               greatest(len(lines), 1), 6) AS gopher_ellipsis_ratio,
+             round(CAST(len(list_filter(words,
+                 w -> regexp_matches(w, '\p{L}'))) AS DOUBLE) /
+               greatest(len(words), 1), 6) AS gopher_alpha_ratio,
+             CAST((CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS gopher_stop_hits
+           FROM g)
+         SELECT *,
+           (gopher_n_words BETWEEN 30 AND 100000
+            AND gopher_mean_word_len BETWEEN 3 AND 10
+            AND gopher_symbol_ratio < 0.1
+            AND gopher_bullet_ratio < 0.9
+            AND gopher_ellipsis_ratio < 0.3
+            AND gopher_alpha_ratio > 0.8
+            AND gopher_stop_hits >= 1) AS gopher_keep
+         FROM m""",
 
     "q30_template" ->
       """SELECT o_orderkey,

@@ -73,6 +73,66 @@ object TextAnalysisTransform {
           .withColumn("pii_phones",
             regexp_count(t2, lit(phone)).cast("long"))
           .withColumn("text_masked", t3)
+      case "gopher" =>
+        // Gopher rule-set quality filter (Rae et al. 2021, table A1):
+        // discrete per-rule signals plus the conjunction `gopher_keep`,
+        // so curation jobs can both filter and audit WHY a doc fell.
+        // "Words" here are whitespace tokens (the paper's unit);
+        // stop-word membership uses the normalized token array (tk)
+        // so punctuation-adjacent forms ("the,") still count.
+        // Thresholds are the paper defaults, each overridable via
+        // params (minWords/maxWords/minMeanWordLen/maxMeanWordLen/
+        // maxSymbolRatio/maxBulletRatio/maxEllipsisRatio/
+        // minAlphaRatio/minStopHits). All map-side Columns: the rule
+        // set is a pure projection, zero shuffle at any scale.
+        val p = cfg.params
+        def thr(name: String, dflt: Double) = p.dbl(name).getOrElse(dflt)
+        val minWords = thr("minWords", 50)
+        val maxWords = thr("maxWords", 100000)
+        val minMeanLen = thr("minMeanWordLen", 3)
+        val maxMeanLen = thr("maxMeanWordLen", 10)
+        val maxSymbol = thr("maxSymbolRatio", 0.1)
+        val maxBullet = thr("maxBulletRatio", 0.9)
+        val maxEllipsis = thr("maxEllipsisRatio", 0.3)
+        val minAlpha = thr("minAlphaRatio", 0.8)
+        val minStop = thr("minStopHits", 2)
+
+        val words = filter(split(trim(t), "\\s+"), w => w =!= "")
+        val nWords = size(words)
+        val nWordsD = greatest(nWords, lit(1)).cast("double")
+        // sum(len(word)) == len(text with all whitespace removed)
+        val meanLen = round(
+          length(regexp_replace(t, "\\s+", "")).cast("double") / nWordsD, 6)
+        val symbolRatio = round(
+          regexp_count(t, lit("#|\\.{3}|…")).cast("double") / nWordsD, 6)
+        val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+        val nLinesD = greatest(size(lines), lit(1)).cast("double")
+        val bulletRatio = round(size(filter(lines,
+          l => l.rlike("^\\s*[•\\-\\*]"))).cast("double") / nLinesD, 6)
+        val ellipsisRatio = round(size(filter(lines,
+          l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLinesD, 6)
+        val alphaRatio = round(size(filter(words,
+          w => w.rlike("\\p{L}"))).cast("double") / nWordsD, 6)
+        // Gopher's 8-word list; DISTINCT membership hits (the paper:
+        // "contain at least two of the following English words")
+        val stopHits = Seq("the", "be", "to", "of", "and", "that",
+          "have", "with")
+          .map(w => when(array_contains(tk, w), 1).otherwise(0))
+          .reduce(_ + _)
+        df = df
+          .withColumn("gopher_n_words", nWords.cast("long"))
+          .withColumn("gopher_mean_word_len", meanLen)
+          .withColumn("gopher_symbol_ratio", symbolRatio)
+          .withColumn("gopher_bullet_ratio", bulletRatio)
+          .withColumn("gopher_ellipsis_ratio", ellipsisRatio)
+          .withColumn("gopher_alpha_ratio", alphaRatio)
+          .withColumn("gopher_stop_hits", stopHits.cast("long"))
+          .withColumn("gopher_keep",
+            nWords.cast("double").between(minWords, maxWords) &&
+              meanLen.between(minMeanLen, maxMeanLen) &&
+              symbolRatio < maxSymbol && bulletRatio < maxBullet &&
+              ellipsisRatio < maxEllipsis && alphaRatio > minAlpha &&
+              stopHits >= minStop)
       case other =>
         throw new IllegalArgumentException(s"textAnalysis feature: $other")
     }

@@ -64,6 +64,18 @@ class PlanSpec extends AnyFunSuite {
       "sampling predicate left the codegen path")
   }
 
+  test("q67 mixture is a union of filtered scans: no shuffle, no UDF") {
+    // every epoch leg is a map-side filter over its input's scan;
+    // a shuffle would mean epoch replication started moving the
+    // corpus instead of re-reading it
+    val p = plan("q67_mixture")
+    assert(p.contains("Union"), "mixture legs lost the union shape")
+    assert(!p.contains("Exchange"),
+      "mixture must not shuffle — each leg is a pure filter")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "mixture predicate left the codegen path")
+  }
+
   test("q52 pack plan has no shuffle before the packer") {
     // per-partition greedy packing: mapPartitions directly over the
     // scan; a shuffle would mean the packer lost its zero-movement
