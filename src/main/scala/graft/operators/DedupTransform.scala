@@ -61,6 +61,12 @@ object DedupTransform {
           "stream. Dedup the corpus in a batch stage, or use " +
           "method: decontaminate (stream-against-static), or window " +
           "the stream upstream and dedup each window's batch output.")
+    // cross-corpus mode: flag primary rows near-duplicating a
+    // REFERENCE corpus (dedup a new crawl against the existing
+    // training set) instead of self-dedup
+    if (p.str("referenceInput").isDefined)
+      return crossCorpus(cfg, inputs, p.str("referenceInput").get, method)
+
     // signature/gram UDFs are arithmetic-dense per row: a small input
     // (one parquet split) would serialize them onto one task, so widen
     // to cluster parallelism first (no-op at scale — see widen docs).
@@ -189,6 +195,136 @@ object DedupTransform {
       case other =>
         throw new IllegalArgumentException(s"dedup method: $other")
     }
+    val kept = p.str("keep") match {
+      case Some("canonical") | Some("first") =>
+        out.filter(col("__dup_of").isNull).drop("__dup_of")
+      case _ => out
+    }
+    TransformCommon.finishRouted(kept, cfg)
+  }
+
+  /** Cross-corpus dedup: flag rows of the PRIMARY input whose content
+    * near-duplicates any row of a REFERENCE corpus — the
+    * dedup-new-data-against-the-training-set step of an incremental
+    * pipeline. `__dup_of` = the smallest matching reference id (null
+    * when the row is novel); `keep: canonical` drops matched rows.
+    *
+    * Same LSH machinery as self-dedup, but candidate pairs come from
+    * an equi-join of the two sides' band buckets instead of a
+    * within-bucket window: both sides shuffle only narrow band rows
+    * (id + 2 hash longs), the per-primary-id min reference id is a
+    * map-side-combined aggregate, and the corpus rows themselves
+    * never move — the 100 TB shape is two band-key shuffles plus an
+    * AQE-planned join, independent of document width.
+    *
+    * Methods: exact (fingerprint equi-join), minhash / simhash (band
+    * bucket join — same sim^r per-band precision as self-dedup),
+    * embedding (hyperplane bucket join + cosine verify >= threshold).
+    * `referenceField` / `referenceIdField` override the content / id
+    * columns on the reference side when its schema differs.
+    * `transitive` is rejected: reference matching is one-directional,
+    * so there is no pair graph to close over. */
+  private def crossCorpus(cfg: ModuleCfg,
+      inputs: Map[String, DataFrame], refName: String,
+      method: String): Map[String, DataFrame] = {
+    import graft.config.Json._
+    val p = cfg.params
+    require(inputs.contains(refName),
+      s"dedup: referenceInput '$refName' is not among inputs " +
+        cfg.inputs.mkString("[", ", ", "]"))
+    val primaryNames = cfg.inputs.filterNot(_ == refName)
+    require(primaryNames.size == 1,
+      "dedup: referenceInput mode takes exactly two inputs (the " +
+        s"primary corpus and '$refName'); got ${cfg.inputs.size}")
+    require(!p.bool("transitive").getOrElse(false),
+      "dedup: transitive closure does not apply to referenceInput " +
+        "mode — matching against a fixed reference is one-directional")
+    val praw = inputs(primaryNames.head)
+    val rraw = inputs(refName)
+    require(!praw.isStreaming && !rraw.isStreaming,
+      "dedup referenceInput mode requires bounded (batch) inputs: " +
+        "stage the stream to storage first, or use method: " +
+        "decontaminate for stream-against-static n-gram matching")
+    val textField = p.str("field").getOrElse("text")
+    val idField = p.str("idField").getOrElse(praw.columns.head)
+    val refTextField = p.str("referenceField").getOrElse(textField)
+    val refIdField = p.str("referenceIdField").getOrElse(idField)
+    val md5Mode = p.str("hashAlgo").contains("md5")
+    // see build(): widen per-row signature work; exact's one
+    // fingerprint per row is cheaper than the exchange
+    val primary = if (method == "exact") praw
+      else TransformCommon.widen(praw)
+    val ref = if (method == "exact") rraw else TransformCommon.widen(rraw)
+
+    def minhashBands(df: DataFrame, tf: String, id: String) = {
+      val m = p.int("numPermutations").getOrElse(32)
+      val bands = p.int("bands").getOrElse(8)
+      val k = p.int("shingleSize").getOrElse(3)
+      val sigUdf = if (md5Mode) minhashSigMd5Udf(k, m)
+        else minhashSigUdf(k, m)
+      val sig = df.select(col(id).as("__id"), sigUdf(col(tf)).as("__sig"))
+        .filter(col("__sig").isNotNull) // null text: never a candidate
+      bandsFromSig(sig, m, bands, md5Mode)
+    }
+    def simhashBands_(df: DataFrame, tf: String, id: String) = {
+      val bands = p.int("bands").getOrElse(4)
+      val shUdf = if (md5Mode) simhashMd5Udf else simhashUdf
+      val bandFn: Column => Column =
+        if (md5Mode) simhashBandsMd5(_, bands) else simhashBands(_, bands)
+      df.select(col(id).as("__id"), shUdf(col(tf)).as("__sh"))
+        .filter(col("__sh").isNotNull)
+        .select(col("__id"), posexplode(bandFn(col("__sh")))
+          .as(Seq("__band_idx", "__band_hash")))
+    }
+    def bucketJoinMin(pBands: DataFrame, rBands: DataFrame) =
+      pBands.join(
+        rBands.withColumnRenamed("__id", "__rid"),
+        Seq("__band_idx", "__band_hash"))
+        .groupBy("__id").agg(min("__rid").as("__dup_of"))
+
+    val dupMap: DataFrame = method match {
+      case "exact" =>
+        // narrow (fingerprint, min_id) aggregate on the reference —
+        // partially aggregated map-side and broadcast-joinable
+        val refMin = ref
+          .select(fingerprint(col(refTextField)).as("__fp"),
+            col(refIdField).as("__rid"))
+          .groupBy("__fp").agg(min("__rid").as("__dup_of"))
+        primary.select(col(idField).as("__id"),
+          fingerprint(col(textField)).as("__fp"))
+          .join(refMin, "__fp").select("__id", "__dup_of")
+      case "minhash" =>
+        bucketJoinMin(minhashBands(primary, textField, idField),
+          minhashBands(ref, refTextField, refIdField))
+      case "simhash" =>
+        bucketJoinMin(simhashBands_(primary, textField, idField),
+          simhashBands_(ref, refTextField, refIdField))
+      case "embedding" =>
+        val dim = p.int("dim").getOrElse(64)
+        val planes = p.int("planes").getOrElse(12)
+        val threshold = p.dbl("threshold").getOrElse(0.95)
+        def buckets(df: DataFrame, ef: String, id: String) = {
+          val b = if (md5Mode) hyperplaneBucketMd5(col("__e"), dim, planes)
+            else hyperplaneBucket(col("__e"), dim, planes, seed = 42L)
+          df.select(col(id).as("__id"), col(ef).as("__e"))
+            .withColumn("__bucket", b)
+            .filter(col("__bucket").isNotNull) // null emb: no bucket
+        }
+        val ef = p.str("field").getOrElse("embedding")
+        val pb = buckets(primary, ef, idField)
+        val rb = buckets(ref, p.str("referenceField").getOrElse(ef),
+          refIdField)
+        pb.join(rb.select(col("__bucket"), col("__id").as("__rid"),
+            col("__e").as("__re")), Seq("__bucket"))
+          .filter(cosine(col("__e"), col("__re")) >= threshold)
+          .groupBy("__id").agg(min("__rid").as("__dup_of"))
+      case other => throw new IllegalArgumentException(
+        "dedup referenceInput mode supports methods " +
+          s"exact/minhash/simhash/embedding, got '$other'")
+    }
+    val out = primary
+      .join(dupMap, col(idField) === dupMap("__id"), "left")
+      .drop("__id")
     val kept = p.str("keep") match {
       case Some("canonical") | Some("first") =>
         out.filter(col("__dup_of").isNull).drop("__dup_of")
