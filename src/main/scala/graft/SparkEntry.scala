@@ -914,39 +914,27 @@ transforms:
         - {name: msg, func: text, text: "order ${o_orderkey} is ${o_orderpriority}"}
 """),
 
-    // §2.9 fixed event-time window aggregation (batch form)
+    // §2.9 fixed event-time window aggregation (batch form). `ts` is
+    // consumed directly via strategy.timestampField — the engine's
+    // Strategy.toTimestamp path is unit-agnostic (typed timestamp,
+    // TIMESTAMP_NTZ, or integral epoch at any ns/µs/ms/s magnitude),
+    // so the gate no longer depends on the file's physical encoding.
     "q31_fixed_window" -> pipe("out", """
 sources:
   - name: ev
     module: storage
     parameters: {path: "${dir}/events.parquet"}
 transforms:
-  - name: tsfix
-    module: select
-    inputs: [ev]
-    parameters:
-      select:
-        - {name: event_type}
-        - {name: value}
-        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
-  - name: ts3
-    module: select
-    inputs: [tsfix]
-    parameters:
-      select:
-        - {name: event_type}
-        - {name: value}
-        - {name: ts, field: secs, type: timestamp}
   - name: agg
     module: aggregation
-    inputs: [ts3]
+    inputs: [ev]
     strategy:
       timestampField: ts
       window: {type: fixed, unit: hour, size: 6}
     parameters:
       groupFields: [event_type]
       aggregations:
-        - input: ts3
+        - input: ev
           fields:
             - {name: n, op: count}
             - {name: total, op: sum, field: value}
@@ -961,38 +949,23 @@ transforms:
         - {name: total_r, expression: "round(total, 4)"}
 """),
 
-    // §2.9 calendar window (date_trunc day, UTC)
+    // §2.9 calendar window (date_trunc day, UTC) — ts consumed via
+    // the unit-agnostic strategy.timestampField path (see q31)
     "q32_calendar_window" -> pipe("out", """
 sources:
   - name: ev
     module: storage
     parameters: {path: "${dir}/events.parquet"}
 transforms:
-  - name: tsfix
-    module: select
-    inputs: [ev]
-    parameters:
-      select:
-        - {name: user_id}
-        - {name: value}
-        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
-  - name: ts3
-    module: select
-    inputs: [tsfix]
-    parameters:
-      select:
-        - {name: user_id}
-        - {name: value}
-        - {name: ts, field: secs, type: timestamp}
   - name: agg
     module: aggregation
-    inputs: [ts3]
+    inputs: [ev]
     strategy:
       timestampField: ts
       window: {type: calendar, unit: day}
     parameters:
       aggregations:
-        - input: ts3
+        - input: ev
           fields:
             - {name: n, op: count}
             - {name: uniq_users, op: array_agg, field: user_id, distinct: true, order: ascending}
@@ -1144,37 +1117,24 @@ transforms:
         - {name: event_id}
 """),
 
-    // §2.9 session window (gap 30 min) — oracle via gaps-and-islands
+    // §2.9 session window (gap 30 min) — oracle via gaps-and-islands;
+    // ts consumed via the unit-agnostic strategy path (see q31)
     "q38_session_window" -> pipe("out", """
 sources:
   - name: ev
     module: storage
     parameters: {path: "${dir}/events.parquet"}
 transforms:
-  - name: tsfix
-    module: select
-    inputs: [ev]
-    parameters:
-      select:
-        - {name: user_id}
-        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
-  - name: ts3
-    module: select
-    inputs: [tsfix]
-    parameters:
-      select:
-        - {name: user_id}
-        - {name: ts, field: secs, type: timestamp}
   - name: agg
     module: aggregation
-    inputs: [ts3]
+    inputs: [ev]
     strategy:
       timestampField: ts
       window: {type: session, unit: minute, gap: 30}
     parameters:
       groupFields: [user_id]
       aggregations:
-        - input: ts3
+        - input: ev
           fields:
             - {name: n, op: count}
   - name: out
@@ -1188,37 +1148,24 @@ transforms:
 """),
 
     // §2.9 sliding window (2h size / 1h period): each event lands in
-    // size/period overlapping windows
+    // size/period overlapping windows; ts via the unit-agnostic
+    // strategy path (see q31)
     "q39_sliding_window" -> pipe("out", """
 sources:
   - name: ev
     module: storage
     parameters: {path: "${dir}/events.parquet"}
 transforms:
-  - name: tsfix
-    module: select
-    inputs: [ev]
-    parameters:
-      select:
-        - {name: event_type}
-        - {name: secs, expression: "floor(ts / 1000000000)", type: int64}
-  - name: ts3
-    module: select
-    inputs: [tsfix]
-    parameters:
-      select:
-        - {name: event_type}
-        - {name: ts, field: secs, type: timestamp}
   - name: agg
     module: aggregation
-    inputs: [ts3]
+    inputs: [ev]
     strategy:
       timestampField: ts
       window: {type: sliding, unit: hour, size: 2, period: 1}
     parameters:
       groupFields: [event_type]
       aggregations:
-        - input: ts3
+        - input: ev
           fields:
             - {name: n, op: count}
   - name: out
@@ -1255,7 +1202,12 @@ transforms:
             - {name: avg_q, op: avg, expression: "round(quality, 2)"}
 """),
 
-    // §2.7 processing processors: rolling per-key OLS + FIR smoother
+    // §2.7 processing processors: rolling per-key OLS + FIR smoother.
+    // xsec derives from the expression-compiler's documented
+    // timestamp→epoch-micros convention (expr/ExprCompiler.scala
+    // toDouble), so /1e6 yields seconds for ANY physical encoding;
+    // the oracle mirrors it with epoch_us(ts)/1e6 — bit-identical
+    // double arithmetic on both sides.
     "q41_rolling_regression" -> pipe("out", """
 sources:
   - name: ev
@@ -1271,7 +1223,7 @@ transforms:
         - {name: event_id}
         - {name: ts}
         - {name: value}
-        - {name: xsec, expression: "ts / 1000000000"}
+        - {name: xsec, expression: "ts / 1000000"}
   - name: w
     module: window
     inputs: [xs]
@@ -2833,22 +2785,24 @@ transforms:
 
     "q38_session_window" ->
       """WITH t AS (
-           SELECT user_id,
-             CAST(floor(epoch_ns(ts) / 1000000000) AS BIGINT) AS s
+           SELECT user_id, epoch_us(ts) AS u
            FROM events),
          o AS (
-           SELECT user_id, s,
+           SELECT user_id, u,
              -- Spark session_window merges an event at EXACTLY
-             -- start+gap (closed interval): break only beyond the gap
-             CASE WHEN lag(s) OVER w IS NULL
-                    OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
-           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY s)),
+             -- start+gap (closed interval): break only beyond the
+             -- gap; micros granularity matches the engine exactly
+             CASE WHEN lag(u) OVER w IS NULL
+                    OR u - lag(u) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY u)),
          g AS (
-           SELECT user_id, s,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY s
+           SELECT user_id, u,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY u
                ROWS UNBOUNDED PRECEDING) AS grp
            FROM o)
-         SELECT user_id, CAST(min(s) AS BIGINT) AS sess_start,
+         SELECT user_id,
+           CAST(floor(min(u) / 1000000) AS BIGINT) AS sess_start,
            count(*) AS n
          FROM g GROUP BY user_id, grp""",
 
@@ -3009,7 +2963,7 @@ transforms:
     "q41_rolling_regression" ->
       """WITH xs AS (
            SELECT user_id, event_id, ts, value,
-             epoch_ns(ts) / 1000000000.0 AS xsec
+             epoch_us(ts) / 1000000.0 AS xsec
            FROM events)
          SELECT user_id, event_id,
            round(regr_slope(value, xsec) OVER w, 6) + 0.0 AS slope_r,
