@@ -17,12 +17,23 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // lenient reference semantics (Spark 4 defaults ANSI on)
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS)
+      // only affects genuinely-nanos parquet columns (surfaced as
+      // int64, which Strategy.toTimestamp converts by magnitude);
+      // harmless for micros/NTZ files — kept so a testdata
+      // regeneration back to TIMESTAMP(NANOS) stays readable
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // drift tripwire: one-line diagnosis when the driver regenerates
+    // the testdata with a different physical ts encoding (this once
+    // silently flipped five gates red)
+    try System.err.println("[verify] events.ts surfaces as: " +
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType.simpleString)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] events.ts probe failed: $e") }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

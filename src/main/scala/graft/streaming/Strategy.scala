@@ -82,10 +82,14 @@ object Strategy {
   }
 
   private[graft] def toTimestamp(df: DataFrame, field: String): Column = {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import org.apache.spark.sql.types.{IntegerType, LongType,
+      TimestampNTZType}
     df.schema.fields.find(_.name == field).map(_.dataType) match {
       case Some(TimestampType) => col(field)
       case Some(LongType) | Some(IntegerType) => epochToTimestamp(col(field))
+      // parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as NTZ;
+      // with the UTC session timezone the cast preserves the instant
+      case Some(TimestampNTZType) => col(field).cast(TimestampType)
       case _ => col(field).cast(TimestampType)
     }
   }

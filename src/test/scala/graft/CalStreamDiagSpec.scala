@@ -50,9 +50,10 @@ class CalStreamDiagSpec extends AnyFunSuite {
     assert(got.count() > 0, "no day windows flushed")
     import org.apache.spark.sql.functions._
     // batch truth: date_trunc day counts (UTC)
-    val batch = spark.read.parquet(in.toString)
+    val inDf = spark.read.parquet(in.toString)
+    val batch = inDf
       .groupBy(date_trunc("DAY", graft.streaming.Strategy
-          .epochToTimestamp(col("ts"))).as("d"), col("event_type"))
+          .toTimestamp(inDf, "ts")).as("d"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val joined = got.alias("s").join(batch.alias("b"),
       col("s.window.start") === col("b.d") &&

@@ -353,8 +353,7 @@ class ModulesSpec extends AnyFunSuite {
   test("stateful lag: streaming buffer across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stateful")
       .toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val ev = TestSpark.events("/root/testdata/sf0.001/events.parquet")
     ev.write.mode("overwrite").parquet(s"$dir/in")
     val config = s"""
       |sources:
@@ -618,8 +617,7 @@ class ModulesSpec extends AnyFunSuite {
   test("streaming per-key limit: first-N in time order across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slimit")
       .toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    TestSpark.events("/root/testdata/sf0.001/events.parquet")
       .write.mode("overwrite").parquet(s"$dir/in")
     val config = s"""
       |sources:
@@ -679,8 +677,10 @@ class ModulesSpec extends AnyFunSuite {
   }
 
   test("window range duration frame on a numeric (long) order column") {
-    // events.ts surfaces as nanos-long; a duration frame must order
-    // on the numeric value itself, not unix_timestamp(string-parse)
+    // derive an epoch-seconds long from ts (the expression compiler's
+    // timestamp→micros convention, encoding-agnostic); a duration
+    // frame must order on the numeric value itself, not
+    // unix_timestamp(string-parse)
     val config = """
       |sources:
       |  - name: ev
@@ -694,7 +694,7 @@ class ModulesSpec extends AnyFunSuite {
       |      select:
       |        - {name: user_id}
       |        - {name: value}
-      |        - {name: s, expression: "floor(ts / 1000000000)", type: int64}
+      |        - {name: s, expression: "floor(ts / 1000000)", type: int64}
       |  - name: w
       |    module: window
       |    inputs: [secs]
@@ -713,9 +713,9 @@ class ModulesSpec extends AnyFunSuite {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"s")
       .rangeBetween(-3600L, 0L)
-    val exp = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exp = TestSpark.events("/root/testdata/sf0.001/events.parquet")
       .select($"user_id", $"value",
-        floor($"ts" / 1000000000L).cast("long").as("s"))
+        floor(unix_micros($"ts") / 1000000L).cast("long").as("s"))
       .withColumn("roll", sum($"value").over(w))
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
   }

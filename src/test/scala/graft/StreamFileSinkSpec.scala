@@ -51,12 +51,13 @@ class StreamFileSinkSpec extends AnyFunSuite {
     // all but the last open window per event_type must have flushed
     assert(n > 0, s"no windows flushed to file sink (rows=$n)")
     // flushed windows must agree with the equivalent batch plan
-    // (nanos ts handled identically): every closed (window, type)
-    // count matches
+    // (ts normalized the same unit-agnostic way): every closed
+    // (window, type) count matches
     import org.apache.spark.sql.functions._
-    val batch = spark.read.parquet(in.toString)
+    val inDf = spark.read.parquet(in.toString)
+    val batch = inDf
       .groupBy(window(graft.streaming.Strategy
-          .epochToTimestamp(col("ts")), "6 hours").as("window"),
+          .toTimestamp(inDf, "ts"), "6 hours").as("window"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     val joined = got.alias("s").join(batch.alias("b"),
@@ -96,7 +97,7 @@ class StreamFileSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fixed-offset"))
   }
 
-  test("session windows drain through a file sink with nanos "
+  test("session windows drain through a file sink with typed "
       + "event time") {
     val in = Files.createTempDirectory("graft-sfs2-in")
     val out = Files.createTempDirectory("graft-sfs2-out").resolve("w")
@@ -137,9 +138,10 @@ class StreamFileSinkSpec extends AnyFunSuite {
     // sessions must never exceed their batch-computed count, and all
     // flushed (user, n) pairs must exist in the batch session plan
     import org.apache.spark.sql.functions._
-    val batch = spark.read.parquet(in.toString)
+    val inDf = spark.read.parquet(in.toString)
+    val batch = inDf
       .groupBy(session_window(graft.streaming.Strategy
-          .epochToTimestamp(col("ts")), "30 minutes").as("window"),
+          .toTimestamp(inDf, "ts"), "30 minutes").as("window"),
         col("user_id"))
       .agg(count(lit(1)).as("n"))
     val joined = got.alias("s").join(batch.alias("b"),

@@ -12,8 +12,7 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val stagingDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
       .toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    TestSpark.events("/root/testdata/sf0.001/events.parquet")
       .write.mode("overwrite").parquet(s"$dir/events")
     dir
   }
