@@ -987,6 +987,77 @@ transforms:
         - {name: uniq_users, func: concat, fields: [uniq_users], delimiter: ","}
 """),
 
+    // §2.9 STREAMING calendar week windows in a DST zone: no fixed
+    // week duration exists in America/New_York, so this runs the
+    // dynamic-gap session-window path (streaming/Strategy.scala
+    // calendar case) end-to-end — real file-stream source, watermark,
+    // append-mode parquet sink. Only watermark-closed buckets flush;
+    // the oracle drops the last (still-open) week. The January-only
+    // testdata sits entirely in EST (UTC-5, no DST transition inside
+    // the data), so the oracle's fixed -5h shift replays the zone
+    // math exactly while the engine still runs full zone rules.
+    "q70_calendar_week_stream" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q70_")
+      val in = base.resolve("in").toString
+      val out = base.resolve("out").toString
+      // ONE input file → one micro-batch: a multi-file listing could
+      // order a later-timestamp file first, and events arriving after
+      // the watermark passed their window would be dropped
+      s.read.parquet(s"$dir/events.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      timestampField: ts
+      window: {type: calendar, unit: week, timezone: America/New_York}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields: [{name: n, op: count}]
+  - name: sel
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: week_s, expression: "window.start / 1000000", type: int64}
+        - {name: event_type}
+        - {name: n}
+sinks:
+  - name: snk
+    module: storage
+    inputs: [sel]
+    parameters: {path: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      // closed buckets are emitted by the post-watermark no-data
+      // batch, which runs AFTER processAllAvailable returns — poll
+      // until the sink is non-empty and stable across two reads
+      def cnt(): Long =
+        try s.read.parquet(out).count() catch { case _: Throwable => 0L }
+      var stable = 0
+      var prev = -1L
+      var tries = 0
+      while (stable < 2 && tries < 30) {
+        Thread.sleep(1000)
+        StreamRunner.drainAll()
+        val c = cnt()
+        if (c > 0 && c == prev) stable += 1 else stable = 0
+        prev = c
+        tries += 1
+      }
+      StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // similarity: IVF ANN (rows-only; centroid cells approximate)
     "q33_knn_ivf" -> pipe("out", """
 sources:
@@ -2835,6 +2906,23 @@ transforms:
            array_to_string(list_sort(list(DISTINCT user_id)), ',')
              AS uniq_users
          FROM events GROUP BY 1""",
+
+    // streaming week buckets in America/New_York: the data is all
+    // January (EST = fixed UTC-5, no DST transition inside it), so a
+    // constant -5h shift reproduces the engine's full-zone-rules
+    // bucketing; append mode can only flush watermark-closed buckets,
+    // which for a final watermark of max(ts)-1s is every week but the
+    // last
+    "q70_calendar_week_stream" ->
+      """WITH t AS (
+           SELECT date_trunc('week', ts - INTERVAL 5 HOUR)
+                    + INTERVAL 5 HOUR AS w,
+                  event_type
+           FROM events)
+         SELECT CAST(epoch(w) AS BIGINT) AS week_s, event_type,
+           count(*) AS n
+         FROM t WHERE w < (SELECT max(w) FROM t)
+         GROUP BY 1, 2""",
 
     "q23_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (

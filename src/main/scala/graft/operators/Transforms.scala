@@ -235,18 +235,22 @@ object AggregationTransform {
               s"'${declared.get}' window but input '$inName' has no " +
               "event time — set strategy.timestampField or provide " +
               "an __event_time column")
-        ts.flatMap(t => graft.streaming.Strategy.windowColumn(st, t,
+        ts.flatMap(t => graft.streaming.Strategy.windowGroup(st, t,
           df.isStreaming))
       }
       if (windowCol.isDefined) anyWindow = true
       val groupCols =
-        windowCol.map(_.as("window")).toSeq ++ groupFields.map(col)
+        windowCol.map(_.column.as("window")).toSeq ++ groupFields.map(col)
       val aggCols = d.arrOf("fields")
         .filterNot(_.bool("ignore").getOrElse(false))
         .map(AggregationCompiler.compile(_, df.schema))
-      if (groupCols.nonEmpty)
-        df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      else df.agg(aggCols.head, aggCols.tail: _*)
+      val agged =
+        if (groupCols.nonEmpty)
+          df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        else df.agg(aggCols.head, aggCols.tail: _*)
+      // streaming calendar buckets post-project the session struct to
+      // the true bucket boundaries (identity for every other window)
+      windowCol.map(_.post(agged)).getOrElse(agged)
     }
     // multi-input: merge per-input aggregates on the FULL group key —
     // including the window column when a strategy produced one, or

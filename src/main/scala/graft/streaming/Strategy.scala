@@ -105,11 +105,23 @@ object Strategy {
         if (df.columns.contains("__event_time"))
           Some(col("__event_time")) else None)
 
+  /** A streaming-safe window grouping: the groupBy Column plus a
+    * post-aggregation projection (identity except for streaming
+    * calendar windows, where the dynamic-gap session struct is
+    * rewritten to the calendar bucket boundaries). */
+  final case class GroupWindow(column: Column,
+      post: DataFrame => DataFrame = identity)
+
   /** Window group Column for a strategy node, or None for global.
-    * `streaming` switches calendar day/week to append-safe fixed
-    * windows (see the calendar case). */
+    * Kept for callers/tests that only need the grouping column; the
+    * aggregation path uses [[windowGroup]] to also get the
+    * post-aggregation projection. */
   def windowColumn(strategy: JsonNode, ts: Column,
-      streaming: Boolean = false): Option[Column] = {
+      streaming: Boolean = false): Option[Column] =
+    windowGroup(strategy, ts, streaming).map(_.column)
+
+  def windowGroup(strategy: JsonNode, ts: Column,
+      streaming: Boolean = false): Option[GroupWindow] = {
     val w = strategy("window").getOrElse(strategy)
     w.str("type").getOrElse("global") match {
       case "global" => None
@@ -117,79 +129,128 @@ object Strategy {
         val size = seconds(w, "size").getOrElse(
           throw new IllegalArgumentException("fixed window requires size"))
         val off = seconds(w, "offset").getOrElse(0L)
-        Some(window(ts, dur(size), dur(size), dur(off)))
+        Some(GroupWindow(window(ts, dur(size), dur(size), dur(off))))
       case "sliding" =>
         val size = seconds(w, "size").getOrElse(
           throw new IllegalArgumentException("sliding window requires size"))
         val period = seconds(w, "period").getOrElse(
           throw new IllegalArgumentException(
             "sliding window requires period"))
-        Some(window(ts, dur(size), dur(period),
-          dur(seconds(w, "offset").getOrElse(0L))))
+        Some(GroupWindow(window(ts, dur(size), dur(period),
+          dur(seconds(w, "offset").getOrElse(0L)))))
       case "session" =>
         val gap = seconds(w, "gap").getOrElse(
           throw new IllegalArgumentException("session window requires gap"))
-        Some(session_window(ts, dur(gap)))
+        Some(GroupWindow(session_window(ts, dur(gap))))
       case "calendar" =>
         // month/year windows via date_trunc in the strategy timezone
         val tz = w.str("timezone").getOrElse("UTC")
         val unit = w.str("unit").getOrElse("day")
+        val truncUnit = unit match {
+          case "day" | "week" | "month" | "year" => unit.toUpperCase
+          case other => throw new IllegalArgumentException(
+            s"calendar unit: $other")
+        }
         if (streaming) {
-          // grouping by a date_trunc'd column loses the watermark
-          // linkage (append mode then fails with a cryptic Spark
-          // error), so streaming day/week map to true fixed windows
-          // offset to local midnight / local Monday — same buckets,
-          // append-safe; the group column is the standard window
-          // struct. Standard (non-DST) offset of the zone; month/year
-          // have no fixed duration and stay batch-only.
-          // a fixed-size window can only model zones whose UTC offset
-          // never changes: in a DST zone the streaming buckets would
-          // silently shift 1h against the batch date_trunc plan for
-          // half the year — reject loudly instead (mirrors the
-          // month/year rejection below)
+          // grouping by a bare date_trunc'd column loses the
+          // watermark linkage (append mode then fails with a cryptic
+          // Spark error). Two append-safe encodings instead:
+          //  - day/week in a fixed-offset zone: true fixed windows
+          //    offset to local midnight / local Monday — same
+          //    buckets, cheapest state (one window struct per key).
+          //  - everything else (month/year anywhere; day/week in DST
+          //    zones): DYNAMIC-GAP session windows. Each event's gap
+          //    extends exactly to the end of its local calendar
+          //    bucket, so consecutive events of one bucket always
+          //    overlap and merge into a single session per bucket,
+          //    and an event of the next bucket can never reach back
+          //    across the boundary. The per-event boundary math runs
+          //    through from_utc/to_utc with full zone rules, so DST
+          //    transitions (23h/25h days, variable month lengths)
+          //    bucket identically to the batch date_trunc plan. The
+          //    session struct's end IS the bucket end; the start is
+          //    the first event's time, so `post` rewrites the struct
+          //    to the true bucket boundaries after the aggregation.
           val rules = java.time.ZoneId.of(tz).getRules
           val now = java.time.Instant.now()
           // "effectively fixed": no DST rules and no scheduled offset
-          // change ahead — Asia/Tokyo (last transition 1951) passes,
-          // America/New_York is rejected
-          if (!rules.isFixedOffset &&
-              (!rules.getTransitionRules.isEmpty ||
-                rules.nextTransition(now) != null))
-            throw new IllegalArgumentException(
-              s"streaming calendar windows need a fixed-offset " +
-                s"timezone ('$tz' observes DST/offset transitions, so " +
-                "fixed 1-day buckets would drift from batch " +
-                "date_trunc); use a fixed offset like UTC or +09:00, " +
-                "or run this module in batch")
-          val tzOff = rules.getOffset(now).getTotalSeconds
-          unit match {
-            case "day" =>
+          // change ahead — Asia/Tokyo (last transition 1951) counts
+          val fixedOffset = rules.isFixedOffset ||
+            (rules.getTransitionRules.isEmpty &&
+              rules.nextTransition(now) == null)
+          (unit, fixedOffset) match {
+            case ("day", true) =>
+              val tzOff = rules.getOffset(now).getTotalSeconds
               val off = ((86400 - tzOff) % 86400 + 86400) % 86400
-              Some(window(ts, "1 day", "1 day", dur(off)))
-            case "week" => // epoch was a Thursday; Monday = +4 days
+              Some(GroupWindow(window(ts, "1 day", "1 day", dur(off))))
+            case ("week", true) => // epoch was a Thursday; Monday = +4d
+              val tzOff = rules.getOffset(now).getTotalSeconds
               val wk = 7 * 86400
               val off = ((4 * 86400 - tzOff) % wk + wk) % wk
-              Some(window(ts, "7 days", "7 days", dur(off)))
-            case other => throw new IllegalArgumentException(
-              s"calendar unit '$other' has no fixed duration and " +
-                "cannot stream in append mode — aggregate day windows " +
-                "and roll up downstream, or run this module in batch")
+              Some(GroupWindow(window(ts, "7 days", "7 days", dur(off))))
+            case _ =>
+              val bucketStart = to_utc_timestamp(
+                date_trunc(truncUnit, from_utc_timestamp(ts, tz)), tz)
+              val bucketEnd = calendarBucketEnd(ts, truncUnit, tz)
+              // gap in (fractional) seconds from this event to its
+              // bucket end — always > 0 (an event ON the boundary
+              // belongs to the NEXT bucket and gets that bucket's
+              // full span)
+              // sessions merge INCLUSIVELY on touching boundaries
+              // (an event at exactly a prior session's end joins it),
+              // so the gap ends 1µs BEFORE the bucket end or a
+              // boundary-exact event of the next bucket would chain
+              // backwards. Clamped to stay positive (a non-positive
+              // dynamic gap makes Spark DROP the event): an event in
+              // the bucket's last microsecond keeps a 1µs gap, which
+              // ends exactly on the boundary — the one (sub-second-
+              // pathological) case where a boundary-exact successor
+              // would still merge.
+              val gapSecs = (greatest(
+                unix_micros(bucketEnd) - lit(1L) - unix_micros(ts),
+                lit(1L)).cast("double") / lit(1e6)).cast("decimal(18,6)")
+              // make_interval, not make_dt_interval: dynamic session
+              // gaps must be CalendarIntervalType
+              Some(GroupWindow(
+                session_window(ts,
+                  make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
+                    lit(0), gapSecs)),
+                post = df => df.withColumn("window", struct(
+                  to_utc_timestamp(date_trunc(truncUnit,
+                    from_utc_timestamp(col("window.start"), tz)), tz)
+                    .as("start"),
+                  // recompute the end from the bucket (window.start is
+                  // an event time inside it) rather than trusting the
+                  // raw session end's exact boundary encoding
+                  calendarBucketEnd(col("window.start"), truncUnit, tz)
+                    .as("end")))))
           }
         } else {
           val local = from_utc_timestamp(ts, tz)
-          val truncated = unit match {
-            case "day" => date_trunc("DAY", local)
-            case "week" => date_trunc("WEEK", local)
-            case "month" => date_trunc("MONTH", local)
-            case "year" => date_trunc("YEAR", local)
-            case other => throw new IllegalArgumentException(
-              s"calendar unit: $other")
-          }
-          Some(to_utc_timestamp(truncated, tz).as("window_start"))
+          Some(GroupWindow(
+            to_utc_timestamp(date_trunc(truncUnit, local), tz)
+              .as("window_start")))
         }
       case other =>
         throw new IllegalArgumentException(s"window type: $other")
     }
+  }
+
+  /** UTC instant of the END of `ts`'s local calendar bucket:
+    * date_trunc in the zone, plus one bucket, mapped back to UTC.
+    * Interval addition happens in LOCAL wall time (that is the
+    * definition of a calendar bucket), so "+1 MONTH" lands on the
+    * next month's first midnight regardless of month length or DST. */
+  private def calendarBucketEnd(ts: Column, truncUnit: String,
+      tz: String): Column = {
+    val localStart = date_trunc(truncUnit, from_utc_timestamp(ts, tz))
+    val localEnd = truncUnit match {
+      case "DAY" => localStart + expr("INTERVAL 1 DAY")
+      case "WEEK" => localStart + expr("INTERVAL 7 DAY")
+      case "MONTH" => localStart + expr("INTERVAL 1 MONTH")
+      case "YEAR" => localStart + expr("INTERVAL 1 YEAR")
+    }
+    to_utc_timestamp(localEnd, tz)
   }
 
   /** Apply watermark from `allowedLateness` when the input streams.

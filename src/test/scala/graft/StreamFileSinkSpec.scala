@@ -82,19 +82,25 @@ class StreamFileSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot parse duration"))
   }
 
-  test("streaming calendar windows reject DST zones, accept " +
-      "effectively-fixed ones") {
+  test("streaming calendar day windows: fixed-offset zones get cheap " +
+      "fixed windows, DST zones get dynamic-gap sessions") {
     import graft.streaming.Strategy
     import graft.config.Json
-    def cal(tz: String) = Strategy.windowColumn(
+    def cal(tz: String, unit: String = "day") = Strategy.windowGroup(
       Json.parse(
-        s"""{"window": {"type": "calendar", "unit": "day", "timezone": "$tz"}}"""),
+        s"""{"window": {"type": "calendar", "unit": "$unit", "timezone": "$tz"}}"""),
       org.apache.spark.sql.functions.col("ts"), streaming = true)
-    assert(cal("UTC").isDefined)
-    assert(cal("+09:00").isDefined)
-    assert(cal("Asia/Tokyo").isDefined) // no transitions since 1951
-    val e = intercept[IllegalArgumentException] { cal("America/New_York") }
-    assert(e.getMessage.contains("fixed-offset"))
+    def isSession(gw: Strategy.GroupWindow): Boolean =
+      gw.column.toString.contains("session_window")
+    assert(cal("UTC").exists(!isSession(_)))
+    assert(cal("+09:00").exists(!isSession(_)))
+    assert(cal("Asia/Tokyo").exists(!isSession(_))) // fixed since 1951
+    // DST zone: day windows can't be a fixed duration (23h/25h days)
+    // — routed through per-event-gap sessions instead of rejected
+    assert(cal("America/New_York").exists(isSession))
+    // month/year have no fixed duration in ANY zone
+    assert(cal("UTC", "month").exists(isSession))
+    assert(cal("UTC", "year").exists(isSession))
   }
 
   test("session windows drain through a file sink with typed "
