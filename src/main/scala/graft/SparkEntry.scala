@@ -532,8 +532,7 @@ transforms:
 
     // dedup minhash LSH in hashAlgo:md5 mode — one md5 per gram +
     // Kirsch-Mitzenmacher lanes, fully replayed by the DuckDB oracle
-    // (q34 likewise; q21/q22/q24 have md5-mode replays too; only q33's
-    // iterative IVF fit stays rows-only)
+    // (q34 likewise; q21/q22/q24/q33 have md5-mode replays too)
     "q20_dedup_minhash" -> pipe("out", """
 sources:
   - name: docs
@@ -1058,7 +1057,11 @@ sinks:
       s.read.parquet(out)
     }),
 
-    // similarity: IVF ANN (rows-only; centroid cells approximate)
+    // similarity: IVF ANN with the md5-seeded AUTO-FIT codebook —
+    // the engine derives the 16 centroids from the corpus itself
+    // (smallest md5(vec_id)), so unlike the external-codebook twin
+    // q33c no centroid list is configured and the whole index is
+    // still value-checkable in SQL
     "q33_knn_ivf" -> pipe("out", """
 sources:
   - name: emb
@@ -1073,7 +1076,7 @@ transforms:
   - name: knn
     module: similarity
     inputs: [emb, q]
-    parameters: {method: ivf, field: embedding, idField: vec_id, k: 5, centroids: 16, nProbe: 6}
+    parameters: {method: ivf, field: embedding, idField: vec_id, k: 5, centroids: 16, nProbe: 6, hashAlgo: md5}
   - name: out
     module: select
     inputs: [knn]
@@ -2200,10 +2203,11 @@ transforms:
 
   // ---------------------------------------------------------------
   /** DuckDB oracle for each hash-comparable query. The md5-mode
-    * dedup/similarity gates (q20/q21/q22/q24/q34) replay their full
-    * hash pipelines in SQL; the one omission is q33 — an iterative
-    * Lloyd IVF fit isn't reasonably SQL-replayable, so it keeps the
-    * driver's rows-only check plus a recall unit test. */
+    * dedup/similarity gates (q20/q21/q22/q24/q33/q34) replay their
+    * full hash pipelines in SQL — q33's auto-fit IVF included, since
+    * its md5-seeded codebook (fitIterations 0) is an ORDER BY
+    * md5(id) LIMIT n selection any SQL engine reproduces. Every
+    * gate is hash-checked. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3242,6 +3246,52 @@ transforms:
     // vec_id reproduces it); corpus assigns to its nearest centroid,
     // queries probe the 6 nearest, candidates rank by cosine with
     // the q24 tie-break
+    // md5-seeded auto-fit IVF: centroid p = the corpus vector with
+    // the (p+1)-smallest md5(vec_id) — fitIterations defaults to 0
+    // in md5 mode, so the engine's auto-derived codebook is exactly
+    // this ORDER BY md5 LIMIT 16 selection; assignment/probe/rank
+    // replay as in q33c
+    "q33_knn_ivf" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         seed AS (
+           SELECT vec_id, embedding FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             embedding AS cvec
+           FROM seed),
+         sims AS (
+           SELECT e.vec_id, cents.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(cents.cvec AS DOUBLE[])) DESC, cents.cell) AS rn
+           FROM e CROSS JOIN cents),
+         c_assign AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
+         q_assign AS (
+           SELECT vec_id, cell FROM sims WHERE rn <= 6 AND vec_id < 5),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                 CAST(eq.embedding AS DOUBLE[]),
+                 CAST(ec.embedding AS DOUBLE[])) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN e eq ON eq.vec_id = p.query_id
+           JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
+
     "q33c_knn_ivf_codebook" ->
       """WITH e AS (
            SELECT vec_id, embedding FROM embeddings

@@ -106,12 +106,23 @@ object SimilarityTransform {
         val nProbe = p.int("nProbe").getOrElse(4)
         // external codebook (`codebookIds`: corpus ids whose vectors
         // become the centroid table, in the given order) makes the
-        // whole index deterministic and SQL-replayable — the oracled
-        // path. Default stays the Lloyd auto-fit.
+        // whole index deterministic and SQL-replayable. `hashAlgo:
+        // md5` derives the codebook FROM the corpus itself — the
+        // nCells vectors with the smallest md5(id) (audit mode, like
+        // the dedup md5 twins: any SQL engine replays the selection),
+        // optionally refined by Lloyd steps (fitIterations, default 0
+        // in md5 mode so the index stays SQL-replayable end-to-end).
+        // Default remains the Lloyd auto-fit over a deterministic
+        // hash-ordered sample.
         val codebookIds = p.arrOf("codebookIds").map(_.asLong)
+        val md5Seeded = p.str("hashAlgo").contains("md5")
         val centroids =
           if (codebookIds.nonEmpty)
             codebookFromIds(corpus, embField, idField, codebookIds)
+          else if (md5Seeded)
+            fitCentroids(corpus, embField, nCells,
+              p.int("fitIterations").getOrElse(0),
+              init = md5SeededInit(corpus, embField, idField, nCells))
           else fitCentroids(corpus, embField,
             nCells, p.int("fitIterations").getOrElse(2))
         val assignC = assignUdf(centroids, 1)
@@ -266,19 +277,39 @@ object SimilarityTransform {
       s"similarity ivf codebookIds: id $id not in corpus"))).toArray
   }
 
+  /** md5-audit codebook init: the nCells corpus vectors with the
+    * smallest md5(id) (id-string tie-break), in that order. A SQL
+    * engine replays the selection exactly (`ORDER BY md5(CAST(id AS
+    * VARCHAR)) LIMIT n`), so an IVF index seeded this way — with
+    * fitIterations 0 — is oracle-checkable value-for-value.
+    * orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    * heaps, bounded driver merge, corpus never collected. */
+  private[operators] def md5SeededInit(corpus: DataFrame,
+      embField: String, idField: String, nCells: Int)
+      : Array[Array[Float]] =
+    corpus.filter(col(embField).isNotNull)
+      .select(col(embField).as("__e"),
+        col(idField).cast("string").as("__id_s"))
+      .orderBy(md5(col("__id_s")), col("__id_s"))
+      .limit(nCells)
+      .collect().map(_.getSeq[Float](0).toArray)
+
   /** Lloyd iterations over a deterministic pseudo-random sample:
     * rows ordered by content hash → TakeOrderedAndProject (per-
     * partition heap + bounded driver merge), so the sample is
     * uniform-ish over the whole corpus even when the data is sorted
     * or partitioned by some key — a head `limit()` would be biased.
-    * Init = first nCells sampled vectors; assign → elementwise mean. */
+    * Init = `init` when given (md5-seeded mode), else the first
+    * nCells sampled vectors; assign → elementwise mean. */
   private[operators] def fitCentroids(corpus: DataFrame, embField: String,
-      nCells: Int, iters: Int): Array[Array[Float]] = {
+      nCells: Int, iters: Int,
+      init: Array[Array[Float]] = null): Array[Array[Float]] = {
+    if (iters == 0 && init != null) return init
     val sample = corpus.select(col(embField).as("__e"))
       .orderBy(xxhash64(col("__e")))
       .limit(math.max(nCells * 50, 500))
       .collect().map(_.getSeq[Float](0).toArray)
-    var cents = sample.take(nCells)
+    var cents = if (init != null) init else sample.take(nCells)
     var it = 0
     while (it < iters && sample.nonEmpty) {
       val sums = Array.fill(cents.length)(
