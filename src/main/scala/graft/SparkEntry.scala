@@ -1279,9 +1279,13 @@ transforms:
     // §2.7 processing processors: rolling per-key OLS + FIR smoother.
     // xsec derives from the expression-compiler's documented
     // timestamp→epoch-micros convention (expr/ExprCompiler.scala
-    // toDouble), so /1e6 yields seconds for ANY physical encoding;
-    // the oracle mirrors it with epoch_us(ts)/1e6 — bit-identical
-    // double arithmetic on both sides.
+    // toDouble), so /1e6 yields seconds for any TYPED timestamp
+    // encoding (TIMESTAMP or TIMESTAMP_NTZ — the testdata pin; see
+    // TimestampEncodingSpec). An int64-epoch regeneration would pass
+    // the raw value through instead — the Verify stderr probe and
+    // the encoding spec's pin both flag that before this gate could
+    // silently diverge. The oracle mirrors with epoch_us(ts)/1e6 —
+    // bit-identical double arithmetic on both sides.
     "q41_rolling_regression" -> pipe("out", """
 sources:
   - name: ev

@@ -646,7 +646,13 @@ object DedupTransform {
       labels = next.select("__v", "__l")
       it += 1
     }
-    log.info(s"dedup transitive: component labels converged in $it hops")
+    // stderr, not just log.info: Bench/Verify run at WARN level, and
+    // the hop count is what makes this operator's run-to-run wall
+    // clock attributable (each hop pays fixed job-scheduling overhead
+    // that dominates at small scale) — the bench JSON contract only
+    // covers stdout's last line, so stderr is safe
+    System.err.println(
+      s"dedup transitive: component labels converged in $it hops")
     labels.filter(col("__l") < col("__v"))
       .select(col("__v").as("__id"), col("__l").as("__dup_of"))
   }

@@ -87,9 +87,20 @@ object Strategy {
     df.schema.fields.find(_.name == field).map(_.dataType) match {
       case Some(TimestampType) => col(field)
       case Some(LongType) | Some(IntegerType) => epochToTimestamp(col(field))
-      // parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as NTZ;
-      // with the UTC session timezone the cast preserves the instant
-      case Some(TimestampNTZType) => col(field).cast(TimestampType)
+      // parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as NTZ; the
+      // engine's convention reads the wall-clock value as a UTC
+      // instant. A bare cast interprets it in the SESSION zone — an
+      // externally built SparkSession in a non-UTC zone would
+      // silently shift every event time — so shift the wall time
+      // into the session zone first; the cast then lands on the
+      // original UTC instant in any session timezone (identity when
+      // the session is UTC, as Verify/Bench/Run all configure).
+      case Some(TimestampNTZType) =>
+        val sessionTz =
+          df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        if (sessionTz == "UTC") col(field).cast(TimestampType)
+        else convert_timezone(lit("UTC"), lit(sessionTz), col(field))
+          .cast(TimestampType)
       case _ => col(field).cast(TimestampType)
     }
   }
