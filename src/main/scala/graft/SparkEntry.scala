@@ -2202,6 +2202,33 @@ transforms:
         - {name: query_id}
         - {name: neighbor_id}
         - {name: rank, type: int32}
+"""),
+      // Lloyd auto-fit IVF (the default, non-md5 mode): q33's gate
+      // moved to the md5-seeded oracle-checkable codebook, so this
+      // twin keeps the iterative fit path benched end-to-end
+      "q33x_knn_ivf_lloyd" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters: {method: ivf, field: embedding, idField: vec_id, k: 5, centroids: 16, nProbe: 6}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
 """))
   }
 
