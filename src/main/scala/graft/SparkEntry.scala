@@ -2124,8 +2124,133 @@ transforms:
     parameters:
       sql: "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM back"
 """)("out")
+    }),
+
+    // §2.1/§2.8 http source + transform against an in-process loopback
+    // fixture (reference `source/HttpSource.java`,
+    // `transform/HttpTransform.java`): the fixture serves JSON derived
+    // from the sf tables, so both gates verify against a plain DuckDB
+    // oracle over the same tables. One request (source) / one request
+    // per nation row (transform) — bounded, loopback-only.
+    "q71_http_source" -> ((s: SparkSession, dir: String) => {
+      val rows = s.read.parquet(s"$dir/region.parquet")
+        .select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+      val payload = rows.map(r =>
+        s"""{"r_regionkey":${r.getInt(0)},"r_name":"${jsonEscape(
+          r.getString(1))}"}""")
+        .mkString("""{"items":[""", ",", "]}")
+      val port = fixturePort(s"q71|$dir")("/regions" -> (_ => payload))
+      Pipeline.build(s, s"""
+sources:
+  - name: h
+    module: http
+    parameters:
+      request: {endpoint: "http://127.0.0.1:$port/regions"}
+      response:
+        format: json
+        schema:
+          fields:
+            - name: items
+              type: array
+              itemType:
+                type: element
+                fields:
+                  - {name: r_regionkey, type: int32}
+                  - {name: r_name, type: string}
+transforms:
+  - name: it
+    module: select
+    inputs: [h]
+    parameters:
+      select:
+        - {name: items, field: body.items}
+  - name: out
+    module: unnest
+    inputs: [it]
+    parameters: {path: items}
+""")("out")
+    }),
+
+    "q72_http_transform" -> ((s: SparkSession, dir: String) => {
+      val regions = s.read.parquet(s"$dir/region.parquet")
+        .select("r_regionkey", "r_name").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      val port = fixturePort(s"q72|$dir")("/enrich" -> { q =>
+        val kv = q.split("&").map(_.split("=", 2))
+          .map(a => a(0) -> a(1)).toMap
+        s"""{"nk":${kv("nk").toLong},"region":"${jsonEscape(
+          regions(kv("rk").toInt))}"}"""
+      })
+      Pipeline.build(s, s"""
+sources:
+  - name: nat
+    module: storage
+    parameters: {path: "$dir/nation.parquet"}
+transforms:
+  - name: enr
+    module: http
+    inputs: [nat]
+    parameters:
+      request:
+        endpoint: "http://127.0.0.1:$port/enrich"
+        params:
+          nk: "$$${"{n_nationkey}"}"
+          rk: "$$${"{n_regionkey}"}"
+      response:
+        format: json
+        schema:
+          fields:
+            - {name: nk, type: int64}
+            - {name: region, type: string}
+  - name: out
+    module: select
+    inputs: [enr]
+    parameters:
+      select:
+        - {name: nk, field: body.nk}
+        - {name: region_name, field: body.region}
+""")("out")
     })
   )
+
+  // ---------------------------------------------------------------
+  /** Loopback HTTP fixtures for the http gates: one jdk.httpserver
+    * per (gate, sf-dir), started lazily, reused across bench reps,
+    * stopped by a JVM shutdown hook. 127.0.0.1-only; nothing leaves
+    * the process boundary. */
+  private val httpFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Start (or reuse) a fixture server with the given query-string →
+    * JSON-body routes; returns the bound port. */
+  private def fixturePort(key: String)(
+      routes: (String, String => String)*): Int =
+    httpFixtures.computeIfAbsent(key, _ => {
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      routes.foreach { case (path, handler) =>
+        srv.createContext(path,
+          (ex: com.sun.net.httpserver.HttpExchange) => try {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val bytes = handler(q).getBytes("UTF-8")
+            ex.getResponseHeaders.add("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          } finally ex.close())
+      }
+      srv.setExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(8))
+      srv.start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop(0)))
+      Integer.valueOf(srv.getAddress.getPort)
+    }).intValue()
 
   // ---------------------------------------------------------------
   /** Default-(xxhash64)-hash variants of the five md5-audit LSH
@@ -3374,6 +3499,17 @@ transforms:
     "q64_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer""",
+
+    // http source: the loopback fixture serves region rows as JSON;
+    // source fetch + from_json + unnest must reproduce the table
+    "q71_http_source" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    // http transform: per-nation-row enrichment via the fixture's
+    // region lookup == a plain join
+    "q72_http_transform" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, r_name AS region_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
 
     // keyed lag == LAG window over the same deterministic order
     "q62_stateful" ->

@@ -686,4 +686,133 @@ class StreamingSpec extends AnyFunSuite {
     assert(panes.forall(_._2.getAs[Long]("n") >= 2L))
     StreamRunner.stopAll()
   }
+
+  /** Beam `AfterEach.inOrder(t1, t2)` fires t1's sequence first; the
+    * engine's documented reduction (StreamRunner.normalizeTrigger)
+    * keeps ONLY t1, so the pane sequence must equal what t1 alone
+    * produces — in particular a count-gating second child must never
+    * withhold a pane. This pins the approximation end-to-end, not
+    * just the node rewrite. */
+  test("afterEach pane sequence: first child drives panes, second " +
+      "child never gates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-each")
+      .toString
+    // [0,6h) single-element and [12,18h) single-element; watermark
+    // after b1 = 13:00 - 6h = 07:00 closes [0,6h) only
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 46800L, 1.0)))
+    StreamRunner.paneStore.remove("eachpanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 6}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: eachpanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterEach
+      |        childrenTriggers:
+      |          - type: afterWatermark
+      |            earlyFiringTrigger:
+      |              {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |          - {type: afterPane, elementCountAtLeast: 100}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("eachpanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    // first-child (afterWatermark+early) sequence: early panes for
+    // BOTH windows even at n=1 — the afterPane(100) second child is
+    // not consulted (Beam would switch to it only after t1 finishes)
+    assert(panes("early").map(winStart).toSet == Set(0L, 43200L))
+    assert(panes("early").forall(_.getAs[Long]("n") == 1L))
+    // and the append side fired the closed window's ON_TIME pane
+    assert(panes("onTime").map(winStart) == List(0L))
+    StreamRunner.stopAll()
+  }
+
+  /** Beam `Repeatedly.forever(AfterPane.elementCountAtLeast(2))
+    * .orFinally(AfterWatermark.pastEndOfWindow())`: panes fire at
+    * counts 2, 3, ... until the final trigger closes the window. The
+    * engine's documented reduction validates the finalTrigger (must
+    * be a once-trigger) then drops it — termination comes from query
+    * management — so the pinned sequence is the forever-child's
+    * repeated firings, exactly, with nothing after stop. */
+  test("orFinally pane sequence: forever child repeats, finalTrigger " +
+      "validated then dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orfin")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: orfin
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: repeatedly
+      |        foreverTrigger:
+      |          {type: afterPane, elementCountAtLeast: 2, countField: n}
+      |        finalTrigger: {type: afterWatermark}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def seq(): List[Long] =
+      StreamRunner.paneStore.get("orfin").toList.map(_._2)
+        .filter(r => r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[java.sql.Timestamp]("start").getTime == 0L)
+        .map(_.getAs[Long]("n"))
+    // count 1 < 2: AfterPane withholds the first pane (Beam fires
+    // nothing before the count threshold)
+    assert(seq().isEmpty)
+    // +1 element → threshold met → first firing with n=2
+    stageParquet(dir, "b2", Seq((2L, 3700L, 1.0)))
+    StreamRunner.drainAll()
+    assert(seq() == List(2L))
+    // +1 more → Repeatedly fires AGAIN (n=3): the forever child
+    // repeats; a bare AfterPane in Beam would be done after one pane
+    stageParquet(dir, "b3", Seq((3L, 3800L, 1.0)))
+    StreamRunner.drainAll()
+    assert(seq() == List(2L, 3L))
+    // termination: stop ends the query (the documented orFinally
+    // approximation); no further panes materialize afterwards
+    StreamRunner.stopAll()
+    stageParquet(dir, "b4", Seq((4L, 3900L, 1.0)))
+    Thread.sleep(200)
+    assert(seq() == List(2L, 3L))
+  }
 }
