@@ -2194,8 +2194,8 @@ transforms:
       request:
         endpoint: "http://127.0.0.1:$port/enrich"
         params:
-          nk: "$$${"{n_nationkey}"}"
-          rk: "$$${"{n_regionkey}"}"
+          nk: "$${n_nationkey}"
+          rk: "$${n_regionkey}"
       response:
         format: json
         schema:
@@ -2210,6 +2210,165 @@ transforms:
         - {name: nk, field: body.nk}
         - {name: region_name, field: body.region}
 """)("out")
+    }),
+
+    // §2.1 microbatch source (reference source/MicrobatchQuery.java):
+    // ranged JDBC query per tick with the __EVENT_* range variables.
+    // Customers are timestamped into a 2-minute band ending ~8 min ago
+    // so the stream's first tick emits the whole gap-safe backlog —
+    // the ranges partition the axis, so every row surfaces exactly
+    // once and the drained output equals the seeded table.
+    "q73_microbatch" -> ((s: SparkSession, dir: String) => {
+      System.setProperty("derby.stream.error.file",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_derby.log").getAbsolutePath)
+      val expected = s.read.parquet(s"$dir/customer.parquet").count()
+      val anchor = System.currentTimeMillis() / 1000L - 600L
+      val startIso = java.time.Instant.ofEpochSecond(anchor).toString
+      Pipeline.execute(s, s"""
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "$dir/customer.parquet"}
+transforms:
+  - name: enr
+    module: select
+    inputs: [cust]
+    parameters:
+      select:
+        - {name: c_custkey}
+        - {name: c_name}
+        - {name: c_acctbal}
+        - {name: ev_sec, expression: "$anchor + (c_custkey % 120)", type: int64}
+sinks:
+  - name: wr
+    module: jdbc
+    input: enr
+    parameters:
+      url: "jdbc:derby:memory:graftq73;create=true"
+      table: cust_mb
+      mode: overwrite
+""")
+      Pipeline.execute(s, s"""
+sources:
+  - name: mb
+    module: microbatch
+    parameters:
+      url: "jdbc:derby:memory:graftq73"
+      sql: 'SELECT "c_custkey", "c_name", "c_acctbal" FROM cust_mb WHERE "ev_sec" >= $${__EVENT_EPOCH_SECOND_PRE__} AND "ev_sec" < $${__EVENT_EPOCH_SECOND__}'
+      startDatetime: "$startIso"
+      intervalSecond: 60
+      gapSecond: 30
+sinks:
+  - name: mbq73
+    module: memory
+    input: mb
+""")
+      import graft.streaming.StreamRunner
+      try {
+        var tries = 0
+        while (tries < 150 &&
+            s.sql("SELECT count(*) FROM mbq73").head().getLong(0)
+              < expected) {
+          StreamRunner.drainAll()
+          Thread.sleep(200)
+          tries += 1
+        }
+      } finally StreamRunner.stopAll()
+      // materialize: the memory table's backing query is stopped, but
+      // the accumulated rows remain readable
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM mbq73")
+    }),
+
+    // §2.2 text sink, line mode: template-rendered lines written as a
+    // distributed text dataset, read back via the text-format storage
+    // source and re-parsed — the roundtrip equals the source table
+    "q74_text_sink" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q74_")
+        .toString
+      Pipeline.execute(s, s"""
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "$dir/customer.parquet"}
+sinks:
+  - name: txt
+    module: text
+    input: cust
+    parameters:
+      output: "$base/lines"
+      template: "$${c_custkey},$${c_mktsegment},$${c_name}"
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: lines
+    module: storage
+    parameters: {path: "$base/lines", format: text}
+transforms:
+  - name: parsed
+    module: deserialize
+    inputs: [lines]
+    parameters:
+      format: csv
+      field: value
+      outputField: rec
+      schema:
+        fields:
+          - {name: c_custkey, type: int64}
+          - {name: c_mktsegment, type: string}
+          - {name: c_name, type: string}
+  - name: out
+    module: select
+    inputs: [parsed]
+    parameters:
+      select:
+        - {name: c_custkey, field: rec.c_custkey}
+        - {name: c_mktsegment, field: rec.c_mktsegment}
+        - {name: c_name, field: rec.c_name}
+""")("out")
+    }),
+
+    // §2.1 websocket source: the DSv2 micro-batch stream subscribes to
+    // an in-process RFC 6455 fixture that serves nation rows as JSON
+    // text frames; drained output equals the table
+    "q75_websocket" -> ((s: SparkSession, dir: String) => {
+      val rows = s.read.parquet(s"$dir/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+      val msgs = rows.map(r =>
+        s"""{"k":${r.getInt(0)},"name":"${jsonEscape(r.getString(1))}","rk":${r.getInt(2)}}""")
+        .toSeq
+      val expected = rows.length
+      val port = wsFixturePort(s"q75|$dir", msgs)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ws
+    module: websocket
+    parameters:
+      endpoint: "ws://127.0.0.1:$port/"
+      requests: [{action: subscribe, channel: nations}]
+      format: json
+      schema:
+        fields:
+          - {name: k, type: int64}
+          - {name: name, type: string}
+          - {name: rk, type: int64}
+sinks:
+  - name: wsq75
+    module: memory
+    input: ws
+""")
+      import graft.streaming.StreamRunner
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < deadline &&
+            s.sql("SELECT count(*) FROM wsq75").head().getLong(0)
+              < expected) {
+          StreamRunner.drainAll()
+          Thread.sleep(200)
+        }
+      } finally StreamRunner.stopAll()
+      s.sql("SELECT k, name, rk FROM wsq75")
     })
   )
 
@@ -2251,6 +2410,124 @@ transforms:
       Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop(0)))
       Integer.valueOf(srv.getAddress.getPort)
     }).intValue()
+
+  /** Minimal RFC 6455 loopback fixture for the websocket gate: every
+    * connection is upgraded, the client's subscription frame is read,
+    * then `messages` are sent as text frames and the connection held
+    * open (each gate run subscribes fresh and receives the full
+    * sequence). 127.0.0.1-only, daemon threads, socket closed by a
+    * JVM shutdown hook. */
+  private val wsFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def wsFixturePort(key: String, messages: Seq[String]): Int =
+    wsFixtures.computeIfAbsent(key, _ => {
+      val server = new java.net.ServerSocket(
+        0, 50, java.net.InetAddress.getLoopbackAddress)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try server.close() catch { case _: Throwable => }))
+      val acceptor = new Thread(() => {
+        try {
+          while (!server.isClosed) {
+            val sock = server.accept()
+            val conn = new Thread(() => {
+              try {
+                val in = sock.getInputStream
+                val out = sock.getOutputStream
+                wsHandshake(in, out)
+                wsReadTextFrame(in) // subscription request
+                messages.foreach(m => wsWriteTextFrame(out, m))
+                while (!server.isClosed) Thread.sleep(50)
+              } catch { case _: Throwable => }
+              finally { try sock.close() catch { case _: Throwable => } }
+            }, s"graft-ws-fixture-conn")
+            conn.setDaemon(true)
+            conn.start()
+          }
+        } catch { case _: Throwable => }
+      }, "graft-ws-fixture")
+      acceptor.setDaemon(true)
+      acceptor.start()
+      Integer.valueOf(server.getLocalPort)
+    }).intValue()
+
+  /** RFC 6455 §4.2.2 upgrade: accept = b64(sha1(key + fixed GUID)). */
+  private def wsHandshake(in: java.io.InputStream,
+      out: java.io.OutputStream): Unit = {
+    val req = new StringBuilder
+    while (!req.endsWith("\r\n\r\n")) {
+      val c = in.read()
+      require(c >= 0, "client closed during handshake")
+      req.append(c.toChar)
+    }
+    val key = req.toString.linesIterator
+      .find(_.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("sec-websocket-key:"))
+      .map(_.split(":", 2)(1).trim)
+      .getOrElse(throw new IllegalStateException(
+        "no Sec-WebSocket-Key header"))
+    val accept = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1").digest(
+        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: $accept\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.flush()
+  }
+
+  /** Server→client text frame, unmasked (§5.1); supports the 126
+    * two-byte extended length for payloads up to 64 KiB. */
+  private def wsWriteTextFrame(out: java.io.OutputStream,
+      text: String): Unit = {
+    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(payload.length < 65536, "fixture frames stay under 64KiB")
+    out.write(0x81)
+    if (payload.length < 126) out.write(payload.length)
+    else {
+      out.write(126)
+      out.write(payload.length >> 8)
+      out.write(payload.length & 0xff)
+    }
+    out.write(payload)
+    out.flush()
+  }
+
+  /** Client→server frames are masked; unmask per §5.3, skip control
+    * frames. */
+  private def wsReadTextFrame(in: java.io.InputStream): String = {
+    while (true) {
+      val b0 = in.read()
+      val b1 = in.read()
+      require(b0 >= 0 && b1 >= 0, "client closed")
+      val opcode = b0 & 0x0f
+      val masked = (b1 & 0x80) != 0
+      var len = (b1 & 0x7f).toLong
+      if (len == 126) len = (in.read() << 8) | in.read()
+      else if (len == 127) {
+        len = 0
+        for (_ <- 0 until 8) len = (len << 8) | in.read()
+      }
+      val mask =
+        if (masked) Array.fill(4)(in.read().toByte)
+        else Array.empty[Byte]
+      val payload = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < len) {
+        val n = in.read(payload, off, len.toInt - off)
+        require(n > 0, "client closed mid-frame")
+        off += n
+      }
+      if (masked)
+        for (i <- payload.indices)
+          payload(i) = (payload(i) ^ mask(i % 4)).toByte
+      if (opcode == 1)
+        return new String(payload,
+          java.nio.charset.StandardCharsets.UTF_8)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   // ---------------------------------------------------------------
   /** Default-(xxhash64)-hash variants of the five md5-audit LSH
@@ -3510,6 +3787,22 @@ transforms:
     "q72_http_transform" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nk, r_name AS region_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    // microbatch: contiguous ranges partition the time axis, so the
+    // drained stream equals the seeded table
+    "q73_microbatch" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
+
+    // text sink line-mode roundtrip: template render + csv re-parse
+    // is lossless for these columns
+    "q74_text_sink" ->
+      "SELECT c_custkey, c_mktsegment, c_name FROM customer",
+
+    // websocket: one JSON frame per nation row through the RFC 6455
+    // fixture == the table
+    "q75_websocket" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS rk FROM nation""",
 
     // keyed lag == LAG window over the same deterministic order
     "q62_stateful" ->

@@ -175,6 +175,17 @@ object ScaleMain {
       """{"method":"bruteforce","field":"embedding","idField":"vec_id","k":5}""") }
     time("knn-lsh") { knn(
       """{"method":"lsh","field":"embedding","idField":"vec_id","k":5,"planes":12,"tables":4}""") }
+    // q66 path at scale: Lloyd auto-fit (bounded centroid sample) +
+    // cell assignment + per-cell rep window + cosine verify — the
+    // per-cell window is the scale-sensitive stage (cells must stay
+    // balanced as the corpus grows; 64 cells over iid vectors do)
+    time("semdedup") {
+      graft.operators.DedupTransform.build(spark,
+        ModuleCfg("sd", "dedup", Seq("e"), Nil, Json.parse(
+          """{"method":"semdedup","field":"embedding","idField":"vec_id",
+             "threshold":0.9,"centroids":64,"fitIterations":2}"""),
+          Json.obj()), Map("e" -> emb))("sd")
+    }
     spark.stop()
   }
 }
