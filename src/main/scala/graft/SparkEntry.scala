@@ -2369,6 +2369,38 @@ sinks:
         }
       } finally StreamRunner.stopAll()
       s.sql("SELECT k, name, rk FROM wsq75")
+    }),
+
+    // §2.2 tfrecord: embeddings roundtrip through tf.Example container
+    // files (ops/TFRecords — masked-crc32c framing + the reference
+    // converter's type mapping); float arrays roundtrip bit-exactly
+    "q76_tfrecord" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q76_")
+        .toString
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+sinks:
+  - name: w
+    module: storage
+    input: emb
+    parameters: {output: "$base/emb", format: tfrecord, numShards: 8}
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: out
+    module: storage
+    parameters:
+      path: "$base/emb"
+      format: tfrecord
+      schema:
+        fields:
+          - {name: vec_id, type: int64}
+          - {name: embedding, type: array, itemType: {type: float32}}
+          - {name: label, type: int32}
+""")("out")
     })
   )
 
@@ -3803,6 +3835,10 @@ transforms:
     "q75_websocket" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
            CAST(n_regionkey AS BIGINT) AS rk FROM nation""",
+
+    // tfrecord roundtrip is lossless for int64/float32-array/int32
+    "q76_tfrecord" ->
+      "SELECT vec_id, embedding, label FROM embeddings",
 
     // keyed lag == LAG window over the same deterministic order
     "q62_stateful" ->

@@ -68,16 +68,27 @@ object HttpSource {
         body, tmo, acc, HttpFunctions.Backoff(maxRetries = 3))
     }.asNondeterministic()
 
-    import spark.implicits._
+    // request rows as struct LITERALS, not a case-class Dataset: the
+    // nested-case-class encoder trips a Janino accessor bug and falls
+    // back to interpreted projection (cold path, but the WARN+stack
+    // is noise and the literal form stays inside codegen)
+    val reqLits: Column = array(reqs.map(r => struct(
+      lit(r.endpoint).as("endpoint"), lit(r.method).as("method"),
+      (if (r.headers.isEmpty) map().cast("map<string,string>")
+       else map(r.headers.flatMap { case (k, v) =>
+         Seq(lit(k), lit(v)) }.toSeq: _*)).as("headers"),
+      lit(r.body).as("body"))): _*)
     val requestRows: DataFrame =
-      if (rateSeconds <= 0) reqs.toDF()
+      if (rateSeconds <= 0)
+        spark.range(1).select(explode(reqLits).as("__r"))
+          .select(col("__r.*"))
       else {
         // 1 tick per rateSeconds: rate source at 1 row/s, keep every
         // rateSeconds-th value (rate source has no sub-1/s setting)
         val ticks = spark.readStream.format("rate")
           .option("rowsPerSecond", "1").load()
           .filter(col("value") % rateSeconds === 0)
-        ticks.select(explode(typedLit(reqs)).as("__r"))
+        ticks.select(explode(reqLits).as("__r"))
           .select(col("__r.*"))
       }
 

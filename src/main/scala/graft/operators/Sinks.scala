@@ -56,6 +56,17 @@ object StorageSink {
     val format = p.str("format").getOrElse("parquet")
     var df = df0
     p.int("numShards").filter(_ > 0).foreach(n => df = df.repartition(n))
+    if (format == "tfrecord") {
+      // tf.Example container files (ops/TFRecords): one file per
+      // partition — numShards sets read-side parallelism since the
+      // format is not splittable
+      val mode = p.str("mode").getOrElse("overwrite")
+        .toLowerCase(java.util.Locale.ROOT)
+      require(mode == "overwrite",
+        s"storage tfrecord sink supports mode: overwrite (got '$mode')")
+      graft.ops.TFRecords.write(df, path, overwrite = true)
+      return
+    }
     if (format == "avro") {
       // container files via avro-core/avro-mapred (no spark-avro jar
       // in this image) — see ops/AvroFiles. Destination parity with

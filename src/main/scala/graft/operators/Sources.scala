@@ -97,7 +97,8 @@ object StorageSource {
     val format = p.str("format").getOrElse {
       paths.head.split('.').lastOption.getOrElse("parquet") match {
         case "csv" => "csv" case "json" | "jsonl" => "json"
-        case "avro" => "avro" case _ => "parquet"
+        case "avro" => "avro" case "tfrecord" => "tfrecord"
+        case _ => "parquet"
       }
     }
     val streaming = p.bool("stream").getOrElse(false)
@@ -107,8 +108,20 @@ object StorageSource {
           "classpath (--packages org.apache.spark:spark-avro_2.13:" +
           "<spark version>); batch avro, and parquet/csv/json in both " +
           "modes, are built in")
+    if (format == "tfrecord" && streaming)
+      throw new IllegalStateException(
+        "storage tfrecord is batch-only (the format has no sync " +
+          "markers for incremental tailing); parquet/csv/json stream")
     var df =
-      if (format == "avro") {
+      if (format == "tfrecord") {
+        // tf.Example records carry only bytes/float/int64 lists, so
+        // the logical schema must be declared (ops/TFRecords)
+        val st = p("schema").map(SchemaMapper.toStructType).getOrElse(
+          throw new IllegalArgumentException(
+            "storage tfrecord source requires schema (tf.Example has " +
+              "no embedded logical types)"))
+        graft.ops.TFRecords.read(spark, paths, st)
+      } else if (format == "avro") {
         // container files via avro-core/avro-mapred (no spark-avro
         // jar in this image) — block-splittable, see ops/AvroFiles
         graft.ops.AvroFiles.read(spark, paths,

@@ -97,22 +97,36 @@ object TextAnalysisTransform {
         val minAlpha = thr("minAlphaRatio", 0.8)
         val minStop = thr("minStopHits", 2)
 
-        val words = filter(split(trim(t), "\\s+"), w => w =!= "")
-        val nWords = size(words)
+        // every count is a single-pass codegen'd regexp_count — the
+        // array-HOF forms (filter/split lambdas) are interpreted and
+        // re-split the text once per signal, which made this branch
+        // ~4x the cost of the equivalent regex scans. Each pattern is
+        // count-equivalent to its per-line/per-word predecessor:
+        //  - words = maximal non-space runs → "\\S+"
+        //  - non-blank line (trim-space semantics) → a line char
+        //    other than ' ' ((?m), '.' never crosses \n)
+        //  - per-line anchored classes use Java's \s minus \n so a
+        //    multiline scan can't merge adjacent lines
+        val wsInLine = "[ \\t\\x0B\\f\\r]"
+        val nWords = regexp_count(t, lit("\\S+"))
         val nWordsD = greatest(nWords, lit(1)).cast("double")
         // sum(len(word)) == len(text with all whitespace removed)
         val meanLen = round(
           length(regexp_replace(t, "\\s+", "")).cast("double") / nWordsD, 6)
         val symbolRatio = round(
           regexp_count(t, lit("#|\\.{3}|…")).cast("double") / nWordsD, 6)
-        val lines = filter(split(t, "\n"), l => trim(l) =!= "")
-        val nLinesD = greatest(size(lines), lit(1)).cast("double")
-        val bulletRatio = round(size(filter(lines,
-          l => l.rlike("^\\s*[•\\-\\*]"))).cast("double") / nLinesD, 6)
-        val ellipsisRatio = round(size(filter(lines,
-          l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLinesD, 6)
-        val alphaRatio = round(size(filter(words,
-          w => w.rlike("\\p{L}"))).cast("double") / nWordsD, 6)
+        val nLinesD = greatest(
+          regexp_count(t, lit("(?m)^.*[^ ]")), lit(1)).cast("double")
+        val bulletRatio = round(regexp_count(t,
+          lit("(?m)^" + wsInLine + "*[•\\-\\*]")).cast("double") /
+          nLinesD, 6)
+        val ellipsisRatio = round(regexp_count(t,
+          lit("(?m)(\\.\\.\\.|…)" + wsInLine + "*$")).cast("double") /
+          nLinesD, 6)
+        // one match per word containing a letter: the boundary (^ or
+        // one space) is consumed, so a word can never double-count
+        val alphaRatio = round(regexp_count(t,
+          lit("(?:^|\\s)\\S*?\\p{L}")).cast("double") / nWordsD, 6)
         // Gopher's 8-word list; DISTINCT membership hits (the paper:
         // "contain at least two of the following English words")
         val stopHits = Seq("the", "be", "to", "of", "and", "that",
@@ -127,12 +141,18 @@ object TextAnalysisTransform {
           .withColumn("gopher_ellipsis_ratio", ellipsisRatio)
           .withColumn("gopher_alpha_ratio", alphaRatio)
           .withColumn("gopher_stop_hits", stopHits.cast("long"))
+          // keep references the COLUMNS: repeating the raw
+          // expressions here would re-run every scan a second time
           .withColumn("gopher_keep",
-            nWords.cast("double").between(minWords, maxWords) &&
-              meanLen.between(minMeanLen, maxMeanLen) &&
-              symbolRatio < maxSymbol && bulletRatio < maxBullet &&
-              ellipsisRatio < maxEllipsis && alphaRatio > minAlpha &&
-              stopHits >= minStop)
+            col("gopher_n_words").cast("double")
+              .between(minWords, maxWords) &&
+              col("gopher_mean_word_len")
+                .between(minMeanLen, maxMeanLen) &&
+              col("gopher_symbol_ratio") < maxSymbol &&
+              col("gopher_bullet_ratio") < maxBullet &&
+              col("gopher_ellipsis_ratio") < maxEllipsis &&
+              col("gopher_alpha_ratio") > minAlpha &&
+              col("gopher_stop_hits") >= minStop)
       case other =>
         throw new IllegalArgumentException(s"textAnalysis feature: $other")
     }
