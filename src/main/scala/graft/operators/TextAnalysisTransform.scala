@@ -128,10 +128,16 @@ object TextAnalysisTransform {
         val alphaRatio = round(regexp_count(t,
           lit("(?:^|\\s)\\S*?\\p{L}")).cast("double") / nWordsD, 6)
         // Gopher's 8-word list; DISTINCT membership hits (the paper:
-        // "contain at least two of the following English words")
+        // "contain at least two of the following English words").
+        // Membership == the tokenizer would emit the word: a maximal
+        // [letter/digit/'] run equal to it, case-folded — expressed
+        // as a boundary-anchored case-insensitive existence scan so
+        // the whole branch stays free of the token-array HOF
         val stopHits = Seq("the", "be", "to", "of", "and", "that",
           "have", "with")
-          .map(w => when(array_contains(tk, w), 1).otherwise(0))
+          .map(w => when(t.rlike(
+            "(?iu)(?<![\\p{L}\\p{Nd}'])" + w +
+              "(?![\\p{L}\\p{Nd}'])"), 1).otherwise(0))
           .reduce(_ + _)
         df = df
           .withColumn("gopher_n_words", nWords.cast("long"))

@@ -121,4 +121,18 @@ class PlanSpec extends AnyFunSuite {
   test("q54 avro byte roundtrip has no keyed shuffle") {
     assertNoKeyedShuffle("q54_avro_roundtrip")
   }
+
+  test("q68 gopher rules are a shuffle-free codegen projection") {
+    // the quality filter is a scan-rate operator at 100 TB: every
+    // signal must stay a map-side regexp_count — an Exchange, an
+    // interpreted HOF lambda, or a UDF here multiplies the cost of
+    // every curation pass over the corpus
+    val p = plan("q68_gopher")
+    assert(!p.contains("Exchange"),
+      "gopher rules must not shuffle — the rule set is a projection")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "gopher signal left the codegen path")
+    assert(!p.contains("ArrayFilter") && !p.contains("ArrayTransform"),
+      "gopher signal regressed to an interpreted higher-order function")
+  }
 }

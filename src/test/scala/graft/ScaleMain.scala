@@ -54,7 +54,11 @@ object ScaleMain {
     val total = docs.count()
     println(s"SCALE corpus: $n0 -> $total docs (x$mult)")
 
-    def time(name: String)(f: => DataFrame): Unit = {
+    // SCALE_ONLY=name1,name2 runs just those scenarios (dev loop)
+    val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSet)
+    def time(name: String)(f: => DataFrame): Unit =
+      if (only.forall(_.contains(name))) timeAlways(name)(f)
+    def timeAlways(name: String)(f: => DataFrame): Unit = {
       // a scenario's operator-internal persists release when it ends;
       // a blanket clearCache() would also evict the shared corpus,
       // making every later scenario re-pay the single-task replica
@@ -138,6 +142,25 @@ object ScaleMain {
       overwrite = true)
     println(f"SCALE avro-write-dynamic    " +
       f"${(System.nanoTime() - tDyn) / 1e9}%6.2f s")
+    // q76 path at scale: tf.Example encode per partition file, then
+    // the per-file read fan-out (32 shards → 32 read tasks)
+    if (only.forall(_.contains("tfrecord-read"))) {
+      val tfrDir = java.nio.file.Files
+        .createTempDirectory("scale-tfr").toString + "/docs"
+      val tTfr = System.nanoTime()
+      graft.ops.TFRecords.write(docs.select("doc_id", "text"), tfrDir,
+        overwrite = true)
+      println(f"SCALE tfrecord-write        " +
+        f"${(System.nanoTime() - tTfr) / 1e9}%6.2f s")
+      time("tfrecord-read") {
+        graft.ops.TFRecords.read(spark, Seq(tfrDir),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+      }
+    }
     }
     docs.unpersist()
 
