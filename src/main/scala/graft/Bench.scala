@@ -95,9 +95,14 @@ object Bench {
     // contract (this, plus per-query UDF re-registration WARNs, left
     // rounds 3-5 with unparseable bench files)
     spark.stop()
+    SparkEntry.closeFixtures()
     System.out.flush(); System.err.flush()
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"samples":$samples,"sf":"$sfDir"}""")
     System.out.flush()
+    // the http gate fixtures' dispatcher threads are non-daemon; a
+    // plain return would leave the JVM (and the driver's bench step)
+    // waiting on them forever
+    System.exit(0)
   }
 }

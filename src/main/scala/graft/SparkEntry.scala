@@ -2412,6 +2412,26 @@ sources:
   private val httpFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Closers for every running fixture. Verify/Bench MUST call
+    * [[closeFixtures]] before returning: the jdk.httpserver dispatcher
+    * thread is non-daemon, so a shutdown hook alone can never fire —
+    * the JVM would wait on the dispatcher forever (this hung a full
+    * gate battery for an hour). */
+  private val fixtureClosers =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Stop every loopback fixture and forget the memoized ports (a
+    * later gate run starts fresh servers). */
+  def closeFixtures(): Unit = {
+    var c = fixtureClosers.poll()
+    while (c != null) {
+      try c() catch { case _: Throwable => }
+      c = fixtureClosers.poll()
+    }
+    httpFixtures.clear()
+    wsFixtures.clear()
+  }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -2436,10 +2456,18 @@ sources:
             ex.getResponseBody.write(bytes)
           } finally ex.close())
       }
-      srv.setExecutor(
-        java.util.concurrent.Executors.newFixedThreadPool(8))
+      // DAEMON pool: a default executor's non-daemon threads keep the
+      // whole Verify/Bench JVM alive after main returns (the shutdown
+      // hook can never fire because shutdown never starts) — this hung
+      // a full gate battery for an hour before being caught
+      srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+        8, (r: Runnable) => {
+          val t = new Thread(r, "graft-http-fixture")
+          t.setDaemon(true)
+          t
+        }))
       srv.start()
-      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop(0)))
+      fixtureClosers.add(() => srv.stop(0))
       Integer.valueOf(srv.getAddress.getPort)
     }).intValue()
 
@@ -2456,8 +2484,8 @@ sources:
     wsFixtures.computeIfAbsent(key, _ => {
       val server = new java.net.ServerSocket(
         0, 50, java.net.InetAddress.getLoopbackAddress)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try server.close() catch { case _: Throwable => }))
+      fixtureClosers.add(() =>
+        try server.close() catch { case _: Throwable => })
       val acceptor = new Thread(() => {
         try {
           while (!server.isClosed) {

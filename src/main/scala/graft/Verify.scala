@@ -64,5 +64,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the gate fixtures (jdk.httpserver) run non-daemon dispatcher
+    // threads; without this the JVM never exits and the driver's
+    // correctness step hangs
+    SparkEntry.closeFixtures()
+    System.out.flush(); System.err.flush()
+    // belt and braces: any straggler non-daemon thread (vendor JDBC
+    // timers, streaming state maintenance racing stop) must not stall
+    // the driver — all output is already on disk/stdout
+    System.exit(0)
   }
 }
