@@ -309,26 +309,16 @@ object TextFunctions {
       (size(a) + size(b) - inter).cast(DoubleType)
   }
 
-  /** Cosine similarity of two float-array embeddings. Tight-loop UDF:
-    * Catalyst higher-order functions are interpreted per element
-    * (zip_with + aggregate ≈ 3 lambda dispatches per dim per row),
-    * while a JVM while-loop over the arrays is the genuinely
-    * imperative-numeric case the SURVEY §4 UDF budget exists for. */
-  val cosine: (Column, Column) => Column = {
-    val f = udf { (a: Seq[Float], b: Seq[Float]) =>
-      if (a == null || b == null) null
-      else {
-        val n = math.min(a.length, b.length)
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < n) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-      }
-    }
-    (a, b) => f(a, b)
-  }
+  /** Cosine similarity of two float-array embeddings — a native
+    * codegen'd Catalyst expression
+    * (`org.apache.spark.sql.graft.CosineSimilarity`). Previously a
+    * tight-loop UDF; the expression removes the per-row encoder
+    * deserialization (every element unboxed through `Seq[Float]`)
+    * and keeps the comparison inside whole-stage codegen, with
+    * BIT-IDENTICAL arithmetic (index-ordered dot/na/nb doubles,
+    * min-length clamp, null → null, zero-length → NaN). */
+  val cosine: (Column, Column) => Column =
+    (a, b) => org.apache.spark.sql.graft.VectorExpressions.cosine(a, b)
 
   /** Random-hyperplane LSH bucket for an embedding: sign bits of
     * `planes` deterministic projections (seeded, plan-time vectors).

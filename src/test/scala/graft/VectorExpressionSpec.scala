@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native CosineSimilarity expression must be value-identical to
+  * the reference tight-loop semantics it replaced (index-ordered
+  * double accumulation, min-length clamp, null → null, zero-length →
+  * NaN), in BOTH the codegen and interpreted paths. */
+class VectorExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The replaced UDF's arithmetic, verbatim. */
+  private def refCosine(a: Seq[Float], b: Seq[Float]): java.lang.Double =
+    if (a == null || b == null) null
+    else {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+
+  private val cases: Seq[(Seq[Float], Seq[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val random = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val m = if (rnd.nextBoolean()) n else 1 + rnd.nextInt(64)
+      (Seq.fill(n)((rnd.nextFloat() - 0.5f) * 10f),
+        Seq.fill(m)((rnd.nextFloat() - 0.5f) * 10f))
+    }
+    random ++ Seq(
+      (Seq.empty[Float], Seq.empty[Float]), // 0/0 → NaN
+      (Seq(0f, 0f), Seq(0f, 0f)), // zero vectors → NaN
+      (null, Seq(1f)), (Seq(1f), null), // null → null
+      (Seq(1f, 2f, 3f), Seq(1f, 2f)), // length clamp
+      (Seq(Float.MaxValue, Float.MinPositiveValue),
+        Seq(Float.MaxValue, 1f)))
+  }
+
+  private def run(codegen: Boolean): Seq[java.lang.Double] = {
+    val mode = if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN"
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try {
+      val df = cases.toDF("a", "b")
+      df.select(graft.functions.TextFunctions.cosine(col("a"), col("b"))
+        .as("c")).collect().map(r =>
+        if (r.isNullAt(0)) null
+        else java.lang.Double.valueOf(r.getDouble(0))).toSeq
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("codegen and interpreted paths both match the reference " +
+      "tight-loop bit-for-bit") {
+    val want = cases.map { case (a, b) => refCosine(a, b) }
+    for (codegen <- Seq(true, false)) {
+      val got = run(codegen)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        val ok =
+          if (w == null) g == null
+          else if (w.isNaN) g != null && g.isNaN
+          else g != null && g.doubleValue() == w.doubleValue()
+        assert(ok, s"case $i codegen=$codegen: got $g want $w " +
+          s"for ${cases(i)}")
+      }
+    }
+  }
+
+  test("expression stays inside the codegen span (no ScalaUDF node)") {
+    val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+      .select(graft.functions.TextFunctions
+        .cosine(col("a"), col("b")).as("c"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"),
+      "cosine fell back to a UDF — the native expression is gone")
+  }
+}
