@@ -54,11 +54,37 @@ object DedupTransform {
     // mid-build crash for transitive). Decontaminate is the one
     // streamable method: a stream-static semi-join against the
     // bounded benchmark side.
+    // streaming exact dedup: first-seen-wins within the watermark
+    // horizon via dropDuplicatesWithinWatermark — duplicates whose
+    // event time lands within `allowedLateness` of the first
+    // occurrence drop, and a fingerprint's state expires once the
+    // watermark passes it, so state stays bounded by horizon × rate
+    // (the scalable streaming semantic; re-occurrences beyond the
+    // horizon may legitimately re-emit). Unlike batch exact there is
+    // no __dup_of labeling — the stream cannot know future members.
+    if (raw.isStreaming && method == "exact") {
+      val strategy = cfg.node("strategy").getOrElse(
+        graft.config.Json.obj())
+      val ts = strategy.str("timestampField").getOrElse(
+        throw new IllegalArgumentException(
+          "streaming exact dedup needs strategy.timestampField (and " +
+            "allowedLateness) to bound its state: without an " +
+            "event-time horizon the seen-fingerprint state grows " +
+            "with the whole stream"))
+      val textField = p.str("field").getOrElse("text")
+      val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+      val out = wm.withColumn("__fp", fingerprint(col(textField)))
+        .dropDuplicatesWithinWatermark("__fp")
+        .drop("__fp")
+      return TransformCommon.finishRouted(out, cfg)
+    }
     if (raw.isStreaming && method != "decontaminate")
       throw new IllegalArgumentException(
         s"dedup method '$method' requires a bounded (batch) input: " +
           "corpus-wide deduplication cannot run incrementally on a " +
-          "stream. Dedup the corpus in a batch stage, or use " +
+          "stream. Dedup the corpus in a batch stage, use " +
+          "method: exact with strategy.timestampField (first-seen-" +
+          "wins within the watermark horizon), use " +
           "method: decontaminate (stream-against-static), or window " +
           "the stream upstream and dedup each window's batch output.")
     // cross-corpus mode: flag primary rows near-duplicating a
