@@ -672,6 +672,12 @@ object SqlTransform {
     spark.udf.register("MDT_CONTAINS_ALL_STRING",
       (a: Seq[String], b: Seq[String]) =>
         if (a == null || b == null) false else b.forall(a.contains))
+    // engine extension: the native codegen'd cosine expression, so
+    // SQL-module users score embeddings without a UDF round-trip
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => org.apache.spark.sql.graft.CosineSimilarity(
+        exprs.head, exprs(1)), "built-in")
   }
 
   def build(spark: SparkSession, cfg: ModuleCfg,

@@ -69,6 +69,18 @@ class VectorExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_similarity is callable from the sql module") {
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("id", "emb")
+    val out = Pipeline.transforms("sql")(spark,
+      Pipeline.ModuleCfg("q", "sql", Seq("e"), Nil,
+        graft.config.Json.parse("""{"sql":
+          "SELECT id, round(cosine_similarity(emb, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS s FROM e ORDER BY id"}"""),
+        graft.config.Json.obj()), Map("e" -> df))("q")
+    val got = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 0.0), (3L, 0.707107)))
+  }
+
   test("expression stays inside the codegen span (no ScalaUDF node)") {
     val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
       .select(graft.functions.TextFunctions
