@@ -267,13 +267,45 @@ object AggregationTransform {
     // (AggregationTransform.java:181-186 routes through the Limit
     // util): per-key top/first-N when keyFields/orderField are given,
     // plain limit(n) otherwise
-    cfg.param("limit").map { l =>
+    val result = cfg.param("limit").map { l =>
       val limited = LimitTransform.build(spark,
         ModuleCfg(cfg.name, "limit", Seq("__agg"), Nil, l,
           graft.config.Json.obj()),
         Map("__agg" -> routed(cfg.name)))(cfg.name)
       routed.updated(cfg.name, limited)
     }.getOrElse(routed)
+    // discarding-pane recipe (PaneRecipes): a single-input streaming
+    // aggregation also registers how to redo itself over a BATCH of
+    // raw input — StreamRunner uses it to emit true Beam discarding
+    // panes (each pane = aggregate of only the elements since the
+    // last firing) by re-aggregating each micro-batch instead of
+    // running a stateful streaming aggregate. Multi-input merges and
+    // post-agg limits have no per-pane semantics, so they simply
+    // don't register and a discarding sink fails actionably.
+    if (merged.isStreaming && defs.size == 1 && cfg.param("limit").isEmpty) {
+      val d = defs.head
+      val raw = inputs(d.str("input").getOrElse(cfg.inputs.head))
+      val reAgg: DataFrame => DataFrame = { batch =>
+        val wc = strategyNode.flatMap { st =>
+          graft.streaming.Strategy.eventTimeCol(batch, st)
+            .flatMap(t => graft.streaming.Strategy.windowGroup(st, t,
+              streaming = false))
+        }
+        val gcols =
+          wc.map(_.column.as("window")).toSeq ++ groupFields.map(col)
+        val acols = d.arrOf("fields")
+          .filterNot(_.bool("ignore").getOrElse(false))
+          .map(AggregationCompiler.compile(_, batch.schema))
+        val agged =
+          if (gcols.nonEmpty)
+            batch.groupBy(gcols: _*).agg(acols.head, acols.tail: _*)
+          else batch.agg(acols.head, acols.tail: _*)
+        TransformCommon.finishRouted(
+          wc.map(_.post(agged)).getOrElse(agged), cfg)(cfg.name)
+      }
+      graft.streaming.PaneRecipes.register(result(cfg.name), raw, reAgg)
+    }
+    result
   }
 }
 

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Side-channel from the aggregation module to [[StreamRunner]] for
+  * DISCARDING-mode early firings (reference `module/Strategy.java:
+  * 84-89` mode enum + `:276-297` early firings).
+  *
+  * Beam's discarding accumulation emits each pane over only the
+  * elements that arrived since the previous firing of that window.
+  * On Structured Streaming that is exactly a per-micro-batch
+  * re-aggregation of the PRE-aggregation stream: with a
+  * ProcessingTime trigger, each micro-batch holds precisely the
+  * elements that arrived since the last tick, so aggregating the
+  * batch inside foreachBatch yields the discarding pane for every
+  * aggregate type (count/sum but also min/max/argmax/array_agg,
+  * which no delta scheme could reconstruct from accumulated
+  * outputs) — with ZERO streaming aggregation state.
+  *
+  * The aggregation module registers its pre-agg frame plus a batch
+  * re-aggregation closure, identity-keyed on the output frame's
+  * logical plan; StreamRunner looks the recipe up when a sink
+  * declares `mode: discarding` with an early-firing trigger. The
+  * registry is bounded (cleared past 64 entries) so repeated
+  * Pipeline.execute calls in one JVM cannot leak plans.
+  */
+private[graft] object PaneRecipes {
+  final case class Recipe(preAgg: DataFrame, reAgg: DataFrame => DataFrame)
+
+  private val recipes = new java.util.IdentityHashMap[LogicalPlan, Recipe]
+
+  def register(out: DataFrame, preAgg: DataFrame,
+      reAgg: DataFrame => DataFrame): Unit =
+    recipes.synchronized {
+      if (recipes.size > 64) recipes.clear()
+      recipes.put(out.queryExecution.logical, Recipe(preAgg, reAgg))
+    }
+
+  def lookup(df: DataFrame): Option[Recipe] =
+    recipes.synchronized(Option(recipes.get(df.queryExecution.logical)))
+}

@@ -268,14 +268,19 @@ object Strategy {
     * Parquet timestamps usually surface as TIMESTAMP_NTZ, which
     * `withWatermark` rejects — cast to TimestampType first (session
     * tz is UTC, so the instant is unchanged). */
+  /** `allowedLateness` in seconds from a strategy node — on the
+    * window sub-node (reference Strategy.java nests it there) or the
+    * strategy root. Shared by the watermark and by the discarding
+    * pane engine's expired-window drop. */
+  def allowedLatenessSeconds(strategy: JsonNode): Option[Long] =
+    strategy("window").flatMap(w => seconds(w, "allowedLateness"))
+      .orElse(seconds(strategy, "allowedLateness"))
+
   def applyWatermark(df: DataFrame, strategy: JsonNode,
       tsField: String): DataFrame =
     if (!df.isStreaming) df
     else {
-      val lateness = strategy("window")
-        .flatMap(w => seconds(w, "allowedLateness"))
-        .orElse(seconds(strategy, "allowedLateness"))
-        .getOrElse(0L)
+      val lateness = allowedLatenessSeconds(strategy).getOrElse(0L)
       val cast =
         if (df.schema.fields.exists(f => f.name == tsField &&
             f.dataType != TimestampType))

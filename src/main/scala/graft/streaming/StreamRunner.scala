@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Starts streaming sinks (SURVEY §2.9): `writeStream` with the
-  * module's trigger; output mode approximates Beam accumulation
-  * (`discarding` → append, `accumulating` → update/complete). Started
-  * queries are registered here so callers (tests, drivers) can drain
-  * with `processAllAvailable` or block on `awaitAny`. */
+  * module's trigger; output mode maps Beam accumulation
+  * (`discarding` → append, `accumulating` → update/complete). With
+  * early-firing triggers, `discarding` switches to an EXACT pane
+  * engine (per-micro-batch re-aggregation via [[PaneRecipes]] —
+  * each pane holds only since-last-firing elements) while
+  * `accumulating` runs the stateful update+append query pair.
+  * Started queries are registered here so callers (tests, drivers)
+  * can drain with `processAllAvailable` or block on `awaitAny`. */
 object StreamRunner {
 
   private val active = scala.collection.mutable.ListBuffer[StreamingQuery]()
@@ -129,7 +133,13 @@ object StreamRunner {
     val trigType = trig.flatMap(_.str("type")).getOrElse("")
     if (trigType == "afterWatermark" &&
       trig.exists(_.apply("earlyFiringTrigger").isDefined))
-      return startEarlyFiring(cfg, df, trig.get)
+      // accumulation mode picks the pane engine: discarding panes
+      // re-aggregate each micro-batch (exact Beam semantics, any
+      // aggregate type); the default/accumulating path runs the
+      // stateful update+append query pair
+      return if (strategy.exists(_.str("mode").contains("discarding")))
+        startDiscardingEarly(cfg, df, trig.get, strategy.get)
+      else startEarlyFiring(cfg, df, trig.get)
     if (trigType == "afterPane")
       return startAfterPane(cfg, df, trig.get)
     startPlain(cfg, df, trig, strategy)
@@ -225,6 +235,103 @@ object StreamRunner {
       .start()
     active += finalQ
     finalQ
+  }
+
+  /** Windows whose ON_TIME pane already fired, per sink — drives the
+    * early/onTime/late split of the discarding pane engine. Bounded
+    * by the number of distinct windows a run observes (coarse), not
+    * by keys. */
+  private val firedOnTime = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[java.lang.Long]]()
+
+  /** Beam DISCARDING accumulation with early firings — exact, not
+    * approximated: each ProcessingTime micro-batch of the
+    * PRE-aggregation stream holds precisely the elements that
+    * arrived since the last firing, so re-aggregating the batch
+    * inside foreachBatch (the [[PaneRecipes]] recipe) IS the
+    * discarding pane, for every aggregate type — min/max/array_agg
+    * included, which no output-delta scheme could reconstruct. One
+    * stateless pass-through query; no streaming aggregation state
+    * at all (the accumulating path pays for two stateful queries).
+    *
+    * Pane timing keys on the same event-time frontier as the
+    * accumulating engine: a pane for a window whose end precedes
+    * the frontier snapshot is the window's first post-close firing
+    * (ON_TIME) or, if one already fired, a LATE pane — dropped
+    * unless `lateFiringTrigger` is declared, like Beam. Panes fire
+    * only when elements arrived (Beam's FIRE_IF_NON_EMPTY on-time
+    * behavior; an element-free window close emits nothing). */
+  private def startDiscardingEarly(cfg: ModuleCfg, df: DataFrame,
+      trig: com.fasterxml.jackson.databind.JsonNode,
+      strategy: com.fasterxml.jackson.databind.JsonNode)
+      : StreamingQuery = {
+    requirePaneSink(cfg)
+    val recipe = PaneRecipes.lookup(df).getOrElse(
+      throw new IllegalArgumentException(
+        "accumulation mode 'discarding' with early firings requires " +
+          "the pane sink to read a single-input aggregation module's " +
+          "output directly (per-pane re-aggregation needs the " +
+          "pre-aggregation stream) — move intervening transforms or " +
+          "logging taps upstream of the aggregation, drop the " +
+          "post-aggregation limit, or use 'accumulating'"))
+    val delayMs = delayMillis(trig("earlyFiringTrigger").get)
+    val hasLate = trig("lateFiringTrigger").isDefined
+    val latenessMs = Strategy.allowedLatenessSeconds(strategy)
+      .getOrElse(0L) * 1000L
+    frontiers.remove(cfg.name)
+    firedOnTime.remove(cfg.name)
+    paneStore.remove(cfg.name)
+    val q = recipe.preAgg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(delayMs))
+      .option("checkpointLocation", checkpoint(cfg) + "/discarding")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val agged = recipe.reAgg(batch)
+          windowEndCol(agged) match {
+            case None => // global window: every firing is early
+              paneWriter(cfg, "early")(agged, id)
+            case Some(end) =>
+              val endSec = end.cast("long")
+              val fPrev = frontiers.getOrDefault(cfg.name,
+                java.lang.Long.MIN_VALUE).longValue()
+              // Beam expired-window drop: a pane row for a window
+              // whose end + allowedLateness the frontier already
+              // passed contains only beyond-lateness elements —
+              // dropping the row drops exactly those elements (each
+              // pane aggregates one window of this batch only)
+              val pane =
+                if (fPrev == java.lang.Long.MIN_VALUE) agged
+                else agged.filter(
+                  endSec * 1000L + latenessMs >= fPrev)
+              // the handful of distinct window ends in one batch —
+              // bounded by windows, never by keys or rows
+              val ends = pane.select(endSec).distinct().collect()
+                .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+              if (ends.nonEmpty)
+                frontiers.merge(cfg.name,
+                  java.lang.Long.valueOf(ends.max * 1000L),
+                  (a, b) => if (a >= b) a else b)
+              val fired = firedOnTime.computeIfAbsent(cfg.name,
+                _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+              val tagOf = ends.map { e =>
+                e -> (if (e * 1000L >= fPrev) "early"
+                else if (fired.add(e)) "onTime"
+                else "late")
+              }.toMap
+              val tagExpr = tagOf.foldLeft(lit("early")) {
+                case (acc, (e, t)) => when(endSec === e, t).otherwise(acc)
+              }
+              paneWriter(cfg, "early", tagOf = _ => tagExpr,
+                post = b =>
+                  if (hasLate) b
+                  else b.filter(col("__pane") =!= "late"))(pane, id)
+          }
+        }
+      }
+      .start()
+    active += q
+    q
   }
 
   /** Beam `AfterPane.elementCountAtLeast(n)` approximation

@@ -499,6 +499,138 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  /** Beam DISCARDING accumulation with early firings — the canonical
+    * programming-guide sequence: elements 3 then 4 in one window
+    * yield panes [3] and [4] (accumulating would yield [3], [7]).
+    * The engine re-aggregates each micro-batch of the pre-agg
+    * stream, so this holds for EVERY aggregate type — min is
+    * asserted alongside sum because no output-delta scheme could
+    * reconstruct a discarding min. */
+  test("discarding mode: panes carry only since-last-firing elements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-disc")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: discarding
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 24}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |        lateFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |            - {name: mn, op: min, field: value}
+      |sinks:
+      |  - name: dpanes
+      |    module: memory
+      |    input: agg
+      |""".stripMargin
+    StreamRunner.paneStore.remove("dpanes")
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("dpanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    def w0(tag: String): List[(Double, Double)] =
+      panes(tag).filter(winStart(_) == 0L)
+        .map(r => (r.getAs[Double]("s"), r.getAs[Double]("mn")))
+    assert(w0("early") == List((3.0, 3.0)))
+    // batch 2: a second element (4.0) in [0,6h) plus one at 14:00
+    // that pushes the frontier to 18:00. The discarding pane holds
+    // ONLY the new element: sum 4 (not 7), min 4 (not 3).
+    stageParquet(dir, "b2", Seq((2L, 7200L, 4.0), (3L, 50400L, 9.0)))
+    StreamRunner.drainAll()
+    assert(w0("early") == List((3.0, 3.0), (4.0, 4.0)))
+    // batch 3: a straggler (2.0) after the frontier (18:00) passed
+    // [0,6h) but inside allowedLateness — the window's first
+    // post-close firing, Beam's ON_TIME pane, again since-last only
+    stageParquet(dir, "b3", Seq((4L, 10800L, 2.0)))
+    StreamRunner.drainAll()
+    assert(w0("onTime") == List((2.0, 2.0)))
+    // batch 4: a second post-close straggler → LATE pane (kept
+    // because lateFiringTrigger is declared)
+    stageParquet(dir, "b4", Seq((5L, 14400L, 7.0)))
+    StreamRunner.drainAll()
+    assert(w0("late") == List((7.0, 7.0)))
+    // batch 5 pushes the frontier to 36:00; batch 6's straggler is
+    // now BEYOND end + allowedLateness (06:00 + 24h < 36:00) — the
+    // expired window drops it, like Beam
+    stageParquet(dir, "b5", Seq((6L, 120000L, 1.0)))
+    StreamRunner.drainAll()
+    val before = (w0("early"), w0("onTime"), w0("late"))
+    stageParquet(dir, "b6", Seq((7L, 3600L, 5.0)))
+    StreamRunner.drainAll()
+    assert((w0("early"), w0("onTime"), w0("late")) == before)
+    StreamRunner.stopAll()
+  }
+
+  /** Discarding panes need the pre-aggregation stream; a sink behind
+    * an intervening transform must fail at start with an actionable
+    * message, not emit accumulating panes mislabeled as discarding. */
+  test("discarding mode behind an intervening transform fails actionably") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-discerr")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: discarding
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |  - name: sel
+      |    module: select
+      |    inputs: [agg]
+      |    parameters:
+      |      select:
+      |        - {name: s}
+      |sinks:
+      |  - name: dpanes
+      |    module: memory
+      |    input: sel
+      |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.execute(spark, config)
+    }
+    assert(e.getMessage.contains("discarding"))
+    StreamRunner.stopAll()
+  }
+
   /** Beam programming-guide scenario: the DEFAULT trigger
     * (AfterWatermark.pastEndOfWindow, no early/late firings) emits
     * exactly ONE pane per window — the final pane, after the
