@@ -1057,6 +1057,78 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // §2.9 DISCARDING accumulation with early firings — the exact
+    // pane engine (per-micro-batch re-aggregation, PaneRecipes):
+    // events staged as three time-ordered files (split at Jan 11 /
+    // Jan 21, both 6h-window boundaries, so no window straddles a
+    // batch and every pane tags 'early'), drained one micro-batch at
+    // a time. Each pane row is the aggregate of ONLY its batch's
+    // elements — the oracle groups by the same ts-range batch key
+    // and must reproduce the multiset exactly (a running/accumulating
+    // aggregate would double-count and hash-mismatch).
+    "q77_discarding_panes" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val base = java.nio.file.Files.createTempDirectory("graft_q77_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
+        val tmp = base.resolve(s"tmp$n").toString
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
+      }
+      val ts = col("ts").cast("timestamp")
+      val t1 = org.apache.spark.sql.functions.lit("2024-01-11 00:00:00")
+        .cast("timestamp")
+      val t2 = org.apache.spark.sql.functions.lit("2024-01-21 00:00:00")
+        .cast("timestamp")
+      stage(1, ts < t1)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: discarding
+      timestampField: ts
+      window: {type: fixed, unit: hour, size: 6}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger:
+          {type: afterProcessingTime, pastFirstElementDelay: 1}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: panes
+    module: storage
+    input: agg
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      stage(3, ts >= t2)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out).select(
+        col("window.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 4).as("total_r"),
+        col("__pane").as("pane"))
+    }),
+
     // similarity: IVF ANN with the md5-seeded AUTO-FIT codebook —
     // the engine derives the 16 centroids from the corpus itself
     // (smallest md5(vec_id)), so unlike the external-codebook twin
@@ -3420,6 +3492,22 @@ transforms:
            count(*) AS n
          FROM t WHERE w < (SELECT max(w) FROM t)
          GROUP BY 1, 2""",
+
+    // discarding panes: one aggregate row per (micro-batch, window,
+    // key) — the batch key replays as the staged ts ranges; an
+    // accumulating engine would emit running totals and mismatch
+    "q77_discarding_panes" ->
+      """WITH b AS (
+           SELECT CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 1
+                       WHEN ts < TIMESTAMP '2024-01-21' THEN 2
+                       ELSE 3 END AS batch,
+                  CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                    AS win_start,
+                  event_type, value
+           FROM events)
+         SELECT win_start, event_type, count(*) AS n,
+           round(sum(value), 4) AS total_r, 'early' AS pane
+         FROM b GROUP BY batch, win_start, event_type""",
 
     "q23_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
