@@ -1057,6 +1057,40 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // §2.9 anchored N-unit calendar windows (reference
+    // CalendarWindows size/startDate): 3-day buckets anchored at
+    // 2024-01-05 — floor-division day arithmetic, pre-anchor events
+    // land in correctly negative buckets (2024-01-02 start)
+    "q78_calendar_anchored" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      timestampField: ts
+      window: {type: calendar, unit: day, size: 3, startDate: "2024-01-05"}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: bucket, field: window, type: date}
+        - {name: event_type}
+        - {name: n}
+        - {name: total_r, expression: "round(total, 4)"}
+"""),
+
     // §2.9 DISCARDING accumulation with early firings — the exact
     // pane engine (per-micro-batch re-aggregation, PaneRecipes):
     // events staged as three time-ordered files (split at Jan 11 /
@@ -3492,6 +3526,15 @@ transforms:
            count(*) AS n
          FROM t WHERE w < (SELECT max(w) FROM t)
          GROUP BY 1, 2""",
+
+    // anchored 3-day calendar buckets: same floor-division day
+    // arithmetic as the engine, on zone-free DATEs
+    "q78_calendar_anchored" ->
+      """SELECT DATE '2024-01-05' + to_days(CAST(floor(
+             date_diff('day', DATE '2024-01-05', CAST(ts AS DATE))
+             / 3.0) AS INT) * 3) AS bucket,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_r
+         FROM events GROUP BY 1, 2""",
 
     // discarding panes: one aggregate row per (micro-batch, window,
     // key) — the batch key replays as the staged ts ranges; an

@@ -217,6 +217,7 @@ object AggregationTransform {
           s"aggregation ${cfg.name}: unknown input '$inName' " +
             s"(available: ${inputs.keys.toSeq.sorted.mkString(", ")})"))
       var df = df0
+      var tsCol: Option[org.apache.spark.sql.Column] = None
       val windowCol = strategyNode.flatMap { st =>
         // watermark first: it casts the ts field to TimestampType in
         // place, so the window then references the bare watermarked
@@ -224,6 +225,7 @@ object AggregationTransform {
         df = graft.streaming.Strategy.applyWatermark(df, st,
           st.str("timestampField").getOrElse("__event_time"))
         val ts = graft.streaming.Strategy.eventTimeCol(df, st)
+        tsCol = ts
         // a declared non-global window with no resolvable event time
         // must fail loudly: silently dropping it would collapse all
         // time buckets into one global group with plausible numbers
@@ -244,13 +246,52 @@ object AggregationTransform {
       val aggCols = d.arrOf("fields")
         .filterNot(_.bool("ignore").getOrElse(false))
         .map(AggregationCompiler.compile(_, df.schema))
+      // timestampCombiner (reference Strategy.java:72-73, Beam
+      // TimestampCombiner): stamps the aggregate's OUTPUT event time
+      // as `__event_time`, which downstream modules pick up for
+      // re-windowing. EARLIEST/LATEST aggregate the input timestamps
+      // alongside the declared fields; END_OF_WINDOW is the window's
+      // max timestamp (end − 1 ms, Beam's maxTimestamp — window.end
+      // itself belongs to the NEXT window). Unset = no stamp, the
+      // window struct stays the only time authority.
+      val combiner = strategyNode.flatMap(_.str("timestampCombiner"))
+        .map(_.toUpperCase)
+      combiner.foreach { c =>
+        require(Set("EARLIEST", "LATEST", "END_OF_WINDOW")(c),
+          s"timestampCombiner: $c (valid: EARLIEST, LATEST, " +
+            "END_OF_WINDOW)")
+        require(defs.size == 1,
+          "timestampCombiner requires a single-input aggregation " +
+            "(multi-input merges have no per-element timestamp)")
+        require(windowCol.isDefined && tsCol.isDefined,
+          "timestampCombiner requires a non-global window with a " +
+            "resolvable event time")
+      }
+      val extraAgg = combiner match {
+        case Some("EARLIEST") => Seq(min(tsCol.get).as("__event_time"))
+        case Some("LATEST") => Seq(max(tsCol.get).as("__event_time"))
+        case _ => Nil
+      }
+      val allAgg = aggCols ++ extraAgg
       val agged =
         if (groupCols.nonEmpty)
-          df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-        else df.agg(aggCols.head, aggCols.tail: _*)
+          df.groupBy(groupCols: _*).agg(allAgg.head, allAgg.tail: _*)
+        else df.agg(allAgg.head, allAgg.tail: _*)
       // streaming calendar buckets post-project the session struct to
       // the true bucket boundaries (identity for every other window)
-      windowCol.map(_.post(agged)).getOrElse(agged)
+      val posted = windowCol.map(_.post(agged)).getOrElse(agged)
+      combiner match {
+        case Some("END_OF_WINDOW") =>
+          val isStruct = posted.schema("window").dataType
+            .isInstanceOf[org.apache.spark.sql.types.StructType]
+          val end =
+            if (isStruct) col("window.end")
+            else graft.streaming.Strategy.calendarEndOf(
+              strategyNode.get, col("window"))
+          posted.withColumn("__event_time",
+            end - expr("INTERVAL 1 MILLISECOND"))
+        case _ => posted
+      }
     }
     // multi-input: merge per-input aggregates on the FULL group key —
     // including the window column when a strategy produced one, or

@@ -162,7 +162,45 @@ object Strategy {
           case other => throw new IllegalArgumentException(
             s"calendar unit: $other")
         }
-        if (streaming) {
+        // N-unit calendar windows with an anchor (reference
+        // CalendarWindows.days/weeks/months/years(size) +
+        // withStartingDay/Month/Year, Strategy.java:195-215): `size`
+        // buckets of `unit` anchored at `startDate` (week: `offset`
+        // is Beam's startDayOfWeek shift, applied as anchor+offset
+        // days). The default (size 1, no anchor) keeps the cheaper
+        // date_trunc/fixed-window paths below — including their
+        // ISO-Monday week convention.
+        val calSize = w.int("size").filter(_ > 0).getOrElse(1)
+        val calAnchor = w.str("startDate")
+        val weekOff =
+          if (unit == "week") w.int("offset").getOrElse(0) else 0
+        if (calSize != 1 || calAnchor.isDefined || weekOff != 0) {
+          val anchor = calAnchor.getOrElse("1970-01-01")
+          def bounds(c: Column): (Column, Column) =
+            calNBounds(c, unit, calSize, anchor, weekOff, tz)
+          if (!streaming) Some(GroupWindow(bounds(ts)._1.as("window_start")))
+          else {
+            val rules = java.time.ZoneId.of(tz).getRules
+            val now = java.time.Instant.now()
+            val fixedOffset = rules.isFixedOffset ||
+              (rules.getTransitionRules.isEmpty &&
+                rules.nextTransition(now) == null)
+            if ((unit == "day" || unit == "week") && fixedOffset) {
+              // day-based buckets in a fixed-offset zone are true
+              // fixed windows: span = size days, offset chosen so a
+              // boundary lands on the anchor's local midnight
+              val span = (if (unit == "week") 7L * calSize
+                else calSize.toLong) * 86400L
+              val tzOff = rules.getOffset(now).getTotalSeconds
+              val anchorUtc = java.time.LocalDate.parse(anchor)
+                .plusDays(weekOff).toEpochDay * 86400L - tzOff
+              val off = ((anchorUtc % span) + span) % span
+              Some(GroupWindow(window(ts, dur(span), dur(span), dur(off))))
+            } else
+              Some(dynamicCalendarSession(ts,
+                c => bounds(c)._1, c => bounds(c)._2))
+          }
+        } else if (streaming) {
           // grouping by a bare date_trunc'd column loses the
           // watermark linkage (append mode then fails with a cryptic
           // Spark error). Two append-safe encodings instead:
@@ -200,41 +238,10 @@ object Strategy {
               val off = ((4 * 86400 - tzOff) % wk + wk) % wk
               Some(GroupWindow(window(ts, "7 days", "7 days", dur(off))))
             case _ =>
-              val bucketStart = to_utc_timestamp(
-                date_trunc(truncUnit, from_utc_timestamp(ts, tz)), tz)
-              val bucketEnd = calendarBucketEnd(ts, truncUnit, tz)
-              // gap in (fractional) seconds from this event to its
-              // bucket end — always > 0 (an event ON the boundary
-              // belongs to the NEXT bucket and gets that bucket's
-              // full span)
-              // sessions merge INCLUSIVELY on touching boundaries
-              // (an event at exactly a prior session's end joins it),
-              // so the gap ends 1µs BEFORE the bucket end or a
-              // boundary-exact event of the next bucket would chain
-              // backwards. Clamped to stay positive (a non-positive
-              // dynamic gap makes Spark DROP the event): an event in
-              // the bucket's last microsecond keeps a 1µs gap, which
-              // ends exactly on the boundary — the one (sub-second-
-              // pathological) case where a boundary-exact successor
-              // would still merge.
-              val gapSecs = (greatest(
-                unix_micros(bucketEnd) - lit(1L) - unix_micros(ts),
-                lit(1L)).cast("double") / lit(1e6)).cast("decimal(18,6)")
-              // make_interval, not make_dt_interval: dynamic session
-              // gaps must be CalendarIntervalType
-              Some(GroupWindow(
-                session_window(ts,
-                  make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
-                    lit(0), gapSecs)),
-                post = df => df.withColumn("window", struct(
-                  to_utc_timestamp(date_trunc(truncUnit,
-                    from_utc_timestamp(col("window.start"), tz)), tz)
-                    .as("start"),
-                  // recompute the end from the bucket (window.start is
-                  // an event time inside it) rather than trusting the
-                  // raw session end's exact boundary encoding
-                  calendarBucketEnd(col("window.start"), truncUnit, tz)
-                    .as("end")))))
+              Some(dynamicCalendarSession(ts,
+                c => to_utc_timestamp(
+                  date_trunc(truncUnit, from_utc_timestamp(c, tz)), tz),
+                c => calendarBucketEnd(c, truncUnit, tz)))
           }
         } else {
           val local = from_utc_timestamp(ts, tz)
@@ -245,6 +252,105 @@ object Strategy {
       case other =>
         throw new IllegalArgumentException(s"window type: $other")
     }
+  }
+
+  /** Append-safe streaming encoding for calendar buckets of ANY
+    * shape: a DYNAMIC-GAP session window whose per-event gap extends
+    * exactly to the end of the event's bucket, so consecutive events
+    * of one bucket always overlap and merge into a single session,
+    * and an event of the next bucket can never reach back across the
+    * boundary.
+    *
+    * The gap is the (fractional) seconds from the event to its
+    * bucket end — always > 0 (an event ON the boundary belongs to
+    * the NEXT bucket and gets that bucket's full span). Sessions
+    * merge INCLUSIVELY on touching boundaries (an event at exactly a
+    * prior session's end joins it), so the gap ends 1µs BEFORE the
+    * bucket end or a boundary-exact event of the next bucket would
+    * chain backwards. Clamped to stay positive (a non-positive
+    * dynamic gap makes Spark DROP the event): an event in the
+    * bucket's last microsecond keeps a 1µs gap, which ends exactly
+    * on the boundary — the one (sub-second-pathological) case where
+    * a boundary-exact successor would still merge.
+    *
+    * `post` rewrites the session struct to the true bucket bounds
+    * (the raw session spans first-event → bucket end): recomputed
+    * from window.start — an event time inside the bucket — rather
+    * than trusting the raw session end's exact boundary encoding. */
+  private def dynamicCalendarSession(ts: Column,
+      startOf: Column => Column, endOf: Column => Column): GroupWindow = {
+    val gapSecs = (greatest(
+      unix_micros(endOf(ts)) - lit(1L) - unix_micros(ts),
+      lit(1L)).cast("double") / lit(1e6)).cast("decimal(18,6)")
+    // make_interval, not make_dt_interval: dynamic session gaps must
+    // be CalendarIntervalType
+    GroupWindow(
+      session_window(ts,
+        make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
+          lit(0), gapSecs)),
+      post = df => df.withColumn("window", struct(
+        startOf(col("window.start")).as("start"),
+        endOf(col("window.start")).as("end"))))
+  }
+
+  /** Local-calendar bucket bounds for N-unit anchored windows
+    * (reference CalendarWindows via Strategy.java:195-215): bucket i
+    * covers [anchor + i·size units, anchor + (i+1)·size units) in
+    * the LOCAL wall time of `tz` (day arithmetic on zone-free DATEs,
+    * so DST days bucket identically to Beam's calendar windows);
+    * floor division keeps pre-anchor events in correctly negative
+    * buckets. Returns (startUtc, endUtc). */
+  private def calNBounds(ts: Column, unit: String, size: Int,
+      anchor: String, weekOffsetDays: Int, tz: String)
+      : (Column, Column) = {
+    val ld = to_date(from_utc_timestamp(ts, tz))
+    def utc(d: Column): Column = to_utc_timestamp(d.cast("timestamp"), tz)
+    unit match {
+      case "day" | "week" =>
+        val span = if (unit == "week") 7 * size else size
+        val sd0 = to_date(lit(anchor))
+        val sd = if (weekOffsetDays == 0) sd0
+          else date_add(sd0, weekOffsetDays)
+        val idx = floor(datediff(ld, sd).cast("double") / lit(span))
+          .cast("int")
+        (utc(date_add(sd, idx * lit(span))),
+          utc(date_add(sd, (idx + lit(1)) * lit(span))))
+      case "month" =>
+        // months anchor to the startDate's MONTH (reference
+        // withStartingMonth drops the day-of-month)
+        val sd = trunc(to_date(lit(anchor)), "MM")
+        val m = (year(ld) - year(sd)) * lit(12) + (month(ld) - month(sd))
+        val idx = floor(m.cast("double") / lit(size)).cast("int")
+        (utc(add_months(sd, idx * lit(size))),
+          utc(add_months(sd, (idx + lit(1)) * lit(size))))
+      case "year" =>
+        val sd = to_date(lit(anchor))
+        val yy = year(ld) - year(sd)
+        val idx = floor(yy.cast("double") / lit(size)).cast("int")
+        (utc(make_date(year(sd) + idx * lit(size), lit(1), lit(1))),
+          utc(make_date(year(sd) + (idx + lit(1)) * lit(size),
+            lit(1), lit(1))))
+      case other => throw new IllegalArgumentException(
+        s"calendar unit: $other")
+    }
+  }
+
+  /** Bucket end for a batch calendar window's scalar start column —
+    * used by the aggregation module's END_OF_WINDOW timestamp
+    * combiner, where the grouped column carries only the bucket
+    * start. Re-derives the same bounds the grouping used (anchored
+    * N-unit or plain date_trunc buckets). */
+  def calendarEndOf(strategy: JsonNode, startCol: Column): Column = {
+    val w = strategy("window").getOrElse(strategy)
+    val tz = w.str("timezone").getOrElse("UTC")
+    val unit = w.str("unit").getOrElse("day")
+    val size = w.int("size").filter(_ > 0).getOrElse(1)
+    val anchorOpt = w.str("startDate")
+    val weekOff = if (unit == "week") w.int("offset").getOrElse(0) else 0
+    if (size != 1 || anchorOpt.isDefined || weekOff != 0)
+      calNBounds(startCol, unit, size,
+        anchorOpt.getOrElse("1970-01-01"), weekOff, tz)._2
+    else calendarBucketEnd(startCol, unit.toUpperCase, tz)
   }
 
   /** UTC instant of the END of `ts`'s local calendar bucket:
@@ -264,10 +370,6 @@ object Strategy {
     to_utc_timestamp(localEnd, tz)
   }
 
-  /** Apply watermark from `allowedLateness` when the input streams.
-    * Parquet timestamps usually surface as TIMESTAMP_NTZ, which
-    * `withWatermark` rejects — cast to TimestampType first (session
-    * tz is UTC, so the instant is unchanged). */
   /** `allowedLateness` in seconds from a strategy node — on the
     * window sub-node (reference Strategy.java nests it there) or the
     * strategy root. Shared by the watermark and by the discarding
@@ -276,6 +378,10 @@ object Strategy {
     strategy("window").flatMap(w => seconds(w, "allowedLateness"))
       .orElse(seconds(strategy, "allowedLateness"))
 
+  /** Apply watermark from `allowedLateness` when the input streams.
+    * Parquet timestamps usually surface as TIMESTAMP_NTZ, which
+    * `withWatermark` rejects — cast to TimestampType first (session
+    * tz is UTC, so the instant is unchanged). */
   def applyWatermark(df: DataFrame, strategy: JsonNode,
       tsField: String): DataFrame =
     if (!df.isStreaming) df
