@@ -65,6 +65,7 @@ object DedupTransform {
     if (raw.isStreaming && method == "exact") {
       val strategy = cfg.node("strategy").getOrElse(
         graft.config.Json.obj())
+      graft.streaming.Strategy.warnUnknownKeys(strategy, cfg.name)
       val ts = strategy.str("timestampField").getOrElse(
         throw new IllegalArgumentException(
           "streaming exact dedup needs strategy.timestampField (and " +

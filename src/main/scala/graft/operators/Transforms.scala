@@ -206,6 +206,8 @@ object AggregationTransform {
     // strategy block (SURVEY §2.9): window group column + watermark,
     // same window() semantics in batch and streaming
     val strategyNode = cfg.node("strategy").orElse(cfg.param("strategy"))
+    strategyNode.foreach(
+      graft.streaming.Strategy.warnUnknownKeys(_, cfg.name))
 
     var anyWindow = false
     val perInput: Seq[DataFrame] = defs.map { d =>

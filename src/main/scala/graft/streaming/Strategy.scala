@@ -370,6 +370,41 @@ object Strategy {
     to_utc_timestamp(localEnd, tz)
   }
 
+  private val windowKeys = Set("type", "size", "period", "gap",
+    "offset", "unit", "timezone", "startDate", "allowedLateness")
+  private val strategyKeys = windowKeys ++ Set("window", "trigger",
+    "mode", "timestampField", "timestampCombiner")
+  private val triggerKeys = Set("type", "pastFirstElementDelay",
+    "pastFirstElementDelayUnit", "delay", "unit", "earlyFiringTrigger",
+    "lateFiringTrigger", "finalTrigger", "foreverTrigger",
+    "childrenTriggers", "elementCountAtLeast", "countField")
+
+  /** One loud stderr line per unknown strategy key: a typo'd
+    * `startDae` or `allowedlateness` otherwise silently produces
+    * default windows with plausible numbers (the reference's Gson
+    * parsing drops unknown fields just as silently — this engine
+    * prefers to warn). Nested window/trigger blocks validate against
+    * their own key sets; trigger children recurse. */
+  def warnUnknownKeys(strategy: JsonNode, module: String): Unit = {
+    def warn(where: String, bad: Seq[String], valid: Set[String]): Unit =
+      if (bad.nonEmpty) System.err.println(
+        s"[graft] WARNING: $module $where ignores unknown key(s) " +
+          s"${bad.mkString(", ")} (known: " +
+          s"${valid.toSeq.sorted.mkString(", ")})")
+    warn("strategy", strategy.names.filterNot(strategyKeys), strategyKeys)
+    strategy("window").foreach(w =>
+      warn("strategy.window", w.names.filterNot(windowKeys), windowKeys))
+    def checkTrigger(t: JsonNode, where: String): Unit = {
+      warn(where, t.names.filterNot(triggerKeys), triggerKeys)
+      Seq("earlyFiringTrigger", "lateFiringTrigger", "finalTrigger",
+        "foreverTrigger").foreach(k =>
+        t(k).foreach(checkTrigger(_, s"$where.$k")))
+      t.arrOf("childrenTriggers").zipWithIndex.foreach { case (c, i) =>
+        checkTrigger(c, s"$where.childrenTriggers[$i]") }
+    }
+    strategy("trigger").foreach(checkTrigger(_, "strategy.trigger"))
+  }
+
   /** `allowedLateness` in seconds from a strategy node — on the
     * window sub-node (reference Strategy.java nests it there) or the
     * strategy root. Shared by the watermark and by the discarding

@@ -129,6 +129,9 @@ object StreamRunner {
     // sink-level strategy wins; otherwise the nearest upstream
     // module's (where the reference declares it — see Pipeline)
     val strategy = cfg.node("strategy").orElse(upstreamStrategy)
+    // only the sink's OWN strategy block is validated here — an
+    // upstream module's was already checked where it was consumed
+    cfg.node("strategy").foreach(Strategy.warnUnknownKeys(_, cfg.name))
     val trig = strategy.flatMap(_.apply("trigger")).map(normalizeTrigger)
     val trigType = trig.flatMap(_.str("type")).getOrElse("")
     if (trigType == "afterWatermark" &&

@@ -583,6 +583,42 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  /** A typo'd strategy key silently produces default windows with
+    * plausible numbers — the engine warns loudly instead (the
+    * reference's Gson parsing drops unknown fields without a word). */
+  test("unknown strategy/window/trigger keys warn on stderr") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try graft.streaming.Strategy.warnUnknownKeys(
+      graft.config.Json.parse("""{
+        "timestampField": "ts", "startDae": "2024-01-01",
+        "window": {"type": "fixed", "sizee": 6},
+        "trigger": {"type": "afterWatermark",
+          "earlyFiringTrigger": {"type": "afterProcessingTime",
+            "pastFirstElementDelayy": 1}}}"""), "aggtest")
+    finally System.setErr(old)
+    val out = buf.toString
+    assert(out.contains("startDae") && out.contains("sizee") &&
+      out.contains("pastFirstElementDelayy"), out)
+    // a fully valid strategy warns nothing
+    buf.reset()
+    System.setErr(new java.io.PrintStream(buf, true))
+    try graft.streaming.Strategy.warnUnknownKeys(
+      graft.config.Json.parse("""{
+        "mode": "discarding", "timestampField": "ts",
+        "timestampCombiner": "LATEST",
+        "window": {"type": "calendar", "unit": "day", "size": 3,
+          "startDate": "2024-01-05", "allowedLateness": 24},
+        "trigger": {"type": "afterWatermark",
+          "earlyFiringTrigger": {"type": "afterProcessingTime",
+            "pastFirstElementDelay": 1},
+          "lateFiringTrigger": {"type": "afterProcessingTime",
+            "delay": 1, "unit": "second"}}}"""), "aggtest")
+    finally System.setErr(old)
+    assert(!buf.toString.contains("WARNING"), buf.toString)
+  }
+
   /** Discarding panes need the pre-aggregation stream; a sink behind
     * an intervening transform must fail at start with an actionable
     * message, not emit accumulating panes mislabeled as discarding. */
