@@ -93,6 +93,13 @@ object VendorSlots {
     "auxia" -> slot("sink", "auxia", Seq(Seq("projectId")),
       "vendor API; emit the event rows with the storage/jdbc sink " +
         "and deliver via the vendor's ingestion tooling"),
+    // MatchingEngineSink.java:44-56 (ANN index upsert)
+    "matchingEngine" -> slot("sink", "matchingEngine",
+      Seq(Seq("projectId"), Seq("indexId"), Seq("idField"),
+        Seq("vectorField")),
+      "vendor ANN index; the similarity transform (brute-force/LSH/" +
+        "IVF over an embedding column) serves local k-NN, or emit " +
+        "vectors with the storage sink for external indexing"),
     // TasksSink.java: queue + format
     "tasks" -> slot("sink", "tasks", Seq(Seq("queue")),
       "vendor API (Cloud Tasks); enqueue via the http transform " +
@@ -120,7 +127,17 @@ object VendorSlots {
       Seq(Seq("projectId"), Seq("instanceId"), Seq("tableId")),
       "use the bigtable-hbase Spark connector"),
     "localNeo4j" -> slot("transform", "localNeo4j", Seq(Seq("input")),
-      "the embedded neo4j jar is not bundled"))
+      "the embedded neo4j jar is not bundled"),
+    // AutoMLTransform.java:50-70 (endpoint + model prediction)
+    "automl" -> slot("transform", "automl", Seq(Seq("endpoint")),
+      "vendor prediction API; the onnx transform (batched " +
+        "mapPartitions, pluggable session) or the http transform " +
+        "cover local/REST inference with the same batching shape"),
+    // ChangeStreamTransform.java:31-43 (Spanner change streams)
+    "changeStream" -> slot("transform", "changeStream",
+      Seq(Seq("type")),
+      "vendor change-data-capture stream; a kafka/jdbc microbatch " +
+        "source over your CDC feed gives the same incremental rows"))
 }
 
 /** `copyfile` sink — the one vendor-adjacent sink with a real local

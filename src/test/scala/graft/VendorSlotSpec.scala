@@ -64,12 +64,52 @@ class VendorSlotSpec extends AnyFunSuite {
       "localH2" -> "output: /tmp/x.mv.db",
       "localSolr" -> "output: /tmp/s, cores: [c]",
       "tasks" -> "queue: q",
+      "matchingEngine" ->
+        "projectId: p, indexId: i, idField: id, vectorField: v",
       "action" -> "service: bigquery").foreach { case (m, params) =>
       val e = intercept[IllegalStateException] {
         Pipeline.build(spark, sinkCfg(m, params))
       }
       assert(e.getMessage.contains("connector slot"), m)
     }
+    // automl/changeStream transforms: contract validated, then the
+    // slot error points at the local equivalent
+    Seq("automl" -> ("endpoint: e", "onnx"),
+      "changeStream" -> ("type: spanner", "microbatch"))
+      .foreach { case (m, (params, hint)) =>
+        val e = intercept[IllegalStateException] {
+          Pipeline.build(spark, s"""
+            |sources:
+            |  - name: in
+            |    module: create
+            |    parameters:
+            |      elements: [{id: 1}]
+            |      schema: {fields: [{name: id, type: int64}]}
+            |transforms:
+            |  - name: x
+            |    module: $m
+            |    inputs: [in]
+            |    parameters: {$params}
+            |""".stripMargin)
+        }
+        assert(e.getMessage.contains(hint), m)
+        val v = intercept[IllegalArgumentException] {
+          Pipeline.build(spark, s"""
+            |sources:
+            |  - name: in
+            |    module: create
+            |    parameters:
+            |      elements: [{id: 1}]
+            |      schema: {fields: [{name: id, type: int64}]}
+            |transforms:
+            |  - name: x
+            |    module: $m
+            |    inputs: [in]
+            |    parameters: {note: x}
+            |""".stripMargin)
+        }
+        assert(v != null, m)
+      }
     val t = intercept[IllegalStateException] {
       Pipeline.build(spark, s"""
         |sources:
