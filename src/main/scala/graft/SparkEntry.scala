@@ -1091,6 +1091,35 @@ transforms:
         - {name: total_r, expression: "round(total, 4)"}
 """),
 
+    // duplicated-substring filtering (Lee et al. 2021 style): every
+    // third doc gets a shared boilerplate tail so its 8-token spans
+    // collide across ~170 docs; the engine's per-doc duplicated-span
+    // fraction must match the oracle's string-level recomputation
+    // (hashes collide with strings only at 2^-64)
+    "q79_dedup_spans" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: prep
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN concat(text, ' terms of service apply all rights reserved contact us at example dot com for details') ELSE text END AS text FROM docs"
+  - name: dd
+    module: dedup
+    inputs: [prep]
+    parameters: {method: spans, field: text, idField: doc_id, spanTokens: 8, stride: 1, minCount: 2}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: frac_r, expression: "round(__dup_span_fraction, 6)"}
+"""),
+
     // §2.9 DISCARDING accumulation with early firings — the exact
     // pane engine (per-micro-batch re-aggregation, PaneRecipes):
     // events staged as three time-ordered files (split at Jan 11 /
@@ -3535,6 +3564,35 @@ transforms:
              / 3.0) AS INT) * 3) AS bucket,
            event_type, count(*) AS n, round(sum(value), 4) AS total_r
          FROM events GROUP BY 1, 2""",
+
+    // span-level dup fractions rebuilt from the literal span STRINGS
+    // (the engine compares 64-bit span hashes; identical modulo
+    // astronomically unlikely collisions)
+    "q79_dedup_spans" ->
+      """WITH prep AS (
+           SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text ||
+             ' terms of service apply all rights reserved contact us at example dot com for details'
+             ELSE text END AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '[ \t\n\f\r]+'),
+             t -> len(t) > 0) AS t
+           FROM prep),
+         spans AS (
+           SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS s
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+                 FROM toks WHERE len(t) >= 8)),
+         dup AS (
+           SELECT s FROM (SELECT DISTINCT s, doc_id FROM spans)
+           GROUP BY s HAVING count(*) >= 2),
+         cnt AS (
+           SELECT sp.doc_id, count(*) AS tot, count(d.s) AS dup
+           FROM spans sp LEFT JOIN dup d ON sp.s = d.s
+           GROUP BY sp.doc_id)
+         SELECT p.doc_id AS doc_id,
+           round(coalesce(c.dup * 1.0 / c.tot, 0.0), 6) AS frac_r
+         FROM prep p LEFT JOIN cnt c ON p.doc_id = c.doc_id""",
 
     // discarding panes: one aggregate row per (micro-batch, window,
     // key) — the batch key replays as the staged ts ranges; an

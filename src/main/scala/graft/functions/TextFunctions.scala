@@ -513,4 +513,49 @@ object TextFunctions {
     * per-row cost. */
   def fingerprint(text: Column): Column =
     xxhash64(trim(lower(regexp_replace(text, "[^\\p{L}\\p{Nd}']+", " "))))
+
+  /** 64-bit hashes of every length-`spanTokens` consecutive token run
+    * (stride `stride`) — the span inventory for duplicated-substring
+    * detection (Lee et al. 2021, arXiv:2107.06499, adapted from
+    * suffix arrays to hashed fixed-length spans so it distributes).
+    *
+    * One tight JVM pass per doc: tokenize, then hash each span's
+    * joined string once — no explode of the token array (the
+    * generate-then-slice form copies the whole token array per span
+    * row: O(len²) bytes at stride 1) and no HOF lambda (interpreted +
+    * CollapseProject re-inlines the tokenizer per element; see the
+    * signature-UDF note above). Tokenization is whitespace-class
+    * split, case-SENSITIVE (exact-substring semantics), and
+    * deliberately RE2-reproducible so a SQL oracle can rebuild the
+    * exact span strings: `split('[ \t\n\f\r]+')`, empties dropped.
+    * Docs with fewer than `spanTokens` tokens yield an empty span
+    * inventory (never flagged). Null text → null. */
+  def spanHashesUdf(spanTokens: Int, stride: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val toks = s.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        if (toks.length < spanTokens) Seq.empty[Long]
+        else {
+          val n = (toks.length - spanTokens) / stride + 1
+          val sb = new java.lang.StringBuilder
+          val out = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            var j = i * stride
+            val end = j + spanTokens
+            while (j < end) {
+              if (j > i * stride) sb.append(' ')
+              sb.append(toks(j))
+              j += 1
+            }
+            out(i) = xxh64(sb.toString)
+            i += 1
+          }
+          out.toSeq
+        }
+      }
+    }
 }

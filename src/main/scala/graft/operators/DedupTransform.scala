@@ -104,7 +104,13 @@ object DedupTransform {
     // input is referenced three times (line freq, rebuild, final
     // join), so the un-cached widen exchange re-executes per
     // reference (measured 2.2s -> 3.9s of stage time on q50).
-    val df = if (method == "exact" || method == "lines") raw
+    // NOT for spans either: same multi-reference shape as lines (the
+    // span frame, the totals projection and the final join each scan
+    // the input), so the un-cached widen exchange would re-execute per
+    // reference; the span UDF is one StringBuilder pass per doc.
+    val df =
+      if (method == "exact" || method == "lines" || method == "spans" ||
+        method == "substring") raw
       else TransformCommon.widen(raw)
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(df.columns.head)
@@ -201,6 +207,16 @@ object DedupTransform {
         // whose corpus-wide frequency reaches minCount
         val out = lineDedup(df, textField, idField,
           minCount = p.int("minCount").getOrElse(2))
+        return TransformCommon.finishRouted(out, cfg)
+      case "spans" | "substring" =>
+        // duplicated-substring filtering (Lee et al. 2021): flag docs
+        // whose text is mostly spans that also occur in other docs
+        val out = spanDedup(df, textField, idField,
+          spanTokens = p.int("spanTokens").getOrElse(20),
+          stride = p.int("stride").getOrElse(1),
+          minCount = p.int("minCount").getOrElse(2),
+          maxDupFraction = p.dbl("maxDupFraction").getOrElse(0.5),
+          remove = p.str("action").contains("remove"))
         return TransformCommon.finishRouted(out, cfg)
       case "decontaminate" =>
         // benchmark decontamination: needs the benchmark collection as
@@ -548,6 +564,64 @@ object DedupTransform {
       .withColumn(textField, coalesce(col("__clean"), lit("")))
       .withColumn("__removed_lines", coalesce(col("__rm"), lit(0L)))
       .drop("__id", "__rm", "__clean")
+  }
+
+  /** Duplicated-substring filtering: annotate every doc with the
+    * fraction of its token spans (length `spanTokens`, stride
+    * `stride`) that also occur in at least `minCount - 1` OTHER
+    * documents, and optionally drop docs past `maxDupFraction` —
+    * the span-level "deduplicating training data" scrub (Lee et al.
+    * 2021, arXiv:2107.06499) re-expressed over hashed fixed-length
+    * spans so it distributes (a corpus-wide suffix array does not).
+    *
+    * Scale shape: span hashes are computed in one map-side UDF pass
+    * (8 bytes/span — never the span strings). The (id, hash) explode
+    * is consumed twice — once for the duplicated-hash inventory, once
+    * for the per-doc flagged-span count — and deliberately RECOMPUTED
+    * per consumer instead of cached: the frame is corpus-sized, both
+    * derivations are pure map-side work, and a 100 TB cache would
+    * thrash every executor. The duplicated-hash inventory aggregates
+    * (hash, id) with map-side partial combine, then hash alone, so
+    * the widest shuffle rows are 16 bytes. Per-doc span totals come
+    * free from `size(spans)` before the explode — no extra shuffle.
+    * The flag join runs on the hash key under AQE (broadcast if the
+    * duplicated inventory is small, skew-handled shuffle otherwise).
+    */
+  private def spanDedup(df: DataFrame, textField: String,
+      idField: String, spanTokens: Int, stride: Int, minCount: Int,
+      maxDupFraction: Double, remove: Boolean): DataFrame = {
+    val hashes = spanHashesUdf(spanTokens, stride)(col(textField))
+    val spans = df
+      .select(col(idField).as("__id"), hashes.as("__spans"))
+      .filter(col("__spans").isNotNull)
+      .select(col("__id"), explode(col("__spans")).as("__h"))
+    // a span hash is "duplicated" when it occurs in >= minCount
+    // DISTINCT docs (within-doc self-repetition is the repetition
+    // analyzer's job, not dedup's): two-level aggregate instead of
+    // count_distinct's expand
+    val dupHashes = spans.groupBy("__h", "__id").count()
+      .groupBy("__h").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minCount)
+      .select("__h")
+    val dupCnt = spans
+      .join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("__dup"))
+    val totals = df.select(col(idField).as("__id"),
+      coalesce(size(hashes), lit(0)).cast(LongType).as("__tot"))
+    val frac = totals
+      .join(dupCnt, Seq("__id"), "left")
+      .select(col("__id"),
+        when(col("__tot") === 0L, lit(0.0))
+          .otherwise(coalesce(col("__dup"), lit(0L)).cast(DoubleType) /
+            col("__tot").cast(DoubleType))
+          .as("__dup_span_fraction"))
+    val annotated = df
+      .join(frac, df(idField) === frac("__id"), "left")
+      .drop("__id")
+    if (remove)
+      annotated.filter(col("__dup_span_fraction") < maxDupFraction)
+        .drop("__dup_span_fraction")
+    else annotated
   }
 
   /** Benchmark decontamination: flag (or remove) corpus docs sharing

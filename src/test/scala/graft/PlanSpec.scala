@@ -135,4 +135,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ArrayFilter") && !p.contains("ArrayTransform"),
       "gopher signal regressed to an interpreted higher-order function")
   }
+
+  test("q79 span dedup: narrow hash aggregates with map-side combine, " +
+      "no span strings past the UDF, no cartesian") {
+    val p = plan("q79_dedup_spans")
+    // the dup-hash inventory must partial-combine below its exchange:
+    // at 100 TB the (hash, id) rows are the widest frame in the plan
+    // and the map-side combine is what keeps the shuffle at 16 B/span
+    assert(p.contains("partial_count"),
+      "span inventory lost its map-side partial aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "span dedup must never form a pairwise product")
+    // span STRINGS must die inside the hashing UDF — a concat_ws or
+    // slice in the plan means the O(len·L) strings got materialized
+    // into Tungsten rows (and shuffled)
+    assert(!p.contains("concat_ws") && !p.contains("slice("),
+      "span strings leaked out of the per-doc hashing pass")
+  }
 }
