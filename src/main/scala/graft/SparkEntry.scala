@@ -319,6 +319,40 @@ transforms:
         - {name: wavg_r, expression: "round(wavg, 4)"}
 """),
 
+    // parity-plus aggregation ops for the 100 TB layer: exact
+    // distinct count, median and interpolated percentile (the approx
+    // HLL/sketch twins are unit-tested for rsd accuracy instead —
+    // their values are sketch-dependent and cannot hash-match SQL)
+    "q80_agg_distinct" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag]
+      aggregations:
+        - input: li
+          fields:
+            - {name: parts, op: count_distinct, field: l_partkey}
+            - {name: med_qty, op: median, field: l_quantity}
+            - {name: p90_price, op: percentile, field: l_extendedprice, percentile: 0.9}
+            - {name: hi_parts, op: count_distinct, field: l_partkey, condition: [{key: l_quantity, op: ">", value: 25}]}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: parts}
+        - {name: med_qty_r, expression: "round(med_qty, 4)"}
+        - {name: p90_r, expression: "round(p90_price, 4)"}
+        - {name: hi_parts}
+"""),
+
     // §2.6 simple_regression via regr_* algebra
     "q12_regression" -> pipe("out", """
 sources:
@@ -2919,6 +2953,17 @@ transforms:
            round(stddev_pop(l_quantity), 4) AS sd_pop_r,
            round(var_samp(l_quantity), 4) AS v_samp_r,
            round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 4) AS wavg_r
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // exact distinct / median / interpolated percentile — DuckDB
+    // quantile_cont matches Spark's exact `percentile` interpolation
+    "q80_agg_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS parts,
+           round(median(l_quantity), 4) AS med_qty_r,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_r,
+           count(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END)
+             AS hi_parts
          FROM lineitem GROUP BY l_returnflag""",
 
     "q12_regression" ->

@@ -97,6 +97,27 @@ object AggregationCompiler {
           case _ => sort_array(collected)
         }.getOrElse(collected)
       case "any" => any_value(guarded(fieldsCol(op)), lit(true))
+      // --- parity-plus ops the reference lacks ("no HLL distinct
+      // anywhere", SURVEY §2.6) but a 100 TB aggregation layer needs:
+      // exact distinct counting is an Expand + full shuffle of the
+      // distinct keys, so the HLL sketch (approx_count_distinct,
+      // fixed-size partial aggregate, one narrow shuffle) is the
+      // scale path; percentiles likewise pair an exact form with the
+      // bounded-memory approx sketch.
+      case "count_distinct" =>
+        count_distinct(guarded(fieldsCol(op)))
+      case "approx_count_distinct" =>
+        approx_count_distinct(guarded(valueCol),
+          op.dbl("rsd").getOrElse(0.05))
+      case "median" => median(guarded(valueCol.cast(DoubleType)))
+      case "percentile" =>
+        val v = guarded(valueCol.cast(DoubleType))
+        val pct = op.dbl("percentile").orElse(op.dbl("fraction"))
+          .getOrElse(0.5)
+        if (op.bool("approximate").getOrElse(false))
+          percentile_approx(v, lit(pct),
+            lit(op.int("accuracy").getOrElse(10000)))
+        else percentile(v, lit(pct))
       case "simple_regression" =>
         // per-group OLS (SimpleRegression.java): y = field, x = xField
         // or event-time millis → struct(slope, intercept, rmse)

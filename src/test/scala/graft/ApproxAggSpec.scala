@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approx/distinct aggregation ops — the exact forms are oracled by
+  * q80; these pin the sketch twins (whose values are sketch-dependent
+  * and cannot hash-match SQL) and the exact/approx relationships. */
+class ApproxAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def agg(fields: String, df: org.apache.spark.sql.DataFrame,
+      groups: String = """["g"]""") =
+    Pipeline.transforms("aggregation")(spark,
+      Pipeline.ModuleCfg("agg", "aggregation", Seq("in"), Nil,
+        graft.config.Json.parse(s"""{
+          "groupFields": $groups,
+          "aggregations": [{"input": "in", "fields": [$fields]}]}"""),
+        graft.config.Json.obj()), Map("in" -> df))("agg")
+
+  private lazy val big = (1 to 20000)
+    .map(i => ("g", i % 3000, i.toDouble)).toDF("g", "k", "v")
+
+  test("approx_count_distinct lands within 3·rsd of the exact count") {
+    val out = agg(
+      """{"name": "ad", "op": "approx_count_distinct", "field": "k",
+         "rsd": 0.05},
+         {"name": "ed", "op": "count_distinct", "field": "k"}""", big)
+      .collect().head
+    val exact = out.getAs[Long]("ed")
+    assert(exact == 3000L)
+    val approx = out.getAs[Long]("ad")
+    assert(math.abs(approx - exact) <= exact * 0.15,
+      s"HLL estimate $approx too far from $exact")
+  }
+
+  test("median equals percentile 0.5; approximate percentile at high " +
+      "accuracy matches the exact value on small data") {
+    val out = agg(
+      """{"name": "med", "op": "median", "field": "v"},
+         {"name": "p50", "op": "percentile", "field": "v",
+          "percentile": 0.5},
+         {"name": "p50a", "op": "percentile", "field": "v",
+          "percentile": 0.5, "approximate": true, "accuracy": 100000}""",
+      big).collect().head
+    assert(out.getAs[Double]("med") == out.getAs[Double]("p50"))
+    // percentile_approx returns a real data point; exact interpolates
+    assert(math.abs(out.getAs[Double]("p50a") -
+      out.getAs[Double]("p50")) <= 1.0)
+  }
+
+  test("count_distinct condition feeds only matching rows") {
+    val df = Seq(("g", 1, 1.0), ("g", 1, 9.0), ("g", 2, 9.0),
+      ("g", 3, 1.0)).toDF("g", "k", "v")
+    val out = agg(
+      """{"name": "hi", "op": "count_distinct", "field": "k",
+         "condition": [{"key": "v", "op": ">", "value": 5}]}""", df)
+      .collect().head
+    assert(out.getAs[Long]("hi") == 2L) // k=1 (v=9) and k=2
+  }
+}
