@@ -353,6 +353,37 @@ transforms:
         - {name: hi_parts}
 """),
 
+    // subtotal lattice in one pass (rollup → Expand node), subtotal
+    // rows disambiguated from null group values by __grouping_id
+    "q81_rollup" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag, l_linestatus]
+      groupType: rollup
+      aggregations:
+        - input: li
+          fields:
+            - {name: n, op: count}
+            - {name: qty, op: sum, field: l_quantity}
+  - name: out
+    module: select
+    inputs: [agg]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: l_linestatus}
+        - {name: gid, field: __grouping_id, type: int}
+        - {name: n}
+        - {name: qty_r, expression: "round(qty, 4)"}
+"""),
+
     // §2.6 simple_regression via regr_* algebra
     "q12_regression" -> pipe("out", """
 sources:
@@ -2965,6 +2996,14 @@ transforms:
            count(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END)
              AS hi_parts
          FROM lineitem GROUP BY l_returnflag""",
+
+    // DuckDB GROUPING(a, b) emits the same subtotal bitmask as
+    // Spark's grouping_id()
+    "q81_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n, round(sum(l_quantity), 4) AS qty_r
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
     "q12_regression" ->
       """SELECT o_orderpriority,

@@ -275,8 +275,44 @@ object AggregationTransform {
         case _ => Nil
       }
       val allAgg = aggCols ++ extraAgg
+      // parity-plus (SURVEY §2.6: "no grouping sets / cube / rollup
+      // anywhere in the reference", free on Catalyst): `groupType:
+      // rollup|cube` or explicit `groupingSets: [[a,b],[a],[]]`
+      // subtotal lattices in ONE pass over the input (Expand node —
+      // no per-level rescan), with `__grouping_id` disambiguating
+      // subtotal rows from genuine null group values
+      val groupMode = cfg.params.str("groupType")
+      val setsParam = cfg.params.arrOf("groupingSets")
+        .map(_.elems.map(_.asText))
       val agged =
-        if (groupCols.nonEmpty)
+        if (groupMode.exists(_ != "groupBy") || setsParam.nonEmpty) {
+          require(windowCol.isEmpty,
+            s"aggregation ${cfg.name}: groupType/groupingSets cannot " +
+              "combine with a window strategy (subtotal rows have no " +
+              "single window)")
+          require(defs.size == 1,
+            s"aggregation ${cfg.name}: groupType/groupingSets require " +
+              "a single-input aggregation (subtotal rows cannot merge " +
+              "on the full group key)")
+          val grouped = groupMode match {
+            case Some("rollup") => df.rollup(groupCols: _*)
+            case Some("cube") => df.cube(groupCols: _*)
+            case None | Some("groupingSets") =>
+              require(setsParam.nonEmpty,
+                s"aggregation ${cfg.name}: groupingSets requires a " +
+                  "non-empty list of group-field subsets")
+              setsParam.flatten.foreach(f => require(
+                groupFields.contains(f),
+                s"aggregation ${cfg.name}: groupingSets field '$f' " +
+                  s"is not in groupFields ${groupFields.mkString(",")}"))
+              df.groupingSets(setsParam.map(_.map(col)), groupCols: _*)
+            case Some(other) => throw new IllegalArgumentException(
+              s"aggregation ${cfg.name}: groupType '$other' (valid: " +
+                "groupBy, rollup, cube, groupingSets)")
+          }
+          val withGid = allAgg :+ grouping_id().as("__grouping_id")
+          grouped.agg(withGid.head, withGid.tail: _*)
+        } else if (groupCols.nonEmpty)
           df.groupBy(groupCols: _*).agg(allAgg.head, allAgg.tail: _*)
         else df.agg(allAgg.head, allAgg.tail: _*)
       // streaming calendar buckets post-project the session struct to
