@@ -382,7 +382,8 @@ object AggregationTransform {
         TransformCommon.finishRouted(
           wc.map(_.post(agged)).getOrElse(agged), cfg)(cfg.name)
       }
-      graft.streaming.PaneRecipes.register(result(cfg.name), raw, reAgg)
+      graft.streaming.PaneRecipes.register(result(cfg.name), raw, reAgg,
+        keys = groupFields)
     }
     result
   }

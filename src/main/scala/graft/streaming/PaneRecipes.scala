@@ -26,15 +26,19 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * Pipeline.execute calls in one JVM cannot leak plans.
   */
 private[graft] object PaneRecipes {
-  final case class Recipe(preAgg: DataFrame, reAgg: DataFrame => DataFrame)
+  /** `keys` = the aggregation's groupFields (window column excluded —
+    * engines detect it from the re-aggregated frame), so pane engines
+    * can scope firings per key+window like Beam triggers do. */
+  final case class Recipe(preAgg: DataFrame, reAgg: DataFrame => DataFrame,
+      keys: Seq[String])
 
   private val recipes = new java.util.IdentityHashMap[LogicalPlan, Recipe]
 
   def register(out: DataFrame, preAgg: DataFrame,
-      reAgg: DataFrame => DataFrame): Unit =
+      reAgg: DataFrame => DataFrame, keys: Seq[String] = Nil): Unit =
     recipes.synchronized {
       if (recipes.size > 64) recipes.clear()
-      recipes.put(out.queryExecution.logical, Recipe(preAgg, reAgg))
+      recipes.put(out.queryExecution.logical, Recipe(preAgg, reAgg, keys))
     }
 
   def lookup(df: DataFrame): Option[Recipe] =

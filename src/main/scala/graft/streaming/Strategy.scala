@@ -373,7 +373,7 @@ object Strategy {
   private val windowKeys = Set("type", "size", "period", "gap",
     "offset", "unit", "timezone", "startDate", "allowedLateness")
   private val strategyKeys = windowKeys ++ Set("window", "trigger",
-    "mode", "timestampField", "timestampCombiner")
+    "mode", "timestampField", "timestampCombiner", "exactPanes")
   private val triggerKeys = Set("type", "pastFirstElementDelay",
     "pastFirstElementDelayUnit", "delay", "unit", "earlyFiringTrigger",
     "lateFiringTrigger", "finalTrigger", "foreverTrigger",

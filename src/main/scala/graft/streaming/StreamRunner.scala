@@ -142,6 +142,8 @@ object StreamRunner {
       // stateful update+append query pair
       return if (strategy.exists(_.str("mode").contains("discarding")))
         startDiscardingEarly(cfg, df, trig.get, strategy.get)
+      else if (strategy.exists(_.bool("exactPanes").getOrElse(false)))
+        startAccumulatingExact(cfg, df, trig.get, strategy.get)
       else startEarlyFiring(cfg, df, trig.get)
     if (trigType == "afterPane")
       return startAfterPane(cfg, df, trig.get)
@@ -329,6 +331,199 @@ object StreamRunner {
                 post = b =>
                   if (hasLate) b
                   else b.filter(col("__pane") =!= "late"))(pane, id)
+          }
+        }
+      }
+      .start()
+    active += q
+    q
+  }
+
+  /** Per-sink, per-key+window pane ordinal for exact accumulating
+    * panes on MEMORY/debug sinks (test surface — the pane buffer is
+    * driver-side anyway). File sinks derive the ordinal from their
+    * own prior output instead, keeping the driver key-free. */
+  private val memPaneIdx = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.mutable.Map[Seq[Any], Long]]()
+
+  /** Beam ACCUMULATING accumulation with early firings — exact, not
+    * approximated, opt-in via `strategy.exactPanes: true` (the
+    * default accumulating path stays the stateful update+append
+    * query pair, which is the scale path for combinable aggregates).
+    *
+    * Each accumulating pane is the aggregate over ALL elements of
+    * the window so far — exact for every aggregate type only by
+    * re-aggregating the retained pre-agg elements, so each batch
+    * appends its pre-agg rows to a parquet element store under the
+    * checkpoint dir and the pane re-aggregates the store. This
+    * retains raw elements for open windows (bounded by horizon ×
+    * rate, MORE than Beam's combiner state — the exactness price;
+    * the store is retention-filtered by watermark + allowedLateness
+    * on read but not compacted on disk).
+    *
+    * Pane scope and metadata mirror Beam PaneInfo:
+    *  - firings are per key+window: only keys with new elements fire
+    *    (semi-join on the recipe's group keys), except the ON_TIME
+    *    closing pane, which fires once per window for ALL its keys
+    *    when the event-time frontier passes the window end — Beam's
+    *    watermark-close pane, which fires regardless of new data.
+    *  - `__pane` = early | onTime | late (late panes dropped unless
+    *    `lateFiringTrigger` is declared, like Beam); timing keys on
+    *    the same frontier as the discarding engine.
+    *  - `__pane_index` = the ordinal of this firing for its
+    *    key+window (0-based): file sinks count their own prior
+    *    output rows for the key, memory sinks count in the pane
+    *    buffer's driver map. File sinks must be parquet (the engine
+    *    reads its own output back; csv/json would need schema
+    *    re-inference). */
+  private def startAccumulatingExact(cfg: ModuleCfg, df: DataFrame,
+      trig: com.fasterxml.jackson.databind.JsonNode,
+      strategy: com.fasterxml.jackson.databind.JsonNode)
+      : StreamingQuery = {
+    requirePaneSink(cfg)
+    val recipe = PaneRecipes.lookup(df).getOrElse(
+      throw new IllegalArgumentException(
+        "exactPanes accumulating requires the pane sink to read a " +
+          "single-input aggregation module's output directly " +
+          "(per-pane re-aggregation needs the pre-aggregation " +
+          "stream) — move intervening transforms upstream of the " +
+          "aggregation or drop exactPanes"))
+    val isMem = cfg.module == "debug" || cfg.module == "memory"
+    val fmt = cfg.params.str("format").getOrElse("parquet")
+    if (!isMem) require(fmt == "parquet",
+      s"exactPanes file sinks must be parquet (got $fmt): the pane " +
+        "ordinal is derived by reading the sink's own prior output")
+    val sinkPath = if (isMem) None
+      else Some(cfg.params.str("output").orElse(cfg.params.str("path"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"${cfg.name}: storage pane sink requires output/path")))
+    val delayMs = delayMillis(trig("earlyFiringTrigger").get)
+    val hasLate = trig("lateFiringTrigger").isDefined
+    val latenessMs = Strategy.allowedLatenessSeconds(strategy)
+      .getOrElse(0L) * 1000L
+    frontiers.remove(cfg.name)
+    firedOnTime.remove(cfg.name)
+    paneStore.remove(cfg.name)
+    memPaneIdx.remove(cfg.name)
+    val ckpt = checkpoint(cfg)
+    val storeDir = ckpt + "/acc-elements"
+
+    def emitWithIndex(pane: DataFrame, keyCols: Seq[String]): Unit = {
+      val spark = pane.sparkSession
+      if (isMem) {
+        val rows = pane.collect()
+        val counts = memPaneIdx.computeIfAbsent(cfg.name,
+          _ => scala.collection.mutable.Map.empty)
+        val buf = paneStore.computeIfAbsent(cfg.name,
+          _ => scala.collection.mutable.ListBuffer.empty)
+        buf.synchronized {
+          rows.foreach { r =>
+            val kt = keyCols.map(k => r.getAs[Any](k))
+            val idx = counts.getOrElse(kt, 0L)
+            counts(kt) = idx + 1
+            val schema = r.schema.add("__pane_index",
+              org.apache.spark.sql.types.LongType)
+            val withIdx: Row =
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericRowWithSchema(r.toSeq.toArray :+ idx, schema)
+            buf += ((r.getAs[String]("__pane"), withIdx))
+          }
+        }
+      } else {
+        val prior =
+          try {
+            val p = spark.read.parquet(sinkPath.get)
+            if (keyCols.isEmpty)
+              Some(p.agg(count(lit(1)).as("__pane_index")))
+            else Some(p.groupBy(keyCols.map(col): _*)
+              .agg(count(lit(1)).as("__pane_index")))
+          } catch { case _: org.apache.spark.sql.AnalysisException =>
+            None // first firing: sink dir does not exist yet
+          }
+        val withIdx = prior match {
+          case None => pane.withColumn("__pane_index", lit(0L))
+          case Some(p) if keyCols.isEmpty =>
+            pane.crossJoin(p)
+          case Some(p) =>
+            pane.join(p, keyCols, "left")
+              .withColumn("__pane_index",
+                coalesce(col("__pane_index"), lit(0L)))
+        }
+        withIdx.write.mode("append").parquet(sinkPath.get)
+      }
+    }
+
+    val q = recipe.preAgg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(delayMs))
+      .option("checkpointLocation", ckpt + "/accumulating")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.write.mode("append").parquet(storeDir)
+          val stored = spark.read.parquet(storeDir)
+          val aggedAll = recipe.reAgg(stored)
+          val touched = recipe.reAgg(batch)
+          windowEndCol(aggedAll) match {
+            case None =>
+              // global window: every firing is a cumulative early pane
+              emitWithIndex(
+                aggedAll.withColumn("__pane", lit("early")), recipe.keys)
+            case Some(end) =>
+              val endSec = end.cast("long")
+              val keyCols = (Seq("window", "window_start")
+                .filter(aggedAll.columns.contains) ++ recipe.keys).distinct
+              val fPrev = frontiers.getOrDefault(cfg.name,
+                java.lang.Long.MIN_VALUE).longValue()
+              // expired-window drop, same rule as the discarding
+              // engine — and the only retention bound on the store
+              val retained =
+                if (fPrev == java.lang.Long.MIN_VALUE) aggedAll
+                else aggedAll.filter(
+                  endSec * 1000L + latenessMs >= fPrev)
+              val tEnds = touched.select(windowEndCol(touched).get
+                  .cast("long")).distinct().collect()
+                .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+              val fNew = math.max(fPrev,
+                if (tEnds.isEmpty) fPrev else tEnds.max * 1000L)
+              val fired = firedOnTime.computeIfAbsent(cfg.name,
+                _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+              // late BEFORE closing registration: a window is late
+              // only if its ON_TIME pane fired in a PRIOR batch
+              val lateEnds = tEnds.filter(e => fired.contains(e))
+              // frontier crossing closes windows: ON_TIME pane for
+              // ALL keys of each newly closed window (fires without
+              // new elements, like Beam's watermark-close pane)
+              val retEnds = retained.select(endSec).distinct().collect()
+                .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+              val closingEnds = retEnds.filter(e =>
+                e * 1000L < fNew && !fired.contains(e))
+              // a window emits at most ONE pane per batch: a window
+              // that both received elements and closed in this batch
+              // emits only the (cumulative) ON_TIME pane — its early
+              // pane would carry the identical aggregate, and a
+              // single firing keeps the pane ordinal well-defined
+              val earlyEnds = tEnds.filter(e =>
+                e * 1000L >= fPrev && !closingEnds.contains(e))
+              closingEnds.foreach(e => fired.add(e))
+              frontiers.put(cfg.name, java.lang.Long.valueOf(fNew))
+              val touchedKeys = touched
+                .select(keyCols.map(col): _*).distinct()
+              val early = retained
+                .join(touchedKeys, keyCols, "left_semi")
+                .filter(endSec.isin(earlyEnds: _*))
+                .withColumn("__pane", lit("early"))
+              val closing = retained
+                .filter(endSec.isin(closingEnds: _*))
+                .withColumn("__pane", lit("onTime"))
+              val late = retained
+                .join(touchedKeys, keyCols, "left_semi")
+                .filter(endSec.isin(lateEnds: _*))
+                .withColumn("__pane", lit("late"))
+              val pane =
+                if (hasLate) early.union(closing).union(late)
+                else early.union(closing)
+              emitWithIndex(pane, keyCols)
           }
         }
       }

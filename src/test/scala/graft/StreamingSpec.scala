@@ -983,4 +983,93 @@ class StreamingSpec extends AnyFunSuite {
     Thread.sleep(200)
     assert(seq() == List(2L, 3L))
   }
+
+  /** Beam ACCUMULATING accumulation, exact engine (opt-in via
+    * strategy.exactPanes): the programming-guide sequence — elements
+    * 3 then 4 in one window yield panes [3], [7] (cumulative), with
+    * min proving real re-aggregation (a delta scheme cannot
+    * accumulate a min). Pane ordinals count per key+window firings;
+    * the window's close emits an ON_TIME pane even when the closing
+    * batch has no element for it. */
+  test("accumulating exactPanes: cumulative panes with ordinals and " +
+      "watermark-close onTime firing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-accx")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: accumulating
+      |      exactPanes: true
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 24}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |        lateFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |            - {name: mn, op: min, field: value}
+      |sinks:
+      |  - name: apanes
+      |    module: memory
+      |    input: agg
+      |""".stripMargin
+    StreamRunner.paneStore.remove("apanes")
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    def all(): List[(String, Long, Double, Double, Long)] =
+      StreamRunner.paneStore.get("apanes").toList.map { case (tag, r) =>
+        (tag,
+          r.getAs[org.apache.spark.sql.Row]("window")
+            .getAs[java.sql.Timestamp]("start").getTime / 1000,
+          r.getAs[Double]("s"), r.getAs[Double]("mn"),
+          r.getAs[Long]("__pane_index"))
+      }
+    def w(start: Long) = all().filter(_._2 == start)
+      .map(t => (t._1, t._3, t._4, t._5))
+    assert(w(0L) == List(("early", 3.0, 3.0, 0L)))
+    // batch 2: 4.0 joins [0,6h) AND an element at 14:00 pushes the
+    // frontier to 18:00, closing [0,6h) in the same batch — one
+    // cumulative ON_TIME pane (sum 7 = 3+4, min 3), not an early +
+    // onTime pair, so the ordinal stays one-per-batch
+    stageParquet(dir, "b2", Seq((2L, 7200L, 4.0), (3L, 50400L, 9.0)))
+    StreamRunner.drainAll()
+    assert(w(0L) == List(("early", 3.0, 3.0, 0L),
+      ("onTime", 7.0, 3.0, 1L)))
+    assert(w(43200L) == List(("early", 9.0, 9.0, 0L)))
+    // batch 3: straggler in the closed [0,6h) within lateness —
+    // LATE pane, cumulative over ALL three elements
+    stageParquet(dir, "b3", Seq((4L, 10800L, 2.0)))
+    StreamRunner.drainAll()
+    assert(w(0L).last == ("late", 9.0, 2.0, 2L))
+    // batch 4: an element at 33h closes [12,18h) via the frontier —
+    // its ON_TIME pane fires with NO new [12,18h) element, carrying
+    // the unchanged cumulative aggregate
+    stageParquet(dir, "b4", Seq((5L, 120000L, 1.0)))
+    StreamRunner.drainAll()
+    assert(w(43200L) == List(("early", 9.0, 9.0, 0L),
+      ("onTime", 9.0, 9.0, 1L)))
+    assert(w(108000L) == List(("early", 1.0, 1.0, 0L)))
+    // batch 5: [0,6h) is now beyond end + allowedLateness (6h + 24h
+    // < 36h frontier) — expired, the straggler emits nothing
+    val before = all()
+    stageParquet(dir, "b5", Seq((6L, 3600L, 5.0)))
+    StreamRunner.drainAll()
+    assert(all() == before)
+    StreamRunner.stopAll()
+  }
 }
