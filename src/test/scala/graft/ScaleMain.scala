@@ -97,6 +97,8 @@ object ScaleMain {
       """{"method":"simhash","field":"text","idField":"doc_id","transitive":true}""") }
     time("ngram-jaccard") { dedup(
       """{"method":"ngram","field":"text","idField":"doc_id","ngramSize":5,"threshold":0.7}""") }
+    time("spans") { dedup(
+      """{"method":"spans","field":"text","idField":"doc_id","spanTokens":8}""") }
     time("textAnalysis") {
       graft.operators.TextAnalysisTransform.build(spark,
         ModuleCfg("ta", "textAnalysis", Seq("d"), Nil, Json.parse(
