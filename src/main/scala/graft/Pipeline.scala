@@ -60,6 +60,7 @@ object Pipeline {
     "union" -> UnionTransform.build,
     "unnest" -> UnnestTransform.build,
     "lookup" -> LookupTransform.build,
+    "asof" -> AsofJoinTransform.build,
     "compare" -> CompareTransform.build,
     "limit" -> LimitTransform.build,
     "set" -> SetTransform.build,

@@ -1257,6 +1257,36 @@ sinks:
         col("__pane").as("pane"))
     }),
 
+    // as-of join (parity-plus): every event picks up the latest
+    // sparse dimension row at or before it, per event_type, within a
+    // 2-day tolerance — one union + window pass, checked against
+    // DuckDB's native ASOF LEFT JOIN
+    "q83_asof" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: dim
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT event_type, ts AS dim_ts, max(value) AS ref_value FROM ev WHERE event_id % 37 = 0 GROUP BY event_type, ts"
+  - name: aj
+    module: asof
+    inputs: [ev, dim]
+    parameters: {by: [event_type], leftOn: ts, rightOn: dim_ts, direction: backward, tolerance: 2d}
+  - name: out
+    module: select
+    inputs: [aj]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: event_type}
+        - {name: ref_r, expression: "round(right_ref_value, 4)"}
+        - {name: gap_s, expression: "(ts - right_dim_ts) / 1000000"}
+"""),
+
     // §2.9 ACCUMULATING accumulation, exact engine (exactPanes):
     // batches split at Jan 11 03:00 — INSIDE a 6h window — so the
     // [Jan 11 00:00, 06:00) window fires an early pane from batch 1
@@ -3762,6 +3792,24 @@ transforms:
          SELECT win_start, event_type, count(*) AS n,
            round(sum(value), 4) AS total_r, 'early' AS pane
          FROM b GROUP BY batch, win_start, event_type""",
+
+    // native ASOF LEFT JOIN picks the same latest-at-or-before row;
+    // the 2-day tolerance nulls the payload post-match, like the
+    // engine
+    "q83_asof" ->
+      """WITH dim AS (
+           SELECT event_type, ts AS dim_ts, max(value) AS ref_value
+           FROM events WHERE event_id % 37 = 0 GROUP BY event_type, ts)
+         SELECT e.event_id, e.event_type,
+           CASE WHEN d.dim_ts IS NOT NULL
+                 AND date_diff('us', d.dim_ts, e.ts) <= 172800000000
+             THEN round(d.ref_value, 4) END AS ref_r,
+           CASE WHEN d.dim_ts IS NOT NULL
+                 AND date_diff('us', d.dim_ts, e.ts) <= 172800000000
+             THEN CAST(date_diff('us', d.dim_ts, e.ts) AS DOUBLE)
+               / 1000000 END AS gap_s
+         FROM events e ASOF LEFT JOIN dim d
+           ON e.event_type = d.event_type AND e.ts >= d.dim_ts""",
 
     // accumulating panes: cumulative aggregates per firing. EARLY =
     // the batch-max-end window, keys with new elements, ordinal 0;
