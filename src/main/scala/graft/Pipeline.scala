@@ -58,6 +58,8 @@ object Pipeline {
     "aggregation" -> AggregationTransform.build,
     "partition" -> PartitionTransform.build,
     "union" -> UnionTransform.build,
+    "pivot" -> PivotTransform.build,
+    "unpivot" -> UnpivotTransform.build,
     "unnest" -> UnnestTransform.build,
     "lookup" -> LookupTransform.build,
     "asof" -> AsofJoinTransform.build,

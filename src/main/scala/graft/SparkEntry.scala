@@ -1257,6 +1257,63 @@ sinks:
         col("__pane").as("pane"))
     }),
 
+    // pivot: spread l_linestatus into columns with explicit values
+    // (single-pass plan, no distinct scan)
+    "q84_pivot" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: pv
+    module: pivot
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag]
+      pivotField: l_linestatus
+      values: [O, F]
+      aggregations:
+        - {name: qty, op: sum, field: l_quantity}
+        - {name: n, op: count}
+  - name: out
+    module: select
+    inputs: [pv]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: o_qty_r, expression: "round(O_qty, 4)"}
+        - {name: o_n, field: O_n}
+        - {name: f_qty_r, expression: "round(F_qty, 4)"}
+        - {name: f_n, field: F_n}
+"""),
+
+    // unpivot: melt three measure columns into (metric, value) rows
+    // — a zero-shuffle Expand
+    "q85_unpivot" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: up
+    module: unpivot
+    inputs: [li]
+    parameters:
+      idFields: [l_orderkey, l_linenumber]
+      valueFields: [l_quantity, l_discount, l_tax]
+      variableField: metric
+      valueField: v
+  - name: out
+    module: select
+    inputs: [up]
+    parameters:
+      select:
+        - {name: l_orderkey}
+        - {name: l_linenumber}
+        - {name: metric}
+        - {name: v_r, expression: "round(v, 4)"}
+"""),
+
     // as-of join (parity-plus): every event picks up the latest
     // sparse dimension row at or before it, per event_type, within a
     // 2-day tolerance — one union + window pass, checked against
@@ -3792,6 +3849,28 @@ transforms:
          SELECT win_start, event_type, count(*) AS n,
            round(sum(value), 4) AS total_r, 'early' AS pane
          FROM b GROUP BY batch, win_start, event_type""",
+
+    // pivot ≡ conditional aggregation
+    "q84_pivot" ->
+      """SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END),
+             4) AS o_qty_r,
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),
+             4) AS f_qty_r,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // unpivot ≡ a UNION ALL per melted column
+    "q85_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           round(l_quantity, 4) AS v_r FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount',
+           round(l_discount, 4) FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax',
+           round(l_tax, 4) FROM lineitem""",
 
     // native ASOF LEFT JOIN picks the same latest-at-or-before row;
     // the 2-day tolerance nulls the payload post-match, like the

@@ -438,6 +438,64 @@ object PartitionTransform {
 
 /** `union` transform (reference `util/pipeline/Union.java`): n-ary
   * by-name union over the super-schema; `mappings` rename table. */
+/** `pivot` transform (parity-plus: the reference has no pivot; free
+  * on Catalyst): group rows, spread one field's values into columns,
+  * aggregate the rest — `df.groupBy(...).pivot(...).agg(...)` with
+  * the aggregation module's op configs. Declare `values` explicitly
+  * at scale: without them Spark first runs a distinct scan over the
+  * pivot field (and caps it at spark.sql.pivotMaxValues); with them
+  * the plan is a single pass. Output columns are `<value>_<aggName>`
+  * (or just `<value>` for a single unnamed-friendly aggregate,
+  * Spark's convention). */
+object PivotTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val groupFields = p.strArr("groupFields")
+    val pivotField = p.str("pivotField").getOrElse(
+      throw new IllegalArgumentException(
+        s"pivot ${cfg.name} requires pivotField"))
+    val values = p.arrOf("values").map(graft.config.Json.scalar)
+    val aggDefs = p.arrOf("aggregations")
+    require(aggDefs.nonEmpty,
+      s"pivot ${cfg.name} requires aggregations (op configs, same " +
+        "grammar as the aggregation module)")
+    val aggCols = aggDefs.map { d =>
+      AggregationCompiler.compile(d, df.schema)
+    }
+    val grouped = df.groupBy(groupFields.map(col): _*)
+    val pivoted =
+      if (values.nonEmpty) grouped.pivot(pivotField, values)
+      else grouped.pivot(pivotField)
+    val out = pivoted.agg(aggCols.head, aggCols.tail: _*)
+    TransformCommon.finishRouted(out, cfg)
+  }
+}
+
+/** `unpivot` transform (parity-plus): melt wide columns into
+  * (variable, value) rows — `Dataset.unpivot`, a zero-shuffle
+  * Expand. `valueFields` empty = every non-id column. */
+object UnpivotTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val ids = p.strArr("idFields")
+    require(ids.nonEmpty,
+      s"unpivot ${cfg.name} requires idFields")
+    val vals = p.strArr("valueFields")
+    val varName = p.str("variableField").getOrElse("variable")
+    val valName = p.str("valueField").getOrElse("value")
+    val out =
+      if (vals.nonEmpty)
+        df.unpivot(ids.map(col).toArray, vals.map(col).toArray,
+          varName, valName)
+      else df.unpivot(ids.map(col).toArray, varName, valName)
+    TransformCommon.finishRouted(out, cfg)
+  }
+}
+
 object UnionTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
