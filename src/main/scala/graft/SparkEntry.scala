@@ -1257,6 +1257,31 @@ sinks:
         col("__pane").as("pane"))
     }),
 
+    // unicode canonicalization: a decomposed 'é' (65 CC81) appended
+    // to every doc must NFC-fold to the precomposed form and
+    // strip_accents to the bare letter, matching DuckDB's
+    // nfc_normalize / strip_accents on the same bytes
+    "q86_normalize" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: prep
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, concat(text, ' caf', decode(unhex('65CC81'), 'UTF-8')) AS text FROM docs"
+  - name: out
+    module: select
+    inputs: [prep]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: nfc, field: text, func: normalize, form: NFC}
+        - {name: bare, field: text, func: normalize, form: strip_accents}
+"""),
+
     // pivot: spread l_linestatus into columns with explicit values
     // (single-pass plan, no distinct scan)
     "q84_pivot" -> pipe("out", """
@@ -3849,6 +3874,15 @@ transforms:
          SELECT win_start, event_type, count(*) AS n,
            round(sum(value), 4) AS total_r, 'early' AS pane
          FROM b GROUP BY batch, win_start, event_type""",
+
+    "q86_normalize" ->
+      """WITH prep AS (
+           SELECT doc_id, text || ' caf' || decode(from_hex('65CC81'))
+             AS text
+           FROM documents)
+         SELECT doc_id, nfc_normalize(text) AS nfc,
+           strip_accents(text) AS bare
+         FROM prep""",
 
     // pivot ≡ conditional aggregation
     "q84_pivot" ->

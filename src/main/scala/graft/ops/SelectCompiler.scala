@@ -190,6 +190,17 @@ object SelectCompiler {
         val cond = FilterCompiler.compile(sel("condition").orNull, schema)
         when(!coalesce(cond, lit(false)), col(field))
       case "uuid" => expr("uuid()")
+      // parity-plus curation funcs: unicode canonicalization (NFC
+      // default; strip_accents = NFD + drop combining marks) as a
+      // codegen'd native expression
+      case "normalize" =>
+        val form = sel.str("form").getOrElse("NFC").toUpperCase
+        if (form == "STRIP_ACCENTS")
+          org.apache.spark.sql.graft.TextExpressions
+            .normalize(col(field), "NFD", strip = true)
+        else org.apache.spark.sql.graft.TextExpressions
+          .normalize(col(field), form,
+            strip = sel.bool("stripMarks").getOrElse(false))
       case "hash" => hashColumn(sel, schema)
       case "event_timestamp" =>
         if (schema.fieldNames.contains("__event_time")) col("__event_time")

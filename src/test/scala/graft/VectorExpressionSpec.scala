@@ -89,4 +89,39 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"),
       "cosine fell back to a UDF — the native expression is gone")
   }
+
+  test("unicode normalize: codegen and interpreted agree with " +
+      "java.text.Normalizer; select func stays codegen'd") {
+    import org.apache.spark.sql.graft.TextExpressions
+    val samples = Seq("café", "café", "Ångström",
+      "ẛ̣", "plain ascii", "", "ﬁsh ligature",
+      "İstanbul", null)
+    val df = samples.toDF("s")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val got = df.select(
+          TextExpressions.normalize(col("s"), "NFC").as("nfc"),
+          TextExpressions.normalize(col("s"), "NFKC").as("nfkc"),
+          TextExpressions.normalize(col("s"), "NFD", strip = true)
+            .as("bare")).collect()
+        samples.zip(got).foreach { case (in, r) =>
+          if (in == null) assert(r.isNullAt(0) && r.isNullAt(2))
+          else {
+            import java.text.Normalizer
+            assert(r.getString(0) ==
+              Normalizer.normalize(in, Normalizer.Form.NFC))
+            assert(r.getString(1) ==
+              Normalizer.normalize(in, Normalizer.Form.NFKC))
+            assert(r.getString(2) == Normalizer
+              .normalize(in, Normalizer.Form.NFD)
+              .replaceAll("\\p{M}+", ""))
+          }
+        }
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val plan = df.select(TextExpressions.normalize(col("s"), "NFC"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
 }
