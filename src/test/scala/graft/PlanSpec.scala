@@ -152,4 +152,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("concat_ws") && !p.contains("slice("),
       "span strings leaked out of the per-doc hashing pass")
   }
+
+  test("q83 asof join: one window pass, no pair materialization") {
+    val p = plan("q83_asof")
+    assert(p.contains("Window"), "as-of lost its window formulation")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "as-of must never materialize candidate pairs")
+    assert(!p.contains("ScalaUDF"), "as-of is pure Catalyst")
+    // the as-of itself is ONE shuffle (the window's hashpartitioning
+    // on the by keys); the dim-prep aggregate adds its own two —
+    // anything beyond that means the union/window plan regressed
+    assert("Exchange hashpartitioning".r
+      .findAllMatchIn(p).size <= 3, p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q85 unpivot is a zero-shuffle Expand") {
+    val p = plan("q85_unpivot")
+    assert(p.contains("Expand"), "unpivot should compile to Expand")
+    assert(!p.contains("Exchange"), "unpivot must not shuffle")
+  }
+
+  test("q86 normalize stays codegen'd and shuffle-free") {
+    val p = plan("q86_normalize")
+    assert(!p.contains("ScalaUDF") && !p.contains("Exchange"),
+      "normalize is a map-side native expression")
+  }
 }
