@@ -1257,6 +1257,49 @@ sinks:
         col("__pane").as("pane"))
     }),
 
+    // mergeable HLL distinct sketches: per-(flag, status) sketches
+    // union up to per-flag estimates — the incremental two-stage
+    // distinct pattern; at 100 distinct suppliers the sketch is in
+    // exact coupon mode, so the rounded estimate must EQUAL the
+    // oracle's count(DISTINCT)
+    "q87_hll_sketch" -> pipe("fin", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: pre
+    module: aggregation
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag, l_linestatus]
+      aggregations:
+        - input: li
+          fields:
+            - {name: sk, op: hll_sketch, field: l_suppkey}
+  - name: merged
+    module: aggregation
+    inputs: [pre]
+    parameters:
+      groupFields: [l_returnflag]
+      aggregations:
+        - input: pre
+          fields:
+            - {name: u, op: hll_union, field: sk}
+  - name: out
+    module: select
+    inputs: [merged]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: est, field: u, func: hll_estimate}
+  - name: fin
+    module: sql
+    inputs: [out]
+    parameters:
+      sql: "SELECT l_returnflag, CAST(round(est) AS BIGINT) AS suppliers FROM out"
+"""),
+
     // unicode canonicalization: a decomposed 'é' (65 CC81) appended
     // to every doc must NFC-fold to the precomposed form and
     // strip_accents to the bare letter, matching DuckDB's
@@ -3874,6 +3917,12 @@ transforms:
          SELECT win_start, event_type, count(*) AS n,
            round(sum(value), 4) AS total_r, 'early' AS pane
          FROM b GROUP BY batch, win_start, event_type""",
+
+    // two-stage sketch merge must equal exact distinct at this
+    // cardinality (HLL coupon-exact below ~512 distincts)
+    "q87_hll_sketch" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS suppliers
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q86_normalize" ->
       """WITH prep AS (

@@ -109,6 +109,18 @@ object AggregationCompiler {
       case "approx_count_distinct" =>
         approx_count_distinct(guarded(valueCol),
           op.dbl("rsd").getOrElse(0.05))
+      // mergeable distinct sketches (DataSketches HLL): `hll_sketch`
+      // emits a binary sketch per group, `hll_union` merges sketch
+      // columns from earlier aggregations — the incremental pattern
+      // for distinct counting at 100 TB (pre-aggregate per partition/
+      // day, union later, estimate once; see select func
+      // hll_estimate). Exact below ~512 distincts (coupon mode), so
+      // small-scale oracles can pin exact values.
+      case "hll_sketch" =>
+        hll_sketch_agg(guarded(valueCol),
+          lit(op.int("lgConfigK").getOrElse(12)))
+      case "hll_union" =>
+        hll_union_agg(guarded(valueCol), lit(false))
       case "median" => median(guarded(valueCol.cast(DoubleType)))
       case "percentile" =>
         val v = guarded(valueCol.cast(DoubleType))

@@ -201,6 +201,9 @@ object SelectCompiler {
         else org.apache.spark.sql.graft.TextExpressions
           .normalize(col(field), form,
             strip = sel.bool("stripMarks").getOrElse(false))
+      // estimate of a DataSketches HLL sketch column (see the
+      // hll_sketch / hll_union aggregation ops)
+      case "hll_estimate" => hll_sketch_estimate(col(field))
       case "hash" => hashColumn(sel, schema)
       case "event_timestamp" =>
         if (schema.fieldNames.contains("__event_time")) col("__event_time")

