@@ -42,10 +42,11 @@ object AsofJoinTransform {
     val p = cfg.params
     val l = inputs(cfg.inputs(0))
     val r = inputs(cfg.inputs(1))
-    require(!l.isStreaming && !r.isStreaming,
-      s"asof ${cfg.name} requires bounded inputs: the as-of match " +
-        "needs the right side's full time axis — join a windowed " +
-        "batch stage, or use lookup for stream enrichment")
+    require(!r.isStreaming,
+      s"asof ${cfg.name}: the right side must be bounded — the " +
+        "as-of match needs its full time axis (a streaming right " +
+        "side has none); windows the right stream in a batch stage " +
+        "first")
     val by = p.strArr("by")
     val leftOn = p.str("leftOn").orElse(p.str("on")).getOrElse(
       throw new IllegalArgumentException(
@@ -82,6 +83,10 @@ object AsofJoinTransform {
     require(collisions.isEmpty,
       s"asof ${cfg.name}: output columns ${collisions.mkString(", ")} " +
         "collide with left columns — set rightPrefix")
+    if (l.isStreaming)
+      return buildStreaming(spark, cfg, l, r, by, leftOn, rightOn,
+        direction, tolerance, prefix, payloadCols, tAxis)
+
     val payload = struct(
       payloadCols.map(col) :+ tAxis(r, rightOn, "right").as("__mt"): _*)
     val lt = l
@@ -131,6 +136,99 @@ object AsofJoinTransform {
       .filter(col("__side") === 0)
       .select(l.columns.map(col) ++ payloadCols.map(c =>
         col(s"__m.$c").as(prefix + c)): _*)
+    TransformCommon.finishRouted(out, cfg)
+  }
+
+  /** Streaming-left as-of: the right side's (key, time) axis is
+    * collected driver-side (count-guarded by `maxIndexRows`) into a
+    * sorted per-key index; a scalar UDF binary-searches it to a row
+    * ordinal and a broadcast equi-join on (key, ordinal) re-attaches
+    * the payload. Map-side only — no watermark, no streaming state,
+    * append-mode safe — so a trades stream enriches from a static
+    * quotes table at scan rate. The index holds (key, double, int)
+    * per right row, NOT payloads, so memory is ~24 B/row; payloads
+    * travel in the broadcast join side.
+    *
+    * The static side is snapshot ONCE at build time (the reference's
+    * side-input semantics); a right table that changes mid-stream
+    * needs a pipeline restart. */
+  private def buildStreaming(spark: SparkSession, cfg: ModuleCfg,
+      l: DataFrame, r: DataFrame, by: Seq[String], leftOn: String,
+      rightOn: String, direction: String, tolerance: Option[Double],
+      prefix: String, payloadCols: Seq[String],
+      tAxis: (DataFrame, String, String) => Column)
+      : Map[String, DataFrame] = {
+    val maxRows = cfg.params.long("maxIndexRows").getOrElse(2000000L)
+    val cnt = r.count()
+    require(cnt <= maxRows,
+      s"asof ${cfg.name}: right side has $cnt rows, over " +
+        s"maxIndexRows=$maxRows — the streaming as-of ships a " +
+        "(key, time) index to every task; thin the right side (it " +
+        "is a dimension by contract) or run the batch asof")
+    def keyStr(df: DataFrame): Column =
+      if (by.isEmpty) lit("")
+      else concat_ws("\u0001",
+        by.map(k => coalesce(col(k).cast(StringType), lit("\u0002"))): _*)
+    val rIdx = r
+      .withColumn("__t", tAxis(r, rightOn, "right"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__akey", keyStr(r))
+      .withColumn("__idx", row_number().over(Window
+        .partitionBy(col("__akey")).orderBy(col("__t"))))
+    val index: Map[String, (Array[Double], Array[Int])] = rIdx
+      .select("__akey", "__t", "__idx").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        val sorted = rows.sortBy(_.getInt(2))
+        k -> (sorted.map(_.getDouble(1)), sorted.map(_.getInt(2)))
+      }
+    val bIndex = spark.sparkContext.broadcast(index)
+    val tol = tolerance
+    val dir = direction
+    val findIdx = udf { (k: String, t: java.lang.Double) =>
+      if (t == null) null
+      else bIndex.value.get(k) match {
+        case None => null
+        case Some((ts, ids)) =>
+          // last position with ts <= t (backward candidate)
+          var lo = 0; var hi = ts.length - 1; var back = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (ts(mid) <= t) { back = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          val fwd = back + 1 // first position with ts > t; equal ts
+          // land in `back`, which both directions treat as inclusive
+          val fwdIn = if (back >= 0 && ts(back) == t) back
+            else if (fwd < ts.length) fwd else -1
+          def ok(i: Int, d: Double): Boolean =
+            i >= 0 && tol.forall(d <= _)
+          val pick = dir match {
+            case "backward" =>
+              if (ok(back, if (back >= 0) t - ts(back) else 0)) back
+              else -1
+            case "forward" =>
+              if (fwdIn >= 0 && ok(fwdIn, ts(fwdIn) - t)) fwdIn else -1
+            case _ => // nearest, distance tie prefers backward
+              val bd = if (back >= 0) t - ts(back) else Double.MaxValue
+              val fd = if (fwdIn >= 0) math.abs(ts(fwdIn) - t)
+                else Double.MaxValue
+              val i = if (bd <= fd) back else fwdIn
+              if (ok(i, math.min(bd, fd))) i else -1
+          }
+          if (pick < 0) null else java.lang.Integer.valueOf(ids(pick))
+      }
+    }
+    val lt = l
+      .withColumn("__t", tAxis(l, leftOn, "left"))
+      .withColumn("__akey", keyStr(l))
+      .withColumn("__midx", findIdx(col("__akey"), col("__t")))
+    val rPay = rIdx.select(Seq(col("__akey").as("__rkey"),
+      col("__idx").as("__ridx")) ++ payloadCols.map(col): _*)
+    val joined = lt.join(broadcast(rPay),
+      lt("__akey") === rPay("__rkey") && lt("__midx") === rPay("__ridx"),
+      "left")
+    val out = joined.select(l.columns.map(lt(_)) ++
+      payloadCols.map(c => rPay(c).as(prefix + c)): _*)
     TransformCommon.finishRouted(out, cfg)
   }
 

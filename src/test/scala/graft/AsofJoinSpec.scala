@@ -70,11 +70,53 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"))
   }
 
-  test("streaming inputs are rejected") {
+  test("streaming right side is rejected; oversized index errors " +
+      "actionably") {
     val s = spark.readStream.format("rate").load()
-      .selectExpr("value AS id", "'k' AS g", "value AS t")
+      .selectExpr("'k' AS g", "value AS rt", "'x' AS tag")
     val e = intercept[IllegalArgumentException](asof(
-      """{"by":["g"],"leftOn":"t","rightOn":"rt"}""", l = s))
+      """{"by":["g"],"leftOn":"t","rightOn":"rt"}""", r = s))
     assert(e.getMessage.contains("bounded"))
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("CAST(value AS INT) AS id", "'k' AS g", "value AS t")
+    val e2 = intercept[IllegalArgumentException](asof(
+      """{"by":["g"],"leftOn":"t","rightOn":"rt","maxIndexRows":2}""",
+      l = stream))
+    assert(e2.getMessage.contains("maxIndexRows"))
+  }
+
+  test("streaming left enriches from the broadcast right index, " +
+      "append-safe, all directions") {
+    val dir = java.nio.file.Files.createTempDirectory("asof-str")
+    val in = dir.resolve("in"); in.toFile.mkdirs()
+    def stage(name: String, rows: Seq[(Int, String, Long)]): Unit = {
+      val tmp = dir.resolve("tmp-" + name).toString
+      rows.toDF("id", "g", "t").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", Seq((1, "k", 10L), (2, "k", 55L)))
+    val schema = "id INT, g STRING, t BIGINT"
+    val stream = spark.readStream.schema(schema)
+      .parquet(in.toString)
+    val out = asof(
+      """{"by":["g"],"leftOn":"t","rightOn":"rt",
+         "direction":"nearest","tolerance":"40s"}""", l = stream)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("asof_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stage("b2", Seq((3, "k", 119L), (4, "z", 7L)))
+      q.processAllAvailable()
+      val m = spark.table("asof_mem").collect()
+        .map(r => r.getAs[Int]("id") -> r.getAs[String]("right_tag"))
+        .toMap
+      // t=10 tie -> a; t=55 nearest is b (5 vs 65); t=119 -> c
+      // (1 away); z has no right rows
+      assert(m == Map(1 -> "a", 2 -> "b", 3 -> "c", 4 -> null))
+    } finally q.stop()
   }
 }
