@@ -99,6 +99,24 @@ object ScaleMain {
       """{"method":"ngram","field":"text","idField":"doc_id","ngramSize":5,"threshold":0.7}""") }
     time("spans") { dedup(
       """{"method":"spans","field":"text","idField":"doc_id","spanTokens":8}""") }
+    // as-of: events replicated (shifted +copy seconds, unique times)
+    // against a ~1/37 dimension — one shuffle + window, so wall time
+    // must track the left row count, never pairs
+    time("asof") {
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val ev = ev0.crossJoin(
+          spark.range(mult).withColumnRenamed("id", "__c"))
+        .withColumn("ts", expr("ts + make_interval(0,0,0,0,0,0,__c)"))
+        .drop("__c")
+      val dim = ev0.filter(col("event_id") % 37 === 0)
+        .groupBy(col("event_type"), col("ts").as("dim_ts"))
+        .agg(max("value").as("ref_value"))
+        .select("event_type", "dim_ts", "ref_value")
+      graft.operators.AsofJoinTransform.build(spark,
+        ModuleCfg("aj", "asof", Seq("l", "r"), Nil, Json.parse(
+          """{"by":["event_type"],"leftOn":"ts","rightOn":"dim_ts"}"""),
+          Json.obj()), Map("l" -> ev, "r" -> dim))("aj")
+    }
     time("textAnalysis") {
       graft.operators.TextAnalysisTransform.build(spark,
         ModuleCfg("ta", "textAnalysis", Seq("d"), Nil, Json.parse(
