@@ -58,6 +58,7 @@ object Pipeline {
     "aggregation" -> AggregationTransform.build,
     "partition" -> PartitionTransform.build,
     "union" -> UnionTransform.build,
+    "sort" -> SortTransform.build,
     "pivot" -> PivotTransform.build,
     "unpivot" -> UnpivotTransform.build,
     "unnest" -> UnnestTransform.build,

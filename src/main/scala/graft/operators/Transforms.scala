@@ -438,6 +438,52 @@ object PartitionTransform {
 
 /** `union` transform (reference `util/pipeline/Union.java`): n-ary
   * by-name union over the super-schema; `mappings` rename table. */
+/** `sort` transform (parity-plus: the reference has no order-by
+  * operator — SURVEY §2.8 "expose as config"). Modes:
+  *
+  *  - `range` (default): `repartitionByRange` + sort within
+  *    partitions — the data-AT-REST layout op: files written from
+  *    this frame carry tight per-file min/max on the sort keys, so
+  *    later scans with key predicates prune whole files. Total
+  *    ordering across partition boundaries, no single-task funnel.
+  *  - `withinPartitions`: no shuffle, per-partition order only.
+  *  - `global`: `orderBy` — Catalyst's range-partitioned total sort
+  *    (same plan shape as `range`; kept for explicitness).
+  */
+object SortTransform {
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    require(!df.isStreaming,
+      s"sort ${cfg.name}: a stream has no total order — sort inside " +
+        "a foreachBatch sink or a windowed batch stage")
+    val p = cfg.params
+    val fields = p.arrOf("fields").map { f =>
+      val c = col(f.str("field").orElse(f.str("name")).getOrElse(
+        throw new IllegalArgumentException(
+          s"sort ${cfg.name}: each fields entry needs field")))
+      f.str("order").getOrElse("ascending") match {
+        case "descending" | "desc" => c.desc
+        case _ => c.asc
+      }
+    }
+    require(fields.nonEmpty, s"sort ${cfg.name} requires fields")
+    val partitions = p.int("numPartitions")
+    val out = p.str("mode").getOrElse("range") match {
+      case "withinPartitions" => df.sortWithinPartitions(fields: _*)
+      case "global" => df.orderBy(fields: _*)
+      case "range" =>
+        val ranged = partitions
+          .map(n => df.repartitionByRange(n, fields: _*))
+          .getOrElse(df.repartitionByRange(fields: _*))
+        ranged.sortWithinPartitions(fields: _*)
+      case other => throw new IllegalArgumentException(
+        s"sort mode: $other (valid: range, withinPartitions, global)")
+    }
+    TransformCommon.finishRouted(out, cfg)
+  }
+}
+
 /** `pivot` transform (parity-plus: the reference has no pivot; free
   * on Catalyst): group rows, spread one field's values into columns,
   * aggregate the rest — `df.groupBy(...).pivot(...).agg(...)` with

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** sort transform — the range mode is the file-layout op: written
+  * files must carry disjoint key ranges so scans prune on min/max. */
+class SortSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sortT(params: String, df: org.apache.spark.sql.DataFrame) =
+    Pipeline.transforms("sort")(spark,
+      Pipeline.ModuleCfg("st", "sort", Seq("in"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("in" -> df))("st")
+
+  private lazy val rows = {
+    val rnd = new scala.util.Random(7)
+    (1 to 10000).map(i => (rnd.nextInt(100000), i)).toDF("k", "id")
+      .repartition(8)
+  }
+
+  test("range mode: partitions carry disjoint, ordered key ranges") {
+    val out = sortT(
+      """{"fields": [{"field": "k"}], "numPartitions": 6}""", rows)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "range mode lost its RangePartitioning exchange:\n" + plan)
+    // per-partition (min, max) must be ordered and non-overlapping
+    val ranges = out.rdd.mapPartitionsWithIndex { (i, it) =>
+      val ks = it.map(_.getInt(0)).toSeq
+      if (ks.isEmpty) Iterator.empty
+      else Iterator((i, ks.min, ks.max, ks == ks.sorted))
+    }.collect().sortBy(_._1)
+    assert(ranges.forall(_._4), "a partition is not internally sorted")
+    ranges.sliding(2).foreach {
+      case Array((_, _, max1, _), (_, min2, _, _)) =>
+        assert(max1 <= min2, s"overlapping ranges: $max1 > $min2")
+      case _ =>
+    }
+    assert(out.count() == 10000)
+  }
+
+  test("descending global sort and withinPartitions no-shuffle") {
+    val out = sortT(
+      """{"fields": [{"field": "k", "order": "desc"}],
+         "mode": "global"}""", rows)
+    val ks = out.select("k").collect().map(_.getInt(0)).toSeq
+    assert(ks == ks.sortBy(-_))
+    // plain (non-repartitioned) input: the only Exchange in the plan
+    // would be one the sort itself added
+    val wp = sortT(
+      """{"fields": [{"field": "k"}], "mode": "withinPartitions"}""",
+      (1 to 100).map(i => (i % 7, i)).toDF("k", "id"))
+    assert(!wp.queryExecution.executedPlan.toString.contains("Exchange"),
+      "withinPartitions must not shuffle")
+  }
+
+  test("streams are rejected with an actionable error") {
+    val s = spark.readStream.format("rate").load()
+    val e = intercept[IllegalArgumentException](sortT(
+      """{"fields": [{"field": "value"}]}""", s))
+    assert(e.getMessage.contains("total order"))
+  }
+}
