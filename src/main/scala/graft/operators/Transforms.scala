@@ -449,6 +449,11 @@ object PartitionTransform {
   *  - `withinPartitions`: no shuffle, per-partition order only.
   *  - `global`: `orderBy` — Catalyst's range-partitioned total sort
   *    (same plan shape as `range`; kept for explicitness).
+  *  - `shuffle`: deterministic corpus shuffle — total order by
+  *    `md5(seed + fields)`, the standard pre-training randomization
+  *    (seed-reproducible across runs AND engines, unlike
+  *    `orderBy(rand())`; change `seed` per epoch). Same range
+  *    partitioning as `range`, so no funnel.
   */
 object SortTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
@@ -477,8 +482,20 @@ object SortTransform {
           .map(n => df.repartitionByRange(n, fields: _*))
           .getOrElse(df.repartitionByRange(fields: _*))
         ranged.sortWithinPartitions(fields: _*)
+      case "shuffle" =>
+        val seed = p.str("seed").getOrElse("0")
+        val idCols = p.arrOf("fields").map(f =>
+          f.str("field").orElse(f.str("name")).get)
+        val key = md5(concat_ws("",
+          lit(seed) +: idCols.map(c => col(c).cast(StringType)): _*))
+          .asc
+        val ranged = partitions
+          .map(n => df.repartitionByRange(n, key))
+          .getOrElse(df.repartitionByRange(key))
+        ranged.sortWithinPartitions(key)
       case other => throw new IllegalArgumentException(
-        s"sort mode: $other (valid: range, withinPartitions, global)")
+        s"sort mode: $other (valid: range, withinPartitions, " +
+          "global, shuffle)")
     }
     TransformCommon.finishRouted(out, cfg)
   }

@@ -57,6 +57,25 @@ class SortSpec extends AnyFunSuite {
       "withinPartitions must not shuffle")
   }
 
+  test("shuffle mode: seed-deterministic permutation, content intact") {
+    val df = (1 to 500).map(i => (i, s"d$i")).toDF("id", "t")
+    def order(seed: String): Seq[Int] = sortT(
+      s"""{"fields": [{"field": "id"}], "mode": "shuffle",
+          "seed": "$seed", "numPartitions": 4}""", df)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    val a = order("7"); val b = order("7"); val c = order("8")
+    assert(a == b, "same seed must reproduce the permutation")
+    assert(a != c, "different seeds must permute differently")
+    assert(a.sorted == (1 to 500) && c.sorted == (1 to 500))
+    assert(a != (1 to 500), "shuffle left the corpus in id order")
+    // cross-engine reproducible: the order is md5(seed || id)
+    val expected = (1 to 500).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(a == expected)
+  }
+
   test("streams are rejected with an actionable error") {
     val s = spark.readStream.format("rate").load()
     val e = intercept[IllegalArgumentException](sortT(
