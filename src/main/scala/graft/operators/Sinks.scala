@@ -121,6 +121,11 @@ object StorageSink {
           p.bool("header").getOrElse(true).toString)
       p.str("compression").foreach(c =>
         writer = writer.option("compression", c))
+      // generic writer options, mirroring the source-side passthrough
+      // (csv quoting/sep, json timestampFormat, parquet block size…)
+      p("options").foreach(_.names.foreach { k =>
+        writer = writer.option(k, p("options").get.str(k).get)
+      })
       writer
     }
     if (TemplateCompiler.referencedFields(path).nonEmpty) {
