@@ -51,6 +51,35 @@ object StorageSink {
 
   def write(cfg: ModuleCfg, df0: DataFrame): Unit = {
     val p = cfg.params
+    // catalog-table sink (parity-plus): `table` + `bucketBy` writes
+    // a bucketed table — the co-located-join lever at 100 TB: two
+    // tables bucketed on the same keys with the same count
+    // equi-join WITHOUT a shuffle (the scan's output partitioning
+    // already satisfies the join's requirement). Plain `path` sinks
+    // cannot carry bucket metadata (saveAsTable-only in Spark).
+    if (p.str("table").isDefined) {
+      val tbl = p.str("table").get
+      var df = df0
+      p.int("numShards").filter(_ > 0).foreach(n => df = df.repartition(n))
+      var w = df.write
+        .format(p.str("format").getOrElse("parquet"))
+        .mode(p.str("mode").getOrElse("overwrite")
+          .toLowerCase(java.util.Locale.ROOT))
+      p("bucketBy").foreach { b =>
+        val cols = b.strArr("fields")
+        require(cols.nonEmpty && b.int("count").isDefined,
+          s"storage ${cfg.name}: bucketBy needs {count, fields}")
+        w = w.bucketBy(b.int("count").get, cols.head, cols.tail: _*)
+        val sortCols = p.strArr("sortBy")
+        if (sortCols.nonEmpty)
+          w = w.sortBy(sortCols.head, sortCols.tail: _*)
+      }
+      val partitionFields = p.strArr("partitionFields")
+      if (partitionFields.nonEmpty)
+        w = w.partitionBy(partitionFields: _*)
+      w.saveAsTable(tbl)
+      return
+    }
     val path = p.str("output").orElse(p.str("path")).getOrElse(
       throw new IllegalArgumentException("storage sink requires output"))
     val format = p.str("format").getOrElse("parquet")

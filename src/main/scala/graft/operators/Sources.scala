@@ -91,6 +91,15 @@ object StorageSource {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val p = cfg.params
+    // catalog-table source: reads carry the table's bucket metadata,
+    // so joins on the bucket keys skip their shuffle (see the sink's
+    // bucketBy)
+    if (p.str("table").isDefined) {
+      var df = spark.table(p.str("table").get)
+      val fields = p.strArr("fields")
+      if (fields.nonEmpty) df = df.select(fields.map(col): _*)
+      return SourceCommon.finish(df, cfg)
+    }
     val paths = p.strArr("path") ++ p.strArr("paths") ++
       p.strArr("input") ++ p.strArr("inputs")
     require(paths.nonEmpty, s"storage source requires path: ${cfg.name}")
