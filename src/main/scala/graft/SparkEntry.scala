@@ -1259,24 +1259,30 @@ sinks:
 
     // mergeable HLL distinct sketches: per-(flag, status) sketches
     // union up to per-flag estimates — the incremental two-stage
-    // distinct pattern; at 100 distinct suppliers the sketch is in
-    // exact coupon mode, so the rounded estimate must EQUAL the
-    // oracle's count(DISTINCT)
+    // distinct pattern. The counted domain is bounded (mod 97) so
+    // the sketch stays in exact coupon mode at EVERY sf and the
+    // rounded estimate must EQUAL the oracle's count(DISTINCT);
+    // unbounded-cardinality accuracy is ApproxAggSpec's job
     "q87_hll_sketch" -> pipe("fin", """
 sources:
   - name: li
     module: storage
     parameters: {path: "${dir}/lineitem.parquet"}
 transforms:
+  - name: prep
+    module: sql
+    inputs: [li]
+    parameters:
+      sql: "SELECT l_returnflag, l_linestatus, l_suppkey % 97 AS sk0 FROM li"
   - name: pre
     module: aggregation
-    inputs: [li]
+    inputs: [prep]
     parameters:
       groupFields: [l_returnflag, l_linestatus]
       aggregations:
-        - input: li
+        - input: prep
           fields:
-            - {name: sk, op: hll_sketch, field: l_suppkey}
+            - {name: sk, op: hll_sketch, field: sk0}
   - name: merged
     module: aggregation
     inputs: [pre]
@@ -3918,10 +3924,11 @@ transforms:
            round(sum(value), 4) AS total_r, 'early' AS pane
          FROM b GROUP BY batch, win_start, event_type""",
 
-    // two-stage sketch merge must equal exact distinct at this
-    // cardinality (HLL coupon-exact below ~512 distincts)
+    // two-stage sketch merge must equal exact distinct on the
+    // bounded (mod 97) domain — coupon-exact at every sf
     "q87_hll_sketch" ->
-      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS suppliers
+      """SELECT l_returnflag,
+           count(DISTINCT l_suppkey % 97) AS suppliers
          FROM lineitem GROUP BY l_returnflag""",
 
     "q86_normalize" ->
