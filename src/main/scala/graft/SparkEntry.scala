@@ -1306,6 +1306,30 @@ transforms:
       sql: "SELECT l_returnflag, CAST(round(est) AS BIGINT) AS suppliers FROM out"
 """),
 
+    // edit distance over all nation-name pairs (fuzzy-match QA),
+    // with the banded threshold variant alongside
+    "q88_levenshtein" -> pipe("out", """
+sources:
+  - name: na
+    module: storage
+    parameters: {path: "${dir}/nation.parquet"}
+transforms:
+  - name: pairs
+    module: sql
+    inputs: [na]
+    parameters:
+      sql: "SELECT a.n_name AS n1, b.n_name AS n2 FROM na a JOIN na b ON a.n_nationkey < b.n_nationkey"
+  - name: out
+    module: select
+    inputs: [pairs]
+    parameters:
+      select:
+        - {name: n1}
+        - {name: n2}
+        - {name: dist, func: levenshtein, fields: [n1, n2]}
+        - {name: dist3, func: levenshtein, fields: [n1, n2], threshold: 3}
+"""),
+
     // unicode canonicalization: a decomposed 'é' (65 CC81) appended
     // to every doc must NFC-fold to the precomposed form and
     // strip_accents to the bare letter, matching DuckDB's
@@ -3930,6 +3954,16 @@ transforms:
       """SELECT l_returnflag,
            count(DISTINCT l_suppkey % 97) AS suppliers
          FROM lineitem GROUP BY l_returnflag""",
+
+    // DuckDB levenshtein is the same unit-cost edit distance; the
+    // banded variant clamps to -1 past the threshold
+    "q88_levenshtein" ->
+      """SELECT a.n_name AS n1, b.n_name AS n2,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist,
+           CAST(CASE WHEN levenshtein(a.n_name, b.n_name) <= 3
+             THEN levenshtein(a.n_name, b.n_name) ELSE -1 END AS INT)
+             AS dist3
+         FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey""",
 
     "q86_normalize" ->
       """WITH prep AS (

@@ -204,6 +204,16 @@ object SelectCompiler {
       // estimate of a DataSketches HLL sketch column (see the
       // hll_sketch / hll_union aggregation ops)
       case "hll_estimate" => hll_sketch_estimate(col(field))
+      // edit distance between two string fields (fuzzy matching /
+      // curation QA); optional threshold caps the scan per pair
+      // (returns -1 past it, Spark's banded algorithm)
+      case "levenshtein" =>
+        val fs = sel.strArr("fields")
+        require(fs.size == 2,
+          s"select $name: levenshtein needs fields: [a, b]")
+        sel.int("threshold")
+          .map(t => levenshtein(col(fs(0)), col(fs(1)), t))
+          .getOrElse(levenshtein(col(fs(0)), col(fs(1))))
       case "hash" => hashColumn(sel, schema)
       case "event_timestamp" =>
         if (schema.fieldNames.contains("__event_time")) col("__event_time")
