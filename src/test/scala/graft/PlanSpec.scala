@@ -174,6 +174,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "unpivot must not shuffle")
   }
 
+  test("q84 pivot with declared values: one scan, partial combine") {
+    val p = plan("q84_pivot")
+    assert("FileScan".r.findAllMatchIn(p).size == 1,
+      "declared-values pivot must not add a distinct value scan")
+    assert(p.contains("partial_pivotfirst"),
+      "pivot lost its map-side partial aggregate")
+  }
+
+  test("q87 hll sketches partial-combine at both stages") {
+    val p = plan("q87_hll_sketch")
+    assert(p.contains("partial_hll_sketch_agg"),
+      "sketch build lost its map-side partial")
+    assert(p.contains("partial_hll_union_agg"),
+      "sketch union lost its map-side partial — merges would " +
+        "funnel raw sketches into the final aggregation")
+  }
+
   test("q86 normalize stays codegen'd and shuffle-free") {
     val p = plan("q86_normalize")
     assert(!p.contains("ScalaUDF") && !p.contains("Exchange"),
