@@ -1330,6 +1330,34 @@ transforms:
         - {name: dist3, func: levenshtein, fields: [n1, n2], threshold: 3}
 """),
 
+    // Jaro-Winkler over the same pairs — the native expression must
+    // reproduce DuckDB's implementation to 6 decimals
+    "q89_jaro_winkler" -> pipe("fin", """
+sources:
+  - name: na
+    module: storage
+    parameters: {path: "${dir}/nation.parquet"}
+transforms:
+  - name: pairs
+    module: sql
+    inputs: [na]
+    parameters:
+      sql: "SELECT a.n_name AS n1, b.n_name AS n2 FROM na a JOIN na b ON a.n_nationkey < b.n_nationkey"
+  - name: out
+    module: select
+    inputs: [pairs]
+    parameters:
+      select:
+        - {name: n1}
+        - {name: n2}
+        - {name: sim, func: jaro_winkler, fields: [n1, n2]}
+  - name: fin
+    module: sql
+    inputs: [out]
+    parameters:
+      sql: "SELECT n1, n2, round(sim, 6) AS sim_r FROM out"
+"""),
+
     // unicode canonicalization: a decomposed 'é' (65 CC81) appended
     // to every doc must NFC-fold to the precomposed form and
     // strip_accents to the bare letter, matching DuckDB's
@@ -3954,6 +3982,12 @@ transforms:
       """SELECT l_returnflag,
            count(DISTINCT l_suppkey % 97) AS suppliers
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q89_jaro_winkler" ->
+      """SELECT a.n_name AS n1, b.n_name AS n2,
+           round(jaro_winkler_similarity(a.n_name, b.n_name), 6)
+             AS sim_r
+         FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey""",
 
     // DuckDB levenshtein is the same unit-cost edit distance; the
     // banded variant clamps to -1 past the threshold

@@ -214,6 +214,14 @@ object SelectCompiler {
         sel.int("threshold")
           .map(t => levenshtein(col(fs(0)), col(fs(1)), t))
           .getOrElse(levenshtein(col(fs(0)), col(fs(1))))
+      // transposition-tolerant similarity with common-prefix boost —
+      // levenshtein's companion metric for fuzzy matching
+      case "jaro_winkler" =>
+        val fs = sel.strArr("fields")
+        require(fs.size == 2,
+          s"select $name: jaro_winkler needs fields: [a, b]")
+        org.apache.spark.sql.graft.TextExpressions
+          .jaroWinkler(col(fs(0)), col(fs(1)))
       case "hash" => hashColumn(sel, schema)
       case "event_timestamp" =>
         if (schema.fieldNames.contains("__event_time")) col("__event_time")

@@ -124,4 +124,66 @@ class VectorExpressionSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"))
   }
+
+  /** The textbook reference the expression must match (and DuckDB
+    * does — q89): Jaro with the half-transposition count, Winkler
+    * boost p=0.1 over a 4-char common prefix past 0.7. */
+  private def refJaroWinkler(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val (l1, l2) = (a.length, b.length)
+    if (l1 == 0 || l2 == 0) return 0.0
+    val w = math.max(l1, l2) / 2 - 1
+    val m1 = Array.fill(l1)(false); val m2 = Array.fill(l2)(false)
+    var m = 0
+    for (i <- 0 until l1) {
+      val hi = math.min(i + w + 1, l2)
+      var j = math.max(0, i - w)
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && a(i) == b(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    for (i <- 0 until l1 if m1(i)) {
+      while (!m2(k)) k += 1
+      if (a(i) != b(k)) t += 1
+      k += 1
+    }
+    val j0 = (m.toDouble / l1 + m.toDouble / l2 +
+      (m - t / 2).toDouble / m) / 3.0
+    if (j0 <= 0.7) j0
+    else {
+      val pre = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+      j0 + pre * 0.1 * (1.0 - j0)
+    }
+  }
+
+  test("jaro_winkler: 300 random pairs match the textbook reference " +
+      "in codegen and interpreted paths") {
+    import org.apache.spark.sql.graft.TextExpressions
+    val rnd = new scala.util.Random(23)
+    def randStr() = {
+      val n = rnd.nextInt(12)
+      (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    }
+    val pairs = (1 to 300).map(_ => (randStr(), randStr())) ++
+      Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""),
+        ("", "x"), ("CRATE", "TRACE"))
+    val df = pairs.toDF("a", "b")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = df.select(
+          TextExpressions.jaroWinkler(col("a"), col("b"))).collect()
+        pairs.zip(got).foreach { case ((a, b), r) =>
+          assert(r.getDouble(0) == refJaroWinkler(a, b),
+            s"($a, $b) in $mode")
+        }
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
