@@ -243,6 +243,34 @@ transforms:
         - {name: run3r, expression: "round(run3, 4)"}
 """),
 
+    // rolling order statistics: per-user median / P90 smoothing over
+    // a trailing 11-row frame, vs DuckDB's windowed quantile_cont
+    "q90_rolling_median" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: w
+    module: window
+    inputs: [ev]
+    parameters:
+      groupFields: [user_id]
+      orderField: ts
+      fields:
+        - {name: med, func: median, field: value, range: {count: 11}}
+        - {name: p90, func: percentile, field: value, percentile: 0.9, range: {count: 11}}
+  - name: out
+    module: select
+    inputs: [w]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: user_id}
+        - {name: med_r, expression: "round(med, 4)"}
+        - {name: p90_r, expression: "round(p90, 4)"}
+"""),
+
     // §2.8 limit: per-key top-N with deterministic ordering
     "q9_limit" -> pipe("out", """
 sources:
@@ -3233,6 +3261,16 @@ transforms:
                                           x -> x <> '')) AS token
                FROM documents) t
          GROUP BY t.token""",
+
+    // windowed quantile_cont interpolates like Spark's exact
+    // percentile; count:11 = 10 preceding + current
+    "q90_rolling_median" ->
+      """SELECT event_id, user_id,
+           round(median(value) OVER w, 4) AS med_r,
+           round(quantile_cont(value, 0.9) OVER w, 4) AS p90_r
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
 
     "q8_window" ->
       """SELECT event_id, user_id, value,

@@ -130,6 +130,15 @@ object WindowTransform {
       case "min" => min(in).over(w)
       case "count" => count(in).over(w)
       case "std" => stddev_samp(in).over(w)
+      // rolling order statistics (median smoothing / rolling P95
+      // latency): exact interpolated percentile over the frame —
+      // holistic, so the frame bound is the memory bound
+      case "median" =>
+        percentile(in.cast(DoubleType), lit(0.5)).over(w)
+      case "percentile" =>
+        val pct = f.dbl("percentile").orElse(f.dbl("fraction"))
+          .getOrElse(0.5)
+        percentile(in.cast(DoubleType), lit(pct)).over(w)
       case "expression" =>
         // field[k] → lag(field, k) over the key window (Lag.java)
         val ast = ExprParser.parse(f.str("expression").get)
