@@ -1059,9 +1059,15 @@ object ReshuffleTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val df = TransformCommon.single(cfg, inputs)
-    val out = cfg.params.int("numPartitions") match {
-      case Some(n) => df.repartition(n)
-      case None => df.repartition()
+    // `fields` hash-partitions by key — pre-partitioning a frame
+    // consumed by several joins/aggregations on that key lets every
+    // consumer reuse ONE exchange instead of shuffling each time
+    val byCols = cfg.params.strArr("fields").map(col)
+    val out = (cfg.params.int("numPartitions"), byCols) match {
+      case (Some(n), cols) if cols.nonEmpty => df.repartition(n, cols: _*)
+      case (None, cols) if cols.nonEmpty => df.repartition(cols: _*)
+      case (Some(n), _) => df.repartition(n)
+      case (None, _) => df.repartition()
     }
     Map(cfg.name -> out)
   }

@@ -76,6 +76,18 @@ class SortSpec extends AnyFunSuite {
     assert(a == expected)
   }
 
+  test("reshuffle by fields hash-partitions on the key") {
+    val df = (1 to 100).map(i => (i % 7, i)).toDF("k", "id")
+    val out = Pipeline.transforms("reshuffle")(spark,
+      Pipeline.ModuleCfg("rs", "reshuffle", Seq("in"), Nil,
+        graft.config.Json.parse(
+          """{"fields": ["k"], "numPartitions": 5}"""),
+        graft.config.Json.obj()), Map("in" -> df))("rs")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k"), plan)
+    assert(out.count() == 100)
+  }
+
   test("streams are rejected with an actionable error") {
     val s = spark.readStream.format("rate").load()
     val e = intercept[IllegalArgumentException](sortT(
