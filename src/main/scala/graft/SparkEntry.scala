@@ -2883,7 +2883,12 @@ sinks:
 
     // §2.2 tfrecord: embeddings roundtrip through tf.Example container
     // files (ops/TFRecords — masked-crc32c framing + the reference
-    // converter's type mapping); float arrays roundtrip bit-exactly
+    // converter's type mapping); float arrays roundtrip bit-exactly.
+    // The array is projected to an element-joined %.6f string so every
+    // output column is scalar (the driver's pandas compare sorts by
+    // value and cannot hash raw arrays); float32→double widening is
+    // exact and no float32 is a 6-decimal halfway case, so Spark's
+    // format_string and DuckDB's printf agree digit-for-digit.
     "q76_tfrecord" -> ((s: SparkSession, dir: String) => {
       val base = java.nio.file.Files.createTempDirectory("graft_q76_")
         .toString
@@ -2911,6 +2916,10 @@ sources:
           - {name: embedding, type: array, itemType: {type: float32}}
           - {name: label, type: int32}
 """)("out")
+        .selectExpr(
+          "vec_id",
+          "array_join(transform(embedding, x -> format_string('%.6f', x)), ',') AS emb_s",
+          "label")
     })
   )
 
@@ -4575,9 +4584,14 @@ transforms:
       """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
            CAST(n_regionkey AS BIGINT) AS rk FROM nation""",
 
-    // tfrecord roundtrip is lossless for int64/float32-array/int32
+    // tfrecord roundtrip is lossless for int64/float32-array/int32;
+    // the float array is compared as an element-joined %.6f string so
+    // the driver's pandas sort sees only scalars
     "q76_tfrecord" ->
-      "SELECT vec_id, embedding, label FROM embeddings",
+      """SELECT vec_id,
+           array_to_string(list_transform(embedding,
+             x -> printf('%.6f', x)), ',') AS emb_s,
+           label FROM embeddings""",
 
     // keyed lag == LAG window over the same deterministic order
     "q62_stateful" ->

@@ -35,6 +35,10 @@ object AsofJoinTransform {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Internal working column names — rejected on either input. */
+  val reserved: Set[String] = Set("__t", "__side", "__rp", "__m",
+    "__mt", "__akey", "__idx", "__midx", "__rkey", "__ridx", "__tie")
+
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     require(cfg.inputs.size >= 2,
@@ -83,6 +87,15 @@ object AsofJoinTransform {
     require(collisions.isEmpty,
       s"asof ${cfg.name}: output columns ${collisions.mkString(", ")} " +
         "collide with left columns — set rightPrefix")
+    // the engine's working columns would silently shadow same-named
+    // input columns via withColumn — refuse, mirroring the prefix check
+    val reservedHit = (l.columns ++ r.columns).distinct
+      .filter(AsofJoinTransform.reserved.contains)
+    require(reservedHit.isEmpty,
+      s"asof ${cfg.name}: input columns ${reservedHit.mkString(", ")} " +
+        "collide with the operator's reserved working names " +
+        s"(${AsofJoinTransform.reserved.mkString(", ")}) — rename them " +
+        "upstream (select rename)")
     if (l.isStreaming)
       return buildStreaming(spark, cfg, l, r, by, leftOn, rightOn,
         direction, tolerance, prefix, payloadCols, tAxis)
@@ -169,12 +182,28 @@ object AsofJoinTransform {
       if (by.isEmpty) lit("")
       else concat_ws("\u0001",
         by.map(k => coalesce(col(k).cast(StringType), lit("\u0002"))): _*)
+    // __idx is evaluated TWICE (driver-collected index + the broadcast
+    // payload side), so the ordinal must be deterministic under
+    // duplicate timestamps: tiebreak on a stable hash of the full row.
+    // Rows still tied after the hash are bit-identical (modulo map
+    // columns, which Spark cannot hash) and therefore interchangeable.
+    def hashSafe(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case a: ArrayType => hashSafe(a.elementType)
+      case _ => true
+    }
+    val tieCols = r.schema.fields
+      .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toSeq
+    val tie = if (tieCols.isEmpty) lit(0L) else xxhash64(tieCols: _*)
     val rIdx = r
       .withColumn("__t", tAxis(r, rightOn, "right"))
       .filter(col("__t").isNotNull)
       .withColumn("__akey", keyStr(r))
+      .withColumn("__tie", tie)
       .withColumn("__idx", row_number().over(Window
-        .partitionBy(col("__akey")).orderBy(col("__t"))))
+        .partitionBy(col("__akey"))
+        .orderBy(col("__t"), col("__tie"))))
     val index: Map[String, (Array[Double], Array[Int])] = rIdx
       .select("__akey", "__t", "__idx").collect()
       .groupBy(_.getString(0)).map { case (k, rows) =>

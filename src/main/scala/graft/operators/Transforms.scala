@@ -488,11 +488,26 @@ object SortTransform {
           f.str("field").orElse(f.str("name")).get)
         val key = md5(concat_ws("",
           lit(seed) +: idCols.map(c => col(c).cast(StringType)): _*))
-          .asc
+        // rows sharing identical key-field values tie on the md5 and
+        // would land in partition-nondeterministic relative order; a
+        // stable full-row hash tiebreaks the within-partition sort so
+        // the seeded permutation is reproducible even when `fields`
+        // does not uniquely identify rows (rows still tied after the
+        // hash are bit-identical, modulo unhashable map columns, and
+        // therefore interchangeable)
+        def hashSafe(dt: DataType): Boolean = dt match {
+          case _: MapType => false
+          case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
+          case a: ArrayType => hashSafe(a.elementType)
+          case _ => true
+        }
+        val tieCols = df.schema.fields
+          .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toSeq
+        val tie = if (tieCols.isEmpty) lit(0L) else xxhash64(tieCols: _*)
         val ranged = partitions
-          .map(n => df.repartitionByRange(n, key))
-          .getOrElse(df.repartitionByRange(key))
-        ranged.sortWithinPartitions(key)
+          .map(n => df.repartitionByRange(n, key.asc))
+          .getOrElse(df.repartitionByRange(key.asc))
+        ranged.sortWithinPartitions(key.asc, tie.asc)
       case other => throw new IllegalArgumentException(
         s"sort mode: $other (valid: range, withinPartitions, " +
           "global, shuffle)")

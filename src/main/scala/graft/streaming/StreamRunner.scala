@@ -346,6 +346,17 @@ object StreamRunner {
   private val memPaneIdx = new java.util.concurrent.ConcurrentHashMap[
     String, scala.collection.mutable.Map[Seq[Any], Long]]()
 
+  /** Highest batchId already applied per exact-pane sink — a
+    * same-process micro-batch retry re-enters foreachBatch with the
+    * same id and must be a no-op (the element store, the driver pane
+    * maps, and the sink were all already updated). Cross-restart
+    * replay safety comes from the on-disk layout instead: the store
+    * is batch-stamped (`__gbatch=<id>` overwritten on replay) and
+    * file-sink panes publish as `b<id>-*` files that a replay deletes
+    * before re-publishing. */
+  private val lastPaneBatch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Beam ACCUMULATING accumulation with early firings — exact, not
     * approximated, opt-in via `strategy.exactPanes: true` (the
     * default accumulating path stays the stateful update+append
@@ -405,10 +416,12 @@ object StreamRunner {
     firedOnTime.remove(cfg.name)
     paneStore.remove(cfg.name)
     memPaneIdx.remove(cfg.name)
+    lastPaneBatch.remove(cfg.name)
     val ckpt = checkpoint(cfg)
     val storeDir = ckpt + "/acc-elements"
 
-    def emitWithIndex(pane: DataFrame, keyCols: Seq[String]): Unit = {
+    def emitWithIndex(pane: DataFrame, keyCols: Seq[String],
+        batchId: Long): Unit = {
       val spark = pane.sparkSession
       if (isMem) {
         val rows = pane.collect()
@@ -449,7 +462,30 @@ object StreamRunner {
               .withColumn("__pane_index",
                 coalesce(col("__pane_index"), lit(0L)))
         }
-        withIdx.write.mode("append").parquet(sinkPath.get)
+        // Idempotent publish: stage under the checkpoint, then move
+        // each part file into the sink under a batch-stamped name,
+        // deleting any `b<id>-*` leftovers from a failed prior attempt
+        // first — a replay of this batch re-publishes the identical
+        // set instead of appending a duplicate. (Local-FS rename
+        // protocol; an object-store deployment would swap this for
+        // the committer's equivalent.)
+        val stageDir = new java.io.File(ckpt + s"/pane-stage/$batchId")
+        withIdx.write.mode("overwrite").parquet(stageDir.toString)
+        val dst = new java.io.File(sinkPath.get)
+        dst.mkdirs()
+        Option(dst.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith(s"b$batchId-"))
+          .foreach(_.delete())
+        Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(_.delete())
+        stageDir.delete()
       }
     }
 
@@ -457,18 +493,25 @@ object StreamRunner {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(delayMs))
       .option("checkpointLocation", ckpt + "/accumulating")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done = lastPaneBatch.get(cfg.name)
+        if ((done == null || batchId > done.longValue()) &&
+            !batch.isEmpty) {
           val spark = batch.sparkSession
-          batch.write.mode("append").parquet(storeDir)
-          val stored = spark.read.parquet(storeDir)
+          // batch-stamped store partition: a replayed batch OVERWRITES
+          // its own slice instead of appending a duplicate, keeping
+          // every later cumulative pane exact across retries/restarts
+          batch.write.mode("overwrite")
+            .parquet(storeDir + s"/__gbatch=$batchId")
+          val stored = spark.read.parquet(storeDir).drop("__gbatch")
           val aggedAll = recipe.reAgg(stored)
           val touched = recipe.reAgg(batch)
           windowEndCol(aggedAll) match {
             case None =>
               // global window: every firing is a cumulative early pane
               emitWithIndex(
-                aggedAll.withColumn("__pane", lit("early")), recipe.keys)
+                aggedAll.withColumn("__pane", lit("early")), recipe.keys,
+                batchId)
             case Some(end) =>
               val endSec = end.cast("long")
               val keyCols = (Seq("window", "window_start")
@@ -523,8 +566,10 @@ object StreamRunner {
               val pane =
                 if (hasLate) early.union(closing).union(late)
                 else early.union(closing)
-              emitWithIndex(pane, keyCols)
+              emitWithIndex(pane, keyCols, batchId)
           }
+          lastPaneBatch.put(cfg.name, java.lang.Long.valueOf(batchId))
+          ()
         }
       }
       .start()
