@@ -60,7 +60,7 @@ object Bench {
     // across samples is the best estimate of the plan's cost (noise
     // under battery conditions is strictly additive).
     val samples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
-      .map(_.toInt).filter(_ >= 1).getOrElse(2)
+      .map(_.toInt).filter(_ >= 1).getOrElse(3)
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map {
       case (name, fn) =>

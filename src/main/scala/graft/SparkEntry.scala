@@ -2920,7 +2920,182 @@ sources:
           "vec_id",
           "array_join(transform(embedding, x -> format_string('%.6f', x)), ',') AS emb_s",
           "label")
-    })
+    }),
+
+    // §2.8 sort transform, range mode: the driver compare is
+    // order-blind (it sorts rows itself), so the gate converts the
+    // engine's emitted ORDER into a value — zipWithIndex preserves
+    // partition order (repartitionByRange assigns ascending ranges to
+    // ascending partition ids) and within-partition order, so `pos`
+    // IS the total order the engine produced. (o_totalprice,
+    // o_orderkey) totally orders orders (o_orderkey is unique).
+    "q91_sort_range" -> ((s: SparkSession, dir: String) => {
+      val sorted = Pipeline.build(s, """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: sort
+    inputs: [ord]
+    parameters:
+      mode: range
+      numPartitions: 7
+      fields:
+        - {field: o_totalprice}
+        - {field: o_orderkey}
+""", Map("dir" -> dir))("out")
+      val rows = sorted.select("o_orderkey").rdd.zipWithIndex()
+        .map { case (r, i) => (r.getAs[Number](0).longValue(), i) }
+      s.createDataFrame(rows).toDF("ok", "pos")
+    }),
+
+    // §2.5 as-of join, STREAMING left leg: the same sparse dimension
+    // as q83, but the event side arrives as a file stream and the
+    // match runs through the broadcast (key,time)-index path
+    // (AsofJoinTransform.buildStreaming) instead of the union+window
+    // batch plan; draining the stream must converge to the identical
+    // DuckDB ASOF result
+    "q92_asof_stream" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q92_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        in.resolve("ev.parquet"))
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+  - name: evb
+    module: storage
+    parameters: {path: "$dir/events.parquet"}
+transforms:
+  - name: dim
+    module: sql
+    inputs: [evb]
+    parameters:
+      sql: "SELECT event_type, ts AS dim_ts, max(value) AS ref_value FROM evb WHERE event_id % 37 = 0 GROUP BY event_type, ts"
+  - name: aj
+    module: asof
+    inputs: [ev, dim]
+    parameters: {by: [event_type], leftOn: ts, rightOn: dim_ts, direction: backward, tolerance: 2d}
+  - name: sel
+    module: select
+    inputs: [aj]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: event_type}
+        - {name: ref_r, expression: "round(right_ref_value, 4)"}
+        - {name: gap_s, expression: "(ts - right_dim_ts) / 1000000"}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
+    // §2.2 bucketed catalog tables: both join sides written bucketBy
+    // the join key (the co-located-join lever — BucketSpec pins the
+    // zero-exchange plan shape; here the VALUES go through the
+    // driver against a plain-join oracle)
+    "q93_bucket_join" -> ((s: SparkSession, dir: String) => {
+      // a previous JVM's run leaves the managed-table LOCATION on
+      // disk while this session's catalog has no such table —
+      // saveAsTable(overwrite) then refuses with
+      // LOCATION_ALREADY_EXISTS, so clear both catalog and location
+      Seq("graft_q93_orders", "graft_q93_cust").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+            .foreach(rm)
+          f.delete(); ()
+        }
+        val loc = new java.io.File(wh, t)
+        if (loc.exists) rm(loc)
+      }
+      Pipeline.execute(s, s"""
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "$dir/orders.parquet"}
+  - name: cust
+    module: storage
+    parameters: {path: "$dir/customer.parquet"}
+sinks:
+  - name: bo
+    module: storage
+    input: ord
+    parameters:
+      table: graft_q93_orders
+      mode: overwrite
+      bucketBy: {count: 8, fields: [o_custkey]}
+      sortBy: [o_custkey]
+  - name: bc
+    module: storage
+    input: cust
+    parameters:
+      table: graft_q93_cust
+      mode: overwrite
+      bucketBy: {count: 8, fields: [c_custkey]}
+      sortBy: [c_custkey]
+""")
+      Pipeline.build(s, """
+sources:
+  - name: o
+    module: storage
+    parameters: {table: graft_q93_orders}
+  - name: c
+    module: storage
+    parameters: {table: graft_q93_cust}
+transforms:
+  - name: out
+    module: sql
+    inputs: [o, c]
+    parameters:
+      sql: "SELECT o.o_orderkey, c.c_mktsegment, round(o.o_totalprice, 4) AS price_r FROM o JOIN c ON o.o_custkey = c.c_custkey"
+""", Map.empty)("out")
+    }),
+
+    // pivot, DISCOVERED values twin of q84: no `values:` declared, so
+    // the engine first runs the capped distinct scan over the pivot
+    // field (spark.sql.pivotMaxValues), then pivots — must agree with
+    // the declared-values gate's oracle exactly
+    "q94_pivot_discovered" -> pipe("out", """
+sources:
+  - name: li
+    module: storage
+    parameters: {path: "${dir}/lineitem.parquet"}
+transforms:
+  - name: pv
+    module: pivot
+    inputs: [li]
+    parameters:
+      groupFields: [l_returnflag]
+      pivotField: l_linestatus
+      aggregations:
+        - {name: qty, op: sum, field: l_quantity}
+        - {name: n, op: count}
+  - name: out
+    module: select
+    inputs: [pv]
+    parameters:
+      select:
+        - {name: l_returnflag}
+        - {name: o_qty_r, expression: "round(O_qty, 4)"}
+        - {name: o_n, field: O_n}
+        - {name: f_qty_r, expression: "round(F_qty, 4)"}
+        - {name: f_n, field: F_n}
+""")
   )
 
   // ---------------------------------------------------------------
@@ -4592,6 +4767,49 @@ transforms:
            array_to_string(list_transform(embedding,
              x -> printf('%.6f', x)), ',') AS emb_s,
            label FROM embeddings""",
+
+    // range sort: the engine's emitted position (partition order ×
+    // within-partition order) must equal the total ORDER BY rank
+    "q91_sort_range" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS ok,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+             AS pos
+         FROM orders""",
+
+    // streaming-left asof drains to the same result as the batch
+    // ASOF LEFT JOIN (q83's oracle, same dimension derivation)
+    "q92_asof_stream" ->
+      """WITH dim AS (
+           SELECT event_type, ts AS dim_ts, max(value) AS ref_value
+           FROM events WHERE event_id % 37 = 0 GROUP BY event_type, ts)
+         SELECT e.event_id, e.event_type,
+           CASE WHEN d.dim_ts IS NOT NULL
+                 AND date_diff('us', d.dim_ts, e.ts) <= 172800000000
+             THEN round(d.ref_value, 4) END AS ref_r,
+           CASE WHEN d.dim_ts IS NOT NULL
+                 AND date_diff('us', d.dim_ts, e.ts) <= 172800000000
+             THEN CAST(date_diff('us', d.dim_ts, e.ts) AS DOUBLE)
+               / 1000000 END AS gap_s
+         FROM events e ASOF LEFT JOIN dim d
+           ON e.event_type = d.event_type AND e.ts >= d.dim_ts""",
+
+    // bucketed-table join ≡ plain equi-join on the bucket key
+    "q93_bucket_join" ->
+      """SELECT o_orderkey, c_mktsegment,
+           round(o_totalprice, 4) AS price_r
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+
+    // discovered-values pivot ≡ the same conditional aggregation as
+    // the declared-values twin q84
+    "q94_pivot_discovered" ->
+      """SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END),
+             4) AS o_qty_r,
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),
+             4) AS f_qty_r,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n
+         FROM lineitem GROUP BY l_returnflag""",
 
     // keyed lag == LAG window over the same deterministic order
     "q62_stateful" ->

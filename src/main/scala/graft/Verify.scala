@@ -34,6 +34,29 @@ object Verify {
         .schema("ts").dataType.simpleString)
     catch { case e: Throwable =>
       System.err.println(s"[verify] events.ts probe failed: $e") }
+    // environment probe: the kafka/iceberg happy paths stay blocked
+    // until matching jars appear on this machine — report per round
+    // so the README "environment-blocked" note flips the round they do
+    try {
+      val wanted = Seq("spark-sql-kafka", "kafka-clients",
+        "iceberg-spark-runtime")
+      val roots = Seq("/opt/spark/jars",
+        sys.props.getOrElse("user.home", "") + "/.cache/coursier",
+        sys.props.getOrElse("user.home", "") + "/.ivy2")
+      def has(w: String): Boolean = roots.exists { r =>
+        val f = new java.io.File(r)
+        f.exists && {
+          val s = java.nio.file.Files.walk(f.toPath)
+          try s.anyMatch(p => p.getFileName.toString.startsWith(w) &&
+            p.toString.endsWith(".jar"))
+          finally s.close()
+        }
+      }
+      System.err.println("[verify] connector-jar probe: " + wanted
+        .map(w => s"$w=${if (has(w)) "FOUND" else "absent"}")
+        .mkString(", "))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] connector-jar probe failed: $e") }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -357,6 +357,12 @@ object StreamRunner {
   private val lastPaneBatch =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Per exact-pane sink: batchId → max window end (epoch seconds) of
+    * that batch's store slice, for frontier-driven compaction. */
+  private val paneBatchMaxEnd = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, java.lang.Long]]()
+
   /** Beam ACCUMULATING accumulation with early firings — exact, not
     * approximated, opt-in via `strategy.exactPanes: true` (the
     * default accumulating path stays the stateful update+append
@@ -417,6 +423,7 @@ object StreamRunner {
     paneStore.remove(cfg.name)
     memPaneIdx.remove(cfg.name)
     lastPaneBatch.remove(cfg.name)
+    paneBatchMaxEnd.remove(cfg.name)
     val ckpt = checkpoint(cfg)
     val storeDir = ckpt + "/acc-elements"
 
@@ -567,6 +574,34 @@ object StreamRunner {
                 if (hasLate) early.union(closing).union(late)
                 else early.union(closing)
               emitWithIndex(pane, keyCols, batchId)
+              // store compaction: every batch slice records its max
+              // window end; once the frontier (plus lateness) passes
+              // it, EVERY window the slice feeds is expired and the
+              // whole `__gbatch` dir is dropped — the on-disk store
+              // stays bounded by the open horizon × rate, not by
+              // stream lifetime. (Driver map is process-local: after
+              // a restart, pre-restart slices just stop being
+              // compacted — correctness is unaffected because expired
+              // windows are retention-filtered on read anyway.)
+              val ends = paneBatchMaxEnd.computeIfAbsent(cfg.name,
+                _ => new java.util.concurrent.ConcurrentHashMap[
+                  java.lang.Long, java.lang.Long]())
+              if (tEnds.nonEmpty)
+                ends.put(batchId, java.lang.Long.valueOf(tEnds.max))
+              val eit = ends.entrySet().iterator()
+              while (eit.hasNext) {
+                val e = eit.next()
+                if (e.getKey.longValue() != batchId &&
+                    e.getValue.longValue() * 1000L + latenessMs < fNew) {
+                  val d = new java.io.File(
+                    storeDir + s"/__gbatch=${e.getKey}")
+                  Option(d.listFiles())
+                    .getOrElse(Array.empty[java.io.File])
+                    .foreach(_.delete())
+                  d.delete()
+                  eit.remove()
+                }
+              }
           }
           lastPaneBatch.put(cfg.name, java.lang.Long.valueOf(batchId))
           ()

@@ -25,6 +25,27 @@ class PivotSpec extends AnyFunSuite {
     assert(m("b") == (Some(4.0), None))
   }
 
+  test("discovered values hit the pivotMaxValues cap with Spark's " +
+      "actionable error") {
+    val many = (1 to 50).map(i => ("g", s"s$i", 1.0)).toDF("g", "s", "v")
+    val prev = spark.conf.get("spark.sql.pivotMaxValues")
+    spark.conf.set("spark.sql.pivotMaxValues", "10")
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        Pipeline.transforms("pivot")(spark,
+          Pipeline.ModuleCfg("pv", "pivot", Seq("in"), Nil,
+            graft.config.Json.parse("""{
+              "groupFields": ["g"], "pivotField": "s",
+              "aggregations": [
+                {"name": "t", "op": "sum", "field": "v"}]}"""),
+            graft.config.Json.obj()), Map("in" -> many))("pv")
+          .collect()
+      }
+      assert(e.getMessage.contains("pivotMaxValues") ||
+        e.getMessage.contains("10"), e.getMessage)
+    } finally spark.conf.set("spark.sql.pivotMaxValues", prev)
+  }
+
   test("unpivot with no valueFields melts every non-id column") {
     val wide = Seq((1L, 2.0, 3.0)).toDF("id", "p", "q")
     val out = Pipeline.transforms("unpivot")(spark,

@@ -42,6 +42,31 @@ class SortSpec extends AnyFunSuite {
     assert(out.count() == 10000)
   }
 
+  test("range layout prunes at scan: a key-range filter reads a " +
+      "fraction of the written rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sortprune_").toString
+    sortT("""{"fields": [{"field": "k"}], "numPartitions": 6}""", rows)
+      .write.mode("overwrite").parquet(dir)
+    // 6 range partitions → 6 files with disjoint k ranges; a filter
+    // selecting ~1/10 of the key space must let parquet row-group
+    // stats skip most files, so the SCAN (not the filter above it)
+    // emits far fewer than the 10000 written rows
+    val read = spark.read.parquet(dir).filter(col("k") < 10000)
+    val n = read.count()
+    assert(n > 0)
+    read.collect()
+    val plan = read.queryExecution.executedPlan
+    assert(plan.toString.contains("PushedFilters: [IsNotNull(k), " +
+      "LessThan(k,10000)]"), plan.toString)
+    val scan = plan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < 5000,
+      s"scan emitted $scanned of 10000 rows — row-group pruning did " +
+        "not engage on the range layout")
+    assert(scanned >= n)
+  }
+
   test("descending global sort and withinPartitions no-shuffle") {
     val out = sortT(
       """{"fields": [{"field": "k", "order": "desc"}],

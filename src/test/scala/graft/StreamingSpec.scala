@@ -917,6 +917,117 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  /** Beam `AfterFirst(t1, t2)` fires when EITHER child would; the
+    * engine's documented reduction keeps the child with the shortest
+    * processing-time delay, else the FIRST child on ties. Both
+    * children here tie (no processing-time delay), so the pinned
+    * sequence is the first child's — afterWatermark+early fires at
+    * n=1 and the count-100 second child never withholds, which is
+    * also what Beam's afterFirst would do (the early trigger fires
+    * first). */
+  test("afterFirst pane sequence: earliest child drives, count " +
+      "child never gates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-first")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 46800L, 1.0)))
+    StreamRunner.paneStore.remove("firstpanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 6}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: firstpanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterFirst
+      |        childrenTriggers:
+      |          - type: afterWatermark
+      |            earlyFiringTrigger:
+      |              {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |          - {type: afterPane, elementCountAtLeast: 100}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def fpanes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("firstpanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def fwin(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    assert(fpanes("early").map(fwin).toSet == Set(0L, 43200L))
+    assert(fpanes("early").forall(_.getAs[Long]("n") == 1L))
+    assert(fpanes("onTime").map(fwin) == List(0L))
+    StreamRunner.stopAll()
+  }
+
+  /** Beam `AfterAll(t1, t2)` fires only when ALL children have; the
+    * engine's documented reduction keeps the child that fires LAST —
+    * here the count trigger — so the pinned sequence is gated until
+    * elementCountAtLeast is met, exactly Beam's conjunction for this
+    * pair (the processing-time child has long since fired). */
+  test("afterAll pane sequence: the count child gates the pane") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-all")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0)))
+    StreamRunner.paneStore.remove("allpanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: allpanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterAll
+      |        childrenTriggers:
+      |          - {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |          - {type: afterPane, elementCountAtLeast: 2, countField: n}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def aseq(): List[Long] =
+      StreamRunner.paneStore.get("allpanes") match {
+        case null => Nil
+        case buf => buf.toList.map(_._2).map(_.getAs[Long]("n"))
+      }
+    // one element < 2: the conjunction has not fired
+    assert(aseq().isEmpty)
+    stageParquet(dir, "b2", Seq((2L, 3700L, 1.0)))
+    StreamRunner.drainAll()
+    assert(aseq() == List(2L))
+    StreamRunner.stopAll()
+  }
+
   /** Beam `Repeatedly.forever(AfterPane.elementCountAtLeast(2))
     * .orFinally(AfterWatermark.pastEndOfWindow())`: panes fire at
     * counts 2, 3, ... until the final trigger closes the window. The
@@ -1027,6 +1138,7 @@ class StreamingSpec extends AnyFunSuite {
       |  - name: apanes
       |    module: memory
       |    input: agg
+      |    parameters: {checkpointLocation: $dir/ckpt}
       |""".stripMargin
     StreamRunner.paneStore.remove("apanes")
     Pipeline.execute(spark, config)
@@ -1064,6 +1176,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(w(43200L) == List(("early", 9.0, 9.0, 0L),
       ("onTime", 9.0, 9.0, 1L)))
     assert(w(108000L) == List(("early", 1.0, 1.0, 0L)))
+    // retention bound: batch 1's and batch 3's store slices feed only
+    // windows now beyond end + allowedLateness (ends ≤ 6h, frontier
+    // 36h, lateness 24h) — compaction must have dropped their
+    // __gbatch dirs, leaving on disk only the 3 open-horizon elements
+    // (7200, 50400, 120000), not all 5 ever ingested
+    val store = new java.io.File(s"$dir/ckpt/acc-elements")
+    val slices = Option(store.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("__gbatch=")).toSet
+    assert(!slices.contains("__gbatch=0"), s"expired slice kept: $slices")
+    val storeRows = spark.read.parquet(store.toString).count()
+    assert(storeRows <= 3,
+      s"store retains $storeRows rows — open-horizon bound exceeded")
     // batch 5: [0,6h) is now beyond end + allowedLateness (6h + 24h
     // < 36h frontier) — expired, the straggler emits nothing
     val before = all()
