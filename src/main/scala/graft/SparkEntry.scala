@@ -24,6 +24,35 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
 
+  /** q95 oracle: DuckDB replay of the zorder key — the same 8-bit
+    * fixed-point scaling (multiply-then-divide, clamp) and the same
+    * bit-interleave convention (first field owns the more significant
+    * bit at each level) as SortTransform's zorder mode; generated so
+    * one formula defines both sides. */
+  private def zorderOracleSql: String = {
+    val bits = 8
+    val maxv = math.pow(2d, bits) - 1d // 255.0
+    def scaledSql(c: String, mn: Double, mx: Double): String =
+      s"CAST(LEAST(GREATEST(floor(((CAST($c AS DOUBLE) - $mn) * " +
+        s"$maxv) / ${mx - mn}), 0.0), $maxv) AS BIGINT)"
+    val sx = scaledSql("o_custkey", 0.0, 1500.0)
+    val sy = scaledSql("o_totalprice", 0.0, 500000.0)
+    val terms = (0 until bits).flatMap { l =>
+      Seq(s"(((sx >> $l) & 1) << ${l * 2 + 1})",
+        s"(((sy >> $l) & 1) << ${l * 2})")
+    }
+    s"""WITH sc AS (
+         SELECT o_orderkey, o_custkey, o_totalprice,
+           $sx AS sx, $sy AS sy FROM orders),
+       z AS (
+         SELECT o_orderkey, o_custkey, o_totalprice,
+           ${terms.mkString(" | ")} AS zkey FROM sc)
+       SELECT CAST(o_orderkey AS BIGINT) AS ok,
+         row_number() OVER (ORDER BY zkey, o_custkey, o_totalprice) - 1
+           AS pos
+       FROM z"""
+  }
+
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -3066,6 +3095,37 @@ transforms:
 """, Map.empty)("out")
     }),
 
+    // §2.8 sort transform, ZORDER mode: 8-bit fixed-point ranks of
+    // (o_custkey, o_totalprice) bit-interleave into one z-key and the
+    // frame range-sorts on it — the multi-dimensional layout op. Same
+    // order-to-value conversion as q91; the oracle recomputes the
+    // identical scale-and-interleave arithmetic in SQL (generated by
+    // zorderOracleSql so both sides share one formula, bit for bit).
+    // The declared min/max are DOMAIN bounds (out-of-range values
+    // clamp identically on both sides), so the gate is sf-stable.
+    "q95_zorder" -> ((s: SparkSession, dir: String) => {
+      val sorted = Pipeline.build(s, """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: sort
+    inputs: [ord]
+    parameters:
+      mode: zorder
+      bits: 8
+      numPartitions: 7
+      fields:
+        - {field: o_custkey, min: 0, max: 1500}
+        - {field: o_totalprice, min: 0, max: 500000}
+""", Map("dir" -> dir))("out")
+      val rows = sorted.select("o_orderkey").rdd.zipWithIndex()
+        .map { case (r, i) => (r.getAs[Number](0).longValue(), i) }
+      s.createDataFrame(rows).toDF("ok", "pos")
+    }),
+
     // pivot, DISCOVERED values twin of q84: no `values:` declared, so
     // the engine first runs the capped distinct scan over the pivot
     // field (spark.sql.pivotMaxValues), then pivots — must agree with
@@ -4792,6 +4852,11 @@ transforms:
                / 1000000 END AS gap_s
          FROM events e ASOF LEFT JOIN dim d
            ON e.event_type = d.event_type AND e.ts >= d.dim_ts""",
+
+    // zorder: the oracle replays the exact fixed-point scale +
+    // bit-interleave the engine computes (one generated formula —
+    // see zorderOracleSql) and ranks by it
+    "q95_zorder" -> zorderOracleSql,
 
     // bucketed-table join ≡ plain equi-join on the bucket key
     "q93_bucket_join" ->

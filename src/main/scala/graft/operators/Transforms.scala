@@ -454,6 +454,10 @@ object PartitionTransform {
   *    (seed-reproducible across runs AND engines, unlike
   *    `orderBy(rand())`; change `seed` per epoch). Same range
   *    partitioning as `range`, so no funnel.
+  *  - `zorder`: multi-dimensional clustering — fields scale to
+  *    `bits`-bit fixed-point ranks that bit-interleave into one
+  *    z-key, range-sorted; written files then prune on min/max stats
+  *    for filters on ANY declared dimension.
   */
 object SortTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
@@ -508,9 +512,66 @@ object SortTransform {
           .map(n => df.repartitionByRange(n, key.asc))
           .getOrElse(df.repartitionByRange(key.asc))
         ranged.sortWithinPartitions(key.asc, tie.asc)
+      case "zorder" =>
+        // multi-dimensional layout clustering: each field scales to a
+        // `bits`-bit fixed-point rank, ranks bit-interleave into one
+        // long z-key, and the frame range-sorts on it — written files
+        // then carry locality in EVERY declared dimension, so min/max
+        // row-group stats prune scans filtered on any of them (the
+        // single-column range mode prunes only its leading field).
+        // Declare per-field min/max at scale (domain bounds are
+        // metadata); omitted bounds cost one bounded stats pass.
+        // Pure Column bit arithmetic — stays inside whole-stage
+        // codegen, no UDF, no custom expression needed.
+        val zf = p.arrOf("fields")
+        require(zf.size >= 2,
+          s"sort ${cfg.name}: zorder needs >= 2 fields (one field is " +
+            "plain range mode)")
+        val bits = p.int("bits").getOrElse(16)
+        require(bits >= 1 && bits * zf.size <= 63,
+          s"sort ${cfg.name}: bits * fields = ${bits * zf.size} must " +
+            "fit a long (<= 63)")
+        val maxv = math.pow(2d, bits) - 1d
+        val names = zf.map(f =>
+          f.str("field").orElse(f.str("name")).getOrElse(
+            throw new IllegalArgumentException(
+              s"sort ${cfg.name}: each zorder fields entry needs field")))
+        val scaled = zf.zip(names).map { case (f, name) =>
+          val c = col(name).cast(DoubleType)
+          val (mn, mx) = (f.dbl("min"), f.dbl("max")) match {
+            case (Some(a), Some(b)) => (a, b)
+            case _ =>
+              val r = df.agg(min(c).cast("double"), max(c).cast("double"))
+                .head()
+              (r.getDouble(0), r.getDouble(1))
+          }
+          require(mx >= mn,
+            s"sort ${cfg.name}: zorder field $name has max < min")
+          if (mx == mn) lit(0L)
+          else least(greatest(
+              floor((c - lit(mn)) * lit(maxv) / lit(mx - mn)), lit(0d)),
+            lit(maxv)).cast(LongType)
+        }
+        val nf = scaled.size
+        // z bit (level*nf + nf-1-j) = bit `level` of field j: the
+        // FIRST declared field owns the more significant bit at each
+        // level (mirrored verbatim by the q95 oracle SQL)
+        var zkey: Column = lit(0L)
+        for (level <- 0 until bits; (sc, j) <- scaled.zipWithIndex)
+          zkey = zkey.bitwiseOR(shiftleft(
+            shiftright(sc, level).bitwiseAND(lit(1L)),
+            level * nf + (nf - 1 - j)))
+        // deterministic total order: z-key ties break on the declared
+        // fields in order (rows tied on all of them are only ordered
+        // if they are duplicates in every clustered dimension)
+        val zsort = zkey.asc +: names.map(col(_).asc)
+        val zranged = partitions
+          .map(n => df.repartitionByRange(n, zsort: _*))
+          .getOrElse(df.repartitionByRange(zsort: _*))
+        zranged.sortWithinPartitions(zsort: _*)
       case other => throw new IllegalArgumentException(
         s"sort mode: $other (valid: range, withinPartitions, " +
-          "global, shuffle)")
+          "global, shuffle, zorder)")
     }
     TransformCommon.finishRouted(out, cfg)
   }

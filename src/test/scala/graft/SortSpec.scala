@@ -67,6 +67,39 @@ class SortSpec extends AnyFunSuite {
     assert(scanned >= n)
   }
 
+  test("zorder mode: one layout prunes scans on BOTH dimensions") {
+    val rnd = new scala.util.Random(11)
+    val df2 = (1 to 20000).map(_ =>
+      (rnd.nextInt(1024), rnd.nextInt(1024), rnd.nextInt()))
+      .toDF("x", "y", "id").repartition(8)
+    val params = """{"mode": "zorder", "bits": 8, "numPartitions": 16,
+      "fields": [{"field": "x", "min": 0, "max": 1024},
+                 {"field": "y", "min": 0, "max": 1024}]}"""
+    val z = sortT(params, df2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zprune_").toString
+    z.write.mode("overwrite").parquet(dir)
+    def scanned(pred: org.apache.spark.sql.Column): Long = {
+      val read = spark.read.parquet(dir).filter(pred)
+      read.collect()
+      read.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    // a 1/16-of-keyspace filter on EITHER dimension must skip most
+    // row groups — the property a single-column range layout only
+    // delivers for its leading field
+    val sx = scanned(col("x") < 64)
+    val sy = scanned(col("y") < 64)
+    assert(sx < 10000, s"x-filter scanned $sx of 20000 rows")
+    assert(sy < 10000, s"y-filter scanned $sy of 20000 rows")
+    // deterministic total order and intact content
+    val a = z.select("x", "y", "id").collect().map(_.toSeq).toSeq
+    val b = sortT(params, df2).select("x", "y", "id").collect()
+      .map(_.toSeq).toSeq
+    assert(a == b, "zorder order is not reproducible")
+    assert(a.size == 20000)
+  }
+
   test("descending global sort and withinPartitions no-shuffle") {
     val out = sortT(
       """{"fields": [{"field": "k", "order": "desc"}],
