@@ -86,6 +86,7 @@ object Pipeline {
     "sample" -> SampleTransform.build,
     "mixture" -> MixtureTransform.build,
     "pack" -> PackTransform.build,
+    "chunk" -> ChunkTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build) ++
     VendorSlots.transforms

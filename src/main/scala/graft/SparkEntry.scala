@@ -3126,6 +3126,74 @@ transforms:
       s.createDataFrame(rows).toDF("ok", "pos")
     }),
 
+    // §2.6 frequent-items sketches, two-stage: per-bucket
+    // top_k_accumulate sketches merge through top_k_combine and
+    // estimate once — the incremental corpus-stats pattern (sketch
+    // per day, merge at read). k = the full 5-value domain and
+    // maxItemsTracked >= distincts, so every count is EXACT and the
+    // exploded (item, cnt) rows hash-match the plain GROUP BY oracle
+    // without depending on the sketch's tie order.
+    "q96_topk_sketch" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: bk
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT event_type, event_id % 8 AS b FROM ev"
+  - name: agg1
+    module: aggregation
+    inputs: [bk]
+    parameters:
+      groupFields: [b]
+      aggregations:
+        - input: bk
+          fields:
+            - {name: sk, op: top_k_accumulate, field: event_type, maxItemsTracked: 16}
+  - name: agg2
+    module: aggregation
+    inputs: [agg1]
+    parameters:
+      groupFields: []
+      aggregations:
+        - input: agg1
+          fields:
+            - {name: sk2, op: top_k_combine, field: sk, maxItemsTracked: 16}
+  - name: out
+    module: sql
+    inputs: [agg2]
+    parameters:
+      sql: "SELECT t.item AS item, t.count AS cnt FROM agg2 LATERAL VIEW explode(approx_top_k_estimate(sk2, 5)) ex AS t"
+"""),
+
+    // training-data op: sliding token-window chunking (size 40,
+    // overlap 10 → stride 30) — every document splits into
+    // overlapping context-window pieces; zero-shuffle
+    // split+sequence+slice+posexplode, oracle replays the identical
+    // windowing with DuckDB list slicing
+    "q97_chunk" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: out
+    module: chunk
+    inputs: [docs]
+    parameters:
+      field: text
+      size: 40
+      overlap: 10
+      select:
+        - {name: doc_id}
+        - {name: chunk}
+        - {name: chunk_index}
+        - {name: chunk_offset}
+"""),
+
     // pivot, DISCOVERED values twin of q84: no `values:` declared, so
     // the engine first runs the capped distinct scan over the pivot
     // field (spark.sql.pivotMaxValues), then pivots — must agree with
@@ -4852,6 +4920,33 @@ transforms:
                / 1000000 END AS gap_s
          FROM events e ASOF LEFT JOIN dim d
            ON e.event_type = d.event_type AND e.ts >= d.dim_ts""",
+
+    // sliding-window chunking ≡ generate_series over stride offsets
+    // + 1-based inclusive list slice (mirrors Spark's slice(toks,
+    // i*30+1, 40) == toks[i*30+1 : i*30+40])
+    "q97_chunk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= 40 THEN 0
+                    ELSE CAST(ceil((len(toks) - 40) / 30.0) AS INT)
+               END)) AS i
+           FROM t)
+         SELECT doc_id,
+           array_to_string(toks[i*30+1 : i*30+40], ' ') AS chunk,
+           CAST(i AS BIGINT) AS chunk_index,
+           CAST(i * 30 AS BIGINT) AS chunk_offset
+         FROM g""",
+
+    // top-k sketch with k = full domain and capacity >= distincts ≡
+    // exact frequency counts
+    "q96_topk_sketch" ->
+      """SELECT event_type AS item, count(*) AS cnt
+         FROM events GROUP BY event_type""",
 
     // zorder: the oracle replays the exact fixed-point scale +
     // bit-interleave the engine computes (one generated formula —

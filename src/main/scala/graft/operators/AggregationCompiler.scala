@@ -121,6 +121,24 @@ object AggregationCompiler {
           lit(op.int("lgConfigK").getOrElse(12)))
       case "hll_union" =>
         hll_union_agg(guarded(valueCol), lit(false))
+      // frequent-items sketches (Spark's approx_top_k family —
+      // SpaceSaving-style, fixed-size partial aggregate): `top_k`
+      // estimates the k most frequent values of the field per group
+      // directly; `top_k_accumulate`/`top_k_combine` mirror the HLL
+      // two-stage pattern (sketch per partition/day, merge later,
+      // estimate once — see select func top_k_estimate). Counts are
+      // EXACT while the group's distinct count stays at or under
+      // maxItemsTracked, so bounded-domain oracles pin exact values.
+      case "top_k" =>
+        call_function("approx_top_k", guarded(valueCol),
+          lit(op.int("k").getOrElse(5)),
+          lit(op.int("maxItemsTracked").getOrElse(10000)))
+      case "top_k_accumulate" =>
+        call_function("approx_top_k_accumulate", guarded(valueCol),
+          lit(op.int("maxItemsTracked").getOrElse(10000)))
+      case "top_k_combine" =>
+        call_function("approx_top_k_combine", guarded(valueCol),
+          lit(op.int("maxItemsTracked").getOrElse(10000)))
       case "median" => median(guarded(valueCol.cast(DoubleType)))
       case "percentile" =>
         val v = guarded(valueCol.cast(DoubleType))

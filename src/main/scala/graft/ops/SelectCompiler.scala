@@ -204,6 +204,11 @@ object SelectCompiler {
       // estimate of a DataSketches HLL sketch column (see the
       // hll_sketch / hll_union aggregation ops)
       case "hll_estimate" => hll_sketch_estimate(col(field))
+      // estimate of a frequent-items sketch column (see the
+      // top_k_accumulate / top_k_combine aggregation ops)
+      case "top_k_estimate" =>
+        call_function("approx_top_k_estimate", col(field),
+          lit(sel.int("k").getOrElse(5)))
       // edit distance between two string fields (fuzzy matching /
       // curation QA); optional threshold caps the scan per pair
       // (returns -1 past it, Spark's banded algorithm)

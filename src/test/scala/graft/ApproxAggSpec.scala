@@ -74,6 +74,40 @@ class ApproxAggSpec extends AnyFunSuite {
         s"$label estimate $est strays >5% from the exact 3000")
   }
 
+  test("top_k sketch keeps the true heavy hitters when the domain " +
+      "overflows maxItemsTracked") {
+    import org.apache.spark.sql.functions._
+    // 3 heavy keys (5000 each) + 5000 singleton keys; capacity 64 <<
+    // 5003 distincts. SpaceSaving guarantees any item with count >
+    // n/capacity survives, and the heavy counts dominate the error
+    // bound, so the top 3 must be exactly the heavy keys in order.
+    val skew = ((1 to 15000).map(i => ("g", s"h${i % 3}")) ++
+      (1 to 5000).map(i => ("g", s"t$i"))).toDF("g", "k")
+    val out = agg(
+      """{"name": "tk", "op": "top_k", "field": "k", "k": 3,
+         "maxItemsTracked": 64}""", skew)
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(0)).toSet == Set("h0", "h1", "h2"),
+      out.mkString(", "))
+    out.foreach(r => assert(math.abs(r.getLong(1) - 5000L) <= 5000 / 10,
+      s"heavy-hitter count ${r.getLong(1)} strays >10% from 5000"))
+    // two-stage merge agrees with the one-pass sketch on the same data
+    val pre = agg(
+      """{"name": "sk", "op": "top_k_accumulate", "field": "k",
+         "maxItemsTracked": 64}""",
+      skew.withColumn("b", length(col("k")) % 4),
+      groups = """["g", "b"]""")
+    val merged = agg(
+      """{"name": "m", "op": "top_k_combine", "field": "sk",
+         "maxItemsTracked": 64}""", pre, groups = """["g"]""")
+      .select(explode(call_function("approx_top_k_estimate",
+        col("m"), lit(3))).as("e"))
+      .select(col("e.item")).collect().map(_.getString(0)).toSet
+    assert(merged == Set("h0", "h1", "h2"), merged.toString)
+  }
+
   test("count_distinct condition feeds only matching rows") {
     val df = Seq(("g", 1, 1.0), ("g", 1, 9.0), ("g", 2, 9.0),
       ("g", 3, 1.0)).toDF("g", "k", "v")

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** chunk transform — oracled end-to-end by q97; these pin the window
+  * arithmetic, the reconstruction invariant, and the zero-shuffle
+  * plan shape. */
+class ChunkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def chunk(params: String, df: org.apache.spark.sql.DataFrame) =
+    Pipeline.transforms("chunk")(spark,
+      Pipeline.ModuleCfg("ck", "chunk", Seq("in"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("in" -> df))("ck")
+
+  test("sliding windows cover the doc with the declared overlap") {
+    val doc = (1 to 11).map(i => s"w$i").mkString(" ")
+    val out = chunk("""{"field": "text", "size": 5, "overlap": 2}""",
+      Seq((1L, doc)).toDF("id", "text"))
+      .orderBy("chunk_index")
+      .select("chunk", "chunk_index", "chunk_offset")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // stride 3: offsets 0,3,6 cover 11 tokens (last window short)
+    assert(out.toSeq == Seq(
+      ("w1 w2 w3 w4 w5", 0L, 0L),
+      ("w4 w5 w6 w7 w8", 1L, 3L),
+      ("w7 w8 w9 w10 w11", 2L, 6L)))
+  }
+
+  test("short docs yield exactly one chunk; reconstruction invariant " +
+      "holds across a corpus") {
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 50).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(90))).map(j => s"t$i-$j")
+        .mkString(" "))
+    }.toDF("id", "text")
+    val out = chunk("""{"field": "text", "size": 16, "overlap": 4}""",
+      docs)
+    // every doc: dropping each chunk's first `overlap` tokens (except
+    // chunk 0) and concatenating reproduces the original token stream
+    val rebuilt = out
+      .withColumn("part", when(col("chunk_index") === 0, col("chunk"))
+        .otherwise(array_join(slice(split(col("chunk"), " "), 5, 100),
+          " ")))
+      .groupBy("id")
+      .agg(array_join(array_sort(collect_list(struct(
+        col("chunk_index"), col("part")))).getField("part"), " ")
+        .as("re"))
+    val bad = rebuilt.join(docs, "id")
+      .filter(col("re") =!= col("text")).count()
+    assert(bad == 0, s"$bad docs failed reconstruction")
+    val one = out.groupBy("id").count()
+      .join(docs.filter(size(split(col("text"), " ")) <= 16), "id")
+    assert(one.filter(col("count") =!= 1).count() == 0,
+      "a <=size doc produced more than one chunk")
+  }
+
+  test("zero shuffle and output-name collision guard") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = chunk("""{"field": "text", "size": 2}""", df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle:\n" +
+      plan)
+    val e = intercept[IllegalArgumentException](chunk(
+      """{"field": "text", "size": 2}""",
+      df.withColumn("chunk", lit(1))))
+    assert(e.getMessage.contains("collides"))
+    val e2 = intercept[IllegalArgumentException](chunk(
+      """{"field": "text", "size": 4, "overlap": 4}""", df))
+    assert(e2.getMessage.contains("overlap"))
+  }
+}
