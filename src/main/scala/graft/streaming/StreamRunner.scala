@@ -388,11 +388,12 @@ object StreamRunner {
     *    `lateFiringTrigger` is declared, like Beam); timing keys on
     *    the same frontier as the discarding engine.
     *  - `__pane_index` = the ordinal of this firing for its
-    *    key+window (0-based): file sinks count their own prior
-    *    output rows for the key, memory sinks count in the pane
-    *    buffer's driver map. File sinks must be parquet (the engine
-    *    reads its own output back; csv/json would need schema
-    *    re-inference). */
+    *    key+window (0-based): file sinks roll a compact per-key
+    *    ordinals snapshot under the checkpoint (batch-stamped,
+    *    retention-pruned — NOT a rescan of the sink's pane history,
+    *    which would grow with every firing ever made), memory sinks
+    *    count in the pane buffer's driver map. File sinks must be
+    *    parquet. */
   private def startAccumulatingExact(cfg: ModuleCfg, df: DataFrame,
       trig: com.fasterxml.jackson.databind.JsonNode,
       strategy: com.fasterxml.jackson.databind.JsonNode)
@@ -450,16 +451,23 @@ object StreamRunner {
           }
         }
       } else {
-        val prior =
-          try {
-            val p = spark.read.parquet(sinkPath.get)
-            if (keyCols.isEmpty)
-              Some(p.agg(count(lit(1)).as("__pane_index")))
-            else Some(p.groupBy(keyCols.map(col): _*)
-              .agg(count(lit(1)).as("__pane_index")))
-          } catch { case _: org.apache.spark.sql.AnalysisException =>
-            None // first firing: sink dir does not exist yet
-          }
+        // Pane ordinals come from a compact per-key+window snapshot
+        // (`pane-ordinals/__obatch=<id>`, one row per key that has
+        // ever fired, retention-pruned), NOT from re-reading the
+        // sink's whole pane history — that read grew with every
+        // firing ever made (quadratic over stream lifetime); the
+        // snapshot is bounded by open-horizon keys. Batch-stamped
+        // like the element store: a replay re-reads the same prior
+        // snapshot and overwrites its own, so ordinals survive
+        // retries exactly.
+        val ordsDir = new java.io.File(ckpt + "/pane-ordinals")
+        def snapIds: Seq[Long] = Option(ordsDir.listFiles())
+          .getOrElse(Array.empty[java.io.File]).toSeq
+          .map(_.getName).filter(_.startsWith("__obatch="))
+          .map(_.stripPrefix("__obatch=").toLong)
+        val priorId = snapIds.filter(_ < batchId).sorted.lastOption
+        val prior = priorId.map(id => spark.read
+          .parquet(s"$ordsDir/__obatch=$id"))
         val withIdx = prior match {
           case None => pane.withColumn("__pane_index", lit(0L))
           case Some(p) if keyCols.isEmpty =>
@@ -493,6 +501,49 @@ object StreamRunner {
         Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
           .foreach(_.delete())
         stageDir.delete()
+        // roll the ordinals snapshot: prior counts + this firing's
+        // panes, pruned to the open horizon (an expired window can
+        // never fire again, so its rows drop). Only the snapshot
+        // just read and the one just written survive — the read one
+        // stays until the NEXT batch so a replay of this batch can
+        // still find its prior.
+        val delta =
+          if (keyCols.isEmpty) pane.agg(count(lit(1)).as("__delta"))
+          else pane.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("__delta"))
+        val merged = (prior, keyCols.isEmpty) match {
+          case (None, _) =>
+            delta.select(keyCols.map(col) :+
+              col("__delta").as("__pane_index"): _*)
+          case (Some(p), true) =>
+            p.crossJoin(delta).select(
+              (col("__pane_index") + col("__delta"))
+                .as("__pane_index"))
+          case (Some(p), false) =>
+            p.join(delta, keyCols, "full_outer")
+              .select(keyCols.map(col) :+
+                (coalesce(col("__pane_index"), lit(0L)) +
+                  coalesce(col("__delta"), lit(0L)))
+                  .as("__pane_index"): _*)
+        }
+        val pruned = windowEndCol(merged) match {
+          case Some(e) =>
+            val f = frontiers.getOrDefault(cfg.name,
+              java.lang.Long.MIN_VALUE).longValue()
+            if (f == Long.MinValue) merged
+            else merged.filter(
+              e.cast("long") * 1000L + latenessMs >= f)
+          case None => merged
+        }
+        pruned.write.mode("overwrite")
+          .parquet(s"$ordsDir/__obatch=$batchId")
+        snapIds.filter(id => id != batchId && priorId.forall(_ != id))
+          .foreach { id =>
+            val d = new java.io.File(s"$ordsDir/__obatch=$id")
+            Option(d.listFiles())
+              .getOrElse(Array.empty[java.io.File]).foreach(_.delete())
+            d.delete()
+          }
       }
     }
 
