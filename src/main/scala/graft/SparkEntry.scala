@@ -2122,6 +2122,32 @@ transforms:
       sql: "SELECT doc_id, __contaminated AS contaminated FROM dd"
 """),
 
+    // q48 twin forced onto the BLOOM path (broadcastThreshold: 1):
+    // the over-limit benchmark broadcasts a bloom filter, corpus
+    // grams prefilter map-side, survivors exact-verify — results must
+    // be identical to the broadcast path (the bloom only pre-prunes)
+    "q98_decontaminate_bloom" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: bench
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 97 = 0"
+  - name: dd
+    module: dedup
+    inputs: [docs, bench]
+    parameters: {method: decontaminate, field: text, idField: doc_id, ngramSize: 8, broadcastThreshold: 1}
+  - name: out
+    module: sql
+    inputs: [dd]
+    parameters:
+      sql: "SELECT doc_id, __contaminated AS contaminated FROM dd"
+"""),
+
     // Gopher-style repetition/symbol signals over documents with
     // synthetic line breaks + symbols injected by SQL upstream
     "q49_repetition" -> pipe("out", """
@@ -4618,6 +4644,25 @@ transforms:
          FROM orders""",
 
     "q48_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+             ' '), x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) < 8
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')) END) AS g
+           FROM toks),
+         bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
+         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    // bloom prefilter + exact verify ≡ the exact overlap — same
+    // oracle as q48
+    "q98_decontaminate_bloom" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(
              lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),

@@ -233,7 +233,8 @@ object DedupTransform {
           p.str("benchmarkField").getOrElse(textField), idField,
           n = p.int("ngramSize").getOrElse(8),
           remove = p.str("action").contains("remove"),
-          broadcastLimit = p.int("broadcastThreshold").getOrElse(2000000))
+          broadcastLimit = p.int("broadcastThreshold").getOrElse(2000000),
+          bloomFpp = p.dbl("bloomFpp").getOrElse(0.01))
         return TransformCommon.finishRouted(out, cfg)
       case other =>
         throw new IllegalArgumentException(s"dedup method: $other")
@@ -631,16 +632,21 @@ object DedupTransform {
     *
     * Scale shape: benchmark gram sets are small by nature (eval suites
     * are MBs, the corpus is TBs) → distinct benchmark grams are
-    * broadcast (guarded by an exact count so a pathologically large
-    * benchmark degrades to a shuffle join instead of OOMing the
-    * driver). Corpus grams are exploded map-side and left-semi joined
-    * against the broadcast set, so nothing corpus-sized ever
-    * shuffles: only matched doc ids (bounded by the corpus row count,
-    * in practice a tiny fraction) reach the distinct + final join.
+    * broadcast (guarded by an exact count). A benchmark OVER the
+    * broadcast limit no longer degrades to shuffling every corpus
+    * gram: a bloom filter over the bench grams (distributed
+    * treeAggregate build, ~1.2 MB per million grams at 1% fpp)
+    * broadcasts instead, rejects ~all corpus grams map-side, and only
+    * the surviving grams shuffle into an EXACT verifying semi-join —
+    * a bloom false positive costs one shuffled row, never a wrong
+    * result. Either way nothing corpus-sized crosses the wire: only
+    * matched doc ids (a tiny fraction in practice) reach the
+    * distinct + final join.
     */
   private def decontaminate(df: DataFrame, bench: DataFrame,
       textField: String, benchField: String, idField: String,
-      n: Int, remove: Boolean, broadcastLimit: Int): DataFrame = {
+      n: Int, remove: Boolean, broadcastLimit: Int,
+      bloomFpp: Double): DataFrame = {
     val benchGrams = bench
       .select(explode(shingles(col(benchField), n)).as("__gram"))
       .distinct().transform(graft.ops.CacheTracker.trackPersist)
@@ -648,13 +654,23 @@ object DedupTransform {
     // the broadcast decision — same pattern as ngramDedup's candidate
     // count; the count action costs one scan of the small benchmark.
     val nGrams = benchGrams.count()
-    val maybeBroadcast: DataFrame => DataFrame =
-      if (nGrams <= broadcastLimit) b => broadcast(b) else identity
-    val hits = df
+    val corpusGrams = df
       .select(col(idField).as("__id"),
         explode(shingles(col(textField), n)).as("__gram"))
-      .join(maybeBroadcast(benchGrams), Seq("__gram"), "left_semi")
-      .select("__id").distinct()
+    val matched =
+      if (nGrams <= broadcastLimit)
+        corpusGrams.join(broadcast(benchGrams), Seq("__gram"),
+          "left_semi")
+      else {
+        val bf = benchGrams.stat.bloomFilter("__gram",
+          math.max(nGrams, 1L), bloomFpp)
+        val bfB = df.sparkSession.sparkContext.broadcast(bf)
+        val might = udf((g: String) =>
+          g != null && bfB.value.mightContainString(g))
+        corpusGrams.filter(might(col("__gram")))
+          .join(benchGrams, Seq("__gram"), "left_semi")
+      }
+    val hits = matched.select("__id").distinct()
     if (remove)
       df.join(hits, df(idField) === hits("__id"), "left_anti")
     else

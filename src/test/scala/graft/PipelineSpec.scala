@@ -410,6 +410,13 @@ class PipelineSpec extends AnyFunSuite {
     val kept = run(""","action":"remove"""").select("doc_id")
       .as[Long].collect().toSeq
     assert(kept == Seq(2L))
+    // an over-limit benchmark (broadcastThreshold 1) switches to the
+    // bloom-prefilter + exact-verify path — flags must be identical
+    // (the bloom only pre-prunes; the semi-join keeps exactness)
+    val bloomFlags = run(""","broadcastThreshold":1""")
+      .select("doc_id", "__contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(bloomFlags == flags, s"bloom path diverged: $bloomFlags")
   }
 
   test("textAnalysis pii feature masks emails, ips, phones in order") {
