@@ -191,6 +191,22 @@ class PlanSpec extends AnyFunSuite {
         "funnel raw sketches into the final aggregation")
   }
 
+  test("q96 top-k sketches partial-combine at both stages") {
+    val p = plan("q96_topk_sketch")
+    assert(p.contains("partial_approx_top_k_accumulate"),
+      "sketch build lost its map-side partial")
+    assert(p.contains("partial_approx_top_k_combine"),
+      "sketch merge lost its map-side partial — merges would " +
+        "funnel raw sketches into the final aggregation")
+  }
+
+  test("q97 chunk explode is map-side: no shuffle, no UDF") {
+    val p = plan("q97_chunk")
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+    assert(!p.contains("ScalaUDF"), "chunking is pure Catalyst")
+    assert(p.contains("Generate"), "expected the posexplode Generate")
+  }
+
   test("q86 normalize stays codegen'd and shuffle-free") {
     val p = plan("q86_normalize")
     assert(!p.contains("ScalaUDF") && !p.contains("Exchange"),

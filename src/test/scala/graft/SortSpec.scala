@@ -98,6 +98,13 @@ class SortSpec extends AnyFunSuite {
       .map(_.toSeq).toSeq
     assert(a == b, "zorder order is not reproducible")
     assert(a.size == 20000)
+    // omitted bounds derive from a stats pass; content stays intact
+    // and the order remains deterministic
+    val auto = sortT("""{"mode": "zorder", "bits": 4,
+      "fields": [{"field": "x"}, {"field": "y"}]}""", df2)
+      .select("x", "y", "id").collect().map(_.toSeq).toSeq
+    assert(auto.size == 20000)
+    assert(auto.toSet == a.toSet, "auto-bounds zorder lost rows")
   }
 
   test("descending global sort and withinPartitions no-shuffle") {
