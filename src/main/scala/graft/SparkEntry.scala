@@ -2148,6 +2148,29 @@ transforms:
       sql: "SELECT doc_id, __contaminated AS contaminated FROM dd"
 """),
 
+    // training-data op: deterministic weighted reservoir (k per
+    // stratum, Efraimidis–Spirakis u^(1/w) exponential keys over the
+    // md5 uniform) — price-weighted 20-order sample per priority;
+    // the oracle replays the identical hex→uniform→rank arithmetic
+    "q99_sample_weighted" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: sample
+    inputs: [ord]
+    parameters:
+      keyFields: [o_orderkey]
+      k: 20
+      weightField: o_totalprice
+      groupFields: [o_orderpriority]
+      select:
+        - {name: o_orderkey}
+        - {name: o_orderpriority}
+"""),
+
     // Gopher-style repetition/symbol signals over documents with
     // synthetic line breaks + symbols injected by SQL upstream
     "q49_repetition" -> pipe("out", """
@@ -4659,6 +4682,27 @@ transforms:
          hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
          SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    // weighted reservoir: the md5 hex → uniform → u^(1/w) ranking is
+    // pure arithmetic both engines replay digit-for-digit (sort-key
+    // gaps are orders of magnitude above pow's ulp differences)
+    "q99_sample_weighted" ->
+      """WITH h AS (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS hx
+           FROM orders WHERE o_totalprice > 0),
+         u AS (
+           SELECT *, (list_sum(list_transform(range(1, 9),
+               i -> (strpos('0123456789abcdef',
+                 substr(hx, CAST(i AS INT), 1)) - 1)
+                 * power(16, 8 - i))) + 1) / 4294967297.0 AS u
+           FROM h),
+         r AS (
+           SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY pow(u, 1.0 / o_totalprice) DESC, hx) AS rk
+           FROM u)
+         SELECT o_orderkey, o_orderpriority FROM r WHERE rk <= 20""",
 
     // bloom prefilter + exact verify ≡ the exact overlap — same
     // oracle as q48

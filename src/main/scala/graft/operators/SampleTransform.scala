@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   *    strata not listed fall back to `fraction` (default 1.0 — keep).
   *  - `salt`: optional string mixed into the key so independent
   *    samples over the same corpus are uncorrelated.
+  *  - `k` (+ optional `weightField`, `groupFields`): deterministic
+  *    RESERVOIR mode — exactly k rows globally or per stratum,
+  *    weight-proportional via Efraimidis–Spirakis u^(1/w) keys
+  *    (gate q99); null/non-positive weights are never sampled.
   */
 object SampleTransform {
 
@@ -57,6 +61,39 @@ object SampleTransform {
     val keyParts = salt.map(s => lit(s) :: Nil).getOrElse(Nil) ++
       keyFields.map(f => coalesce(col(f).cast("string"), lit("")))
     val bucket = substring(md5(concat_ws("#", keyParts: _*)), 1, 8)
+    // `k` switches to DETERMINISTIC RESERVOIR mode — exactly k rows
+    // (globally, or per groupFields stratum), optionally
+    // weight-proportional via the Efraimidis–Spirakis exponential
+    // key: rank by u^(1/w) descending, where u is the md5-uniform of
+    // the row key, and keep the top k. Same reproducibility contract
+    // as fraction mode (pure function of the key, any engine
+    // replays it); rows with null or non-positive weight are never
+    // sampled. Global k compiles to TakeOrderedAndProject (no
+    // single-partition funnel); per-group k is one shuffle on the
+    // stratum key.
+    p.int("k") match {
+      case Some(k) =>
+        require(k > 0, s"sample: k must be positive, got $k")
+        val w = p.str("weightField")
+          .map(col(_).cast("double")).getOrElse(lit(1.0))
+        val u = (conv(bucket, 16, 10).cast("double") + lit(1.0)) /
+          lit(4294967297.0) // (int+1) / (2^32+1): u in (0,1), never 0
+        val skey = pow(u, lit(1.0) / w)
+        val groups = p.strArr("groupFields")
+        val positive = df.filter(w.isNotNull && w > 0)
+        val out =
+          if (groups.isEmpty)
+            positive.sort(skey.desc, bucket.asc).limit(k)
+          else {
+            val win = org.apache.spark.sql.expressions.Window
+              .partitionBy(groups.map(col): _*)
+              .orderBy(skey.desc, bucket.asc)
+            positive.withColumn("__rk", row_number().over(win))
+              .filter(col("__rk") <= k).drop("__rk")
+          }
+        return TransformCommon.finishRouted(out, cfg)
+      case None => ()
+    }
     val defaultFraction = p.dbl("fraction").getOrElse(1.0)
     val threshold: Column = p("rates") match {
       case Some(rates) if rates.names.nonEmpty =>

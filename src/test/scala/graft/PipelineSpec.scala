@@ -354,6 +354,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap < picked.size / 2)
   }
 
+  test("weighted reservoir: exact k per stratum, deterministic, " +
+      "weight-proportional, non-positive weights excluded") {
+    val rows = ((1L to 400L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", 1.0)) :+
+        ((1000L, "a", 0.0)) :+ ((1001L, "a", -3.0)))
+      .toDF("id", "grp", "w")
+    def run(params: String) = graft.operators.SampleTransform.build(
+      spark, graft.Pipeline.ModuleCfg("s", "sample", Seq("d"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("d" -> rows))("s")
+    val p = """{"keyField":"id","k":25,"weightField":"w",
+      "groupFields":["grp"]}"""
+    val sample = run(p).select("id", "grp").as[(Long, String)]
+      .collect()
+    assert(sample.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("a" -> 25, "b" -> 25))
+    assert(run(p).select("id").as[Long].collect().toSet ==
+      sample.map(_._1).toSet, "reservoir must be deterministic")
+    assert(!sample.exists(s => s._1 == 1000L || s._1 == 1001L),
+      "zero/negative-weight rows must never be sampled")
+    // global k (no groups) compiles to TakeOrderedAndProject — the
+    // no-funnel top-k — and returns exactly k rows
+    val global = run("""{"keyField":"id","k":10}""")
+    assert(global.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(global.count() == 10)
+    // weight-proportional: one 500x-heavy row survives every one of
+    // 20 decorrelated samples (miss chance per sample ~ (1-p)^k,
+    // p ~ 500/900; collectively astronomically small)
+    val skew = ((1L to 400L).map(i => (i, "g", 1.0)) :+
+      ((999L, "g", 500.0))).toDF("id", "grp", "w")
+    val misses = (1 to 20).count { s =>
+      !graft.operators.SampleTransform.build(spark,
+        graft.Pipeline.ModuleCfg("s", "sample", Seq("d"), Nil,
+          graft.config.Json.parse(
+            s"""{"keyField":"id","k":5,"weightField":"w",
+                "salt":"s$s"}"""),
+          graft.config.Json.obj()), Map("d" -> skew))("s")
+        .select("id").as[Long].collect().contains(999L)
+    }
+    assert(misses == 0, s"heavy row missed $misses/20 samples")
+  }
+
   test("pack: greedy token-budget sequence packing invariants") {
     val docs = Seq(
       (1L, "a b c"),        // 3 tokens
