@@ -2171,6 +2171,27 @@ transforms:
         - {name: o_orderpriority}
 """),
 
+    // training-data op: deterministic 80/10/10 dataset split — the
+    // md5-uniform of the key maps to the first label whose
+    // cumulative ratio covers it (reproducible, partition-
+    // independent, engine-replayable; same hex-threshold machinery
+    // as the sample module)
+    "q100_split" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [ord]
+    parameters:
+      select:
+        - {name: o_orderkey}
+        - {name: split, func: split, fields: [o_orderkey],
+           ratios: {train: 0.8, val: 0.1, test: 0.1}}
+"""),
+
     // Gopher-style repetition/symbol signals over documents with
     // synthetic line breaks + symbols injected by SQL upstream
     "q49_repetition" -> pipe("out", """
@@ -4682,6 +4703,16 @@ transforms:
          hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
          SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    // split thresholds: 0.8·2^32 = 0xcccccccc, 0.9·2^32 = 0xe6666666
+    "q100_split" ->
+      """SELECT o_orderkey,
+           CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM orders""",
 
     // weighted reservoir: the md5 hex → uniform → u^(1/w) ranking is
     // pure arithmetic both engines replay digit-for-digit (sort-key

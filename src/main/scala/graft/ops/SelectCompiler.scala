@@ -209,6 +209,45 @@ object SelectCompiler {
       case "top_k_estimate" =>
         call_function("approx_top_k_estimate", col(field),
           lit(sel.int("k").getOrElse(5)))
+      // deterministic dataset split assignment (train/val/test …):
+      // the row's md5-uniform (same machinery as the sample module,
+      // so splits are reproducible, partition-independent, and
+      // replayable by any engine) maps to the first label whose
+      // cumulative ratio covers it. `ratios` is an ordered
+      // {label: weight} object (weights normalized); `fields` form
+      // the key, optional `salt` decorrelates independent splits.
+      case "split" =>
+        val ratios = sel("ratios").getOrElse(
+          throw new IllegalArgumentException(
+            s"select $name: split needs ratios {label: weight, ...}"))
+        val labels = ratios.names
+        require(labels.nonEmpty, s"select $name: ratios is empty")
+        val weights = labels.map(l => ratios.dbl(l).getOrElse(
+          throw new IllegalArgumentException(
+            s"select $name: ratio $l must be numeric")))
+        require(weights.forall(_ >= 0) && weights.sum > 0,
+          s"select $name: ratios must be non-negative, sum positive")
+        val keyFields = {
+          val fs = sel.strArr("fields")
+          if (fs.nonEmpty) fs else Seq(field)
+        }
+        val keyParts = sel.str("salt").map(s => lit(s) :: Nil)
+          .getOrElse(Nil) ++ keyFields.map(f =>
+            coalesce(col(f).cast(StringType), lit("")))
+        val bucket =
+          substring(md5(concat_ws("#", keyParts: _*)), 1, 8)
+        val total = weights.sum
+        val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+        // same hex-threshold trick as the sample module: equal-length
+        // lowercase hex compares like the number it encodes
+        def hex(f: Double): String = {
+          val t = (f * 4294967296.0).toLong
+          if (t >= 0xFFFFFFFFL) "g" else f"$t%08x"
+        }
+        labels.init.zip(cum.init).foldRight(
+          lit(labels.last): Column) { case ((l, c), acc) =>
+          when(bucket < lit(hex(c)), lit(l)).otherwise(acc)
+        }
       // edit distance between two string fields (fuzzy matching /
       // curation QA); optional threshold caps the scan per pair
       // (returns -1 past it, Spark's banded algorithm)

@@ -141,4 +141,36 @@ class SelectFuncsSpec extends AnyFunSuite {
     assert(rows(1).getSeq[String](rows(1).fieldIndex("links")) ==
       Seq("/p/3"))
   }
+  test("split: normalized ratios, determinism, salt decorrelation") {
+    val df = (1L to 4000L).toDF("id")
+    def run(spec: String) = SelectCompiler(df, Json.parse(spec))
+      .as[(Long, String)].collect().toMap
+    val a = run("""[
+      {"name": "id"},
+      {"name": "split", "func": "split", "fields": ["id"],
+       "ratios": {"train": 0.8, "val": 0.1, "test": 0.1}}]""")
+    // integer weights normalize to the same assignment
+    val b = run("""[
+      {"name": "id"},
+      {"name": "split", "func": "split", "fields": ["id"],
+       "ratios": {"train": 8, "val": 1, "test": 1}}]""")
+    assert(a == b, "8/1/1 must normalize to 0.8/0.1/0.1")
+    // proportions land near the declared ratios
+    val counts = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(math.abs(counts("train") - 3200) < 200, counts.toMap)
+    assert(math.abs(counts("val") - 400) < 100, counts.toMap)
+    assert(math.abs(counts("test") - 400) < 100, counts.toMap)
+    // salt decorrelates: a salted split reassigns ~20% of train rows
+    val salted = run("""[
+      {"name": "id"},
+      {"name": "split", "func": "split", "fields": ["id"],
+       "salt": "s2",
+       "ratios": {"train": 0.8, "val": 0.1, "test": 0.1}}]""")
+    val moved = a.count { case (id, l) => salted(id) != l }
+    assert(moved > 400, s"salt barely moved $moved rows")
+    val e = intercept[IllegalArgumentException](run("""[
+      {"name": "split", "func": "split", "fields": ["id"],
+       "ratios": {}}]"""))
+    assert(e.getMessage.contains("ratios"))
+  }
 }
