@@ -99,6 +99,33 @@ object ScaleMain {
       """{"method":"ngram","field":"text","idField":"doc_id","ngramSize":5,"threshold":0.7}""") }
     time("spans") { dedup(
       """{"method":"spans","field":"text","idField":"doc_id","spanTokens":8}""") }
+    // chunk: map-side explode — must track corpus bytes linearly,
+    // zero shuffle at any scale
+    time("chunk") {
+      graft.operators.ChunkTransform.build(spark,
+        ModuleCfg("ck", "chunk", Seq("d"), Nil, Json.parse(
+          """{"field":"text","size":64,"overlap":16}"""),
+          Json.obj()), Map("d" -> docs))("ck")
+    }
+    // weighted reservoir: per-lang top-k by n_chars weight — one
+    // shuffle on the stratum key regardless of corpus size
+    time("reservoir") {
+      graft.operators.SampleTransform.build(spark,
+        ModuleCfg("rs", "sample", Seq("d"), Nil, Json.parse(
+          """{"keyField":"doc_id","k":1000,"weightField":"n_chars",
+             "groupFields":["lang"]}"""),
+          Json.obj()), Map("d" -> docs))("rs")
+    }
+    // zorder: one range shuffle on the interleaved key — the layout
+    // cost a 100 TB table pays once at write time
+    time("zorder") {
+      graft.operators.SortTransform.build(spark,
+        ModuleCfg("zo", "sort", Seq("d"), Nil, Json.parse(
+          """{"mode":"zorder","bits":12,"numPartitions":32,"fields":
+             [{"field":"doc_id","min":0,"max":50000000},
+              {"field":"n_chars","min":0,"max":20000}]}"""),
+          Json.obj()), Map("d" -> docs))("zo")
+    }
     // as-of: events replicated (shifted +copy seconds, unique times)
     // against a ~1/37 dimension — one shuffle + window, so wall time
     // must track the left row count, never pairs
