@@ -536,14 +536,26 @@ object SortTransform {
           f.str("field").orElse(f.str("name")).getOrElse(
             throw new IllegalArgumentException(
               s"sort ${cfg.name}: each zorder fields entry needs field")))
+        // one stats pass covers every field with omitted bounds
+        val needStats = zf.zip(names).collect {
+          case (f, name) if f.dbl("min").isEmpty || f.dbl("max").isEmpty =>
+            name
+        }
+        val stats: Map[String, (Double, Double)] =
+          if (needStats.isEmpty) Map.empty
+          else {
+            val aggs = needStats.flatMap(n => Seq(
+              min(col(n).cast(DoubleType)), max(col(n).cast(DoubleType))))
+            val r = df.agg(aggs.head, aggs.tail: _*).head()
+            needStats.zipWithIndex.map { case (n, i) =>
+              n -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+            }.toMap
+          }
         val scaled = zf.zip(names).map { case (f, name) =>
           val c = col(name).cast(DoubleType)
           val (mn, mx) = (f.dbl("min"), f.dbl("max")) match {
             case (Some(a), Some(b)) => (a, b)
-            case _ =>
-              val r = df.agg(min(c).cast("double"), max(c).cast("double"))
-                .head()
-              (r.getDouble(0), r.getDouble(1))
+            case _ => stats(name)
           }
           require(mx >= mn,
             s"sort ${cfg.name}: zorder field $name has max < min")
