@@ -393,7 +393,16 @@ object StreamRunner {
     *    retention-pruned — NOT a rescan of the sink's pane history,
     *    which would grow with every firing ever made), memory sinks
     *    count in the pane buffer's driver map. File sinks must be
-    *    parquet. */
+    *    parquet.
+    *
+    * Replay safety: the element store, sink files, and ordinals
+    * snapshot are all batch-stamped, so micro-batch retries and
+    * restarts never duplicate VALUES. The frontier/fired-window maps
+    * are process-local, so a restart re-derives pane TIMING from the
+    * replayed data — a window that closed just before the crash can
+    * re-fire its panes tagged early before the frontier re-passes it
+    * (values still exact; Beam's persistent trigger state is the
+    * comparison point). */
   private def startAccumulatingExact(cfg: ModuleCfg, df: DataFrame,
       trig: com.fasterxml.jackson.databind.JsonNode,
       strategy: com.fasterxml.jackson.databind.JsonNode)
