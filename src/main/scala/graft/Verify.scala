@@ -43,17 +43,22 @@ object Verify {
       val roots = Seq("/opt/spark/jars",
         sys.props.getOrElse("user.home", "") + "/.cache/coursier",
         sys.props.getOrElse("user.home", "") + "/.ivy2")
-      def has(w: String): Boolean = roots.exists { r =>
+      // ONE walk per root collects every wanted name; an unreadable
+      // root degrades to "not found there", not a dead probe
+      val found = scala.collection.mutable.Set[String]()
+      roots.foreach { r =>
         val f = new java.io.File(r)
-        f.exists && {
+        if (f.exists) try {
           val s = java.nio.file.Files.walk(f.toPath)
-          try s.anyMatch(p => p.getFileName.toString.startsWith(w) &&
-            p.toString.endsWith(".jar"))
-          finally s.close()
-        }
+          try s.forEach { p =>
+            val n = p.getFileName.toString
+            if (n.endsWith(".jar"))
+              wanted.foreach(w => if (n.startsWith(w)) found += w)
+          } finally s.close()
+        } catch { case _: Throwable => () }
       }
       System.err.println("[verify] connector-jar probe: " + wanted
-        .map(w => s"$w=${if (has(w)) "FOUND" else "absent"}")
+        .map(w => s"$w=${if (found(w)) "FOUND" else "absent"}")
         .mkString(", "))
     } catch { case e: Throwable =>
       System.err.println(s"[verify] connector-jar probe failed: $e") }

@@ -35,9 +35,13 @@ object AsofJoinTransform {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Internal working column names — rejected on either input. */
-  val reserved: Set[String] = Set("__t", "__side", "__rp", "__m",
-    "__mt", "__akey", "__idx", "__midx", "__rkey", "__ridx", "__tie")
+  /** Internal working column names per path — rejected on either
+    * input of the path that uses them (a batch pipeline is not
+    * broken by a column only the streaming path reserves). */
+  val reservedBatch: Set[String] =
+    Set("__t", "__side", "__rp", "__m", "__mt")
+  val reservedStreaming: Set[String] = Set("__t", "__akey", "__idx",
+    "__midx", "__rkey", "__ridx", "__tie")
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
@@ -88,13 +92,16 @@ object AsofJoinTransform {
       s"asof ${cfg.name}: output columns ${collisions.mkString(", ")} " +
         "collide with left columns — set rightPrefix")
     // the engine's working columns would silently shadow same-named
-    // input columns via withColumn — refuse, mirroring the prefix check
+    // input columns via withColumn — refuse, mirroring the prefix
+    // check; scoped to the names the chosen path actually uses
+    val reserved = if (l.isStreaming) AsofJoinTransform.reservedStreaming
+      else AsofJoinTransform.reservedBatch
     val reservedHit = (l.columns ++ r.columns).distinct
-      .filter(AsofJoinTransform.reserved.contains)
+      .filter(reserved.contains)
     require(reservedHit.isEmpty,
       s"asof ${cfg.name}: input columns ${reservedHit.mkString(", ")} " +
         "collide with the operator's reserved working names " +
-        s"(${AsofJoinTransform.reserved.mkString(", ")}) — rename them " +
+        s"(${reserved.mkString(", ")}) — rename them " +
         "upstream (select rename)")
     if (l.isStreaming)
       return buildStreaming(spark, cfg, l, r, by, leftOn, rightOn,
@@ -184,18 +191,9 @@ object AsofJoinTransform {
         by.map(k => coalesce(col(k).cast(StringType), lit("\u0002"))): _*)
     // __idx is evaluated TWICE (driver-collected index + the broadcast
     // payload side), so the ordinal must be deterministic under
-    // duplicate timestamps: tiebreak on a stable hash of the full row.
-    // Rows still tied after the hash are bit-identical (modulo map
-    // columns, which Spark cannot hash) and therefore interchangeable.
-    def hashSafe(dt: DataType): Boolean = dt match {
-      case _: MapType => false
-      case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
-      case a: ArrayType => hashSafe(a.elementType)
-      case _ => true
-    }
-    val tieCols = r.schema.fields
-      .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toSeq
-    val tie = if (tieCols.isEmpty) lit(0L) else xxhash64(tieCols: _*)
+    // duplicate timestamps: tiebreak on the shared stable full-row
+    // hash (rows still tied are interchangeable).
+    val tie = TransformCommon.rowTie(r)
     val rIdx = r
       .withColumn("__t", tAxis(r, rightOn, "right"))
       .filter(col("__t").isNotNull)

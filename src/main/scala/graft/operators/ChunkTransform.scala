@@ -46,6 +46,11 @@ object ChunkTransform {
       require(!df.columns.contains(c),
         s"chunk ${cfg.name}: output column $c collides with an input " +
           "column — set chunkField/indexField/offsetField")
+    val reservedHit = Seq("__ci", "__piece").filter(df.columns.contains)
+    require(reservedHit.isEmpty,
+      s"chunk ${cfg.name}: input columns ${reservedHit.mkString(", ")} " +
+        "collide with the operator's working names — rename them " +
+        "upstream")
     val toks = split(trim(col(field)), "\\s+")
     val n = size(toks)
     // number of chunks: 1 while the doc fits, else enough strides to

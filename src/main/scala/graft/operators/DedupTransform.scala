@@ -664,6 +664,9 @@ object DedupTransform {
       else {
         val bf = benchGrams.stat.bloomFilter("__gram",
           math.max(nGrams, 1L), bloomFpp)
+        // not explicitly destroyed: the returned plan still references
+        // the broadcast lazily, and Spark's ContextCleaner reclaims it
+        // once the plan is garbage-collected
         val bfB = df.sparkSession.sparkContext.broadcast(bf)
         val might = udf((g: String) =>
           g != null && bfB.value.mightContainString(g))

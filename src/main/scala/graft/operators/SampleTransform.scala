@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   */
 object SampleTransform {
 
-  /** fraction → 8-hex-char threshold string ("33333333" for 0.2). */
-  private[operators] def thresholdHex(fraction: Double): String = {
+  /** fraction → 8-hex-char threshold string ("33333333" for 0.2);
+    * shared with the select `split` func so both encode thresholds
+    * identically. */
+  private[graft] def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"sample fraction must be in [0,1], got $fraction")
     val t = (fraction * 4294967296.0).toLong
@@ -81,13 +83,17 @@ object SampleTransform {
         val skey = pow(u, lit(1.0) / w)
         val groups = p.strArr("groupFields")
         val positive = df.filter(w.isNotNull && w > 0)
+        // duplicate keyFields values tie on (skey, bucket); the shared
+        // full-row hash keeps the selected PHYSICAL rows deterministic
+        // across runs (rows still tied are bit-identical)
+        val tie = TransformCommon.rowTie(df)
         val out =
           if (groups.isEmpty)
-            positive.sort(skey.desc, bucket.asc).limit(k)
+            positive.sort(skey.desc, bucket.asc, tie.asc).limit(k)
           else {
             val win = org.apache.spark.sql.expressions.Window
               .partitionBy(groups.map(col): _*)
-              .orderBy(skey.desc, bucket.asc)
+              .orderBy(skey.desc, bucket.asc, tie.asc)
             positive.withColumn("__rk", row_number().over(win))
               .filter(col("__rk") <= k).drop("__rk")
           }

@@ -28,6 +28,25 @@ object TransformCommon {
     inputs(cfg.inputs.head)
   }
 
+  /** Stable full-row hash over every hashable column — the shared
+    * deterministic tiebreaker for operators whose ordering would
+    * otherwise be partition-dependent under duplicate sort keys
+    * (sort shuffle/zorder ties, asof duplicate timestamps, reservoir
+    * duplicate sample keys). Rows still tied after the hash are
+    * bit-identical modulo map columns (Spark cannot hash MapType)
+    * and therefore interchangeable. */
+  def rowTie(df: DataFrame): Column = {
+    def hashSafe(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case a: ArrayType => hashSafe(a.elementType)
+      case _ => true
+    }
+    val tieCols = df.schema.fields
+      .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toSeq
+    if (tieCols.isEmpty) lit(0L) else xxhash64(tieCols: _*)
+  }
+
   /** Raise map-side parallelism when a batch input arrives in fewer
     * partitions than the cluster has cores — e.g. one small parquet
     * file is one split, which would serialize per-row CPU work
@@ -493,21 +512,11 @@ object SortTransform {
         val key = md5(concat_ws("",
           lit(seed) +: idCols.map(c => col(c).cast(StringType)): _*))
         // rows sharing identical key-field values tie on the md5 and
-        // would land in partition-nondeterministic relative order; a
-        // stable full-row hash tiebreaks the within-partition sort so
+        // would land in partition-nondeterministic relative order; the
+        // shared full-row hash tiebreaks the within-partition sort so
         // the seeded permutation is reproducible even when `fields`
-        // does not uniquely identify rows (rows still tied after the
-        // hash are bit-identical, modulo unhashable map columns, and
-        // therefore interchangeable)
-        def hashSafe(dt: DataType): Boolean = dt match {
-          case _: MapType => false
-          case s: StructType => s.fields.forall(f => hashSafe(f.dataType))
-          case a: ArrayType => hashSafe(a.elementType)
-          case _ => true
-        }
-        val tieCols = df.schema.fields
-          .filter(f => hashSafe(f.dataType)).map(f => col(f.name)).toSeq
-        val tie = if (tieCols.isEmpty) lit(0L) else xxhash64(tieCols: _*)
+        // does not uniquely identify rows
+        val tie = TransformCommon.rowTie(df)
         val ranged = partitions
           .map(n => df.repartitionByRange(n, key.asc))
           .getOrElse(df.repartitionByRange(key.asc))
@@ -536,7 +545,9 @@ object SortTransform {
           f.str("field").orElse(f.str("name")).getOrElse(
             throw new IllegalArgumentException(
               s"sort ${cfg.name}: each zorder fields entry needs field")))
-        // one stats pass covers every field with omitted bounds
+        // one stats pass covers every bound left undeclared — a
+        // half-declared field keeps its declared side and derives
+        // only the missing one
         val needStats = zf.zip(names).collect {
           case (f, name) if f.dbl("min").isEmpty || f.dbl("max").isEmpty =>
             name
@@ -548,15 +559,17 @@ object SortTransform {
               min(col(n).cast(DoubleType)), max(col(n).cast(DoubleType))))
             val r = df.agg(aggs.head, aggs.tail: _*).head()
             needStats.zipWithIndex.map { case (n, i) =>
+              require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+                s"sort ${cfg.name}: cannot derive zorder bounds for " +
+                  s"$n (empty input, all-null, or non-numeric values " +
+                  "— declare min/max explicitly)")
               n -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
             }.toMap
           }
         val scaled = zf.zip(names).map { case (f, name) =>
           val c = col(name).cast(DoubleType)
-          val (mn, mx) = (f.dbl("min"), f.dbl("max")) match {
-            case (Some(a), Some(b)) => (a, b)
-            case _ => stats(name)
-          }
+          val mn = f.dbl("min").getOrElse(stats(name)._1)
+          val mx = f.dbl("max").getOrElse(stats(name)._2)
           require(mx >= mn,
             s"sort ${cfg.name}: zorder field $name has max < min")
           if (mx == mn) lit(0L)

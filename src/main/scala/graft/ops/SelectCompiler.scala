@@ -238,15 +238,13 @@ object SelectCompiler {
           substring(md5(concat_ws("#", keyParts: _*)), 1, 8)
         val total = weights.sum
         val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
-        // same hex-threshold trick as the sample module: equal-length
+        // the sample module's hex-threshold encoding: equal-length
         // lowercase hex compares like the number it encodes
-        def hex(f: Double): String = {
-          val t = (f * 4294967296.0).toLong
-          if (t >= 0xFFFFFFFFL) "g" else f"$t%08x"
-        }
         labels.init.zip(cum.init).foldRight(
           lit(labels.last): Column) { case ((l, c), acc) =>
-          when(bucket < lit(hex(c)), lit(l)).otherwise(acc)
+          when(bucket < lit(
+            graft.operators.SampleTransform.thresholdHex(c)), lit(l))
+            .otherwise(acc)
         }
       // edit distance between two string fields (fuzzy matching /
       // curation QA); optional threshold caps the scan per pair
