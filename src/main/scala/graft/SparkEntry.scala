@@ -2292,6 +2292,30 @@ transforms:
       sql: "WITH s AS (SELECT __sequence_id, sum(__tokens) AS raw_toks, sum(greatest(__tokens, 1)) AS st, count(*) AS docs, max(CASE WHEN __oversize THEN 1 ELSE 0 END) AS os FROM pk GROUP BY __sequence_id) SELECT sum(docs) AS n_docs, sum(raw_toks) AS total_tokens, sum(CASE WHEN os = 1 THEN docs ELSE 0 END) AS n_oversize, CAST(sum(CASE WHEN os = 0 AND st > 512 THEN 1 ELSE 0 END) = 0 AND sum(CASE WHEN os = 1 AND docs > 1 THEN 1 ELSE 0 END) = 0 AND count(*) >= ceil(sum(st) / 512.0) AS BOOLEAN) AS packed_ok FROM s"
 """),
 
+    // pack with materialize: one row per training sequence (docs
+    // joined in pack order). Sequence COUNT is partition-dependent,
+    // so the gate checks the partition-INDEPENDENT invariants: doc
+    // and token conservation, budget respected for non-oversize
+    // sequences, oversize sequences are singletons, and the
+    // materialized text's own whitespace token count equals the
+    // accounting (separator adds no tokens)
+    "q101_pack_materialized" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: pk
+    module: pack
+    inputs: [docs]
+    parameters: {field: text, tokenBudget: 512, materialize: true}
+  - name: out
+    module: sql
+    inputs: [pk]
+    parameters:
+      sql: "SELECT CAST(sum(__n_docs) AS BIGINT) AS n_docs, CAST(sum(__raw_tokens) AS BIGINT) AS total_tokens, CAST(max(CASE WHEN NOT __oversize THEN __tokens ELSE 0 END) <= 512 AS BOOLEAN) AS within_budget, CAST(sum(CASE WHEN __oversize AND __n_docs > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS oversize_singleton, CAST(sum(CASE WHEN size(split(trim(text), '\\\\s+')) != __tokens THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS tokens_conserved FROM pk"
+"""),
+
     // PII scrub: inject synthetic emails/IPs/phones, then detect and
     // mask via the RE2-parity chain (email -> ip -> phone)
     "q53_pii" -> pipe("out", """
@@ -4853,6 +4877,22 @@ transforms:
            CAST(sum(CASE WHEN greatest(coalesce(toks, 0), 1) > 512
                THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
            TRUE AS packed_ok
+         FROM t""",
+
+    // materialized packing conserves docs/tokens and respects the
+    // budget; the invariant booleans must all hold
+    "q101_pack_materialized" ->
+      """WITH t AS (
+           SELECT CASE WHEN text IS NULL THEN NULL
+                       WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS toks
+           FROM documents)
+         SELECT count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           TRUE AS within_budget,
+           TRUE AS oversize_singleton,
+           TRUE AS tokens_conserved
          FROM t""",
 
     // avro round trip is lossless -> plain identity oracle

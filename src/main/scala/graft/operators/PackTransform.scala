@@ -71,6 +71,25 @@ object PackTransform {
         out
       }
     }(enc)
+    // materialize: one row per training sequence — documents joined
+    // in pack order by `separator` — instead of tagged input rows;
+    // `__tokens` keeps the budget accounting (each doc >= 1),
+    // `__raw_tokens` the raw whitespace count. One shuffle on the
+    // sequence id; sequences are partition-local so groups are small
+    // and skew-free by construction.
+    if (p.bool("materialize").getOrElse(false)) {
+      val sep = p.str("separator").getOrElse("\n\n")
+      val out = packed.groupBy(col("__sequence_id"))
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(
+            col("__seq_pos"), col(field).cast(StringType).as("__t")))),
+            s => s.getField("__t")), sep).as(field),
+          sum(greatest(col("__tokens"), lit(1L))).as("__tokens"),
+          sum(col("__tokens")).as("__raw_tokens"),
+          count(lit(1)).cast(IntegerType).as("__n_docs"),
+          max(col("__oversize")).as("__oversize"))
+      return TransformCommon.finishRouted(out, cfg)
+    }
     TransformCommon.finishRouted(packed, cfg)
   }
 }

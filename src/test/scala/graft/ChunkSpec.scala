@@ -58,6 +58,14 @@ class ChunkSpec extends AnyFunSuite {
       "a <=size doc produced more than one chunk")
   }
 
+  test("chunking is streaming-safe (pure map-side plan)") {
+    val s = spark.readStream.format("rate").load()
+      .withColumn("text", concat_ws(" ", col("value"),
+        col("value") + 1, col("value") + 2))
+    val out = chunk("""{"field": "text", "size": 2, "overlap": 1}""", s)
+    assert(out.isStreaming, "chunk must pass streaming frames through")
+  }
+
   test("zero shuffle and output-name collision guard") {
     val df = Seq((1L, "a b c")).toDF("id", "text")
     val plan = chunk("""{"field": "text", "size": 2}""", df)

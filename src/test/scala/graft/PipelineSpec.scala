@@ -430,6 +430,22 @@ class PipelineSpec extends AnyFunSuite {
     bySeq.values.foreach { s =>
       assert(s.map(_._4).sorted.toSeq == (0 until s.length))
     }
+    // materialize: one row per sequence, docs joined in pack order
+    val mat = graft.operators.PackTransform.build(spark,
+      graft.Pipeline.ModuleCfg("pk", "pack", Seq("d"), Nil,
+        graft.config.Json.parse(
+          """{"field":"text","idField":"doc_id","tokenBudget":6,
+             "materialize":true,"separator":" | "}"""),
+        graft.config.Json.obj()),
+      Map("d" -> docs))("pk")
+      .select("__sequence_id", "text", "__tokens", "__n_docs",
+        "__oversize")
+      .as[(String, String, Long, Int, Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(mat == Seq(
+      ("0-0", "a b c | d e", 5L, 2, false),
+      ("0-1", "f g h i | j", 5L, 2, false),
+      ("0-2", "k l m n o p q r", 8L, 1, true)))
   }
 
   test("decontaminate flags and removes docs sharing benchmark n-grams") {
