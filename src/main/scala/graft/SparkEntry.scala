@@ -2316,6 +2316,32 @@ transforms:
       sql: "SELECT CAST(sum(__n_docs) AS BIGINT) AS n_docs, CAST(sum(__raw_tokens) AS BIGINT) AS total_tokens, CAST(max(CASE WHEN NOT __oversize THEN __tokens ELSE 0 END) <= 512 AS BOOLEAN) AS within_budget, CAST(sum(CASE WHEN __oversize AND __n_docs > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS oversize_singleton, CAST(sum(CASE WHEN size(split(trim(text), '\\\\s+')) != __tokens THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS tokens_conserved FROM pk"
 """),
 
+    // int8 embedding quantization roundtrip: the q values are exact
+    // integers both engines derive from identical double arithmetic
+    // (max|v|/127 scale, round half-away-from-zero in both), and the
+    // reconstruction-error bound is asserted engine-side
+    "q102_quantize" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: qz
+    module: select
+    inputs: [emb]
+    parameters:
+      select:
+        - {name: vec_id}
+        - {name: qv, field: embedding, func: quantize}
+        - {name: dq, field: qv, func: dequantize}
+        - {name: emb, field: embedding}
+  - name: out
+    module: sql
+    inputs: [qz]
+    parameters:
+      sql: "SELECT vec_id, array_join(qv.q, ',') AS q_s, CAST(aggregate(zip_with(dq, emb, (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> greatest(acc, x)) <= qv.scale / 2 + 1e-12 AS BOOLEAN) AS recon_ok FROM qz"
+"""),
+
     // PII scrub: inject synthetic emails/IPs/phones, then detect and
     // mask via the RE2-parity chain (email -> ip -> phone)
     "q53_pii" -> pipe("out", """
@@ -4894,6 +4920,21 @@ transforms:
            TRUE AS oversize_singleton,
            TRUE AS tokens_conserved
          FROM t""",
+
+    // quantization: q = round(v / (max|v|/127)) replayed with the
+    // same double ops; reconstruction bound holds by construction
+    "q102_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings)
+         SELECT vec_id,
+           array_to_string(list_transform(embedding,
+             v -> CAST(round(CAST(v AS DOUBLE) / scale) AS BIGINT)),
+             ',') AS q_s,
+           TRUE AS recon_ok
+         FROM s""",
 
     // avro round trip is lossless -> plain identity oracle
     "q54_avro_roundtrip" ->

@@ -209,6 +209,30 @@ object SelectCompiler {
       case "top_k_estimate" =>
         call_function("approx_top_k_estimate", col(field),
           lit(sel.int("k").getOrElse(5)))
+      // int8 embedding quantization — struct(scale: double, q:
+      // array<tinyint>) with q = round(v / scale), scale =
+      // max|v| / 127: a 4x memory cut for ANN/dedup indexes at
+      // 100 TB (reconstruction error <= scale/2 per element). Pure
+      // Column arithmetic, exact-replayable by the q102 oracle;
+      // scale stays double so dequantize is bit-reproducible.
+      case "quantize" =>
+        val c = col(field)
+        val maxabs = array_max(transform(c,
+          v => abs(v.cast(DoubleType))))
+        val scale = maxabs / lit(127.0)
+        struct(
+          scale.as("scale"),
+          when(maxabs === 0d,
+            transform(c, _ => lit(0).cast(ByteType)))
+            .otherwise(transform(c, v =>
+              round(v.cast(DoubleType) / scale).cast(ByteType)))
+            .as("q"))
+      // inverse: struct(scale, q) -> array<float> (v ~ q * scale)
+      case "dequantize" =>
+        val c = col(field)
+        transform(c.getField("q"), v =>
+          (v.cast(DoubleType) * c.getField("scale"))
+            .cast(FloatType))
       // deterministic dataset split assignment (train/val/test …):
       // the row's md5-uniform (same machinery as the sample module,
       // so splits are reproducible, partition-independent, and

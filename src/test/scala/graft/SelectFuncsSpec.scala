@@ -173,4 +173,31 @@ class SelectFuncsSpec extends AnyFunSuite {
        "ratios": {}}]"""))
     assert(e.getMessage.contains("ratios"))
   }
+  test("quantize/dequantize: int8 roundtrip bound and zero-vector") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "embedding")
+    val out = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "id"},
+        {"name": "qv", "field": "embedding", "func": "quantize"},
+        {"name": "dq", "field": "qv", "func": "dequantize"},
+        {"name": "embedding"}
+      ]"""))
+    val r1 = out.filter(col("id") === 1).head()
+    val qv = r1.getStruct(1)
+    val scale = qv.getDouble(0)
+    assert(math.abs(scale - 1.0 / 127.0) < 1e-12)
+    assert(qv.getSeq[Byte](1) == Seq[Byte](64, -127, 32, 0))
+    val dq = r1.getSeq[Float](2)
+    val orig = r1.getSeq[Float](3)
+    dq.zip(orig).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= scale / 2 + 1e-9) }
+    // all-zero vector: scale 0, q all zero, dequantize all zero
+    val r2 = out.filter(col("id") === 2).head()
+    assert(r2.getStruct(1).getDouble(0) == 0.0)
+    assert(r2.getStruct(1).getSeq[Byte](1).forall(_ == 0))
+    assert(r2.getSeq[Float](2).forall(_ == 0.0f))
+  }
 }
