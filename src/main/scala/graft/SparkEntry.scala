@@ -1286,7 +1286,8 @@ transforms:
       trigger:
         type: afterWatermark
         earlyFiringTrigger:
-          {type: afterProcessingTime, pastFirstElementDelay: 1}
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
     parameters:
       groupFields: [event_type]
       aggregations:
@@ -1568,7 +1569,8 @@ transforms:
       trigger:
         type: afterWatermark
         earlyFiringTrigger:
-          {type: afterProcessingTime, pastFirstElementDelay: 1}
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
     parameters:
       groupFields: [event_type]
       aggregations:
