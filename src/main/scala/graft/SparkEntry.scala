@@ -1167,8 +1167,8 @@ sinks:
       var stable = 0
       var prev = -1L
       var tries = 0
-      while (stable < 2 && tries < 30) {
-        Thread.sleep(1000)
+      while (stable < 2 && tries < 100) {
+        Thread.sleep(300)
         StreamRunner.drainAll()
         val c = cnt()
         if (c > 0 && c == prev) stable += 1 else stable = 0
