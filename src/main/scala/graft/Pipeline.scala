@@ -87,6 +87,7 @@ object Pipeline {
     "mixture" -> MixtureTransform.build,
     "pack" -> PackTransform.build,
     "chunk" -> ChunkTransform.build,
+    "graph" -> GraphTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build) ++
     VendorSlots.transforms

@@ -2344,6 +2344,28 @@ transforms:
       sql: "SELECT vec_id, array_join(qv.q, ',') AS q_s, CAST(aggregate(zip_with(dq, emb, (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> greatest(acc, x)) <= qv.scale / 2 + 1e-12 AS BOOLEAN) AS recon_ok FROM qz"
 """),
 
+    // graph connectedComponents: chain edges k -> k+1 within blocks
+    // of 10 over the contiguous o_orderkey domain — every vertex's
+    // component is analytically floor(v/10)*10, so the pointer-
+    // jumping closure (10-deep chains force real multi-hop
+    // propagation) checks against a closed-form oracle
+    "q103_components" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ed
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 1 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 <> 9"
+  - name: out
+    module: graph
+    inputs: [ed]
+    parameters: {method: connectedComponents, srcField: src, dstField: dst}
+"""),
+
     // PII scrub: inject synthetic emails/IPs/phones, then detect and
     // mask via the RE2-parity chain (email -> ip -> phone)
     "q53_pii" -> pipe("out", """
@@ -4937,6 +4959,13 @@ transforms:
              ',') AS q_s,
            TRUE AS recon_ok
          FROM s""",
+
+    // chain components: block-of-10 chains have component min
+    // floor(v/10)*10
+    "q103_components" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS vertex,
+           CAST((o_orderkey // 10) * 10 AS BIGINT) AS component
+         FROM orders""",
 
     // avro round trip is lossless -> plain identity oracle
     "q54_avro_roundtrip" ->
