@@ -1167,7 +1167,7 @@ sinks:
       var stable = 0
       var prev = -1L
       var tries = 0
-      while (stable < 2 && tries < 100) {
+      while (stable < 5 && tries < 100) { // 1.5s of no growth
         Thread.sleep(300)
         StreamRunner.drainAll()
         val c = cnt()

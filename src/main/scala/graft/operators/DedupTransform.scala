@@ -702,7 +702,10 @@ object DedupTransform {
     * Returns (`__id`, `__dup_of`) for every vertex below its
     * component min. */
   private[graft] def componentMin(pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      label: String = "dedup transitive",
+      hint: String = "raise maxIterations or lower the similarity " +
+        "threshold"): DataFrame = {
     // localCheckpoint (not persist) on every iterate: an iterative
     // self-join grows the logical plan ~2x per hop — persist truncates
     // recompute but not analysis, so by ~15 hops Catalyst is
@@ -732,10 +735,9 @@ object DedupTransform {
     while (!converged) {
       if (it >= maxIter)
         throw new IllegalStateException(
-          s"dedup transitive: component labels still changing after " +
-            s"$maxIter iterations — the duplicate graph has a chain " +
-            "longer than maxIter; raise maxIterations or lower the " +
-            "similarity threshold")
+          s"$label: component labels still changing after " +
+            s"$maxIter iterations — the graph has a chain longer " +
+            s"than maxIter; $hint")
       val nbrMin = edges.join(labels, edges("__s") === labels("__v"))
         .select(edges("__d").as("__v"), labels("__l").as("__nl"))
         .groupBy("__v").agg(min("__nl").as("__nl"))
@@ -772,7 +774,7 @@ object DedupTransform {
     // that dominates at small scale) — the bench JSON contract only
     // covers stdout's last line, so stderr is safe
     System.err.println(
-      s"dedup transitive: component labels converged in $it hops")
+      s"$label: component labels converged in $it hops")
     labels.filter(col("__l") < col("__v"))
       .select(col("__v").as("__id"), col("__l").as("__dup_of"))
   }

@@ -41,11 +41,19 @@ object GraphTransform {
       s"graph ${cfg.name}: edge input needs $src and $dst columns")
     val vOut = p.str("vertexField").getOrElse("vertex")
     val cOut = p.str("componentField").getOrElse("component")
+    val reservedOut = Seq(vOut, cOut)
+      .filter(Set("__id", "__dup_of").contains)
+    require(reservedOut.isEmpty,
+      s"graph ${cfg.name}: output names ${reservedOut.mkString(", ")} " +
+        "collide with the closure's internal columns — pick different " +
+        "vertexField/componentField")
     val maxIter = p.int("maxIterations").getOrElse(50)
     val edges = df
       .select(col(src).as("__id"), col(dst).as("__rep_id"))
       .filter(col("__id").isNotNull && col("__rep_id").isNotNull)
-    val below = DedupTransform.componentMin(edges, maxIter)
+    val below = DedupTransform.componentMin(edges, maxIter,
+      label = s"graph ${cfg.name}",
+      hint = "raise maxIterations")
     val vertices = df.select(col(src).as(vOut))
       .union(df.select(col(dst).as(vOut)))
       .filter(col(vOut).isNotNull).distinct()

@@ -72,17 +72,22 @@ object PackTransform {
       }
     }(enc)
     // materialize: one row per training sequence — documents joined
-    // in pack order by `separator` — instead of tagged input rows;
+    // in pack order by `separator` (null text joins as "", so every
+    // charged doc occupies its slot) — instead of tagged input rows;
     // `__tokens` keeps the budget accounting (each doc >= 1),
-    // `__raw_tokens` the raw whitespace count. One shuffle on the
-    // sequence id; sequences are partition-local so groups are small
-    // and skew-free by construction.
+    // `__raw_tokens` the raw whitespace count. Note a separator with
+    // non-whitespace tokens adds n_docs-1 tokens the accounting
+    // deliberately ignores (it charges documents, not glue). One
+    // shuffle on the sequence id; sequences are partition-local so
+    // groups are small and skew-free by construction.
     if (p.bool("materialize").getOrElse(false)) {
       val sep = p.str("separator").getOrElse("\n\n")
       val out = packed.groupBy(col("__sequence_id"))
         .agg(
           array_join(transform(array_sort(collect_list(struct(
-            col("__seq_pos"), col(field).cast(StringType).as("__t")))),
+            col("__seq_pos"),
+            coalesce(col(field).cast(StringType), lit(""))
+              .as("__t")))),
             s => s.getField("__t")), sep).as(field),
           sum(greatest(col("__tokens"), lit(1L))).as("__tokens"),
           sum(col("__tokens")).as("__raw_tokens"),

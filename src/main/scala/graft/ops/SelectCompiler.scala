@@ -220,12 +220,17 @@ object SelectCompiler {
         val maxabs = array_max(transform(c,
           v => abs(v.cast(DoubleType))))
         val scale = maxabs / lit(127.0)
+        // the scale subtree must NOT appear inside a per-element
+        // lambda (higher-order lambdas re-evaluate free subtrees per
+        // element → O(d^2) per row); array_repeat evaluates it once
+        // per row and zip_with binds it as an element
+        val scaleArr = array_repeat(scale, size(c))
         struct(
           scale.as("scale"),
           when(maxabs === 0d,
             transform(c, _ => lit(0).cast(ByteType)))
-            .otherwise(transform(c, v =>
-              round(v.cast(DoubleType) / scale).cast(ByteType)))
+            .otherwise(zip_with(c, scaleArr, (v, s2) =>
+              round(v.cast(DoubleType) / s2).cast(ByteType)))
             .as("q"))
       // inverse: struct(scale, q) -> array<float> (v ~ q * scale)
       case "dequantize" =>

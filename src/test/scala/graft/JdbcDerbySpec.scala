@@ -46,7 +46,9 @@ class JdbcDerbySpec extends AnyFunSuite {
     // concurrency bug (page-cache NPE, flaked once under two
     // concurrent batch writers); real server databases take the
     // parallel writers fine, and the dialect SQL under test is
-    // identical either way.
+    // identical either way. The parallel per-partition writer path
+    // itself stays covered by the q64 insert-mode gate, which writes
+    // the source's natural multi-partition frame.
     val cfg = mkCfg("up1", "insertOrUpdate",
       """"batchSize": 2, "numPartitions": 1,""")
     graft.operators.JdbcSink.write(cfg, base)
