@@ -232,12 +232,16 @@ object SelectCompiler {
             .otherwise(zip_with(c, scaleArr, (v, s2) =>
               round(v.cast(DoubleType) / s2).cast(ByteType)))
             .as("q"))
-      // inverse: struct(scale, q) -> array<float> (v ~ q * scale)
+      // inverse: struct(scale, q) -> array<float> (v ~ q * scale).
+      // Same lambda-hoist as quantize: CollapseProject can inline the
+      // whole upstream quantize expression into `c`, so a per-element
+      // c.getField("scale") would re-run its array_max scan per
+      // element — array_repeat evaluates it once per row instead.
       case "dequantize" =>
         val c = col(field)
-        transform(c.getField("q"), v =>
-          (v.cast(DoubleType) * c.getField("scale"))
-            .cast(FloatType))
+        val q = c.getField("q")
+        zip_with(q, array_repeat(c.getField("scale"), size(q)),
+          (v, s2) => (v.cast(DoubleType) * s2).cast(FloatType))
       // deterministic dataset split assignment (train/val/test …):
       // the row's md5-uniform (same machinery as the sample module,
       // so splits are reproducible, partition-independent, and
