@@ -116,6 +116,18 @@ object ScaleMain {
              "groupFields":["lang"]}"""),
           Json.obj()), Map("d" -> docs))("rs")
     }
+    // graph connected components: 10-deep chains over the replicated
+    // contiguous doc ids — hop count must stay O(log depth) flat as
+    // vertices grow 100x (pointer jumping; hops print on stderr)
+    time("components") {
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .filter(col("src") % 10 =!= 9)
+      graft.operators.GraphTransform.build(spark,
+        ModuleCfg("cc", "graph", Seq("e"), Nil, Json.parse(
+          """{"srcField":"src","dstField":"dst"}"""),
+          Json.obj()), Map("e" -> edges))("cc")
+    }
     // zorder: one range shuffle on the interleaved key — the layout
     // cost a 100 TB table pays once at write time
     time("zorder") {
