@@ -107,6 +107,29 @@ class SortSpec extends AnyFunSuite {
     assert(auto.toSet == a.toSet, "auto-bounds zorder lost rows")
   }
 
+  test("zorder key equals a reference bit interleave (identity " +
+      "scaling domain)") {
+    // bounds 0..255 with 8 bits make the fixed-point scale the
+    // identity, so the engine's emitted order must equal sorting by
+    // a directly computed interleave of the raw values
+    val rnd = new scala.util.Random(3)
+    val data = (1 to 2000).map(_ => (rnd.nextInt(256), rnd.nextInt(256)))
+      .distinct.map { case (x, y) => (x, y, x * 1000 + y) }
+    val df3 = data.toDF("x", "y", "id").repartition(4)
+    val out = sortT("""{"mode": "zorder", "bits": 8,
+      "fields": [{"field": "x", "min": 0, "max": 255},
+                 {"field": "y", "min": 0, "max": 255}]}""", df3)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    def z(x: Int, y: Int): Long =
+      (0 until 8).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1).toLong << (2 * i + 1)) |
+          (((y >> i) & 1).toLong << (2 * i))
+      }
+    val expected = data.sortBy { case (x, y, _) => (z(x, y), x, y) }
+      .map(_._3)
+    assert(out == expected)
+  }
+
   test("descending global sort and withinPartitions no-shuffle") {
     val out = sortT(
       """{"fields": [{"field": "k", "order": "desc"}],
