@@ -48,7 +48,8 @@ object SparkEntry {
          SELECT o_orderkey, o_custkey, o_totalprice,
            ${terms.mkString(" | ")} AS zkey FROM sc)
        SELECT CAST(o_orderkey AS BIGINT) AS ok,
-         row_number() OVER (ORDER BY zkey, o_custkey, o_totalprice) - 1
+         row_number() OVER (
+           ORDER BY zkey, o_custkey, o_totalprice, o_orderkey) - 1
            AS pos
        FROM z"""
   }
@@ -2299,8 +2300,10 @@ transforms:
     // so the gate checks the partition-INDEPENDENT invariants: doc
     // and token conservation, budget respected for non-oversize
     // sequences, oversize sequences are singletons, and the
-    // materialized text's own whitespace token count equals the
-    // accounting (separator adds no tokens)
+    // materialized text's own whitespace token count equals the RAW
+    // accounting (__raw_tokens, not the budget-charged __tokens: an
+    // empty doc is charged 1 budget token the joined text cannot
+    // reproduce; the separator adds no tokens either way)
     "q101_pack_materialized" -> pipe("out", """
 sources:
   - name: docs
@@ -2315,7 +2318,7 @@ transforms:
     module: sql
     inputs: [pk]
     parameters:
-      sql: "SELECT CAST(sum(__n_docs) AS BIGINT) AS n_docs, CAST(sum(__raw_tokens) AS BIGINT) AS total_tokens, CAST(max(CASE WHEN NOT __oversize THEN __tokens ELSE 0 END) <= 512 AS BOOLEAN) AS within_budget, CAST(sum(CASE WHEN __oversize AND __n_docs > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS oversize_singleton, CAST(sum(CASE WHEN size(split(trim(text), '\\\\s+')) != __tokens THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS tokens_conserved FROM pk"
+      sql: "SELECT CAST(sum(__n_docs) AS BIGINT) AS n_docs, CAST(sum(__raw_tokens) AS BIGINT) AS total_tokens, CAST(max(CASE WHEN NOT __oversize THEN __tokens ELSE 0 END) <= 512 AS BOOLEAN) AS within_budget, CAST(sum(CASE WHEN __oversize AND __n_docs > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS oversize_singleton, CAST(sum(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE size(split(trim(text), '\\\\s+')) END) != __raw_tokens THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS tokens_conserved FROM pk"
 """),
 
     // int8 embedding quantization roundtrip: the q values are exact
@@ -3261,6 +3264,7 @@ transforms:
       mode: zorder
       bits: 8
       numPartitions: 7
+      tiebreakFields: [o_orderkey]
       fields:
         - {field: o_custkey, min: 0, max: 1500}
         - {field: o_totalprice, min: 0, max: 500000}

@@ -58,11 +58,16 @@ object ChunkTransform {
     val nChunks = when(n <= lit(sz), lit(1))
       .otherwise(ceil((n - lit(sz)).cast(DoubleType) / lit(stride))
         .cast(IntegerType) + lit(1))
-    val pieces = transform(sequence(lit(0), nChunks - 1),
-      i => struct(
-        (i * stride).as("off"),
-        array_join(slice(toks, i * stride + 1, lit(sz)), " ")
-          .as("txt")))
+    // a null document has no tokens and yields NO chunks: the pieces
+    // array stays null and the (non-outer) posexplode drops the row —
+    // without this guard size(null)= -1 made nChunks hit the `<= sz`
+    // branch and emit one phantom row with a null chunk
+    val pieces = when(col(field).isNotNull,
+      transform(sequence(lit(0), nChunks - 1),
+        i => struct(
+          (i * stride).as("off"),
+          array_join(slice(toks, i * stride + 1, lit(sz)), " ")
+            .as("txt"))))
     val keep = df.columns.map(col).toSeq
     val out = df
       .select(keep :+ posexplode(pieces).as(Seq("__ci", "__piece")): _*)

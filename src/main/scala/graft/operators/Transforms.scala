@@ -587,9 +587,15 @@ object SortTransform {
             shiftright(sc, level).bitwiseAND(lit(1L)),
             level * nf + (nf - 1 - j)))
         // deterministic total order: z-key ties break on the declared
-        // fields in order (rows tied on all of them are only ordered
-        // if they are duplicates in every clustered dimension)
-        val zsort = zkey.asc +: names.map(col(_).asc)
+        // fields in order, then any `tiebreakFields` (trailing sort
+        // columns NOT interleaved into the key — declare a unique id
+        // here for a replayable order), then the shared full-row hash
+        // so rows duplicated in every clustered dimension still land
+        // in a partition-independent order
+        val tieFields = p.strArr("tiebreakFields")
+          .filterNot(names.contains)
+        val zsort = (zkey.asc +: (names ++ tieFields).map(col(_).asc)) :+
+          TransformCommon.rowTie(df).asc
         val zranged = partitions
           .map(n => df.repartitionByRange(n, zsort: _*))
           .getOrElse(df.repartitionByRange(zsort: _*))

@@ -58,6 +58,15 @@ class ChunkSpec extends AnyFunSuite {
       "a <=size doc produced more than one chunk")
   }
 
+  test("a null document yields zero chunks") {
+    val out = chunk("""{"field": "text", "size": 4, "overlap": 1}""",
+      Seq((1L, "a b c"), (2L, null: String), (3L, "d"))
+        .toDF("id", "text"))
+    assert(out.filter(col("id") === 2).count() == 0,
+      "null text must produce no chunk rows (not one null chunk)")
+    assert(out.filter(col("id") =!= 2).count() == 2)
+  }
+
   test("chunking is streaming-safe (pure map-side plan)") {
     val s = spark.readStream.format("rate").load()
       .withColumn("text", concat_ws(" ", col("value"),
