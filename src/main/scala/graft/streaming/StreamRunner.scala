@@ -286,10 +286,13 @@ object StreamRunner {
     frontiers.remove(cfg.name)
     firedOnTime.remove(cfg.name)
     paneStore.remove(cfg.name)
+    val ckpt = checkpoint(cfg)
+    val triggerStateDir = new java.io.File(ckpt + "/trigger-state")
+    restoreTriggerState(cfg.name, triggerStateDir)
     val q = recipe.preAgg.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(delayMs))
-      .option("checkpointLocation", checkpoint(cfg) + "/discarding")
+      .option("checkpointLocation", ckpt + "/discarding")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val agged = recipe.reAgg(batch)
@@ -332,6 +335,7 @@ object StreamRunner {
                   if (hasLate) b
                   else b.filter(col("__pane") =!= "late"))(pane, id)
           }
+          persistTriggerState(cfg.name, triggerStateDir, id, latenessMs)
         }
       }
       .start()
@@ -362,6 +366,87 @@ object StreamRunner {
   private val paneBatchMaxEnd = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[
       java.lang.Long, java.lang.Long]]()
+
+  /** Beam-parity PERSISTENT trigger state (Beam keeps pane timing in
+    * durable trigger state; Structured Streaming's checkpoint covers
+    * offsets only): after each batch the frontier, the fired-window
+    * set, and the store-slice max-ends roll under the checkpoint as a
+    * batch-stamped JSON snapshot, and a restart restores the latest
+    * one — so pane TIMING (not just values, which were already
+    * replay-exact via batch stamping) is identical across a
+    * kill/restart. Without it a window that closed just before a
+    * crash re-fired tagged `early` until the frontier re-passed its
+    * end, and pre-restart store slices were never compacted (their
+    * max-ends lived only in the process-local map). Snapshots are
+    * tiny — one long plus the open-horizon window ends; fired ends
+    * expired beyond allowedLateness are pruned on write, which also
+    * bounds the set. The latest two snapshots survive (current +
+    * prior) so a replayed batch can overwrite its own and still find
+    * its predecessor. */
+  private def persistTriggerState(name: String, dir: java.io.File,
+      batchId: Long, latenessMs: Long): Unit = {
+    dir.mkdirs()
+    val o = graft.config.Json.obj()
+    val f = frontiers.get(name)
+    if (f != null) o.put("frontier", f.longValue())
+    val fired = Option(firedOnTime.get(name)) match {
+      case None => Seq.empty[Long]
+      case Some(s) =>
+        val it = s.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) {
+          val e = it.next().longValue()
+          if (f == null || e * 1000L + latenessMs >= f.longValue())
+            b += e
+          else it.remove() // expired: can never fire again
+        }
+        b.result().sorted
+    }
+    val fa = o.putArray("fired")
+    fired.foreach(e => fa.add(e))
+    Option(paneBatchMaxEnd.get(name)).foreach { m =>
+      val eo = o.putObject("sliceMaxEnd")
+      m.forEach((k, v) => eo.put(k.toString, v.longValue()))
+    }
+    val tmp = new java.io.File(dir, s".tmp-$batchId")
+    java.nio.file.Files.write(tmp.toPath,
+      o.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, s"__tbatch=$batchId.json").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    triggerSnapIds(dir).sorted.dropRight(2).foreach(id =>
+      new java.io.File(dir, s"__tbatch=$id.json").delete())
+  }
+
+  private def triggerSnapIds(dir: java.io.File): Seq[Long] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .map(_.getName)
+      .filter(n => n.startsWith("__tbatch=") && n.endsWith(".json"))
+      .map(_.stripPrefix("__tbatch=").stripSuffix(".json").toLong)
+
+  /** Restore the latest trigger-state snapshot, if the checkpoint has
+    * one (a fresh checkpoint starts fresh — reusing a checkpoint dir
+    * IS the restart contract, exactly as for offsets). */
+  private def restoreTriggerState(name: String,
+      dir: java.io.File): Unit =
+    triggerSnapIds(dir).sorted.lastOption.foreach { id =>
+      val n = graft.config.Json.parse(new String(
+        java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, s"__tbatch=$id.json").toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      n.long("frontier").foreach(f =>
+        frontiers.put(name, java.lang.Long.valueOf(f)))
+      val fired = firedOnTime.computeIfAbsent(name,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+      n.arrOf("fired").foreach(e =>
+        fired.add(java.lang.Long.valueOf(e.asLong)))
+      n("sliceMaxEnd").foreach { m =>
+        val ends = paneBatchMaxEnd.computeIfAbsent(name,
+          _ => new java.util.concurrent.ConcurrentHashMap[
+            java.lang.Long, java.lang.Long]())
+        m.names.foreach(k => ends.put(java.lang.Long.valueOf(k.toLong),
+          java.lang.Long.valueOf(m.long(k).get)))
+      }
+    }
 
   /** Beam ACCUMULATING accumulation with early firings — exact, not
     * approximated, opt-in via `strategy.exactPanes: true` (the
@@ -397,12 +482,13 @@ object StreamRunner {
     *
     * Replay safety: the element store, sink files, and ordinals
     * snapshot are all batch-stamped, so micro-batch retries and
-    * restarts never duplicate VALUES. The frontier/fired-window maps
-    * are process-local, so a restart re-derives pane TIMING from the
-    * replayed data — a window that closed just before the crash can
-    * re-fire its panes tagged early before the frontier re-passes it
-    * (values still exact; Beam's persistent trigger state is the
-    * comparison point). */
+    * restarts never duplicate VALUES — and pane TIMING survives too:
+    * the frontier/fired-window maps roll under the checkpoint as
+    * batch-stamped trigger-state snapshots (persistTriggerState,
+    * Beam's persistent trigger state made concrete), so a restart
+    * restores exactly where event time stood and a window that
+    * closed just before the crash stays closed instead of re-firing
+    * early. */
   private def startAccumulatingExact(cfg: ModuleCfg, df: DataFrame,
       trig: com.fasterxml.jackson.databind.JsonNode,
       strategy: com.fasterxml.jackson.databind.JsonNode)
@@ -436,6 +522,8 @@ object StreamRunner {
     paneBatchMaxEnd.remove(cfg.name)
     val ckpt = checkpoint(cfg)
     val storeDir = ckpt + "/acc-elements"
+    val triggerStateDir = new java.io.File(ckpt + "/trigger-state")
+    restoreTriggerState(cfg.name, triggerStateDir)
 
     def emitWithIndex(pane: DataFrame, keyCols: Seq[String],
         batchId: Long): Unit = {
@@ -639,10 +727,9 @@ object StreamRunner {
               // it, EVERY window the slice feeds is expired and the
               // whole `__gbatch` dir is dropped — the on-disk store
               // stays bounded by the open horizon × rate, not by
-              // stream lifetime. (Driver map is process-local: after
-              // a restart, pre-restart slices just stop being
-              // compacted — correctness is unaffected because expired
-              // windows are retention-filtered on read anyway.)
+              // stream lifetime. (The map survives restarts via the
+              // trigger-state snapshot, so pre-restart slices keep
+              // compacting too.)
               val ends = paneBatchMaxEnd.computeIfAbsent(cfg.name,
                 _ => new java.util.concurrent.ConcurrentHashMap[
                   java.lang.Long, java.lang.Long]())
@@ -663,6 +750,8 @@ object StreamRunner {
                 }
               }
           }
+          persistTriggerState(cfg.name, triggerStateDir, batchId,
+            latenessMs)
           lastPaneBatch.put(cfg.name, java.lang.Long.valueOf(batchId))
           ()
         }

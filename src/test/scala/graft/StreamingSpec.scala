@@ -1197,4 +1197,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(all() == before)
     StreamRunner.stopAll()
   }
+
+  /** Beam persists trigger state; so does the exact-pane engine now —
+    * the frontier / fired-window / slice-max-end maps snapshot under
+    * the checkpoint per batch and restore on restart, so pane TIMING
+    * (not just values) is identical across a kill/restart: a window
+    * that closed before the crash stays closed instead of re-firing
+    * `early`, and pre-restart store slices keep compacting. */
+  test("exactPanes restart: trigger state restores — closed windows " +
+      "stay closed and pre-restart slices still compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-accr")
+      .toString
+    val out = s"$dir/out"
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: accumulating
+      |      exactPanes: true
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |sinks:
+      |  - name: rpanes
+      |    module: storage
+      |    input: agg
+      |    parameters:
+      |      {output: $out, format: parquet,
+      |       checkpointLocation: $dir/ckpt}
+      |""".stripMargin
+    def panes(): Seq[(Long, String, Double, Long)] =
+      spark.read.parquet(out)
+        .select(col("window.start").cast("long"), col("__pane"),
+          col("s"), col("__pane_index"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getLong(3)))
+        .toSeq.sortBy(t => (t._1, t._4))
+    // window [0,6h) gets an element, then an element at 14:00 pushes
+    // the frontier past its end — early pane, then cumulative onTime
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    stageParquet(dir, "b2", Seq((2L, 7200L, 4.0), (3L, 50400L, 9.0)))
+    StreamRunner.drainAll()
+    val preRestart = panes()
+    assert(preRestart.filter(_._1 == 0L) ==
+      Seq((0L, "early", 3.0, 0L), (0L, "onTime", 7.0, 1L)))
+    // kill: stop every query, then re-execute the SAME config against
+    // the SAME checkpoint — the restart contract
+    StreamRunner.stopAll()
+    assert(new java.io.File(s"$dir/ckpt/trigger-state").listFiles()
+      .exists(_.getName.startsWith("__tbatch=")),
+      "trigger-state snapshot missing from the checkpoint")
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    // post-restart straggler into the CLOSED [0,6h): with the frontier
+    // and fired set restored it is a late refinement (dropped — no
+    // lateFiringTrigger, lateness 0); losing the state would re-fire
+    // the closed window tagged `early`
+    stageParquet(dir, "b3", Seq((4L, 10800L, 2.0)))
+    StreamRunner.drainAll()
+    assert(panes() == preRestart,
+      s"closed window re-fired after restart: ${panes()}")
+    // a new element far ahead advances the frontier past b2's slice
+    // max-end: the PRE-restart slice must compact (its max-end was
+    // restored from the snapshot, not lost with the process)
+    stageParquet(dir, "b4", Seq((5L, 100800L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes().filter(_._1 == 86400L) ==
+      Seq((86400L, "early", 1.0, 0L)))
+    val store = new java.io.File(s"$dir/ckpt/acc-elements")
+    val slices = Option(store.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("__gbatch=")).toSet
+    assert(!slices.contains("__gbatch=1"),
+      s"pre-restart slice not compacted after restart: $slices")
+    StreamRunner.stopAll()
+  }
 }
