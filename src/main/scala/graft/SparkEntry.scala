@@ -3317,6 +3317,138 @@ transforms:
       sql: "SELECT t.item AS item, t.count AS cnt FROM agg2 LATERAL VIEW explode(approx_top_k_estimate(sk2, 5)) ex AS t"
 """),
 
+    // §2.9 timestampCombiner (reference Strategy.java:85-90, Beam
+    // TimestampCombiner): the aggregate's OUTPUT event time under all
+    // three policies over the same 6h windows — EARLIEST = min input
+    // ts, LATEST = max input ts, END_OF_WINDOW = window end − 1 ms
+    // (Beam's maxTimestamp); oracle replays min/max/boundary in
+    // micros. Batch leg of the unit-only §2.9 surface.
+    "q104_timestamp_combiner" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: ae
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      timestampField: ts
+      timestampCombiner: EARLIEST
+      window: {type: fixed, unit: hour, size: 6}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+  - name: al
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      timestampField: ts
+      timestampCombiner: LATEST
+      window: {type: fixed, unit: hour, size: 6}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+  - name: aw
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      timestampField: ts
+      timestampCombiner: END_OF_WINDOW
+      window: {type: fixed, unit: hour, size: 6}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+  - name: out
+    module: sql
+    inputs: [ae, al, aw]
+    parameters:
+      sql: "SELECT CAST(unix_micros(CAST(ae.window.start AS TIMESTAMP)) / 1000000 AS BIGINT) AS win_start, ae.event_type, ae.n, unix_micros(CAST(ae.__event_time AS TIMESTAMP)) AS earliest_us, unix_micros(CAST(al.__event_time AS TIMESTAMP)) AS latest_us, unix_micros(CAST(aw.__event_time AS TIMESTAMP)) AS eow_us FROM ae JOIN al ON ae.window = al.window AND ae.event_type = al.event_type JOIN aw ON ae.window = aw.window AND ae.event_type = aw.event_type"
+"""),
+
+    // composed LLM-data recipe: chunk → (stub-)embed → QUANTIZED
+    // int8 ANN index with dequantize-on-read. Documents chunk into
+    // token windows, each chunk gets its embedding via a
+    // deterministic rank join (the honest encoder stub — replayable
+    // by any engine), and the similarity module searches the corpus
+    // with `quantized: true`: the index carries (int8 q, scale) —
+    // 4x smaller — and reconstructs vectors at scoring time. The
+    // oracle replays the whole chain: chunk counts, rank pairing,
+    // round(v/scale)*scale reconstruction, cosine rank.
+    "q105_chunk_quantized_knn" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: ck
+    module: chunk
+    inputs: [docs]
+    parameters: {field: text, size: 40, overlap: 10}
+  - name: pair
+    module: sql
+    inputs: [ck, emb]
+    parameters:
+      sql: "SELECT CAST(ckr.rn AS BIGINT) AS cid, er.embedding FROM (SELECT row_number() OVER (ORDER BY doc_id, chunk_index) AS rn FROM ck) ckr JOIN (SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding FROM emb) er ON ckr.rn = er.rn"
+  - name: qset
+    module: sql
+    inputs: [emb]
+    parameters:
+      sql: "SELECT CAST(vec_id + 1000000 AS BIGINT) AS cid, embedding FROM emb WHERE vec_id < 5"
+  - name: knn
+    module: similarity
+    inputs: [pair, qset]
+    parameters: {method: bruteforce, field: embedding, idField: cid, k: 5, quantized: true}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
+    // §2.8 sort transform, SHUFFLE mode: the seeded corpus
+    // permutation (pre-training randomization op) — rank by
+    // md5(seed ‖ key), the same order-to-value conversion as q91;
+    // the oracle replays the identical md5 ranking. o_orderkey is
+    // unique, so the permutation is total without the engine's
+    // full-row-hash tiebreak entering the compare.
+    "q106_sort_shuffle" -> ((s: SparkSession, dir: String) => {
+      val shuffled = Pipeline.build(s, """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: out
+    module: sort
+    inputs: [ord]
+    parameters:
+      mode: shuffle
+      seed: "42"
+      numPartitions: 7
+      fields:
+        - {field: o_orderkey}
+""", Map("dir" -> dir))("out")
+      val rows = shuffled.select("o_orderkey").rdd.zipWithIndex()
+        .map { case (r, i) => (r.getAs[Number](0).longValue(), i) }
+      s.createDataFrame(rows).toDF("ok", "pos")
+    }),
+
     // training-data op: sliding token-window chunking (size 40,
     // overlap 10 → stride 30) — every document splits into
     // overlapping context-window pieces; zero-shuffle
@@ -5156,6 +5288,70 @@ transforms:
                / 1000000 END AS gap_s
          FROM events e ASOF LEFT JOIN dim d
            ON e.event_type = d.event_type AND e.ts >= d.dim_ts""",
+
+    // timestampCombiner: EARLIEST/LATEST ≡ min/max input micros per
+    // group; END_OF_WINDOW ≡ window end − 1 ms
+    "q104_timestamp_combiner" ->
+      """WITH w AS (
+           SELECT CAST(floor(floor(epoch_ns(ts) / 1000000000) / 21600)
+               * 21600 AS BIGINT) AS win_start,
+             event_type, ts
+           FROM events)
+         SELECT win_start, event_type, count(*) AS n,
+           min(epoch_us(ts)) AS earliest_us,
+           max(epoch_us(ts)) AS latest_us,
+           (win_start + 21600) * 1000000 - 1000 AS eow_us
+         FROM w GROUP BY 1, 2""",
+
+    // chunk → rank-join stub embeddings → int8 quantize → cosine
+    // top-k: the full chain replayed — chunk ordinals from the q97
+    // windowing formula, round(v/scale)*scale reconstruction (float32
+    // cast included) from the q102 formula, rank order score desc /
+    // id asc like q23
+    "q105_chunk_quantized_knn" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= 40 THEN 0
+                    ELSE CAST(ceil((len(toks) - 40) / 30.0) AS INT)
+               END)) AS i
+           FROM t),
+         ckr AS (
+           SELECT row_number() OVER (ORDER BY doc_id, i) AS rn FROM g),
+         er AS (
+           SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         corp AS (
+           SELECT ckr.rn AS cid,
+             CAST(list_transform(er.embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) / er.scale) * er.scale
+                 AS FLOAT)) AS DOUBLE[]) AS dq
+           FROM ckr JOIN er ON ckr.rn = er.rn),
+         q AS (
+           SELECT vec_id + 1000000 AS cid,
+             CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT q.cid AS query_id, corp.cid AS neighbor_id,
+             row_number() OVER (PARTITION BY q.cid
+               ORDER BY list_cosine_similarity(q.qe, corp.dq) DESC,
+                 corp.cid) AS rank
+           FROM corp CROSS JOIN q)
+         WHERE rank <= 5""",
+
+    // seeded shuffle permutation ≡ rank by the same md5(seed ‖ key)
+    "q106_sort_shuffle" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS ok,
+           row_number() OVER (
+             ORDER BY md5('42' || CAST(o_orderkey AS VARCHAR))) - 1
+             AS pos
+         FROM orders""",
 
     // sliding-window chunking ≡ generate_series over stride offsets
     // + 1-based inclusive list slice (mirrors Spark's slice(toks,

@@ -36,8 +36,36 @@ object SimilarityTransform {
 
     val q = queries.select(col(idField).as("query_id"),
       col(embField).as("__q_emb"))
-    val c = corpus.select(col(idField).as("neighbor_id"),
-      col(embField).as("__c_emb"))
+    // `quantized: true` — int8 index: the corpus side of the index is
+    // stored/carried as (id, q: array<tinyint>, scale) — 4x smaller
+    // than float32 — and vectors dequantize ON READ at scoring time.
+    // The formula is SelectCompiler.quantizeCol/dequantizeCol (one
+    // shared arithmetic, so the q105 oracle replays the whole chain).
+    // For lsh/ivf the candidate re-attach join ships the int8 index
+    // through its shuffle (the dequantize projection sits ABOVE the
+    // join); bucketing/centroid assignment uses the reconstructed
+    // vectors, exactly what a quantized index stores.
+    val quantizedIdx = p.bool("quantized").getOrElse(false)
+    val cIndex =
+      if (quantizedIdx) corpus.select(col(idField).as("neighbor_id"),
+        graft.ops.SelectCompiler.quantizeCol(col(embField)).as("__c_qv"))
+      else null
+    val c =
+      if (quantizedIdx) cIndex.withColumn("__c_emb",
+        graft.ops.SelectCompiler.dequantizeCol(col("__c_qv")))
+        .select("neighbor_id", "__c_emb")
+      else corpus.select(col(idField).as("neighbor_id"),
+        col(embField).as("__c_emb"))
+    /** Re-attach corpus vectors to an ids-only candidate set: in
+      * quantized mode the join ships int8 + scale and reconstructs
+      * above it, so the wide float arrays never cross the shuffle. */
+    def attach(cand: DataFrame): DataFrame =
+      if (quantizedIdx)
+        cand.join(cIndex, Seq("neighbor_id"))
+          .withColumn("__c_emb",
+            graft.ops.SelectCompiler.dequantizeCol(col("__c_qv")))
+          .drop("__c_qv")
+      else cand.join(c, Seq("neighbor_id"))
 
     val idType = corpus.schema(idField).dataType
     val integralId = idType match {
@@ -88,12 +116,11 @@ object SimilarityTransform {
         val qB = q.filter(col("__q_emb").isNotNull)
           .withColumn("__bucket", explode(buckets(col("__q_emb"))))
           .select("query_id", "__bucket")
-        cB.join(broadcast(qB), Seq("__bucket"))
+        attach(cB.join(broadcast(qB), Seq("__bucket"))
           .select("query_id", "neighbor_id")
-          .dropDuplicates("query_id", "neighbor_id")
           // corpus embeddings once per unique pair (AQE picks the
           // join); query embeddings re-attach broadcast — no shuffle
-          .join(c, Seq("neighbor_id"))
+          .dropDuplicates("query_id", "neighbor_id"))
           .join(broadcast(q), Seq("query_id"))
       case "ivf" =>
         // IVF: corpus vectors assign to their nearest centroid once;
@@ -134,10 +161,9 @@ object SimilarityTransform {
           explode(assignQ(col("__q_emb"))))
           .select("query_id", "__cell")
         // same narrow-candidate shape as lsh
-        cB.join(broadcast(qB), Seq("__cell"))
+        attach(cB.join(broadcast(qB), Seq("__cell"))
           .select("query_id", "neighbor_id")
-          .dropDuplicates("query_id", "neighbor_id")
-          .join(c, Seq("neighbor_id"))
+          .dropDuplicates("query_id", "neighbor_id"))
           .join(broadcast(q), Seq("query_id"))
       case other =>
         throw new IllegalArgumentException(s"similarity method: $other")

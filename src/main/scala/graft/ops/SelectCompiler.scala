@@ -25,6 +25,40 @@ import org.apache.spark.sql.types._
   */
 object SelectCompiler {
 
+  /** Int8 embedding quantization: array<float> → struct(scale:
+    * double, q: array<tinyint>) with q = round(v / scale), scale =
+    * max|v| / 127 — a 4x memory cut for ANN/dedup indexes
+    * (reconstruction error ≤ scale/2 per element). ONE formula shared
+    * by the `quantize` select func and the similarity module's
+    * `quantized: true` index, so the q102/q105 oracles replay both.
+    * The scale subtree must NOT appear inside a per-element lambda
+    * (higher-order lambdas re-evaluate free subtrees per element →
+    * O(d²) per row); array_repeat evaluates it once per row and
+    * zip_with binds it as an element. */
+  def quantizeCol(c: Column): Column = {
+    val maxabs = array_max(transform(c, v => abs(v.cast(DoubleType))))
+    val scale = maxabs / lit(127.0)
+    val scaleArr = array_repeat(scale, size(c))
+    struct(
+      scale.as("scale"),
+      when(maxabs === 0d,
+        transform(c, _ => lit(0).cast(ByteType)))
+        .otherwise(zip_with(c, scaleArr, (v, s2) =>
+          round(v.cast(DoubleType) / s2).cast(ByteType)))
+        .as("q"))
+  }
+
+  /** Inverse: struct(scale, q) → array<float> (v ≈ q * scale). Same
+    * lambda-hoist as [[quantizeCol]]: CollapseProject can inline the
+    * whole upstream quantize expression into `c`, so a per-element
+    * c.getField("scale") would re-run its array_max scan per element
+    * — array_repeat evaluates it once per row instead. */
+  def dequantizeCol(c: Column): Column = {
+    val q = c.getField("q")
+    zip_with(q, array_repeat(c.getField("scale"), size(q)),
+      (v, s2) => (v.cast(DoubleType) * s2).cast(FloatType))
+  }
+
   /** Apply a select config (JSON array) to a DataFrame (lenient:
     * lossy steps null out, reference legacy semantics). */
   def apply(df: DataFrame, selects: JsonNode): DataFrame = {
@@ -209,39 +243,11 @@ object SelectCompiler {
       case "top_k_estimate" =>
         call_function("approx_top_k_estimate", col(field),
           lit(sel.int("k").getOrElse(5)))
-      // int8 embedding quantization — struct(scale: double, q:
-      // array<tinyint>) with q = round(v / scale), scale =
-      // max|v| / 127: a 4x memory cut for ANN/dedup indexes at
-      // 100 TB (reconstruction error <= scale/2 per element). Pure
-      // Column arithmetic, exact-replayable by the q102 oracle;
-      // scale stays double so dequantize is bit-reproducible.
-      case "quantize" =>
-        val c = col(field)
-        val maxabs = array_max(transform(c,
-          v => abs(v.cast(DoubleType))))
-        val scale = maxabs / lit(127.0)
-        // the scale subtree must NOT appear inside a per-element
-        // lambda (higher-order lambdas re-evaluate free subtrees per
-        // element → O(d^2) per row); array_repeat evaluates it once
-        // per row and zip_with binds it as an element
-        val scaleArr = array_repeat(scale, size(c))
-        struct(
-          scale.as("scale"),
-          when(maxabs === 0d,
-            transform(c, _ => lit(0).cast(ByteType)))
-            .otherwise(zip_with(c, scaleArr, (v, s2) =>
-              round(v.cast(DoubleType) / s2).cast(ByteType)))
-            .as("q"))
-      // inverse: struct(scale, q) -> array<float> (v ~ q * scale).
-      // Same lambda-hoist as quantize: CollapseProject can inline the
-      // whole upstream quantize expression into `c`, so a per-element
-      // c.getField("scale") would re-run its array_max scan per
-      // element — array_repeat evaluates it once per row instead.
-      case "dequantize" =>
-        val c = col(field)
-        val q = c.getField("q")
-        zip_with(q, array_repeat(c.getField("scale"), size(q)),
-          (v, s2) => (v.cast(DoubleType) * s2).cast(FloatType))
+      // int8 embedding quantization + inverse (see quantizeCol /
+      // dequantizeCol — formula shared with the similarity module's
+      // quantized index, replayed by the q102/q105 oracles)
+      case "quantize" => quantizeCol(col(field))
+      case "dequantize" => dequantizeCol(col(field))
       // deterministic dataset split assignment (train/val/test …):
       // the row's md5-uniform (same machinery as the sample module,
       // so splits are reproducible, partition-independent, and

@@ -200,4 +200,37 @@ class SelectFuncsSpec extends AnyFunSuite {
     assert(r2.getStruct(1).getSeq[Byte](1).forall(_ == 0))
     assert(r2.getSeq[Float](2).forall(_ == 0.0f))
   }
+
+  /** Property pin of the documented reconstruction contract
+    * (SelectCompiler.quantizeCol): for ANY vector,
+    * max |v − dequantize(quantize(v))| ≤ scale/2 — round() misses a
+    * true value by at most half a quantization step, and the float32
+    * output cast adds at most 2⁻²⁴ relative error on top. */
+  test("quantize roundtrip error bound holds over random vectors") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = {
+      // mix magnitudes so scale varies over 6 orders
+      val mag = math.pow(10.0, rnd.nextInt(6) - 3).toFloat
+      Array.fill(16)((rnd.nextFloat() * 2 - 1) * mag)
+    }
+    val df = (1L to 200L).map(i => (i, vec())).toDF("id", "embedding")
+    val out = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "id"},
+        {"name": "qv", "field": "embedding", "func": "quantize"},
+        {"name": "dq", "field": "qv", "func": "dequantize"},
+        {"name": "embedding"}
+      ]"""))
+    val bad = out.select(
+      aggregate(
+        zip_with(col("dq"), col("embedding"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x))
+        .as("err"),
+      col("qv.scale").as("scale"))
+      .filter(col("err") > col("scale") / 2 * 1.0001 + lit(1e-12))
+      .count()
+    assert(bad == 0, s"$bad vectors exceeded the scale/2 bound")
+  }
 }

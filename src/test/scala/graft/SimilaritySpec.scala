@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** similarity transform — the oracled gates are q23/q24/q33; these pin
+  * the `quantized: true` int8-index mode: on a domain where
+  * quantization is lossless (integer components, max|v| = 127 →
+  * scale = 1) the quantized index must reproduce the float index's
+  * top-k EXACTLY for every method, and the int8 column (not the float
+  * array) must be what crosses the candidate re-attach join. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** integer-component vectors (range [-127, 127], one component
+    * pinned to 127 so scale = 127/127 = 1.0): quantize is then the
+    * identity and any rank divergence is a plumbing bug, not
+    * quantization error. */
+  private def intVec(seed: Long, dim: Int): Array[Float] = {
+    val a = Array.tabulate(dim)(j =>
+      (((seed * 31 + j * 17) % 255 + 255) % 255 - 127).toFloat)
+    a(0) = 127f
+    a
+  }
+
+  private def knn(method: String, quantized: Boolean) = {
+    val dim = 8
+    val corpus = (1L to 60L).map(i => (i, intVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val queries = (1001L to 1005L).map(i => (i, intVec(i * 7, dim)))
+      .toDF("vec_id", "embedding")
+    val params = graft.config.Json.parse(
+      s"""{"method": "$method", "field": "embedding",
+          "idField": "vec_id", "k": 5, "planes": 4, "tables": 4,
+          "quantized": $quantized}""")
+    Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("knn", "similarity", Seq("c", "q"), Nil,
+        params, graft.config.Json.obj()),
+      Map("c" -> corpus, "q" -> queries))("knn")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  for (m <- Seq("bruteforce", "lsh", "ivf"))
+    test(s"quantized $m index reproduces the float top-k exactly on " +
+        "a lossless domain") {
+      assert(ranks(knn(m, quantized = true)) ==
+        ranks(knn(m, quantized = false)))
+    }
+
+  test("quantized lsh carries the int8 index (not float arrays) " +
+      "through the candidate re-attach") {
+    val plan = knn("lsh", quantized = true)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__c_qv"),
+      "int8 index column missing from the optimized plan:\n" + plan)
+  }
+}
