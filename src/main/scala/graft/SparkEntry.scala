@@ -2369,6 +2369,27 @@ transforms:
     parameters: {method: connectedComponents, srcField: src, dstField: dst}
 """),
 
+    // graph degrees twin of q103: the same block-of-10 chain graph
+    // has closed-form degrees — 1 at chain ends (key % 10 ∈ {0, 9}),
+    // 2 inside — so the symmetrize+distinct+count path checks
+    // against an analytic oracle
+    "q108_degrees" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ed
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 1 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 <> 9"
+  - name: out
+    module: graph
+    inputs: [ed]
+    parameters: {method: degrees, srcField: src, dstField: dst}
+"""),
+
     // PII scrub: inject synthetic emails/IPs/phones, then detect and
     // mask via the RE2-parity chain (email -> ip -> phone)
     "q53_pii" -> pipe("out", """
@@ -3373,6 +3394,39 @@ transforms:
     inputs: [ae, al, aw]
     parameters:
       sql: "SELECT CAST(unix_micros(CAST(ae.window.start AS TIMESTAMP)) / 1000000 AS BIGINT) AS win_start, ae.event_type, ae.n, unix_micros(CAST(ae.__event_time AS TIMESTAMP)) AS earliest_us, unix_micros(CAST(al.__event_time AS TIMESTAMP)) AS latest_us, unix_micros(CAST(aw.__event_time AS TIMESTAMP)) AS eow_us FROM ae JOIN al ON ae.window = al.window AND ae.event_type = al.event_type JOIN aw ON ae.window = aw.window AND ae.event_type = aw.event_type"
+"""),
+
+    // tokenizer-exact chunking: tokenize (lowercase whitespace
+    // analyzer) feeds chunk via `tokensField`, so windows count
+    // ANALYZER tokens, not raw whitespace ones — the BPE-shaped
+    // composition (swap the analyzer chain for a BPE tokenizer and
+    // the windows are BPE-exact). Chunks emit as token-array slices;
+    // the gate joins them for the pandas-sortable compare.
+    "q107_chunk_tokens" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: tk
+    module: tokenize
+    inputs: [docs]
+    parameters:
+      fields:
+        - {name: toks, input: text}
+  - name: ck
+    module: chunk
+    inputs: [tk]
+    parameters: {tokensField: toks, size: 32, overlap: 8}
+  - name: out
+    module: select
+    inputs: [ck]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: chunk_s, func: concat, fields: [chunk], delimiter: " "}
+        - {name: chunk_index}
+        - {name: chunk_offset}
 """),
 
     // composed LLM-data recipe: chunk → (stub-)embed → QUANTIZED
@@ -5096,6 +5150,14 @@ transforms:
            TRUE AS recon_ok
          FROM s""",
 
+    // chain degrees: block-of-10 chains — endpoints have one
+    // neighbor, interior vertices two
+    "q108_degrees" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS vertex,
+           CAST(CASE WHEN o_orderkey % 10 IN (0, 9) THEN 1 ELSE 2 END
+             AS BIGINT) AS degree
+         FROM orders""",
+
     // chain components: block-of-10 chains have component min
     // floor(v/10)*10
     "q103_components" ->
@@ -5302,6 +5364,28 @@ transforms:
            max(epoch_us(ts)) AS latest_us,
            (win_start + 21600) * 1000000 - 1000 AS eow_us
          FROM w GROUP BY 1, 2""",
+
+    // tokenize → chunk composition ≡ lowercase+filter tokens, then
+    // the q97 windowing over the token list (size 32, stride 24)
+    "q107_chunk_tokens" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(text, '\s+'), x -> lower(x)),
+               x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= 32 THEN 0
+                    ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT)
+               END)) AS i
+           FROM t)
+         SELECT doc_id,
+           array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_s,
+           CAST(i AS BIGINT) AS chunk_index,
+           CAST(i * 24 AS BIGINT) AS chunk_offset
+         FROM g""",
 
     // chunk → rank-join stub embeddings → int8 quantize → cosine
     // top-k: the full chain replayed — chunk ordinals from the q97

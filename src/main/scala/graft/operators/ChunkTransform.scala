@@ -22,9 +22,15 @@ import org.apache.spark.sql.types._
   * `posexplode`, all codegen'd, zero shuffle, no UDF: the explode
   * multiplies rows map-side exactly like the reference's unnest
   * path, so the operator scales with input bytes regardless of
-  * document count. A BPE-exact chunker swaps the whitespace split
-  * for tokenizer output upstream (`tokenize` module) and chunks the
-  * token array the same way.
+  * document count.
+  *
+  * Tokenizer-exact chunking: declare `tokensField` naming an
+  * existing token ARRAY column (e.g. `tokenize` module output — any
+  * analyzer chain, BPE included) and the windows slice that array
+  * directly instead of whitespace-splitting `field`; the chunk
+  * output column is then the token-array slice, offsets count
+  * tokens of that tokenization. A null document (null text or null
+  * token array) yields zero chunks.
   */
 object ChunkTransform {
 
@@ -51,7 +57,16 @@ object ChunkTransform {
       s"chunk ${cfg.name}: input columns ${reservedHit.mkString(", ")} " +
         "collide with the operator's working names — rename them " +
         "upstream")
-    val toks = split(trim(col(field)), "\\s+")
+    val tokensField = p.str("tokensField")
+    val srcCol = tokensField.map(col).getOrElse(col(field))
+    tokensField.foreach { tf =>
+      require(df.schema(tf).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"chunk ${cfg.name}: tokensField $tf must be an array column " +
+          "(tokenize module output)")
+    }
+    val toks = tokensField.map(col)
+      .getOrElse(split(trim(col(field)), "\\s+"))
     val n = size(toks)
     // number of chunks: 1 while the doc fits, else enough strides to
     // cover the tail (the last chunk may be shorter than `size`)
@@ -62,11 +77,14 @@ object ChunkTransform {
     // array stays null and the (non-outer) posexplode drops the row —
     // without this guard size(null)= -1 made nChunks hit the `<= sz`
     // branch and emit one phantom row with a null chunk
-    val pieces = when(col(field).isNotNull,
+    val pieces = when(srcCol.isNotNull,
       transform(sequence(lit(0), nChunks - 1),
         i => struct(
           (i * stride).as("off"),
-          array_join(slice(toks, i * stride + 1, lit(sz)), " ")
+          // text mode re-joins the window; token mode emits the raw
+          // token-array slice (downstream packs/embeds tokens)
+          (if (tokensField.isDefined) slice(toks, i * stride + 1, lit(sz))
+           else array_join(slice(toks, i * stride + 1, lit(sz)), " "))
             .as("txt"))))
     val keep = df.columns.map(col).toSeq
     val out = df

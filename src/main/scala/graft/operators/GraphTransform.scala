@@ -18,6 +18,16 @@ import org.apache.spark.sql.types._
   * id (`vertexField`/`componentField`, defaults `vertex` /
   * `component`).
   *
+  * `method: degrees`: one row per distinct vertex with its
+  * undirected distinct-neighbor count (`degreeField`, default
+  * `degree`) — duplicate edges and reversed duplicates count once, a
+  * self-loop contributes one neighbor (the vertex itself). The
+  * dedup-pipeline read: a near-dup candidate graph's high-degree
+  * vertices are hub documents (templates, boilerplate) worth
+  * inspecting before transitive closure glues their components
+  * together. Shape: symmetrize ids-only edges, distinct, one
+  * partial-agg count — a single narrow shuffle, no iteration.
+  *
   * Scale shape: the same hash-min + pointer-jumping loop the dedup
   * module's transitive closure runs ([[DedupTransform.componentMin]])
   * — ids-only edge shuffles, O(log diameter) rounds, per-round
@@ -33,13 +43,24 @@ object GraphTransform {
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val method = p.str("method").getOrElse("connectedComponents")
-    require(method == "connectedComponents",
-      s"graph method: $method (valid: connectedComponents)")
+    require(Set("connectedComponents", "degrees")(method),
+      s"graph method: $method (valid: connectedComponents, degrees)")
     val src = p.str("srcField").getOrElse("src")
     val dst = p.str("dstField").getOrElse("dst")
     require(df.columns.contains(src) && df.columns.contains(dst),
       s"graph ${cfg.name}: edge input needs $src and $dst columns")
     val vOut = p.str("vertexField").getOrElse("vertex")
+    if (method == "degrees") {
+      val dOut = p.str("degreeField").getOrElse("degree")
+      val sym = df
+        .select(col(src).as(vOut), col(dst).as("__nbr"))
+        .union(df.select(col(dst).as(vOut), col(src).as("__nbr")))
+        .filter(col(vOut).isNotNull && col("__nbr").isNotNull)
+        .distinct()
+      val out = sym.groupBy(col(vOut))
+        .agg(count(lit(1)).as(dOut))
+      return TransformCommon.finishRouted(out, cfg)
+    }
     val cOut = p.str("componentField").getOrElse("component")
     val reservedOut = Seq(vOut, cOut)
       .filter(Set("__id", "__dup_of").contains)

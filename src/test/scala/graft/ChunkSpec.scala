@@ -58,6 +58,30 @@ class ChunkSpec extends AnyFunSuite {
       "a <=size doc produced more than one chunk")
   }
 
+  test("tokensField: windows slice an existing token array " +
+      "(tokenizer-exact chunking), nulls yield zero chunks") {
+    val df = Seq(
+      (1L, Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7")),
+      (2L, null: Seq[String]),
+      (3L, Seq("a"))).toDF("id", "toks")
+    val out = chunk(
+      """{"tokensField": "toks", "size": 3, "overlap": 1}""", df)
+      .orderBy("id", "chunk_index")
+      .select("id", "chunk", "chunk_index", "chunk_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2),
+        r.getLong(3)))
+    // stride 2 over 7 tokens: offsets 0,2,4 cover, last window short
+    assert(out.toSeq == Seq(
+      (1L, Seq("t1", "t2", "t3"), 0L, 0L),
+      (1L, Seq("t3", "t4", "t5"), 1L, 2L),
+      (1L, Seq("t5", "t6", "t7"), 2L, 4L),
+      (3L, Seq("a"), 0L, 0L)))
+    val e = intercept[IllegalArgumentException](chunk(
+      """{"tokensField": "id", "size": 3}""", df))
+    assert(e.getMessage.contains("array"))
+  }
+
   test("a null document yields zero chunks") {
     val out = chunk("""{"field": "text", "size": 4, "overlap": 1}""",
       Seq((1L, "a b c"), (2L, null: String), (3L, "d"))

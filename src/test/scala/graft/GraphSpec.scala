@@ -27,6 +27,23 @@ class GraphSpec extends AnyFunSuite {
       "x" -> "x", "y" -> "x", "d" -> "d"))
   }
 
+  test("degrees: distinct-neighbor counts — duplicate and reversed " +
+      "edges collapse, self-loops count once, nulls drop") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "b"), // one undirected edge
+      ("a", "c"),
+      ("d", "d"), // self-loop: d's one neighbor is itself
+      ("e", null), (null, "e")) // null-partnered edges drop entirely
+      .toDF("src", "dst")
+    val out = cc("""{"method": "degrees"}""", edges)
+    assert(out.columns.toSeq == Seq("vertex", "degree"))
+    val m = out.as[(String, Long)].collect().toMap
+    assert(m == Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    val e = intercept[IllegalArgumentException](
+      cc("""{"method": "pagerank"}""", edges))
+    assert(e.getMessage.contains("valid"))
+  }
+
   test("custom field names and null edges dropped") {
     val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)),
       (Some(3L), None)).toDF("l", "r")
