@@ -128,6 +128,17 @@ object ScaleMain {
           """{"srcField":"src","dstField":"dst"}"""),
           Json.obj()), Map("e" -> edges))("cc")
     }
+    // degrees: symmetrize + distinct + count — ONE narrow shuffle, no
+    // iteration, so wall time must track edge count linearly
+    time("degrees") {
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .filter(col("src") % 10 =!= 9)
+      graft.operators.GraphTransform.build(spark,
+        ModuleCfg("dg", "graph", Seq("e"), Nil, Json.parse(
+          """{"method":"degrees","srcField":"src","dstField":"dst"}"""),
+          Json.obj()), Map("e" -> edges))("dg")
+    }
     // zorder: one range shuffle on the interleaved key — the layout
     // cost a 100 TB table pays once at write time
     time("zorder") {
@@ -342,6 +353,11 @@ sinks:
       """{"method":"bruteforce","field":"embedding","idField":"vec_id","k":5}""") }
     time("knn-lsh") { knn(
       """{"method":"lsh","field":"embedding","idField":"vec_id","k":5,"planes":12,"tables":4}""") }
+    // int8 index: identical candidate generation, but the re-attach
+    // join ships (int8 q, scale) instead of float32 arrays — the
+    // shuffle-bytes cut is the claim (SCALE_STAGES shows shr/shw)
+    time("knn-lsh-quantized") { knn(
+      """{"method":"lsh","field":"embedding","idField":"vec_id","k":5,"planes":12,"tables":4,"quantized":true}""") }
     // q66 path at scale: Lloyd auto-fit (bounded centroid sample) +
     // cell assignment + per-cell rep window + cosine verify — the
     // per-cell window is the scale-sensitive stage (cells must stay
