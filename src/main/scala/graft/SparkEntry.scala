@@ -54,6 +54,36 @@ object SparkEntry {
        FROM z"""
   }
 
+  /** q109 oracle: DuckDB replay of pagerank over the block-of-10
+    * chain graph. Every vertex has in-degree ≤ 1, so no float
+    * summation reorders and the engine's per-round arithmetic —
+    * rank' = (1−d)/N + d·(rank_prev / outDeg) — is a deterministic
+    * double recurrence the SQL unrolls per chain position
+    * (position j reaches its fixed point after j+1 ≤ 10 rounds).
+    * Generated so one recurrence defines both sides, like
+    * zorderOracleSql. */
+  private def pagerankOracleSql: String = {
+    // all literals forced to DOUBLE: DuckDB otherwise evaluates
+    // bare decimal literals in DECIMAL (1.0 − 0.85 = exactly 0.15),
+    // one ulp off the JVM's binary 0.15000000000000002 — caught at
+    // sf0.1 where the division lands on the other side of a rounding
+    // boundary
+    val positions = (1 until 10).scanLeft("b") {
+      (prev, _) => s"(b + CAST(0.85 AS DOUBLE) * $prev)"
+    }
+    val cases = positions.zipWithIndex
+      .map { case (e, j) => s"WHEN $j THEN $e" }.mkString("\n      ")
+    s"""WITH nb AS (
+         SELECT (1.0 - CAST(0.85 AS DOUBLE))
+             / CAST(count(*) AS DOUBLE) AS b
+         FROM orders)
+       SELECT CAST(o_orderkey AS BIGINT) AS vertex,
+         CASE CAST(o_orderkey % 10 AS INT)
+      $cases
+         END AS rank
+       FROM orders, nb"""
+  }
+
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2388,6 +2418,28 @@ transforms:
     module: graph
     inputs: [ed]
     parameters: {method: degrees, srcField: src, dstField: dst}
+"""),
+
+    // graph pagerank over the same chain graph: in-degree ≤ 1 keeps
+    // every double op order-deterministic, so the oracle replays the
+    // exact recurrence (generated — pagerankOracleSql) bit-for-bit;
+    // chain position j's rank is (1−d)/N · (1 + d + … + d^j)
+    // computed by the SAME iterated ops on both sides
+    "q109_pagerank" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ed
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 1 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 <> 9"
+  - name: out
+    module: graph
+    inputs: [ed]
+    parameters: {method: pagerank, srcField: src, dstField: dst, damping: 0.85, maxIterations: 10}
 """),
 
     // PII scrub: inject synthetic emails/IPs/phones, then detect and
@@ -5149,6 +5201,10 @@ transforms:
              ',') AS q_s,
            TRUE AS recon_ok
          FROM s""",
+
+    // chain pagerank: the generated recurrence replay (in-degree ≤ 1
+    // → order-deterministic double ops on both sides)
+    "q109_pagerank" -> pagerankOracleSql,
 
     // chain degrees: block-of-10 chains — endpoints have one
     // neighbor, interior vertices two

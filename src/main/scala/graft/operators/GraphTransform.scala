@@ -28,6 +28,20 @@ import org.apache.spark.sql.types._
   * together. Shape: symmetrize ids-only edges, distinct, one
   * partial-agg count — a single narrow shuffle, no iteration.
   *
+  * `method: pagerank`: DIRECTED power iteration, `rankField`
+  * (default `rank`) after `maxIterations` (default 10) rounds of
+  * pr' = (1−d)/N + d·Σ pr(in-neighbor)/outDeg(in-neighbor), damping
+  * `d` (default 0.85). Dangling vertices (no out-edges) lose their
+  * mass — the simple variant; ranks then need not sum to 1, which is
+  * fine for the pipeline uses (authority ordering of link/citation
+  * graphs, hub scoring of candidate-pair graphs). Scale shape: per
+  * round, ONE shuffle of (dst, contribution) ids+doubles plus a
+  * broadcast-size out-degree join, lineage truncated per round
+  * (`localCheckpoint`) so the iterated plan stays O(1); one driver
+  * count sizes the teleport term. Arithmetic is plain double ops in
+  * a fixed order, so on graphs with in-degree ≤ 1 (no float
+  * summation reordering) the q109 oracle replays it bit-for-bit.
+  *
   * Scale shape: the same hash-min + pointer-jumping loop the dedup
   * module's transitive closure runs ([[DedupTransform.componentMin]])
   * — ids-only edge shuffles, O(log diameter) rounds, per-round
@@ -43,8 +57,9 @@ object GraphTransform {
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val method = p.str("method").getOrElse("connectedComponents")
-    require(Set("connectedComponents", "degrees")(method),
-      s"graph method: $method (valid: connectedComponents, degrees)")
+    require(Set("connectedComponents", "degrees", "pagerank")(method),
+      s"graph method: $method (valid: connectedComponents, degrees, " +
+        "pagerank)")
     val src = p.str("srcField").getOrElse("src")
     val dst = p.str("dstField").getOrElse("dst")
     require(df.columns.contains(src) && df.columns.contains(dst),
@@ -60,6 +75,51 @@ object GraphTransform {
       val out = sym.groupBy(col(vOut))
         .agg(count(lit(1)).as(dOut))
       return TransformCommon.finishRouted(out, cfg)
+    }
+    if (method == "pagerank") {
+      val d = p.dbl("damping").getOrElse(0.85)
+      require(d >= 0 && d < 1,
+        s"graph ${cfg.name}: damping must be in [0, 1), got $d")
+      val iters = p.int("maxIterations").getOrElse(10)
+      val rOut = p.str("rankField").getOrElse("rank")
+      val prReserved = Seq(vOut, rOut)
+        .filter(Set("__s", "__d", "__c", "__deg").contains)
+      require(prReserved.isEmpty,
+        s"graph ${cfg.name}: output names ${prReserved.mkString(", ")} " +
+          "collide with pagerank's internal columns — pick different " +
+          "vertexField/rankField")
+      val e = df
+        .select(col(src).as("__s"), col(dst).as("__d"))
+        .filter(col("__s").isNotNull && col("__d").isNotNull)
+      val vertices = e.select(col("__s").as(vOut))
+        .union(e.select(col("__d").as(vOut)))
+        .distinct().localCheckpoint()
+      val n = vertices.count().toDouble
+      require(n > 0, s"graph ${cfg.name}: pagerank needs >= 1 vertex")
+      // teleport term computed ONCE driver-side: (1−d)/N, the same
+      // double ops the q109 oracle replays as (1.0 − d) / nv
+      val base = (1.0 - d) / n
+      val outDeg = e.groupBy(col("__s"))
+        .agg(count(lit(1)).cast(DoubleType).as("__deg"))
+      var pr = vertices.withColumn(rOut, lit(1.0 / n))
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(pr, e("__s") === pr(vOut))
+          .join(outDeg, Seq("__s"))
+          .select(col("__d").as(vOut),
+            (col(rOut) / col("__deg")).as("__c"))
+          .groupBy(col(vOut))
+          .agg(sum(col("__c")).as("__c"))
+        // per-round lineage truncation, as in componentMin: the
+        // iterated self-join's plan must stay O(1) per round
+        pr = vertices
+          .join(contribs, Seq(vOut), "left")
+          .select(col(vOut),
+            (lit(base) + lit(d) * coalesce(col("__c"), lit(0.0)))
+              .as(rOut))
+          .localCheckpoint()
+      }
+      return TransformCommon.finishRouted(pr, cfg)
     }
     val cOut = p.str("componentField").getOrElse("component")
     val reservedOut = Seq(vOut, cOut)

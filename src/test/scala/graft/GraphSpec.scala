@@ -40,8 +40,37 @@ class GraphSpec extends AnyFunSuite {
     val m = out.as[(String, Long)].collect().toMap
     assert(m == Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
     val e = intercept[IllegalArgumentException](
-      cc("""{"method": "pagerank"}""", edges))
+      cc("""{"method": "triangles"}""", edges))
     assert(e.getMessage.contains("valid"))
+  }
+
+  test("pagerank: cycle is uniform, star concentrates rank in the " +
+      "hub, danglings keep the teleport floor") {
+    // 4-cycle: every vertex has in/out degree 1 — rank stays uniform
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val uni = cc("""{"method": "pagerank"}""", cyc)
+      .as[(Long, Double)].collect().toMap
+    assert(uni.size == 4)
+    // symmetric ops → identical bits per vertex, and ≈ 1/N
+    assert(uni.values.toSet.size == 1, uni)
+    assert(math.abs(uni(1L) - 0.25) < 1e-9)
+    // star: leaves 2..5 all point at hub 1 (a dangling vertex):
+    // hub rank = base + d·4·(base) after convergence > leaf rank
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    val r = cc(
+      """{"method": "pagerank", "damping": 0.85,
+         "maxIterations": 10, "rankField": "pr"}""", star)
+    assert(r.columns.toSeq == Seq("vertex", "pr"))
+    val m = r.as[(Long, Double)].collect().toMap
+    val base = 0.15 / 5
+    assert(m(2L) == m(5L) && math.abs(m(2L) - base) < 1e-12,
+      "leaves get no in-flow: rank must settle at the teleport floor")
+    assert(m(1L) > 4 * m(2L), s"hub must dominate: $m")
+    val e = intercept[IllegalArgumentException](cc(
+      """{"method": "pagerank", "damping": 1.5}""", star))
+    assert(e.getMessage.contains("damping"))
   }
 
   test("custom field names and null edges dropped") {
@@ -59,7 +88,7 @@ class GraphSpec extends AnyFunSuite {
 
   test("unknown method fails actionably") {
     val e = intercept[IllegalArgumentException](cc(
-      """{"method": "pagerank"}""",
+      """{"method": "labelPropagation"}""",
       Seq((1, 2)).toDF("src", "dst")))
     assert(e.getMessage.contains("connectedComponents"))
   }
