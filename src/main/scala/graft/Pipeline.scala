@@ -88,6 +88,7 @@ object Pipeline {
     "pack" -> PackTransform.build,
     "chunk" -> ChunkTransform.build,
     "graph" -> GraphTransform.build,
+    "tfidf" -> TfIdfTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build) ++
     VendorSlots.transforms

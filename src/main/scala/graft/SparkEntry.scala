@@ -2399,6 +2399,32 @@ transforms:
     parameters: {method: connectedComponents, srcField: src, dstField: dst}
 """),
 
+    // corpus term scoring: smoothed tf-idf (sklearn variant) over a
+    // 1/97 document sample — one (doc, term) row each with tf, df,
+    // and the rounded score; the oracle replays tokenization,
+    // counts, and ln((1+N)/(1+df))+1 in SQL
+    "q110_tfidf" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: fl
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 97 = 0"
+  - name: ti
+    module: tfidf
+    inputs: [fl]
+    parameters: {idField: doc_id, field: text}
+  - name: out
+    module: sql
+    inputs: [ti]
+    parameters:
+      sql: "SELECT doc_id, term, tf, df, round(score, 4) AS score_r FROM ti"
+"""),
+
     // graph degrees twin of q103: the same block-of-10 chain graph
     // has closed-form degrees — 1 at chain ends (key % 10 ∈ {0, 9}),
     // 2 inside — so the symmetrize+distinct+count path checks
@@ -5205,6 +5231,27 @@ transforms:
     // chain pagerank: the generated recurrence replay (in-degree ≤ 1
     // → order-deterministic double ops on both sides)
     "q109_pagerank" -> pagerankOracleSql,
+
+    // smoothed tf-idf ≡ tokenize, count, ln((1+N)/(1+df))+1 — N is
+    // the SAMPLE row count (token-less docs included)
+    "q110_tfidf" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM d),
+         t AS (
+           SELECT doc_id,
+             unnest(list_filter(list_transform(
+               string_split_regex(text, '\s+'), x -> lower(x)),
+               x -> x <> '')) AS term
+           FROM d),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+           round(CAST(tf.tf AS DOUBLE) *
+             (ln((1.0 + nv) / (1.0 + CAST(dfr.df AS DOUBLE))) + 1.0),
+             4) AS score_r
+         FROM tf JOIN dfr USING (term), nn""",
 
     // chain degrees: block-of-10 chains — endpoints have one
     // neighbor, interior vertices two

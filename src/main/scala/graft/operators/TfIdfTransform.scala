@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `tfidf` transform — corpus term scoring for curation pipelines
+  * (parity-plus: the reference has no term scorer; the pipeline-level
+  * needs are keyword extraction, boilerplate triage, and lexical
+  * retrieval scoring over training corpora).
+  *
+  * Tokens come from a whitespace+lowercase split of `field` or an
+  * existing array column (`tokensField`, e.g. `tokenize` output —
+  * same contract as the chunk module). Output: one row per
+  * (document, distinct term) with `tf` (term count in the doc), `df`
+  * (documents containing the term), and the scheme score:
+  *
+  *  - `scheme: tfidf` (default) — sklearn's smoothed variant:
+  *    idf = ln((1+N)/(1+df)) + 1, score = tf · idf.
+  *  - `scheme: bm25` — Okapi BM25 with `k1` (1.2) / `b` (0.75):
+  *    idf = ln(1 + (N−df+0.5)/(df+0.5)),
+  *    score = idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+  *
+  * `topK` keeps each document's k highest-scoring terms (score desc,
+  * term asc — deterministic), adding a 1-based `rank`.
+  *
+  * Scale shape: explode is map-side; `tf` is ONE shuffle on
+  * (doc, term) with partial combine; `df` re-aggregates the already
+  * (doc, term)-distinct tf frame (term-keyed, vocabulary-sized);
+  * the df re-attach joins on term and AQE broadcasts it when the
+  * vocabulary is small. N (and avgdl for bm25) are single driver
+  * aggregates, like the pagerank teleport term — corpus-global
+  * scalars are metadata, not data. Nothing document-pair-shaped
+  * ever materializes. */
+object TfIdfTransform {
+
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    val idField = p.str("idField").getOrElse("doc_id")
+    require(df.columns.contains(idField),
+      s"tfidf ${cfg.name}: idField $idField not in input " +
+        s"(${df.columns.mkString(", ")})")
+    val field = p.str("field").getOrElse("text")
+    val tokensField = p.str("tokensField")
+    tokensField.foreach { tf =>
+      require(df.schema(tf).dataType.isInstanceOf[ArrayType],
+        s"tfidf ${cfg.name}: tokensField $tf must be an array column")
+    }
+    val scheme = p.str("scheme").getOrElse("tfidf")
+    require(Set("tfidf", "bm25")(scheme),
+      s"tfidf ${cfg.name}: scheme $scheme (valid: tfidf, bm25)")
+    val toks = tokensField.map(col).getOrElse(
+      filter(transform(split(col(field).cast(StringType), "\\s+"),
+        t => lower(t)), t => t =!= ""))
+    // N counts INPUT documents (token-less docs included — they are
+    // part of the corpus the idf denominator describes)
+    val n = df.count().toDouble
+    require(n > 0, s"tfidf ${cfg.name}: empty input")
+    val terms = df
+      .select(col(idField), explode(toks).as("__term"))
+    val tf = terms
+      .groupBy(col(idField), col("__term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf
+      .groupBy(col("__term"))
+      .agg(count(lit(1)).as("df"))
+    val joined = tf.join(dfreq, Seq("__term"))
+    val scored = scheme match {
+      case "tfidf" =>
+        val idf = log((lit(1.0) + lit(n)) /
+          (lit(1.0) + col("df").cast(DoubleType))) + lit(1.0)
+        joined.withColumn("score",
+          col("tf").cast(DoubleType) * idf)
+      case "bm25" =>
+        val k1 = p.dbl("k1").getOrElse(1.2)
+        val b = p.dbl("b").getOrElse(0.75)
+        // avgdl over docs WITH tokens (dl of an empty doc is 0 and
+        // contributes nothing to retrieval; standard convention)
+        val avgdl = terms.groupBy(col(idField))
+          .agg(count(lit(1)).as("__dl"))
+          .agg(avg(col("__dl"))).head().getDouble(0)
+        val dl = sum(col("tf")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idField)))
+        val idf = log(lit(1.0) +
+          (lit(n) - col("df").cast(DoubleType) + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5)))
+        val tfd = col("tf").cast(DoubleType)
+        joined
+          .withColumn("__dl", dl.cast(DoubleType))
+          .withColumn("score", idf * (tfd * lit(k1 + 1.0)) /
+            (tfd + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl))))
+          .drop("__dl")
+    }
+    val named = scored
+      .select(col(idField), col("__term").as("term"),
+        col("tf"), col("df"), col("score"))
+    val out = p.int("topK") match {
+      case None => named
+      case Some(k) =>
+        require(k > 0, s"tfidf ${cfg.name}: topK must be positive")
+        import org.apache.spark.sql.expressions.Window
+        named
+          .withColumn("rank", row_number().over(Window
+            .partitionBy(col(idField))
+            .orderBy(col("score").desc, col("term").asc)))
+          .filter(col("rank") <= k)
+    }
+    TransformCommon.finishRouted(out, cfg)
+  }
+}
