@@ -99,13 +99,18 @@ object GraphTransform {
       // teleport term computed ONCE driver-side: (1−d)/N, the same
       // double ops the q109 oracle replays as (1.0 − d) / nv
       val base = (1.0 - d) / n
+      // the graph is loop-invariant: attach each edge's source
+      // out-degree ONCE and checkpoint, so every round pays only the
+      // rank join + contribution aggregate instead of re-deriving
+      // and re-joining the degree table (measured 7.1 s → see bench
+      // for the 10-round chain gate before this hoist)
       val outDeg = e.groupBy(col("__s"))
         .agg(count(lit(1)).cast(DoubleType).as("__deg"))
+      val eDeg = e.join(outDeg, Seq("__s")).localCheckpoint()
       var pr = vertices.withColumn(rOut, lit(1.0 / n))
       for (_ <- 1 to iters) {
-        val contribs = e
-          .join(pr, e("__s") === pr(vOut))
-          .join(outDeg, Seq("__s"))
+        val contribs = eDeg
+          .join(pr, eDeg("__s") === pr(vOut))
           .select(col("__d").as(vOut),
             (col(rOut) / col("__deg")).as("__c"))
           .groupBy(col(vOut))
