@@ -212,4 +212,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("Exchange"),
       "normalize is a map-side native expression")
   }
+
+  test("q107 tokenizer-exact chunk stays map-side pure Catalyst") {
+    val p = plan("q107_chunk_tokens")
+    assert(!p.contains("Exchange"), "token chunking must not shuffle")
+    assert(!p.contains("ScalaUDF"),
+      "pattern-mode tokenize + chunk are pure Columns")
+  }
+
+  test("q110 tfidf: tf aggregate partial-combines below its shuffle") {
+    val p = plan("q110_tfidf")
+    assert(p.contains("partial_count"),
+      "the (doc, term) count must combine map-side — the explode " +
+        "fan-out must never cross the wire raw:\n" + p)
+    assert(!p.contains("ScalaUDF"), "tokenization is pure Columns")
+  }
+
+  test("q108 degrees is one narrow distinct+count, no row explosion") {
+    val p = plan("q108_degrees")
+    assert(p.contains("partial_count") || p.contains("Aggregate"),
+      "degree count must partial-combine")
+    assert(!p.contains("Window"),
+      "degrees must not rank — a Window here is a per-key funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+  }
 }
