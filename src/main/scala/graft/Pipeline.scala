@@ -89,6 +89,7 @@ object Pipeline {
     "chunk" -> ChunkTransform.build,
     "graph" -> GraphTransform.build,
     "tfidf" -> TfIdfTransform.build,
+    "profile" -> ProfileTransform.build,
     "similarity" -> SimilarityTransform.build,
     "textAnalysis" -> TextAnalysisTransform.build) ++
     VendorSlots.transforms

@@ -2399,6 +2399,78 @@ transforms:
     parameters: {method: connectedComponents, srcField: src, dstField: dst}
 """),
 
+    // data-quality profiling: one-pass per-column stats (rows, nulls,
+    // exact distincts, string-rendered bounds, mean/sample-std for
+    // numerics) over four orders columns; oracle = the same stats as
+    // four UNION ALL'd DuckDB aggregates
+    "q112_profile" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: pf
+    module: profile
+    inputs: [ord]
+    parameters:
+      fields: [o_orderkey, o_custkey, o_orderstatus, o_orderpriority]
+  - name: out
+    module: sql
+    inputs: [pf]
+    parameters:
+      sql: "SELECT column AS col_name, n, nulls, distincts, min_s, max_s, round(mean, 4) AS mean_r, round(std, 4) AS std_r FROM pf"
+"""),
+
+    // §2.2 csv writer OPTIONS roundtrip: gzip compression, a custom
+    // separator, declared shard count, header — written by the sink,
+    // read back by the source with a declared schema and the same
+    // options; oracle = identity on orders. Converts the
+    // writer-options surface from unit-only evidence to a gate.
+    "q111_csv_options_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q111_").toString
+      Pipeline.execute(s, s"""
+sources:
+  - name: ord
+    module: storage
+    parameters:
+      path: "$dir/orders.parquet"
+      fields: [o_orderkey, o_orderstatus, o_totalprice]
+sinks:
+  - name: snk
+    module: storage
+    input: ord
+    parameters:
+      output: "$base/csv"
+      format: csv
+      header: true
+      compression: gzip
+      numShards: 3
+      options: {sep: ";"}
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: back
+    module: storage
+    parameters:
+      path: "$base/csv"
+      format: csv
+      header: true
+      options: {sep: ";"}
+      schema:
+        fields:
+          - {name: o_orderkey, type: int64}
+          - {name: o_orderstatus, type: string}
+          - {name: o_totalprice, type: float64}
+transforms:
+  - name: out
+    module: sql
+    inputs: [back]
+    parameters:
+      sql: "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price_r FROM back"
+""", Map.empty)("out")
+    }),
+
     // corpus term scoring: smoothed tf-idf (sklearn variant) over a
     // 1/97 document sample — one (doc, term) row each with tf, df,
     // and the rounded score; the oracle replays tokenization,
@@ -5231,6 +5303,35 @@ transforms:
     // chain pagerank: the generated recurrence replay (in-degree ≤ 1
     // → order-deterministic double ops on both sides)
     "q109_pagerank" -> pagerankOracleSql,
+
+    // per-column profile ≡ one aggregate per column, unioned
+    "q112_profile" -> {
+      def one(c: String, numeric: Boolean): String = {
+        val mean =
+          if (numeric) s"round(avg($c), 4)" else "CAST(NULL AS DOUBLE)"
+        val std =
+          if (numeric) s"round(stddev_samp($c), 4)"
+          else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           CAST(count(*) - count($c) AS BIGINT) AS nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS distincts,
+           CAST(min($c) AS VARCHAR) AS min_s,
+           CAST(max($c) AS VARCHAR) AS max_s,
+           $mean AS mean_r, $std AS std_r
+         FROM orders"""
+      }
+      Seq(one("o_orderkey", numeric = true),
+        one("o_custkey", numeric = true),
+        one("o_orderstatus", numeric = false),
+        one("o_orderpriority", numeric = false))
+        .mkString("\nUNION ALL\n")
+    },
+
+    // csv options roundtrip is lossless -> identity oracle
+    "q111_csv_options_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 4) AS price_r
+         FROM orders""",
 
     // smoothed tf-idf ≡ tokenize, count, ln((1+N)/(1+df))+1 — N is
     // the SAMPLE row count (token-less docs included)

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `profile` transform — one-pass column profiling for data-quality
+  * gates over curation pipelines (parity-plus: the reference's
+  * `compare` diffs two frames; the pipeline-level need before
+  * training is profiling ONE frame — null rates, cardinalities,
+  * ranges, moments — to assert corpus health and catch schema drift).
+  *
+  * Output: one row per profiled column — `column`, `n` (frame rows),
+  * `nulls`, `distincts`, `min_s`/`max_s` (string-rendered bounds),
+  * `mean`/`std` (sample stddev; null for non-numerics). Profiled
+  * columns default to every ATOMIC column (arrays/maps/structs are
+  * skipped — they have no total order); narrow with `fields`.
+  *
+  * Scale shape: ONE aggregation pass over the frame; the single
+  * result row collects driver-side (bounded: one value per stat per
+  * column) and melts into per-column rows. Exact `distincts` is the
+  * default at gate scale but costs one Expand per column at 100 TB —
+  * set `approx: true` to swap in approx_count_distinct (HLL, one
+  * pass, no Expand), the same exact/approx twin pattern as the
+  * aggregation module's count_distinct. */
+object ProfileTransform {
+
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val df = TransformCommon.single(cfg, inputs)
+    val p = cfg.params
+    require(!df.isStreaming,
+      s"profile ${cfg.name}: profiling is a batch action (a stream " +
+        "has no final statistics) — profile a windowed aggregate " +
+        "instead")
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+    val declared = p.strArr("fields")
+    declared.foreach(f => require(df.columns.contains(f),
+      s"profile ${cfg.name}: field $f not in input " +
+        s"(${df.columns.mkString(", ")})"))
+    val cols =
+      if (declared.nonEmpty) {
+        declared.foreach(f => require(atomic(df.schema(f).dataType),
+          s"profile ${cfg.name}: $f is non-atomic " +
+            s"(${df.schema(f).dataType.simpleString}) — no total order"))
+        declared
+      } else df.schema.fields.filter(f => atomic(f.dataType))
+        .map(_.name).toSeq
+    require(cols.nonEmpty, s"profile ${cfg.name}: no atomic columns")
+    val approx = p.bool("approx").getOrElse(false)
+    def numeric(n: String): Boolean =
+      df.schema(n).dataType.isInstanceOf[NumericType]
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+        val base = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+          (if (approx) approx_count_distinct(col(c))
+           else count_distinct(col(c))).as(s"__d_$c"),
+          min(col(c)).cast(StringType).as(s"__min_$c"),
+          max(col(c)).cast(StringType).as(s"__max_$c"))
+        if (numeric(c)) base ++ Seq(
+          avg(col(c).cast(DoubleType)).as(s"__mean_$c"),
+          stddev(col(c).cast(DoubleType)).as(s"__std_$c"))
+        else base
+      }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def opt[T](name: String): Option[T] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getAs[T](i))
+    }
+    val n = r.getAs[Long]("__n")
+    val rows = cols.map { c =>
+      Row(c, n,
+        r.getAs[Long](s"__nulls_$c"),
+        r.getAs[Long](s"__d_$c"),
+        opt[String](s"__min_$c").orNull,
+        opt[String](s"__max_$c").orNull,
+        if (numeric(c)) opt[Double](s"__mean_$c")
+          .map(java.lang.Double.valueOf).orNull
+        else null,
+        if (numeric(c)) opt[Double](s"__std_$c")
+          .map(java.lang.Double.valueOf).orNull
+        else null)
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("nulls", LongType, nullable = false),
+      StructField("distincts", LongType, nullable = false),
+      StructField("min_s", StringType),
+      StructField("max_s", StringType),
+      StructField("mean", DoubleType),
+      StructField("std", DoubleType)))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    TransformCommon.finishRouted(out, cfg)
+  }
+}
