@@ -2399,6 +2399,38 @@ transforms:
     parameters: {method: connectedComponents, srcField: src, dstField: dst}
 """),
 
+    // decontaminate REPORT action: per-doc n-gram overlap fraction
+    // against the benchmark (the eval-contamination metric) instead
+    // of a boolean — same gram machinery as q48/q98, plus one
+    // distinct-count per side; the oracle replays grams, the hit
+    // join, and the ratio
+    "q113_decontaminate_report" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: bench
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 97 = 0"
+  - name: dc
+    module: dedup
+    inputs: [docs, bench]
+    parameters:
+      method: decontaminate
+      action: report
+      field: text
+      idField: doc_id
+      ngramSize: 8
+  - name: out
+    module: sql
+    inputs: [dc]
+    parameters:
+      sql: "SELECT doc_id, __grams_total AS grams_total, __grams_matched AS grams_matched, round(__overlap, 6) AS overlap_r FROM dc"
+"""),
+
     // data-quality profiling: one-pass per-column stats (rows, nulls,
     // exact distincts, string-rendered bounds, mean/sample-std for
     // numerics) over four orders columns; oracle = the same stats as
@@ -5303,6 +5335,36 @@ transforms:
     // chain pagerank: the generated recurrence replay (in-degree ≤ 1
     // → order-deterministic double ops on both sides)
     "q109_pagerank" -> pagerankOracleSql,
+
+    // overlap report ≡ q48's grams + distinct counts per side
+    "q113_decontaminate_report" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+             ' '), x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) < 8
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')) END) AS g
+           FROM toks),
+         bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         tot AS (
+           SELECT doc_id, count(DISTINCT g) AS gt FROM grams
+           GROUP BY 1),
+         mt AS (
+           SELECT grams.doc_id, count(DISTINCT grams.g) AS gm
+           FROM grams JOIN bg USING (g) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(tot.gt, 0) AS BIGINT) AS grams_total,
+           CAST(coalesce(mt.gm, 0) AS BIGINT) AS grams_matched,
+           round(CASE WHEN coalesce(tot.gt, 0) = 0 THEN 0.0
+             ELSE CAST(coalesce(mt.gm, 0) AS DOUBLE) / tot.gt END,
+             6) AS overlap_r
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN mt ON d.doc_id = mt.doc_id""",
 
     // per-column profile ≡ one aggregate per column, unioned
     "q112_profile" -> {

@@ -229,10 +229,14 @@ object DedupTransform {
         val bench = inputs.getOrElse(benchName,
           throw new IllegalArgumentException(
             s"dedup decontaminate: unknown benchmark input '$benchName'"))
+        val action = p.str("action").getOrElse("flag")
+        require(Set("flag", "remove", "report")(action),
+          s"dedup decontaminate action: $action (valid: flag, " +
+            "remove, report)")
         val out = decontaminate(df, bench, textField,
           p.str("benchmarkField").getOrElse(textField), idField,
           n = p.int("ngramSize").getOrElse(8),
-          remove = p.str("action").contains("remove"),
+          action = action,
           broadcastLimit = p.int("broadcastThreshold").getOrElse(2000000),
           bloomFpp = p.dbl("bloomFpp").getOrElse(0.01))
         return TransformCommon.finishRouted(out, cfg)
@@ -643,9 +647,18 @@ object DedupTransform {
     * matched doc ids (a tiny fraction in practice) reach the
     * distinct + final join.
     */
+  /** Benchmark decontamination. Actions: `flag` appends
+    * `__contaminated`; `remove` drops matched docs; `report` appends
+    * the standard eval-contamination metric — `__grams_total`
+    * (distinct word n-grams of the doc), `__grams_matched` (those
+    * also in the benchmark), `__overlap` (their ratio, 0 for
+    * gram-less docs) — so thresholds are the caller's policy call,
+    * not the operator's. Report adds one map-side-combined distinct
+    * count per side on top of flag's plan; still nothing
+    * corpus-sized shuffles. */
   private def decontaminate(df: DataFrame, bench: DataFrame,
       textField: String, benchField: String, idField: String,
-      n: Int, remove: Boolean, broadcastLimit: Int,
+      n: Int, action: String, broadcastLimit: Int,
       bloomFpp: Double): DataFrame = {
     val benchGrams = bench
       .select(explode(shingles(col(benchField), n)).as("__gram"))
@@ -673,8 +686,27 @@ object DedupTransform {
         corpusGrams.filter(might(col("__gram")))
           .join(benchGrams, Seq("__gram"), "left_semi")
       }
+    if (action == "report") {
+      val totals = corpusGrams.groupBy(col("__id"))
+        .agg(count_distinct(col("__gram")).as("__grams_total"))
+      val matchedPer = matched.groupBy(col("__id"))
+        .agg(count_distinct(col("__gram")).as("__grams_matched"))
+      return df
+        .join(totals, df(idField) === totals("__id"), "left")
+        .drop("__id")
+        .join(matchedPer, df(idField) === matchedPer("__id"), "left")
+        .drop("__id")
+        .withColumn("__grams_total",
+          coalesce(col("__grams_total"), lit(0L)))
+        .withColumn("__grams_matched",
+          coalesce(col("__grams_matched"), lit(0L)))
+        .withColumn("__overlap",
+          when(col("__grams_total") === 0L, lit(0.0))
+            .otherwise(col("__grams_matched").cast("double") /
+              col("__grams_total").cast("double")))
+    }
     val hits = matched.select("__id").distinct()
-    if (remove)
+    if (action == "remove")
       df.join(hits, df(idField) === hits("__id"), "left_anti")
     else
       df.join(hits.withColumn("__hit", lit(true)),

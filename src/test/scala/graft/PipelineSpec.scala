@@ -476,6 +476,18 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id", "__contaminated")
       .as[(Long, Boolean)].collect().toMap
     assert(bloomFlags == flags, s"bloom path diverged: $bloomFlags")
+    // report action: doc 1 has 3 distinct 8-grams (10 tokens), of
+    // which exactly one — the benchmark line itself — matches
+    val rep = run(""","action":"report"""")
+      .select("doc_id", "__grams_total", "__grams_matched", "__overlap")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(rep(1L) == ((3L, 1L, 1.0 / 3.0)), rep(1L))
+    assert(rep(2L)._2 == 0L && rep(2L)._3 == 0.0)
+    assert(rep(3L)._2 > 0 && rep(3L)._3 < 1.0)
+    val e = intercept[IllegalArgumentException](
+      run(""","action":"tally""""))
+    assert(e.getMessage.contains("valid"))
   }
 
   test("textAnalysis pii feature masks emails, ips, phones in order") {
