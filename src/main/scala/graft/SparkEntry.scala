@@ -2399,6 +2399,57 @@ transforms:
     parameters: {method: connectedComponents, srcField: src, dstField: dst}
 """),
 
+    // §2.6 mergeable quantile sketches, two-stage: per-bucket
+    // kll_sketch of o_totalprice merges through kll_merge and a
+    // kll_quantile select reads the median — the incremental
+    // percentile pattern (sketch per day, merge at read), third
+    // sketch family after HLL (q87) and frequent-items (q96). Groups
+    // of ~75 values with k=200 retain EVERYTHING, so the sketch
+    // median is the exact ⌈n/2⌉-th order statistic the oracle takes
+    // from a sorted list
+    "q114_kll_sketch" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: bk
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT o_orderkey % 2000 AS g, o_custkey % 4 AS b, o_totalprice FROM ord"
+  - name: a1
+    module: aggregation
+    inputs: [bk]
+    parameters:
+      groupFields: [g, b]
+      aggregations:
+        - input: bk
+          fields:
+            - {name: sk, op: kll_sketch, field: o_totalprice}
+  - name: a2
+    module: aggregation
+    inputs: [a1]
+    parameters:
+      groupFields: [g]
+      aggregations:
+        - input: a1
+          fields:
+            - {name: sk2, op: kll_merge, field: sk}
+  - name: qn
+    module: select
+    inputs: [a2]
+    parameters:
+      select:
+        - {name: g}
+        - {name: med, field: sk2, func: kll_quantile, fraction: 0.5}
+  - name: out
+    module: sql
+    inputs: [qn]
+    parameters:
+      sql: "SELECT g, round(med, 4) AS med_r FROM qn"
+"""),
+
     // decontaminate REPORT action: per-doc n-gram overlap fraction
     // against the benchmark (the eval-contamination metric) instead
     // of a boolean — same gram machinery as q48/q98, plus one
@@ -5335,6 +5386,15 @@ transforms:
     // chain pagerank: the generated recurrence replay (in-degree ≤ 1
     // → order-deterministic double ops on both sides)
     "q109_pagerank" -> pagerankOracleSql,
+
+    // exact-retention KLL median ≡ the ⌈n/2⌉-th order statistic
+    // (inclusive-rank quantile) of each group's sorted values
+    "q114_kll_sketch" ->
+      """SELECT g, round(arr[CAST(ceil(0.5 * n) AS INT)], 4) AS med_r
+         FROM (
+           SELECT o_orderkey % 2000 AS g,
+             list_sort(list(o_totalprice)) AS arr, count(*) AS n
+           FROM orders GROUP BY 1)""",
 
     // overlap report ≡ q48's grams + distinct counts per side
     "q113_decontaminate_report" ->

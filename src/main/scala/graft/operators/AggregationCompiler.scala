@@ -139,6 +139,21 @@ object AggregationCompiler {
       case "top_k_combine" =>
         call_function("approx_top_k_combine", guarded(valueCol),
           lit(op.int("maxItemsTracked").getOrElse(10000)))
+      // mergeable quantile sketches (DataSketches KLL): `kll_sketch`
+      // emits a binary sketch per group, `kll_merge` merges sketch
+      // columns from earlier aggregations — the same incremental
+      // two-stage pattern as hll_sketch/hll_union and
+      // top_k_accumulate/top_k_combine, for percentiles (see select
+      // func kll_quantile). Exact while n <= k (every value
+      // retained), so bounded-domain oracles pin exact order
+      // statistics.
+      case "kll_sketch" =>
+        graft.functions.KllFunctions.kllSketch(
+          op.int("k").getOrElse(200),
+          guarded(valueCol.cast(DoubleType)))
+      case "kll_merge" =>
+        graft.functions.KllFunctions.kllMerge(
+          op.int("k").getOrElse(200), guarded(valueCol))
       case "median" => median(guarded(valueCol.cast(DoubleType)))
       case "percentile" =>
         val v = guarded(valueCol.cast(DoubleType))

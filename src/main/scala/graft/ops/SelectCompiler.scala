@@ -243,6 +243,12 @@ object SelectCompiler {
       case "top_k_estimate" =>
         call_function("approx_top_k_estimate", col(field),
           lit(sel.int("k").getOrElse(5)))
+      // quantile of a binary KLL sketch column (see the kll_sketch /
+      // kll_merge aggregation ops); `fraction` in [0, 1]
+      case "kll_quantile" =>
+        graft.functions.KllFunctions.kllQuantile(col(field),
+          sel.dbl("fraction").orElse(sel.dbl("percentile"))
+            .getOrElse(0.5))
       // int8 embedding quantization + inverse (see quantizeCol /
       // dequantizeCol — formula shared with the similarity module's
       // quantized index, replayed by the q102/q105 oracles)

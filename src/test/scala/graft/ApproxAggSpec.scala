@@ -108,6 +108,39 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(merged == Set("h0", "h1", "h2"), merged.toString)
   }
 
+  test("kll sketches: exact order statistics while n <= k, two-stage " +
+      "merge equals single-pass, bounded rank error past capacity") {
+    import graft.ops.SelectCompiler
+    import graft.config.Json
+    // 150 values, k=200 -> every value retained, quantiles exact
+    val small = (1 to 150).map(i => ("g", i % 5, i.toDouble))
+      .toDF("g", "b", "v")
+    def quant(df: org.apache.spark.sql.DataFrame, field: String) =
+      SelectCompiler(df, Json.parse(
+        s"""[{"name": "g"},
+            {"name": "q", "field": "$field", "func": "kll_quantile",
+             "fraction": 0.5}]"""))
+        .collect().head.getDouble(1)
+    val onePass = agg(
+      """{"name": "sk", "op": "kll_sketch", "field": "v"}""", small)
+    assert(quant(onePass, "sk") == 75.0) // ceil(0.5*150) = 75th
+    // two-stage: per-bucket sketches merged -> same exact value
+    val staged = agg(
+      """{"name": "sk2", "op": "kll_merge", "field": "sk"}""",
+      agg("""{"name": "sk", "op": "kll_sketch", "field": "v"}""",
+        small, groups = """["g", "b"]"""))
+    assert(quant(staged, "sk2") == 75.0,
+      "merged sketch must reproduce the single-pass quantile")
+    // past capacity: normalized rank error within the published
+    // ~1.65/sqrt(k) bound (x3 slack) for k=200 over 20k values
+    val bigSk = agg(
+      """{"name": "sk", "op": "kll_sketch", "field": "v", "k": 200}""",
+      big)
+    val est = quant(bigSk, "sk")
+    assert(math.abs(est / 20000.0 - 0.5) < 3 * 1.65 / math.sqrt(200),
+      s"median estimate $est outside the KLL rank-error bound")
+  }
+
   test("count_distinct condition feeds only matching rows") {
     val df = Seq(("g", 1, 1.0), ("g", 1, 9.0), ("g", 2, 9.0),
       ("g", 3, 1.0)).toDF("g", "k", "v")
