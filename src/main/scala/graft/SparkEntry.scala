@@ -2399,6 +2399,33 @@ transforms:
     parameters: {method: connectedComponents, srcField: src, dstField: dst}
 """),
 
+    // url select func: decompose synthesized crawl URLs into host /
+    // path / protocol / a named query value — the host-keyed dedup
+    // and TLD-filter primitive; the oracle rebuilds each part from
+    // the same closed-form synthesis arithmetic
+    "q115_url_parts" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: u
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, concat('https://host', CAST(doc_id % 50 AS STRING), '.example', CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END, '/p/', CAST(doc_id % 7 AS STRING), '/page?q=', CAST(doc_id % 11 AS STRING), '&lang=en') AS url FROM docs"
+  - name: out
+    module: select
+    inputs: [u]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: host, field: url, func: url, part: host}
+        - {name: path, field: url, func: url, part: path}
+        - {name: proto, field: url, func: url, part: protocol}
+        - {name: qv, field: url, func: url, part: query, key: q}
+"""),
+
     // §2.6 mergeable quantile sketches, two-stage: per-bucket
     // kll_sketch of o_totalprice merges through kll_merge and a
     // kll_quantile select reads the median — the incremental
@@ -5386,6 +5413,17 @@ transforms:
     // chain pagerank: the generated recurrence replay (in-degree ≤ 1
     // → order-deterministic double ops on both sides)
     "q109_pagerank" -> pagerankOracleSql,
+
+    // url parts ≡ the same closed-form synthesis, rebuilt per part
+    "q115_url_parts" ->
+      """SELECT doc_id,
+           concat('host', CAST(doc_id % 50 AS VARCHAR), '.example',
+             CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END)
+             AS host,
+           concat('/p/', CAST(doc_id % 7 AS VARCHAR), '/page') AS path,
+           'https' AS proto,
+           CAST(doc_id % 11 AS VARCHAR) AS qv
+         FROM documents""",
 
     // exact-retention KLL median ≡ the ⌈n/2⌉-th order statistic
     // (inclusive-rank quantile) of each group's sorted values

@@ -34,7 +34,11 @@ import org.apache.spark.sql.types._
   * `d` (default 0.85). Dangling vertices (no out-edges) lose their
   * mass — the simple variant; ranks then need not sum to 1, which is
   * fine for the pipeline uses (authority ordering of link/citation
-  * graphs, hub scoring of candidate-pair graphs). Scale shape: per
+  * graphs, hub scoring of candidate-pair graphs). Edges are treated
+  * as a MULTIGRAPH: a duplicated edge contributes (and counts toward
+  * the out-degree) once per occurrence — distinct() the edge frame
+  * upstream for simple-graph semantics (unlike `degrees`, which
+  * counts distinct neighbors by definition). Scale shape: per
   * round, ONE shuffle of (dst, contribution) ids+doubles plus a
   * broadcast-size out-degree join, lineage truncated per round
   * (`localCheckpoint`) so the iterated plan stays O(1); one driver

@@ -249,6 +249,24 @@ object SelectCompiler {
         graft.functions.KllFunctions.kllQuantile(col(field),
           sel.dbl("fraction").orElse(sel.dbl("percentile"))
             .getOrElse(0.5))
+      // URL decomposition for crawl curation (host-keyed dedup, TLD
+      // filters, path heuristics): Spark's codegen'd parse_url.
+      // `part`: host | path | query | protocol | ref | authority |
+      // file | userinfo — or a query parameter via `key`.
+      case "url" =>
+        val part = sel.str("part").getOrElse("host")
+          .toUpperCase(java.util.Locale.ROOT)
+        require(Set("HOST", "PATH", "QUERY", "PROTOCOL", "REF",
+          "AUTHORITY", "FILE", "USERINFO")(part),
+          s"select $name: url part '$part' (valid: host, path, " +
+            "query, protocol, ref, authority, file, userinfo)")
+        sel.str("key") match {
+          case Some(k) =>
+            require(part == "QUERY",
+              s"select $name: url key= only applies to part: query")
+            parse_url(col(field), lit(part), lit(k))
+          case None => parse_url(col(field), lit(part))
+        }
       // int8 embedding quantization + inverse (see quantizeCol /
       // dequantizeCol — formula shared with the similarity module's
       // quantized index, replayed by the q102/q105 oracles)

@@ -201,6 +201,38 @@ class SelectFuncsSpec extends AnyFunSuite {
     assert(r2.getSeq[Float](2).forall(_ == 0.0f))
   }
 
+  test("url func decomposes parts; missing pieces null; bad part " +
+      "fails actionably") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "https://u:p@a.example.com:8443/x/y?q=1&z=2#frag"),
+      (2L, "http://plain.org"),
+      (3L, null: String)).toDF("id", "url")
+    val out = SelectCompiler(df, Json.parse(
+      """[
+        {"name": "id"},
+        {"name": "h", "field": "url", "func": "url", "part": "host"},
+        {"name": "p", "field": "url", "func": "url", "part": "path"},
+        {"name": "q", "field": "url", "func": "url", "part": "query",
+         "key": "q"}
+      ]"""))
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(m(1L) == (("a.example.com", "/x/y", "1")))
+    assert(m(2L) == (("plain.org", "", null)))
+    assert(m(3L) == ((null, null, null)))
+    val e = intercept[IllegalArgumentException](SelectCompiler(df,
+      Json.parse(
+        """[{"name": "h", "field": "url", "func": "url",
+            "part": "tld"}]""")))
+    assert(e.getMessage.contains("valid"))
+    val e2 = intercept[IllegalArgumentException](SelectCompiler(df,
+      Json.parse(
+        """[{"name": "h", "field": "url", "func": "url",
+            "part": "host", "key": "q"}]""")))
+    assert(e2.getMessage.contains("query"))
+  }
+
   /** Property pin of the documented reconstruction contract
     * (SelectCompiler.quantizeCol): for ANY vector,
     * max |v − dequantize(quantize(v))| ≤ scale/2 — round() misses a
