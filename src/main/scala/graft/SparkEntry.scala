@@ -2399,6 +2399,33 @@ transforms:
     parameters: {method: connectedComponents, srcField: src, dstField: dst}
 """),
 
+    // content-defined chunking (FastCDC-family): a boundary falls
+    // after token i when md5(seed ‖ last-8-token window) lands under
+    // the 1/2^5 hex threshold — expected 32-token chunks whose
+    // boundaries move WITH the content (dedup-stable chunking). The
+    // oracle replays the window fingerprints, the boundary filter,
+    // and the start/end slicing
+    "q116_chunk_cdc" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: out
+    module: chunk
+    inputs: [docs]
+    parameters:
+      mode: cdc
+      field: text
+      window: 8
+      bits: 5
+      select:
+        - {name: doc_id}
+        - {name: chunk}
+        - {name: chunk_index}
+        - {name: chunk_offset}
+"""),
+
     // url select func: decompose synthesized crawl URLs into host /
     // path / protocol / a named query value — the host-keyed dedup
     // and TLD-filter primitive; the oracle rebuilds each part from
@@ -5413,6 +5440,36 @@ transforms:
     // chain pagerank: the generated recurrence replay (in-degree ≤ 1
     // → order-deterministic double ops on both sides)
     "q109_pagerank" -> pagerankOracleSql,
+
+    // cdc chunking ≡ window fingerprints, boundary filter under the
+    // 1/2^5 hex threshold (08000000), start/end slicing
+    "q116_chunk_cdc" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         b AS (
+           SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) - 1 >= 8 THEN
+               list_filter(range(8, len(tk)), i ->
+                 substr(md5('0 ' ||
+                   array_to_string(tk[i-7:i], ' ')), 1, 8)
+                   < '08000000')
+             ELSE [] END AS bps
+           FROM t),
+         s AS (
+           SELECT doc_id, tk, n, list_prepend(0, bps) AS starts
+           FROM b),
+         g AS (
+           SELECT doc_id, tk, n, starts,
+             unnest(range(1, len(starts) + 1)) AS j
+           FROM s)
+         SELECT doc_id,
+           array_to_string(tk[starts[j]+1 :
+             CASE WHEN j + 1 <= len(starts) THEN starts[j+1]
+                  ELSE n END], ' ') AS chunk,
+           CAST(j - 1 AS BIGINT) AS chunk_index,
+           CAST(starts[j] AS BIGINT) AS chunk_offset
+         FROM g""",
 
     // url parts ≡ the same closed-form synthesis, rebuilt per part
     "q115_url_parts" ->

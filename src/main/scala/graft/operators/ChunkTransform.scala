@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Pipeline.ModuleCfg
 import graft.config.Json._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,6 +31,21 @@ import org.apache.spark.sql.types._
   * output column is then the token-array slice, offsets count
   * tokens of that tokenization. A null document (null text or null
   * token array) yields zero chunks.
+  *
+  * `mode: cdc` — CONTENT-DEFINED chunking (FastCDC-family): instead
+  * of fixed strides, a chunk boundary falls after token `i` whenever
+  * the rolling fingerprint of the last `window` tokens (md5 of the
+  * joined window, seeded) lands below a `1/2^bits` threshold —
+  * expected chunk length 2^`bits` tokens, and boundaries move WITH
+  * the content, so inserting a sentence near a document's head
+  * shifts one chunk instead of re-cutting every downstream window
+  * (the dedup-stable chunking property fixed strides lack; chunk
+  * fingerprints then dedup across near-identical documents).
+  * Deliberately pure content-defined: FastCDC's sequential min/max
+  * clamps are skipped — size control is `bits` — which keeps the
+  * operator a data-parallel Column program and the boundary rule
+  * replayable by any SQL engine (the q116 oracle). `size`/`overlap`
+  * do not apply in cdc mode.
   */
 object ChunkTransform {
 
@@ -52,7 +67,8 @@ object ChunkTransform {
       require(!df.columns.contains(c),
         s"chunk ${cfg.name}: output column $c collides with an input " +
           "column — set chunkField/indexField/offsetField")
-    val reservedHit = Seq("__ci", "__piece").filter(df.columns.contains)
+    val reservedHit = Seq("__ci", "__piece", "__cdc_starts")
+      .filter(df.columns.contains)
     require(reservedHit.isEmpty,
       s"chunk ${cfg.name}: input columns ${reservedHit.mkString(", ")} " +
         "collide with the operator's working names — rename them " +
@@ -73,21 +89,63 @@ object ChunkTransform {
     val nChunks = when(n <= lit(sz), lit(1))
       .otherwise(ceil((n - lit(sz)).cast(DoubleType) / lit(stride))
         .cast(IntegerType) + lit(1))
+    def piece(off: Column, len: Column): Column = struct(
+      off.as("off"),
+      // text mode re-joins the window; token mode emits the raw
+      // token-array slice (downstream packs/embeds tokens)
+      (if (tokensField.isDefined) slice(toks, off + 1, len)
+       else array_join(slice(toks, off + 1, len), " ")).as("txt"))
+    val mode = p.str("mode").getOrElse("sliding")
+    require(Set("sliding", "cdc")(mode),
+      s"chunk ${cfg.name}: mode $mode (valid: sliding, cdc)")
     // a null document has no tokens and yields NO chunks: the pieces
     // array stays null and the (non-outer) posexplode drops the row —
     // without this guard size(null)= -1 made nChunks hit the `<= sz`
     // branch and emit one phantom row with a null chunk
-    val pieces = when(srcCol.isNotNull,
-      transform(sequence(lit(0), nChunks - 1),
-        i => struct(
-          (i * stride).as("off"),
-          // text mode re-joins the window; token mode emits the raw
-          // token-array slice (downstream packs/embeds tokens)
-          (if (tokensField.isDefined) slice(toks, i * stride + 1, lit(sz))
-           else array_join(slice(toks, i * stride + 1, lit(sz)), " "))
-            .as("txt"))))
+    val (explodeSrc, pieces) =
+      if (mode == "sliding")
+        (df, when(srcCol.isNotNull,
+          transform(sequence(lit(0), nChunks - 1),
+            i => piece(i * stride, lit(sz)))))
+      else {
+        val w = p.int("window").getOrElse(8)
+        val bits = p.int("bits").getOrElse(5)
+        require(w > 0 && bits >= 1 && bits <= 30,
+          s"chunk ${cfg.name}: cdc needs window > 0 and bits in 1..30")
+        val seed = p.str("seed").getOrElse("0")
+        // same hex-threshold machinery as sample/split: the boundary
+        // test is a lexical compare of the fingerprint's first 8 hex
+        // chars, bit-replayable by the q116 oracle
+        val thr = SampleTransform.thresholdHex(
+          1.0 / (1L << bits).toDouble)
+        // candidate boundaries live at token positions [w, n-1]
+        // (a boundary on the final token would cut an empty chunk)
+        val bps = when(n - 1 >= w,
+          filter(sequence(lit(w), n - 1), i =>
+            substring(md5(concat_ws(" ",
+              lit(seed) +: Seq(array_join(
+                slice(toks, i - w + 1, lit(w)), " ")): _*)),
+              1, 8) < lit(thr)))
+          .otherwise(array().cast("array<int>"))
+        // the start-offsets column materializes in its OWN projection
+        // before the per-chunk lambda references it: inlined into the
+        // lambda, the whole boundary scan (an O(n·w) filter) would be
+        // a free subtree re-evaluated per chunk element (the same
+        // CollapseProject hazard the quantize funcs hoist around);
+        // as a multi-referenced attribute it computes once per row
+        val df0 = df.withColumn("__cdc_starts",
+          concat(array(lit(0)), bps))
+        val sc = col("__cdc_starts")
+        (df0, when(srcCol.isNotNull,
+          transform(sequence(lit(0), size(sc) - 1), j => {
+            val st = element_at(sc, j + 1)
+            val en = when(j + lit(2) <= size(sc),
+              element_at(sc, j + 2)).otherwise(n)
+            piece(st, en - st)
+          })))
+      }
     val keep = df.columns.map(col).toSeq
-    val out = df
+    val out = explodeSrc
       .select(keep :+ posexplode(pieces).as(Seq("__ci", "__piece")): _*)
       .select(keep ++ Seq(
         col("__piece.txt").as(chunkField),

@@ -82,6 +82,47 @@ class ChunkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("array"))
   }
 
+  test("cdc mode: chunks partition the token stream, boundaries are " +
+      "content-defined (a head insertion leaves the tail chunks " +
+      "identical), expected size tracks 2^bits") {
+    val rnd = new scala.util.Random(7)
+    val toksA = (1 to 400).map(_ => s"w${rnd.nextInt(5000)}")
+    val docA = toksA.mkString(" ")
+    val docB = ("INS1 INS2 INS3 INS4 INS5 " + docA)
+    val df = Seq((1L, docA), (2L, docB)).toDF("id", "text")
+    val out = chunk(
+      """{"mode": "cdc", "field": "text", "window": 4, "bits": 4}""",
+      df)
+    val byDoc = out.select("id", "chunk", "chunk_index", "chunk_offset")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(2))
+        .map(r => (r.getString(1), r.getLong(3))).toSeq).toMap
+    // partition invariant: concatenating chunks reproduces each doc
+    assert(byDoc(1L).map(_._1).mkString(" ") == docA)
+    assert(byDoc(2L).map(_._1).mkString(" ") == docB)
+    // offsets are the running token positions
+    byDoc.values.foreach { cs =>
+      cs.foldLeft(0L) { case (expOff, (txt, off)) =>
+        assert(off == expOff, s"offset $off != $expOff")
+        expOff + txt.split(" ").length
+      }
+    }
+    // content-defined: past the insertion, doc B re-synchronizes to
+    // doc A's chunking — the shared-suffix chunks are identical text
+    // (fixed strides would shift EVERY downstream window)
+    val a = byDoc(1L).map(_._1).toSet
+    val shared = byDoc(2L).map(_._1).count(a.contains)
+    assert(shared >= byDoc(1L).size - 2,
+      s"only $shared of ${byDoc(2L).size} chunks re-synchronized")
+    // expected chunk length 2^4 = 16 tokens, within a loose 3x band
+    val avg = 400.0 / byDoc(1L).size
+    assert(avg > 16.0 / 3 && avg < 16.0 * 3, s"avg chunk len $avg")
+    val e = intercept[IllegalArgumentException](chunk(
+      """{"mode": "fastcdc", "field": "text"}""", df))
+    assert(e.getMessage.contains("valid"))
+  }
+
   test("a null document yields zero chunks") {
     val out = chunk("""{"field": "text", "size": 4, "overlap": 1}""",
       Seq((1L, "a b c"), (2L, null: String), (3L, "d"))
