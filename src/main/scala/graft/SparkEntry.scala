@@ -2536,6 +2536,54 @@ transforms:
       sql: "SELECT doc_id, __grams_total AS grams_total, __grams_matched AS grams_matched, round(__overlap, 6) AS overlap_r FROM dc"
 """),
 
+    // tfidf, bm25 scheme: Okapi scoring (k1=1.2, b=0.75) over the
+    // same 1/97 sample — idf, per-doc length, and the corpus avgdl
+    // all replay in SQL
+    "q117_bm25" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: fl
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 97 = 0"
+  - name: ti
+    module: tfidf
+    inputs: [fl]
+    parameters: {idField: doc_id, field: text, scheme: bm25}
+  - name: out
+    module: sql
+    inputs: [ti]
+    parameters:
+      sql: "SELECT doc_id, term, tf, df, round(score, 4) AS score_r FROM ti"
+"""),
+
+    // profile, approx twin: HLL distincts over two LOW-cardinality
+    // columns (value domains far below HLL's exact range), so the
+    // approx path must reproduce the exact oracle — the same
+    // bounded-domain pinning as q87/q96/q114
+    "q118_profile_approx" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: pf
+    module: profile
+    inputs: [ord]
+    parameters:
+      fields: [o_orderstatus, o_orderpriority]
+      approx: true
+  - name: out
+    module: sql
+    inputs: [pf]
+    parameters:
+      sql: "SELECT column AS col_name, n, nulls, distincts, min_s, max_s FROM pf"
+"""),
+
     // data-quality profiling: one-pass per-column stats (rows, nulls,
     // exact distincts, string-rendered bounds, mean/sample-std for
     // numerics) over four orders columns; oracle = the same stats as
@@ -5520,6 +5568,49 @@ transforms:
          FROM documents d
          LEFT JOIN tot ON d.doc_id = tot.doc_id
          LEFT JOIN mt ON d.doc_id = mt.doc_id""",
+
+    // bm25 ≡ the same idf/dl/avgdl arithmetic replayed (double
+    // literals promote identically; round-4 absorbs ln ulps)
+    "q117_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM d),
+         t AS (
+           SELECT doc_id,
+             unnest(list_filter(list_transform(
+               string_split_regex(text, '\s+'), x -> lower(x)),
+               x -> x <> '')) AS term
+           FROM d),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         dls AS (
+           SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf
+           GROUP BY 1),
+         ad AS (SELECT avg(dl) AS avgdl FROM dls)
+         SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+           round(
+             ln(1.0 + (nv - CAST(dfr.df AS DOUBLE) + 0.5)
+               / (CAST(dfr.df AS DOUBLE) + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * 2.2)
+             / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * dls.dl / ad.avgdl)),
+             4) AS score_r
+         FROM tf JOIN dfr USING (term) JOIN dls USING (doc_id),
+           nn, ad""",
+
+    // approx profile on bounded domains ≡ the exact per-column stats
+    "q118_profile_approx" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           CAST(count(*) - count($c) AS BIGINT) AS nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS distincts,
+           CAST(min($c) AS VARCHAR) AS min_s,
+           CAST(max($c) AS VARCHAR) AS max_s
+         FROM orders"""
+      Seq(one("o_orderstatus"), one("o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
 
     // per-column profile ≡ one aggregate per column, unioned
     "q112_profile" -> {

@@ -132,12 +132,16 @@ class ChunkSpec extends AnyFunSuite {
     assert(out.filter(col("id") =!= 2).count() == 2)
   }
 
-  test("chunking is streaming-safe (pure map-side plan)") {
+  test("chunking is streaming-safe (pure map-side plan), cdc included") {
     val s = spark.readStream.format("rate").load()
       .withColumn("text", concat_ws(" ", col("value"),
         col("value") + 1, col("value") + 2))
     val out = chunk("""{"field": "text", "size": 2, "overlap": 1}""", s)
     assert(out.isStreaming, "chunk must pass streaming frames through")
+    val cdc = chunk(
+      """{"mode": "cdc", "field": "text", "window": 2, "bits": 1}""", s)
+    assert(cdc.isStreaming,
+      "cdc chunking is per-row Column work — streams pass through")
   }
 
   test("zero shuffle and output-name collision guard") {
