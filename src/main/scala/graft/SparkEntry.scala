@@ -2419,6 +2419,7 @@ transforms:
       field: text
       window: 8
       bits: 5
+      hashAlgo: md5
       select:
         - {name: doc_id}
         - {name: chunk}
@@ -4114,6 +4115,17 @@ transforms:
         dedupDocs("method: simhash, field: text, idField: doc_id")),
       "q34x_ngram_xx64" -> pipe("out", dedupDocs(
         "method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7")),
+      "q116x_chunk_cdc_xx64" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: out
+    module: chunk
+    inputs: [docs]
+    parameters: {mode: cdc, field: text, window: 8, bits: 5}
+"""),
       "q22x_embedding_xx64" -> pipe("out", """
 sources:
   - name: emb

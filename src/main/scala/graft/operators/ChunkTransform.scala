@@ -67,7 +67,7 @@ object ChunkTransform {
       require(!df.columns.contains(c),
         s"chunk ${cfg.name}: output column $c collides with an input " +
           "column — set chunkField/indexField/offsetField")
-    val reservedHit = Seq("__ci", "__piece", "__cdc_starts")
+    val reservedHit = Seq("__ci", "__piece", "__cdc_starts", "__cdc_th")
       .filter(df.columns.contains)
     require(reservedHit.isEmpty,
       s"chunk ${cfg.name}: input columns ${reservedHit.mkString(", ")} " +
@@ -113,27 +113,49 @@ object ChunkTransform {
         require(w > 0 && bits >= 1 && bits <= 30,
           s"chunk ${cfg.name}: cdc needs window > 0 and bits in 1..30")
         val seed = p.str("seed").getOrElse("0")
-        // same hex-threshold machinery as sample/split: the boundary
-        // test is a lexical compare of the fingerprint's first 8 hex
-        // chars, bit-replayable by the q116 oracle
+        // default fingerprint path: hash every token ONCE (codegen'd
+        // seeded xxhash64), then fingerprint each window as the hash
+        // of its 8-long hash slice — per position that is a bounded
+        // long-array hash instead of a string join + digest (the
+        // string path measured 6x the sliding mode's cost at 100x).
+        // `hashAlgo: md5` swaps in the joined-window md5 with the
+        // hex-threshold compare the q116 oracle replays — the same
+        // fast-default / md5-audit split as dedup and similarity.
+        val md5Mode = p.str("hashAlgo").contains("md5")
         val thr = SampleTransform.thresholdHex(
           1.0 / (1L << bits).toDouble)
+        val (hashed, bps) =
+          if (md5Mode) {
+            val b = when(n - 1 >= w,
+              filter(sequence(lit(w), n - 1), i =>
+                substring(md5(concat_ws(" ", lit(seed), array_join(
+                  slice(toks, i - w + 1, lit(w)), " "))), 1, 8) <
+                  lit(thr)))
+              .otherwise(array().cast("array<int>"))
+            (df, b)
+          } else {
+            // token hashes materialize in their own projection (and
+            // are referenced twice: size + slice) so the per-token
+            // pass is not re-run per candidate position
+            val d1 = df.withColumn("__cdc_th",
+              transform(toks, t => xxhash64(lit(seed), t)))
+            val th = col("__cdc_th")
+            val b = when(size(th) - 1 >= w,
+              filter(sequence(lit(w), size(th) - 1), i =>
+                pmod(xxhash64(slice(th, i - w + 1, lit(w))),
+                  lit(1L << bits)) === 0L))
+              .otherwise(array().cast("array<int>"))
+            (d1, b)
+          }
         // candidate boundaries live at token positions [w, n-1]
-        // (a boundary on the final token would cut an empty chunk)
-        val bps = when(n - 1 >= w,
-          filter(sequence(lit(w), n - 1), i =>
-            substring(md5(concat_ws(" ",
-              lit(seed) +: Seq(array_join(
-                slice(toks, i - w + 1, lit(w)), " ")): _*)),
-              1, 8) < lit(thr)))
-          .otherwise(array().cast("array<int>"))
-        // the start-offsets column materializes in its OWN projection
+        // (a boundary on the final token would cut an empty chunk).
+        // The start-offsets column materializes in its OWN projection
         // before the per-chunk lambda references it: inlined into the
         // lambda, the whole boundary scan (an O(n·w) filter) would be
         // a free subtree re-evaluated per chunk element (the same
         // CollapseProject hazard the quantize funcs hoist around);
         // as a multi-referenced attribute it computes once per row
-        val df0 = df.withColumn("__cdc_starts",
+        val df0 = hashed.withColumn("__cdc_starts",
           concat(array(lit(0)), bps))
         val sc = col("__cdc_starts")
         (df0, when(srcCol.isNotNull,

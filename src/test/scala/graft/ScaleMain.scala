@@ -107,6 +107,15 @@ object ScaleMain {
           """{"field":"text","size":64,"overlap":16}"""),
           Json.obj()), Map("d" -> docs))("ck")
     }
+    // content-defined chunking: the O(n·w) boundary scan is map-side
+    // Column work — wall time must stay linear in corpus bytes like
+    // the sliding mode, with zero shuffle
+    time("chunk-cdc") {
+      graft.operators.ChunkTransform.build(spark,
+        ModuleCfg("cc", "chunk", Seq("d"), Nil, Json.parse(
+          """{"mode":"cdc","field":"text","window":8,"bits":5}"""),
+          Json.obj()), Map("d" -> docs))("cc")
+    }
     // weighted reservoir: per-lang top-k by n_chars weight — one
     // shuffle on the stratum key regardless of corpus size
     time("reservoir") {
