@@ -2537,6 +2537,44 @@ transforms:
       sql: "SELECT doc_id, __grams_total AS grams_total, __grams_matched AS grams_matched, round(__overlap, 6) AS overlap_r FROM dc"
 """),
 
+    // composed cdc recipe — the property cdc EXISTS for: chunk the
+    // corpus plus a head-edited copy of every document, then
+    // exact-dedup the chunks; content-defined boundaries
+    // re-synchronize after the edit, so the edited copies' chunks
+    // collapse onto the originals' (fixed strides would shift every
+    // window and dedup nothing). Oracle replays union, cdc windows,
+    // and min-id-per-normalized-chunk
+    "q119_cdc_chunk_dedup" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dup
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs UNION ALL SELECT doc_id + 1000000 AS doc_id, concat('EDIT HEAD ', text) AS text FROM docs"
+  - name: ck
+    module: chunk
+    inputs: [dup]
+    parameters: {mode: cdc, field: text, window: 8, bits: 5, hashAlgo: md5}
+  - name: cid
+    module: sql
+    inputs: [ck]
+    parameters:
+      sql: "SELECT CAST(doc_id * 100000 + chunk_index AS BIGINT) AS cid, chunk FROM ck"
+  - name: dd
+    module: dedup
+    inputs: [cid]
+    parameters: {method: exact, field: chunk, idField: cid, keep: canonical}
+  - name: out
+    module: sql
+    inputs: [dd]
+    parameters:
+      sql: "SELECT cid FROM dd"
+"""),
+
     // tfidf, bm25 scheme: Okapi scoring (k1=1.2, b=0.75) over the
     // same 1/97 sample — idf, per-doc length, and the corpus avgdl
     // all replay in SQL
@@ -5580,6 +5618,48 @@ transforms:
          FROM documents d
          LEFT JOIN tot ON d.doc_id = tot.doc_id
          LEFT JOIN mt ON d.doc_id = mt.doc_id""",
+
+    // union + cdc windows + exact dedup ≡ min cid per
+    // normalized-chunk group (q116's windowing, q14's fingerprint
+    // normalization)
+    "q119_cdc_chunk_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'EDIT HEAD ' || text
+           FROM documents),
+         t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM d WHERE text IS NOT NULL),
+         b AS (
+           SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) - 1 >= 8 THEN
+               list_filter(range(8, len(tk)), i ->
+                 substr(md5('0 ' ||
+                   array_to_string(tk[i-7:i], ' ')), 1, 8)
+                   < '08000000')
+             ELSE [] END AS bps
+           FROM t),
+         s AS (
+           SELECT doc_id, tk, n, list_prepend(0, bps) AS starts
+           FROM b),
+         g AS (
+           SELECT doc_id, tk, n, starts,
+             unnest(range(1, len(starts) + 1)) AS j
+           FROM s),
+         ck AS (
+           SELECT CAST(doc_id * 100000 + (j - 1) AS BIGINT) AS cid,
+             array_to_string(tk[starts[j]+1 :
+               CASE WHEN j + 1 <= len(starts) THEN starts[j+1]
+                    ELSE n END], ' ') AS chunk
+           FROM g)
+         SELECT cid FROM (
+           SELECT cid, row_number() OVER (
+             PARTITION BY array_to_string(list_filter(string_split(
+               lower(regexp_replace(chunk, '[^a-zA-Z0-9'']+', ' ',
+                 'g')), ' '), x -> x <> ''), ' ')
+             ORDER BY cid) AS rn
+           FROM ck) WHERE rn = 1""",
 
     // bm25 ≡ the same idf/dl/avgdl arithmetic replayed (double
     // literals promote identically; round-4 absorbs ln ulps)

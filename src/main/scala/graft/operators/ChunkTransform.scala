@@ -34,8 +34,10 @@ import org.apache.spark.sql.types._
   *
   * `mode: cdc` — CONTENT-DEFINED chunking (FastCDC-family): instead
   * of fixed strides, a chunk boundary falls after token `i` whenever
-  * the rolling fingerprint of the last `window` tokens (md5 of the
-  * joined window, seeded) lands below a `1/2^bits` threshold —
+  * the rolling fingerprint of the last `window` tokens (seeded
+  * xxhash64 of the per-token hash slice by default; `hashAlgo: md5`
+  * = joined-window digest, SQL-replayable) lands below a
+  * `1/2^bits` threshold —
   * expected chunk length 2^`bits` tokens, and boundaries move WITH
   * the content, so inserting a sentence near a document's head
   * shifts one chunk instead of re-cutting every downstream window
@@ -126,10 +128,14 @@ object ChunkTransform {
           1.0 / (1L << bits).toDouble)
         val (hashed, bps) =
           if (md5Mode) {
+            // element cast keeps md5 mode working over non-string
+            // token arrays (BPE ids via tokensField); identity for
+            // string tokens so the q116 oracle is unaffected
             val b = when(n - 1 >= w,
               filter(sequence(lit(w), n - 1), i =>
                 substring(md5(concat_ws(" ", lit(seed), array_join(
-                  slice(toks, i - w + 1, lit(w)), " "))), 1, 8) <
+                  transform(slice(toks, i - w + 1, lit(w)),
+                    e => e.cast(StringType)), " "))), 1, 8) <
                   lit(thr)))
               .otherwise(array().cast("array<int>"))
             (df, b)
