@@ -687,6 +687,12 @@ object DedupTransform {
           .join(benchGrams, Seq("__gram"), "left_semi")
       }
     if (action == "report") {
+      val clash = Seq("__grams_total", "__grams_matched", "__overlap")
+        .filter(df.columns.contains)
+      require(clash.isEmpty,
+        s"dedup decontaminate report: input columns " +
+          s"${clash.mkString(", ")} collide with the report's output " +
+          "columns — rename them upstream")
       val totals = corpusGrams.groupBy(col("__id"))
         .agg(count_distinct(col("__gram")).as("__grams_total"))
       val matchedPer = matched.groupBy(col("__id"))

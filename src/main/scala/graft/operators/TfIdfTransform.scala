@@ -80,9 +80,13 @@ object TfIdfTransform {
         val b = p.dbl("b").getOrElse(0.75)
         // avgdl over docs WITH tokens (dl of an empty doc is 0 and
         // contributes nothing to retrieval; standard convention)
-        val avgdl = terms.groupBy(col(idField))
+        val avgdlRow = terms.groupBy(col(idField))
           .agg(count(lit(1)).as("__dl"))
-          .agg(avg(col("__dl"))).head().getDouble(0)
+          .agg(avg(col("__dl"))).head()
+        require(!avgdlRow.isNullAt(0),
+          s"tfidf ${cfg.name}: bm25 needs at least one tokenized " +
+            "document (every doc is empty/null)")
+        val avgdl = avgdlRow.getDouble(0)
         val dl = sum(col("tf")).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col(idField)))

@@ -246,9 +246,12 @@ object SelectCompiler {
       // quantile of a binary KLL sketch column (see the kll_sketch /
       // kll_merge aggregation ops); `fraction` in [0, 1]
       case "kll_quantile" =>
-        graft.functions.KllFunctions.kllQuantile(col(field),
-          sel.dbl("fraction").orElse(sel.dbl("percentile"))
-            .getOrElse(0.5))
+        val fr = sel.dbl("fraction").orElse(sel.dbl("percentile"))
+          .getOrElse(0.5)
+        require(fr >= 0.0 && fr <= 1.0,
+          s"select $name: kll_quantile fraction must be in [0, 1], " +
+            s"got $fr")
+        graft.functions.KllFunctions.kllQuantile(col(field), fr)
       // URL decomposition for crawl curation (host-keyed dedup, TLD
       // filters, path heuristics): Spark's codegen'd parse_url.
       // `part`: host | path | query | protocol | ref | authority |

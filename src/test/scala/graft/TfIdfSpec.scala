@@ -73,5 +73,10 @@ class TfIdfSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](ti(
       """{"idField": "nope"}"""))
     assert(e2.getMessage.contains("idField"))
+    // bm25 over an all-empty corpus has no avgdl — actionable, not NPE
+    val e3 = intercept[IllegalArgumentException](ti(
+      """{"idField": "doc_id", "scheme": "bm25"}""",
+      Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text")))
+    assert(e3.getMessage.contains("tokenized"))
   }
 }
