@@ -2575,6 +2575,80 @@ transforms:
       sql: "SELECT cid FROM dd"
 """),
 
+    // the flagship curation recipe — the individually-green pieces
+    // chained the way a pretraining data pipeline actually runs them:
+    // token-count quality gate (textAnalysis) → exact dedup (keep
+    // canonical) → benchmark decontamination (action: remove, the
+    // 1/97 eval sample) → deterministic train/val/test split. The
+    // oracle replays every stage: the q15 token formula, the q14
+    // min-id-per-normalized-text window, the q48 gram anti-join, and
+    // the q100 md5 thresholds
+    "q120_curation_recipe" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: ta
+    module: textAnalysis
+    inputs: [docs]
+    parameters: {field: text, features: [tokens]}
+  - name: fl
+    module: sql
+    inputs: [ta]
+    parameters:
+      sql: "SELECT doc_id, text, n_tokens FROM ta WHERE n_tokens BETWEEN 10 AND 2000"
+  - name: dd
+    module: dedup
+    inputs: [fl]
+    parameters: {method: exact, field: text, idField: doc_id, keep: canonical}
+  - name: bench
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 97 = 0"
+  - name: dc
+    module: dedup
+    inputs: [dd, bench]
+    parameters: {method: decontaminate, action: remove, field: text, idField: doc_id, ngramSize: 8}
+  - name: out
+    module: select
+    inputs: [dc]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: n_tokens}
+        - {name: split, func: split, fields: [doc_id],
+           ratios: {train: 0.8, val: 0.1, test: 0.1}}
+"""),
+
+    // element-wise vector mean-pooling (chunk embeddings → document
+    // embedding, centroids over assigned members): a mergeable O(d)
+    // custom Aggregator, partial-combined map-side like every
+    // built-in agg — the oracle replays per-position averages
+    "q121_vector_pool" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: ag
+    module: aggregation
+    inputs: [emb]
+    parameters:
+      groupFields: [label]
+      aggregations:
+        - input: emb
+          fields:
+            - {name: pooled, op: vector_avg, field: embedding}
+            - {name: n, op: count}
+  - name: out
+    module: sql
+    inputs: [ag]
+    parameters:
+      sql: "SELECT label, transform(pooled, x -> round(x, 4)) AS pooled_r, n FROM ag"
+"""),
+
     // tfidf, bm25 scheme: Okapi scoring (k1=1.2, b=0.75) over the
     // same 1/97 sample — idf, per-doc length, and the corpus avgdl
     // all replay in SQL
@@ -5660,6 +5734,76 @@ transforms:
                  'g')), ' '), x -> x <> ''), ' ')
              ORDER BY cid) AS rn
            FROM ck) WHERE rn = 1""",
+
+    // the full curation chain replayed stage-for-stage: q15 tokens →
+    // BETWEEN filter → q14 dedup window → q48 gram anti-join (bench
+    // grams from the RAW corpus sample, matching the recipe's wiring)
+    // → q100 split thresholds
+    "q120_curation_recipe" ->
+      """WITH ta AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split(lower(regexp_replace(
+               text, '[^a-zA-Z0-9'']+', ' ', 'g')), ' '),
+               x -> x <> '')) AS INT) AS n_tokens
+           FROM documents),
+         fl AS (SELECT * FROM ta WHERE n_tokens BETWEEN 10 AND 2000),
+         dd AS (
+           SELECT doc_id, text, n_tokens FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY array_to_string(list_filter(string_split(
+                 lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ',
+                   'g')), ' '), x -> x <> ''), ' ')
+               ORDER BY doc_id) AS rn
+             FROM fl) WHERE rn = 1),
+         dt AS (
+           SELECT doc_id, list_filter(string_split(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+             ' '), x -> x <> '') AS tk
+           FROM dd),
+         grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) < 8
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')) END) AS g
+           FROM dt),
+         bt AS (
+           SELECT list_filter(string_split(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+             ' '), x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 97 = 0),
+         bg AS (
+           SELECT DISTINCT unnest(CASE WHEN len(tk) < 8
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')) END) AS g
+           FROM bt),
+         hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
+         SELECT dd.doc_id, dd.n_tokens,
+           CASE WHEN substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)
+                  < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)
+                  < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM dd LEFT JOIN hits ON dd.doc_id = hits.doc_id
+         WHERE hits.doc_id IS NULL""",
+
+    // mean-pooled vectors ≡ per-position averages reassembled in
+    // position order (round-4 absorbs summation-order ulps)
+    "q121_vector_pool" ->
+      """WITH e AS (
+           SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+           FROM embeddings WHERE embedding IS NOT NULL),
+         a AS (
+           SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+           FROM e GROUP BY 1, 2),
+         p AS (
+           SELECT label, list(round(m, 4) ORDER BY pos) AS pooled_r
+           FROM a GROUP BY 1),
+         n AS (
+           SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+         SELECT n.label, p.pooled_r, n.n
+         FROM n LEFT JOIN p ON n.label IS NOT DISTINCT FROM p.label""",
 
     // bm25 ≡ the same idf/dl/avgdl arithmetic replayed (double
     // literals promote identically; round-4 absorbs ln ulps)

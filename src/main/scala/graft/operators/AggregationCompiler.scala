@@ -154,6 +154,18 @@ object AggregationCompiler {
       case "kll_merge" =>
         graft.functions.KllFunctions.kllMerge(
           op.int("k").getOrElse(200), guarded(valueCol))
+      // element-wise vector aggregates (mean-pooling chunk embeddings
+      // into document embeddings, centroids over assigned members):
+      // O(d) mergeable buffer, partial-combines map-side, so only one
+      // d-length vector per (partition, group) shuffles.
+      case "vector_sum" =>
+        graft.functions.VectorFunctions.vectorSum(
+          guarded(valueCol.cast(ArrayType(DoubleType))),
+          s"vector_sum $name")
+      case "vector_avg" =>
+        graft.functions.VectorFunctions.vectorAvg(
+          guarded(valueCol.cast(ArrayType(DoubleType))),
+          s"vector_avg $name")
       case "median" => median(guarded(valueCol.cast(DoubleType)))
       case "percentile" =>
         val v = guarded(valueCol.cast(DoubleType))
