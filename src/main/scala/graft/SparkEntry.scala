@@ -2646,7 +2646,7 @@ transforms:
     module: sql
     inputs: [ag]
     parameters:
-      sql: "SELECT label, transform(pooled, x -> round(x, 4)) AS pooled_r, n FROM ag"
+      sql: "SELECT label, transform(pooled, x -> round(x, 4) + 0.0d) AS pooled_r, n FROM ag"
 """),
 
     // tfidf, bm25 scheme: Okapi scoring (k1=1.2, b=0.75) over the
@@ -5788,7 +5788,10 @@ transforms:
          WHERE hits.doc_id IS NULL""",
 
     // mean-pooled vectors ≡ per-position averages reassembled in
-    // position order (round-4 absorbs summation-order ulps)
+    // position order (round-4 absorbs summation-order ulps; the
+    // `+ 0.0` on both sides folds IEEE −0.0 into +0.0 — a mean that
+    // rounds to zero from below prints `-0` in DuckDB but `0` in
+    // Spark, caught at sf0.1)
     "q121_vector_pool" ->
       """WITH e AS (
            SELECT label, unnest(embedding) AS v,
@@ -5798,7 +5801,8 @@ transforms:
            SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
            FROM e GROUP BY 1, 2),
          p AS (
-           SELECT label, list(round(m, 4) ORDER BY pos) AS pooled_r
+           SELECT label, list(round(m, 4) + 0.0 ORDER BY pos)
+             AS pooled_r
            FROM a GROUP BY 1),
          n AS (
            SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
