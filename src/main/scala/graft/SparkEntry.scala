@@ -2649,6 +2649,57 @@ transforms:
       sql: "SELECT label, transform(pooled, x -> round(x, 4) + 0.0d) AS pooled_r, n FROM ag"
 """),
 
+    // mergeable theta set-sketches with set ALGEBRA: sketch per
+    // (status, priority), theta_union per status — the two-stage
+    // merge pattern of q87/q96/q114 — then intersection/difference
+    // estimates BETWEEN the 'O' and 'F' sketches. lgK 15 keeps
+    // ~14.5k distinct custkeys per side below the sampling
+    // threshold, so every estimate is exact and the oracle pins the
+    // true distinct-set counts
+    "q122_theta_overlap" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: part
+    module: aggregation
+    inputs: [ord]
+    parameters:
+      groupFields: [o_orderstatus, o_orderpriority]
+      aggregations:
+        - input: ord
+          fields:
+            - {name: sk, op: theta_sketch, field: o_custkey, lgK: 15}
+  - name: ag
+    module: aggregation
+    inputs: [part]
+    parameters:
+      groupFields: [o_orderstatus]
+      aggregations:
+        - input: part
+          fields:
+            - {name: sk, op: theta_union, field: sk, lgK: 15}
+  - name: pair
+    module: sql
+    inputs: [ag]
+    parameters:
+      sql: "SELECT a.sk AS ska, b.sk AS skb FROM (SELECT sk FROM ag WHERE o_orderstatus = 'O') a CROSS JOIN (SELECT sk FROM ag WHERE o_orderstatus = 'F') b"
+  - name: est
+    module: select
+    inputs: [pair]
+    parameters:
+      select:
+        - {name: n_o, func: theta_estimate, field: ska}
+        - {name: inter, func: theta_intersect, fields: [ska, skb]}
+        - {name: only_o, func: theta_difference, fields: [ska, skb]}
+  - name: out
+    module: sql
+    inputs: [est]
+    parameters:
+      sql: "SELECT CAST(round(n_o) AS BIGINT) AS n_o, CAST(round(inter) AS BIGINT) AS inter, CAST(round(only_o) AS BIGINT) AS only_o FROM est"
+"""),
+
     // tfidf, bm25 scheme: Okapi scoring (k1=1.2, b=0.75) over the
     // same 1/97 sample — idf, per-doc length, and the corpus avgdl
     // all replay in SQL
@@ -5808,6 +5859,21 @@ transforms:
            SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
          SELECT n.label, p.pooled_r, n.n
          FROM n LEFT JOIN p ON n.label IS NOT DISTINCT FROM p.label""",
+
+    // exact-mode theta sketches ≡ the true distinct-set counts
+    "q122_theta_overlap" ->
+      """WITH o AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'O'),
+         f AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'F')
+         SELECT
+           CAST((SELECT count(*) FROM o) AS BIGINT) AS n_o,
+           CAST((SELECT count(*) FROM o JOIN f USING (o_custkey))
+             AS BIGINT) AS inter,
+           CAST((SELECT count(*) FROM o WHERE o_custkey NOT IN
+             (SELECT o_custkey FROM f)) AS BIGINT) AS only_o""",
 
     // bm25 ≡ the same idf/dl/avgdl arithmetic replayed (double
     // literals promote identically; round-4 absorbs ln ulps)

@@ -154,6 +154,20 @@ object AggregationCompiler {
       case "kll_merge" =>
         graft.functions.KllFunctions.kllMerge(
           op.int("k").getOrElse(200), guarded(valueCol))
+      // mergeable distinct-SET sketches (DataSketches Theta): unlike
+      // HLL these support set ALGEBRA — intersection/difference
+      // estimates between sketches (see select funcs theta_estimate /
+      // theta_intersect / theta_difference) — so cross-corpus overlap
+      // audits never shuffle the raw sets. Exact below the sampling
+      // threshold (2^lgK nominal entries), so bounded-domain oracles
+      // pin exact values.
+      case "theta_sketch" =>
+        graft.functions.ThetaFunctions.thetaSketch(
+          op.int("lgK").getOrElse(12),
+          guarded(valueCol.cast(StringType)))
+      case "theta_union" =>
+        graft.functions.ThetaFunctions.thetaUnion(
+          op.int("lgK").getOrElse(12), guarded(valueCol))
       // element-wise vector aggregates (mean-pooling chunk embeddings
       // into document embeddings, centroids over assigned members):
       // O(d) mergeable buffer, partial-combines map-side, so only one

@@ -252,6 +252,25 @@ object SelectCompiler {
           s"select $name: kll_quantile fraction must be in [0, 1], " +
             s"got $fr")
         graft.functions.KllFunctions.kllQuantile(col(field), fr)
+      // set algebra over binary theta sketch columns (see the
+      // theta_sketch / theta_union aggregation ops): distinct-count
+      // estimate of one sketch, or intersection/difference estimates
+      // BETWEEN two sketches — cross-corpus overlap without shuffling
+      // raw sets
+      case "theta_estimate" =>
+        graft.functions.ThetaFunctions.thetaEstimate(col(field))
+      case "theta_intersect" =>
+        val fs = sel.strArr("fields")
+        require(fs.size == 2,
+          s"select $name: theta_intersect needs fields: [a, b]")
+        graft.functions.ThetaFunctions
+          .thetaIntersect(col(fs(0)), col(fs(1)))
+      case "theta_difference" =>
+        val fs = sel.strArr("fields")
+        require(fs.size == 2,
+          s"select $name: theta_difference needs fields: [a, b]")
+        graft.functions.ThetaFunctions
+          .thetaDifference(col(fs(0)), col(fs(1)))
       // URL decomposition for crawl curation (host-keyed dedup, TLD
       // filters, path heuristics): Spark's codegen'd parse_url.
       // `part`: host | path | query | protocol | ref | authority |
