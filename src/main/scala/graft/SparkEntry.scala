@@ -2700,6 +2700,35 @@ transforms:
       sql: "SELECT CAST(round(n_o) AS BIGINT) AS n_o, CAST(round(inter) AS BIGINT) AS inter, CAST(round(only_o) AS BIGINT) AS only_o FROM est"
 """),
 
+    // sentence-boundary chunking (mode: sentence): one chunk per
+    // sentence with cumulative token offsets — the oracle replays the
+    // lookaround-free segmentation regex, the trim+drop-empties
+    // filter, and the offset fold. The synthetic corpus has no
+    // punctuation, so the gate first injects it deterministically
+    // (literal replace — identical semantics in both engines), giving
+    // multi-sentence documents with ., ? and ! terminators
+    "q123_chunk_sentence" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: px
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, replace(replace(replace(text, 'spark', 'spark.'), 'query', 'query?'), 'fast', 'fast!') AS text FROM docs"
+  - name: ck
+    module: chunk
+    inputs: [px]
+    parameters: {mode: sentence, field: text}
+  - name: out
+    module: sql
+    inputs: [ck]
+    parameters:
+      sql: "SELECT doc_id, chunk, chunk_index, chunk_offset FROM ck"
+"""),
+
     // tfidf, bm25 scheme: Okapi scoring (k1=1.2, b=0.75) over the
     // same 1/97 sample — idf, per-doc length, and the corpus avgdl
     // all replay in SQL
@@ -5874,6 +5903,31 @@ transforms:
              AS BIGINT) AS inter,
            CAST((SELECT count(*) FROM o WHERE o_custkey NOT IN
              (SELECT o_custkey FROM f)) AS BIGINT) AS only_o""",
+
+    // sentence segmentation ≡ the same RE2-class regex + trim +
+    // drop-empties, offsets = prefix token sums of the sentence
+    // tokenization
+    "q123_chunk_sentence" ->
+      """WITH px AS (
+           SELECT doc_id, replace(replace(replace(text,
+             'spark', 'spark.'), 'query', 'query?'), 'fast', 'fast!')
+             AS text
+           FROM documents),
+         s AS (
+           SELECT doc_id, list_filter(list_transform(
+             regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+             x -> x <> '') AS sents
+           FROM px WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, sents,
+             unnest(range(1, len(sents) + 1)) AS j
+           FROM s)
+         SELECT doc_id, sents[j] AS chunk,
+           CAST(j - 1 AS BIGINT) AS chunk_index,
+           CAST(coalesce(list_sum(list_transform(sents[1:j-1],
+             x -> len(string_split_regex(x, '\s+')))), 0) AS BIGINT)
+             AS chunk_offset
+         FROM g""",
 
     // bm25 ≡ the same idf/dl/avgdl arithmetic replayed (double
     // literals promote identically; round-4 absorbs ln ulps)

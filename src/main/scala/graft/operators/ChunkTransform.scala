@@ -48,6 +48,17 @@ import org.apache.spark.sql.types._
   * operator a data-parallel Column program and the boundary rule
   * replayable by any SQL engine (the q116 oracle). `size`/`overlap`
   * do not apply in cdc mode.
+  *
+  * `mode: sentence` — one chunk per SENTENCE: maximal runs of
+  * non-terminator characters plus their closing `[.!?]*` run,
+  * trimmed, empties dropped (deliberately lookaround-free so any
+  * RE2-class engine replays the boundary rule — the q123 oracle).
+  * `offsetField` counts the tokens of the PRECEDING sentences (the
+  * sentence tokenization's cumulative whitespace-token count, one
+  * `aggregate` pass per document). Sentence-level dedup and
+  * sentence→`pack` composition (greedy token-budget grouping of
+  * sentences) are the downstream uses; `size`/`overlap`/
+  * `tokensField` do not apply in sentence mode.
   */
 object ChunkTransform {
 
@@ -69,7 +80,8 @@ object ChunkTransform {
       require(!df.columns.contains(c),
         s"chunk ${cfg.name}: output column $c collides with an input " +
           "column — set chunkField/indexField/offsetField")
-    val reservedHit = Seq("__ci", "__piece", "__cdc_starts", "__cdc_th")
+    val reservedHit = Seq("__ci", "__piece", "__cdc_starts", "__cdc_th",
+      "__sents", "__soffs")
       .filter(df.columns.contains)
     require(reservedHit.isEmpty,
       s"chunk ${cfg.name}: input columns ${reservedHit.mkString(", ")} " +
@@ -98,8 +110,11 @@ object ChunkTransform {
       (if (tokensField.isDefined) slice(toks, off + 1, len)
        else array_join(slice(toks, off + 1, len), " ")).as("txt"))
     val mode = p.str("mode").getOrElse("sliding")
-    require(Set("sliding", "cdc")(mode),
-      s"chunk ${cfg.name}: mode $mode (valid: sliding, cdc)")
+    require(Set("sliding", "cdc", "sentence")(mode),
+      s"chunk ${cfg.name}: mode $mode (valid: sliding, cdc, sentence)")
+    require(mode != "sentence" || tokensField.isEmpty,
+      s"chunk ${cfg.name}: sentence mode segments text — tokensField " +
+        "does not apply (chunk the text, then tokenize downstream)")
     // a null document has no tokens and yields NO chunks: the pieces
     // array stays null and the (non-outer) posexplode drops the row —
     // without this guard size(null)= -1 made nChunks hit the `<= sz`
@@ -109,7 +124,38 @@ object ChunkTransform {
         (df, when(srcCol.isNotNull,
           transform(sequence(lit(0), nChunks - 1),
             i => piece(i * stride, lit(sz)))))
-      else {
+      else if (mode == "sentence") {
+        // the sentence array and its offsets each materialize in
+        // their own projection: both are referenced by the per-chunk
+        // lambda, and inlined they would re-run the segmentation (and
+        // the O(n) offset fold) once PER SENTENCE — the same
+        // CollapseProject hazard the cdc starts column hoists around
+        val d1 = df.withColumn("__sents",
+          filter(transform(
+            regexp_extract_all(col(field),
+              lit("[^.!?]+[.!?]*"), lit(0)),
+            s => trim(s)), s => s =!= lit("")))
+        val sents = col("__sents")
+        // one aggregate pass folds (running token count, offsets):
+        // offsets[j] = tokens of sentences 0..j-1
+        val d2 = d1.withColumn("__soffs",
+          aggregate(sents,
+            struct(lit(0).as("run"),
+              array().cast("array<int>").as("offs")),
+            (acc, s) => struct(
+              (acc.getField("run") + size(split(s, "\\s+")))
+                .as("run"),
+              concat(acc.getField("offs"),
+                array(acc.getField("run"))).as("offs")),
+            acc => acc.getField("offs")))
+        val offs = col("__soffs")
+        // the size guard matters: sequence(0, -1) DESCENDS in Spark,
+        // so an all-punctuation/empty doc would emit phantom chunks
+        (d2, when(col(field).isNotNull && size(sents) > 0,
+          transform(sequence(lit(0), size(sents) - 1), j => struct(
+            element_at(offs, j + 1).as("off"),
+            element_at(sents, j + 1).as("txt")))))
+      } else {
         val w = p.int("window").getOrElse(8)
         val bits = p.int("bits").getOrElse(5)
         require(w > 0 && bits >= 1 && bits <= 30,

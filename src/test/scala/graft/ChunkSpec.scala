@@ -123,6 +123,31 @@ class ChunkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("valid"))
   }
 
+  test("sentence mode: terminator runs close sentences, offsets are " +
+      "prefix token counts, degenerate docs yield zero chunks") {
+    val df = Seq(
+      (1L, "Hello world. How are you? Fine... Done"),
+      (2L, "..."), // punctuation-only: no [^.!?]+ run, no chunks
+      (3L, null))
+      .toDF("id", "text")
+    val out = chunk("""{"mode": "sentence", "field": "text"}""", df)
+      .orderBy("id", "chunk_index")
+      .select("id", "chunk", "chunk_index", "chunk_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "Hello world.", 0L, 0L),
+      (1L, "How are you?", 1L, 2L),
+      (1L, "Fine...", 2L, 5L),
+      (1L, "Done", 3L, 6L)))
+    // tokensField contradicts sentence segmentation — rejected
+    val e = intercept[IllegalArgumentException](
+      chunk("""{"mode": "sentence", "field": "text",
+        "tokensField": "tk"}""",
+        df.withColumn("tk", split(col("text"), " "))))
+    assert(e.getMessage.contains("sentence mode"))
+  }
+
   test("a null document yields zero chunks") {
     val out = chunk("""{"field": "text", "size": 4, "overlap": 1}""",
       Seq((1L, "a b c"), (2L, null: String), (3L, "d"))
