@@ -2729,6 +2729,67 @@ transforms:
       sql: "SELECT doc_id, chunk, chunk_index, chunk_offset FROM ck"
 """),
 
+    // ANN self-join (selfJoin: true): EVERY vector gets its top-k
+    // neighbors — the semdedup / neighbor-graph primitive. IVF md5
+    // audit mode keeps the whole index SQL-replayable (q33's
+    // machinery with the query side = the full corpus); candidates
+    // shuffle ids-only on the cell key, both vector re-attaches are
+    // index joins, no broadcast-queries contract
+    "q125_knn_selfjoin" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: knn
+    module: similarity
+    inputs: [emb]
+    parameters: {method: ivf, selfJoin: true, field: embedding, idField: vec_id, k: 3, centroids: 32, nProbe: 2, hashAlgo: md5}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
+    // the distribution ranks (§2.7): rank/dense_rank/percent_rank/
+    // cume_dist/ntile over a unique per-key order — deterministic,
+    // replayed by the identical ANSI window functions in DuckDB
+    "q124_window_rank" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: w
+    module: window
+    inputs: [ev]
+    parameters:
+      groupFields: [user_id]
+      orderField: event_id
+      fields:
+        - {name: rk, func: rank}
+        - {name: drk, func: dense_rank}
+        - {name: prk, func: percent_rank}
+        - {name: cd, func: cume_dist}
+        - {name: nt, func: ntile, n: 4}
+  - name: out
+    module: select
+    inputs: [w]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: user_id}
+        - {name: rk, type: int32}
+        - {name: drk, type: int32}
+        - {name: prk_r, expression: "round(prk, 6)"}
+        - {name: cd_r, expression: "round(cd, 6)"}
+        - {name: nt, type: int32}
+"""),
+
     // tfidf, bm25 scheme: Okapi scoring (k1=1.2, b=0.75) over the
     // same 1/97 sample — idf, per-doc length, and the corpus avgdl
     // all replay in SQL
@@ -5928,6 +5989,60 @@ transforms:
              x -> len(string_split_regex(x, '\s+')))), 0) AS BIGINT)
              AS chunk_offset
          FROM g""",
+
+    // the q33 IVF replay with the query side = the full corpus
+    // (every vector probes its nProbe nearest of the 32 md5-seeded
+    // centroid cells; ranked cosine over same-cell pairs)
+    "q125_knn_selfjoin" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         seed AS (
+           SELECT vec_id, embedding FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 32),
+         cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             embedding AS cvec
+           FROM seed),
+         sims AS (
+           SELECT e.vec_id, cents.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(cents.cvec AS DOUBLE[])) DESC, cents.cell) AS rn
+           FROM e CROSS JOIN cents),
+         c_assign AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
+         q_assign AS (SELECT vec_id, cell FROM sims WHERE rn <= 2),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                 CAST(eq.embedding AS DOUBLE[]),
+                 CAST(ec.embedding AS DOUBLE[])) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN e eq ON eq.vec_id = p.query_id
+           JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 3""",
+
+    // ANSI distribution ranks replay exactly over the unique order
+    "q124_window_rank" ->
+      """SELECT event_id, user_id,
+           CAST(rank() OVER w AS INT) AS rk,
+           CAST(dense_rank() OVER w AS INT) AS drk,
+           round(percent_rank() OVER w, 6) AS prk_r,
+           round(cume_dist() OVER w, 6) AS cd_r,
+           CAST(ntile(4) OVER w AS INT) AS nt
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
 
     // bm25 ≡ the same idf/dl/avgdl arithmetic replayed (double
     // literals promote identically; round-4 absorbs ln ulps)

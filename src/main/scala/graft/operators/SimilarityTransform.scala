@@ -28,7 +28,21 @@ object SimilarityTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val p = cfg.params
     val corpus = inputs(cfg.inputs.head)
-    val queries = if (cfg.inputs.size > 1) inputs(cfg.inputs(1))
+    // `selfJoin: true` — EVERY corpus vector is a query (the
+    // semdedup / neighbor-graph primitive: top-k neighbors for each
+    // document). The broadcast-queries contract doesn't apply: the
+    // candidate join shuffles both sides on the bucket/cell key and
+    // the query re-attach joins the corpus index (int8 when
+    // quantized) instead of broadcasting. Only the bucketed methods
+    // scale — bruteforce self-join is the O(n²) cross product, and
+    // its query side is driver-materialized, so it's rejected.
+    val selfJoin = p.bool("selfJoin").getOrElse(false)
+    require(!selfJoin || cfg.inputs.size == 1,
+      s"similarity ${cfg.name}: selfJoin takes ONE input — the corpus " +
+        "is its own query set")
+    val queries =
+      if (selfJoin) corpus
+      else if (cfg.inputs.size > 1) inputs(cfg.inputs(1))
       else corpus.limit(p.int("numQueries").getOrElse(10))
     val embField = p.str("field").getOrElse("embedding")
     val idField = p.str("idField").getOrElse("vec_id")
@@ -74,8 +88,36 @@ object SimilarityTransform {
     }
     val k0 = k
 
+    /** Bucket/cell candidate join: queries broadcast under the
+      * small-queries contract; in selfJoin mode both sides shuffle on
+      * the key (hot buckets are AQE's skew-join case). Candidates
+      * stay ids-only either way. */
+    def candidates(cB: DataFrame, qB: DataFrame,
+        key: String): DataFrame =
+      (if (selfJoin) cB.join(qB, Seq(key))
+       else cB.join(broadcast(qB), Seq(key)))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates("query_id", "neighbor_id")
+    /** Query-vector re-attach: broadcast of the contract-small query
+      * frame, or (selfJoin) a second read of the corpus index — int8
+      * through the shuffle when quantized, like [[attach]]. */
+    def attachQ(cand: DataFrame): DataFrame =
+      if (!selfJoin) cand.join(broadcast(q), Seq("query_id"))
+      else if (quantizedIdx)
+        cand.join(cIndex.select(col("neighbor_id").as("query_id"),
+            col("__c_qv").as("__q_qv")), Seq("query_id"))
+          .withColumn("__q_emb",
+            graft.ops.SelectCompiler.dequantizeCol(col("__q_qv")))
+          .drop("__q_qv")
+      else cand.join(c.select(col("neighbor_id").as("query_id"),
+          col("__c_emb").as("__q_emb")), Seq("query_id"))
+
     val scored = p.str("method").getOrElse("bruteforce") match {
       case "bruteforce" =>
+        require(!selfJoin,
+          s"similarity ${cfg.name}: selfJoin needs a bucketed method " +
+            "(lsh or ivf) — a brute-force self-join is the full " +
+            "O(n²) cross product")
         // single-decode tight loop instead of crossJoin + per-pair
         // UDF: the pairwise form re-converted BOTH ArrayData sides
         // for every (corpus, query) pair — measured 18.4s for
@@ -116,12 +158,10 @@ object SimilarityTransform {
         val qB = q.filter(col("__q_emb").isNotNull)
           .withColumn("__bucket", explode(buckets(col("__q_emb"))))
           .select("query_id", "__bucket")
-        attach(cB.join(broadcast(qB), Seq("__bucket"))
-          .select("query_id", "neighbor_id")
-          // corpus embeddings once per unique pair (AQE picks the
-          // join); query embeddings re-attach broadcast — no shuffle
-          .dropDuplicates("query_id", "neighbor_id"))
-          .join(broadcast(q), Seq("query_id"))
+        // corpus embeddings once per unique pair (AQE picks the
+        // join); query embeddings re-attach broadcast (or via the
+        // corpus index in selfJoin mode) — ids-only until then
+        attachQ(attach(candidates(cB, qB, "__bucket")))
       case "ivf" =>
         // IVF: corpus vectors assign to their nearest centroid once;
         // each query probes the nProbe nearest centroid cells. The
@@ -161,10 +201,7 @@ object SimilarityTransform {
           explode(assignQ(col("__q_emb"))))
           .select("query_id", "__cell")
         // same narrow-candidate shape as lsh
-        attach(cB.join(broadcast(qB), Seq("__cell"))
-          .select("query_id", "neighbor_id")
-          .dropDuplicates("query_id", "neighbor_id"))
-          .join(broadcast(q), Seq("query_id"))
+        attachQ(attach(candidates(cB, qB, "__cell")))
       case other =>
         throw new IllegalArgumentException(s"similarity method: $other")
     }

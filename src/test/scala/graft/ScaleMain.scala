@@ -116,6 +116,45 @@ object ScaleMain {
           """{"mode":"cdc","field":"text","window":8,"bits":5}"""),
           Json.obj()), Map("d" -> docs))("cc")
     }
+    // sentence chunking: segmentation regex + one aggregate offset
+    // fold per doc, still zero shuffle — linear in corpus bytes
+    time("chunk-sentence") {
+      val px = docs.withColumn("text",
+        expr("replace(replace(text, 'spark', 'spark.'), " +
+          "'query', 'query?')"))
+      graft.operators.ChunkTransform.build(spark,
+        ModuleCfg("cs", "chunk", Seq("d"), Nil, Json.parse(
+          """{"mode":"sentence","field":"text"}"""),
+          Json.obj()), Map("d" -> px))("cs")
+    }
+    // vector mean-pooling: O(d) mergeable buffers, map-side partial
+    // combine — only (partitions x groups) vectors shuffle, so wall
+    // time must track row count with a flat shuffle payload
+    if (!sys.env.contains("SCALE_SKIP_DOCS")) time("vector-pool") {
+      val emb0 = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val emb = emb0.crossJoin(
+          spark.range(mult).withColumnRenamed("id", "__copy"))
+        .withColumn("vec_id", col("vec_id") * mult + col("__copy"))
+        .drop("__copy").repartition(32)
+      graft.operators.AggregationTransform.build(spark,
+        ModuleCfg("vp", "aggregation", Seq("e"), Nil, Json.parse(
+          """{"groupFields":["label"],"aggregations":[{"input":"e",
+             "fields":[{"name":"pooled","op":"vector_avg",
+             "field":"embedding"}]}]}"""),
+          Json.obj()), Map("e" -> emb))("vp")
+    }
+    // theta sketches: fixed-size mergeable state however many
+    // distincts stream through — the distinct-set audit that never
+    // shuffles raw values
+    time("theta") {
+      graft.operators.AggregationTransform.build(spark,
+        ModuleCfg("th", "aggregation", Seq("d"), Nil, Json.parse(
+          """{"groupFields":["lang"],"aggregations":[{"input":"d",
+             "fields":[{"name":"sk","op":"theta_sketch",
+             "field":"doc_id","lgK":12}]}]}"""),
+          Json.obj()), Map("d" -> docs))("th")
+    }
     // weighted reservoir: per-lang top-k by n_chars weight — one
     // shuffle on the stratum key regardless of corpus size
     time("reservoir") {

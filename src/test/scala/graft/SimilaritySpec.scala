@@ -59,4 +59,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("__c_qv"),
       "int8 index column missing from the optimized plan:\n" + plan)
   }
+
+  private def selfKnn(params: String, n: Long = 60L) = {
+    val corpus = (1L to n).map(i => (i, intVec(i, 8)))
+      .toDF("vec_id", "embedding")
+    Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("knn", "similarity", Seq("c"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("c" -> corpus))("knn")
+  }
+
+  test("selfJoin: every vector gets neighbors, never itself, " +
+      "ranks within k — float and quantized agree on the lossless " +
+      "domain") {
+    val params = """{"method": "lsh", "selfJoin": true,
+      "field": "embedding", "idField": "vec_id", "k": 3,
+      "planes": 2, "tables": 4, "quantized": %s}"""
+    val out = ranks(selfKnn(params.format("false")))
+    // 2-plane 4-table buckets on 60 vectors: everyone finds someone
+    assert(out.map(_._1).distinct.size == 60)
+    assert(out.forall { case (q, n, r) => q != n && r >= 1 && r <= 3 })
+    assert(out == ranks(selfKnn(params.format("true"))))
+  }
+
+  test("selfJoin guards: bruteforce rejected, second input rejected") {
+    val e1 = intercept[IllegalArgumentException](selfKnn(
+      """{"method": "bruteforce", "selfJoin": true,
+         "field": "embedding", "idField": "vec_id"}"""))
+    assert(e1.getMessage.contains("bucketed method"))
+    val corpus = (1L to 10L).map(i => (i, intVec(i, 8)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.transforms("similarity")(spark,
+        Pipeline.ModuleCfg("knn", "similarity", Seq("c", "q"), Nil,
+          graft.config.Json.parse(
+            """{"method": "lsh", "selfJoin": true,
+               "field": "embedding", "idField": "vec_id"}"""),
+          graft.config.Json.obj()),
+        Map("c" -> corpus, "q" -> corpus))("knn"))
+    assert(e2.getMessage.contains("ONE input"))
+  }
 }
