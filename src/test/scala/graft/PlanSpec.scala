@@ -236,4 +236,39 @@ class PlanSpec extends AnyFunSuite {
       "degrees must not rank — a Window here is a per-key funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
   }
+
+  test("q123 sentence chunking is map-side: no shuffle, no UDF") {
+    val p = plan("q123_chunk_sentence")
+    assert(!p.contains("Exchange"), "sentence chunking must not shuffle")
+    assert(!p.contains("ScalaUDF"),
+      "segmentation + offset fold are pure Catalyst")
+    assert(p.contains("Generate"), "expected the posexplode Generate")
+  }
+
+  test("q122 theta sketches partial-combine at both stages") {
+    val p = plan("q122_theta_overlap")
+    // two-stage merge: the per-(status,priority) sketch and the
+    // per-status union must both aggregate below their exchanges
+    // (ObjectHashAggregate for the typed imperative agg)
+    assert(p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), "expected typed-agg operators:\n" + p)
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange > 0 &&
+      p.substring(firstExchange).contains("Aggregate"),
+      "no aggregate below the first exchange")
+  }
+
+  test("q125 selfJoin candidates cross the cell shuffle ids-only") {
+    val p = plan("q125_knn_selfjoin")
+    // the embedding arrays must re-attach ABOVE the candidate join:
+    // no exchange may carry the float vectors alongside the cell key
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(__cell") &&
+        l.contains("embedding"))
+    assert(!bad, "embedding arrays shuffled with the cell key:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "self-join regressed to a cross product")
+    assert(!p.contains("Window"),
+      "selfJoin ranking regressed to a per-query Window funnel")
+  }
 }
