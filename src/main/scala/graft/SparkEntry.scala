@@ -2765,6 +2765,31 @@ transforms:
     // graph connectedComponents glues them into clusters. The oracle
     // replays the q125 IVF pairs, the mutual join, and a recursive
     // min-label closure
+    // winnowing fingerprint dedup (Schleimer et al. 2003 / MOSS):
+    // per-window minimum token-gram hashes as the candidate index,
+    // exact fingerprint-set Jaccard verify. md5 audit mode — the
+    // oracle replays gram digests, window minima (hex-lexicographic
+    // = engine's string array_min), the shared-fingerprint candidate
+    // pairs, and the |∩|/(|a|+|b|−|∩|) verify
+    "q127_dedup_winnow" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    parameters: {method: winnow, field: text, idField: doc_id, ngramSize: 4, window: 8, threshold: 0.5, hashAlgo: md5}
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
     "q126_neighbor_clusters" -> pipe("out", """
 sources:
   - name: emb
@@ -4404,6 +4429,8 @@ transforms:
         dedupDocs("method: simhash, field: text, idField: doc_id")),
       "q34x_ngram_xx64" -> pipe("out", dedupDocs(
         "method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7")),
+      "q127x_winnow_xx64" -> pipe("out", dedupDocs(
+        "method: winnow, field: text, idField: doc_id, ngramSize: 4, window: 8, threshold: 0.5")),
       "q116x_chunk_cdc_xx64" -> pipe("out", """
 sources:
   - name: docs
@@ -6025,6 +6052,51 @@ transforms:
              x -> len(string_split_regex(x, '\s+')))), 0) AS BIGINT)
              AS chunk_offset
          FROM g""",
+
+    // winnowing replay: token 4-grams → md5-prefix hashes → window-8
+    // minima (hex strings compare lexicographically on both engines)
+    // → distinct fingerprint set → shared-fingerprint candidates →
+    // exact set-Jaccard >= 0.5 → min rep per doc
+    "q127_dedup_winnow" ->
+      """WITH base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id,
+             [substr(md5('0 ' || array_to_string(toks[i:i+3], ' ')),
+                1, 8)
+              for i in range(1, greatest(len(toks) - 3, 1) + 1)] AS gh
+           FROM base),
+         f AS (
+           SELECT doc_id,
+             list_distinct([list_min(gh[i:i+7])
+               for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
+           FROM g),
+         fe AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         cand AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY fp) AS rep
+           FROM fe),
+         cpairs AS (
+           SELECT DISTINCT doc_id AS a, rep AS b
+           FROM cand WHERE doc_id > rep),
+         sizes AS (SELECT doc_id, len(fps) AS nf FROM f),
+         inter AS (
+           SELECT p.a, p.b,
+             len(list_intersect(fa.fps, fb.fps)) AS i
+           FROM cpairs p
+           JOIN f fa ON fa.doc_id = p.a
+           JOIN f fb ON fb.doc_id = p.b),
+         ver AS (
+           SELECT i.a, min(i.b) AS dup_of
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.a
+           JOIN sizes sb ON sb.doc_id = i.b
+           WHERE i.i::DOUBLE / (sa.nf + sb.nf - i.i) >= 0.5
+           GROUP BY i.a)
+         SELECT d.doc_id, v.dup_of
+         FROM documents d LEFT JOIN ver v ON v.a = d.doc_id""",
 
     // the q125 IVF pairs (k=2), mutual-filtered, closed by recursive
     // min-label propagation — min reachable id ≡ the engine's

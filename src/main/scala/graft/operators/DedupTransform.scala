@@ -17,6 +17,9 @@ import org.apache.spark.sql.types._
   *  - `simhash`: 64-bit SimHash + Hamming-LSH bands.
   *  - `ngram`: char-n-gram MinHash candidates verified by exact
   *    n-gram Jaccard within buckets.
+  *  - `winnow`: winnowed token-gram fingerprints (Schleimer et al.,
+  *    SIGMOD 2003 / MOSS) — per-window minimum gram hashes as the
+  *    candidate index, exact fingerprint-set Jaccard verify.
   *  - `embedding`: cosine near-dup via random-hyperplane LSH buckets
   *    + within-bucket cosine verification.
   *  - `semdedup`: k-means-cluster embedding dedup (SemDeDup,
@@ -174,6 +177,14 @@ object DedupTransform {
         val threshold = p.dbl("threshold").getOrElse(0.8)
         ngramDedup(df, textField, idField, n, threshold,
           md5Mode = p.str("hashAlgo").contains("md5"),
+          transitive = transitive, maxIter = maxIter)
+      case "winnow" =>
+        winnowDedup(df, textField, idField,
+          k = p.int("ngramSize").getOrElse(4),
+          w = p.int("window").getOrElse(8),
+          threshold = p.dbl("threshold").getOrElse(0.5),
+          md5Mode = p.str("hashAlgo").contains("md5"),
+          seed = p.str("seed").getOrElse("0"),
           transitive = transitive, maxIter = maxIter)
       case "embedding" =>
         val embField = p.str("field").getOrElse("embedding")
@@ -511,6 +522,111 @@ object DedupTransform {
       // single-set-build jaccard applies (skips the union's second
       // hash set per pair — the verify filter's dominant cost)
       .filter(jaccardDistinct(col("__g"), col("__g_rep")) >= threshold)
+    val verified =
+      if (transitive)
+        componentMin(verifiedPairs.select("__id", "__rep_id"), maxIter)
+      else verifiedPairs
+        .groupBy(col("__id"))
+        .agg(min("__rep_id").as("__dup_of"))
+    df.join(verified, col(idField) === verified("__id"), "left")
+      .drop("__id")
+  }
+
+  /** Winnowing fingerprint dedup (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every `ngramSize`-token
+    * gram, slide a `window`-wide window over the gram-hash sequence
+    * and select each window's MINIMUM hash; the distinct selected
+    * hashes are the document's fingerprint set. The paper's
+    * guarantee: any token run of >= `window + ngramSize − 1` tokens
+    * shared by two documents selects at least one common fingerprint
+    * — so near-dups with a long shared substring ALWAYS become
+    * candidates (minhash detection is only probabilistic) — while
+    * the expected fingerprint density is 2/(window+1) of the gram
+    * count, i.e. the candidate index is ~window/2 times smaller than
+    * the full gram inventory the spans mode shuffles.
+    *
+    * Candidates = doc pairs sharing any fingerprint (min-id window
+    * over the fingerprint bucket — ids-only rows); verify = exact
+    * Jaccard of the two fingerprint SETS >= `threshold` (winnowed
+    * Jaccard is an unbiased estimate of the gram Jaccard; computed
+    * exactly over the compressed sets).
+    *
+    * Scale shape: fingerprints are a pure map-side Column program in
+    * BOTH hash modes (split → gram hash → per-window min — no UDF,
+    * unlike the minhash/simhash signatures); only (fingerprint, id)
+    * pairs shuffle for candidates, candidate pairs are two ids, and
+    * the verify join recomputes fingerprints ONLY for candidate
+    * members (semi-join, bounded) so nothing corpus-sized is cached
+    * or re-shuffled. `hashAlgo: md5` = the SQL-replayable audit mode
+    * (hex-prefix gram digests — the q127 oracle); default = seeded
+    * xxhash64 of the token-hash slice (the chunk-cdc fast path:
+    * each token hashed once, one bounded long-array hash per gram).
+    * Each HOF stage materializes in its own projection because the
+    * next stage references it more than once (size + slice) —
+    * inlined, CollapseProject would re-evaluate the upstream subtree
+    * once per array ELEMENT (the header note's hazard; same guard as
+    * chunk cdc). */
+  private def winnowDedup(df: DataFrame, textField: String,
+      idField: String, k: Int, w: Int, threshold: Double,
+      md5Mode: Boolean, seed: String,
+      transitive: Boolean, maxIter: Int): DataFrame = {
+    require(k > 0 && w > 0,
+      "dedup winnow: ngramSize and window must be positive")
+    val slim = df.select(col(idField).as("__id"),
+      col(textField).as("__t"))
+      .filter(col("__t").isNotNull) // null text: never a candidate
+    def fps(in: DataFrame): DataFrame = {
+      val d1 = in.withColumn("__toks", split(trim(col("__t")), "\\s+"))
+      val toks = col("__toks")
+      val n = size(toks)
+      // grams live at token positions 1..n−k+1 (one whole-doc gram
+      // when the doc is shorter than k — the q34 short-doc rule)
+      val d2 =
+        if (md5Mode) d1.withColumn("__wg",
+          transform(sequence(lit(1), greatest(n - k + 1, lit(1))), i =>
+            substring(md5(concat_ws(" ", lit(seed),
+              array_join(slice(toks, i, lit(k)), " "))), 1, 8)))
+        else {
+          val dth = d1.withColumn("__tth",
+            transform(toks, t => xxhash64(lit(seed), t)))
+          val th = col("__tth")
+          dth.withColumn("__wg",
+            transform(sequence(lit(1),
+              greatest(size(th) - k + 1, lit(1))),
+              i => xxhash64(slice(th, i, lit(k)))))
+        }
+      val g = col("__wg")
+      // windows at gram positions 1..nG−w+1 (one window when the
+      // gram sequence is shorter than w); array_min orders hex
+      // strings lexicographically / longs numerically — both total
+      d2.withColumn("__fps",
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(g) - w + 1, lit(1))),
+            i => array_min(slice(g, i, lit(w))))))
+        .select(col("__id"), col("__fps"))
+    }
+    val candidates = fps(slim)
+      .select(col("__id"), explode(col("__fps")).as("__fp"))
+      .withColumn("__rep_id",
+        min("__id").over(Window.partitionBy("__fp")))
+      .filter(col("__id") > col("__rep_id"))
+      // persisted: the pair set feeds three subtrees (candidate-id
+      // explode + both verify join sides) — two ids per row, bounded
+      .select("__id", "__rep_id").distinct()
+      .transform(graft.ops.CacheTracker.trackPersist)
+    val candIds = candidates
+      .select(explode(array(col("__id"), col("__rep_id"))).as("__cid"))
+    val candFps = fps(slim
+        .join(candIds, col("__id") === candIds("__cid"), "left_semi"))
+      .transform(graft.ops.CacheTracker.trackPersist)
+    val verifiedPairs = candidates
+      .join(candFps.select(col("__id"), col("__fps").as("__f")), "__id")
+      .join(candFps.select(col("__id").as("__rep_id"),
+        col("__fps").as("__f_rep")), "__rep_id")
+      // fingerprint arrays are array_distinct'd → the length-only
+      // union size applies (see jaccardDistinct)
+      .filter(jaccardDistinct(col("__f"), col("__f_rep")) >= threshold)
     val verified =
       if (transitive)
         componentMin(verifiedPairs.select("__id", "__rep_id"), maxIter)

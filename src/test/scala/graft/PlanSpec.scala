@@ -258,6 +258,19 @@ class PlanSpec extends AnyFunSuite {
       "no aggregate below the first exchange")
   }
 
+  test("q127 winnow fingerprints are a pure Column program") {
+    val p = plan("q127_dedup_winnow")
+    assert(!p.contains("ScalaUDF"),
+      "winnow must not use a UDF in either hash mode — split, gram " +
+        "hash, and window min are all Catalyst")
+    assert(!p.contains("CartesianProduct"))
+    // the candidate exchange carries fingerprints + ids only, never
+    // the document text
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(__fp") && l.contains("__t#"))
+    assert(!bad, "document text shuffled with the fingerprint key:\n" + p)
+  }
+
   test("q125 selfJoin candidates cross the cell shuffle ids-only") {
     val p = plan("q125_knn_selfjoin")
     // the embedding arrays must re-attach ABOVE the candidate join:

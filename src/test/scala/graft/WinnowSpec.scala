@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Pipeline.ModuleCfg
+import graft.operators.DedupTransform
+
+/** `method: winnow` — winnowed fingerprint dedup (Schleimer et al.,
+  * SIGMOD 2003). Oracled end-to-end by q127 (md5 audit mode); these
+  * pin the paper's detection guarantee, both hash modes, and the
+  * edge semantics. */
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def winnow(params: String,
+      df: org.apache.spark.sql.DataFrame) =
+    DedupTransform.build(spark,
+      ModuleCfg("dd", "dedup", Seq("in"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("in" -> df))("dd")
+
+  private def dupMap(out: org.apache.spark.sql.DataFrame) =
+    out.select("id", "__dup_of").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  // distinct filler tokens so unrelated docs share no grams
+  private def toks(prefix: String, n: Int) =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("guarantee: a shared run of window+ngram-1 tokens is detected") {
+    // k=4, w=8: any shared token run of >= 11 tokens must select at
+    // least one common fingerprint, whatever its alignment — slide
+    // the shared run across many offsets in doc B
+    val shared = (0 until 11).map(i => s"run$i").mkString(" ")
+    val docs = (1 to 20).map { off =>
+      (off.toLong + 10,
+        toks(s"b$off-", off) + " " + shared + " " + toks(s"c$off-", 30))
+    } :+ (1L, toks("a", 25) + " " + shared + " " + toks("z", 7))
+    val out = winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "ngramSize":4,"window":8,"threshold":0.01}""",
+      docs.toDF("id", "text"))
+    val m = dupMap(out)
+    // every doc shares a fingerprint with doc 1 (the min id), so at
+    // threshold ~0 all 20 map somewhere; the guarantee is that the
+    // candidate stage NEVER misses the pair
+    (11L to 30L).foreach { id =>
+      assert(m(id).isDefined, s"doc $id: shared 11-token run missed")
+    }
+  }
+
+  test("exact duplicates flag in both hash modes") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different content here now ok")).toDF("id", "text")
+    for (algo <- Seq("", ""","hashAlgo":"md5"""")) {
+      val out = winnow(
+        s"""{"method":"winnow","field":"text","idField":"id",
+           "ngramSize":3,"window":4,"threshold":0.9$algo}""", df)
+      val m = dupMap(out)
+      assert(m == Map(1L -> None, 2L -> Some(1L), 3L -> None),
+        s"hashAlgo='$algo'")
+    }
+  }
+
+  test("null text is never a candidate; short docs gram as a whole") {
+    val df = Seq((1L, "ab cd"), (2L, "ab cd"), (3L, null))
+      .toDF("id", "text")
+    val out = winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "ngramSize":4,"window":8,"threshold":0.5}""", df)
+    val m = dupMap(out)
+    // 2-token docs fall into the one-whole-doc-gram branch and still
+    // dedup; the null doc maps nowhere
+    assert(m == Map(1L -> None, 2L -> Some(1L), 3L -> None))
+  }
+
+  test("transitive closure glues fingerprint chains to the min id") {
+    // A~B and B~C overlap pairwise at >= 0.5 but A~C do not: only
+    // the transitive closure maps C back to A
+    val a = toks("s", 12)
+    val b = toks("s", 12) + " " + toks("t", 12)
+    val c = toks("t", 12)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val base =
+      """{"method":"winnow","field":"text","idField":"id",
+         "ngramSize":3,"window":4,"threshold":0.3%s}"""
+    val flat = dupMap(winnow(base.format(""), df))
+    assert(flat(2L) == Some(1L) && flat(3L) == Some(2L))
+    val closed = dupMap(winnow(base.format(""","transitive":true"""), df))
+    assert(closed(2L) == Some(1L) && closed(3L) == Some(1L))
+  }
+
+  test("unrelated docs stay canonical") {
+    val df = Seq((1L, toks("a", 40)), (2L, toks("b", 40)),
+      (3L, toks("c", 3))).toDF("id", "text")
+    val out = winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "ngramSize":4,"window":8,"threshold":0.5}""", df)
+    assert(dupMap(out) == Map(1L -> None, 2L -> None, 3L -> None))
+  }
+}
