@@ -2765,6 +2765,28 @@ transforms:
     // graph connectedComponents glues them into clusters. The oracle
     // replays the q125 IVF pairs, the mutual join, and a recursive
     // min-label closure
+    // graph triangles over the chain graph plus skip-one chords:
+    // blocks of 10 with edges k→k+1 and k→k+2 make every (k, k+1,
+    // k+2) inside a block a triangle — the oracle counts them by the
+    // plain a<b<c double-join, checking the engine's degree-ordered
+    // orientation enumerates exactly the same set
+    "q128_triangles" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ed
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 1 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 <> 9 UNION ALL SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 2 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 < 8"
+  - name: out
+    module: graph
+    inputs: [ed]
+    parameters: {method: triangles, srcField: src, dstField: dst}
+"""),
+
     // winnowing fingerprint dedup (Schleimer et al. 2003 / MOSS):
     // per-window minimum token-gram hashes as the candidate index,
     // exact fingerprint-set Jaccard verify. md5 audit mode — the
@@ -6052,6 +6074,36 @@ transforms:
              x -> len(string_split_regex(x, '\s+')))), 0) AS BIGINT)
              AS chunk_offset
          FROM g""",
+
+    // triangle replay: rebuild the chord graph, enumerate each
+    // triangle once as a < b < c via the canonical double-join, then
+    // charge all three corners
+    "q128_triangles" ->
+      """WITH e AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS a,
+             CAST(o_orderkey + 1 AS BIGINT) AS b
+           FROM orders WHERE o_orderkey % 10 <> 9
+           UNION ALL
+           SELECT CAST(o_orderkey AS BIGINT),
+             CAST(o_orderkey + 2 AS BIGINT)
+           FROM orders WHERE o_orderkey % 10 < 8),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pv AS (
+           SELECT v, count(*) AS t FROM (
+             SELECT x AS v FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY v),
+         verts AS (
+           SELECT DISTINCT v FROM (
+             SELECT a AS v FROM e UNION ALL SELECT b FROM e))
+         SELECT verts.v AS vertex,
+           CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles
+         FROM verts LEFT JOIN pv ON pv.v = verts.v""",
 
     // winnowing replay: token 4-grams → md5-prefix hashes → window-8
     // minima (hex strings compare lexicographically on both engines)

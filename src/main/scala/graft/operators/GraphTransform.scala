@@ -28,6 +28,17 @@ import org.apache.spark.sql.types._
   * together. Shape: symmetrize ids-only edges, distinct, one
   * partial-agg count — a single narrow shuffle, no iteration.
   *
+  * `method: triangles`: one row per distinct vertex with the number
+  * of UNDIRECTED triangles through it (`triangleField`, default
+  * `triangles`) — duplicate/reversed edges count once, self-loops
+  * never close a triangle, isolated vertices report 0. The
+  * dedup-pipeline read: triangle density over a candidate-pair graph
+  * separates tight near-dup cliques from chains of borderline pairs
+  * before transitive closure commits to gluing them. Shape:
+  * degree-ordered edge orientation (compact-forward, Schank & Wagner
+  * 2005) bounds per-vertex wedge fan-out by O(sqrt(m)), then one
+  * wedge join + one closure semi-join, all ids-only — no iteration.
+  *
   * `method: pagerank`: DIRECTED power iteration, `rankField`
   * (default `rank`) after `maxIterations` (default 10) rounds of
   * pr' = (1−d)/N + d·Σ pr(in-neighbor)/outDeg(in-neighbor), damping
@@ -61,9 +72,11 @@ object GraphTransform {
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val method = p.str("method").getOrElse("connectedComponents")
-    require(Set("connectedComponents", "degrees", "pagerank")(method),
+    require(
+      Set("connectedComponents", "degrees", "pagerank", "triangles")(
+        method),
       s"graph method: $method (valid: connectedComponents, degrees, " +
-        "pagerank)")
+        "pagerank, triangles)")
     val src = p.str("srcField").getOrElse("src")
     val dst = p.str("dstField").getOrElse("dst")
     require(df.columns.contains(src) && df.columns.contains(dst),
@@ -78,6 +91,69 @@ object GraphTransform {
         .distinct()
       val out = sym.groupBy(col(vOut))
         .agg(count(lit(1)).as(dOut))
+      return TransformCommon.finishRouted(out, cfg)
+    }
+    if (method == "triangles") {
+      val tOut = p.str("triangleField").getOrElse("triangles")
+      // UNDIRECTED simple-graph semantics like degrees: duplicate and
+      // reversed edges count once, self-loops never close a triangle
+      val canon = df
+        .filter(col(src).isNotNull && col(dst).isNotNull &&
+          col(src) =!= col(dst))
+        .select(least(col(src), col(dst)).as("__a"),
+          greatest(col(src), col(dst)).as("__b"))
+        .distinct()
+      // degree-ordered orientation (compact-forward / node-iterator++,
+      // Schank & Wagner 2005): orient every edge from its lower-
+      // (degree, id) endpoint, then enumerate wedges only between a
+      // vertex's OUT-neighbors. Max out-degree under this orientation
+      // is O(sqrt(m)), so wedge volume is bounded O(m^1.5) even on a
+      // power-law graph — orienting by raw id instead would give a
+      // low-id hub O(d^2) wedges and funnel the join. Everything that
+      // shuffles is ids + one long degree.
+      val deg = canon.select(col("__a").as("__v"))
+        .union(canon.select(col("__b").as("__v")))
+        .groupBy("__v").agg(count(lit(1)).as("__deg"))
+      val withDeg = canon
+        .join(deg.select(col("__v").as("__a"), col("__deg").as("__da")),
+          Seq("__a"))
+        .join(deg.select(col("__v").as("__b"), col("__deg").as("__db")),
+          Seq("__b"))
+      val aFirst = struct(col("__da"), col("__a")) <
+        struct(col("__db"), col("__b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("__a")).otherwise(col("__b")).as("__u"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("__w"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("__dw"))
+        .transform(graft.ops.CacheTracker.trackPersist)
+      // wedges u→(w1, w2) with rank(w1) < rank(w2); the closing edge
+      // w1→w2, if present, is oriented exactly that way, so one
+      // semi-join confirms the triangle
+      // distinct names on the second side: a same-lineage self-join
+      // on equally-named columns resolves both sides to ONE attribute
+      // (Spark warns "trivially true equals") and the equi-key is
+      // lost from the join
+      val e1 = oriented.select(col("__u"), col("__w").as("__w1"),
+        col("__dw").as("__dw1"))
+      val e2 = oriented.select(col("__u").as("__u2"),
+        col("__w").as("__w2"), col("__dw").as("__dw2"))
+      val wedges = e1.join(e2,
+        col("__u") === col("__u2") &&
+          struct(col("__dw1"), col("__w1")) <
+            struct(col("__dw2"), col("__w2")))
+        .select(col("__u"), col("__w1"), col("__w2"))
+      val tris = wedges.join(
+        oriented.select(col("__u").as("__w1"), col("__w").as("__w2")),
+        Seq("__w1", "__w2"), "left_semi")
+      val perVertex = tris
+        .select(explode(array(col("__u"), col("__w1"), col("__w2")))
+          .as(vOut))
+        .groupBy(col(vOut)).agg(count(lit(1)).as(tOut))
+      val verts = df.select(col(src).as(vOut))
+        .union(df.select(col(dst).as(vOut)))
+        .filter(col(vOut).isNotNull).distinct()
+      val out = verts.join(perVertex, Seq(vOut), "left")
+        .withColumn(tOut, coalesce(col(tOut), lit(0L)))
       return TransformCommon.finishRouted(out, cfg)
     }
     if (method == "pagerank") {

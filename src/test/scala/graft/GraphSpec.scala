@@ -39,9 +39,34 @@ class GraphSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("vertex", "degree"))
     val m = out.as[(String, Long)].collect().toMap
     assert(m == Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
-    val e = intercept[IllegalArgumentException](
-      cc("""{"method": "triangles"}""", edges))
-    assert(e.getMessage.contains("valid"))
+  }
+
+  test("triangles: K4 has 3 per vertex; dups/self-loops/isolates " +
+      "behave") {
+    // K4 on a..d (each vertex in C(3,2)=3 triangles) + a dangling
+    // chain edge d-e (e closes nothing) + noise: a duplicate, a
+    // reversed duplicate, and a self-loop
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"),
+      ("b", "a"), ("a", "b"), ("c", "c"),
+      ("d", "e")).toDF("src", "dst")
+    val out = cc("""{"method": "triangles"}""", edges)
+    assert(out.columns.toSeq == Seq("vertex", "triangles"))
+    val m = out.as[(String, Long)].collect().toMap
+    assert(m == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 0L))
+  }
+
+  test("triangles: star graph (max skew) counts zero everywhere") {
+    // the degree-ordered orientation points every edge AT the hub,
+    // so the hub fans out no wedges — the skew case the orientation
+    // exists for
+    val edges = (1 to 50).map(i => ("hub", s"leaf$i"))
+      .toDF("src", "dst")
+    val out = cc("""{"method": "triangles"}""", edges)
+      .as[(String, Long)].collect().toMap
+    assert(out.size == 51 && out.values.forall(_ == 0L))
   }
 
   test("pagerank: cycle is uniform, star concentrates rank in the " +

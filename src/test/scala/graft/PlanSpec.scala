@@ -258,6 +258,16 @@ class PlanSpec extends AnyFunSuite {
       "no aggregate below the first exchange")
   }
 
+  test("q128 triangles: equi-joined wedges, no cartesian, no window") {
+    val p = plan("q128_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the wedge join must keep its equi-key:\n" + p)
+    assert(!p.contains("Window"),
+      "triangle counting must not rank — counts are a partial agg")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("q127 winnow fingerprints are a pure Column program") {
     val p = plan("q127_dedup_winnow")
     assert(!p.contains("ScalaUDF"),
