@@ -2765,6 +2765,48 @@ transforms:
     // graph connectedComponents glues them into clusters. The oracle
     // replays the q125 IVF pairs, the mutual join, and a recursive
     // min-label closure
+    // cross-corpus winnow: flag new docs (id >= 100) sharing a
+    // winnowed fingerprint + >= 0.5 set-Jaccard with the reference
+    // slice (id < 100) — the q69 fixture under the q127 fingerprint
+    // program; the oracle replays both sides' fingerprints, the
+    // cross equi-join, and the verify
+    "q129_winnow_cross" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet", fields: [doc_id, text]}
+transforms:
+  - name: newdocs
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: doc_id, op: ">=", value: 100}]
+  - name: refdocs
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: doc_id, op: "<", value: 100}]
+  - name: dd
+    module: dedup
+    inputs: [newdocs, refdocs]
+    parameters:
+      method: winnow
+      referenceInput: refdocs
+      field: text
+      idField: doc_id
+      ngramSize: 4
+      window: 8
+      threshold: 0.5
+      hashAlgo: md5
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
     // graph triangles over the chain graph plus skip-one chords:
     // blocks of 10 with edges k→k+1 and k→k+2 make every (k, k+1,
     // k+2) inside a block a triangle — the oracle counts them by the
@@ -6074,6 +6116,48 @@ transforms:
              x -> len(string_split_regex(x, '\s+')))), 0) AS BIGINT)
              AS chunk_offset
          FROM g""",
+
+    // cross-corpus winnow replay: the q127 fingerprint CTEs split at
+    // id 100, cross equi-join on shared fingerprints, set-Jaccard
+    // verify, min reference id
+    "q129_winnow_cross" ->
+      """WITH base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id,
+             [substr(md5('0 ' || array_to_string(toks[i:i+3], ' ')),
+                1, 8)
+              for i in range(1, greatest(len(toks) - 3, 1) + 1)] AS gh
+           FROM base),
+         f AS (
+           SELECT doc_id,
+             list_distinct([list_min(gh[i:i+7])
+               for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
+           FROM g),
+         pf AS (SELECT * FROM f WHERE doc_id >= 100),
+         rf AS (SELECT * FROM f WHERE doc_id < 100),
+         pe AS (SELECT doc_id, unnest(fps) AS fp FROM pf),
+         re AS (SELECT doc_id AS rid, unnest(fps) AS fp FROM rf),
+         cand AS (
+           SELECT DISTINCT pe.doc_id AS a, re.rid AS b
+           FROM pe JOIN re USING (fp)),
+         inter AS (
+           SELECT c.a, c.b,
+             len(list_intersect(fa.fps, fb.fps)) AS i,
+             len(fa.fps) AS na, len(fb.fps) AS nb
+           FROM cand c
+           JOIN pf fa ON fa.doc_id = c.a
+           JOIN rf fb ON fb.doc_id = c.b),
+         ver AS (
+           SELECT a, min(b) AS dup_of
+           FROM inter
+           WHERE i::DOUBLE / (na + nb - i) >= 0.5
+           GROUP BY a)
+         SELECT d.doc_id, v.dup_of
+         FROM documents d LEFT JOIN ver v ON v.a = d.doc_id
+         WHERE d.doc_id >= 100""",
 
     // triangle replay: rebuild the chord graph, enumerate each
     // triangle once as a < b < c via the canonical double-join, then

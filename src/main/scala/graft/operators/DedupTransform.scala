@@ -377,9 +377,45 @@ object DedupTransform {
             col("__e").as("__re")), Seq("__bucket"))
           .filter(cosine(col("__e"), col("__re")) >= threshold)
           .groupBy("__id").agg(min("__rid").as("__dup_of"))
+      case "winnow" =>
+        // shared-fingerprint candidates across the two corpora, then
+        // exact fingerprint-set Jaccard — the winnow guarantee holds
+        // cross-corpus too: a >= window+ngram−1 token run shared with
+        // any reference doc always produces a candidate. Shapes match
+        // self-dedup: (fingerprint, id) rows join ids-only, and the
+        // full fingerprint sets re-attach only for candidate members.
+        val k = p.int("ngramSize").getOrElse(4)
+        val w = p.int("window").getOrElse(8)
+        val threshold = p.dbl("threshold").getOrElse(0.5)
+        val seed = p.str("seed").getOrElse("0")
+        def slim(df: DataFrame, tf: String, id: String) =
+          df.select(col(id).as("__id"), col(tf).as("__t"))
+            .filter(col("__t").isNotNull)
+        val pSlim = slim(primary, textField, idField)
+        val rSlim = slim(ref, refTextField, refIdField)
+        val cand = winnowFps(pSlim, k, w, md5Mode, seed)
+          .select(col("__id"), explode(col("__fps")).as("__fp"))
+          .join(winnowFps(rSlim, k, w, md5Mode, seed)
+            .select(explode(col("__fps")).as("__fp"),
+              col("__id").as("__rid")), Seq("__fp"))
+          .select("__id", "__rid").distinct()
+          .transform(graft.ops.CacheTracker.trackPersist)
+        val pFps = winnowFps(pSlim.join(cand.select("__id").distinct(),
+            Seq("__id"), "left_semi"), k, w, md5Mode, seed)
+        val rFps = winnowFps(rSlim.join(cand
+              .select(col("__rid").as("__id")).distinct(),
+            Seq("__id"), "left_semi"), k, w, md5Mode, seed)
+        cand
+          .join(pFps.select(col("__id"), col("__fps").as("__f")),
+            "__id")
+          .join(rFps.select(col("__id").as("__rid"),
+            col("__fps").as("__f_ref")), "__rid")
+          .filter(jaccardDistinct(col("__f"), col("__f_ref")) >=
+            threshold)
+          .groupBy("__id").agg(min("__rid").as("__dup_of"))
       case other => throw new IllegalArgumentException(
         "dedup referenceInput mode supports methods " +
-          s"exact/minhash/simhash/embedding, got '$other'")
+          s"exact/minhash/simhash/embedding/winnow, got '$other'")
     }
     val out = primary
       .join(dupMap, col(idField) === dupMap("__id"), "left")
@@ -576,36 +612,8 @@ object DedupTransform {
     val slim = df.select(col(idField).as("__id"),
       col(textField).as("__t"))
       .filter(col("__t").isNotNull) // null text: never a candidate
-    def fps(in: DataFrame): DataFrame = {
-      val d1 = in.withColumn("__toks", split(trim(col("__t")), "\\s+"))
-      val toks = col("__toks")
-      val n = size(toks)
-      // grams live at token positions 1..n−k+1 (one whole-doc gram
-      // when the doc is shorter than k — the q34 short-doc rule)
-      val d2 =
-        if (md5Mode) d1.withColumn("__wg",
-          transform(sequence(lit(1), greatest(n - k + 1, lit(1))), i =>
-            substring(md5(concat_ws(" ", lit(seed),
-              array_join(slice(toks, i, lit(k)), " "))), 1, 8)))
-        else {
-          val dth = d1.withColumn("__tth",
-            transform(toks, t => xxhash64(lit(seed), t)))
-          val th = col("__tth")
-          dth.withColumn("__wg",
-            transform(sequence(lit(1),
-              greatest(size(th) - k + 1, lit(1))),
-              i => xxhash64(slice(th, i, lit(k)))))
-        }
-      val g = col("__wg")
-      // windows at gram positions 1..nG−w+1 (one window when the
-      // gram sequence is shorter than w); array_min orders hex
-      // strings lexicographically / longs numerically — both total
-      d2.withColumn("__fps",
-          array_distinct(transform(
-            sequence(lit(1), greatest(size(g) - w + 1, lit(1))),
-            i => array_min(slice(g, i, lit(w))))))
-        .select(col("__id"), col("__fps"))
-    }
+    def fps(in: DataFrame): DataFrame =
+      winnowFps(in, k, w, md5Mode, seed)
     val candidates = fps(slim)
       .select(col("__id"), explode(col("__fps")).as("__fp"))
       .withColumn("__rep_id",
@@ -635,6 +643,43 @@ object DedupTransform {
         .agg(min("__rep_id").as("__dup_of"))
     df.join(verified, col(idField) === verified("__id"), "left")
       .drop("__id")
+  }
+
+  /** The winnow fingerprint program over a slim (`__id`, `__t`)
+    * frame → (`__id`, `__fps`): token k-grams, gram hashes, and the
+    * per-window minimum selection, entirely map-side Columns. Shared
+    * by self-dedup and referenceInput mode so both sides of a
+    * cross-corpus run compute IDENTICAL fingerprints. */
+  private def winnowFps(in: DataFrame, k: Int, w: Int,
+      md5Mode: Boolean, seed: String): DataFrame = {
+    val d1 = in.withColumn("__toks", split(trim(col("__t")), "\\s+"))
+    val toks = col("__toks")
+    val n = size(toks)
+    // grams live at token positions 1..n−k+1 (one whole-doc gram
+    // when the doc is shorter than k — the q34 short-doc rule)
+    val d2 =
+      if (md5Mode) d1.withColumn("__wg",
+        transform(sequence(lit(1), greatest(n - k + 1, lit(1))), i =>
+          substring(md5(concat_ws(" ", lit(seed),
+            array_join(slice(toks, i, lit(k)), " "))), 1, 8)))
+      else {
+        val dth = d1.withColumn("__tth",
+          transform(toks, t => xxhash64(lit(seed), t)))
+        val th = col("__tth")
+        dth.withColumn("__wg",
+          transform(sequence(lit(1),
+            greatest(size(th) - k + 1, lit(1))),
+            i => xxhash64(slice(th, i, lit(k)))))
+      }
+    val g = col("__wg")
+    // windows at gram positions 1..nG−w+1 (one window when the
+    // gram sequence is shorter than w); array_min orders hex
+    // strings lexicographically / longs numerically — both total
+    d2.withColumn("__fps",
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(g) - w + 1, lit(1))),
+          i => array_min(slice(g, i, lit(w))))))
+      .select(col("__id"), col("__fps"))
   }
 
   /** Line-level boilerplate dedup (CCNet §3.1 / RefinedWeb line-wise

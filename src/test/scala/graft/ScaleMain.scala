@@ -187,6 +187,26 @@ object ScaleMain {
           """{"method":"degrees","srcField":"src","dstField":"dst"}"""),
           Json.obj()), Map("e" -> edges))("dg")
     }
+    // winnow: map-side fingerprint program + ids-only candidate
+    // shuffle — the index is ~2/(w+1) of the gram inventory, so wall
+    // time must track corpus bytes with a spans-mode-fraction shuffle
+    time("winnow") { dedup(
+      """{"method":"winnow","field":"text","idField":"doc_id","ngramSize":4,"window":8,"threshold":0.5}""") }
+    // triangles: degree-ordered orientation caps wedge fan-out at
+    // O(sqrt(m)) — wall time must track edge count on the chord
+    // graph, no iteration
+    time("triangles") {
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .filter(col("src") % 10 =!= 9)
+        .union(docs.select(col("doc_id").as("src"),
+            (col("doc_id") + 2).as("dst"))
+          .filter(col("src") % 10 < 8))
+      graft.operators.GraphTransform.build(spark,
+        ModuleCfg("tr", "graph", Seq("e"), Nil, Json.parse(
+          """{"method":"triangles","srcField":"src","dstField":"dst"}"""),
+          Json.obj()), Map("e" -> edges))("tr")
+    }
     // zorder: one range shuffle on the interleaved key — the layout
     // cost a 100 TB table pays once at write time
     time("zorder") {

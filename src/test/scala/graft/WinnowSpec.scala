@@ -92,6 +92,26 @@ class WinnowSpec extends AnyFunSuite {
     assert(closed(2L) == Some(1L) && closed(3L) == Some(1L))
   }
 
+  test("cross-corpus: primary rows match the min reference id only") {
+    val shared = (0 until 11).map(i => s"run$i").mkString(" ")
+    val primary = Seq(
+      (100L, toks("p", 5) + " " + shared),
+      (101L, toks("q", 40))).toDF("id", "text")
+    val ref = Seq(
+      (1L, shared + " " + toks("r", 3)),
+      (2L, shared)).toDF("id", "text")
+    val out = DedupTransform.build(spark,
+      ModuleCfg("dd", "dedup", Seq("p", "ref"), Nil,
+        graft.config.Json.parse(
+          """{"method":"winnow","referenceInput":"ref","field":"text",
+             "idField":"id","ngramSize":4,"window":8,
+             "threshold":0.3}"""),
+        graft.config.Json.obj()),
+      Map("p" -> primary, "ref" -> ref))("dd")
+    val m = dupMap(out)
+    assert(m(100L) == Some(1L) && m(101L).isEmpty)
+  }
+
   test("unrelated docs stay canonical") {
     val df = Seq((1L, toks("a", 40)), (2L, toks("b", 40)),
       (3L, toks("c", 3))).toDF("id", "text")
