@@ -153,10 +153,13 @@ object DedupTransform {
         // null-text docs get a null signature; without this filter the
         // band expression maps them all to the same constant key
         // (md5("") / hash(null, b)) and they'd be flagged duplicates
-        // of each other
-        val sig = df.select(col(idField).as("__id"),
-          sigUdf(col(textField)).as("__sig"))
-          .filter(col("__sig").isNotNull)
+        // of each other. Filter the CHEAP text column, not the
+        // signature: a filter on the UDF output gets pushed below the
+        // projection with the UDF inlined, running the signature pass
+        // TWICE per row (null sig ⇔ null text, so these agree)
+        val sig = df.filter(col(textField).isNotNull)
+          .select(col(idField).as("__id"),
+            sigUdf(col(textField)).as("__sig"))
         lshDedup(df, idField, bandsFromSig(sig, m, bands, md5Mode),
           transitive, maxIter)
       case "simhash" =>
@@ -165,10 +168,12 @@ object DedupTransform {
         val shUdf = if (md5Mode) simhashMd5Udf else simhashUdf
         val bandFn: Column => Column =
           if (md5Mode) simhashBandsMd5(_, bands) else simhashBands(_, bands)
-        // see minhash note: null simhash must not reach the band keys
-        val sig = df.select(col(idField).as("__id"),
-          shUdf(col(textField)).as("__sh"))
-          .filter(col("__sh").isNotNull)
+        // see minhash note: null simhash must not reach the band
+        // keys — and the filter sits on the cheap text column so the
+        // simhash UDF is not inlined into a pushed-down null check
+        val sig = df.filter(col(textField).isNotNull)
+          .select(col(idField).as("__id"),
+            shUdf(col(textField)).as("__sh"))
         lshDedup(df, idField, sig.select(col("__id"),
           posexplode(bandFn(col("__sh")))
             .as(Seq("__band_idx", "__band_hash"))), transitive, maxIter)
@@ -321,8 +326,10 @@ object DedupTransform {
       val k = p.int("shingleSize").getOrElse(3)
       val sigUdf = if (md5Mode) minhashSigMd5Udf(k, m)
         else minhashSigUdf(k, m)
-      val sig = df.select(col(id).as("__id"), sigUdf(col(tf)).as("__sig"))
-        .filter(col("__sig").isNotNull) // null text: never a candidate
+      // null text: never a candidate — filtered on the cheap column
+      // so the signature UDF is not inlined into a pushed null check
+      val sig = df.filter(col(tf).isNotNull)
+        .select(col(id).as("__id"), sigUdf(col(tf)).as("__sig"))
       bandsFromSig(sig, m, bands, md5Mode)
     }
     def simhashBands_(df: DataFrame, tf: String, id: String) = {
@@ -330,8 +337,8 @@ object DedupTransform {
       val shUdf = if (md5Mode) simhashMd5Udf else simhashUdf
       val bandFn: Column => Column =
         if (md5Mode) simhashBandsMd5(_, bands) else simhashBands(_, bands)
-      df.select(col(id).as("__id"), shUdf(col(tf)).as("__sh"))
-        .filter(col("__sh").isNotNull)
+      df.filter(col(tf).isNotNull)
+        .select(col(id).as("__id"), shUdf(col(tf)).as("__sh"))
         .select(col("__id"), posexplode(bandFn(col("__sh")))
           .as(Seq("__band_idx", "__band_hash")))
     }
@@ -365,9 +372,12 @@ object DedupTransform {
         def buckets(df: DataFrame, ef: String, id: String) = {
           val b = if (md5Mode) hyperplaneBucketMd5(col("__e"), dim, planes)
             else hyperplaneBucket(col("__e"), dim, planes, seed = 42L)
-          df.select(col(id).as("__id"), col(ef).as("__e"))
+          // null emb: no bucket — filtered on the cheap embedding
+          // column (null bucket ⇔ null emb) so the projection UDF is
+          // not inlined into a pushed null check
+          df.filter(col(ef).isNotNull)
+            .select(col(id).as("__id"), col(ef).as("__e"))
             .withColumn("__bucket", b)
-            .filter(col("__bucket").isNotNull) // null emb: no bucket
         }
         val ef = p.str("field").getOrElse("embedding")
         val pb = buckets(primary, ef, idField)
@@ -508,8 +518,10 @@ object DedupTransform {
       col(textField).as("__t"))
     val sigUdf = if (md5Mode) minhashSigMd5Udf(n, m, charGrams = true)
       else minhashSigUdf(n, m, charGrams = true)
-    val sig = slim.select(col("__id"), sigUdf(col("__t")).as("__sig"))
-      .filter(col("__sig").isNotNull) // null text: never a candidate
+    // null text: never a candidate — cheap-column filter so the
+    // signature UDF is not inlined into a pushed null check
+    val sig = slim.filter(col("__t").isNotNull)
+      .select(col("__id"), sigUdf(col("__t")).as("__sig"))
     val bandRows = bandsFromSig(sig, m, bands, md5Mode)
     // Bucket representative via a window over the band bucket (not
     // groupBy + join back) so the signature pipeline is computed once
@@ -773,10 +785,15 @@ object DedupTransform {
       idField: String, spanTokens: Int, stride: Int, minCount: Int,
       maxDupFraction: Double, remove: Boolean): DataFrame = {
     val hashes = spanHashesUdf(spanTokens, stride)(col(textField))
+    // null text filtered on the cheap column (null spans ⇔ null
+    // text), and explode_OUTER + post-filter instead of an inner
+    // explode: the inner form's inferred size() filter would inline
+    // the span UDF and run it twice per row (see winnowDedup)
     val spans = df
+      .filter(col(textField).isNotNull)
       .select(col(idField).as("__id"), hashes.as("__spans"))
-      .filter(col("__spans").isNotNull)
-      .select(col("__id"), explode(col("__spans")).as("__h"))
+      .select(col("__id"), explode_outer(col("__spans")).as("__h"))
+      .filter(col("__h").isNotNull)
     // a span hash is "duplicated" when it occurs in >= minCount
     // DISTINCT docs (within-doc self-repetition is the repetition
     // analyzer's job, not dedup's): two-level aggregate instead of
@@ -1088,10 +1105,12 @@ object DedupTransform {
       else hyperplaneBucket(col("__emb"), dim, planes, seed = 42L)
     val slim = df.select(col(idField).as("__id"),
       col(embField).as("__emb"))
-      .withColumn("__bucket", bucketCol)
       // null embeddings share the null bucket — exclude them rather
-      // than flag them as duplicates of each other
-      .filter(col("__bucket").isNotNull)
+      // than flag them as duplicates of each other; the filter sits
+      // on the cheap embedding column (null bucket ⇔ null emb) so
+      // the projection UDF is not inlined into a pushed null check
+      .filter(col("__emb").isNotNull)
+      .withColumn("__bucket", bucketCol)
     // per-bucket representative via a window (not groupBy + join
     // back): the join form runs the hyperplane-projection UDF over
     // the corpus twice. One shuffle on the bucket key; bucket

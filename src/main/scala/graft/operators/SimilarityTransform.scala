@@ -152,11 +152,17 @@ object SimilarityTransform {
         // arrays through the multi-table dedup shuffle measured 75s
         // for 40k×1000 — the ngramDedup candidate design applies
         // identically here (ids-only dedup, then re-attach payloads)
+        // explode_OUTER + post-filter, not an inner explode: the
+        // inner form's inferred size() filter inlines the bucket
+        // expression and runs every hyperplane-projection UDF twice
+        // per row (see DedupTransform.winnowDedup)
         val cB = c.filter(col("__c_emb").isNotNull)
-          .withColumn("__bucket", explode(buckets(col("__c_emb"))))
+          .withColumn("__bucket", explode_outer(buckets(col("__c_emb"))))
+          .filter(col("__bucket").isNotNull)
           .select("neighbor_id", "__bucket")
         val qB = q.filter(col("__q_emb").isNotNull)
-          .withColumn("__bucket", explode(buckets(col("__q_emb"))))
+          .withColumn("__bucket", explode_outer(buckets(col("__q_emb"))))
+          .filter(col("__bucket").isNotNull)
           .select("query_id", "__bucket")
         // corpus embeddings once per unique pair (AQE picks the
         // join); query embeddings re-attach broadcast (or via the
@@ -197,8 +203,12 @@ object SimilarityTransform {
         val cB = c.withColumn("__cell",
           assignC(col("__c_emb"))(0))
           .select("neighbor_id", "__cell")
+        // explode_outer + post-filter: see the lsh note — the inner
+        // explode's inferred size() filter would run the centroid-
+        // assignment UDF twice per query row
         val qB = q.withColumn("__cell",
-          explode(assignQ(col("__q_emb"))))
+          explode_outer(assignQ(col("__q_emb"))))
+          .filter(col("__cell").isNotNull)
           .select("query_id", "__cell")
         // same narrow-candidate shape as lsh
         attachQ(attach(candidates(cB, qB, "__cell")))
