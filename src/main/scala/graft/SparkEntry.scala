@@ -2765,6 +2765,54 @@ transforms:
     // graph connectedComponents glues them into clusters. The oracle
     // replays the q125 IVF pairs, the mutual join, and a recursive
     // min-label closure
+    // kll_rank: inverse quantile from the same two-stage kll
+    // sketch/merge pipeline as q114 — the fraction of each group's
+    // o_totalprice at or below a fixed threshold; exact while the
+    // per-group count stays under the sketch's k (7-8 here), so the
+    // oracle is a plain count(x <= v)/count(*)
+    "q130_kll_rank" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: bk
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT o_orderkey % 2000 AS g, o_custkey % 4 AS b, o_totalprice FROM ord"
+  - name: a1
+    module: aggregation
+    inputs: [bk]
+    parameters:
+      groupFields: [g, b]
+      aggregations:
+        - input: bk
+          fields:
+            - {name: sk, op: kll_sketch, field: o_totalprice}
+  - name: a2
+    module: aggregation
+    inputs: [a1]
+    parameters:
+      groupFields: [g]
+      aggregations:
+        - input: a1
+          fields:
+            - {name: sk2, op: kll_merge, field: sk}
+  - name: rk
+    module: select
+    inputs: [a2]
+    parameters:
+      select:
+        - {name: g}
+        - {name: rank, field: sk2, func: kll_rank, value: 100000.0}
+  - name: out
+    module: sql
+    inputs: [rk]
+    parameters:
+      sql: "SELECT g, round(rank, 6) AS rank_r FROM rk"
+"""),
+
     // cross-corpus winnow: flag new docs (id >= 100) sharing a
     // winnowed fingerprint + >= 0.5 set-Jaccard with the reference
     // slice (id < 100) — the q69 fixture under the q127 fingerprint
@@ -6116,6 +6164,13 @@ transforms:
              x -> len(string_split_regex(x, '\s+')))), 0) AS BIGINT)
              AS chunk_offset
          FROM g""",
+
+    // inverse quantile on exact-size groups: count(x <= v)/n
+    "q130_kll_rank" ->
+      """SELECT o_orderkey % 2000 AS g,
+           round(sum(CASE WHEN o_totalprice <= 100000.0
+             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rank_r
+         FROM orders GROUP BY 1""",
 
     // cross-corpus winnow replay: the q127 fingerprint CTEs split at
     // id 100, cross equi-join on shared fingerprints, set-Jaccard

@@ -112,4 +112,22 @@ object KllFunctions {
         })
     f(sketch)
   }
+
+  /** Inverse of [[kllQuantile]]: the rank of `value` in a binary KLL
+    * sketch column — the fraction of sketched values ≤ `value`
+    * (inclusive search; exact count(x ≤ v)/n while the sketch is
+    * exact, i.e. n ≤ k). The eval-side read of a quantile index:
+    * "what fraction of the corpus scores at or below this
+    * threshold". Null for null/empty sketches. */
+  def kllRank(sketch: Column, value: Double): Column = {
+    val f = org.apache.spark.sql.functions.udf(
+      (bytes: Array[Byte]) =>
+        if (bytes == null) null
+        else {
+          val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+          if (sk.isEmpty) null
+          else java.lang.Double.valueOf(sk.getRank(value))
+        })
+    f(sketch)
+  }
 }

@@ -252,6 +252,13 @@ object SelectCompiler {
           s"select $name: kll_quantile fraction must be in [0, 1], " +
             s"got $fr")
         graft.functions.KllFunctions.kllQuantile(col(field), fr)
+      // inverse quantile: the fraction of sketched values <= `value`
+      // (exact count(x <= v)/n while the sketch is exact)
+      case "kll_rank" =>
+        val v = sel.dbl("value").getOrElse(
+          throw new IllegalArgumentException(
+            s"select $name: kll_rank needs a numeric `value`"))
+        graft.functions.KllFunctions.kllRank(col(field), v)
       // set algebra over binary theta sketch columns (see the
       // theta_sketch / theta_union aggregation ops): distinct-count
       // estimate of one sketch, or intersection/difference estimates

@@ -141,6 +141,29 @@ class ApproxAggSpec extends AnyFunSuite {
       s"median estimate $est outside the KLL rank-error bound")
   }
 
+  test("kll_rank inverts kll_quantile: exact count(x <= v)/n while " +
+      "the sketch is exact, null-safe, value param required") {
+    import graft.ops.SelectCompiler
+    import graft.config.Json
+    val small = (1 to 150).map(i => ("g", i % 5, i.toDouble))
+      .toDF("g", "b", "v")
+    def rank(df: org.apache.spark.sql.DataFrame, v: Double) =
+      SelectCompiler(df, Json.parse(
+        s"""[{"name": "g"},
+            {"name": "r", "field": "sk", "func": "kll_rank",
+             "value": $v}]"""))
+        .collect().head.getDouble(1)
+    val sk = agg(
+      """{"name": "sk", "op": "kll_sketch", "field": "v"}""", small)
+    assert(rank(sk, 75.0) == 0.5) // 75 of 150 values <= 75
+    assert(rank(sk, 150.0) == 1.0 && rank(sk, 0.5) == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      SelectCompiler(sk, Json.parse(
+        """[{"name": "r", "field": "sk", "func": "kll_rank"}]"""))
+    }
+    assert(e.getMessage.contains("value"))
+  }
+
   test("count_distinct condition feeds only matching rows") {
     val df = Seq(("g", 1, 1.0), ("g", 1, 9.0), ("g", 2, 9.0),
       ("g", 3, 1.0)).toDF("g", "k", "v")
