@@ -2765,6 +2765,32 @@ transforms:
     // graph connectedComponents glues them into clusters. The oracle
     // replays the q125 IVF pairs, the mutual join, and a recursive
     // min-label closure
+    // clustering coefficient on the chord graph: degrees (self-loop-
+    // free distinct neighbors) + triangles composed into
+    // 2T/(d(d−1)); the oracle recomputes both legs by their plain
+    // SQL joins and the same double arithmetic, rounded 6dp
+    "q131_clustering_coeff" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ed
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 1 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 <> 9 UNION ALL SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 2 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 < 8"
+  - name: cc
+    module: graph
+    inputs: [ed]
+    parameters: {method: clusteringCoefficient, srcField: src, dstField: dst}
+  - name: out
+    module: sql
+    inputs: [cc]
+    parameters:
+      sql: "SELECT vertex, degree, triangles, round(coefficient, 6) AS coeff_r FROM cc"
+"""),
+
     // kll_rank: inverse quantile from the same two-stage kll
     // sketch/merge pipeline as q114 — the fraction of each group's
     // o_totalprice at or below a fixed threshold; exact while the
@@ -2878,11 +2904,13 @@ transforms:
 """),
 
     // winnowing fingerprint dedup (Schleimer et al. 2003 / MOSS):
-    // per-window minimum token-gram hashes as the candidate index,
-    // exact fingerprint-set Jaccard verify. md5 audit mode — the
-    // oracle replays gram digests, window minima (hex-lexicographic
-    // = engine's string array_min), the shared-fingerprint candidate
-    // pairs, and the |∩|/(|a|+|b|−|∩|) verify
+    // per-window minimum token-gram hashes as the candidate index —
+    // ALL pairs within each fingerprint bucket of <= maxBucket docs
+    // (boilerplate fingerprints skipped) — exact fingerprint-set
+    // Jaccard verify. md5 audit mode — the oracle replays gram
+    // digests, window minima (hex-lexicographic = engine's string
+    // array_min), the capped all-pairs candidates, and the
+    // |∩|/(|a|+|b|−|∩|) verify
     "q127_dedup_winnow" -> pipe("out", """
 sources:
   - name: docs
@@ -6165,6 +6193,42 @@ transforms:
              AS chunk_offset
          FROM g""",
 
+    // clustering coefficient replay: q108-style distinct-neighbor
+    // degrees + q128-style triangle double-join, composed by the
+    // identical 2.0·T/(d·(d−1)) double arithmetic
+    "q131_clustering_coeff" ->
+      """WITH e AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS a,
+             CAST(o_orderkey + 1 AS BIGINT) AS b
+           FROM orders WHERE o_orderkey % 10 <> 9
+           UNION ALL
+           SELECT CAST(o_orderkey AS BIGINT),
+             CAST(o_orderkey + 2 AS BIGINT)
+           FROM orders WHERE o_orderkey % 10 < 8),
+         sym AS (
+           SELECT DISTINCT v, n FROM (
+             SELECT a AS v, b AS n FROM e
+             UNION ALL SELECT b, a FROM e)
+           WHERE v <> n),
+         deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pv AS (
+           SELECT v, count(*) AS t FROM (
+             SELECT x AS v FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY v)
+         SELECT deg.v AS vertex, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN deg.d >= 2
+             THEN 2.0 * coalesce(pv.t, 0) / (deg.d * (deg.d - 1))
+             ELSE 0.0 END, 6) AS coeff_r
+         FROM deg LEFT JOIN pv ON pv.v = deg.v""",
+
     // inverse quantile on exact-size groups: count(x <= v)/n
     "q130_kll_rank" ->
       """SELECT o_orderkey % 2000 AS g,
@@ -6173,8 +6237,8 @@ transforms:
          FROM orders GROUP BY 1""",
 
     // cross-corpus winnow replay: the q127 fingerprint CTEs split at
-    // id 100, cross equi-join on shared fingerprints, set-Jaccard
-    // verify, min reference id
+    // id 100, per-side bucket caps, cross equi-join on shared
+    // fingerprints, set-Jaccard verify, min reference id
     "q129_winnow_cross" ->
       """WITH base AS (
            SELECT doc_id,
@@ -6195,9 +6259,15 @@ transforms:
          rf AS (SELECT * FROM f WHERE doc_id < 100),
          pe AS (SELECT doc_id, unnest(fps) AS fp FROM pf),
          re AS (SELECT doc_id AS rid, unnest(fps) AS fp FROM rf),
+         pcap AS (
+           SELECT fp FROM pe GROUP BY fp HAVING count(*) <= 64),
+         rcap AS (
+           SELECT fp FROM re GROUP BY fp HAVING count(*) <= 64),
+         pc AS (SELECT pe.doc_id, pe.fp FROM pe JOIN pcap USING (fp)),
+         rc AS (SELECT re.rid, re.fp FROM re JOIN rcap USING (fp)),
          cand AS (
-           SELECT DISTINCT pe.doc_id AS a, re.rid AS b
-           FROM pe JOIN re USING (fp)),
+           SELECT DISTINCT pc.doc_id AS a, rc.rid AS b
+           FROM pc JOIN rc USING (fp)),
          inter AS (
            SELECT c.a, c.b,
              len(list_intersect(fa.fps, fb.fps)) AS i,
@@ -6246,8 +6316,8 @@ transforms:
 
     // winnowing replay: token 4-grams → md5-prefix hashes → window-8
     // minima (hex strings compare lexicographically on both engines)
-    // → distinct fingerprint set → shared-fingerprint candidates →
-    // exact set-Jaccard >= 0.5 → min rep per doc
+    // → distinct fingerprint set → capped all-pairs candidates →
+    // exact set-Jaccard >= 0.5 → min verified partner per doc
     "q127_dedup_winnow" ->
       """WITH base AS (
            SELECT doc_id,
@@ -6265,13 +6335,13 @@ transforms:
                for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
            FROM g),
          fe AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-         cand AS (
-           SELECT doc_id,
-             min(doc_id) OVER (PARTITION BY fp) AS rep
-           FROM fe),
+         caps AS (
+           SELECT fp FROM fe GROUP BY fp HAVING count(*) <= 64),
+         fc AS (SELECT fe.doc_id, fe.fp FROM fe JOIN caps USING (fp)),
          cpairs AS (
-           SELECT DISTINCT doc_id AS a, rep AS b
-           FROM cand WHERE doc_id > rep),
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM fc x JOIN fc y
+             ON x.fp = y.fp AND x.doc_id > y.doc_id),
          sizes AS (SELECT doc_id, len(fps) AS nf FROM f),
          inter AS (
            SELECT p.a, p.b,

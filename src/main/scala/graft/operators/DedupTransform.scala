@@ -188,6 +188,7 @@ object DedupTransform {
           k = p.int("ngramSize").getOrElse(4),
           w = p.int("window").getOrElse(8),
           threshold = p.dbl("threshold").getOrElse(0.5),
+          maxBucket = p.int("maxBucket").getOrElse(64),
           md5Mode = p.str("hashAlgo").contains("md5"),
           seed = p.str("seed").getOrElse("0"),
           transitive = transitive, maxIter = maxIter)
@@ -397,6 +398,7 @@ object DedupTransform {
         val k = p.int("ngramSize").getOrElse(4)
         val w = p.int("window").getOrElse(8)
         val threshold = p.dbl("threshold").getOrElse(0.5)
+        val maxBucket = p.int("maxBucket").getOrElse(64)
         val seed = p.str("seed").getOrElse("0")
         def slim(df: DataFrame, tf: String, id: String) =
           df.select(col(id).as("__id"), col(tf).as("__t"))
@@ -406,14 +408,23 @@ object DedupTransform {
         // explode_outer + post-filter, NOT explode: see winnowDedup —
         // the inner explode's inferred size() filter inlines the
         // whole nested-HOF fingerprint tree and re-evaluates it per
-        // element
-        val cand = winnowFps(pSlim, k, w, md5Mode, seed)
-          .select(col("__id"), explode_outer(col("__fps")).as("__fp"))
-          .filter(col("__fp").isNotNull)
-          .join(winnowFps(rSlim, k, w, md5Mode, seed)
+        // element. Per-side boilerplate-fingerprint cap (also see
+        // winnowDedup): a fingerprint common to > maxBucket docs on
+        // EITHER side would make the cross equi-join quadratic in
+        // its bucket.
+        def capped(fe: DataFrame) = {
+          val small = fe.groupBy("__fp")
+            .agg(count(lit(1)).as("__bc"))
+            .filter(col("__bc") <= maxBucket).select("__fp")
+          fe.join(small, Seq("__fp"), "left_semi")
+        }
+        val cand = capped(winnowFps(pSlim, k, w, md5Mode, seed)
+            .select(col("__id"), explode_outer(col("__fps")).as("__fp"))
+            .filter(col("__fp").isNotNull))
+          .join(capped(winnowFps(rSlim, k, w, md5Mode, seed)
             .select(explode_outer(col("__fps")).as("__fp"),
               col("__id").as("__rid"))
-            .filter(col("__fp").isNotNull), Seq("__fp"))
+            .filter(col("__fp").isNotNull)), Seq("__fp"))
           .select("__id", "__rid").distinct()
           .transform(graft.ops.CacheTracker.trackPersist)
         val pFps = winnowFps(pSlim.join(cand.select("__id").distinct(),
@@ -600,11 +611,19 @@ object DedupTransform {
     * count, i.e. the candidate index is ~window/2 times smaller than
     * the full gram inventory the spans mode shuffles.
     *
-    * Candidates = doc pairs sharing any fingerprint (min-id window
-    * over the fingerprint bucket — ids-only rows); verify = exact
-    * Jaccard of the two fingerprint SETS >= `threshold` (winnowed
-    * Jaccard is an unbiased estimate of the gram Jaccard; computed
-    * exactly over the compressed sets).
+    * Candidates = ALL doc pairs sharing any fingerprint whose bucket
+    * holds at most `maxBucket` docs (default 64) — a fingerprint
+    * common to more docs than that is boilerplate (nav bars, licence
+    * headers), and all-pairs inside such a bucket is quadratic noise
+    * better handled by the lines/spans modes; below the cap the
+    * guarantee is unconditional, with every sharing pair verified
+    * (a min-rep-per-bucket scheme — the LSH modes' shape — silently
+    * loses pairs whenever a lower-id SUPERSET doc absorbs the rep
+    * slot: its fingerprint set dwarfs the overlap, the rep pair
+    * fails verify, and the true dup pair is never tested). Verify =
+    * exact Jaccard of the two fingerprint SETS >= `threshold`
+    * (winnowed Jaccard is an unbiased estimate of the gram Jaccard;
+    * computed exactly over the compressed sets).
     *
     * Scale shape: fingerprints are a pure map-side Column program in
     * BOTH hash modes (split → gram hash → per-window min — no UDF,
@@ -623,10 +642,8 @@ object DedupTransform {
     * chunk cdc). */
   private def winnowDedup(df: DataFrame, textField: String,
       idField: String, k: Int, w: Int, threshold: Double,
-      md5Mode: Boolean, seed: String,
+      maxBucket: Int, md5Mode: Boolean, seed: String,
       transitive: Boolean, maxIter: Int): DataFrame = {
-    require(k > 0 && w > 0,
-      "dedup winnow: ngramSize and window must be positive")
     val slim = df.select(col(idField).as("__id"),
       col(textField).as("__t"))
       .filter(col("__t").isNotNull) // null text: never a candidate
@@ -641,15 +658,32 @@ object DedupTransform {
     // null rows it keeps (never any: fingerprint arrays have >= 1
     // element for non-null text) drop in the post-filter, which
     // references the generate OUTPUT and cannot be pushed below it.
-    val candidates = fps(slim)
+    val fe = fps(slim)
       .select(col("__id"), explode_outer(col("__fps")).as("__fp"))
       .filter(col("__fp").isNotNull)
-      .withColumn("__rep_id",
-        min("__id").over(Window.partitionBy("__fp")))
-      .filter(col("__id") > col("__rep_id"))
+    // buckets of 2..maxBucket members survive: the count is a
+    // map-side partial aggregate, so the hot boilerplate fingerprint
+    // never funnels raw rows anywhere before it is dropped
+    val small = fe.groupBy("__fp").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
+      .select("__fp")
+    // all pairs within each surviving bucket: collect the (<=
+    // maxBucket, post-cap-bounded) sorted member ids per fingerprint
+    // and expand the id pairs map-side — ids ascend, so __id >
+    // __rep_id by construction; multi-fingerprint repeats of a pair
+    // collapse in the distinct (16 bytes/pair)
+    val ids = fe.join(small, Seq("__fp"), "left_semi")
+      .groupBy("__fp")
+      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
+    val candidates = ids
+      .select(explode_outer(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(y.as("__a"), x.as("__b")))))).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("__p.__a").as("__id"), col("__p.__b").as("__rep_id"))
       // persisted: the pair set feeds three subtrees (candidate-id
       // explode + both verify join sides) — two ids per row, bounded
-      .select("__id", "__rep_id").distinct()
+      .distinct()
       .transform(graft.ops.CacheTracker.trackPersist)
     val candIds = candidates
       .select(explode(array(col("__id"), col("__rep_id"))).as("__cid"))
@@ -680,6 +714,11 @@ object DedupTransform {
     * cross-corpus run compute IDENTICAL fingerprints. */
   private def winnowFps(in: DataFrame, k: Int, w: Int,
       md5Mode: Boolean, seed: String): DataFrame = {
+    // validated here so BOTH the self and referenceInput paths fail
+    // loudly: window 0 would make every window min null and silently
+    // report zero duplicates
+    require(k > 0 && w > 0,
+      "dedup winnow: ngramSize and window must be positive")
     val d1 = in.withColumn("__toks", split(trim(col("__t")), "\\s+"))
     val toks = col("__toks")
     val n = size(toks)

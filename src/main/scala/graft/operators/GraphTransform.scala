@@ -39,6 +39,16 @@ import org.apache.spark.sql.types._
   * 2005) bounds per-vertex wedge fan-out by O(sqrt(m)), then one
   * wedge join + one closure semi-join, all ids-only — no iteration.
   *
+  * `method: clusteringCoefficient`: triangles + degrees composed —
+  * one row per distinct vertex with its distinct-neighbor degree
+  * (`degreeField`, SELF-LOOPS EXCLUDED here, unlike `degrees`,
+  * because a self-loop is not a pairable neighbor), triangle count
+  * (`triangleField`) and the Watts–Strogatz local coefficient
+  * `coefficientField` = 2·T/(d·(d−1)), 0 for degree ≤ 1. The
+  * candidate-graph read: c ≈ 1 = tight near-dup clique, safe to
+  * close transitively; c ≈ 0 at high degree = hub document chaining
+  * unrelated docs.
+  *
   * `method: pagerank`: DIRECTED power iteration, `rankField`
   * (default `rank`) after `maxIterations` (default 10) rounds of
   * pr' = (1−d)/N + d·Σ pr(in-neighbor)/outDeg(in-neighbor), damping
@@ -73,10 +83,10 @@ object GraphTransform {
     val p = cfg.params
     val method = p.str("method").getOrElse("connectedComponents")
     require(
-      Set("connectedComponents", "degrees", "pagerank", "triangles")(
-        method),
+      Set("connectedComponents", "degrees", "pagerank", "triangles",
+        "clusteringCoefficient")(method),
       s"graph method: $method (valid: connectedComponents, degrees, " +
-        "pagerank, triangles)")
+        "pagerank, triangles, clusteringCoefficient)")
     val src = p.str("srcField").getOrElse("src")
     val dst = p.str("dstField").getOrElse("dst")
     require(df.columns.contains(src) && df.columns.contains(dst),
@@ -93,7 +103,7 @@ object GraphTransform {
         .agg(count(lit(1)).as(dOut))
       return TransformCommon.finishRouted(out, cfg)
     }
-    if (method == "triangles") {
+    if (method == "triangles" || method == "clusteringCoefficient") {
       val tOut = p.str("triangleField").getOrElse("triangles")
       // UNDIRECTED simple-graph semantics like degrees: duplicate and
       // reversed edges count once, self-loops never close a triangle
@@ -154,7 +164,32 @@ object GraphTransform {
         .filter(col(vOut).isNotNull).distinct()
       val out = verts.join(perVertex, Seq(vOut), "left")
         .withColumn(tOut, coalesce(col(tOut), lit(0L)))
-      return TransformCommon.finishRouted(out, cfg)
+      if (method == "triangles")
+        return TransformCommon.finishRouted(out, cfg)
+      // local clustering coefficient (Watts & Strogatz):
+      // c(v) = 2·T(v) / (d(v)·(d(v)−1)) over the distinct-neighbor
+      // degree — the fraction of a vertex's neighbor pairs that are
+      // themselves connected; 0 for degree <= 1. Output keeps the
+      // degree and triangle columns (the inputs a reader wants next
+      // to the ratio). In a near-dup candidate graph, c ≈ 1 marks a
+      // doc inside a tight clique (safe to glue transitively) while
+      // c ≈ 0 at high degree marks a hub chaining unrelated docs.
+      val dOut = p.str("degreeField").getOrElse("degree")
+      val cfOut = p.str("coefficientField").getOrElse("coefficient")
+      val nbrDeg = df
+        .select(col(src).as(vOut), col(dst).as("__nbr"))
+        .union(df.select(col(dst).as(vOut), col(src).as("__nbr")))
+        .filter(col(vOut).isNotNull && col("__nbr").isNotNull &&
+          col(vOut) =!= col("__nbr"))
+        .distinct()
+        .groupBy(col(vOut)).agg(count(lit(1)).as(dOut))
+      val res = out.join(nbrDeg, Seq(vOut), "left")
+        .withColumn(dOut, coalesce(col(dOut), lit(0L)))
+        .withColumn(cfOut,
+          when(col(dOut) >= 2,
+            lit(2.0) * col(tOut) / (col(dOut) * (col(dOut) - 1)))
+            .otherwise(lit(0.0)))
+      return TransformCommon.finishRouted(res, cfg)
     }
     if (method == "pagerank") {
       val d = p.dbl("damping").getOrElse(0.85)

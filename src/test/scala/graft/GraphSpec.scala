@@ -58,6 +58,25 @@ class GraphSpec extends AnyFunSuite {
       "e" -> 0L))
   }
 
+  test("clusteringCoefficient: cliques score 1, chain ends 0, " +
+      "self-loops never count as neighbors") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), // K4: every vertex c = 2*3/(3*2) = 1.0
+      ("c", "c"), // self-loop must not inflate c's degree
+      ("d", "e")).toDF("src", "dst")
+    val out = cc("""{"method": "clusteringCoefficient"}""", edges)
+    assert(out.columns.toSeq ==
+      Seq("vertex", "triangles", "degree", "coefficient"))
+    val m = out.select("vertex", "degree", "coefficient")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("a") == ((3L, 1.0)) && m("b") == ((3L, 1.0)) &&
+      m("c") == ((3L, 1.0)))
+    assert(m("d") == ((4L, 0.5))) // 3 triangles of C(4,2)=6 pairs
+    assert(m("e") == ((1L, 0.0))) // degree 1 -> defined as 0
+  }
+
   test("triangles: star graph (max skew) counts zero everywhere") {
     // the degree-ordered orientation points every edge AT the hub,
     // so the hub fans out no wedges — the skew case the orientation

@@ -274,11 +274,15 @@ class PlanSpec extends AnyFunSuite {
       "winnow must not use a UDF in either hash mode — split, gram " +
         "hash, and window min are all Catalyst")
     assert(!p.contains("CartesianProduct"))
-    // the candidate exchange carries fingerprints + ids only, never
-    // the document text
+    // once a fingerprint row exists (post-explode), no plan node may
+    // still carry the document text: a line naming the exploded
+    // __fp attribute must not also name __t. (An Exchange line alone
+    // would be vacuous — it prints only the partitioning expression,
+    // never the shuffled output columns.)
     val bad = p.linesIterator.exists(l =>
-      l.contains("Exchange hashpartitioning(__fp") && l.contains("__t#"))
-    assert(!bad, "document text shuffled with the fingerprint key:\n" + p)
+      l.contains("__fp#") && l.contains("__t#"))
+    assert(!bad, "document text carried alongside the fingerprint " +
+      "rows:\n" + p)
   }
 
   test("q125 selfJoin candidates cross the cell shuffle ids-only") {

@@ -188,8 +188,13 @@ object ScaleMain {
           Json.obj()), Map("e" -> edges))("dg")
     }
     // winnow: map-side fingerprint program + ids-only candidate
-    // shuffle — the index is ~2/(w+1) of the gram inventory, so wall
-    // time must track corpus bytes with a spans-mode-fraction shuffle
+    // shuffle; candidates are capped all-pairs per fingerprint
+    // bucket. On this replica corpus bucket size ≈ the replication
+    // factor, so 20× exercises live all-pairs verify (~20-member
+    // buckets) while at 100× the default maxBucket=64 classifies
+    // every replicated fingerprint as boilerplate and skips it — the
+    // designed quadratic-blowup guard, measured as the flat point of
+    // the ladder
     time("winnow") { dedup(
       """{"method":"winnow","field":"text","idField":"doc_id","ngramSize":4,"window":8,"threshold":0.5}""") }
     // triangles: degree-ordered orientation caps wedge fan-out at

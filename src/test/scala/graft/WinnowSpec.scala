@@ -92,6 +92,47 @@ class WinnowSpec extends AnyFunSuite {
     assert(closed(2L) == Some(1L) && closed(3L) == Some(1L))
   }
 
+  test("a low-id superset doc cannot mask a true duplicate pair") {
+    // doc 1 embeds the shared text in a much larger document; docs 2
+    // and 3 are exact copies of that text. Every fingerprint of 2/3
+    // also belongs to 1, so a min-rep-per-bucket candidate scheme
+    // would only test (2,1) and (3,1) — both fail the Jaccard
+    // threshold against the big doc — and never test (3,2). The
+    // capped all-pairs scheme must flag 3 as a dup of 2.
+    val shared = (0 until 30).map(i => s"core$i").mkString(" ")
+    val df = Seq(
+      (1L, toks("pre", 60) + " " + shared + " " + toks("post", 60)),
+      (2L, shared),
+      (3L, shared)).toDF("id", "text")
+    val out = winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "ngramSize":4,"window":8,"threshold":0.6}""", df)
+    val m = dupMap(out)
+    assert(m(3L) == Some(2L),
+      "exact duplicates masked by a low-id superset doc")
+    assert(m(2L).isEmpty && m(1L).isEmpty)
+  }
+
+  test("maxBucket caps boilerplate fingerprints; invalid params throw") {
+    // 5 docs all sharing one hot run: with maxBucket 2 the shared
+    // fingerprints' buckets (size 5) are skipped entirely -> no pairs
+    val run = (0 until 20).map(i => s"hot$i").mkString(" ")
+    val df = (1L to 5L).map(i => (i, run)).toDF("id", "text")
+    val capped = dupMap(winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "maxBucket":2,"threshold":0.5}""", df))
+    assert(capped.values.forall(_.isEmpty),
+      "fingerprints above the bucket cap must generate no candidates")
+    val full = dupMap(winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "threshold":0.5}""", df))
+    assert((2L to 5L).forall(i => full(i) == Some(1L)))
+    val e = intercept[IllegalArgumentException](winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "window":0}""", df).collect())
+    assert(e.getMessage.contains("window"))
+  }
+
   test("cross-corpus: primary rows match the min reference id only") {
     val shared = (0 until 11).map(i => s"run$i").mkString(" ")
     val primary = Seq(
