@@ -2765,6 +2765,70 @@ transforms:
     // graph connectedComponents glues them into clusters. The oracle
     // replays the q125 IVF pairs, the mutual join, and a recursive
     // min-label closure
+    // the persistable winnow fingerprint index: one (id, fingerprint)
+    // row per selected hash — what an incremental pipeline writes
+    // once over the reference corpus; oracle = the q127 fingerprint
+    // CTEs, exploded
+    "q133_winnow_index" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: out
+    module: dedup
+    inputs: [docs]
+    parameters: {method: winnow, action: index, field: text, idField: doc_id, ngramSize: 4, window: 8, hashAlgo: md5}
+"""),
+
+    // incremental cross-corpus winnow: build the reference slice's
+    // fingerprint index in one transform, dedup the new slice AGAINST
+    // THE INDEX (referenceIsIndex — no reference re-fingerprinting),
+    // and land on the exact q129 result: the oracle IS the q129
+    // oracle
+    "q134_winnow_index_cross" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet", fields: [doc_id, text]}
+transforms:
+  - name: newdocs
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: doc_id, op: ">=", value: 100}]
+  - name: refdocs
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: doc_id, op: "<", value: 100}]
+  - name: idx
+    module: dedup
+    inputs: [refdocs]
+    parameters: {method: winnow, action: index, field: text, idField: doc_id, ngramSize: 4, window: 8, hashAlgo: md5}
+  - name: dd
+    module: dedup
+    inputs: [newdocs, idx]
+    parameters:
+      method: winnow
+      referenceInput: idx
+      referenceIsIndex: true
+      referenceIdField: doc_id
+      field: text
+      idField: doc_id
+      ngramSize: 4
+      window: 8
+      threshold: 0.5
+      hashAlgo: md5
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
     // the coefficient's intended use, composed end-to-end: mutual
     // top-4 kNN pairs (the q126 recipe at k=4 for triangle density)
     // become the candidate graph, and clusteringCoefficient separates
@@ -4692,6 +4756,54 @@ transforms:
     * its md5-seeded codebook (fitIterations 0) is an ORDER BY
     * md5(id) LIMIT n selection any SQL engine reproduces. Every
     * gate is hash-checked. */
+  /** Shared by q129 (raw-text cross winnow) and q134 (the same
+    * dedup fed by a prebuilt fingerprint index): both paths must
+    * land on the identical result, so one oracle serves both. */
+  private def winnowCrossOracleSql: String =
+      """WITH base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id,
+             [substr(md5('0 ' || array_to_string(toks[i:i+3], ' ')),
+                1, 8)
+              for i in range(1, greatest(len(toks) - 3, 1) + 1)] AS gh
+           FROM base),
+         f AS (
+           SELECT doc_id,
+             list_distinct([list_min(gh[i:i+7])
+               for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
+           FROM g),
+         pf AS (SELECT * FROM f WHERE doc_id >= 100),
+         rf AS (SELECT * FROM f WHERE doc_id < 100),
+         pe AS (SELECT doc_id, unnest(fps) AS fp FROM pf),
+         re AS (SELECT doc_id AS rid, unnest(fps) AS fp FROM rf),
+         pcap AS (
+           SELECT fp FROM pe GROUP BY fp HAVING count(*) <= 64),
+         rcap AS (
+           SELECT fp FROM re GROUP BY fp HAVING count(*) <= 64),
+         pc AS (SELECT pe.doc_id, pe.fp FROM pe JOIN pcap USING (fp)),
+         rc AS (SELECT re.rid, re.fp FROM re JOIN rcap USING (fp)),
+         cand AS (
+           SELECT DISTINCT pc.doc_id AS a, rc.rid AS b
+           FROM pc JOIN rc USING (fp)),
+         inter AS (
+           SELECT c.a, c.b,
+             len(list_intersect(fa.fps, fb.fps)) AS i,
+             len(fa.fps) AS na, len(fb.fps) AS nb
+           FROM cand c
+           JOIN pf fa ON fa.doc_id = c.a
+           JOIN rf fb ON fb.doc_id = c.b),
+         ver AS (
+           SELECT a, min(b) AS dup_of
+           FROM inter
+           WHERE i::DOUBLE / (na + nb - i) >= 0.5
+           GROUP BY a)
+         SELECT d.doc_id, v.dup_of
+         FROM documents d LEFT JOIN ver v ON v.a = d.doc_id
+         WHERE d.doc_id >= 100"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -6344,7 +6456,8 @@ transforms:
     // cross-corpus winnow replay: the q127 fingerprint CTEs split at
     // id 100, per-side bucket caps, cross equi-join on shared
     // fingerprints, set-Jaccard verify, min reference id
-    "q129_winnow_cross" ->
+    // the exploded q127 fingerprint CTEs
+    "q133_winnow_index" ->
       """WITH base AS (
            SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks
@@ -6359,35 +6472,15 @@ transforms:
            SELECT doc_id,
              list_distinct([list_min(gh[i:i+7])
                for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
-           FROM g),
-         pf AS (SELECT * FROM f WHERE doc_id >= 100),
-         rf AS (SELECT * FROM f WHERE doc_id < 100),
-         pe AS (SELECT doc_id, unnest(fps) AS fp FROM pf),
-         re AS (SELECT doc_id AS rid, unnest(fps) AS fp FROM rf),
-         pcap AS (
-           SELECT fp FROM pe GROUP BY fp HAVING count(*) <= 64),
-         rcap AS (
-           SELECT fp FROM re GROUP BY fp HAVING count(*) <= 64),
-         pc AS (SELECT pe.doc_id, pe.fp FROM pe JOIN pcap USING (fp)),
-         rc AS (SELECT re.rid, re.fp FROM re JOIN rcap USING (fp)),
-         cand AS (
-           SELECT DISTINCT pc.doc_id AS a, rc.rid AS b
-           FROM pc JOIN rc USING (fp)),
-         inter AS (
-           SELECT c.a, c.b,
-             len(list_intersect(fa.fps, fb.fps)) AS i,
-             len(fa.fps) AS na, len(fb.fps) AS nb
-           FROM cand c
-           JOIN pf fa ON fa.doc_id = c.a
-           JOIN rf fb ON fb.doc_id = c.b),
-         ver AS (
-           SELECT a, min(b) AS dup_of
-           FROM inter
-           WHERE i::DOUBLE / (na + nb - i) >= 0.5
-           GROUP BY a)
-         SELECT d.doc_id, v.dup_of
-         FROM documents d LEFT JOIN ver v ON v.a = d.doc_id
-         WHERE d.doc_id >= 100""",
+           FROM g)
+         SELECT doc_id, unnest(fps) AS fingerprint FROM f""",
+
+    "q129_winnow_cross" -> winnowCrossOracleSql,
+
+    // the index-fed run must land on the exact raw-text result: the
+    // q129 oracle applies verbatim
+    "q134_winnow_index_cross" -> winnowCrossOracleSql,
+
 
     // triangle replay: rebuild the chord graph, enumerate each
     // triangle once as a < b < c via the canonical double-join, then

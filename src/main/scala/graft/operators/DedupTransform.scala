@@ -184,6 +184,30 @@ object DedupTransform {
           md5Mode = p.str("hashAlgo").contains("md5"),
           transitive = transitive, maxIter = maxIter)
       case "winnow" =>
+        if (p.str("action").contains("index")) {
+          // persistable fingerprint INDEX: one (id, fingerprint) row
+          // per selected hash. Build once over a reference corpus,
+          // write to storage, and feed back as `referenceInput` with
+          // `referenceIsIndex: true` — incremental dedup of each new
+          // crawl then never re-fingerprints the (much larger)
+          // reference side, the 100 TB shape where the index is
+          // ~2/(window+1) of the gram volume and the corpus text
+          // never moves again
+          val fpField = p.str("fingerprintField")
+            .getOrElse("fingerprint")
+          val slim = df.select(col(idField).as("__id"),
+            col(textField).as("__t"))
+            .filter(col("__t").isNotNull)
+          val out = winnowFps(slim,
+            p.int("ngramSize").getOrElse(4),
+            p.int("window").getOrElse(8),
+            p.str("hashAlgo").contains("md5"),
+            p.str("seed").getOrElse("0"))
+            .select(col("__id").as(idField),
+              explode_outer(col("__fps")).as(fpField))
+            .filter(col(fpField).isNotNull)
+          return TransformCommon.finishRouted(out, cfg)
+        }
         winnowDedup(df, textField, idField,
           k = p.int("ngramSize").getOrElse(4),
           w = p.int("window").getOrElse(8),
@@ -404,7 +428,8 @@ object DedupTransform {
           df.select(col(id).as("__id"), col(tf).as("__t"))
             .filter(col("__t").isNotNull)
         val pSlim = slim(primary, textField, idField)
-        val rSlim = slim(ref, refTextField, refIdField)
+        // lazy: an index-mode reference has no text column to select
+        lazy val rSlim = slim(ref, refTextField, refIdField)
         // explode_outer + post-filter, NOT explode: see winnowDedup —
         // the inner explode's inferred size() filter inlines the
         // whole nested-HOF fingerprint tree and re-evaluates it per
@@ -418,20 +443,49 @@ object DedupTransform {
             .filter(col("__bc") <= maxBucket).select("__fp")
           fe.join(small, Seq("__fp"), "left_semi")
         }
+        // `referenceIsIndex: true`: the reference input is a
+        // PREBUILT fingerprint index (`action: index` output — one
+        // (id, fingerprint) row per selected hash) instead of raw
+        // text; the reference corpus is then never re-fingerprinted
+        val refIsIndex = p.bool("referenceIsIndex").getOrElse(false)
+        val fpField = p.str("fingerprintField").getOrElse("fingerprint")
+        if (refIsIndex)
+          require(ref.columns.contains(fpField) &&
+            ref.columns.contains(refIdField),
+            s"dedup winnow referenceIsIndex: reference input needs " +
+              s"$refIdField and $fpField columns (an action: index " +
+              "output); set referenceIdField/fingerprintField if " +
+              "named differently")
+        val rFe =
+          if (refIsIndex)
+            ref.select(col(fpField).as("__fp"),
+              col(refIdField).as("__rid"))
+              .filter(col("__fp").isNotNull && col("__rid").isNotNull)
+          else winnowFps(rSlim, k, w, md5Mode, seed)
+            .select(explode_outer(col("__fps")).as("__fp"),
+              col("__id").as("__rid"))
+            .filter(col("__fp").isNotNull)
         val cand = capped(winnowFps(pSlim, k, w, md5Mode, seed)
             .select(col("__id"), explode_outer(col("__fps")).as("__fp"))
             .filter(col("__fp").isNotNull))
-          .join(capped(winnowFps(rSlim, k, w, md5Mode, seed)
-            .select(explode_outer(col("__fps")).as("__fp"),
-              col("__id").as("__rid"))
-            .filter(col("__fp").isNotNull)), Seq("__fp"))
+          .join(capped(rFe), Seq("__fp"))
           .select("__id", "__rid").distinct()
           .transform(graft.ops.CacheTracker.trackPersist)
         val pFps = winnowFps(pSlim.join(cand.select("__id").distinct(),
             Seq("__id"), "left_semi"), k, w, md5Mode, seed)
-        val rFps = winnowFps(rSlim.join(cand
-              .select(col("__rid").as("__id")).distinct(),
-            Seq("__id"), "left_semi"), k, w, md5Mode, seed)
+        // verify sets for candidate reference docs: recomputed from
+        // text in raw mode, collected from the (already-distinct)
+        // index rows in index mode
+        val rFps =
+          if (refIsIndex)
+            rFe.join(cand.select("__rid").distinct(), Seq("__rid"),
+                "left_semi")
+              .groupBy(col("__rid"))
+              .agg(collect_set(col("__fp")).as("__fps"))
+              .select(col("__rid").as("__id"), col("__fps"))
+          else winnowFps(rSlim.join(cand
+                .select(col("__rid").as("__id")).distinct(),
+              Seq("__id"), "left_semi"), k, w, md5Mode, seed)
         cand
           .join(pFps.select(col("__id"), col("__fps").as("__f")),
             "__id")

@@ -153,6 +153,43 @@ class WinnowSpec extends AnyFunSuite {
     assert(m(100L) == Some(1L) && m(101L).isEmpty)
   }
 
+  test("index action + referenceIsIndex reproduce the raw-text " +
+      "cross result; a non-index reference fails actionably") {
+    val shared = (0 until 11).map(i => s"run$i").mkString(" ")
+    val primary = Seq(
+      (100L, toks("p", 5) + " " + shared),
+      (101L, toks("q", 40))).toDF("id", "text")
+    val ref = Seq(
+      (1L, shared + " " + toks("r", 3)),
+      (2L, shared)).toDF("id", "text")
+    def cross(refIn: org.apache.spark.sql.DataFrame, extra: String) =
+      dupMap(DedupTransform.build(spark,
+        ModuleCfg("dd", "dedup", Seq("p", "ref"), Nil,
+          graft.config.Json.parse(
+            s"""{"method":"winnow","referenceInput":"ref",
+               "field":"text","idField":"id","ngramSize":4,
+               "window":8,"threshold":0.3$extra}"""),
+          graft.config.Json.obj()),
+        Map("p" -> primary, "ref" -> refIn))("dd"))
+    val direct = cross(ref, "")
+    // build the index with the dedup module itself, then feed it back
+    val idx = DedupTransform.build(spark,
+      ModuleCfg("ix", "dedup", Seq("r"), Nil,
+        graft.config.Json.parse(
+          """{"method":"winnow","action":"index","field":"text",
+             "idField":"id","ngramSize":4,"window":8}"""),
+        graft.config.Json.obj()),
+      Map("r" -> ref))("ix")
+    assert(idx.columns.toSeq == Seq("id", "fingerprint"))
+    val viaIndex = cross(idx,
+      ""","referenceIsIndex":true,"referenceIdField":"id"""")
+    assert(viaIndex == direct,
+      "index-fed cross dedup must equal the raw-text result")
+    val e = intercept[IllegalArgumentException](cross(ref,
+      ""","referenceIsIndex":true,"referenceIdField":"id""""))
+    assert(e.getMessage.contains("fingerprint"))
+  }
+
   test("unrelated docs stay canonical") {
     val df = Seq((1L, toks("a", 40)), (2L, toks("b", 40)),
       (3L, toks("c", 3))).toDF("id", "text")
