@@ -4779,15 +4779,25 @@ transforms:
          rf AS (SELECT * FROM f WHERE doc_id < 100),
          pe AS (SELECT doc_id, unnest(fps) AS fp FROM pf),
          re AS (SELECT doc_id AS rid, unnest(fps) AS fp FROM rf),
-         pcap AS (
-           SELECT fp FROM pe GROUP BY fp HAVING count(*) <= 64),
-         rcap AS (
-           SELECT fp FROM re GROUP BY fp HAVING count(*) <= 64),
-         pc AS (SELECT pe.doc_id, pe.fp FROM pe JOIN pcap USING (fp)),
-         rc AS (SELECT re.rid, re.fp FROM re JOIN rcap USING (fp)),
+         meta AS (
+           SELECT ps.fp, ps.pc, rs.rc, rs.rmin FROM
+             (SELECT fp, count(*) AS pc FROM pe GROUP BY fp) ps
+           JOIN
+             (SELECT fp, count(*) AS rc, min(rid) AS rmin
+              FROM re GROUP BY fp) rs
+           ON ps.fp = rs.fp),
+         csmall AS (
+           SELECT DISTINCT pe.doc_id AS a, re.rid AS b
+           FROM meta m
+           JOIN pe ON pe.fp = m.fp
+           JOIN re ON re.fp = m.fp
+           WHERE m.pc <= 64 AND m.rc <= 64),
+         cover AS (
+           SELECT DISTINCT pe.doc_id AS a, m.rmin AS b
+           FROM meta m JOIN pe ON pe.fp = m.fp
+           WHERE m.pc > 64 OR m.rc > 64),
          cand AS (
-           SELECT DISTINCT pc.doc_id AS a, rc.rid AS b
-           FROM pc JOIN rc USING (fp)),
+           SELECT a, b FROM csmall UNION SELECT a, b FROM cover),
          inter AS (
            SELECT c.a, c.b,
              len(list_intersect(fa.fps, fb.fps)) AS i,
@@ -6453,10 +6463,7 @@ transforms:
              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rank_r
          FROM orders GROUP BY 1""",
 
-    // cross-corpus winnow replay: the q127 fingerprint CTEs split at
-    // id 100, per-side bucket caps, cross equi-join on shared
-    // fingerprints, set-Jaccard verify, min reference id
-    // the exploded q127 fingerprint CTEs
+    // the persistable index: the exploded q127 fingerprint CTEs
     "q133_winnow_index" ->
       """WITH base AS (
            SELECT doc_id,
@@ -6475,6 +6482,10 @@ transforms:
            FROM g)
          SELECT doc_id, unnest(fps) AS fingerprint FROM f""",
 
+    // cross-corpus winnow replay (winnowCrossOracleSql): the q127
+    // fingerprint CTEs split at id 100, per-fp side stats, capped
+    // all-pairs + over-cap min-reference fallback, set-Jaccard
+    // verify, min reference id
     "q129_winnow_cross" -> winnowCrossOracleSql,
 
     // the index-fed run must land on the exact raw-text result: the
@@ -6533,13 +6544,22 @@ transforms:
                for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
            FROM g),
          fe AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-         caps AS (
-           SELECT fp FROM fe GROUP BY fp HAVING count(*) <= 64),
-         fc AS (SELECT fe.doc_id, fe.fp FROM fe JOIN caps USING (fp)),
-         cpairs AS (
+         stats AS (
+           SELECT fp, count(*) AS bc, min(doc_id) AS mn
+           FROM fe GROUP BY fp HAVING count(*) >= 2),
+         fc AS (
+           SELECT fe.doc_id, fe.fp FROM fe
+           JOIN stats ON stats.fp = fe.fp AND stats.bc <= 64),
+         apairs AS (
            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM fc x JOIN fc y
              ON x.fp = y.fp AND x.doc_id > y.doc_id),
+         opairs AS (
+           SELECT DISTINCT fe.doc_id AS a, s.mn AS b
+           FROM fe JOIN stats s ON s.fp = fe.fp AND s.bc > 64
+           WHERE fe.doc_id > s.mn),
+         cpairs AS (
+           SELECT a, b FROM apairs UNION SELECT a, b FROM opairs),
          sizes AS (SELECT doc_id, len(fps) AS nf FROM f),
          inter AS (
            SELECT p.a, p.b,

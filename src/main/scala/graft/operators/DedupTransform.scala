@@ -423,6 +423,8 @@ object DedupTransform {
         val w = p.int("window").getOrElse(8)
         val threshold = p.dbl("threshold").getOrElse(0.5)
         val maxBucket = p.int("maxBucket").getOrElse(64)
+        require(maxBucket >= 2, // see winnowDedup
+          s"dedup winnow: maxBucket must be >= 2, got $maxBucket")
         val seed = p.str("seed").getOrElse("0")
         def slim(df: DataFrame, tf: String, id: String) =
           df.select(col(id).as("__id"), col(tf).as("__t"))
@@ -433,43 +435,80 @@ object DedupTransform {
         // explode_outer + post-filter, NOT explode: see winnowDedup —
         // the inner explode's inferred size() filter inlines the
         // whole nested-HOF fingerprint tree and re-evaluates it per
-        // element. Per-side boilerplate-fingerprint cap (also see
-        // winnowDedup): a fingerprint common to > maxBucket docs on
-        // EITHER side would make the cross equi-join quadratic in
-        // its bucket.
-        def capped(fe: DataFrame) = {
-          val small = fe.groupBy("__fp")
-            .agg(count(lit(1)).as("__bc"))
-            .filter(col("__bc") <= maxBucket).select("__fp")
-          fe.join(small, Seq("__fp"), "left_semi")
-        }
+        // element
+        require(!p.str("action").contains("index"),
+          "dedup winnow: action: index builds a fingerprint index " +
+            "from ONE input — drop referenceInput (build the index " +
+            "in its own transform, then feed it back with " +
+            "referenceIsIndex: true)")
         // `referenceIsIndex: true`: the reference input is a
         // PREBUILT fingerprint index (`action: index` output — one
         // (id, fingerprint) row per selected hash) instead of raw
         // text; the reference corpus is then never re-fingerprinted
         val refIsIndex = p.bool("referenceIsIndex").getOrElse(false)
         val fpField = p.str("fingerprintField").getOrElse("fingerprint")
-        if (refIsIndex)
+        if (refIsIndex) {
           require(ref.columns.contains(fpField) &&
             ref.columns.contains(refIdField),
             s"dedup winnow referenceIsIndex: reference input needs " +
               s"$refIdField and $fpField columns (an action: index " +
               "output); set referenceIdField/fingerprintField if " +
               "named differently")
+          // hash-mode mismatch is detectable from the column type and
+          // would otherwise silently report every doc as novel (the
+          // cross join finds no equal fingerprints)
+          val fpType = ref.schema(fpField).dataType
+          val want: DataType = if (md5Mode) StringType else LongType
+          require(fpType == want,
+            s"dedup winnow referenceIsIndex: $fpField is " +
+              s"${fpType.simpleString} but hashAlgo " +
+              s"${if (md5Mode) "md5" else "default (xxhash64)"} " +
+              s"fingerprints are ${want.simpleString} — build and " +
+              "consume the index with the SAME hashAlgo (ngramSize/" +
+              "window/seed must also match; those are not checkable " +
+              "from the data)")
+        }
         val rFe =
           if (refIsIndex)
+            // distinct: an appended/unioned index write would double
+            // rows, inflate bucket counts, and spuriously cap real
+            // buckets out of candidate generation
             ref.select(col(fpField).as("__fp"),
               col(refIdField).as("__rid"))
               .filter(col("__fp").isNotNull && col("__rid").isNotNull)
+              .distinct()
           else winnowFps(rSlim, k, w, md5Mode, seed)
             .select(explode_outer(col("__fps")).as("__fp"),
               col("__id").as("__rid"))
             .filter(col("__fp").isNotNull)
-        val cand = capped(winnowFps(pSlim, k, w, md5Mode, seed)
-            .select(col("__id"), explode_outer(col("__fps")).as("__fp"))
-            .filter(col("__fp").isNotNull))
-          .join(capped(rFe), Seq("__fp"))
-          .select("__id", "__rid").distinct()
+        val pFe = winnowFps(pSlim, k, w, md5Mode, seed)
+          .select(col("__id"), explode_outer(col("__fps")).as("__fp"))
+          .filter(col("__fp").isNotNull)
+        // per-fingerprint stats on each side (map-side partial aggs);
+        // only fingerprints BOTH sides share can pair, so the meta
+        // join prunes everything else before any id rows move
+        val meta = pFe.groupBy("__fp").agg(count(lit(1)).as("__pc"))
+          .join(rFe.groupBy("__fp")
+            .agg(count(lit(1)).as("__rc"), min(col("__rid")).as("__rmin")),
+            Seq("__fp"))
+          .transform(graft.ops.CacheTracker.trackPersist)
+        val smallFp = meta
+          .filter(col("__pc") <= maxBucket && col("__rc") <= maxBucket)
+          .select("__fp")
+        val candSmall = pFe.join(smallFp, Seq("__fp"), "left_semi")
+          .join(rFe.join(smallFp, Seq("__fp"), "left_semi"), Seq("__fp"))
+          .select("__id", "__rid")
+        // over-cap fallback (see winnowDedup): pair each primary
+        // member with the bucket's MINIMUM reference id — linear, so
+        // a reference corpus of a million identical boilerplate pages
+        // cannot make the cross join quadratic, yet a new doc
+        // duplicating heavily-replicated reference content still
+        // surfaces as a candidate
+        val candOver = pFe.join(meta
+            .filter(col("__pc") > maxBucket || col("__rc") > maxBucket)
+            .select(col("__fp"), col("__rmin")), Seq("__fp"))
+          .select(col("__id"), col("__rmin").as("__rid"))
+        val cand = candSmall.union(candOver).distinct()
           .transform(graft.ops.CacheTracker.trackPersist)
         val pFps = winnowFps(pSlim.join(cand.select("__id").distinct(),
             Seq("__id"), "left_semi"), k, w, md5Mode, seed)
@@ -666,15 +705,17 @@ object DedupTransform {
     * the full gram inventory the spans mode shuffles.
     *
     * Candidates = ALL doc pairs sharing any fingerprint whose bucket
-    * holds at most `maxBucket` docs (default 64) — a fingerprint
-    * common to more docs than that is boilerplate (nav bars, licence
-    * headers), and all-pairs inside such a bucket is quadratic noise
-    * better handled by the lines/spans modes; below the cap the
+    * holds at most `maxBucket` docs (default 64); below the cap the
     * guarantee is unconditional, with every sharing pair verified
     * (a min-rep-per-bucket scheme — the LSH modes' shape — silently
     * loses pairs whenever a lower-id SUPERSET doc absorbs the rep
     * slot: its fingerprint set dwarfs the overlap, the rep pair
-    * fails verify, and the true dup pair is never tested). Verify =
+    * fails verify, and the true dup pair is never tested). Buckets
+    * OVER the cap fall back to exactly that min-rep pairing — linear
+    * in the bucket, no quadratic blowup — because a hot fingerprint
+    * is usually boilerplate (nav bars, licence headers, the lines/
+    * spans modes' territory) but can also be whole-document
+    * replication, which must still dedup. Verify =
     * exact Jaccard of the two fingerprint SETS >= `threshold`
     * (winnowed Jaccard is an unbiased estimate of the gram Jaccard;
     * computed exactly over the compressed sets).
@@ -698,6 +739,11 @@ object DedupTransform {
       idField: String, k: Int, w: Int, threshold: Double,
       maxBucket: Int, md5Mode: Boolean, seed: String,
       transitive: Boolean, maxIter: Int): DataFrame = {
+    // a 2-member bucket is the smallest that can pair; below that
+    // every bucket would be skipped and the run would silently
+    // report zero duplicates
+    require(maxBucket >= 2,
+      s"dedup winnow: maxBucket must be >= 2, got $maxBucket")
     val slim = df.select(col(idField).as("__id"),
       col(textField).as("__t"))
       .filter(col("__t").isNotNull) // null text: never a candidate
@@ -715,26 +761,41 @@ object DedupTransform {
     val fe = fps(slim)
       .select(col("__id"), explode_outer(col("__fps")).as("__fp"))
       .filter(col("__fp").isNotNull)
-    // buckets of 2..maxBucket members survive: the count is a
-    // map-side partial aggregate, so the hot boilerplate fingerprint
-    // never funnels raw rows anywhere before it is dropped
-    val small = fe.groupBy("__fp").agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
-      .select("__fp")
-    // all pairs within each surviving bucket: collect the (<=
-    // maxBucket, post-cap-bounded) sorted member ids per fingerprint
-    // and expand the id pairs map-side — ids ascend, so __id >
-    // __rep_id by construction; multi-fingerprint repeats of a pair
-    // collapse in the distinct (16 bytes/pair)
-    val ids = fe.join(small, Seq("__fp"), "left_semi")
+    // per-bucket stats are a map-side partial aggregate, so a hot
+    // boilerplate fingerprint never funnels raw rows anywhere
+    val stats = fe.groupBy("__fp")
+      .agg(count(lit(1)).as("__bc"), min(col("__id")).as("__mn"))
+      .filter(col("__bc") >= 2)
+      .transform(graft.ops.CacheTracker.trackPersist)
+    // all pairs within each bucket of <= maxBucket members: collect
+    // the (cap-bounded) sorted member ids per fingerprint and expand
+    // the id pairs map-side — ids ascend, so __id > __rep_id by
+    // construction; multi-fingerprint repeats of a pair collapse in
+    // the distinct (16 bytes/pair)
+    val ids = fe.join(stats.filter(col("__bc") <= maxBucket)
+        .select("__fp"), Seq("__fp"), "left_semi")
       .groupBy("__fp")
       .agg(sort_array(collect_set(col("__id"))).as("__ids"))
-    val candidates = ids
+    val allPairs = ids
       .select(explode_outer(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
           y => struct(y.as("__a"), x.as("__b")))))).as("__p"))
       .filter(col("__p").isNotNull)
       .select(col("__p.__a").as("__id"), col("__p.__b").as("__rep_id"))
+    // over-cap buckets FALL BACK to min-rep pairing (each member vs
+    // the bucket minimum — linear, no collect buffer): a bucket
+    // hotter than maxBucket is usually boilerplate, but it is also
+    // what a 100-copy replicated page looks like, and dropping it
+    // outright would silently lose exactly the most-duplicated
+    // content. Above the cap the guarantee degrades to the LSH
+    // modes' min-rep behavior (a low-id superset can mask pairs);
+    // below it the all-pairs guarantee is unconditional.
+    val overPairs = fe
+      .join(stats.filter(col("__bc") > maxBucket)
+        .select(col("__fp"), col("__mn")), Seq("__fp"))
+      .filter(col("__id") > col("__mn"))
+      .select(col("__id"), col("__mn").as("__rep_id"))
+    val candidates = allPairs.union(overPairs)
       // persisted: the pair set feeds three subtrees (candidate-id
       // explode + both verify join sides) — two ids per row, bounded
       .distinct()

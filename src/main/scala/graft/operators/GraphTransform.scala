@@ -176,13 +176,12 @@ object GraphTransform {
       // c ≈ 0 at high degree marks a hub chaining unrelated docs.
       val dOut = p.str("degreeField").getOrElse("degree")
       val cfOut = p.str("coefficientField").getOrElse("coefficient")
-      val nbrDeg = df
-        .select(col(src).as(vOut), col(dst).as("__nbr"))
-        .union(df.select(col(dst).as(vOut), col(src).as("__nbr")))
-        .filter(col(vOut).isNotNull && col("__nbr").isNotNull &&
-          col(vOut) =!= col("__nbr"))
-        .distinct()
-        .groupBy(col(vOut)).agg(count(lit(1)).as(dOut))
+      // per-vertex incident canon edges ARE the distinct-neighbor
+      // degree (canon is distinct, null-free, self-loop-free): reuse
+      // the orientation's degree table instead of re-deriving it
+      // from the raw edges
+      val nbrDeg = deg.select(col("__v").as(vOut),
+        col("__deg").as(dOut))
       val res = out.join(nbrDeg, Seq(vOut), "left")
         .withColumn(dOut, coalesce(col(dOut), lit(0L)))
         .withColumn(cfOut,

@@ -113,24 +113,30 @@ class WinnowSpec extends AnyFunSuite {
     assert(m(2L).isEmpty && m(1L).isEmpty)
   }
 
-  test("maxBucket caps boilerplate fingerprints; invalid params throw") {
-    // 5 docs all sharing one hot run: with maxBucket 2 the shared
-    // fingerprints' buckets (size 5) are skipped entirely -> no pairs
+  test("over-cap buckets fall back to min-rep pairs, so replicated " +
+      "content still dedups; invalid params throw") {
+    // 5 identical docs with maxBucket 2: every shared fingerprint's
+    // bucket (size 5) is over the cap, but the min-rep fallback still
+    // pairs each member with id 1 — and identical docs verify, so
+    // whole-document replication is never silently lost to the
+    // boilerplate guard
     val run = (0 until 20).map(i => s"hot$i").mkString(" ")
     val df = (1L to 5L).map(i => (i, run)).toDF("id", "text")
-    val capped = dupMap(winnow(
-      """{"method":"winnow","field":"text","idField":"id",
-         "maxBucket":2,"threshold":0.5}""", df))
-    assert(capped.values.forall(_.isEmpty),
-      "fingerprints above the bucket cap must generate no candidates")
-    val full = dupMap(winnow(
-      """{"method":"winnow","field":"text","idField":"id",
-         "threshold":0.5}""", df))
-    assert((2L to 5L).forall(i => full(i) == Some(1L)))
+    for (params <- Seq(""""maxBucket":2,""", "")) {
+      val m = dupMap(winnow(
+        s"""{"method":"winnow","field":"text","idField":"id",
+           $params"threshold":0.5}""", df))
+      assert((2L to 5L).forall(i => m(i) == Some(1L)),
+        s"params='$params'")
+    }
     val e = intercept[IllegalArgumentException](winnow(
       """{"method":"winnow","field":"text","idField":"id",
          "window":0}""", df).collect())
     assert(e.getMessage.contains("window"))
+    val e2 = intercept[IllegalArgumentException](winnow(
+      """{"method":"winnow","field":"text","idField":"id",
+         "maxBucket":1}""", df).collect())
+    assert(e2.getMessage.contains("maxBucket"))
   }
 
   test("cross-corpus: primary rows match the min reference id only") {
