@@ -189,12 +189,12 @@ object ScaleMain {
     }
     // winnow: map-side fingerprint program + ids-only candidate
     // shuffle; candidates are capped all-pairs per fingerprint
-    // bucket. On this replica corpus bucket size ≈ the replication
-    // factor, so 20× exercises live all-pairs verify (~20-member
-    // buckets) while at 100× the default maxBucket=64 classifies
-    // every replicated fingerprint as boilerplate and skips it — the
-    // designed quadratic-blowup guard, measured as the flat point of
-    // the ladder
+    // bucket with a min-rep fallback above the cap. On this replica
+    // corpus bucket size ≈ the replication factor, so 20× exercises
+    // live all-pairs verify (~20-member buckets) while at 100× the
+    // default maxBucket=64 switches the replicated fingerprints to
+    // the linear min-rep fallback — the quadratic-blowup guard that
+    // still dedups whole-document replication
     time("winnow") { dedup(
       """{"method":"winnow","field":"text","idField":"doc_id","ngramSize":4,"window":8,"threshold":0.5}""") }
     // triangles: degree-ordered orientation caps wedge fan-out at
