@@ -136,7 +136,11 @@ object Bench {
     System.out.flush(); System.err.flush()
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val leakJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"leaked_streams":$leakJson,"errors":$errJson,"samples":$samples,"sf":"$sfDir"}""")
+    // key order matters to the driver: it captures a bounded TAIL
+    // window of this line, so `queries` must be the LAST key — r13's
+    // artifact was unparseable because the window landed on the `gc`
+    // dict that then sat after the timings
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gc":$gcs,"leaked_streams":$leakJson,"errors":$errJson,"samples":$samples,"sf":"$sfDir","queries":$qs}""")
     System.out.flush()
     // the http gate fixtures' dispatcher threads are non-daemon; a
     // plain return would leave the JVM (and the driver's bench step)

@@ -2646,7 +2646,7 @@ transforms:
     module: sql
     inputs: [ag]
     parameters:
-      sql: "SELECT label, transform(pooled, x -> round(x, 4) + 0.0d) AS pooled_r, n FROM ag"
+      sql: "SELECT label, array_join(transform(pooled, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS pooled_r, n FROM ag"
 """),
 
     // mergeable theta set-sketches with set ALGEBRA: sketch per
@@ -6289,7 +6289,10 @@ transforms:
     // position order (round-4 absorbs summation-order ulps; the
     // `+ 0.0` on both sides folds IEEE −0.0 into +0.0 — a mean that
     // rounds to zero from below prints `-0` in DuckDB but `0` in
-    // Spark, caught at sf0.1)
+    // Spark, caught at sf0.1). The vector is rendered as one
+    // fixed-4-decimal comma-joined STRING on both sides: the
+    // driver's checker sorts result rows with pandas, which cannot
+    // sort a raw array column (the single red row of r13)
     "q121_vector_pool" ->
       """WITH e AS (
            SELECT label, unnest(embedding) AS v,
@@ -6299,8 +6302,9 @@ transforms:
            SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
            FROM e GROUP BY 1, 2),
          p AS (
-           SELECT label, list(round(m, 4) + 0.0 ORDER BY pos)
-             AS pooled_r
+           SELECT label,
+             string_agg(printf('%.4f', round(m, 4) + 0.0), ','
+               ORDER BY pos) AS pooled_r
            FROM a GROUP BY 1),
          n AS (
            SELECT label, count(*) AS n FROM embeddings GROUP BY 1)

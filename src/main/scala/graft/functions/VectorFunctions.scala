@@ -12,75 +12,83 @@ import org.apache.spark.sql.functions.udaf
   * members without a k-means fit).
   *
   * `vectorSum` / `vectorAvg` accumulate `array<double>` columns into
-  * one element-wise sum/mean per group. The buffer is a single O(d)
-  * double array plus a count — a mergeable partial aggregate, so
-  * map-side combine applies like every built-in agg and only one
-  * d-length vector per (partition, group) ever shuffles. Null rows
-  * are skipped (condition guards compile to `when(cond, v)` → null);
-  * null ELEMENTS count as 0.0 toward the sum but the row still
-  * counts toward the mean's denominator. Mismatched dimensions fail
-  * loudly — silently truncating or padding an embedding column hides
-  * upstream corruption.
+  * one element-wise sum/mean per group. The buffer is an O(d) double
+  * array plus an O(d) per-position count array — a mergeable partial
+  * aggregate, so map-side combine applies like every built-in agg and
+  * only one d-length buffer per (partition, group) ever shuffles.
+  * Null ROWS are skipped (condition guards compile to
+  * `when(cond, v)` → null). Null ELEMENTS follow SQL aggregate
+  * semantics PER POSITION: they are excluded from that position's
+  * mean denominator, and a position with no non-null contribution
+  * yields a null element (sum emits 0.0 there, matching "adds
+  * nothing"). Mismatched dimensions fail loudly — silently
+  * truncating or padding an embedding column hides upstream
+  * corruption.
   */
 object VectorFunctions {
 
-  private def add(sums: Array[Double], v: Seq[java.lang.Double],
-      label: String): Array[Double] = {
-    if (sums == null) {
-      val a = new Array[Double](v.size)
-      var i = 0
-      while (i < a.length) {
-        val x = v(i); if (x != null) a(i) = x.doubleValue; i += 1
-      }
-      a
-    } else {
-      require(sums.length == v.size,
-        s"$label: vector dimension mismatch in group — " +
-          s"saw ${sums.length} then ${v.size}")
-      var i = 0
-      while (i < sums.length) {
-        val x = v(i); if (x != null) sums(i) += x.doubleValue; i += 1
-      }
-      sums
-    }
-  }
-
-  private def addArrays(a: Array[Double], b: Array[Double],
-      label: String): Array[Double] = {
-    if (a == null) return b
-    if (b == null) return a
-    require(a.length == b.length,
-      s"$label: vector dimension mismatch across partitions — " +
-        s"${a.length} vs ${b.length}")
-    var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
-  }
+  private type Buf = (Array[Double], Array[Long])
 
   private class VecAgg(mean: Boolean, label: String,
-      bufEnc: Encoder[(Array[Double], Long)],
-      outEnc: Encoder[Seq[Double]])
-    extends Aggregator[Seq[java.lang.Double],
-      (Array[Double], Long), Seq[Double]] {
-    def zero: (Array[Double], Long) = (null, 0L)
-    def reduce(b: (Array[Double], Long), v: Seq[java.lang.Double])
-        : (Array[Double], Long) =
-      if (v == null) b else (add(b._1, v, label), b._2 + 1)
-    def merge(b1: (Array[Double], Long), b2: (Array[Double], Long))
-        : (Array[Double], Long) =
-      (addArrays(b1._1, b2._1, label), b1._2 + b2._2)
-    def finish(b: (Array[Double], Long)): Seq[Double] =
+      bufEnc: Encoder[Buf],
+      outEnc: Encoder[Seq[java.lang.Double]])
+    extends Aggregator[Seq[java.lang.Double], Buf,
+      Seq[java.lang.Double]] {
+    def zero: Buf = (null, null)
+    def reduce(b: Buf, v: Seq[java.lang.Double]): Buf =
+      if (v == null) b
+      else {
+        val (s0, c0) = b
+        val (s, c) =
+          if (s0 == null)
+            (new Array[Double](v.size), new Array[Long](v.size))
+          else (s0, c0)
+        require(s.length == v.size,
+          s"$label: vector dimension mismatch in group — " +
+            s"saw ${s.length} then ${v.size}")
+        var i = 0
+        while (i < s.length) {
+          val x = v(i)
+          if (x != null) { s(i) += x.doubleValue; c(i) += 1L }
+          i += 1
+        }
+        (s, c)
+      }
+    def merge(b1: Buf, b2: Buf): Buf =
+      if (b1._1 == null) b2
+      else if (b2._1 == null) b1
+      else {
+        require(b1._1.length == b2._1.length,
+          s"$label: vector dimension mismatch across partitions — " +
+            s"${b1._1.length} vs ${b2._1.length}")
+        var i = 0
+        while (i < b1._1.length) {
+          b1._1(i) += b2._1(i); b1._2(i) += b2._2(i); i += 1
+        }
+        b1
+      }
+    def finish(b: Buf): Seq[java.lang.Double] =
       if (b._1 == null) null
-      else if (mean) b._1.toSeq.map(_ / b._2)
-      else b._1.toSeq
-    def bufferEncoder: Encoder[(Array[Double], Long)] = bufEnc
-    def outputEncoder: Encoder[Seq[Double]] = outEnc
+      else {
+        val out = new Array[java.lang.Double](b._1.length)
+        var i = 0
+        while (i < out.length) {
+          out(i) =
+            if (!mean) java.lang.Double.valueOf(b._1(i))
+            else if (b._2(i) == 0L) null
+            else java.lang.Double.valueOf(b._1(i) / b._2(i))
+          i += 1
+        }
+        out.toSeq
+      }
+    def bufferEncoder: Encoder[Buf] = bufEnc
+    def outputEncoder: Encoder[Seq[java.lang.Double]] = outEnc
   }
 
   private def agg(value: Column, mean: Boolean, label: String): Column =
     udaf(new VecAgg(mean, label,
-      ExpressionEncoder[(Array[Double], Long)](),
-      ExpressionEncoder[Seq[Double]]()),
+      ExpressionEncoder[Buf](),
+      ExpressionEncoder[Seq[java.lang.Double]]()),
       ExpressionEncoder[Seq[java.lang.Double]]())(value)
 
   /** Element-wise sum of an `array<double>` column per group. */
@@ -88,7 +96,8 @@ object VectorFunctions {
     agg(value, mean = false, label)
 
   /** Element-wise mean of an `array<double>` column per group
-    * (mean-pooling). The denominator is the non-null ROW count. */
+    * (mean-pooling); each position's denominator is that position's
+    * non-null element count. */
   def vectorAvg(value: Column, label: String = "vector_avg"): Column =
     agg(value, mean = true, label)
 }

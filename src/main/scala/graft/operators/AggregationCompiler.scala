@@ -162,9 +162,37 @@ object AggregationCompiler {
       // threshold (2^lgK nominal entries), so bounded-domain oracles
       // pin exact values.
       case "theta_sketch" =>
+        // distinct identity is the STRING rendering of the value, so
+        // the same logical number sketched from differently-typed
+        // columns must render identically (int 1 → "1" but double
+        // 1.0 → "1.0" would make a cross-corpus theta_intersect
+        // silently report ~0 overlap): integral types render as
+        // longs, and fractional values that are exact integers strip
+        // the trailing ".0". Non-numeric types keep their natural
+        // string form.
+        val thetaNorm: Column = {
+          val dt: DataType = op.str("expression") match {
+            case Some(_) => DoubleType // exp4j grammar is all-double
+            case None => op.str("field").flatMap(f =>
+                schema.fields.find(_.name == f).map(_.dataType))
+              .getOrElse(StringType)
+          }
+          dt match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              valueCol.cast(LongType).cast(StringType)
+            case FloatType | DoubleType | _: DecimalType =>
+              val d = valueCol.cast(DoubleType)
+              // the long-range guard keeps the clamped non-ansi
+              // double→long cast from matching huge doubles
+              when(d.isNotNull && abs(d) < lit(9.0e18) &&
+                  d === d.cast(LongType).cast(DoubleType),
+                d.cast(LongType).cast(StringType))
+                .otherwise(d.cast(StringType))
+            case _ => valueCol.cast(StringType)
+          }
+        }
         graft.functions.ThetaFunctions.thetaSketch(
-          op.int("lgK").getOrElse(12),
-          guarded(valueCol.cast(StringType)))
+          op.int("lgK").getOrElse(12), guarded(thetaNorm))
       case "theta_union" =>
         graft.functions.ThetaFunctions.thetaUnion(
           op.int("lgK").getOrElse(12), guarded(valueCol))

@@ -48,8 +48,6 @@ object SimilarityTransform {
     val idField = p.str("idField").getOrElse("vec_id")
     val k = p.int("k").getOrElse(10)
 
-    val q = queries.select(col(idField).as("query_id"),
-      col(embField).as("__q_emb"))
     // `quantized: true` — int8 index: the corpus side of the index is
     // stored/carried as (id, q: array<tinyint>, scale) — 4x smaller
     // than float32 — and vectors dequantize ON READ at scoring time.
@@ -70,6 +68,17 @@ object SimilarityTransform {
         .select("neighbor_id", "__c_emb")
       else corpus.select(col(idField).as("neighbor_id"),
         col(embField).as("__c_emb"))
+    // selfJoin + quantized: the query role of each vector uses the
+    // SAME dequantized reconstruction as its corpus role — bucketing
+    // the query side on raw floats would make candidate generation
+    // asymmetric on lossy embeddings (the two roles of one vector
+    // could land in different buckets/cells)
+    val q =
+      if (selfJoin && quantizedIdx)
+        c.select(col("neighbor_id").as("query_id"),
+          col("__c_emb").as("__q_emb"))
+      else queries.select(col(idField).as("query_id"),
+        col(embField).as("__q_emb"))
     /** Re-attach corpus vectors to an ids-only candidate set: in
       * quantized mode the join ships int8 + scale and reconstructs
       * above it, so the wide float arrays never cross the shuffle. */

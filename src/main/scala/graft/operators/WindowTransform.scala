@@ -56,6 +56,17 @@ object WindowTransform {
       val orderCol: Column = orderField.map(col).getOrElse(
         if (df.columns.contains("__event_time")) col("__event_time")
         else monotonically_increasing_id())
+      // an EMPTY partition key list single-partitions the whole frame
+      // (a global window genuinely needs a global order) — correct
+      // for global ranking, a driver-killer at 100 TB when it's an
+      // accidental omission of groupFields. Require the explicit
+      // `global: true` opt-in so the single-partition path is always
+      // a stated choice.
+      require(keys.nonEmpty || p.bool("global").getOrElse(false),
+        s"window module ${cfg.name}: no groupFields — a window with " +
+          "no partition keys runs in ONE partition (the whole input " +
+          "moves through a single task). Set groupFields, or opt in " +
+          "to a global window explicitly with global: true")
       val baseW =
         if (keys.nonEmpty)
           Window.partitionBy(keys.map(col): _*).orderBy(orderCol)

@@ -719,4 +719,30 @@ class ModulesSpec extends AnyFunSuite {
       .withColumn("roll", sum($"value").over(w))
     assert(got.except(exp).count() == 0 && exp.except(got).count() == 0)
   }
+
+  test("window with no groupFields requires an explicit global opt-in " +
+      "(an accidental omission single-partitions the whole input)") {
+    def cfg(extra: String) = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: /root/testdata/sf0.001/events.parquet}
+      |transforms:
+      |  - name: w
+      |    module: window
+      |    inputs: [ev]
+      |    parameters:$extra
+      |      orderField: ts
+      |      fields:
+      |        - {name: rn, func: row_number}
+      |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      Pipeline.build(spark, cfg(""))("w").collect())
+    assert(e.getMessage.contains("no groupFields") &&
+      e.getMessage.contains("global: true"), e.getMessage)
+    // the opted-in global window still works and is a true global rank
+    val ok = Pipeline.build(spark, cfg("\n      global: true"))("w")
+    val n = ok.count()
+    assert(ok.agg(max($"rn".cast("long"))).head.getLong(0) == n)
+  }
 }

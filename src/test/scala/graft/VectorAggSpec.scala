@@ -36,8 +36,8 @@ class VectorAggSpec extends AnyFunSuite {
     assert(m("b") == (Seq(5.0, 6.0), Seq(5.0, 6.0)))
   }
 
-  test("null rows are skipped; null elements add 0 but the row still " +
-      "counts toward the mean denominator") {
+  test("null rows are skipped; null elements are excluded from that " +
+      "position's mean denominator (SQL avg semantics per position)") {
     val df = Seq(
       ("a", Seq[java.lang.Double](2.0, null)),
       ("a", Seq[java.lang.Double](4.0, 6.0)),
@@ -47,8 +47,21 @@ class VectorAggSpec extends AnyFunSuite {
       .select("k", "s", "m")
       .as[(String, Seq[Double], Seq[Double])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    // 2 non-null rows: sum = [6, 6], mean = [3, 3]
-    assert(m("a") == (Seq(6.0, 6.0), Seq(3.0, 3.0)))
+    // sum treats null as contributing nothing: [6, 6]; avg divides
+    // per position by the non-null count: [6/2, 6/1] = [3, 6]
+    assert(m("a") == (Seq(6.0, 6.0), Seq(3.0, 6.0)))
+    // a position with NO non-null contribution is a null ELEMENT of
+    // the mean (DuckDB: avg of all-null = NULL)
+    val oneNullPos = Seq(
+      ("y", Seq[java.lang.Double](1.0, null)),
+      ("y", Seq[java.lang.Double](3.0, null)))
+      .toDF("k", "v")
+    val ry = agg(pool, oneNullPos)
+      .select("s", "m")
+      .as[(Seq[java.lang.Double], Seq[java.lang.Double])]
+      .collect().head
+    assert(ry._1 == Seq[java.lang.Double](4.0, 0.0))
+    assert(ry._2 == Seq[java.lang.Double](2.0, null))
     // an all-null group yields null vectors, not a crash
     val allNull = Seq(("z", null: Seq[java.lang.Double]))
       .toDF("k", "v")
