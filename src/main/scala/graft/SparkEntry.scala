@@ -2781,6 +2781,68 @@ transforms:
     parameters: {method: winnow, action: index, field: text, idField: doc_id, ngramSize: 4, window: 8, hashAlgo: md5}
 """),
 
+    // profile with PERCENTILES: p50/p95 per numeric column from a
+    // KLL sketch per column in the same single aggregation pass
+    // (fixed-size mergeable state — the scale path for quantile
+    // profiling); the frame is bounded ≤ kllK rows so every quantile
+    // is EXACT and the oracle pins the ⌈q·n⌉-th order statistic
+    // (KLL's inclusive-search convention, same replay as q114).
+    // Non-numeric columns carry null percentiles.
+    "q135_profile_percentiles" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: sub
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT * FROM ord WHERE o_orderkey % 100 = 0"
+  - name: pf
+    module: profile
+    inputs: [sub]
+    parameters:
+      fields: [o_totalprice, o_custkey, o_orderstatus]
+      percentiles: [0.5, 0.95]
+  - name: out
+    module: sql
+    inputs: [pf]
+    parameters:
+      sql: "SELECT column AS col_name, n, nulls, round(p50, 4) AS p50_r, round(p95, 4) AS p95_r FROM pf"
+"""),
+
+    // BM25 RETRIEVAL over a query set — the read the q117 scorer
+    // exists for: a small query table (first 6 tokens of every
+    // 211th doc, reconstructed as text) ranks the whole corpus per
+    // query — each distinct query term contributes its (doc, term)
+    // BM25 score once, summed per (query, doc), top-5 docs per query
+    // by (score desc, doc asc). The query table broadcasts into the
+    // term join; the ranking is the bounded top-k aggregate, not a
+    // window over all candidates. The oracle replays the q117
+    // formula, the query join, and the ranking.
+    "q136_bm25_retrieval" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: qs
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id + 1000000 AS query_id, array_join(slice(filter(split(lower(text), ' '), x -> x != ''), 1, 6), ' ') AS text FROM docs WHERE doc_id % 211 = 0"
+  - name: ret
+    module: tfidf
+    inputs: [docs, qs]
+    parameters: {idField: doc_id, field: text, scheme: bm25, queriesInput: qs, topK: 5}
+  - name: out
+    module: sql
+    inputs: [ret]
+    parameters:
+      sql: "SELECT query_id, doc_id, round(score, 4) AS score_r, rank FROM ret"
+"""),
+
     // incremental cross-corpus winnow: build the reference slice's
     // fingerprint index in one transform, dedup the new slice AGAINST
     // THE INDEX (referenceIsIndex — no reference re-fingerprinting),
@@ -6719,6 +6781,53 @@ transforms:
          FROM tf JOIN dfr USING (term) JOIN dls USING (doc_id),
            nn, ad""",
 
+    // BM25 retrieval ≡ the q117 per-(doc, term) scores, joined to
+    // the distinct query terms, summed per (query, doc), ranked
+    // top-5 per query by (score desc, doc asc)
+    "q136_bm25_retrieval" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         q AS (
+           SELECT doc_id + 1000000 AS query_id,
+             (list_filter(string_split(lower(text), ' '),
+               x -> x <> ''))[1:6] AS qtk
+           FROM documents WHERE doc_id % 211 = 0),
+         qt AS (
+           SELECT DISTINCT query_id, unnest(qtk) AS term FROM q),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM d),
+         t AS (
+           SELECT doc_id,
+             unnest(list_filter(list_transform(
+               string_split_regex(text, '\s+'), x -> lower(x)),
+               x -> x <> '')) AS term
+           FROM d),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         dls AS (
+           SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf
+           GROUP BY 1),
+         ad AS (SELECT avg(dl) AS avgdl FROM dls),
+         sc AS (
+           SELECT tf.doc_id, tf.term,
+             ln(1.0 + (nv - CAST(dfr.df AS DOUBLE) + 0.5)
+               / (CAST(dfr.df AS DOUBLE) + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * 2.2)
+             / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * dls.dl / ad.avgdl)) AS score
+           FROM tf JOIN dfr USING (term) JOIN dls USING (doc_id),
+             nn, ad),
+         agg AS (
+           SELECT qt.query_id, sc.doc_id, sum(sc.score) AS score
+           FROM sc JOIN qt USING (term) GROUP BY 1, 2),
+         rk AS (
+           SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS rank
+           FROM agg)
+         SELECT query_id, doc_id, round(score, 4) AS score_r,
+           CAST(rank AS INT) AS rank
+         FROM rk WHERE rank <= 5""",
+
     // approx profile on bounded domains ≡ the exact per-column stats
     "q118_profile_approx" -> {
       def one(c: String): String =
@@ -6729,6 +6838,32 @@ transforms:
            CAST(max($c) AS VARCHAR) AS max_s
          FROM orders"""
       Seq(one("o_orderstatus"), one("o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    // profile percentiles ≡ the ⌈q·n⌉-th order statistic per numeric
+    // column (KLL inclusive-search convention, exact at n ≤ kllK —
+    // the q114 replay), nulls for the non-numeric column
+    "q135_profile_percentiles" -> {
+      def one(c: String, numeric: Boolean): String =
+        if (numeric)
+          s"""SELECT '$c' AS col_name, cnt AS n,
+             CAST(cnt - nn AS BIGINT) AS nulls,
+             round(arr[CAST(ceil(0.5 * nn) AS INT)], 4) AS p50_r,
+             round(arr[CAST(ceil(0.95 * nn) AS INT)], 4) AS p95_r
+           FROM (
+             SELECT count(*) AS cnt, count($c) AS nn,
+               list_sort(list(CAST($c AS DOUBLE))) AS arr
+             FROM orders WHERE o_orderkey % 100 = 0) t"""
+        else
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+             CAST(count(*) - count($c) AS BIGINT) AS nulls,
+             CAST(NULL AS DOUBLE) AS p50_r,
+             CAST(NULL AS DOUBLE) AS p95_r
+           FROM orders WHERE o_orderkey % 100 = 0"""
+      Seq(one("o_totalprice", numeric = true),
+        one("o_custkey", numeric = true),
+        one("o_orderstatus", numeric = false))
         .mkString("\nUNION ALL\n")
     },
 

@@ -104,17 +104,74 @@ object TfIdfTransform {
     val named = scored
       .select(col(idField), col("__term").as("term"),
         col("tf"), col("df"), col("score"))
-    val out = p.int("topK") match {
-      case None => named
-      case Some(k) =>
+    // `queriesInput`: the RETRIEVAL read — a second input of
+    // (query_id, query text) ranks corpus documents per query: each
+    // distinct query term contributes its (doc, term) score once,
+    // summed per (query, doc), top-`topK` docs per query by
+    // (score desc, doc asc). Scale shape: the query table is
+    // contract-small and broadcasts into the term join (the corpus
+    // (doc, term) frame never reshuffles for it); the per-(query,
+    // doc) sum partial-combines map-side; the final ranking is the
+    // bounded top-k aggregate (≤ k rows per partition per query
+    // cross the wire), not a window over all candidates.
+    val result = p.str("queriesInput") match {
+      case Some(qname) =>
+        require(cfg.inputs.contains(qname),
+          s"tfidf ${cfg.name}: queriesInput $qname must be listed " +
+            s"in inputs (${cfg.inputs.mkString(", ")})")
+        val qdf = inputs(qname)
+        val qid = p.str("queryIdField").getOrElse("query_id")
+        val qfield = p.str("queryField").getOrElse(field)
+        require(qdf.columns.contains(qid) &&
+          qdf.columns.contains(qfield),
+          s"tfidf ${cfg.name}: queries input needs $qid and " +
+            s"$qfield columns (got ${qdf.columns.mkString(", ")})")
+        require(qid != idField,
+          s"tfidf ${cfg.name}: queryIdField must differ from " +
+            s"idField ($idField) — both appear in the output")
+        val qToks = filter(transform(
+          split(col(qfield).cast(StringType), "\\s+"),
+          t => lower(t)), t => t =!= "")
+        val qTerms = qdf
+          .select(col(qid).as("__qid"), explode(qToks).as("term"))
+          .distinct()
+        val perDoc = named
+          .join(broadcast(qTerms), Seq("term"))
+          .groupBy(col("__qid"), col(idField))
+          .agg(sum(col("score")).as("score"))
+        val k = p.int("topK").getOrElse(10)
         require(k > 0, s"tfidf ${cfg.name}: topK must be positive")
-        import org.apache.spark.sql.expressions.Window
-        named
-          .withColumn("rank", row_number().over(Window
-            .partitionBy(col(idField))
-            .orderBy(col("score").desc, col("term").asc)))
-          .filter(col("rank") <= k)
+        val idType = df.schema(idField).dataType
+        val integralId = idType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        val topAgg =
+          if (integralId) graft.functions.TopKFunctions.topKLong(k,
+            col("score"), col(idField).cast(LongType))
+          else graft.functions.TopKFunctions.topKString(k,
+            col("score"), col(idField).cast(StringType))
+        perDoc
+          .groupBy(col("__qid"))
+          .agg(topAgg.as("__top"))
+          .select(col("__qid"), posexplode(col("__top")))
+          .select(col("__qid").as(qid),
+            col("col._2").cast(idType).as(idField),
+            col("col._1").as("score"),
+            (col("pos") + 1).cast(IntegerType).as("rank"))
+      case None =>
+        p.int("topK") match {
+          case None => named
+          case Some(k) =>
+            require(k > 0, s"tfidf ${cfg.name}: topK must be positive")
+            import org.apache.spark.sql.expressions.Window
+            named
+              .withColumn("rank", row_number().over(Window
+                .partitionBy(col(idField))
+                .orderBy(col("score").desc, col("term").asc)))
+              .filter(col("rank") <= k)
+        }
     }
-    TransformCommon.finishRouted(out, cfg)
+    TransformCommon.finishRouted(result, cfg)
   }
 }

@@ -65,4 +65,26 @@ class ProfileSpec extends AnyFunSuite {
       profile("""{"fields": ["value"]}""", s))
     assert(e3.getMessage.contains("batch"))
   }
+
+  test("percentiles: exact KLL quantiles per numeric column in the " +
+      "same pass, nulls for non-numerics, fraction-named columns") {
+    // 1..100 → p50 = the ⌈0.5·100⌉ = 50th order statistic, p95 = 95,
+    // p99.9 = ⌈99.9⌉ = 100 (KLL inclusive-search convention)
+    val nums = (1 to 100).map(i => (i.toLong, i.toDouble, "c"))
+      .toDF("id", "v", "s")
+    val out = profile(
+      """{"percentiles": [0.5, 0.95, 0.999]}""", nums)
+    assert(out.columns.takeRight(3).toSeq ==
+      Seq("p50", "p95", "p99_9"))
+    val m = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("v").getDouble(8) == 50.0 &&
+      m("v").getDouble(9) == 95.0 && m("v").getDouble(10) == 100.0)
+    assert(m("id").getDouble(8) == 50.0)
+    assert(m("s").isNullAt(8) && m("s").isNullAt(10),
+      "non-numeric columns have no quantiles")
+    // out-of-range fractions fail actionably
+    val e = intercept[IllegalArgumentException](
+      profile("""{"percentiles": [1.5]}""", nums))
+    assert(e.getMessage.contains("out of (0, 1)"))
+  }
 }

@@ -79,4 +79,35 @@ class TfIdfSpec extends AnyFunSuite {
       Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text")))
     assert(e3.getMessage.contains("tokenized"))
   }
+
+  test("queriesInput ranks docs per query: distinct query terms " +
+      "count once, sum over terms, top-k by (score desc, doc asc)") {
+    val corpus = Seq((1L, "a a b"), (2L, "a c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "a a c"), (11L, "zzz"))
+      .toDF("query_id", "text")
+    val out = Pipeline.transforms("tfidf")(spark,
+      Pipeline.ModuleCfg("ti", "tfidf", Seq("in", "q"), Nil,
+        graft.config.Json.parse(
+          """{"idField": "doc_id", "field": "text",
+             "queriesInput": "q", "topK": 2}"""),
+        graft.config.Json.obj()),
+      Map("in" -> corpus, "q" -> queries))("ti")
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    // query 11 matches nothing → absent entirely
+    assert(!byQ.contains(11L))
+    // query 10 terms {a, c} (the repeated 'a' counts ONCE): doc 2
+    // matches both terms, docs 1 matches only 'a'; doc 3 matches
+    // nothing → exactly 2 result rows, doc 2 ranked first
+    val q10 = byQ(10L).sortBy(_._4)
+    assert(q10.map(t => (t._2, t._4)).toSeq == Seq((2L, 1), (1L, 2)))
+    // score is the SUM of the matched per-(doc, term) scores
+    val m = rows(ti("""{"idField": "doc_id", "field": "text"}""",
+      corpus))
+    assert(math.abs(q10.head._3 -
+      (m((2L, "a"))._3 + m((2L, "c"))._3)) < 1e-12)
+    assert(math.abs(q10(1)._3 - m((1L, "a"))._3) < 1e-12)
+  }
 }
