@@ -2891,6 +2891,70 @@ transforms:
         - {name: dup_of, field: __dup_of, type: int64}
 """),
 
+    // the INCREMENTAL-ONBOARDING contract the persistable index
+    // exists for: index(shard A) ∪ index(shard B) ≡ index(A ∪ B).
+    // Winnow fingerprints are per-document (each doc's window walks
+    // its own grams), so a union of shard indexes IS the union
+    // corpus's index — this gate builds the q134 reference index as
+    // TWO shard indexes, unions them, cross-dedups against the
+    // union, and must land on the exact q134 result (the oracle IS
+    // the q129/q134 oracle). At 100 TB this is "append today's
+    // crawl's index rows" instead of re-fingerprinting the corpus.
+    "q137_winnow_index_union" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet", fields: [doc_id, text]}
+transforms:
+  - name: newdocs
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: doc_id, op: ">=", value: 100}]
+  - name: refA
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: doc_id, op: "<", value: 50}]
+  - name: refB
+    module: filter
+    inputs: [docs]
+    parameters:
+      filter: [{key: doc_id, op: ">=", value: 50}, {key: doc_id, op: "<", value: 100}]
+  - name: idxA
+    module: dedup
+    inputs: [refA]
+    parameters: {method: winnow, action: index, field: text, idField: doc_id, ngramSize: 4, window: 8, hashAlgo: md5}
+  - name: idxB
+    module: dedup
+    inputs: [refB]
+    parameters: {method: winnow, action: index, field: text, idField: doc_id, ngramSize: 4, window: 8, hashAlgo: md5}
+  - name: idx
+    module: union
+    inputs: [idxA, idxB]
+  - name: dd
+    module: dedup
+    inputs: [newdocs, idx]
+    parameters:
+      method: winnow
+      referenceInput: idx
+      referenceIsIndex: true
+      referenceIdField: doc_id
+      field: text
+      idField: doc_id
+      ngramSize: 4
+      window: 8
+      threshold: 0.5
+      hashAlgo: md5
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
     // the coefficient's intended use, composed end-to-end: mutual
     // top-4 kNN pairs (the q126 recipe at k=4 for triangle density)
     // become the candidate graph, and clusteringCoefficient separates
@@ -3336,6 +3400,38 @@ transforms:
     module: graph
     inputs: [ed]
     parameters: {method: pagerank, srcField: src, dstField: dst, damping: 0.85, maxIterations: 10}
+"""),
+
+    // pagerank with DANGLING-MASS redistribution (handleDangling:
+    // true): the q109 chain graph's tails park 10% of the mass each
+    // round; redistributing it uniformly is the textbook semantic
+    // (ranks sum to 1 — the oracle's recurrence conserves exactly
+    // 1.0). The oracle replays the 10-round recurrence over the 10
+    // chain positions via a recursive CTE: r'_j = b + d·(r_{j−1} +
+    // r_9/10), where r_9/10 is the per-vertex dangling share (all
+    // chains are identical). round-12 absorbs the one ulp-scale
+    // divergence: the engine SUMS the actual dangling ranks
+    // distributed while the oracle uses the closed form.
+    "q138_pagerank_dangling" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: ed
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT CAST(o_orderkey AS BIGINT) AS src, CAST(o_orderkey + 1 AS BIGINT) AS dst FROM ord WHERE o_orderkey % 10 <> 9"
+  - name: pr
+    module: graph
+    inputs: [ed]
+    parameters: {method: pagerank, srcField: src, dstField: dst, damping: 0.85, maxIterations: 10, handleDangling: true}
+  - name: out
+    module: sql
+    inputs: [pr]
+    parameters:
+      sql: "SELECT vertex, round(rank, 12) AS rank_r FROM pr"
 """),
 
     // PII scrub: inject synthetic emails/IPs/phones, then detect and
@@ -6173,6 +6269,31 @@ transforms:
     // → order-deterministic double ops on both sides)
     "q109_pagerank" -> pagerankOracleSql,
 
+    // dangling-mass pagerank ≡ the 10-round recurrence over chain
+    // positions with the uniform dangling share (see the gate note)
+    "q138_pagerank_dangling" ->
+      """WITH RECURSIVE nn AS (
+           SELECT CAST(count(*) AS DOUBLE) AS nv FROM orders),
+         it AS (
+           SELECT 0 AS rnd, pos, CAST(1.0 AS DOUBLE) / nv AS r
+           FROM range(0, 10) t(pos), nn
+           UNION ALL
+           SELECT rnd + 1, pos,
+             (1.0 - CAST(0.85 AS DOUBLE)) / nv
+               + CAST(0.85 AS DOUBLE) *
+                 (COALESCE(prev, CAST(0 AS DOUBLE))
+                   + last9 / CAST(10.0 AS DOUBLE))
+           FROM (
+             SELECT rnd, pos, r,
+               lag(r) OVER (ORDER BY pos) AS prev,
+               max(CASE WHEN pos = 9 THEN r END) OVER () AS last9
+             FROM it) s, nn
+           WHERE rnd < 10)
+         SELECT CAST(o_orderkey AS BIGINT) AS vertex,
+           round(r, 12) AS rank_r
+         FROM orders JOIN it
+           ON it.rnd = 10 AND it.pos = o_orderkey % 10""",
+
     // cdc chunking ≡ window fingerprints, boundary filter under the
     // 1/2^5 hex threshold (08000000), start/end slicing
     "q116_chunk_cdc" ->
@@ -6557,6 +6678,8 @@ transforms:
     // the index-fed run must land on the exact raw-text result: the
     // q129 oracle applies verbatim
     "q134_winnow_index_cross" -> winnowCrossOracleSql,
+    // sharded-index union ≡ the same full-rebuild cross result
+    "q137_winnow_index_union" -> winnowCrossOracleSql,
 
 
     // triangle replay: rebuild the chord graph, enumerate each

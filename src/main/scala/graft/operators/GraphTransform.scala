@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Pipeline.ModuleCfg
 import graft.config.Json._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,9 +53,12 @@ import org.apache.spark.sql.types._
   * (default `rank`) after `maxIterations` (default 10) rounds of
   * pr' = (1−d)/N + d·Σ pr(in-neighbor)/outDeg(in-neighbor), damping
   * `d` (default 0.85). Dangling vertices (no out-edges) lose their
-  * mass — the simple variant; ranks then need not sum to 1, which is
-  * fine for the pipeline uses (authority ordering of link/citation
-  * graphs, hub scoring of candidate-pair graphs). Edges are treated
+  * mass by default — the simple variant; ranks then need not sum
+  * to 1, which is fine for the pipeline uses (authority ordering of
+  * link/citation graphs, hub scoring of candidate-pair graphs).
+  * `handleDangling: true` redistributes the parked mass uniformly
+  * each round (the textbook semantic; ranks sum to 1), at the cost
+  * of one vertex-sized sum per round. Edges are treated
   * as a MULTIGRAPH: a duplicated edge contributes (and counts toward
   * the out-degree) once per occurrence — distinct() the edge frame
   * upstream for simple-graph semantics (unlike `degrees`, which
@@ -221,6 +224,18 @@ object GraphTransform {
       val outDeg = e.groupBy(col("__s"))
         .agg(count(lit(1)).cast(DoubleType).as("__deg"))
       val eDeg = e.join(outDeg, Seq("__s")).localCheckpoint()
+      // `handleDangling: true` — the textbook semantic: mass parked
+      // on vertices with no out-edges redistributes uniformly each
+      // round (pr' = (1−d)/N + d·(Σ contribs + danglingMass/N)), so
+      // ranks keep summing to 1. Costs one vertex-sized sum per
+      // round (the rank frame is already checkpointed); the dangling
+      // vertex set is loop-invariant and computed once.
+      val handleDangling = p.bool("handleDangling").getOrElse(false)
+      val dangling =
+        if (handleDangling)
+          vertices.join(outDeg.select(col("__s").as(vOut)),
+            Seq(vOut), "left_anti").localCheckpoint()
+        else null
       var pr = vertices.withColumn(rOut, lit(1.0 / n))
       for (_ <- 1 to iters) {
         val contribs = eDeg
@@ -229,13 +244,20 @@ object GraphTransform {
             (col(rOut) / col("__deg")).as("__c"))
           .groupBy(col(vOut))
           .agg(sum(col("__c")).as("__c"))
+        val gain: Column =
+          if (handleDangling) {
+            val row = pr.join(dangling, Seq(vOut), "left_semi")
+              .agg(sum(col(rOut))).head()
+            val dmOverN =
+              (if (row.isNullAt(0)) 0.0 else row.getDouble(0)) / n
+            coalesce(col("__c"), lit(0.0)) + lit(dmOverN)
+          } else coalesce(col("__c"), lit(0.0))
         // per-round lineage truncation, as in componentMin: the
         // iterated self-join's plan must stay O(1) per round
         pr = vertices
           .join(contribs, Seq(vOut), "left")
           .select(col(vOut),
-            (lit(base) + lit(d) * coalesce(col("__c"), lit(0.0)))
-              .as(rOut))
+            (lit(base) + lit(d) * gain).as(rOut))
           .localCheckpoint()
       }
       return TransformCommon.finishRouted(pr, cfg)

@@ -117,6 +117,28 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("damping"))
   }
 
+  test("pagerank handleDangling redistributes parked mass: ranks " +
+      "sum to 1 and dominance ordering is preserved") {
+    // star: hub 1 is dangling; without redistribution total mass
+    // decays below 1, with it the per-round hub mass flows back
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    val m = cc(
+      """{"method": "pagerank", "damping": 0.85,
+         "maxIterations": 20, "handleDangling": true}""", star)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(m.values.sum - 1.0) < 1e-9,
+      s"mass must be conserved: ${m.values.sum}")
+    assert(m(1L) > m(2L) && m(2L) == m(5L), m)
+    // the simple variant on the same graph loses mass
+    val simple = cc(
+      """{"method": "pagerank", "damping": 0.85,
+         "maxIterations": 20}""", star)
+      .as[(Long, Double)].collect().toMap
+    assert(simple.values.sum < 0.9, s"simple variant keeps leaking: " +
+      s"${simple.values.sum}")
+  }
+
   test("custom field names and null edges dropped") {
     val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)),
       (Some(3L), None)).toDF("l", "r")

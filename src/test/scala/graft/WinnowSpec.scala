@@ -196,6 +196,41 @@ class WinnowSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fingerprint"))
   }
 
+  test("union of shard indexes ≡ index of the union corpus " +
+      "(incremental onboarding never re-fingerprints)") {
+    val shared = (0 until 11).map(i => s"run$i").mkString(" ")
+    val shardA = Seq((1L, shared + " " + toks("r", 3))).toDF("id", "text")
+    val shardB = Seq((2L, shared), (3L, toks("s", 30))).toDF("id", "text")
+    def index(df: org.apache.spark.sql.DataFrame) =
+      DedupTransform.build(spark,
+        ModuleCfg("ix", "dedup", Seq("r"), Nil,
+          graft.config.Json.parse(
+            """{"method":"winnow","action":"index","field":"text",
+               "idField":"id","ngramSize":4,"window":8}"""),
+          graft.config.Json.obj()),
+        Map("r" -> df))("ix")
+    val unioned = index(shardA).union(index(shardB))
+    val full = index(shardA.union(shardB))
+    assert(unioned.except(full).count() == 0 &&
+      full.except(unioned).count() == 0,
+      "sharded index rows must equal the full-rebuild index rows")
+    // and the union FEEDS the cross path to the same dup map
+    val primary = Seq(
+      (100L, toks("p", 5) + " " + shared),
+      (101L, toks("q", 40))).toDF("id", "text")
+    def cross(refIn: org.apache.spark.sql.DataFrame) =
+      dupMap(DedupTransform.build(spark,
+        ModuleCfg("dd", "dedup", Seq("p", "ref"), Nil,
+          graft.config.Json.parse(
+            """{"method":"winnow","referenceInput":"ref",
+               "field":"text","idField":"id","ngramSize":4,
+               "window":8,"threshold":0.3,
+               "referenceIsIndex":true,"referenceIdField":"id"}"""),
+          graft.config.Json.obj()),
+        Map("p" -> primary, "ref" -> refIn))("dd"))
+    assert(cross(unioned) == cross(full))
+  }
+
   test("unrelated docs stay canonical") {
     val df = Seq((1L, toks("a", 40)), (2L, toks("b", 40)),
       (3L, toks("c", 3))).toDF("id", "text")
