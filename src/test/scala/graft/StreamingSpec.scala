@@ -917,6 +917,151 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  /** afterEach with LATE data (sanctioned §7.4 reduction): the
+    * engine stays in the FIRST child — which is also what Beam does
+    * while child 1 is unfinished (AfterEach only advances when the
+    * current child finishes, and a repeating afterWatermark child
+    * never does) — so the first child's lateFiringTrigger owns the
+    * post-frontier refinement and the pinned sequence gains exactly
+    * one LATE pane, then the closing ON_TIME pane folds the late row
+    * in (accumulating final). Deterministic because the frontier /
+    * fired-window trigger state persists across batches. */
+  test("afterEach late pane sequence: first child's late firing owns " +
+      "post-frontier refinements; count child still never gates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-eachlate")
+      .toString
+    // frontier after b1 = 18:00 (event at 13:00 in [12,18h)); the
+    // watermark 13:00 - 8h = 05:00 keeps [0,6h) open for late rows
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 46800L, 1.0)))
+    StreamRunner.paneStore.remove("eachlatepanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 8}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: eachlatepanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterEach
+      |        childrenTriggers:
+      |          - type: afterWatermark
+      |            earlyFiringTrigger:
+      |              {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |            lateFiringTrigger:
+      |              {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |          - {type: afterPane, elementCountAtLeast: 100}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("eachlatepanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    // batch 1: early panes for both windows at n=1 (the count-100
+    // second child is never consulted)
+    assert(panes("early").map(winStart).toSet == Set(0L, 43200L))
+    assert(panes("early").forall(_.getAs[Long]("n") == 1L))
+    assert(panes("late").isEmpty && panes("onTime").isEmpty)
+    // batch 2: a 02:00 straggler refines [0,6h) AFTER the frontier
+    // passed it → exactly one LATE pane from the first child's late
+    // firing, never a second early pane for that window
+    stageParquet(dir, "b2", Seq((3L, 7200L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("late").map(r => (winStart(r),
+      r.getAs[Long]("n"))) == List((0L, 2L)))
+    assert(!panes("early").exists(r => winStart(r) == 0L &&
+      r.getAs[Long]("n") == 2L))
+    // batch 3 at 15:00 pushes the watermark to 07:00: [0,6h) closes
+    // with the late row folded in (accumulating final ON_TIME pane)
+    stageParquet(dir, "b3", Seq((4L, 54000L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("onTime").map(r => (winStart(r),
+      r.getAs[Long]("n"))) == List((0L, 2L)))
+    StreamRunner.stopAll()
+  }
+
+  /** orFinally (`finalTrigger`) with LATE data: the reference
+    * validates the final child as a once-trigger and the engine then
+    * drops it (§7.4 — Structured Streaming ends queries via query
+    * management, not trigger state), so the pinned pane sequence
+    * with a finalTrigger present is EXACTLY the sequence without it,
+    * late panes included. Beam itself would additionally stop
+    * delivering panes once the final child fires; the engine's
+    * documented divergence is that it never self-terminates. */
+  test("orFinally late pane sequence: finalTrigger validates, then " +
+      "the base trigger's sequence — late pane included — is pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-finlate")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 46800L, 1.0)))
+    StreamRunner.paneStore.remove("finlatepanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 8}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: finlatepanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |        lateFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |        finalTrigger:
+      |          {type: afterPane, elementCountAtLeast: 1}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("finlatepanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    assert(panes("early").map(winStart).toSet == Set(0L, 43200L))
+    stageParquet(dir, "b2", Seq((3L, 7200L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("late").map(r => (winStart(r),
+      r.getAs[Long]("n"))) == List((0L, 2L)))
+    stageParquet(dir, "b3", Seq((4L, 54000L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("onTime").map(r => (winStart(r),
+      r.getAs[Long]("n"))) == List((0L, 2L)))
+    StreamRunner.stopAll()
+  }
+
   /** Beam `AfterFirst(t1, t2)` fires when EITHER child would; the
     * engine's documented reduction keeps the child with the shortest
     * processing-time delay, else the FIRST child on ties. Both
