@@ -2755,6 +2755,177 @@ transforms:
         - {name: rank, type: int32}
 """),
 
+    // ANN self-join over the QUANTIZED int8 index: every vector is a
+    // query AND both of its roles use the same dequantized
+    // reconstruction (bucketing the query side on raw floats would
+    // make candidate generation asymmetric on lossy embeddings — the
+    // r13 advice finding this gate pins). Same md5-audit IVF chain
+    // as q125; the oracle first replays round(v/scale)·scale per
+    // embedding (the q105 formula), then assigns cells and ranks
+    // on the reconstructed coordinates.
+    "q139_knn_selfjoin_quantized" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: knn
+    module: similarity
+    inputs: [emb]
+    parameters: {method: ivf, selfJoin: true, quantized: true, field: embedding, idField: vec_id, k: 3, centroids: 32, nProbe: 2, hashAlgo: md5}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
+    // cross-corpus winnow with a HOT PRIMARY bucket (maxBucket: 2):
+    // 5 primary copies of a crafted doc A whose fingerprint set is a
+    // strict SUBSET of a longer, LOWER-id reference doc A+Z (prefix
+    // winnowing guarantees the containment: every window fully inside
+    // the A region selects the same minima), so the bucket's min
+    // reference id is never the true match. The per-side over-cap
+    // split must pair the hot primary against the FULL (<= cap)
+    // reference member list — a min-rep-only fallback would pair the
+    // copies only with A+Z, fail the 0.5 verify (|F(A)|/|F(A+Z)| ≈
+    // 0.24), and silently drop the exact duplicate (measured: the
+    // pre-fix semantics return no match for all five copies)
+    "q140_winnow_cross_hotbucket" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet", fields: [doc_id, text]}
+transforms:
+  - name: refdocs
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "WITH a AS (SELECT array_join(transform(sequence(0, 29), i -> concat('a', i)), ' ') AS a, array_join(transform(sequence(0, 79), i -> concat('z', i)), ' ') AS z) SELECT doc_id, text FROM docs WHERE doc_id < 50 UNION ALL SELECT CAST(60001 AS BIGINT) AS doc_id, concat(a, ' ', z) AS text FROM a UNION ALL SELECT CAST(60002 AS BIGINT) AS doc_id, a AS text FROM a"
+  - name: newdocs
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "WITH a AS (SELECT array_join(transform(sequence(0, 29), i -> concat('a', i)), ' ') AS a) SELECT doc_id, text FROM docs WHERE doc_id >= 100 AND doc_id < 300 UNION ALL SELECT CAST(70000 + i AS BIGINT) AS doc_id, a AS text FROM a LATERAL VIEW explode(sequence(1, 5)) t AS i"
+  - name: dd
+    module: dedup
+    inputs: [newdocs, refdocs]
+    parameters:
+      method: winnow
+      referenceInput: refdocs
+      field: text
+      idField: doc_id
+      ngramSize: 4
+      window: 8
+      threshold: 0.5
+      maxBucket: 2
+      hashAlgo: md5
+  - name: out
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+"""),
+
+    // theta sketches built from DIFFERENTLY-TYPED columns of the
+    // same logical values must intersect: the O side sketches the
+    // int64 custkey, the F side sketches CAST(custkey AS DOUBLE) —
+    // the numeric normalization (fractional exact integers render as
+    // longs) makes the string identities agree, so the cross-type
+    // intersection pins the true distinct-set overlap instead of
+    // silently reporting ~0 (the r13 advice finding)
+    "q141_theta_crosstype" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: oint
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT o_custkey FROM ord WHERE o_orderstatus = 'O'"
+  - name: fdbl
+    module: sql
+    inputs: [ord]
+    parameters:
+      sql: "SELECT CAST(o_custkey AS DOUBLE) AS ck_d FROM ord WHERE o_orderstatus = 'F'"
+  - name: ska
+    module: aggregation
+    inputs: [oint]
+    parameters:
+      aggregations:
+        - input: oint
+          fields:
+            - {name: ska, op: theta_sketch, field: o_custkey, lgK: 15}
+  - name: skb
+    module: aggregation
+    inputs: [fdbl]
+    parameters:
+      aggregations:
+        - input: fdbl
+          fields:
+            - {name: skb, op: theta_sketch, field: ck_d, lgK: 15}
+  - name: pair
+    module: sql
+    inputs: [ska, skb]
+    parameters:
+      sql: "SELECT a.ska, b.skb FROM ska a CROSS JOIN skb b"
+  - name: est
+    module: select
+    inputs: [pair]
+    parameters:
+      select:
+        - {name: n_o, func: theta_estimate, field: ska}
+        - {name: n_f, func: theta_estimate, field: skb}
+        - {name: inter, func: theta_intersect, fields: [ska, skb]}
+  - name: out
+    module: sql
+    inputs: [est]
+    parameters:
+      sql: "SELECT CAST(round(n_o) AS BIGINT) AS n_o, CAST(round(n_f) AS BIGINT) AS n_f, CAST(round(inter) AS BIGINT) AS inter FROM est"
+"""),
+
+    // vector pooling with NULL ELEMENTS: positions mask to null on a
+    // deterministic (vec_id + index) stride, so the per-position
+    // mean must exclude the null from THAT position's denominator
+    // (SQL aggregate semantics — the r13 advice finding) while the
+    // sum treats it as adding nothing; rendered with the q121
+    // fixed-4-decimal string formula
+    "q142_vector_pool_nulls" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: px
+    module: sql
+    inputs: [emb]
+    parameters:
+      sql: "SELECT label, transform(embedding, (x, i) -> CASE WHEN (vec_id + i) % 7 = 0 THEN CAST(NULL AS FLOAT) ELSE x END) AS embedding FROM emb"
+  - name: ag
+    module: aggregation
+    inputs: [px]
+    parameters:
+      groupFields: [label]
+      aggregations:
+        - input: px
+          fields:
+            - {name: pooled_a, op: vector_avg, field: embedding}
+            - {name: pooled_s, op: vector_sum, field: embedding}
+            - {name: n, op: count}
+  - name: out
+    module: sql
+    inputs: [ag]
+    parameters:
+      sql: "SELECT label, array_join(transform(pooled_a, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS avg_r, array_join(transform(pooled_s, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS sum_r, n FROM ag"
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -4945,15 +5116,19 @@ transforms:
               FROM re GROUP BY fp) rs
            ON ps.fp = rs.fp),
          csmall AS (
+           -- engine's per-side over-cap split: a bounded (<= cap)
+           -- REFERENCE bucket pairs in full regardless of how hot
+           -- the primary side is; only a hot reference side falls
+           -- back to its min-id representative
            SELECT DISTINCT pe.doc_id AS a, re.rid AS b
            FROM meta m
            JOIN pe ON pe.fp = m.fp
            JOIN re ON re.fp = m.fp
-           WHERE m.pc <= 64 AND m.rc <= 64),
+           WHERE m.rc <= 64),
          cover AS (
            SELECT DISTINCT pe.doc_id AS a, m.rmin AS b
            FROM meta m JOIN pe ON pe.fp = m.fp
-           WHERE m.pc > 64 OR m.rc > 64),
+           WHERE m.rc > 64),
          cand AS (
            SELECT a, b FROM csmall UNION SELECT a, b FROM cover),
          inter AS (
@@ -6823,6 +6998,178 @@ transforms:
     // the q33 IVF replay with the query side = the full corpus
     // (every vector probes its nProbe nearest of the 32 md5-seeded
     // centroid cells; ranked cosine over same-cell pairs)
+    // quantized selfJoin ≡ the q125 IVF chain run on the
+    // round(v/scale)·scale reconstructions (q105's formula) for BOTH
+    // roles of every vector; centroid VECTORS stay raw (the codebook
+    // is index metadata, selected by md5(id) like q125)
+    "q139_knn_selfjoin_quantized" ->
+      """WITH e0 AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings WHERE embedding IS NOT NULL),
+         e AS (
+           SELECT vec_id, embedding,
+             CAST(list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) / scale) * scale
+                 AS FLOAT)) AS DOUBLE[]) AS dq
+           FROM e0),
+         seed AS (
+           SELECT vec_id, embedding FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 32),
+         cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             embedding AS cvec
+           FROM seed),
+         sims AS (
+           SELECT e.vec_id, cents.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.dq,
+                 CAST(cents.cvec AS DOUBLE[])) DESC, cents.cell) AS rn
+           FROM e CROSS JOIN cents),
+         c_assign AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
+         q_assign AS (SELECT vec_id, cell FROM sims WHERE rn <= 2),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(eq.dq, ec.dq) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN e eq ON eq.vec_id = p.query_id
+           JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 3""",
+
+    // the q129 replay over the crafted hot-primary fixture at cap 2:
+    // the per-side split (rc <= cap → full pairing; rc > cap →
+    // min-rep) is what the engine implements — a pc-based fallback
+    // would return no match for the five 70xxx copies
+    "q140_winnow_cross_hotbucket" ->
+      """WITH atxt AS (
+           SELECT array_to_string(['a' || i for i in range(0, 30)],
+               ' ') AS a,
+             array_to_string(['z' || i for i in range(0, 80)],
+               ' ') AS z),
+         refd AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 50
+           UNION ALL SELECT 60001, a || ' ' || z FROM atxt
+           UNION ALL SELECT 60002, a FROM atxt),
+         prim AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id >= 100 AND doc_id < 300
+           UNION ALL
+           SELECT 70000 + i, a FROM atxt,
+             (SELECT unnest(range(1, 6)) AS i)),
+         base AS (
+           SELECT doc_id, 'p' AS side,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM prim WHERE text IS NOT NULL
+           UNION ALL
+           SELECT doc_id, 'r' AS side,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM refd WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, side,
+             [substr(md5('0 ' || array_to_string(toks[i:i+3], ' ')),
+                1, 8)
+              for i in range(1, greatest(len(toks) - 3, 1) + 1)] AS gh
+           FROM base),
+         f AS (
+           SELECT doc_id, side,
+             list_distinct([list_min(gh[i:i+7])
+               for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
+           FROM g),
+         pf AS (SELECT doc_id, fps FROM f WHERE side = 'p'),
+         rf AS (SELECT doc_id, fps FROM f WHERE side = 'r'),
+         pe AS (SELECT doc_id, unnest(fps) AS fp FROM pf),
+         re AS (SELECT doc_id AS rid, unnest(fps) AS fp FROM rf),
+         meta AS (
+           SELECT ps.fp, rs.rc, rs.rmin FROM
+             (SELECT DISTINCT fp FROM pe) ps
+           JOIN
+             (SELECT fp, count(*) AS rc, min(rid) AS rmin
+              FROM re GROUP BY fp) rs
+           ON ps.fp = rs.fp),
+         csmall AS (
+           SELECT DISTINCT pe.doc_id AS a, re.rid AS b
+           FROM meta m
+           JOIN pe ON pe.fp = m.fp
+           JOIN re ON re.fp = m.fp
+           WHERE m.rc <= 2),
+         cover AS (
+           SELECT DISTINCT pe.doc_id AS a, m.rmin AS b
+           FROM meta m JOIN pe ON pe.fp = m.fp
+           WHERE m.rc > 2),
+         cand AS (
+           SELECT a, b FROM csmall UNION SELECT a, b FROM cover),
+         inter AS (
+           SELECT c.a, c.b,
+             len(list_intersect(fa.fps, fb.fps)) AS i,
+             len(fa.fps) AS na, len(fb.fps) AS nb
+           FROM cand c
+           JOIN pf fa ON fa.doc_id = c.a
+           JOIN rf fb ON fb.doc_id = c.b),
+         ver AS (
+           SELECT a, min(b) AS dup_of
+           FROM inter
+           WHERE i::DOUBLE / (na + nb - i) >= 0.5
+           GROUP BY a)
+         SELECT p.doc_id, v.dup_of
+         FROM prim p LEFT JOIN ver v ON v.a = p.doc_id""",
+
+    // cross-type sketch algebra ≡ the true distinct counts: custkey
+    // as int64 on one side, as DOUBLE on the other — normalized
+    // string identities must agree
+    "q141_theta_crosstype" ->
+      """WITH o AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'O'),
+         f AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'F')
+         SELECT
+           CAST((SELECT count(*) FROM o) AS BIGINT) AS n_o,
+           CAST((SELECT count(*) FROM f) AS BIGINT) AS n_f,
+           CAST((SELECT count(*) FROM o JOIN f USING (o_custkey))
+             AS BIGINT) AS inter""",
+
+    // per-position null-skipping mean + null-adds-nothing sum over
+    // the deterministically masked embeddings (DuckDB's avg/sum
+    // already skip nulls per group; subscripts are 1-based here vs
+    // Spark's 0-based lambda index, hence pos - 1)
+    "q142_vector_pool_nulls" ->
+      """WITH e AS (
+           SELECT vec_id, label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+           FROM embeddings WHERE embedding IS NOT NULL),
+         m AS (
+           SELECT label, pos,
+             CASE WHEN (vec_id + pos - 1) % 7 = 0 THEN NULL
+               ELSE CAST(v AS DOUBLE) END AS v
+           FROM e),
+         a AS (
+           SELECT label, pos, avg(v) AS mu,
+             coalesce(sum(v), 0.0) AS s
+           FROM m GROUP BY 1, 2),
+         p AS (
+           SELECT label,
+             string_agg(printf('%.4f', round(mu, 4) + 0.0), ','
+               ORDER BY pos) AS avg_r,
+             string_agg(printf('%.4f', round(s, 4) + 0.0), ','
+               ORDER BY pos) AS sum_r
+           FROM a GROUP BY 1),
+         n AS (
+           SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+         SELECT n.label, p.avg_r, p.sum_r, n.n
+         FROM n LEFT JOIN p ON n.label IS NOT DISTINCT FROM p.label""",
+
     "q125_knn_selfjoin" ->
       """WITH e AS (
            SELECT vec_id, embedding FROM embeddings

@@ -155,6 +155,46 @@ object ScaleMain {
              "field":"doc_id","lgK":12}]}]}"""),
           Json.obj()), Map("d" -> docs))("th")
     }
+    // BM25 retrieval: the (doc, term) scoring frame grows with the
+    // corpus but the query set stays fixed-small — it broadcasts
+    // into the term join, the per-(query, doc) sum partial-combines,
+    // and the bounded top-k aggregate caps what reaches the final
+    // shuffle. Wall time must track the corpus tokenization, never
+    // queries × docs.
+    time("bm25-retrieve") {
+      val queries = docs0.filter(col("doc_id") % 211 === 0)
+        .select((col("doc_id") + 1000000).as("query_id"),
+          expr("array_join(slice(filter(split(lower(text), ' '), " +
+            "x -> x != ''), 1, 6), ' ')").as("text"))
+      graft.operators.TfIdfTransform.build(spark,
+        ModuleCfg("rt", "tfidf", Seq("d", "q"), Nil, Json.parse(
+          """{"idField":"doc_id","field":"text","scheme":"bm25",
+             "queriesInput":"q","topK":5}"""),
+          Json.obj()), Map("d" -> docs, "q" -> queries))("rt")
+    }
+    // profile with percentiles: still ONE aggregation pass — the
+    // KLL sketches are fixed-size mergeable state per column, so the
+    // quantile columns must not change the pass's scaling shape
+    time("profile-pct") {
+      graft.operators.ProfileTransform.build(spark,
+        ModuleCfg("pp", "profile", Seq("d"), Nil, Json.parse(
+          """{"fields":["n_chars","lang"],"approx":true,
+             "percentiles":[0.5,0.95]}"""),
+          Json.obj()), Map("d" -> docs))("pp")
+    }
+    // dangling-mass pagerank: the per-round extra is one vertex-sized
+    // sum over the checkpointed rank frame — wall time must stay
+    // within a small constant of the simple variant's
+    time("pagerank-dangling") {
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .filter(col("src") % 10 =!= 9)
+      graft.operators.GraphTransform.build(spark,
+        ModuleCfg("pd", "graph", Seq("e"), Nil, Json.parse(
+          """{"method":"pagerank","srcField":"src","dstField":"dst",
+             "maxIterations":10,"handleDangling":true}"""),
+          Json.obj()), Map("e" -> edges))("pd")
+    }
     // weighted reservoir: per-lang top-k by n_chars weight — one
     // shuffle on the stratum key regardless of corpus size
     time("reservoir") {

@@ -139,6 +139,32 @@ class WinnowSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("maxBucket"))
   }
 
+  test("cross-corpus hot PRIMARY bucket pairs against the full " +
+      "reference list, not just the min reference id") {
+    // 5 primary copies of A with maxBucket 2: every fingerprint of A
+    // is ALSO selected by the lower-id reference doc A+Z (prefix
+    // winnowing keeps the A-interior window minima identical), so
+    // the bucket's min reference id is never the true match — a
+    // min-rep-only fallback pairs the copies only with A+Z, which
+    // fails the 0.5 verify, and the exact duplicates are silently
+    // lost. The per-side split must pair the hot primary against the
+    // full (<= cap) reference member list. Oracled end-to-end by
+    // q140 on the same construction.
+    val a = toks("a", 30)
+    val primary = (100L to 104L).map(i => (i, a)).toDF("id", "text")
+    val ref = Seq(
+      (1L, a + " " + toks("z", 80)), // superset doc, fails verify
+      (2L, a)).toDF("id", "text")
+    val m = dupMap(DedupTransform.build(spark,
+      ModuleCfg("dd", "dedup", Seq("p", "ref"), Nil,
+        graft.config.Json.parse(
+          """{"method":"winnow","referenceInput":"ref","field":"text",
+             "idField":"id","threshold":0.5,"maxBucket":2}"""),
+        graft.config.Json.obj()),
+      Map("p" -> primary, "ref" -> ref))("dd"))
+    assert((100L to 104L).forall(i => m(i) == Some(2L)), m.toString)
+  }
+
   test("cross-corpus: primary rows match the min reference id only") {
     val shared = (0 until 11).map(i => s"run$i").mkString(" ")
     val primary = Seq(
