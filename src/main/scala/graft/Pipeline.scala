@@ -64,6 +64,7 @@ object Pipeline {
     "unnest" -> UnnestTransform.build,
     "lookup" -> LookupTransform.build,
     "asof" -> AsofJoinTransform.build,
+    "join" -> JoinTransform.build,
     "compare" -> CompareTransform.build,
     "limit" -> LimitTransform.build,
     "set" -> SetTransform.build,

@@ -260,7 +260,7 @@ object AsofJoinTransform {
   }
 
   /** "90"/"90s"/"5m"/"2h"/"1d" → seconds. */
-  private def parseSeconds(s: String): Double = {
+  private[operators] def parseSeconds(s: String): Double = {
     val t = s.trim
     val (num, mult) = t.last match {
       case 's' => (t.dropRight(1), 1d)

@@ -1,0 +1,340 @@
+package graft.operators
+
+import graft.Pipeline.ModuleCfg
+import graft.config.Json._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `join` transform — the two join shapes a declarative `sql` module
+  * cannot express SAFELY at scale (parity-plus: the reference joins
+  * only via SQL / lookup / as-of, `transform/Lookup.java:60`;
+  * Catalyst plans a raw range or similarity predicate as a
+  * broadcast-nested-loop join — quadratic work and a driver OOM at
+  * 100 TB):
+  *
+  * `method: interval` — point-in-interval or interval-overlap join.
+  * Both sides bucket onto fixed-width bins of the time axis, the
+  * join runs as an EQUI-join on `(by…, bin)` (one hash shuffle,
+  * AQE-skew-safe, broadcastable when one side is small), and the
+  * exact range predicate filters inside the matched bin — the
+  * bin-replication scheme that turns a nested-loop range join into
+  * one narrow shuffle. Each right interval replicates to the bins it
+  * overlaps; a point meets an interval exactly once (in the point's
+  * single bin). In overlap mode (both sides intervals) a pair can
+  * share many bins, so it is emitted only in its FIRST common bin —
+  * `greatest(startBin(l), startBin(r))` — and no dedup shuffle over
+  * matched pairs is ever needed.
+  *
+  * Parameters: `leftOn` (point field) or `leftStart`/`leftEnd`
+  * (overlap mode), `rightStart`/`rightEnd`, `by` (equality keys —
+  * strongly recommended at scale: without them every row shares the
+  * per-bin global buckets), `binWidth` (seconds or "30s/5m/1h/2d";
+  * pick ≈ the typical interval length — too small replicates
+  * intervals, too large degrades toward all-pairs per bin), `how`
+  * inner|left, `rightPrefix` (default `right_`),
+  * `maxBinsPerInterval` (default 10000 — one unbounded interval
+  * fanned out a million times is a cluster-killer, so the job fails
+  * loudly instead). Intervals are CLOSED: a point matches
+  * `start <= p <= end`; intervals overlap when
+  * `lStart <= rEnd AND rStart <= lEnd`. Rows with a null axis or
+  * `end < start` never match.
+  *
+  * `method: fuzzy` — blocked string-similarity join (record linkage:
+  * noisy names/titles across catalogs). All-pairs similarity is
+  * O(n·m); the fix is BLOCKING: a small candidate key per row, an
+  * equi-join on `(by…, block)`, and the real measure verified only
+  * on candidates — recall is bounded by the blocker (documented,
+  * like the LSH dedup modes: an edit inside the blocked region
+  * escapes the block). Blockers: `prefix` (first `blockLength`
+  * chars), `suffix` (last chars — the right choice for id-like
+  * strings sharing a long common prefix), `ngram` (candidates share
+  * ≥ 1 character n-gram; requires `leftId`/`rightId` so candidates
+  * shuffle ids only, and grams whose bucket exceeds `maxBucket` rows
+  * on either side are skipped — boilerplate grams pair everything
+  * with everything). Measures: `levenshtein` (match when distance
+  * <= `threshold`; Spark's codegen'd builtin) or `jaro_winkler`
+  * (match when similarity >= `threshold`; the same codegen'd
+  * expression as the select function). The measure value is emitted
+  * as `score`. `lowercase: true` trims + lowercases both sides
+  * before blocking and measuring.
+  */
+object JoinTransform {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  val reserved: Set[String] = Set("__bin", "__rbin", "__axis",
+    "__axis2", "__blk", "__rblk", "__lid", "__rid", "__g", "__c",
+    "score")
+
+  def build(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    require(cfg.inputs.size >= 2,
+      s"join ${cfg.name} requires 2 inputs (left, right)")
+    val p = cfg.params
+    val l = inputs(cfg.inputs(0))
+    val r = inputs(cfg.inputs(1))
+    require(!l.isStreaming && !r.isStreaming,
+      s"join ${cfg.name}: interval/fuzzy joins are batch-only — " +
+        "window the stream into batch stages first")
+    for (df <- Seq(l, r); c <- df.columns if reserved(c))
+      throw new IllegalArgumentException(
+        s"join ${cfg.name}: input column '$c' collides with an " +
+          "internal working column")
+    val method = p.str("method").getOrElse(
+      throw new IllegalArgumentException(
+        s"join ${cfg.name}: method required (interval, fuzzy)"))
+    val how = p.str("how").getOrElse("inner")
+    require(Set("inner", "left")(how),
+      s"join ${cfg.name}: how=$how (valid: inner, left)")
+    val out = method match {
+      case "interval" => intervalJoin(cfg, p, l, r, how)
+      case "fuzzy" => fuzzyJoin(cfg, p, l, r, how)
+      case m => throw new IllegalArgumentException(
+        s"join ${cfg.name}: unknown method '$m' (interval, fuzzy)")
+    }
+    Map(cfg.name -> out)
+  }
+
+  /** Orderable numeric axis: timestamps/dates → fractional epoch
+    * seconds, numerics as-is (the as-of convention). */
+  private def axis(schema: StructType, field: String,
+      label: String): Column = {
+    require(schema.fieldNames.contains(field),
+      s"$label: field '$field' not found in " +
+        s"[${schema.fieldNames.mkString(", ")}]")
+    schema(field).dataType match {
+      case TimestampType => col(field).cast(DoubleType)
+      case TimestampNTZType => // UTC-wall-clock convention (README)
+        col(field).cast(TimestampType).cast(DoubleType)
+      case DateType => col(field).cast(TimestampType).cast(DoubleType)
+      case _: NumericType => col(field).cast(DoubleType)
+      case dt => throw new IllegalArgumentException(
+        s"$label: field '$field' has non-orderable type $dt")
+    }
+  }
+
+  /** Left-outer completion: inner matches ∪ unmatched left rows with
+    * null right columns. A direct left join over the bin/block
+    * replicated right side would emit one null row PER REPLICA; the
+    * anti join here is null-safe (`<=>`) so a left row with null
+    * values is never duplicated into both branches. */
+  private def leftComplete(l: DataFrame, inner: DataFrame,
+      rightCols: Seq[(String, DataType)]): DataFrame = {
+    val m = inner
+      .select(l.columns.map(c => col(c).as("__m_" + c)): _*)
+    val anti = l.columns.map(c => col(c) <=> col("__m_" + c))
+      .reduce(_ && _)
+    val unmatched = l.join(m, anti, "left_anti")
+    val withNulls = rightCols.foldLeft(unmatched) {
+      case (df, (c, dt)) => df.withColumn(c, lit(null).cast(dt))
+    }
+    inner.unionByName(withNulls)
+  }
+
+  private def intervalJoin(cfg: ModuleCfg, p: com.fasterxml.jackson.databind.JsonNode,
+      l: DataFrame, r: DataFrame, how: String): DataFrame = {
+    val name = s"join ${cfg.name} (interval)"
+    val by = p.strArr("by")
+    if (by.isEmpty) log.warn(
+      s"$name: no 'by' keys — every row shares the per-bin global " +
+        "buckets; add equality keys at scale")
+    val w = p.str("binWidth").map(AsofJoinTransform.parseSeconds)
+      .orElse(p.dbl("binWidth"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name: binWidth required (seconds or '30s/5m/1h/2d') — " +
+          "pick roughly the typical right-interval length"))
+    require(w > 0, s"$name: binWidth must be positive, got $w")
+    val maxBins = p.int("maxBinsPerInterval").getOrElse(10000)
+    val rightStart = p.str("rightStart").getOrElse(
+      throw new IllegalArgumentException(s"$name: rightStart required"))
+    val rightEnd = p.str("rightEnd").getOrElse(
+      throw new IllegalArgumentException(s"$name: rightEnd required"))
+    val prefix = p.str("rightPrefix").getOrElse("right_")
+    val overlap = p.str("leftStart").isDefined
+    require(overlap || p.str("leftOn").isDefined,
+      s"$name: leftOn (point mode) or leftStart/leftEnd (overlap " +
+        "mode) required")
+    for (k <- by) {
+      require(l.columns.contains(k), s"$name: by key '$k' not in left")
+      require(r.columns.contains(k), s"$name: by key '$k' not in right")
+    }
+
+    def binsOf(s: Column, e: Column, side: String): Column = {
+      val b0 = floor(s / w)
+      val b1 = when(floor(e / w) - b0 >= maxBins,
+        raise_error(concat(
+          lit(s"$name: a $side interval spans more than $maxBins " +
+            s"bins of $w s — raise binWidth or maxBinsPerInterval; " +
+            "interval start: "), s)))
+        .otherwise(floor(e / w))
+      sequence(b0, b1)
+    }
+
+    val rs0 = axis(r.schema, rightStart, name)
+    val re0 = axis(r.schema, rightEnd, name)
+    // invalid (end < start) and null-axis intervals never match
+    val rBins = r
+      .filter(rs0.isNotNull && re0.isNotNull && rs0 <= re0)
+      .withColumn("__bin", explode(binsOf(rs0, re0, "right")))
+    val rKeyed = r.columns.foldLeft(rBins)(
+      (df, c) => df.withColumnRenamed(c, prefix + c))
+    val ps = axis(rKeyed.schema, prefix + rightStart, name)
+    val pe = axis(rKeyed.schema, prefix + rightEnd, name)
+    val joinKeys = by.map(k => col(k) === col(prefix + k))
+
+    val (lKeyed, matchCond) =
+      if (!overlap) {
+        val lp = axis(l.schema, p.str("leftOn").get, name)
+        (l.withColumn("__axis", lp)
+           .filter(col("__axis").isNotNull)
+           .withColumn("__bin", floor(col("__axis") / w)),
+          col("__axis").between(ps, pe))
+      } else {
+        val ls = axis(l.schema, p.str("leftStart").get, name)
+        val le = axis(l.schema, p.str("leftEnd").getOrElse(
+          throw new IllegalArgumentException(
+            s"$name: leftEnd required in overlap mode")), name)
+        (l.withColumn("__axis", ls).withColumn("__axis2", le)
+           .filter(col("__axis").isNotNull &&
+             col("__axis2").isNotNull &&
+             col("__axis") <= col("__axis2"))
+           .withColumn("__bin",
+             explode(binsOf(col("__axis"), col("__axis2"), "left"))),
+          // closed-interval overlap, counted once in the FIRST
+          // common bin of the pair
+          col("__axis") <= pe && ps <= col("__axis2") &&
+            col("__bin") === greatest(floor(col("__axis") / w),
+              floor(ps / w)))
+      }
+
+    val cond = (joinKeys :+
+      (col("__bin") === col("__rbin")) :+ matchCond).reduce(_ && _)
+    val inner = lKeyed.join(
+        rKeyed.withColumnRenamed("__bin", "__rbin"), cond, "inner")
+      .drop("__axis", "__axis2", "__bin", "__rbin")
+    if (how == "inner") inner
+    else leftComplete(l, inner,
+      r.schema.fields.toSeq.map(f => (prefix + f.name, f.dataType)))
+  }
+
+  private def fuzzyJoin(cfg: ModuleCfg, p: com.fasterxml.jackson.databind.JsonNode,
+      l: DataFrame, r: DataFrame, how: String): DataFrame = {
+    val name = s"join ${cfg.name} (fuzzy)"
+    val by = p.strArr("by")
+    val leftOn = p.str("leftOn").getOrElse(
+      throw new IllegalArgumentException(s"$name: leftOn required"))
+    val rightOn = p.str("rightOn").getOrElse(leftOn)
+    require(l.columns.contains(leftOn),
+      s"$name: leftOn '$leftOn' not found")
+    require(r.columns.contains(rightOn),
+      s"$name: rightOn '$rightOn' not found")
+    for (k <- by) {
+      require(l.columns.contains(k), s"$name: by key '$k' not in left")
+      require(r.columns.contains(k), s"$name: by key '$k' not in right")
+    }
+    val measure = p.str("measure").getOrElse("levenshtein")
+    require(Set("levenshtein", "jaro_winkler")(measure),
+      s"$name: measure=$measure (valid: levenshtein, jaro_winkler)")
+    val threshold = p.dbl("threshold")
+      .orElse(p.int("threshold").map(_.toDouble))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name: threshold required (levenshtein: max distance; " +
+          "jaro_winkler: min similarity)"))
+    val blocker = p.str("blocker").getOrElse("prefix")
+    require(Set("prefix", "suffix", "ngram")(blocker),
+      s"$name: blocker=$blocker (valid: prefix, suffix, ngram)")
+    val blockLen = p.int("blockLength")
+      .getOrElse(if (blocker == "ngram") 3 else 4)
+    require(blockLen >= 1, s"$name: blockLength must be >= 1")
+    val maxBucket = p.int("maxBucket").getOrElse(64)
+    val lowered = p.bool("lowercase").getOrElse(false)
+    val prefix = p.str("rightPrefix").getOrElse("right_")
+
+    def norm(c: Column): Column = if (lowered) lower(trim(c)) else c
+    def score(a: Column, b: Column): Column = measure match {
+      case "levenshtein" => levenshtein(a, b).cast(DoubleType)
+      case _ =>
+        org.apache.spark.sql.graft.TextExpressions.jaroWinkler(a, b)
+    }
+    def pass(s: Column): Column =
+      if (measure == "levenshtein") s <= lit(threshold)
+      else s >= lit(threshold)
+
+    val rPre = r.columns.foldLeft(r)(
+      (df, c) => df.withColumnRenamed(c, prefix + c))
+    val byKeys = by.map(k => col(k) === col(prefix + k))
+    val sL = norm(col(leftOn))
+    val sR = norm(col(prefix + rightOn))
+    val verify = (byKeys :+ pass(score(sL, sR))).reduce(_ && _)
+
+    val inner = blocker match {
+      case "prefix" | "suffix" =>
+        def blk(s: Column): Column =
+          if (blocker == "prefix") substring(s, 1, blockLen)
+          else substring(reverse(s), 1, blockLen)
+        val lB = l.withColumn("__blk", blk(sL))
+          .filter(col("__blk").isNotNull)
+        val rB = rPre.withColumn("__rblk", blk(sR))
+          .filter(col("__rblk").isNotNull)
+        lB.join(rB,
+            (Seq(col("__blk") === col("__rblk")) ++ byKeys :+
+              pass(score(sL, sR))).reduce(_ && _), "inner")
+          .drop("__blk", "__rblk")
+          .withColumn("score", score(sL, sR))
+      case _ =>
+        // ngram blocker: candidates shuffle IDS ONLY — payloads
+        // re-attach by id after the distinct pair set is known
+        val lid = p.str("leftId").getOrElse(
+          throw new IllegalArgumentException(
+            s"$name: ngram blocker needs leftId/rightId id fields " +
+              "so candidate pairs shuffle ids only"))
+        val rid = p.str("rightId").getOrElse(
+          throw new IllegalArgumentException(
+            s"$name: ngram blocker needs leftId/rightId id fields"))
+        require(l.columns.contains(lid),
+          s"$name: leftId '$lid' not found")
+        require(r.columns.contains(rid),
+          s"$name: rightId '$rid' not found")
+        // explode_outer + isNotNull on the OUTPUT column: an inner
+        // explode would infer size(grams)>0 below the generate and
+        // re-evaluate the gram program per row (see DedupTransform)
+        val lG = l.select(col(lid).as("__lid"),
+            explode_outer(expr(gramExpr(leftOn, blockLen, lowered)))
+              .as("__g"))
+          .filter(col("__g").isNotNull)
+        val rG = rPre.select(col(prefix + rid).as("__rid"),
+            explode_outer(expr(
+              gramExpr(prefix + rightOn, blockLen, lowered)))
+              .as("__g"))
+          .filter(col("__g").isNotNull)
+        def capped(g: DataFrame): DataFrame =
+          g.join(g.groupBy("__g").agg(count(lit(1)).as("__c"))
+              .filter(col("__c") <= maxBucket).select("__g"),
+            Seq("__g"), "left_semi")
+        val cand = capped(lG).join(capped(rG), Seq("__g"))
+          .select("__lid", "__rid").distinct()
+        cand
+          .join(l.withColumn("__lid", col(lid)), Seq("__lid"))
+          .join(rPre.withColumn("__rid", col(prefix + rid)),
+            Seq("__rid"))
+          .drop("__lid", "__rid")
+          .filter(verify)
+          .withColumn("score", score(sL, sR))
+    }
+    if (how == "inner") inner
+    else leftComplete(l, inner,
+      r.schema.fields.toSeq.map(f => (prefix + f.name, f.dataType)) :+
+        ("score", DoubleType: DataType))
+  }
+
+  /** Sliding distinct character n-grams as SQL (strings shorter than
+    * n block on themselves; null → null, filtered after the
+    * explode). */
+  private def gramExpr(field: String, n: Int, lowered: Boolean): String = {
+    val s = if (lowered) s"lower(trim(`$field`))" else s"`$field`"
+    s"CASE WHEN length($s) >= $n THEN array_distinct(" +
+      s"transform(sequence(1, length($s) - ${n - 1}), " +
+      s"i -> substring($s, i, $n))) ELSE array($s) END"
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Pipeline.ModuleCfg
+import graft.operators.JoinTransform
+
+/** `join` transform — bucketed interval join + blocked fuzzy join.
+  * Oracled end-to-end by q143/q144/q145; these pin the edge
+  * semantics: closed bounds, bin-boundary points, overlap dedup
+  * (one output row per pair however many bins they share), null and
+  * inverted intervals, left-outer completion, blocker recall, and
+  * the fan-out guard. */
+class JoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def join(params: String,
+      l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    JoinTransform.build(spark,
+      ModuleCfg("jn", "join", Seq("l", "r"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("l" -> l, "r" -> r))("jn")
+
+  test("interval point mode: closed bounds, bin-boundary points, " +
+      "nulls and inverted intervals never match") {
+    val pts = Seq((1L, 0.0), (2L, 10.0), (3L, 20.0), (4L, 25.0),
+      (5L, 31.0), (6L, Double.NaN)).toDF("pid", "t")
+      .withColumn("t", org.apache.spark.sql.functions
+        .when($"pid" === 6L, null).otherwise($"t"))
+    val ivs = Seq((100L, 10.0, 20.0), (101L, 20.0, 30.0),
+      (102L, 30.0, 25.0)).toDF("iid", "s", "e")
+    // binWidth 7 puts 10 and 20 on interior bin boundaries
+    val out = join(
+      """{"method":"interval","leftOn":"t","rightStart":"s",
+         "rightEnd":"e","binWidth":7}""", pts, ivs)
+      .select("pid", "right_iid").as[(Long, Long)].collect().toSet
+    // closed: 10 and 20 match both ends; 25 in [20,30]; 0, 31 match
+    // nothing; inverted interval 102 never matches; null point drops
+    assert(out == Set((2L, 100L), (3L, 100L), (3L, 101L), (4L, 101L)))
+  }
+
+  test("interval overlap mode emits each overlapping pair exactly " +
+      "once, however many bins the pair shares") {
+    val a = Seq((1L, 0.0, 100.0), (2L, 95.0, 96.0), (3L, 200.0, 210.0))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, 50.0, 150.0), (11L, 99.0, 100.0),
+      (12L, 150.5, 199.0)).toDF("bid", "bs", "be")
+    val out = join(
+      """{"method":"interval","leftStart":"as","leftEnd":"ae",
+         "rightStart":"bs","rightEnd":"be","binWidth":10}""", a, b)
+      .select("aid", "right_bid").as[(Long, Long)].collect().toList
+    // (1,10) share 6 bins — exactly one row; closed-bound touch at
+    // 100 matches 11; 12 overlaps nothing
+    assert(out.sorted == List((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("interval how=left completes unmatched lefts once, with by " +
+      "keys scoping the match") {
+    val pts = Seq((1L, "u1", 15.0), (2L, "u2", 15.0), (3L, "u1", 99.0))
+      .toDF("pid", "u", "t")
+    val ivs = Seq((100L, "u1", 10.0, 20.0)).toDF("iid", "u", "s", "e")
+    val out = join(
+      """{"method":"interval","by":["u"],"leftOn":"t",
+         "rightStart":"s","rightEnd":"e","binWidth":5,"how":"left"}""",
+      pts, ivs)
+    val rows = out.select("pid", "right_iid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // u2's point is inside the window numerically but by-key scoped
+    assert(rows == Set((1L, Some(100L)), (2L, None), (3L, None)))
+    assert(out.count() == 3)
+  }
+
+  test("interval fan-out guard fails loudly instead of replicating " +
+      "an unbounded interval") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "t")
+    val ivs = Seq((100L, 0.0, 1e9)).toDF("iid", "s", "e")
+    val e = intercept[Exception](join(
+      """{"method":"interval","leftOn":"t","rightStart":"s",
+         "rightEnd":"e","binWidth":1,"maxBinsPerInterval":100}""",
+      pts, ivs).collect())
+    assert(e.getMessage.contains("maxBinsPerInterval") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("maxBinsPerInterval"),
+      e.getMessage)
+  }
+
+  test("fuzzy prefix blocker: levenshtein within threshold matches, " +
+      "an edit inside the block escapes (documented recall bound)") {
+    val l = Seq((1L, "gadget-alpha"), (2L, "widget-beta"))
+      .toDF("lid", "name")
+    val r = Seq((10L, "gadget-alphX"), // tail edit, same block
+      (11L, "Xidget-beta")) // FIRST-char edit: escapes prefix block
+      .toDF("rid", "name")
+    val out = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":2,
+         "blockLength":4}""", l, r)
+      .select("lid", "right_rid", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 10L, 1.0)))
+  }
+
+  test("fuzzy suffix blocker catches the first-char edit on " +
+      "id-like strings; left-outer completes the rest") {
+    val l = Seq((1L, "Customer#001"), (2L, "Customer#002"))
+      .toDF("lid", "name")
+    val r = Seq((10L, "Xustomer#001")).toDF("rid", "name")
+    val out = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":1,
+         "blocker":"suffix","blockLength":4,"how":"left"}""", l, r)
+    val rows = out.select("lid", "right_rid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows == Set((1L, Some(10L)), (2L, None)))
+  }
+
+  test("fuzzy ngram blocker shuffles ids only, caps hot grams, and " +
+      "verifies jaro_winkler on candidates") {
+    val l = Seq((1L, "blue widget"), (2L, "red gizmo"))
+      .toDF("lid", "name")
+    val r = Seq((10L, "blue widgets"), (11L, "green spanner"))
+      .toDF("rid", "name")
+    val out = join(
+      """{"method":"fuzzy","leftOn":"name","measure":"jaro_winkler",
+         "threshold":0.9,"blocker":"ngram","leftId":"lid",
+         "rightId":"rid"}""", l, r)
+      .select("lid", "right_rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+    val e = intercept[IllegalArgumentException](join(
+      """{"method":"fuzzy","leftOn":"name","threshold":1,
+         "blocker":"ngram"}""", l, r))
+    assert(e.getMessage.contains("leftId"))
+  }
+
+  test("reserved columns, bad method, and missing params fail " +
+      "actionably") {
+    val df = Seq((1L, 1.0)).toDF("id", "t")
+    val e1 = intercept[IllegalArgumentException](join(
+      """{"method":"nope"}""", df, df))
+    assert(e1.getMessage.contains("interval, fuzzy"))
+    val e2 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","leftOn":"t","rightStart":"t",
+         "rightEnd":"t"}""", df, df))
+    assert(e2.getMessage.contains("binWidth"))
+    val bad = df.withColumn("__bin", $"t")
+    val e3 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","leftOn":"t","rightStart":"t",
+         "rightEnd":"t","binWidth":1}""", bad, df))
+    assert(e3.getMessage.contains("__bin"))
+  }
+}

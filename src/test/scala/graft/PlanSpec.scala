@@ -298,4 +298,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       "selfJoin ranking regressed to a per-query Window funnel")
   }
+
+  test("q143 interval join is an equi-join on (user, bin) — never " +
+      "a nested-loop range join") {
+    val p = plan("q143_interval_join")
+    assert(!p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"),
+      "range predicate planned as a nested loop:\n" + p)
+    assert(p.contains("__bin"), "bin bucketing missing from plan")
+  }
+
+  test("q144 fuzzy join blocks before measuring: equi-join on the " +
+      "block key, levenshtein only above it") {
+    val p = plan("q144_fuzzy_join")
+    assert(!p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"),
+      "fuzzy verify planned as all-pairs:\n" + p)
+    assert(p.contains("__blk"), "block key missing from plan")
+  }
 }

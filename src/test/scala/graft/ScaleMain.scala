@@ -280,6 +280,46 @@ object ScaleMain {
           """{"by":["event_type"],"leftOn":"ts","rightOn":"dim_ts"}"""),
           Json.obj()), Map("l" -> ev, "r" -> dim))("aj")
     }
+    // interval join: replicated clicks (unique shifted times) against
+    // the UNREPLICATED purchase windows of the same user — an
+    // equi-join on (user, bin), so wall time must track the click
+    // count; a nested-loop plan would go quadratic with mult
+    time("interval-join") {
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val clicks = ev0.filter(col("event_type") === "click")
+        .crossJoin(spark.range(mult).withColumnRenamed("id", "__c"))
+        .withColumn("ts", expr("ts + make_interval(0,0,0,0,0,0,__c)"))
+        .withColumn("event_id", col("event_id") * mult + col("__c"))
+        .drop("__c")
+        .select("event_id", "user_id", "ts")
+      val wins = ev0.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("wid"), col("user_id"),
+          col("ts").as("s"),
+          expr("ts + INTERVAL 2 HOUR").as("e"))
+      graft.operators.JoinTransform.build(spark,
+        ModuleCfg("ij", "join", Seq("l", "r"), Nil, Json.parse(
+          """{"method":"interval","by":["user_id"],"leftOn":"ts",
+             "rightStart":"s","rightEnd":"e","binWidth":"1h"}"""),
+          Json.obj()), Map("l" -> clicks, "r" -> wins))("ij")
+    }
+    // fuzzy join: replicated mutated names against the UNREPLICATED
+    // originals — the suffix block bounds candidates per name, so
+    // wall time tracks the left count, never names × names
+    time("fuzzy-join") {
+      val c0 = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+      val mut = c0.crossJoin(
+          spark.range(mult).withColumnRenamed("id", "__c"))
+        .select((col("c_custkey") * mult + col("__c") + 1000000)
+            .as("m_id"),
+          concat(lit("X"), expr("substr(c_name, 2)")).as("m_name"))
+      graft.operators.JoinTransform.build(spark,
+        ModuleCfg("fj", "join", Seq("l", "r"), Nil, Json.parse(
+          """{"method":"fuzzy","leftOn":"m_name","rightOn":"c_name",
+             "measure":"levenshtein","threshold":1,
+             "blocker":"suffix","blockLength":6}"""),
+          Json.obj()),
+        Map("l" -> mut, "r" -> c0.select("c_custkey", "c_name")))("fj")
+    }
     time("textAnalysis") {
       graft.operators.TextAnalysisTransform.build(spark,
         ModuleCfg("ta", "textAnalysis", Seq("d"), Nil, Json.parse(
