@@ -2926,6 +2926,186 @@ transforms:
       sql: "SELECT label, array_join(transform(pooled_a, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS avg_r, array_join(transform(pooled_s, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS sum_r, n FROM ag"
 """),
 
+    // bucketed interval join (method: interval, point mode): every
+    // click event joined to the purchase windows [ts, ts+2h] of the
+    // SAME user that contain it. The bin-replication scheme makes
+    // this an equi-join on (user, hour-bin) with the BETWEEN filter
+    // inside the bin — a raw SQL range predicate would plan as a
+    // broadcast-nested-loop join. Closed bounds, oracle = the plain
+    // BETWEEN join
+    "q143_interval_join" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: clicks
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'"
+  - name: windows
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM ev WHERE event_type = 'purchase'"
+  - name: jn
+    module: join
+    inputs: [clicks, windows]
+    parameters:
+      method: interval
+      by: [user_id]
+      leftOn: ts
+      rightStart: s
+      rightEnd: e
+      binWidth: 1h
+  - name: out
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: window_id, field: right_wid, type: int64}
+"""),
+
+    // blocked fuzzy join (method: fuzzy, suffix blocker): customer
+    // names matched against a first-character-mutated copy — the
+    // suffix block survives a leading edit where a prefix block
+    // cannot (id-like strings share the long 'Customer#' prefix, so
+    // prefix blocking would also degenerate to one giant bucket).
+    // Levenshtein verify <= 1; oracle replays blocker + measure
+    "q144_fuzzy_join" -> pipe("out", """
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+transforms:
+  - name: left
+    module: sql
+    inputs: [cust]
+    parameters:
+      sql: "SELECT c_custkey, c_name FROM cust"
+  - name: mut
+    module: sql
+    inputs: [cust]
+    parameters:
+      sql: "SELECT c_custkey + 1000000 AS m_id, concat('X', substr(c_name, 2)) AS m_name FROM cust"
+  - name: jn
+    module: join
+    inputs: [left, mut]
+    parameters:
+      method: fuzzy
+      leftOn: c_name
+      rightOn: m_name
+      measure: levenshtein
+      threshold: 1
+      blocker: suffix
+      blockLength: 6
+  - name: out
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: c_custkey}
+        - {name: m_id, field: right_m_id, type: int64}
+        - {name: score, type: int32}
+"""),
+
+    // interval OVERLAP join with how: left — even-id purchase
+    // windows against odd-id ones of the same user; a pair sharing
+    // many bins must still emit exactly once (first-common-bin
+    // dedup), and unmatched lefts complete with one null row
+    "q145_interval_overlap" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: evens
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT event_id, user_id, ts AS s, ts + INTERVAL 1 HOUR AS e FROM ev WHERE event_type = 'purchase' AND event_id % 2 = 0"
+  - name: odds
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 1 HOUR AS e FROM ev WHERE event_type = 'purchase' AND event_id % 2 = 1"
+  - name: jn
+    module: join
+    inputs: [evens, odds]
+    parameters:
+      method: interval
+      by: [user_id]
+      leftStart: s
+      leftEnd: e
+      rightStart: s
+      rightEnd: e
+      binWidth: 30m
+      how: left
+  - name: out
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: overlap_id, field: right_wid, type: int64}
+"""),
+
+    // count-min frequency sketches with the two-stage merge: one
+    // sketch per event_type over user ids (Spark's NATIVE
+    // count_min_sketch aggregate), cms_merge into one global grid,
+    // then per-user point-frequency probes. eps 1e-4 → a 20k-wide
+    // grid vs a few hundred distinct users keeps every estimate
+    // EXACT for this fixed seed, so the oracle pins true counts —
+    // the same exact-regime pattern as q114/q122
+    "q146_cms_freq" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: part
+    module: aggregation
+    inputs: [ev]
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: sk, op: cms_sketch, field: user_id, eps: 0.0001, confidence: 0.999, seed: 42}
+  - name: glob
+    module: aggregation
+    inputs: [part]
+    parameters:
+      aggregations:
+        - input: part
+          fields:
+            - {name: sk, op: cms_merge, field: sk}
+  - name: probes
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT DISTINCT user_id FROM ev WHERE user_id % 7 = 0"
+  - name: pair
+    module: sql
+    inputs: [probes, glob]
+    parameters:
+      sql: "SELECT p.user_id, g.sk FROM probes p CROSS JOIN glob g"
+  - name: est
+    module: select
+    inputs: [pair]
+    parameters:
+      select:
+        - {name: user_id}
+        - {name: freq, func: cms_estimate, fields: [sk, user_id]}
+  - name: out
+    module: sql
+    inputs: [est]
+    parameters:
+      sql: "SELECT user_id, CAST(freq AS BIGINT) AS freq FROM est"
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -7169,6 +7349,54 @@ transforms:
            SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
          SELECT n.label, p.avg_r, p.sum_r, n.n
          FROM n LEFT JOIN p ON n.label IS NOT DISTINCT FROM p.label""",
+
+    // closed-bound BETWEEN join — the bin bucketing is pure plumbing
+    // the oracle need not replay
+    "q143_interval_join" ->
+      """SELECT c.event_id,
+           CAST(p.wid AS BIGINT) AS window_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT event_id AS wid, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+               FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // blocker + measure replay: suffix-6 equality then
+    // levenshtein <= 1
+    "q144_fuzzy_join" ->
+      """WITH m AS (
+           SELECT c_custkey + 1000000 AS m_id,
+             'X' || substr(c_name, 2) AS m_name
+           FROM customer)
+         SELECT c.c_custkey, CAST(m.m_id AS BIGINT) AS m_id,
+           CAST(levenshtein(c.c_name, m.m_name) AS INT) AS score
+         FROM customer c JOIN m
+         ON substr(reverse(c.c_name), 1, 6) =
+              substr(reverse(m.m_name), 1, 6)
+           AND levenshtein(c.c_name, m.m_name) <= 1""",
+
+    // closed-interval overlap, left-outer
+    "q145_interval_overlap" ->
+      """WITH a AS (
+           SELECT event_id, user_id, ts AS s,
+             ts + INTERVAL 1 HOUR AS e
+           FROM events
+           WHERE event_type = 'purchase' AND event_id % 2 = 0),
+         b AS (
+           SELECT event_id AS wid, user_id, ts AS s,
+             ts + INTERVAL 1 HOUR AS e
+           FROM events
+           WHERE event_type = 'purchase' AND event_id % 2 = 1)
+         SELECT a.event_id, CAST(b.wid AS BIGINT) AS overlap_id
+         FROM a LEFT JOIN b
+         ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e""",
+
+    // exact-regime count-min estimates ≡ true per-user event counts
+    "q146_cms_freq" ->
+      """SELECT user_id, count(*) AS freq
+         FROM events WHERE user_id % 7 = 0
+         GROUP BY user_id""",
 
     "q125_knn_selfjoin" ->
       """WITH e AS (

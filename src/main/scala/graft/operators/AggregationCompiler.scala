@@ -162,40 +162,33 @@ object AggregationCompiler {
       // threshold (2^lgK nominal entries), so bounded-domain oracles
       // pin exact values.
       case "theta_sketch" =>
-        // distinct identity is the STRING rendering of the value, so
-        // the same logical number sketched from differently-typed
-        // columns must render identically (int 1 → "1" but double
-        // 1.0 → "1.0" would make a cross-corpus theta_intersect
-        // silently report ~0 overlap): integral types render as
-        // longs, and fractional values that are exact integers strip
-        // the trailing ".0". Non-numeric types keep their natural
-        // string form.
-        val thetaNorm: Column = {
-          val dt: DataType = op.str("expression") match {
-            case Some(_) => DoubleType // exp4j grammar is all-double
-            case None => op.str("field").flatMap(f =>
-                schema.fields.find(_.name == f).map(_.dataType))
-              .getOrElse(StringType)
-          }
-          dt match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              valueCol.cast(LongType).cast(StringType)
-            case FloatType | DoubleType | _: DecimalType =>
-              val d = valueCol.cast(DoubleType)
-              // the long-range guard keeps the clamped non-ansi
-              // double→long cast from matching huge doubles
-              when(d.isNotNull && abs(d) < lit(9.0e18) &&
-                  d === d.cast(LongType).cast(DoubleType),
-                d.cast(LongType).cast(StringType))
-                .otherwise(d.cast(StringType))
-            case _ => valueCol.cast(StringType)
-          }
-        }
+        // distinct identity is the STRING rendering of the value —
+        // normalized (SketchNorm) so the same logical number sketched
+        // from differently-typed columns intersects correctly
         graft.functions.ThetaFunctions.thetaSketch(
-          op.int("lgK").getOrElse(12), guarded(thetaNorm))
+          op.int("lgK").getOrElse(12),
+          guarded(graft.functions.SketchNorm.normalize(
+            sketchInputType(op, schema), valueCol)))
       case "theta_union" =>
         graft.functions.ThetaFunctions.thetaUnion(
           op.int("lgK").getOrElse(12), guarded(valueCol))
+      // mergeable FREQUENCY sketches (count-min, Spark's native
+      // aggregate): point-frequency estimates for keys chosen AFTER
+      // the scan — top_k only retains its heavy hitters. One-sided
+      // guarantee (estimate >= true; <= true + eps·N w.p. >=
+      // confidence); fixed-size depth×width grid, two-stage pattern
+      // like the other families (see select func cms_estimate).
+      // Values are string-normalized like theta, so build and probe
+      // sides agree across column types.
+      case "cms_sketch" =>
+        count_min_sketch(
+          guarded(graft.functions.SketchNorm.normalize(
+            sketchInputType(op, schema), valueCol)),
+          lit(op.dbl("eps").getOrElse(1e-4)),
+          lit(op.dbl("confidence").getOrElse(0.999)),
+          lit(op.int("seed").getOrElse(42)))
+      case "cms_merge" =>
+        graft.functions.CmsFunctions.cmsMerge(guarded(valueCol))
       // element-wise vector aggregates (mean-pooling chunk embeddings
       // into document embeddings, centroids over assigned members):
       // O(d) mergeable buffer, partial-combines map-side, so only one
@@ -257,5 +250,16 @@ object AggregationCompiler {
       case None => col(op.str("comparingField").getOrElse(
         throw new IllegalArgumentException(
           s"argmax/argmin requires comparingField: $op")))
+    }
+
+  /** Declared input type for string-identity sketches (theta, cms):
+    * drives the SketchNorm numeric normalization. */
+  private def sketchInputType(op: JsonNode,
+      schema: StructType): DataType =
+    op.str("expression") match {
+      case Some(_) => DoubleType // exp4j grammar is all-double
+      case None => op.str("field").flatMap(f =>
+          schema.fields.find(_.name == f).map(_.dataType))
+        .getOrElse(StringType)
     }
 }

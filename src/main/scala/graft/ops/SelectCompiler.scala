@@ -278,6 +278,19 @@ object SelectCompiler {
           s"select $name: theta_difference needs fields: [a, b]")
         graft.functions.ThetaFunctions
           .thetaDifference(col(fs(0)), col(fs(1)))
+      // point-frequency estimate from a binary count-min sketch
+      // column (see the cms_sketch / cms_merge aggregation ops):
+      // fields: [sketch, value]. The probe value is normalized
+      // exactly like the build side (SketchNorm), so int and double
+      // columns of the same logical values agree.
+      case "cms_estimate" =>
+        val fs = sel.strArr("fields")
+        require(fs.size == 2,
+          s"select $name: cms_estimate needs fields: [sketch, value]")
+        val vdt = schema.fields.find(_.name == fs(1))
+          .map(_.dataType).getOrElse(StringType)
+        graft.functions.CmsFunctions.cmsEstimate(col(fs(0)),
+          graft.functions.SketchNorm.normalize(vdt, col(fs(1))))
       // URL decomposition for crawl curation (host-keyed dedup, TLD
       // filters, path heuristics): Spark's codegen'd parse_url.
       // `part`: host | path | query | protocol | ref | authority |

@@ -155,6 +155,23 @@ object ScaleMain {
              "field":"doc_id","lgK":12}]}]}"""),
           Json.obj()), Map("d" -> docs))("th")
     }
+    // count-min: the grid is fixed-size (depth×width counters)
+    // however many rows stream through — per-lang sketch + global
+    // merge must stay flat like theta
+    time("cms") {
+      val part = graft.operators.AggregationTransform.build(spark,
+        ModuleCfg("cm", "aggregation", Seq("d"), Nil, Json.parse(
+          """{"groupFields":["lang"],"aggregations":[{"input":"d",
+             "fields":[{"name":"sk","op":"cms_sketch",
+             "field":"doc_id","eps":0.0001}]}]}"""),
+          Json.obj()), Map("d" -> docs))("cm")
+      graft.operators.AggregationTransform.build(spark,
+        ModuleCfg("gl", "aggregation", Seq("p"), Nil, Json.parse(
+          """{"aggregations":[{"input":"p",
+             "fields":[{"name":"sk","op":"cms_merge",
+             "field":"sk"}]}]}"""),
+          Json.obj()), Map("p" -> part))("gl")
+    }
     // BM25 retrieval: the (doc, term) scoring frame grows with the
     // corpus but the query set stays fixed-small — it broadcasts
     // into the term join, the per-(query, doc) sum partial-combines,
