@@ -3106,6 +3106,53 @@ transforms:
       sql: "SELECT user_id, CAST(freq AS BIGINT) AS freq FROM est"
 """),
 
+    // entity-resolution recipe — the record-linkage composition the
+    // fuzzy join exists for: a noisy catalog (every customer plus
+    // two 1-edit mutants under fresh ids) fuzzy SELF-joins (suffix
+    // blocker, levenshtein <= 2), the matched pairs become edges,
+    // and graph connectedComponents assigns each record its cluster
+    // (= the min id, the original). Each cluster is a 3-clique by
+    // construction, so the oracle closes over one hop
+    "q147_entity_resolution" -> pipe("out", """
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+transforms:
+  - name: catalog
+    module: sql
+    inputs: [cust]
+    parameters:
+      sql: "SELECT c_custkey AS rid, c_name AS name FROM cust UNION ALL SELECT c_custkey + 1000000 AS rid, concat('X', substr(c_name, 2)) AS name FROM cust UNION ALL SELECT c_custkey + 2000000 AS rid, concat(substr(c_name, 1, 1), 'Y', substr(c_name, 3)) AS name FROM cust"
+  - name: pairs
+    module: join
+    inputs: [catalog, catalog]
+    parameters:
+      method: fuzzy
+      leftOn: name
+      rightOn: name
+      measure: levenshtein
+      threshold: 2
+      blocker: suffix
+      blockLength: 6
+  - name: edges
+    module: sql
+    inputs: [pairs]
+    parameters:
+      sql: "SELECT rid AS src, right_rid AS dst FROM pairs WHERE rid < right_rid"
+  - name: comp
+    module: graph
+    inputs: [edges]
+    parameters: {method: connectedComponents, srcField: src, dstField: dst}
+  - name: out
+    module: select
+    inputs: [comp]
+    parameters:
+      select:
+        - {name: vertex, type: int64}
+        - {name: component, type: int64}
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -7391,6 +7438,34 @@ transforms:
          SELECT a.event_id, CAST(b.wid AS BIGINT) AS overlap_id
          FROM a LEFT JOIN b
          ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e""",
+
+    // blocker + measure pairs, closed over ONE hop — each cluster is
+    // a 3-clique (original, first-char mutant, second-char mutant:
+    // pairwise levenshtein <= 2 sharing the unique 6-digit suffix),
+    // so min over the direct neighborhood IS the component min
+    "q147_entity_resolution" ->
+      """WITH catalog AS (
+           SELECT c_custkey AS rid, c_name AS name FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000,
+             'X' || substr(c_name, 2) FROM customer
+           UNION ALL
+           SELECT c_custkey + 2000000,
+             substr(c_name, 1, 1) || 'Y' || substr(c_name, 3)
+           FROM customer),
+         pairs AS (
+           SELECT a.rid AS src, b.rid AS dst
+           FROM catalog a JOIN catalog b
+           ON substr(reverse(a.name), 1, 6) =
+                substr(reverse(b.name), 1, 6)
+             AND levenshtein(a.name, b.name) <= 2
+             AND a.rid < b.rid),
+         nb AS (
+           SELECT src AS v, dst AS n FROM pairs
+           UNION ALL SELECT dst, src FROM pairs)
+         SELECT CAST(v AS BIGINT) AS vertex,
+           CAST(least(v, min(n)) AS BIGINT) AS component
+         FROM nb GROUP BY v""",
 
     // exact-regime count-min estimates ≡ true per-user event counts
     "q146_cms_freq" ->
