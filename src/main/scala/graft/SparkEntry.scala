@@ -2646,7 +2646,7 @@ transforms:
     module: sql
     inputs: [ag]
     parameters:
-      sql: "SELECT label, array_join(transform(pooled, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS pooled_r, n FROM ag"
+      sql: "SELECT label, array_join(transform(pooled, x -> CASE WHEN x IS NULL THEN NULL ELSE format_string('%.4f', round(x, 4) + 0.0d) END), ',') AS pooled_r, n FROM ag"
 """),
 
     // mergeable theta set-sketches with set ALGEBRA: sketch per
@@ -2923,7 +2923,7 @@ transforms:
     module: sql
     inputs: [ag]
     parameters:
-      sql: "SELECT label, array_join(transform(pooled_a, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS avg_r, array_join(transform(pooled_s, x -> format_string('%.4f', round(x, 4) + 0.0d)), ',') AS sum_r, n FROM ag"
+      sql: "SELECT label, array_join(transform(pooled_a, x -> CASE WHEN x IS NULL THEN NULL ELSE format_string('%.4f', round(x, 4) + 0.0d) END), ',') AS avg_r, array_join(transform(pooled_s, x -> CASE WHEN x IS NULL THEN NULL ELSE format_string('%.4f', round(x, 4) + 0.0d) END), ',') AS sum_r, n FROM ag"
 """),
 
     // bucketed interval join (method: interval, point mode): every

@@ -60,12 +60,29 @@ object CmsFunctions {
       ExpressionEncoder[Array[Byte]]())(sketch)
 
   /** Point-frequency estimate of a (string-normalized) value from a
-    * binary count-min sketch column. */
+    * binary count-min sketch column. The common probe shape joins
+    * MANY probe rows against ONE sketch, so the deserialized grid
+    * (eps 1e-4 → a ~20k-wide × depth counter array) is memoized per
+    * task against the incoming byte array instead of being rebuilt
+    * per row — Spark evaluates a UDF instance single-threaded within
+    * a partition, so the two-slot cache needs no synchronization. */
   def cmsEstimate(sketch: Column, value: Column): Column = {
     val f = org.apache.spark.sql.functions.udf(
-      (bytes: Array[Byte], v: String) =>
-        if (bytes == null || v == null) null
-        else java.lang.Long.valueOf(read(bytes).estimateCount(v)))
+      new scala.Function2[Array[Byte], String, java.lang.Long]
+        with Serializable {
+        @transient private var lastBytes: Array[Byte] = _
+        @transient private var lastSketch: CountMinSketch = _
+        def apply(bytes: Array[Byte], v: String): java.lang.Long =
+          if (bytes == null || v == null) null
+          else {
+            if (lastSketch == null || !((bytes eq lastBytes) ||
+                java.util.Arrays.equals(bytes, lastBytes))) {
+              lastSketch = read(bytes)
+              lastBytes = bytes
+            }
+            java.lang.Long.valueOf(lastSketch.estimateCount(v))
+          }
+      })
     f(sketch, value)
   }
 }

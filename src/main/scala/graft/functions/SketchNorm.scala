@@ -19,7 +19,15 @@ object SketchNorm {
   def normalize(dt: DataType, value: Column): Column = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       value.cast(LongType).cast(StringType)
-    case FloatType | DoubleType | _: DecimalType =>
+    case _: DecimalType =>
+      // decimals stay in decimal arithmetic — a double round-trip
+      // would silently merge keys above 2^53 (9007199254740993
+      // renders as ...992); integral decimals render without the
+      // fractional tail so they agree with the integral branch
+      when(value.isNotNull && value === floor(value),
+        value.cast(DecimalType(38, 0)).cast(StringType))
+        .otherwise(value.cast(StringType))
+    case FloatType | DoubleType =>
       val d = value.cast(DoubleType)
       // the long-range guard keeps the clamped non-ansi double→long
       // cast from matching huge doubles
@@ -28,5 +36,22 @@ object SketchNorm {
         d.cast(LongType).cast(StringType))
         .otherwise(d.cast(StringType))
     case _ => value.cast(StringType)
+  }
+
+  /** Resolve a (possibly dotted) field path against a schema — an
+    * exact top-level name wins, then struct descent; StringType when
+    * unresolved (normalization then falls through to the identity
+    * cast). */
+  def resolveType(schema: StructType, field: String): DataType = {
+    def walk(dt: DataType, path: List[String]): Option[DataType] =
+      (dt, path) match {
+        case (t, Nil) => Some(t)
+        case (s: StructType, h :: rest) =>
+          s.fields.find(_.name == h).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+    schema.fields.find(_.name == field).map(_.dataType)
+      .orElse(walk(schema, field.split('.').toList))
+      .getOrElse(StringType)
   }
 }

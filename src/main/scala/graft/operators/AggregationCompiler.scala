@@ -253,13 +253,15 @@ object AggregationCompiler {
     }
 
   /** Declared input type for string-identity sketches (theta, cms):
-    * drives the SketchNorm numeric normalization. */
+    * drives the SketchNorm numeric normalization. Dotted paths
+    * resolve into struct fields so a nested numeric column is
+    * normalized like a flat one. */
   private def sketchInputType(op: JsonNode,
       schema: StructType): DataType =
     op.str("expression") match {
       case Some(_) => DoubleType // exp4j grammar is all-double
-      case None => op.str("field").flatMap(f =>
-          schema.fields.find(_.name == f).map(_.dataType))
+      case None => op.str("field")
+        .map(graft.functions.SketchNorm.resolveType(schema, _))
         .getOrElse(StringType)
     }
 }

@@ -487,41 +487,35 @@ object DedupTransform {
         // per-fingerprint stats on each side (map-side partial aggs);
         // only fingerprints BOTH sides share can pair, so the meta
         // join prunes everything else before any id rows move
-        val meta = pFe.groupBy("__fp").agg(count(lit(1)).as("__pc"))
+        val meta = pFe.select("__fp").distinct()
           .join(rFe.groupBy("__fp")
             .agg(count(lit(1)).as("__rc"), min(col("__rid")).as("__rmin")),
             Seq("__fp"))
           .transform(graft.ops.CacheTracker.trackPersist)
-        val smallFp = meta
-          .filter(col("__pc") <= maxBucket && col("__rc") <= maxBucket)
-          .select("__fp")
-        val candSmall = pFe.join(smallFp, Seq("__fp"), "left_semi")
-          .join(rFe.join(smallFp, Seq("__fp"), "left_semi"), Seq("__fp"))
-          .select("__id", "__rid")
-        // over-cap fallback (see winnowDedup), split PER SIDE:
-        //  - only the PRIMARY side hot (__pc > cap, __rc <= cap):
-        //    pair each primary member against the full — bounded —
-        //    reference member list; still linear in the primary
-        //    count, and no reference candidate is silently dropped
-        //    just because the primary side replicated;
+        // over-cap fallback (see winnowDedup), gated on the REFERENCE
+        // side only:
+        //  - bounded reference bucket (__rc <= cap): pair every
+        //    primary member against the full reference member list —
+        //    however hot the primary side is, that stays linear in
+        //    the primary count, and no reference candidate is
+        //    silently dropped just because the primary replicated
+        //    (q140 pins this with a hot-primary fixture);
         //  - REFERENCE side hot (__rc > cap): min-rep — pair each
         //    primary member with the bucket's MINIMUM reference id,
         //    so a reference corpus of a million identical
         //    boilerplate pages cannot make the cross join quadratic,
         //    yet a new doc duplicating heavily-replicated reference
         //    content still surfaces as a candidate
-        val hotPrimaryFp = meta
-          .filter(col("__pc") > maxBucket && col("__rc") <= maxBucket)
+        val smallFp = meta.filter(col("__rc") <= maxBucket)
           .select("__fp")
-        val candHotP = pFe.join(hotPrimaryFp, Seq("__fp"), "left_semi")
-          .join(rFe.join(hotPrimaryFp, Seq("__fp"), "left_semi"),
-            Seq("__fp"))
+        val candSmall = pFe.join(smallFp, Seq("__fp"), "left_semi")
+          .join(rFe.join(smallFp, Seq("__fp"), "left_semi"), Seq("__fp"))
           .select("__id", "__rid")
         val candOver = pFe.join(meta
             .filter(col("__rc") > maxBucket)
             .select(col("__fp"), col("__rmin")), Seq("__fp"))
           .select(col("__id"), col("__rmin").as("__rid"))
-        val cand = candSmall.union(candHotP).union(candOver).distinct()
+        val cand = candSmall.union(candOver).distinct()
           .transform(graft.ops.CacheTracker.trackPersist)
         val pFps = winnowFps(pSlim.join(cand.select("__id").distinct(),
             Seq("__id"), "left_semi"), k, w, md5Mode, seed)

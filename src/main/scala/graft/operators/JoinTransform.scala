@@ -114,13 +114,34 @@ object JoinTransform {
     }
   }
 
-  /** Left-outer completion: inner matches ∪ unmatched left rows with
-    * null right columns. A direct left join over the bin/block
-    * replicated right side would emit one null row PER REPLICA; the
-    * anti join here is null-safe (`<=>`) so a left row with null
-    * values is never duplicated into both branches. */
-  private def leftComplete(l: DataFrame, inner: DataFrame,
+  /** Left-outer completion for the EXPLODED left paths (interval
+    * overlap, ngram blocker), where a direct left join would emit
+    * one null row per left REPLICA instead of per left row: inner
+    * matches ∪ unmatched left rows with null right columns. The anti
+    * join is null-safe (`<=>`) so a left row with null values is
+    * never duplicated into both branches — which also means every
+    * left column must support equality (maps do not; fail with the
+    * fix instead of an opaque analysis error). The inner frame feeds
+    * both branches, so it is persisted rather than recomputing the
+    * whole replicated join for the anti side. Single-replica paths
+    * (interval point mode, prefix/suffix blockers) never come here —
+    * they run a direct left join. */
+  private def leftComplete(label: String, l: DataFrame,
+      inner0: DataFrame,
       rightCols: Seq[(String, DataType)]): DataFrame = {
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    for (f <- l.schema.fields if hasMap(f.dataType))
+      throw new IllegalArgumentException(
+        s"$label: how: left with an exploded candidate side needs " +
+          s"every left column equatable, but '${f.name}' contains a " +
+          "map type — drop it, stringify it (to_json), or join on a " +
+          "projected left frame")
+    val inner = graft.ops.CacheTracker.trackPersist(inner0)
     val m = inner
       .select(l.columns.map(c => col(c).as("__m_" + c)): _*)
     val anti = l.columns.map(c => col(c) <=> col("__m_" + c))
@@ -131,6 +152,15 @@ object JoinTransform {
     }
     inner.unionByName(withNulls)
   }
+
+  /** Prefixed right columns must not collide with left columns —
+    * a silent duplicate name breaks every downstream reference. */
+  private def checkPrefix(label: String, l: DataFrame, r: DataFrame,
+      prefix: String): Unit =
+    for (c <- r.columns if l.columns.contains(prefix + c))
+      throw new IllegalArgumentException(
+        s"$label: right column '$c' prefixed as '$prefix$c' collides " +
+          "with a left column — set rightPrefix to something unused")
 
   private def intervalJoin(cfg: ModuleCfg, p: com.fasterxml.jackson.databind.JsonNode,
       l: DataFrame, r: DataFrame, how: String): DataFrame = {
@@ -183,11 +213,14 @@ object JoinTransform {
     val pe = axis(rKeyed.schema, prefix + rightEnd, name)
     val joinKeys = by.map(k => col(k) === col(prefix + k))
 
+    checkPrefix(name, l, r, prefix)
     val (lKeyed, matchCond) =
       if (!overlap) {
         val lp = axis(l.schema, p.str("leftOn").get, name)
+        // no null-axis filter: a null axis gives a null bin, which
+        // never matches — dropped by the inner join, kept as an
+        // unmatched row by the direct left join
         (l.withColumn("__axis", lp)
-           .filter(col("__axis").isNotNull)
            .withColumn("__bin", floor(col("__axis") / w)),
           col("__axis").between(ps, pe))
       } else {
@@ -210,12 +243,18 @@ object JoinTransform {
 
     val cond = (joinKeys :+
       (col("__bin") === col("__rbin")) :+ matchCond).reduce(_ && _)
-    val inner = lKeyed.join(
-        rKeyed.withColumnRenamed("__bin", "__rbin"), cond, "inner")
-      .drop("__axis", "__axis2", "__bin", "__rbin")
-    if (how == "inner") inner
-    else leftComplete(l, inner,
-      r.schema.fields.toSeq.map(f => (prefix + f.name, f.dataType)))
+    val rReady = rKeyed.withColumnRenamed("__bin", "__rbin")
+    val internal = Seq("__axis", "__axis2", "__bin", "__rbin")
+    if (how == "inner")
+      lKeyed.join(rReady, cond, "inner").drop(internal: _*)
+    else if (!overlap)
+      // each point carries exactly ONE bin, so a direct left join
+      // emits exactly one null row per unmatched point
+      lKeyed.join(rReady, cond, "left").drop(internal: _*)
+    else
+      leftComplete(name, l,
+        lKeyed.join(rReady, cond, "inner").drop(internal: _*),
+        r.schema.fields.toSeq.map(f => (prefix + f.name, f.dataType)))
   }
 
   private def fuzzyJoin(cfg: ModuleCfg, p: com.fasterxml.jackson.databind.JsonNode,
@@ -268,18 +307,22 @@ object JoinTransform {
     val sR = norm(col(prefix + rightOn))
     val verify = (byKeys :+ pass(score(sL, sR))).reduce(_ && _)
 
-    val inner = blocker match {
+    checkPrefix(name, l, r, prefix)
+    blocker match {
       case "prefix" | "suffix" =>
         def blk(s: Column): Column =
           if (blocker == "prefix") substring(s, 1, blockLen)
           else substring(reverse(s), 1, blockLen)
+        // no null-block filter on the left: a null block never
+        // matches, so the inner join drops those rows and the direct
+        // left join keeps them as unmatched — each left row carries
+        // exactly ONE block key, so how: left needs no completion
         val lB = l.withColumn("__blk", blk(sL))
-          .filter(col("__blk").isNotNull)
         val rB = rPre.withColumn("__rblk", blk(sR))
           .filter(col("__rblk").isNotNull)
         lB.join(rB,
             (Seq(col("__blk") === col("__rblk")) ++ byKeys :+
-              pass(score(sL, sR))).reduce(_ && _), "inner")
+              pass(score(sL, sR))).reduce(_ && _), how)
           .drop("__blk", "__rblk")
           .withColumn("score", score(sL, sR))
       case _ =>
@@ -314,18 +357,19 @@ object JoinTransform {
             Seq("__g"), "left_semi")
         val cand = capped(lG).join(capped(rG), Seq("__g"))
           .select("__lid", "__rid").distinct()
-        cand
+        val inner = cand
           .join(l.withColumn("__lid", col(lid)), Seq("__lid"))
           .join(rPre.withColumn("__rid", col(prefix + rid)),
             Seq("__rid"))
           .drop("__lid", "__rid")
           .filter(verify)
           .withColumn("score", score(sL, sR))
+        if (how == "inner") inner
+        else leftComplete(name, l, inner,
+          r.schema.fields.toSeq
+            .map(f => (prefix + f.name, f.dataType)) :+
+            ("score", DoubleType: DataType))
     }
-    if (how == "inner") inner
-    else leftComplete(l, inner,
-      r.schema.fields.toSeq.map(f => (prefix + f.name, f.dataType)) :+
-        ("score", DoubleType: DataType))
   }
 
   /** Sliding distinct character n-grams as SQL (strings shorter than

@@ -287,8 +287,7 @@ object SelectCompiler {
         val fs = sel.strArr("fields")
         require(fs.size == 2,
           s"select $name: cms_estimate needs fields: [sketch, value]")
-        val vdt = schema.fields.find(_.name == fs(1))
-          .map(_.dataType).getOrElse(StringType)
+        val vdt = graft.functions.SketchNorm.resolveType(schema, fs(1))
         graft.functions.CmsFunctions.cmsEstimate(col(fs(0)),
           graft.functions.SketchNorm.normalize(vdt, col(fs(1))))
       // URL decomposition for crawl curation (host-keyed dedup, TLD

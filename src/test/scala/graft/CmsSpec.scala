@@ -78,6 +78,34 @@ class CmsSpec extends AnyFunSuite {
     assert(est.forall(_ == 10L), est.mkString(","))
   }
 
+  test("decimal keys above 2^53 keep their exact identity (no " +
+      "double round-trip) and agree with the integral rendering") {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val big = 9007199254740993L // 2^53 + 1: double collapses it
+    val dec = Seq(BigDecimal(big), BigDecimal(big + 2)).toDF("v")
+      .select($"v".cast(DecimalType(20, 0)).as("v"))
+    val rendered = dec.select(SketchNorm.normalize(
+      DecimalType(20, 0), $"v").as("s")).as[String].collect().toSet
+    assert(rendered == Set(big.toString, (big + 2).toString), rendered)
+    val fromLong = Seq(big).toDF("v")
+      .select(SketchNorm.normalize(LongType, $"v").as("s"))
+      .as[String].collect().head
+    assert(rendered.contains(fromLong))
+  }
+
+  test("resolveType descends dotted struct paths so nested numerics " +
+      "normalize like flat ones") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("payload", StructType(Seq(
+        StructField("amount", DoubleType)))),
+      StructField("a.b", LongType)))
+    assert(SketchNorm.resolveType(schema, "payload.amount") ==
+      DoubleType)
+    assert(SketchNorm.resolveType(schema, "a.b") == LongType)
+    assert(SketchNorm.resolveType(schema, "nope") == StringType)
+  }
+
   test("merging sketches with different grids fails loudly") {
     val a = spark.range(0, 10).select(col("id").cast("string").as("v"))
     val s1 = sk(a, "v", eps = 1e-4)

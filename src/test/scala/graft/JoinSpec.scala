@@ -133,6 +133,51 @@ class JoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("leftId"))
   }
 
+  test("how=left single-replica paths run a direct left join: map " +
+      "columns survive, null axes and null names stay unmatched") {
+    import org.apache.spark.sql.functions.{map, lit}
+    val pts = Seq((1L, 15.0), (2L, 99.0)).toDF("pid", "t")
+      .withColumn("t", org.apache.spark.sql.functions
+        .when($"pid" === 2L, null).otherwise($"t"))
+      .withColumn("attrs", map(lit("k"), lit("v")))
+    val ivs = Seq((100L, 10.0, 20.0)).toDF("iid", "s", "e")
+    val out = join(
+      """{"method":"interval","leftOn":"t","rightStart":"s",
+         "rightEnd":"e","binWidth":5,"how":"left"}""", pts, ivs)
+    val rows = out.select("pid", "right_iid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows == Set((1L, Some(100L)), (2L, None)))
+    // fuzzy prefix how=left with a null left name: kept, unmatched
+    val l = Seq((1L, "gadget"), (2L, null: String)).toDF("lid", "name")
+    val r = Seq((10L, "gadgex")).toDF("rid", "name")
+    val fz = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":2,
+         "blockLength":4,"how":"left"}""", l, r)
+    assert(fz.count() == 2 &&
+      fz.filter($"right_rid".isNull).select("lid")
+        .as[Long].collect().toSeq == Seq(2L))
+    // the exploded overlap path cannot identity-match map rows —
+    // actionable error, not an opaque analysis failure
+    val a = pts.withColumnRenamed("t", "s0")
+      .withColumn("e0", $"s0" + 1.0)
+    val e = intercept[IllegalArgumentException](join(
+      """{"method":"interval","leftStart":"s0","leftEnd":"e0",
+         "rightStart":"s","rightEnd":"e","binWidth":5,"how":"left"}""",
+      a, ivs))
+    assert(e.getMessage.contains("map type"), e.getMessage)
+  }
+
+  test("prefixed right columns colliding with left names fail " +
+      "actionably") {
+    val l = Seq((1L, 5.0, "x")).toDF("pid", "t", "right_iid")
+    val r = Seq((100L, 0.0, 10.0)).toDF("iid", "s", "e")
+    val e = intercept[IllegalArgumentException](join(
+      """{"method":"interval","leftOn":"t","rightStart":"s",
+         "rightEnd":"e","binWidth":5}""", l, r))
+    assert(e.getMessage.contains("rightPrefix"), e.getMessage)
+  }
+
   test("reserved columns, bad method, and missing params fail " +
       "actionably") {
     val df = Seq((1L, 1.0)).toDF("id", "t")
