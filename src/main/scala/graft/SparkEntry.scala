@@ -3153,6 +3153,73 @@ transforms:
         - {name: component, type: int64}
 """),
 
+    // corpus-overlap ESTIMATE — the composed pre-dedup triage read:
+    // theta sketches OVER the winnow fingerprint indexes of two
+    // corpus slices answer "how much shared content, is cross-dedup
+    // even worth running" from two fixed-size sketches instead of a
+    // fingerprint join. lgK 16 keeps ~25k distinct fps per side
+    // below the sampling threshold, so the estimates are exact and
+    // the oracle pins the true fingerprint-set counts
+    "q148_overlap_estimate" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet", fields: [doc_id, text]}
+transforms:
+  - name: aslice
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 2 = 0"
+  - name: bslice
+    module: sql
+    inputs: [docs]
+    parameters:
+      sql: "SELECT doc_id, text FROM docs WHERE doc_id % 2 = 1"
+  - name: aidx
+    module: dedup
+    inputs: [aslice]
+    parameters: {method: winnow, action: index, field: text, idField: doc_id, ngramSize: 4, window: 8, hashAlgo: md5}
+  - name: bidx
+    module: dedup
+    inputs: [bslice]
+    parameters: {method: winnow, action: index, field: text, idField: doc_id, ngramSize: 4, window: 8, hashAlgo: md5}
+  - name: ask
+    module: aggregation
+    inputs: [aidx]
+    parameters:
+      aggregations:
+        - input: aidx
+          fields:
+            - {name: ska, op: theta_sketch, field: fingerprint, lgK: 16}
+  - name: bsk
+    module: aggregation
+    inputs: [bidx]
+    parameters:
+      aggregations:
+        - input: bidx
+          fields:
+            - {name: skb, op: theta_sketch, field: fingerprint, lgK: 16}
+  - name: pair
+    module: sql
+    inputs: [ask, bsk]
+    parameters:
+      sql: "SELECT a.ska, b.skb FROM ask a CROSS JOIN bsk b"
+  - name: est
+    module: select
+    inputs: [pair]
+    parameters:
+      select:
+        - {name: n_a, func: theta_estimate, field: ska}
+        - {name: n_b, func: theta_estimate, field: skb}
+        - {name: shared, func: theta_intersect, fields: [ska, skb]}
+  - name: out
+    module: sql
+    inputs: [est]
+    parameters:
+      sql: "SELECT CAST(round(n_a) AS BIGINT) AS n_a, CAST(round(n_b) AS BIGINT) AS n_b, CAST(round(shared) AS BIGINT) AS shared FROM est"
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -7466,6 +7533,36 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // exact-regime theta estimates over the two winnow fingerprint
+    // indexes ≡ the true distinct fingerprint-set counts
+    "q148_overlap_estimate" ->
+      """WITH base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id,
+             [substr(md5('0 ' || array_to_string(toks[i:i+3], ' ')),
+                1, 8)
+              for i in range(1, greatest(len(toks) - 3, 1) + 1)] AS gh
+           FROM base),
+         f AS (
+           SELECT doc_id,
+             list_distinct([list_min(gh[i:i+7])
+               for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
+           FROM g),
+         a AS (
+           SELECT DISTINCT unnest(fps) AS fp FROM f
+           WHERE doc_id % 2 = 0),
+         b AS (
+           SELECT DISTINCT unnest(fps) AS fp FROM f
+           WHERE doc_id % 2 = 1)
+         SELECT
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (fp))
+             AS BIGINT) AS shared""",
 
     // exact-regime count-min estimates ≡ true per-user event counts
     "q146_cms_freq" ->
