@@ -3220,6 +3220,53 @@ transforms:
       sql: "SELECT CAST(round(n_a) AS BIGINT) AS n_a, CAST(round(n_b) AS BIGINT) AS n_b, CAST(round(shared) AS BIGINT) AS shared FROM est"
 """),
 
+    // create source end-to-end: literal elements with an explicit
+    // schema plus an int64 from/to/interval sequence — the in-memory
+    // generation path (reference CreateSource) the driver can pin
+    // against a VALUES/range oracle
+    "q149_create_source" -> pipe("out", """
+sources:
+  - name: el
+    module: create
+    parameters:
+      elements:
+        - {k: 1, v: "alpha"}
+        - {k: 2, v: "beta"}
+        - {k: 3, v: "gamma"}
+      fields:
+        - {name: k, type: int64}
+        - {name: v, type: string}
+  - name: seq
+    module: create
+    parameters: {from: "10", to: "18", interval: 2, type: int64}
+transforms:
+  - name: out
+    module: sql
+    inputs: [el, seq]
+    parameters:
+      sql: "SELECT k, v FROM el UNION ALL SELECT value AS k, CAST(NULL AS STRING) AS v FROM seq"
+"""),
+
+    // timestampAttribute → __event_time surfaced through the
+    // event_timestamp select func — the event-time wiring every
+    // streaming stage builds on, pinned in batch where the oracle
+    // can replay it as the raw column
+    "q150_event_time" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    timestampAttribute: ts
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [ev]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: et, func: event_timestamp}
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -4663,6 +4710,47 @@ transforms:
     // (AsofJoinTransform.buildStreaming) instead of the union+window
     // batch plan; draining the stream must converge to the identical
     // DuckDB ASOF result
+    // STREAMING exact dedup end-to-end: file-stream source →
+    // watermarked first-seen-wins dropDuplicatesWithinWatermark →
+    // parquet sink, drained. The kept representative row within one
+    // micro-batch is partition-order-dependent, so the gate emits
+    // only the dedup KEY — the deterministic surface — and the
+    // oracle is the plain DISTINCT
+    "q151_stream_dedup" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q151_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        in.resolve("ev.parquet"))
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [ev]
+    strategy: {timestampField: ts, allowedLateness: 86400}
+    parameters: {method: exact, field: event_type}
+  - name: sel
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: event_type}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     "q92_asof_stream" -> ((s: SparkSession, dir: String) => {
       val base = java.nio.file.Files.createTempDirectory("graft_q92_")
       val in = base.resolve("in"); in.toFile.mkdirs()
@@ -7533,6 +7621,23 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // create elements + sequence ≡ VALUES + range
+    "q149_create_source" ->
+      """SELECT CAST(k AS BIGINT) AS k, v FROM (VALUES
+           (1, 'alpha'), (2, 'beta'), (3, 'gamma')) t(k, v)
+         UNION ALL
+         SELECT r AS k, CAST(NULL AS VARCHAR) AS v
+         FROM range(10, 19, 2) t2(r)""",
+
+    // __event_time from timestampAttribute ≡ the raw column
+    "q150_event_time" ->
+      """SELECT event_id, ts AS et FROM events""",
+
+    // streaming first-seen-wins exact dedup keyed on event_type ≡
+    // the distinct key set
+    "q151_stream_dedup" ->
+      """SELECT DISTINCT event_type FROM events""",
 
     // exact-regime theta estimates over the two winnow fingerprint
     // indexes ≡ the true distinct fingerprint-set counts
