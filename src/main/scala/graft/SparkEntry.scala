@@ -4434,6 +4434,31 @@ transforms:
 """)("out")
     }),
 
+    // the http SELECT FUNC (per-row templated GET, body as string) —
+    // previously unit-only; the fixture endpoint computes a pure
+    // function of the key, so the oracle replays it as string concat
+    "q152_http_select" -> ((s: SparkSession, dir: String) => {
+      val port = fixturePort(s"q152|$dir")("/echo" -> { q =>
+        val x = q.split("&").map(_.split("=", 2))
+          .map(a => a(0) -> a(1)).toMap.apply("x")
+        s"val-$x"
+      })
+      Pipeline.build(s, s"""
+sources:
+  - name: nat
+    module: storage
+    parameters: {path: "$dir/nation.parquet"}
+transforms:
+  - name: out
+    module: select
+    inputs: [nat]
+    parameters:
+      select:
+        - {name: n_nationkey}
+        - {name: resp, func: http, text: "http://127.0.0.1:$port/echo?x=$${n_nationkey}"}
+""")("out")
+    }),
+
     "q72_http_transform" -> ((s: SparkSession, dir: String) => {
       val regions = s.read.parquet(s"$dir/region.parquet")
         .select("r_regionkey", "r_name").collect()
@@ -7621,6 +7646,11 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // the fixture endpoint is a pure function of the key
+    "q152_http_select" ->
+      """SELECT n_nationkey, 'val-' || n_nationkey AS resp
+         FROM nation""",
 
     // create elements + sequence ≡ VALUES + range
     "q149_create_source" ->
