@@ -1564,6 +1564,84 @@ transforms:
     // [Jan 11 00:00, 06:00) window fires an early pane from batch 1
     // and a cumulative ON_TIME pane when batch 2's frontier closes
     // it. Pane ordinals derive from the sink's own prior output.
+    // q82's pipeline with a FULL STOP + RESTART from the checkpoint
+    // between the second and third staged batches: the exact-pane
+    // trigger state (frontier, fired windows, sliceMaxEnd) persists
+    // as batch-stamped snapshots under the checkpoint, so the
+    // restarted run must land on the IDENTICAL pane sequence the
+    // q82 oracle derives from batch boundaries alone — the driver
+    // gate for the r12-advice persistence work (StreamRunner
+    // restore path), previously unit-only
+    "q153_panes_restart" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val base = java.nio.file.Files.createTempDirectory("graft_q153_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
+        val tmp = base.resolve(s"tmp$n").toString
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
+      }
+      val ts = col("ts").cast("timestamp")
+      val t1 = org.apache.spark.sql.functions
+        .lit("2024-01-11 03:00:00").cast("timestamp")
+      val t2 = org.apache.spark.sql.functions
+        .lit("2024-01-21 00:00:00").cast("timestamp")
+      val cfg = s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: accumulating
+      exactPanes: true
+      timestampField: ts
+      window: {type: fixed, unit: hour, size: 6}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger:
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: rpanes
+    module: storage
+    input: agg
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+"""
+      import graft.streaming.StreamRunner
+      stage(1, ts < t1)
+      Pipeline.execute(s, cfg)
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      // full stop: the JVM-side trigger bookkeeping is discarded;
+      // only what was persisted under the checkpoint survives
+      StreamRunner.stopAll()
+      stage(3, ts >= t2)
+      Pipeline.execute(s, cfg)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out).select(
+        col("window.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 4).as("total_r"),
+        col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
+    }),
+
     "q82_accumulating_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
       val base = java.nio.file.Files.createTempDirectory("graft_q82_")
@@ -5492,6 +5570,51 @@ transforms:
     * its md5-seeded codebook (fitIterations 0) is an ORDER BY
     * md5(id) LIMIT n selection any SQL engine reproduces. Every
     * gate is hash-checked. */
+  /** Shared by q82 (continuous run) and q153 (stop + restart from
+    * the checkpoint between batches 2 and 3): the pane set is a
+    * function of batch boundaries alone, so the persisted-trigger-
+    * state restart must land on the identical result. */
+  private def accPanesOracleSql: String =
+      """WITH ev AS (
+           SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                    AS ws,
+                  CAST(floor(epoch(ts) / 21600) * 21600 + 21600
+                    AS BIGINT) AS we,
+                  CASE WHEN ts < TIMESTAMP '2024-01-11 03:00:00' THEN 1
+                       WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+                       ELSE 3 END AS b,
+                  event_type, value
+           FROM events),
+         emax AS (SELECT b, max(we) AS e FROM ev GROUP BY b),
+         cum AS (
+           SELECT ev.ws, ev.we, ev.event_type, bb.b AS b,
+             count(*) AS n, sum(value) AS total
+           FROM ev JOIN (SELECT DISTINCT b FROM ev) bb ON ev.b <= bb.b
+           GROUP BY ev.ws, ev.we, ev.event_type, bb.b),
+         touch AS (SELECT DISTINCT ws, we, event_type, b FROM ev),
+         early AS (
+           SELECT c.ws, c.event_type, c.n, c.total,
+             'early' AS pane, 0 AS idx
+           FROM cum c
+           JOIN emax m ON c.b = m.b AND c.we = m.e
+           JOIN touch t ON t.ws = c.ws AND t.event_type = c.event_type
+             AND t.b = c.b),
+         ontime AS (
+           SELECT c.ws, c.event_type, c.n, c.total,
+             'onTime' AS pane,
+             CASE WHEN c.we = prev.e AND EXISTS (
+               SELECT 1 FROM touch t WHERE t.ws = c.ws
+                 AND t.event_type = c.event_type AND t.b = c.b - 1)
+               THEN 1 ELSE 0 END AS idx
+           FROM cum c
+           JOIN emax m ON c.b = m.b
+           LEFT JOIN emax prev ON prev.b = c.b - 1
+           WHERE c.we < m.e AND (prev.e IS NULL OR c.we >= prev.e))
+         SELECT ws AS win_start, event_type, n,
+           round(total, 4) AS total_r, pane,
+           CAST(idx AS BIGINT) AS pane_idx
+         FROM (SELECT * FROM early UNION ALL SELECT * FROM ontime)"""
+
   /** Shared by q129 (raw-text cross winnow) and q134 (the same
     * dedup fed by a prebuilt fingerprint index): both paths must
     * land on the identical result, so one oracle serves both. */
@@ -6434,46 +6557,11 @@ transforms:
     // ON_TIME = windows the advancing frontier closed (all keys,
     // cumulative over every batch so far), ordinal 1 when the
     // key+window already fired early in the previous batch
-    "q82_accumulating_panes" ->
-      """WITH ev AS (
-           SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
-                    AS ws,
-                  CAST(floor(epoch(ts) / 21600) * 21600 + 21600
-                    AS BIGINT) AS we,
-                  CASE WHEN ts < TIMESTAMP '2024-01-11 03:00:00' THEN 1
-                       WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
-                       ELSE 3 END AS b,
-                  event_type, value
-           FROM events),
-         emax AS (SELECT b, max(we) AS e FROM ev GROUP BY b),
-         cum AS (
-           SELECT ev.ws, ev.we, ev.event_type, bb.b AS b,
-             count(*) AS n, sum(value) AS total
-           FROM ev JOIN (SELECT DISTINCT b FROM ev) bb ON ev.b <= bb.b
-           GROUP BY ev.ws, ev.we, ev.event_type, bb.b),
-         touch AS (SELECT DISTINCT ws, we, event_type, b FROM ev),
-         early AS (
-           SELECT c.ws, c.event_type, c.n, c.total,
-             'early' AS pane, 0 AS idx
-           FROM cum c
-           JOIN emax m ON c.b = m.b AND c.we = m.e
-           JOIN touch t ON t.ws = c.ws AND t.event_type = c.event_type
-             AND t.b = c.b),
-         ontime AS (
-           SELECT c.ws, c.event_type, c.n, c.total,
-             'onTime' AS pane,
-             CASE WHEN c.we = prev.e AND EXISTS (
-               SELECT 1 FROM touch t WHERE t.ws = c.ws
-                 AND t.event_type = c.event_type AND t.b = c.b - 1)
-               THEN 1 ELSE 0 END AS idx
-           FROM cum c
-           JOIN emax m ON c.b = m.b
-           LEFT JOIN emax prev ON prev.b = c.b - 1
-           WHERE c.we < m.e AND (prev.e IS NULL OR c.we >= prev.e))
-         SELECT ws AS win_start, event_type, n,
-           round(total, 4) AS total_r, pane,
-           CAST(idx AS BIGINT) AS pane_idx
-         FROM (SELECT * FROM early UNION ALL SELECT * FROM ontime)""",
+    "q82_accumulating_panes" -> accPanesOracleSql,
+
+    // the restarted run must land on the same batch-boundary-
+    // deterministic pane set — one oracle serves q82 and q153
+    "q153_panes_restart" -> accPanesOracleSql,
 
     "q23_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
