@@ -341,21 +341,28 @@ object JoinTransform {
           s"$name: rightId '$rid' not found")
         // explode_outer + isNotNull on the OUTPUT column: an inner
         // explode would infer size(grams)>0 below the generate and
-        // re-evaluate the gram program per row (see DedupTransform)
-        val lG = l.select(col(lid).as("__lid"),
+        // re-evaluate the gram program per row (see DedupTransform).
+        // `by` keys join INTO the gram bucket key: buckets (and the
+        // hot-gram cap) are then per (key, gram) — a gram hot
+        // globally but cold within a key keeps its recall, and a
+        // hot key cannot flood every other key's buckets
+        val gramKey = Seq("__g") ++ by
+        val lG = l.select((Seq(col(lid).as("__lid"),
             explode_outer(expr(gramExpr(leftOn, blockLen, lowered)))
-              .as("__g"))
+              .as("__g")) ++ by.map(col)): _*)
           .filter(col("__g").isNotNull)
-        val rG = rPre.select(col(prefix + rid).as("__rid"),
+        val rG = rPre.select((Seq(col(prefix + rid).as("__rid"),
             explode_outer(expr(
               gramExpr(prefix + rightOn, blockLen, lowered)))
-              .as("__g"))
+              .as("__g")) ++ by.map(k => col(prefix + k).as(k))): _*)
           .filter(col("__g").isNotNull)
         def capped(g: DataFrame): DataFrame =
-          g.join(g.groupBy("__g").agg(count(lit(1)).as("__c"))
-              .filter(col("__c") <= maxBucket).select("__g"),
-            Seq("__g"), "left_semi")
-        val cand = capped(lG).join(capped(rG), Seq("__g"))
+          g.join(g.groupBy(gramKey.map(col): _*)
+              .agg(count(lit(1)).as("__c"))
+              .filter(col("__c") <= maxBucket)
+              .select(gramKey.map(col): _*),
+            gramKey, "left_semi")
+        val cand = capped(lG).join(capped(rG), gramKey)
           .select("__lid", "__rid").distinct()
         val inner = cand
           .join(l.withColumn("__lid", col(lid)), Seq("__lid"))

@@ -127,6 +127,18 @@ class JoinSpec extends AnyFunSuite {
          "rightId":"rid"}""", l, r)
       .select("lid", "right_rid").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 10L)))
+    // by keys scope the gram buckets: the same names under different
+    // keys never pair, and the per-(key, gram) cap keeps a gram hot
+    // in one key from evicting it everywhere
+    val lk = Seq((1L, "g1", "blue widget"), (2L, "g2", "blue widget"))
+      .toDF("lid", "grp", "name")
+    val rk = Seq((10L, "g1", "blue widgets")).toDF("rid", "grp", "name")
+    val outK = join(
+      """{"method":"fuzzy","leftOn":"name","measure":"jaro_winkler",
+         "threshold":0.9,"blocker":"ngram","by":["grp"],
+         "leftId":"lid","rightId":"rid"}""", lk, rk)
+      .select("lid", "right_rid").as[(Long, Long)].collect().toSet
+    assert(outK == Set((1L, 10L)))
     val e = intercept[IllegalArgumentException](join(
       """{"method":"fuzzy","leftOn":"name","threshold":1,
          "blocker":"ngram"}""", l, r))
