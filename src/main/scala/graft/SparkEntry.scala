@@ -3345,6 +3345,48 @@ transforms:
         - {name: et, func: event_timestamp}
 """),
 
+    // fuzzy join via the NGRAM blocker — candidates share >= 1
+    // character 3-gram whose per-side bucket holds <= 64 rows (hot
+    // grams pair everything with everything and are skipped, the
+    // LSH-band convention; ids-only candidate shuffle). Distinct
+    // part names vs last-char mutants: the oracle replays gram
+    // inventory, caps, candidate pairs, and the levenshtein verify
+    "q154_fuzzy_ngram" -> pipe("out", """
+sources:
+  - name: part
+    module: storage
+    parameters: {path: "${dir}/part.parquet"}
+transforms:
+  - name: lf
+    module: sql
+    inputs: [part]
+    parameters:
+      sql: "SELECT min(p_partkey) AS lid, p_name AS name FROM part GROUP BY p_name"
+  - name: rf
+    module: sql
+    inputs: [lf]
+    parameters:
+      sql: "SELECT lid + 1000000 AS rid, concat(substr(name, 1, length(name) - 1), 'x') AS name FROM lf"
+  - name: jn
+    module: join
+    inputs: [lf, rf]
+    parameters:
+      method: fuzzy
+      leftOn: name
+      measure: levenshtein
+      threshold: 1
+      blocker: ngram
+      blockLength: 3
+      maxBucket: 64
+      leftId: lid
+      rightId: rid
+  - name: out
+    module: sql
+    inputs: [jn]
+    parameters:
+      sql: "SELECT lid, right_rid AS rid, CAST(score AS INT) AS score FROM jn"
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -7734,6 +7776,40 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // gram inventory, per-side <=64 caps, distinct candidate pairs,
+    // levenshtein verify — the full ngram blocker replay
+    "q154_fuzzy_ngram" ->
+      """WITH l AS (
+           SELECT min(p_partkey) AS lid, p_name AS name
+           FROM part GROUP BY p_name),
+         r AS (
+           SELECT lid + 1000000 AS rid,
+             substr(name, 1, length(name) - 1) || 'x' AS name
+           FROM l),
+         lg AS (
+           SELECT lid, unnest(list_distinct(
+             [substr(name, i, 3)
+              for i in range(1, length(name) - 1)])) AS g
+           FROM l),
+         rg AS (
+           SELECT rid, unnest(list_distinct(
+             [substr(name, i, 3)
+              for i in range(1, length(name) - 1)])) AS g
+           FROM r),
+         lok AS (
+           SELECT * FROM lg WHERE g IN (
+             SELECT g FROM lg GROUP BY g HAVING count(*) <= 64)),
+         rok AS (
+           SELECT * FROM rg WHERE g IN (
+             SELECT g FROM rg GROUP BY g HAVING count(*) <= 64)),
+         cand AS (SELECT DISTINCT lid, rid FROM lok JOIN rok USING (g))
+         SELECT c.lid, c.rid,
+           CAST(levenshtein(a.name, b.name) AS INT) AS score
+         FROM cand c
+         JOIN l a ON a.lid = c.lid
+         JOIN r b ON b.rid = c.rid
+         WHERE levenshtein(a.name, b.name) <= 1""",
 
     // the fixture endpoint is a pure function of the key
     "q152_http_select" ->
