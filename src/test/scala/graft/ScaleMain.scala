@@ -254,6 +254,20 @@ object ScaleMain {
     // still dedups whole-document replication
     time("winnow") { dedup(
       """{"method":"winnow","field":"text","idField":"doc_id","ngramSize":4,"window":8,"threshold":0.5}""") }
+    // cross-corpus winnow: replicated primary against the FIXED
+    // unreplicated reference — at high mult every shared-content
+    // bucket is primary-hot with a small reference side, exactly the
+    // rc-gated full-reference pairing path; wall time must track the
+    // primary fingerprint volume, never primary × reference
+    time("winnow-cross") {
+      graft.operators.DedupTransform.build(spark,
+        ModuleCfg("wc", "dedup", Seq("p", "ref"), Nil, Json.parse(
+          """{"method":"winnow","referenceInput":"ref","field":"text",
+             "idField":"doc_id","ngramSize":4,"window":8,
+             "threshold":0.5}"""),
+          Json.obj()),
+        Map("p" -> docs, "ref" -> docs0))("wc")
+    }
     // triangles: degree-ordered orientation caps wedge fan-out at
     // O(sqrt(m)) — wall time must track edge count on the chord
     // graph, no iteration
