@@ -1564,6 +1564,38 @@ transforms:
     // [Jan 11 00:00, 06:00) window fires an early pane from batch 1
     // and a cumulative ON_TIME pane when batch 2's frontier closes
     // it. Pane ordinals derive from the sink's own prior output.
+    // the copyfile sink driven end-to-end: nation written as two
+    // parquet shards, their runtime paths fed through the
+    // sourceField mode (per-record copies), and the COPIES read back
+    // — a lossless roundtrip, so the oracle is the identity
+    "q155_copyfile" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q155_")
+      val src = base.resolve("src").toString
+      val cp = base.resolve("cp").toString
+      s.read.parquet(s"$dir/nation.parquet")
+        .repartition(2).write.mode("overwrite").parquet(src)
+      val parts = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted
+      val elems = parts.map(p => s"""        - {p: "$p"}""")
+        .mkString("\n")
+      Pipeline.execute(s, s"""
+sources:
+  - name: paths
+    module: create
+    parameters:
+      elements:
+$elems
+      schema: {fields: [{name: p, type: string}]}
+sinks:
+  - name: cp
+    module: copyfile
+    inputs: [paths]
+    parameters: {sourceField: p, destination: "$cp"}
+""")
+      s.read.parquet(cp)
+    }),
+
     // q82's pipeline with a FULL STOP + RESTART from the checkpoint
     // between the second and third staged batches: the exact-pane
     // trigger state (frontier, fired windows, sliceMaxEnd) persists
@@ -7810,6 +7842,10 @@ transforms:
          JOIN l a ON a.lid = c.lid
          JOIN r b ON b.rid = c.rid
          WHERE levenshtein(a.name, b.name) <= 1""",
+
+    // copyfile roundtrip is lossless → identity oracle
+    "q155_copyfile" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 
     // the fixture endpoint is a pure function of the key
     "q152_http_select" ->
