@@ -31,6 +31,97 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
+  /** Characters of stdout tail the harness captures, measured from
+    * BENCH_r01–r14's `tail` field: exactly 2000 — and EVERY round's
+    * artifact was `parsed: null` because the one-big-line layout
+    * never fit (164 full query names alone are ~2.6 KB). The final
+    * stdout line must therefore fit WHOLE inside the window. */
+  val TailWindowBytes = 2000
+
+  /** sbt prints `[success] Total time: …, completed <date>` AFTER
+    * our line (visible in every captured tail, ~76 chars); reserve
+    * for it plus newline slack. */
+  val SbtSuffixReserve = 120
+
+  def lineBudget: Int = TailWindowBytes - SbtSuffixReserve
+
+  /** Deterministic priority order for the bounded stdout dict: the
+    * queries the round ledger tracks most closely (heavy recipes,
+    * iterative graph rounds, streaming drains, the joins), then
+    * everything else alphabetically until the byte budget is hit.
+    * The FULL per-query set always lands in `bench_full.json`. */
+  private[graft] val headline: Seq[String] = Seq(
+    "q1_pricing", "q3_sql_join", "q9_limit", "q14_dedup_exact",
+    "q20_dedup_minhash", "q23_knn", "q31_fixed_window", "q46_agg_limit",
+    "q54_avro_roundtrip", "q64_jdbc_roundtrip", "q70_calendar_week_stream",
+    "q80_agg_distinct", "q82_accumulating_panes", "q93_bucket_join",
+    "q103_components", "q109_pagerank", "q110_tfidf", "q112_profile",
+    "q116_chunk_cdc", "q117_bm25", "q125_knn_selfjoin",
+    "q127_dedup_winnow", "q129_winnow_cross", "q135_profile_percentiles",
+    "q136_bm25_retrieval", "q137_winnow_index_union",
+    "q138_pagerank_dangling", "q143_interval_join", "q144_fuzzy_join",
+    "q145_interval_overlap", "q146_cms_freq", "q147_entity_resolution",
+    "q148_overlap_estimate", "q153_panes_restart", "q154_fuzzy_ngram")
+
+  /** Seconds rendered to `dp` decimals with trailing zeros stripped
+    * ("0.470"→"0.47", "2.000"→"2") — valid JSON numbers, minimal
+    * bytes. */
+  private[graft] def compact(v: Double, dp: Int): String = {
+    val b = java.math.BigDecimal.valueOf(v)
+      .setScale(dp, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros()
+    // stripTrailingZeros on 0E-3 etc. needs toPlainString to avoid
+    // exponent notation (not all JSON parsers take 2E+1)
+    b.toPlainString
+  }
+
+  /** The single final stdout line, complete-by-construction inside
+    * the harness tail window: meta keys first, then as many
+    * per-query timings as the byte budget allows, in headline-first
+    * deterministic order. Truncation is EXPLICIT (`queries_total` /
+    * `queries_omitted`) per the repo's no-silent-caps convention,
+    * and `full` names the complete artifact written alongside. */
+  private[graft] def renderBenchLine(times: Seq[(String, Double)],
+      errors: Seq[String], leaks: Seq[String], samples: Int,
+      sfDir: String): String = {
+    val byName = times.toMap
+    val inHead = headline.filter(byName.contains)
+    val rest = times.map(_._1).filterNot(inHead.toSet).sorted
+    val order = inHead ++ rest
+    val total = times.map(_._2).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val leakJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def meta(omitted: Int): String =
+      s"""{"metric":"total","value":${compact(total, 3)},""" +
+        s""""unit":"sec","samples":$samples,"sf":"$sfDir",""" +
+        s""""errors":$errJson,"leaked_streams":$leakJson,""" +
+        s""""full":"bench_full.json","queries_total":${times.size},""" +
+        s""""queries_omitted":$omitted,"queries":{"""
+    val overhead = meta(times.size).length + 2 // worst-case digits + "}}"
+    val entries = order.map(k => "\"" + k + "\":" + compact(byName(k), 3))
+    var used = 0
+    val kept = entries.takeWhile { e =>
+      val next = used + e.length + 1
+      if (next + overhead <= lineBudget) { used = next; true } else false
+    }
+    meta(times.size - kept.size) + kept.mkString(",") + "}}"
+  }
+
+  /** Complete artifact: every query at full precision, plus the
+    * per-query gc attribution — the stdout line's `full` pointer. */
+  private[graft] def renderFullJson(times: Seq[(String, Double)],
+      gcs: String, errors: Seq[String], leaks: Seq[String],
+      samples: Int, sfDir: String): String = {
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val leakJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${times.map(_._2).sum},""" +
+      s""""unit":"sec","gc":$gcs,"leaked_streams":$leakJson,""" +
+      s""""errors":$errJson,"samples":$samples,"sf":"$sfDir",""" +
+      s""""queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,15 +209,12 @@ object Bench {
         val best = dts.minBy(_._1)
         name -> best
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // per-query GC seconds INSIDE the reported (min) sample: a
     // battery number far above its isolated twin with a matching gc
     // entry is collector pressure, not a plan regression — judge
     // r12's adjudication, now self-serve from the JSON
     val gcs = results.map { case (k, (_, g)) =>
       s"\"" + k + "\":" + f"$g%.3f" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     // stop FIRST, print LAST: the harness reads the tail of stdout and
     // any straggler log line after the JSON breaks its one-line
     // contract (this, plus per-query UDF re-registration WARNs, left
@@ -134,13 +222,23 @@ object Bench {
     spark.stop()
     SparkEntry.closeFixtures()
     System.out.flush(); System.err.flush()
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val leakJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // key order matters to the driver: it captures a bounded TAIL
-    // window of this line, so `queries` must be the LAST key — r13's
-    // artifact was unparseable because the window landed on the `gc`
-    // dict that then sat after the timings
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gc":$gcs,"leaked_streams":$leakJson,"errors":$errJson,"samples":$samples,"sf":"$sfDir","queries":$qs}""")
+    val times = results.map { case (k, (v, _)) => (k, v) }
+    // the harness captures only the last 2000 chars of stdout and
+    // parses from there — the one-big-line layout never fit (r01–r14
+    // all shipped `parsed: null`), and at 164 queries the full-name
+    // dict alone is ~2.6 KB, so no rendering of ALL queries can fit.
+    // The complete artifact goes to bench_full.json in the repo; the
+    // final stdout line is complete-within-window by construction,
+    // with explicit queries_total/queries_omitted accounting.
+    val fullPath =
+      if (new java.io.File("/root/repo").isDirectory)
+        java.nio.file.Paths.get("/root/repo/bench_full.json")
+      else java.nio.file.Paths.get("bench_full.json")
+    java.nio.file.Files.write(fullPath,
+      (renderFullJson(times, gcs, errors.toSeq, leaks.toSeq, samples,
+        sfDir) + "\n").getBytes("UTF-8"))
+    println(renderBenchLine(times, errors.toSeq, leaks.toSeq, samples,
+      sfDir))
     System.out.flush()
     // the http gate fixtures' dispatcher threads are non-daemon; a
     // plain return would leave the JVM (and the driver's bench step)

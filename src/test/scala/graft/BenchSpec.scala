@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-artifact contract that failed every round r01–r14
+  * (`parsed: null`): the harness captures only the LAST 2000 chars
+  * of stdout (measured from the BENCH_r*.json `tail` fields, with
+  * sbt's `[success] Total time…` line consuming ~76 of them), so the
+  * final stdout line must fit COMPLETE inside that window. At 164
+  * queries the full-name dict alone is ~2.6 KB — no rendering of all
+  * queries can fit — so the line carries a deterministic
+  * headline-first subset with EXPLICIT queries_total/queries_omitted
+  * accounting, and the complete set goes to bench_full.json. These
+  * cases render with the REAL current query names, so adding gates
+  * never silently breaks the window contract again. */
+class BenchSpec extends AnyFunSuite {
+
+  private def realNames: Seq[String] =
+    (SparkEntry.queries ++ SparkEntry.benchOnly).keys.toSeq.sorted
+
+  private def fakeTimes(names: Seq[String]): Seq[(String, Double)] = {
+    val rnd = new scala.util.Random(42)
+    // realistic spread incl. multi-digit seconds (widest rendering)
+    names.map(n => n -> (0.05 + rnd.nextDouble() * 24.95))
+  }
+
+  private val sbtSuffix =
+    "\n[success] Total time: 1107 s (18:27), completed Aug 15, 2026, " +
+      "5:33:58 AM\n"
+
+  private def parse(s: String) = graft.config.Json.parse(s)
+
+  test("compact renders minimal valid JSON numbers") {
+    assert(Bench.compact(0.47, 3) == "0.47")
+    assert(Bench.compact(0.4701, 3) == "0.47")
+    assert(Bench.compact(2.0, 3) == "2")
+    assert(Bench.compact(10.1239, 3) == "10.124")
+    assert(Bench.compact(0.0, 3) == "0")
+    assert(Bench.compact(0.0004, 3) == "0")
+    assert(Bench.compact(123.456789, 2) == "123.46")
+  }
+
+  test("bench line fits the tail budget and accounts for omissions") {
+    val times = fakeTimes(realNames)
+    val line = Bench.renderBenchLine(times, Nil, Nil, 3,
+      "/root/testdata/sf0.1")
+    assert(line.length <= Bench.lineBudget,
+      s"bench line is ${line.length} bytes — over the " +
+        s"${Bench.lineBudget}-byte budget")
+    val node = parse(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    val qs = node.get("queries")
+    assert(node.get("queries_total").asInt == times.size)
+    assert(node.get("queries_omitted").asInt == times.size - qs.size())
+    assert(node.get("full").asText == "bench_full.json")
+    // every headline query present in the real set made the cut
+    Bench.headline.filter(times.map(_._1).toSet).foreach { h =>
+      assert(qs.get(h) != null, s"headline $h omitted")
+    }
+    val byName = times.toMap
+    val it = qs.fieldNames()
+    while (it.hasNext) {
+      val k = it.next()
+      assert(math.abs(qs.get(k).asDouble - byName(k)) <= 0.0006)
+    }
+    // total is the sum over ALL queries, not just the rendered subset
+    assert(math.abs(node.get("value").asDouble - times.map(_._2).sum)
+      <= 0.001)
+  }
+
+  test("the 2000-char stdout tail holds the line complete") {
+    val times = fakeTimes(realNames)
+    val line = Bench.renderBenchLine(times, Nil, Nil, 3,
+      "/root/testdata/sf0.1")
+    val out = ("x" * 5000) + "\n" + line + sbtSuffix
+    val tail = out.substring(out.length - 2000)
+    val at = tail.indexOf("{\"metric\"")
+    assert(at >= 0, "tail window lost the line start")
+    val end = tail.indexOf('\n', at)
+    val node = parse(tail.substring(at, end))
+    assert(node.get("queries").size() > 0)
+    assert(node.get("queries_total").asInt == times.size)
+  }
+
+  test("a round's worth of extra gates still fits (omitted grows)") {
+    val extra = (0 until 12).map(i => f"q2$i%02d_future_gate_name")
+    val times = fakeTimes(realNames ++ extra)
+    val line = Bench.renderBenchLine(times, Nil, Nil, 3,
+      "/root/testdata/sf0.1")
+    assert(line.length <= Bench.lineBudget)
+    val node = parse(line)
+    assert(node.get("queries_total").asInt == times.size)
+    assert(node.get("queries").size() +
+      node.get("queries_omitted").asInt == times.size)
+  }
+
+  test("bench_full.json carries every query at full precision") {
+    val times = fakeTimes(realNames)
+    val gcs = times.map { case (k, _) => "\"" + k + "\":0.010" }
+      .mkString("{", ",", "}")
+    val node = parse(Bench.renderFullJson(times, gcs,
+      Seq("q1_pricing"), Nil, 3, "/root/testdata/sf0.1"))
+    assert(node.get("queries").size() == times.size)
+    assert(node.get("gc").size() == times.size)
+    assert(node.get("errors").get(0).asText == "q1_pricing")
+    val byName = times.toMap
+    val it = node.get("queries").fieldNames()
+    while (it.hasNext) {
+      val k = it.next()
+      assert(node.get("queries").get(k).asDouble == byName(k))
+    }
+  }
+}
