@@ -3005,8 +3005,12 @@ transforms:
     // deterministic (vec_id + index) stride, so the per-position
     // mean must exclude the null from THAT position's denominator
     // (SQL aggregate semantics — the r13 advice finding) while the
-    // sum treats it as adding nothing; rendered with the q121
-    // fixed-4-decimal string formula
+    // sum treats it as adding nothing. Position 3 masks null for
+    // EVERY vector, so each group's pooled mean holds an actual null
+    // position — rendered VISIBLY via array_join's nullReplacement
+    // (the r14 advice finding: without it null elements silently
+    // drop from the rendering and the per-position semantics this
+    // gate pins would be invisible to the compare)
     "q142_vector_pool_nulls" -> pipe("out", """
 sources:
   - name: emb
@@ -3017,7 +3021,7 @@ transforms:
     module: sql
     inputs: [emb]
     parameters:
-      sql: "SELECT label, transform(embedding, (x, i) -> CASE WHEN (vec_id + i) % 7 = 0 THEN CAST(NULL AS FLOAT) ELSE x END) AS embedding FROM emb"
+      sql: "SELECT label, transform(embedding, (x, i) -> CASE WHEN i = 3 THEN CAST(NULL AS FLOAT) WHEN (vec_id + i) % 7 = 0 THEN CAST(NULL AS FLOAT) ELSE x END) AS embedding FROM emb"
   - name: ag
     module: aggregation
     inputs: [px]
@@ -3033,7 +3037,7 @@ transforms:
     module: sql
     inputs: [ag]
     parameters:
-      sql: "SELECT label, array_join(transform(pooled_a, x -> CASE WHEN x IS NULL THEN NULL ELSE format_string('%.4f', round(x, 4) + 0.0d) END), ',') AS avg_r, array_join(transform(pooled_s, x -> CASE WHEN x IS NULL THEN NULL ELSE format_string('%.4f', round(x, 4) + 0.0d) END), ',') AS sum_r, n FROM ag"
+      sql: "SELECT label, array_join(transform(pooled_a, x -> CASE WHEN x IS NULL THEN NULL ELSE format_string('%.4f', round(x, 4) + 0.0d) END), ',', 'null') AS avg_r, array_join(transform(pooled_s, x -> CASE WHEN x IS NULL THEN NULL ELSE format_string('%.4f', round(x, 4) + 0.0d) END), ',', 'null') AS sum_r, n FROM ag"
 """),
 
     // bucketed interval join (method: interval, point mode): every
@@ -7712,7 +7716,10 @@ transforms:
     // per-position null-skipping mean + null-adds-nothing sum over
     // the deterministically masked embeddings (DuckDB's avg/sum
     // already skip nulls per group; subscripts are 1-based here vs
-    // Spark's 0-based lambda index, hence pos - 1)
+    // Spark's 0-based lambda index, hence pos - 1). Position 3's
+    // all-null mean renders as the literal 'null' on both sides —
+    // string_agg drops SQL NULLs, so the coalesce mirrors
+    // array_join's nullReplacement
     "q142_vector_pool_nulls" ->
       """WITH e AS (
            SELECT vec_id, label, unnest(embedding) AS v,
@@ -7720,7 +7727,8 @@ transforms:
            FROM embeddings WHERE embedding IS NOT NULL),
          m AS (
            SELECT label, pos,
-             CASE WHEN (vec_id + pos - 1) % 7 = 0 THEN NULL
+             CASE WHEN pos - 1 = 3 THEN NULL
+               WHEN (vec_id + pos - 1) % 7 = 0 THEN NULL
                ELSE CAST(v AS DOUBLE) END AS v
            FROM e),
          a AS (
@@ -7729,10 +7737,10 @@ transforms:
            FROM m GROUP BY 1, 2),
          p AS (
            SELECT label,
-             string_agg(printf('%.4f', round(mu, 4) + 0.0), ','
-               ORDER BY pos) AS avg_r,
-             string_agg(printf('%.4f', round(s, 4) + 0.0), ','
-               ORDER BY pos) AS sum_r
+             string_agg(coalesce(printf('%.4f', round(mu, 4) + 0.0),
+               'null'), ',' ORDER BY pos) AS avg_r,
+             string_agg(coalesce(printf('%.4f', round(s, 4) + 0.0),
+               'null'), ',' ORDER BY pos) AS sum_r
            FROM a GROUP BY 1),
          n AS (
            SELECT label, count(*) AS n FROM embeddings GROUP BY 1)

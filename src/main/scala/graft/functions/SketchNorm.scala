@@ -13,7 +13,17 @@ import org.apache.spark.sql.types._
   * built over doubles) silently report ~0 with no diagnostic.
   * Integral types render as longs; fractional values that are exact
   * integers strip the trailing ".0"; everything else keeps its
-  * natural string form. */
+  * natural string form.
+  *
+  * COMPATIBILITY: this normalization shipped in round 14 and CHANGED
+  * the sketch identity for fractional-typed columns (double 1.0 was
+  * previously rendered "1.0", now "1"). Theta/CMS sketches persisted
+  * by pre-r14 builds over float/double/decimal columns use the old
+  * rendering and carry no version marker — merging or intersecting
+  * one with a new sketch silently undercounts. Rebuild persisted
+  * sketches over fractional columns; sketches over string and
+  * integral columns are unaffected (their rendering never changed).
+  * README "Sketch identity" records the same contract. */
 object SketchNorm {
 
   def normalize(dt: DataType, value: Column): Column = dt match {

@@ -64,6 +64,13 @@ object ProfileTransform {
     val fractions = p.arrOf("percentiles").map(_.asDouble)
     fractions.foreach(f => require(f > 0.0 && f < 1.0,
       s"profile ${cfg.name}: percentile $f out of (0, 1)"))
+    // duplicate fractions (e.g. [0.5, 0.50]) would emit duplicate
+    // output column names — an ambiguous frame that breaks only at
+    // downstream select time; fail here with the offenders named
+    require(fractions.distinct.size == fractions.size,
+      s"profile ${cfg.name}: duplicate percentiles " +
+        fractions.groupBy(identity).collect {
+          case (v, vs) if vs.size > 1 => v }.mkString("[", ", ", "]"))
     val kllK = p.int("kllK").getOrElse(2048)
     def numeric(n: String): Boolean =
       df.schema(n).dataType.isInstanceOf[NumericType]

@@ -121,17 +121,41 @@ object TfIdfTransform {
             s"in inputs (${cfg.inputs.mkString(", ")})")
         val qdf = inputs(qname)
         val qid = p.str("queryIdField").getOrElse("query_id")
-        val qfield = p.str("queryField").getOrElse(field)
-        require(qdf.columns.contains(qid) &&
-          qdf.columns.contains(qfield),
-          s"tfidf ${cfg.name}: queries input needs $qid and " +
-            s"$qfield columns (got ${qdf.columns.mkString(", ")})")
+        require(qdf.columns.contains(qid),
+          s"tfidf ${cfg.name}: queries input needs a $qid column " +
+            s"(got ${qdf.columns.mkString(", ")})")
         require(qid != idField,
           s"tfidf ${cfg.name}: queryIdField must differ from " +
             s"idField ($idField) — both appear in the output")
-        val qToks = filter(transform(
-          split(col(qfield).cast(StringType), "\\s+"),
-          t => lower(t)), t => t =!= "")
+        // query terms must be produced the SAME way as corpus terms:
+        // when the corpus tokens came from tokensField (a tokenize
+        // module that may strip punctuation, stem, …) the default
+        // whitespace+lowercase split would silently miss corpus
+        // terms and retrieval would return partial results with no
+        // diagnostic — fail loudly instead (r14 advice)
+        val qTokensField = p.str("queryTokensField")
+        qTokensField.foreach { qt =>
+          require(qdf.columns.contains(qt) &&
+            qdf.schema(qt).dataType.isInstanceOf[ArrayType],
+            s"tfidf ${cfg.name}: queryTokensField $qt must be an " +
+              "array column on the queries input")
+        }
+        if (tokensField.isDefined && qTokensField.isEmpty)
+          throw new IllegalArgumentException(
+            s"tfidf ${cfg.name}: corpus terms come from tokensField " +
+              s"'${tokensField.get}' but the queries would be " +
+              "whitespace+lowercase split — query terms can silently " +
+              "miss corpus terms; set queryTokensField to an array " +
+              "column on the queries input tokenized the same way")
+        val qToks = qTokensField.map(col).getOrElse {
+          val qfield = p.str("queryField").getOrElse(field)
+          require(qdf.columns.contains(qfield),
+            s"tfidf ${cfg.name}: queries input needs a $qfield " +
+              s"column (got ${qdf.columns.mkString(", ")})")
+          filter(transform(
+            split(col(qfield).cast(StringType), "\\s+"),
+            t => lower(t)), t => t =!= "")
+        }
         val qTerms = qdf
           .select(col(qid).as("__qid"), explode(qToks).as("term"))
           .distinct()

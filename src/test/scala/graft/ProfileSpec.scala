@@ -86,5 +86,10 @@ class ProfileSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       profile("""{"percentiles": [1.5]}""", nums))
     assert(e.getMessage.contains("out of (0, 1)"))
+    // duplicate fractions would emit duplicate column names — an
+    // ambiguous frame that breaks only downstream; fail at build
+    val e2 = intercept[IllegalArgumentException](
+      profile("""{"percentiles": [0.5, 0.50]}""", nums))
+    assert(e2.getMessage.contains("duplicate percentiles"))
   }
 }

@@ -110,4 +110,28 @@ class TfIdfSpec extends AnyFunSuite {
       (m((2L, "a"))._3 + m((2L, "c"))._3)) < 1e-12)
     assert(math.abs(q10(1)._3 - m((1L, "a"))._3) < 1e-12)
   }
+
+  test("retrieval with tokensField requires matching query tokens " +
+      "(silent term-mismatch guard), queryTokensField path works") {
+    val corpus = Seq((1L, Seq("a!", "b")), (2L, Seq("a!", "c")))
+      .toDF("doc_id", "toks")
+    val queries = Seq((10L, Seq("a!"))).toDF("query_id", "qtoks")
+    def run(params: String) = Pipeline.transforms("tfidf")(spark,
+      Pipeline.ModuleCfg("ti", "tfidf", Seq("in", "q"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("in" -> corpus, "q" -> queries))("ti")
+    // corpus tokenized externally + default query split would
+    // silently miss terms ("a!" lowercase-splits to "a!") → loud
+    val e = intercept[IllegalArgumentException](run(
+      """{"idField": "doc_id", "tokensField": "toks",
+         "queriesInput": "q"}"""))
+    assert(e.getMessage.contains("queryTokensField"))
+    // same tokenization on both sides: both docs contain "a!"
+    val out = run(
+      """{"idField": "doc_id", "tokensField": "toks",
+         "queriesInput": "q", "queryTokensField": "qtoks",
+         "topK": 5}""")
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
 }
