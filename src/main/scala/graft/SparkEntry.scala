@@ -3423,6 +3423,53 @@ transforms:
       sql: "SELECT lid, right_rid AS rid, CAST(score AS INT) AS score FROM jn"
 """),
 
+    // fuzzy join with the TOKEN-SET measure — word-reordered names
+    // ("ring small" vs "small ring") that every edit-distance
+    // measure scores far apart. Left = sampled part names, right =
+    // the same names token-REVERSED plus disjoint-sample noise;
+    // token_jaccard over the ngram blocker recovers exactly the
+    // equal-token-set pairs. maxBucket is effectively unbounded so
+    // candidates ⊇ matches by construction (equal sets share every
+    // gram) and the oracle stays a plain list-intersection join;
+    // the hot-gram cap is pinned separately (q154, JoinSpec).
+    // Jaccard of ≤ 4-token sets takes no value in (0.875, 1), so
+    // threshold 0.995 selects exactly the score-1 pairs
+    "q156_fuzzy_token" -> pipe("out", """
+sources:
+  - name: part
+    module: storage
+    parameters: {path: "${dir}/part.parquet"}
+transforms:
+  - name: lf
+    module: sql
+    inputs: [part]
+    parameters:
+      sql: "SELECT p_partkey AS lid, p_name AS name FROM part WHERE p_partkey % 29 = 0"
+  - name: rf
+    module: sql
+    inputs: [part]
+    parameters:
+      sql: "SELECT p_partkey AS rid, concat_ws(' ', reverse(split(p_name, ' '))) AS name FROM part WHERE p_partkey % 29 = 0 UNION ALL SELECT p_partkey AS rid, p_name AS name FROM part WHERE p_partkey % 31 = 7"
+  - name: jn
+    module: join
+    inputs: [lf, rf]
+    parameters:
+      method: fuzzy
+      leftOn: name
+      measure: token_jaccard
+      threshold: 0.995
+      blocker: ngram
+      blockLength: 3
+      maxBucket: 1000000
+      leftId: lid
+      rightId: rid
+  - name: out
+    module: sql
+    inputs: [jn]
+    parameters:
+      sql: "SELECT lid, right_rid AS rid, CAST(round(score * 10000) AS BIGINT) AS score_m FROM jn"
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -7854,6 +7901,31 @@ transforms:
     // copyfile roundtrip is lossless → identity oracle
     "q155_copyfile" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+
+    // plain list-intersection Jaccard over every (left, right) pair —
+    // the blocked candidate plumbing needs no replay because the
+    // gate's maxBucket is unbounded and equal token sets always
+    // share a gram, so candidates ⊇ matches by construction
+    "q156_fuzzy_token" ->
+      """WITH l AS (
+           SELECT p_partkey AS lid,
+             list_distinct(string_split(p_name, ' ')) AS t
+           FROM part WHERE p_partkey % 29 = 0),
+         r AS (
+           SELECT p_partkey AS rid,
+             list_distinct(list_reverse(string_split(p_name, ' '))) AS t
+           FROM part WHERE p_partkey % 29 = 0
+           UNION ALL
+           SELECT p_partkey AS rid,
+             list_distinct(string_split(p_name, ' ')) AS t
+           FROM part WHERE p_partkey % 31 = 7),
+         j AS (
+           SELECT lid, rid,
+             CAST(len(list_intersect(l.t, r.t)) AS DOUBLE) /
+               len(list_distinct(list_concat(l.t, r.t))) AS score
+           FROM l, r)
+         SELECT lid, rid, CAST(round(score * 10000) AS BIGINT) AS score_m
+         FROM j WHERE score >= 0.995""",
 
     // the fixture endpoint is a pure function of the key
     "q152_http_select" ->

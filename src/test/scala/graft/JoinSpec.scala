@@ -145,6 +145,58 @@ class JoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("leftId"))
   }
 
+  test("token_jaccard matches word-reordered names that edit " +
+      "distance misses; empty/null token sets never match") {
+    val l = Seq((1L, "john smith"), (2L, "acme corp ltd"), (3L, ""),
+      (4L, null: String)).toDF("lid", "name")
+    val r = Seq((10L, "smith john"), (11L, "acme ltd"), (12L, ""))
+      .toDF("rid", "name")
+    val out = join(
+      """{"method":"fuzzy","leftOn":"name","measure":"token_jaccard",
+         "threshold":0.6,"blocker":"ngram","leftId":"lid",
+         "rightId":"rid"}""", l, r)
+      .select("lid", "right_rid", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    // reordered tokens score 1.0; {acme,corp,ltd}∩{acme,ltd} = 2/3;
+    // empty-vs-empty is 0/0 → null → no match
+    assert(out == Set((1L, 10L, 1.0), (2L, 11L, 2.0 / 3.0)))
+    // the same pair under levenshtein scores far apart — the reorder
+    // fixture provably separates the measures
+    val lev = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":2,
+         "blocker":"ngram","leftId":"lid","rightId":"rid"}""", l, r)
+      .select("lid", "right_rid").as[(Long, Long)].collect().toSet
+    assert(!lev.contains((1L, 10L)))
+  }
+
+  test("inner fuzzy verify evaluates the measure exactly once in " +
+      "the plan (post-join projection, not the join condition)") {
+    val l = Seq((1L, "gadget-alpha")).toDF("lid", "name")
+    val r = Seq((10L, "gadget-alphX")).toDF("rid", "name")
+    def levCount(how: String): Int = {
+      val plan = join(
+        s"""{"method":"fuzzy","leftOn":"name","threshold":2,
+            "blockLength":4,"how":"$how"}""", l, r)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      "levenshtein".r.findAllIn(plan).length
+    }
+    assert(levCount("inner") == 1,
+      "inner verify must not duplicate into the join condition")
+    // ngram path: also a single evaluation
+    val ng = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":2,
+         "blocker":"ngram","leftId":"lid","rightId":"rid"}""", l, r)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert("levenshtein".r.findAllIn(ng).length == 1)
+    // and the result is unchanged
+    val out = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":2,
+         "blockLength":4}""", l, r)
+      .select("lid", "right_rid", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 10L, 1.0)))
+  }
+
   test("how=left single-replica paths run a direct left join: map " +
       "columns survive, null axes and null names stay unmatched") {
     import org.apache.spark.sql.functions.{map, lit}
