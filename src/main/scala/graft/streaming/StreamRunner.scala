@@ -494,6 +494,20 @@ object StreamRunner {
       strategy: com.fasterxml.jackson.databind.JsonNode)
       : StreamingQuery = {
     requirePaneSink(cfg)
+    // the exact-pane trigger bookkeeping (fired windows, frontier,
+    // per-window ordinals) is keyed on a window's END, which for
+    // fixed/sliced-sliding windows is immutable. A session window's
+    // end EXTENDS as elements arrive and sessions merge, so an
+    // extended session would read as a brand-new window — re-firing
+    // onTime panes and corrupting ordinals. Silent wrong panes are
+    // worse than a loud gap: fail with the alternative named.
+    strategy("window").flatMap(_.str("type")).foreach(wt =>
+      require(wt != "session",
+        s"${cfg.name}: exactPanes does not support session windows " +
+          "(a session's identity — its end — extends as elements " +
+          "arrive and sessions merge, so end-keyed pane bookkeeping " +
+          "would re-fire closed panes) — drop exactPanes to use the " +
+          "stateful session aggregation, or use fixed/sliding windows"))
     val recipe = PaneRecipes.lookup(df).getOrElse(
       throw new IllegalArgumentException(
         "exactPanes accumulating requires the pane sink to read a " +

@@ -1120,6 +1120,87 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  /** afterFirst with LATE data (sanctioned §7.4 reduction): children
+    * tie on processing-time delay so the engine keeps the FIRST
+    * child — the afterWatermark trigger with its lateFiringTrigger —
+    * which is also what Beam's AfterFirst delivers here: the
+    * disjunction fires whenever EITHER child would, and after the
+    * frontier passes a window only the afterWatermark child's late
+    * firing reacts to a straggler (the count-100 child stays below
+    * threshold forever). So the pinned sequence gains exactly one
+    * LATE pane for the refined window, then the closing ON_TIME pane
+    * folds the late row in — identical reasoning to the afterEach
+    * late pin, because both reductions land on the same child. */
+  test("afterFirst late pane sequence: the watermark child's late " +
+      "firing owns post-frontier refinements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-firstlate")
+      .toString
+    // frontier after b1 = 18:00 (event at 13:00 in [12,18h)); the
+    // watermark 13:00 - 8h = 05:00 keeps [0,6h) open for late rows
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 46800L, 1.0)))
+    StreamRunner.paneStore.remove("firstlatepanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 8}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: firstlatepanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterFirst
+      |        childrenTriggers:
+      |          - type: afterWatermark
+      |            earlyFiringTrigger:
+      |              {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |            lateFiringTrigger:
+      |              {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |          - {type: afterPane, elementCountAtLeast: 100}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def panes(tag: String): List[org.apache.spark.sql.Row] =
+      StreamRunner.paneStore.get("firstlatepanes").toList
+        .filter(_._1 == tag).map(_._2)
+    def winStart(r: org.apache.spark.sql.Row): Long =
+      r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").getTime / 1000
+    // batch 1: early panes for both windows at n=1
+    assert(panes("early").map(winStart).toSet == Set(0L, 43200L))
+    assert(panes("early").forall(_.getAs[Long]("n") == 1L))
+    assert(panes("late").isEmpty && panes("onTime").isEmpty)
+    // batch 2: a 02:00 straggler refines [0,6h) after the frontier
+    // passed it → exactly one LATE pane (Beam: the disjunction fires
+    // because the afterWatermark child's late firing does)
+    stageParquet(dir, "b2", Seq((3L, 7200L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("late").map(r => (winStart(r),
+      r.getAs[Long]("n"))) == List((0L, 2L)))
+    assert(!panes("early").exists(r => winStart(r) == 0L &&
+      r.getAs[Long]("n") == 2L))
+    // batch 3 at 15:00 pushes the watermark to 07:00: [0,6h) closes
+    // with the late row folded in
+    stageParquet(dir, "b3", Seq((4L, 54000L, 1.0)))
+    StreamRunner.drainAll()
+    assert(panes("onTime").map(r => (winStart(r),
+      r.getAs[Long]("n"))) == List((0L, 2L)))
+    StreamRunner.stopAll()
+  }
+
   /** Beam `AfterAll(t1, t2)` fires only when ALL children have; the
     * engine's documented reduction keeps the child that fires LAST —
     * here the count trigger — so the pinned sequence is gated until
@@ -1170,6 +1251,78 @@ class StreamingSpec extends AnyFunSuite {
     stageParquet(dir, "b2", Seq((2L, 3700L, 1.0)))
     StreamRunner.drainAll()
     assert(aseq() == List(2L))
+    StreamRunner.stopAll()
+  }
+
+  /** afterAll with LATE data (sanctioned §7.4 reduction): the engine
+    * keeps the count child, and the count gate holds ACROSS the
+    * frontier passing the window — a straggler that lifts the count
+    * over the threshold fires the pane then, which is exactly Beam's
+    * conjunction: the processing-time child fired long ago, so
+    * AfterAll fires the moment the count child does, and Beam's
+    * PaneInfo would stamp that firing LATE (it is behind the
+    * frontier, inside allowedLateness). The documented divergence of
+    * the afterPane reduction is that the engine's pane rows carry
+    * the flat `pane` tag rather than PaneInfo timing — the firing
+    * SEQUENCE (nothing before threshold, exactly one pane with the
+    * late row folded in, nothing more) is what this pins. */
+  test("afterAll late pane sequence: the count gate holds across " +
+      "the frontier and fires on the late straggler") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alllate")
+      .toString
+    // [0,6h) gets ONE element; the 13:00 element drives the
+    // watermark to 05:00 (allowedLateness 8), keeping [0,6h) open
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 46800L, 1.0)))
+    StreamRunner.paneStore.remove("alllatepanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 6, allowedLateness: 8}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: alllatepanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      trigger:
+      |        type: afterAll
+      |        childrenTriggers:
+      |          - {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |          - {type: afterPane, elementCountAtLeast: 2, countField: n}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def apanes(): List[(Long, Long)] =
+      StreamRunner.paneStore.get("alllatepanes") match {
+        case null => Nil
+        case buf => buf.toList.map(_._2).map(r =>
+          (r.getAs[org.apache.spark.sql.Row]("window")
+            .getAs[java.sql.Timestamp]("start").getTime / 1000,
+            r.getAs[Long]("n")))
+      }
+    // both windows below the count threshold: nothing fires, even
+    // though the processing-time child has "fired" (Beam: the
+    // conjunction waits for ALL children)
+    assert(apanes().isEmpty)
+    // the 02:00 straggler lands behind the frontier but inside
+    // allowedLateness: count reaches 2 → the conjunction fires now
+    stageParquet(dir, "b2", Seq((3L, 7200L, 1.0)))
+    StreamRunner.drainAll()
+    assert(apanes() == List((0L, 2L)))
+    // the [12,18h) window stays below threshold forever: no pane
+    assert(!apanes().exists(_._1 == 43200L))
     StreamRunner.stopAll()
   }
 
@@ -1349,6 +1502,48 @@ class StreamingSpec extends AnyFunSuite {
     * (not just values) is identical across a kill/restart: a window
     * that closed before the crash stays closed instead of re-firing
     * `early`, and pre-restart store slices keep compacting. */
+  test("exactPanes rejects session windows loudly (end-keyed pane " +
+      "bookkeeping cannot track merging sessions)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-accsx")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: accumulating
+      |      exactPanes: true
+      |      timestampField: ts
+      |      window: {type: session, unit: hour, gap: 1}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |sinks:
+      |  - name: spanes
+      |    module: memory
+      |    input: agg
+      |    parameters: {checkpointLocation: $dir/ckpt}
+      |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      try Pipeline.execute(spark, config)
+      finally StreamRunner.stopAll())
+    assert(e.getMessage.contains("session windows"), e.getMessage)
+    assert(e.getMessage.contains("drop exactPanes"), e.getMessage)
+  }
+
   test("exactPanes restart: trigger state restores — closed windows " +
       "stay closed and pre-restart slices still compact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-accr")
