@@ -3267,6 +3267,71 @@ transforms:
         - {name: component, type: int64}
 """),
 
+    // entity-resolution SURVIVORSHIP — the read after q147's
+    // canonical ids: ONE canonical record per component, each field
+    // surviving by its own rule (reference argmax semantics,
+    // `ArgMax.java:241`): name by source priority (original source
+    // outranks mutants, rid tie-break makes the comparator unique),
+    // segment by recency (a synthesized updated stamp under which
+    // mutant 1 is newest for odd keys, mutant 2 for even), balance
+    // by plain max, n = cluster size. Components replay as
+    // rid % 1e6 in the oracle because each cluster is a 3-clique
+    // whose min id is the original custkey (the q147 construction)
+    "q157_survivorship" -> pipe("out", """
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "${dir}/customer.parquet"}
+transforms:
+  - name: catalog
+    module: sql
+    inputs: [cust]
+    parameters:
+      sql: "SELECT c_custkey AS rid, c_name AS name, c_mktsegment AS seg, c_acctbal AS bal, 3 AS src, 1000 + c_custkey AS updated FROM cust UNION ALL SELECT c_custkey + 1000000 AS rid, concat('X', substr(c_name, 2)) AS name, concat('M1-', c_mktsegment) AS seg, c_acctbal + 10.0 AS bal, 2 AS src, 2000000 + c_custkey + (c_custkey % 2) * 2000000 AS updated FROM cust UNION ALL SELECT c_custkey + 2000000 AS rid, concat(substr(c_name, 1, 1), 'Y', substr(c_name, 3)) AS name, concat('M2-', c_mktsegment) AS seg, c_acctbal - 5.0 AS bal, 1 AS src, 3000000 + c_custkey AS updated FROM cust"
+  - name: pairs
+    module: join
+    inputs: [catalog, catalog]
+    parameters:
+      method: fuzzy
+      leftOn: name
+      rightOn: name
+      measure: levenshtein
+      threshold: 2
+      blocker: suffix
+      blockLength: 6
+  - name: edges
+    module: sql
+    inputs: [pairs]
+    parameters:
+      sql: "SELECT rid AS src, right_rid AS dst FROM pairs WHERE rid < right_rid"
+  - name: comp
+    module: graph
+    inputs: [edges]
+    parameters: {method: connectedComponents, srcField: src, dstField: dst}
+  - name: labeled
+    module: sql
+    inputs: [comp, catalog]
+    parameters:
+      sql: "SELECT c.component, g.name, g.seg, g.bal, g.src, g.rid, g.updated FROM comp c JOIN catalog g ON c.vertex = g.rid"
+  - name: surv
+    module: aggregation
+    inputs: [labeled]
+    parameters:
+      groupFields: [component]
+      aggregations:
+        - input: labeled
+          fields:
+            - {name: name_s, op: argmax, field: name, comparingExpression: "src * 10000000 + rid"}
+            - {name: seg_s, op: argmax, field: seg, comparingField: updated}
+            - {name: bal_s, op: max, field: bal}
+            - {name: n, op: count}
+  - name: out
+    module: sql
+    inputs: [surv]
+    parameters:
+      sql: "SELECT CAST(component AS BIGINT) AS component, name_s, seg_s, format_string('%.2f', round(bal_s, 2) + 0.0d) AS bal_s, n FROM surv"
+"""),
+
     // corpus-overlap ESTIMATE — the composed pre-dedup triage read:
     // theta sketches OVER the winnow fingerprint indexes of two
     // corpus slices answer "how much shared content, is cross-dedup
@@ -7863,6 +7928,35 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // per-field survivorship over the replayed catalog: components
+    // shortcut to rid % 1e6 (each cluster is a 3-clique whose min id
+    // is the original custkey — the q147 oracle's own argument), so
+    // the oracle is a plain arg_max group-by with the engine's exact
+    // comparators (both unique: no tie to break)
+    "q157_survivorship" ->
+      """WITH catalog AS (
+           SELECT c_custkey AS rid, c_name AS name,
+             c_mktsegment AS seg, c_acctbal AS bal, 3 AS src,
+             1000 + c_custkey AS updated
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, 'X' || substr(c_name, 2),
+             'M1-' || c_mktsegment, c_acctbal + 10.0, 2,
+             2000000 + c_custkey + (c_custkey % 2) * 2000000
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 2000000,
+             substr(c_name, 1, 1) || 'Y' || substr(c_name, 3),
+             'M2-' || c_mktsegment, c_acctbal - 5.0, 1,
+             3000000 + c_custkey
+           FROM customer)
+         SELECT CAST(rid % 1000000 AS BIGINT) AS component,
+           arg_max(name, src * 10000000 + rid) AS name_s,
+           arg_max(seg, updated) AS seg_s,
+           printf('%.2f', round(max(bal), 2) + 0.0) AS bal_s,
+           count(*) AS n
+         FROM catalog GROUP BY 1""",
 
     // gram inventory, per-side <=64 caps, distinct candidate pairs,
     // levenshtein verify — the full ngram blocker replay
