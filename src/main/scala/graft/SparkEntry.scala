@@ -5089,6 +5089,78 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // the STREAMING interval join — q143's click-in-purchase-window
+    // enrichment with the clicks arriving as a file stream against
+    // the static binned windows. The stream-static equi-join on
+    // (user, bin) is STATELESS (no watermark, no retained state;
+    // each micro-batch joins independently), so draining the stream
+    // must land on exactly the q143 batch oracle
+    "q158_interval_stream" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q158_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      // two staged batches (even then odd event ids) prove the
+      // cross-batch claim: a stateless join's drained union must
+      // equal the batch join of the union
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(n: Int, cond: String): Unit = {
+        val tmp = base.resolve(s"tmp$n").toString
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
+        ()
+      }
+      stage(1, "event_id % 2 = 0")
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+  - name: evb
+    module: storage
+    parameters: {path: "$dir/events.parquet"}
+transforms:
+  - name: clicks
+    module: filter
+    inputs: [ev]
+    parameters:
+      filter: [{key: event_type, op: "=", value: click}]
+  - name: windows
+    module: sql
+    inputs: [evb]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evb WHERE event_type = 'purchase'"
+  - name: jn
+    module: join
+    inputs: [clicks, windows]
+    parameters:
+      method: interval
+      by: [user_id]
+      leftOn: ts
+      rightStart: s
+      rightEnd: e
+      binWidth: 1h
+  - name: sel
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: window_id, field: right_wid, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stage(2, "event_id % 2 = 1")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.2 bucketed catalog tables: both join sides written bucketBy
     // the join key (the co-located-join lever — BucketSpec pins the
     // zero-exchange plan shape; here the VALUES go through the
@@ -7928,6 +8000,18 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // the drained stream must land on the batch join exactly —
+    // same oracle as q143
+    "q158_interval_stream" ->
+      """SELECT c.event_id,
+           CAST(p.wid AS BIGINT) AS window_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT event_id AS wid, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+               FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
 
     // per-field survivorship over the replayed catalog: components
     // shortcut to rid % 1e6 (each cluster is a 3-clique whose min id

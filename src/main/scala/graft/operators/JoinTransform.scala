@@ -63,6 +63,17 @@ import org.apache.spark.sql.types._
   * post-join projection and verified as a filter on that column.
   * `lowercase: true` trims + lowercases both sides before blocking
   * and measuring.
+  *
+  * STREAMING: `method: interval` accepts a streaming LEFT against a
+  * static right — the shape streams genuinely need (enrich live
+  * events against recent intervals). The bin program is per-row and
+  * the equi-join is stream-static, so the whole operator is
+  * STATELESS: no watermark, no retained state, each micro-batch
+  * joins independently (the state-bound story is "zero state").
+  * Overlap mode streams too, except `how: left` (its completion
+  * anti-joins the exploded left — impossible on a stream). A
+  * streaming RIGHT and streaming fuzzy joins fail loudly: both
+  * would need cross-batch state Spark cannot bound here.
   */
 object JoinTransform {
 
@@ -79,9 +90,6 @@ object JoinTransform {
     val p = cfg.params
     val l = inputs(cfg.inputs(0))
     val r = inputs(cfg.inputs(1))
-    require(!l.isStreaming && !r.isStreaming,
-      s"join ${cfg.name}: interval/fuzzy joins are batch-only — " +
-        "window the stream into batch stages first")
     for (df <- Seq(l, r); c <- df.columns if reserved(c))
       throw new IllegalArgumentException(
         s"join ${cfg.name}: input column '$c' collides with an " +
@@ -89,6 +97,25 @@ object JoinTransform {
     val method = p.str("method").getOrElse(
       throw new IllegalArgumentException(
         s"join ${cfg.name}: method required (interval, fuzzy)"))
+    // streaming support is the INTERVAL join with a STATIC right —
+    // a stream-static equi-join on (by…, bin) is completely
+    // STATELESS (each micro-batch joins its rows against the static
+    // binned intervals; nothing is retained across batches), so
+    // there is no state bound to size. The two shapes that would
+    // need cross-batch state fail loudly instead of silently
+    // approximating: a streaming RIGHT (stream-stream state
+    // eviction needs the range condition on raw event-time columns,
+    // not the bin equality, for Spark to derive watermark-based
+    // cleanup), and fuzzy joins (blocking + candidate dedup is
+    // stateful by construction).
+    require(!r.isStreaming,
+      s"join ${cfg.name}: a streaming right side is unsupported — " +
+        "make the right side static (stream-static joins are " +
+        "stateless) or window both streams into batch stages first")
+    if (l.isStreaming) require(method == "interval",
+      s"join ${cfg.name}: only interval joins support a streaming " +
+        "left (fuzzy blocking needs cross-batch candidate state) — " +
+        "window the stream into batch stages first")
     val how = p.str("how").getOrElse("inner")
     require(Set("inner", "left")(how),
       s"join ${cfg.name}: how=$how (valid: inner, left)")
@@ -190,6 +217,14 @@ object JoinTransform {
     require(overlap || p.str("leftOn").isDefined,
       s"$name: leftOn (point mode) or leftStart/leftEnd (overlap " +
         "mode) required")
+    // the exploded-left overlap completion persists the inner frame
+    // and anti-joins the left against it — both impossible on a
+    // stream; every other combination (point inner/left, overlap
+    // inner) is a stateless stream-static join
+    require(!(l.isStreaming && overlap && how == "left"),
+      s"$name: how: left in overlap mode needs the exploded-left " +
+        "anti-join completion, which cannot run on a stream — use " +
+        "how: inner, point mode, or batch stages")
     for (k <- by) {
       require(l.columns.contains(k), s"$name: by key '$k' not in left")
       require(r.columns.contains(k), s"$name: by key '$k' not in right")

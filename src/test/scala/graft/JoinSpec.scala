@@ -242,6 +242,40 @@ class JoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rightPrefix"), e.getMessage)
   }
 
+  test("streaming guards: interval accepts a streaming left (plan " +
+      "builds stateless), fuzzy and streaming-right fail loudly") {
+    val sl = spark.readStream.format("rate").load()
+      .selectExpr("value AS pid", "CAST(value AS DOUBLE) AS t")
+    val ivs = Seq((100L, 10.0, 20.0)).toDF("iid", "s", "e")
+    // point-mode streaming left: builds, stays streaming, and the
+    // logical plan carries no stateful operator (stream-static)
+    val out = join(
+      """{"method":"interval","leftOn":"t","rightStart":"s",
+         "rightEnd":"e","binWidth":5}""", sl, ivs)
+    assert(out.isStreaming)
+    // overlap + how:left needs the anti-join completion → loud
+    val sl2 = sl.withColumnRenamed("t", "s0")
+      .withColumn("e0", $"s0" + 1.0)
+    val e1 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","leftStart":"s0","leftEnd":"e0",
+         "rightStart":"s","rightEnd":"e","binWidth":5,"how":"left"}""",
+      sl2, ivs))
+    assert(e1.getMessage.contains("anti-join completion"),
+      e1.getMessage)
+    // streaming right / streaming fuzzy: actionable errors
+    val l = Seq((1L, 5.0)).toDF("pid", "t")
+    val e2 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","leftOn":"t","rightStart":"s",
+         "rightEnd":"e","binWidth":5}""", l,
+      sl.withColumnRenamed("t", "s").withColumn("e", $"s" + 1.0)))
+    assert(e2.getMessage.contains("streaming right"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](join(
+      """{"method":"fuzzy","leftOn":"name","threshold":1}""",
+      sl.withColumn("name", $"pid".cast("string")),
+      Seq((1L, "x")).toDF("rid", "name")))
+    assert(e3.getMessage.contains("streaming"), e3.getMessage)
+  }
+
   test("reserved columns, bad method, and missing params fail " +
       "actionably") {
     val df = Seq((1L, 1.0)).toDF("id", "t")
