@@ -351,6 +351,33 @@ object ScaleMain {
           Json.obj()),
         Map("l" -> mut, "r" -> c0.select("c_custkey", "c_name")))("fj")
     }
+    // token_jaccard over the ngram blocker: replicated token-
+    // REORDERED part-name sample against the unreplicated original
+    // sample (the q156 construction — part names draw from a ~90
+    // word vocabulary, so UNsampled sides make every gram bucket
+    // hot: the documented degenerate case the bucket cap exists
+    // for). Candidates are ids-only and linear in the left count;
+    // the set-intersection verify runs once per candidate (the
+    // single-eval projection), so wall time tracks the left count
+    time("fuzzy-token") {
+      val p0 = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+        .filter(col("p_partkey") % 29 === 0)
+        .select(col("p_partkey"), col("p_name"))
+      val rev = p0.crossJoin(
+          spark.range(mult).withColumnRenamed("id", "__c"))
+        .select((col("p_partkey") * mult + col("__c") + 1000000)
+            .as("m_id"),
+          expr("concat_ws(' ', reverse(split(p_name, ' ')))")
+            .as("m_name"))
+      graft.operators.JoinTransform.build(spark,
+        ModuleCfg("tj", "join", Seq("l", "r"), Nil, Json.parse(
+          """{"method":"fuzzy","leftOn":"m_name","rightOn":"p_name",
+             "measure":"token_jaccard","threshold":0.995,
+             "blocker":"ngram","blockLength":3,"maxBucket":1000000,
+             "leftId":"m_id","rightId":"p_partkey"}"""),
+          Json.obj()),
+        Map("l" -> rev, "r" -> p0))("tj")
+    }
     time("textAnalysis") {
       graft.operators.TextAnalysisTransform.build(spark,
         ModuleCfg("ta", "textAnalysis", Seq("d"), Nil, Json.parse(
