@@ -5161,6 +5161,74 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // HTTP server mode driven END-TO-END (previously unit-only):
+    // a real loopback POST /run executes a config on the shared
+    // session — the reference's MPipelineServer lifecycle — and the
+    // sink's parquet output is compared against a plain oracle
+    "q159_server" -> ((s: SparkSession, dir: String) => {
+      val srv = Server.start(s, 0)
+      try {
+        val port = srv.getAddress.getPort
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q159_").resolve("out").toString
+        val cfg = s"""
+sources:
+  - name: cust
+    module: storage
+    parameters: {path: "$dir/customer.parquet"}
+transforms:
+  - name: flt
+    module: filter
+    inputs: [cust]
+    parameters:
+      filter: [{key: c_acctbal, op: ">", value: 9000}]
+sinks:
+  - name: sk
+    module: storage
+    input: flt
+    parameters: {output: "$out", format: parquet}
+"""
+        val url = java.net.URI
+          .create(s"http://127.0.0.1:$port/run").toURL
+        val conn = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          cfg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        conn.getOutputStream.close()
+        val code = conn.getResponseCode
+        val body = new String(
+          (if (code == 200) conn.getInputStream
+           else conn.getErrorStream).readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(code == 200, s"POST /run -> $code: ${body.take(300)}")
+        s.read.parquet(out)
+          .selectExpr("c_custkey", "c_name",
+            "format_string('%.2f', round(c_acctbal, 2) + 0.0d) AS bal")
+      } finally srv.stop(0)
+    }),
+
+    // reshuffle (the reference's fusion break, kept as explicit
+    // shard control) is a VALUES no-op by contract — driver-gated
+    // as an identity through a repartition on (key, 8 partitions)
+    "q160_reshuffle" -> pipe("out", """
+sources:
+  - name: ord
+    module: storage
+    parameters: {path: "${dir}/orders.parquet"}
+transforms:
+  - name: rs
+    module: reshuffle
+    inputs: [ord]
+    parameters: {fields: [o_custkey], numPartitions: 8}
+  - name: out
+    module: sql
+    inputs: [rs]
+    parameters:
+      sql: "SELECT o_orderkey, o_custkey, o_orderstatus FROM rs"
+"""),
+
     // §2.2 bucketed catalog tables: both join sides written bucketBy
     // the join key (the co-located-join lever — BucketSpec pins the
     // zero-exchange plan shape; here the VALUES go through the
@@ -8000,6 +8068,16 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // the server executed the same filter the oracle states
+    "q159_server" ->
+      """SELECT c_custkey, c_name,
+           printf('%.2f', round(c_acctbal, 2) + 0.0) AS bal
+         FROM customer WHERE c_acctbal > 9000""",
+
+    // reshuffle is a values no-op: identity oracle
+    "q160_reshuffle" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders""",
 
     // the drained stream must land on the batch join exactly —
     // same oracle as q143
