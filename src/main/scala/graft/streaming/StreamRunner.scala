@@ -179,6 +179,37 @@ object StreamRunner {
       Some(col("window_start")) // calendar windows: start stands in
     else None
 
+  /** The batch re-aggregation the pane engines run renders SIMPLE
+    * calendar buckets as a SCALAR start timestamp aliased `window`
+    * (the batch group column — gates read it as a date), while pane
+    * frontier/fired/ordinal bookkeeping keys on `window.end`.
+    * Rebuild the {start, end} struct from the strategy's calendar
+    * unit; window shapes whose end the strategy cannot derive
+    * (anchored / N-unit calendar) fail loudly rather than mis-key
+    * panes. Fixed/sliding/session re-aggregations already emit the
+    * struct and pass through untouched. */
+  private def paneReAgg(cfg: ModuleCfg,
+      strategy: com.fasterxml.jackson.databind.JsonNode,
+      recipe: PaneRecipes.Recipe): DataFrame => DataFrame = {
+    val calEnd = Strategy.calendarBucketEndFor(strategy)
+    df0 => {
+      val df = recipe.reAgg(df0)
+      if (!df.columns.contains("window") ||
+          df.schema("window").dataType
+            .isInstanceOf[org.apache.spark.sql.types.StructType]) df
+      else calEnd match {
+        case Some(endOf) => df.withColumn("window",
+          struct(col("window").as("start"),
+            endOf(col("window")).as("end")))
+        case None => throw new IllegalArgumentException(
+          s"${cfg.name}: pane multiplexing cannot derive window " +
+            "ends for this window shape (anchored or N-unit " +
+            "calendar) — use a simple calendar unit, fixed/sliding " +
+            "windows, or a plain trigger")
+      }
+    }
+  }
+
   /** Beam `AfterWatermark.pastEndOfWindow().withEarlyFirings(...)
     * [.withLateFirings(...)]` approximation
     * (`module/Strategy.java:276-297`), pane timing keyed on the
@@ -295,7 +326,7 @@ object StreamRunner {
       .option("checkpointLocation", ckpt + "/discarding")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val agged = recipe.reAgg(batch)
+          val agged = paneReAgg(cfg, strategy, recipe)(batch)
           windowEndCol(agged) match {
             case None => // global window: every firing is early
               paneWriter(cfg, "early")(agged, id)
@@ -673,8 +704,9 @@ object StreamRunner {
           batch.write.mode("overwrite")
             .parquet(storeDir + s"/__gbatch=$batchId")
           val stored = spark.read.parquet(storeDir).drop("__gbatch")
-          val aggedAll = recipe.reAgg(stored)
-          val touched = recipe.reAgg(batch)
+          val reAgg = paneReAgg(cfg, strategy, recipe)
+          val aggedAll = reAgg(stored)
+          val touched = reAgg(batch)
           windowEndCol(aggedAll) match {
             case None =>
               // global window: every firing is a cumulative early pane

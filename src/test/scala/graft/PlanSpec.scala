@@ -316,4 +316,48 @@ class PlanSpec extends AnyFunSuite {
       "fuzzy verify planned as all-pairs:\n" + p)
     assert(p.contains("__blk"), "block key missing from plan")
   }
+
+  test("q156 token_jaccard join: candidates are ids-only equi-joins, " +
+      "the set measure evaluated once above them") {
+    val p = plan("q156_fuzzy_token")
+    assert(!p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"),
+      "token verify planned as all-pairs:\n" + p)
+    assert(p.contains("__lid") && p.contains("__rid"),
+      "ids-only candidate columns missing from plan")
+    // single post-join evaluation: the intersect appears once, not
+    // duplicated into a join condition
+    assert("array_intersect".r.findAllIn(p).length == 1,
+      "set measure duplicated into the join condition:\n" + p)
+  }
+
+  test("q158 streaming interval join plans stateless: stream-static " +
+      "join, no state store operator") {
+    // build the join module directly on a rate stream (the gate's
+    // file-stream twin): the analyzed streaming plan must contain
+    // no stateful operator — each micro-batch joins independently
+    import org.apache.spark.sql.functions._
+    val sl = spark.readStream.format("rate").load()
+      .select(col("value").as("event_id"),
+        (col("value") % 5).as("user_id"),
+        col("timestamp").as("ts"))
+    val wins = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("wid"), col("user_id"),
+        col("ts").cast("timestamp").as("s"),
+        expr("ts + INTERVAL 2 HOUR").cast("timestamp").as("e"))
+    val out = graft.operators.JoinTransform.build(spark,
+      graft.Pipeline.ModuleCfg("ij", "join", Seq("l", "r"), Nil,
+        graft.config.Json.parse(
+          """{"method":"interval","by":["user_id"],"leftOn":"ts",
+             "rightStart":"s","rightEnd":"e","binWidth":"1h"}"""),
+        graft.config.Json.obj()),
+      Map("l" -> sl, "r" -> wins))("ij")
+    assert(out.isStreaming)
+    val lp = out.queryExecution.analyzed.toString
+    assert(!lp.contains("FlatMapGroupsWithState") &&
+      !lp.contains("Deduplicate") && !lp.contains("Aggregate"),
+      "streaming interval join must stay stateless:\n" + lp)
+  }
 }

@@ -1502,6 +1502,132 @@ class StreamingSpec extends AnyFunSuite {
     * (not just values) is identical across a kill/restart: a window
     * that closed before the crash stays closed instead of re-firing
     * `early`, and pre-restart store slices keep compacting. */
+  /** Calendar buckets have IMMUTABLE ends once assigned (next
+    * midnight for day units) — unlike sessions, the end-keyed pane
+    * bookkeeping is sound for them; this pins that the combination
+    * actually works rather than leaving it untested next to the
+    * session-window loud-error boundary. */
+  test("accumulating exactPanes over calendar-day windows: " +
+      "cumulative panes and watermark close") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-acccal")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: accumulating
+      |      exactPanes: true
+      |      timestampField: ts
+      |      window: {type: calendar, unit: day, allowedLateness: 24}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |            - {name: mn, op: min, field: value}
+      |sinks:
+      |  - name: calpanes
+      |    module: memory
+      |    input: agg
+      |    parameters: {checkpointLocation: $dir/ckpt}
+      |""".stripMargin
+    StreamRunner.paneStore.remove("calpanes")
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    def all(): List[(String, Long, Double, Double)] =
+      StreamRunner.paneStore.get("calpanes") match {
+        case null => Nil
+        case buf => buf.toList.map { case (tag, r) =>
+          (tag,
+            r.getAs[org.apache.spark.sql.Row]("window")
+              .getAs[java.sql.Timestamp]("start").getTime / 1000,
+            r.getAs[Double]("s"), r.getAs[Double]("mn"))
+        }
+      }
+    // day-1 bucket [0, 86400): early cumulative pane over element 3
+    assert(all().contains(("early", 0L, 3.0, 3.0)), all())
+    // second element in the same day refines cumulatively (min
+    // proves real re-aggregation)
+    stageParquet(dir, "b2", Seq((2L, 7200L, 2.0)))
+    StreamRunner.drainAll()
+    assert(all().contains(("early", 0L, 5.0, 2.0)), all())
+    // day-4 element pushes the watermark (3d+ - 24h lateness) past
+    // day-1's end: the bucket closes with an ON_TIME pane
+    stageParquet(dir, "b3", Seq((3L, 300000L, 9.0)))
+    StreamRunner.drainAll()
+    assert(all().exists(t => t._1 == "onTime" && t._2 == 0L &&
+      t._3 == 5.0 && t._4 == 2.0), all())
+    StreamRunner.stopAll()
+  }
+
+  test("discarding panes over calendar-day windows: per-batch panes " +
+      "with the rebuilt window struct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-disccal")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    StreamRunner.paneStore.remove("dcalpanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: discarding
+      |      timestampField: ts
+      |      window: {type: calendar, unit: day}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |sinks:
+      |  - name: dcalpanes
+      |    module: memory
+      |    input: agg
+      |    parameters: {checkpointLocation: $dir/ckpt}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def panes(): List[(String, Long, Double)] =
+      StreamRunner.paneStore.get("dcalpanes") match {
+        case null => Nil
+        case buf => buf.toList.map { case (tag, r) =>
+          (tag,
+            r.getAs[org.apache.spark.sql.Row]("window")
+              .getAs[java.sql.Timestamp]("start").getTime / 1000,
+            r.getAs[Double]("s"))
+        }
+      }
+    assert(panes().contains(("early", 0L, 3.0)), panes())
+    // discarding: the second batch's pane holds ONLY its own element
+    stageParquet(dir, "b2", Seq((2L, 7200L, 2.0)))
+    StreamRunner.drainAll()
+    assert(panes().contains(("early", 0L, 2.0)), panes())
+    assert(!panes().contains(("early", 0L, 5.0)),
+      "discarding pane accumulated across batches: " + panes())
+    StreamRunner.stopAll()
+  }
+
   test("exactPanes rejects session windows loudly (end-keyed pane " +
       "bookkeeping cannot track merging sessions)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-accsx")
