@@ -1739,6 +1739,78 @@ sinks:
         col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
     }),
 
+    // q82's exact accumulating panes over CALENDAR-DAY windows in a
+    // non-UTC timezone (Tokyo, fixed +9 — no DST in the fixture
+    // month): drives the pane engines' scalar-calendar-bucket
+    // rebuild (the r15 paneReAgg struct repair) end-to-end; the
+    // oracle reuses the q82 pane derivation with local-midnight
+    // bucket bounds
+    "q161_calendar_panes" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val base = java.nio.file.Files.createTempDirectory("graft_q161_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
+        val tmp = base.resolve(s"tmp$n").toString
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
+        ()
+      }
+      val ts = col("ts").cast("timestamp")
+      val t1 = org.apache.spark.sql.functions
+        .lit("2024-01-11 03:00:00").cast("timestamp")
+      val t2 = org.apache.spark.sql.functions
+        .lit("2024-01-21 00:00:00").cast("timestamp")
+      stage(1, ts < t1)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: accumulating
+      exactPanes: true
+      timestampField: ts
+      window: {type: calendar, unit: day, timezone: Asia/Tokyo}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger:
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: calpanes
+    module: storage
+    input: agg
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      stage(3, ts >= t2)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out).select(
+        col("window.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 4).as("total_r"),
+        col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
+    }),
+
     // similarity: IVF ANN with the md5-seeded AUTO-FIT codebook —
     // the engine derives the 16 centroids from the corpus itself
     // (smallest md5(vec_id)), so unlike the external-codebook twin
@@ -5904,12 +5976,19 @@ transforms:
     * the checkpoint between batches 2 and 3): the pane set is a
     * function of batch boundaries alone, so the persisted-trigger-
     * state restart must land on the identical result. */
-  private def accPanesOracleSql: String =
-      """WITH ev AS (
-           SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
-                    AS ws,
-                  CAST(floor(epoch(ts) / 21600) * 21600 + 21600
-                    AS BIGINT) AS we,
+  private def accPanesOracleSql: String = accPanesOracle(
+    "CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)",
+    "CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)")
+
+  /** q82's pane derivation with the window-bucket formulas
+    * parameterized: the early/onTime sequencing depends only on
+    * batch boundaries and bucket ends, so the calendar twin (q161)
+    * swaps in its local-midnight bucket bounds and reuses the whole
+    * derivation. */
+  private def accPanesOracle(wsExpr: String, weExpr: String): String =
+      s"""WITH ev AS (
+           SELECT $wsExpr AS ws,
+                  $weExpr AS we,
                   CASE WHEN ts < TIMESTAMP '2024-01-11 03:00:00' THEN 1
                        WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
                        ELSE 3 END AS b,
@@ -6888,6 +6967,12 @@ transforms:
     // cumulative over every batch so far), ordinal 1 when the
     // key+window already fired early in the previous batch
     "q82_accumulating_panes" -> accPanesOracleSql,
+
+    // Tokyo midnights: bucket = floor((epoch + 9h) / day) in local
+    // wall time, rendered back as the UTC start the engine emits
+    "q161_calendar_panes" -> accPanesOracle(
+      "CAST(floor((epoch(ts) + 32400) / 86400) * 86400 - 32400 AS BIGINT)",
+      "CAST(floor((epoch(ts) + 32400) / 86400) * 86400 + 86400 - 32400 AS BIGINT)"),
 
     // the restarted run must land on the same batch-boundary-
     // deterministic pane set — one oracle serves q82 and q153
