@@ -3607,6 +3607,51 @@ transforms:
       sql: "SELECT lid, right_rid AS rid, CAST(round(score * 10000) AS BIGINT) AS score_m FROM jn"
 """),
 
+    // fuzzy join with TOKEN-SORT normalization — reorder + a
+    // char-level edit in one measure (fuzzywuzzy's token-sort
+    // ratio): right side is the token-reversed sample with one
+    // appended char, so the sorted forms sit exactly one edit
+    // apart. Unbounded maxBucket keeps candidates ⊇ matches
+    // (strings within 1 edit of length ≥ 4 always share a 3-gram),
+    // so the oracle is a plain all-pairs levenshtein over the
+    // sorted forms
+    "q162_fuzzy_tokensort" -> pipe("out", """
+sources:
+  - name: part
+    module: storage
+    parameters: {path: "${dir}/part.parquet"}
+transforms:
+  - name: lf
+    module: sql
+    inputs: [part]
+    parameters:
+      sql: "SELECT p_partkey AS lid, p_name AS name FROM part WHERE p_partkey % 29 = 0"
+  - name: rf
+    module: sql
+    inputs: [part]
+    parameters:
+      sql: "SELECT p_partkey AS rid, concat(concat_ws(' ', reverse(split(p_name, ' '))), 'x') AS name FROM part WHERE p_partkey % 29 = 0 UNION ALL SELECT p_partkey AS rid, p_name AS name FROM part WHERE p_partkey % 31 = 7"
+  - name: jn
+    module: join
+    inputs: [lf, rf]
+    parameters:
+      method: fuzzy
+      leftOn: name
+      measure: levenshtein
+      threshold: 1
+      tokenSort: true
+      blocker: ngram
+      blockLength: 3
+      maxBucket: 1000000
+      leftId: lid
+      rightId: rid
+  - name: out
+    module: sql
+    inputs: [jn]
+    parameters:
+      sql: "SELECT lid, right_rid AS rid, CAST(score AS INT) AS score FROM jn"
+"""),
+
     // neighbor-graph clustering — the semdedup composition the
     // self-join exists for: ANN selfJoin emits each vector's top-2
     // neighbors, the MUTUAL pairs (each in the other's top-2 —
@@ -8175,6 +8220,28 @@ transforms:
                  ts + INTERVAL 2 HOUR AS e
                FROM events WHERE event_type = 'purchase') p
          ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // all-pairs levenshtein over the token-SORTED renderings — the
+    // blocker needs no replay (see the gate comment)
+    "q162_fuzzy_tokensort" ->
+      """WITH l AS (
+           SELECT p_partkey AS lid,
+             array_to_string(list_sort(string_split(p_name, ' ')),
+               ' ') AS s
+           FROM part WHERE p_partkey % 29 = 0),
+         r AS (
+           SELECT p_partkey AS rid,
+             array_to_string(list_sort(string_split(
+               array_to_string(list_reverse(string_split(p_name, ' ')),
+                 ' ') || 'x', ' ')), ' ') AS s
+           FROM part WHERE p_partkey % 29 = 0
+           UNION ALL
+           SELECT p_partkey AS rid,
+             array_to_string(list_sort(string_split(p_name, ' ')),
+               ' ') AS s
+           FROM part WHERE p_partkey % 31 = 7)
+         SELECT lid, rid, CAST(levenshtein(l.s, r.s) AS INT) AS score
+         FROM l, r WHERE levenshtein(l.s, r.s) <= 1""",
 
     // per-field survivorship over the replayed catalog: components
     // shortcut to rid % 1e6 (each cluster is a 3-clique whose min id

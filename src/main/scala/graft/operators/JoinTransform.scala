@@ -62,7 +62,11 @@ import org.apache.spark.sql.types._
   * emitted as `score`; for `how: inner` it is computed ONCE in the
   * post-join projection and verified as a filter on that column.
   * `lowercase: true` trims + lowercases both sides before blocking
-  * and measuring.
+  * and measuring; `tokenSort: true` additionally sorts whitespace
+  * tokens before blocking and measuring (fuzzywuzzy's token-sort
+  * normalization — an edit-distance measure then survives word
+  * reordering WITH char-level typos, the combination
+  * token_jaccard's exact-set measure cannot score).
   *
   * STREAMING: `method: interval` accepts a streaming LEFT against a
   * static right — the shape streams genuinely need (enrich live
@@ -329,9 +333,25 @@ object JoinTransform {
     require(blockLen >= 1, s"$name: blockLength must be >= 1")
     val maxBucket = p.int("maxBucket").getOrElse(64)
     val lowered = p.bool("lowercase").getOrElse(false)
+    // `tokenSort: true` — fuzzywuzzy's token-sort normalization:
+    // whitespace tokens sorted and rejoined BEFORE blocking and
+    // measuring, so an edit-distance measure survives word
+    // reordering WITH char-level typos ("Jhon Smith" vs
+    // "Smith Jhon" → sorted forms 1 edit apart), the combination
+    // token_jaccard's exact-set measure cannot score. Blockers
+    // operate on the sorted form too — consistent on both sides.
+    val tokenSort = p.bool("tokenSort").getOrElse(false)
     val prefix = p.str("rightPrefix").getOrElse("right_")
 
-    def norm(c: Column): Column = if (lowered) lower(trim(c)) else c
+    def norm(c: Column): Column = {
+      val base = if (lowered) lower(trim(c)) else c
+      if (!tokenSort) base
+      // concat_ws renders a null token array as "" — keep null names
+      // null (a null never blocks or matches, like every other path)
+      else when(base.isNotNull, concat_ws(" ",
+        array_sort(filter(split(trim(base), "\\s+"), t => t =!= ""))))
+        .otherwise(lit(null).cast(StringType))
+    }
     def score(a: Column, b: Column): Column = measure match {
       case "levenshtein" => levenshtein(a, b).cast(DoubleType)
       case "token_jaccard" =>
@@ -427,12 +447,13 @@ object JoinTransform {
         // hot key cannot flood every other key's buckets
         val gramKey = Seq("__g") ++ by
         val lG = l.select((Seq(col(lid).as("__lid"),
-            explode_outer(expr(gramExpr(leftOn, blockLen, lowered)))
+            explode_outer(expr(
+              gramExpr(leftOn, blockLen, lowered, tokenSort)))
               .as("__g")) ++ by.map(col)): _*)
           .filter(col("__g").isNotNull)
         val rG = rPre.select((Seq(col(prefix + rid).as("__rid"),
             explode_outer(expr(
-              gramExpr(prefix + rightOn, blockLen, lowered)))
+              gramExpr(prefix + rightOn, blockLen, lowered, tokenSort)))
               .as("__g")) ++ by.map(k => col(prefix + k).as(k))): _*)
           .filter(col("__g").isNotNull)
         def capped(g: DataFrame): DataFrame =
@@ -460,9 +481,15 @@ object JoinTransform {
 
   /** Sliding distinct character n-grams as SQL (strings shorter than
     * n block on themselves; null → null, filtered after the
-    * explode). */
-  private def gramExpr(field: String, n: Int, lowered: Boolean): String = {
-    val s = if (lowered) s"lower(trim(`$field`))" else s"`$field`"
+    * explode). With `tokenSort` the grams come from the SORTED form
+    * so the blocker sees exactly what the measure will compare. */
+  private def gramExpr(field: String, n: Int, lowered: Boolean,
+      tokenSort: Boolean): String = {
+    val base = if (lowered) s"lower(trim(`$field`))" else s"`$field`"
+    val s =
+      if (!tokenSort) base
+      else "array_join(array_sort(filter(split(trim(" + base +
+        "), '\\\\s+'), x -> x != '')), ' ')"
     s"CASE WHEN length($s) >= $n THEN array_distinct(" +
       s"transform(sequence(1, length($s) - ${n - 1}), " +
       s"i -> substring($s, i, $n))) ELSE array($s) END"

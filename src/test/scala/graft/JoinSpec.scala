@@ -169,6 +169,31 @@ class JoinSpec extends AnyFunSuite {
     assert(!lev.contains((1L, 10L)))
   }
 
+  test("tokenSort: edit distance survives reorder WITH a char typo; " +
+      "null names stay null (never match)") {
+    val l = Seq((1L, "Jhon Smith"), (2L, null: String))
+      .toDF("lid", "name")
+    val r = Seq((10L, "Smith Jhon"), (11L, "Smith John"),
+      (12L, null: String)).toDF("rid", "name")
+    val out = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":2,
+         "tokenSort":true,"blocker":"ngram","leftId":"lid",
+         "rightId":"rid"}""", l, r)
+      .select("lid", "right_rid", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    // sorted forms: "Jhon Smith" ≡ "Jhon Smith" (0 edits) and
+    // "John Smith" is 2 edits away (the typo) — both match; two
+    // null names never pair (concat_ws would render "" without the
+    // null guard and make all nulls match each other)
+    assert(out == Set((1L, 10L, 0.0), (1L, 11L, 2.0)))
+    // without tokenSort the reordered pair is far apart
+    val plain = join(
+      """{"method":"fuzzy","leftOn":"name","threshold":2,
+         "blocker":"ngram","leftId":"lid","rightId":"rid"}""", l, r)
+      .select("lid", "right_rid").as[(Long, Long)].collect().toSet
+    assert(plain.isEmpty)
+  }
+
   test("inner fuzzy verify evaluates the measure exactly once in " +
       "the plan (post-join projection, not the join condition)") {
     val l = Seq((1L, "gadget-alpha")).toDF("lid", "name")
