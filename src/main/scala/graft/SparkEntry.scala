@@ -5346,6 +5346,83 @@ transforms:
       sql: "SELECT o_orderkey, o_custkey, o_orderstatus FROM rs"
 """),
 
+    // STREAM-STREAM interval join — q143's enrichment with BOTH
+    // sides arriving as file streams, staged so half the matches
+    // span micro-batches (left evens + right odds first, then the
+    // complements): the symmetric hash join's retained state must
+    // produce them. Watermarks are set beyond the fixture's span so
+    // nothing drops and the drained result equals the batch oracle
+    // exactly; maxIntervalSpan mirrors the 2h window length
+    "q163_interval_ss" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q163_")
+      val inL = base.resolve("inL"); inL.toFile.mkdirs()
+      val inR = base.resolve("inR"); inR.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(into: java.nio.file.Path, n: String,
+          cond: String): Unit = {
+        val tmp = base.resolve(s"tmp$n").toString
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          into.resolve(s"$n.parquet"))
+        ()
+      }
+      stage(inL, "l1", "event_id % 2 = 0")
+      stage(inR, "r1", "event_id % 2 = 1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: evl
+    module: storage
+    parameters: {path: "$inL", format: parquet, stream: true}
+  - name: evr
+    module: storage
+    parameters: {path: "$inR", format: parquet, stream: true}
+transforms:
+  - name: clicks
+    module: filter
+    inputs: [evl]
+    parameters:
+      filter: [{key: event_type, op: "=", value: click}]
+  - name: wins
+    module: sql
+    inputs: [evr]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evr WHERE event_type = 'purchase'"
+  - name: jn
+    module: join
+    inputs: [clicks, wins]
+    parameters:
+      method: interval
+      by: [user_id]
+      leftOn: ts
+      rightStart: s
+      rightEnd: e
+      maxIntervalSpan: 2h
+      leftWatermark: 60d
+      rightWatermark: 60d
+  - name: sel
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: window_id, field: right_wid, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stage(inL, "l2", "event_id % 2 = 1")
+      stage(inR, "r2", "event_id % 2 = 0")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.2 bucketed catalog tables: both join sides written bucketBy
     // the join key (the co-located-join lever — BucketSpec pins the
     // zero-exchange plan shape; here the VALUES go through the
@@ -8198,6 +8275,18 @@ transforms:
          SELECT CAST(v AS BIGINT) AS vertex,
            CAST(least(v, min(n)) AS BIGINT) AS component
          FROM nb GROUP BY v""",
+
+    // the stream-stream drain must land on the batch join exactly —
+    // same oracle as q143/q158
+    "q163_interval_ss" ->
+      """SELECT c.event_id,
+           CAST(p.wid AS BIGINT) AS window_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT event_id AS wid, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+               FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
 
     // the server executed the same filter the oracle states
     "q159_server" ->

@@ -101,21 +101,22 @@ object JoinTransform {
     val method = p.str("method").getOrElse(
       throw new IllegalArgumentException(
         s"join ${cfg.name}: method required (interval, fuzzy)"))
-    // streaming support is the INTERVAL join with a STATIC right —
-    // a stream-static equi-join on (by…, bin) is completely
-    // STATELESS (each micro-batch joins its rows against the static
-    // binned intervals; nothing is retained across batches), so
-    // there is no state bound to size. The two shapes that would
-    // need cross-batch state fail loudly instead of silently
-    // approximating: a streaming RIGHT (stream-stream state
-    // eviction needs the range condition on raw event-time columns,
-    // not the bin equality, for Spark to derive watermark-based
-    // cleanup), and fuzzy joins (blocking + candidate dedup is
-    // stateful by construction).
-    require(!r.isStreaming,
-      s"join ${cfg.name}: a streaming right side is unsupported — " +
-        "make the right side static (stream-static joins are " +
-        "stateless) or window both streams into batch stages first")
+    // streaming support is the INTERVAL join: a streaming left over
+    // a static right runs as a STATELESS stream-static equi-join on
+    // (by…, bin) (each micro-batch joins against the static binned
+    // intervals; nothing retained across batches), and BOTH sides
+    // streaming runs as Spark's native stream-stream join with the
+    // range condition on raw watermarked event-time columns (state
+    // bounded by watermark + the declared maxIntervalSpan — see
+    // streamStreamInterval). A streaming right against a BATCH left
+    // is rejected (swap the sides: enriching a static frame against
+    // a stream re-reads the stream forever), as are streaming fuzzy
+    // joins (blocking + candidate dedup is stateful by
+    // construction).
+    require(!r.isStreaming || l.isStreaming,
+      s"join ${cfg.name}: a streaming right against a batch left " +
+        "is unsupported — swap the sides (stream on the left) or " +
+        "window the stream into batch stages first")
     if (l.isStreaming) require(method == "interval",
       s"join ${cfg.name}: only interval joins support a streaming " +
         "left (fuzzy blocking needs cross-batch candidate state) — " +
@@ -124,6 +125,8 @@ object JoinTransform {
     require(Set("inner", "left")(how),
       s"join ${cfg.name}: how=$how (valid: inner, left)")
     val out = method match {
+      case "interval" if l.isStreaming && r.isStreaming =>
+        streamStreamInterval(cfg, p, l, r, how)
       case "interval" => intervalJoin(cfg, p, l, r, how)
       case "fuzzy" => fuzzyJoin(cfg, p, l, r, how)
       case m => throw new IllegalArgumentException(
@@ -197,6 +200,107 @@ object JoinTransform {
       throw new IllegalArgumentException(
         s"$label: right column '$c' prefixed as '$prefix$c' collides " +
           "with a left column — set rightPrefix to something unused")
+
+  /** STREAM-STREAM point-in-interval join: Spark's native
+    * stream-stream join machinery, driven the one way it can bound
+    * state — the range condition sits on RAW watermarked event-time
+    * columns (`lOn BETWEEN rStart AND rEnd` plus
+    * `lOn <= rStart + maxIntervalSpan`), from which Spark derives
+    * both sides' state-eviction horizon (watermark + span). No bin
+    * replication: the time-interval condition itself scopes the
+    * state the symmetric hash join retains.
+    *
+    * Required parameters beyond the batch form: `leftWatermark` /
+    * `rightWatermark` (lateness horizons, "10m/2h/…" — state and
+    * late-drop bound) and `maxIntervalSpan` (a CONSTANT upper bound
+    * on right interval length; an interval longer than the declared
+    * span would silently lose its tail matches, so the job fails
+    * loudly instead, like the batch fan-out guard). Point mode +
+    * `how: inner` only: overlap mode's two-sided range and
+    * stream-stream left-outer's watermark-deferred null emission
+    * don't fit a batch-bounded drain — both fail loudly with the
+    * alternative named. Event-time columns must be timestamps
+    * (TimestampNTZ is re-stamped as UTC wall-clock, the repo
+    * convention). */
+  private def streamStreamInterval(cfg: ModuleCfg,
+      p: com.fasterxml.jackson.databind.JsonNode,
+      l: DataFrame, r: DataFrame, how: String): DataFrame = {
+    val name = s"join ${cfg.name} (interval, stream-stream)"
+    require(p.str("leftStart").isEmpty,
+      s"$name: overlap mode needs a two-sided range condition " +
+        "Spark cannot bound state for — window one side into batch " +
+        "stages, or use point mode (leftOn)")
+    require(how == "inner",
+      s"$name: stream-stream left-outer defers null emission to " +
+        "watermark passage, which a batch-bounded drain cannot " +
+        "flush deterministically — use how: inner, or a static right")
+    val by = p.strArr("by")
+    val leftOn = p.str("leftOn").getOrElse(
+      throw new IllegalArgumentException(s"$name: leftOn required"))
+    val rightStart = p.str("rightStart").getOrElse(
+      throw new IllegalArgumentException(s"$name: rightStart required"))
+    val rightEnd = p.str("rightEnd").getOrElse(
+      throw new IllegalArgumentException(s"$name: rightEnd required"))
+    val prefix = p.str("rightPrefix").getOrElse("right_")
+    for (k <- by) {
+      require(l.columns.contains(k), s"$name: by key '$k' not in left")
+      require(r.columns.contains(k), s"$name: by key '$k' not in right")
+    }
+    def secsOf(key: String): Long = {
+      val v = p.str(key).map(AsofJoinTransform.parseSeconds)
+        .orElse(p.dbl(key))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$name: $key required (seconds or '30s/5m/1h/2d') — " +
+            "stream-stream state is bounded by watermark + span"))
+      require(v > 0, s"$name: $key must be positive, got $v")
+      math.ceil(v).toLong
+    }
+    val span = secsOf("maxIntervalSpan")
+    val lWm = secsOf("leftWatermark")
+    val rWm = secsOf("rightWatermark")
+    // event-time columns must be true timestamps for Spark's
+    // time-interval state analysis; NTZ re-stamps as UTC wall-clock
+    def tsCol(df: DataFrame, field: String): DataFrame = {
+      require(df.columns.contains(field),
+        s"$name: field '$field' not found")
+      df.schema(field).dataType match {
+        case TimestampType => df
+        case TimestampNTZType =>
+          df.withColumn(field, col(field).cast(TimestampType))
+        case dt => throw new IllegalArgumentException(
+          s"$name: stream-stream event-time field '$field' must be " +
+            s"a timestamp (got ${dt.simpleString}) — numeric axes " +
+            "carry no watermark")
+      }
+    }
+    checkPrefix(name, l, r, prefix)
+    val lW = tsCol(l, leftOn)
+      .withWatermark(leftOn, s"$lWm seconds")
+    val rPre = r.columns.foldLeft(tsCol(tsCol(r, rightStart), rightEnd))(
+      (df, c) => df.withColumnRenamed(c, prefix + c))
+    val rs = col(prefix + rightStart)
+    val re = col(prefix + rightEnd)
+    val spanInterval = expr(s"INTERVAL $span SECONDS")
+    val rW = rPre
+      .withWatermark(prefix + rightStart, s"$rWm seconds")
+      // invalid intervals never match; an interval longer than the
+      // declared span would silently lose its tail matches — fail
+      .filter(rs.isNotNull && re.isNotNull && rs <= re)
+      .withColumn(prefix + rightEnd,
+        when(re > rs + spanInterval, raise_error(concat(
+          lit(s"$name: a right interval exceeds maxIntervalSpan " +
+            s"($span s) — raise maxIntervalSpan; interval start: "),
+          rs.cast(StringType)))).otherwise(re))
+    val joinKeys = by.map(k => col(k) === col(prefix + k))
+    // the exact closed-bound predicate PLUS the span upper bound:
+    // `lOn - rStart ∈ [0, span]` is the time-interval shape Spark's
+    // analyzer turns into state-eviction bounds for both sides
+    val cond = (joinKeys :+
+      (col(leftOn) >= rs) :+
+      (col(leftOn) <= rs + spanInterval) :+
+      (col(leftOn) <= col(prefix + rightEnd))).reduce(_ && _)
+    lW.join(rW, cond, "inner")
+  }
 
   private def intervalJoin(cfg: ModuleCfg, p: com.fasterxml.jackson.databind.JsonNode,
       l: DataFrame, r: DataFrame, how: String): DataFrame = {

@@ -287,18 +287,63 @@ class JoinSpec extends AnyFunSuite {
       sl2, ivs))
     assert(e1.getMessage.contains("anti-join completion"),
       e1.getMessage)
-    // streaming right / streaming fuzzy: actionable errors
+    // streaming right vs batch left / streaming fuzzy: actionable
     val l = Seq((1L, 5.0)).toDF("pid", "t")
     val e2 = intercept[IllegalArgumentException](join(
       """{"method":"interval","leftOn":"t","rightStart":"s",
          "rightEnd":"e","binWidth":5}""", l,
       sl.withColumnRenamed("t", "s").withColumn("e", $"s" + 1.0)))
-    assert(e2.getMessage.contains("streaming right"), e2.getMessage)
+    assert(e2.getMessage.contains("swap the sides"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException](join(
       """{"method":"fuzzy","leftOn":"name","threshold":1}""",
       sl.withColumn("name", $"pid".cast("string")),
       Seq((1L, "x")).toDF("rid", "name")))
     assert(e3.getMessage.contains("streaming"), e3.getMessage)
+  }
+
+  test("stream-stream interval join: builds watermarked, requires " +
+      "span + watermarks + timestamps, rejects overlap and left") {
+    val sl = spark.readStream.format("rate").load()
+      .select($"value".as("event_id"), ($"value" % 5).as("u"),
+        $"timestamp".as("ts"))
+    val sr = spark.readStream.format("rate").load()
+      .select($"value".as("wid"), ($"value" % 5).as("u"),
+        $"timestamp".as("s"),
+        ($"timestamp" + org.apache.spark.sql.functions
+          .expr("INTERVAL 1 HOUR")).as("e"))
+    val ok = join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
+         "leftWatermark":"10m","rightWatermark":"10m"}""", sl, sr)
+    assert(ok.isStreaming)
+    // both watermarks present in the analyzed plan; the join is
+    // Spark's stream-stream machinery (no bins needed)
+    val lp = ok.queryExecution.analyzed.toString
+    assert("EventTimeWatermark".r.findAllIn(lp).length == 2, lp)
+    assert(!lp.contains("__bin"))
+    val e1 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","leftWatermark":"10m",
+         "rightWatermark":"10m"}""", sl, sr))
+    assert(e1.getMessage.contains("maxIntervalSpan"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","by":["u"],"leftStart":"ts",
+         "leftEnd":"ts","rightStart":"s","rightEnd":"e",
+         "maxIntervalSpan":"2h","leftWatermark":"10m",
+         "rightWatermark":"10m"}""", sl, sr))
+    assert(e2.getMessage.contains("overlap mode"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
+         "leftWatermark":"10m","rightWatermark":"10m",
+         "how":"left"}""", sl, sr))
+    assert(e3.getMessage.contains("left-outer"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","by":["u"],"leftOn":"event_id",
+         "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
+         "leftWatermark":"10m","rightWatermark":"10m"}""", sl, sr))
+    assert(e4.getMessage.contains("must be a timestamp"),
+      e4.getMessage)
   }
 
   test("reserved columns, bad method, and missing params fail " +
