@@ -5346,6 +5346,98 @@ transforms:
       sql: "SELECT o_orderkey, o_custkey, o_orderstatus FROM rs"
 """),
 
+    // the CONFIG LIFECYCLE end-to-end (previously unit-only): one
+    // run exercising declared args with ${args.k} cross-references,
+    // caller context tag selection (a [dev]-tagged module that would
+    // panic is skipped; untagged modules are ignored under a
+    // context), and a sub-config import whose transform is
+    // parameterized by the import's own args — against a plain
+    // filter+group oracle
+    "q164_config_lifecycle" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q164_")
+      val sub = base.resolve("sub.yaml")
+      java.nio.file.Files.write(sub,
+        """transforms:
+          |  - name: agg
+          |    module: aggregation
+          |    inputs: [flt]
+          |    tags: [prod]
+          |    parameters:
+          |      groupFields:
+          |        - ${args.grp}
+          |      aggregations:
+          |        - input: flt
+          |          fields:
+          |            - {name: n, op: count}
+          |""".stripMargin.getBytes("UTF-8"))
+      val cfg = s"""
+args: {minbal: "9000", cut: "$${args.minbal}"}
+system:
+  imports:
+    - base: "$base/"
+      files: [sub.yaml]
+      args: {grp: c_nationkey}
+sources:
+  - name: cust
+    module: storage
+    tags: [prod]
+    parameters: {path: "$dir/customer.parquet"}
+transforms:
+  - name: flt
+    module: filter
+    inputs: [cust]
+    tags: [prod]
+    parameters:
+      filter:
+        - key: c_acctbal
+          op: ">"
+          value: $${args.cut}
+  - name: sabotage
+    module: select
+    inputs: [cust]
+    tags: [dev]
+    parameters:
+      select:
+        - {name: boom, func: panic, message: "dev-only module ran under prod context"}
+"""
+      Pipeline.execute(s, cfg, Map.empty, Some("prod"))("agg")
+    }),
+
+    // alterConfig FALLBACK end-to-end (previously unit-only): the
+    // primary config fails to build (unknown module), so the
+    // declared alternate config executes instead — the reference's
+    // MPipeline fallback lifecycle — and its output is what the
+    // oracle checks
+    "q165_alter_config" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q165_")
+      val alter = base.resolve("alter.yaml")
+      java.nio.file.Files.write(alter,
+        s"""sources:
+           |  - name: nat
+           |    module: storage
+           |    parameters: {path: "$dir/nation.parquet"}
+           |transforms:
+           |  - name: agg
+           |    module: aggregation
+           |    inputs: [nat]
+           |    parameters:
+           |      groupFields: [n_regionkey]
+           |      aggregations:
+           |        - input: nat
+           |          fields:
+           |            - {name: n, op: count}
+           |""".stripMargin.getBytes("UTF-8"))
+      val cfg = s"""
+system:
+  failure: {alterConfig: "$alter"}
+sources:
+  - name: broken
+    module: no_such_module
+    parameters: {}
+"""
+      Pipeline.execute(s, cfg)("agg")
+    }),
+
     // STREAM-STREAM interval join — q143's enrichment with BOTH
     // sides arriving as file streams, staged so half the matches
     // span micro-batches (left evens + right odds first, then the
@@ -8287,6 +8379,17 @@ transforms:
                  ts + INTERVAL 2 HOUR AS e
                FROM events WHERE event_type = 'purchase') p
          ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // the resolved config is a plain filter + group-by: context
+    // selection, arg substitution, and the import are plumbing the
+    // oracle need not replay
+    "q164_config_lifecycle" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+         WHERE c_acctbal > 9000 GROUP BY 1""",
+
+    // only the fallback pipeline produces output
+    "q165_alter_config" ->
+      """SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1""",
 
     // the server executed the same filter the oracle states
     "q159_server" ->
