@@ -89,12 +89,21 @@ object Bench {
     val rest = times.map(_._1).filterNot(inHead.toSet).sorted
     val order = inHead ++ rest
     val total = times.map(_._2).sum
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val leakJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a mass-failure round (broken build, missing fixture dir) puts
+    // most of the ~170 gate names into errors — unbounded, that
+    // alone outgrows the tail window and reproduces the parsed:null
+    // failure this line exists to fix. Cap both lists with explicit
+    // totals; the complete lists live in bench_full.json.
+    def capped(xs: Seq[String]): String =
+      xs.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = capped(errors)
+    val leakJson = capped(leaks)
     def meta(omitted: Int): String =
       s"""{"metric":"total","value":${compact(total, 3)},""" +
         s""""unit":"sec","samples":$samples,"sf":"$sfDir",""" +
-        s""""errors":$errJson,"leaked_streams":$leakJson,""" +
+        s""""errors_total":${errors.size},"errors":$errJson,""" +
+        s""""leaked_total":${leaks.size},""" +
+        s""""leaked_streams":$leakJson,""" +
         s""""full":"bench_full.json","queries_total":${times.size},""" +
         s""""queries_omitted":$omitted,"queries":{"""
     val overhead = meta(times.size).length + 2 // worst-case digits + "}}"
@@ -227,13 +236,12 @@ object Bench {
     // parses from there — the one-big-line layout never fit (r01–r14
     // all shipped `parsed: null`), and at 164 queries the full-name
     // dict alone is ~2.6 KB, so no rendering of ALL queries can fit.
-    // The complete artifact goes to bench_full.json in the repo; the
+    // The complete artifact goes to bench_full.json in the WORKING
+    // DIRECTORY (the checkout the bench ran from — a fixed absolute
+    // path would silently write into an unrelated checkout); the
     // final stdout line is complete-within-window by construction,
     // with explicit queries_total/queries_omitted accounting.
-    val fullPath =
-      if (new java.io.File("/root/repo").isDirectory)
-        java.nio.file.Paths.get("/root/repo/bench_full.json")
-      else java.nio.file.Paths.get("bench_full.json")
+    val fullPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(fullPath,
       (renderFullJson(times, gcs, errors.toSeq, leaks.toSeq, samples,
         sfDir) + "\n").getBytes("UTF-8"))

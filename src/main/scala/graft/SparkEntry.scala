@@ -20,6 +20,24 @@ object SparkEntry {
       spark: SparkSession, dir: String): DataFrame =
     Pipeline.build(spark, config, Map("dir" -> dir))(out)
 
+  /** Stage one parquet FILE into `into` so a file-stream source
+    * picks it up as its own micro-batch (shared by every
+    * staged-stream gate — a directory write would surface part
+    * files unpredictably). `tmpBase` hosts the single-part scratch
+    * write. */
+  private def stageBatch(df: DataFrame,
+      cond: org.apache.spark.sql.Column, tmpBase: java.nio.file.Path,
+      into: java.nio.file.Path, name: String): Unit = {
+    val tmp = tmpBase.resolve(s"tmp-$name").toString
+    df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"staging $name produced no parquet part"))
+    java.nio.file.Files.move(part.toPath, into.resolve(s"$name.parquet"))
+    ()
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
@@ -1288,13 +1306,8 @@ transforms:
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
-      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
-        val tmp = base.resolve(s"tmp$n").toString
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
-      }
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
       val ts = col("ts").cast("timestamp")
       val t1 = org.apache.spark.sql.functions.lit("2024-01-11 00:00:00")
         .cast("timestamp")
@@ -1610,13 +1623,8 @@ sinks:
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
-      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
-        val tmp = base.resolve(s"tmp$n").toString
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
-      }
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
       val ts = col("ts").cast("timestamp")
       val t1 = org.apache.spark.sql.functions
         .lit("2024-01-11 03:00:00").cast("timestamp")
@@ -1680,13 +1688,8 @@ sinks:
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
-      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
-        val tmp = base.resolve(s"tmp$n").toString
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
-      }
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
       val ts = col("ts").cast("timestamp")
       val t1 = org.apache.spark.sql.functions
         .lit("2024-01-11 03:00:00").cast("timestamp")
@@ -1751,14 +1754,8 @@ sinks:
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
-      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
-        val tmp = base.resolve(s"tmp$n").toString
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
-        ()
-      }
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
       val ts = col("ts").cast("timestamp")
       val t1 = org.apache.spark.sql.functions
         .lit("2024-01-11 03:00:00").cast("timestamp")
@@ -5220,14 +5217,9 @@ sinks:
       // cross-batch claim: a stateless join's drained union must
       // equal the batch join of the union
       val ev = s.read.parquet(s"$dir/events.parquet")
-      def stage(n: Int, cond: String): Unit = {
-        val tmp = base.resolve(s"tmp$n").toString
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, in.resolve(s"b$n.parquet"))
-        ()
-      }
+      def stage(n: Int, cond: String): Unit =
+        stageBatch(ev, org.apache.spark.sql.functions.expr(cond),
+          base, in, s"b$n")
       stage(1, "event_id % 2 = 0")
       Pipeline.execute(s, s"""
 sources:
@@ -5452,15 +5444,9 @@ sources:
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
       def stage(into: java.nio.file.Path, n: String,
-          cond: String): Unit = {
-        val tmp = base.resolve(s"tmp$n").toString
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          into.resolve(s"$n.parquet"))
-        ()
-      }
+          cond: String): Unit =
+        stageBatch(ev, org.apache.spark.sql.functions.expr(cond),
+          base, into, n)
       stage(inL, "l1", "event_id % 2 = 0")
       stage(inR, "r1", "event_id % 2 = 1")
       // stream-stream joins keep FOUR state stores per shuffle

@@ -147,6 +147,16 @@ object TfIdfTransform {
               "whitespace+lowercase split — query terms can silently " +
               "miss corpus terms; set queryTokensField to an array " +
               "column on the queries input tokenized the same way")
+        // ... and the mirrored direction: pre-tokenized queries over
+        // a default-split corpus skip the lowercase/empty-filter the
+        // corpus terms went through — same silent-miss failure mode
+        if (qTokensField.isDefined && tokensField.isEmpty)
+          throw new IllegalArgumentException(
+            s"tfidf ${cfg.name}: queryTokensField is set but corpus " +
+              "terms are the default whitespace+lowercase split — " +
+              "raw query tokens would silently miss lowercased " +
+              "corpus terms; set tokensField on the corpus so both " +
+              "sides tokenize the same way")
         val qToks = qTokensField.map(col).getOrElse {
           val qfield = p.str("queryField").getOrElse(field)
           require(qdf.columns.contains(qfield),

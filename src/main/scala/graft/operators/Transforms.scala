@@ -401,8 +401,18 @@ object AggregationTransform {
         TransformCommon.finishRouted(
           wc.map(_.post(agged)).getOrElse(agged), cfg)(cfg.name)
       }
+      // calendar buckets re-aggregate to a SCALAR start column; hand
+      // the pane engines this aggregation's OWN end derivation
+      // (calendarEndOf covers every shape: simple units, anchored,
+      // N-unit, week-offset) so they can rebuild the {start, end}
+      // struct their frontier bookkeeping keys on
+      val windowEndOf = strategyNode
+        .filter(st => st("window").getOrElse(st).str("type")
+          .contains("calendar"))
+        .map(st => (c: org.apache.spark.sql.Column) =>
+          graft.streaming.Strategy.calendarEndOf(st, c))
       graft.streaming.PaneRecipes.register(result(cfg.name), raw, reAgg,
-        keys = groupFields)
+        keys = groupFields, windowEndOf = windowEndOf)
     }
     result
   }

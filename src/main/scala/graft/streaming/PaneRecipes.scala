@@ -28,17 +28,28 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 private[graft] object PaneRecipes {
   /** `keys` = the aggregation's groupFields (window column excluded —
     * engines detect it from the re-aggregated frame), so pane engines
-    * can scope firings per key+window like Beam triggers do. */
+    * can scope firings per key+window like Beam triggers do.
+    * `windowEndOf` = bucket-end derivation for windows the batch
+    * re-aggregation renders as a SCALAR start (calendar buckets of
+    * every shape — simple, anchored, N-unit, week-offset), computed
+    * HERE from the aggregation's OWN strategy node: the pane engines
+    * must not re-derive it from the sink's strategy, which wins the
+    * trigger/mode precedence but need not declare the window. */
   final case class Recipe(preAgg: DataFrame, reAgg: DataFrame => DataFrame,
-      keys: Seq[String])
+      keys: Seq[String],
+      windowEndOf: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None)
 
   private val recipes = new java.util.IdentityHashMap[LogicalPlan, Recipe]
 
   def register(out: DataFrame, preAgg: DataFrame,
-      reAgg: DataFrame => DataFrame, keys: Seq[String] = Nil): Unit =
+      reAgg: DataFrame => DataFrame, keys: Seq[String] = Nil,
+      windowEndOf: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None): Unit =
     recipes.synchronized {
       if (recipes.size > 64) recipes.clear()
-      recipes.put(out.queryExecution.logical, Recipe(preAgg, reAgg, keys))
+      recipes.put(out.queryExecution.logical,
+        Recipe(preAgg, reAgg, keys, windowEndOf))
     }
 
   def lookup(df: DataFrame): Option[Recipe] =

@@ -358,26 +358,6 @@ object Strategy {
     * Interval addition happens in LOCAL wall time (that is the
     * definition of a calendar bucket), so "+1 MONTH" lands on the
     * next month's first midnight regardless of month length or DST. */
-  /** Bucket-end derivation for SIMPLE calendar windows (size 1, no
-    * anchor): end(start). The batch aggregation path renders these
-    * buckets as a SCALAR start timestamp (gates read it as a date),
-    * while the pane engines key their frontier/fired bookkeeping on
-    * `window.end` — this lets them rebuild the {start, end} struct.
-    * None for non-calendar strategies; None too for anchored/N-unit
-    * calendar shapes (their ends derive from the anchor, not the
-    * unit — callers fail loudly rather than mis-key panes). */
-  def calendarBucketEndFor(strategy: JsonNode)
-      : Option[Column => Column] =
-    strategy("window").filter(_.str("type").contains("calendar"))
-      .flatMap { w =>
-        val anchored = w.int("size").exists(_ > 1) ||
-          w.str("startDate").isDefined
-        val unit = w.str("unit").getOrElse("day").toUpperCase
-        val tz = w.str("timezone").getOrElse("UTC")
-        if (anchored || !Set("DAY", "WEEK", "MONTH", "YEAR")(unit)) None
-        else Some((c: Column) => calendarBucketEnd(c, unit, tz))
-      }
-
   private def calendarBucketEnd(ts: Column, truncUnit: String,
       tz: String): Column = {
     val localStart = date_trunc(truncUnit, from_utc_timestamp(ts, tz))

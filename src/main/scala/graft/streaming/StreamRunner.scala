@@ -179,33 +179,34 @@ object StreamRunner {
       Some(col("window_start")) // calendar windows: start stands in
     else None
 
-  /** The batch re-aggregation the pane engines run renders SIMPLE
-    * calendar buckets as a SCALAR start timestamp aliased `window`
-    * (the batch group column — gates read it as a date), while pane
+  /** The batch re-aggregation the pane engines run renders calendar
+    * buckets as a SCALAR start timestamp aliased `window` (the batch
+    * group column — gates read it as a date), while pane
     * frontier/fired/ordinal bookkeeping keys on `window.end`.
-    * Rebuild the {start, end} struct from the strategy's calendar
-    * unit; window shapes whose end the strategy cannot derive
-    * (anchored / N-unit calendar) fail loudly rather than mis-key
-    * panes. Fixed/sliding/session re-aggregations already emit the
-    * struct and pass through untouched. */
+    * Rebuild the {start, end} struct with the END derivation the
+    * RECIPE carries — computed from the aggregation's own strategy
+    * at registration (the sink's strategy wins trigger/mode
+    * precedence but need not declare the window), covering every
+    * calendar shape via Strategy.calendarEndOf (simple, anchored,
+    * N-unit, week-offset). Fixed/sliding/session re-aggregations
+    * already emit the struct and pass through untouched; a scalar
+    * window with no recipe derivation fails loudly rather than
+    * mis-keying panes. */
   private def paneReAgg(cfg: ModuleCfg,
-      strategy: com.fasterxml.jackson.databind.JsonNode,
       recipe: PaneRecipes.Recipe): DataFrame => DataFrame = {
-    val calEnd = Strategy.calendarBucketEndFor(strategy)
     df0 => {
       val df = recipe.reAgg(df0)
       if (!df.columns.contains("window") ||
           df.schema("window").dataType
             .isInstanceOf[org.apache.spark.sql.types.StructType]) df
-      else calEnd match {
+      else recipe.windowEndOf match {
         case Some(endOf) => df.withColumn("window",
           struct(col("window").as("start"),
             endOf(col("window")).as("end")))
         case None => throw new IllegalArgumentException(
           s"${cfg.name}: pane multiplexing cannot derive window " +
-            "ends for this window shape (anchored or N-unit " +
-            "calendar) — use a simple calendar unit, fixed/sliding " +
-            "windows, or a plain trigger")
+            "ends for this window shape — use fixed/sliding/" +
+            "calendar windows on the aggregation, or a plain trigger")
       }
     }
   }
@@ -326,7 +327,7 @@ object StreamRunner {
       .option("checkpointLocation", ckpt + "/discarding")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val agged = paneReAgg(cfg, strategy, recipe)(batch)
+          val agged = paneReAgg(cfg, recipe)(batch)
           windowEndCol(agged) match {
             case None => // global window: every firing is early
               paneWriter(cfg, "early")(agged, id)
@@ -704,7 +705,7 @@ object StreamRunner {
           batch.write.mode("overwrite")
             .parquet(storeDir + s"/__gbatch=$batchId")
           val stored = spark.read.parquet(storeDir).drop("__gbatch")
-          val reAgg = paneReAgg(cfg, strategy, recipe)
+          val reAgg = paneReAgg(cfg, recipe)
           val aggedAll = reAgg(stored)
           val touched = reAgg(batch)
           windowEndCol(aggedAll) match {

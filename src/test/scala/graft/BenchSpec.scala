@@ -95,6 +95,26 @@ class BenchSpec extends AnyFunSuite {
       node.get("queries_omitted").asInt == times.size)
   }
 
+  test("a mass-failure round still fits: error lists are capped " +
+      "with explicit totals") {
+    val names = realNames
+    val times = fakeTimes(names)
+    // every gate failed AND leaked — the worst artifact a broken
+    // build can produce
+    val line = Bench.renderBenchLine(times, names, names, 3,
+      "/root/testdata/sf0.1")
+    assert(line.length <= Bench.lineBudget,
+      s"mass-failure line is ${line.length} bytes")
+    val node = parse(line)
+    assert(node.get("errors_total").asInt == names.size)
+    assert(node.get("errors").size() == 8)
+    assert(node.get("leaked_total").asInt == names.size)
+    assert(node.get("leaked_streams").size() == 8)
+    // query timings shrink to fit but the accounting stays exact
+    assert(node.get("queries").size() +
+      node.get("queries_omitted").asInt == times.size)
+  }
+
   test("bench_full.json carries every query at full precision") {
     val times = fakeTimes(realNames)
     val gcs = times.map { case (k, _) => "\"" + k + "\":0.010" }

@@ -1628,6 +1628,128 @@ class StreamingSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  /** Week-offset calendar buckets exercise the ANCHORED end
+    * derivation through the pane engines: the bucket start is NOT an
+    * ISO Monday, so deriving the end as date_trunc(WEEK, start)+7d
+    * (the simple-unit formula) would mis-key the frontier — the
+    * recipe's calendarEndOf must yield end = start + 7 days
+    * exactly. */
+  test("exactPanes over week-offset calendar buckets: anchored ends " +
+      "(start + 7d), cumulative panes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-accwko")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    StreamRunner.paneStore.remove("wkopanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      mode: accumulating
+      |      exactPanes: true
+      |      timestampField: ts
+      |      window: {type: calendar, unit: week, offset: 2, allowedLateness: 24}
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |sinks:
+      |  - name: wkopanes
+      |    module: memory
+      |    input: agg
+      |    parameters: {checkpointLocation: $dir/ckpt}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def all(): List[(String, Long, Long, Double)] =
+      StreamRunner.paneStore.get("wkopanes") match {
+        case null => Nil
+        case buf => buf.toList.map { case (tag, r) =>
+          val w = r.getAs[org.apache.spark.sql.Row]("window")
+          (tag, w.getAs[java.sql.Timestamp]("start").getTime / 1000,
+            w.getAs[java.sql.Timestamp]("end").getTime / 1000,
+            r.getAs[Double]("s"))
+        }
+      }
+    val first = all()
+    assert(first.nonEmpty, "no pane fired")
+    first.foreach { case (_, ws, we, _) =>
+      assert(we - ws == 7 * 86400,
+        s"anchored week end must be start + 7d, got [$ws, $we)")
+      assert(ws <= 3600 && 3600 < we,
+        s"event at 3600 outside its bucket [$ws, $we)")
+    }
+    assert(first.exists(t => t._1 == "early" && t._4 == 3.0), first)
+    // second element refines cumulatively in the same bucket
+    stageParquet(dir, "b2", Seq((2L, 7200L, 2.0)))
+    StreamRunner.drainAll()
+    assert(all().exists(t => t._1 == "early" && t._4 == 5.0), all())
+    StreamRunner.stopAll()
+  }
+
+  /** The sink's strategy wins trigger/mode precedence but need not
+    * re-declare the WINDOW — the recipe carries the aggregation's
+    * own calendar end derivation, so a sink-level discarding block
+    * over an upstream calendar-windowed aggregation works. */
+  test("discarding panes with the strategy split across modules: " +
+      "agg declares the calendar window, sink declares mode+trigger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-splitcal")
+      .toString
+    stageParquet(dir, "b1", Seq((1L, 3600L, 3.0)))
+    StreamRunner.paneStore.remove("splitpanes")
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: calendar, unit: day}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: s, op: sum, field: value}
+      |sinks:
+      |  - name: splitpanes
+      |    module: memory
+      |    input: agg
+      |    strategy:
+      |      mode: discarding
+      |      trigger:
+      |        type: afterWatermark
+      |        earlyFiringTrigger:
+      |          {type: afterProcessingTime, pastFirstElementDelay: 1}
+      |    parameters: {checkpointLocation: $dir/ckpt}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    val rows = StreamRunner.paneStore.get("splitpanes") match {
+      case null => Nil
+      case buf => buf.toList.map { case (tag, r) =>
+        (tag, r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[java.sql.Timestamp]("start").getTime / 1000,
+          r.getAs[Double]("s"))
+      }
+    }
+    assert(rows.contains(("early", 0L, 3.0)), rows)
+    StreamRunner.stopAll()
+  }
+
   test("exactPanes rejects session windows loudly (end-keyed pane " +
       "bookkeeping cannot track merging sessions)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-accsx")

@@ -126,6 +126,19 @@ class TfIdfSpec extends AnyFunSuite {
       """{"idField": "doc_id", "tokensField": "toks",
          "queriesInput": "q"}"""))
     assert(e.getMessage.contains("queryTokensField"))
+    // mirrored direction: pre-tokenized queries over a
+    // default-split (lowercased) corpus would also silently miss
+    val corpus2 = Seq((1L, "a b")).toDF("doc_id", "text")
+    val em = intercept[IllegalArgumentException](
+      Pipeline.transforms("tfidf")(spark,
+        Pipeline.ModuleCfg("ti", "tfidf", Seq("in", "q"), Nil,
+          graft.config.Json.parse(
+            """{"idField": "doc_id", "field": "text",
+               "queriesInput": "q", "queryTokensField": "qtoks"}"""),
+          graft.config.Json.obj()),
+        Map("in" -> corpus2, "q" -> queries))("ti"))
+    assert(em.getMessage.contains("tokensField on the corpus"),
+      em.getMessage)
     // same tokenization on both sides: both docs contain "a!"
     val out = run(
       """{"idField": "doc_id", "tokensField": "toks",
