@@ -412,7 +412,9 @@ object AggregationTransform {
         .map(st => (c: org.apache.spark.sql.Column) =>
           graft.streaming.Strategy.calendarEndOf(st, c))
       graft.streaming.PaneRecipes.register(result(cfg.name), raw, reAgg,
-        keys = groupFields, windowEndOf = windowEndOf)
+        keys = groupFields, windowEndOf = windowEndOf,
+        elementEndOf = strategyNode.flatMap(
+          graft.streaming.Strategy.elementRetainEnd))
     }
     result
   }

@@ -35,9 +35,16 @@ private[graft] object PaneRecipes {
     * HERE from the aggregation's OWN strategy node: the pane engines
     * must not re-derive it from the sink's strategy, which wins the
     * trigger/mode precedence but need not declare the window. */
+  /** `elementEndOf` = per-element retention horizon over a PRE-AGG
+    * batch (epoch-second upper bound on the latest window end the
+    * element can feed, [[Strategy.elementRetainEnd]]) — the
+    * accumulating exact-pane engine partitions its element store by
+    * it so expired elements drop by path. */
   final case class Recipe(preAgg: DataFrame, reAgg: DataFrame => DataFrame,
       keys: Seq[String],
       windowEndOf: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None,
+      elementEndOf: Option[DataFrame =>
         org.apache.spark.sql.Column] = None)
 
   private val recipes = new java.util.IdentityHashMap[LogicalPlan, Recipe]
@@ -45,11 +52,13 @@ private[graft] object PaneRecipes {
   def register(out: DataFrame, preAgg: DataFrame,
       reAgg: DataFrame => DataFrame, keys: Seq[String] = Nil,
       windowEndOf: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None,
+      elementEndOf: Option[DataFrame =>
         org.apache.spark.sql.Column] = None): Unit =
     recipes.synchronized {
       if (recipes.size > 64) recipes.clear()
       recipes.put(out.queryExecution.logical,
-        Recipe(preAgg, reAgg, keys, windowEndOf))
+        Recipe(preAgg, reAgg, keys, windowEndOf, elementEndOf))
     }
 
   def lookup(df: DataFrame): Option[Recipe] =

@@ -353,6 +353,47 @@ object Strategy {
     else calendarBucketEnd(startCol, unit.toUpperCase, tz)
   }
 
+  /** Per-element retention horizon for the exact-pane element store:
+    * an epoch-second upper bound — exact for calendar buckets — on
+    * the END of the latest window that can contain the element. Once
+    * the event-time frontier plus allowedLateness passes this
+    * horizon the element can never feed another pane (the same rule
+    * the pane engine's post-aggregation retention filter applies),
+    * so the store drops its partition by path. The horizon must be
+    * DISCRETE (it becomes a partition directory name — a raw
+    * `t + size` would mint one tiny partition per element): for
+    * fixed/sliding it is the exact end of the LATEST window
+    * containing t (`off + floor((t-off)/period)·period + size`, the
+    * window grid's own granularity), for calendar the bucket end.
+    * None for global windows (a global cumulative pane needs all
+    * history by definition); sessions never reach the exact-pane
+    * engine (it rejects them loudly). */
+  def elementRetainEnd(strategy: JsonNode): Option[DataFrame => Column] = {
+    val w = strategy("window").getOrElse(strategy)
+    w.str("type").getOrElse("global") match {
+      case "fixed" | "sliding" =>
+        seconds(w, "size").filter(_ > 0).map { size =>
+          val period = seconds(w, "period").filter(_ > 0).getOrElse(size)
+          val off = seconds(w, "offset").getOrElse(0L)
+          df => eventTimeCol(df, strategy) match {
+            case Some(t) =>
+              (floor((t.cast("long") - lit(off)).cast("double") /
+                lit(period)).cast("long") * lit(period) +
+                lit(off + size))
+            case None => lit(null).cast("long")
+          }
+        }
+      case "calendar" =>
+        // calendarEndOf derives the bucket CONTAINING its argument,
+        // so the raw event time works directly (no start needed)
+        Some(df => eventTimeCol(df, strategy) match {
+          case Some(t) => calendarEndOf(strategy, t).cast("long")
+          case None => lit(null).cast("long")
+        })
+      case _ => None
+    }
+  }
+
   /** UTC instant of the END of `ts`'s local calendar bucket:
     * date_trunc in the zone, plus one bucket, mapped back to UTC.
     * Interval addition happens in LOCAL wall time (that is the

@@ -393,28 +393,23 @@ object StreamRunner {
   private val lastPaneBatch =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Per exact-pane sink: batchId → max window end (epoch seconds) of
-    * that batch's store slice, for frontier-driven compaction. */
-  private val paneBatchMaxEnd = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[
-      java.lang.Long, java.lang.Long]]()
-
   /** Beam-parity PERSISTENT trigger state (Beam keeps pane timing in
     * durable trigger state; Structured Streaming's checkpoint covers
-    * offsets only): after each batch the frontier, the fired-window
-    * set, and the store-slice max-ends roll under the checkpoint as a
-    * batch-stamped JSON snapshot, and a restart restores the latest
-    * one — so pane TIMING (not just values, which were already
-    * replay-exact via batch stamping) is identical across a
-    * kill/restart. Without it a window that closed just before a
-    * crash re-fired tagged `early` until the frontier re-passed its
-    * end, and pre-restart store slices were never compacted (their
-    * max-ends lived only in the process-local map). Snapshots are
-    * tiny — one long plus the open-horizon window ends; fired ends
-    * expired beyond allowedLateness are pruned on write, which also
-    * bounds the set. The latest two snapshots survive (current +
-    * prior) so a replayed batch can overwrite its own and still find
-    * its predecessor. */
+    * offsets only): after each batch the frontier and the
+    * fired-window set roll under the checkpoint as a batch-stamped
+    * JSON snapshot, and a restart restores the latest one — so pane
+    * TIMING (not just values, which were already replay-exact via
+    * batch stamping) is identical across a kill/restart. Without it
+    * a window that closed just before a crash re-fired tagged
+    * `early` until the frontier re-passed its end. (Store compaction
+    * needs no snapshot state: the element store's retention horizons
+    * live in its `__wend=` partition paths, so pre-restart slices
+    * keep compacting from the directory listing alone.) Snapshots
+    * are tiny — one long plus the open-horizon window ends; fired
+    * ends expired beyond allowedLateness are pruned on write, which
+    * also bounds the set. The latest two snapshots survive (current
+    * + prior) so a replayed batch can overwrite its own and still
+    * find its predecessor. */
   private def persistTriggerState(name: String, dir: java.io.File,
       batchId: Long, latenessMs: Long): Unit = {
     dir.mkdirs()
@@ -435,10 +430,6 @@ object StreamRunner {
     }
     val fa = o.putArray("fired")
     fired.foreach(e => fa.add(e))
-    Option(paneBatchMaxEnd.get(name)).foreach { m =>
-      val eo = o.putObject("sliceMaxEnd")
-      m.forEach((k, v) => eo.put(k.toString, v.longValue()))
-    }
     val tmp = new java.io.File(dir, s".tmp-$batchId")
     java.nio.file.Files.write(tmp.toPath,
       o.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -471,14 +462,40 @@ object StreamRunner {
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
       n.arrOf("fired").foreach(e =>
         fired.add(java.lang.Long.valueOf(e.asLong)))
-      n("sliceMaxEnd").foreach { m =>
-        val ends = paneBatchMaxEnd.computeIfAbsent(name,
-          _ => new java.util.concurrent.ConcurrentHashMap[
-            java.lang.Long, java.lang.Long]())
-        m.names.foreach(k => ends.put(java.lang.Long.valueOf(k.toLong),
-          java.lang.Long.valueOf(m.long(k).get)))
-      }
     }
+
+  /** Frontier-driven element-store compaction: delete every
+    * `__wend=E` partition (under any `__gbatch=` slice) whose
+    * retention horizon E (plus allowedLateness) is behind the
+    * frontier, then drop slices left
+    * with no element partitions. Unparseable partition names (e.g. a
+    * null-horizon `__HIVE_DEFAULT_PARTITION__`) are kept — safety
+    * over space. */
+  private def compactStore(storeDir: String, frontierMs: Long,
+      latenessMs: Long): Unit = {
+    def ls(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    ls(new java.io.File(storeDir))
+      .filter(_.getName.startsWith("__gbatch=")).foreach { g =>
+        var hadWend = false
+        ls(g).filter(_.getName.startsWith("__wend=")).foreach { p =>
+          hadWend = true
+          p.getName.stripPrefix("__wend=").toLongOption.foreach { e =>
+            if (e * 1000L + latenessMs < frontierMs) {
+              ls(p).foreach(_.delete())
+              p.delete()
+            }
+          }
+        }
+        // slice fully expired: clear committer droppings + the dir
+        // (only for partitioned slices — a global-window slice has
+        // bare part files and no horizon to judge them by)
+        if (hadWend && !ls(g).exists(_.getName.startsWith("__wend="))) {
+          ls(g).foreach(_.delete())
+          g.delete()
+        }
+      }
+  }
 
   /** Beam ACCUMULATING accumulation with early firings — exact, not
     * approximated, opt-in via `strategy.exactPanes: true` (the
@@ -491,9 +508,12 @@ object StreamRunner {
     * appends its pre-agg rows to a parquet element store under the
     * checkpoint dir and the pane re-aggregates the store. This
     * retains raw elements for open windows (bounded by horizon ×
-    * rate, MORE than Beam's combiner state — the exactness price;
-    * the store is retention-filtered by watermark + allowedLateness
-    * on read but not compacted on disk).
+    * rate, MORE than Beam's combiner state — the exactness price).
+    * The store compacts at ELEMENT granularity: slices partition by
+    * each element's retention horizon (`__wend`), and the frontier
+    * (plus allowedLateness) drops expired partitions by path — so
+    * per-batch re-aggregation cost tracks open-window volume, not
+    * stream lifetime.
     *
     * Pane scope and metadata mirror Beam PaneInfo:
     *  - firings are per key+window: only keys with new elements fire
@@ -565,7 +585,6 @@ object StreamRunner {
     paneStore.remove(cfg.name)
     memPaneIdx.remove(cfg.name)
     lastPaneBatch.remove(cfg.name)
-    paneBatchMaxEnd.remove(cfg.name)
     val ckpt = checkpoint(cfg)
     val storeDir = ckpt + "/acc-elements"
     val triggerStateDir = new java.io.File(ckpt + "/trigger-state")
@@ -699,12 +718,26 @@ object StreamRunner {
         if ((done == null || batchId > done.longValue()) &&
             !batch.isEmpty) {
           val spark = batch.sparkSession
-          // batch-stamped store partition: a replayed batch OVERWRITES
+          // batch-stamped store slice: a replayed batch OVERWRITES
           // its own slice instead of appending a duplicate, keeping
-          // every later cumulative pane exact across retries/restarts
-          batch.write.mode("overwrite")
-            .parquet(storeDir + s"/__gbatch=$batchId")
-          val stored = spark.read.parquet(storeDir).drop("__gbatch")
+          // every later cumulative pane exact across retries/restarts.
+          // Sub-partitioned by each ELEMENT's retention horizon
+          // (__wend = upper bound on the latest window end the
+          // element can feed, Strategy.elementRetainEnd) so frontier
+          // compaction drops expired elements by path even when one
+          // slice mixes near and far window ends — per-batch cost
+          // tracks the open-window volume, not stream lifetime.
+          recipe.elementEndOf match {
+            case Some(endOf) =>
+              batch.withColumn("__wend", endOf(batch).cast("long"))
+                .write.mode("overwrite").partitionBy("__wend")
+                .parquet(storeDir + s"/__gbatch=$batchId")
+            case None => // global window: no horizon, no compaction
+              batch.write.mode("overwrite")
+                .parquet(storeDir + s"/__gbatch=$batchId")
+          }
+          val stored = spark.read.parquet(storeDir)
+            .drop("__gbatch", "__wend")
           val reAgg = paneReAgg(cfg, recipe)
           val aggedAll = reAgg(stored)
           val touched = reAgg(batch)
@@ -769,33 +802,20 @@ object StreamRunner {
                 if (hasLate) early.union(closing).union(late)
                 else early.union(closing)
               emitWithIndex(pane, keyCols, batchId)
-              // store compaction: every batch slice records its max
-              // window end; once the frontier (plus lateness) passes
-              // it, EVERY window the slice feeds is expired and the
-              // whole `__gbatch` dir is dropped — the on-disk store
-              // stays bounded by the open horizon × rate, not by
-              // stream lifetime. (The map survives restarts via the
-              // trigger-state snapshot, so pre-restart slices keep
-              // compacting too.)
-              val ends = paneBatchMaxEnd.computeIfAbsent(cfg.name,
-                _ => new java.util.concurrent.ConcurrentHashMap[
-                  java.lang.Long, java.lang.Long]())
-              if (tEnds.nonEmpty)
-                ends.put(batchId, java.lang.Long.valueOf(tEnds.max))
-              val eit = ends.entrySet().iterator()
-              while (eit.hasNext) {
-                val e = eit.next()
-                if (e.getKey.longValue() != batchId &&
-                    e.getValue.longValue() * 1000L + latenessMs < fNew) {
-                  val d = new java.io.File(
-                    storeDir + s"/__gbatch=${e.getKey}")
-                  Option(d.listFiles())
-                    .getOrElse(Array.empty[java.io.File])
-                    .foreach(_.delete())
-                  d.delete()
-                  eit.remove()
-                }
-              }
+              // store compaction, element-level: each slice is
+              // partitioned by its elements' retention horizons
+              // (`__wend=<epochSec>`); once the frontier (plus
+              // lateness) passes a horizon, no element in that
+              // partition can contribute to any future pane — the
+              // same rule the `retained` filter applies post-agg —
+              // so the partition drops by path. Listing-driven (the
+              // horizons live in the paths, no driver map), so
+              // pre-restart slices keep compacting after a restart
+              // with no snapshot state; a slice emptied of elements
+              // drops wholly. Replay-safe: a replayed batch rewrites
+              // its entire slice (static partition overwrite) before
+              // compaction re-applies the frontier rule.
+              compactStore(storeDir, fNew, latenessMs)
           }
           persistTriggerState(cfg.name, triggerStateDir, batchId,
             latenessMs)
