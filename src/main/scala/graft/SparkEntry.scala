@@ -5511,6 +5511,128 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // §2.5 interval join, STREAM-STREAM how: left — Spark's native
+    // left-outer defers an unmatched left row's null emission until
+    // BOTH watermarks pass the point it could still match (state
+    // eviction), so a bounded drain must END with watermark-advancing
+    // sentinel batches: two far-future rows per side (the second
+    // batch applies the watermark the first one raised) that pass the
+    // pre-join filters but are excluded from the result (event_id<0 —
+    // and being the stream's frontier, they themselves never flush).
+    // Real data is staged in TIME-split batches (split chosen so one
+    // match straddles it — cross-micro-batch state is exercised) with
+    // the watermark delay (3d) wider than any stage gap, so nothing
+    // real is late-dropped and the drained union equals the batch
+    // LEFT join exactly.
+    "q166_interval_ss_left" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{lit => flit}
+      val base = java.nio.file.Files.createTempDirectory("graft_q166_")
+      val inL = base.resolve("inL"); inL.toFile.mkdirs()
+      val inR = base.resolve("inR"); inR.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val split = "ts < timestamp '2024-01-14 11:00:00'"
+      def stage(into: java.nio.file.Path, n: String,
+          cond: String): Unit =
+        stageBatch(ev, org.apache.spark.sql.functions.expr(cond),
+          base, into, n)
+      def sentinel(into: java.nio.file.Path, n: String, id: Long,
+          et: String, ts: String): Unit =
+        stageBatch(
+          ev.limit(1)
+            .withColumn("event_id", flit(id))
+            // cast to the SOURCE's own ts type (timestamp_ntz): a
+            // tz-typed sentinel column reads back null under the
+            // stream's inferred schema and never advances the
+            // watermark
+            .withColumn("ts", flit(ts).cast(ev.schema("ts").dataType))
+            .withColumn("user_id", flit(0L))
+            .withColumn("event_type", flit(et)),
+          flit(true), base, into, n)
+      stage(inL, "l1", split)
+      stage(inR, "r1", split)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+      Pipeline.execute(s, s"""
+sources:
+  - name: evl
+    module: storage
+    parameters: {path: "$inL", format: parquet, stream: true}
+  - name: evr
+    module: storage
+    parameters: {path: "$inR", format: parquet, stream: true}
+transforms:
+  - name: clicks
+    module: sql
+    inputs: [evl]
+    parameters:
+      sql: "SELECT event_id, user_id, ts FROM evl WHERE event_type = 'click' AND user_id % 3 = 0"
+  - name: wins
+    module: sql
+    inputs: [evr]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evr WHERE event_type = 'purchase' AND user_id % 3 = 0"
+  - name: jn
+    module: join
+    inputs: [clicks, wins]
+    parameters:
+      method: interval
+      how: left
+      by: [user_id]
+      leftOn: ts
+      rightStart: s
+      rightEnd: e
+      maxIntervalSpan: 2h
+      leftWatermark: 3d
+      rightWatermark: 3d
+  - name: sel
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: window_id, field: right_wid, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stage(inL, "l2", s"NOT ($split)")
+      stage(inR, "r2", s"NOT ($split)")
+      graft.streaming.StreamRunner.drainAll()
+      sentinel(inL, "l3", -1L, "click", "2024-06-01 00:00:00")
+      sentinel(inR, "r3", -1L, "purchase", "2024-06-01 00:00:00")
+      graft.streaming.StreamRunner.drainAll()
+      sentinel(inL, "l4", -2L, "click", "2024-06-05 00:00:00")
+      sentinel(inR, "r4", -2L, "purchase", "2024-06-05 00:00:00")
+      graft.streaming.StreamRunner.drainAll()
+      // outer null rows flush in a no-NEW-DATA state-cleanup batch
+      // (the engine runs one when the watermark advanced), which
+      // processAllAvailable does not wait for — poll the sink until
+      // it stops growing (two consecutive stable reads)
+      def rows(): Long =
+        try s.read.parquet(out).count() catch { case _: Throwable => 0L }
+      var prev = -1L; var cur = rows(); var stable = 0; var spins = 0
+      while (stable < 2 && spins < 60) {
+        Thread.sleep(500)
+        prev = cur; cur = rows()
+        stable = if (cur == prev) stable + 1 else 0
+        spins += 1
+      }
+      graft.streaming.StreamRunner.stopAll()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // sentinel exclusion happens BATCH-side, after the drain: an
+      // in-pipeline filter on a left column would be pushed through
+      // the left-outer join into the left stream's SCAN (left-column
+      // filters are LOJ-pushable), silently dropping the sentinels
+      // before the watermark node ever saw them — the watermark then
+      // never advanced and no null row flushed
+      s.read.parquet(out).filter("event_id >= 0")
+    }),
+
     // §2.2 bucketed catalog tables: both join sides written bucketBy
     // the join key (the co-located-join lever — BucketSpec pins the
     // zero-exchange plan shape; here the VALUES go through the
@@ -8373,6 +8495,20 @@ transforms:
          FROM (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'click' AND user_id % 3 = 0) c
          JOIN (SELECT event_id AS wid, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+               FROM events
+               WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+         ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // left-outer drain (sentinel rows excluded) must equal the batch
+    // LEFT join: unmatched clicks null-padded once the sentinel
+    // batches push both watermarks past every real row's horizon
+    "q166_interval_ss_left" ->
+      """SELECT c.event_id,
+           CAST(p.wid AS BIGINT) AS window_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click' AND user_id % 3 = 0) c
+         LEFT JOIN (SELECT event_id AS wid, user_id, ts AS s,
                  ts + INTERVAL 2 HOUR AS e
                FROM events
                WHERE event_type = 'purchase' AND user_id % 3 = 0) p

@@ -215,11 +215,15 @@ object JoinTransform {
     * late-drop bound) and `maxIntervalSpan` (a CONSTANT upper bound
     * on right interval length; an interval longer than the declared
     * span would silently lose its tail matches, so the job fails
-    * loudly instead, like the batch fan-out guard). Point mode +
-    * `how: inner` only: overlap mode's two-sided range and
-    * stream-stream left-outer's watermark-deferred null emission
-    * don't fit a batch-bounded drain — both fail loudly with the
-    * alternative named. Event-time columns must be timestamps
+    * loudly instead, like the batch fan-out guard). Point mode only:
+    * overlap mode's two-sided range needs a left-span bound Spark
+    * cannot derive, so it fails loudly with the alternative named.
+    * `how: inner` or `how: left` — left-outer rides Spark's native
+    * watermark-deferred null emission: an unmatched left row is
+    * null-padded once both watermarks pass the point it could still
+    * match (state eviction), which means a bounded drain must end
+    * with a watermark-advancing batch or unmatched rows stay parked
+    * in the state store. Event-time columns must be timestamps
     * (TimestampNTZ is re-stamped as UTC wall-clock, the repo
     * convention). */
   private def streamStreamInterval(cfg: ModuleCfg,
@@ -230,11 +234,18 @@ object JoinTransform {
       s"$name: overlap mode needs a two-sided range condition " +
         "Spark cannot bound state for — window one side into batch " +
         "stages, or use point mode (leftOn)")
-    require(how == "inner",
-      s"$name: stream-stream left-outer defers null emission to " +
-        "watermark passage, which a batch-bounded drain cannot " +
-        "flush deterministically — use how: inner, or a static right")
+    require(how == "inner" || how == "left",
+      s"$name: stream-stream supports how: inner or left (got " +
+        s"'$how') — right/full outer would need a span bound on the " +
+        "LEFT side's matchability that point mode does not declare")
     val by = p.strArr("by")
+    // sharper than the batch warning: a key-less symmetric hash join
+    // degenerates to ONE hot partition retaining BOTH sides' full
+    // watermark horizon of state
+    if (by.isEmpty) log.warn(
+      s"$name: no 'by' keys — the stream-stream join keeps both " +
+        "sides' full watermark horizon of state in a single hot " +
+        "partition; add equality keys at scale")
     val leftOn = p.str("leftOn").getOrElse(
       throw new IllegalArgumentException(s"$name: leftOn required"))
     val rightStart = p.str("rightStart").getOrElse(
@@ -299,7 +310,7 @@ object JoinTransform {
       (col(leftOn) >= rs) :+
       (col(leftOn) <= rs + spanInterval) :+
       (col(leftOn) <= col(prefix + rightEnd))).reduce(_ && _)
-    lW.join(rW, cond, "inner")
+    lW.join(rW, cond, if (how == "left") "left_outer" else "inner")
   }
 
   private def intervalJoin(cfg: ModuleCfg, p: com.fasterxml.jackson.databind.JsonNode,
@@ -486,7 +497,14 @@ object JoinTransform {
       * finite/NaN/null score but marks the alias nondeterministic,
       * which lawfully blocks predicate pushdown through the
       * Project — one evaluation total, still inside whole-stage
-      * codegen (JoinSpec asserts the single occurrence). */
+      * codegen. This leans on two optimizer behaviors a future
+      * Spark could lawfully change (never folding `x·0` over a
+      * nondeterministic child; never pushing a filter through a
+      * nondeterministic Project) — the JoinSpec optimizedPlan
+      * single-occurrence assertion IS the contract: if an upgrade
+      * re-duplicates the measure, that spec fails first and this
+      * term should become a dedicated no-pushdown barrier
+      * expression. */
     def scoreOnce(a: Column, b: Column): Column =
       score(a, b) + rand(7) * lit(0.0)
 

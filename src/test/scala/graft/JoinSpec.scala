@@ -301,8 +301,9 @@ class JoinSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("streaming"), e3.getMessage)
   }
 
-  test("stream-stream interval join: builds watermarked, requires " +
-      "span + watermarks + timestamps, rejects overlap and left") {
+  test("stream-stream interval join: builds watermarked (inner and " +
+      "left-outer), requires span + watermarks + timestamps, rejects " +
+      "overlap and full") {
     val sl = spark.readStream.format("rate").load()
       .select($"value".as("event_id"), ($"value" % 5).as("u"),
         $"timestamp".as("ts"))
@@ -332,12 +333,24 @@ class JoinSpec extends AnyFunSuite {
          "maxIntervalSpan":"2h","leftWatermark":"10m",
          "rightWatermark":"10m"}""", sl, sr))
     assert(e2.getMessage.contains("overlap mode"), e2.getMessage)
+    // how: left builds Spark's native left-outer stream-stream join
+    // (watermark-deferred null emission); right/full stay rejected —
+    // point mode declares no span bound on the LEFT side
+    val okL = join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
+         "leftWatermark":"10m","rightWatermark":"10m",
+         "how":"left"}""", sl, sr)
+    assert(okL.isStreaming)
+    val lpL = okL.queryExecution.analyzed.toString
+    assert(lpL.contains("LeftOuter"), lpL)
+    assert("EventTimeWatermark".r.findAllIn(lpL).length == 2, lpL)
     val e3 = intercept[IllegalArgumentException](join(
       """{"method":"interval","by":["u"],"leftOn":"ts",
          "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
          "leftWatermark":"10m","rightWatermark":"10m",
-         "how":"left"}""", sl, sr))
-    assert(e3.getMessage.contains("left-outer"), e3.getMessage)
+         "how":"full"}""", sl, sr))
+    assert(e3.getMessage.contains("valid: inner, left"), e3.getMessage)
     val e4 = intercept[IllegalArgumentException](join(
       """{"method":"interval","by":["u"],"leftOn":"event_id",
          "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
