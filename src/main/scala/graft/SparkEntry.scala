@@ -1808,6 +1808,76 @@ sinks:
         col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
     }),
 
+    // q161's calendar panes in a DST zone ACROSS the transition:
+    // events shifted +89 days span Europe/Berlin's 2024-03-31
+    // spring-forward (a 23-hour local day) — the streaming dynamic-
+    // gap session encoding, the batch re-aggregation's date_trunc
+    // plan, and the pane recipe's calendarEndOf end derivation must
+    // all bucket that day to the next local midnight (one UTC hour
+    // early); the oracle replays the bucketing with DuckDB's ICU
+    // timezone arithmetic (session-tz-independent two-arg timezone())
+    "q167_calendar_dst_panes" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round, expr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q167_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts") + expr("INTERVAL 89 DAYS"))
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
+      val ts = col("ts").cast("timestamp")
+      // q161's batch boundaries, shifted with the data
+      val t1 = org.apache.spark.sql.functions
+        .lit("2024-04-09 03:00:00").cast("timestamp")
+      val t2 = org.apache.spark.sql.functions
+        .lit("2024-04-19 00:00:00").cast("timestamp")
+      stage(1, ts < t1)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: accumulating
+      exactPanes: true
+      timestampField: ts
+      window: {type: calendar, unit: day, timezone: Europe/Berlin}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger:
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: dstpanes
+    module: storage
+    input: agg
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      stage(3, ts >= t2)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out).select(
+        col("window.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 4).as("total_r"),
+        col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
+    }),
+
     // similarity: IVF ANN with the md5-seeded AUTO-FIT codebook —
     // the engine derives the 16 centroids from the corpus itself
     // (smallest md5(vec_id)), so unlike the external-codebook twin
@@ -7305,6 +7375,24 @@ transforms:
     "q161_calendar_panes" -> accPanesOracle(
       "CAST(floor((epoch(ts) + 32400) / 86400) * 86400 - 32400 AS BIGINT)",
       "CAST(floor((epoch(ts) + 32400) / 86400) * 86400 + 86400 - 32400 AS BIGINT)"),
+
+    // Berlin local midnights across the 2024-03-31 spring-forward
+    // (events shifted +89d): ICU timezone arithmetic, written with
+    // the two-arg timezone() only so the derivation is independent
+    // of the oracle session's TimeZone setting — timezone('UTC', t)
+    // stamps the naive UTC instant, timezone('Europe/Berlin', tz_t)
+    // yields local wall time, date_trunc + 1 day is calendar-bucket
+    // arithmetic in LOCAL time (the 23h day ends a UTC hour early),
+    // and the outer timezone() maps the local boundary back to the
+    // instant the engine emits. Batch boundaries stay on the RAW ts
+    // (same rows as the engine's shifted splits).
+    "q167_calendar_dst_panes" -> accPanesOracle(
+      "CAST(epoch(timezone('Europe/Berlin', date_trunc('day', " +
+        "timezone('Europe/Berlin', timezone('UTC', " +
+        "ts + INTERVAL 89 DAY))))) AS BIGINT)",
+      "CAST(epoch(timezone('Europe/Berlin', date_trunc('day', " +
+        "timezone('Europe/Berlin', timezone('UTC', " +
+        "ts + INTERVAL 89 DAY))) + INTERVAL 1 DAY)) AS BIGINT)"),
 
     // the restarted run must land on the same batch-boundary-
     // deterministic pane set — one oracle serves q82 and q153

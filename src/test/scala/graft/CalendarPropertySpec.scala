@@ -78,6 +78,43 @@ class CalendarPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Pins calendarEndOf (the pane engines' bucket-END derivation,
+    * local wall-time interval addition) at BOTH DST transitions in
+    * two zones: the spring-forward 23h day must still end at the
+    * next local midnight (one UTC hour early), the fall-back 25h day
+    * one UTC hour late. Instants sweep the transition days at 30-min
+    * steps, so the skipped/repeated local hours are all covered. */
+  test("calendar bucket ENDS are DST-correct at both transitions") {
+    val cases = Seq(
+      ("Europe/Berlin", "2024-03-31"), ("Europe/Berlin", "2024-10-27"),
+      ("America/New_York", "2024-03-10"), ("America/New_York", "2024-11-03"))
+    for ((tz, day) <- cases; unit <- Seq("day", "week", "month")) {
+      val zone = ZoneId.of(tz)
+      val d0 = LocalDate.parse(day).atStartOfDay(zone).toInstant
+      val instants = (0 until 27 * 2).map(i => d0.plusSeconds(i * 1800L))
+      val df = instants.map(i => java.sql.Timestamp.from(i)).toDF("ts")
+      val strategy = graft.config.Json.parse(
+        s"""{"window": {"type": "calendar", "unit": "$unit",
+             "timezone": "$tz"}}""")
+      val end = graft.streaming.Strategy.calendarEndOf(strategy, col("ts"))
+      val got = df.select(col("ts"), end.as("e")).collect()
+        .map(r => r.getTimestamp(0).toInstant ->
+          r.getTimestamp(1).toInstant).toMap
+      instants.foreach { i =>
+        val ld = i.atZone(zone).toLocalDate
+        val endLocal = unit match {
+          case "day" => ld.plusDays(1)
+          case "week" =>
+            ld.minusDays(ld.getDayOfWeek.getValue - 1L).plusDays(7)
+          case "month" => ld.withDayOfMonth(1).plusMonths(1)
+        }
+        val exp = endLocal.atStartOfDay(zone).toInstant
+        assert(got(i) == exp,
+          s"tz=$tz unit=$unit ts=$i: got ${got(i)}, expected $exp")
+      }
+    }
+  }
+
   test("default-path buckets (size 1, no anchor) equal the generalized path") {
     val rnd = new scala.util.Random(42)
     val instants = (1 to 200).map(_ => Instant.ofEpochSecond(
