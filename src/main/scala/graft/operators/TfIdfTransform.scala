@@ -30,10 +30,13 @@ import org.apache.spark.sql.types._
   * (doc, term) with partial combine; `df` re-aggregates the already
   * (doc, term)-distinct tf frame (term-keyed, vocabulary-sized);
   * the df re-attach joins on term and AQE broadcasts it when the
-  * vocabulary is small. N (and avgdl for bm25) are single driver
-  * aggregates, like the pagerank teleport term — corpus-global
-  * scalars are metadata, not data. Nothing document-pair-shaped
-  * ever materializes. */
+  * vocabulary is small. N (and avgdl for bm25) fold into the SAME
+  * job as one-row aggregates cross-joined broadcast (the pagerank
+  * dangling-mass pattern) — no separate driver action per build.
+  * An empty corpus (or an all-empty one under bm25) therefore
+  * yields an empty result rather than a build-time error: with no
+  * (doc, term) rows there is nothing to score. Nothing
+  * document-pair-shaped ever materializes. */
 object TfIdfTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
@@ -57,9 +60,10 @@ object TfIdfTransform {
       filter(transform(split(col(field).cast(StringType), "\\s+"),
         t => lower(t)), t => t =!= ""))
     // N counts INPUT documents (token-less docs included — they are
-    // part of the corpus the idf denominator describes)
-    val n = df.count().toDouble
-    require(n > 0, s"tfidf ${cfg.name}: empty input")
+    // part of the corpus the idf denominator describes). A one-row
+    // aggregate cross-joined broadcast folds it into the main job —
+    // one fewer action per build than a driver-side count
+    val nFrame = df.agg(count(lit(1)).cast(DoubleType).as("__n"))
     val terms = df
       .select(col(idField), explode(toks).as("__term"))
     val tf = terms
@@ -69,9 +73,11 @@ object TfIdfTransform {
       .groupBy(col("__term"))
       .agg(count(lit(1)).as("df"))
     val joined = tf.join(dfreq, Seq("__term"))
+      .crossJoin(broadcast(nFrame))
+    val nCol = col("__n")
     val scored = scheme match {
       case "tfidf" =>
-        val idf = log((lit(1.0) + lit(n)) /
+        val idf = log((lit(1.0) + nCol) /
           (lit(1.0) + col("df").cast(DoubleType))) + lit(1.0)
         joined.withColumn("score",
           col("tf").cast(DoubleType) * idf)
@@ -79,26 +85,26 @@ object TfIdfTransform {
         val k1 = p.dbl("k1").getOrElse(1.2)
         val b = p.dbl("b").getOrElse(0.75)
         // avgdl over docs WITH tokens (dl of an empty doc is 0 and
-        // contributes nothing to retrieval; standard convention)
-        val avgdlRow = terms.groupBy(col(idField))
+        // contributes nothing to retrieval; standard convention) —
+        // same one-row broadcast fold as N; over an all-empty
+        // corpus both the (doc, term) frame and the result are
+        // empty, so the null avgdl never scores anything
+        val avgdlFrame = terms.groupBy(col(idField))
           .agg(count(lit(1)).as("__dl"))
-          .agg(avg(col("__dl"))).head()
-        require(!avgdlRow.isNullAt(0),
-          s"tfidf ${cfg.name}: bm25 needs at least one tokenized " +
-            "document (every doc is empty/null)")
-        val avgdl = avgdlRow.getDouble(0)
+          .agg(avg(col("__dl")).as("__avgdl"))
         val dl = sum(col("tf")).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col(idField)))
         val idf = log(lit(1.0) +
-          (lit(n) - col("df").cast(DoubleType) + lit(0.5)) /
+          (nCol - col("df").cast(DoubleType) + lit(0.5)) /
             (col("df").cast(DoubleType) + lit(0.5)))
         val tfd = col("tf").cast(DoubleType)
         joined
+          .crossJoin(broadcast(avgdlFrame))
           .withColumn("__dl", dl.cast(DoubleType))
           .withColumn("score", idf * (tfd * lit(k1 + 1.0)) /
             (tfd + lit(k1) *
-              (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl))))
+              (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
           .drop("__dl")
     }
     val named = scored
