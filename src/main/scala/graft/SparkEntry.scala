@@ -5703,6 +5703,66 @@ sinks:
       s.read.parquet(out).filter("event_id >= 0")
     }),
 
+    // §2.7 streaming per-key limit with outputStartAt (reference
+    // Limit.java:102-135): the first N rows per key AT-OR-AFTER the
+    // offset, across micro-batches — stateful emitted-count per key,
+    // within-batch microsecond ts sort. outputStartAt sits 30 min
+    // before the first batch boundary so the per-key quota is only
+    // PARTIALLY filled by batch 1 at either sf (the cross-batch
+    // state path is exercised, not just a within-batch head);
+    // batches stage in ts order, so the selection equals the batch
+    // row_number oracle
+    "q168_stream_limit" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q168_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
+      val ts = org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp")
+      val t1 = org.apache.spark.sql.functions
+        .lit("2024-01-11 00:00:00").cast("timestamp")
+      val t2 = org.apache.spark.sql.functions
+        .lit("2024-01-21 00:00:00").cast("timestamp")
+      stage(1, ts < t1)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: lim
+    module: limit
+    inputs: [ev]
+    parameters:
+      count: 20
+      keyFields: [event_type]
+      orderField: ts
+      outputStartAt: "2024-01-10 23:30:00"
+  - name: sel
+    module: select
+    inputs: [lim]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: event_type}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      stage(3, ts >= t2)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.2 bucketed catalog tables: both join sides written bucketBy
     // the join key (the co-located-join lever — BucketSpec pins the
     // zero-exchange plan shape; here the VALUES go through the
@@ -8587,6 +8647,18 @@ transforms:
                FROM events
                WHERE event_type = 'purchase' AND user_id % 3 = 0) p
          ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // first-20-per-key at-or-after the offset: ts-ordered staging
+    // makes the streaming emitted-count selection equal the batch
+    // row_number (event_id tiebreak never decides — ts is unique at
+    // microsecond precision in the fixture)
+    "q168_stream_limit" ->
+      """SELECT event_id, event_type FROM (
+           SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS rn
+           FROM events WHERE ts >= TIMESTAMP '2024-01-10 23:30:00')
+         WHERE rn <= 20""",
 
     // left-outer drain (sentinel rows excluded) must equal the batch
     // LEFT join: unmatched clicks null-padded once the sentinel

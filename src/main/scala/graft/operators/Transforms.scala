@@ -924,9 +924,17 @@ object LimitTransform {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[Int]) =>
           var emitted = state.getOption.getOrElse(0)
+          // microsecond precision: a millisecond key made same-ms
+          // rows tie and the within-batch sort nondeterministic at
+          // the first-N boundary
           def sortKey(r: Row): Long = ordIdx.map(oi => r.get(oi) match {
-            case t: java.sql.Timestamp => t.getTime
-            case t: java.time.Instant => t.toEpochMilli
+            case t: java.sql.Timestamp =>
+              t.getTime * 1000L + (t.getNanos / 1000) % 1000
+            case t: java.time.Instant =>
+              t.toEpochMilli * 1000L + (t.getNano / 1000) % 1000
+            case t: java.time.LocalDateTime => // TimestampNTZ rows
+              t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli *
+                1000L + (t.getNano / 1000) % 1000
             case num: Number => num.longValue()
             case null => 0L
             case other => throw new IllegalArgumentException(
