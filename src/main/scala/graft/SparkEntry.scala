@@ -3413,9 +3413,15 @@ transforms:
     // outranks mutants, rid tie-break makes the comparator unique),
     // segment by recency (a synthesized updated stamp under which
     // mutant 1 is newest for odd keys, mutant 2 for even), balance
-    // by plain max, n = cluster size. Components replay as
-    // rid % 1e6 in the oracle because each cluster is a 3-clique
-    // whose min id is the original custkey (the q147 construction)
+    // by plain max, n = cluster size, and donor by COMPLETENESS
+    // (most non-null contact fields wins, rid tie-break) — the
+    // fourth standard survivorship policy, composed as argmax over
+    // a SQL-computed non-null count (each variant nulls a different
+    // contact field on a different key residue, so priority,
+    // recency, and completeness elect different records). Components
+    // replay as rid % 1e6 in the oracle because each cluster is a
+    // 3-clique whose min id is the original custkey (the q147
+    // construction)
     "q157_survivorship" -> pipe("out", """
 sources:
   - name: cust
@@ -3426,7 +3432,7 @@ transforms:
     module: sql
     inputs: [cust]
     parameters:
-      sql: "SELECT c_custkey AS rid, c_name AS name, c_mktsegment AS seg, c_acctbal AS bal, 3 AS src, 1000 + c_custkey AS updated FROM cust UNION ALL SELECT c_custkey + 1000000 AS rid, concat('X', substr(c_name, 2)) AS name, concat('M1-', c_mktsegment) AS seg, c_acctbal + 10.0 AS bal, 2 AS src, 2000000 + c_custkey + (c_custkey % 2) * 2000000 AS updated FROM cust UNION ALL SELECT c_custkey + 2000000 AS rid, concat(substr(c_name, 1, 1), 'Y', substr(c_name, 3)) AS name, concat('M2-', c_mktsegment) AS seg, c_acctbal - 5.0 AS bal, 1 AS src, 3000000 + c_custkey AS updated FROM cust"
+      sql: "SELECT c_custkey AS rid, c_name AS name, c_mktsegment AS seg, c_acctbal AS bal, 3 AS src, 1000 + c_custkey AS updated, CASE WHEN c_custkey % 2 = 0 THEN CAST(NULL AS STRING) ELSE 'P3' END AS phone, 'E3' AS email FROM cust UNION ALL SELECT c_custkey + 1000000 AS rid, concat('X', substr(c_name, 2)) AS name, concat('M1-', c_mktsegment) AS seg, c_acctbal + 10.0 AS bal, 2 AS src, 2000000 + c_custkey + (c_custkey % 2) * 2000000 AS updated, 'P2' AS phone, CASE WHEN c_custkey % 3 = 0 THEN CAST(NULL AS STRING) ELSE 'E2' END AS email FROM cust UNION ALL SELECT c_custkey + 2000000 AS rid, concat(substr(c_name, 1, 1), 'Y', substr(c_name, 3)) AS name, concat('M2-', c_mktsegment) AS seg, c_acctbal - 5.0 AS bal, 1 AS src, 3000000 + c_custkey AS updated, CAST(NULL AS STRING) AS phone, 'E1' AS email FROM cust"
   - name: pairs
     module: join
     inputs: [catalog, catalog]
@@ -3451,7 +3457,7 @@ transforms:
     module: sql
     inputs: [comp, catalog]
     parameters:
-      sql: "SELECT c.component, g.name, g.seg, g.bal, g.src, g.rid, g.updated FROM comp c JOIN catalog g ON c.vertex = g.rid"
+      sql: "SELECT c.component, g.name, g.seg, g.bal, g.src, g.rid, g.updated, (CASE WHEN g.phone IS NOT NULL THEN 1 ELSE 0 END) + (CASE WHEN g.email IS NOT NULL THEN 1 ELSE 0 END) AS cmp FROM comp c JOIN catalog g ON c.vertex = g.rid"
   - name: surv
     module: aggregation
     inputs: [labeled]
@@ -3463,12 +3469,13 @@ transforms:
             - {name: name_s, op: argmax, field: name, comparingExpression: "src * 10000000 + rid"}
             - {name: seg_s, op: argmax, field: seg, comparingField: updated}
             - {name: bal_s, op: max, field: bal}
+            - {name: donor, op: argmax, field: rid, comparingExpression: "cmp * 10000000 + rid"}
             - {name: n, op: count}
   - name: out
     module: sql
     inputs: [surv]
     parameters:
-      sql: "SELECT CAST(component AS BIGINT) AS component, name_s, seg_s, format_string('%.2f', round(bal_s, 2) + 0.0d) AS bal_s, n FROM surv"
+      sql: "SELECT CAST(component AS BIGINT) AS component, name_s, seg_s, format_string('%.2f', round(bal_s, 2) + 0.0d) AS bal_s, CAST(donor AS BIGINT) AS donor, n FROM surv"
 """),
 
     // corpus-overlap ESTIMATE — the composed pre-dedup triage read:
@@ -8738,23 +8745,32 @@ transforms:
       """WITH catalog AS (
            SELECT c_custkey AS rid, c_name AS name,
              c_mktsegment AS seg, c_acctbal AS bal, 3 AS src,
-             1000 + c_custkey AS updated
+             1000 + c_custkey AS updated,
+             CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE 'P3' END
+               AS phone,
+             'E3' AS email
            FROM customer
            UNION ALL
            SELECT c_custkey + 1000000, 'X' || substr(c_name, 2),
              'M1-' || c_mktsegment, c_acctbal + 10.0, 2,
-             2000000 + c_custkey + (c_custkey % 2) * 2000000
+             2000000 + c_custkey + (c_custkey % 2) * 2000000,
+             'P2',
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE 'E2' END
            FROM customer
            UNION ALL
            SELECT c_custkey + 2000000,
              substr(c_name, 1, 1) || 'Y' || substr(c_name, 3),
              'M2-' || c_mktsegment, c_acctbal - 5.0, 1,
-             3000000 + c_custkey
+             3000000 + c_custkey, NULL, 'E1'
            FROM customer)
          SELECT CAST(rid % 1000000 AS BIGINT) AS component,
            arg_max(name, src * 10000000 + rid) AS name_s,
            arg_max(seg, updated) AS seg_s,
            printf('%.2f', round(max(bal), 2) + 0.0) AS bal_s,
+           CAST(arg_max(rid,
+             ((CASE WHEN phone IS NOT NULL THEN 1 ELSE 0 END) +
+              (CASE WHEN email IS NOT NULL THEN 1 ELSE 0 END))
+               * 10000000 + rid) AS BIGINT) AS donor,
            count(*) AS n
          FROM catalog GROUP BY 1""",
 
