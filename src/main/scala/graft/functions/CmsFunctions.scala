@@ -45,9 +45,11 @@ object CmsFunctions {
       if (a == null) b
       else if (b == null) a
       else write(read(a).mergeInPlace(read(b)))
-    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = m(b, a)
+    // external inputs may carry the version envelope; buffers raw
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      m(b, SketchPayload.unwrap(a, "cms_merge"))
     def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = m(b1, b2)
-    def finish(b: Array[Byte]): Array[Byte] = b
+    def finish(b: Array[Byte]): Array[Byte] = SketchPayload.wrap(b)
     def bufferEncoder: Encoder[Array[Byte]] = bufEnc
     def outputEncoder: Encoder[Array[Byte]] = outEnc
   }
@@ -58,6 +60,13 @@ object CmsFunctions {
     udaf(new CmsMergeAgg(
       ExpressionEncoder[Array[Byte]](), ExpressionEncoder[Array[Byte]]()),
       ExpressionEncoder[Array[Byte]]())(sketch)
+
+  /** Version-envelope wrapper for the native `count_min_sketch`
+    * aggregate's output — one scalar call per GROUP, so the native
+    * aggregate stays in the hot path. */
+  def wrapPayload(sketch: Column): Column =
+    org.apache.spark.sql.functions.udf(
+      (b: Array[Byte]) => SketchPayload.wrap(b)).apply(sketch)
 
   /** Point-frequency estimate of a (string-normalized) value from a
     * binary count-min sketch column. The common probe shape joins
@@ -77,7 +86,10 @@ object CmsFunctions {
           else {
             if (lastSketch == null || !((bytes eq lastBytes) ||
                 java.util.Arrays.equals(bytes, lastBytes))) {
-              lastSketch = read(bytes)
+              // cache keys on the incoming payload; the envelope is
+              // stripped only when (re)building the grid
+              lastSketch = read(
+                SketchPayload.unwrap(bytes, "cms_estimate"))
               lastBytes = bytes
             }
             java.lang.Long.valueOf(lastSketch.estimateCount(v))

@@ -77,8 +77,10 @@ object ThetaFunctions {
         b2: (Array[Byte], Seq[String])): (Array[Byte], Seq[String]) =
       (mergeBytes(fold(b1._1, b1._2, lgK), fold(b2._1, b2._2, lgK),
         lgK), Vector.empty)
+    // internal buffers stay raw; only the EMITTED payload carries
+    // the version envelope
     def finish(b: (Array[Byte], Seq[String])): Array[Byte] =
-      fold(b._1, b._2, lgK)
+      SketchPayload.wrap(fold(b._1, b._2, lgK))
     def bufferEncoder: Encoder[(Array[Byte], Seq[String])] = bufEnc
     def outputEncoder: Encoder[Array[Byte]] = outEnc
   }
@@ -88,14 +90,15 @@ object ThetaFunctions {
     extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
     def zero: Array[Byte] = null
     def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
-      mergeBytes(b, a, lgK)
+      mergeBytes(b, SketchPayload.unwrap(a, "theta_union"), lgK)
     def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
       mergeBytes(b1, b2, lgK)
     def finish(b: Array[Byte]): Array[Byte] =
-      if (b == null)
-        UpdateSketch.builder.setLogNominalEntries(lgK).build()
-          .compact.toByteArray
-      else b
+      SketchPayload.wrap(
+        if (b == null)
+          UpdateSketch.builder.setLogNominalEntries(lgK).build()
+            .compact.toByteArray
+        else b)
     def bufferEncoder: Encoder[Array[Byte]] = bufEnc
     def outputEncoder: Encoder[Array[Byte]] = outEnc
   }
@@ -111,15 +114,17 @@ object ThetaFunctions {
       ExpressionEncoder[Array[Byte]](), ExpressionEncoder[Array[Byte]]()),
       ExpressionEncoder[Array[Byte]]())(sketch)
 
-  private def sk(bytes: Array[Byte]): CompactSketch =
-    Sketches.wrapCompactSketch(Memory.wrap(bytes))
+  private def sk(bytes: Array[Byte], where: String): CompactSketch =
+    Sketches.wrapCompactSketch(
+      Memory.wrap(SketchPayload.unwrap(bytes, where)))
 
   /** Distinct-count estimate of a binary theta sketch column. */
   def thetaEstimate(sketch: Column): Column = {
     val f = org.apache.spark.sql.functions.udf(
       (bytes: Array[Byte]) =>
         if (bytes == null) null
-        else java.lang.Double.valueOf(sk(bytes).getEstimate))
+        else java.lang.Double.valueOf(
+          sk(bytes, "theta_estimate").getEstimate))
     f(sketch)
   }
 
@@ -130,7 +135,8 @@ object ThetaFunctions {
         if (x == null || y == null) null
         else {
           val i = SetOperation.builder.buildIntersection()
-          i.intersect(sk(x)); i.intersect(sk(y))
+          i.intersect(sk(x, "theta_intersect"))
+          i.intersect(sk(y, "theta_intersect"))
           java.lang.Double.valueOf(i.getResult.getEstimate)
         })
     f(a, b)
@@ -144,7 +150,8 @@ object ThetaFunctions {
         else {
           val d = SetOperation.builder.buildANotB()
           java.lang.Double.valueOf(
-            d.aNotB(sk(x), sk(y)).getEstimate)
+            d.aNotB(sk(x, "theta_difference"),
+              sk(y, "theta_difference")).getEstimate)
         })
     f(a, b)
   }

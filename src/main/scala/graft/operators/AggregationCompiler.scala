@@ -181,12 +181,14 @@ object AggregationCompiler {
       // Values are string-normalized like theta, so build and probe
       // sides agree across column types.
       case "cms_sketch" =>
-        count_min_sketch(
+        // wrapPayload stamps the version envelope on the native
+        // aggregate's per-group output (one scalar call per group)
+        graft.functions.CmsFunctions.wrapPayload(count_min_sketch(
           guarded(graft.functions.SketchNorm.normalize(
             sketchInputType(op, schema), valueCol)),
           lit(op.dbl("eps").getOrElse(1e-4)),
           lit(op.dbl("confidence").getOrElse(0.999)),
-          lit(op.int("seed").getOrElse(42)))
+          lit(op.int("seed").getOrElse(42))))
       case "cms_merge" =>
         graft.functions.CmsFunctions.cmsMerge(guarded(valueCol))
       // element-wise vector aggregates (mean-pooling chunk embeddings

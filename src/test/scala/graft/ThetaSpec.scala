@@ -77,4 +77,31 @@ class ThetaSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("needs fields"))
   }
+
+  test("payload version envelope: wrap/unwrap roundtrip, legacy " +
+      "unversioned accepted, future version fails loudly") {
+    import graft.functions.SketchPayload
+    val raw = Array[Byte](3, 1, 2, 3, 4)
+    val w = SketchPayload.wrap(raw)
+    assert(w.length == raw.length + 3)
+    assert(w(0) == 'G'.toByte && w(1) == 'S'.toByte &&
+      w(2) == SketchPayload.NormVersion)
+    assert(java.util.Arrays.equals(SketchPayload.unwrap(w, "spec"), raw))
+    // legacy payload (no magic) passes through with a one-time warn
+    assert(java.util.Arrays.equals(
+      SketchPayload.unwrap(raw, "spec-legacy"), raw))
+    // a NEWER normalization version is incompatible by definition
+    val fut = w.clone(); fut(2) = (SketchPayload.NormVersion + 1).toByte
+    val e = intercept[IllegalArgumentException](
+      SketchPayload.unwrap(fut, "spec-future"))
+    assert(e.getMessage.contains("newer"))
+    // e2e: a RAW DataSketches payload (a pre-envelope persisted
+    // sketch) still estimates through thetaEstimate
+    val upd = org.apache.datasketches.theta.UpdateSketch.builder.build()
+    (1 to 50).foreach(i => upd.update(i.toString))
+    val legacy = upd.compact.toByteArray
+    val est = Seq(legacy).toDF("sk")
+      .select(thetaEstimate(col("sk"))).as[Double].collect().head
+    assert(math.abs(est - 50.0) < 1e-9, s"legacy est $est")
+  }
 }
