@@ -5710,6 +5710,84 @@ sinks:
       s.read.parquet(out).filter("event_id >= 0")
     }),
 
+    // §2.5 interval join, STREAM-STREAM OVERLAP mode: both sides are
+    // INTERVALS ([ts, ts+1h) views vs [ts, ts+2h) purchase windows),
+    // state bounded by declaring BOTH span caps — the overlap
+    // predicate becomes a two-sided band between the watermarked
+    // start columns plus exact overlap on the guarded ends. Inner
+    // join: matches flush as batches drain (no deferred emission),
+    // staged like q163 with parity-split halves so matches span
+    // micro-batches
+    "q169_interval_ss_overlap" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q169_")
+      val inL = base.resolve("inL"); inL.toFile.mkdirs()
+      val inR = base.resolve("inR"); inR.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(into: java.nio.file.Path, n: String,
+          cond: String): Unit =
+        stageBatch(ev, org.apache.spark.sql.functions.expr(cond),
+          base, into, n)
+      stage(inL, "l1", "event_id % 2 = 0")
+      stage(inR, "r1", "event_id % 2 = 1")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+      Pipeline.execute(s, s"""
+sources:
+  - name: evl
+    module: storage
+    parameters: {path: "$inL", format: parquet, stream: true}
+  - name: evr
+    module: storage
+    parameters: {path: "$inR", format: parquet, stream: true}
+transforms:
+  - name: views
+    module: sql
+    inputs: [evl]
+    parameters:
+      sql: "SELECT event_id, user_id, ts AS ls, ts + INTERVAL 1 HOUR AS le FROM evl WHERE event_type = 'view' AND user_id % 3 = 0"
+  - name: wins
+    module: sql
+    inputs: [evr]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evr WHERE event_type = 'purchase' AND user_id % 3 = 0"
+  - name: jn
+    module: join
+    inputs: [views, wins]
+    parameters:
+      method: interval
+      by: [user_id]
+      leftStart: ls
+      leftEnd: le
+      rightStart: s
+      rightEnd: e
+      maxLeftSpan: 1h
+      maxIntervalSpan: 2h
+      leftWatermark: 60d
+      rightWatermark: 60d
+  - name: sel
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: window_id, field: right_wid, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stage(inL, "l2", "event_id % 2 = 1")
+      stage(inR, "r2", "event_id % 2 = 0")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+    }),
+
     // §2.7 streaming per-key limit with outputStartAt (reference
     // Limit.java:102-135): the first N rows per key AT-OR-AFTER the
     // offset, across micro-batches — stateful emitted-count per key,
@@ -8654,6 +8732,21 @@ transforms:
                FROM events
                WHERE event_type = 'purchase' AND user_id % 3 = 0) p
          ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // the stream-stream overlap drain must equal the batch overlap
+    // join (closed bounds both sides)
+    "q169_interval_ss_overlap" ->
+      """SELECT v.event_id,
+           CAST(p.wid AS BIGINT) AS window_id
+         FROM (SELECT event_id, user_id, ts AS ls,
+                 ts + INTERVAL 1 HOUR AS le
+               FROM events
+               WHERE event_type = 'view' AND user_id % 3 = 0) v
+         JOIN (SELECT event_id AS wid, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+               FROM events
+               WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+         ON v.user_id = p.user_id AND v.ls <= p.e AND p.s <= v.le""",
 
     // first-20-per-key at-or-after the offset: ts-ordered staging
     // makes the streaming emitted-count selection equal the batch

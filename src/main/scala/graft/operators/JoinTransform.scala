@@ -201,23 +201,33 @@ object JoinTransform {
         s"$label: right column '$c' prefixed as '$prefix$c' collides " +
           "with a left column — set rightPrefix to something unused")
 
-  /** STREAM-STREAM point-in-interval join: Spark's native
-    * stream-stream join machinery, driven the one way it can bound
-    * state — the range condition sits on RAW watermarked event-time
-    * columns (`lOn BETWEEN rStart AND rEnd` plus
-    * `lOn <= rStart + maxIntervalSpan`), from which Spark derives
-    * both sides' state-eviction horizon (watermark + span). No bin
-    * replication: the time-interval condition itself scopes the
-    * state the symmetric hash join retains.
+  /** STREAM-STREAM interval join: Spark's native stream-stream join
+    * machinery, driven the one way it can bound state — the range
+    * condition sits on RAW watermarked event-time columns, from
+    * which Spark derives both sides' state-eviction horizon
+    * (watermark + span). No bin replication: the time-interval
+    * condition itself scopes the state the symmetric hash join
+    * retains.
+    *
+    * Point mode (`leftOn`): `lOn BETWEEN rStart AND rEnd` plus
+    * `lOn <= rStart + maxIntervalSpan`. Overlap mode
+    * (`leftStart`/`leftEnd`): closed-bound interval overlap, made
+    * state-boundable by declaring BOTH span caps — `maxIntervalSpan`
+    * (right) and `maxLeftSpan` (left) — which turn the overlap
+    * predicate into the two-sided band
+    * `lStart ∈ [rStart − maxLeftSpan, rStart + maxIntervalSpan]` on
+    * the watermarked columns (overlap ⇒ rStart ≤ lEnd ≤
+    * lStart + maxLeftSpan and lStart ≤ rEnd ≤ rStart +
+    * maxIntervalSpan), with the exact overlap conjuncts on the
+    * guarded end columns.
     *
     * Required parameters beyond the batch form: `leftWatermark` /
     * `rightWatermark` (lateness horizons, "10m/2h/…" — state and
     * late-drop bound) and `maxIntervalSpan` (a CONSTANT upper bound
     * on right interval length; an interval longer than the declared
     * span would silently lose its tail matches, so the job fails
-    * loudly instead, like the batch fan-out guard). Point mode only:
-    * overlap mode's two-sided range needs a left-span bound Spark
-    * cannot derive, so it fails loudly with the alternative named.
+    * loudly instead, like the batch fan-out guard); overlap mode
+    * additionally `maxLeftSpan` (same contract for the left side).
     * `how: inner` or `how: left` — left-outer rides Spark's native
     * watermark-deferred null emission: an unmatched left row is
     * null-padded once both watermarks pass the point it could still
@@ -230,14 +240,11 @@ object JoinTransform {
       p: com.fasterxml.jackson.databind.JsonNode,
       l: DataFrame, r: DataFrame, how: String): DataFrame = {
     val name = s"join ${cfg.name} (interval, stream-stream)"
-    require(p.str("leftStart").isEmpty,
-      s"$name: overlap mode needs a two-sided range condition " +
-        "Spark cannot bound state for — window one side into batch " +
-        "stages, or use point mode (leftOn)")
+    val overlap = p.str("leftStart").isDefined
     require(how == "inner" || how == "left",
       s"$name: stream-stream supports how: inner or left (got " +
-        s"'$how') — right/full outer would need a span bound on the " +
-        "LEFT side's matchability that point mode does not declare")
+        s"'$how') — right/full outer would need reversing which " +
+        "side's unmatched rows defer to the watermark")
     val by = p.strArr("by")
     // sharper than the batch warning: a key-less symmetric hash join
     // degenerates to ONE hot partition retaining BOTH sides' full
@@ -246,8 +253,6 @@ object JoinTransform {
       s"$name: no 'by' keys — the stream-stream join keeps both " +
         "sides' full watermark horizon of state in a single hot " +
         "partition; add equality keys at scale")
-    val leftOn = p.str("leftOn").getOrElse(
-      throw new IllegalArgumentException(s"$name: leftOn required"))
     val rightStart = p.str("rightStart").getOrElse(
       throw new IllegalArgumentException(s"$name: rightStart required"))
     val rightEnd = p.str("rightEnd").getOrElse(
@@ -285,8 +290,6 @@ object JoinTransform {
       }
     }
     checkPrefix(name, l, r, prefix)
-    val lW = tsCol(l, leftOn)
-      .withWatermark(leftOn, s"$lWm seconds")
     val rPre = r.columns.foldLeft(tsCol(tsCol(r, rightStart), rightEnd))(
       (df, c) => df.withColumnRenamed(c, prefix + c))
     val rs = col(prefix + rightStart)
@@ -303,14 +306,51 @@ object JoinTransform {
             s"($span s) — raise maxIntervalSpan; interval start: "),
           rs.cast(StringType)))).otherwise(re))
     val joinKeys = by.map(k => col(k) === col(prefix + k))
-    // the exact closed-bound predicate PLUS the span upper bound:
-    // `lOn - rStart ∈ [0, span]` is the time-interval shape Spark's
-    // analyzer turns into state-eviction bounds for both sides
-    val cond = (joinKeys :+
-      (col(leftOn) >= rs) :+
-      (col(leftOn) <= rs + spanInterval) :+
-      (col(leftOn) <= col(prefix + rightEnd))).reduce(_ && _)
-    lW.join(rW, cond, if (how == "left") "left_outer" else "inner")
+    val joinType = if (how == "left") "left_outer" else "inner"
+    if (!overlap) {
+      val leftOn = p.str("leftOn").getOrElse(
+        throw new IllegalArgumentException(
+          s"$name: leftOn (point mode) or leftStart/leftEnd " +
+            "(overlap mode) required"))
+      val lW = tsCol(l, leftOn)
+        .withWatermark(leftOn, s"$lWm seconds")
+      // the exact closed-bound predicate PLUS the span upper bound:
+      // `lOn - rStart ∈ [0, span]` is the time-interval shape
+      // Spark's analyzer turns into state-eviction bounds for both
+      // sides
+      val cond = (joinKeys :+
+        (col(leftOn) >= rs) :+
+        (col(leftOn) <= rs + spanInterval) :+
+        (col(leftOn) <= col(prefix + rightEnd))).reduce(_ && _)
+      lW.join(rW, cond, joinType)
+    } else {
+      val leftStart = p.str("leftStart").get
+      val leftEnd = p.str("leftEnd").getOrElse(
+        throw new IllegalArgumentException(
+          s"$name: leftEnd required in overlap mode"))
+      val lSpan = secsOf("maxLeftSpan")
+      val lSpanInterval = expr(s"INTERVAL $lSpan SECONDS")
+      val ls = col(leftStart)
+      val le = col(leftEnd)
+      val lW = tsCol(tsCol(l, leftStart), leftEnd)
+        .withWatermark(leftStart, s"$lWm seconds")
+        .filter(ls.isNotNull && le.isNotNull && ls <= le)
+        .withColumn(leftEnd,
+          when(le > ls + lSpanInterval, raise_error(concat(
+            lit(s"$name: a left interval exceeds maxLeftSpan " +
+              s"($lSpan s) — raise maxLeftSpan; interval start: "),
+            ls.cast(StringType)))).otherwise(le))
+      // state-bounding band on the two WATERMARKED columns (implied
+      // by overlap + the span caps, but the analyzer needs it
+      // explicit), then the exact closed-bound overlap on the
+      // guarded end columns
+      val cond = (joinKeys :+
+        (ls >= rs - lSpanInterval) :+
+        (ls <= rs + spanInterval) :+
+        (ls <= col(prefix + rightEnd)) :+
+        (rs <= col(leftEnd))).reduce(_ && _)
+      lW.join(rW, cond, joinType)
+    }
   }
 
   private def intervalJoin(cfg: ModuleCfg, p: com.fasterxml.jackson.databind.JsonNode,

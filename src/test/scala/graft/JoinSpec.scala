@@ -327,12 +327,25 @@ class JoinSpec extends AnyFunSuite {
          "rightStart":"s","rightEnd":"e","leftWatermark":"10m",
          "rightWatermark":"10m"}""", sl, sr))
     assert(e1.getMessage.contains("maxIntervalSpan"), e1.getMessage)
+    // overlap mode needs BOTH span caps: without maxLeftSpan the
+    // left side's state horizon is underivable — loud requirement
     val e2 = intercept[IllegalArgumentException](join(
       """{"method":"interval","by":["u"],"leftStart":"ts",
          "leftEnd":"ts","rightStart":"s","rightEnd":"e",
          "maxIntervalSpan":"2h","leftWatermark":"10m",
          "rightWatermark":"10m"}""", sl, sr))
-    assert(e2.getMessage.contains("overlap mode"), e2.getMessage)
+    assert(e2.getMessage.contains("maxLeftSpan"), e2.getMessage)
+    // with both caps the overlap form builds: two watermarks, no
+    // bin replication, native symmetric hash machinery
+    val okO = join(
+      """{"method":"interval","by":["u"],"leftStart":"ts",
+         "leftEnd":"ts","rightStart":"s","rightEnd":"e",
+         "maxIntervalSpan":"2h","maxLeftSpan":"30m",
+         "leftWatermark":"10m","rightWatermark":"10m"}""", sl, sr)
+    assert(okO.isStreaming)
+    val lpO = okO.queryExecution.analyzed.toString
+    assert("EventTimeWatermark".r.findAllIn(lpO).length == 2, lpO)
+    assert(!lpO.contains("__bin"))
     // how: left builds Spark's native left-outer stream-stream join
     // (watermark-deferred null emission); right/full stay rejected —
     // point mode declares no span bound on the LEFT side
