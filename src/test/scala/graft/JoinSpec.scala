@@ -346,6 +346,15 @@ class JoinSpec extends AnyFunSuite {
     val lpO = okO.queryExecution.analyzed.toString
     assert("EventTimeWatermark".r.findAllIn(lpO).length == 2, lpO)
     assert(!lpO.contains("__bin"))
+    // overlap + how: left rides the same watermark-deferred null
+    // emission as point mode (q166)
+    val okOL = join(
+      """{"method":"interval","by":["u"],"leftStart":"ts",
+         "leftEnd":"ts","rightStart":"s","rightEnd":"e",
+         "maxIntervalSpan":"2h","maxLeftSpan":"30m",
+         "leftWatermark":"10m","rightWatermark":"10m",
+         "how":"left"}""", sl, sr)
+    assert(okOL.queryExecution.analyzed.toString.contains("LeftOuter"))
     // how: left builds Spark's native left-outer stream-stream join
     // (watermark-deferred null emission); right/full stay rejected —
     // point mode declares no span bound on the LEFT side
