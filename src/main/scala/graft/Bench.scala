@@ -61,7 +61,9 @@ object Bench {
     "q136_bm25_retrieval", "q137_winnow_index_union",
     "q138_pagerank_dangling", "q143_interval_join", "q144_fuzzy_join",
     "q145_interval_overlap", "q146_cms_freq", "q147_entity_resolution",
-    "q148_overlap_estimate", "q153_panes_restart", "q154_fuzzy_ngram")
+    "q148_overlap_estimate", "q153_panes_restart", "q154_fuzzy_ngram",
+    "q166_interval_ss_left", "q167_calendar_dst_panes",
+    "q169_interval_ss_overlap")
 
   /** Seconds rendered to `dp` decimals with trailing zeros stripped
     * ("0.470"→"0.47", "2.000"→"2") — valid JSON numbers, minimal

@@ -729,6 +729,13 @@ object StreamRunner {
           // tracks the open-window volume, not stream lifetime.
           recipe.elementEndOf match {
             case Some(endOf) =>
+              // task-parallel partitioned write: up to (tasks ×
+              // open horizons) files per batch, all short-lived
+              // (compaction deletes whole partitions). A keyed
+              // repartition(__wend) would cut that to one file per
+              // horizon but funnels EVERY element of a window
+              // through one task — a hot-partition at scale — so
+              // parallelism wins here.
               batch.withColumn("__wend", endOf(batch).cast("long"))
                 .write.mode("overwrite").partitionBy("__wend")
                 .parquet(storeDir + s"/__gbatch=$batchId")
