@@ -42,6 +42,59 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
 
+  /** q170 oracle: DuckDB replay of the profile drift stats — one
+    * template generates the per-column SQL so a single formula
+    * defines both sides (baseline-anchored equi-width buckets,
+    * clamped edges, Laplace-smoothed PSI — exactly
+    * ProfileTransform.drift's arithmetic; bucket indices are pure
+    * IEEE-double ops, identical in both engines). */
+  private def driftOracleSql(cols: Seq[String], split: String,
+      buckets: Int): String = {
+    val t = s"TIMESTAMP '$split'"
+    def one(c: String): String = s"""
+      SELECT '$c' AS "column",
+        (SELECT count(*) FROM events WHERE ts < $t) AS n_base,
+        (SELECT count(*) FROM events WHERE ts >= $t) AS n_cur,
+        (SELECT count(*) FILTER ($c IS NULL) FROM events
+           WHERE ts < $t) AS nulls_base,
+        (SELECT count(*) FILTER ($c IS NULL) FROM events
+           WHERE ts >= $t) AS nulls_cur,
+        round((SELECT count(*) FILTER ($c IS NULL) * 1.0 / count(*)
+                 FROM events WHERE ts >= $t)
+            - (SELECT count(*) FILTER ($c IS NULL) * 1.0 / count(*)
+                 FROM events WHERE ts < $t), 6) AS nfd_r,
+        round((SELECT avg(CAST($c AS DOUBLE)) FROM events
+                 WHERE ts >= $t)
+            - (SELECT avg(CAST($c AS DOUBLE)) FROM events
+                 WHERE ts < $t), 6) AS mean_delta_r,
+        (WITH eb AS (SELECT min(CAST($c AS DOUBLE)) mn,
+                       max(CAST($c AS DOUBLE)) mx
+                     FROM events WHERE ts < $t),
+          hb AS (SELECT CAST(LEAST(GREATEST(FLOOR(
+                   (CAST($c AS DOUBLE) - eb.mn) / (eb.mx - eb.mn)
+                     * $buckets), 0), ${buckets - 1}) AS INT) i,
+                   count(*) AS c
+                 FROM events, eb
+                 WHERE ts < $t AND $c IS NOT NULL GROUP BY 1),
+          hc AS (SELECT CAST(LEAST(GREATEST(FLOOR(
+                   (CAST($c AS DOUBLE) - eb.mn) / (eb.mx - eb.mn)
+                     * $buckets), 0), ${buckets - 1}) AS INT) i,
+                   count(*) AS c
+                 FROM events, eb
+                 WHERE ts >= $t AND $c IS NOT NULL GROUP BY 1),
+          j AS (SELECT b.i, coalesce(hb.c, 0) cb, coalesce(hc.c, 0) cc
+                FROM (SELECT unnest(range($buckets)) i) b
+                LEFT JOIN hb ON hb.i = b.i LEFT JOIN hc ON hc.i = b.i),
+          tt AS (SELECT sum(cb) nb, sum(cc) nc FROM j)
+         SELECT round(sum(
+             ((cc + 0.5) / (nc + ${buckets * 0.5})
+               - (cb + 0.5) / (nb + ${buckets * 0.5}))
+             * ln(((cc + 0.5) / (nc + ${buckets * 0.5}))
+                 / ((cb + 0.5) / (nb + ${buckets * 0.5})))), 6)
+         FROM j, tt) AS psi_r"""
+    cols.map(one).mkString(" UNION ALL ")
+  }
+
   /** q95 oracle: DuckDB replay of the zorder key — the same 8-bit
     * fixed-point scaling (multiply-then-divide, clamp) and the same
     * bit-interleave convention (first field owns the more significant
@@ -5788,6 +5841,43 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // profile DRIFT read (baselineInput): corpus drift between two
+    // snapshots — per-column null-rate/mean deltas plus PSI over
+    // baseline-anchored equi-width buckets (clamped edges catch
+    // out-of-support mass, Laplace-smoothed proportions keep empty
+    // buckets finite). The time-split halves of one iid fixture
+    // should read "stable" (psi ≈ 0) — the VALUES are pinned against
+    // the DuckDB replay of the same formula
+    "q170_profile_drift" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: b
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT * FROM ev WHERE ts < TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+  - name: c
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT * FROM ev WHERE ts >= TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+  - name: dr
+    module: profile
+    inputs: [c, b]
+    parameters:
+      baselineInput: b
+      fields: [value, user_id]
+      psiBuckets: 10
+  - name: out
+    module: sql
+    inputs: [dr]
+    parameters:
+      sql: "SELECT `column`, n_base, n_cur, nulls_base, nulls_cur, round(null_frac_delta, 6) AS nfd_r, round(mean_delta, 6) AS mean_delta_r, round(psi, 6) AS psi_r FROM dr"
+"""),
+
     // §2.7 streaming per-key limit with outputStartAt (reference
     // Limit.java:102-135): the first N rows per key AT-OR-AFTER the
     // offset, across micro-batches — stateful emitted-count per key,
@@ -8747,6 +8837,9 @@ transforms:
                FROM events
                WHERE event_type = 'purchase' AND user_id % 3 = 0) p
          ON v.user_id = p.user_id AND v.ls <= p.e AND p.s <= v.le""",
+
+    "q170_profile_drift" ->
+      driftOracleSql(Seq("value", "user_id"), "2024-01-15 00:00:00", 10),
 
     // first-20-per-key at-or-after the offset: ts-ordered staging
     // makes the streaming emitted-count selection equal the batch

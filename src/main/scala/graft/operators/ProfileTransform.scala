@@ -43,6 +43,8 @@ object ProfileTransform {
       s"profile ${cfg.name}: profiling is a batch action (a stream " +
         "has no final statistics) — profile a windowed aggregate " +
         "instead")
+    if (p.str("baselineInput").isDefined)
+      return drift(spark, cfg, inputs, df)
     def atomic(dt: DataType): Boolean = dt match {
       case _: ArrayType | _: MapType | _: StructType => false
       case _ => true
@@ -141,6 +143,163 @@ object ProfileTransform {
       StructField("mean", DoubleType),
       StructField("std", DoubleType)) ++
       fractions.map(f => StructField(pName(f), DoubleType)))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    TransformCommon.finishRouted(out, cfg)
+  }
+
+  /** DRIFT profile (`baselineInput`): per-column distribution drift
+    * between a baseline snapshot and the current frame — the
+    * before-training corpus-drift gate ("did this month's crawl
+    * shift?"). Per profiled column: row/null counts and null-rate
+    * delta on both sides; for numeric columns additionally mean
+    * delta and PSI (population stability index) over `psiBuckets`
+    * (default 10) equi-width buckets anchored on the BASELINE's
+    * [min, max] — out-of-range current values clamp into the edge
+    * buckets, so new mass outside the baseline's support registers
+    * as drift instead of vanishing. Proportions are
+    * Laplace-smoothed ((count + 0.5) / (n + 0.5·B)) so empty
+    * buckets stay finite; the usual reading is psi < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 shifted.
+    *
+    * Scale shape: two aggregation passes per frame (moments+edges,
+    * then the bucket histogram — the histogram needs the baseline
+    * edges first), each ONE narrow pass with fixed-size state
+    * (B conditional sums per column); the four stat rows collect
+    * driver-side (bounded: B longs per numeric column) and the psi
+    * fold runs on the driver. Nothing row-shaped ever shuffles. */
+  private def drift(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame], cur: DataFrame)
+      : Map[String, DataFrame] = {
+    val p = cfg.params
+    val bn = p.str("baselineInput").get
+    require(cfg.inputs.contains(bn),
+      s"profile ${cfg.name}: baselineInput $bn must be listed in " +
+        s"inputs (${cfg.inputs.mkString(", ")})")
+    require(cfg.inputs.head != bn,
+      s"profile ${cfg.name}: baselineInput is the FIRST input — " +
+        "name a different input as the baseline")
+    val base = inputs(bn)
+    require(!base.isStreaming,
+      s"profile ${cfg.name}: drift profiling is a batch action")
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+    val declared = p.strArr("fields")
+    declared.foreach(f => require(
+      cur.columns.contains(f) && base.columns.contains(f),
+      s"profile ${cfg.name}: field $f not in both inputs"))
+    val cols =
+      if (declared.nonEmpty) declared
+      else cur.schema.fields.filter(f => atomic(f.dataType))
+        .map(_.name).filter(base.columns.contains).toSeq
+    require(cols.nonEmpty,
+      s"profile ${cfg.name}: no shared atomic columns to drift-check")
+    val buckets = p.int("psiBuckets").getOrElse(10)
+    require(buckets >= 2 && buckets <= 1000,
+      s"profile ${cfg.name}: psiBuckets must be in [2, 1000]")
+    def numeric(df: DataFrame, c: String): Boolean =
+      df.schema(c).dataType.isInstanceOf[NumericType]
+    val numCols = cols.filter(c => numeric(cur, c) && numeric(base, c))
+
+    // pass 1 (each side): counts, null counts, mean, baseline edges
+    def moments(df: DataFrame): Row = {
+      val aggs = Seq(count(lit(1)).as("__n")) ++ cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+        numCols.flatMap { c =>
+          val v = col(c).cast(DoubleType)
+          Seq(avg(v).as(s"__mean_$c"),
+            min(v).as(s"__min_$c"), max(v).as(s"__max_$c"))
+        }
+      df.agg(aggs.head, aggs.tail: _*).head()
+    }
+    val bRow = moments(base)
+    val cRow = moments(cur)
+    def optD(r: Row, name: String): Option[Double] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    // baseline-anchored bucket edges; a column that is all-null (no
+    // edges) or constant-support gets the degenerate two-sided
+    // bucketing (== min → bucket 0, else the top bucket)
+    val edges: Map[String, (Double, Double)] = numCols.flatMap { c =>
+      for (mn <- optD(bRow, s"__min_$c"); mx <- optD(bRow, s"__max_$c"))
+        yield c -> (mn, mx)
+    }.toMap
+    val histCols = numCols.filter(edges.contains)
+
+    // pass 2 (each side): B conditional sums per numeric column
+    def hist(df: DataFrame): Option[Row] =
+      if (histCols.isEmpty) None
+      else {
+        val aggs = histCols.flatMap { c =>
+          val (mn, mx) = edges(c)
+          val v = col(c).cast(DoubleType)
+          val b =
+            if (mx > mn)
+              least(greatest(
+                floor((v - lit(mn)) / lit(mx - mn) * lit(buckets)),
+                lit(0L)), lit(buckets - 1L))
+            else when(v === lit(mn), lit(0L))
+              .otherwise(lit(buckets - 1L))
+          (0 until buckets).map(i => sum(
+            when(v.isNotNull && !isnan(v) && b === lit(i.toLong), 1L)
+              .otherwise(0L)).as(s"__h${i}_$c"))
+        }
+        Some(df.agg(aggs.head, aggs.tail: _*).head())
+      }
+    val bHist = hist(base)
+    val cHist = hist(cur)
+    def counts(r: Option[Row], c: String): Seq[Long] =
+      r.map(row => (0 until buckets).map(i =>
+        row.getAs[Long](s"__h${i}_$c"))).getOrElse(Seq.empty)
+    def psi(cb: Seq[Long], cc: Seq[Long]): java.lang.Double = {
+      val nb = cb.sum.toDouble
+      val nc = cc.sum.toDouble
+      if (cb.isEmpty || nb == 0 || nc == 0) null
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < buckets) {
+          val pi = (cb(i) + 0.5) / (nb + 0.5 * buckets)
+          val qi = (cc(i) + 0.5) / (nc + 0.5 * buckets)
+          s += (qi - pi) * math.log(qi / pi)
+          i += 1
+        }
+        java.lang.Double.valueOf(s)
+      }
+    }
+    val nB = bRow.getAs[Long]("__n")
+    val nC = cRow.getAs[Long]("__n")
+    val rows = cols.map { c =>
+      val nulB = bRow.getAs[Long](s"__nulls_$c")
+      val nulC = cRow.getAs[Long](s"__nulls_$c")
+      val fracDelta: java.lang.Double =
+        if (nB == 0 || nC == 0) null
+        else java.lang.Double.valueOf(
+          nulC.toDouble / nC - nulB.toDouble / nB)
+      val isNum = numCols.contains(c)
+      val meanB = if (isNum) optD(bRow, s"__mean_$c") else None
+      val meanC = if (isNum) optD(cRow, s"__mean_$c") else None
+      Row(c, nB, nC, nulB, nulC, fracDelta,
+        meanB.map(java.lang.Double.valueOf).orNull,
+        meanC.map(java.lang.Double.valueOf).orNull,
+        (for (a <- meanB; b <- meanC)
+          yield java.lang.Double.valueOf(b - a)).orNull,
+        if (isNum) psi(counts(bHist, c), counts(cHist, c)) else null)
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n_base", LongType, nullable = false),
+      StructField("n_cur", LongType, nullable = false),
+      StructField("nulls_base", LongType, nullable = false),
+      StructField("nulls_cur", LongType, nullable = false),
+      StructField("null_frac_delta", DoubleType),
+      StructField("mean_base", DoubleType),
+      StructField("mean_cur", DoubleType),
+      StructField("mean_delta", DoubleType),
+      StructField("psi", DoubleType)))
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
     TransformCommon.finishRouted(out, cfg)

@@ -92,4 +92,69 @@ class ProfileSpec extends AnyFunSuite {
       profile("""{"percentiles": [0.5, 0.50]}""", nums))
     assert(e2.getMessage.contains("duplicate percentiles"))
   }
+
+  private def drift(params: String,
+      cur: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame) =
+    Pipeline.transforms("profile")(spark,
+      Pipeline.ModuleCfg("pf", "profile", Seq("cur", "base"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("cur" -> cur, "base" -> base))("pf")
+
+  /** Drift read (baselineInput): hand-computed PSI over a skewed
+    * shift, edge clamping for out-of-support current values, the
+    * degenerate constant-baseline bucketing, null-rate deltas, and
+    * the guards. */
+  test("drift: hand-computed psi, clamped out-of-range mass, " +
+      "constant baseline, null deltas, guards") {
+    // baseline uniform on [0, 10): buckets 0..4 get 2 each (B=5);
+    // current all mass at 9.5 (bucket 4) plus one at 100 (clamped
+    // into bucket 4) and one null
+    val base = (0 until 10).map(i => i.toDouble).toDF("x")
+    val cur = Seq(Some(9.5), Some(9.5), Some(100.0), None)
+      .toDF("x")
+    val out = drift(
+      """{"baselineInput": "base", "psiBuckets": 5}""", cur, base)
+      .collect().head
+    assert(out.getString(0) == "x")
+    assert(out.getLong(1) == 10 && out.getLong(2) == 4)
+    assert(out.getLong(3) == 0 && out.getLong(4) == 1)
+    assert(math.abs(out.getDouble(5) - 0.25) < 1e-12) // null-rate delta
+    // hand PSI: cb = [2,2,2,2,2] (nb 10), cc = [0,0,0,0,3] (nc 3)
+    val psi = (0 until 5).map { i =>
+      val p = (2 + 0.5) / (10 + 2.5)
+      val q = ((if (i == 4) 3 else 0) + 0.5) / (3 + 2.5)
+      (q - p) * math.log(q / p)
+    }.sum
+    assert(math.abs(out.getDouble(9) - psi) < 1e-12, s"psi ${out.get(9)}")
+    // constant baseline: == min → bucket 0, anything else → top
+    val cBase = Seq(5.0, 5.0, 5.0).toDF("x")
+    val cCur = Seq(5.0, 7.0).toDF("x")
+    val out2 = drift(
+      """{"baselineInput": "base", "psiBuckets": 4}""", cCur, cBase)
+      .collect().head
+    // cb = [3,0,0,0]; cc = [1,0,0,1]
+    val psi2 = Seq((3, 1), (0, 0), (0, 0), (0, 1)).map { case (b, c) =>
+      val p = (b + 0.5) / (3 + 2.0)
+      val q = (c + 0.5) / (2 + 2.0)
+      (q - p) * math.log(q / p)
+    }.sum
+    assert(math.abs(out2.getDouble(9) - psi2) < 1e-12)
+    // all-null baseline column: no edges — psi null, deltas present
+    val nBase = Seq[Option[Double]](None, None).toDF("x")
+    val out3 = drift(
+      """{"baselineInput": "base"}""", cCur, nBase).collect().head
+    assert(out3.isNullAt(9) && !out3.isNullAt(5))
+    // guards: baseline must be a listed, distinct input
+    val e = intercept[IllegalArgumentException](drift(
+      """{"baselineInput": "nope"}""", cur, base))
+    assert(e.getMessage.contains("baselineInput"))
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.transforms("profile")(spark,
+        Pipeline.ModuleCfg("pf", "profile", Seq("cur", "base"), Nil,
+          graft.config.Json.parse("""{"baselineInput": "cur"}"""),
+          graft.config.Json.obj()),
+        Map("cur" -> cur, "base" -> base)))
+    assert(e2.getMessage.contains("FIRST input"))
+  }
 }
