@@ -48,8 +48,8 @@ object SparkEntry {
     * clamped edges, Laplace-smoothed PSI — exactly
     * ProfileTransform.drift's arithmetic; bucket indices are pure
     * IEEE-double ops, identical in both engines). */
-  private def driftOracleSql(cols: Seq[String], split: String,
-      buckets: Int): String = {
+  private def driftOracleSql(cols: Seq[String], catCols: Seq[String],
+      split: String, buckets: Int, catK: Int): String = {
     val t = s"TIMESTAMP '$split'"
     def one(c: String): String = s"""
       SELECT '$c' AS "column",
@@ -92,7 +92,53 @@ object SparkEntry {
              * ln(((cc + 0.5) / (nc + ${buckets * 0.5}))
                  / ((cb + 0.5) / (nb + ${buckets * 0.5})))), 6)
          FROM j, tt) AS psi_r"""
-    cols.map(one).mkString(" UNION ALL ")
+    // categorical psi: baseline top-catK categories (count desc,
+    // value asc) indexed 0..k-1, everything else (and anything new
+    // in the current frame) in the other-bucket k; smoothing uses
+    // the ACTUAL bucket count k+1
+    def oneCat(c: String, catK: Int): String = s"""
+      SELECT '$c' AS "column",
+        (SELECT count(*) FROM events WHERE ts < $t) AS n_base,
+        (SELECT count(*) FROM events WHERE ts >= $t) AS n_cur,
+        (SELECT count(*) FILTER ($c IS NULL) FROM events
+           WHERE ts < $t) AS nulls_base,
+        (SELECT count(*) FILTER ($c IS NULL) FROM events
+           WHERE ts >= $t) AS nulls_cur,
+        round((SELECT count(*) FILTER ($c IS NULL) * 1.0 / count(*)
+                 FROM events WHERE ts >= $t)
+            - (SELECT count(*) FILTER ($c IS NULL) * 1.0 / count(*)
+                 FROM events WHERE ts < $t), 6) AS nfd_r,
+        NULL AS mean_delta_r,
+        (WITH cats AS (SELECT CAST($c AS VARCHAR) v, count(*) cnt
+                       FROM events WHERE ts < $t AND $c IS NOT NULL
+                       GROUP BY 1 ORDER BY cnt DESC, v ASC
+                       LIMIT $catK),
+          idx AS (SELECT v, row_number() OVER
+                    (ORDER BY cnt DESC, v ASC) - 1 AS i FROM cats),
+          kk AS (SELECT count(*) k FROM cats),
+          hb AS (SELECT coalesce(i.i, (SELECT k FROM kk)) AS i,
+                   count(*) AS c
+                 FROM events e LEFT JOIN idx i
+                   ON CAST(e.$c AS VARCHAR) = i.v
+                 WHERE e.ts < $t AND e.$c IS NOT NULL GROUP BY 1),
+          hc AS (SELECT coalesce(i.i, (SELECT k FROM kk)) AS i,
+                   count(*) AS c
+                 FROM events e LEFT JOIN idx i
+                   ON CAST(e.$c AS VARCHAR) = i.v
+                 WHERE e.ts >= $t AND e.$c IS NOT NULL GROUP BY 1),
+          j AS (SELECT b.i, coalesce(hb.c, 0) cb, coalesce(hc.c, 0) cc
+                FROM (SELECT unnest(range((SELECT k FROM kk) + 1)) i) b
+                LEFT JOIN hb ON hb.i = b.i LEFT JOIN hc ON hc.i = b.i),
+          tt AS (SELECT sum(cb) nb, sum(cc) nc,
+                   (SELECT k FROM kk) + 1 AS bb FROM j)
+         SELECT round(sum(
+             ((cc + 0.5) / (nc + 0.5 * bb)
+               - (cb + 0.5) / (nb + 0.5 * bb))
+             * ln(((cc + 0.5) / (nc + 0.5 * bb))
+                 / ((cb + 0.5) / (nb + 0.5 * bb)))), 6)
+         FROM j, tt) AS psi_r"""
+    (cols.map(one) ++ catCols.map(oneCat(_, catK)))
+      .mkString(" UNION ALL ")
   }
 
   /** q95 oracle: DuckDB replay of the zorder key — the same 8-bit
@@ -5869,8 +5915,9 @@ transforms:
     inputs: [c, b]
     parameters:
       baselineInput: b
-      fields: [value, user_id]
+      fields: [value, user_id, event_type]
       psiBuckets: 10
+      psiCategories: 20
   - name: out
     module: sql
     inputs: [dr]
@@ -8839,7 +8886,8 @@ transforms:
          ON v.user_id = p.user_id AND v.ls <= p.e AND p.s <= v.le""",
 
     "q170_profile_drift" ->
-      driftOracleSql(Seq("value", "user_id"), "2024-01-15 00:00:00", 10),
+      driftOracleSql(Seq("value", "user_id"), Seq("event_type"),
+        "2024-01-15 00:00:00", 10, 20),
 
     // first-20-per-key at-or-after the offset: ts-ordered staging
     // makes the streaming emitted-count selection equal the batch

@@ -152,15 +152,20 @@ object ProfileTransform {
     * between a baseline snapshot and the current frame — the
     * before-training corpus-drift gate ("did this month's crawl
     * shift?"). Per profiled column: row/null counts and null-rate
-    * delta on both sides; for numeric columns additionally mean
-    * delta and PSI (population stability index) over `psiBuckets`
-    * (default 10) equi-width buckets anchored on the BASELINE's
-    * [min, max] — out-of-range current values clamp into the edge
-    * buckets, so new mass outside the baseline's support registers
-    * as drift instead of vanishing. Proportions are
-    * Laplace-smoothed ((count + 0.5) / (n + 0.5·B)) so empty
-    * buckets stay finite; the usual reading is psi < 0.1 stable,
-    * 0.1–0.25 moderate, > 0.25 shifted.
+    * delta on both sides, plus PSI (population stability index) —
+    * for numeric columns over `psiBuckets` (default 10) equi-width
+    * buckets anchored on the BASELINE's [min, max] (out-of-range
+    * current values clamp into the edge buckets, so new mass
+    * outside the baseline's support registers as drift instead of
+    * vanishing), for categorical columns over the baseline's top
+    * `psiCategories` (default 20) values (count desc, value asc —
+    * a total order) plus one other-bucket that both bounds the
+    * histogram under unbounded vocabularies and catches NEW
+    * categories. Numeric columns additionally report the mean
+    * delta. Proportions are Laplace-smoothed
+    * ((count + 0.5) / (n + 0.5·B)) so empty buckets stay finite;
+    * the usual reading is psi < 0.1 stable, 0.1–0.25 moderate,
+    * > 0.25 shifted.
     *
     * Scale shape: two aggregation passes per frame (moments+edges,
     * then the bucket histogram — the histogram needs the baseline
@@ -202,6 +207,25 @@ object ProfileTransform {
     def numeric(df: DataFrame, c: String): Boolean =
       df.schema(c).dataType.isInstanceOf[NumericType]
     val numCols = cols.filter(c => numeric(cur, c) && numeric(base, c))
+    // categorical psi: non-numeric columns bucket by the baseline's
+    // top-`psiCategories` values (count desc, value asc — a total
+    // order) plus one "other" bucket for everything else, so an
+    // unbounded vocabulary still yields a fixed-size histogram and
+    // NEW categories register as drift in the other-bucket
+    val catK = p.int("psiCategories").getOrElse(20)
+    require(catK >= 1 && catK <= 10000,
+      s"profile ${cfg.name}: psiCategories must be in [1, 10000]")
+    val catCols = cols.filterNot(numCols.contains)
+    val catsOf: Map[String, Seq[String]] = catCols.map { c =>
+      // one vocabulary-sized groupBy per categorical column; the
+      // collected top-K is bounded by psiCategories
+      c -> base.filter(col(c).isNotNull)
+        .groupBy(col(c).cast(StringType).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("__v").asc)
+        .limit(catK)
+        .collect().map(_.getString(0)).toSeq
+    }.toMap
 
     // pass 1 (each side): counts, null counts, mean, baseline edges
     def moments(df: DataFrame): Row = {
@@ -229,41 +253,61 @@ object ProfileTransform {
     }.toMap
     val histCols = numCols.filter(edges.contains)
 
-    // pass 2 (each side): B conditional sums per numeric column
-    def hist(df: DataFrame): Option[Row] =
-      if (histCols.isEmpty) None
-      else {
-        val aggs = histCols.flatMap { c =>
-          val (mn, mx) = edges(c)
-          val v = col(c).cast(DoubleType)
-          val b =
-            if (mx > mn)
-              least(greatest(
-                floor((v - lit(mn)) / lit(mx - mn) * lit(buckets)),
-                lit(0L)), lit(buckets - 1L))
-            else when(v === lit(mn), lit(0L))
-              .otherwise(lit(buckets - 1L))
-          (0 until buckets).map(i => sum(
-            when(v.isNotNull && !isnan(v) && b === lit(i.toLong), 1L)
-              .otherwise(0L)).as(s"__h${i}_$c"))
-        }
-        Some(df.agg(aggs.head, aggs.tail: _*).head())
+    // bucket count per column: numeric → psiBuckets; categorical →
+    // top-K categories + the other-bucket
+    def bucketsOf(c: String): Int =
+      if (numCols.contains(c)) buckets else catsOf(c).size + 1
+
+    // pass 2 (each side): fixed conditional sums per column
+    def hist(df: DataFrame): Option[Row] = {
+      val numAggs = histCols.flatMap { c =>
+        val (mn, mx) = edges(c)
+        val v = col(c).cast(DoubleType)
+        val b =
+          if (mx > mn)
+            least(greatest(
+              floor((v - lit(mn)) / lit(mx - mn) * lit(buckets)),
+              lit(0L)), lit(buckets - 1L))
+          else when(v === lit(mn), lit(0L))
+            .otherwise(lit(buckets - 1L))
+        (0 until buckets).map(i => sum(
+          when(v.isNotNull && !isnan(v) && b === lit(i.toLong), 1L)
+            .otherwise(0L)).as(s"__h${i}_$c"))
       }
+      val catAggs = catCols.flatMap { c =>
+        val cats = catsOf(c)
+        val v = col(c).cast(StringType)
+        val inCats =
+          if (cats.isEmpty) lit(false) else v.isin(cats: _*)
+        cats.zipWithIndex.map { case (cat, i) =>
+          sum(when(v === lit(cat), 1L).otherwise(0L))
+            .as(s"__h${i}_$c")
+        } :+ sum(when(v.isNotNull && !inCats, 1L).otherwise(0L))
+          .as(s"__h${cats.size}_$c")
+      }
+      val aggs = numAggs ++ catAggs
+      if (aggs.isEmpty) None
+      else Some(df.agg(aggs.head, aggs.tail: _*).head())
+    }
     val bHist = hist(base)
     val cHist = hist(cur)
     def counts(r: Option[Row], c: String): Seq[Long] =
-      r.map(row => (0 until buckets).map(i =>
+      // a numeric column with no baseline edges (all-null baseline)
+      // has no histogram columns — psi degrades to null
+      if (numCols.contains(c) && !histCols.contains(c)) Seq.empty
+      else r.map(row => (0 until bucketsOf(c)).map(i =>
         row.getAs[Long](s"__h${i}_$c"))).getOrElse(Seq.empty)
     def psi(cb: Seq[Long], cc: Seq[Long]): java.lang.Double = {
       val nb = cb.sum.toDouble
       val nc = cc.sum.toDouble
       if (cb.isEmpty || nb == 0 || nc == 0) null
       else {
+        val b = cb.length
         var s = 0.0
         var i = 0
-        while (i < buckets) {
-          val pi = (cb(i) + 0.5) / (nb + 0.5 * buckets)
-          val qi = (cc(i) + 0.5) / (nc + 0.5 * buckets)
+        while (i < b) {
+          val pi = (cb(i) + 0.5) / (nb + 0.5 * b)
+          val qi = (cc(i) + 0.5) / (nc + 0.5 * b)
           s += (qi - pi) * math.log(qi / pi)
           i += 1
         }
@@ -287,7 +331,7 @@ object ProfileTransform {
         meanC.map(java.lang.Double.valueOf).orNull,
         (for (a <- meanB; b <- meanC)
           yield java.lang.Double.valueOf(b - a)).orNull,
-        if (isNum) psi(counts(bHist, c), counts(cHist, c)) else null)
+        psi(counts(bHist, c), counts(cHist, c)))
     }
     val schema = StructType(Seq(
       StructField("column", StringType, nullable = false),

@@ -145,6 +145,23 @@ class ProfileSpec extends AnyFunSuite {
     val out3 = drift(
       """{"baselineInput": "base"}""", cCur, nBase).collect().head
     assert(out3.isNullAt(9) && !out3.isNullAt(5))
+    // categorical psi: top-2 baseline categories (count desc, value
+    // asc) + other; a NEW current category lands in the other-bucket
+    val sBase = Seq("a", "a", "b", "b", "c").toDF("x")
+    val sCur = Seq("a", "z", "z").toDF("x")
+    val out4 = drift(
+      """{"baselineInput": "base", "psiCategories": 2}""", sCur, sBase)
+      .collect().head
+    // cats = [a, b] (count 2/2, tie → value asc); other covers c/z
+    // cb = [2, 2, 1] (nb 5); cc = [1, 0, 2] (nc 3); B = 3
+    val psi4 = Seq((2, 1), (2, 0), (1, 2)).map { case (b, c) =>
+      val p = (b + 0.5) / (5 + 1.5)
+      val q = (c + 0.5) / (3 + 1.5)
+      (q - p) * math.log(q / p)
+    }.sum
+    assert(math.abs(out4.getDouble(9) - psi4) < 1e-12,
+      s"cat psi ${out4.get(9)}")
+    assert(out4.isNullAt(8), "categorical has no mean delta")
     // guards: baseline must be a listed, distinct input
     val e = intercept[IllegalArgumentException](drift(
       """{"baselineInput": "nope"}""", cur, base))
