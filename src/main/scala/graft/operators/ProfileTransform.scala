@@ -192,9 +192,13 @@ object ProfileTransform {
       case _ => true
     }
     val declared = p.strArr("fields")
-    declared.foreach(f => require(
-      cur.columns.contains(f) && base.columns.contains(f),
-      s"profile ${cfg.name}: field $f not in both inputs"))
+    declared.foreach { f =>
+      require(cur.columns.contains(f) && base.columns.contains(f),
+        s"profile ${cfg.name}: field $f not in both inputs")
+      require(atomic(cur.schema(f).dataType) &&
+        atomic(base.schema(f).dataType),
+        s"profile ${cfg.name}: $f is non-atomic — no drift order")
+    }
     val cols =
       if (declared.nonEmpty) declared
       else cur.schema.fields.filter(f => atomic(f.dataType))

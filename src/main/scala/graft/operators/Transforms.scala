@@ -414,7 +414,9 @@ object AggregationTransform {
       graft.streaming.PaneRecipes.register(result(cfg.name), raw, reAgg,
         keys = groupFields, windowEndOf = windowEndOf,
         elementEndOf = strategyNode.flatMap(
-          graft.streaming.Strategy.elementRetainEnd))
+          graft.streaming.Strategy.elementRetainEnd),
+        elementEndExact = strategyNode.exists(
+          graft.streaming.Strategy.elementEndIsWindowEnd))
     }
     result
   }

@@ -45,7 +45,11 @@ private[graft] object PaneRecipes {
       windowEndOf: Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column] = None,
       elementEndOf: Option[DataFrame =>
-        org.apache.spark.sql.Column] = None)
+        org.apache.spark.sql.Column] = None,
+      /** horizon == the element's single exact window end
+        * (fixed/calendar) — lets the accumulating engine prune its
+        * store read to the windows firing in a batch */
+      elementEndExact: Boolean = false)
 
   private val recipes = new java.util.IdentityHashMap[LogicalPlan, Recipe]
 
@@ -54,11 +58,13 @@ private[graft] object PaneRecipes {
       windowEndOf: Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column] = None,
       elementEndOf: Option[DataFrame =>
-        org.apache.spark.sql.Column] = None): Unit =
+        org.apache.spark.sql.Column] = None,
+      elementEndExact: Boolean = false): Unit =
     recipes.synchronized {
       if (recipes.size > 64) recipes.clear()
       recipes.put(out.queryExecution.logical,
-        Recipe(preAgg, reAgg, keys, windowEndOf, elementEndOf))
+        Recipe(preAgg, reAgg, keys, windowEndOf, elementEndOf,
+          elementEndExact))
     }
 
   def lookup(df: DataFrame): Option[Recipe] =

@@ -394,6 +394,24 @@ object Strategy {
     }
   }
 
+  /** Whether [[elementRetainEnd]]'s horizon IS the element's exact
+    * (single) window end — true for fixed and calendar windows,
+    * where every element feeds exactly one window and the horizon
+    * equals its end, so the pane engine may PRUNE its store read to
+    * the windows firing in a batch. False for sliding (an element
+    * feeds several windows; the horizon is only the latest) and
+    * everything else. */
+  def elementEndIsWindowEnd(strategy: JsonNode): Boolean = {
+    val w = strategy("window").getOrElse(strategy)
+    w.str("type").getOrElse("global") match {
+      case "fixed" =>
+        seconds(w, "period").filter(_ > 0)
+          .forall(p => seconds(w, "size").contains(p))
+      case "calendar" => true
+      case _ => false
+    }
+  }
+
   /** UTC instant of the END of `ts`'s local calendar bucket:
     * date_trunc in the zone, plus one bucket, mapped back to UTC.
     * Interval addition happens in LOCAL wall time (that is the

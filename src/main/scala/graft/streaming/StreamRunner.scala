@@ -464,6 +464,22 @@ object StreamRunner {
         fired.add(java.lang.Long.valueOf(e.asLong)))
     }
 
+  /** Distinct retention horizons present in the element store's
+    * partition paths — for fixed/calendar windows these ARE the
+    * window ends on disk, so the accumulating engine derives its
+    * closing-candidate set from this listing instead of a full
+    * re-aggregation. */
+  private def wendValuesOnDisk(storeDir: String): Seq[Long] = {
+    def ls(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    ls(new java.io.File(storeDir))
+      .filter(_.getName.startsWith("__gbatch="))
+      .flatMap(g => ls(g).map(_.getName)
+        .filter(_.startsWith("__wend="))
+        .flatMap(_.stripPrefix("__wend=").toLongOption))
+      .distinct.toSeq
+  }
+
   /** Frontier-driven element-store compaction: delete every
     * `__wend=E` partition (under any `__gbatch=` slice) whose
     * retention horizon E (plus allowedLateness) is behind the
@@ -589,6 +605,14 @@ object StreamRunner {
     val storeDir = ckpt + "/acc-elements"
     val triggerStateDir = new java.io.File(ckpt + "/trigger-state")
     restoreTriggerState(cfg.name, triggerStateDir)
+    // the store read's partition discovery: past 32 leaf dirs Spark
+    // launches a distributed LISTING JOB per micro-batch, and the
+    // element store routinely holds (slices × open horizons) > 32
+    // dirs — but that count is bounded by the open-window horizon
+    // and the same listing already runs driver-side for compaction,
+    // so keep discovery on the driver
+    df.sparkSession.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
 
     def emitWithIndex(pane: DataFrame, keyCols: Seq[String],
         batchId: Long): Unit = {
@@ -743,29 +767,19 @@ object StreamRunner {
               batch.write.mode("overwrite")
                 .parquet(storeDir + s"/__gbatch=$batchId")
           }
-          val stored = spark.read.parquet(storeDir)
-            .drop("__gbatch", "__wend")
           val reAgg = paneReAgg(cfg, recipe)
-          val aggedAll = reAgg(stored)
           val touched = reAgg(batch)
-          windowEndCol(aggedAll) match {
+          def storedAll(): DataFrame = spark.read.parquet(storeDir)
+            .drop("__gbatch", "__wend")
+          windowEndCol(touched) match {
             case None =>
               // global window: every firing is a cumulative early pane
               emitWithIndex(
-                aggedAll.withColumn("__pane", lit("early")), recipe.keys,
-                batchId)
-            case Some(end) =>
-              val endSec = end.cast("long")
-              val keyCols = (Seq("window", "window_start")
-                .filter(aggedAll.columns.contains) ++ recipe.keys).distinct
+                reAgg(storedAll()).withColumn("__pane", lit("early")),
+                recipe.keys, batchId)
+            case Some(_) =>
               val fPrev = frontiers.getOrDefault(cfg.name,
                 java.lang.Long.MIN_VALUE).longValue()
-              // expired-window drop, same rule as the discarding
-              // engine — and the only retention bound on the store
-              val retained =
-                if (fPrev == java.lang.Long.MIN_VALUE) aggedAll
-                else aggedAll.filter(
-                  endSec * 1000L + latenessMs >= fPrev)
               val tEnds = touched.select(windowEndCol(touched).get
                   .cast("long")).distinct().collect()
                 .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
@@ -778,11 +792,48 @@ object StreamRunner {
               val lateEnds = tEnds.filter(e => fired.contains(e))
               // frontier crossing closes windows: ON_TIME pane for
               // ALL keys of each newly closed window (fires without
-              // new elements, like Beam's watermark-close pane)
-              val retEnds = retained.select(endSec).distinct().collect()
-                .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-              val closingEnds = retEnds.filter(e =>
-                e * 1000L < fNew && !fired.contains(e))
+              // new elements, like Beam's watermark-close pane).
+              // When the store horizon IS the window end
+              // (fixed/calendar — every element feeds exactly one
+              // window), the re-aggregation reads ONLY the windows
+              // firing this batch: closing candidates come from the
+              // store's partition LISTING (compaction already
+              // enforces retention on the dirs) and the scan prunes
+              // on __wend — per-batch read cost tracks the FIRED
+              // volume, not the whole open horizon. Sliding windows
+              // (one element, several windows) keep the full read.
+              val (aggedAll, closingEnds) =
+                if (recipe.elementEndExact && recipe.elementEndOf.isDefined) {
+                  val closing = wendValuesOnDisk(storeDir).filter(e =>
+                    e * 1000L < fNew && !fired.contains(e))
+                  val firedEnds = (tEnds ++ closing).distinct.toSeq
+                  val raw = spark.read.parquet(storeDir)
+                  val pruned =
+                    if (firedEnds.isEmpty) raw.where(lit(false))
+                    else raw.where(col("__wend").isin(firedEnds: _*))
+                  (reAgg(pruned.drop("__gbatch", "__wend")), closing)
+                } else {
+                  val a = reAgg(storedAll())
+                  val aEnd = windowEndCol(a).get.cast("long")
+                  val live =
+                    if (fPrev == java.lang.Long.MIN_VALUE) a
+                    else a.filter(aEnd * 1000L + latenessMs >= fPrev)
+                  val retEnds = live.select(aEnd).distinct().collect()
+                    .flatMap(r =>
+                      Option(r.get(0)).map(_.asInstanceOf[Long]))
+                  (a, retEnds.filter(e =>
+                    e * 1000L < fNew && !fired.contains(e)).toSeq)
+                }
+              val endSec = windowEndCol(aggedAll).get.cast("long")
+              val keyCols = (Seq("window", "window_start")
+                .filter(aggedAll.columns.contains) ++ recipe.keys).distinct
+              // expired-window drop, same rule as the discarding
+              // engine (on the pruned path the dirs were already
+              // compacted to it — this is the defensive second guard)
+              val retained =
+                if (fPrev == java.lang.Long.MIN_VALUE) aggedAll
+                else aggedAll.filter(
+                  endSec * 1000L + latenessMs >= fPrev)
               // a window emits at most ONE pane per batch: a window
               // that both received elements and closed in this batch
               // emits only the (cumulative) ON_TIME pane — its early
