@@ -5791,8 +5791,11 @@ sinks:
       // it stops growing (two consecutive stable reads)
       def rows(): Long =
         try s.read.parquet(out).count() catch { case _: Throwable => 0L }
+      // cap 60 s: ample for the cleanup batch under contention, and
+      // an under-flush fails the oracle compare loudly rather than
+      // silently truncating
       var prev = -1L; var cur = rows(); var stable = 0; var spins = 0
-      while (stable < 2 && spins < 60) {
+      while (stable < 2 && spins < 120) {
         Thread.sleep(500)
         prev = cur; cur = rows()
         stable = if (cur == prev) stable + 1 else 0
