@@ -393,6 +393,11 @@ object StreamRunner {
   private val lastPaneBatch =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Session-conf overrides scoped to a pane sink's lifetime: each
+    * entry restores one key to its pre-start value; stopAll runs and
+    * clears them. */
+  private val confRestores = scala.collection.mutable.ListBuffer[() => Unit]()
+
   /** Beam-parity PERSISTENT trigger state (Beam keeps pane timing in
     * durable trigger state; Structured Streaming's checkpoint covers
     * offsets only): after each batch the frontier and the
@@ -610,12 +615,29 @@ object StreamRunner {
     // element store routinely holds (slices × open horizons) > 32
     // dirs — but that count is bounded by the open-window horizon
     // and the same listing already runs driver-side for compaction,
-    // so keep discovery on the driver
-    df.sparkSession.conf.set(
-      "spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+    // so keep discovery on the driver. Scoped, not leaked: the prior
+    // session value is captured here and restored by stopAll, so a
+    // user-tuned threshold survives the exact-pane sink's lifetime.
+    locally {
+      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val sess = df.sparkSession
+      val prior = sess.conf.getOption(key)
+      confRestores.synchronized {
+        confRestores += (() => prior match {
+          case Some(v) => sess.conf.set(key, v)
+          case None => sess.conf.unset(key)
+        })
+      }
+      sess.conf.set(key, "8192")
+    }
 
-    def emitWithIndex(pane: DataFrame, keyCols: Seq[String],
+    def emitWithIndex(pane0: DataFrame, keyCols: Seq[String],
         batchId: Long): Unit = {
+      // the pane frame re-aggregates the element store; it feeds
+      // both the sink publish and the ordinals delta, so pin it —
+      // otherwise each action re-reads and re-aggregates the store
+      val pane = if (isMem) pane0 else pane0.persist()
+      try {
       val spark = pane.sparkSession
       if (isMem) {
         val rows = pane.collect()
@@ -731,16 +753,24 @@ object StreamRunner {
             d.delete()
           }
       }
+      } finally if (!isMem) pane.unpersist()
     }
 
     val q = recipe.preAgg.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(delayMs))
       .option("checkpointLocation", ckpt + "/accumulating")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val done = lastPaneBatch.get(cfg.name)
         if ((done == null || batchId > done.longValue()) &&
-            !batch.isEmpty) {
+            !batch0.isEmpty) {
+          // the micro-batch is scanned several times per firing
+          // (store write, touched re-aggregation, distinct-ends
+          // collect, touched-keys projection) — one persist cuts
+          // that to a single source read
+          val batch = batch0.persist()
+          val pinned = scala.collection.mutable.ListBuffer[DataFrame](batch)
+          try {
           val spark = batch.sparkSession
           // batch-stamped store slice: a replayed batch OVERWRITES
           // its own slice instead of appending a duplicate, keeping
@@ -759,16 +789,27 @@ object StreamRunner {
               // repartition(__wend) would cut that to one file per
               // horizon but funnels EVERY element of a window
               // through one task — a hot-partition at scale — so
-              // parallelism wins here.
+              // parallelism wins here. Null-horizon rows (null event
+              // time — can never feed a window in either read path)
+              // are dropped here, or they'd accumulate forever in a
+              // __HIVE_DEFAULT_PARTITION__ compaction never touches.
+              // Replay correctness needs STATIC partition overwrite
+              // (full-slice replacement); pin it on the writer so a
+              // session-wide dynamic overwriteMode cannot leave a
+              // failed attempt's stale __wend partitions in place.
               batch.withColumn("__wend", endOf(batch).cast("long"))
-                .write.mode("overwrite").partitionBy("__wend")
+                .filter(col("__wend").isNotNull)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("__wend")
                 .parquet(storeDir + s"/__gbatch=$batchId")
             case None => // global window: no horizon, no compaction
               batch.write.mode("overwrite")
                 .parquet(storeDir + s"/__gbatch=$batchId")
           }
           val reAgg = paneReAgg(cfg, recipe)
-          val touched = reAgg(batch)
+          val touched = reAgg(batch).persist()
+          pinned += touched
           def storedAll(): DataFrame = spark.read.parquet(storeDir)
             .drop("__gbatch", "__wend")
           windowEndCol(touched) match {
@@ -859,7 +900,16 @@ object StreamRunner {
               val pane =
                 if (hasLate) early.union(closing).union(late)
                 else early.union(closing)
-              emitWithIndex(pane, keyCols, batchId)
+              // no window fired this batch (elements arrived but
+              // everything stays early-pending behind the frontier,
+              // or all ends were already fired+expired): nothing to
+              // publish, and the ordinals snapshot is unchanged — a
+              // rewrite would be a pure read+write+rename cycle, so
+              // skip the whole emit (the next firing batch finds the
+              // same prior snapshot; a replay of this batch re-skips)
+              val willFire = earlyEnds.nonEmpty || closingEnds.nonEmpty ||
+                (hasLate && lateEnds.nonEmpty)
+              if (willFire) emitWithIndex(pane, keyCols, batchId)
               // store compaction, element-level: each slice is
               // partitioned by its elements' retention horizons
               // (`__wend=<epochSec>`); once the frontier (plus
@@ -879,6 +929,7 @@ object StreamRunner {
             latenessMs)
           lastPaneBatch.put(cfg.name, java.lang.Long.valueOf(batchId))
           ()
+          } finally pinned.foreach(_.unpersist())
         }
       }
       .start()
@@ -1020,5 +1071,10 @@ object StreamRunner {
   def stopAll(): Unit = {
     activeQueries.foreach(_.stop())
     active.clear()
+    confRestores.synchronized {
+      confRestores.foreach(r =>
+        try r() catch { case _: Throwable => () })
+      confRestores.clear()
+    }
   }
 }
