@@ -398,6 +398,19 @@ object StreamRunner {
     * clears them. */
   private val confRestores = scala.collection.mutable.ListBuffer[() => Unit]()
 
+  /** Dev-only phase timing for the exact-pane engine
+    * (GRAFT_PANE_TIMING=1): one stderr line per phase per batch. */
+  private val paneTiming = sys.env.contains("GRAFT_PANE_TIMING")
+  @inline private def timed[A](what: String)(f: => A): A =
+    if (!paneTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[pane-timing] $what%-18s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Beam-parity PERSISTENT trigger state (Beam keeps pane timing in
     * durable trigger state; Structured Streaming's checkpoint covers
     * offsets only): after each batch the frontier and the
@@ -693,7 +706,8 @@ object StreamRunner {
         // protocol; an object-store deployment would swap this for
         // the committer's equivalent.)
         val stageDir = new java.io.File(ckpt + s"/pane-stage/$batchId")
-        withIdx.write.mode("overwrite").parquet(stageDir.toString)
+        timed("pane-stage-write") {
+          withIdx.write.mode("overwrite").parquet(stageDir.toString) }
         val dst = new java.io.File(sinkPath.get)
         dst.mkdirs()
         Option(dst.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -743,8 +757,8 @@ object StreamRunner {
               e.cast("long") * 1000L + latenessMs >= f)
           case None => merged
         }
-        pruned.write.mode("overwrite")
-          .parquet(s"$ordsDir/__obatch=$batchId")
+        timed("ords-write") { pruned.write.mode("overwrite")
+          .parquet(s"$ordsDir/__obatch=$batchId") }
         snapIds.filter(id => id != batchId && priorId.forall(_ != id))
           .foreach { id =>
             val d = new java.io.File(s"$ordsDir/__obatch=$id")
@@ -797,12 +811,14 @@ object StreamRunner {
               // (full-slice replacement); pin it on the writer so a
               // session-wide dynamic overwriteMode cannot leave a
               // failed attempt's stale __wend partitions in place.
-              batch.withColumn("__wend", endOf(batch).cast("long"))
-                .filter(col("__wend").isNotNull)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("__wend")
-                .parquet(storeDir + s"/__gbatch=$batchId")
+              timed("store-write") {
+                batch.withColumn("__wend", endOf(batch).cast("long"))
+                  .filter(col("__wend").isNotNull)
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "static")
+                  .partitionBy("__wend")
+                  .parquet(storeDir + s"/__gbatch=$batchId")
+              }
             case None => // global window: no horizon, no compaction
               batch.write.mode("overwrite")
                 .parquet(storeDir + s"/__gbatch=$batchId")
@@ -810,7 +826,20 @@ object StreamRunner {
           val reAgg = paneReAgg(cfg, recipe)
           val touched = reAgg(batch).persist()
           pinned += touched
-          def storedAll(): DataFrame = spark.read.parquet(storeDir)
+          // the store's schema is statically known (batch columns +
+          // the partition dirs) — passing it skips the per-batch
+          // footer-sampling job parquet schema inference runs over
+          // an ever-changing directory set
+          val storeSchema = recipe.elementEndOf match {
+            case Some(_) => batch.schema
+              .add("__wend", org.apache.spark.sql.types.LongType)
+              .add("__gbatch", org.apache.spark.sql.types.LongType)
+            case None => batch.schema
+              .add("__gbatch", org.apache.spark.sql.types.LongType)
+          }
+          def readStore(): DataFrame =
+            spark.read.schema(storeSchema).parquet(storeDir)
+          def storedAll(): DataFrame = readStore()
             .drop("__gbatch", "__wend")
           windowEndCol(touched) match {
             case None =>
@@ -821,9 +850,10 @@ object StreamRunner {
             case Some(_) =>
               val fPrev = frontiers.getOrDefault(cfg.name,
                 java.lang.Long.MIN_VALUE).longValue()
-              val tEnds = touched.select(windowEndCol(touched).get
+              val tEnds = timed("tends-collect") {
+                touched.select(windowEndCol(touched).get
                   .cast("long")).distinct().collect()
-                .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+                .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])) }
               val fNew = math.max(fPrev,
                 if (tEnds.isEmpty) fPrev else tEnds.max * 1000L)
               val fired = firedOnTime.computeIfAbsent(cfg.name,
@@ -848,7 +878,7 @@ object StreamRunner {
                   val closing = wendValuesOnDisk(storeDir).filter(e =>
                     e * 1000L < fNew && !fired.contains(e))
                   val firedEnds = (tEnds ++ closing).distinct.toSeq
-                  val raw = spark.read.parquet(storeDir)
+                  val raw = readStore()
                   val pruned =
                     if (firedEnds.isEmpty) raw.where(lit(false))
                     else raw.where(col("__wend").isin(firedEnds: _*))
@@ -909,7 +939,8 @@ object StreamRunner {
               // same prior snapshot; a replay of this batch re-skips)
               val willFire = earlyEnds.nonEmpty || closingEnds.nonEmpty ||
                 (hasLate && lateEnds.nonEmpty)
-              if (willFire) emitWithIndex(pane, keyCols, batchId)
+              if (willFire) timed("emit-total") {
+                emitWithIndex(pane, keyCols, batchId) }
               // store compaction, element-level: each slice is
               // partitioned by its elements' retention horizons
               // (`__wend=<epochSec>`); once the frontier (plus
@@ -923,10 +954,12 @@ object StreamRunner {
               // drops wholly. Replay-safe: a replayed batch rewrites
               // its entire slice (static partition overwrite) before
               // compaction re-applies the frontier rule.
-              compactStore(storeDir, fNew, latenessMs)
+              timed("compact-store") {
+                compactStore(storeDir, fNew, latenessMs) }
           }
-          persistTriggerState(cfg.name, triggerStateDir, batchId,
-            latenessMs)
+          timed("trigger-state") {
+            persistTriggerState(cfg.name, triggerStateDir, batchId,
+              latenessMs) }
           lastPaneBatch.put(cfg.name, java.lang.Long.valueOf(batchId))
           ()
           } finally pinned.foreach(_.unpersist())
