@@ -1977,6 +1977,145 @@ sinks:
         col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
     }),
 
+    // q161's exact panes over an ANCHORED N-UNIT calendar window
+    // (CalendarWindows.days(3).withStartingDay — size 3, startDate
+    // 2024-01-02, Tokyo): drives calNBounds end-to-end through the
+    // pane engines — the batch re-agg's scalar anchored-bucket
+    // start, the recipe's calendarEndOf struct rebuild, and the
+    // element store's per-bucket retention horizons. The fixture
+    // month starts BEFORE the anchor, so the floor division's
+    // negative-bucket branch is exercised too. Oracle = the q82 pane
+    // derivation over the anchored 3-day grid (anchor local-midnight
+    // epoch 1704121200 = 2024-01-02T00:00+09:00).
+    "q171_calendar_anchored_panes" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val base = java.nio.file.Files.createTempDirectory("graft_q171_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
+      val ts = col("ts").cast("timestamp")
+      val t1 = org.apache.spark.sql.functions
+        .lit("2024-01-11 03:00:00").cast("timestamp")
+      val t2 = org.apache.spark.sql.functions
+        .lit("2024-01-21 00:00:00").cast("timestamp")
+      stage(1, ts < t1)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: accumulating
+      exactPanes: true
+      timestampField: ts
+      window: {type: calendar, unit: day, size: 3, startDate: "2024-01-02", timezone: Asia/Tokyo}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger:
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: ancpanes
+    module: storage
+    input: agg
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      stage(3, ts >= t2)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out).select(
+        col("window.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 4).as("total_r"),
+        col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
+    }),
+
+    // q167's DST-crossing panes over WEEK-OFFSET calendar buckets
+    // (Beam startDayOfWeek: offset 2 from the epoch anchor →
+    // Saturday-start weeks, Europe/Berlin): the spring-forward week
+    // is 167 hours long, so the anchored local-date arithmetic
+    // (calNBounds) must place its end one UTC hour early — the exact
+    // class of the r15 week-offset mis-keying bug, now pinned
+    // through the pane engines' frontier/ordinal bookkeeping.
+    "q172_calendar_weekoffset_panes" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round, expr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q172_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts") + expr("INTERVAL 89 DAYS"))
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
+      val ts = col("ts").cast("timestamp")
+      // q167's shifted batch boundaries
+      val t1 = org.apache.spark.sql.functions
+        .lit("2024-04-09 03:00:00").cast("timestamp")
+      val t2 = org.apache.spark.sql.functions
+        .lit("2024-04-19 00:00:00").cast("timestamp")
+      stage(1, ts < t1)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: accumulating
+      exactPanes: true
+      timestampField: ts
+      window: {type: calendar, unit: week, offset: 2, timezone: Europe/Berlin}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger:
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: wkopanes
+    module: storage
+    input: agg
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      stage(3, ts >= t2)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out).select(
+        col("window.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 4).as("total_r"),
+        col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
+    }),
+
     // similarity: IVF ANN with the md5-seeded AUTO-FIT codebook —
     // the engine derives the 16 centroids from the corpus itself
     // (smallest md5(vec_id)), so unlike the external-codebook twin
@@ -7682,6 +7821,32 @@ transforms:
     // the restarted run must land on the same batch-boundary-
     // deterministic pane set — one oracle serves q82 and q153
     "q153_panes_restart" -> accPanesOracleSql,
+
+    // anchored 3-day Tokyo buckets: the anchor's local midnight is
+    // epoch 1704121200 (2024-01-02T00:00+09:00); Tokyo is fixed
+    // offset so the anchored local-date grid is plain epoch
+    // arithmetic (floor handles the pre-anchor negative bucket)
+    "q171_calendar_anchored_panes" -> accPanesOracle(
+      "CAST(1704121200 + floor((epoch(ts) - 1704121200) / 259200) " +
+        "* 259200 AS BIGINT)",
+      "CAST(1704121200 + (floor((epoch(ts) - 1704121200) / 259200) + 1) " +
+        "* 259200 AS BIGINT)"),
+
+    // Saturday-start weeks (epoch anchor 1970-01-01 + offset 2 days)
+    // in Berlin local-date arithmetic, events shifted +89d across
+    // the 2024-03-31 spring-forward (that bucket spans 167 hours):
+    // local date → anchored 7-day index → local-midnight boundary →
+    // back to the UTC instant, all via ICU two-arg timezone() so the
+    // derivation is independent of the oracle session's TimeZone
+    "q172_calendar_weekoffset_panes" -> accPanesOracle(
+      "CAST(epoch(timezone('Europe/Berlin', CAST(DATE '1970-01-03' + " +
+        "CAST(floor((CAST(timezone('Europe/Berlin', timezone('UTC', " +
+        "ts + INTERVAL 89 DAY)) AS DATE) - DATE '1970-01-03') / 7.0) " +
+        "* 7 AS INT) AS TIMESTAMP))) AS BIGINT)",
+      "CAST(epoch(timezone('Europe/Berlin', CAST(DATE '1970-01-03' + " +
+        "CAST((floor((CAST(timezone('Europe/Berlin', timezone('UTC', " +
+        "ts + INTERVAL 89 DAY)) AS DATE) - DATE '1970-01-03') / 7.0) " +
+        "+ 1) * 7 AS INT) AS TIMESTAMP))) AS BIGINT)"),
 
     "q23_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
