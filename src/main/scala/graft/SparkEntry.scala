@@ -5920,26 +5920,15 @@ sinks:
       graft.streaming.StreamRunner.drainAll()
       sentinel(inL, "l3", -1L, "click", "2024-06-01 00:00:00")
       sentinel(inR, "r3", -1L, "purchase", "2024-06-01 00:00:00")
-      graft.streaming.StreamRunner.drainAll()
-      sentinel(inL, "l4", -2L, "click", "2024-06-05 00:00:00")
-      sentinel(inR, "r4", -2L, "purchase", "2024-06-05 00:00:00")
-      graft.streaming.StreamRunner.drainAll()
       // outer null rows flush in a no-NEW-DATA state-cleanup batch
-      // (the engine runs one when the watermark advanced), which
-      // processAllAvailable does not wait for — poll the sink until
-      // it stops growing (two consecutive stable reads)
-      def rows(): Long =
-        try s.read.parquet(out).count() catch { case _: Throwable => 0L }
-      // cap 60 s: ample for the cleanup batch under contention, and
-      // an under-flush fails the oracle compare loudly rather than
-      // silently truncating
-      var prev = -1L; var cur = rows(); var stable = 0; var spins = 0
-      while (stable < 2 && spins < 120) {
-        Thread.sleep(500)
-        prev = cur; cur = rows()
-        stable = if (cur == prev) stable + 1 else 0
-        spins += 1
-      }
+      // that runs once the watermark advanced — processAllAvailable
+      // does not wait for it, so wait CAUSALLY: block until a
+      // micro-batch has executed with the sentinel-advanced
+      // watermark (2024-06-01 − 3d lateness = 05-29; threshold 05-28
+      // sits safely between the data horizon and it). Under-advance
+      // fails loudly at the timeout instead of silently truncating.
+      graft.streaming.StreamRunner.drainUntilWatermark(
+        java.time.Instant.parse("2024-05-28T00:00:00Z"))
       graft.streaming.StreamRunner.stopAll()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // sentinel exclusion happens BATCH-side, after the drain: an

@@ -1101,6 +1101,51 @@ object StreamRunner {
     }
   }
 
+  /** Drain every active query, then block until each query that
+    * tracks an event-time watermark has EXECUTED a micro-batch whose
+    * watermark stood at or past `ts` — the causal condition for
+    * watermark-DEFERRED emissions (stream-stream outer-join null
+    * rows, dropDuplicatesWithinWatermark eviction): Spark emits them
+    * in the batch that RUNS with the advanced watermark, which is
+    * the batch AFTER the one that moved it, and that no-new-data
+    * cleanup batch is exactly what `processAllAvailable` does not
+    * wait for. A progress event's `eventTime.watermark` is the
+    * watermark in effect DURING that batch, so a progress at/past
+    * `ts` proves the deferred rows are already committed to the
+    * sink.
+    *
+    * Callers stage a watermark-advancing batch first (a late
+    * sentinel beyond `ts` + the declared lateness on every input),
+    * then call this with `ts` safely between the data horizon and
+    * sentinel − lateness. Times out loudly — an under-advanced
+    * watermark means the sentinel never reached the watermark node
+    * (e.g. eaten by a pushed-down filter), not a slow sink. */
+  def drainUntilWatermark(ts: java.time.Instant,
+      timeoutMs: Long = 60000L): Unit = {
+    drainAll()
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def wmOf(q: StreamingQuery): Option[java.time.Instant] =
+      Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(java.time.Instant.parse)
+    activeQueries.filter(q => wmOf(q).isDefined).foreach { q =>
+      var ok = false
+      while (!ok) {
+        q.exception.foreach(e => throw e)
+        ok = wmOf(q).exists(w => !w.isBefore(ts))
+        if (!ok) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"drainUntilWatermark: watermark ${wmOf(q).orNull} did " +
+                s"not reach $ts within $timeoutMs ms — stage a " +
+                "watermark-advancing batch (late sentinel past ts + " +
+                "allowed lateness on EVERY input) before calling")
+          Thread.sleep(50)
+        }
+      }
+    }
+  }
+
   def stopAll(): Unit = {
     activeQueries.foreach(_.stop())
     active.clear()
