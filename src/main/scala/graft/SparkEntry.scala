@@ -5940,6 +5940,188 @@ sinks:
       s.read.parquet(out).filter("event_id >= 0")
     }),
 
+    // q166's mirror: stream-stream interval `how: right` — Spark's
+    // symmetric hash join defers the RIGHT side's unmatched rows to
+    // the watermark; same staged halves + sentinel drain. Sentinel
+    // exclusion filters on the RIGHT id (every sentinel-derived row
+    // carries wid −1, including the sentinel-pair match; real
+    // unmatched right rows have a null LEFT id, so an event_id
+    // filter would eat them)
+    "q173_interval_ss_right" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{lit => flit}
+      val base = java.nio.file.Files.createTempDirectory("graft_q173_")
+      val inL = base.resolve("inL"); inL.toFile.mkdirs()
+      val inR = base.resolve("inR"); inR.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val split = "ts < timestamp '2024-01-14 11:00:00'"
+      def stage(into: java.nio.file.Path, n: String,
+          cond: String): Unit =
+        stageBatch(ev, org.apache.spark.sql.functions.expr(cond),
+          base, into, n)
+      def sentinel(into: java.nio.file.Path, n: String, id: Long,
+          et: String, ts: String): Unit =
+        stageBatch(
+          ev.limit(1)
+            .withColumn("event_id", flit(id))
+            .withColumn("ts", flit(ts).cast(ev.schema("ts").dataType))
+            .withColumn("user_id", flit(0L))
+            .withColumn("event_type", flit(et)),
+          flit(true), base, into, n)
+      stage(inL, "l1", split)
+      stage(inR, "r1", split)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+      Pipeline.execute(s, s"""
+sources:
+  - name: evl
+    module: storage
+    parameters: {path: "$inL", format: parquet, stream: true}
+  - name: evr
+    module: storage
+    parameters: {path: "$inR", format: parquet, stream: true}
+transforms:
+  - name: clicks
+    module: sql
+    inputs: [evl]
+    parameters:
+      sql: "SELECT event_id, user_id, ts FROM evl WHERE event_type = 'click' AND user_id % 3 = 0"
+  - name: wins
+    module: sql
+    inputs: [evr]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evr WHERE event_type = 'purchase' AND user_id % 3 = 0"
+  - name: jn
+    module: join
+    inputs: [clicks, wins]
+    parameters:
+      method: interval
+      how: right
+      by: [user_id]
+      leftOn: ts
+      rightStart: s
+      rightEnd: e
+      maxIntervalSpan: 2h
+      leftWatermark: 3d
+      rightWatermark: 3d
+  - name: sel
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: window_id, field: right_wid, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stage(inL, "l2", s"NOT ($split)")
+      stage(inR, "r2", s"NOT ($split)")
+      graft.streaming.StreamRunner.drainAll()
+      sentinel(inL, "l3", -1L, "click", "2024-06-01 00:00:00")
+      sentinel(inR, "r3", -1L, "purchase", "2024-06-01 00:00:00")
+      graft.streaming.StreamRunner.drainUntilWatermark(
+        java.time.Instant.parse("2024-05-28T00:00:00Z"))
+      graft.streaming.StreamRunner.stopAll()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out).filter("window_id >= 0")
+    }),
+
+    // q166/q173 composed: stream-stream interval `how: full` — BOTH
+    // sides' unmatched rows defer to the watermark and null-pad on
+    // eviction. Sentinel exclusion keeps null ids on either side
+    // (those are the real unmatched rows) and drops only rows
+    // carrying a sentinel id
+    "q174_interval_ss_full" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{lit => flit}
+      val base = java.nio.file.Files.createTempDirectory("graft_q174_")
+      val inL = base.resolve("inL"); inL.toFile.mkdirs()
+      val inR = base.resolve("inR"); inR.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val split = "ts < timestamp '2024-01-14 11:00:00'"
+      def stage(into: java.nio.file.Path, n: String,
+          cond: String): Unit =
+        stageBatch(ev, org.apache.spark.sql.functions.expr(cond),
+          base, into, n)
+      def sentinel(into: java.nio.file.Path, n: String, id: Long,
+          et: String, ts: String): Unit =
+        stageBatch(
+          ev.limit(1)
+            .withColumn("event_id", flit(id))
+            .withColumn("ts", flit(ts).cast(ev.schema("ts").dataType))
+            .withColumn("user_id", flit(0L))
+            .withColumn("event_type", flit(et)),
+          flit(true), base, into, n)
+      stage(inL, "l1", split)
+      stage(inR, "r1", split)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+      Pipeline.execute(s, s"""
+sources:
+  - name: evl
+    module: storage
+    parameters: {path: "$inL", format: parquet, stream: true}
+  - name: evr
+    module: storage
+    parameters: {path: "$inR", format: parquet, stream: true}
+transforms:
+  - name: clicks
+    module: sql
+    inputs: [evl]
+    parameters:
+      sql: "SELECT event_id, user_id, ts FROM evl WHERE event_type = 'click' AND user_id % 3 = 0"
+  - name: wins
+    module: sql
+    inputs: [evr]
+    parameters:
+      sql: "SELECT event_id AS wid, user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM evr WHERE event_type = 'purchase' AND user_id % 3 = 0"
+  - name: jn
+    module: join
+    inputs: [clicks, wins]
+    parameters:
+      method: interval
+      how: full
+      by: [user_id]
+      leftOn: ts
+      rightStart: s
+      rightEnd: e
+      maxIntervalSpan: 2h
+      leftWatermark: 3d
+      rightWatermark: 3d
+  - name: sel
+    module: select
+    inputs: [jn]
+    parameters:
+      select:
+        - {name: event_id}
+        - {name: window_id, field: right_wid, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stage(inL, "l2", s"NOT ($split)")
+      stage(inR, "r2", s"NOT ($split)")
+      graft.streaming.StreamRunner.drainAll()
+      sentinel(inL, "l3", -1L, "click", "2024-06-01 00:00:00")
+      sentinel(inR, "r3", -1L, "purchase", "2024-06-01 00:00:00")
+      graft.streaming.StreamRunner.drainUntilWatermark(
+        java.time.Instant.parse("2024-05-28T00:00:00Z"))
+      graft.streaming.StreamRunner.stopAll()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out).filter(
+        "(event_id IS NULL OR event_id >= 0) AND " +
+          "(window_id IS NULL OR window_id >= 0)")
+    }),
+
     // §2.5 interval join, STREAM-STREAM OVERLAP mode: both sides are
     // INTERVALS ([ts, ts+1h) views vs [ts, ts+2h) purchase windows),
     // state bounded by declaring BOTH span caps — the overlap
@@ -9067,6 +9249,31 @@ transforms:
          FROM (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'click' AND user_id % 3 = 0) c
          LEFT JOIN (SELECT event_id AS wid, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+               FROM events
+               WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+         ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // right outer = the batch side-swap: unmatched windows carry a
+    // null click id
+    "q173_interval_ss_right" ->
+      """SELECT c.event_id,
+           CAST(p.wid AS BIGINT) AS window_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click' AND user_id % 3 = 0) c
+         RIGHT JOIN (SELECT event_id AS wid, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+               FROM events
+               WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+         ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // full outer: unmatched rows of BOTH sides null-pad
+    "q174_interval_ss_full" ->
+      """SELECT c.event_id,
+           CAST(p.wid AS BIGINT) AS window_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click' AND user_id % 3 = 0) c
+         FULL JOIN (SELECT event_id AS wid, user_id, ts AS s,
                  ts + INTERVAL 2 HOUR AS e
                FROM events
                WHERE event_type = 'purchase' AND user_id % 3 = 0) p

@@ -122,8 +122,18 @@ object JoinTransform {
         "left (fuzzy blocking needs cross-batch candidate state) — " +
         "window the stream into batch stages first")
     val how = p.str("how").getOrElse("inner")
-    require(Set("inner", "left")(how),
-      s"join ${cfg.name}: how=$how (valid: inner, left)")
+    // right/full outer exist only where the engine can express them
+    // without inverting the plan: the stream-stream interval join,
+    // where Spark's symmetric hash join defers EITHER side's
+    // unmatched rows to the watermark. Batch paths stay inner/left —
+    // a batch right join is the side-swap (swap inputs + rightPrefix)
+    val ssInterval = method == "interval" && l.isStreaming && r.isStreaming
+    require(Set("inner", "left")(how) ||
+        (ssInterval && Set("right", "full")(how)),
+      s"join ${cfg.name}: how=$how (valid: inner, left" +
+        (if (ssInterval) ", right, full)"
+         else "; right/full outer are stream-stream interval only — " +
+           "for a batch right join swap the inputs and set rightPrefix)"))
     val out = method match {
       case "interval" if l.isStreaming && r.isStreaming =>
         streamStreamInterval(cfg, p, l, r, how)
@@ -228,23 +238,21 @@ object JoinTransform {
     * span would silently lose its tail matches, so the job fails
     * loudly instead, like the batch fan-out guard); overlap mode
     * additionally `maxLeftSpan` (same contract for the left side).
-    * `how: inner` or `how: left` — left-outer rides Spark's native
-    * watermark-deferred null emission: an unmatched left row is
-    * null-padded once both watermarks pass the point it could still
-    * match (state eviction), which means a bounded drain must end
-    * with a watermark-advancing batch or unmatched rows stay parked
-    * in the state store. Event-time columns must be timestamps
-    * (TimestampNTZ is re-stamped as UTC wall-clock, the repo
-    * convention). */
+    * `how: inner | left | right | full` — the outer forms ride
+    * Spark's native watermark-deferred null emission: an unmatched
+    * row (left, right, or both, per the join form) is null-padded
+    * once both watermarks pass the point it could still match
+    * (state eviction), which means a bounded drain must end with a
+    * watermark-advancing batch — use
+    * [[graft.streaming.StreamRunner.drainUntilWatermark]] — or
+    * unmatched rows stay parked in the state store. Event-time
+    * columns must be timestamps (TimestampNTZ is re-stamped as UTC
+    * wall-clock, the repo convention). */
   private def streamStreamInterval(cfg: ModuleCfg,
       p: com.fasterxml.jackson.databind.JsonNode,
       l: DataFrame, r: DataFrame, how: String): DataFrame = {
     val name = s"join ${cfg.name} (interval, stream-stream)"
     val overlap = p.str("leftStart").isDefined
-    require(how == "inner" || how == "left",
-      s"$name: stream-stream supports how: inner or left (got " +
-        s"'$how') — right/full outer would need reversing which " +
-        "side's unmatched rows defer to the watermark")
     val by = p.strArr("by")
     // sharper than the batch warning: a key-less symmetric hash join
     // degenerates to ONE hot partition retaining BOTH sides' full
@@ -306,7 +314,18 @@ object JoinTransform {
             s"($span s) — raise maxIntervalSpan; interval start: "),
           rs.cast(StringType)))).otherwise(re))
     val joinKeys = by.map(k => col(k) === col(prefix + k))
-    val joinType = if (how == "left") "left_outer" else "inner"
+    // left/right/full all ride Spark's watermark-deferred null
+    // emission: an unmatched row is null-padded once both watermarks
+    // pass the point it could still match. Invalid intervals (null
+    // bounds or start > end) are dropped pre-join on their own side,
+    // so they never emit, not even null-padded — they cannot be
+    // keyed into interval state.
+    val joinType = how match {
+      case "left" => "left_outer"
+      case "right" => "right_outer"
+      case "full" => "full_outer"
+      case _ => "inner"
+    }
     if (!overlap) {
       val leftOn = p.str("leftOn").getOrElse(
         throw new IllegalArgumentException(

@@ -301,9 +301,9 @@ class JoinSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("streaming"), e3.getMessage)
   }
 
-  test("stream-stream interval join: builds watermarked (inner and " +
-      "left-outer), requires span + watermarks + timestamps, rejects " +
-      "overlap and full") {
+  test("stream-stream interval join: builds watermarked (inner/left/" +
+      "right/full), requires span + watermarks + timestamps; " +
+      "right/full stay batch-rejected with the swap recipe") {
     val sl = spark.readStream.format("rate").load()
       .select($"value".as("event_id"), ($"value" % 5).as("u"),
         $"timestamp".as("ts"))
@@ -367,12 +367,33 @@ class JoinSpec extends AnyFunSuite {
     val lpL = okL.queryExecution.analyzed.toString
     assert(lpL.contains("LeftOuter"), lpL)
     assert("EventTimeWatermark".r.findAllIn(lpL).length == 2, lpL)
-    val e3 = intercept[IllegalArgumentException](join(
+    // right/full outer build natively too (Spark's symmetric hash
+    // join defers either side's unmatched rows to the watermark)
+    val okR = join(
       """{"method":"interval","by":["u"],"leftOn":"ts",
          "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
          "leftWatermark":"10m","rightWatermark":"10m",
-         "how":"full"}""", sl, sr))
-    assert(e3.getMessage.contains("valid: inner, left"), e3.getMessage)
+         "how":"right"}""", sl, sr)
+    val lpR = okR.queryExecution.analyzed.toString
+    assert(lpR.contains("RightOuter"), lpR)
+    assert("EventTimeWatermark".r.findAllIn(lpR).length == 2, lpR)
+    val okF = join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
+         "leftWatermark":"10m","rightWatermark":"10m",
+         "how":"full"}""", sl, sr)
+    assert(okF.queryExecution.analyzed.toString.contains("FullOuter"))
+    // ...but stay BATCH-rejected, with the side-swap recipe named
+    val bl = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "u", "ts")
+    val br = Seq((1L, 1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("wid", "u", "s", "e")
+    val e3 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","how":"right"}""", bl, br))
+    assert(e3.getMessage.contains("swap the inputs"), e3.getMessage)
     val e4 = intercept[IllegalArgumentException](join(
       """{"method":"interval","by":["u"],"leftOn":"event_id",
          "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
