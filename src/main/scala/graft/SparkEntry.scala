@@ -5770,9 +5770,6 @@ sources:
       // not core count (32 partitions on this fixture spends 3× the
       // join's own cost on empty-store bookkeeping). Size it to the
       // fixture and restore after the drain.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
       Pipeline.execute(s, s"""
 sources:
   - name: evl
@@ -5804,6 +5801,7 @@ transforms:
       maxIntervalSpan: 2h
       leftWatermark: 60d
       rightWatermark: 60d
+      stateShufflePartitions: 4
   - name: sel
     module: select
     inputs: [jn]
@@ -5822,7 +5820,6 @@ sinks:
       stage(inR, "r2", "event_id % 2 = 0")
       graft.streaming.StreamRunner.drainAll()
       graft.streaming.StreamRunner.stopAll()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out)
     }),
 
@@ -5866,9 +5863,6 @@ sinks:
           flit(true), base, into, n)
       stage(inL, "l1", split)
       stage(inR, "r1", split)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
       Pipeline.execute(s, s"""
 sources:
   - name: evl
@@ -5901,6 +5895,7 @@ transforms:
       maxIntervalSpan: 2h
       leftWatermark: 3d
       rightWatermark: 3d
+      stateShufflePartitions: 4
   - name: sel
     module: select
     inputs: [jn]
@@ -5930,7 +5925,6 @@ sinks:
       graft.streaming.StreamRunner.drainUntilWatermark(
         java.time.Instant.parse("2024-05-28T00:00:00Z"))
       graft.streaming.StreamRunner.stopAll()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // sentinel exclusion happens BATCH-side, after the drain: an
       // in-pipeline filter on a left column would be pushed through
       // the left-outer join into the left stream's SCAN (left-column
@@ -5970,9 +5964,6 @@ sinks:
           flit(true), base, into, n)
       stage(inL, "l1", split)
       stage(inR, "r1", split)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
       Pipeline.execute(s, s"""
 sources:
   - name: evl
@@ -6005,6 +5996,7 @@ transforms:
       maxIntervalSpan: 2h
       leftWatermark: 3d
       rightWatermark: 3d
+      stateShufflePartitions: 4
   - name: sel
     module: select
     inputs: [jn]
@@ -6027,7 +6019,6 @@ sinks:
       graft.streaming.StreamRunner.drainUntilWatermark(
         java.time.Instant.parse("2024-05-28T00:00:00Z"))
       graft.streaming.StreamRunner.stopAll()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).filter("window_id >= 0")
     }),
 
@@ -6059,9 +6050,6 @@ sinks:
           flit(true), base, into, n)
       stage(inL, "l1", split)
       stage(inR, "r1", split)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
       Pipeline.execute(s, s"""
 sources:
   - name: evl
@@ -6094,6 +6082,7 @@ transforms:
       maxIntervalSpan: 2h
       leftWatermark: 3d
       rightWatermark: 3d
+      stateShufflePartitions: 4
   - name: sel
     module: select
     inputs: [jn]
@@ -6116,7 +6105,6 @@ sinks:
       graft.streaming.StreamRunner.drainUntilWatermark(
         java.time.Instant.parse("2024-05-28T00:00:00Z"))
       graft.streaming.StreamRunner.stopAll()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).filter(
         "(event_id IS NULL OR event_id >= 0) AND " +
           "(window_id IS NULL OR window_id >= 0)")
@@ -6142,9 +6130,6 @@ sinks:
           base, into, n)
       stage(inL, "l1", "event_id % 2 = 0")
       stage(inR, "r1", "event_id % 2 = 1")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
       Pipeline.execute(s, s"""
 sources:
   - name: evl
@@ -6178,6 +6163,7 @@ transforms:
       maxIntervalSpan: 2h
       leftWatermark: 60d
       rightWatermark: 60d
+      stateShufflePartitions: 4
   - name: sel
     module: select
     inputs: [jn]
@@ -6196,7 +6182,6 @@ sinks:
       stage(inR, "r2", "event_id % 2 = 0")
       graft.streaming.StreamRunner.drainAll()
       graft.streaming.StreamRunner.stopAll()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out)
     }),
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Pipeline.ModuleCfg
 import graft.config.Json._
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -393,10 +393,26 @@ object StreamRunner {
   private val lastPaneBatch =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Session-conf overrides scoped to a pane sink's lifetime: each
-    * entry restores one key to its pre-start value; stopAll runs and
+  /** Session-conf overrides scoped to the running pipeline: each
+    * entry restores one key to its pre-set value; stopAll runs and
     * clears them. */
   private val confRestores = scala.collection.mutable.ListBuffer[() => Unit]()
+
+  /** Set a session conf for the lifetime of the queries this
+    * pipeline starts; the prior value (or unset state) is restored
+    * by stopAll. Used by module builders that need a conf captured
+    * at query start (e.g. the stream-stream join's
+    * stateShufflePartitions) without leaking it session-wide. */
+  def scopeConf(sess: SparkSession, key: String, value: String): Unit = {
+    val prior = sess.conf.getOption(key)
+    confRestores.synchronized {
+      confRestores += (() => prior match {
+        case Some(v) => sess.conf.set(key, v)
+        case None => sess.conf.unset(key)
+      })
+    }
+    sess.conf.set(key, value)
+  }
 
   /** Dev-only phase timing for the exact-pane engine
     * (GRAFT_PANE_TIMING=1): one stderr line per phase per batch. */
@@ -631,18 +647,8 @@ object StreamRunner {
     // so keep discovery on the driver. Scoped, not leaked: the prior
     // session value is captured here and restored by stopAll, so a
     // user-tuned threshold survives the exact-pane sink's lifetime.
-    locally {
-      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-      val sess = df.sparkSession
-      val prior = sess.conf.getOption(key)
-      confRestores.synchronized {
-        confRestores += (() => prior match {
-          case Some(v) => sess.conf.set(key, v)
-          case None => sess.conf.unset(key)
-        })
-      }
-      sess.conf.set(key, "8192")
-    }
+    scopeConf(df.sparkSession,
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
 
     def emitWithIndex(pane0: DataFrame, keyCols: Seq[String],
         batchId: Long): Unit = {
@@ -1121,7 +1127,7 @@ object StreamRunner {
     * watermark means the sentinel never reached the watermark node
     * (e.g. eaten by a pushed-down filter), not a slow sink. */
   def drainUntilWatermark(ts: java.time.Instant,
-      timeoutMs: Long = 60000L): Unit = {
+      timeoutMs: Long = 180000L): Unit = {
     drainAll()
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     def wmOf(q: StreamingQuery): Option[java.time.Instant] =
@@ -1132,7 +1138,12 @@ object StreamRunner {
       var ok = false
       while (!ok) {
         q.exception.foreach(e => throw e)
-        ok = wmOf(q).exists(w => !w.isBefore(ts))
+        // watermark at/past ts AND no trigger in flight: the
+        // qualifying batch's output is committed before its progress
+        // posts, and the idle check additionally rules out reading
+        // the sink while a further batch is mid-commit
+        ok = wmOf(q).exists(w => !w.isBefore(ts)) &&
+          !q.status.isTriggerActive
         if (!ok) {
           if (System.nanoTime() > deadline)
             throw new IllegalStateException(

@@ -400,6 +400,25 @@ class JoinSpec extends AnyFunSuite {
          "leftWatermark":"10m","rightWatermark":"10m"}""", sl, sr))
     assert(e4.getMessage.contains("must be a timestamp"),
       e4.getMessage)
+    // stateShufflePartitions: per-JOB state-store partition count,
+    // scoped via StreamRunner (restored by stopAll), validated > 0
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
+         "leftWatermark":"10m","rightWatermark":"10m",
+         "stateShufflePartitions":7}""", sl, sr)
+    assert(spark.conf.get(key) == "7")
+    graft.streaming.StreamRunner.stopAll()
+    assert(spark.conf.get(key) == before)
+    val e5 = intercept[IllegalArgumentException](join(
+      """{"method":"interval","by":["u"],"leftOn":"ts",
+         "rightStart":"s","rightEnd":"e","maxIntervalSpan":"2h",
+         "leftWatermark":"10m","rightWatermark":"10m",
+         "stateShufflePartitions":0}""", sl, sr))
+    assert(e5.getMessage.contains("stateShufflePartitions"),
+      e5.getMessage)
   }
 
   test("reserved columns, bad method, and missing params fail " +
