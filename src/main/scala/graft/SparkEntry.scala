@@ -92,11 +92,19 @@ object SparkEntry {
              * ln(((cc + 0.5) / (nc + ${buckets * 0.5}))
                  / ((cb + 0.5) / (nb + ${buckets * 0.5})))), 6)
          FROM j, tt) AS psi_r"""
-    // categorical psi: baseline top-catK categories (count desc,
-    // value asc) indexed 0..k-1, everything else (and anything new
-    // in the current frame) in the other-bucket k; smoothing uses
-    // the ACTUAL bucket count k+1
-    def oneCat(c: String, catK: Int): String = s"""
+    (cols.map(one) ++ catCols.map(driftCatOracleSql(_, split, catK)))
+      .mkString(" UNION ALL ")
+  }
+
+  // categorical psi: baseline top-catK categories (count desc,
+  // value asc) indexed 0..k-1, everything else (and anything new
+  // in the current frame) in the other-bucket k; smoothing uses
+  // the ACTUAL bucket count k+1. Shared by the exact and approx
+  // drift oracles — the approx flag changes numeric bucketing only.
+  private def driftCatOracleSql(c: String, split: String,
+      catK: Int): String = {
+    val t = s"TIMESTAMP '$split'"
+    s"""
       SELECT '$c' AS "column",
         (SELECT count(*) FROM events WHERE ts < $t) AS n_base,
         (SELECT count(*) FROM events WHERE ts >= $t) AS n_cur,
@@ -137,7 +145,68 @@ object SparkEntry {
              * ln(((cc + 0.5) / (nc + 0.5 * bb))
                  / ((cb + 0.5) / (nb + 0.5 * bb)))), 6)
          FROM j, tt) AS psi_r"""
-    (cols.map(one) ++ catCols.map(oneCat(_, catK)))
+  }
+
+  /** q175 oracle: the drift replay with APPROX (quantile-bucket)
+    * numeric PSI. Edges replay DataSketches' inclusive quantile in
+    * the exact regime: the value at the FIRST rank whose double
+    * cast is >= (i/B)·n, with i/B and the product computed in
+    * DOUBLE (an integer ceil diverges when the real product is
+    * integral but the double product carries representation error —
+    * 0.2 · 46845 lands at 9369.0000000000005 and DataSketches picks
+    * rank 9370). bucket(v) = count of edges strictly below v; the
+    * PSI fold and the categorical path are the exact twin's. */
+  private def driftApproxOracleSql(cols: Seq[String],
+      catCols: Seq[String], split: String, buckets: Int,
+      catK: Int): String = {
+    val t = s"TIMESTAMP '$split'"
+    def one(c: String): String = s"""
+      SELECT '$c' AS "column",
+        (SELECT count(*) FROM events WHERE ts < $t) AS n_base,
+        (SELECT count(*) FROM events WHERE ts >= $t) AS n_cur,
+        (SELECT count(*) FILTER ($c IS NULL) FROM events
+           WHERE ts < $t) AS nulls_base,
+        (SELECT count(*) FILTER ($c IS NULL) FROM events
+           WHERE ts >= $t) AS nulls_cur,
+        round((SELECT count(*) FILTER ($c IS NULL) * 1.0 / count(*)
+                 FROM events WHERE ts >= $t)
+            - (SELECT count(*) FILTER ($c IS NULL) * 1.0 / count(*)
+                 FROM events WHERE ts < $t), 6) AS nfd_r,
+        round((SELECT avg(CAST($c AS DOUBLE)) FROM events
+                 WHERE ts >= $t)
+            - (SELECT avg(CAST($c AS DOUBLE)) FROM events
+                 WHERE ts < $t), 6) AS mean_delta_r,
+        (WITH bv AS (SELECT CAST($c AS DOUBLE) v FROM events
+                     WHERE ts < $t AND $c IS NOT NULL
+                       AND NOT isnan(CAST($c AS DOUBLE))),
+          st AS (SELECT v, row_number() OVER (ORDER BY v) rn,
+                   count(*) OVER () n FROM bv),
+          ed AS (SELECT i.i, min(s.v) AS e
+                 FROM (SELECT unnest(range(1, $buckets)) AS i) i
+                 JOIN st s
+                   ON CAST(s.rn AS DOUBLE) >=
+                      (CAST(i.i AS DOUBLE) / $buckets) * s.n
+                 GROUP BY i.i),
+          cv AS (SELECT CAST($c AS DOUBLE) v FROM events
+                 WHERE ts >= $t AND $c IS NOT NULL
+                   AND NOT isnan(CAST($c AS DOUBLE))),
+          hb AS (SELECT (SELECT count(*) FROM ed WHERE bv.v > ed.e)
+                   AS i, count(*) AS c
+                 FROM bv GROUP BY 1),
+          hc AS (SELECT (SELECT count(*) FROM ed WHERE cv.v > ed.e)
+                   AS i, count(*) AS c
+                 FROM cv GROUP BY 1),
+          j AS (SELECT b.i, coalesce(hb.c, 0) cb, coalesce(hc.c, 0) cc
+                FROM (SELECT unnest(range($buckets)) i) b
+                LEFT JOIN hb ON hb.i = b.i LEFT JOIN hc ON hc.i = b.i),
+          tt AS (SELECT sum(cb) nb, sum(cc) nc FROM j)
+         SELECT round(sum(
+             ((cc + 0.5) / (nc + ${buckets * 0.5})
+               - (cb + 0.5) / (nb + ${buckets * 0.5}))
+             * ln(((cc + 0.5) / (nc + ${buckets * 0.5}))
+                 / ((cb + 0.5) / (nb + ${buckets * 0.5})))), 6)
+         FROM j, tt) AS psi_r"""
+    (cols.map(one) ++ catCols.map(driftCatOracleSql(_, split, catK)))
       .mkString(" UNION ALL ")
   }
 
@@ -6223,6 +6292,46 @@ transforms:
       sql: "SELECT `column`, n_base, n_cur, nulls_base, nulls_cur, round(null_frac_delta, 6) AS nfd_r, round(mean_delta, 6) AS mean_delta_r, round(psi, 6) AS psi_r FROM dr"
 """),
 
+    // q170's drift profile with approx: true — numeric PSI over
+    // BASELINE QUANTILE buckets read off a KLL sketch (one pass,
+    // fixed mergeable state; robust to heavy tails where equi-width
+    // grids collapse). kllK 65535 > baseline rows at either sf keeps
+    // the sketch exact, so the oracle replays the inclusive-quantile
+    // edges as order statistics (double-arithmetic rank compare —
+    // see driftApproxOracleSql) and the gate hash-checks
+    "q175_profile_drift_approx" -> pipe("out", """
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "${dir}/events.parquet"}
+transforms:
+  - name: b
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT * FROM ev WHERE ts < TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+  - name: c
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT * FROM ev WHERE ts >= TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+  - name: dr
+    module: profile
+    inputs: [c, b]
+    parameters:
+      baselineInput: b
+      fields: [value, user_id, event_type]
+      psiBuckets: 10
+      psiCategories: 20
+      approx: true
+      kllK: 65535
+  - name: out
+    module: sql
+    inputs: [dr]
+    parameters:
+      sql: "SELECT `column`, n_base, n_cur, nulls_base, nulls_cur, round(null_frac_delta, 6) AS nfd_r, round(mean_delta, 6) AS mean_delta_r, round(psi, 6) AS psi_r FROM dr"
+"""),
+
     // §2.7 streaming per-key limit with outputStartAt (reference
     // Limit.java:102-135): the first N rows per key AT-OR-AFTER the
     // offset, across micro-batches — stateful emitted-count per key,
@@ -9211,6 +9320,10 @@ transforms:
 
     "q170_profile_drift" ->
       driftOracleSql(Seq("value", "user_id"), Seq("event_type"),
+        "2024-01-15 00:00:00", 10, 20),
+
+    "q175_profile_drift_approx" ->
+      driftApproxOracleSql(Seq("value", "user_id"), Seq("event_type"),
         "2024-01-15 00:00:00", 10, 20),
 
     // first-20-per-key at-or-after the offset: ts-ordered staging

@@ -113,6 +113,25 @@ object KllFunctions {
     f(sketch)
   }
 
+  /** Driver-side quantile read of a binary KLL sketch at several
+    * fractions (inclusive search, like [[kllQuantile]]): None for
+    * null/empty sketches. Used by the drift profiler to derive
+    * baseline-anchored quantile bucket edges from one sketch pass.
+    * Exactness note: with an exact sketch (n ≤ k) the inclusive
+    * quantile at fraction f is the value at the FIRST rank ≥ f·n,
+    * where f·n is computed in double arithmetic — an oracle replay
+    * must compare in double too (an integer ceil(f·n) diverges when
+    * the real product is integral but the double product carries
+    * representation error, e.g. 0.2 · 46845). */
+  def quantilesAt(bytes: Array[Byte],
+      fractions: Seq[Double]): Option[Seq[Double]] =
+    if (bytes == null) None
+    else {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+      if (sk.isEmpty) None
+      else Some(fractions.map(sk.getQuantile))
+    }
+
   /** Inverse of [[kllQuantile]]: the rank of `value` in a binary KLL
     * sketch column — the fraction of sketched values ≤ `value`
     * (inclusive search; exact count(x ≤ v)/n while the sketch is

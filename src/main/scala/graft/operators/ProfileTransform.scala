@@ -208,6 +208,21 @@ object ProfileTransform {
     val buckets = p.int("psiBuckets").getOrElse(10)
     require(buckets >= 2 && buckets <= 1000,
       s"profile ${cfg.name}: psiBuckets must be in [2, 1000]")
+    // approx: true swaps the numeric bucketing from equi-width
+    // [min, max] buckets to BASELINE QUANTILE buckets read off a KLL
+    // sketch (one extra aggregate in the same baseline pass,
+    // fixed-size mergeable state). This is the 100 TB shape twice
+    // over: the sketch is shard-mergeable (a persisted per-shard
+    // sketch family can stand in for rescanning the baseline), and
+    // quantile buckets are robust to heavy tails (one outlier
+    // stretches an equi-width grid until all mass lands in one
+    // bucket; quantile edges keep every bucket populated). Exact
+    // while the baseline column has ≤ kllK values (the sketch
+    // retains everything), published ~1.65/√k rank error past it.
+    val approxPsi = p.bool("approx").getOrElse(false)
+    val kllK = p.int("kllK").getOrElse(200)
+    require(kllK >= 8 && kllK <= 65535,
+      s"profile ${cfg.name}: kllK must be in [8, 65535]")
     def numeric(df: DataFrame, c: String): Boolean =
       df.schema(c).dataType.isInstanceOf[NumericType]
     val numCols = cols.filter(c => numeric(cur, c) && numeric(base, c))
@@ -232,18 +247,24 @@ object ProfileTransform {
     }.toMap
 
     // pass 1 (each side): counts, null counts, mean, baseline edges
-    def moments(df: DataFrame): Row = {
+    // (plus, under approx, one KLL sketch per numeric column — same
+    // single pass, fixed-size state)
+    def moments(df: DataFrame, withSketches: Boolean): Row = {
       val aggs = Seq(count(lit(1)).as("__n")) ++ cols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
         numCols.flatMap { c =>
           val v = col(c).cast(DoubleType)
           Seq(avg(v).as(s"__mean_$c"),
             min(v).as(s"__min_$c"), max(v).as(s"__max_$c"))
-        }
+        } ++ (if (!withSketches) Nil else numCols.map { c =>
+          val v = col(c).cast(DoubleType)
+          graft.functions.KllFunctions
+            .kllSketch(kllK, when(!isnan(v), v)).as(s"__kll_$c")
+        })
       df.agg(aggs.head, aggs.tail: _*).head()
     }
-    val bRow = moments(base)
-    val cRow = moments(cur)
+    val bRow = moments(base, approxPsi)
+    val cRow = moments(cur, withSketches = false)
     def optD(r: Row, name: String): Option[Double] = {
       val i = r.fieldIndex(name)
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
@@ -255,7 +276,21 @@ object ProfileTransform {
       for (mn <- optD(bRow, s"__min_$c"); mx <- optD(bRow, s"__max_$c"))
         yield c -> (mn, mx)
     }.toMap
-    val histCols = numCols.filter(edges.contains)
+    // approx: baseline quantile edges at i/B, i = 1..B-1 — bucket(v)
+    // = |{edges e : v > e}|, a total assignment with no clamping
+    // (duplicate edges under skew just leave buckets empty, which
+    // the Laplace smoothing keeps finite)
+    val qEdges: Map[String, Seq[Double]] =
+      if (!approxPsi) Map.empty
+      else numCols.flatMap { c =>
+        graft.functions.KllFunctions
+          .quantilesAt(bRow.getAs[Array[Byte]](s"__kll_$c"),
+            (1 until buckets).map(_.toDouble / buckets))
+          .map(c -> _)
+      }.toMap
+    val histCols =
+      if (approxPsi) numCols.filter(qEdges.contains)
+      else numCols.filter(edges.contains)
 
     // bucket count per column: numeric → psiBuckets; categorical →
     // top-K categories + the other-bucket
@@ -265,15 +300,21 @@ object ProfileTransform {
     // pass 2 (each side): fixed conditional sums per column
     def hist(df: DataFrame): Option[Row] = {
       val numAggs = histCols.flatMap { c =>
-        val (mn, mx) = edges(c)
         val v = col(c).cast(DoubleType)
         val b =
-          if (mx > mn)
-            least(greatest(
-              floor((v - lit(mn)) / lit(mx - mn) * lit(buckets)),
-              lit(0L)), lit(buckets - 1L))
-          else when(v === lit(mn), lit(0L))
-            .otherwise(lit(buckets - 1L))
+          if (approxPsi)
+            qEdges(c).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+              (acc, e) => acc + when(v > lit(e), 1L).otherwise(0L)
+            }
+          else {
+            val (mn, mx) = edges(c)
+            if (mx > mn)
+              least(greatest(
+                floor((v - lit(mn)) / lit(mx - mn) * lit(buckets)),
+                lit(0L)), lit(buckets - 1L))
+            else when(v === lit(mn), lit(0L))
+              .otherwise(lit(buckets - 1L))
+          }
         (0 until buckets).map(i => sum(
           when(v.isNotNull && !isnan(v) && b === lit(i.toLong), 1L)
             .otherwise(0L)).as(s"__h${i}_$c"))
