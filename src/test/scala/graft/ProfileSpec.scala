@@ -166,6 +166,10 @@ class ProfileSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](drift(
       """{"baselineInput": "nope"}""", cur, base))
     assert(e.getMessage.contains("baselineInput"))
+    val eK = intercept[IllegalArgumentException](drift(
+      """{"baselineInput": "base", "approx": true, "kllK": 4}""",
+      cur, base))
+    assert(eK.getMessage.contains("kllK"))
     val e2 = intercept[IllegalArgumentException](
       Pipeline.transforms("profile")(spark,
         Pipeline.ModuleCfg("pf", "profile", Seq("cur", "base"), Nil,
@@ -173,5 +177,44 @@ class ProfileSpec extends AnyFunSuite {
           graft.config.Json.obj()),
         Map("cur" -> cur, "base" -> base)))
     assert(e2.getMessage.contains("FIRST input"))
+  }
+
+  test("drift approx: quantile buckets keep resolution under a " +
+      "heavy tail where the equi-width grid collapses; both match " +
+      "hand computations and provably diverge") {
+    // baseline [1,2,3,4,1000]: the outlier stretches an equi-width
+    // [1,1000] grid until buckets 1-2 are empty; quantile edges at
+    // 1/4,2/4,3/4 (exact sketch, n=5 ≤ k) are the order statistics
+    // at first-rank ≥ f·n: [2, 3, 4]
+    val base = Seq(1.0, 2.0, 3.0, 4.0, 1000.0).toDF("x")
+    val cur = Seq(3.5, 3.5, 900.0).toDF("x")
+    def psiOf(cb: Seq[Int], cc: Seq[Int]): Double = {
+      val b = cb.length
+      val nb = cb.sum; val nc = cc.sum
+      cb.zip(cc).map { case (p0, q0) =>
+        val p = (p0 + 0.5) / (nb + 0.5 * b)
+        val q = (q0 + 0.5) / (nc + 0.5 * b)
+        (q - p) * math.log(q / p)
+      }.sum
+    }
+    val approx = drift(
+      """{"baselineInput": "base", "psiBuckets": 4, "approx": true,
+         "kllK": 64}""", cur, base).collect().head
+    // bucket(v) = #edges strictly below v:
+    // base → [2,1,1,1]; cur 3.5→2, 900→3 → [0,0,2,1]
+    val expA = psiOf(Seq(2, 1, 1, 1), Seq(0, 0, 2, 1))
+    assert(math.abs(approx.getDouble(9) - expA) < 1e-12,
+      s"approx psi ${approx.get(9)} vs $expA")
+    val exact = drift(
+      """{"baselineInput": "base", "psiBuckets": 4}""", cur, base)
+      .collect().head
+    // equi-width [1,1000]: 1..4 all land in bucket 0, 1000 in 3 →
+    // [4,0,0,1]; cur 3.5→0, 900→3 → [2,0,0,1]
+    val expE = psiOf(Seq(4, 0, 0, 1), Seq(2, 0, 0, 1))
+    assert(math.abs(exact.getDouble(9) - expE) < 1e-12,
+      s"equi-width psi ${exact.get(9)} vs $expE")
+    // the twins provably diverge on this fixture — the approx flag
+    // switches bucketing, not just an estimator
+    assert(math.abs(expA - expE) > 0.01)
   }
 }

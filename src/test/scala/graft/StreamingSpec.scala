@@ -1974,4 +1974,58 @@ class StreamingSpec extends AnyFunSuite {
       s"pre-restart slice not compacted after restart: $slices")
     StreamRunner.stopAll()
   }
+
+  test("drainUntilWatermark: returns only after a batch executed " +
+      "with the watermark at/past ts, and times out loudly when the " +
+      "watermark cannot get there") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dwm")
+      .toString
+    val config = s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: agg
+      |    module: aggregation
+      |    inputs: [ev]
+      |    strategy:
+      |      timestampField: ts
+      |      window: {type: fixed, unit: hour, size: 1, allowedLateness: 1}
+      |    parameters:
+      |      groupFields: []
+      |      aggregations:
+      |        - input: ev
+      |          fields:
+      |            - {name: n, op: count}
+      |sinks:
+      |  - name: out
+      |    module: storage
+      |    input: agg
+      |    parameters: {output: $dir/out, format: parquet,
+      |      checkpointLocation: $dir/ckpt}
+      |""".stripMargin
+    stageParquet(dir, "b1", Seq((1L, 3600L, 1.0), (2L, 5400L, 2.0)))
+    Pipeline.execute(spark, config)
+    StreamRunner.drainAll()
+    // watermark-advancing sentinel at 40 h; wait causally for 35 h
+    stageParquet(dir, "b2", Seq((3L, 40L * 3600, 0.0)))
+    val target = java.time.Instant.ofEpochSecond(35L * 3600)
+    StreamRunner.drainUntilWatermark(target)
+    val q = StreamRunner.activeQueries.head
+    val wm = java.time.Instant.parse(
+      q.lastProgress.eventTime.get("watermark"))
+    assert(!wm.isBefore(target), s"watermark $wm before $target")
+    // the 1h window at [3600, 7200) is watermark-closed — its append
+    // row is committed by the time the drain returns
+    val res = spark.read.parquet(s"$dir/out")
+    assert(res.count() >= 1, "closed window not flushed at return")
+    // an unreachable target fails loudly, naming the remedy
+    val e = intercept[IllegalStateException](
+      StreamRunner.drainUntilWatermark(
+        java.time.Instant.parse("2100-01-01T00:00:00Z"),
+        timeoutMs = 1500))
+    assert(e.getMessage.contains("watermark-advancing"), e.getMessage)
+    StreamRunner.stopAll()
+  }
 }
