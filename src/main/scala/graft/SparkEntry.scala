@@ -2046,6 +2046,73 @@ sinks:
         col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
     }),
 
+    // q82's exact panes over SLIDING windows (12h size, 6h period —
+    // each element feeds two windows): drives the engine's sliding
+    // store path, where the retention horizon is the LATEST
+    // containing window's end and the per-firing re-aggregation is
+    // pruned to the fired ends' contributing horizon partitions
+    // (arithmetic candidate derivation, size = k·period). Oracle =
+    // the q82 pane derivation over the event×window explosion.
+    "q176_sliding_panes" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val base = java.nio.file.Files.createTempDirectory("graft_q176_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def stage(n: Int, cond: org.apache.spark.sql.Column): Unit =
+        stageBatch(ev, cond, base, in, s"b$n")
+      val ts = col("ts").cast("timestamp")
+      val t1 = org.apache.spark.sql.functions
+        .lit("2024-01-11 03:00:00").cast("timestamp")
+      val t2 = org.apache.spark.sql.functions
+        .lit("2024-01-21 00:00:00").cast("timestamp")
+      stage(1, ts < t1)
+      Pipeline.execute(s, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: accumulating
+      exactPanes: true
+      timestampField: ts
+      window: {type: sliding, unit: hour, size: 12, period: 6}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger:
+          {type: afterProcessingTime, pastFirstElementDelay: 200,
+           pastFirstElementDelayUnit: millisecond}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: slpanes
+    module: storage
+    input: agg
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      import graft.streaming.StreamRunner
+      StreamRunner.drainAll()
+      stage(2, ts >= t1 && ts < t2)
+      StreamRunner.drainAll()
+      stage(3, ts >= t2)
+      StreamRunner.drainAll()
+      StreamRunner.stopAll()
+      s.read.parquet(out).select(
+        col("window.start").cast("timestamp").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        round(col("total"), 4).as("total_r"),
+        col("__pane").as("pane"), col("__pane_index").as("pane_idx"))
+    }),
+
     // q161's exact panes over an ANCHORED N-UNIT calendar window
     // (CalendarWindows.days(3).withStartingDay — size 3, startDate
     // 2024-01-02, Tokyo): drives calNBounds end-to-end through the
@@ -7077,14 +7144,21 @@ transforms:
     * swaps in its local-midnight bucket bounds and reuses the whole
     * derivation. */
   private def accPanesOracle(wsExpr: String, weExpr: String): String =
-      s"""WITH ev AS (
+    accPanesOracleEv(s"""
            SELECT $wsExpr AS ws,
                   $weExpr AS we,
                   CASE WHEN ts < TIMESTAMP '2024-01-11 03:00:00' THEN 1
                        WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
                        ELSE 3 END AS b,
                   event_type, value
-           FROM events),
+           FROM events""")
+
+  /** The pane derivation over an arbitrary (event, window) relation —
+    * the sliding twin (q176) explodes each event into its size/period
+    * containing windows and reuses the whole early/onTime/ordinal
+    * sequencing, which is generic over (ws, we) pairs. */
+  private def accPanesOracleEv(evSql: String): String =
+      s"""WITH ev AS ($evSql),
          emax AS (SELECT b, max(we) AS e FROM ev GROUP BY b),
          cum AS (
            SELECT ev.ws, ev.we, ev.event_type, bb.b AS b,
@@ -8096,6 +8170,20 @@ transforms:
         "* 259200 AS BIGINT)",
       "CAST(1704121200 + (floor((epoch(ts) - 1704121200) / 259200) + 1) " +
         "* 259200 AS BIGINT)"),
+
+    // sliding 12h/6h: each event explodes into its TWO containing
+    // windows (ends on the 6h grid in (ts, ts+12h]); the pane
+    // sequencing is the shared derivation, generic over (ws, we)
+    "q176_sliding_panes" -> accPanesOracleEv("""
+           SELECT (CAST(floor(epoch(ts) / 21600) AS BIGINT) + 1 + k.k)
+                    * 21600 - 43200 AS ws,
+                  (CAST(floor(epoch(ts) / 21600) AS BIGINT) + 1 + k.k)
+                    * 21600 AS we,
+                  CASE WHEN ts < TIMESTAMP '2024-01-11 03:00:00' THEN 1
+                       WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+                       ELSE 3 END AS b,
+                  event_type, value
+           FROM events, (SELECT unnest(range(2)) AS k) k"""),
 
     // Saturday-start weeks (epoch anchor 1970-01-01 + offset 2 days)
     // in Berlin local-date arithmetic, events shifted +89d across

@@ -416,7 +416,9 @@ object AggregationTransform {
         elementEndOf = strategyNode.flatMap(
           graft.streaming.Strategy.elementRetainEnd),
         elementEndExact = strategyNode.exists(
-          graft.streaming.Strategy.elementEndIsWindowEnd))
+          graft.streaming.Strategy.elementEndIsWindowEnd),
+        elementGrid = strategyNode.flatMap(
+          graft.streaming.Strategy.slidingEndGrid))
     }
     result
   }

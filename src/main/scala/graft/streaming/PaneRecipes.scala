@@ -49,7 +49,12 @@ private[graft] object PaneRecipes {
       /** horizon == the element's single exact window end
         * (fixed/calendar) — lets the accumulating engine prune its
         * store read to the windows firing in a batch */
-      elementEndExact: Boolean = false)
+      elementEndExact: Boolean = false,
+      /** sliding (size = k·period): (period, k) — the element's end
+        * set is {horizon − j·period, 0 ≤ j < k}, so the engine can
+        * derive fired-window candidates and the contributing horizon
+        * partitions arithmetically ([[Strategy.slidingEndGrid]]) */
+      elementGrid: Option[(Long, Int)] = None)
 
   private val recipes = new java.util.IdentityHashMap[LogicalPlan, Recipe]
 
@@ -59,12 +64,13 @@ private[graft] object PaneRecipes {
         org.apache.spark.sql.Column] = None,
       elementEndOf: Option[DataFrame =>
         org.apache.spark.sql.Column] = None,
-      elementEndExact: Boolean = false): Unit =
+      elementEndExact: Boolean = false,
+      elementGrid: Option[(Long, Int)] = None): Unit =
     recipes.synchronized {
       if (recipes.size > 64) recipes.clear()
       recipes.put(out.queryExecution.logical,
         Recipe(preAgg, reAgg, keys, windowEndOf, elementEndOf,
-          elementEndExact))
+          elementEndExact, elementGrid))
     }
 
   def lookup(df: DataFrame): Option[Recipe] =

@@ -412,6 +412,27 @@ object Strategy {
     }
   }
 
+  /** Sliding-window end grid, when the retention horizon is NOT the
+    * element's only window end but the end SET is arithmetically
+    * derivable from it: for `sliding` with size = k·period, an
+    * element with horizon h feeds exactly the ends
+    * {h − j·period : 0 ≤ j < k} (contiguous on the period grid, all
+    * containing the element). Returns (periodSeconds, k) — the pane
+    * engine uses it to prune its store re-aggregation to the fired
+    * ends' contributing horizon partitions. None when size is not a
+    * period multiple (the end-set size then varies per element and
+    * an arithmetic candidate could name a window no element feeds —
+    * the engine keeps the full-read path). */
+  def slidingEndGrid(strategy: JsonNode): Option[(Long, Int)] = {
+    val w = strategy("window").getOrElse(strategy)
+    if (!w.str("type").contains("sliding")) None
+    else for {
+      size <- seconds(w, "size").filter(_ > 0)
+      period <- seconds(w, "period").filter(_ > 0)
+      if size % period == 0
+    } yield (period, (size / period).toInt)
+  }
+
   /** UTC instant of the END of `ts`'s local calendar bucket:
     * date_trunc in the zone, plus one bucket, mapped back to UTC.
     * Interval addition happens in LOCAL wall time (that is the

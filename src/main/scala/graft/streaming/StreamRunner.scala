@@ -889,17 +889,51 @@ object StreamRunner {
                     if (firedEnds.isEmpty) raw.where(lit(false))
                     else raw.where(col("__wend").isin(firedEnds: _*))
                   (reAgg(pruned.drop("__gbatch", "__wend")), closing)
-                } else {
-                  val a = reAgg(storedAll())
-                  val aEnd = windowEndCol(a).get.cast("long")
-                  val live =
-                    if (fPrev == java.lang.Long.MIN_VALUE) a
-                    else a.filter(aEnd * 1000L + latenessMs >= fPrev)
-                  val retEnds = live.select(aEnd).distinct().collect()
-                    .flatMap(r =>
-                      Option(r.get(0)).map(_.asInstanceOf[Long]))
-                  (a, retEnds.filter(e =>
-                    e * 1000L < fNew && !fired.contains(e)).toSeq)
+                } else recipe.elementGrid match {
+                  case Some((period, k)) if recipe.elementEndOf.isDefined =>
+                    // sliding with size = k·period: the horizon
+                    // partitions on disk determine EVERY candidate
+                    // window end arithmetically ({h − j·period,
+                    // 0 ≤ j < k} per horizon h — each contains the
+                    // partition's elements, so no phantom windows),
+                    // and conversely the elements feeding a fired
+                    // end e live exactly in horizons {e + j·period}.
+                    // The re-aggregation therefore reads only the
+                    // fired ends' contributing partitions — per-
+                    // firing cost tracks FIRED volume like the
+                    // fixed/calendar path, not the open horizon. An
+                    // end can be expired while its elements' later
+                    // horizon still lives, so the frontier+lateness
+                    // retention filter applies to candidates too
+                    // (the full-read path applied it post-agg).
+                    val horizons = wendValuesOnDisk(storeDir)
+                    val closing = horizons
+                      .flatMap(h => (0 until k).map(h - _ * period))
+                      .distinct
+                      .filter(e =>
+                        (fPrev == java.lang.Long.MIN_VALUE ||
+                          e * 1000L + latenessMs >= fPrev) &&
+                        e * 1000L < fNew && !fired.contains(e))
+                    val firedEnds = (tEnds ++ closing).distinct.toSeq
+                    val needed = firedEnds
+                      .flatMap(e => (0 until k).map(e + _ * period))
+                      .distinct.filter(horizons.toSet)
+                    val raw = readStore()
+                    val pruned =
+                      if (needed.isEmpty) raw.where(lit(false))
+                      else raw.where(col("__wend").isin(needed: _*))
+                    (reAgg(pruned.drop("__gbatch", "__wend")), closing)
+                  case _ =>
+                    val a = reAgg(storedAll())
+                    val aEnd = windowEndCol(a).get.cast("long")
+                    val live =
+                      if (fPrev == java.lang.Long.MIN_VALUE) a
+                      else a.filter(aEnd * 1000L + latenessMs >= fPrev)
+                    val retEnds = live.select(aEnd).distinct().collect()
+                      .flatMap(r =>
+                        Option(r.get(0)).map(_.asInstanceOf[Long]))
+                    (a, retEnds.filter(e =>
+                      e * 1000L < fNew && !fired.contains(e)).toSeq)
                 }
               val endSec = windowEndCol(aggedAll).get.cast("long")
               val keyCols = (Seq("window", "window_start")

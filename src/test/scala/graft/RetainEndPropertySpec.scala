@@ -96,4 +96,46 @@ class RetainEndPropertySpec extends AnyFunSuite {
       assert(bad == 0, s"size=$size period=$period: $bad mismatches")
     }
   }
+
+  test("sliding end grid: when size = k·period, the containing end " +
+      "set is exactly {horizon − j·period, 0 ≤ j < k} — the identity " +
+      "the pruned sliding re-aggregation rests on") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 6) {
+      val period = 60L * (1 + rnd.nextInt(120))
+      val k = 2 + rnd.nextInt(4)
+      val size = period * k
+      val st = strategy(
+        s"""{"timestampField": "ts", "window": {"type": "sliding",
+             "size": $size, "period": $period}}""")
+      assert(graft.streaming.Strategy.slidingEndGrid(st)
+        .contains((period, k)))
+      val df = tsFrame(120, rnd.nextInt())
+      val horizon = graft.streaming.Strategy.elementRetainEnd(st).get
+      // every containing end from window()'s own assignment must be
+      // one of the k grid points below the horizon, and there must
+      // be exactly k of them per element
+      val ends = df
+        .groupBy(col("sec"),
+          window(col("ts"), s"$size seconds", s"$period seconds"))
+        .count()
+        .groupBy("sec")
+        .agg(collect_set(col("window.end").cast("long")).as("__ends"))
+      val checked = df.withColumn("__h", horizon(df))
+        .join(ends, "sec")
+        .withColumn("__grid", array(
+          (0 until k).map(j => col("__h") - lit(j * period)): _*))
+        .filter(org.apache.spark.sql.functions.size(col("__ends")) =!= k ||
+          org.apache.spark.sql.functions.size(
+            array_except(col("__ends"), col("__grid"))) =!= 0)
+        .count()
+      assert(checked == 0, s"size=$size period=$period: grid mismatch")
+    }
+    // non-divisible size: the grid is undefined (the engine keeps
+    // the full-read path)
+    val odd = strategy(
+      """{"timestampField": "ts", "window": {"type": "sliding",
+          "size": 500, "period": 180}}""")
+    assert(graft.streaming.Strategy.slidingEndGrid(odd).isEmpty)
+  }
 }
