@@ -530,6 +530,87 @@ sinks:
       evBase.unpersist()
     }
 
+    // sliding twin of the exactpanes scenario (12h size, 6h period):
+    // measures the arithmetic end-grid pruning — per-firing store
+    // read tracks the FIRED windows' contributing partitions, not
+    // the open horizon
+    if (only.forall(_.contains("slidingpanes"))) {
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val evBase = ev0.crossJoin(
+          spark.range(mult).withColumnRenamed("id", "__c"))
+        .withColumn("event_id", col("event_id") * mult + col("__c"))
+        .drop("__c").persist()
+      val nEv = evBase.count()
+      val pBase = java.nio.file.Files
+        .createTempDirectory("scale-slpanes").toString
+      val pIn = new java.io.File(pBase + "/in"); pIn.mkdirs()
+      val pOut = pBase + "/out"
+      val pTs = col("ts").cast("timestamp")
+      def cut(d: String) = lit(d).cast("timestamp")
+      def pStage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
+        val tmp = pBase + s"/tmp$n"
+        evBase.filter(cond).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(pIn, s"s$n-$i.parquet").toPath) }
+      }
+      pStage(0, pTs < cut("2024-01-08"))
+      val t0p = System.nanoTime()
+      Pipeline.execute(spark, s"""
+sources:
+  - name: ev
+    module: storage
+    parameters: {path: "$pIn", format: parquet, stream: true}
+transforms:
+  - name: agg
+    module: aggregation
+    inputs: [ev]
+    strategy:
+      mode: accumulating
+      exactPanes: true
+      timestampField: ts
+      window: {type: sliding, unit: hour, size: 12, period: 6}
+      trigger:
+        type: afterWatermark
+        earlyFiringTrigger: {type: afterProcessingTime, pastFirstElementDelay: 1}
+    parameters:
+      groupFields: [event_type]
+      aggregations:
+        - input: ev
+          fields:
+            - {name: n, op: count}
+            - {name: total, op: sum, field: value}
+sinks:
+  - name: panes
+    module: storage
+    input: agg
+    parameters: {output: "$pOut", format: parquet, checkpointLocation: "$pBase/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      println(f"SCALE slidingpanes-b0       " +
+        f"${(System.nanoTime() - t0p) / 1e9}%6.2f s")
+      Seq(("2024-01-08", "2024-01-15"), ("2024-01-15", "2024-01-22"),
+          ("2024-01-22", "2024-02-15")).zipWithIndex.foreach {
+        case ((a, b), i) =>
+          pStage(i + 1, pTs >= cut(a) && pTs < cut(b))
+          val t = System.nanoTime()
+          graft.streaming.StreamRunner.drainAll()
+          println(f"SCALE slidingpanes-b${i + 1}       " +
+            f"${(System.nanoTime() - t) / 1e9}%6.2f s")
+      }
+      graft.streaming.StreamRunner.stopAll()
+      val storeF = new java.io.File(pBase + "/ckpt/acc-elements")
+      val storeRows =
+        try spark.read.parquet(storeF.toString).count()
+        catch { case _: Throwable => 0L }
+      val paneRows = spark.read.parquet(pOut).count()
+      println(s"SCALE slidingpanes store: $storeRows of $nEv ingested " +
+        s"rows retained; $paneRows pane rows emitted")
+      evBase.unpersist()
+    }
+
     if (sys.env.contains("SCALE_SKIP_EMB")) { spark.stop(); return }
 
     // ANN: iid synthetic vectors (replicated real vectors collide in
