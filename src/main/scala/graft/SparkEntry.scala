@@ -1119,6 +1119,36 @@ transforms:
         - {name: rank, type: int32}
 """),
 
+    // q23's search over a PRODUCT-QUANTIZED corpus index: 8 uint8
+    // codes per 64-dim vector (32x smaller than float32), md5-seeded
+    // per-subspace codebooks (fitIterations 0) so the whole index —
+    // codebook selection, argmin-L2 encode, centroid-concat
+    // reconstruction, cosine rank — replays in SQL value-for-value
+    "q177_knn_pq" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters: {method: bruteforce, field: embedding, idField: vec_id, k: 5, pqM: 8, pqCodebookSize: 16, hashAlgo: md5}
+  - name: out
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+"""),
+
     // similarity: LSH-bucketed ANN in hashAlgo:md5 mode — plane
     // derivation, bucket assignment, cosine and top-k all replay in
     // the DuckDB oracle
@@ -8211,6 +8241,58 @@ transforms:
            FROM embeddings c
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
            WHERE c.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+
+    // PQ replay: md5-seeded codebook (the 16 smallest-md5(id)
+    // vectors), per-subspace argmin-L2 codes over a flat
+    // (vec, subspace, centroid) distance join, centroid-concat
+    // reconstruction, cosine rank — all double arithmetic in the
+    // same sequential index order as the engine
+    "q177_knn_pq" ->
+      """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
+               AS r
+           FROM codes c JOIN cb ON cb.ci = c.ci
+           GROUP BY c.vec_id),
+         q AS (SELECT vec_id AS query_id,
+                 CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, r.vec_id AS neighbor_id,
+             list_dot_product(q.qe, r.r) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(r.r, r.r))) AS score
+           FROM q JOIN recon r ON r.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+           FROM scored)
          WHERE rank <= 5""",
 
     // q24 md5-mode LSH replay: table t's plane p component i is

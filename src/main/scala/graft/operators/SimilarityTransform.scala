@@ -58,13 +58,58 @@ object SimilarityTransform {
     // join); bucketing/centroid assignment uses the reconstructed
     // vectors, exactly what a quantized index stores.
     val quantizedIdx = p.bool("quantized").getOrElse(false)
+    // `pqM: m` — PRODUCT-QUANTIZED index: the corpus side is stored
+    // as m uint8 codes per vector (one per d/m-dim subspace, each
+    // the argmin-L2 centroid of a pqCodebookSize-entry per-subspace
+    // codebook) — m bytes instead of 4·d, a 4·d/m× cut (d=64, m=8 →
+    // 32×), the index shape that keeps a billion-vector ANN index
+    // in memory. Vectors RECONSTRUCT on read (centroid concat), so
+    // everything downstream — bucketing, candidate re-attach,
+    // scoring — is the int8 path's plumbing with a different codec;
+    // only the m-byte codes ever cross a shuffle. Codebooks are
+    // md5-seeded under hashAlgo: md5 (the pqCodebookSize corpus
+    // vectors with the smallest md5(id), sliced per subspace — the
+    // same SQL-replayable audit mode as the IVF codebook), else
+    // Lloyd-refined per subspace over the deterministic hash-ordered
+    // sample (pqFitIterations, default 2).
+    val pqM = p.int("pqM")
+    require(pqM.isEmpty || !quantizedIdx,
+      s"similarity ${cfg.name}: pqM and quantized: true are " +
+        "exclusive — pick one index codec")
+    val pqCodec: Option[PqCodec] = pqM.map { m =>
+      require(m >= 1 && m <= 256,
+        s"similarity ${cfg.name}: pqM must be in [1, 256]")
+      val ks = p.int("pqCodebookSize").getOrElse(16)
+      require(ks >= 2 && ks <= 256,
+        s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
+          " (codes are uint8)")
+      val dim = corpus.select(col(embField)).filter(col(embField)
+        .isNotNull).head.getSeq[Float](0).length
+      require(dim % m == 0,
+        s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
+          s"dim ($dim)")
+      val md5Seeded0 = p.str("hashAlgo").contains("md5")
+      val seed =
+        if (md5Seeded0) md5SeededInit(corpus, embField, idField, ks)
+        else null
+      PqCodec.fit(corpus, embField, m, ks, dim,
+        if (md5Seeded0) 0 else p.int("pqFitIterations").getOrElse(2),
+        seed)
+    }
+    val hasIdx = quantizedIdx || pqCodec.isDefined
+    val idxCol = if (quantizedIdx) "__c_qv" else "__c_pq"
+    def encodeCol(e: org.apache.spark.sql.Column) =
+      pqCodec.map(_.encode(e))
+        .getOrElse(graft.ops.SelectCompiler.quantizeCol(e))
+    def decodeCol(e: org.apache.spark.sql.Column) =
+      pqCodec.map(_.reconstruct(e))
+        .getOrElse(graft.ops.SelectCompiler.dequantizeCol(e))
     val cIndex =
-      if (quantizedIdx) corpus.select(col(idField).as("neighbor_id"),
-        graft.ops.SelectCompiler.quantizeCol(col(embField)).as("__c_qv"))
+      if (hasIdx) corpus.select(col(idField).as("neighbor_id"),
+        encodeCol(col(embField)).as(idxCol))
       else null
     val c =
-      if (quantizedIdx) cIndex.withColumn("__c_emb",
-        graft.ops.SelectCompiler.dequantizeCol(col("__c_qv")))
+      if (hasIdx) cIndex.withColumn("__c_emb", decodeCol(col(idxCol)))
         .select("neighbor_id", "__c_emb")
       else corpus.select(col(idField).as("neighbor_id"),
         col(embField).as("__c_emb"))
@@ -74,7 +119,7 @@ object SimilarityTransform {
     // asymmetric on lossy embeddings (the two roles of one vector
     // could land in different buckets/cells)
     val q =
-      if (selfJoin && quantizedIdx)
+      if (selfJoin && hasIdx)
         c.select(col("neighbor_id").as("query_id"),
           col("__c_emb").as("__q_emb"))
       else queries.select(col(idField).as("query_id"),
@@ -83,11 +128,10 @@ object SimilarityTransform {
       * quantized mode the join ships int8 + scale and reconstructs
       * above it, so the wide float arrays never cross the shuffle. */
     def attach(cand: DataFrame): DataFrame =
-      if (quantizedIdx)
+      if (hasIdx)
         cand.join(cIndex, Seq("neighbor_id"))
-          .withColumn("__c_emb",
-            graft.ops.SelectCompiler.dequantizeCol(col("__c_qv")))
-          .drop("__c_qv")
+          .withColumn("__c_emb", decodeCol(col(idxCol)))
+          .drop(idxCol)
       else cand.join(c, Seq("neighbor_id"))
 
     val idType = corpus.schema(idField).dataType
@@ -112,11 +156,10 @@ object SimilarityTransform {
       * through the shuffle when quantized, like [[attach]]. */
     def attachQ(cand: DataFrame): DataFrame =
       if (!selfJoin) cand.join(broadcast(q), Seq("query_id"))
-      else if (quantizedIdx)
+      else if (hasIdx)
         cand.join(cIndex.select(col("neighbor_id").as("query_id"),
-            col("__c_qv").as("__q_qv")), Seq("query_id"))
-          .withColumn("__q_emb",
-            graft.ops.SelectCompiler.dequantizeCol(col("__q_qv")))
+            col(idxCol).as("__q_qv")), Seq("query_id"))
+          .withColumn("__q_emb", decodeCol(col("__q_qv")))
           .drop("__q_qv")
       else cand.join(c.select(col("neighbor_id").as("query_id"),
           col("__c_emb").as("__q_emb")), Seq("query_id"))
@@ -433,4 +476,114 @@ object SimilarityTransform {
       if (v == null) Array.empty[Int]
       else nearest(centroids, v.toArray, nProbe)
     }
+}
+
+/** Product-quantization codec: `codebooks(j)` is subspace j's
+  * centroid table ([ks][d/m] floats). `encode` maps a d-dim vector
+  * to m uint8 codes (per-subspace argmin squared-L2, smallest index
+  * on ties — deterministic, SQL-replayable); `reconstruct` concats
+  * the coded centroids back into an approximate d-dim vector. The
+  * codebooks are broadcast-small by construction (m·ks·(d/m) =
+  * ks·d floats total). */
+private[operators] final case class PqCodec(
+    codebooks: Array[Array[Array[Float]]]) {
+  private def sub: Int = codebooks(0)(0).length
+  def encode(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cbs = codebooks
+    val s = sub
+    udf { (v: Seq[Float]) =>
+      if (v == null || v.length != cbs.length * s) null
+      else {
+        val out = new Array[Byte](cbs.length)
+        var j = 0
+        while (j < cbs.length) {
+          val cb = cbs(j)
+          var best = 0; var bestD = Double.MaxValue; var ci = 0
+          while (ci < cb.length) {
+            val cent = cb(ci)
+            var d = 0.0; var t = 0
+            while (t < s) {
+              val df = v(j * s + t).toDouble - cent(t)
+              d += df * df; t += 1
+            }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          out(j) = best.toByte
+          j += 1
+        }
+        out
+      }
+    }.apply(e)
+  }
+  def reconstruct(e: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val cbs = codebooks
+    val s = sub
+    udf { (codes: Array[Byte]) =>
+      if (codes == null) null
+      else {
+        val out = new Array[Float](cbs.length * s)
+        var j = 0
+        while (j < cbs.length) {
+          System.arraycopy(cbs(j)(codes(j) & 0xff), 0, out, j * s, s)
+          j += 1
+        }
+        out
+      }
+    }.apply(e)
+  }
+}
+
+private[operators] object PqCodec {
+  /** Fit per-subspace codebooks: from `seed` full vectors sliced per
+    * subspace (md5-audit mode — iters 0 keeps the index
+    * SQL-replayable end-to-end), else Lloyd (squared-L2 means) per
+    * subspace over the deterministic hash-ordered sample, the same
+    * sampling contract as the IVF fit. */
+  def fit(corpus: DataFrame, embField: String, m: Int, ks: Int,
+      dim: Int, iters: Int, seed: Array[Array[Float]]): PqCodec = {
+    val sub = dim / m
+    val seedSubs: Array[Array[Array[Float]]] =
+      if (seed == null) null
+      else Array.tabulate(m)(j =>
+        seed.map(v => v.slice(j * sub, (j + 1) * sub)))
+    if (iters == 0 && seedSubs != null) return PqCodec(seedSubs)
+    val sample = corpus.filter(col(embField).isNotNull)
+      .select(col(embField).as("__e"))
+      .orderBy(xxhash64(col("__e")))
+      .limit(math.max(ks * 50, 500))
+      .collect().map(_.getSeq[Float](0).toArray)
+      .filter(_.length == dim)
+    val cbs = Array.tabulate(m) { j =>
+      val pts = sample.map(_.slice(j * sub, (j + 1) * sub))
+      var cents: Array[Array[Float]] =
+        if (seedSubs != null) seedSubs(j) else pts.take(ks)
+      var it = 0
+      while (it < iters && pts.nonEmpty) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Int](cents.length)
+        pts.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var ci = 0
+          while (ci < cents.length) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val df = v(t).toDouble - cents(ci)(t); d += df * df; t += 1
+            }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < sub) { sums(best)(t) += v(t); t += 1 }
+        }
+        cents = cents.indices.map(ci =>
+          if (counts(ci) == 0) cents(ci)
+          else sums(ci).map(x => (x / counts(ci)).toFloat)).toArray
+        it += 1
+      }
+      cents
+    }
+    PqCodec(cbs)
+  }
 }
