@@ -99,4 +99,34 @@ class SimilaritySpec extends AnyFunSuite {
         Map("c" -> corpus, "q" -> corpus))("knn"))
     assert(e2.getMessage.contains("ONE input"))
   }
+
+  test("pq index: lossless when the codebook spans the corpus " +
+      "(pq top-k == float top-k), guards on exclusivity and dim") {
+    val dim = 8
+    // 16 distinct corpus vectors + ks=16 md5-seeded codebook → the
+    // codebook contains every corpus vector, so each subvector
+    // encodes at distance 0 and reconstruction is exact (a tie may
+    // pick another centroid with the IDENTICAL subvector — still
+    // lossless); any rank divergence is a plumbing bug
+    val corpus = (1L to 16L).map(i => (i, intVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val queries = (1001L to 1005L).map(i => (i, intVec(i * 7, dim)))
+      .toDF("vec_id", "embedding")
+    def run(extra: String) = Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("knn", "similarity", Seq("c", "q"), Nil,
+        graft.config.Json.parse(
+          s"""{"method": "bruteforce", "field": "embedding",
+              "idField": "vec_id", "k": 5$extra}"""),
+        graft.config.Json.obj()),
+      Map("c" -> corpus, "q" -> queries))("knn")
+    val float = ranks(run(""))
+    val pq = ranks(run(
+      """, "pqM": 4, "pqCodebookSize": 16, "hashAlgo": "md5""""))
+    assert(pq == float, "lossless pq must reproduce the float top-k")
+    val e1 = intercept[IllegalArgumentException](run(
+      """, "pqM": 4, "quantized": true"""))
+    assert(e1.getMessage.contains("exclusive"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](run(""", "pqM": 3"""))
+    assert(e2.getMessage.contains("divide"), e2.getMessage)
+  }
 }
