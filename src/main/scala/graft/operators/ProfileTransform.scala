@@ -235,16 +235,39 @@ object ProfileTransform {
     require(catK >= 1 && catK <= 10000,
       s"profile ${cfg.name}: psiCategories must be in [1, 10000]")
     val catCols = cols.filterNot(numCols.contains)
-    val catsOf: Map[String, Seq[String]] = catCols.map { c =>
-      // one vocabulary-sized groupBy per categorical column; the
-      // collected top-K is bounded by psiCategories
-      c -> base.filter(col(c).isNotNull)
-        .groupBy(col(c).cast(StringType).as("__v"))
-        .agg(count(lit(1)).as("__c"))
-        .orderBy(col("__c").desc, col("__v").asc)
-        .limit(catK)
-        .collect().map(_.getString(0)).toSeq
-    }.toMap
+    val catsOf: Map[String, Seq[String]] =
+      if (catCols.nonEmpty && approxPsi) {
+        // approx: ONE frequent-items pass for ALL categorical
+        // columns (Spark's approx_top_k — SpaceSaving-style
+        // fixed-size state, exact within maxItemsTracked) instead of
+        // a vocabulary-sized groupBy per column — under an unbounded
+        // vocabulary at 100 TB the sketch is the only fixed-state
+        // way to pick the baseline buckets. Re-sorted (count desc,
+        // value asc) for the exact twin's deterministic bucket
+        // indexing; ties AT the top-K boundary follow the sketch's
+        // selection (identical in the exact regime when the
+        // vocabulary fits in K).
+        val maxTracked = p.int("maxItemsTracked").getOrElse(10000)
+        val aggs = catCols.map(c => call_function("approx_top_k",
+          col(c).cast(StringType), lit(catK), lit(maxTracked))
+          .as(s"__tk_$c"))
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        catCols.map { c =>
+          c -> row.getSeq[Row](row.fieldIndex(s"__tk_$c"))
+            .map(r => (r.getAs[String]("item"), r.getAs[Long]("count")))
+            .sortBy { case (v, n) => (-n, v) }
+            .map(_._1).toSeq
+        }.toMap
+      } else catCols.map { c =>
+        // exact: one vocabulary-sized groupBy per categorical
+        // column; the collected top-K is bounded by psiCategories
+        c -> base.filter(col(c).isNotNull)
+          .groupBy(col(c).cast(StringType).as("__v"))
+          .agg(count(lit(1)).as("__c"))
+          .orderBy(col("__c").desc, col("__v").asc)
+          .limit(catK)
+          .collect().map(_.getString(0)).toSeq
+      }.toMap
 
     // pass 1 (each side): counts, null counts, mean, baseline edges
     // (plus, under approx, one KLL sketch per numeric column — same
