@@ -178,6 +178,24 @@ object Pipeline {
     }
   }
 
+  /** Once-per-JVM session-conf sanity warning: the engine reproduces
+    * the reference's LENIENT cast/expression semantics (bad casts
+    * null out and route to failure sinks), which Spark 4's default
+    * ANSI mode turns into runtime exceptions deep inside modules.
+    * graft.Run/Server/Verify/Bench all set ansi off; a user embedding
+    * Pipeline in their own session gets one loud line instead of a
+    * cryptic CAST_INVALID_INPUT three modules later. */
+  private val warnedAnsi = new java.util.concurrent.atomic.AtomicBoolean
+  private def warnSessionConf(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.ansi.enabled", "false") == "true" &&
+        warnedAnsi.compareAndSet(false, true))
+      System.err.println(
+        "[graft] WARNING: spark.sql.ansi.enabled=true — this engine " +
+          "implements the reference's lenient cast semantics (invalid " +
+          "casts null out / route to failure outputs); under ANSI " +
+          "mode they raise instead. Set spark.sql.ansi.enabled=false " +
+          "for reference-parity behavior.")
+
   private def run(spark: SparkSession, configText: String,
       args: Map[String, String], context: Option[String],
       executeSinks: Boolean): Map[String, DataFrame] = {
@@ -196,6 +214,7 @@ object Pipeline {
       sinksStarted: java.util.concurrent.atomic.AtomicBoolean =
         new java.util.concurrent.atomic.AtomicBoolean(false))
       : (Map[String, DataFrame], Seq[() => Unit]) = {
+    warnSessionConf(spark)
     val deferred = scala.collection.mutable.ArrayBuffer[() => Unit]()
     // sink actions by module name, once-guarded: a module that WAITS
     // on a sink needs that sink's write to have actually happened
