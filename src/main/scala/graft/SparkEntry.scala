@@ -6276,6 +6276,59 @@ sinks:
           "(window_id IS NULL OR window_id >= 0)")
     }),
 
+    // STREAMING minhash-LSH near-dedup: watermark-bounded band-bucket
+    // owner state flags each arrival near-duplicating anything seen
+    // within the horizon, emitting per-band candidate rows — the
+    // crawl-intake shape (no corpus re-scan). Staged as two
+    // time-ordered halves (ts rides doc_id) with the horizon covering
+    // the whole fixture, so the drained candidates equal the batch
+    // md5-minhash LSH replay: per (band, bucket), every member beyond
+    // the minimum points at it
+    "q178_stream_lsh_dedup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q178_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      // synthetic event time monotone in doc_id: arrival order then
+      // matches event time across the staged halves, so first-seen
+      // owners are exactly the bucket minima the batch oracle elects
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + doc_id)"))
+      val mid = docs.agg(fexpr("percentile(doc_id, 0.5)")).head.getDouble(0)
+      stageBatch(docs, fcol("doc_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: minhash, field: text, idField: doc_id, hashAlgo: md5}
+  - name: sel
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id, type: int64}
+        - {name: band_idx, field: __band_idx}
+        - {name: dup_of, field: __dup_of, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fcol("doc_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.5 interval join, STREAM-STREAM OVERLAP mode: both sides are
     // INTERVALS ([ts, ts+1h) views vs [ts, ts+2h) purchase windows),
     // state bounded by declaring BOTH span caps — the overlap
@@ -9546,6 +9599,62 @@ transforms:
                FROM events
                WHERE event_type = 'purchase' AND user_id % 3 = 0) p
          ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e""",
+
+    // streaming LSH near-dedup drained over time-ordered halves with
+    // the horizon covering the fixture ≡ the batch md5-minhash band
+    // replay (q20's CTE chain): per (band, bucket), every member
+    // above the bucket minimum emits one candidate row against it
+    "q178_stream_lsh_dedup" ->
+      """WITH toks0 AS (
+           SELECT doc_id, a[i] AS tok, i AS ord
+           FROM (SELECT doc_id, regexp_split_to_array(lower(text),
+                   '[^\p{L}\p{Nd}'']+') AS a
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(range(1, len(a) + 1)) u(i)
+           WHERE a[i] <> ''),
+         toks AS (
+           SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos,
+             count(*) OVER (PARTITION BY doc_id) AS n
+           FROM toks0),
+         grams AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' '
+                 || lead(tok, 2) OVER w AS gram
+           FROM toks WHERE n >= 3
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           QUALIFY pos <= n - 2
+           UNION ALL
+           SELECT d.doc_id, coalesce(s.joined, '') AS gram
+           FROM documents d
+           LEFT JOIN (SELECT doc_id,
+                        string_agg(tok, ' ' ORDER BY pos) AS joined
+                      FROM toks GROUP BY doc_id
+                      HAVING count(*) < 3) s USING (doc_id)
+           WHERE d.text IS NOT NULL
+             AND d.doc_id NOT IN (SELECT doc_id FROM toks WHERE n >= 3)),
+         gh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
+           FROM grams),
+         sig AS (
+           SELECT doc_id, s,
+             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
+           FROM gh CROSS JOIN range(0, 32) t(s)
+           GROUP BY doc_id, s),
+         bandkeys AS (
+           SELECT doc_id, s // 4 AS band_idx,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
+           FROM sig GROUP BY doc_id, s // 4),
+         cand AS (
+           SELECT doc_id, band_idx,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys)
+         SELECT doc_id, CAST(band_idx AS INT) AS band_idx,
+           CAST(rep AS BIGINT) AS dup_of
+         FROM cand WHERE doc_id > rep""",
 
     // the resolved config is a plain filter + group-by: context
     // selection, arg substitution, and the import are plumbing the

@@ -65,6 +65,20 @@ object DedupTransform {
     // (the scalable streaming semantic; re-occurrences beyond the
     // horizon may legitimately re-emit). Unlike batch exact there is
     // no __dup_of labeling — the stream cannot know future members.
+    // state-store partition count for THIS job (shared semantics
+    // with the stream-stream join's knob): streaming dedup keeps one
+    // state store per shuffle partition, and the right count follows
+    // the job's fingerprint/bucket cardinality, not the session.
+    // Scoped via StreamRunner, restored on stopAll; Spark bakes the
+    // count into the checkpoint at first start.
+    if (raw.isStreaming)
+      p.int("stateShufflePartitions").foreach { n =>
+        require(n > 0,
+          s"dedup ${cfg.name}: stateShufflePartitions must be " +
+            s"positive, got $n")
+        graft.streaming.StreamRunner.scopeConf(raw.sparkSession,
+          "spark.sql.shuffle.partitions", n.toString)
+      }
     if (raw.isStreaming && method == "exact") {
       val strategy = cfg.node("strategy").getOrElse(
         graft.config.Json.obj())
@@ -82,13 +96,22 @@ object DedupTransform {
         .drop("__fp")
       return TransformCommon.finishRouted(out, cfg)
     }
+    // streaming NEAR-dedup: minhash/simhash LSH with watermark-bounded
+    // bucket state — the 100 TB ingest shape (flag near-dups against
+    // everything seen within the horizon without re-scanning the
+    // corpus). Emits per-BAND candidate rows; see streamingLsh.
+    if (raw.isStreaming && (method == "minhash" || method == "simhash"))
+      return TransformCommon.finishRouted(
+        streamingLsh(raw, cfg, method), cfg)
     if (raw.isStreaming && method != "decontaminate")
       throw new IllegalArgumentException(
         s"dedup method '$method' requires a bounded (batch) input: " +
           "corpus-wide deduplication cannot run incrementally on a " +
           "stream. Dedup the corpus in a batch stage, use " +
           "method: exact with strategy.timestampField (first-seen-" +
-          "wins within the watermark horizon), use " +
+          "wins within the watermark horizon), method: minhash/" +
+          "simhash with strategy.timestampField (LSH near-dedup " +
+          "within the watermark horizon, per-band candidate rows), " +
           "method: decontaminate (stream-against-static), or window " +
           "the stream upstream and dedup each window's batch output.")
     // cross-corpus mode: flag primary rows near-duplicating a
@@ -583,6 +606,149 @@ object DedupTransform {
       posexplode(if (md5Mode) lshBandsMd5(col("__sig"), m, bands)
         else lshBands(col("__sig"), m, bands))
         .as(Seq("__band_idx", "__band_hash")))
+
+  /** Streaming LSH near-dedup: minhash/simhash band buckets with
+    * watermark-bounded first-owner state. Reference batch near-dedup
+    * semantics adapted to an unbounded ingest (the reference has no
+    * streaming analogue; this is the 100 TB crawl-intake shape —
+    * flag arrivals near-duplicating anything seen within the
+    * horizon without ever re-scanning the corpus).
+    *
+    * Mechanics: each doc's signature explodes to `bands` narrow band
+    * rows (id + band key — the text never shuffles); rows group by
+    * band bucket into `flatMapGroupsWithState`, whose per-bucket
+    * state is ONE (owner id, owner event-time) pair — the bucket's
+    * first-seen doc, first by event time then id within a
+    * micro-batch (the documented §7.4.2 in-batch ordering
+    * approximation). Every later member arriving while the bucket
+    * is live emits a per-BAND candidate row
+    * (`idField`, `__band_idx`, `__dup_of` = owner id); the doc-level
+    * verdict is the min over a doc's candidate rows at read time
+    * (Spark cannot chain a second stateful aggregate after
+    * flatMapGroupsWithState in append mode), matching batch LSH's
+    * min-over-buckets.
+    *
+    * State lifetime: a bucket times out once the watermark passes
+    * its NEWEST member's event time — the sliding-horizon semantic
+    * (state per live bucket is one id+timestamp; total state is
+    * bounded by distinct band keys within `allowedLateness` × rate,
+    * never by stream lifetime). A re-occurrence after the horizon
+    * legitimately becomes the new owner, exactly like streaming
+    * exact dedup's re-emission rule.
+    *
+    * Ids surface as strings (one fixed state/output schema for any
+    * id type); downstream casts restore the original type. */
+  private def streamingLsh(raw: DataFrame, cfg: ModuleCfg,
+      method: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val p = cfg.params
+    val strategy = cfg.node("strategy").getOrElse(graft.config.Json.obj())
+    graft.streaming.Strategy.warnUnknownKeys(strategy, cfg.name)
+    val ts = strategy.str("timestampField").getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming $method dedup needs strategy.timestampField (and " +
+          "allowedLateness) to bound its bucket state: without an " +
+          "event-time horizon the band-bucket owner state grows " +
+          "with the whole stream"))
+    // silently ignoring declared knobs hides wrong expectations:
+    // closure and keep-filtering are batch reads over the drained
+    // candidate rows, not properties of the streaming emission
+    require(!p.bool("transitive").getOrElse(false),
+      s"dedup ${cfg.name}: transitive closure does not apply to " +
+        "streaming LSH dedup — candidates emit per band as they " +
+        "arrive; run connectedComponents downstream over the " +
+        "drained candidate rows")
+    require(p.str("keep").isEmpty,
+      s"dedup ${cfg.name}: keep does not apply to streaming LSH " +
+        "dedup — the output IS the candidate rows; anti-join the " +
+        "corpus against them downstream")
+    val textField = p.str("field").getOrElse("text")
+    val idField = p.str("idField").getOrElse(raw.columns.head)
+    val md5Mode = p.str("hashAlgo").contains("md5")
+    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+      .filter(col(textField).isNotNull) // null text: never a candidate
+    // band rows (__id, __ts, __band_idx, __band_hash) — the watermark
+    // tag travels with the aliased event-time attribute
+    val bandRows: DataFrame = method match {
+      case "minhash" =>
+        val m = p.int("numPermutations").getOrElse(32)
+        val bands = p.int("bands").getOrElse(8)
+        val k = p.int("shingleSize").getOrElse(3)
+        val sigUdf = if (md5Mode) minhashSigMd5Udf(k, m)
+          else minhashSigUdf(k, m)
+        wm.select(col(idField).cast(StringType).as("__id"),
+            col(ts).as("__ts"), sigUdf(col(textField)).as("__sig"))
+          .select(col("__id"), col("__ts"),
+            posexplode(if (md5Mode) lshBandsMd5(col("__sig"), m, bands)
+              else lshBands(col("__sig"), m, bands))
+              .as(Seq("__band_idx", "__band_hash")))
+      case _ => // simhash (dispatch admits only minhash | simhash)
+        val bands = p.int("bands").getOrElse(4)
+        val shUdf = if (md5Mode) simhashMd5Udf else simhashUdf
+        val bandFn: Column => Column =
+          if (md5Mode) simhashBandsMd5(_, bands) else simhashBands(_, bands)
+        wm.select(col(idField).cast(StringType).as("__id"),
+            col(ts).as("__ts"), shUdf(col(textField)).as("__sh"))
+          .select(col("__id"), col("__ts"),
+            posexplode(bandFn(col("__sh")))
+              .as(Seq("__band_idx", "__band_hash")))
+    }
+    // slim fixed-schema frame for the typed stateful map: the group
+    // key encodes (band_idx, band_hash), \\u0001-separated: no hash
+    // rendering (md5 hex / decimal / idx_val) contains it, and an
+    // unseparated idx=1,hash="23" would collide with idx=12,hash="3"
+    val slim = bandRows.select(
+      concat_ws("\u0001", col("__band_idx").cast(StringType),
+        col("__band_hash").cast(StringType)).as("__key"),
+      col("__id"),
+      // NOT re-cast: applyWatermark already guarantees TimestampType,
+      // and a Cast-wrapped alias drops the watermark metadata the
+      // event-time timeout requires
+      col("__ts"),
+      col("__band_idx").cast(IntegerType).as("__band_idx"))
+    val outSchema = StructType(Seq(
+      StructField(idField, StringType),
+      StructField("__band_idx", IntegerType),
+      StructField("__dup_of", StringType)))
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val stateEnc = Encoders.kryo[(String, Long)]
+    slim.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[(String, Long), Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[(String, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // first-seen = (event time, id) order within the batch;
+            // string id order only breaks exact-timestamp ties
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.getTimestamp(2).getTime, r.getString(1)))
+            var owner = state.getOption
+            var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[Row]
+            sorted.foreach { r =>
+              val id = r.getString(1)
+              val t = r.getTimestamp(2).getTime
+              if (t > maxTs) maxTs = t
+              owner match {
+                case None => owner = Some((id, t))
+                case Some((oid, _)) if oid != id =>
+                  out += Row(id, r.getInt(3), oid)
+                case _ => () // the owner doc re-arriving: not a dup
+              }
+            }
+            state.update(owner.get)
+            // expire once the watermark passes the newest member
+            // (+1ms guard: Spark rejects a timeout at-or-before the
+            // current watermark)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }.toDF()
+  }
 
   /** Flag docs sharing any band bucket with a smaller id.
     * `bandRows` = (__id, __band_idx, __band_hash).

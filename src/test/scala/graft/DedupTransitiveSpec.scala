@@ -83,12 +83,21 @@ class DedupTransitiveSpec extends AnyFunSuite {
   test("streaming input fails actionably for corpus-wide methods") {
     val stream = spark.readStream.format("rate").load()
       .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    // simhash streams since the LSH path landed — but only with an
+    // event-time horizon declared; without one it fails actionably
     val e = intercept[IllegalArgumentException] {
       runDedup(
         """{"method": "simhash", "field": "text", "idField": "doc_id",
             "transitive": true}""", stream)
     }
-    assert(e.getMessage.contains("bounded"))
+    assert(e.getMessage.contains("timestampField"))
+    // winnow remains corpus-wide: rejected with alternatives named
+    val e2 = intercept[IllegalArgumentException] {
+      runDedup(
+        """{"method": "winnow", "field": "text", "idField": "doc_id",
+            "transitive": true}""", stream)
+    }
+    assert(e2.getMessage.contains("bounded"))
   }
 
   test("dedup module surfaces transitive labels through config") {

@@ -85,6 +85,9 @@ class StreamingDedupSpec extends AnyFunSuite {
         |""".stripMargin)
     }
     assert(e.getMessage.contains("timestampField"))
+    // minhash/simhash stream with a timestampField now route to the
+    // LSH near-dedup path; corpus-wide methods (winnow, ngram, …)
+    // still reject streams with the alternatives named
     val e2 = intercept[IllegalArgumentException] {
       Pipeline.build(spark, s"""
         |sources:
@@ -96,9 +99,131 @@ class StreamingDedupSpec extends AnyFunSuite {
         |    module: dedup
         |    inputs: [ev]
         |    strategy: {timestampField: ts}
-        |    parameters: {method: minhash, field: text}
+        |    parameters: {method: winnow, field: text}
         |""".stripMargin)
     }
     assert(e2.getMessage.contains("bounded"))
+    // streaming minhash WITHOUT a timestampField: actionable failure
+    // (unbounded bucket state), not an opaque Spark error
+    val e3 = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: ev
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |transforms:
+        |  - name: dd
+        |    module: dedup
+        |    inputs: [ev]
+        |    parameters: {method: minhash, field: text}
+        |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("timestampField"))
+    // per-job state-store partition knob (join-module semantics):
+    // validated loudly, not silently ignored
+    val e4 = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: ev
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |transforms:
+        |  - name: dd
+        |    module: dedup
+        |    inputs: [ev]
+        |    strategy: {timestampField: ts, allowedLateness: 60}
+        |    parameters: {method: minhash, field: text, stateShufflePartitions: 0}
+        |""".stripMargin)
+    }
+    assert(e4.getMessage.contains("stateShufflePartitions"))
+  }
+
+  test("streaming minhash LSH flags within-horizon near-dups per " +
+      "band against the first-seen owner") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slsh")
+      .toString
+    val textA = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the quiet green forest tonight"
+    val textB = "completely different content about distributed " +
+      "stream processing engines and their state management story"
+    // batch 1: A's owner (id 1) + an unrelated doc
+    stage(dir, "b1", Seq((1L, 100L, textA), (2L, 200L, textB)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [ev]
+      |    strategy: {timestampField: ts, allowedLateness: 3600}
+      |    parameters: {method: minhash, field: text, idField: id}
+      |sinks:
+      |  - name: slsh
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    def pairs(): Seq[(String, String)] =
+      spark.sql("SELECT DISTINCT id, __dup_of FROM slsh")
+        .as[(String, String)].collect().sorted.toSeq
+    // owners emit nothing
+    assert(pairs().isEmpty)
+    // batch 2: id 3 duplicates A within the horizon → per-band
+    // candidate rows against owner 1 (identical text collides in
+    // every band); id 4 is novel → nothing
+    stage(dir, "b2", Seq((3L, 500L, textA),
+      (4L, 600L, "an entirely unrelated recipe for sourdough bread " +
+        "with rye flour slow fermentation and a cast iron bake")))
+    StreamRunner.drainAll()
+    assert(pairs() == Seq(("3", "1")))
+    val bandCount = spark.sql(
+      "SELECT count(*) FROM slsh WHERE id = '3'").as[Long].head()
+    assert(bandCount == 8L) // all 8 default bands collide
+    StreamRunner.stopAll()
+  }
+
+  test("streaming LSH bucket state expires with the watermark; a " +
+      "post-horizon re-occurrence becomes the new owner") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slsh2")
+      .toString
+    val textA = "some repeated boilerplate paragraph that the crawl " +
+      "keeps seeing every few days in slightly different places"
+    stage(dir, "b1", Seq((1L, 100L, textA)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [ev]
+      |    strategy: {timestampField: ts, allowedLateness: 60}
+      |    parameters: {method: simhash, field: text, idField: id}
+      |sinks:
+      |  - name: slsh2
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    // advance the watermark far past id 1's horizon (t=10000 − 60s
+    // ≫ 100s) with an unrelated doc; the owner state for A's buckets
+    // times out at this batch's close
+    stage(dir, "b2", Seq((2L, 10000L, "watermark advancing filler " +
+      "document with enough words to band normally")))
+    StreamRunner.drainAll()
+    // batch 3: A re-occurs past the horizon → id 3 is the NEW owner
+    // (no candidate rows); id 4 duplicates it within the horizon →
+    // candidates point at 3, not at the expired 1
+    stage(dir, "b3", Seq((3L, 10100L, textA), (4L, 10150L, textA)))
+    StreamRunner.drainAll()
+    val pairs = spark.sql("SELECT DISTINCT id, __dup_of FROM slsh2")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(pairs == Seq(("4", "3")))
+    StreamRunner.stopAll()
   }
 }
