@@ -6329,6 +6329,54 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // STREAMING embedding near-dedup: q178's shape with hyperplane
+    // buckets and a cosine verify at arrival (the owner's embedding
+    // rides in the bucket state). Same staging invariant: ts rides
+    // vec_id, horizon covers the fixture, so drained candidates equal
+    // the batch md5-plane replay (q22's oracle chain restricted to
+    // verified pairs)
+    "q179_stream_embedding_dedup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q179_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + vec_id)"))
+      val mid = emb.agg(fexpr("percentile(vec_id, 0.5)")).head.getDouble(0)
+      stageBatch(emb, fcol("vec_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [emb]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.15, planes: 4, hashAlgo: md5}
+  - name: sel
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: vec_id, type: int64}
+        - {name: dup_of, field: __dup_of, type: int64}
+        - {name: cosine, expression: "round(__cosine, 6)"}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(emb, fcol("vec_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.5 interval join, STREAM-STREAM OVERLAP mode: both sides are
     // INTERVALS ([ts, ts+1h) views vs [ts, ts+2h) purchase windows),
     // state bounded by declaring BOTH span caps — the overlap
@@ -9655,6 +9703,50 @@ transforms:
          SELECT doc_id, CAST(band_idx AS INT) AS band_idx,
            CAST(rep AS BIGINT) AS dup_of
          FROM cand WHERE doc_id > rep""",
+
+    // streaming embedding near-dedup drained over time-ordered halves
+    // ≡ the batch md5-plane replay's verified pairs (q22's chain),
+    // candidate cosine included at 6dp
+    "q179_stream_embedding_dedup" ->
+      """WITH pl AS (
+           SELECT p, i,
+             ('0x' || substr(md5('plane:' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 4) t(p) CROSS JOIN range(0, 64) s(i)),
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         dots AS (
+           SELECT e.vec_id, pl.p,
+             sum(e.embedding[pl.i + 1]::DOUBLE * pl.u) AS dot
+           FROM e JOIN pl ON pl.i < len(e.embedding)
+           GROUP BY e.vec_id, pl.p),
+         buck AS (
+           SELECT vec_id,
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM dots GROUP BY vec_id),
+         cand AS (
+           SELECT vec_id, min(vec_id) OVER (PARTITION BY bucket) AS rep
+           FROM buck),
+         pairs AS (
+           SELECT vec_id AS a, rep AS b FROM cand WHERE vec_id > rep),
+         cosv AS (
+           SELECT p.a, p.b,
+             sum(ea.embedding[u.i]::DOUBLE * eb.embedding[u.i]::DOUBLE) /
+             (sqrt(sum(ea.embedding[u.i]::DOUBLE
+                     * ea.embedding[u.i]::DOUBLE)) *
+              sqrt(sum(eb.embedding[u.i]::DOUBLE
+                     * eb.embedding[u.i]::DOUBLE))) AS c
+           FROM pairs p
+           JOIN e ea ON ea.vec_id = p.a
+           JOIN e eb ON eb.vec_id = p.b,
+           LATERAL unnest(range(1,
+             least(len(ea.embedding), len(eb.embedding)) + 1)) u(i)
+           GROUP BY p.a, p.b)
+         SELECT a AS vec_id, CAST(b AS BIGINT) AS dup_of,
+           round(c, 6) AS cosine
+         FROM cosv WHERE c >= 0.15""",
 
     // the resolved config is a plain filter + group-by: context
     // selection, arg substitution, and the import are plumbing the

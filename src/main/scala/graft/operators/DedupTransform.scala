@@ -103,6 +103,11 @@ object DedupTransform {
     if (raw.isStreaming && (method == "minhash" || method == "simhash"))
       return TransformCommon.finishRouted(
         streamingLsh(raw, cfg, method), cfg)
+    // streaming embedding near-dedup: hyperplane bucket owner state
+    // + cosine verify at arrival; see streamingEmbedding
+    if (raw.isStreaming && method == "embedding")
+      return TransformCommon.finishRouted(
+        streamingEmbedding(raw, cfg), cfg)
     if (raw.isStreaming && method != "decontaminate")
       throw new IllegalArgumentException(
         s"dedup method '$method' requires a bounded (batch) input: " +
@@ -110,8 +115,8 @@ object DedupTransform {
           "stream. Dedup the corpus in a batch stage, use " +
           "method: exact with strategy.timestampField (first-seen-" +
           "wins within the watermark horizon), method: minhash/" +
-          "simhash with strategy.timestampField (LSH near-dedup " +
-          "within the watermark horizon, per-band candidate rows), " +
+          "simhash/embedding with strategy.timestampField (LSH " +
+          "near-dedup within the watermark horizon, candidate rows), " +
           "method: decontaminate (stream-against-static), or window " +
           "the stream upstream and dedup each window's batch output.")
     // cross-corpus mode: flag primary rows near-duplicating a
@@ -644,26 +649,7 @@ object DedupTransform {
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val p = cfg.params
-    val strategy = cfg.node("strategy").getOrElse(graft.config.Json.obj())
-    graft.streaming.Strategy.warnUnknownKeys(strategy, cfg.name)
-    val ts = strategy.str("timestampField").getOrElse(
-      throw new IllegalArgumentException(
-        s"streaming $method dedup needs strategy.timestampField (and " +
-          "allowedLateness) to bound its bucket state: without an " +
-          "event-time horizon the band-bucket owner state grows " +
-          "with the whole stream"))
-    // silently ignoring declared knobs hides wrong expectations:
-    // closure and keep-filtering are batch reads over the drained
-    // candidate rows, not properties of the streaming emission
-    require(!p.bool("transitive").getOrElse(false),
-      s"dedup ${cfg.name}: transitive closure does not apply to " +
-        "streaming LSH dedup — candidates emit per band as they " +
-        "arrive; run connectedComponents downstream over the " +
-        "drained candidate rows")
-    require(p.str("keep").isEmpty,
-      s"dedup ${cfg.name}: keep does not apply to streaming LSH " +
-        "dedup — the output IS the candidate rows; anti-join the " +
-        "corpus against them downstream")
+    val (strategy, ts) = streamingDedupContract(cfg, method)
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(raw.columns.head)
     val md5Mode = p.str("hashAlgo").contains("md5")
@@ -748,6 +734,130 @@ object DedupTransform {
             out.result().iterator
           }
       }.toDF()
+  }
+
+  /** Shared contract of the streaming near-dedup paths: an
+    * event-time horizon is mandatory (it is what bounds the bucket
+    * owner state), and batch-only knobs fail loudly instead of being
+    * silently ignored — closure and keep-filtering are batch reads
+    * over the DRAINED candidate rows, not properties of the
+    * streaming emission. Returns (strategy node, timestamp field). */
+  private def streamingDedupContract(cfg: ModuleCfg, method: String)
+      : (com.fasterxml.jackson.databind.JsonNode, String) = {
+    val p = cfg.params
+    val strategy = cfg.node("strategy").getOrElse(graft.config.Json.obj())
+    graft.streaming.Strategy.warnUnknownKeys(strategy, cfg.name)
+    val ts = strategy.str("timestampField").getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming $method dedup needs strategy.timestampField (and " +
+          "allowedLateness) to bound its bucket state: without an " +
+          "event-time horizon the bucket owner state grows with the " +
+          "whole stream"))
+    require(!p.bool("transitive").getOrElse(false),
+      s"dedup ${cfg.name}: transitive closure does not apply to " +
+        s"streaming $method dedup — candidates emit as they arrive; " +
+        "run connectedComponents downstream over the drained " +
+        "candidate rows")
+    require(p.str("keep").isEmpty,
+      s"dedup ${cfg.name}: keep does not apply to streaming $method " +
+        "dedup — the output IS the candidate rows; anti-join the " +
+        "corpus against them downstream")
+    (strategy, ts)
+  }
+
+  /** Streaming embedding near-dedup: the hyperplane-LSH bucket form
+    * of `streamingLsh` with a cosine verify at arrival. One bucket
+    * per vector; the per-bucket state is the first-seen owner's
+    * (id, event time, EMBEDDING) — the embedding must ride in state
+    * because verification happens when the later member arrives.
+    * An arrival cosine-matching its bucket's owner at or above
+    * `threshold` emits one candidate row (`idField`, `__dup_of`,
+    * `__cosine`); a same-bucket arrival BELOW the threshold emits
+    * nothing and does not replace the owner (min-rep semantics —
+    * identical to the batch path, which also verifies every member
+    * against the bucket MINIMUM only). Bucket state expires once the
+    * watermark passes the bucket's newest member, so state is
+    * bounded by live buckets × (id + d floats) within the horizon.
+    *
+    * Drained over time-ordered arrivals with the horizon covering
+    * the run, the candidates equal the batch embedding path's
+    * verified pairs (md5 plane mode replays in SQL — the q179
+    * oracle). Cosine here is the same index-ordered double loop as
+    * the batch verify, so thresholds agree bit-identically. */
+  private def streamingEmbedding(raw: DataFrame,
+      cfg: ModuleCfg): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val p = cfg.params
+    val (strategy, ts) = streamingDedupContract(cfg, "embedding")
+    val embField = p.str("field").getOrElse("embedding")
+    val idField = p.str("idField").getOrElse(raw.columns.head)
+    val md5Mode = p.str("hashAlgo").contains("md5")
+    val dim = p.int("dim").getOrElse(64)
+    val planes = p.int("planes").getOrElse(12)
+    val threshold = p.dbl("threshold").getOrElse(0.95)
+    // null embeddings never bucket (same rule as batch)
+    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+      .filter(col(embField).isNotNull)
+    val bucketCol =
+      if (md5Mode) hyperplaneBucketMd5(col("__emb"), dim, planes)
+      else hyperplaneBucket(col("__emb"), dim, planes, seed = 42L)
+    val slim = wm.select(col(idField).cast(StringType).as("__id"),
+        col(ts).as("__ts"), col(embField).as("__emb"))
+      .withColumn("__key", bucketCol.cast(StringType))
+      .select("__key", "__id", "__ts", "__emb")
+    val outSchema = StructType(Seq(
+      StructField(idField, StringType),
+      StructField("__dup_of", StringType),
+      StructField("__cosine", DoubleType)))
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val stateEnc = Encoders.kryo[(String, Long, Array[Float])]
+    slim.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[(String, Long, Array[Float]), Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[(String, Long, Array[Float])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.getTimestamp(2).getTime, r.getString(1)))
+            var owner = state.getOption
+            var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[Row]
+            sorted.foreach { r =>
+              val id = r.getString(1)
+              val t = r.getTimestamp(2).getTime
+              if (t > maxTs) maxTs = t
+              owner match {
+                case None =>
+                  owner = Some((id, t, r.getSeq[Float](3).toArray))
+                case Some((oid, _, oemb)) if oid != id =>
+                  val c = cosineSim(r.getSeq[Float](3), oemb)
+                  if (c >= threshold) out += Row(id, oid, c)
+                case _ => () // the owner vector re-arriving
+              }
+            }
+            state.update(owner.get)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** Index-ordered double cosine — the SAME loop as the batch
+    * verify's `cosine` expression and the SQL replay's
+    * sum-of-products arithmetic (no epsilon), so a threshold compare
+    * agrees bit-identically across all three. */
+  private def cosineSim(a: Seq[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Flag docs sharing any band bucket with a smaller id.

@@ -185,6 +185,59 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  test("streaming embedding dedup verifies cosine against the " +
+      "bucket owner; sub-threshold same-bucket arrivals pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sedup")
+      .toString
+    def stageEmb(file: String,
+        rows: Seq[(Long, Long, Seq[Float])]): Unit = {
+      val tmp = s"$dir/tmp-$file"
+      rows.toDF("id", "secs", "embedding")
+        .select($"id", timestamp_seconds($"secs").as("ts"), $"embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val inDir = new java.io.File(s"$dir/in"); inDir.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, s"$file.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageEmb("b1", Seq((1L, 100L, Seq(1f, 0f, 0f, 0f))))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [ev]
+      |    strategy: {timestampField: ts, allowedLateness: 3600}
+      |    parameters: {method: embedding, field: embedding, idField: id,
+      |                 dim: 4, planes: 4, threshold: 0.95}
+      |sinks:
+      |  - name: sed
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    // id 2: same bucket (near-identical direction), cosine ≈ 0.994 →
+    // candidate vs owner 1. id 3: same bucket as 1 (tiny positive
+    // first component dominates the same hyperplane signs is not
+    // guaranteed — use a clearly co-directional vector) but cosine
+    // below 0.95 → silent pass
+    stageEmb("b2", Seq(
+      (2L, 500L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, 600L, Seq(0.6f, 0.8f, 0f, 0f))))
+    StreamRunner.drainAll()
+    val rows = spark.sql("SELECT id, __dup_of, __cosine FROM sed")
+      .as[(String, String, Double)].collect().sorted.toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq(("2", "1")))
+    assert(rows.head._3 > 0.95)
+    StreamRunner.stopAll()
+  }
+
   test("streaming LSH bucket state expires with the watermark; a " +
       "post-horizon re-occurrence becomes the new owner") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slsh2")
