@@ -6377,6 +6377,57 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // STREAMING decontaminate: the corpus streams against the static
+    // benchmark via a per-row membership check (map-side, stateless,
+    // no watermark — each micro-batch flags independently), so the
+    // drained union over any staging split equals q48's batch oracle.
+    // This was advertised as the streamable dedup method but its
+    // batch plan (distinct hit ids + join-back) failed at sink start
+    "q180_stream_decontaminate" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q180_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      stageBatch(docs, fexpr("doc_id % 2 = 0"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+  - name: docsb
+    module: storage
+    parameters: {path: "$dir/documents.parquet"}
+transforms:
+  - name: bench
+    module: sql
+    inputs: [docsb]
+    parameters:
+      sql: "SELECT doc_id, text FROM docsb WHERE doc_id % 97 = 0"
+  - name: dd
+    module: dedup
+    inputs: [docs, bench]
+    parameters: {method: decontaminate, field: text, idField: doc_id, ngramSize: 8}
+  - name: sel
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: contaminated, field: __contaminated}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fexpr("doc_id % 2 = 1"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.5 interval join, STREAM-STREAM OVERLAP mode: both sides are
     // INTERVALS ([ts, ts+1h) views vs [ts, ts+2h) purchase windows),
     // state bounded by declaring BOTH span caps — the overlap
@@ -9747,6 +9798,25 @@ transforms:
          SELECT a AS vec_id, CAST(b AS BIGINT) AS dup_of,
            round(c, 6) AS cosine
          FROM cosv WHERE c >= 0.15""",
+
+    // streaming decontaminate is per-row and stateless, so the
+    // drained union over the staged halves ≡ q48's batch oracle
+    "q180_stream_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(
+             lower(regexp_replace(text, '[^a-zA-Z0-9'']+', ' ', 'g')),
+             ' '), x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) < 8
+             THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')) END) AS g
+           FROM toks),
+         bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
+         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
 
     // the resolved config is a plain filter + group-by: context
     // selection, arg substitution, and the import are plumbing the

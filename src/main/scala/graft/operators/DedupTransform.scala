@@ -1291,6 +1291,12 @@ object DedupTransform {
       textField: String, benchField: String, idField: String,
       n: Int, action: String, broadcastLimit: Int,
       bloomFpp: Double): DataFrame = {
+    // the benchmark is the bounded reference by construction; a
+    // streaming bench would fail as an opaque count()-on-stream error
+    require(!bench.isStreaming,
+      "dedup decontaminate: the benchmark input must be bounded " +
+        "(batch) — stage the benchmark to storage first; only the " +
+        "CORPUS side may stream")
     val benchGrams = bench
       .select(explode(shingles(col(benchField), n)).as("__gram"))
       .distinct().transform(graft.ops.CacheTracker.trackPersist)
@@ -1298,6 +1304,61 @@ object DedupTransform {
     // the broadcast decision — same pattern as ngramDedup's candidate
     // count; the count action costs one scan of the small benchmark.
     val nGrams = benchGrams.count()
+    // STREAMING corpus: the batch plan's hit derivation (explode →
+    // semi-join → distinct doc ids → join BACK onto the corpus) is a
+    // streaming aggregate plus a stream-stream self-join — Spark
+    // rejects it at sink start. The streaming form makes the whole
+    // decision PER ROW against a driver-collected benchmark gram set
+    // (map-side, stateless, zero shuffle — each micro-batch flags
+    // independently), which requires the set under the broadcast
+    // limit; the bloom fallback cannot serve here because a false
+    // positive needs the exact verifying join the stream cannot run.
+    if (df.isStreaming) {
+      require(nGrams <= broadcastLimit,
+        s"dedup decontaminate on a stream holds the benchmark gram " +
+          s"set on every executor for the per-row membership check " +
+          s"(what keeps the stream stateless), and $nGrams distinct " +
+          s"grams exceed broadcastThreshold ($broadcastLimit) — " +
+          "raise broadcastThreshold, shrink the benchmark, or " +
+          "decontaminate in a batch stage")
+      val set = benchGrams.collect().map(_.getString(0)).toSet
+      val bc = df.sparkSession.sparkContext.broadcast(set)
+      if (action == "report") {
+        val clash = Seq("__grams_total", "__grams_matched", "__overlap")
+          .filter(df.columns.contains)
+        require(clash.isEmpty,
+          s"dedup decontaminate report: input columns " +
+            s"${clash.mkString(", ")} collide with the report's " +
+            "output columns — rename them upstream")
+        // one pass: distinct grams + matched distinct per row (same
+        // counts as the batch plan's two count_distinct aggregates)
+        val stats = udf { (gs: Seq[String]) =>
+          if (gs == null) (0L, 0L)
+          else {
+            val d = gs.distinct
+            (d.size.toLong, d.count(bc.value.contains).toLong)
+          }
+        }
+        return df
+          .withColumn("__st", stats(shingles(col(textField), n)))
+          .withColumn("__grams_total", col("__st._1"))
+          .withColumn("__grams_matched", col("__st._2"))
+          .withColumn("__overlap",
+            when(col("__grams_total") === 0L, lit(0.0))
+              .otherwise(col("__grams_matched").cast("double") /
+                col("__grams_total").cast("double")))
+          .drop("__st")
+      }
+      // flag/remove: short-circuit at the first shared gram
+      val hit = udf { (gs: Seq[String]) =>
+        gs != null && gs.exists(bc.value.contains)
+      }
+      val flagged =
+        df.withColumn("__contaminated", hit(shingles(col(textField), n)))
+      return if (action == "remove")
+        flagged.filter(!col("__contaminated")).drop("__contaminated")
+      else flagged
+    }
     val corpusGrams = df
       .select(col(idField).as("__id"),
         explode(shingles(col(textField), n)).as("__gram"))

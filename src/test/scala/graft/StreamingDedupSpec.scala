@@ -238,6 +238,63 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamRunner.stopAll()
   }
 
+  test("streaming decontaminate flags per row against the static " +
+      "benchmark set; remove drops matches; streaming bench rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdec")
+      .toString
+    // benchmark = one doc; corpus rows 1 (shares its text → hit) and
+    // 2 (novel). allowedLateness/watermark NOT needed: per-row flag
+    stage(dir, "b1", Seq(
+      (1L, 100L, "alpha beta gamma delta epsilon zeta"),
+      (2L, 200L, "totally unrelated words in this one here")))
+    val benchDir = s"$dir/bench"
+    Seq((9L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").write.parquet(benchDir)
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: docs
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |  - name: bench
+      |    module: storage
+      |    parameters: {path: $benchDir}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [docs, bench]
+      |    parameters: {method: decontaminate, field: text, idField: id, ngramSize: 3}
+      |sinks:
+      |  - name: sdec
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    // second micro-batch proves each batch flags independently
+    stage(dir, "b2", Seq(
+      (3L, 300L, "prefix words then alpha beta gamma suffix")))
+    StreamRunner.drainAll()
+    val got = spark.sql("SELECT id, __contaminated FROM sdec")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+    StreamRunner.stopAll()
+    // a STREAMING benchmark side fails actionably
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: docs
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |transforms:
+        |  - name: dd
+        |    module: dedup
+        |    inputs: [docs, docs]
+        |    parameters: {method: decontaminate, field: text, idField: id, benchmarkInput: docs}
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("bounded"))
+  }
+
   test("streaming LSH bucket state expires with the watermark; a " +
       "post-horizon re-occurrence becomes the new owner") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slsh2")
