@@ -85,6 +85,12 @@ object GraphTransform {
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val method = p.str("method").getOrElse("connectedComponents")
+    TransformCommon.requireBatch(df, "graph", cfg.name,
+      "graph analyses iterate driver-side over the full edge set "
+        + "(label propagation, power iteration, per-vertex windows)",
+      "Stage the stream to storage and analyze in a batch stage, or "
+        + "window the stream upstream and analyze each window's "
+        + "batch output.")
     require(
       Set("connectedComponents", "degrees", "pagerank", "triangles",
         "clusteringCoefficient")(method),

@@ -39,6 +39,16 @@ object PackTransform {
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val budget = p.long("tokenBudget").getOrElse(2048L)
+    // NOT an opaque-crash guard: a stream would RUN here, but
+    // sequence ids are partition-local ("$pid-$seq"), so two
+    // micro-batches silently reuse the same id and a downstream
+    // materialize merges unrelated docs past the token budget
+    TransformCommon.requireBatch(df, "pack", cfg.name,
+      "sequence ids are partition-local and would collide across "
+        + "micro-batches, silently merging unrelated documents",
+      "Stage the stream to storage and pack in a batch stage, or "
+        + "window the stream upstream and pack each window's batch "
+        + "output.")
     require(budget > 0, s"pack: tokenBudget must be positive, got $budget")
     val field = p.str("field").getOrElse("text")
     val counted = p.str("countField") match {

@@ -75,6 +75,17 @@ object SampleTransform {
     // stratum key.
     p.int("k") match {
       case Some(k) =>
+        // fraction mode streams fine (a pure per-row key filter);
+        // reservoir mode is a global/per-stratum top-k no stream can
+        // finish — reject loudly instead of the opaque sink-start
+        // "Sorting is not supported on streaming" error
+        TransformCommon.requireBatch(df, "sample",
+          s"${cfg.name} (reservoir mode)",
+          "exactly-k selection ranks the complete input, which a " +
+            "stream never finishes",
+          "Use fraction mode (rate) on streams — a pure per-row " +
+            "md5-key filter — or window the stream upstream and " +
+            "reservoir-sample each window's batch output.")
         require(k > 0, s"sample: k must be positive, got $k")
         val w = p.str("weightField")
           .map(col(_).cast("double")).getOrElse(lit(1.0))

@@ -28,6 +28,12 @@ object SimilarityTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val p = cfg.params
     val corpus = inputs(cfg.inputs.head)
+    TransformCommon.requireBatch(corpus, "similarity", cfg.name,
+      "ANN index build and top-k search scan the whole corpus "
+        + "(codebook fits, bucket windows, score re-attach joins)",
+      "Build the index over the bounded corpus in a batch stage; "
+        + "dedup method: embedding handles the STREAMING "
+        + "flag-against-recent-arrivals case.")
     // `selfJoin: true` — EVERY corpus vector is a query (the
     // semdedup / neighbor-graph primitive: top-k neighbors for each
     // document). The broadcast-queries contract doesn't apply: the

@@ -43,6 +43,12 @@ object TfIdfTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
+    TransformCommon.requireBatch(df, "tfidf", cfg.name,
+      "document frequencies, corpus size and avgdl are corpus-wide "
+        + "statistics no micro-batch can know",
+      "Stage the stream to storage and score in a batch stage, or "
+        + "window the stream upstream and score each window's batch "
+        + "output.")
     val idField = p.str("idField").getOrElse("doc_id")
     require(df.columns.contains(idField),
       s"tfidf ${cfg.name}: idField $idField not in input " +

@@ -28,6 +28,18 @@ object TransformCommon {
     inputs(cfg.inputs.head)
   }
 
+  /** Loud batch-only guard: a corpus-wide operator fed a streaming
+    * frame would otherwise fail at SINK-START time with an opaque
+    * Spark analysis error (or, worse, run with silently wrong
+    * cross-batch semantics — pack's partition-local sequence ids).
+    * `why` names the corpus-wide computation; `alternative` tells
+    * the user what to do instead. */
+  def requireBatch(df: DataFrame, module: String, name: String,
+      why: String, alternative: String): Unit =
+    require(!df.isStreaming,
+      s"$module $name requires a bounded (batch) input: $why. " +
+        s"$alternative")
+
   /** Stable full-row hash over every hashable column — the shared
     * deterministic tiebreaker for operators whose ordering would
     * otherwise be partition-dependent under duplicate sort keys

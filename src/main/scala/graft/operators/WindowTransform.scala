@@ -28,6 +28,12 @@ object WindowTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     var df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
+    TransformCommon.requireBatch(df, "window", cfg.name,
+      "analytic window functions rank over a key's complete "
+        + "partition, which a stream never finishes",
+      "Use the stateful module for streaming lag, the limit module "
+        + "for streaming per-key first-N, or strategy windows for "
+        + "event-time aggregation.")
     // the deprecated `processing` alias declares per-stage `steps`
     // (ProcessingTransform.java:47-139), executed SEQUENTIALLY, each
     // stage over its OWN groupFields (falling back to the top-level
