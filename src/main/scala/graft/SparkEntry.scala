@@ -6428,6 +6428,54 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // STREAMING ANN queries against the STATIC corpus index — q24's
+    // md5-LSH knn with the five query vectors arriving as a file
+    // stream in two staged batches. Stateless end-to-end: the query
+    // stream carries its embedding through a stream-static bucket
+    // join and the per-query top-k reduces inside each micro-batch
+    // (repartition + per-partition map), so the drained union equals
+    // the batch oracle exactly
+    "q181_stream_knn" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q181_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      stageBatch(emb, fexpr("vec_id < 3"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: q
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: knn
+    module: similarity
+    inputs: [emb, q]
+    parameters: {method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8, hashAlgo: md5}
+  - name: sel
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(emb, fexpr("vec_id >= 3 AND vec_id < 5"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.5 interval join, STREAM-STREAM OVERLAP mode: both sides are
     // INTERVALS ([ts, ts+1h) views vs [ts, ts+2h) purchase windows),
     // state bounded by declaring BOTH span caps — the overlap
@@ -9817,6 +9865,48 @@ transforms:
          hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g))
          SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+
+    // streaming ANN queries are stateless per micro-batch, so the
+    // drained union over staged query halves ≡ q24's batch oracle
+    "q181_stream_knn" ->
+      """WITH pl AS (
+           SELECT t, p, i,
+             ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 8) tt(t)
+           CROSS JOIN range(0, 6) pp(p)
+           CROSS JOIN range(0, 64) s(i)),
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         dots AS (
+           SELECT e.vec_id, pl.t, pl.p,
+             sum(e.embedding[pl.i + 1]::DOUBLE * pl.u) AS dot
+           FROM e JOIN pl ON pl.i < len(e.embedding)
+           GROUP BY e.vec_id, pl.t, pl.p),
+         buck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM dots GROUP BY vec_id, t),
+         pairs AS (
+           SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+           FROM buck cb
+           JOIN (SELECT * FROM buck WHERE vec_id < 5) qb
+             ON cb.bucket = qb.bucket
+           WHERE cb.vec_id <> qb.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                 CAST(eq.embedding AS DOUBLE[]),
+                 CAST(ec.embedding AS DOUBLE[])) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN e eq ON eq.vec_id = p.query_id
+           JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
 
     // the resolved config is a plain filter + group-by: context
     // selection, arg substitution, and the import are plumbing the

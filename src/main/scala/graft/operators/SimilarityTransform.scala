@@ -170,12 +170,45 @@ object SimilarityTransform {
       else cand.join(c.select(col("neighbor_id").as("query_id"),
           col("__c_emb").as("__q_emb")), Seq("query_id"))
 
+    /** Route a bucketed method's (keyed corpus index, query key
+      * ARRAY expression) to scored candidates. Batch: the measured
+      * ids-only shape — explode the query keys, broadcast-join,
+      * dedup pairs, re-attach both embeddings. STREAMING queries
+      * (static corpus, streaming query side — the real-time
+      * retrieval shape): the query frame cannot broadcast and a
+      * streaming dropDuplicates would be stateful, so the stream
+      * carries its embedding through a stream-static equi-join on
+      * the bucket key (per-batch volume is query-rate bounded, the
+      * corpus index never moves) and multi-table duplicate pairs
+      * dedup later inside streamTopK's per-batch map. */
+    def route(cB: DataFrame, qKeyArr: org.apache.spark.sql.Column,
+        key: String): DataFrame = {
+      // explode_OUTER + post-filter in both legs: an inner explode's
+      // inferred size() filter would inline the bucket/centroid UDF
+      // and run it twice per query row (see DedupTransform notes)
+      val qB = q.filter(col("__q_emb").isNotNull)
+        .withColumn(key, explode_outer(qKeyArr))
+        .filter(col(key).isNotNull)
+      if (queries.isStreaming)
+        attach(qB.join(cB, Seq(key))
+          .select("query_id", "neighbor_id", "__q_emb"))
+      else
+        attachQ(attach(candidates(cB,
+          qB.select("query_id", key), key)))
+    }
+
     val scored = p.str("method").getOrElse("bruteforce") match {
       case "bruteforce" =>
         require(!selfJoin,
           s"similarity ${cfg.name}: selfJoin needs a bucketed method " +
             "(lsh or ivf) — a brute-force self-join is the full " +
             "O(n²) cross product")
+        require(!queries.isStreaming,
+          s"similarity ${cfg.name}: bruteforce drives its scoring " +
+            "from the corpus side (one pass per query batch over " +
+            "every corpus vector), which a streaming query frame " +
+            "cannot anchor — use method: lsh or ivf for streaming " +
+            "queries against the static corpus index")
         // single-decode tight loop instead of crossJoin + per-pair
         // UDF: the pairwise form re-converted BOTH ArrayData sides
         // for every (corpus, query) pair — measured 18.4s for
@@ -218,14 +251,11 @@ object SimilarityTransform {
           .withColumn("__bucket", explode_outer(buckets(col("__c_emb"))))
           .filter(col("__bucket").isNotNull)
           .select("neighbor_id", "__bucket")
-        val qB = q.filter(col("__q_emb").isNotNull)
-          .withColumn("__bucket", explode_outer(buckets(col("__q_emb"))))
-          .filter(col("__bucket").isNotNull)
-          .select("query_id", "__bucket")
         // corpus embeddings once per unique pair (AQE picks the
         // join); query embeddings re-attach broadcast (or via the
-        // corpus index in selfJoin mode) — ids-only until then
-        attachQ(attach(candidates(cB, qB, "__bucket")))
+        // corpus index in selfJoin mode) — ids-only until then;
+        // streaming queries take route()'s stream-static leg
+        route(cB, buckets(col("__q_emb")), "__bucket")
       case "ivf" =>
         // IVF: corpus vectors assign to their nearest centroid once;
         // each query probes the nProbe nearest centroid cells. The
@@ -261,15 +291,9 @@ object SimilarityTransform {
         val cB = c.withColumn("__cell",
           assignC(col("__c_emb"))(0))
           .select("neighbor_id", "__cell")
-        // explode_outer + post-filter: see the lsh note — the inner
-        // explode's inferred size() filter would run the centroid-
-        // assignment UDF twice per query row
-        val qB = q.withColumn("__cell",
-          explode_outer(assignQ(col("__q_emb"))))
-          .filter(col("__cell").isNotNull)
-          .select("query_id", "__cell")
-        // same narrow-candidate shape as lsh
-        attachQ(attach(candidates(cB, qB, "__cell")))
+        // same narrow-candidate shape as lsh (streaming queries take
+        // route()'s stream-static leg)
+        route(cB, assignQ(col("__q_emb")), "__cell")
       case other =>
         throw new IllegalArgumentException(s"similarity method: $other")
     }
@@ -279,7 +303,60 @@ object SimilarityTransform {
       .withColumn("score", cosine(col("__q_emb"), col("__c_emb")))
       .select(col("query_id"), col("neighbor_id"), col("score"))
     TransformCommon.finishRouted(
-      globalTopK(withScore, k, idType, integralId), cfg)
+      if (queries.isStreaming)
+        streamTopK(withScore, k, idType, integralId)
+      else globalTopK(withScore, k, idType, integralId), cfg)
+  }
+
+  /** Streaming-safe per-query top-k: `globalTopK`'s aggregate is a
+    * streaming aggregation Spark rejects in append mode, so instead
+    * repartition on the query id (a STATELESS exchange — every
+    * candidate row of a query, including multi-table duplicate
+    * pairs, lands in one partition of its micro-batch) and reduce
+    * per partition: a per-query neighbor→score map dedups the
+    * duplicate pairs (same pair ⇒ same score, so overwrite is
+    * lossless), then sort (score desc, NaN largest, id asc — exactly
+    * TopKAgg's order) and emit ranks 1..k. A query row is ranked
+    * against the candidates its own arrival generated; if the same
+    * query id arrives in two micro-batches, each arrival emits its
+    * own (identical, corpus is static) top-k — document-at-the-sink
+    * behavior, same as every stateless streaming transform.
+    * Per-partition memory is (queries in batch) × (bucket hits),
+    * bounded by arrival rate, never by corpus size. */
+  private def streamTopK(withScore: DataFrame, k: Int,
+      idType: DataType, integralId: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(Seq(
+      StructField("query_id", idType),
+      StructField("neighbor_id", idType),
+      StructField("score", DoubleType),
+      StructField("rank", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idOrd: Ordering[Any] =
+      if (integralId) Ordering.by((a: Any) =>
+        a.asInstanceOf[Number].longValue)
+      else Ordering.by((a: Any) => String.valueOf(a))
+    withScore.repartition(col("query_id")).mapPartitions { it =>
+      val perQuery = scala.collection.mutable.LinkedHashMap
+        .empty[Any, scala.collection.mutable.HashMap[Any, Double]]
+      it.foreach { r =>
+        val nbrs = perQuery.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.HashMap.empty[Any, Double])
+        nbrs(r.get(1)) = r.getDouble(2)
+      }
+      perQuery.iterator.flatMap { case (qid, nbrs) =>
+        val sorted = nbrs.toSeq.sortWith { (a, b) =>
+          // java compare puts NaN above every value — "NaN largest",
+          // TopKAgg's contract — and ties break on ascending id
+          val cmp = java.lang.Double.compare(a._2, b._2)
+          if (cmp != 0) cmp > 0 else idOrd.lt(a._1, b._1)
+        }.take(k)
+        sorted.iterator.zipWithIndex.map { case ((nid, s), i) =>
+          Row(qid, nid, s, i + 1)
+        }
+      }
+    }(enc)
   }
 
   /** Bounded top-k aggregate instead of a per-query Window rank: the

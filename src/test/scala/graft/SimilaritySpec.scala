@@ -129,4 +129,71 @@ class SimilaritySpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](run(""", "pqM": 3"""))
     assert(e2.getMessage.contains("divide"), e2.getMessage)
   }
+
+  test("streaming queries against the static corpus equal the batch " +
+      "run; bruteforce rejects streaming queries actionably") {
+    val dim = 8
+    val corpus = (1L to 60L).map(i => (i, intVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val queries = (1001L to 1006L).map(i => (i, intVec(i * 7, dim)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sknn")
+      .toString
+    val corpusDir = s"$dir/corpus"
+    corpus.write.parquet(corpusDir)
+    def stage(file: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val tmp = s"$dir/tmp-$file"
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val inDir = new java.io.File(s"$dir/in"); inDir.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, s"$file.parquet").toPath)
+    }
+    stage("b1", queries.take(3))
+    def simYaml(method: String) = s"""
+      |sources:
+      |  - name: q
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |  - name: c
+      |    module: storage
+      |    parameters: {path: $corpusDir}
+      |transforms:
+      |  - name: knn
+      |    module: similarity
+      |    inputs: [c, q]
+      |    parameters: {method: $method, field: embedding, idField: vec_id,
+      |                 k: 5, planes: 4, tables: 4}
+      |sinks:
+      |  - name: sknn
+      |    module: memory
+      |    input: knn
+      |    parameters: {outputMode: append}
+      |""".stripMargin
+    Pipeline.execute(spark, simYaml("lsh"))
+    graft.streaming.StreamRunner.drainAll()
+    stage("b2", queries.drop(3)) // second batch: cross-batch queries
+    graft.streaming.StreamRunner.drainAll()
+    graft.streaming.StreamRunner.stopAll()
+    val streamed = spark.sql(
+      "SELECT query_id, neighbor_id, score, rank FROM sknn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // batch reference: same corpus, all six queries at once
+    val batch = Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("knn", "similarity", Seq("c", "q"), Nil,
+        graft.config.Json.parse(
+          """{"method": "lsh", "field": "embedding",
+              "idField": "vec_id", "k": 5, "planes": 4,
+              "tables": 4}"""),
+        graft.config.Json.obj()),
+      Map("c" -> spark.read.parquet(corpusDir),
+        "q" -> queries.toDF("vec_id", "embedding")))("knn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed == batch)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, simYaml("bruteforce"))
+    }
+    assert(e.getMessage.contains("lsh or ivf"), e.getMessage)
+  }
 }
