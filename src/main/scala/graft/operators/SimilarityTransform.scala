@@ -110,15 +110,25 @@ object SimilarityTransform {
     def decodeCol(e: org.apache.spark.sql.Column) =
       pqCodec.map(_.reconstruct(e))
         .getOrElse(graft.ops.SelectCompiler.dequantizeCol(e))
+    // STREAMING queries re-plan the static side EVERY micro-batch:
+    // without a persist the corpus index (and the per-table bucket
+    // UDF pass over it, in route()) re-computes per batch. Pin the
+    // static frames once — MEMORY_AND_DISK, recomputable on
+    // eviction; CacheTracker leaves streaming-run frames alive for
+    // the live micro-batch plans and the session cleans them up
+    def pinStatic(df: DataFrame): DataFrame =
+      if (cfg.inputs.size > 1 && inputs(cfg.inputs(1)).isStreaming)
+        graft.ops.CacheTracker.trackPersist(df)
+      else df
     val cIndex =
-      if (hasIdx) corpus.select(col(idField).as("neighbor_id"),
-        encodeCol(col(embField)).as(idxCol))
+      if (hasIdx) pinStatic(corpus.select(col(idField).as("neighbor_id"),
+        encodeCol(col(embField)).as(idxCol)))
       else null
     val c =
       if (hasIdx) cIndex.withColumn("__c_emb", decodeCol(col(idxCol)))
         .select("neighbor_id", "__c_emb")
-      else corpus.select(col(idField).as("neighbor_id"),
-        col(embField).as("__c_emb"))
+      else pinStatic(corpus.select(col(idField).as("neighbor_id"),
+        col(embField).as("__c_emb")))
     // selfJoin + quantized: the query role of each vector uses the
     // SAME dequantized reconstruction as its corpus role — bucketing
     // the query side on raw floats would make candidate generation
@@ -190,7 +200,11 @@ object SimilarityTransform {
         .withColumn(key, explode_outer(qKeyArr))
         .filter(col(key).isNotNull)
       if (queries.isStreaming)
-        attach(qB.join(cB, Seq(key))
+        // the keyed corpus frame carries the per-table bucket/cell
+        // pass — pinned so micro-batches reuse it instead of
+        // re-running the projection UDF over the corpus every batch
+        attach(qB.join(graft.ops.CacheTracker.trackPersist(cB),
+            Seq(key))
           .select("query_id", "neighbor_id", "__q_emb"))
       else
         attachQ(attach(candidates(cB,
