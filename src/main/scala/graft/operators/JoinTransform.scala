@@ -441,8 +441,16 @@ object JoinTransform {
     val rBins = r
       .filter(rs0.isNotNull && re0.isNotNull && rs0 <= re0)
       .withColumn("__bin", explode(binsOf(rs0, re0, "right")))
-    val rKeyed = r.columns.foldLeft(rBins)(
+    val rKeyed0 = r.columns.foldLeft(rBins)(
       (df, c) => df.withColumnRenamed(c, prefix + c))
+    // a streaming LEFT re-plans this static binned side EVERY
+    // micro-batch (the bin explode re-runs per batch) — pin it once;
+    // CacheTracker leaves streaming-run frames alive for the live
+    // micro-batch plans
+    val rKeyed =
+      if (l.isStreaming && !r.isStreaming)
+        graft.ops.CacheTracker.trackPersist(rKeyed0)
+      else rKeyed0
     val ps = axis(rKeyed.schema, prefix + rightStart, name)
     val pe = axis(rKeyed.schema, prefix + rightEnd, name)
     val joinKeys = by.map(k => col(k) === col(prefix + k))
