@@ -6476,6 +6476,73 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // STREAMING drift monitor: q170's PSI drift with the CURRENT
+    // side arriving as a stream — per calendar-day window, one
+    // windowed streaming aggregate carries the fixed conditional
+    // sums and PSI folds post-agg as a Column program against the
+    // static baseline's literal proportions. Time-ordered staged
+    // halves; a far-future sentinel plus the causal watermark drain
+    // closes every real window (append mode never closes the last
+    // one otherwise); the sentinel's own window is filtered batch-
+    // side. Oracle replays the same formula per day bucket
+    "q182_stream_drift" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr, lit => flit}
+      val base = java.nio.file.Files.createTempDirectory("graft_q182_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      stageBatch(ev,
+        fexpr("ts >= timestamp'2024-01-15' AND ts < timestamp'2024-01-23'"),
+        base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: cur
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+  - name: ev
+    module: storage
+    parameters: {path: "$dir/events.parquet"}
+transforms:
+  - name: b
+    module: sql
+    inputs: [ev]
+    parameters:
+      sql: "SELECT * FROM ev WHERE ts < TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+  - name: dr
+    module: profile
+    inputs: [cur, b]
+    strategy: {timestampField: ts, allowedLateness: 60, window: {type: fixed, size: 86400}}
+    parameters:
+      baselineInput: b
+      fields: [value, event_type]
+      psiBuckets: 10
+      psiCategories: 20
+  - name: sel
+    module: sql
+    inputs: [dr]
+    parameters:
+      sql: "SELECT date_format(window_start, 'yyyy-MM-dd') AS day, `column`, n_base, n_cur, nulls_base, nulls_cur, round(null_frac_delta, 6) AS nfd_r, round(mean_delta, 6) AS mean_delta_r, round(psi, 6) AS psi_r FROM dr WHERE window_start < timestamp'2030-01-01'"
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(ev, fexpr("ts >= timestamp'2024-01-23'"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      // sentinel closes every real window once the watermark passes
+      stageBatch(ev.limit(1)
+          .withColumn("event_id", flit(-1L))
+          .withColumn("ts",
+            flit("2099-06-01 00:00:00").cast(ev.schema("ts").dataType)),
+        flit(true), base, in, "b3")
+      graft.streaming.StreamRunner.drainUntilWatermark(
+        java.time.Instant.parse("2099-05-01T00:00:00Z"))
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // §2.5 interval join, STREAM-STREAM OVERLAP mode: both sides are
     // INTERVALS ([ts, ts+1h) views vs [ts, ts+2h) purchase windows),
     // state bounded by declaring BOTH span caps — the overlap
@@ -9802,6 +9869,97 @@ transforms:
          SELECT doc_id, CAST(band_idx AS INT) AS band_idx,
            CAST(rep AS BIGINT) AS dup_of
          FROM cand WHERE doc_id > rep""",
+
+    // streaming drift monitor drained with the horizon-closing
+    // sentinel ≡ the q170 PSI formula replayed per day bucket
+    // (time_bucket's day origin is midnight-aligned like Spark's
+    // epoch-aligned window)
+    "q182_stream_drift" ->
+      """WITH b AS (
+           SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+         bs AS (
+           SELECT count(*) n,
+             count(*) FILTER (value IS NULL) nul_v,
+             count(*) FILTER (event_type IS NULL) nul_e,
+             avg(value) mean_v, min(value) mn, max(value) mx
+           FROM b),
+         bhv AS (
+           SELECT CAST(LEAST(GREATEST(FLOOR(
+               (value - bs.mn) / (bs.mx - bs.mn) * 10), 0), 9) AS INT) i,
+             count(*) c
+           FROM b, bs WHERE value IS NOT NULL GROUP BY 1),
+         nbv AS (SELECT sum(c) s FROM bhv),
+         topc AS (
+           SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) - 1 AS i
+           FROM (SELECT event_type v, count(*) c FROM b
+                 WHERE event_type IS NOT NULL GROUP BY 1)
+           QUALIFY row_number() OVER (ORDER BY c DESC, v ASC) <= 20),
+         bcat AS (SELECT count(*) k FROM topc),
+         bhe AS (
+           SELECT coalesce(t.i, bcat.k) i, count(*) c
+           FROM b CROSS JOIN bcat
+           LEFT JOIN topc t ON b.event_type = t.v
+           WHERE b.event_type IS NOT NULL GROUP BY 1),
+         nbe AS (SELECT sum(c) s FROM bhe),
+         cur AS (
+           SELECT time_bucket(INTERVAL 1 DAY, ts) w, *
+           FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+         curs AS (
+           SELECT w, count(*) n,
+             count(*) FILTER (value IS NULL) nul_v,
+             count(*) FILTER (event_type IS NULL) nul_e,
+             avg(value) mean_v
+           FROM cur GROUP BY 1),
+         chv AS (
+           SELECT w, CAST(LEAST(GREATEST(FLOOR(
+               (value - bs.mn) / (bs.mx - bs.mn) * 10), 0), 9) AS INT) i,
+             count(*) c
+           FROM cur, bs WHERE value IS NOT NULL GROUP BY 1, 2),
+         che AS (
+           SELECT w, coalesce(t.i, bcat.k) i, count(*) c
+           FROM cur CROSS JOIN bcat
+           LEFT JOIN topc t ON cur.event_type = t.v
+           WHERE cur.event_type IS NOT NULL GROUP BY 1, 2),
+         psiv AS (
+           SELECT wi.w,
+             sum(((coalesce(ch.c, 0) + 0.5) / (wi.s + 5.0)
+                  - (coalesce(bh.c, 0) + 0.5) / (nbv.s + 5.0))
+               * ln(((coalesce(ch.c, 0) + 0.5) / (wi.s + 5.0))
+                  / ((coalesce(bh.c, 0) + 0.5) / (nbv.s + 5.0)))) psi
+           FROM (SELECT w, sum(c) s FROM chv GROUP BY 1) wi
+           CROSS JOIN (SELECT unnest(range(0, 10)) AS i) g
+           CROSS JOIN nbv
+           LEFT JOIN bhv bh ON bh.i = g.i
+           LEFT JOIN chv ch ON ch.w = wi.w AND ch.i = g.i
+           GROUP BY wi.w),
+         psie AS (
+           SELECT wi.w,
+             sum(((coalesce(ch.c, 0) + 0.5) / (wi.s + (bcat.k + 1) * 0.5)
+                  - (coalesce(bh.c, 0) + 0.5) / (nbe.s + (bcat.k + 1) * 0.5))
+               * ln(((coalesce(ch.c, 0) + 0.5) / (wi.s + (bcat.k + 1) * 0.5))
+                  / ((coalesce(bh.c, 0) + 0.5)
+                     / (nbe.s + (bcat.k + 1) * 0.5)))) psi
+           FROM (SELECT w, sum(c) s FROM che GROUP BY 1) wi
+           CROSS JOIN (SELECT unnest(range(0,
+             (SELECT k FROM bcat) + 1)) AS i) g
+           CROSS JOIN nbe CROSS JOIN bcat
+           LEFT JOIN bhe bh ON bh.i = g.i
+           LEFT JOIN che ch ON ch.w = wi.w AND ch.i = g.i
+           GROUP BY wi.w)
+         SELECT strftime(c.w, '%Y-%m-%d') AS day, 'value' AS "column",
+           bs.n AS n_base, c.n AS n_cur,
+           bs.nul_v AS nulls_base, c.nul_v AS nulls_cur,
+           round(c.nul_v * 1.0 / c.n - bs.nul_v * 1.0 / bs.n, 6) AS nfd_r,
+           round(c.mean_v - bs.mean_v, 6) AS mean_delta_r,
+           round(p.psi, 6) AS psi_r
+         FROM curs c CROSS JOIN bs LEFT JOIN psiv p ON p.w = c.w
+         UNION ALL
+         SELECT strftime(c.w, '%Y-%m-%d'), 'event_type',
+           bs.n, c.n, bs.nul_e, c.nul_e,
+           round(c.nul_e * 1.0 / c.n - bs.nul_e * 1.0 / bs.n, 6),
+           CAST(NULL AS DOUBLE),
+           round(p.psi, 6)
+         FROM curs c CROSS JOIN bs LEFT JOIN psie p ON p.w = c.w""",
 
     // streaming embedding near-dedup drained over time-ordered halves
     // ≡ the batch md5-plane replay's verified pairs (q22's chain),

@@ -39,10 +39,15 @@ object ProfileTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
+    // the ONE streaming profile shape: the drift monitor — static
+    // baseline, streaming current side, per-event-time-window PSI
+    if (df.isStreaming && p.str("baselineInput").isDefined)
+      return driftStream(spark, cfg, inputs, df)
     require(!df.isStreaming,
       s"profile ${cfg.name}: profiling is a batch action (a stream " +
         "has no final statistics) — profile a windowed aggregate " +
-        "instead")
+        "instead, or add baselineInput + a strategy window for the " +
+        "STREAMING drift monitor (per-window PSI vs a static baseline)")
     if (p.str("baselineInput").isDefined)
       return drift(spark, cfg, inputs, df)
     def atomic(dt: DataType): Boolean = dt match {
@@ -176,6 +181,201 @@ object ProfileTransform {
   private def drift(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame], cur: DataFrame)
       : Map[String, DataFrame] = {
+    val prep = driftPrep(cfg, inputs, cur)
+    import prep._
+    // pass 1 / pass 2 over the bounded current frame (the baseline
+    // rows were computed inside driftPrep)
+    val cRow = cur.agg(momentAggs.head, momentAggs.tail: _*).head()
+    val cHist =
+      if (histAggs.isEmpty) None
+      else Some(cur.agg(histAggs.head, histAggs.tail: _*).head())
+    val nB = bRow.getAs[Long]("__n")
+    val nC = cRow.getAs[Long]("__n")
+    val rows = cols.map { c =>
+      val nulB = bRow.getAs[Long](s"__nulls_$c")
+      val nulC = cRow.getAs[Long](s"__nulls_$c")
+      val fracDelta: java.lang.Double =
+        if (nB == 0 || nC == 0) null
+        else java.lang.Double.valueOf(
+          nulC.toDouble / nC - nulB.toDouble / nB)
+      val isNum = numCols.contains(c)
+      val meanB = if (isNum) optD(bRow, s"__mean_$c") else None
+      val meanC = if (isNum) optD(cRow, s"__mean_$c") else None
+      Row(c, nB, nC, nulB, nulC, fracDelta,
+        meanB.map(java.lang.Double.valueOf).orNull,
+        meanC.map(java.lang.Double.valueOf).orNull,
+        (for (a <- meanB; b <- meanC)
+          yield java.lang.Double.valueOf(b - a)).orNull,
+        psiOf(counts(bHist, c), counts(cHist, c)))
+    }
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), driftSchema)
+    TransformCommon.finishRouted(out, cfg)
+  }
+
+  /** STREAMING drift monitor: the drift read with the CURRENT side
+    * unbounded — "alert when the live distribution walks away from
+    * the training baseline", the production-ML shape of q170. The
+    * baseline is static (its moments/edges/top-K categories compute
+    * once, exactly like the batch read, and become literals); the
+    * stream then runs ONE windowed streaming aggregate carrying the
+    * same fixed-size conditional sums (count, per-column null sums,
+    * per-numeric means, B bucket counts per column), watermark-
+    * bounded and append-mode — per-window state is a fixed vector of
+    * longs regardless of stream volume, the 100 TB monitor shape.
+    * PSI folds AFTER the aggregate as a plain Column expression over
+    * the emitted histogram columns against the baseline's literal
+    * proportions (no second stateful operator, no driver action per
+    * window). Output: one row per (window, column) with the batch
+    * drift schema plus window_start/window_end. */
+  private def driftStream(spark: SparkSession, cfg: ModuleCfg,
+      inputs: Map[String, DataFrame], cur: DataFrame)
+      : Map[String, DataFrame] = {
+    val strategy = cfg.node("strategy").getOrElse(
+      throw new IllegalArgumentException(
+        s"profile ${cfg.name}: the streaming drift monitor needs a " +
+          "strategy with timestampField (and allowedLateness) plus " +
+          "a window — per-window histograms are what bound the state"))
+    graft.streaming.Strategy.warnUnknownKeys(strategy, cfg.name)
+    val ts = strategy.str("timestampField").getOrElse(
+      throw new IllegalArgumentException(
+        s"profile ${cfg.name}: streaming drift needs " +
+          "strategy.timestampField to anchor its windows"))
+    val wm = graft.streaming.Strategy.applyWatermark(cur, strategy, ts)
+    val gw = graft.streaming.Strategy
+      .windowGroup(strategy, col(ts), streaming = true)
+      .getOrElse(throw new IllegalArgumentException(
+        s"profile ${cfg.name}: streaming drift needs a non-global " +
+          "strategy window (fixed/sliding/calendar) — a global " +
+          "profile over a stream never finishes"))
+    val prep = driftPrep(cfg, inputs, wm)
+    import prep._
+    val aggCols = momentAggs ++ histAggs
+    val agged = gw.post(
+      wm.groupBy(gw.column.as("window"))
+        .agg(aggCols.head, aggCols.tail: _*))
+    val nB = bRow.getAs[Long]("__n")
+    // baseline literal proportions per column (empty → psi null:
+    // all-null baseline column or zero-row baseline)
+    def baseP(c: String): Seq[Double] = {
+      val cb = counts(bHist, c)
+      val nb = cb.sum.toDouble
+      if (cb.isEmpty || nb == 0) Seq.empty
+      else cb.map(x => (x + 0.5) / (nb + 0.5 * cb.length))
+    }
+    val nullD = lit(null).cast(DoubleType)
+    val structs = cols.map { c =>
+      val nulB = bRow.getAs[Long](s"__nulls_$c")
+      val isNum = numCols.contains(c)
+      val meanB = if (isNum) optD(bRow, s"__mean_$c") else None
+      val nCur = col("__n")
+      val nullsCur = col(s"__nulls_$c")
+      val nullFracDelta =
+        if (nB == 0) nullD
+        else when(nCur > 0, nullsCur.cast(DoubleType) / nCur
+          - lit(nulB.toDouble / nB)).otherwise(nullD)
+      val meanCur = if (isNum) col(s"__mean_$c") else nullD
+      val meanDelta = meanB.map(mb => meanCur - lit(mb)).getOrElse(nullD)
+      val ps = baseP(c)
+      // the driver psi fold as a Column program: q_i from the
+      // window's emitted counts, p_i baked in as literals — same
+      // Laplace smoothing, same log terms, null when the window has
+      // no in-support rows for the column
+      val psiExpr =
+        if (ps.isEmpty) nullD
+        else {
+          val b = ps.length
+          val hs = (0 until b).map(i => col(s"__h${i}_$c"))
+          val nc = hs.reduce(_ + _).cast(DoubleType)
+          val terms = ps.zipWithIndex.map { case (pi, i) =>
+            val qi = (hs(i).cast(DoubleType) + lit(0.5)) /
+              (nc + lit(0.5 * b))
+            (qi - lit(pi)) * log(qi / lit(pi))
+          }
+          when(nc > 0, terms.reduce(_ + _)).otherwise(nullD)
+        }
+      struct(lit(c).as("column"), lit(nB).as("n_base"),
+        nCur.as("n_cur"), lit(nulB).as("nulls_base"),
+        nullsCur.as("nulls_cur"),
+        nullFracDelta.as("null_frac_delta"),
+        meanB.map(lit(_)).getOrElse(nullD).as("mean_base"),
+        meanCur.as("mean_cur"), meanDelta.as("mean_delta"),
+        psiExpr.as("psi"))
+    }
+    val out = agged.select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        explode(array(structs: _*)).as("__d"))
+      .select(Seq(col("window_start"), col("window_end")) ++
+        driftSchema.fieldNames.map(f => col(s"__d.$f")): _*)
+    TransformCommon.finishRouted(out, cfg)
+  }
+
+  private val driftSchema = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("n_base", LongType, nullable = false),
+    StructField("n_cur", LongType, nullable = false),
+    StructField("nulls_base", LongType, nullable = false),
+    StructField("nulls_cur", LongType, nullable = false),
+    StructField("null_frac_delta", DoubleType),
+    StructField("mean_base", DoubleType),
+    StructField("mean_cur", DoubleType),
+    StructField("mean_delta", DoubleType),
+    StructField("psi", DoubleType)))
+
+  private def optD(r: Row, name: String): Option[Double] = {
+    val i = r.fieldIndex(name)
+    if (r.isNullAt(i)) None else Some(r.getDouble(i))
+  }
+
+  /** Laplace-smoothed PSI of two histograms (driver fold — the batch
+    * read's path; the streaming monitor compiles the same formula to
+    * a Column program in driftStream). */
+  private def psiOf(cb: Seq[Long], cc: Seq[Long]): java.lang.Double = {
+    val nb = cb.sum.toDouble
+    val nc = cc.sum.toDouble
+    if (cb.isEmpty || nb == 0 || nc == 0) null
+    else {
+      val b = cb.length
+      var s = 0.0
+      var i = 0
+      while (i < b) {
+        val pi = (cb(i) + 0.5) / (nb + 0.5 * b)
+        val qi = (cc(i) + 0.5) / (nc + 0.5 * b)
+        s += (qi - pi) * math.log(qi / pi)
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  /** Baseline-side preparation shared by the batch drift read and
+    * the streaming drift monitor: input validation, bucket design
+    * (baseline equi-width edges / KLL quantile edges / categorical
+    * top-K), the baseline moments+histogram ROWS (computed here —
+    * the baseline is always bounded), and the CURRENT side's
+    * aggregate EXPRESSIONS, which the batch read runs as two plain
+    * aggregates and the streaming monitor folds into one windowed
+    * streaming aggregate. */
+  private final case class DriftPrep(
+      cols: Seq[String], numCols: Seq[String],
+      catsOf: Map[String, Seq[String]], buckets: Int,
+      histCols: Seq[String],
+      momentAggs: Seq[org.apache.spark.sql.Column],
+      histAggs: Seq[org.apache.spark.sql.Column],
+      bRow: Row, bHist: Option[Row]) {
+    def bucketsOf(c: String): Int =
+      if (numCols.contains(c)) buckets else catsOf(c).size + 1
+    /** histogram counts of a pass-2 row for column c — empty when
+      * the column has no histogram (all-null baseline) → psi null */
+    def counts(r: Option[Row], c: String): Seq[Long] =
+      if (numCols.contains(c) && !histCols.contains(c)) Seq.empty
+      else r.map(row => (0 until bucketsOf(c)).map(i =>
+        row.getAs[Long](s"__h${i}_$c"))).getOrElse(Seq.empty)
+  }
+
+  private def driftPrep(cfg: ModuleCfg,
+      inputs: Map[String, DataFrame], cur: DataFrame): DriftPrep = {
     val p = cfg.params
     val bn = p.str("baselineInput").get
     require(cfg.inputs.contains(bn),
@@ -186,7 +386,8 @@ object ProfileTransform {
         "name a different input as the baseline")
     val base = inputs(bn)
     require(!base.isStreaming,
-      s"profile ${cfg.name}: drift profiling is a batch action")
+      s"profile ${cfg.name}: the drift BASELINE must be bounded " +
+        "(batch) — its moments and bucket edges anchor the compare")
     def atomic(dt: DataType): Boolean = dt match {
       case _: ArrayType | _: MapType | _: StructType => false
       case _ => true
@@ -269,11 +470,12 @@ object ProfileTransform {
           .collect().map(_.getString(0)).toSeq
       }.toMap
 
-    // pass 1 (each side): counts, null counts, mean, baseline edges
-    // (plus, under approx, one KLL sketch per numeric column — same
-    // single pass, fixed-size state)
-    def moments(df: DataFrame, withSketches: Boolean): Row = {
-      val aggs = Seq(count(lit(1)).as("__n")) ++ cols.map(c =>
+    // pass 1 aggregate expressions: counts, null counts, mean,
+    // min/max edges (plus, under approx, one KLL sketch per numeric
+    // column on the BASELINE side only — same single pass,
+    // fixed-size state)
+    def momentAggsOf(withSketches: Boolean) =
+      Seq(count(lit(1)).as("__n")) ++ cols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
         numCols.flatMap { c =>
           val v = col(c).cast(DoubleType)
@@ -284,11 +486,9 @@ object ProfileTransform {
           graft.functions.KllFunctions
             .kllSketch(kllK, when(!isnan(v), v)).as(s"__kll_$c")
         })
-      df.agg(aggs.head, aggs.tail: _*).head()
-    }
-    val bRow = moments(base, approxPsi)
-    val cRow = moments(cur, withSketches = false)
-    def optD(r: Row, name: String): Option[Double] = {
+    val bAggs = momentAggsOf(approxPsi)
+    val bRow = base.agg(bAggs.head, bAggs.tail: _*).head()
+    def optDL(r: Row, name: String): Option[Double] = {
       val i = r.fieldIndex(name)
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
     }
@@ -296,7 +496,7 @@ object ProfileTransform {
     // edges) or constant-support gets the degenerate two-sided
     // bucketing (== min → bucket 0, else the top bucket)
     val edges: Map[String, (Double, Double)] = numCols.flatMap { c =>
-      for (mn <- optD(bRow, s"__min_$c"); mx <- optD(bRow, s"__max_$c"))
+      for (mn <- optDL(bRow, s"__min_$c"); mx <- optDL(bRow, s"__max_$c"))
         yield c -> (mn, mx)
     }.toMap
     // approx: baseline quantile edges at i/B, i = 1..B-1 — bucket(v)
@@ -315,105 +515,43 @@ object ProfileTransform {
       if (approxPsi) numCols.filter(qEdges.contains)
       else numCols.filter(edges.contains)
 
-    // bucket count per column: numeric → psiBuckets; categorical →
-    // top-K categories + the other-bucket
-    def bucketsOf(c: String): Int =
-      if (numCols.contains(c)) buckets else catsOf(c).size + 1
-
-    // pass 2 (each side): fixed conditional sums per column
-    def hist(df: DataFrame): Option[Row] = {
-      val numAggs = histCols.flatMap { c =>
-        val v = col(c).cast(DoubleType)
-        val b =
-          if (approxPsi)
-            qEdges(c).foldLeft(lit(0L): org.apache.spark.sql.Column) {
-              (acc, e) => acc + when(v > lit(e), 1L).otherwise(0L)
-            }
-          else {
-            val (mn, mx) = edges(c)
-            if (mx > mn)
-              least(greatest(
-                floor((v - lit(mn)) / lit(mx - mn) * lit(buckets)),
-                lit(0L)), lit(buckets - 1L))
-            else when(v === lit(mn), lit(0L))
-              .otherwise(lit(buckets - 1L))
+    // pass 2 aggregate expressions: fixed conditional sums per column
+    val numAggs = histCols.flatMap { c =>
+      val v = col(c).cast(DoubleType)
+      val b =
+        if (approxPsi)
+          qEdges(c).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+            (acc, e) => acc + when(v > lit(e), 1L).otherwise(0L)
           }
-        (0 until buckets).map(i => sum(
-          when(v.isNotNull && !isnan(v) && b === lit(i.toLong), 1L)
-            .otherwise(0L)).as(s"__h${i}_$c"))
-      }
-      val catAggs = catCols.flatMap { c =>
-        val cats = catsOf(c)
-        val v = col(c).cast(StringType)
-        val inCats =
-          if (cats.isEmpty) lit(false) else v.isin(cats: _*)
-        cats.zipWithIndex.map { case (cat, i) =>
-          sum(when(v === lit(cat), 1L).otherwise(0L))
-            .as(s"__h${i}_$c")
-        } :+ sum(when(v.isNotNull && !inCats, 1L).otherwise(0L))
-          .as(s"__h${cats.size}_$c")
-      }
-      val aggs = numAggs ++ catAggs
-      if (aggs.isEmpty) None
-      else Some(df.agg(aggs.head, aggs.tail: _*).head())
-    }
-    val bHist = hist(base)
-    val cHist = hist(cur)
-    def counts(r: Option[Row], c: String): Seq[Long] =
-      // a numeric column with no baseline edges (all-null baseline)
-      // has no histogram columns — psi degrades to null
-      if (numCols.contains(c) && !histCols.contains(c)) Seq.empty
-      else r.map(row => (0 until bucketsOf(c)).map(i =>
-        row.getAs[Long](s"__h${i}_$c"))).getOrElse(Seq.empty)
-    def psi(cb: Seq[Long], cc: Seq[Long]): java.lang.Double = {
-      val nb = cb.sum.toDouble
-      val nc = cc.sum.toDouble
-      if (cb.isEmpty || nb == 0 || nc == 0) null
-      else {
-        val b = cb.length
-        var s = 0.0
-        var i = 0
-        while (i < b) {
-          val pi = (cb(i) + 0.5) / (nb + 0.5 * b)
-          val qi = (cc(i) + 0.5) / (nc + 0.5 * b)
-          s += (qi - pi) * math.log(qi / pi)
-          i += 1
+        else {
+          val (mn, mx) = edges(c)
+          if (mx > mn)
+            least(greatest(
+              floor((v - lit(mn)) / lit(mx - mn) * lit(buckets)),
+              lit(0L)), lit(buckets - 1L))
+          else when(v === lit(mn), lit(0L))
+            .otherwise(lit(buckets - 1L))
         }
-        java.lang.Double.valueOf(s)
-      }
+      (0 until buckets).map(i => sum(
+        when(v.isNotNull && !isnan(v) && b === lit(i.toLong), 1L)
+          .otherwise(0L)).as(s"__h${i}_$c"))
     }
-    val nB = bRow.getAs[Long]("__n")
-    val nC = cRow.getAs[Long]("__n")
-    val rows = cols.map { c =>
-      val nulB = bRow.getAs[Long](s"__nulls_$c")
-      val nulC = cRow.getAs[Long](s"__nulls_$c")
-      val fracDelta: java.lang.Double =
-        if (nB == 0 || nC == 0) null
-        else java.lang.Double.valueOf(
-          nulC.toDouble / nC - nulB.toDouble / nB)
-      val isNum = numCols.contains(c)
-      val meanB = if (isNum) optD(bRow, s"__mean_$c") else None
-      val meanC = if (isNum) optD(cRow, s"__mean_$c") else None
-      Row(c, nB, nC, nulB, nulC, fracDelta,
-        meanB.map(java.lang.Double.valueOf).orNull,
-        meanC.map(java.lang.Double.valueOf).orNull,
-        (for (a <- meanB; b <- meanC)
-          yield java.lang.Double.valueOf(b - a)).orNull,
-        psi(counts(bHist, c), counts(cHist, c)))
+    val catAggs = catCols.flatMap { c =>
+      val cats = catsOf(c)
+      val v = col(c).cast(StringType)
+      val inCats =
+        if (cats.isEmpty) lit(false) else v.isin(cats: _*)
+      cats.zipWithIndex.map { case (cat, i) =>
+        sum(when(v === lit(cat), 1L).otherwise(0L))
+          .as(s"__h${i}_$c")
+      } :+ sum(when(v.isNotNull && !inCats, 1L).otherwise(0L))
+        .as(s"__h${cats.size}_$c")
     }
-    val schema = StructType(Seq(
-      StructField("column", StringType, nullable = false),
-      StructField("n_base", LongType, nullable = false),
-      StructField("n_cur", LongType, nullable = false),
-      StructField("nulls_base", LongType, nullable = false),
-      StructField("nulls_cur", LongType, nullable = false),
-      StructField("null_frac_delta", DoubleType),
-      StructField("mean_base", DoubleType),
-      StructField("mean_cur", DoubleType),
-      StructField("mean_delta", DoubleType),
-      StructField("psi", DoubleType)))
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-    TransformCommon.finishRouted(out, cfg)
+    val histAggsSeq = numAggs ++ catAggs
+    val bHist =
+      if (histAggsSeq.isEmpty) None
+      else Some(base.agg(histAggsSeq.head, histAggsSeq.tail: _*).head())
+    DriftPrep(cols, numCols, catsOf, buckets, histCols,
+      momentAggsOf(withSketches = false), histAggsSeq, bRow, bHist)
   }
 }

@@ -217,4 +217,120 @@ class ProfileSpec extends AnyFunSuite {
     // switches bucketing, not just an estimator
     assert(math.abs(expA - expE) > 0.01)
   }
+
+  /** Streaming drift monitor: every closed event-time window's rows
+    * must equal the BATCH drift read over that window's slice
+    * against the same baseline (same formula, windowed). */
+  test("streaming drift monitor matches the batch drift read per " +
+      "closed window; guards fire without window or timestampField") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdrift")
+      .toString
+    val baseDf = (0 until 40).map(i =>
+      (i.toLong, i % 10, if (i % 4 == 0) "a" else "b"))
+      .toDF("id", "v", "cat")
+    val baseDir = s"$dir/base"; baseDf.write.parquet(baseDir)
+    // two hourly windows of current data, shifted distribution in
+    // window 2; ts = epoch seconds
+    val w1 = (0 until 20).map(i => (100L + i, 100L + i, i % 10, "a"))
+    val w2 = (0 until 20).map(i => (200L + i, 3700L + i, 5 + i % 5, "c"))
+    def stage(file: String,
+        rows: Seq[(Long, Long, Int, String)]): Unit = {
+      val tmp = s"$dir/tmp-$file"
+      rows.toDF("id", "secs", "v", "cat")
+        .selectExpr("id", "timestamp_seconds(secs) AS ts", "v", "cat")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val inDir = new java.io.File(s"$dir/in"); inDir.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, s"$file.parquet").toPath)
+    }
+    stage("b1", w1)
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: cur
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |  - name: base
+      |    module: storage
+      |    parameters: {path: $baseDir}
+      |transforms:
+      |  - name: dr
+      |    module: profile
+      |    inputs: [cur, base]
+      |    strategy: {timestampField: ts, allowedLateness: 1,
+      |               window: {type: fixed, size: 3600}}
+      |    parameters: {baselineInput: base, fields: [v, cat], psiBuckets: 5}
+      |sinks:
+      |  - name: sdr
+      |    module: memory
+      |    input: dr
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    graft.streaming.StreamRunner.drainAll()
+    stage("b2", w2) // advances the watermark past window 1's end
+    graft.streaming.StreamRunner.drainAll()
+    // a far-future sentinel closes window 2
+    stage("b3", Seq((999L, 999999L, 0, "a")))
+    graft.streaming.StreamRunner.drainAll()
+    graft.streaming.StreamRunner.stopAll()
+    val streamed = spark.sql(
+      """SELECT window_start, column, n_base, n_cur, nulls_base,
+           nulls_cur, round(null_frac_delta, 9) AS nfd,
+           round(mean_cur, 9) AS mc, round(mean_delta, 9) AS md,
+           round(psi, 9) AS psi
+         FROM sdr WHERE window_start < timestamp'1970-01-02'""")
+      .collect().map(r => r.toSeq).toSet
+    assert(streamed.nonEmpty)
+    // batch replay per window slice
+    def slice(rows: Seq[(Long, Long, Int, String)], ws: String) = {
+      val cur = rows.toDF("id", "secs", "v", "cat")
+        .selectExpr("id", "timestamp_seconds(secs) AS ts", "v", "cat")
+      drift("""{"baselineInput": "base", "fields": ["v", "cat"],
+               "psiBuckets": 5}""",
+        cur, spark.read.parquet(baseDir))
+        .selectExpr(s"timestamp'$ws' AS window_start", "column",
+          "n_base", "n_cur", "nulls_base", "nulls_cur",
+          "round(null_frac_delta, 9) AS nfd",
+          "round(mean_cur, 9) AS mc", "round(mean_delta, 9) AS md",
+          "round(psi, 9) AS psi")
+        .collect().map(_.toSeq).toSet
+    }
+    val expected = slice(w1, "1970-01-01 00:00:00") ++
+      slice(w2, "1970-01-01 01:00:00")
+    assert(streamed == expected)
+    // guards: missing window / missing baselineInput fail actionably
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: cur
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |  - name: base
+        |    module: storage
+        |    parameters: {path: $baseDir}
+        |transforms:
+        |  - name: dr
+        |    module: profile
+        |    inputs: [cur, base]
+        |    strategy: {timestampField: ts}
+        |    parameters: {baselineInput: base, fields: [v]}
+        |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("window"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: cur
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |transforms:
+        |  - name: dr
+        |    module: profile
+        |    inputs: [cur]
+        |    parameters: {fields: [v]}
+        |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("drift monitor"), e2.getMessage)
+  }
 }
