@@ -79,6 +79,16 @@ object DedupTransform {
         graft.streaming.StreamRunner.scopeConf(raw.sparkSession,
           "spark.sql.shuffle.partitions", n.toString)
       }
+    // the streaming dispatches below run BEFORE the cross-corpus
+    // dispatch — without this guard a streaming referenceInput job
+    // would silently self-dedup and never consult the reference
+    require(!raw.isStreaming || p.str("referenceInput").isEmpty,
+      s"dedup ${cfg.name}: referenceInput does not combine with a " +
+        "streaming input — streaming dedup compares arrivals against " +
+        "the stream's own within-horizon bucket owners, not a " +
+        "reference corpus. Use method: decontaminate for " +
+        "stream-against-static matching, or dedup against the " +
+        "reference in a batch stage")
     if (raw.isStreaming && method == "exact") {
       val strategy = cfg.node("strategy").getOrElse(
         graft.config.Json.obj())
@@ -711,6 +721,12 @@ object DedupTransform {
             // string id order only breaks exact-timestamp ties
             val sorted = rows.toSeq.sortBy(r =>
               (r.getTimestamp(2).getTime, r.getString(1)))
+            // state = (owner id, newest-member event time): the
+            // horizon must track the bucket's NEWEST member across
+            // batches — seeding it from the owner's own arrival time
+            // would let a later in-horizon LATE member rewind the
+            // timeout below an earlier member's time and expire the
+            // bucket inside its documented horizon
             var owner = state.getOption
             var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[Row]
@@ -725,7 +741,7 @@ object DedupTransform {
                 case _ => () // the owner doc re-arriving: not a dup
               }
             }
-            state.update(owner.get)
+            state.update((owner.get._1, maxTs))
             // expire once the watermark passes the newest member
             // (+1ms guard: Spark rejects a timeout at-or-before the
             // current watermark)
@@ -822,6 +838,8 @@ object DedupTransform {
           else {
             val sorted = rows.toSeq.sortBy(r =>
               (r.getTimestamp(2).getTime, r.getString(1)))
+            // state carries the bucket's NEWEST member time, not the
+            // owner's arrival — see streamingLsh's no-rewind note
             var owner = state.getOption
             var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[Row]
@@ -838,7 +856,7 @@ object DedupTransform {
                 case _ => () // the owner vector re-arriving
               }
             }
-            state.update(owner.get)
+            state.update((owner.get._1, maxTs, owner.get._3))
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
@@ -1287,6 +1305,17 @@ object DedupTransform {
     * not the operator's. Report adds one map-side-combined distinct
     * count per side on top of flag's plan; still nothing
     * corpus-sized shuffles. */
+  /** report's output columns must not collide with input columns
+    * (shared by the batch and streaming report branches). */
+  private def reportClashCheck(df: DataFrame): Unit = {
+    val clash = Seq("__grams_total", "__grams_matched", "__overlap")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"dedup decontaminate report: input columns " +
+        s"${clash.mkString(", ")} collide with the report's output " +
+        "columns — rename them upstream")
+  }
+
   private def decontaminate(df: DataFrame, bench: DataFrame,
       textField: String, benchField: String, idField: String,
       n: Int, action: String, broadcastLimit: Int,
@@ -1322,14 +1351,14 @@ object DedupTransform {
           "raise broadcastThreshold, shrink the benchmark, or " +
           "decontaminate in a batch stage")
       val set = benchGrams.collect().map(_.getString(0)).toSet
+      // the persisted frame's contents now live in the broadcast
+      // set; without the unpersist both copies stay resident for
+      // the stream's lifetime (CacheTracker keeps streaming-run
+      // frames alive)
+      benchGrams.unpersist(blocking = false)
       val bc = df.sparkSession.sparkContext.broadcast(set)
       if (action == "report") {
-        val clash = Seq("__grams_total", "__grams_matched", "__overlap")
-          .filter(df.columns.contains)
-        require(clash.isEmpty,
-          s"dedup decontaminate report: input columns " +
-            s"${clash.mkString(", ")} collide with the report's " +
-            "output columns — rename them upstream")
+        reportClashCheck(df)
         // one pass: distinct grams + matched distinct per row (same
         // counts as the batch plan's two count_distinct aggregates)
         val stats = udf { (gs: Seq[String]) =>
@@ -1379,12 +1408,7 @@ object DedupTransform {
           .join(benchGrams, Seq("__gram"), "left_semi")
       }
     if (action == "report") {
-      val clash = Seq("__grams_total", "__grams_matched", "__overlap")
-        .filter(df.columns.contains)
-      require(clash.isEmpty,
-        s"dedup decontaminate report: input columns " +
-          s"${clash.mkString(", ")} collide with the report's output " +
-          "columns — rename them upstream")
+      reportClashCheck(df)
       val totals = corpusGrams.groupBy(col("__id"))
         .agg(count_distinct(col("__gram")).as("__grams_total"))
       val matchedPer = matched.groupBy(col("__id"))

@@ -488,15 +488,11 @@ object ProfileTransform {
         })
     val bAggs = momentAggsOf(approxPsi)
     val bRow = base.agg(bAggs.head, bAggs.tail: _*).head()
-    def optDL(r: Row, name: String): Option[Double] = {
-      val i = r.fieldIndex(name)
-      if (r.isNullAt(i)) None else Some(r.getDouble(i))
-    }
     // baseline-anchored bucket edges; a column that is all-null (no
     // edges) or constant-support gets the degenerate two-sided
     // bucketing (== min → bucket 0, else the top bucket)
     val edges: Map[String, (Double, Double)] = numCols.flatMap { c =>
-      for (mn <- optDL(bRow, s"__min_$c"); mx <- optDL(bRow, s"__max_$c"))
+      for (mn <- optD(bRow, s"__min_$c"); mx <- optD(bRow, s"__max_$c"))
         yield c -> (mn, mx)
     }.toMap
     // approx: baseline quantile edges at i/B, i = 1..B-1 — bucket(v)

@@ -351,22 +351,49 @@ object SimilarityTransform {
       if (integralId) Ordering.by((a: Any) =>
         a.asInstanceOf[Number].longValue)
       else Ordering.by((a: Any) => String.valueOf(a))
+    // rank order: score desc (java compare puts NaN above every
+    // value — "NaN largest", TopKAgg's contract), ties on asc id
+    def rankBefore(a: (Any, Double), b: (Any, Double)): Boolean = {
+      val cmp = java.lang.Double.compare(a._2, b._2)
+      if (cmp != 0) cmp > 0 else idOrd.lt(a._1, b._1)
+    }
+    // max-heap whose head is the WORST retained candidate
+    val worstFirst = new Ordering[(Any, Double)] {
+      def compare(a: (Any, Double), b: (Any, Double)): Int =
+        if (rankBefore(a, b)) -1 else if (rankBefore(b, a)) 1 else 0
+    }
     withScore.repartition(col("query_id")).mapPartitions { it =>
+      // per-query BOUNDED k-heap + current-member set: memory is
+      // queries × k, never the candidate count (a hot bucket must
+      // not scale executor memory — the funnel TopKAgg's map-side
+      // prune avoids on the batch path). Multi-table duplicate
+      // pairs carry identical scores, so membership-skip of CURRENT
+      // heap members is lossless, and a duplicate of an EVICTED
+      // neighbor always loses again: evictions only ever replace
+      // worse with better, so the heap's quality is monotone
+      final case class Top(
+        heap: scala.collection.mutable.PriorityQueue[(Any, Double)],
+        in: scala.collection.mutable.HashSet[Any])
       val perQuery = scala.collection.mutable.LinkedHashMap
-        .empty[Any, scala.collection.mutable.HashMap[Any, Double]]
+        .empty[Any, Top]
       it.foreach { r =>
-        val nbrs = perQuery.getOrElseUpdate(r.get(0),
-          scala.collection.mutable.HashMap.empty[Any, Double])
-        nbrs(r.get(1)) = r.getDouble(2)
+        val t = perQuery.getOrElseUpdate(r.get(0), Top(
+          scala.collection.mutable.PriorityQueue
+            .empty[(Any, Double)](worstFirst),
+          scala.collection.mutable.HashSet.empty[Any]))
+        val cand = (r.get(1), r.getDouble(2))
+        if (!t.in.contains(cand._1)) {
+          if (t.heap.size < k) { t.heap += cand; t.in += cand._1 }
+          else if (rankBefore(cand, t.heap.head)) {
+            t.in -= t.heap.dequeue()._1
+            t.heap += cand; t.in += cand._1
+          }
+        }
       }
-      perQuery.iterator.flatMap { case (qid, nbrs) =>
-        val sorted = nbrs.toSeq.sortWith { (a, b) =>
-          // java compare puts NaN above every value — "NaN largest",
-          // TopKAgg's contract — and ties break on ascending id
-          val cmp = java.lang.Double.compare(a._2, b._2)
-          if (cmp != 0) cmp > 0 else idOrd.lt(a._1, b._1)
-        }.take(k)
-        sorted.iterator.zipWithIndex.map { case ((nid, s), i) =>
+      perQuery.iterator.flatMap { case (qid, t) =>
+        // dequeueAll yields worst-first; reverse → ranks 1..k
+        val best = t.heap.dequeueAll.reverse
+        best.iterator.zipWithIndex.map { case ((nid, s), i) =>
           Row(qid, nid, s, i + 1)
         }
       }

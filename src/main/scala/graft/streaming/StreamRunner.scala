@@ -398,18 +398,41 @@ object StreamRunner {
     * clears them. */
   private val confRestores = scala.collection.mutable.ListBuffer[() => Unit]()
 
+  /** Currently-scoped key → value, for conflict detection: every
+    * query of a pipeline starts AFTER every module builds, so two
+    * modules scoping the SAME key to DIFFERENT values cannot both
+    * get their value — the last write would silently win for every
+    * query's checkpoint. Cleared with confRestores. */
+  private val scopedValues =
+    scala.collection.mutable.Map[String, String]()
+
   /** Set a session conf for the lifetime of the queries this
     * pipeline starts; the prior value (or unset state) is restored
     * by stopAll. Used by module builders that need a conf captured
-    * at query start (e.g. the stream-stream join's
-    * stateShufflePartitions) without leaking it session-wide. */
+    * at query start (e.g. the stream-stream join's / streaming
+    * dedup's stateShufflePartitions) without leaking it
+    * session-wide. Scoping one key to two DIFFERENT values in one
+    * run fails loudly (queries start after all builds, so only the
+    * last value could ever take effect); re-scoping to the same
+    * value is a no-op. */
   def scopeConf(sess: SparkSession, key: String, value: String): Unit = {
-    val prior = sess.conf.getOption(key)
     confRestores.synchronized {
-      confRestores += (() => prior match {
-        case Some(v) => sess.conf.set(key, v)
-        case None => sess.conf.unset(key)
-      })
+      scopedValues.get(key) match {
+        case Some(v) if v == value => return // idempotent re-scope
+        case Some(v) => throw new IllegalArgumentException(
+          s"conflicting per-job values for $key in one pipeline " +
+            s"($v vs $value): Spark captures the conf when each " +
+            "query STARTS — after every module has built — so only " +
+            "one value per pipeline can take effect. Run the " +
+            "modules in separate pipelines")
+        case None =>
+          val prior = sess.conf.getOption(key)
+          scopedValues(key) = value
+          confRestores += (() => prior match {
+            case Some(v) => sess.conf.set(key, v)
+            case None => sess.conf.unset(key)
+          })
+      }
     }
     sess.conf.set(key, value)
   }
@@ -1195,9 +1218,13 @@ object StreamRunner {
     activeQueries.foreach(_.stop())
     active.clear()
     confRestores.synchronized {
-      confRestores.foreach(r =>
+      // REVERSE order: with same-key scopes (idempotent re-scopes
+      // aside) a forward replay would end on a later restorer's
+      // captured prior — a scoped value — instead of the original
+      confRestores.reverseIterator.foreach(r =>
         try r() catch { case _: Throwable => () })
       confRestores.clear()
+      scopedValues.clear()
     }
   }
 }

@@ -57,4 +57,26 @@ class StreamGuardSpec extends AnyFunSuite {
       """{"rate": 0.5, "keyFields": ["doc_id"]}""")
     assert(out("g").isStreaming)
   }
+
+  test("scopeConf: conflicting per-job values fail loudly; stopAll " +
+      "restores the ORIGINAL value under same-key re-scopes") {
+    val key = "spark.graft.test.scopedconf"
+    spark.conf.set(key, "orig")
+    graft.streaming.StreamRunner.scopeConf(spark, key, "a")
+    // idempotent re-scope (a second module asking for the same
+    // value, e.g. join + dedup both setting stateShufflePartitions)
+    graft.streaming.StreamRunner.scopeConf(spark, key, "a")
+    assert(spark.conf.get(key) == "a")
+    // two modules asking for DIFFERENT values cannot both win —
+    // queries start after all builds, so the last write would
+    // silently apply to every checkpoint
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.scopeConf(spark, key, "b"))
+    assert(e.getMessage.contains("conflicting"), e.getMessage)
+    graft.streaming.StreamRunner.stopAll()
+    assert(spark.conf.get(key) == "orig",
+      "restore must return the pre-scope value, not a later " +
+        "restorer's captured intermediate")
+    spark.conf.unset(key)
+  }
 }

@@ -295,6 +295,79 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bounded"))
   }
 
+  test("a late-but-in-horizon member must NOT rewind the bucket " +
+      "horizon below an earlier member's event time") {
+    // regression: the bucket timeout once seeded from the OWNER's
+    // arrival time, so a later micro-batch whose members were all
+    // older than the bucket's newest member rewound the timeout and
+    // expired the bucket inside its documented horizon
+    val dir = java.nio.file.Files.createTempDirectory("graft-slsh3")
+      .toString
+    val textA = "the same boilerplate paragraph that keeps arriving " +
+      "with out of order event times across several micro batches"
+    // b1: owner 1 (t=100) + member 2 (t=4000) → horizon must be 4000
+    stage(dir, "b1", Seq((1L, 100L, textA), (2L, 4000L, textA)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [ev]
+      |    strategy: {timestampField: ts, allowedLateness: 600}
+      |    parameters: {method: minhash, field: text, idField: id}
+      |sinks:
+      |  - name: slsh3
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    // b2: member 3 at t=3500 — OLDER than member 2 but inside the
+    // horizon (watermark is 3400); a rewound timeout would now be
+    // 3500 instead of 4000
+    stage(dir, "b2", Seq((3L, 3500L, textA)))
+    StreamRunner.drainAll()
+    // two unrelated batches push the watermark to 3700 — past the
+    // rewound value, still below the true horizon
+    stage(dir, "b3", Seq((4L, 4200L, "completely different words " +
+      "about gardening tools and the weather this afternoon")))
+    StreamRunner.drainAll()
+    stage(dir, "b4", Seq((5L, 4300L, "another unrelated piece on " +
+      "railway timetables and commuter platform announcements")))
+    StreamRunner.drainAll()
+    // b5: duplicate at t=4100 (inside the horizon of member 2's
+    // t=4000): the bucket must still be alive → candidate vs owner 1
+    stage(dir, "b5", Seq((6L, 4100L, textA)))
+    StreamRunner.drainAll()
+    val pairs = spark.sql("SELECT DISTINCT id, __dup_of FROM slsh3")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(pairs == Seq(("2", "1"), ("3", "1"), ("6", "1")), pairs)
+    StreamRunner.stopAll()
+    // referenceInput would silently self-dedup on a stream — rejected
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: ev
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |  - name: ref
+        |    module: storage
+        |    parameters: {path: $dir/in/b1.parquet}
+        |transforms:
+        |  - name: dd
+        |    module: dedup
+        |    inputs: [ev, ref]
+        |    strategy: {timestampField: ts, allowedLateness: 600}
+        |    parameters: {method: minhash, field: text, idField: id, referenceInput: ref}
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("referenceInput does not combine"),
+      e.getMessage)
+  }
+
   test("streaming LSH bucket state expires with the watermark; a " +
       "post-horizon re-occurrence becomes the new owner") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slsh2")
