@@ -65,7 +65,7 @@ object Bench {
     "q166_interval_ss_left", "q167_calendar_dst_panes",
     "q169_interval_ss_overlap", "q178_stream_lsh_dedup",
     "q179_stream_embedding_dedup", "q180_stream_decontaminate",
-    "q181_stream_knn", "q182_stream_drift")
+    "q181_stream_knn", "q182_stream_drift", "q183_stream_ngram_dedup")
 
   /** Seconds rendered to `dp` decimals with trailing zeros stripped
     * ("0.470"→"0.47", "2.000"→"2") — valid JSON numbers, minimal

@@ -6476,6 +6476,54 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // STREAMING ngram near-dedup: q178's banding with an EXACT
+    // char-5-gram Jaccard verify against the bucket owner's text
+    // (owner text rides in state) — 850 band collisions at sf0.01,
+    // 154 surviving the 0.7 verify, so the gate covers accept AND
+    // reject paths. Same staging invariant as q178
+    "q183_stream_ngram_dedup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q183_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + doc_id)"))
+      val mid = docs.agg(fexpr("percentile(doc_id, 0.5)")).head.getDouble(0)
+      stageBatch(docs, fcol("doc_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7, hashAlgo: md5}
+  - name: sel
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id, type: int64}
+        - {name: band_idx, field: __band_idx}
+        - {name: dup_of, field: __dup_of, type: int64}
+        - {name: jacc, expression: "round(__jaccard, 6)"}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fcol("doc_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // STREAMING drift monitor: q170's PSI drift with the CURRENT
     // side arriving as a stream — per calendar-day window, one
     // windowed streaming aggregate carries the fixed conditional
@@ -9960,6 +10008,60 @@ transforms:
            CAST(NULL AS DOUBLE),
            round(p.psi, 6)
          FROM curs c CROSS JOIN bs LEFT JOIN psie p ON p.w = c.w""",
+
+    // streaming ngram near-dedup drained over time-ordered halves ≡
+    // q34's md5 char-gram band replay with the verify applied per
+    // (band, bucket-min) pair
+    "q183_stream_ngram_dedup" ->
+      """WITH lows AS (
+           SELECT doc_id, lower(text) AS t
+           FROM documents WHERE text IS NOT NULL),
+         grams AS (
+           SELECT doc_id, substr(t, i::INT, 5) AS gram
+           FROM lows, LATERAL unnest(range(1, length(t) - 3)) u(i)
+           WHERE length(t) >= 5
+           UNION ALL
+           SELECT doc_id, t AS gram FROM lows WHERE length(t) < 5),
+         gh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
+           FROM grams),
+         sig AS (
+           SELECT doc_id, s,
+             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
+           FROM gh CROSS JOIN range(0, 32) t(s)
+           GROUP BY doc_id, s),
+         bandkeys AS (
+           SELECT doc_id, s // 4 AS band_idx,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
+           FROM sig GROUP BY doc_id, s // 4),
+         cand AS (
+           SELECT doc_id, band_idx,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys),
+         cpb AS (
+           SELECT DISTINCT doc_id AS a, band_idx, rep AS b
+           FROM cand WHERE doc_id > rep),
+         dgrams AS (SELECT DISTINCT doc_id, gram FROM grams),
+         gsize AS (
+           SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, count(*) AS i
+           FROM (SELECT DISTINCT a, b FROM cpb) p
+           JOIN dgrams ga ON ga.doc_id = p.a
+           JOIN dgrams gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+           GROUP BY p.a, p.b),
+         j AS (
+           SELECT i.a, i.b, i.i::DOUBLE / (sa.n + sb.n - i.i) AS jc
+           FROM inter i
+           JOIN gsize sa ON sa.doc_id = i.a
+           JOIN gsize sb ON sb.doc_id = i.b)
+         SELECT p.a AS doc_id, CAST(p.band_idx AS INT) AS band_idx,
+           CAST(p.b AS BIGINT) AS dup_of, round(j.jc, 6) AS jacc
+         FROM cpb p JOIN j ON j.a = p.a AND j.b = p.b
+         WHERE j.jc >= 0.7""",
 
     // streaming embedding near-dedup drained over time-ordered halves
     // ≡ the batch md5-plane replay's verified pairs (q22's chain),

@@ -118,6 +118,11 @@ object DedupTransform {
     if (raw.isStreaming && method == "embedding")
       return TransformCommon.finishRouted(
         streamingEmbedding(raw, cfg), cfg)
+    // streaming ngram near-dedup: char-gram banding + exact Jaccard
+    // verify against the owner's text; see streamingNgram
+    if (raw.isStreaming && method == "ngram")
+      return TransformCommon.finishRouted(
+        streamingNgram(raw, cfg), cfg)
     if (raw.isStreaming && method != "decontaminate")
       throw new IllegalArgumentException(
         s"dedup method '$method' requires a bounded (batch) input: " +
@@ -125,10 +130,11 @@ object DedupTransform {
           "stream. Dedup the corpus in a batch stage, use " +
           "method: exact with strategy.timestampField (first-seen-" +
           "wins within the watermark horizon), method: minhash/" +
-          "simhash/embedding with strategy.timestampField (LSH " +
-          "near-dedup within the watermark horizon, candidate rows), " +
-          "method: decontaminate (stream-against-static), or window " +
-          "the stream upstream and dedup each window's batch output.")
+          "simhash/ngram/embedding with strategy.timestampField " +
+          "(LSH near-dedup within the watermark horizon, candidate " +
+          "rows), method: decontaminate (stream-against-static), or " +
+          "window the stream upstream and dedup each window's batch " +
+          "output.")
     // cross-corpus mode: flag primary rows near-duplicating a
     // REFERENCE corpus (dedup a new crawl against the existing
     // training set) instead of self-dedup
@@ -745,6 +751,110 @@ object DedupTransform {
             // expire once the watermark passes the newest member
             // (+1ms guard: Spark rejects a timeout at-or-before the
             // current watermark)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** Streaming ngram near-dedup: `streamingLsh`'s char-gram minhash
+    * banding with an EXACT Jaccard verify at arrival — the owner's
+    * TEXT rides in the bucket state and each within-horizon member
+    * compares its distinct char-n-gram set against the owner's
+    * (identical arithmetic to the batch verify: |a∩b|/(|a|+|b|−|a∩b|)
+    * over code-point grams of the lowercased text). Emits one
+    * verified candidate row (`idField`, `__band_idx`, `__dup_of`,
+    * `__jaccard`) per colliding band at or above `threshold`;
+    * sub-threshold same-bucket arrivals pass silently and never
+    * replace the owner (min-rep semantics, matching embedding's
+    * streaming path and the batch bucket-minimum verify).
+    *
+    * State per live bucket is (owner id, newest-member time, owner
+    * text); gram sets are recomputed at verify time — text is ~n×
+    * smaller than its gram set, and a doc verifies only against the
+    * buckets it collides with (CPU per arrival is bands × one gram
+    * pass, documented trade for bounded state). */
+  private def streamingNgram(raw: DataFrame,
+      cfg: ModuleCfg): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val p = cfg.params
+    val (strategy, ts) = streamingDedupContract(cfg, "ngram")
+    val textField = p.str("field").getOrElse("text")
+    val idField = p.str("idField").getOrElse(raw.columns.head)
+    val md5Mode = p.str("hashAlgo").contains("md5")
+    val n = p.int("ngramSize").getOrElse(5)
+    val threshold = p.dbl("threshold").getOrElse(0.8)
+    // m/bands fixed like batch ngramDedup (r=4 per-band precision)
+    val m = 32; val bands = 8
+    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+      .filter(col(textField).isNotNull)
+    val sigUdf = if (md5Mode) minhashSigMd5Udf(n, m, charGrams = true)
+      else minhashSigUdf(n, m, charGrams = true)
+    val slim = wm
+      .select(col(idField).cast(StringType).as("__id"),
+        col(ts).as("__ts"), col(textField).as("__t"),
+        sigUdf(col(textField)).as("__sig"))
+      .select(col("__id"), col("__ts"), col("__t"),
+        posexplode(if (md5Mode) lshBandsMd5(col("__sig"), m, bands)
+          else lshBands(col("__sig"), m, bands))
+          .as(Seq("__band_idx", "__band_hash")))
+      .select(
+        // \\u0001-separated like streamingLsh: an unseparated
+        // idx=1,hash="23" would collide with idx=12,hash="3"
+        concat_ws("\u0001", col("__band_idx").cast(StringType),
+          col("__band_hash").cast(StringType)).as("__key"),
+        col("__id"), col("__ts"), col("__t"),
+        col("__band_idx").cast(IntegerType).as("__band_idx"))
+    val outSchema = StructType(Seq(
+      StructField(idField, StringType),
+      StructField("__band_idx", IntegerType),
+      StructField("__dup_of", StringType),
+      StructField("__jaccard", DoubleType)))
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val stateEnc = Encoders.kryo[(String, Long, String)]
+    def grams(s: String): Set[String] =
+      graft.functions.TextFunctions.codePointGrams(
+        s.toLowerCase(java.util.Locale.ROOT), n).toSet
+    slim.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[(String, Long, String), Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[(String, Long, String)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.getTimestamp(2).getTime, r.getString(1)))
+            // state carries the bucket's NEWEST member time — see
+            // streamingLsh's no-rewind note
+            var owner = state.getOption
+            var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
+            // owner grams computed once per (batch, owner), not per
+            // arrival — recomputed only when the owner changes
+            var ownerGrams: Set[String] = null
+            val out = Seq.newBuilder[Row]
+            sorted.foreach { r =>
+              val id = r.getString(1)
+              val t = r.getTimestamp(2).getTime
+              if (t > maxTs) maxTs = t
+              owner match {
+                case None =>
+                  owner = Some((id, t, r.getString(3)))
+                  ownerGrams = null
+                case Some((oid, _, otext)) if oid != id =>
+                  if (ownerGrams == null) ownerGrams = grams(otext)
+                  val g = grams(r.getString(3))
+                  val inter = g.count(ownerGrams.contains)
+                  val j = inter.toDouble /
+                    (g.size + ownerGrams.size - inter)
+                  if (j >= threshold)
+                    out += Row(id, r.getInt(4), oid, j)
+                case _ => () // the owner doc re-arriving
+              }
+            }
+            state.update((owner.get._1, maxTs, owner.get._3))
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1L))
             out.result().iterator

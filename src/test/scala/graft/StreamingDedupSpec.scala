@@ -295,6 +295,48 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bounded"))
   }
 
+  test("streaming ngram dedup verifies exact char-gram Jaccard " +
+      "against the owner's text; sub-threshold collisions pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sngram")
+      .toString
+    val textA = "the quick brown fox jumps over the lazy dog and " +
+      "then wanders off into the quiet green forest before dusk"
+    // one word swapped: char-5-gram Jaccard well inside (0, 1),
+    // minhash bands still collide (deterministic fixed-seed hashes)
+    val textA2 = textA.replace("wanders", "strolls")
+    stage(dir, "b1", Seq((1L, 100L, textA)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [ev]
+      |    strategy: {timestampField: ts, allowedLateness: 3600}
+      |    parameters: {method: ngram, field: text, idField: id, threshold: 0.5}
+      |sinks:
+      |  - name: sng
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    stage(dir, "b2", Seq((2L, 500L, textA), (3L, 600L, textA2)))
+    StreamRunner.drainAll()
+    val rows = spark.sql(
+      "SELECT id, __dup_of, max(__jaccard) FROM sng GROUP BY 1, 2")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical text: every band collides, jaccard exactly 1.0
+    assert(rows.get(("2", "1")).contains(1.0), rows)
+    // near-identical: verified with a real in-(0.5, 1) jaccard
+    val j3 = rows.get(("3", "1"))
+    assert(j3.exists(j => j > 0.5 && j < 1.0), rows)
+    StreamRunner.stopAll()
+  }
+
   test("a late-but-in-horizon member must NOT rewind the bucket " +
       "horizon below an earlier member's event time") {
     // regression: the bucket timeout once seeded from the OWNER's
