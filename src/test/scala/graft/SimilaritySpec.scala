@@ -133,7 +133,13 @@ class SimilaritySpec extends AnyFunSuite {
   test("streaming queries against the static corpus equal the batch " +
       "run; bruteforce rejects streaming queries actionably") {
     val dim = 8
-    val corpus = (1L to 60L).map(i => (i, intVec(i, dim)))
+    // corpus includes a ZERO vector (cosine → 0/0 = NaN, ranked
+    // "largest" by TopKAgg's contract) and an exact DUPLICATE pair
+    // (tied scores → ascending-id tiebreak), so the stream ≡ batch
+    // assertion covers the ordering's edge cases, not just the
+    // generic path
+    val corpus = ((1L to 60L).map(i => (i, intVec(i, dim))) ++
+      Seq((61L, Array.fill(dim)(0f)), (62L, intVec(5, dim))))
       .toDF("vec_id", "embedding")
     val queries = (1001L to 1006L).map(i => (i, intVec(i * 7, dim)))
     val dir = java.nio.file.Files.createTempDirectory("graft-sknn")
@@ -176,9 +182,15 @@ class SimilaritySpec extends AnyFunSuite {
     stage("b2", queries.drop(3)) // second batch: cross-batch queries
     graft.streaming.StreamRunner.drainAll()
     graft.streaming.StreamRunner.stopAll()
-    val streamed = spark.sql(
+    // NaN-safe canon: the zero vector's cosine is NaN on BOTH paths
+    // (ranked first per TopKAgg's NaN-largest contract), and
+    // NaN != NaN would fail set equality on the agreeing row
+    def canon(rows: Array[(Long, Long, Double, Int)]) =
+      rows.map(r => (r._1, r._2,
+        java.lang.Double.doubleToLongBits(r._3), r._4)).toSet
+    val streamed = canon(spark.sql(
       "SELECT query_id, neighbor_id, score, rank FROM sknn")
-      .as[(Long, Long, Double, Int)].collect().toSet
+      .as[(Long, Long, Double, Int)].collect())
     // batch reference: same corpus, all six queries at once
     val batch = Pipeline.transforms("similarity")(spark,
       Pipeline.ModuleCfg("knn", "similarity", Seq("c", "q"), Nil,
@@ -189,8 +201,8 @@ class SimilaritySpec extends AnyFunSuite {
         graft.config.Json.obj()),
       Map("c" -> spark.read.parquet(corpusDir),
         "q" -> queries.toDF("vec_id", "embedding")))("knn")
-      .as[(Long, Long, Double, Int)].collect().toSet
-    assert(streamed == batch)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(streamed == canon(batch))
     val e = intercept[IllegalArgumentException] {
       Pipeline.build(spark, simYaml("bruteforce"))
     }
