@@ -26,6 +26,11 @@ import org.apache.spark.sql.types._
   *    arXiv:2303.09540) — nearest-centroid cells + within-cell cosine
   *    against a representative (default: the paper's
   *    keep-farthest-from-centroid policy).
+  *  - `verdicts`: batch doc-level reduce over DRAINED streaming
+  *    near-dedup candidate rows (min `__dup_of` per doc, optional
+  *    transitive closure, optional corpus left-join / anti-join via
+  *    `corpusInput` + `keep: canonical`) — composes a streaming
+  *    near-dedup run back into the batch dedup output shape.
   *
   * PERFORMANCE NOTE: signatures are computed via an explode →
   * codegen'd hash → groupBy(min/sum) pipeline, NOT via nested
@@ -65,6 +70,44 @@ object DedupTransform {
     // (the scalable streaming semantic; re-occurrences beyond the
     // horizon may legitimately re-emit). Unlike batch exact there is
     // no __dup_of labeling — the stream cannot know future members.
+    // the streaming dispatches below run BEFORE the cross-corpus
+    // dispatch — without this guard a streaming referenceInput job
+    // would silently self-dedup and never consult the reference
+    require(!raw.isStreaming || p.str("referenceInput").isEmpty,
+      s"dedup ${cfg.name}: referenceInput does not combine with a " +
+        "streaming input — streaming dedup compares arrivals against " +
+        "the stream's own within-horizon bucket owners, not a " +
+        "reference corpus. Use method: decontaminate for " +
+        "stream-against-static matching, or dedup against the " +
+        "reference in a batch stage")
+    // pre-validate the streaming contract BEFORE any scoped session
+    // conf mutates: scopeConf's only restore path is stopAll, which
+    // a failed build never reaches — mutating first would leak the
+    // override into the session when a later check throws
+    if (raw.isStreaming) method match {
+      case "exact" =>
+        require(cfg.node("strategy")
+            .exists(_.str("timestampField").isDefined),
+          "streaming exact dedup needs strategy.timestampField (and " +
+            "allowedLateness) to bound its state: without an " +
+            "event-time horizon the seen-fingerprint state grows " +
+            "with the whole stream")
+      case "minhash" | "simhash" | "embedding" | "ngram" =>
+        streamingDedupContract(cfg, method) // throws on a bad contract
+      case "decontaminate" => () // stream-against-static, stateless
+      case other =>
+        throw new IllegalArgumentException(
+          s"dedup method '$other' requires a bounded (batch) input: " +
+            "corpus-wide deduplication cannot run incrementally on a " +
+            "stream. Dedup the corpus in a batch stage, use " +
+            "method: exact with strategy.timestampField (first-seen-" +
+            "wins within the watermark horizon), method: minhash/" +
+            "simhash/ngram/embedding with strategy.timestampField " +
+            "(LSH near-dedup within the watermark horizon, candidate " +
+            "rows), method: decontaminate (stream-against-static), or " +
+            "window the stream upstream and dedup each window's batch " +
+            "output.")
+    }
     // state-store partition count for THIS job (shared semantics
     // with the stream-stream join's knob): streaming dedup keeps one
     // state store per shuffle partition, and the right count follows
@@ -79,16 +122,6 @@ object DedupTransform {
         graft.streaming.StreamRunner.scopeConf(raw.sparkSession,
           "spark.sql.shuffle.partitions", n.toString)
       }
-    // the streaming dispatches below run BEFORE the cross-corpus
-    // dispatch — without this guard a streaming referenceInput job
-    // would silently self-dedup and never consult the reference
-    require(!raw.isStreaming || p.str("referenceInput").isEmpty,
-      s"dedup ${cfg.name}: referenceInput does not combine with a " +
-        "streaming input — streaming dedup compares arrivals against " +
-        "the stream's own within-horizon bucket owners, not a " +
-        "reference corpus. Use method: decontaminate for " +
-        "stream-against-static matching, or dedup against the " +
-        "reference in a batch stage")
     if (raw.isStreaming && method == "exact") {
       val strategy = cfg.node("strategy").getOrElse(
         graft.config.Json.obj())
@@ -123,18 +156,8 @@ object DedupTransform {
     if (raw.isStreaming && method == "ngram")
       return TransformCommon.finishRouted(
         streamingNgram(raw, cfg), cfg)
-    if (raw.isStreaming && method != "decontaminate")
-      throw new IllegalArgumentException(
-        s"dedup method '$method' requires a bounded (batch) input: " +
-          "corpus-wide deduplication cannot run incrementally on a " +
-          "stream. Dedup the corpus in a batch stage, use " +
-          "method: exact with strategy.timestampField (first-seen-" +
-          "wins within the watermark horizon), method: minhash/" +
-          "simhash/ngram/embedding with strategy.timestampField " +
-          "(LSH near-dedup within the watermark horizon, candidate " +
-          "rows), method: decontaminate (stream-against-static), or " +
-          "window the stream upstream and dedup each window's batch " +
-          "output.")
+    // (non-streamable methods on a stream threw in the pre-validation
+    // match above, before any conf scoped)
     // cross-corpus mode: flag primary rows near-duplicating a
     // REFERENCE corpus (dedup a new crawl against the existing
     // training set) instead of self-dedup
@@ -157,7 +180,7 @@ object DedupTransform {
     // reference; the span UDF is one StringBuilder pass per doc.
     val df =
       if (method == "exact" || method == "lines" || method == "spans" ||
-        method == "substring") raw
+        method == "substring" || method == "verdicts") raw
       else TransformCommon.widen(raw)
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(df.columns.head)
@@ -325,6 +348,79 @@ object DedupTransform {
           broadcastLimit = p.int("broadcastThreshold").getOrElse(2000000),
           bloomFpp = p.dbl("bloomFpp").getOrElse(0.01))
         return TransformCommon.finishRouted(out, cfg)
+      case "verdicts" =>
+        // doc-level verdicts over DRAINED streaming near-dedup
+        // candidate rows. Streaming minhash/simhash/ngram/embedding
+        // emit per-BAND candidate rows (Spark cannot chain a second
+        // stateful aggregate after flatMapGroupsWithState in append
+        // mode), so the per-doc reduce — min __dup_of over a doc's
+        // candidate rows, the same min-over-buckets batch lshDedup
+        // applies — runs here as a batch mode over the drained
+        // output. The reduce also absorbs the candidates' multiset
+        // nature (cross-batch re-emissions collapse under min).
+        //
+        //  - primary input: candidate rows (idField + dupField).
+        //  - `corpusInput` (or a second input): left-join the
+        //    verdicts back onto the corpus — null __dup_of marks
+        //    canonical docs, reproducing the batch dedup output
+        //    shape; `keep: canonical` then drops flagged rows (the
+        //    anti-join composition).
+        //  - `transitive: true`: resolve chains A~B, B~C to the
+        //    component minimum over the candidate pair graph (the
+        //    closure streaming emission cannot do incrementally).
+        //
+        // Scale: the reduce moves only (id, dup_of) pairs with
+        // map-side partial aggregation; the corpus join is left to
+        // AQE (broadcast when the verdict set is small).
+        val dupField = p.str("dupField").getOrElse("__dup_of")
+        require(df.columns.contains(dupField),
+          s"dedup ${cfg.name}: verdicts input has no '$dupField' " +
+            "column — point dupField at the drained candidates' " +
+            "owner-id column")
+        val corpusName = p.str("corpusInput")
+          .orElse(cfg.inputs.drop(1).headOption)
+        corpusName match {
+          case None =>
+            require(p.str("keep").isEmpty,
+              s"dedup ${cfg.name}: verdicts keep needs a " +
+                "corpusInput (the collection to filter); without " +
+                "one the output is the verdict rows themselves")
+            val pairs = df.select(col(idField).as("__id"),
+              col(dupField).as("__rep_id"))
+            val v =
+              if (transitive) componentMin(pairs.distinct(), maxIter)
+              else pairs.groupBy("__id")
+                .agg(min("__rep_id").as("__dup_of"))
+            return TransformCommon.finishRouted(
+              v.select(col("__id").as(idField), col("__dup_of")), cfg)
+          case Some(cn) =>
+            val corpus = inputs.getOrElse(cn,
+              throw new IllegalArgumentException(
+                s"dedup ${cfg.name}: unknown corpusInput '$cn' " +
+                  s"(inputs: ${cfg.inputs.mkString(", ")})"))
+            require(!corpus.isStreaming,
+              s"dedup ${cfg.name}: verdicts corpusInput must be a " +
+                "bounded (batch) collection — read the corpus from " +
+                "storage, not as a stream")
+            val cid = p.str("corpusIdField").getOrElse(idField)
+            require(corpus.columns.contains(cid),
+              s"dedup ${cfg.name}: corpusInput '$cn' has no " +
+                s"'$cid' column (set corpusIdField)")
+            // streaming candidates surface ids as STRINGS (one
+            // fixed state schema for any id type); cast both id
+            // columns back to the corpus id type so the min and
+            // the join are typed like the batch path
+            val idType = corpus.schema(cid).dataType
+            val pairs = df.select(
+              col(idField).cast(idType).as("__id"),
+              col(dupField).cast(idType).as("__rep_id"))
+            val v =
+              if (transitive) componentMin(pairs.distinct(), maxIter)
+              else pairs.groupBy("__id")
+                .agg(min("__rep_id").as("__dup_of"))
+            corpus.join(v, corpus(cid) === v("__id"), "left")
+              .drop("__id")
+        }
       case other =>
         throw new IllegalArgumentException(s"dedup method: $other")
     }
@@ -671,6 +767,12 @@ object DedupTransform {
     val md5Mode = p.str("hashAlgo").contains("md5")
     val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
       .filter(col(textField).isNotNull) // null text: never a candidate
+      // null event time: skipped — withWatermark does NOT drop
+      // null-ts rows, and the stateful horizon arithmetic below
+      // (getTimestamp.getTime) has no meaningful ordering for them;
+      // an unguarded null would NPE inside flatMapGroupsWithState
+      // and kill the query
+      .filter(col(ts).isNotNull)
     // band rows (__id, __ts, __band_idx, __band_hash) — the watermark
     // tag travels with the aliased event-time attribute
     val bandRows: DataFrame = method match {
@@ -736,6 +838,13 @@ object DedupTransform {
             var owner = state.getOption
             var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[Row]
+            // a doc duplicated WITHIN one micro-batch emits one
+            // candidate row, not one per arrival; a re-arrival in a
+            // LATER batch inside the horizon still re-emits (the
+            // operator has no memory of past emissions — drained
+            // candidates are a multiset across batches; reduce with
+            // dedup method: verdicts, or DISTINCT, downstream)
+            val emitted = scala.collection.mutable.HashSet[String]()
             sorted.foreach { r =>
               val id = r.getString(1)
               val t = r.getTimestamp(2).getTime
@@ -743,7 +852,7 @@ object DedupTransform {
               owner match {
                 case None => owner = Some((id, t))
                 case Some((oid, _)) if oid != id =>
-                  out += Row(id, r.getInt(3), oid)
+                  if (emitted.add(id)) out += Row(id, r.getInt(3), oid)
                 case _ => () // the owner doc re-arriving: not a dup
               }
             }
@@ -789,8 +898,22 @@ object DedupTransform {
     val threshold = p.dbl("threshold").getOrElse(0.8)
     // m/bands fixed like batch ngramDedup (r=4 per-band precision)
     val m = 32; val bands = 8
+    // maxVerifyChars caps the owner-text bytes riding in bucket
+    // state (finding: 100 KB docs × 8 bands would hold 8× the doc
+    // text in state): when set, BOTH sides of the exact-Jaccard
+    // verify truncate to the first N chars — a documented precision
+    // trade (gram sets of long docs that differ only past the cap
+    // verify as equal). Default off: full-text verify, exact batch
+    // parity. Banding is unaffected (signatures always hash the
+    // full text), so the cap changes only which collisions verify.
+    val verifyCap = p.int("maxVerifyChars").getOrElse(0)
+    require(verifyCap >= 0,
+      s"dedup ${cfg.name}: maxVerifyChars must be >= 0, got $verifyCap")
     val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
       .filter(col(textField).isNotNull)
+      // null event time: see streamingLsh — withWatermark does not
+      // drop null-ts rows and the horizon arithmetic would NPE
+      .filter(col(ts).isNotNull)
     val sigUdf = if (md5Mode) minhashSigMd5Udf(n, m, charGrams = true)
       else minhashSigUdf(n, m, charGrams = true)
     val slim = wm
@@ -816,9 +939,12 @@ object DedupTransform {
     implicit val outEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     implicit val stateEnc = Encoders.kryo[(String, Long, String)]
+    def clip(s: String): String =
+      if (verifyCap > 0 && s.length > verifyCap)
+        s.substring(0, verifyCap) else s
     def grams(s: String): Set[String] =
       graft.functions.TextFunctions.codePointGrams(
-        s.toLowerCase(java.util.Locale.ROOT), n).toSet
+        clip(s).toLowerCase(java.util.Locale.ROOT), n).toSet
     slim.groupByKey(_.getString(0))(Encoders.STRING)
       .flatMapGroupsWithState[(String, Long, String), Row](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -835,13 +961,18 @@ object DedupTransform {
             // arrival — recomputed only when the owner changes
             var ownerGrams: Set[String] = null
             val out = Seq.newBuilder[Row]
+            // one emission per doc per micro-batch — see
+            // streamingLsh's multiset note
+            val emitted = scala.collection.mutable.HashSet[String]()
             sorted.foreach { r =>
               val id = r.getString(1)
               val t = r.getTimestamp(2).getTime
               if (t > maxTs) maxTs = t
               owner match {
                 case None =>
-                  owner = Some((id, t, r.getString(3)))
+                  // owner text stored CLIPPED: the cap bounds state
+                  // bytes, not just verify CPU
+                  owner = Some((id, t, clip(r.getString(3))))
                   ownerGrams = null
                 case Some((oid, _, otext)) if oid != id =>
                   if (ownerGrams == null) ownerGrams = grams(otext)
@@ -849,7 +980,7 @@ object DedupTransform {
                   val inter = g.count(ownerGrams.contains)
                   val j = inter.toDouble /
                     (g.size + ownerGrams.size - inter)
-                  if (j >= threshold)
+                  if (j >= threshold && emitted.add(id))
                     out += Row(id, r.getInt(4), oid, j)
                 case _ => () // the owner doc re-arriving
               }
@@ -882,12 +1013,14 @@ object DedupTransform {
     require(!p.bool("transitive").getOrElse(false),
       s"dedup ${cfg.name}: transitive closure does not apply to " +
         s"streaming $method dedup — candidates emit as they arrive; " +
-        "run connectedComponents downstream over the drained " +
-        "candidate rows")
+        "run a batch dedup with method: verdicts (transitive: true) " +
+        "over the drained candidate rows")
     require(p.str("keep").isEmpty,
       s"dedup ${cfg.name}: keep does not apply to streaming $method " +
-        "dedup — the output IS the candidate rows; anti-join the " +
-        "corpus against them downstream")
+        "dedup — the output IS the candidate rows; run a batch " +
+        "dedup with method: verdicts, corpusInput and " +
+        "keep: canonical over the drained rows to anti-join the " +
+        "corpus against them")
     (strategy, ts)
   }
 
@@ -926,11 +1059,20 @@ object DedupTransform {
     // null embeddings never bucket (same rule as batch)
     val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
       .filter(col(embField).isNotNull)
+      // null event time: see streamingLsh — withWatermark does not
+      // drop null-ts rows and the horizon arithmetic would NPE
+      .filter(col(ts).isNotNull)
     val bucketCol =
       if (md5Mode) hyperplaneBucketMd5(col("__emb"), dim, planes)
       else hyperplaneBucket(col("__emb"), dim, planes, seed = 42L)
+    // cast to array<float> explicitly: the batch path accepts an
+    // array<double> embedding through ImplicitCastInputTypes on the
+    // bucket/cosine expressions, but the typed state read below
+    // (getSeq[Float]) would ClassCastException — the same pipeline
+    // must accept the same column types batch or streamed
     val slim = wm.select(col(idField).cast(StringType).as("__id"),
-        col(ts).as("__ts"), col(embField).as("__emb"))
+        col(ts).as("__ts"),
+        col(embField).cast(ArrayType(FloatType)).as("__emb"))
       .withColumn("__key", bucketCol.cast(StringType))
       .select("__key", "__id", "__ts", "__emb")
     val outSchema = StructType(Seq(
@@ -953,6 +1095,9 @@ object DedupTransform {
             var owner = state.getOption
             var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[Row]
+            // one emission per doc per micro-batch — see
+            // streamingLsh's multiset note
+            val emitted = scala.collection.mutable.HashSet[String]()
             sorted.foreach { r =>
               val id = r.getString(1)
               val t = r.getTimestamp(2).getTime
@@ -962,7 +1107,8 @@ object DedupTransform {
                   owner = Some((id, t, r.getSeq[Float](3).toArray))
                 case Some((oid, _, oemb)) if oid != id =>
                   val c = cosineSim(r.getSeq[Float](3), oemb)
-                  if (c >= threshold) out += Row(id, oid, c)
+                  if (c >= threshold && emitted.add(id))
+                    out += Row(id, oid, c)
                 case _ => () // the owner vector re-arriving
               }
             }

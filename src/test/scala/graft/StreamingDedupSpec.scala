@@ -451,4 +451,249 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(pairs == Seq(("4", "3")))
     StreamRunner.stopAll()
   }
+
+  test("dedup verdicts reduces drained candidate rows to per-doc " +
+      "min __dup_of; transitive closes chains") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-verd")
+      .toString
+    // drained-candidate shape: per-band rows, with a cross-batch
+    // re-emission (3,0,1 twice) the reduce must absorb
+    Seq((3L, 0, 2L), (3L, 1, 1L), (3L, 0, 1L), (3L, 0, 1L),
+      (5L, 2, 4L))
+      .toDF("id", "__band_idx", "__dup_of")
+      .write.mode("overwrite").parquet(s"$dir/cand")
+    val v = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: cand
+      |    module: storage
+      |    parameters: {path: $dir/cand}
+      |transforms:
+      |  - name: vd
+      |    module: dedup
+      |    inputs: [cand]
+      |    parameters: {method: verdicts, idField: id}
+      |""".stripMargin)("vd")
+    assert(v.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((3L, 1L), (5L, 4L)))
+    // transitive: 5's owner 4 is itself 3's dup chain? build a chain
+    // 2→1, 3→2 and close it to the component minimum
+    Seq((2L, 0, 1L), (3L, 0, 2L))
+      .toDF("id", "__band_idx", "__dup_of")
+      .write.mode("overwrite").parquet(s"$dir/chain")
+    val t = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: cand
+      |    module: storage
+      |    parameters: {path: $dir/chain}
+      |transforms:
+      |  - name: vd
+      |    module: dedup
+      |    inputs: [cand]
+      |    parameters: {method: verdicts, idField: id, transitive: true}
+      |""".stripMargin)("vd")
+    assert(t.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((2L, 1L), (3L, 1L)))
+  }
+
+  test("dedup verdicts with corpusInput restores the corpus id type, " +
+      "left-joins verdicts, and keep: canonical anti-joins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-verdc")
+      .toString
+    // STRING ids like a drained stream surfaces them — "10" < "9"
+    // lexically, so an un-cast min would elect the wrong owner
+    Seq(("10", 0, "9"), ("10", 1, "11"))
+      .toDF("id", "__band_idx", "__dup_of")
+      .write.mode("overwrite").parquet(s"$dir/cand")
+    Seq((9L, "doc nine"), (10L, "doc ten"), (11L, "doc eleven"))
+      .toDF("id", "text")
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val cfg = (keep: String) => s"""
+      |sources:
+      |  - name: cand
+      |    module: storage
+      |    parameters: {path: $dir/cand}
+      |  - name: corpus
+      |    module: storage
+      |    parameters: {path: $dir/corpus}
+      |transforms:
+      |  - name: vd
+      |    module: dedup
+      |    inputs: [cand, corpus]
+      |    parameters: {method: verdicts, idField: id$keep}
+      |""".stripMargin
+    val joined = Pipeline.build(spark, cfg(""))("vd")
+    val rows = joined.select($"id", $"__dup_of")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // numeric min: 9 < 11 (string min would pick "11")
+    assert(rows == Seq((9L, None), (10L, Some(9L)), (11L, None)))
+    val kept = Pipeline.build(spark,
+      cfg(", keep: canonical"))("vd")
+    assert(kept.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(9L, 11L))
+    assert(!kept.columns.contains("__dup_of"))
+    // keep without a corpus is meaningless — loud
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.build(spark, s"""
+        |sources:
+        |  - name: cand
+        |    module: storage
+        |    parameters: {path: $dir/cand}
+        |transforms:
+        |  - name: vd
+        |    module: dedup
+        |    inputs: [cand]
+        |    parameters: {method: verdicts, idField: id, keep: canonical}
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("corpusInput"), e.getMessage)
+  }
+
+  test("null event-time rows are skipped (not NPE-fatal) and a doc " +
+      "duplicated within one micro-batch emits once per band") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snull")
+      .toString
+    val textA = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the quiet green forest tonight"
+    def stageOpt(file: String,
+        rows: Seq[(Long, Option[Long], String)]): Unit = {
+      val tmp = s"$dir/tmp-$file"
+      rows.toDF("id", "secs", "text")
+        .select($"id", timestamp_seconds($"secs").as("ts"), $"text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val inDir = new java.io.File(s"$dir/in"); inDir.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, s"$file.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageOpt("b1", Seq((1L, Some(100L), textA)))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [ev]
+      |    strategy: {timestampField: ts, allowedLateness: 3600}
+      |    parameters: {method: minhash, field: text, idField: id}
+      |sinks:
+      |  - name: snull
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    // id 2 has a NULL event time (withWatermark does not drop it):
+    // skipped, never a candidate, and — the regression — the query
+    // must survive the batch. id 3 arrives TWICE in the same batch:
+    // exactly one candidate row per band, not two
+    stageOpt("b2", Seq((2L, None, textA),
+      (3L, Some(500L), textA), (3L, Some(500L), textA)))
+    StreamRunner.drainAll()
+    val rows = spark.sql("SELECT id, __dup_of FROM snull")
+      .as[(String, String)].collect().toSeq
+    assert(rows.distinct.sorted == Seq(("3", "1")), rows)
+    assert(rows.size == 8, rows) // 8 bands × once, in-batch dup folded
+    StreamRunner.stopAll()
+  }
+
+  test("streaming embedding dedup accepts an array<double> column " +
+      "like the batch path's implicit coercion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdblemb")
+      .toString
+    def stageEmbD(file: String,
+        rows: Seq[(Long, Long, Seq[Double])]): Unit = {
+      val tmp = s"$dir/tmp-$file"
+      rows.toDF("id", "secs", "embedding")
+        .select($"id", timestamp_seconds($"secs").as("ts"), $"embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val inDir = new java.io.File(s"$dir/in"); inDir.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, s"$file.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageEmbD("b1", Seq((1L, 100L, Seq(1.0, 0.0, 0.0, 0.0))))
+    Pipeline.execute(spark, s"""
+      |sources:
+      |  - name: ev
+      |    module: storage
+      |    parameters: {path: $dir/in, stream: true}
+      |transforms:
+      |  - name: dd
+      |    module: dedup
+      |    inputs: [ev]
+      |    strategy: {timestampField: ts, allowedLateness: 3600}
+      |    parameters: {method: embedding, field: embedding, idField: id,
+      |                 dim: 4, planes: 4, threshold: 0.95}
+      |sinks:
+      |  - name: sdbl
+      |    module: memory
+      |    input: dd
+      |    parameters: {outputMode: append}
+      |""".stripMargin)
+    StreamRunner.drainAll()
+    stageEmbD("b2", Seq((2L, 500L, Seq(0.9, 0.1, 0.0, 0.0))))
+    StreamRunner.drainAll()
+    val rows = spark.sql("SELECT id, __dup_of FROM sdbl")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(rows == Seq(("2", "1")), rows)
+    StreamRunner.stopAll()
+  }
+
+  test("maxVerifyChars bounds the owner text riding in ngram state: " +
+      "clipped verify accepts what the full-text verify rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scap")
+      .toString
+    // prefix-identical docs whose tails are single-char runs: the
+    // runs collapse to ~one distinct 5-gram each, so the FULL-text
+    // jaccard sits just below 0.97 while bands still collide; the
+    // 200-char clip sees identical text (jaccard 1.0)
+    val prefix = "the shared boilerplate opening paragraph that " +
+      "both documents repeat verbatim across the whole corpus and " +
+      "which dominates their character gram sets almost entirely " +
+      "so the minhash bands keep colliding here"
+    val tA = prefix + ("x" * 120)
+    val tB = prefix + ("y" * 120)
+    def run(cap: String, sink: String): Seq[(String, String)] = {
+      stage(dir, "b1", Seq((1L, 100L, tA)))
+      Pipeline.execute(spark, s"""
+        |sources:
+        |  - name: ev
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |transforms:
+        |  - name: dd
+        |    module: dedup
+        |    inputs: [ev]
+        |    strategy: {timestampField: ts, allowedLateness: 3600}
+        |    parameters: {method: ngram, field: text, idField: id,
+        |                 threshold: 0.97$cap}
+        |sinks:
+        |  - name: $sink
+        |    module: memory
+        |    input: dd
+        |    parameters: {outputMode: append}
+        |""".stripMargin)
+      StreamRunner.drainAll()
+      stage(dir, "b2", Seq((2L, 500L, tB)))
+      StreamRunner.drainAll()
+      val out = spark.sql(s"SELECT DISTINCT id, __dup_of FROM $sink")
+        .as[(String, String)].collect().sorted.toSeq
+      StreamRunner.stopAll()
+      // fresh input dir per run: each run re-stages b1/b2
+      new java.io.File(s"$dir/in").listFiles().foreach(_.delete())
+      out
+    }
+    // full-text verify: tails diverge → below 0.97, no candidate
+    assert(run("", "scap1").isEmpty)
+    // clipped to the shared prefix: verifies at 1.0 — the documented
+    // precision trade (differences past the cap are invisible)
+    assert(run(s", maxVerifyChars: ${prefix.length}", "scap2") ==
+      Seq(("2", "1")))
+  }
 }
