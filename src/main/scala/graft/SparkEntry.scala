@@ -6524,6 +6524,124 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // stream → candidates → VERDICTS composition: q178's streaming
+    // minhash pipeline drained, then the dedup `verdicts` batch mode
+    // reduces the per-band candidate rows (min __dup_of per doc) and
+    // left-joins them back onto the corpus — reproducing the batch
+    // dedup output shape end-to-end. Oracle = q20's per-doc reduce:
+    // the composed output must hash-match batch minhash dedup's flags
+    "q184_stream_dedup_verdicts" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q184_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + doc_id)"))
+      val mid = docs.agg(fexpr("percentile(doc_id, 0.5)")).head.getDouble(0)
+      stageBatch(docs, fcol("doc_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: minhash, field: text, idField: doc_id, hashAlgo: md5}
+sinks:
+  - name: sk
+    module: storage
+    input: dd
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fcol("doc_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      Pipeline.build(s, s"""
+sources:
+  - name: cand
+    module: storage
+    parameters: {path: "$out", format: parquet}
+  - name: corpus
+    module: storage
+    parameters: {path: "$dir/documents.parquet", format: parquet}
+transforms:
+  - name: vd
+    module: dedup
+    inputs: [cand, corpus]
+    parameters: {method: verdicts, idField: doc_id}
+  - name: sel
+    module: select
+    inputs: [vd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+""")("sel")
+    }),
+
+    // the same composition over the VERIFIED ngram streaming path:
+    // q183's drained candidates (exact Jaccard >= 0.7 at arrival)
+    // reduce to per-doc verdicts and left-join the corpus — oracle is
+    // q183's replay chain with the per-doc min folded in
+    "q185_stream_ngram_verdicts" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q185_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + doc_id)"))
+      val mid = docs.agg(fexpr("percentile(doc_id, 0.5)")).head.getDouble(0)
+      stageBatch(docs, fcol("doc_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: ngram, field: text, idField: doc_id, ngramSize: 5, threshold: 0.7, hashAlgo: md5}
+sinks:
+  - name: sk
+    module: storage
+    input: dd
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fcol("doc_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      Pipeline.build(s, s"""
+sources:
+  - name: cand
+    module: storage
+    parameters: {path: "$out", format: parquet}
+  - name: corpus
+    module: storage
+    parameters: {path: "$dir/documents.parquet", format: parquet}
+transforms:
+  - name: vd
+    module: dedup
+    inputs: [cand, corpus]
+    parameters: {method: verdicts, idField: doc_id, dupField: __dup_of}
+  - name: sel
+    module: select
+    inputs: [vd]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+""")("sel")
+    }),
+
     // STREAMING drift monitor: q170's PSI drift with the CURRENT
     // side arriving as a stream — per calendar-day window, one
     // windowed streaming aggregate carries the fixed conditional
@@ -10062,6 +10180,117 @@ transforms:
            CAST(p.b AS BIGINT) AS dup_of, round(j.jc, 6) AS jacc
          FROM cpb p JOIN j ON j.a = p.a AND j.b = p.b
          WHERE j.jc >= 0.7""",
+
+    // stream → candidates → verdicts composition ≡ batch minhash
+    // dedup's per-doc flags (q20's reduce): min owner over a doc's
+    // band candidates, left-joined onto the corpus
+    "q184_stream_dedup_verdicts" ->
+      """WITH toks0 AS (
+           SELECT doc_id, a[i] AS tok, i AS ord
+           FROM (SELECT doc_id, regexp_split_to_array(lower(text),
+                   '[^\p{L}\p{Nd}'']+') AS a
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(range(1, len(a) + 1)) u(i)
+           WHERE a[i] <> ''),
+         toks AS (
+           SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos,
+             count(*) OVER (PARTITION BY doc_id) AS n
+           FROM toks0),
+         grams AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' '
+                 || lead(tok, 2) OVER w AS gram
+           FROM toks WHERE n >= 3
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           QUALIFY pos <= n - 2
+           UNION ALL
+           SELECT d.doc_id, coalesce(s.joined, '') AS gram
+           FROM documents d
+           LEFT JOIN (SELECT doc_id,
+                        string_agg(tok, ' ' ORDER BY pos) AS joined
+                      FROM toks GROUP BY doc_id
+                      HAVING count(*) < 3) s USING (doc_id)
+           WHERE d.text IS NOT NULL
+             AND d.doc_id NOT IN (SELECT doc_id FROM toks WHERE n >= 3)),
+         gh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
+           FROM grams),
+         sig AS (
+           SELECT doc_id, s,
+             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
+           FROM gh CROSS JOIN range(0, 32) t(s)
+           GROUP BY doc_id, s),
+         bandkeys AS (
+           SELECT doc_id, s // 4 AS band_idx,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
+           FROM sig GROUP BY doc_id, s // 4),
+         cand AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys),
+         dup AS (
+           SELECT doc_id, min(rep) AS dup_of
+           FROM cand WHERE doc_id > rep GROUP BY doc_id)
+         SELECT d.doc_id, CAST(dup.dup_of AS BIGINT) AS dup_of
+         FROM documents d LEFT JOIN dup USING (doc_id)""",
+
+    // ngram streaming candidates (exact Jaccard >= 0.7) reduced to
+    // per-doc verdicts and joined onto the corpus
+    "q185_stream_ngram_verdicts" ->
+      """WITH lows AS (
+           SELECT doc_id, lower(text) AS t
+           FROM documents WHERE text IS NOT NULL),
+         grams AS (
+           SELECT doc_id, substr(t, i::INT, 5) AS gram
+           FROM lows, LATERAL unnest(range(1, length(t) - 3)) u(i)
+           WHERE length(t) >= 5
+           UNION ALL
+           SELECT doc_id, t AS gram FROM lows WHERE length(t) < 5),
+         gh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
+           FROM grams),
+         sig AS (
+           SELECT doc_id, s,
+             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
+           FROM gh CROSS JOIN range(0, 32) t(s)
+           GROUP BY doc_id, s),
+         bandkeys AS (
+           SELECT doc_id, s // 4 AS band_idx,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
+           FROM sig GROUP BY doc_id, s // 4),
+         cand AS (
+           SELECT doc_id, band_idx,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys),
+         cpb AS (
+           SELECT DISTINCT doc_id AS a, rep AS b
+           FROM cand WHERE doc_id > rep),
+         dgrams AS (SELECT DISTINCT doc_id, gram FROM grams),
+         gsize AS (
+           SELECT doc_id, count(*) AS n FROM dgrams GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, count(*) AS i
+           FROM cpb p
+           JOIN dgrams ga ON ga.doc_id = p.a
+           JOIN dgrams gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+           GROUP BY p.a, p.b),
+         j AS (
+           SELECT i.a, i.b, i.i::DOUBLE / (sa.n + sb.n - i.i) AS jc
+           FROM inter i
+           JOIN gsize sa ON sa.doc_id = i.a
+           JOIN gsize sb ON sb.doc_id = i.b),
+         dup AS (
+           SELECT a AS doc_id, min(b) AS dup_of
+           FROM j WHERE jc >= 0.7 GROUP BY a)
+         SELECT d.doc_id, CAST(dup.dup_of AS BIGINT) AS dup_of
+         FROM documents d LEFT JOIN dup USING (doc_id)""",
 
     // streaming embedding near-dedup drained over time-ordered halves
     // ≡ the batch md5-plane replay's verified pairs (q22's chain),
