@@ -716,8 +716,12 @@ object StreamRunner {
           .map(_.getName).filter(_.startsWith("__obatch="))
           .map(_.stripPrefix("__obatch=").toLong)
         val priorId = snapIds.filter(_ < batchId).sorted.lastOption
+        // snapshot files written by the merged pane+ordinals job
+        // carry the full pane schema (non-key columns null-padded by
+        // the union below) — select back down to the ordinal rows
         val prior = priorId.map(id => spark.read
-          .parquet(s"$ordsDir/__obatch=$id"))
+          .parquet(s"$ordsDir/__obatch=$id")
+          .select((keyCols :+ "__pane_index").map(col): _*))
         val withIdx = prior match {
           case None => pane.withColumn("__pane_index", lit(0L))
           case Some(p) if keyCols.isEmpty =>
@@ -727,32 +731,7 @@ object StreamRunner {
               .withColumn("__pane_index",
                 coalesce(col("__pane_index"), lit(0L)))
         }
-        // Idempotent publish: stage under the checkpoint, then move
-        // each part file into the sink under a batch-stamped name,
-        // deleting any `b<id>-*` leftovers from a failed prior attempt
-        // first — a replay of this batch re-publishes the identical
-        // set instead of appending a duplicate. (Local-FS rename
-        // protocol; an object-store deployment would swap this for
-        // the committer's equivalent.)
-        val stageDir = new java.io.File(ckpt + s"/pane-stage/$batchId")
-        timed("pane-stage-write") {
-          withIdx.write.mode("overwrite").parquet(stageDir.toString) }
-        val dst = new java.io.File(sinkPath.get)
-        dst.mkdirs()
-        Option(dst.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.startsWith(s"b$batchId-"))
-          .foreach(_.delete())
-        Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach { f =>
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-        Option(stageDir.listFiles()).getOrElse(Array.empty[java.io.File])
-          .foreach(_.delete())
-        stageDir.delete()
-        // roll the ordinals snapshot: prior counts + this firing's
+        // the NEXT ordinals snapshot: prior counts + this firing's
         // panes, pruned to the open horizon (an expired window can
         // never fire again, so its rows drop). Only the snapshot
         // just read and the one just written survive — the read one
@@ -786,8 +765,64 @@ object StreamRunner {
               e.cast("long") * 1000L + latenessMs >= f)
           case None => merged
         }
-        timed("ords-write") { pruned.write.mode("overwrite")
-          .parquet(s"$ordsDir/__obatch=$batchId") }
+        // ONE write job and one stage → rename cycle for BOTH the
+        // pane publish and the next ordinals snapshot: the two
+        // frames union under a role partition column (the ordinal
+        // rows null-pad the non-key columns), so the batch pays one
+        // job-schedule + commit instead of two. Idempotent publish:
+        // stage under the checkpoint, then move each pane part file
+        // into the sink under a batch-stamped name (deleting any
+        // `b<id>-*` leftovers from a failed prior attempt first) and
+        // the ordinal partition to `__obatch=<id>` — a replay of
+        // this batch re-publishes the identical set instead of
+        // appending a duplicate. (Local-FS rename protocol; an
+        // object-store deployment would swap this for the
+        // committer's equivalent.)
+        val stageDir = new java.io.File(ckpt + s"/pane-stage/$batchId")
+        timed("pane-stage-write") {
+          withIdx.withColumn("__graft_role", lit("pane"))
+            .unionByName(
+              pruned.withColumn("__graft_role", lit("ords")),
+              allowMissingColumns = true)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("__graft_role")
+            .parquet(stageDir.toString) }
+        val dst = new java.io.File(sinkPath.get)
+        dst.mkdirs()
+        Option(dst.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith(s"b$batchId-"))
+          .foreach(_.delete())
+        val paneStage = new java.io.File(stageDir, "__graft_role=pane")
+        Option(paneStage.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        val ordsTarget = new java.io.File(s"$ordsDir/__obatch=$batchId")
+        ordsDir.mkdirs() // first batch: the parquet write used to create it
+        Option(ordsTarget.listFiles())
+          .getOrElse(Array.empty[java.io.File]).foreach(_.delete())
+        ordsTarget.delete()
+        val ordsStage = new java.io.File(stageDir, "__graft_role=ords")
+        if (ordsStage.exists())
+          java.nio.file.Files.move(ordsStage.toPath, ordsTarget.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else
+          // every new ordinal row was retention-pruned (e.g. a
+          // lateness-0 closing): an empty partition writes no dir,
+          // but the snapshot chain needs a schema-bearing marker so
+          // the next batch resets cleanly instead of resurrecting
+          // the pre-prior snapshot
+          pruned.write.mode("overwrite").parquet(ordsTarget.toString)
+        def rmRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmRec)
+          f.delete(); ()
+        }
+        rmRec(stageDir)
         snapIds.filter(id => id != batchId && priorId.forall(_ != id))
           .foreach { id =>
             val d = new java.io.File(s"$ordsDir/__obatch=$id")
