@@ -611,6 +611,68 @@ sinks:
       evBase.unpersist()
     }
 
+    // STREAMING near-dedup rate ladder: the replicated corpus arrives
+    // as three time-ordered staged batches through the watermark-
+    // bounded minhash LSH path (ts rides doc_id, horizon = a third of
+    // the stream's span so bucket-owner state EXPIRES mid-run — the
+    // boundedness claim, not just throughput). Prints per-batch drain
+    // latency and the drained candidate volume.
+    if (only.forall(_.contains("streamlsh"))) {
+      val sBase = java.nio.file.Files
+        .createTempDirectory("scale-slsh").toString
+      val sIn = new java.io.File(sBase + "/in"); sIn.mkdirs()
+      val sOut = sBase + "/out"
+      val sDocs = docs.withColumn("ts",
+        expr("timestamp_seconds(1700000000 + doc_id)"))
+      val maxId = sDocs.agg(max("doc_id")).head.getLong(0)
+      val horizon = math.max(maxId / 3, 60L)
+      def sStage(n: Int, cond: org.apache.spark.sql.Column): Unit = {
+        val tmp = sBase + s"/tmp$n"
+        sDocs.filter(cond).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(sIn, s"s$n-$i.parquet").toPath) }
+      }
+      sStage(0, col("doc_id") <= maxId / 3)
+      val t0s = System.nanoTime()
+      Pipeline.execute(spark, s"""
+sources:
+  - name: d
+    module: storage
+    parameters: {path: "$sIn", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [d]
+    strategy: {timestampField: ts, allowedLateness: $horizon}
+    parameters: {method: minhash, field: text, idField: doc_id, stateShufflePartitions: 32}
+sinks:
+  - name: sk
+    module: storage
+    input: dd
+    parameters: {output: "$sOut", format: parquet, checkpointLocation: "$sBase/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      println(f"SCALE streamlsh-b0          " +
+        f"${(System.nanoTime() - t0s) / 1e9}%6.2f s")
+      Seq(
+        col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3,
+        col("doc_id") > 2 * maxId / 3).zipWithIndex.foreach {
+        case (cond, i) =>
+          sStage(i + 1, cond)
+          val t = System.nanoTime()
+          graft.streaming.StreamRunner.drainAll()
+          println(f"SCALE streamlsh-b${i + 1}          " +
+            f"${(System.nanoTime() - t) / 1e9}%6.2f s")
+      }
+      graft.streaming.StreamRunner.stopAll()
+      val cand = spark.read.parquet(sOut).count()
+      println(s"SCALE streamlsh: $cand candidate rows drained over " +
+        s"$total docs (horizon ${horizon}s of ${maxId}s span)")
+    }
+
     if (sys.env.contains("SCALE_SKIP_EMB")) { spark.stop(); return }
 
     // ANN: iid synthetic vectors (replicated real vectors collide in
