@@ -83,7 +83,11 @@ object DedupTransform {
     // pre-validate the streaming contract BEFORE any scoped session
     // conf mutates: scopeConf's only restore path is stopAll, which
     // a failed build never reaches — mutating first would leak the
-    // override into the session when a later check throws
+    // override into the session when a later check throws. The
+    // validated (strategy, ts) pair is passed down so the contract
+    // (and its unknown-key warning) runs exactly once per build
+    var streamContract: Option[
+      (com.fasterxml.jackson.databind.JsonNode, String)] = None
     if (raw.isStreaming) method match {
       case "exact" =>
         require(cfg.node("strategy")
@@ -93,7 +97,7 @@ object DedupTransform {
             "event-time horizon the seen-fingerprint state grows " +
             "with the whole stream")
       case "minhash" | "simhash" | "embedding" | "ngram" =>
-        streamingDedupContract(cfg, method) // throws on a bad contract
+        streamContract = Some(streamingDedupContract(cfg, method))
       case "decontaminate" => () // stream-against-static, stateless
       case other =>
         throw new IllegalArgumentException(
@@ -126,12 +130,8 @@ object DedupTransform {
       val strategy = cfg.node("strategy").getOrElse(
         graft.config.Json.obj())
       graft.streaming.Strategy.warnUnknownKeys(strategy, cfg.name)
-      val ts = strategy.str("timestampField").getOrElse(
-        throw new IllegalArgumentException(
-          "streaming exact dedup needs strategy.timestampField (and " +
-            "allowedLateness) to bound its state: without an " +
-            "event-time horizon the seen-fingerprint state grows " +
-            "with the whole stream"))
+      // presence guaranteed by the pre-validation require above
+      val ts = strategy.str("timestampField").get
       val textField = p.str("field").getOrElse("text")
       val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
       val out = wm.withColumn("__fp", fingerprint(col(textField)))
@@ -145,17 +145,17 @@ object DedupTransform {
     // corpus). Emits per-BAND candidate rows; see streamingLsh.
     if (raw.isStreaming && (method == "minhash" || method == "simhash"))
       return TransformCommon.finishRouted(
-        streamingLsh(raw, cfg, method), cfg)
+        streamingLsh(raw, cfg, method, streamContract.get), cfg)
     // streaming embedding near-dedup: hyperplane bucket owner state
     // + cosine verify at arrival; see streamingEmbedding
     if (raw.isStreaming && method == "embedding")
       return TransformCommon.finishRouted(
-        streamingEmbedding(raw, cfg), cfg)
+        streamingEmbedding(raw, cfg, streamContract.get), cfg)
     // streaming ngram near-dedup: char-gram banding + exact Jaccard
     // verify against the owner's text; see streamingNgram
     if (raw.isStreaming && method == "ngram")
       return TransformCommon.finishRouted(
-        streamingNgram(raw, cfg), cfg)
+        streamingNgram(raw, cfg, streamContract.get), cfg)
     // (non-streamable methods on a stream threw in the pre-validation
     // match above, before any conf scoped)
     // cross-corpus mode: flag primary rows near-duplicating a
@@ -385,8 +385,21 @@ object DedupTransform {
               s"dedup ${cfg.name}: verdicts keep needs a " +
                 "corpusInput (the collection to filter); without " +
                 "one the output is the verdict rows themselves")
-            val pairs = df.select(col(idField).as("__id"),
-              col(dupField).as("__rep_id"))
+            // `idType` restores the ORIGINAL id type when there is
+            // no corpus to infer it from: a drained stream surfaces
+            // ids as strings, where min is lexicographic ("10" <
+            // "9") — wrong for numeric ids, though exactly batch
+            // semantics for genuinely-string ids, so the un-cast
+            // default stays valid for those
+            val cast: Column => Column = p.str("idType") match {
+              case Some(t) =>
+                val dt = graft.schema.SchemaMapper
+                  .baseType(t, graft.config.Json.obj())
+                c => c.cast(dt)
+              case None => identity
+            }
+            val pairs = df.select(cast(col(idField)).as("__id"),
+              cast(col(dupField)).as("__rep_id"))
             val v =
               if (transitive) componentMin(pairs.distinct(), maxIter)
               else pairs.groupBy("__id")
@@ -756,12 +769,14 @@ object DedupTransform {
     * Ids surface as strings (one fixed state/output schema for any
     * id type); downstream casts restore the original type. */
   private def streamingLsh(raw: DataFrame, cfg: ModuleCfg,
-      method: String): DataFrame = {
+      method: String,
+      contract: (com.fasterxml.jackson.databind.JsonNode, String))
+      : DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val p = cfg.params
-    val (strategy, ts) = streamingDedupContract(cfg, method)
+    val (strategy, ts) = contract // validated once in build()
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(raw.columns.head)
     val md5Mode = p.str("hashAlgo").contains("md5")
@@ -884,13 +899,14 @@ object DedupTransform {
     * smaller than its gram set, and a doc verifies only against the
     * buckets it collides with (CPU per arrival is bands × one gram
     * pass, documented trade for bounded state). */
-  private def streamingNgram(raw: DataFrame,
-      cfg: ModuleCfg): DataFrame = {
+  private def streamingNgram(raw: DataFrame, cfg: ModuleCfg,
+      contract: (com.fasterxml.jackson.databind.JsonNode, String))
+      : DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val p = cfg.params
-    val (strategy, ts) = streamingDedupContract(cfg, "ngram")
+    val (strategy, ts) = contract // validated once in build()
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(raw.columns.head)
     val md5Mode = p.str("hashAlgo").contains("md5")
@@ -1043,13 +1059,14 @@ object DedupTransform {
     * verified pairs (md5 plane mode replays in SQL — the q179
     * oracle). Cosine here is the same index-ordered double loop as
     * the batch verify, so thresholds agree bit-identically. */
-  private def streamingEmbedding(raw: DataFrame,
-      cfg: ModuleCfg): DataFrame = {
+  private def streamingEmbedding(raw: DataFrame, cfg: ModuleCfg,
+      contract: (com.fasterxml.jackson.databind.JsonNode, String))
+      : DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val p = cfg.params
-    val (strategy, ts) = streamingDedupContract(cfg, "embedding")
+    val (strategy, ts) = contract // validated once in build()
     val embField = p.str("field").getOrElse("embedding")
     val idField = p.str("idField").getOrElse(raw.columns.head)
     val md5Mode = p.str("hashAlgo").contains("md5")

@@ -801,11 +801,18 @@ object StreamRunner {
               new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           }
+        def rmRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rmRec)
+          f.delete(); ()
+        }
         val ordsTarget = new java.io.File(s"$ordsDir/__obatch=$batchId")
         ordsDir.mkdirs() // first batch: the parquet write used to create it
-        Option(ordsTarget.listFiles())
-          .getOrElse(Array.empty[java.io.File]).foreach(_.delete())
-        ordsTarget.delete()
+        // RECURSIVE pre-move cleanup: a failed prior attempt (or a
+        // pre-merge-era crash) can leave a _temporary subdir inside
+        // the target, which a flat delete would skip — Files.move
+        // then throws DirectoryNotEmptyException on every replay
+        if (ordsTarget.exists()) rmRec(ordsTarget)
         val ordsStage = new java.io.File(stageDir, "__graft_role=ords")
         if (ordsStage.exists())
           java.nio.file.Files.move(ordsStage.toPath, ordsTarget.toPath,
@@ -817,11 +824,6 @@ object StreamRunner {
           // the next batch resets cleanly instead of resurrecting
           // the pre-prior snapshot
           pruned.write.mode("overwrite").parquet(ordsTarget.toString)
-        def rmRec(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmRec)
-          f.delete(); ()
-        }
         rmRec(stageDir)
         snapIds.filter(id => id != batchId && priorId.forall(_ != id))
           .foreach { id =>

@@ -493,6 +493,25 @@ class StreamingDedupSpec extends AnyFunSuite {
       |""".stripMargin)("vd")
     assert(t.as[(Long, Long)].collect().sorted.toSeq ==
       Seq((2L, 1L), (3L, 1L)))
+    // no-corpus verdicts over STREAM-surfaced STRING ids: idType
+    // restores the numeric order ("10" < "9" lexically would elect
+    // owner 11 over 9); without idType the un-cast min is the
+    // documented batch semantic for genuinely-string ids
+    Seq(("10", 0, "9"), ("10", 1, "11"))
+      .toDF("id", "__band_idx", "__dup_of")
+      .write.mode("overwrite").parquet(s"$dir/scand")
+    val n = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: cand
+      |    module: storage
+      |    parameters: {path: $dir/scand}
+      |transforms:
+      |  - name: vd
+      |    module: dedup
+      |    inputs: [cand]
+      |    parameters: {method: verdicts, idField: id, idType: int64}
+      |""".stripMargin)("vd")
+    assert(n.as[(Long, Long)].collect().toSeq == Seq((10L, 9L)))
   }
 
   test("dedup verdicts with corpusInput restores the corpus id type, " +
