@@ -6377,6 +6377,65 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // the verdicts composition over the EMBEDDING streaming path:
+    // q179's drained verified candidates reduce per-doc and left-
+    // join the corpus — with one hyperplane bucket per vector the
+    // reduce is the identity on dup_of, so this pins the corpus-join
+    // / type-restoration half on the third near-dedup family
+    "q188_stream_embedding_verdicts" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q188_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + vec_id)"))
+      val mid = emb.agg(fexpr("percentile(vec_id, 0.5)")).head.getDouble(0)
+      stageBatch(emb, fcol("vec_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [emb]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: embedding, field: embedding, idField: vec_id, threshold: 0.15, planes: 4, hashAlgo: md5}
+sinks:
+  - name: sk
+    module: storage
+    input: dd
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(emb, fcol("vec_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      Pipeline.build(s, s"""
+sources:
+  - name: cand
+    module: storage
+    parameters: {path: "$out", format: parquet}
+  - name: corpus
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet", format: parquet}
+transforms:
+  - name: vd
+    module: dedup
+    inputs: [cand, corpus]
+    parameters: {method: verdicts, idField: vec_id}
+  - name: sel
+    module: select
+    inputs: [vd]
+    parameters:
+      select:
+        - {name: vec_id}
+        - {name: dup_of, field: __dup_of, type: int64}
+""")("sel")
+    }),
+
     // STREAMING decontaminate: the corpus streams against the static
     // benchmark via a per-row membership check (map-side, stateless,
     // no watermark — each micro-batch flags independently), so the
@@ -10552,6 +10611,51 @@ transforms:
          SELECT a AS vec_id, CAST(b AS BIGINT) AS dup_of,
            round(c, 6) AS cosine
          FROM cosv WHERE c >= 0.15""",
+
+    // q179's verified-candidate chain reduced per doc and joined
+    // back onto the corpus (null dup_of = canonical)
+    "q188_stream_embedding_verdicts" ->
+      """WITH pl AS (
+           SELECT p, i,
+             ('0x' || substr(md5('plane:' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 4) t(p) CROSS JOIN range(0, 64) s(i)),
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         dots AS (
+           SELECT e.vec_id, pl.p,
+             sum(e.embedding[pl.i + 1]::DOUBLE * pl.u) AS dot
+           FROM e JOIN pl ON pl.i < len(e.embedding)
+           GROUP BY e.vec_id, pl.p),
+         buck AS (
+           SELECT vec_id,
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM dots GROUP BY vec_id),
+         cand AS (
+           SELECT vec_id, min(vec_id) OVER (PARTITION BY bucket) AS rep
+           FROM buck),
+         pairs AS (
+           SELECT vec_id AS a, rep AS b FROM cand WHERE vec_id > rep),
+         cosv AS (
+           SELECT p.a, p.b,
+             sum(ea.embedding[u.i]::DOUBLE * eb.embedding[u.i]::DOUBLE) /
+             (sqrt(sum(ea.embedding[u.i]::DOUBLE
+                     * ea.embedding[u.i]::DOUBLE)) *
+              sqrt(sum(eb.embedding[u.i]::DOUBLE
+                     * eb.embedding[u.i]::DOUBLE))) AS c
+           FROM pairs p
+           JOIN e ea ON ea.vec_id = p.a
+           JOIN e eb ON eb.vec_id = p.b,
+           LATERAL unnest(range(1,
+             least(len(ea.embedding), len(eb.embedding)) + 1)) u(i)
+           GROUP BY p.a, p.b),
+         dup AS (
+           SELECT a AS vec_id, min(b) AS dup_of
+           FROM cosv WHERE c >= 0.15 GROUP BY a)
+         SELECT v.vec_id, CAST(dup.dup_of AS BIGINT) AS dup_of
+         FROM embeddings v LEFT JOIN dup USING (vec_id)""",
 
     // streaming decontaminate is per-row and stateless, so the
     // drained union over the staged halves ≡ q48's batch oracle
