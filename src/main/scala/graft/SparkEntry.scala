@@ -1149,6 +1149,65 @@ transforms:
         - {name: rank, type: int32}
 """),
 
+    // PERSISTABLE PQ index: action index encodes the corpus once and
+    // writes (id, m-byte codes) + the codebook to storage; a second
+    // pipeline queries THROUGH the stored index (indexInput/
+    // codebookInput — the float corpus is never re-read). Equals the
+    // direct PQ+lsh run, so the oracle is q187's full replay chain
+    "q189_knn_pq_index" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q189_")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [emb]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, hashAlgo: md5}
+sinks:
+  - name: s1
+    module: storage
+    input: idx
+    parameters: {output: "$base/codes", format: parquet}
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: i
+    module: storage
+    parameters: {path: "$base/codes"}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [i, q, cb]
+    parameters: {method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8, hashAlgo: md5, indexInput: i, codebookInput: cb}
+  - name: sel
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+""")("sel")
+    }),
+
     // similarity: LSH-bucketed ANN in hashAlgo:md5 mode — plane
     // derivation, bucket assignment, cosine and top-k all replay in
     // the DuckDB oracle
@@ -10715,6 +10774,89 @@ transforms:
            FROM pairs p
            JOIN e eq ON eq.vec_id = p.query_id
            JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
+
+    // build-once/query-many PQ index roundtrip: identical semantics
+    // to the direct PQ+lsh run, so the oracle is q187's chain
+    "q189_knn_pq_index" ->
+      """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
+               AS r
+           FROM codes c JOIN cb ON cb.ci = c.ci
+           GROUP BY c.vec_id),
+         pl AS (
+           SELECT t, p, i,
+             ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 8) tt(t)
+           CROSS JOIN range(0, 6) pp(p)
+           CROSS JOIN range(0, 64) s(i)),
+         cdots AS (
+           SELECT r.vec_id, pl.t, pl.p,
+             sum(r.r[pl.i + 1] * pl.u) AS dot
+           FROM recon r JOIN pl ON pl.i < len(r.r)
+           GROUP BY r.vec_id, pl.t, pl.p),
+         cbuck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM cdots GROUP BY vec_id, t),
+         qe AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings
+           WHERE vec_id < 5 AND embedding IS NOT NULL),
+         qdots AS (
+           SELECT q.vec_id, pl.t, pl.p,
+             sum(q.e[pl.i + 1] * pl.u) AS dot
+           FROM qe q JOIN pl ON pl.i < len(q.e)
+           GROUP BY q.vec_id, pl.t, pl.p),
+         qbuck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM qdots GROUP BY vec_id, t),
+         pairs AS (
+           SELECT DISTINCT qb.vec_id AS query_id,
+             cbk.vec_id AS neighbor_id
+           FROM cbuck cbk
+           JOIN qbuck qb ON cbk.bucket = qb.bucket
+           WHERE cbk.vec_id <> qb.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_dot_product(q.e, r.r) /
+                 (sqrt(list_dot_product(q.e, q.e)) *
+                  sqrt(list_dot_product(r.r, r.r))) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN qe q ON q.vec_id = p.query_id
+           JOIN recon r ON r.vec_id = p.neighbor_id)
          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 5""",
 

@@ -34,6 +34,16 @@ object SimilarityTransform {
       "Build the index over the bounded corpus in a batch stage; "
         + "dedup method: embedding handles the STREAMING "
         + "flag-against-recent-arrivals case.")
+    // `action: index` — PERSISTABLE PQ index build: encode the
+    // corpus ONCE (the expensive full-width pass at 100 TB) and emit
+    // (id, m-byte codes) plus a `.codebook` side output; any number
+    // of later query jobs read them back via indexInput/
+    // codebookInput without ever touching the float corpus again —
+    // the build-once / query-many shape of a production ANN serving
+    // index. md5-seeded codebooks keep the whole stored index
+    // SQL-replayable.
+    if (p.str("action").contains("index"))
+      return buildPqIndex(spark, cfg, corpus)
     // `selfJoin: true` — EVERY corpus vector is a query (the
     // semdedup / neighbor-graph primitive: top-k neighbors for each
     // document). The broadcast-queries contract doesn't apply: the
@@ -82,26 +92,48 @@ object SimilarityTransform {
     require(pqM.isEmpty || !quantizedIdx,
       s"similarity ${cfg.name}: pqM and quantized: true are " +
         "exclusive — pick one index codec")
-    val pqCodec: Option[PqCodec] = pqM.map { m =>
-      require(m >= 1 && m <= 256,
-        s"similarity ${cfg.name}: pqM must be in [1, 256]")
-      val ks = p.int("pqCodebookSize").getOrElse(16)
-      require(ks >= 2 && ks <= 256,
-        s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
-          " (codes are uint8)")
-      val dim = corpus.select(col(embField)).filter(col(embField)
-        .isNotNull).head.getSeq[Float](0).length
-      require(dim % m == 0,
-        s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
-          s"dim ($dim)")
-      val md5Seeded0 = p.str("hashAlgo").contains("md5")
-      val seed =
-        if (md5Seeded0) md5SeededInit(corpus, embField, idField, ks)
-        else null
-      PqCodec.fit(corpus, embField, m, ks, dim,
-        if (md5Seeded0) 0 else p.int("pqFitIterations").getOrElse(2),
-        seed)
+    // `indexInput` + `codebookInput` — query a PREBUILT PQ index
+    // (the `action: index` output read back from storage): the
+    // first input is the (id, __pq) code frame, the second the
+    // queries, and codebookInput the persisted codebooks. The raw
+    // float corpus is never read.
+    val prebuilt = p.str("indexInput")
+    prebuilt.foreach { n =>
+      require(cfg.inputs.headOption.contains(n),
+        s"similarity ${cfg.name}: indexInput '$n' must be the FIRST " +
+          s"input (inputs: ${cfg.inputs.mkString(", ")}) — order " +
+          "them [index, queries, codebook]")
+      require(!quantizedIdx && pqM.isEmpty,
+        s"similarity ${cfg.name}: indexInput IS the index — " +
+          "quantized/pqM do not combine with it")
+      require(p.str("method").getOrElse("bruteforce") != "ivf",
+        s"similarity ${cfg.name}: ivf needs the raw corpus to fit " +
+          "its centroids — query a prebuilt PQ index with method: " +
+          "lsh or bruteforce, or rebuild with the corpus input")
     }
+    val pqCodec: Option[PqCodec] =
+      if (prebuilt.isDefined)
+        Some(codecFromCodebookRows(cfg, inputs, p))
+      else pqM.map { m =>
+        require(m >= 1 && m <= 256,
+          s"similarity ${cfg.name}: pqM must be in [1, 256]")
+        val ks = p.int("pqCodebookSize").getOrElse(16)
+        require(ks >= 2 && ks <= 256,
+          s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
+            " (codes are uint8)")
+        val dim = corpus.select(col(embField)).filter(col(embField)
+          .isNotNull).head.getSeq[Float](0).length
+        require(dim % m == 0,
+          s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
+            s"dim ($dim)")
+        val md5Seeded0 = p.str("hashAlgo").contains("md5")
+        val seed =
+          if (md5Seeded0) md5SeededInit(corpus, embField, idField, ks)
+          else null
+        PqCodec.fit(corpus, embField, m, ks, dim,
+          if (md5Seeded0) 0 else p.int("pqFitIterations").getOrElse(2),
+          seed)
+      }
     val hasIdx = quantizedIdx || pqCodec.isDefined
     val idxCol = if (quantizedIdx) "__c_qv" else "__c_pq"
     def encodeCol(e: org.apache.spark.sql.Column) =
@@ -121,8 +153,15 @@ object SimilarityTransform {
         graft.ops.CacheTracker.trackPersist(df)
       else df
     val cIndex =
-      if (hasIdx) pinStatic(corpus.select(col(idField).as("neighbor_id"),
-        encodeCol(col(embField)).as(idxCol)))
+      if (prebuilt.isDefined)
+        // codes were persisted by `action: index` — no encode pass
+        pinStatic(inputs(prebuilt.get)
+          .filter(col("__pq").isNotNull)
+          .select(col(idField).as("neighbor_id"),
+            col("__pq").as(idxCol)))
+      else if (hasIdx)
+        pinStatic(corpus.select(col(idField).as("neighbor_id"),
+          encodeCol(col(embField)).as(idxCol)))
       else null
     val c =
       if (hasIdx) cIndex.withColumn("__c_emb", decodeCol(col(idxCol)))
@@ -515,6 +554,87 @@ object SimilarityTransform {
     * `ids(p)` — driver-side collect bounded by the codebook size (a
     * codebook is centroids-count-sized by definition, never
     * corpus-sized). */
+  /** `action: index` — encode the corpus once, emit the persistable
+    * (id, m-byte codes) frame plus a `.codebook` side output
+    * ((__j, __ci, __centroid) — m·ks rows, trivially storable).
+    * Write both to storage; later query jobs feed them back via
+    * indexInput/codebookInput and never read the float corpus
+    * again. Null embeddings drop (they can never score). */
+  private def buildPqIndex(spark: SparkSession, cfg: ModuleCfg,
+      corpus: DataFrame): Map[String, DataFrame] = {
+    import spark.implicits._
+    val p = cfg.params
+    val embField = p.str("field").getOrElse("embedding")
+    val idField = p.str("idField").getOrElse("vec_id")
+    val m = p.int("pqM").getOrElse(throw new IllegalArgumentException(
+      s"similarity ${cfg.name}: action: index requires pqM (the " +
+        "product-quantization width — the persistable index is the " +
+        "PQ codec's (id, codes) frame)"))
+    require(m >= 1 && m <= 256,
+      s"similarity ${cfg.name}: pqM must be in [1, 256]")
+    val ks = p.int("pqCodebookSize").getOrElse(16)
+    require(ks >= 2 && ks <= 256,
+      s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
+        " (codes are uint8)")
+    val dim = corpus.select(col(embField))
+      .filter(col(embField).isNotNull).head.getSeq[Float](0).length
+    require(dim % m == 0,
+      s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
+        s"dim ($dim)")
+    val md5Seeded = p.str("hashAlgo").contains("md5")
+    val seed =
+      if (md5Seeded) md5SeededInit(corpus, embField, idField, ks)
+      else null
+    val codec = PqCodec.fit(corpus, embField, m, ks, dim,
+      if (md5Seeded) 0 else p.int("pqFitIterations").getOrElse(2),
+      seed)
+    val codes = corpus.filter(col(embField).isNotNull)
+      .select(col(idField), codec.encode(col(embField)).as("__pq"))
+    val cbRows = for {
+      j <- codec.codebooks.indices
+      ci <- codec.codebooks(j).indices
+    } yield (j, ci, codec.codebooks(j)(ci).toSeq)
+    val cb = cbRows.toDF("__j", "__ci", "__centroid")
+    Map(cfg.name -> codes, s"${cfg.name}.codebook" -> cb)
+  }
+
+  /** Rebuild the PqCodec from a persisted `.codebook` frame — the
+    * collect is bounded by m·ks ≤ 65536 rows of d/m floats. */
+  private def codecFromCodebookRows(cfg: ModuleCfg,
+      inputs: Map[String, DataFrame],
+      p: com.fasterxml.jackson.databind.JsonNode): PqCodec = {
+    val cbName = p.str("codebookInput").getOrElse(
+      throw new IllegalArgumentException(
+        s"similarity ${cfg.name}: indexInput needs codebookInput — " +
+          "the action: index run's `.codebook` output read back " +
+          "from storage"))
+    val cbDf = inputs.getOrElse(cbName,
+      throw new IllegalArgumentException(
+        s"similarity ${cfg.name}: unknown codebookInput '$cbName' " +
+          s"(inputs: ${cfg.inputs.mkString(", ")})"))
+    require(!cbDf.isStreaming,
+      s"similarity ${cfg.name}: codebookInput must be bounded")
+    val rows = cbDf.select(col("__j").cast("int"),
+        col("__ci").cast("int"),
+        col("__centroid").cast(ArrayType(FloatType)))
+      .collect()
+    require(rows.nonEmpty,
+      s"similarity ${cfg.name}: codebookInput '$cbName' is empty")
+    val byJ = rows.groupBy(_.getInt(0))
+    val m = byJ.keys.max + 1
+    val codebooks = (0 until m).map { j =>
+      val entries = byJ.getOrElse(j,
+        throw new IllegalArgumentException(
+          s"similarity ${cfg.name}: codebook is missing subspace $j"))
+        .sortBy(_.getInt(1))
+      require(entries.map(_.getInt(1)).toSeq == entries.indices,
+        s"similarity ${cfg.name}: codebook subspace $j has gaps in " +
+          "its centroid indices")
+      entries.map(_.getSeq[Float](2).toArray).toArray
+    }.toArray
+    PqCodec(codebooks)
+  }
+
   private[operators] def codebookFromIds(corpus: DataFrame, embField: String,
       idField: String, ids: Seq[Long]): Array[Array[Float]] = {
     val byId = corpus

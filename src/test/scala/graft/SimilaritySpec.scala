@@ -130,6 +130,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("divide"), e2.getMessage)
   }
 
+  test("persistable pq index: action index + storage roundtrip + " +
+      "indexInput query equals the direct pq run; guards fire") {
+    val dim = 8
+    val corpus = (1L to 60L).map(i => (i, intVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val queries = (1001L to 1005L).map(i => (i, intVec(i * 7, dim)))
+      .toDF("vec_id", "embedding")
+    val built = Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("idx", "similarity", Seq("c"), Nil,
+        graft.config.Json.parse(
+          """{"action": "index", "field": "embedding",
+              "idField": "vec_id", "pqM": 4, "pqCodebookSize": 16,
+              "hashAlgo": "md5"}"""),
+        graft.config.Json.obj()),
+      Map("c" -> corpus))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx")
+      .toString
+    built("idx").write.parquet(s"$dir/codes")
+    built("idx.codebook").write.parquet(s"$dir/cb")
+    // codes are m bytes per vector; codebook is m*ks rows
+    assert(built("idx").schema("__pq").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(built("idx.codebook").count() == 4 * 16)
+    def query(inputs: Map[String, org.apache.spark.sql.DataFrame],
+        names: Seq[String], extra: String) =
+      Pipeline.transforms("similarity")(spark,
+        Pipeline.ModuleCfg("knn", "similarity", names, Nil,
+          graft.config.Json.parse(
+            s"""{"method": "lsh", "field": "embedding",
+                "idField": "vec_id", "k": 5, "planes": 4,
+                "tables": 4$extra}"""),
+          graft.config.Json.obj()), inputs)("knn")
+    val direct = ranks(query(
+      Map("c" -> corpus, "q" -> queries), Seq("c", "q"),
+      """, "pqM": 4, "pqCodebookSize": 16, "hashAlgo": "md5""""))
+    val viaIndex = ranks(query(
+      Map("i" -> spark.read.parquet(s"$dir/codes"),
+        "q" -> queries,
+        "cb" -> spark.read.parquet(s"$dir/cb")),
+      Seq("i", "q", "cb"),
+      """, "indexInput": "i", "codebookInput": "cb""""))
+    assert(viaIndex == direct,
+      "prebuilt-index query must equal the direct pq run")
+    // guards: ivf needs the raw corpus; codebookInput mandatory
+    val e1 = intercept[IllegalArgumentException](query(
+      Map("i" -> spark.read.parquet(s"$dir/codes"), "q" -> queries,
+        "cb" -> spark.read.parquet(s"$dir/cb")),
+      Seq("i", "q", "cb"),
+      """, "indexInput": "i", "codebookInput": "cb",
+          "method": "ivf""""))
+    assert(e1.getMessage.contains("raw corpus"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](query(
+      Map("i" -> spark.read.parquet(s"$dir/codes"), "q" -> queries),
+      Seq("i", "q"), """, "indexInput": "i""""))
+    assert(e2.getMessage.contains("codebookInput"), e2.getMessage)
+  }
+
   test("streaming queries against the static corpus equal the batch " +
       "run; bruteforce rejects streaming queries actionably") {
     val dim = 8
