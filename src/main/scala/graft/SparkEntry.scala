@@ -1208,6 +1208,73 @@ transforms:
 """)("sel")
     }),
 
+    // IVF-PQ persisted index (the FAISS-standard billion-vector
+    // layout): action index with `centroids` stores each vector's
+    // coarse cell next to its m-byte codes plus a `.centroids` side
+    // output; the query pipeline probes nProbe cells and scores
+    // reconstructions — coarse pruning AND 32× compression from one
+    // stored artifact, all md5-replayable
+    "q190_knn_ivfpq_index" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q190_")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [emb]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, centroids: 16, hashAlgo: md5}
+sinks:
+  - name: s1
+    module: storage
+    input: idx
+    parameters: {output: "$base/codes", format: parquet}
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+  - name: s3
+    module: storage
+    input: idx.centroids
+    parameters: {output: "$base/cents", format: parquet}
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: i
+    module: storage
+    parameters: {path: "$base/codes"}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: ct
+    module: storage
+    parameters: {path: "$base/cents"}
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: knn
+    module: similarity
+    inputs: [i, q, cb, ct]
+    parameters: {method: ivf, field: embedding, idField: vec_id, k: 5, nProbe: 6, indexInput: i, codebookInput: cb, centroidsInput: ct}
+  - name: sel
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+""")("sel")
+    }),
+
     // similarity: LSH-bucketed ANN in hashAlgo:md5 mode — plane
     // derivation, bucket assignment, cosine and top-k all replay in
     // the DuckDB oracle
@@ -10774,6 +10841,92 @@ transforms:
            FROM pairs p
            JOIN e eq ON eq.vec_id = p.query_id
            JOIN e ec ON ec.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5""",
+
+    // IVF-PQ persisted index: the PQ reconstruction chain feeds the
+    // q33 coarse-cell replay — corpus cells assign over the
+    // RECONSTRUCTED vectors (what the stored index holds), query
+    // probes rank raw-vs-centroid, final scores are raw-vs-recon
+    "q190_knn_ivfpq_index" ->
+      """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
+               AS r
+           FROM codes c JOIN cb ON cb.ci = c.ci
+           GROUP BY c.vec_id),
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec
+           FROM (SELECT vec_id, embedding FROM e
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   CAST(vec_id AS VARCHAR)
+                 LIMIT 16)),
+         c_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT r.vec_id, cents.cell,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY list_dot_product(r.r, cents.cvec) /
+                   (sqrt(list_dot_product(r.r, r.r)) *
+                    sqrt(list_dot_product(cents.cvec, cents.cvec)))
+                   DESC, cents.cell) AS rn
+             FROM recon r CROSS JOIN cents)
+           WHERE rn = 1),
+         q_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, cents.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), cents.cvec) DESC,
+                   cents.cell) AS rn
+             FROM e CROSS JOIN cents
+             WHERE e.vec_id < 5)
+           WHERE rn <= 6),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_dot_product(
+                   CAST(eq.embedding AS DOUBLE[]), r.r) /
+                 (sqrt(list_dot_product(CAST(eq.embedding AS DOUBLE[]),
+                    CAST(eq.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(r.r, r.r))) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN e eq ON eq.vec_id = p.query_id
+           JOIN recon r ON r.vec_id = p.neighbor_id)
          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 5""",
 

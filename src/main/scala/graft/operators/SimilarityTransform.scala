@@ -106,10 +106,13 @@ object SimilarityTransform {
       require(!quantizedIdx && pqM.isEmpty,
         s"similarity ${cfg.name}: indexInput IS the index — " +
           "quantized/pqM do not combine with it")
-      require(p.str("method").getOrElse("bruteforce") != "ivf",
-        s"similarity ${cfg.name}: ivf needs the raw corpus to fit " +
-          "its centroids — query a prebuilt PQ index with method: " +
-          "lsh or bruteforce, or rebuild with the corpus input")
+      require(p.str("method").getOrElse("bruteforce") != "ivf" ||
+          p.str("centroidsInput").isDefined,
+        s"similarity ${cfg.name}: ivf over a prebuilt index needs " +
+          "centroidsInput (the action: index `.centroids` output — " +
+          "build the index with `centroids: n` for the IVF-PQ " +
+          "layout); without it use method: lsh or bruteforce, or " +
+          "rebuild with the raw corpus input")
     }
     val pqCodec: Option[PqCodec] =
       if (prebuilt.isDefined)
@@ -331,7 +334,11 @@ object SimilarityTransform {
         val codebookIds = p.arrOf("codebookIds").map(_.asLong)
         val md5Seeded = p.str("hashAlgo").contains("md5")
         val centroids =
-          if (codebookIds.nonEmpty)
+          if (prebuilt.isDefined)
+            // IVF-PQ prebuilt: the coarse centroid table persisted
+            // by action: index, read back (bounded collect)
+            centroidsFromRows(cfg, inputs, p)
+          else if (codebookIds.nonEmpty)
             codebookFromIds(corpus, embField, idField, codebookIds)
           else if (md5Seeded)
             fitCentroids(corpus, embField, nCells,
@@ -339,11 +346,22 @@ object SimilarityTransform {
               init = md5SeededInit(corpus, embField, idField, nCells))
           else fitCentroids(corpus, embField,
             nCells, p.int("fitIterations").getOrElse(2))
-        val assignC = assignUdf(centroids, 1)
         val assignQ = assignUdf(centroids, nProbe)
-        val cB = c.withColumn("__cell",
-          assignC(col("__c_emb"))(0))
-          .select("neighbor_id", "__cell")
+        val cB =
+          if (prebuilt.isDefined) {
+            // cells were stored at build time (assigned over the
+            // reconstruction, exactly what the live path computes)
+            val idx = inputs(prebuilt.get)
+            require(idx.columns.contains("__cell"),
+              s"similarity ${cfg.name}: the prebuilt index has no " +
+                "__cell column — build it with `centroids: n` for " +
+                "the IVF-PQ layout, or query with method: lsh/" +
+                "bruteforce")
+            pinStatic(idx.filter(col("__pq").isNotNull)
+              .select(col(idField).as("neighbor_id"), col("__cell")))
+          } else c.withColumn("__cell",
+            assignUdf(centroids, 1)(col("__c_emb"))(0))
+            .select("neighbor_id", "__cell")
         // same narrow-candidate shape as lsh (streaming queries take
         // route()'s stream-static leg)
         route(cB, assignQ(col("__q_emb")), "__cell")
@@ -588,14 +606,41 @@ object SimilarityTransform {
     val codec = PqCodec.fit(corpus, embField, m, ks, dim,
       if (md5Seeded) 0 else p.int("pqFitIterations").getOrElse(2),
       seed)
-    val codes = corpus.filter(col(embField).isNotNull)
+    val base = corpus.filter(col(embField).isNotNull)
       .select(col(idField), codec.encode(col(embField)).as("__pq"))
+    // IVF-PQ (the FAISS-standard billion-vector layout): with
+    // `centroids`/`codebookIds` the index also stores each vector's
+    // coarse CELL (assigned over the RECONSTRUCTION, matching the
+    // live ivf+pqM path) and emits a `.centroids` side output —
+    // query jobs then probe nProbe cells and score reconstructions,
+    // never scanning the whole code table per query
+    val ivfCents: Option[Array[Array[Float]]] = {
+      val codebookIds = p.arrOf("codebookIds").map(_.asLong)
+      if (codebookIds.nonEmpty)
+        Some(codebookFromIds(corpus, embField, idField, codebookIds))
+      else p.int("centroids").map { n =>
+        if (md5Seeded)
+          fitCentroids(corpus, embField, n,
+            p.int("fitIterations").getOrElse(0),
+            init = md5SeededInit(corpus, embField, idField, n))
+        else fitCentroids(corpus, embField, n,
+          p.int("fitIterations").getOrElse(2))
+      }
+    }
+    val codes = ivfCents match {
+      case None => base
+      case Some(ct) => base.withColumn("__cell",
+        assignUdf(ct, 1)(codec.reconstruct(col("__pq")))(0))
+    }
     val cbRows = for {
       j <- codec.codebooks.indices
       ci <- codec.codebooks(j).indices
     } yield (j, ci, codec.codebooks(j)(ci).toSeq)
     val cb = cbRows.toDF("__j", "__ci", "__centroid")
-    Map(cfg.name -> codes, s"${cfg.name}.codebook" -> cb)
+    Map(cfg.name -> codes, s"${cfg.name}.codebook" -> cb) ++
+      ivfCents.map(ct => s"${cfg.name}.centroids" ->
+        ct.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("__ci", "__centroid"))
   }
 
   /** Rebuild the PqCodec from a persisted `.codebook` frame — the
@@ -633,6 +678,30 @@ object SimilarityTransform {
       entries.map(_.getSeq[Float](2).toArray).toArray
     }.toArray
     PqCodec(codebooks)
+  }
+
+  /** Rebuild the IVF coarse-centroid table from a persisted
+    * `.centroids` frame — bounded by the cell count. */
+  private def centroidsFromRows(cfg: ModuleCfg,
+      inputs: Map[String, DataFrame],
+      p: com.fasterxml.jackson.databind.JsonNode)
+      : Array[Array[Float]] = {
+    val name = p.str("centroidsInput").get // presence checked upstream
+    val df = inputs.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"similarity ${cfg.name}: unknown centroidsInput '$name' " +
+          s"(inputs: ${cfg.inputs.mkString(", ")})"))
+    require(!df.isStreaming,
+      s"similarity ${cfg.name}: centroidsInput must be bounded")
+    val rows = df.select(col("__ci").cast("int"),
+        col("__centroid").cast(ArrayType(FloatType)))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty,
+      s"similarity ${cfg.name}: centroidsInput '$name' is empty")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"similarity ${cfg.name}: centroidsInput '$name' has gaps in " +
+        "its cell indices")
+    rows.map(_.getSeq[Float](1).toArray)
   }
 
   private[operators] def codebookFromIds(corpus: DataFrame, embField: String,

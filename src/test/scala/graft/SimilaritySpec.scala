@@ -185,6 +185,44 @@ class SimilaritySpec extends AnyFunSuite {
       Map("i" -> spark.read.parquet(s"$dir/codes"), "q" -> queries),
       Seq("i", "q"), """, "indexInput": "i""""))
     assert(e2.getMessage.contains("codebookInput"), e2.getMessage)
+    // IVF-PQ layout: centroids at build time store __cell + a
+    // .centroids output; the prebuilt ivf query (probe cells, score
+    // reconstructions) equals the direct ivf+pq run
+    val builtIvf = Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("idx", "similarity", Seq("c"), Nil,
+        graft.config.Json.parse(
+          """{"action": "index", "field": "embedding",
+              "idField": "vec_id", "pqM": 4, "pqCodebookSize": 16,
+              "centroids": 8, "hashAlgo": "md5"}"""),
+        graft.config.Json.obj()),
+      Map("c" -> corpus))
+    builtIvf("idx").write.parquet(s"$dir/codes2")
+    builtIvf("idx.centroids").write.parquet(s"$dir/cents")
+    builtIvf("idx.codebook").write.parquet(s"$dir/cb2")
+    assert(builtIvf("idx").columns.contains("__cell"))
+    val directIvf = ranks(query(
+      Map("c" -> corpus, "q" -> queries), Seq("c", "q"),
+      """, "pqM": 4, "pqCodebookSize": 16, "hashAlgo": "md5",
+          "method": "ivf", "centroids": 8, "nProbe": 3"""))
+    val viaIvf = ranks(query(
+      Map("i" -> spark.read.parquet(s"$dir/codes2"),
+        "q" -> queries,
+        "cb" -> spark.read.parquet(s"$dir/cb2"),
+        "ct" -> spark.read.parquet(s"$dir/cents")),
+      Seq("i", "q", "cb", "ct"),
+      """, "indexInput": "i", "codebookInput": "cb",
+          "centroidsInput": "ct", "method": "ivf", "nProbe": 3"""))
+    assert(viaIvf == directIvf,
+      "prebuilt IVF-PQ query must equal the direct ivf+pq run")
+    // ivf against a cell-less index names the fix
+    val e3 = intercept[IllegalArgumentException](query(
+      Map("i" -> spark.read.parquet(s"$dir/codes"), "q" -> queries,
+        "cb" -> spark.read.parquet(s"$dir/cb"),
+        "ct" -> spark.read.parquet(s"$dir/cents")),
+      Seq("i", "q", "cb", "ct"),
+      """, "indexInput": "i", "codebookInput": "cb",
+          "centroidsInput": "ct", "method": "ivf""""))
+    assert(e3.getMessage.contains("__cell"), e3.getMessage)
   }
 
   test("streaming queries against the static corpus equal the batch " +
