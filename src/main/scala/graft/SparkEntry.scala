@@ -1275,6 +1275,67 @@ transforms:
 """)("sel")
     }),
 
+    // STREAMING index maintenance: new vectors arrive as a file
+    // stream and encode against the PERSISTED codebook (action:
+    // index + codebookInput — a stateless projection, so the stream
+    // appends m-byte code rows to the stored index as it ingests).
+    // Drained codes over both staged halves equal the batch encode:
+    // the oracle replays codebook selection + per-subspace argmin
+    "q191_stream_index_encode" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q191_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      // batch build persists the codebook once
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [emb]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, hashAlgo: md5}
+sinks:
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+""")
+      stageBatch(emb, fexpr("vec_id % 2 = 0"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: arrivals
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [arrivals, cb]
+    parameters: {action: index, field: embedding, idField: vec_id, codebookInput: cb}
+sinks:
+  - name: sk
+    module: storage
+    input: idx
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(emb, fexpr("vec_id % 2 = 1"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      // surface the m uint8 codes as (vec_id, j, ci) rows for the
+      // oracle compare (hex → per-subspace byte)
+      s.read.parquet(out).selectExpr("vec_id",
+        "posexplode(transform(sequence(0, 7), " +
+          "j -> cast(conv(substr(hex(__pq), j*2+1, 2), 16, 10) " +
+          "as int))) AS (j, ci)")
+    }),
+
     // similarity: LSH-bucketed ANN in hashAlgo:md5 mode — plane
     // derivation, bucket assignment, cosine and top-k all replay in
     // the DuckDB oracle
@@ -10929,6 +10990,37 @@ transforms:
            JOIN recon r ON r.vec_id = p.neighbor_id)
          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 5""",
+
+    // streaming encode against the persisted codebook is stateless,
+    // so the drained code rows over both halves equal the batch
+    // encode — md5 codebook selection + per-subspace argmin-L2
+    "q191_stream_index_encode" ->
+      """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1)
+         SELECT vec_id, CAST(j AS INT) AS j, CAST(ci AS INT) AS ci
+         FROM codes""",
 
     // build-once/query-many PQ index roundtrip: identical semantics
     // to the direct PQ+lsh run, so the oracle is q187's chain

@@ -28,12 +28,6 @@ object SimilarityTransform {
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val p = cfg.params
     val corpus = inputs(cfg.inputs.head)
-    TransformCommon.requireBatch(corpus, "similarity", cfg.name,
-      "ANN index build and top-k search scan the whole corpus "
-        + "(codebook fits, bucket windows, score re-attach joins)",
-      "Build the index over the bounded corpus in a batch stage; "
-        + "dedup method: embedding handles the STREAMING "
-        + "flag-against-recent-arrivals case.")
     // `action: index` — PERSISTABLE PQ index build: encode the
     // corpus ONCE (the expensive full-width pass at 100 TB) and emit
     // (id, m-byte codes) plus a `.codebook` side output; any number
@@ -41,9 +35,20 @@ object SimilarityTransform {
     // codebookInput without ever touching the float corpus again —
     // the build-once / query-many shape of a production ANN serving
     // index. md5-seeded codebooks keep the whole stored index
-    // SQL-replayable.
+    // SQL-replayable. With `codebookInput` the encode reuses a
+    // PERSISTED codebook (no fit, no corpus scan) — the incremental
+    // shape, and the one mode that also accepts a STREAMING corpus
+    // (encode is a stateless projection): new arrivals append codes
+    // to the stored index as they come. Its own batch/streaming
+    // contract lives inside buildPqIndex, so dispatch FIRST.
     if (p.str("action").contains("index"))
-      return buildPqIndex(spark, cfg, corpus)
+      return buildPqIndex(spark, cfg, corpus, inputs)
+    TransformCommon.requireBatch(corpus, "similarity", cfg.name,
+      "ANN index build and top-k search scan the whole corpus "
+        + "(codebook fits, bucket windows, score re-attach joins)",
+      "Build the index over the bounded corpus in a batch stage; "
+        + "dedup method: embedding handles the STREAMING "
+        + "flag-against-recent-arrivals case.")
     // `selfJoin: true` — EVERY corpus vector is a query (the
     // semdedup / neighbor-graph primitive: top-k neighbors for each
     // document). The broadcast-queries contract doesn't apply: the
@@ -579,35 +584,58 @@ object SimilarityTransform {
     * indexInput/codebookInput and never read the float corpus
     * again. Null embeddings drop (they can never score). */
   private def buildPqIndex(spark: SparkSession, cfg: ModuleCfg,
-      corpus: DataFrame): Map[String, DataFrame] = {
+      corpus: DataFrame, inputs: Map[String, DataFrame])
+      : Map[String, DataFrame] = {
     import spark.implicits._
     val p = cfg.params
     val embField = p.str("field").getOrElse("embedding")
     val idField = p.str("idField").getOrElse("vec_id")
-    val m = p.int("pqM").getOrElse(throw new IllegalArgumentException(
-      s"similarity ${cfg.name}: action: index requires pqM (the " +
-        "product-quantization width — the persistable index is the " +
-        "PQ codec's (id, codes) frame)"))
-    require(m >= 1 && m <= 256,
-      s"similarity ${cfg.name}: pqM must be in [1, 256]")
-    val ks = p.int("pqCodebookSize").getOrElse(16)
-    require(ks >= 2 && ks <= 256,
-      s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
-        " (codes are uint8)")
-    val dim = corpus.select(col(embField))
-      .filter(col(embField).isNotNull).head.getSeq[Float](0).length
-    require(dim % m == 0,
-      s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
-        s"dim ($dim)")
-    val md5Seeded = p.str("hashAlgo").contains("md5")
-    val seed =
-      if (md5Seeded) md5SeededInit(corpus, embField, idField, ks)
-      else null
-    val codec = PqCodec.fit(corpus, embField, m, ks, dim,
-      if (md5Seeded) 0 else p.int("pqFitIterations").getOrElse(2),
-      seed)
+    val cbIn = p.str("codebookInput")
+    require(!corpus.isStreaming || cbIn.isDefined,
+      s"similarity ${cfg.name}: fitting codebooks needs a bounded " +
+        "corpus — action: index on a STREAM requires codebookInput " +
+        "(a codebook persisted by a batch build); the encode itself " +
+        "is a stateless projection and streams fine")
+    val codec = cbIn match {
+      case Some(_) =>
+        // incremental encode: the persisted codebook drives the
+        // projection, the corpus (batch increment or stream) is
+        // never scanned for a fit
+        require(p.int("pqM").isEmpty,
+          s"similarity ${cfg.name}: codebookInput fixes the codec — " +
+            "pqM/pqCodebookSize come from the persisted codebook")
+        codecFromCodebookRows(cfg, inputs, p)
+      case None =>
+        val m = p.int("pqM").getOrElse(throw new IllegalArgumentException(
+          s"similarity ${cfg.name}: action: index requires pqM (the " +
+            "product-quantization width — the persistable index is the " +
+            "PQ codec's (id, codes) frame) or codebookInput (encode " +
+            "against a persisted codebook)"))
+        require(m >= 1 && m <= 256,
+          s"similarity ${cfg.name}: pqM must be in [1, 256]")
+        val ks = p.int("pqCodebookSize").getOrElse(16)
+        require(ks >= 2 && ks <= 256,
+          s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
+            " (codes are uint8)")
+        val dim = corpus.select(col(embField))
+          .filter(col(embField).isNotNull).head.getSeq[Float](0).length
+        require(dim % m == 0,
+          s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
+            s"dim ($dim)")
+        val md5Seeded = p.str("hashAlgo").contains("md5")
+        val seed =
+          if (md5Seeded) md5SeededInit(corpus, embField, idField, ks)
+          else null
+        PqCodec.fit(corpus, embField, m, ks, dim,
+          if (md5Seeded) 0 else p.int("pqFitIterations").getOrElse(2),
+          seed)
+    }
     val base = corpus.filter(col(embField).isNotNull)
       .select(col(idField), codec.encode(col(embField)).as("__pq"))
+      // a dim-mismatched vector encodes to null — drop rather than
+      // store an unreadable code row (matters on streams, where the
+      // head-probe dim check above cannot run)
+      .filter(col("__pq").isNotNull)
     // IVF-PQ (the FAISS-standard billion-vector layout): with
     // `centroids`/`codebookIds` the index also stores each vector's
     // coarse CELL (assigned over the RECONSTRUCTION, matching the
@@ -616,16 +644,27 @@ object SimilarityTransform {
     // never scanning the whole code table per query
     val ivfCents: Option[Array[Array[Float]]] = {
       val codebookIds = p.arrOf("codebookIds").map(_.asLong)
-      if (codebookIds.nonEmpty)
-        Some(codebookFromIds(corpus, embField, idField, codebookIds))
-      else p.int("centroids").map { n =>
-        if (md5Seeded)
-          fitCentroids(corpus, embField, n,
-            p.int("fitIterations").getOrElse(0),
-            init = md5SeededInit(corpus, embField, idField, n))
-        else fitCentroids(corpus, embField, n,
-          p.int("fitIterations").getOrElse(2))
-      }
+      val md5Seeded = p.str("hashAlgo").contains("md5")
+      if (p.str("centroidsInput").isDefined)
+        // incremental/streaming: reuse the persisted coarse table
+        Some(centroidsFromRows(cfg, inputs, p))
+      else if (codebookIds.nonEmpty || p.int("centroids").isDefined) {
+        require(!corpus.isStreaming,
+          s"similarity ${cfg.name}: fitting/collecting IVF " +
+            "centroids needs a bounded corpus — pass centroidsInput " +
+            "(a `.centroids` output persisted by a batch build) to " +
+            "cell-assign a stream")
+        if (codebookIds.nonEmpty)
+          Some(codebookFromIds(corpus, embField, idField, codebookIds))
+        else p.int("centroids").map { n =>
+          if (md5Seeded)
+            fitCentroids(corpus, embField, n,
+              p.int("fitIterations").getOrElse(0),
+              init = md5SeededInit(corpus, embField, idField, n))
+          else fitCentroids(corpus, embField, n,
+            p.int("fitIterations").getOrElse(2))
+        }
+      } else None
     }
     val codes = ivfCents match {
       case None => base

@@ -223,6 +223,32 @@ class SimilaritySpec extends AnyFunSuite {
       """, "indexInput": "i", "codebookInput": "cb",
           "centroidsInput": "ct", "method": "ivf""""))
     assert(e3.getMessage.contains("__cell"), e3.getMessage)
+    // incremental encode: half the corpus against the persisted
+    // codebook yields exactly the full index's rows for those ids
+    val half = corpus.filter($"vec_id" % 2 === 0)
+    val inc = Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("idx", "similarity", Seq("c", "cb"), Nil,
+        graft.config.Json.parse(
+          """{"action": "index", "field": "embedding",
+              "idField": "vec_id", "codebookInput": "cb"}"""),
+        graft.config.Json.obj()),
+      Map("c" -> half,
+        "cb" -> spark.read.parquet(s"$dir/cb")))("idx")
+    val full = built("idx").filter($"vec_id" % 2 === 0)
+    assert(inc.exceptAll(full).count() == 0 &&
+      full.exceptAll(inc).count() == 0,
+      "incremental encode must equal the full build's rows")
+    // codebook fit on a stream is rejected with the incremental
+    // alternative named; encode-against-codebook streams fine (q191)
+    val e4 = intercept[IllegalArgumentException](
+      Pipeline.transforms("similarity")(spark,
+        Pipeline.ModuleCfg("idx", "similarity", Seq("c"), Nil,
+          graft.config.Json.parse(
+            """{"action": "index", "field": "embedding",
+                "idField": "vec_id", "pqM": 4}"""),
+          graft.config.Json.obj()),
+        Map("c" -> spark.readStream.format("rate").load())))
+    assert(e4.getMessage.contains("codebookInput"), e4.getMessage)
   }
 
   test("streaming queries against the static corpus equal the batch " +
