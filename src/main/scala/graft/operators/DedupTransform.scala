@@ -395,7 +395,7 @@ object DedupTransform {
               case Some(t) =>
                 val dt = graft.schema.SchemaMapper
                   .baseType(t, graft.config.Json.obj())
-                c => c.cast(dt)
+                verdictCast(cfg.name, dt, t)
               case None => identity
             }
             val pairs = df.select(cast(col(idField)).as("__id"),
@@ -424,9 +424,11 @@ object DedupTransform {
             // columns back to the corpus id type so the min and
             // the join are typed like the batch path
             val idType = corpus.schema(cid).dataType
+            val cast = verdictCast(cfg.name, idType,
+              idType.simpleString)
             val pairs = df.select(
-              col(idField).cast(idType).as("__id"),
-              col(dupField).cast(idType).as("__rep_id"))
+              cast(col(idField)).as("__id"),
+              cast(col(dupField)).as("__rep_id"))
             val v =
               if (transitive) componentMin(pairs.distinct(), maxIter)
               else pairs.groupBy("__id")
@@ -1008,6 +1010,21 @@ object DedupTransform {
           }
       }.toDF()
   }
+
+  /** verdicts id cast with a parse tripwire: the engine's lenient
+    * (non-ANSI) cast nulls out an unparseable id, which would
+    * silently drop that doc's verdict or group it under a null key
+    * — on a billion drained rows an invisible corruption. A value
+    * that nulls under the cast while non-null raises with the
+    * offending value named. */
+  private def verdictCast(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      tName: String): Column => Column =
+    c => when(c.isNotNull && c.cast(dt).isNull,
+        raise_error(concat(
+          lit(s"dedup $name: candidate id '"), c.cast(StringType),
+          lit(s"' does not parse as $tName"))).cast(dt))
+      .otherwise(c.cast(dt))
 
   /** Shared contract of the streaming near-dedup paths: an
     * event-time horizon is mandatory (it is what bounds the bucket

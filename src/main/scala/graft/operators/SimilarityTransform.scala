@@ -120,28 +120,26 @@ object SimilarityTransform {
           "rebuild with the raw corpus input")
     }
     val pqCodec: Option[PqCodec] =
-      if (prebuilt.isDefined)
-        Some(codecFromCodebookRows(cfg, inputs, p))
-      else pqM.map { m =>
-        require(m >= 1 && m <= 256,
-          s"similarity ${cfg.name}: pqM must be in [1, 256]")
-        val ks = p.int("pqCodebookSize").getOrElse(16)
-        require(ks >= 2 && ks <= 256,
-          s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
-            " (codes are uint8)")
-        val dim = corpus.select(col(embField)).filter(col(embField)
-          .isNotNull).head.getSeq[Float](0).length
-        require(dim % m == 0,
-          s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
-            s"dim ($dim)")
-        val md5Seeded0 = p.str("hashAlgo").contains("md5")
-        val seed =
-          if (md5Seeded0) md5SeededInit(corpus, embField, idField, ks)
-          else null
-        PqCodec.fit(corpus, embField, m, ks, dim,
-          if (md5Seeded0) 0 else p.int("pqFitIterations").getOrElse(2),
-          seed)
-      }
+      if (prebuilt.isDefined) {
+        val codec = codecFromCodebookRows(cfg, inputs, p)
+        // codes/codebook pairing check: reconstruct reads exactly
+        // m = codebooks.length bytes, so a mismatched pair would
+        // either silently reconstruct from the wrong codec (codes
+        // wider) or throw deep in an executor task (codes narrower)
+        val widths = inputs(prebuilt.get)
+          .filter(col("__pq").isNotNull)
+          .select(length(col("__pq"))).limit(1).collect()
+        widths.headOption.foreach { w =>
+          require(w.getInt(0) == codec.codebooks.length,
+            s"similarity ${cfg.name}: indexInput codes are " +
+              s"${w.getInt(0)} bytes but codebookInput has " +
+              s"${codec.codebooks.length} subspaces — these artifacts " +
+              "come from different builds; pass the `.codebook` " +
+              "output persisted by the SAME action: index run")
+        }
+        Some(codec)
+      } else pqM.map(m =>
+        fitPqCodecFromParams(cfg, corpus, embField, idField, m, p))
     val hasIdx = quantizedIdx || pqCodec.isDefined
     val idxCol = if (quantizedIdx) "__c_qv" else "__c_pq"
     def encodeCol(e: org.apache.spark.sql.Column) =
@@ -601,9 +599,20 @@ object SimilarityTransform {
         // incremental encode: the persisted codebook drives the
         // projection, the corpus (batch increment or stream) is
         // never scanned for a fit
-        require(p.int("pqM").isEmpty,
+        require(p.int("pqM").isEmpty &&
+            p.int("pqCodebookSize").isEmpty,
           s"similarity ${cfg.name}: codebookInput fixes the codec — " +
             "pqM/pqCodebookSize come from the persisted codebook")
+        // the coarse layer must come from the same original build
+        // too: fitting fresh centroids over an INCREMENT would
+        // assign cells inconsistent with the stored index's
+        require(p.int("centroids").isEmpty &&
+            p.arrOf("codebookIds").isEmpty,
+          s"similarity ${cfg.name}: an incremental build reuses the " +
+            "stored coarse table — pass centroidsInput (the " +
+            "original build's `.centroids` output), not " +
+            "centroids/codebookIds, or the increment's cells would " +
+            "be inconsistent with the stored index")
         codecFromCodebookRows(cfg, inputs, p)
       case None =>
         val m = p.int("pqM").getOrElse(throw new IllegalArgumentException(
@@ -611,24 +620,7 @@ object SimilarityTransform {
             "product-quantization width — the persistable index is the " +
             "PQ codec's (id, codes) frame) or codebookInput (encode " +
             "against a persisted codebook)"))
-        require(m >= 1 && m <= 256,
-          s"similarity ${cfg.name}: pqM must be in [1, 256]")
-        val ks = p.int("pqCodebookSize").getOrElse(16)
-        require(ks >= 2 && ks <= 256,
-          s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
-            " (codes are uint8)")
-        val dim = corpus.select(col(embField))
-          .filter(col(embField).isNotNull).head.getSeq[Float](0).length
-        require(dim % m == 0,
-          s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
-            s"dim ($dim)")
-        val md5Seeded = p.str("hashAlgo").contains("md5")
-        val seed =
-          if (md5Seeded) md5SeededInit(corpus, embField, idField, ks)
-          else null
-        PqCodec.fit(corpus, embField, m, ks, dim,
-          if (md5Seeded) 0 else p.int("pqFitIterations").getOrElse(2),
-          seed)
+        fitPqCodecFromParams(cfg, corpus, embField, idField, m, p)
     }
     val base = corpus.filter(col(embField).isNotNull)
       .select(col(idField), codec.encode(col(embField)).as("__pq"))
@@ -676,10 +668,39 @@ object SimilarityTransform {
       ci <- codec.codebooks(j).indices
     } yield (j, ci, codec.codebooks(j)(ci).toSeq)
     val cb = cbRows.toDF("__j", "__ci", "__centroid")
-    Map(cfg.name -> codes, s"${cfg.name}.codebook" -> cb) ++
+    // finishRouted on the code frame: inline filter/select/failure
+    // routing apply to the index output like on every other branch
+    TransformCommon.finishRouted(codes, cfg) ++
+      Map(s"${cfg.name}.codebook" -> cb) ++
       ivfCents.map(ct => s"${cfg.name}.centroids" ->
         ct.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
           .toDF("__ci", "__centroid"))
+  }
+
+  /** One fit contract for BOTH the index build and the live query
+    * path — a single definition keeps the stored-index-equals-
+    * direct-run invariant (q189) from silently diverging. */
+  private def fitPqCodecFromParams(cfg: ModuleCfg, corpus: DataFrame,
+      embField: String, idField: String, m: Int,
+      p: com.fasterxml.jackson.databind.JsonNode): PqCodec = {
+    require(m >= 1 && m <= 256,
+      s"similarity ${cfg.name}: pqM must be in [1, 256]")
+    val ks = p.int("pqCodebookSize").getOrElse(16)
+    require(ks >= 2 && ks <= 256,
+      s"similarity ${cfg.name}: pqCodebookSize must be in [2, 256]" +
+        " (codes are uint8)")
+    val dim = corpus.select(col(embField))
+      .filter(col(embField).isNotNull).head.getSeq[Float](0).length
+    require(dim % m == 0,
+      s"similarity ${cfg.name}: pqM=$m must divide the embedding " +
+        s"dim ($dim)")
+    val md5Seeded = p.str("hashAlgo").contains("md5")
+    val seed =
+      if (md5Seeded) md5SeededInit(corpus, embField, idField, ks)
+      else null
+    PqCodec.fit(corpus, embField, m, ks, dim,
+      if (md5Seeded) 0 else p.int("pqFitIterations").getOrElse(2),
+      seed)
   }
 
   /** Rebuild the PqCodec from a persisted `.codebook` frame — the
@@ -875,6 +896,14 @@ private[operators] final case class PqCodec(
     udf { (codes: Array[Byte]) =>
       if (codes == null) null
       else {
+        // strict width check: a code row from a DIFFERENT build
+        // must fail loudly, not reconstruct from the wrong codec
+        // (wider codes) or index out of bounds (narrower)
+        if (codes.length != cbs.length)
+          throw new IllegalArgumentException(
+            s"PQ code is ${codes.length} bytes but the codebook " +
+              s"has ${cbs.length} subspaces — the code frame and " +
+              "codebook come from different index builds")
         val out = new Array[Float](cbs.length * s)
         var j = 0
         while (j < cbs.length) {

@@ -825,13 +825,11 @@ object StreamRunner {
           // the pre-prior snapshot
           pruned.write.mode("overwrite").parquet(ordsTarget.toString)
         rmRec(stageDir)
+        // recursive (rmRec), not a flat delete: a stale snapshot can
+        // carry a _temporary subdir from a crashed write, which a
+        // flat delete skips — the dir would then leak forever
         snapIds.filter(id => id != batchId && priorId.forall(_ != id))
-          .foreach { id =>
-            val d = new java.io.File(s"$ordsDir/__obatch=$id")
-            Option(d.listFiles())
-              .getOrElse(Array.empty[java.io.File]).foreach(_.delete())
-            d.delete()
-          }
+          .foreach(id => rmRec(new java.io.File(s"$ordsDir/__obatch=$id")))
       }
       } finally if (!isMem) pane.unpersist()
     }

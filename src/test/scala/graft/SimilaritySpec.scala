@@ -238,6 +238,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(inc.exceptAll(full).count() == 0 &&
       full.exceptAll(inc).count() == 0,
       "incremental encode must equal the full build's rows")
+    // mismatched artifacts (codes from one build, codebook from
+    // another) fail at config time, not with silent wrong neighbors
+    val built8 = Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("idx", "similarity", Seq("c"), Nil,
+        graft.config.Json.parse(
+          """{"action": "index", "field": "embedding",
+              "idField": "vec_id", "pqM": 8, "pqCodebookSize": 16,
+              "hashAlgo": "md5"}"""),
+        graft.config.Json.obj()),
+      Map("c" -> corpus))
+    built8("idx").write.parquet(s"$dir/codes8")
+    val e5 = intercept[IllegalArgumentException](query(
+      Map("i" -> spark.read.parquet(s"$dir/codes8"), "q" -> queries,
+        "cb" -> spark.read.parquet(s"$dir/cb")),
+      Seq("i", "q", "cb"),
+      """, "indexInput": "i", "codebookInput": "cb""""))
+    assert(e5.getMessage.contains("different builds"), e5.getMessage)
     // codebook fit on a stream is rejected with the incremental
     // alternative named; encode-against-codebook streams fine (q191)
     val e4 = intercept[IllegalArgumentException](

@@ -512,6 +512,26 @@ class StreamingDedupSpec extends AnyFunSuite {
       |    parameters: {method: verdicts, idField: id, idType: int64}
       |""".stripMargin)("vd")
     assert(n.as[(Long, Long)].collect().toSeq == Seq((10L, 9L)))
+    // an unparseable id under idType raises with the value named
+    // (a lenient cast would null it out and silently drop the
+    // verdict)
+    Seq(("x7", 0, "9")).toDF("id", "__band_idx", "__dup_of")
+      .write.mode("overwrite").parquet(s"$dir/badcand")
+    val bad = Pipeline.build(spark, s"""
+      |sources:
+      |  - name: cand
+      |    module: storage
+      |    parameters: {path: $dir/badcand}
+      |transforms:
+      |  - name: vd
+      |    module: dedup
+      |    inputs: [cand]
+      |    parameters: {method: verdicts, idField: id, idType: int64}
+      |""".stripMargin)("vd")
+    val e2 = intercept[Exception](bad.collect())
+    assert(e2.getMessage.contains("does not parse") ||
+      Option(e2.getCause).exists(_.getMessage.contains("does not parse")),
+      e2.getMessage)
   }
 
   test("dedup verdicts with corpusInput restores the corpus id type, " +
