@@ -360,4 +360,29 @@ class PlanSpec extends AnyFunSuite {
       !lp.contains("Deduplicate") && !lp.contains("Aggregate"),
       "streaming interval join must stay stateless:\n" + lp)
   }
+
+  test("dedup verdicts: map-side partial min, no cartesian; the " +
+      "corpus join broadcasts the small verdict side") {
+    import spark.implicits._
+    val cand = (1L to 2000L).map(i => (i.toString, (i % 8).toInt,
+      (i / 2).toString)).toDF("doc_id", "__band_idx", "__dup_of")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.DedupTransform.build(spark,
+      graft.Pipeline.ModuleCfg("vd", "dedup", Seq("c", "k"), Nil,
+        graft.config.Json.parse(
+          """{"method":"verdicts","idField":"doc_id",
+              "corpusInput":"k"}"""),
+        graft.config.Json.obj()),
+      Map("c" -> cand, "k" -> corpus))("vd")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.contains("HashAggregate"),
+      "verdicts reduce must partial-aggregate map-side:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "verdicts corpus join must stay an equi-join:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "small verdict side should broadcast under AQE/stats:\n" + p)
+  }
 }

@@ -534,6 +534,54 @@ class StreamingDedupSpec extends AnyFunSuite {
       e2.getMessage)
   }
 
+  test("verdicts property: the module reduce equals a reference fold " +
+      "over random candidate multisets, plain and transitive") {
+    val rnd = new scala.util.Random(42)
+    val dir = java.nio.file.Files.createTempDirectory("graft-verdp")
+      .toString
+    for (trial <- 1 to 6) {
+      val pairs = (1 to rnd.nextInt(60) + 8).map { _ =>
+        val a = rnd.nextInt(28) + 2L
+        val b = rnd.nextInt(30) + 1L
+        (a, rnd.nextInt(8), if (b == a) b + 1 else b)
+      }
+      pairs.toDF("id", "__band_idx", "__dup_of")
+        .write.mode("overwrite").parquet(s"$dir/c$trial")
+      def run(extra: String) = Pipeline.build(spark, s"""
+        |sources:
+        |  - name: cand
+        |    module: storage
+        |    parameters: {path: $dir/c$trial}
+        |transforms:
+        |  - name: vd
+        |    module: dedup
+        |    inputs: [cand]
+        |    parameters: {method: verdicts, idField: id$extra}
+        |""".stripMargin)("vd")
+        .as[(Long, Long)].collect().sorted.toSeq
+      // plain: min __dup_of per id (multiset duplicates collapse)
+      val ref = pairs.groupBy(_._1).view
+        .mapValues(_.map(_._3).min).toMap.toSeq.sorted
+      assert(run("") == ref, s"trial $trial plain: $pairs")
+      // transitive: union-find closure to the component minimum,
+      // emitted for every node whose component min is below it
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val px = parent.getOrElse(x, x)
+        if (px == x) x else { val r = find(px); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, _, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(t => Seq(t._1, t._3)).distinct
+      val refT = nodes.map(x => x -> find(x))
+        .filter { case (x, r) => r < x }.sorted
+      assert(run(", transitive: true") == refT,
+        s"trial $trial transitive: $pairs")
+    }
+  }
+
   test("dedup verdicts with corpusInput restores the corpus id type, " +
       "left-joins verdicts, and keep: canonical anti-joins") {
     val dir = java.nio.file.Files.createTempDirectory("graft-verdc")
