@@ -43,6 +43,55 @@ object SimilarityTransform {
     // contract lives inside buildPqIndex, so dispatch FIRST.
     if (p.str("action").contains("index"))
       return buildPqIndex(spark, cfg, corpus, inputs)
+    // `action: recall` — ANN quality evaluation: run the configured
+    // approximate method AND the exact bruteforce top-k on the same
+    // (corpus, queries), and emit one row per query with
+    // recall@k = |approx ∩ exact| / |exact|. This is the knob-tuning
+    // loop (planes/tables/nProbe/pqM vs recall) every ANN deployment
+    // runs before serving; ground truth is O(|corpus|·|queries|) by
+    // definition, so evaluate on a SAMPLED query set — the corpus
+    // side still never shuffles (bruteforce scores map-side).
+    if (p.str("action").contains("recall")) {
+      require(p.str("method").exists(_ != "bruteforce"),
+        s"similarity ${cfg.name}: action: recall compares an " +
+          "APPROXIMATE method against the bruteforce ground truth — " +
+          "set method: lsh or ivf (with the knobs to evaluate)")
+      require(p.str("indexInput").isEmpty,
+        s"similarity ${cfg.name}: action: recall needs the raw " +
+          "corpus (the bruteforce ground truth scores float " +
+          "vectors) — evaluate before persisting the index")
+      def strip(drop: Seq[String],
+          set: Map[String, String]): ModuleCfg = {
+        val o = p.deepCopy[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        drop.foreach(o.remove)
+        set.foreach { case (k, v) => o.put(k, v) }
+        cfg.copy(params = o)
+      }
+      val approx = build(spark,
+        strip(Seq("action"), Map.empty), inputs)(cfg.name)
+        .select(col("query_id"), col("neighbor_id"))
+      // ground truth: float bruteforce with the SAME k; bucket/codec
+      // knobs dropped so nothing quantizes the exact side
+      val exact = build(spark,
+        strip(Seq("action", "planes", "tables", "nProbe", "centroids",
+            "codebookIds", "fitIterations", "pqM", "pqCodebookSize",
+            "pqFitIterations", "quantized"),
+          Map("method" -> "bruteforce")), inputs)(cfg.name)
+        .select(col("query_id"), col("neighbor_id"))
+      val denom = exact.groupBy("query_id")
+        .agg(count(lit(1)).as("__exact_n"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      val out = denom.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          col("__exact_n").as("exact_n"),
+          (coalesce(col("hits"), lit(0L)).cast(DoubleType) /
+            col("__exact_n")).as("recall"))
+      return TransformCommon.finishRouted(out, cfg)
+    }
     TransformCommon.requireBatch(corpus, "similarity", cfg.name,
       "ANN index build and top-k search scan the whole corpus "
         + "(codebook fits, bucket windows, score re-attach joins)",

@@ -268,6 +268,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e4.getMessage.contains("codebookInput"), e4.getMessage)
   }
 
+  test("action recall: per-query recall@k equals the hand-joined " +
+      "approx-vs-bruteforce intersection; guards fire") {
+    val corpus = (1L to 60L).map(i => (i, intVec(i, 8)))
+      .toDF("vec_id", "embedding")
+    val queries = (1001L to 1005L).map(i => (i, intVec(i * 7, 8)))
+      .toDF("vec_id", "embedding")
+    def run(params: String) = Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("rec", "similarity", Seq("c", "q"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("c" -> corpus, "q" -> queries))("rec")
+    val rec = run("""{"action": "recall", "method": "lsh",
+        "field": "embedding", "idField": "vec_id", "k": 5,
+        "planes": 4, "tables": 2}""")
+      .select($"query_id", $"hits", $"exact_n", $"recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // reference: intersect the two module outputs directly
+    val approx = ranks(selfKnnLike(corpus, queries,
+      """{"method": "lsh", "field": "embedding", "idField": "vec_id",
+          "k": 5, "planes": 4, "tables": 2}"""))
+      .map(t => (t._1, t._2)).toSet
+    val exact = ranks(selfKnnLike(corpus, queries,
+      """{"method": "bruteforce", "field": "embedding",
+          "idField": "vec_id", "k": 5}"""))
+      .map(t => (t._1, t._2))
+    val refDen = exact.groupBy(_._1).view.mapValues(_.size).toMap
+    val refHit = exact.filter(approx.contains)
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val ref = refDen.keys.toSeq.sorted.map { q =>
+      val h = refHit.getOrElse(q, 0)
+      (q, h.toLong, refDen(q).toLong, h.toDouble / refDen(q))
+    }
+    assert(rec == ref, s"got $rec\nref $ref")
+    assert(rec.map(_._4).forall(r => r >= 0.0 && r <= 1.0))
+    // bruteforce-vs-bruteforce is meaningless; prebuilt index has no
+    // float ground truth
+    val e1 = intercept[IllegalArgumentException](run(
+      """{"action": "recall", "method": "bruteforce",
+          "field": "embedding", "idField": "vec_id", "k": 5}"""))
+    assert(e1.getMessage.contains("APPROXIMATE"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](run(
+      """{"action": "recall", "method": "lsh", "field": "embedding",
+          "idField": "vec_id", "k": 5, "indexInput": "c"}"""))
+    assert(e2.getMessage.contains("raw corpus"), e2.getMessage)
+  }
+
+  private def selfKnnLike(c: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame, params: String) =
+    Pipeline.transforms("similarity")(spark,
+      Pipeline.ModuleCfg("knn", "similarity", Seq("c", "q"), Nil,
+        graft.config.Json.parse(params), graft.config.Json.obj()),
+      Map("c" -> c, "q" -> q))("knn")
+
   test("streaming queries against the static corpus equal the batch " +
       "run; bruteforce rejects streaming queries actionably") {
     val dim = 8
