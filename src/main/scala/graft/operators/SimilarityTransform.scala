@@ -60,6 +60,10 @@ object SimilarityTransform {
         s"similarity ${cfg.name}: action: recall needs the raw " +
           "corpus (the bruteforce ground truth scores float " +
           "vectors) — evaluate before persisting the index")
+      require(!p.bool("selfJoin").getOrElse(false),
+        s"similarity ${cfg.name}: action: recall with selfJoin " +
+          "would need an O(n²) bruteforce ground truth — evaluate " +
+          "on a SAMPLED query set (a second input) instead")
       def strip(drop: Seq[String],
           set: Map[String, String]): ModuleCfg = {
         val o = p.deepCopy[
