@@ -64,6 +64,18 @@ object SimilarityTransform {
         s"similarity ${cfg.name}: action: recall with selfJoin " +
           "would need an O(n²) bruteforce ground truth — evaluate " +
           "on a SAMPLED query set (a second input) instead")
+      // an explicit query input is mandatory: the single-input
+      // default (corpus.limit(n)) would be sampled INDEPENDENTLY by
+      // the approx and exact builds — an unordered limit can pick
+      // different rows per evaluation, silently zeroing the recall
+      require(cfg.inputs.size > 1,
+        s"similarity ${cfg.name}: action: recall needs an explicit " +
+          "query input (the sampled query set) as the second input")
+      require(!inputs(cfg.inputs(1)).isStreaming,
+        s"similarity ${cfg.name}: action: recall needs a bounded " +
+          "query set — the bruteforce ground truth and the per-query " +
+          "reduction cannot stream; stage the queries to storage " +
+          "first")
       def strip(drop: Seq[String],
           set: Map[String, String]): ModuleCfg = {
         val o = p.deepCopy[
@@ -72,28 +84,33 @@ object SimilarityTransform {
         set.foreach { case (k, v) => o.put(k, v) }
         cfg.copy(params = o)
       }
+      // inner builds get NO inline routing params — filter/select
+      // compile against the RECALL frame's schema at the end, not
+      // against the inner top-k frames
+      val routing = Seq("filter", "filters", "select", "flattenField")
       val approx = build(spark,
-        strip(Seq("action"), Map.empty), inputs)(cfg.name)
+        strip("action" +: routing, Map.empty), inputs)(cfg.name)
         .select(col("query_id"), col("neighbor_id"))
       // ground truth: float bruteforce with the SAME k; bucket/codec
       // knobs dropped so nothing quantizes the exact side
       val exact = build(spark,
         strip(Seq("action", "planes", "tables", "nProbe", "centroids",
             "codebookIds", "fitIterations", "pqM", "pqCodebookSize",
-            "pqFitIterations", "quantized"),
+            "pqFitIterations", "quantized") ++ routing,
           Map("method" -> "bruteforce")), inputs)(cfg.name)
         .select(col("query_id"), col("neighbor_id"))
-      val denom = exact.groupBy("query_id")
-        .agg(count(lit(1)).as("__exact_n"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
-          "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      val out = denom.join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          col("__exact_n").as("exact_n"),
-          (coalesce(col("hits"), lit(0L)).cast(DoubleType) /
-            col("__exact_n")).as("recall"))
+      // ONE pass over the expensive ground-truth subtree: left-join
+      // the approx hits onto it and count rows + hits in a single
+      // aggregate (no exchange-reuse reliance, no stitch join)
+      val out = exact
+        .join(approx.withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("__hit")).as("hits"),
+          count(lit(1)).as("exact_n"))
+        .select(col("query_id"), col("hits"), col("exact_n"),
+          (col("hits").cast(DoubleType) / col("exact_n"))
+            .as("recall"))
       return TransformCommon.finishRouted(out, cfg)
     }
     TransformCommon.requireBatch(corpus, "similarity", cfg.name,
