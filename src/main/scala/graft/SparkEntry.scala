@@ -5170,6 +5170,66 @@ transforms:
         - {name: height2, field: meta2.height, type: int64}
 """),
 
+    // STREAMING multimodal: the decode/resize plumbing is a
+    // stateless mapPartitions, so the q56 chain runs per micro-batch
+    // with no state — media decoding at crawl-intake time. Drained
+    // union over the staged halves equals the batch oracle
+    "q193_stream_multimodal" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q193_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      stageBatch(docs, fexpr("doc_id % 2 = 0"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: img
+    module: select
+    inputs: [docs]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: w, expression: "n_chars % 640 + 1", type: int64}
+        - {name: h, expression: "doc_id % 480 + 1", type: int64}
+        - {name: hdrs, func: text, text: "IMG:$${w}x$${h}x3:payload"}
+        - {name: content, field: hdrs, type: bytes}
+  - name: mm
+    module: multimodal
+    inputs: [img]
+    parameters:
+      ops:
+        - {op: decode, field: content, name: meta}
+        - {op: resize, field: content, name: content2, width: 64, height: 32}
+        - {op: decode, field: content2, name: meta2}
+  - name: sel
+    module: select
+    inputs: [mm]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: width, field: meta.width, type: int64}
+        - {name: height, field: meta.height, type: int64}
+        - {name: channels, field: meta.channels, type: int64}
+        - {name: ok, field: meta.ok}
+        - {name: width2, field: meta2.width, type: int64}
+        - {name: height2, field: meta2.height, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fexpr("doc_id % 2 = 1"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // q33's oracled twin: same IVF assignment/probe/top-k, but with
     // an external codebook (centroids = the embeddings of 16 fixed
     // corpus ids) instead of the Lloyd auto-fit — every step is
@@ -11744,6 +11804,18 @@ transforms:
     // StubCodecs header arithmetic: decode returns the header dims;
     // resize re-headers to the target dims
     "q56_multimodal" ->
+      """SELECT doc_id,
+           CAST(n_chars % 640 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           true AS ok,
+           CAST(64 AS BIGINT) AS width2,
+           CAST(32 AS BIGINT) AS height2
+         FROM documents""",
+
+    // stateless per-batch decode: the drained stream equals q56's
+    // batch arithmetic
+    "q193_stream_multimodal" ->
       """SELECT doc_id,
            CAST(n_chars % 640 + 1 AS BIGINT) AS width,
            CAST(doc_id % 480 + 1 AS BIGINT) AS height,
