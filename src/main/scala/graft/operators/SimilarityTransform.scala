@@ -76,18 +76,27 @@ object SimilarityTransform {
           "query set — the bruteforce ground truth and the per-query " +
           "reduction cannot stream; stage the queries to storage " +
           "first")
+      // inner builds get NO inline routing params — filter/select/
+      // flattenField compile against the RECALL frame's schema at
+      // the end, not against the inner top-k frames. flattenField is
+      // stripped from the MODULE NODE too (finishRouted reads the
+      // node-level placement first)
+      val routing = Seq("filter", "filters", "select", "flattenField")
       def strip(drop: Seq[String],
           set: Map[String, String]): ModuleCfg = {
         val o = p.deepCopy[
           com.fasterxml.jackson.databind.node.ObjectNode]
         drop.foreach(o.remove)
         set.foreach { case (k, v) => o.put(k, v) }
-        cfg.copy(params = o)
+        val n = cfg.node.deepCopy[
+          com.fasterxml.jackson.databind.JsonNode]
+        n match {
+          case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+            routing.foreach(obj.remove)
+          case _ => ()
+        }
+        cfg.copy(params = o, node = n)
       }
-      // inner builds get NO inline routing params — filter/select
-      // compile against the RECALL frame's schema at the end, not
-      // against the inner top-k frames
-      val routing = Seq("filter", "filters", "select", "flattenField")
       val approx = build(spark,
         strip("action" +: routing, Map.empty), inputs)(cfg.name)
         .select(col("query_id"), col("neighbor_id"))
