@@ -396,7 +396,21 @@ object DedupTransform {
                 val dt = graft.schema.SchemaMapper
                   .baseType(t, graft.config.Json.obj())
                 verdictCast(cfg.name, dt, t)
-              case None => identity
+              case None =>
+                // lexicographic-min tripwire: numeric ids surfaced
+                // as strings order "10" < "9", silently electing the
+                // wrong canonical owner. A bounded probe (100 ids —
+                // a heuristic, not a scan) that finds ONLY numeric
+                // strings almost certainly means the user forgot
+                // idType; warn loudly with the fix named
+                if (allNumericProbe(df, idField))
+                  log.warn(s"dedup ${cfg.name}: verdicts ids all " +
+                    "look numeric but no idType is set — min over " +
+                    "STRING ids is lexicographic ('10' < '9'), " +
+                    "which elects the wrong canonical owner for " +
+                    "numeric ids; set idType (e.g. int64) or " +
+                    "corpusInput to restore numeric ordering")
+                identity
             }
             val pairs = df.select(cast(col(idField)).as("__id"),
               cast(col(dupField)).as("__rep_id"))
@@ -1017,6 +1031,17 @@ object DedupTransform {
     * — on a billion drained rows an invisible corruption. A value
     * that nulls under the cast while non-null raises with the
     * offending value named. */
+  /** Bounded all-numeric heuristic for the verdicts lexicographic-min
+    * warning: 100 ids, not a scan — a false negative just skips the
+    * warning, and a genuinely-string corpus rarely has a 100-id
+    * all-numeric prefix. */
+  private[graft] def allNumericProbe(df: DataFrame,
+      idField: String): Boolean = {
+    val probe = df.select(col(idField).cast("string"))
+      .filter(col(idField).isNotNull).limit(100).collect()
+    probe.nonEmpty && probe.forall(_.getString(0).matches("-?\\d+"))
+  }
+
   private def verdictCast(name: String,
       dt: org.apache.spark.sql.types.DataType,
       tName: String): Column => Column =

@@ -201,20 +201,49 @@ object SimilarityTransform {
     val pqCodec: Option[PqCodec] =
       if (prebuilt.isDefined) {
         val codec = codecFromCodebookRows(cfg, inputs, p)
-        // codes/codebook pairing check: reconstruct reads exactly
-        // m = codebooks.length bytes, so a mismatched pair would
-        // either silently reconstruct from the wrong codec (codes
-        // wider) or throw deep in an executor task (codes narrower)
-        val widths = inputs(prebuilt.get)
-          .filter(col("__pq").isNotNull)
-          .select(length(col("__pq"))).limit(1).collect()
-        widths.headOption.foreach { w =>
-          require(w.getInt(0) == codec.codebooks.length,
+        // codes/codebook pairing check over the WHOLE index, not a
+        // one-row probe: an index dir mixing files from two builds
+        // has per-file widths, so min≠max catches it at plan time
+        // with a driver-side message instead of deep in an executor
+        // task. One column-pruned aggregate (only length(__pq), and
+        // null-__cell counts when the layout is IVF-PQ) — cheap next
+        // to the query scan that follows. reconstruct() keeps its
+        // per-row width throw as the executor-side backstop.
+        val idx = inputs(prebuilt.get)
+        // null __cell rows only matter to ivf probes (lsh/bruteforce
+        // over an IVF-PQ index ignore the cell column entirely)
+        val hasCell = idx.columns.contains("__cell") &&
+          p.str("method").getOrElse("bruteforce") == "ivf"
+        val stats = idx.filter(col("__pq").isNotNull)
+          .agg(min(length(col("__pq"))).as("__w_min"),
+            max(length(col("__pq"))).as("__w_max"),
+            (if (hasCell)
+               sum(when(col("__cell").isNull, 1L).otherwise(0L))
+             else lit(0L)).as("__null_cells"))
+          .collect()(0)
+        if (!stats.isNullAt(0)) {
+          require(stats.getInt(0) == stats.getInt(1),
+            s"similarity ${cfg.name}: indexInput mixes code widths " +
+              s"(${stats.getInt(0)}..${stats.getInt(1)} bytes) — the " +
+              "index dir holds files from DIFFERENT builds; point " +
+              "indexInput at one action: index run's output")
+          require(stats.getInt(0) == codec.codebooks.length,
             s"similarity ${cfg.name}: indexInput codes are " +
-              s"${w.getInt(0)} bytes but codebookInput has " +
+              s"${stats.getInt(0)} bytes but codebookInput has " +
               s"${codec.codebooks.length} subspaces — these artifacts " +
               "come from different builds; pass the `.codebook` " +
               "output persisted by the SAME action: index run")
+          // IVF-PQ layout integrity: an incremental encode run
+          // WITHOUT centroidsInput emits code rows with no __cell —
+          // appended into an IVF index they read back null and a
+          // probe never matches them (silently unreachable vectors)
+          if (hasCell) require(stats.getLong(2) == 0L,
+            s"similarity ${cfg.name}: indexInput has " +
+              s"${stats.getLong(2)} code rows with a null __cell — " +
+              "an incremental action: index appended rows without " +
+              "centroidsInput (the original build's `.centroids` " +
+              "output), so ivf probes can never reach them; re-run " +
+              "the increment with centroidsInput")
         }
         Some(codec)
       } else pqM.map(m =>
@@ -692,6 +721,27 @@ object SimilarityTransform {
             "original build's `.centroids` output), not " +
             "centroids/codebookIds, or the increment's cells would " +
             "be inconsistent with the stored index")
+        // layout-marker check (the reverse of the guard above): a
+        // codebook persisted by an IVF-PQ build carries __ivf=true;
+        // an increment against it WITHOUT centroidsInput would emit
+        // code rows with no __cell — appended into the stored index
+        // they read back null and ivf probes can never reach them.
+        // The codebook is bounded (m·ks rows), so the probe is free;
+        // pre-marker codebooks (no __ivf column) skip the check and
+        // rely on the query-time null-__cell validation instead.
+        inputs.get(cbIn.get)
+          .filter(_.columns.contains("__ivf"))
+          .foreach { cbDf =>
+            val ivfBuilt = cbDf.filter(col("__ivf") === true)
+              .limit(1).collect().nonEmpty
+            require(!ivfBuilt || p.str("centroidsInput").isDefined,
+              s"similarity ${cfg.name}: codebookInput came from an " +
+                "IVF-PQ build (centroids: n) — an increment without " +
+                "centroidsInput would append code rows with no " +
+                "__cell, unreachable by ivf probes of the stored " +
+                "index; pass the original build's `.centroids` " +
+                "output as centroidsInput")
+          }
         codecFromCodebookRows(cfg, inputs, p)
       case None =>
         val m = p.int("pqM").getOrElse(throw new IllegalArgumentException(
@@ -746,7 +796,11 @@ object SimilarityTransform {
       j <- codec.codebooks.indices
       ci <- codec.codebooks(j).indices
     } yield (j, ci, codec.codebooks(j)(ci).toSeq)
+    // __ivf layout marker: lets a later incremental encode detect
+    // that the original build stored coarse cells, and fail fast
+    // when centroidsInput is missing (see the codec check above)
     val cb = cbRows.toDF("__j", "__ci", "__centroid")
+      .withColumn("__ivf", lit(ivfCents.isDefined))
     // finishRouted on the code frame: inline filter/select/failure
     // routing apply to the index output like on every other branch
     TransformCommon.finishRouted(codes, cfg) ++
@@ -814,8 +868,24 @@ object SimilarityTransform {
       require(entries.map(_.getInt(1)).toSeq == entries.indices,
         s"similarity ${cfg.name}: codebook subspace $j has gaps in " +
           "its centroid indices")
-      entries.map(_.getSeq[Float](2).toArray).toArray
+      // a corrupt codebook must fail HERE with its name, not NPE in
+      // getSeq or corrupt reconstruction offsets with ragged widths
+      require(entries.forall(!_.isNullAt(2)),
+        s"similarity ${cfg.name}: codebookInput '$cbName' subspace " +
+          s"$j has null __centroid rows — the codebook is corrupt")
+      val cents = entries.map(_.getSeq[Float](2).toArray)
+      require(cents.map(_.length).distinct.length == 1,
+        s"similarity ${cfg.name}: codebookInput '$cbName' subspace " +
+          s"$j mixes centroid widths " +
+          s"(${cents.map(_.length).distinct.sorted.mkString(", ")})" +
+          " — the codebook is corrupt or mixes builds")
+      cents.toArray
     }.toArray
+    require(codebooks.map(_.head.length).distinct.length == 1,
+      s"similarity ${cfg.name}: codebookInput '$cbName' subspaces " +
+        "disagree on centroid width (" +
+        codebooks.map(_.head.length).distinct.sorted.mkString(", ") +
+        ") — the codebook is corrupt or mixes builds")
     PqCodec(codebooks)
   }
 
@@ -840,7 +910,16 @@ object SimilarityTransform {
     require(rows.map(_.getInt(0)).toSeq == rows.indices,
       s"similarity ${cfg.name}: centroidsInput '$name' has gaps in " +
         "its cell indices")
-    rows.map(_.getSeq[Float](1).toArray)
+    require(rows.forall(!_.isNullAt(1)),
+      s"similarity ${cfg.name}: centroidsInput '$name' has null " +
+        "__centroid rows — the coarse table is corrupt")
+    val cents = rows.map(_.getSeq[Float](1).toArray)
+    require(cents.map(_.length).distinct.length == 1,
+      s"similarity ${cfg.name}: centroidsInput '$name' mixes " +
+        s"centroid widths " +
+        s"(${cents.map(_.length).distinct.sorted.mkString(", ")}) — " +
+        "the coarse table is corrupt or mixes builds")
+    cents
   }
 
   private[operators] def codebookFromIds(corpus: DataFrame, embField: String,

@@ -794,13 +794,31 @@ object StreamRunner {
           .filter(_.getName.startsWith(s"b$batchId-"))
           .foreach(_.delete())
         val paneStage = new java.io.File(stageDir, "__graft_role=pane")
-        Option(paneStage.listFiles()).getOrElse(Array.empty[java.io.File])
+        val paneParts = Option(paneStage.listFiles())
+          .getOrElse(Array.empty[java.io.File])
           .filter(_.getName.endsWith(".parquet"))
-          .foreach { f =>
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
+        paneParts.foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        if (paneParts.isEmpty) {
+          // a firing whose pane frame is EMPTY writes no
+          // __graft_role=pane partition — mirror the ordinals
+          // fallback with a schema-bearing (empty) file so a sink
+          // whose firings were all empty still reads as an empty
+          // frame instead of failing schema inference
+          val emptyDir = new java.io.File(stageDir, "pane-empty")
+          withIdx.write.mode("overwrite").parquet(emptyDir.toString)
+          Option(emptyDir.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+        }
         def rmRec(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
             .foreach(rmRec)
