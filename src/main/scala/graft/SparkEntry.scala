@@ -5170,6 +5170,53 @@ transforms:
         - {name: height2, field: meta2.height, type: int64}
 """),
 
+    // REAL image codecs (javax.imageio, in the JDK): generate a
+    // genuine PNG per document with doc_id-derived dimensions and a
+    // deterministic pixel fill, decode it back (true dims, 3
+    // channels, format sniffed from magic bytes), then REALLY
+    // rescale to 17×11 and decode the re-encoded PNG. The oracle
+    // predicts every decoded property from the same doc_id
+    // arithmetic — so a hash match proves the real codec round-trip,
+    // not header parsing
+    "q194_multimodal_imageio" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dims
+    module: select
+    inputs: [docs]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: w, expression: "doc_id % 24 + 4", type: int64}
+        - {name: h, expression: "(doc_id * 7) % 16 + 3", type: int64}
+  - name: mm
+    module: multimodal
+    inputs: [dims]
+    parameters:
+      ops:
+        - {op: generate, widthField: w, heightField: h, seedField: doc_id, name: content}
+        - {op: decode, field: content, name: meta}
+        - {op: resize, field: content, name: thumb, width: 17, height: 11}
+        - {op: decode, field: thumb, name: meta2}
+  - name: out
+    module: select
+    inputs: [mm]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: width, field: meta.width, type: int64}
+        - {name: height, field: meta.height, type: int64}
+        - {name: channels, field: meta.channels, type: int64}
+        - {name: format, field: meta.format}
+        - {name: ok, field: meta.ok}
+        - {name: width2, field: meta2.width, type: int64}
+        - {name: height2, field: meta2.height, type: int64}
+        - {name: format2, field: meta2.format}
+"""),
+
     // STREAMING multimodal: the decode/resize plumbing is a
     // stateless mapPartitions, so the q56 chain runs per micro-batch
     // with no state — media decoding at crawl-intake time. Drained
@@ -5217,6 +5264,67 @@ transforms:
         - {name: ok, field: meta.ok}
         - {name: width2, field: meta2.width, type: int64}
         - {name: height2, field: meta2.height, type: int64}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fexpr("doc_id % 2 = 1"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
+    // q194's STREAMING twin: real PNG generate/decode/resize per
+    // micro-batch (stateless mapPartitions — media decode at
+    // crawl-intake time with a genuine JDK codec); the drained
+    // union over staged halves equals the batch arithmetic
+    "q197_stream_multimodal_imageio" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q197_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      stageBatch(docs, fexpr("doc_id % 2 = 0"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dims
+    module: select
+    inputs: [docs]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: w, expression: "doc_id % 24 + 4", type: int64}
+        - {name: h, expression: "(doc_id * 7) % 16 + 3", type: int64}
+  - name: mm
+    module: multimodal
+    inputs: [dims]
+    parameters:
+      ops:
+        - {op: generate, widthField: w, heightField: h, seedField: doc_id, name: content}
+        - {op: decode, field: content, name: meta}
+        - {op: resize, field: content, name: thumb, width: 17, height: 11}
+        - {op: decode, field: thumb, name: meta2}
+  - name: sel
+    module: select
+    inputs: [mm]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: width, field: meta.width, type: int64}
+        - {name: height, field: meta.height, type: int64}
+        - {name: channels, field: meta.channels, type: int64}
+        - {name: format, field: meta.format}
+        - {name: ok, field: meta.ok}
+        - {name: width2, field: meta2.width, type: int64}
+        - {name: height2, field: meta2.height, type: int64}
+        - {name: format2, field: meta2.format}
 sinks:
   - name: sk
     module: storage
@@ -11823,6 +11931,36 @@ transforms:
            true AS ok,
            CAST(64 AS BIGINT) AS width2,
            CAST(32 AS BIGINT) AS height2
+         FROM documents""",
+
+    // real-codec roundtrip: the generated PNG's decoded properties
+    // are pure doc_id arithmetic (dims), constants (3-channel RGB,
+    // png magic), and the resize targets — a hash match proves the
+    // JDK encode→decode→rescale→re-encode→decode chain end-to-end
+    "q194_multimodal_imageio" ->
+      """SELECT doc_id,
+           CAST(doc_id % 24 + 4 AS BIGINT) AS width,
+           CAST((doc_id * 7) % 16 + 3 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           'png' AS format,
+           true AS ok,
+           CAST(17 AS BIGINT) AS width2,
+           CAST(11 AS BIGINT) AS height2,
+           'png' AS format2
+         FROM documents""",
+
+    // stateless per-batch real-codec chain: drained stream equals
+    // q194's batch arithmetic
+    "q197_stream_multimodal_imageio" ->
+      """SELECT doc_id,
+           CAST(doc_id % 24 + 4 AS BIGINT) AS width,
+           CAST((doc_id * 7) % 16 + 3 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           'png' AS format,
+           true AS ok,
+           CAST(17 AS BIGINT) AS width2,
+           CAST(11 AS BIGINT) AS height2,
+           'png' AS format2
          FROM documents""",
 
     // IVF with external codebook: cell p = position p in the

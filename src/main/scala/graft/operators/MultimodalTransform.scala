@@ -9,64 +9,175 @@ import org.apache.spark.sql.types._
 
 /** `multimodal` transform — image/audio/video columns for training-data
   * pipelines. Media travels as opaque `binary` columns with typed
-  * metadata; per-item work (decode, feature-extract, resize,
+  * metadata; per-item work (generate, decode, feature-extract, resize,
   * frame-sample) runs in `mapPartitions` so one task amortizes
   * decoder setup across its whole partition (the Scala analogue of
   * `mapInPandas` batching).
   *
-  * The actual codec call is STUBBED — image/audio libraries are not in
-  * this container — behind `StubCodecs`: a deterministic fake that
-  * parses our synthetic header format. The Spark-side plumbing
-  * (schema evolution, partitioning, batch shape, null handling) is
-  * real and tested; swapping `StubCodecs` for javacv/ImageIO is a
-  * one-file change.
+  * IMAGE codecs are REAL: `javax.imageio` (in the JDK — zero new
+  * dependencies) decodes PNG/JPEG/GIF/BMP, `resize` rescales through
+  * `Graphics2D` and re-encodes PNG, and formats sniff from magic
+  * bytes. The synthetic `IMG:<w>x<h>x<c>:` header format is kept as a
+  * fallback codec (`StubCodecs`) so byte fixtures stay cheap to
+  * construct. Video `frame_sample` remains a stub — the JDK has no
+  * video codec — with the real mapPartitions plumbing around it.
   *
   * Ops (config `ops: [{op, field, ...}]`):
+  *  - `generate`: (widthField, heightField, seedField) → binary —
+  *    a REAL PNG with a deterministic per-(seed, x, y) pixel fill,
+  *    the fixture generator for decode/resize pipelines.
   *  - `decode`: binary → struct(width, height, channels, format, ok)
-  *  - `resize`: binary + target dims → binary (stub: re-headers)
-  *  - `frame_sample`: video binary → array<binary> of n frames
-  *  - `embed`: binary → array<float> feature vector (stub: seeded
-  *    hash-derived, deterministic)
+  *  - `resize`: binary + target dims → binary (real rescale + PNG
+  *    re-encode for real images; re-header for IMG: fixtures)
+  *  - `frame_sample`: video binary → array<binary> of n frames (stub)
+  *  - `embed`: binary → array<float> feature vector (content-hash
+  *    seeded, deterministic — a stand-in for a real vision encoder)
   */
 object MultimodalTransform {
 
-  /** Deterministic stand-ins for real codecs. Fake media format:
-    * "IMG:<w>x<h>x<c>:" prefix bytes, arbitrary payload. */
+  /** Deterministic stand-ins where no JDK codec exists. Fake media
+    * format: "IMG:<w>x<h>x<c>:" prefix bytes, arbitrary payload. */
   object StubCodecs {
     private val Header = """IMG:(\d+)x(\d+)x(\d+):.*""".r
 
     case class Meta(width: Int, height: Int, channels: Int,
         format: String, ok: Boolean)
 
-    def decode(bytes: Array[Byte]): Meta = {
-      if (bytes == null) return Meta(0, 0, 0, "null", ok = false)
+    def headerMeta(bytes: Array[Byte]): Option[Meta] = {
+      if (bytes == null) return None
       val head = new String(bytes.take(32),
         java.nio.charset.StandardCharsets.ISO_8859_1)
       head match {
-        case Header(w, h, c) => Meta(w.toInt, h.toInt, c.toInt, "img",
-          ok = true)
-        case _ => Meta(0, 0, 0, "unknown", ok = false)
+        case Header(w, h, c) =>
+          Some(Meta(w.toInt, h.toInt, c.toInt, "img", ok = true))
+        case _ => None
       }
     }
 
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      if (bytes == null) return null
-      val m = decode(bytes)
-      if (!m.ok) bytes
-      else s"IMG:${w}x${h}x${m.channels}:resized"
-        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      headerMeta(bytes) match {
+        case Some(m) =>
+          s"IMG:${w}x${h}x${m.channels}:resized"
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case None => bytes
+      }
 
     def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
       if (bytes == null) null
-      else (0 until n).map(i => resize(bytes, 64, 64) ++ Array(i.toByte))
+      else (0 until n).map(i =>
+        ImageCodecs.resize(bytes, 64, 64) ++ Array(i.toByte))
 
-    /** ??? in spirit — deterministic fake embedding from content. */
+    /** Deterministic fake embedding from content (a real vision
+      * encoder slots in here — ONNX models route through the `onnx`
+      * transform instead). */
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
       if (bytes == null) return null
       val h = java.util.Arrays.hashCode(bytes)
       val rnd = new scala.util.Random(h)
       Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    }
+  }
+
+  /** Real JDK image codecs: magic-byte sniffing + `javax.imageio`
+    * decode/encode. All methods are pure functions of their inputs
+    * (Java2D software rasterization and the PNG writer are
+    * deterministic), so outputs replay across runs and engines. */
+  object ImageCodecs {
+    import StubCodecs.Meta
+
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+
+    /** Magic-byte format sniff — cheaper and stricter than letting
+      * ImageIO probe every registered reader. */
+    def sniff(bytes: Array[Byte]): Option[String] = {
+      if (bytes == null || bytes.length < 8) return None
+      def b(i: Int) = bytes(i) & 0xff
+      if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+        Some("png")
+      else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff)
+        Some("jpeg")
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+        Some("gif")
+      else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+      else None
+    }
+
+    private def read(bytes: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    private def writePng(img: java.awt.image.BufferedImage)
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** binary → (width, height, channels, format, ok). Synthetic
+      * IMG: fixtures decode through their header; real images sniff
+      * then decode; anything else is (0,0,0,"unknown",false) —
+      * never a throw, a corrupt image is data, not a bug. */
+    def decode(bytes: Array[Byte]): Meta = {
+      if (bytes == null) return Meta(0, 0, 0, "null", ok = false)
+      StubCodecs.headerMeta(bytes).getOrElse {
+        sniff(bytes) match {
+          case Some(fmt) => read(bytes) match {
+            case Some(img) => Meta(img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, fmt, ok = true)
+            case None => Meta(0, 0, 0, fmt, ok = false) // truncated
+          }
+          case None => Meta(0, 0, 0, "unknown", ok = false)
+        }
+      }
+    }
+
+    /** Real rescale (bilinear, software raster — deterministic),
+      * re-encoded PNG; IMG: fixtures re-header; undecodable bytes
+      * pass through unchanged (the decode op marks them !ok). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (bytes == null) return null
+      if (StubCodecs.headerMeta(bytes).isDefined)
+        return StubCodecs.resize(bytes, w, h)
+      read(bytes) match {
+        case Some(src) =>
+          val kind =
+            if (src.getColorModel.hasAlpha)
+              java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val dst = new java.awt.image.BufferedImage(w, h, kind)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          writePng(dst)
+        case None => bytes
+      }
+    }
+
+    /** Deterministic REAL PNG: w×h RGB, pixel (x, y) a pure function
+      * of (seed, x, y) — the fixture generator that lets decode/
+      * resize gates run on genuine codec output with a SQL-replayable
+      * expectation (the oracle predicts dimensions, not pixels). */
+    def generatePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (((seed * 1103515245L + x * 31L + y * 977L) >>> 8)
+              & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writePng(img)
     }
   }
 
@@ -83,53 +194,86 @@ object MultimodalTransform {
     var df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
     cfg.params.arrOf("ops").foreach { o =>
       val op = o.str("op").getOrElse("decode")
-      val field = o.str("field").getOrElse("content")
-      val out = o.str("name").getOrElse(s"${field}_$op")
-      val inIdx = df.schema.fieldIndex(field)
+      val out = o.str("name").getOrElse(
+        s"${o.str("field").getOrElse("content")}_$op")
       op match {
-        case "decode" =>
-          df = mapBinary(df, inIdx, out, metaType) { bytes =>
-            val m = StubCodecs.decode(bytes)
-            Row(m.width, m.height, m.channels, m.format, m.ok)
+        case "generate" =>
+          val wIdx = df.schema.fieldIndex(
+            o.str("widthField").getOrElse("width"))
+          val hIdx = df.schema.fieldIndex(
+            o.str("heightField").getOrElse("height"))
+          val sIdx = o.str("seedField").map(df.schema.fieldIndex)
+          df = mapRows(df, out, BinaryType) { row =>
+            if (row.isNullAt(wIdx) || row.isNullAt(hIdx)) null
+            else {
+              val seed = sIdx match {
+                case Some(i) if !row.isNullAt(i) =>
+                  row.get(i) match {
+                    case n: Number => n.longValue()
+                    case other => other.toString.hashCode.toLong
+                  }
+                case _ => 0L
+              }
+              ImageCodecs.generatePng(
+                asInt(row.get(wIdx)), asInt(row.get(hIdx)), seed)
+            }
           }
-        case "resize" =>
-          val (w, h) = (o.int("width").getOrElse(224),
-            o.int("height").getOrElse(224))
-          df = mapBinary(df, inIdx, out, BinaryType)(
-            StubCodecs.resize(_, w, h))
-        case "frame_sample" =>
-          val n = o.int("frames").getOrElse(4)
-          df = mapBinary(df, inIdx, out, ArrayType(BinaryType))(
-            StubCodecs.frameSample(_, n))
-        case "embed" =>
-          val dim = o.int("dim").getOrElse(64)
-          df = mapBinary(df, inIdx, out, ArrayType(FloatType))(
-            StubCodecs.embed(_, dim))
-        case other =>
-          throw new IllegalArgumentException(s"multimodal op: $other")
+        case _ =>
+          val field = o.str("field").getOrElse("content")
+          val inIdx = df.schema.fieldIndex(field)
+          op match {
+            case "decode" =>
+              df = mapBinary(df, inIdx, out, metaType) { bytes =>
+                val m = ImageCodecs.decode(bytes)
+                Row(m.width, m.height, m.channels, m.format, m.ok)
+              }
+            case "resize" =>
+              val (w, h) = (o.int("width").getOrElse(224),
+                o.int("height").getOrElse(224))
+              df = mapBinary(df, inIdx, out, BinaryType)(
+                ImageCodecs.resize(_, w, h))
+            case "frame_sample" =>
+              val n = o.int("frames").getOrElse(4)
+              df = mapBinary(df, inIdx, out, ArrayType(BinaryType))(
+                StubCodecs.frameSample(_, n))
+            case "embed" =>
+              val dim = o.int("dim").getOrElse(64)
+              df = mapBinary(df, inIdx, out, ArrayType(FloatType))(
+                StubCodecs.embed(_, dim))
+            case other =>
+              throw new IllegalArgumentException(s"multimodal op: $other")
+          }
       }
     }
     TransformCommon.finishRouted(df, cfg)
   }
 
+  private def asInt(v: Any): Int = v match {
+    case n: Number => n.intValue()
+    case other => other.toString.toInt
+  }
+
   /** mapPartitions with schema evolution: append `out` of type `dt`
-    * computed from the binary column at `inIdx`. Codec state would be
-    * initialized once per partition here (the perf point of
-    * mapPartitions over a per-row UDF). */
-  private def mapBinary(df: DataFrame, inIdx: Int, out: String,
-      dt: DataType)(f: Array[Byte] => Any): DataFrame = {
+    * computed from the whole row. Codec state initializes once per
+    * partition (the perf point of mapPartitions over a per-row UDF). */
+  private def mapRows(df: DataFrame, out: String, dt: DataType)(
+      f: Row => Any): DataFrame = {
     val outSchema = df.schema.add(out, dt)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.mapPartitions { it =>
-      // per-partition codec init happens here (stub: nothing)
-      it.map { row =>
-        val bytes = row.get(inIdx) match {
-          case b: Array[Byte] => b
-          case null => null
-          case other => other.toString.getBytes
-        }
-        Row.fromSeq(row.toSeq :+ f(bytes))
-      }
+      it.map(row => Row.fromSeq(row.toSeq :+ f(row)))
     }(enc)
   }
+
+  /** [[mapRows]] specialized to one binary input column. */
+  private def mapBinary(df: DataFrame, inIdx: Int, out: String,
+      dt: DataType)(f: Array[Byte] => Any): DataFrame =
+    mapRows(df, out, dt) { row =>
+      val bytes = row.get(inIdx) match {
+        case b: Array[Byte] => b
+        case null => null
+        case other => other.toString.getBytes
+      }
+      f(bytes)
+    }
 }

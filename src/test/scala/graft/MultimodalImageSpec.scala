@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Real `javax.imageio` codecs behind the multimodal transform:
+  * generated PNGs decode to their true dimensions, resize really
+  * rescales (re-encoded PNG), magic-byte sniffing names formats, and
+  * corrupt bytes degrade to ok=false instead of throwing. The q194 /
+  * q197 driver gates run the same chain through the Pipeline API. */
+class MultimodalImageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.MultimodalTransform.{ImageCodecs, StubCodecs}
+
+  test("generatePng → decode roundtrip: true dims, 3 channels, png") {
+    val bytes = ImageCodecs.generatePng(23, 11, seed = 42L)
+    assert(ImageCodecs.sniff(bytes).contains("png"))
+    val m = ImageCodecs.decode(bytes)
+    assert(m == StubCodecs.Meta(23, 11, 3, "png", ok = true))
+    // deterministic: same (w, h, seed) → identical bytes
+    assert(java.util.Arrays.equals(bytes,
+      ImageCodecs.generatePng(23, 11, seed = 42L)))
+    // different seed → different pixels
+    assert(!java.util.Arrays.equals(bytes,
+      ImageCodecs.generatePng(23, 11, seed = 43L)))
+  }
+
+  test("resize really rescales and re-encodes PNG; jpeg/gif/bmp " +
+      "sniff and decode through the same path") {
+    val src = ImageCodecs.generatePng(32, 16, seed = 7L)
+    val small = ImageCodecs.resize(src, 8, 4)
+    assert(ImageCodecs.decode(small) ==
+      StubCodecs.Meta(8, 4, 3, "png", ok = true))
+    // round-trip the same raster through the other JDK writers and
+    // decode via the magic-byte sniff
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(src))
+    for (fmt <- Seq("jpeg", "gif", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos),
+        s"JDK has no $fmt writer")
+      val m = ImageCodecs.decode(bos.toByteArray)
+      assert(m.format == fmt && m.ok && m.width == 32 && m.height == 16,
+        s"$fmt: $m")
+    }
+  }
+
+  test("corrupt and unknown bytes degrade to ok=false, never throw") {
+    // valid magic, truncated body
+    val png = ImageCodecs.generatePng(16, 16, seed = 1L)
+    val truncated = png.take(20)
+    val m1 = ImageCodecs.decode(truncated)
+    assert(m1.format == "png" && !m1.ok)
+    assert(ImageCodecs.decode("garbage".getBytes) ==
+      StubCodecs.Meta(0, 0, 0, "unknown", ok = false))
+    // resize of undecodable bytes passes them through unchanged
+    assert(java.util.Arrays.equals(
+      ImageCodecs.resize("garbage".getBytes, 4, 4), "garbage".getBytes))
+    // synthetic IMG: fixtures still route through the stub codec
+    val fix = "IMG:640x480x3:payload".getBytes("ISO-8859-1")
+    assert(ImageCodecs.decode(fix) ==
+      StubCodecs.Meta(640, 480, 3, "img", ok = true))
+    assert(new String(ImageCodecs.resize(fix, 8, 8), "ISO-8859-1")
+      .startsWith("IMG:8x8x3:"))
+  }
+
+  test("generate op end-to-end through the transform: per-row dims " +
+      "and seed columns, decode and resize downstream, null dims " +
+      "stay null") {
+    val rows = Seq((1L, 8, 6), (2L, 12, 5), (3L, 0, 0))
+      .toDF("doc_id", "w", "h")
+      .withColumn("w", when($"doc_id" === 3, lit(null)).otherwise($"w"))
+    val cfg = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse("""
+        {"ops": [
+          {"op": "generate", "widthField": "w", "heightField": "h",
+           "seedField": "doc_id", "name": "content"},
+          {"op": "decode", "field": "content", "name": "meta"},
+          {"op": "resize", "field": "content", "name": "thumb",
+           "width": 5, "height": 4},
+          {"op": "decode", "field": "thumb", "name": "meta2"}
+        ]}"""), graft.config.Json.obj())
+    val out = graft.operators.MultimodalTransform
+      .build(spark, cfg, Map("in" -> rows))("mm")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def meta(id: Long, col: String) =
+      out(id).getAs[org.apache.spark.sql.Row](col)
+    assert(meta(1L, "meta").getAs[Int]("width") == 8)
+    assert(meta(1L, "meta").getAs[Int]("height") == 6)
+    assert(meta(2L, "meta").getAs[Int]("width") == 12)
+    assert(meta(1L, "meta").getAs[String]("format") == "png")
+    assert(meta(1L, "meta2").getAs[Int]("width") == 5)
+    assert(meta(2L, "meta2").getAs[Int]("height") == 4)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("content")))
+    assert(!meta(3L, "meta").getAs[Boolean]("ok"))
+    // distinct seeds → distinct images (same dims)
+    val b1 = out(1L).getAs[Array[Byte]]("content")
+    val cfg2 = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"ops": [{"op": "generate", "widthField": "w",
+            "heightField": "h", "seedField": "doc_id",
+            "name": "content"}]}"""), graft.config.Json.obj())
+    val again = graft.operators.MultimodalTransform
+      .build(spark, cfg2, Map("in" -> rows))("mm")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(java.util.Arrays.equals(b1,
+      again(1L).getAs[Array[Byte]]("content")),
+      "generate must be deterministic across runs")
+  }
+}
