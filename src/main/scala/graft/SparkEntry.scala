@@ -1366,6 +1366,127 @@ transforms:
         - {name: recall_r, expression: "round(recall, 6)"}
 """),
 
+    // recall in the QUANTIZED regime: the pqM distortion a serving
+    // deployment actually tunes, measured against the FLOAT
+    // bruteforce ground truth (the strip logic keeps pqM on the
+    // approx side only). Fixture recall is 0.0–0.2 — the gate
+    // proves the evaluator measures loss, not that it echoes 1.0
+    "q195_recall_pq" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: rec
+    module: similarity
+    inputs: [emb, q]
+    parameters: {action: recall, method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8, hashAlgo: md5, pqM: 8, pqCodebookSize: 16}
+  - name: out
+    module: select
+    inputs: [rec]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: hits}
+        - {name: exact_n}
+        - {name: recall_r, expression: "round(recall, 6)"}
+"""),
+
+    // recall under COARSE pruning: ivf with nProbe 2 of 8 cells —
+    // the cell-miss loss nProbe trades against query cost. Fixture
+    // recall spans 0.0–0.8 across the query set
+    "q196_recall_ivf" -> pipe("out", """
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "${dir}/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: rec
+    module: similarity
+    inputs: [emb, q]
+    parameters: {action: recall, method: ivf, field: embedding, idField: vec_id, k: 5, centroids: 8, nProbe: 2, hashAlgo: md5}
+  - name: out
+    module: select
+    inputs: [rec]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: hits}
+        - {name: exact_n}
+        - {name: recall_r, expression: "round(recall, 6)"}
+"""),
+
+    // recall of the EXACT artifact being served: the approx side
+    // reads q189-style persisted codes+codebook (indexInput, no
+    // float corpus), the ground truth scores the raw corpus named
+    // by corpusInput — closing the loop q189's equivalence proves
+    // only for the query path. Same knobs as q195, so the stored
+    // artifact must reproduce q195's recall numbers exactly
+    "q198_recall_prebuilt" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q198_")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [emb]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, hashAlgo: md5}
+sinks:
+  - name: s1
+    module: storage
+    input: idx
+    parameters: {output: "$base/codes", format: parquet}
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: i
+    module: storage
+    parameters: {path: "$base/codes"}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: rec
+    module: similarity
+    inputs: [i, q, cb, emb]
+    parameters: {action: recall, method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8, hashAlgo: md5, indexInput: i, codebookInput: cb, corpusInput: emb}
+  - name: out
+    module: select
+    inputs: [rec]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: hits}
+        - {name: exact_n}
+        - {name: recall_r, expression: "round(recall, 6)"}
+""")("out")
+    }),
+
     // similarity: LSH-bucketed ANN in hashAlgo:md5 mode — plane
     // derivation, bucket assignment, cosine and top-k all replay in
     // the DuckDB oracle
@@ -8270,6 +8391,114 @@ transforms:
          FROM documents d LEFT JOIN ver v ON v.a = d.doc_id
          WHERE d.doc_id >= 100"""
 
+
+  /** Shared by q195 (direct quantized recall) and q198 (recall of
+    * the PERSISTED artifact): the stored index must reproduce the
+    * direct run's recall exactly, so one SQL defines both. */
+  private val recallPqOracleSql: String =
+      """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
+               AS r
+           FROM codes c JOIN cb ON cb.ci = c.ci
+           GROUP BY c.vec_id),
+         pl AS (
+           SELECT t, p, i,
+             ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 8) tt(t)
+           CROSS JOIN range(0, 6) pp(p)
+           CROSS JOIN range(0, 64) s(i)),
+         cdots AS (
+           SELECT r.vec_id, pl.t, pl.p,
+             sum(r.r[pl.i + 1] * pl.u) AS dot
+           FROM recon r JOIN pl ON pl.i < len(r.r)
+           GROUP BY r.vec_id, pl.t, pl.p),
+         cbuck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM cdots GROUP BY vec_id, t),
+         qe AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings
+           WHERE vec_id < 5 AND embedding IS NOT NULL),
+         qdots AS (
+           SELECT q.vec_id, pl.t, pl.p,
+             sum(q.e[pl.i + 1] * pl.u) AS dot
+           FROM qe q JOIN pl ON pl.i < len(q.e)
+           GROUP BY q.vec_id, pl.t, pl.p),
+         qbuck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM qdots GROUP BY vec_id, t),
+         pairs AS (
+           SELECT DISTINCT qb.vec_id AS query_id,
+             cbk.vec_id AS neighbor_id
+           FROM cbuck cbk
+           JOIN qbuck qb ON cbk.bucket = qb.bucket
+           WHERE cbk.vec_id <> qb.vec_id),
+         approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, p.neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_dot_product(q.e, r.r) /
+                   (sqrt(list_dot_product(q.e, q.e)) *
+                    sqrt(list_dot_product(r.r, r.r))) DESC,
+                   p.neighbor_id) AS rank
+             FROM pairs p
+             JOIN qe q ON q.vec_id = p.query_id
+             JOIN recon r ON r.vec_id = p.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+             FROM embeddings c
+             CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+             WHERE c.vec_id <> q.vec_id)
+           WHERE rank <= 5),
+         den AS (
+           SELECT query_id, count(*) AS n FROM exact GROUP BY 1),
+         hits AS (
+           SELECT a.query_id, count(*) AS h
+           FROM approx a JOIN exact x
+             ON x.query_id = a.query_id
+              AND x.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT d.query_id, coalesce(h.h, 0) AS hits,
+           d.n AS exact_n,
+           round(coalesce(h.h, 0) * 1.0 / d.n, 6) AS recall_r
+         FROM den d LEFT JOIN hits h USING (query_id)"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -11249,6 +11478,86 @@ transforms:
            JOIN (SELECT * FROM buck WHERE vec_id < 5) qb
              ON cb.bucket = qb.bucket
            WHERE cb.vec_id <> qb.vec_id),
+         approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, p.neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(eq.embedding AS DOUBLE[]),
+                   CAST(ec.embedding AS DOUBLE[])) DESC,
+                   p.neighbor_id) AS rank
+             FROM pairs p
+             JOIN e eq ON eq.vec_id = p.query_id
+             JOIN e ec ON ec.vec_id = p.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+             FROM embeddings c
+             CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+             WHERE c.vec_id <> q.vec_id)
+           WHERE rank <= 5),
+         den AS (
+           SELECT query_id, count(*) AS n FROM exact GROUP BY 1),
+         hits AS (
+           SELECT a.query_id, count(*) AS h
+           FROM approx a JOIN exact x
+             ON x.query_id = a.query_id
+              AND x.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT d.query_id, coalesce(h.h, 0) AS hits,
+           d.n AS exact_n,
+           round(coalesce(h.h, 0) * 1.0 / d.n, 6) AS recall_r
+         FROM den d LEFT JOIN hits h USING (query_id)""",
+
+    // quantized-regime recall: approx = q187's full PQ+LSH replay
+    // chain (md5 codebook → per-subspace argmin codes → recon →
+    // hyperplane buckets ON the recon → cosine(query float, recon)
+    // top-k), exact = float bruteforce — recall measures the pqM
+    // distortion (fixture values 0.0–0.2, never an echoed 1.0)
+    "q195_recall_pq" -> recallPqOracleSql,
+
+    // stored-artifact recall ≡ q195: the persisted codes/codebook
+    // must reproduce the direct quantized run's recall exactly
+    // (storage adds nothing, loses nothing), so the oracle is
+    // q195's chain verbatim
+    "q198_recall_prebuilt" -> recallPqOracleSql,
+
+    // coarse-pruning recall: approx = q33's md5-seeded IVF replay
+    // with 8 cells probing only 2, exact = float bruteforce —
+    // recall measures the cell-miss loss (fixture 0.0–0.8)
+    "q196_recall_ivf" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         seed AS (
+           SELECT vec_id, embedding FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 8),
+         cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             embedding AS cvec
+           FROM seed),
+         sims AS (
+           SELECT e.vec_id, cents.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(cents.cvec AS DOUBLE[])) DESC, cents.cell) AS rn
+           FROM e CROSS JOIN cents),
+         c_assign AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
+         q_assign AS (
+           SELECT vec_id, cell FROM sims WHERE rn <= 2 AND vec_id < 5),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
          approx AS (
            SELECT query_id, neighbor_id FROM (
              SELECT p.query_id, p.neighbor_id,

@@ -56,10 +56,18 @@ object SimilarityTransform {
         s"similarity ${cfg.name}: action: recall compares an " +
           "APPROXIMATE method against the bruteforce ground truth — " +
           "set method: lsh or ivf (with the knobs to evaluate)")
-      require(p.str("indexInput").isEmpty,
+      // recall over a PREBUILT index measures the exact artifact
+      // being served (codes + codebook as stored) — but the ground
+      // truth still needs float vectors, so `corpusInput` must name
+      // the raw corpus alongside indexInput
+      require(p.str("indexInput").isEmpty ||
+          p.str("corpusInput").isDefined,
         s"similarity ${cfg.name}: action: recall needs the raw " +
           "corpus (the bruteforce ground truth scores float " +
-          "vectors) — evaluate before persisting the index")
+          "vectors) — with indexInput, pass the raw corpus as an " +
+          "extra input named by corpusInput; the approx side then " +
+          "measures the STORED artifact while the ground truth " +
+          "scores floats")
       require(!p.bool("selfJoin").getOrElse(false),
         s"similarity ${cfg.name}: action: recall with selfJoin " +
           "would need an O(n²) bruteforce ground truth — evaluate " +
@@ -82,8 +90,8 @@ object SimilarityTransform {
       // stripped from the MODULE NODE too (finishRouted reads the
       // node-level placement first)
       val routing = Seq("filter", "filters", "select", "flattenField")
-      def strip(drop: Seq[String],
-          set: Map[String, String]): ModuleCfg = {
+      def strip(drop: Seq[String], set: Map[String, String],
+          newInputs: Seq[String] = cfg.inputs): ModuleCfg = {
         val o = p.deepCopy[
           com.fasterxml.jackson.databind.node.ObjectNode]
         drop.foreach(o.remove)
@@ -95,18 +103,37 @@ object SimilarityTransform {
             routing.foreach(obj.remove)
           case _ => ()
         }
-        cfg.copy(params = o, node = n)
+        cfg.copy(inputs = newInputs, params = o, node = n)
       }
       val approx = build(spark,
         strip("action" +: routing, Map.empty), inputs)(cfg.name)
         .select(col("query_id"), col("neighbor_id"))
       // ground truth: float bruteforce with the SAME k; bucket/codec
-      // knobs dropped so nothing quantizes the exact side
+      // knobs dropped so nothing quantizes the exact side. With a
+      // prebuilt approx side the exact build swaps the code frame
+      // for the corpusInput raw-float corpus (and drops the stored
+      // artifacts — the ground truth must not see them)
+      val exactInputs = p.str("corpusInput") match {
+        case Some(rawName) if p.str("indexInput").isDefined =>
+          require(inputs.contains(rawName),
+            s"similarity ${cfg.name}: unknown corpusInput " +
+              s"'$rawName' (inputs: ${cfg.inputs.mkString(", ")})")
+          require(!inputs(rawName).isStreaming,
+            s"similarity ${cfg.name}: recall's corpusInput must be " +
+              "bounded — the bruteforce ground truth scans it")
+          rawName +: cfg.inputs.drop(1)
+            .filter(n => !p.str("codebookInput").contains(n) &&
+              !p.str("centroidsInput").contains(n) && n != rawName)
+        case _ => cfg.inputs
+      }
       val exact = build(spark,
         strip(Seq("action", "planes", "tables", "nProbe", "centroids",
             "codebookIds", "fitIterations", "pqM", "pqCodebookSize",
-            "pqFitIterations", "quantized") ++ routing,
-          Map("method" -> "bruteforce")), inputs)(cfg.name)
+            "pqFitIterations", "quantized", "indexInput",
+            "codebookInput", "centroidsInput", "corpusInput") ++
+            routing,
+          Map("method" -> "bruteforce"), exactInputs),
+        inputs)(cfg.name)
         .select(col("query_id"), col("neighbor_id"))
       // ONE pass over the expensive ground-truth subtree: left-join
       // the approx hits onto it and count rows + hits in a single

@@ -160,6 +160,37 @@ class Round19FixesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("mixes"), e2.getMessage)
   }
 
+  test("action recall over a PREBUILT index + corpusInput raw " +
+      "corpus equals the direct quantized recall; without " +
+      "corpusInput the rejection names the fix") {
+    val built = buildIdx("")
+    def recall(names: Seq[String], extra: String,
+        ins: Map[String, org.apache.spark.sql.DataFrame]) =
+      sim("rec", names,
+        s"""{"action": "recall", "method": "lsh",
+            "field": "embedding", "idField": "vec_id", "k": 5,
+            "planes": 4, "tables": 2$extra}""", ins)("rec")
+        .select($"query_id", $"hits", $"exact_n")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = recall(Seq("c", "q"),
+      """, "pqM": 4, "pqCodebookSize": 16, "hashAlgo": "md5"""",
+      Map("c" -> corpus, "q" -> queries))
+    val viaIndex = recall(Seq("i", "q", "cb", "raw"),
+      """, "indexInput": "i", "codebookInput": "cb",
+          "corpusInput": "raw", "hashAlgo": "md5"""",
+      Map("i" -> built("idx"), "q" -> queries,
+        "cb" -> built("idx.codebook"), "raw" -> corpus))
+    assert(viaIndex == direct,
+      s"stored-artifact recall must equal the direct run:\n" +
+        s"got $viaIndex\nexp $direct")
+    val e = intercept[IllegalArgumentException](recall(
+      Seq("i", "q", "cb"),
+      """, "indexInput": "i", "codebookInput": "cb"""",
+      Map("i" -> built("idx"), "q" -> queries,
+        "cb" -> built("idx.codebook"))))
+    assert(e.getMessage.contains("corpusInput"), e.getMessage)
+  }
+
   test("verdicts all-numeric-string probe: fires on numeric ids, " +
       "not on genuinely-string ids, bounded") {
     import graft.operators.DedupTransform
