@@ -7089,6 +7089,77 @@ sinks:
       s.read.parquet(out)
     }),
 
+    // the full SERVING shape: streaming queries against the
+    // PERSISTED index — stored codes + codebook read back
+    // (indexInput/codebookInput), no fit, the float corpus never
+    // read by the query job; each staged query batch takes route()'s
+    // stream-static leg against the pinned stored index. Drained
+    // union over the halves equals q187's chain (and the batch
+    // indexInput run, q189)
+    "q199_stream_knn_prebuilt" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q199_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [emb]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, hashAlgo: md5}
+sinks:
+  - name: s1
+    module: storage
+    input: idx
+    parameters: {output: "$base/codes", format: parquet}
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+""")
+      stageBatch(emb, fexpr("vec_id < 3"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: i
+    module: storage
+    parameters: {path: "$base/codes"}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: q
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: knn
+    module: similarity
+    inputs: [i, q, cb]
+    parameters: {method: lsh, field: embedding, idField: vec_id, k: 5, planes: 6, tables: 8, hashAlgo: md5, indexInput: i, codebookInput: cb}
+  - name: sel
+    module: select
+    inputs: [knn]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: neighbor_id}
+        - {name: rank, type: int32}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(emb, fexpr("vec_id >= 3 AND vec_id < 5"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // STREAMING ngram near-dedup: q178's banding with an EXACT
     // char-5-gram Jaccard verify against the bucket owner's text
     // (owner text rides in state) — 850 band collisions at sf0.01,
@@ -8498,6 +8569,91 @@ transforms:
            d.n AS exact_n,
            round(coalesce(h.h, 0) * 1.0 / d.n, 6) AS recall_r
          FROM den d LEFT JOIN hits h USING (query_id)"""
+
+  /** Shared by q187 (streaming queries vs live PQ index), q189
+    * (persisted-index storage roundtrip) and q199 (streaming
+    * queries vs the PERSISTED index): one md5-replayable PQ+LSH
+    * chain defines all three equivalences. */
+  private val pqLshOracleSql: String =
+    """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
+               AS r
+           FROM codes c JOIN cb ON cb.ci = c.ci
+           GROUP BY c.vec_id),
+         pl AS (
+           SELECT t, p, i,
+             ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
+               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
+           FROM range(0, 8) tt(t)
+           CROSS JOIN range(0, 6) pp(p)
+           CROSS JOIN range(0, 64) s(i)),
+         cdots AS (
+           SELECT r.vec_id, pl.t, pl.p,
+             sum(r.r[pl.i + 1] * pl.u) AS dot
+           FROM recon r JOIN pl ON pl.i < len(r.r)
+           GROUP BY r.vec_id, pl.t, pl.p),
+         cbuck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM cdots GROUP BY vec_id, t),
+         qe AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings
+           WHERE vec_id < 5 AND embedding IS NOT NULL),
+         qdots AS (
+           SELECT q.vec_id, pl.t, pl.p,
+             sum(q.e[pl.i + 1] * pl.u) AS dot
+           FROM qe q JOIN pl ON pl.i < len(q.e)
+           GROUP BY q.vec_id, pl.t, pl.p),
+         qbuck AS (
+           SELECT vec_id, t, t || '_' ||
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY p) AS bucket
+           FROM qdots GROUP BY vec_id, t),
+         pairs AS (
+           SELECT DISTINCT qb.vec_id AS query_id,
+             cbk.vec_id AS neighbor_id
+           FROM cbuck cbk
+           JOIN qbuck qb ON cbk.bucket = qb.bucket
+           WHERE cbk.vec_id <> qb.vec_id),
+         ranked AS (
+           SELECT p.query_id, p.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_dot_product(q.e, r.r) /
+                 (sqrt(list_dot_product(q.e, q.e)) *
+                  sqrt(list_dot_product(r.r, r.r))) DESC,
+                 p.neighbor_id) AS rank
+           FROM pairs p
+           JOIN qe q ON q.vec_id = p.query_id
+           JOIN recon r ON r.vec_id = p.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -11597,170 +11753,20 @@ transforms:
     // build-once/query-many PQ index roundtrip: identical semantics
     // to the direct PQ+lsh run, so the oracle is q187's chain
     "q189_knn_pq_index" ->
-      """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         recon AS (
-           SELECT c.vec_id,
-             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
-               AS r
-           FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
-         pl AS (
-           SELECT t, p, i,
-             ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
-               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
-           FROM range(0, 8) tt(t)
-           CROSS JOIN range(0, 6) pp(p)
-           CROSS JOIN range(0, 64) s(i)),
-         cdots AS (
-           SELECT r.vec_id, pl.t, pl.p,
-             sum(r.r[pl.i + 1] * pl.u) AS dot
-           FROM recon r JOIN pl ON pl.i < len(r.r)
-           GROUP BY r.vec_id, pl.t, pl.p),
-         cbuck AS (
-           SELECT vec_id, t, t || '_' ||
-             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
-               ORDER BY p) AS bucket
-           FROM cdots GROUP BY vec_id, t),
-         qe AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings
-           WHERE vec_id < 5 AND embedding IS NOT NULL),
-         qdots AS (
-           SELECT q.vec_id, pl.t, pl.p,
-             sum(q.e[pl.i + 1] * pl.u) AS dot
-           FROM qe q JOIN pl ON pl.i < len(q.e)
-           GROUP BY q.vec_id, pl.t, pl.p),
-         qbuck AS (
-           SELECT vec_id, t, t || '_' ||
-             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
-               ORDER BY p) AS bucket
-           FROM qdots GROUP BY vec_id, t),
-         pairs AS (
-           SELECT DISTINCT qb.vec_id AS query_id,
-             cbk.vec_id AS neighbor_id
-           FROM cbuck cbk
-           JOIN qbuck qb ON cbk.bucket = qb.bucket
-           WHERE cbk.vec_id <> qb.vec_id),
-         ranked AS (
-           SELECT p.query_id, p.neighbor_id,
-             row_number() OVER (PARTITION BY p.query_id
-               ORDER BY list_dot_product(q.e, r.r) /
-                 (sqrt(list_dot_product(q.e, q.e)) *
-                  sqrt(list_dot_product(r.r, r.r))) DESC,
-                 p.neighbor_id) AS rank
-           FROM pairs p
-           JOIN qe q ON q.vec_id = p.query_id
-           JOIN recon r ON r.vec_id = p.neighbor_id)
-         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
-         FROM ranked WHERE rank <= 5""",
+      pqLshOracleSql,
 
     // streaming lsh over the PQ corpus index: the q177 codebook/
     // code/reconstruction chain feeds q181's plane/bucket chain on
     // the CORPUS side (queries bucket and score with raw vectors
     // against the reconstructions)
     "q187_stream_knn_pq" ->
-      """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         recon AS (
-           SELECT c.vec_id,
-             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
-               AS r
-           FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
-         pl AS (
-           SELECT t, p, i,
-             ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
-               ::BIGINT / 4294967296.0 * 2.0 - 1.0 AS u
-           FROM range(0, 8) tt(t)
-           CROSS JOIN range(0, 6) pp(p)
-           CROSS JOIN range(0, 64) s(i)),
-         cdots AS (
-           SELECT r.vec_id, pl.t, pl.p,
-             sum(r.r[pl.i + 1] * pl.u) AS dot
-           FROM recon r JOIN pl ON pl.i < len(r.r)
-           GROUP BY r.vec_id, pl.t, pl.p),
-         cbuck AS (
-           SELECT vec_id, t, t || '_' ||
-             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
-               ORDER BY p) AS bucket
-           FROM cdots GROUP BY vec_id, t),
-         qe AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings
-           WHERE vec_id < 5 AND embedding IS NOT NULL),
-         qdots AS (
-           SELECT q.vec_id, pl.t, pl.p,
-             sum(q.e[pl.i + 1] * pl.u) AS dot
-           FROM qe q JOIN pl ON pl.i < len(q.e)
-           GROUP BY q.vec_id, pl.t, pl.p),
-         qbuck AS (
-           SELECT vec_id, t, t || '_' ||
-             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
-               ORDER BY p) AS bucket
-           FROM qdots GROUP BY vec_id, t),
-         pairs AS (
-           SELECT DISTINCT qb.vec_id AS query_id,
-             cbk.vec_id AS neighbor_id
-           FROM cbuck cbk
-           JOIN qbuck qb ON cbk.bucket = qb.bucket
-           WHERE cbk.vec_id <> qb.vec_id),
-         ranked AS (
-           SELECT p.query_id, p.neighbor_id,
-             row_number() OVER (PARTITION BY p.query_id
-               ORDER BY list_dot_product(q.e, r.r) /
-                 (sqrt(list_dot_product(q.e, q.e)) *
-                  sqrt(list_dot_product(r.r, r.r))) DESC,
-                 p.neighbor_id) AS rank
-           FROM pairs p
-           JOIN qe q ON q.vec_id = p.query_id
-           JOIN recon r ON r.vec_id = p.neighbor_id)
-         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
-         FROM ranked WHERE rank <= 5""",
+      pqLshOracleSql,
+
+    // streaming queries against the STORED artifact: the prebuilt
+    // query path is pinned ≡ the direct PQ run (q189), so the
+    // drained stream equals the same chain
+    "q199_stream_knn_prebuilt" ->
+      pqLshOracleSql,
 
     // the resolved config is a plain filter + group-by: context
     // selection, arg substitution, and the import are plumbing the
