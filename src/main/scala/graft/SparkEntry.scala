@@ -3291,6 +3291,108 @@ transforms:
       rates: {A: 0.2, N: 0.05, R: 1.0}
 """),
 
+    // STREAMING Bernoulli sampling: fraction/stratified-rate mode is
+    // a pure per-row md5-key predicate (no state, no shuffle), so it
+    // streams as-is — ingest-time down-sampling. The drained union
+    // over staged halves equals the batch md5 filter exactly
+    // (reservoir mode stays batch-only, pinned by StreamGuardSpec)
+    "q200_stream_sample" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q200_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      stageBatch(docs, fexpr("doc_id % 2 = 0"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: smp
+    module: sample
+    inputs: [docs]
+    parameters:
+      keyFields: [doc_id]
+      stratifyField: source
+      fraction: 0.1
+      rates: {src0: 1.0, src1: 0.5}
+  - name: sel
+    module: select
+    inputs: [smp]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: source}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fexpr("doc_id % 2 = 1"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
+    // STREAMING weighted mixture: every leg a single sampled pass
+    // (weights ≤ 1.0 — the md5-bucket predicate is stateless), two
+    // query streams unioned at ingest time. Drained output equals
+    // the batch mix arithmetic with the same weights
+    "q201_stream_mixture" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q201_")
+      val inA = base.resolve("in-a"); inA.toFile.mkdirs()
+      val inB = base.resolve("in-b"); inB.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      stageBatch(docs, fexpr("doc_id % 2 = 0 AND doc_id % 4 = 0"),
+        base, inA, "a1")
+      stageBatch(docs, fexpr("doc_id % 2 = 1 AND doc_id % 4 = 1"),
+        base, inB, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: a
+    module: storage
+    parameters: {path: "$inA", format: parquet, stream: true}
+  - name: b
+    module: storage
+    parameters: {path: "$inB", format: parquet, stream: true}
+transforms:
+  - name: mix
+    module: mixture
+    inputs: [a, b]
+    parameters:
+      weights: {a: 0.5, b: 1.0}
+      keyFields: [doc_id]
+      sourceField: mix_source
+      epochField: mix_epoch
+  - name: sel
+    module: select
+    inputs: [mix]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: mix_source}
+        - {name: mix_epoch, type: int32}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fexpr("doc_id % 2 = 0 AND doc_id % 4 = 2"),
+        base, inA, "a2")
+      stageBatch(docs, fexpr("doc_id % 2 = 1 AND doc_id % 4 = 3"),
+        base, inB, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
     // sequence packing: greedy per-partition token-budget bins. WHICH
     // sequence a doc lands in depends on the partition layout, so the
     // gate emits only partition-INVARIANT aggregates plus a
@@ -9978,6 +10080,28 @@ transforms:
              CAST(l_linenumber AS VARCHAR)), 1, 8) <
            CASE l_returnflag WHEN 'A' THEN '33333333'
              WHEN 'N' THEN '0ccccccc' ELSE 'g' END""",
+
+    // the stateless md5 predicate is batch-boundary-invariant, so
+    // the drained stream equals the batch stratified filter
+    "q200_stream_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE source WHEN 'src0' THEN 'g'
+             WHEN 'src1' THEN '80000000' ELSE '19999999' END""",
+
+    // streaming mixture ≡ batch mix arithmetic: leg a (even ids)
+    // keeps its 0.5-sampled single pass, leg b (odd ids) passes
+    // whole; keys are 'name#epoch#id' exactly as q67
+    "q201_stream_mixture" ->
+      """SELECT doc_id, 'a' AS mix_source,
+           CAST(0 AS INTEGER) AS mix_epoch
+         FROM documents
+         WHERE doc_id % 2 = 0
+           AND substr(md5('a#0#' || CAST(doc_id AS VARCHAR)), 1, 8)
+             < '80000000'
+         UNION ALL
+         SELECT doc_id, 'b', CAST(0 AS INTEGER)
+         FROM documents WHERE doc_id % 2 = 1""",
 
     // q52 verifies pack's partition-invariant aggregates: doc/token/
     // oversize totals recomputed from the source table, and packed_ok

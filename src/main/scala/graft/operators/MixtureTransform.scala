@@ -53,15 +53,28 @@ object MixtureTransform {
     val sourceField = p.str("sourceField")
     val epochField = p.str("epochField")
 
+    // STREAMING mixes are allowed when every leg is a single pass
+    // (weight ≤ 1.0): the fractional filter is a stateless map-side
+    // predicate and the union is a plain streaming union — the
+    // weighted ingest-time blend. Multi-epoch replication (w > 1)
+    // still needs a bounded corpus; and Spark cannot union a
+    // streaming leg with a batch one, so modes must not mix.
+    val anyStreaming = cfg.inputs.exists(n => inputs(n).isStreaming)
+    if (anyStreaming) require(cfg.inputs.forall(n =>
+        inputs(n).isStreaming),
+      "mixture: inputs mix streaming and batch collections — a " +
+        "union across modes is not plannable; read the batch side " +
+        "as a stream too, or stage the streams to storage first")
     val legs = cfg.inputs.flatMap { name =>
       val in = inputs(name)
-      require(!in.isStreaming,
-        s"mixture: input '$name' is streaming; weighted epoch " +
-          "replication needs a bounded corpus — stage the stream to " +
-          "storage first and mix the stored table")
       val w = weights.flatMap(_.dbl(name)).getOrElse(1.0)
       require(w >= 0.0 && w <= 100.0,
         s"mixture: weight for '$name' must be in [0,100], got $w")
+      require(!in.isStreaming || w <= 1.0,
+        s"mixture: input '$name' is streaming with weight $w — " +
+          "epoch replication (weight > 1) needs a bounded corpus; " +
+          "stage the stream to storage and mix the stored table, or " +
+          "use a weight ≤ 1.0 (a stateless sampled pass)")
       val full = math.floor(w).toInt
       val frac = w - full
       val epochs = full + (if (frac > 1e-9) 1 else 0)

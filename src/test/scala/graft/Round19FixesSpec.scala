@@ -191,6 +191,29 @@ class Round19FixesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("corpusInput"), e.getMessage)
   }
 
+  test("streaming mixture guards: epoch replication (w > 1) and " +
+      "mixed stream/batch inputs are rejected with the fix named; " +
+      "single-pass streaming legs build") {
+    val rate = spark.readStream.format("rate").load()
+    val batch = Seq((1L, "x")).toDF("value", "s")
+    def mix(ins: Map[String, org.apache.spark.sql.DataFrame],
+        weights: String) =
+      Pipeline.transforms("mixture")(spark,
+        Pipeline.ModuleCfg("mix", "mixture", ins.keys.toSeq.sorted, Nil,
+          graft.config.Json.parse(
+            s"""{"weights": $weights, "keyFields": ["value"]}"""),
+          graft.config.Json.obj()), ins)("mix")
+    val e1 = intercept[IllegalArgumentException](
+      mix(Map("a" -> rate), """{"a": 2.5}"""))
+    assert(e1.getMessage.contains("bounded corpus"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      mix(Map("a" -> rate, "b" -> batch), """{"a": 1.0, "b": 1.0}"""))
+    assert(e2.getMessage.contains("streaming and batch"), e2.getMessage)
+    val ok = mix(Map("a" -> rate, "b" -> rate.selectExpr("*")),
+      """{"a": 0.5, "b": 1.0}""")
+    assert(ok.isStreaming)
+  }
+
   test("verdicts all-numeric-string probe: fires on numeric ids, " +
       "not on genuinely-string ids, bounded") {
     import graft.operators.DedupTransform
