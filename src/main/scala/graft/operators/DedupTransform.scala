@@ -403,7 +403,7 @@ object DedupTransform {
                 // a heuristic, not a scan) that finds ONLY numeric
                 // strings almost certainly means the user forgot
                 // idType; warn loudly with the fix named
-                if (allNumericProbe(df, idField))
+                if (log.isWarnEnabled && allNumericProbe(df, idField))
                   log.warn(s"dedup ${cfg.name}: verdicts ids all " +
                     "look numeric but no idType is set — min over " +
                     "STRING ids is lexicographic ('10' < '9'), " +

@@ -104,9 +104,13 @@ object MultimodalTransform {
 
     private def read(bytes: Array[Byte])
         : Option[java.awt.image.BufferedImage] =
+      // NonFatal, not just IOException: ImageIO plugins throw
+      // ArrayIndexOutOfBounds/NegativeArraySize/CMMException on
+      // malformed input — a corrupt image is DATA (ok=false), and
+      // must never 4x-fail the task
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     private def writePng(img: java.awt.image.BufferedImage)
         : Array[Byte] = {
@@ -214,8 +218,16 @@ object MultimodalTransform {
                   }
                 case _ => 0L
               }
-              ImageCodecs.generatePng(
-                asInt(row.get(wIdx)), asInt(row.get(hIdx)), seed)
+              // invalid dims are DATA (per-row columns), and degrade
+              // to null like the null-dims path — a zero/negative
+              // width or unparseable string must not kill the job
+              try {
+                val (w, h) = (asInt(row.get(wIdx)), asInt(row.get(hIdx)))
+                if (w <= 0 || h <= 0) null
+                else ImageCodecs.generatePng(w, h, seed)
+              } catch {
+                case _: NumberFormatException => null
+              }
             }
           }
         case _ =>

@@ -121,7 +121,12 @@ object SimilarityTransform {
           require(!inputs(rawName).isStreaming,
             s"similarity ${cfg.name}: recall's corpusInput must be " +
               "bounded — the bruteforce ground truth scans it")
-          rawName +: cfg.inputs.drop(1)
+          // the QUERY input (position 1) is kept UNCONDITIONALLY —
+          // when corpusInput names the same frame as the query set
+          // (full-corpus recall eval), filtering it out would leave
+          // a single-input build whose query side silently degrades
+          // to corpus.limit(n), zeroing the recall
+          rawName +: cfg.inputs(1) +: cfg.inputs.drop(2)
             .filter(n => !p.str("codebookInput").contains(n) &&
               !p.str("centroidsInput").contains(n) && n != rawName)
         case _ => cfg.inputs
@@ -756,8 +761,12 @@ object SimilarityTransform {
         // The codebook is bounded (m·ks rows), so the probe is free;
         // pre-marker codebooks (no __ivf column) skip the check and
         // rely on the query-time null-__cell validation instead.
+        // skip the probe on a streaming codebook — the collect would
+        // throw Spark's opaque streaming-source AnalysisException;
+        // codecFromCodebookRows raises the named "must be bounded"
+        // error immediately after
         inputs.get(cbIn.get)
-          .filter(_.columns.contains("__ivf"))
+          .filter(d => !d.isStreaming && d.columns.contains("__ivf"))
           .foreach { cbDf =>
             val ivfBuilt = cbDf.filter(col("__ivf") === true)
               .limit(1).collect().nonEmpty

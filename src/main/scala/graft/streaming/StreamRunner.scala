@@ -807,9 +807,13 @@ object StreamRunner {
           // __graft_role=pane partition — mirror the ordinals
           // fallback with a schema-bearing (empty) file so a sink
           // whose firings were all empty still reads as an empty
-          // frame instead of failing schema inference
+          // frame instead of failing schema inference. limit(0):
+          // the optimizer collapses it to an empty LocalRelation,
+          // so the schema file writes WITHOUT re-executing the
+          // pane subtree (paneParts.isEmpty already proved 0 rows)
           val emptyDir = new java.io.File(stageDir, "pane-empty")
-          withIdx.write.mode("overwrite").parquet(emptyDir.toString)
+          withIdx.limit(0).write.mode("overwrite")
+            .parquet(emptyDir.toString)
           Option(emptyDir.listFiles())
             .getOrElse(Array.empty[java.io.File])
             .filter(_.getName.endsWith(".parquet"))

@@ -189,6 +189,21 @@ class Round19FixesSpec extends AnyFunSuite {
       Map("i" -> built("idx"), "q" -> queries,
         "cb" -> built("idx.codebook"))))
     assert(e.getMessage.contains("corpusInput"), e.getMessage)
+    // full-corpus eval: corpusInput names the SAME input as the
+    // query set (every corpus vector is a query) — the ground-truth
+    // build must keep that input as its query side (a dropped query
+    // input would silently degrade to corpus.limit(10) and zero
+    // most queries' recall)
+    val fullDirect = recall(Seq("c", "q"),
+      """, "pqM": 4, "pqCodebookSize": 16, "hashAlgo": "md5"""",
+      Map("c" -> corpus, "q" -> corpus))
+    val fullViaIndex = recall(Seq("i", "raw", "cb"),
+      """, "indexInput": "i", "codebookInput": "cb",
+          "corpusInput": "raw", "hashAlgo": "md5"""",
+      Map("i" -> built("idx"), "raw" -> corpus,
+        "cb" -> built("idx.codebook")))
+    assert(fullViaIndex.size == 60 && fullViaIndex == fullDirect,
+      s"got $fullViaIndex\nexp $fullDirect")
   }
 
   test("streaming mixture guards: epoch replication (w > 1) and " +
