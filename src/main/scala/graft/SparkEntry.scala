@@ -5440,6 +5440,46 @@ transforms:
         - {name: format2, field: meta2.format}
 """),
 
+    // REAL audio codecs (javax.sound.sampled, in the JDK): generate
+    // a genuine PCM-16 mono WAV per document with a doc_id-derived
+    // frame count and deterministic samples, then decode the
+    // container back — sample rate, channel count, frame length and
+    // bit depth all read by the JDK WAV parser; the oracle predicts
+    // every decoded property from the same doc_id arithmetic
+    "q202_multimodal_audio" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dims
+    module: select
+    inputs: [docs]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: frames, expression: "doc_id % 500 + 100", type: int64}
+  - name: mm
+    module: multimodal
+    inputs: [dims]
+    parameters:
+      ops:
+        - {op: generate_wav, framesField: frames, seedField: doc_id, sampleRate: 8000, name: audio}
+        - {op: audio_meta, field: audio, name: meta}
+  - name: out
+    module: select
+    inputs: [mm]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: sample_rate, field: meta.sample_rate, type: int64}
+        - {name: channels, field: meta.channels, type: int64}
+        - {name: frames_out, field: meta.frames, type: int64}
+        - {name: bits, field: meta.bits, type: int64}
+        - {name: format, field: meta.format}
+        - {name: ok, field: meta.ok}
+"""),
+
     // STREAMING multimodal: the decode/resize plumbing is a
     // stateless mapPartitions, so the q56 chain runs per micro-batch
     // with no state — media decoding at crawl-intake time. Drained
@@ -12386,6 +12426,18 @@ transforms:
            CAST(17 AS BIGINT) AS width2,
            CAST(11 AS BIGINT) AS height2,
            'png' AS format2
+         FROM documents""",
+
+    // real-audio roundtrip: the generated WAV's decoded container
+    // metadata is pure doc_id arithmetic + PCM-16-mono constants
+    "q202_multimodal_audio" ->
+      """SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(doc_id % 500 + 100 AS BIGINT) AS frames_out,
+           CAST(16 AS BIGINT) AS bits,
+           'wav' AS format,
+           true AS ok
          FROM documents""",
 
     // stateless per-batch real-codec chain: drained stream equals

@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   * construct. Video `frame_sample` remains a stub — the JDK has no
   * video codec — with the real mapPartitions plumbing around it.
   *
+  * AUDIO codecs are real too: `javax.sound.sampled` (also JDK)
+  * decodes WAV/AIFF container metadata and `generate_wav` produces
+  * deterministic PCM fixtures; compressed audio (mp3/ogg) has no JDK
+  * codec and degrades to ok=false.
+  *
   * Ops (config `ops: [{op, field, ...}]`):
   *  - `generate`: (widthField, heightField, seedField) → binary —
   *    a REAL PNG with a deterministic per-(seed, x, y) pixel fill,
@@ -29,6 +34,10 @@ import org.apache.spark.sql.types._
   *  - `decode`: binary → struct(width, height, channels, format, ok)
   *  - `resize`: binary + target dims → binary (real rescale + PNG
   *    re-encode for real images; re-header for IMG: fixtures)
+  *  - `generate_wav`: (framesField, seedField, sampleRate) → binary —
+  *    a REAL PCM-16 mono WAV with deterministic samples.
+  *  - `audio_meta`: binary → struct(sample_rate, channels, frames,
+  *    bits, format, ok) via the JDK WAV/AIFF readers.
   *  - `frame_sample`: video binary → array<binary> of n frames (stub)
   *  - `embed`: binary → array<float> feature vector (content-hash
   *    seeded, deterministic — a stand-in for a real vision encoder)
@@ -185,10 +194,85 @@ object MultimodalTransform {
     }
   }
 
+  /** Real JDK audio codecs: `javax.sound.sampled` decodes WAV and
+    * AIFF container headers (zero new dependencies). Compressed
+    * formats (mp3/ogg) have no JDK codec — they sniff to
+    * (0,0,0,format,false) like a truncated image does. */
+  object AudioCodecs {
+    case class AudioMeta(sampleRate: Int, channels: Int, frames: Long,
+        bits: Int, format: String, ok: Boolean)
+
+    /** Container sniff from magic bytes (RIFF/WAVE, FORM/AIFF). */
+    def sniffAudio(bytes: Array[Byte]): Option[String] = {
+      if (bytes == null || bytes.length < 12) return None
+      val head = new String(bytes.take(12),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (head.startsWith("RIFF") && head.substring(8) == "WAVE")
+        Some("wav")
+      else if (head.startsWith("FORM") &&
+          head.substring(8).startsWith("AIF")) Some("aiff")
+      else None
+    }
+
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      if (bytes == null)
+        return AudioMeta(0, 0, 0L, 0, "null", ok = false)
+      val fmt = sniffAudio(bytes)
+      if (fmt.isEmpty)
+        return AudioMeta(0, 0, 0L, 0, "unknown", ok = false)
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          AudioMeta(f.getSampleRate.toInt, f.getChannels,
+            in.getFrameLength, f.getSampleSizeInBits, fmt.get,
+            ok = true)
+        } finally in.close()
+      } catch {
+        // UnsupportedAudioFileException + any parser RuntimeException
+        // on truncated/crafted headers: corrupt audio is DATA
+        case scala.util.control.NonFatal(_) =>
+          AudioMeta(0, 0, 0L, 0, fmt.get, ok = false)
+      }
+    }
+
+    /** Deterministic REAL WAV: PCM signed 16-bit mono, sample i a
+      * pure function of (seed, i) — the audio twin of
+      * [[ImageCodecs.generatePng]] (the oracle predicts frame count
+      * and format fields, not samples). */
+    def generateWav(frames: Int, sampleRate: Int,
+        seed: Long): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val s = (((seed * 1103515245L + i * 12345L) >>> 8) & 0xffff)
+          .toInt - 32768
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   private val metaType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("format", StringType),
     StructField("ok", BooleanType)))
+
+  private val audioMetaType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("frames", LongType), StructField("bits", IntegerType),
+    StructField("format", StringType), StructField("ok", BooleanType)))
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
@@ -230,10 +314,39 @@ object MultimodalTransform {
               }
             }
           }
+        case "generate_wav" =>
+          val fIdx = df.schema.fieldIndex(
+            o.str("framesField").getOrElse("frames"))
+          val sIdx = o.str("seedField").map(df.schema.fieldIndex)
+          val rate = o.int("sampleRate").getOrElse(16000)
+          df = mapRows(df, out, BinaryType) { row =>
+            if (row.isNullAt(fIdx)) null
+            else {
+              val seed = sIdx match {
+                case Some(i) if !row.isNullAt(i) =>
+                  row.get(i) match {
+                    case n: Number => n.longValue()
+                    case other => other.toString.hashCode.toLong
+                  }
+                case _ => 0L
+              }
+              try {
+                val frames = asInt(row.get(fIdx))
+                if (frames <= 0) null
+                else AudioCodecs.generateWav(frames, rate, seed)
+              } catch { case _: NumberFormatException => null }
+            }
+          }
         case _ =>
           val field = o.str("field").getOrElse("content")
           val inIdx = df.schema.fieldIndex(field)
           op match {
+            case "audio_meta" =>
+              df = mapBinary(df, inIdx, out, audioMetaType) { bytes =>
+                val m = AudioCodecs.decode(bytes)
+                Row(m.sampleRate, m.channels, m.frames, m.bits,
+                  m.format, m.ok)
+              }
             case "decode" =>
               df = mapBinary(df, inIdx, out, metaType) { bytes =>
                 val m = ImageCodecs.decode(bytes)

@@ -65,6 +65,62 @@ class MultimodalImageSpec extends AnyFunSuite {
       .startsWith("IMG:8x8x3:"))
   }
 
+  test("generateWav → audio decode roundtrip: true frame count, " +
+      "PCM-16 mono, wav; AIFF decodes through the same path; " +
+      "corrupt/compressed bytes degrade to ok=false") {
+    import graft.operators.MultimodalTransform.AudioCodecs
+    val wav = AudioCodecs.generateWav(320, 8000, seed = 42L)
+    assert(AudioCodecs.sniffAudio(wav).contains("wav"))
+    val m = AudioCodecs.decode(wav)
+    assert(m == AudioCodecs.AudioMeta(8000, 1, 320L, 16, "wav",
+      ok = true))
+    // deterministic across runs
+    assert(java.util.Arrays.equals(wav,
+      AudioCodecs.generateWav(320, 8000, seed = 42L)))
+    assert(!java.util.Arrays.equals(wav,
+      AudioCodecs.generateWav(320, 8000, seed = 43L)))
+    // round-trip the same PCM through the JDK AIFF writer
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = AudioCodecs.decode(bos.toByteArray)
+    assert(aiff.format == "aiff" && aiff.ok && aiff.frames == 320L,
+      aiff.toString)
+    // truncated WAV: valid magic, unparseable body
+    val trunc = AudioCodecs.decode(wav.take(16))
+    assert(trunc.format == "wav" && !trunc.ok)
+    assert(AudioCodecs.decode("not-audio-at-all".getBytes) ==
+      AudioCodecs.AudioMeta(0, 0, 0L, 0, "unknown", ok = false))
+    assert(AudioCodecs.decode(null) ==
+      AudioCodecs.AudioMeta(0, 0, 0L, 0, "null", ok = false))
+  }
+
+  test("generate_wav + audio_meta end-to-end through the transform: " +
+      "per-row frame counts, invalid counts degrade to null") {
+    val rows = Seq((1L, 160), (2L, 250), (3L, -5))
+      .toDF("doc_id", "frames")
+    val cfg = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse("""
+        {"ops": [
+          {"op": "generate_wav", "framesField": "frames",
+           "seedField": "doc_id", "sampleRate": 8000,
+           "name": "audio"},
+          {"op": "audio_meta", "field": "audio", "name": "meta"}
+        ]}"""), graft.config.Json.obj())
+    val out = graft.operators.MultimodalTransform
+      .build(spark, cfg, Map("in" -> rows))("mm")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def meta(id: Long) = out(id).getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta(1L).getAs[Long]("frames") == 160L)
+    assert(meta(2L).getAs[Long]("frames") == 250L)
+    assert(meta(1L).getAs[Int]("sample_rate") == 8000)
+    assert(meta(1L).getAs[String]("format") == "wav")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("audio")))
+    assert(!meta(3L).getAs[Boolean]("ok"))
+  }
+
   test("generate op end-to-end through the transform: per-row dims " +
       "and seed columns, decode and resize downstream, null dims " +
       "stay null") {
