@@ -241,7 +241,14 @@ object SimilarityTransform {
         // null-__cell counts when the layout is IVF-PQ) — cheap next
         // to the query scan that follows. reconstruct() keeps its
         // per-row width throw as the executor-side backstop.
+        // `validateIndex: false` skips the scan for hot serving
+        // paths that trust their artifacts (the per-row width throw
+        // in reconstruct() remains as the executor-side backstop);
+        // default ON — a corrupted index fails the friendly way once
+        // per job, and the validation scan reads ONE small column of
+        // the table the query scans anyway
         val idx = inputs(prebuilt.get)
+        if (p.bool("validateIndex").getOrElse(true)) {
         // null __cell rows only matter to ivf probes (lsh/bruteforce
         // over an IVF-PQ index ignore the cell column entirely)
         val hasCell = idx.columns.contains("__cell") &&
@@ -276,6 +283,7 @@ object SimilarityTransform {
               "centroidsInput (the original build's `.centroids` " +
               "output), so ivf probes can never reach them; re-run " +
               "the increment with centroidsInput")
+        }
         }
         Some(codec)
       } else pqM.map(m =>

@@ -115,6 +115,41 @@ class Round19FixesSpec extends AnyFunSuite {
     assert(inc2.count() == 30)
   }
 
+  test("validateIndex: false skips the plan-time scan (hot serving " +
+      "path) — the mixed-width artifact then fails per-row in the " +
+      "executor backstop instead") {
+    val codes4 = buildIdx("")
+    val codes8 = sim("idx", Seq("c"),
+      """{"action": "index", "field": "embedding", "idField": "vec_id",
+          "pqM": 8, "pqCodebookSize": 16, "hashAlgo": "md5"}""",
+      Map("c" -> corpus))
+    val mixed = codes4("idx").unionByName(codes8("idx"))
+    def query(validate: Boolean) = sim("knn", Seq("i", "q", "cb"),
+      s"""{"method": "lsh", "field": "embedding", "idField": "vec_id",
+          "k": 5, "planes": 4, "tables": 4, "indexInput": "i",
+          "codebookInput": "cb", "validateIndex": $validate}""",
+      Map("i" -> mixed, "q" -> queries,
+        "cb" -> codes4("idx.codebook")))("knn").collect()
+    // with validation: friendly driver-side failure at plan time
+    val e1 = intercept[IllegalArgumentException](query(true))
+    assert(e1.getMessage.contains("mixes code widths"), e1.getMessage)
+    // without: the reconstruct backstop still refuses to produce
+    // silently-wrong neighbors (loud, but executor-side)
+    val e2 = intercept[Exception](query(false))
+    assert(e2.getMessage.contains("different index builds") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("different index builds")),
+      e2.toString)
+    // and a HEALTHY index queried with validateIndex: false works
+    val ok = sim("knn", Seq("i", "q", "cb"),
+      """{"method": "lsh", "field": "embedding", "idField": "vec_id",
+          "k": 5, "planes": 4, "tables": 4, "indexInput": "i",
+          "codebookInput": "cb", "validateIndex": false}""",
+      Map("i" -> codes4("idx"), "q" -> queries,
+        "cb" -> codes4("idx.codebook")))("knn")
+    assert(ok.count() > 0)
+  }
+
   test("corrupt codebooks fail with named validation errors, not " +
       "NPEs or silent reconstruction corruption") {
     val built = buildIdx("")
