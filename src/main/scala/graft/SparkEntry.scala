@@ -1336,6 +1336,72 @@ sinks:
           "as int))) AS (j, ci)")
     }),
 
+    // STREAMING IVF-PQ increment: arrivals encode against the
+    // persisted codebook AND cell-assign against the persisted
+    // coarse table (centroidsInput) — appended rows land in the
+    // same cells the original build would give them, so ivf probes
+    // of the stored index reach the increment. Cells assign over
+    // the RECONSTRUCTION, matching the batch build and the q190
+    // oracle's c_assign; the whole chain is md5-replayable
+    "q203_stream_ivfpq_encode" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q203_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [emb]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, centroids: 16, hashAlgo: md5}
+sinks:
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+  - name: s3
+    module: storage
+    input: idx.centroids
+    parameters: {output: "$base/cents", format: parquet}
+""")
+      stageBatch(emb, fexpr("vec_id % 2 = 0"), base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: arrivals
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: ct
+    module: storage
+    parameters: {path: "$base/cents"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [arrivals, cb, ct]
+    parameters: {action: index, field: embedding, idField: vec_id, codebookInput: cb, centroidsInput: ct}
+sinks:
+  - name: sk
+    module: storage
+    input: idx
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(emb, fexpr("vec_id % 2 = 1"), base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out).selectExpr("vec_id", "__cell AS cell",
+        "posexplode(transform(sequence(0, 7), " +
+          "j -> cast(conv(substr(hex(__pq), j*2+1, 2), 16, 10) " +
+          "as int))) AS (j, ci)")
+    }),
+
     // ANN RECALL evaluation: the lsh approximate top-k scored
     // against the exact bruteforce ground truth on the same
     // (corpus, queries) — recall@k per query, the knob-tuning loop
@@ -11768,6 +11834,65 @@ transforms:
            WHERE rn = 1)
          SELECT vec_id, CAST(j AS INT) AS j, CAST(ci AS INT) AS ci
          FROM codes""",
+
+    // streaming IVF-PQ increment ≡ batch: codes from the persisted
+    // md5 codebook (q191's chain) plus each vector's coarse cell
+    // over the reconstruction against the persisted centroid table
+    // (q190's c_assign)
+    "q203_stream_ivfpq_encode" ->
+      """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
+               AS r
+           FROM codes c JOIN cb ON cb.ci = c.ci
+           GROUP BY c.vec_id),
+         cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   CAST(vec_id AS VARCHAR)
+                 LIMIT 16)),
+         c_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT r.vec_id, cents.cell,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY list_dot_product(r.r, cents.cvec) /
+                   (sqrt(list_dot_product(r.r, r.r)) *
+                    sqrt(list_dot_product(cents.cvec, cents.cvec)))
+                   DESC, cents.cell) AS rn
+             FROM recon r CROSS JOIN cents)
+           WHERE rn = 1)
+         SELECT c.vec_id, CAST(a.cell AS INT) AS cell,
+           CAST(c.j AS INT) AS j, CAST(c.ci AS INT) AS ci
+         FROM codes c JOIN c_assign a USING (vec_id)""",
 
     // recall@k: |q24's lsh top-k ∩ q23's bruteforce top-k| per
     // query over the exact ground-truth count
