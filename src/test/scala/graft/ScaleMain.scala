@@ -712,6 +712,38 @@ sinks:
     // shuffle-bytes cut is the claim (SCALE_STAGES shows shr/shw)
     time("knn-lsh-quantized") { knn(
       """{"method":"lsh","field":"embedding","idField":"vec_id","k":5,"planes":12,"tables":4,"quantized":true}""") }
+    // persisted-index serving shape (q189/q199 path at scale):
+    // `pq-index-build` is the ONE full-width corpus pass — encode to
+    // m-byte codes and write (codes, codebook) to storage like a
+    // real stored index; `pq-index-query` then runs the lsh top-k
+    // against the read-back artifact, never touching the float
+    // corpus — query cost tracks bucket density over 1-byte-per-
+    // subspace codes, independent of the raw corpus width
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("scale-pqidx").toString
+    time("pq-index-build") {
+      val built = graft.operators.SimilarityTransform.build(spark,
+        ModuleCfg("idx", "similarity", Seq("c"), Nil, Json.parse(
+          """{"action":"index","field":"embedding","idField":"vec_id",
+             "pqM":8,"pqCodebookSize":16,"hashAlgo":"md5"}"""),
+          Json.obj()), Map("c" -> emb))
+      built("idx").write.mode("overwrite").parquet(s"$idxDir/codes")
+      built("idx.codebook").write.mode("overwrite")
+        .parquet(s"$idxDir/cb")
+      spark.read.parquet(s"$idxDir/codes")
+    }
+    time("pq-index-query") {
+      graft.operators.SimilarityTransform.build(spark,
+        ModuleCfg("knn", "similarity", Seq("i", "q", "cb"), Nil,
+          Json.parse(
+            """{"method":"lsh","field":"embedding","idField":"vec_id",
+               "k":5,"planes":12,"tables":4,"hashAlgo":"md5",
+               "indexInput":"i","codebookInput":"cb"}"""),
+          Json.obj()),
+        Map("i" -> spark.read.parquet(s"$idxDir/codes"),
+          "q" -> queries,
+          "cb" -> spark.read.parquet(s"$idxDir/cb")))("knn")
+    }
     // q66 path at scale: Lloyd auto-fit (bounded centroid sample) +
     // cell assignment + per-cell rep window + cosine verify — the
     // per-cell window is the scale-sensitive stage (cells must stay
