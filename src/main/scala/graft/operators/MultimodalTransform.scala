@@ -292,27 +292,16 @@ object MultimodalTransform {
             o.str("heightField").getOrElse("height"))
           val sIdx = o.str("seedField").map(df.schema.fieldIndex)
           df = mapRows(df, out, BinaryType) { row =>
-            if (row.isNullAt(wIdx) || row.isNullAt(hIdx)) null
-            else {
-              val seed = sIdx match {
-                case Some(i) if !row.isNullAt(i) =>
-                  row.get(i) match {
-                    case n: Number => n.longValue()
-                    case other => other.toString.hashCode.toLong
-                  }
-                case _ => 0L
-              }
-              // invalid dims are DATA (per-row columns), and degrade
-              // to null like the null-dims path — a zero/negative
-              // width or unparseable string must not kill the job
-              try {
-                val (w, h) = (asInt(row.get(wIdx)), asInt(row.get(hIdx)))
-                if (w <= 0 || h <= 0) null
-                else ImageCodecs.generatePng(w, h, seed)
-              } catch {
-                case _: NumberFormatException => null
-              }
-            }
+            // invalid dims are DATA (per-row columns), and degrade
+            // to null like the null-dims path — zero/negative/
+            // unparseable/absurd values must not kill the job
+            (for {
+              w <- boundedInt(row, wIdx, maxPngDim)
+              h <- boundedInt(row, hIdx, maxPngDim)
+            } yield
+              try ImageCodecs.generatePng(w, h, seedOf(row, sIdx))
+              catch { case scala.util.control.NonFatal(_) => null }
+            ).orNull
           }
         case "generate_wav" =>
           val fIdx = df.schema.fieldIndex(
@@ -320,22 +309,12 @@ object MultimodalTransform {
           val sIdx = o.str("seedField").map(df.schema.fieldIndex)
           val rate = o.int("sampleRate").getOrElse(16000)
           df = mapRows(df, out, BinaryType) { row =>
-            if (row.isNullAt(fIdx)) null
-            else {
-              val seed = sIdx match {
-                case Some(i) if !row.isNullAt(i) =>
-                  row.get(i) match {
-                    case n: Number => n.longValue()
-                    case other => other.toString.hashCode.toLong
-                  }
-                case _ => 0L
-              }
-              try {
-                val frames = asInt(row.get(fIdx))
-                if (frames <= 0) null
-                else AudioCodecs.generateWav(frames, rate, seed)
-              } catch { case _: NumberFormatException => null }
-            }
+            (for (frames <- boundedInt(row, fIdx, maxWavFrames))
+              yield
+                try AudioCodecs.generateWav(frames, rate,
+                  seedOf(row, sIdx))
+                catch { case scala.util.control.NonFatal(_) => null }
+            ).orNull
           }
         case _ =>
           val field = o.str("field").getOrElse("content")
@@ -373,9 +352,37 @@ object MultimodalTransform {
     TransformCommon.finishRouted(df, cfg)
   }
 
-  private def asInt(v: Any): Int = v match {
-    case n: Number => n.intValue()
-    case other => other.toString.toInt
+  /** Fixture-size ceilings: past these, a "dimension" is corrupt
+    * data, not a real request — 16k² pixels / 16M PCM frames (32 MB)
+    * already dwarf any training fixture, and an unchecked value
+    * would overflow the allocation (frames·2 wraps Int) or OOM. */
+  private val maxPngDim = 16384
+  private val maxWavFrames = 16 * 1024 * 1024
+
+  /** Per-row generation size: None (→ null output, data-degrade) for
+    * null, unparseable, non-positive, or out-of-range values — never
+    * a throw, and never an intValue() truncation that would wrap an
+    * out-of-long-range count into a plausible small one. */
+  private def boundedInt(row: Row, idx: Int, max: Int): Option[Int] = {
+    if (row.isNullAt(idx)) return None
+    val asLong: Option[Long] = row.get(idx) match {
+      case n: Number => Some(n.longValue())
+      case other =>
+        try Some(other.toString.trim.toLong)
+        catch { case _: NumberFormatException => None }
+    }
+    asLong.filter(v => v > 0L && v <= max).map(_.toInt)
+  }
+
+  /** Shared seed coercion for the generate ops (one convention: the
+    * column's long value, or the string's hashCode; absent → 0). */
+  private def seedOf(row: Row, sIdx: Option[Int]): Long = sIdx match {
+    case Some(i) if !row.isNullAt(i) =>
+      row.get(i) match {
+        case n: Number => n.longValue()
+        case other => other.toString.hashCode.toLong
+      }
+    case _ => 0L
   }
 
   /** mapPartitions with schema evolution: append `out` of type `dt`

@@ -99,7 +99,10 @@ class MultimodalImageSpec extends AnyFunSuite {
 
   test("generate_wav + audio_meta end-to-end through the transform: " +
       "per-row frame counts, invalid counts degrade to null") {
-    val rows = Seq((1L, 160), (2L, 250), (3L, -5))
+    // 4: over the fixture ceiling; 5: out-of-int-range (the old
+    // intValue() truncation wrapped it to a plausible small count)
+    val rows = Seq((1L, 160L), (2L, 250L), (3L, -5L),
+      (4L, 1200000000L), (5L, 4294967396L))
       .toDF("doc_id", "frames")
     val cfg = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
       graft.config.Json.parse("""
@@ -117,8 +120,11 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert(meta(2L).getAs[Long]("frames") == 250L)
     assert(meta(1L).getAs[Int]("sample_rate") == 8000)
     assert(meta(1L).getAs[String]("format") == "wav")
-    assert(out(3L).isNullAt(out(3L).fieldIndex("audio")))
-    assert(!meta(3L).getAs[Boolean]("ok"))
+    for (id <- Seq(3L, 4L, 5L)) {
+      assert(out(id).isNullAt(out(id).fieldIndex("audio")),
+        s"doc $id must degrade to null audio")
+      assert(!meta(id).getAs[Boolean]("ok"))
+    }
   }
 
   test("generate op end-to-end through the transform: per-row dims " +
