@@ -127,6 +127,33 @@ class MultimodalImageSpec extends AnyFunSuite {
     }
   }
 
+  test("codec roundtrip property sweep: every (dims, seed) in a " +
+      "deterministic grid decodes back exactly — images and audio") {
+    import graft.operators.MultimodalTransform.{AudioCodecs, ImageCodecs}
+    for (w <- Seq(1, 2, 7, 64, 333); h <- Seq(1, 3, 17, 128);
+         seed <- Seq(0L, -9L, Long.MaxValue)) {
+      val m = ImageCodecs.decode(ImageCodecs.generatePng(w, h, seed))
+      assert((m.width, m.height, m.channels, m.format, m.ok) ==
+        ((w, h, 3, "png", true)), s"png $w x $h seed=$seed: $m")
+    }
+    for (frames <- Seq(1, 2, 255, 4096, 44100);
+         rate <- Seq(8000, 16000, 44100); seed <- Seq(0L, 7L)) {
+      val m = AudioCodecs.decode(
+        AudioCodecs.generateWav(frames, rate, seed))
+      assert((m.sampleRate, m.channels, m.frames, m.bits, m.format,
+          m.ok) == ((rate, 1, frames.toLong, 16, "wav", true)),
+        s"wav $frames @$rate seed=$seed: $m")
+    }
+    // resize property: any generated image rescales to any target
+    for (w <- Seq(5, 40); h <- Seq(9, 21); tw <- Seq(1, 13, 80);
+         th <- Seq(2, 33)) {
+      val r = ImageCodecs.decode(ImageCodecs.resize(
+        ImageCodecs.generatePng(w, h, 3L), tw, th))
+      assert((r.width, r.height, r.ok) == ((tw, th, true)),
+        s"resize ($w,$h)->($tw,$th): $r")
+    }
+  }
+
   test("generate op end-to-end through the transform: per-row dims " +
       "and seed columns, decode and resize downstream, null dims " +
       "stay null") {
