@@ -5506,6 +5506,59 @@ transforms:
         - {name: format2, field: meta2.format}
 """),
 
+    // REAL frame sampling over the JDK's multi-frame container:
+    // generate an animated GIF per document (doc_id-derived dims and
+    // frame count), sample min(3, frames) evenly-spaced frames —
+    // each re-encoded as an RGB PNG — and decode a sampled frame.
+    // Every output is doc_id arithmetic: a hash match proves the
+    // write-sequence → read-frames → re-encode → decode chain
+    "q204_multimodal_frames" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dims
+    module: select
+    inputs: [docs]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: w, expression: "doc_id % 16 + 4", type: int64}
+        - {name: h, expression: "doc_id % 8 + 3", type: int64}
+        - {name: k, expression: "doc_id % 4 + 2", type: int64}
+  - name: mm
+    module: multimodal
+    inputs: [dims]
+    parameters:
+      ops:
+        - {op: generate_gif, widthField: w, heightField: h, framesField: k, seedField: doc_id, name: video}
+        - {op: frame_sample, field: video, frames: 3, name: fr}
+  - name: ext
+    module: sql
+    inputs: [mm]
+    parameters:
+      sql: "SELECT doc_id, size(fr) AS n_sampled, element_at(fr, 1) AS f0 FROM mm"
+  - name: mm2
+    module: multimodal
+    inputs: [ext]
+    parameters:
+      ops:
+        - {op: decode, field: f0, name: meta}
+  - name: out
+    module: select
+    inputs: [mm2]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: n_sampled, type: int64}
+        - {name: width, field: meta.width, type: int64}
+        - {name: height, field: meta.height, type: int64}
+        - {name: channels, field: meta.channels, type: int64}
+        - {name: format, field: meta.format}
+        - {name: ok, field: meta.ok}
+"""),
+
     // REAL audio codecs (javax.sound.sampled, in the JDK): generate
     // a genuine PCM-16 mono WAV per document with a doc_id-derived
     // frame count and deterministic samples, then decode the
@@ -12551,6 +12604,18 @@ transforms:
            CAST(17 AS BIGINT) AS width2,
            CAST(11 AS BIGINT) AS height2,
            'png' AS format2
+         FROM documents""",
+
+    // real frame sampling: sampled count = min(3, frame count), and
+    // every sampled frame decodes as an RGB PNG with the source dims
+    "q204_multimodal_frames" ->
+      """SELECT doc_id,
+           CAST(LEAST(3, doc_id % 4 + 2) AS BIGINT) AS n_sampled,
+           CAST(doc_id % 16 + 4 AS BIGINT) AS width,
+           CAST(doc_id % 8 + 3 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           'png' AS format,
+           true AS ok
          FROM documents""",
 
     // real-audio roundtrip: the generated WAV's decoded container

@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * IMAGE codecs are REAL: `javax.imageio` (in the JDK — zero new
   * dependencies) decodes PNG/JPEG/GIF/BMP, `resize` rescales through
   * `Graphics2D` and re-encodes PNG, and formats sniff from magic
-  * bytes. The synthetic `IMG:<w>x<h>x<c>:` header format is kept as a
+  * bytes. `frame_sample` is real over the JDK's one multi-frame
+  * container (animated GIF; stills read as one frame); true video
+  * codecs (mp4/webm) are not in the JDK, so those bytes degrade to
+  * null. The synthetic `IMG:<w>x<h>x<c>:` header format is kept as a
   * fallback codec (`StubCodecs`) so byte fixtures stay cheap to
-  * construct. Video `frame_sample` remains a stub — the JDK has no
-  * video codec — with the real mapPartitions plumbing around it.
+  * construct.
   *
   * AUDIO codecs are real too: `javax.sound.sampled` (also JDK)
   * decodes WAV/AIFF container metadata and `generate_wav` produces
@@ -38,7 +40,13 @@ import org.apache.spark.sql.types._
   *    a REAL PCM-16 mono WAV with deterministic samples.
   *  - `audio_meta`: binary → struct(sample_rate, channels, frames,
   *    bits, format, ok) via the JDK WAV/AIFF readers.
-  *  - `frame_sample`: video binary → array<binary> of n frames (stub)
+  *  - `generate_gif`: (widthField, heightField, framesField,
+  *    seedField) → binary — a REAL animated GIF, the JDK's one
+  *    writable multi-frame container (the video fixture generator).
+  *  - `frame_sample`: multi-frame binary → array<binary> of
+  *    min(n, frames) evenly-spaced frames, re-encoded RGB PNG —
+  *    REAL for GIF/stills via ImageIO; true video codecs (mp4/webm)
+  *    are not in the JDK, so those bytes degrade to null
   *  - `embed`: binary → array<float> feature vector (content-hash
   *    seeded, deterministic — a stand-in for a real vision encoder)
   */
@@ -71,7 +79,10 @@ object MultimodalTransform {
         case None => bytes
       }
 
-    def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+    /** IMG: fixture path of frame sampling (n re-headered thumbs,
+      * index-tagged) — real containers route through
+      * [[ImageCodecs.frameSample]]. */
+    def frameSampleStub(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
       if (bytes == null) null
       else (0 until n).map(i =>
         ImageCodecs.resize(bytes, 64, 64) ++ Array(i.toByte))
@@ -176,7 +187,11 @@ object MultimodalTransform {
       * of (seed, x, y) — the fixture generator that lets decode/
       * resize gates run on genuine codec output with a SQL-replayable
       * expectation (the oracle predicts dimensions, not pixels). */
-    def generatePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    def generatePng(w: Int, h: Int, seed: Long): Array[Byte] =
+      writePng(fill(w, h, seed))
+
+    private def fill(w: Int, h: Int,
+        seed: Long): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -190,7 +205,71 @@ object MultimodalTransform {
         }
         y += 1
       }
-      writePng(img)
+      img
+    }
+
+    /** Deterministic REAL multi-frame container: an animated GIF
+      * with `frames` frames (frame f seeded by seed + f) — GIF is
+      * the one multi-frame format the JDK can both write and read,
+      * so frame sampling runs on genuine video-shaped input. */
+    def generateGif(w: Int, h: Int, frames: Int,
+        seed: Long): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(fill(w, h, seed + f),
+              null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** REAL frame sampling: read the container's frame count via the
+      * ImageIO reader (animated GIF = the multi-frame case; stills =
+      * one frame), pick min(n, count) evenly-spaced frames and
+      * re-encode each as an RGB PNG (palette frames convert, so a
+      * downstream decode sees deterministic 3-channel output).
+      * IMG: fixtures keep the stub path; undecodable bytes → null. */
+    def frameSample(bytes: Array[Byte], n: Int)
+        : Seq[Array[Byte]] = {
+      if (bytes == null) return null
+      if (StubCodecs.headerMeta(bytes).isDefined)
+        return StubCodecs.frameSampleStub(bytes, n)
+      if (sniff(bytes).isEmpty) return null
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); return null }
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val count = reader.getNumImages(true)
+          if (count <= 0) return null
+          val take = math.max(1, math.min(n, count))
+          (0 until take).map { i =>
+            // evenly-spaced over the available frames
+            val idx =
+              if (take == 1) 0 else i * (count - 1) / (take - 1)
+            val src = reader.read(idx)
+            val rgb = new java.awt.image.BufferedImage(
+              src.getWidth, src.getHeight,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = rgb.createGraphics()
+            try g.drawImage(src, 0, 0, null) finally g.dispose()
+            writePng(rgb)
+          }
+        } finally { reader.dispose(); iis.close() }
+      } catch { case scala.util.control.NonFatal(_) => null }
     }
   }
 
@@ -303,6 +382,25 @@ object MultimodalTransform {
               catch { case scala.util.control.NonFatal(_) => null }
             ).orNull
           }
+        case "generate_gif" =>
+          val wIdx = df.schema.fieldIndex(
+            o.str("widthField").getOrElse("width"))
+          val hIdx = df.schema.fieldIndex(
+            o.str("heightField").getOrElse("height"))
+          val fIdx = df.schema.fieldIndex(
+            o.str("framesField").getOrElse("frames"))
+          val sIdx = o.str("seedField").map(df.schema.fieldIndex)
+          df = mapRows(df, out, BinaryType) { row =>
+            (for {
+              w <- boundedInt(row, wIdx, maxPngDim)
+              h <- boundedInt(row, hIdx, maxPngDim)
+              frames <- boundedInt(row, fIdx, maxGifFrames)
+            } yield
+              try ImageCodecs.generateGif(w, h, frames,
+                seedOf(row, sIdx))
+              catch { case scala.util.control.NonFatal(_) => null }
+            ).orNull
+          }
         case "generate_wav" =>
           val fIdx = df.schema.fieldIndex(
             o.str("framesField").getOrElse("frames"))
@@ -339,7 +437,7 @@ object MultimodalTransform {
             case "frame_sample" =>
               val n = o.int("frames").getOrElse(4)
               df = mapBinary(df, inIdx, out, ArrayType(BinaryType))(
-                StubCodecs.frameSample(_, n))
+                ImageCodecs.frameSample(_, n))
             case "embed" =>
               val dim = o.int("dim").getOrElse(64)
               df = mapBinary(df, inIdx, out, ArrayType(FloatType))(
@@ -358,6 +456,7 @@ object MultimodalTransform {
     * would overflow the allocation (frames·2 wraps Int) or OOM. */
   private val maxPngDim = 16384
   private val maxWavFrames = 16 * 1024 * 1024
+  private val maxGifFrames = 4096
 
   /** Per-row generation size: None (→ null output, data-degrade) for
     * null, unparseable, non-positive, or out-of-range values — never

@@ -127,6 +127,39 @@ class MultimodalImageSpec extends AnyFunSuite {
     }
   }
 
+  test("generateGif → frame_sample: real multi-frame container, " +
+      "evenly-spaced sampling, frames re-encode as RGB PNGs; " +
+      "stills read as one frame; garbage degrades to null") {
+    import graft.operators.MultimodalTransform.{ImageCodecs, StubCodecs}
+    val gif = ImageCodecs.generateGif(12, 7, frames = 5, seed = 9L)
+    assert(ImageCodecs.sniff(gif).contains("gif"))
+    val m = ImageCodecs.decode(gif)
+    assert(m.width == 12 && m.height == 7 && m.format == "gif" && m.ok)
+    // sample 3 of 5: evenly-spaced, each a 12x7 RGB PNG
+    val sampled = ImageCodecs.frameSample(gif, 3)
+    assert(sampled.size == 3)
+    for (f <- sampled) {
+      val fm = ImageCodecs.decode(f)
+      assert(fm == StubCodecs.Meta(12, 7, 3, "png", ok = true), fm)
+    }
+    // frames differ (per-frame seed offset) and sampling is
+    // deterministic
+    assert(!java.util.Arrays.equals(sampled(0), sampled(2)))
+    assert(ImageCodecs.frameSample(gif, 3).zip(sampled)
+      .forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // n > available: capped at the real frame count
+    assert(ImageCodecs.frameSample(gif, 99).size == 5)
+    // a still PNG is a one-frame container
+    val still = ImageCodecs.generatePng(8, 8, 1L)
+    assert(ImageCodecs.frameSample(still, 4).size == 1)
+    // IMG: fixture keeps the stub path (n index-tagged thumbs)
+    val fix = "IMG:640x480x3:payload".getBytes("ISO-8859-1")
+    assert(ImageCodecs.frameSample(fix, 3).size == 3)
+    // garbage and null degrade
+    assert(ImageCodecs.frameSample("junk".getBytes, 3) == null)
+    assert(ImageCodecs.frameSample(null, 3) == null)
+  }
+
   test("codec roundtrip property sweep: every (dims, seed) in a " +
       "deterministic grid decodes back exactly — images and audio") {
     import graft.operators.MultimodalTransform.{AudioCodecs, ImageCodecs}
