@@ -1553,6 +1553,73 @@ transforms:
 """)("out")
     }),
 
+    // recall of the served IVF-PQ artifact: approx probes the
+    // STORED cells (nProbe 2 of 16) and scores reconstructions from
+    // the stored codes — recall measures coarse-miss + quantization
+    // loss of exactly the persisted index, vs the corpusInput float
+    // ground truth
+    "q205_recall_ivfpq_prebuilt" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q205_")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: idx
+    module: similarity
+    inputs: [emb]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, centroids: 16, hashAlgo: md5}
+sinks:
+  - name: s1
+    module: storage
+    input: idx
+    parameters: {output: "$base/codes", format: parquet}
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+  - name: s3
+    module: storage
+    input: idx.centroids
+    parameters: {output: "$base/cents", format: parquet}
+""")
+      Pipeline.build(s, s"""
+sources:
+  - name: i
+    module: storage
+    parameters: {path: "$base/codes"}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: ct
+    module: storage
+    parameters: {path: "$base/cents"}
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: rec
+    module: similarity
+    inputs: [i, q, cb, ct, emb]
+    parameters: {action: recall, method: ivf, field: embedding, idField: vec_id, k: 5, nProbe: 2, indexInput: i, codebookInput: cb, centroidsInput: ct, corpusInput: emb}
+  - name: out
+    module: select
+    inputs: [rec]
+    parameters:
+      select:
+        - {name: query_id}
+        - {name: hits}
+        - {name: exact_n}
+        - {name: recall_r, expression: "round(recall, 6)"}
+""")("out")
+    }),
+
     // similarity: LSH-bucketed ANN in hashAlgo:md5 mode — plane
     // derivation, bucket assignment, cosine and top-k all replay in
     // the DuckDB oracle
@@ -12024,6 +12091,116 @@ transforms:
     // (storage adds nothing, loses nothing), so the oracle is
     // q195's chain verbatim
     "q198_recall_prebuilt" -> recallPqOracleSql,
+
+    // served IVF-PQ artifact recall: approx = the q190 chain (codes
+    // → recon → stored cells, query probes rn ≤ 2 of 16, rank over
+    // recon), exact = float bruteforce — measures coarse-miss +
+    // quantization loss of the exact persisted index
+    "q205_recall_ivfpq_prebuilt" ->
+      """WITH cb AS (
+           SELECT row_number() OVER (ORDER BY
+               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+               - 1 AS ci,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL
+           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             CAST(vec_id AS VARCHAR)
+           LIMIT 16),
+         subs AS (SELECT unnest(range(8)) AS j),
+         dists AS (
+           SELECT v.vec_id, s.j, cb.ci,
+             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
+                          - cb.e[s.j*8 + t])^2
+                        for t in range(1, 9) ]) AS d
+           FROM embeddings v, subs s, cb
+           WHERE v.embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id, j, ci FROM (
+             SELECT vec_id, j, ci,
+               row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, ci ASC) AS rn
+             FROM dists)
+           WHERE rn = 1),
+         recon AS (
+           SELECT c.vec_id,
+             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
+               AS r
+           FROM codes c JOIN cb ON cb.ci = c.ci
+           GROUP BY c.vec_id),
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec
+           FROM (SELECT vec_id, embedding FROM e
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   CAST(vec_id AS VARCHAR)
+                 LIMIT 16)),
+         c_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT r.vec_id, cents.cell,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY list_dot_product(r.r, cents.cvec) /
+                   (sqrt(list_dot_product(r.r, r.r)) *
+                    sqrt(list_dot_product(cents.cvec, cents.cvec)))
+                   DESC, cents.cell) AS rn
+             FROM recon r CROSS JOIN cents)
+           WHERE rn = 1),
+         q_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, cents.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), cents.cvec) DESC,
+                   cents.cell) AS rn
+             FROM e CROSS JOIN cents
+             WHERE e.vec_id < 5)
+           WHERE rn <= 2),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
+         approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, p.neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_dot_product(
+                     CAST(eq.embedding AS DOUBLE[]), r.r) /
+                   (sqrt(list_dot_product(
+                      CAST(eq.embedding AS DOUBLE[]),
+                      CAST(eq.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(r.r, r.r))) DESC,
+                   p.neighbor_id) AS rank
+             FROM pairs p
+             JOIN e eq ON eq.vec_id = p.query_id
+             JOIN recon r ON r.vec_id = p.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+             FROM embeddings c
+             CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+             WHERE c.vec_id <> q.vec_id)
+           WHERE rank <= 5),
+         den AS (
+           SELECT query_id, count(*) AS n FROM exact GROUP BY 1),
+         hits AS (
+           SELECT a.query_id, count(*) AS h
+           FROM approx a JOIN exact x
+             ON x.query_id = a.query_id
+              AND x.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT d.query_id, coalesce(h.h, 0) AS hits,
+           d.n AS exact_n,
+           round(coalesce(h.h, 0) * 1.0 / d.n, 6) AS recall_r
+         FROM den d LEFT JOIN hits h USING (query_id)""",
 
     // coarse-pruning recall: approx = q33's md5-seeded IVF replay
     // with 8 cells probing only 2, exact = float bruteforce —
