@@ -8794,8 +8794,11 @@ transforms:
   /** Shared by q195 (direct quantized recall) and q198 (recall of
     * the PERSISTED artifact): the stored index must reproduce the
     * direct run's recall exactly, so one SQL defines both. */
-  private val recallPqOracleSql: String =
-      """WITH cb AS (
+  /** Shared md5-PQ replay prefix (codebook selection -> per-
+    * subspace argmin codes), used by every PQ-family oracle —
+    * one definition, so a fix to the chain lands everywhere. */
+  private val pqCodesCtes: String =
+    """WITH cb AS (
            SELECT row_number() OVER (ORDER BY
                md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
                - 1 AS ci,
@@ -8818,13 +8821,20 @@ transforms:
                row_number() OVER (PARTITION BY vec_id, j
                  ORDER BY d ASC, ci ASC) AS rn
              FROM dists)
-           WHERE rn = 1),
+           WHERE rn = 1)"""
+
+  /** [[pqCodesCtes]] + the reconstruction CTE. */
+  private val pqReconCtes: String =
+    pqCodesCtes + """,
          recon AS (
            SELECT c.vec_id,
              flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
                AS r
            FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
+           GROUP BY c.vec_id),"""
+
+  private val recallPqOracleSql: String =
+      pqReconCtes + """
          pl AS (
            SELECT t, p, i,
              ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
@@ -8903,36 +8913,7 @@ transforms:
     * queries vs the PERSISTED index): one md5-replayable PQ+LSH
     * chain defines all three equivalences. */
   private val pqLshOracleSql: String =
-    """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         recon AS (
-           SELECT c.vec_id,
-             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
-               AS r
-           FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
+    pqReconCtes + """
          pl AS (
            SELECT t, p, i,
              ('0x' || substr(md5('t' || t || ':' || p || ':' || i), 1, 8))
@@ -9951,36 +9932,7 @@ transforms:
     // reconstruction, cosine rank — all double arithmetic in the
     // same sequential index order as the engine
     "q177_knn_pq" ->
-      """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         recon AS (
-           SELECT c.vec_id,
-             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
-               AS r
-           FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
+      (pqReconCtes + """
          q AS (SELECT vec_id AS query_id,
                  CAST(embedding AS DOUBLE[]) AS qe
                FROM embeddings WHERE vec_id < 5),
@@ -9995,7 +9947,7 @@ transforms:
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, neighbor_id) AS rank
            FROM scored)
-         WHERE rank <= 5""",
+         WHERE rank <= 5"""),
 
     // q24 md5-mode LSH replay: table t's plane p component i is
     // uniform [-1,1) from md5('t<t>:p:i'); candidates = distinct
@@ -11843,36 +11795,7 @@ transforms:
     // RECONSTRUCTED vectors (what the stored index holds), query
     // probes rank raw-vs-centroid, final scores are raw-vs-recon
     "q190_knn_ivfpq_index" ->
-      """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         recon AS (
-           SELECT c.vec_id,
-             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
-               AS r
-           FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
+      (pqReconCtes + """
          e AS (
            SELECT vec_id, embedding FROM embeddings
            WHERE embedding IS NOT NULL),
@@ -11922,74 +11845,22 @@ transforms:
            JOIN e eq ON eq.vec_id = p.query_id
            JOIN recon r ON r.vec_id = p.neighbor_id)
          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
-         FROM ranked WHERE rank <= 5""",
+         FROM ranked WHERE rank <= 5"""),
 
     // streaming encode against the persisted codebook is stateless,
     // so the drained code rows over both halves equal the batch
     // encode — md5 codebook selection + per-subspace argmin-L2
     "q191_stream_index_encode" ->
-      """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1)
+      (pqCodesCtes + """
          SELECT vec_id, CAST(j AS INT) AS j, CAST(ci AS INT) AS ci
-         FROM codes""",
+         FROM codes"""),
 
     // streaming IVF-PQ increment ≡ batch: codes from the persisted
     // md5 codebook (q191's chain) plus each vector's coarse cell
     // over the reconstruction against the persisted centroid table
     // (q190's c_assign)
     "q203_stream_ivfpq_encode" ->
-      """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         recon AS (
-           SELECT c.vec_id,
-             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
-               AS r
-           FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
+      (pqReconCtes + """
          cents AS (
            SELECT row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -12012,7 +11883,7 @@ transforms:
            WHERE rn = 1)
          SELECT c.vec_id, CAST(a.cell AS INT) AS cell,
            CAST(c.j AS INT) AS j, CAST(c.ci AS INT) AS ci
-         FROM codes c JOIN c_assign a USING (vec_id)""",
+         FROM codes c JOIN c_assign a USING (vec_id)"""),
 
     // recall@k: |q24's lsh top-k ∩ q23's bruteforce top-k| per
     // query over the exact ground-truth count
@@ -12097,36 +11968,7 @@ transforms:
     // recon), exact = float bruteforce — measures coarse-miss +
     // quantization loss of the exact persisted index
     "q205_recall_ivfpq_prebuilt" ->
-      """WITH cb AS (
-           SELECT row_number() OVER (ORDER BY
-               md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-               - 1 AS ci,
-             CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
-           ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             CAST(vec_id AS VARCHAR)
-           LIMIT 16),
-         subs AS (SELECT unnest(range(8)) AS j),
-         dists AS (
-           SELECT v.vec_id, s.j, cb.ci,
-             list_sum([ (CAST(v.embedding[s.j*8 + t] AS DOUBLE)
-                          - cb.e[s.j*8 + t])^2
-                        for t in range(1, 9) ]) AS d
-           FROM embeddings v, subs s, cb
-           WHERE v.embedding IS NOT NULL),
-         codes AS (
-           SELECT vec_id, j, ci FROM (
-             SELECT vec_id, j, ci,
-               row_number() OVER (PARTITION BY vec_id, j
-                 ORDER BY d ASC, ci ASC) AS rn
-             FROM dists)
-           WHERE rn = 1),
-         recon AS (
-           SELECT c.vec_id,
-             flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
-               AS r
-           FROM codes c JOIN cb ON cb.ci = c.ci
-           GROUP BY c.vec_id),
+      (pqReconCtes + """
          e AS (
            SELECT vec_id, embedding FROM embeddings
            WHERE embedding IS NOT NULL),
@@ -12200,7 +12042,7 @@ transforms:
          SELECT d.query_id, coalesce(h.h, 0) AS hits,
            d.n AS exact_n,
            round(coalesce(h.h, 0) * 1.0 / d.n, 6) AS recall_r
-         FROM den d LEFT JOIN hits h USING (query_id)""",
+         FROM den d LEFT JOIN hits h USING (query_id)"""),
 
     // coarse-pruning recall: approx = q33's md5-seeded IVF replay
     // with 8 cells probing only 2, exact = float bruteforce —

@@ -238,6 +238,19 @@ object MultimodalTransform {
       * one frame), pick min(n, count) evenly-spaced frames and
       * re-encode each as an RGB PNG (palette frames convert, so a
       * downstream decode sees deterministic 3-channel output).
+      *
+      * Frames COMPOSITE: optimized GIFs store later frames as delta
+      * rects at a canvas offset (the gifsicle/giphy default), so
+      * each raw raster draws onto a running logical-screen-sized
+      * canvas at its descriptor offset and the CANVAS is what
+      * samples — a delta frame yields the full composed image, not
+      * a fragment. (Disposal modes restoreToBackground/Previous are
+      * approximated as do-not-dispose — full-frame and
+      * delta-accumulating GIFs, the overwhelming cases, compose
+      * exactly.) Reaching sampled frame k therefore decodes frames
+      * 0..k — one sequential pass up to the LAST sampled index.
+      *
+      * n is validated ≥ 1 at config time (the op's `frames` knob).
       * IMG: fixtures keep the stub path; undecodable bytes → null. */
     def frameSample(bytes: Array[Byte], n: Int)
         : Seq[Array[Byte]] = {
@@ -255,22 +268,78 @@ object MultimodalTransform {
           reader.setInput(iis)
           val count = reader.getNumImages(true)
           if (count <= 0) return null
-          val take = math.max(1, math.min(n, count))
-          (0 until take).map { i =>
-            // evenly-spaced over the available frames
-            val idx =
-              if (take == 1) 0 else i * (count - 1) / (take - 1)
-            val src = reader.read(idx)
-            val rgb = new java.awt.image.BufferedImage(
-              src.getWidth, src.getHeight,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = rgb.createGraphics()
-            try g.drawImage(src, 0, 0, null) finally g.dispose()
-            writePng(rgb)
+          val take = math.min(n, count)
+          val wanted = (0 until take).map { i =>
+            if (take == 1) 0 else i * (count - 1) / (take - 1)
           }
+          // logical screen size (the compose canvas); still formats
+          // and plain GIFs fall back to the first frame's dims
+          val (cw, ch) = logicalScreen(reader).getOrElse {
+            val f0 = reader.read(0)
+            (f0.getWidth, f0.getHeight)
+          }
+          var canvas: java.awt.image.BufferedImage = null
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[Array[Byte]]
+          var idx = 0
+          while (idx <= wanted.last) {
+            val src = reader.read(idx)
+            if (canvas == null)
+              canvas = new java.awt.image.BufferedImage(
+                math.max(cw, src.getWidth),
+                math.max(ch, src.getHeight),
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val (ox, oy) = frameOffset(reader, idx)
+            val g = canvas.createGraphics()
+            try g.drawImage(src, ox, oy, null) finally g.dispose()
+            if (wanted.contains(idx)) out += writePng(canvas)
+            idx += 1
+          }
+          out.toSeq
         } finally { reader.dispose(); iis.close() }
       } catch { case scala.util.control.NonFatal(_) => null }
     }
+
+    /** GIF logical screen (canvas) dims from the stream metadata;
+      * None for formats without one. */
+    private def logicalScreen(reader: javax.imageio.ImageReader)
+        : Option[(Int, Int)] =
+      try {
+        val md = reader.getStreamMetadata
+        if (md == null) return None
+        md.getAsTree("javax_imageio_gif_stream_1.0") match {
+          case root: org.w3c.dom.Element =>
+            val nodes = root.getElementsByTagName(
+              "LogicalScreenDescriptor")
+            if (nodes.getLength == 0) None
+            else {
+              val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+              Some((d.getAttribute("logicalScreenWidth").toInt,
+                d.getAttribute("logicalScreenHeight").toInt))
+            }
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Per-frame canvas offset from the GIF image descriptor;
+      * (0, 0) when absent. */
+    private def frameOffset(reader: javax.imageio.ImageReader,
+        idx: Int): (Int, Int) =
+      try {
+        val md = reader.getImageMetadata(idx)
+        if (md == null) return (0, 0)
+        md.getAsTree("javax_imageio_gif_image_1.0") match {
+          case root: org.w3c.dom.Element =>
+            val nodes = root.getElementsByTagName("ImageDescriptor")
+            if (nodes.getLength == 0) (0, 0)
+            else {
+              val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+              (d.getAttribute("imageLeftPosition").toInt,
+                d.getAttribute("imageTopPosition").toInt)
+            }
+          case _ => (0, 0)
+        }
+      } catch { case scala.util.control.NonFatal(_) => (0, 0) }
   }
 
   /** Real JDK audio codecs: `javax.sound.sampled` decodes WAV and
@@ -395,6 +464,10 @@ object MultimodalTransform {
               w <- boundedInt(row, wIdx, maxPngDim)
               h <- boundedInt(row, hIdx, maxPngDim)
               frames <- boundedInt(row, fIdx, maxGifFrames)
+              // COMBINED ceiling: each bound can pass individually
+              // while the product demands gigabytes — and the OOM
+              // that would follow is an Error NonFatal cannot catch
+              if w.toLong * h * frames <= maxGifPixelFrames
             } yield
               try ImageCodecs.generateGif(w, h, frames,
                 seedOf(row, sIdx))
@@ -436,6 +509,11 @@ object MultimodalTransform {
                 ImageCodecs.resize(_, w, h))
             case "frame_sample" =>
               val n = o.int("frames").getOrElse(4)
+              // config knob, not data: fail fast instead of two
+              // different per-codec degrade behaviors
+              require(n >= 1,
+                s"multimodal ${cfg.name}: frame_sample frames must " +
+                  s"be >= 1, got $n")
               df = mapBinary(df, inIdx, out, ArrayType(BinaryType))(
                 ImageCodecs.frameSample(_, n))
             case "embed" =>
@@ -457,6 +535,7 @@ object MultimodalTransform {
   private val maxPngDim = 16384
   private val maxWavFrames = 16 * 1024 * 1024
   private val maxGifFrames = 4096
+  private val maxGifPixelFrames = 64L * 1024 * 1024 // w·h·frames
 
   /** Per-row generation size: None (→ null output, data-degrade) for
     * null, unparseable, non-positive, or out-of-range values — never
