@@ -378,6 +378,25 @@ object ScaleMain {
           Json.obj()),
         Map("l" -> rev, "r" -> p0))("tj")
     }
+    // real-codec CPU ladder: generate→decode→resize→decode per doc —
+    // pure map-side mapPartitions work (no shuffle anywhere), so
+    // scaling must be linear in rows ÷ cores; the q194 chain at scale
+    time("imageio-pipeline") {
+      graft.operators.MultimodalTransform.build(spark,
+        ModuleCfg("mm", "multimodal", Seq("d"), Nil, Json.parse(
+          """{"ops":[
+            {"op":"generate","widthField":"w","heightField":"h",
+             "seedField":"doc_id","name":"img"},
+            {"op":"decode","field":"img","name":"meta"},
+            {"op":"resize","field":"img","width":16,"height":16,
+             "name":"thumb"},
+            {"op":"decode","field":"thumb","name":"meta2"}]}"""),
+          Json.obj()),
+        Map("d" -> docs.selectExpr("doc_id",
+          "cast(doc_id % 24 + 8 as int) w",
+          "cast(doc_id % 16 + 8 as int) h")))("mm")
+        .select("doc_id", "meta", "meta2")
+    }
     time("textAnalysis") {
       graft.operators.TextAnalysisTransform.build(spark,
         ModuleCfg("ta", "textAnalysis", Seq("d"), Nil, Json.parse(
