@@ -7596,6 +7596,61 @@ transforms:
 """)("sel")
     }),
 
+    // bare verdicts (NO corpus input): the reduce emits the verdict
+    // rows themselves, and idType int64 restores NUMERIC min over
+    // the drained string ids — the branch where a missing idType
+    // would silently elect lexicographic owners ('10' < '9')
+    "q206_verdicts_idtype" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q206_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + doc_id)"))
+      val mid = docs.agg(fexpr("percentile(doc_id, 0.5)")).head.getDouble(0)
+      stageBatch(docs, fcol("doc_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: minhash, field: text, idField: doc_id, hashAlgo: md5}
+sinks:
+  - name: sk
+    module: storage
+    input: dd
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fcol("doc_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      Pipeline.build(s, s"""
+sources:
+  - name: cand
+    module: storage
+    parameters: {path: "$out", format: parquet}
+transforms:
+  - name: vd
+    module: dedup
+    inputs: [cand]
+    parameters: {method: verdicts, idField: doc_id, idType: int64}
+  - name: sel
+    module: select
+    inputs: [vd]
+    parameters:
+      select:
+        - {name: doc_id, type: int64}
+        - {name: dup_of, field: __dup_of, type: int64}
+""")("sel")
+    }),
+
     // the same composition over the VERIFIED ngram streaming path:
     // q183's drained candidates (exact Jaccard >= 0.7 at arrival)
     // reduce to per-doc verdicts and left-join the corpus — oracle is
@@ -8794,6 +8849,61 @@ transforms:
   /** Shared by q195 (direct quantized recall) and q198 (recall of
     * the PERSISTED artifact): the stored index must reproduce the
     * direct run's recall exactly, so one SQL defines both. */
+  /** Streaming-minhash candidate replay through the per-doc min
+    * reduce (the `dup` CTE) — shared by q184 (corpus-joined
+    * verdicts) and q206 (bare verdict rows with idType). */
+  private val minhashDupCtes: String =
+    """WITH toks0 AS (
+           SELECT doc_id, a[i] AS tok, i AS ord
+           FROM (SELECT doc_id, regexp_split_to_array(lower(text),
+                   '[^\p{L}\p{Nd}'']+') AS a
+                 FROM documents WHERE text IS NOT NULL) d,
+                LATERAL unnest(range(1, len(a) + 1)) u(i)
+           WHERE a[i] <> ''),
+         toks AS (
+           SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos,
+             count(*) OVER (PARTITION BY doc_id) AS n
+           FROM toks0),
+         grams AS (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' '
+                 || lead(tok, 2) OVER w AS gram
+           FROM toks WHERE n >= 3
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           QUALIFY pos <= n - 2
+           UNION ALL
+           SELECT d.doc_id, coalesce(s.joined, '') AS gram
+           FROM documents d
+           LEFT JOIN (SELECT doc_id,
+                        string_agg(tok, ' ' ORDER BY pos) AS joined
+                      FROM toks GROUP BY doc_id
+                      HAVING count(*) < 3) s USING (doc_id)
+           WHERE d.text IS NOT NULL
+             AND d.doc_id NOT IN (SELECT doc_id FROM toks WHERE n >= 3)),
+         gh AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
+             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
+           FROM grams),
+         sig AS (
+           SELECT doc_id, s,
+             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
+           FROM gh CROSS JOIN range(0, 32) t(s)
+           GROUP BY doc_id, s),
+         bandkeys AS (
+           SELECT doc_id, s // 4 AS band_idx,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
+           FROM sig GROUP BY doc_id, s // 4),
+         cand AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
+           FROM bandkeys),
+         dup AS (
+           SELECT doc_id, min(rep) AS dup_of
+           FROM cand WHERE doc_id > rep GROUP BY doc_id)"""
+
   /** Shared md5-PQ replay prefix (codebook selection -> per-
     * subspace argmin codes), used by every PQ-family oracle —
     * one definition, so a fix to the chain lands everywhere. */
@@ -11533,58 +11643,16 @@ transforms:
     // dedup's per-doc flags (q20's reduce): min owner over a doc's
     // band candidates, left-joined onto the corpus
     "q184_stream_dedup_verdicts" ->
-      """WITH toks0 AS (
-           SELECT doc_id, a[i] AS tok, i AS ord
-           FROM (SELECT doc_id, regexp_split_to_array(lower(text),
-                   '[^\p{L}\p{Nd}'']+') AS a
-                 FROM documents WHERE text IS NOT NULL) d,
-                LATERAL unnest(range(1, len(a) + 1)) u(i)
-           WHERE a[i] <> ''),
-         toks AS (
-           SELECT doc_id, tok,
-             row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos,
-             count(*) OVER (PARTITION BY doc_id) AS n
-           FROM toks0),
-         grams AS (
-           SELECT doc_id,
-             tok || ' ' || lead(tok, 1) OVER w || ' '
-                 || lead(tok, 2) OVER w AS gram
-           FROM toks WHERE n >= 3
-           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-           QUALIFY pos <= n - 2
-           UNION ALL
-           SELECT d.doc_id, coalesce(s.joined, '') AS gram
-           FROM documents d
-           LEFT JOIN (SELECT doc_id,
-                        string_agg(tok, ' ' ORDER BY pos) AS joined
-                      FROM toks GROUP BY doc_id
-                      HAVING count(*) < 3) s USING (doc_id)
-           WHERE d.text IS NOT NULL
-             AND d.doc_id NOT IN (SELECT doc_id FROM toks WHERE n >= 3)),
-         gh AS (
-           SELECT doc_id,
-             ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
-             ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2,
-             ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h3
-           FROM grams),
-         sig AS (
-           SELECT doc_id, s,
-             min((h1 + s * h2 + s * s * h3) % 4294967296) AS mh
-           FROM gh CROSS JOIN range(0, 32) t(s)
-           GROUP BY doc_id, s),
-         bandkeys AS (
-           SELECT doc_id, s // 4 AS band_idx,
-             md5(string_agg(mh::VARCHAR, '|' ORDER BY s)) AS bh
-           FROM sig GROUP BY doc_id, s // 4),
-         cand AS (
-           SELECT doc_id,
-             min(doc_id) OVER (PARTITION BY band_idx, bh) AS rep
-           FROM bandkeys),
-         dup AS (
-           SELECT doc_id, min(rep) AS dup_of
-           FROM cand WHERE doc_id > rep GROUP BY doc_id)
+      (minhashDupCtes + """
          SELECT d.doc_id, CAST(dup.dup_of AS BIGINT) AS dup_of
-         FROM documents d LEFT JOIN dup USING (doc_id)""",
+         FROM documents d LEFT JOIN dup USING (doc_id)"""),
+
+    // bare verdict rows (no corpus input): idType int64 restores
+    // numeric min over the drained STRING ids — the dup CTE alone
+    "q206_verdicts_idtype" ->
+      (minhashDupCtes + """
+         SELECT doc_id, CAST(dup_of AS BIGINT) AS dup_of
+         FROM dup"""),
 
     // ngram streaming candidates (exact Jaccard >= 0.7) reduced to
     // per-doc verdicts and joined onto the corpus
