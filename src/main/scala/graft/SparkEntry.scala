@@ -8904,6 +8904,30 @@ transforms:
            SELECT doc_id, min(rep) AS dup_of
            FROM cand WHERE doc_id > rep GROUP BY doc_id)"""
 
+  /** md5-seeded 16-cell IVF coarse table + cell assignment over
+    * the PQ reconstruction — shared by the q190 and q205 replay
+    * chains (q203 inlines a no-`e`-CTE variant). */
+  private val ivfCentsAssignCtes: String =
+    """cents AS (
+           SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS cvec
+           FROM (SELECT vec_id, embedding FROM e
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   CAST(vec_id AS VARCHAR)
+                 LIMIT 16)),
+         c_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT r.vec_id, cents.cell,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY list_dot_product(r.r, cents.cvec) /
+                   (sqrt(list_dot_product(r.r, r.r)) *
+                    sqrt(list_dot_product(cents.cvec, cents.cvec)))
+                   DESC, cents.cell) AS rn
+             FROM recon r CROSS JOIN cents)
+           WHERE rn = 1),"""
+
   /** Shared md5-PQ replay prefix (codebook selection -> per-
     * subspace argmin codes), used by every PQ-family oracle —
     * one definition, so a fix to the chain lands everywhere. */
@@ -11867,25 +11891,7 @@ transforms:
          e AS (
            SELECT vec_id, embedding FROM embeddings
            WHERE embedding IS NOT NULL),
-         cents AS (
-           SELECT row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
-             CAST(embedding AS DOUBLE[]) AS cvec
-           FROM (SELECT vec_id, embedding FROM e
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                   CAST(vec_id AS VARCHAR)
-                 LIMIT 16)),
-         c_assign AS (
-           SELECT vec_id, cell FROM (
-             SELECT r.vec_id, cents.cell,
-               row_number() OVER (PARTITION BY r.vec_id
-                 ORDER BY list_dot_product(r.r, cents.cvec) /
-                   (sqrt(list_dot_product(r.r, r.r)) *
-                    sqrt(list_dot_product(cents.cvec, cents.cvec)))
-                   DESC, cents.cell) AS rn
-             FROM recon r CROSS JOIN cents)
-           WHERE rn = 1),
+         """ + ivfCentsAssignCtes + """
          q_assign AS (
            SELECT vec_id, cell FROM (
              SELECT e.vec_id, cents.cell,
@@ -12040,25 +12046,7 @@ transforms:
          e AS (
            SELECT vec_id, embedding FROM embeddings
            WHERE embedding IS NOT NULL),
-         cents AS (
-           SELECT row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                 CAST(vec_id AS VARCHAR)) - 1 AS cell,
-             CAST(embedding AS DOUBLE[]) AS cvec
-           FROM (SELECT vec_id, embedding FROM e
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                   CAST(vec_id AS VARCHAR)
-                 LIMIT 16)),
-         c_assign AS (
-           SELECT vec_id, cell FROM (
-             SELECT r.vec_id, cents.cell,
-               row_number() OVER (PARTITION BY r.vec_id
-                 ORDER BY list_dot_product(r.r, cents.cvec) /
-                   (sqrt(list_dot_product(r.r, r.r)) *
-                    sqrt(list_dot_product(cents.cvec, cents.cvec)))
-                   DESC, cents.cell) AS rn
-             FROM recon r CROSS JOIN cents)
-           WHERE rn = 1),
+         """ + ivfCentsAssignCtes + """
          q_assign AS (
            SELECT vec_id, cell FROM (
              SELECT e.vec_id, cents.cell,

@@ -269,15 +269,17 @@ object MultimodalTransform {
           val count = reader.getNumImages(true)
           if (count <= 0) return null
           val take = math.min(n, count)
+          // Long arithmetic: i*(count-1) overflows Int past ~46k
+          // frames, corrupting the index set silently
           val wanted = (0 until take).map { i =>
-            if (take == 1) 0 else i * (count - 1) / (take - 1)
+            if (take == 1) 0
+            else (i.toLong * (count - 1) / (take - 1)).toInt
           }
           // logical screen size (the compose canvas); still formats
-          // and plain GIFs fall back to the first frame's dims
-          val (cw, ch) = logicalScreen(reader).getOrElse {
-            val f0 = reader.read(0)
-            (f0.getWidth, f0.getHeight)
-          }
+          // and plain GIFs fall back to the first frame's dims via
+          // the header peek (getWidth/getHeight decode no pixels)
+          val (cw, ch) = logicalScreen(reader).getOrElse(
+            (reader.getWidth(0), reader.getHeight(0)))
           var canvas: java.awt.image.BufferedImage = null
           val out = scala.collection.mutable.ArrayBuffer
             .empty[Array[Byte]]
@@ -510,10 +512,13 @@ object MultimodalTransform {
             case "frame_sample" =>
               val n = o.int("frames").getOrElse(4)
               // config knob, not data: fail fast instead of two
-              // different per-codec degrade behaviors
-              require(n >= 1,
+              // different per-codec degrade behaviors. The upper
+              // bound mirrors maxGifFrames — the real path self-caps
+              // at the container frame count, but the IMG-stub path
+              // would otherwise allocate n elements unchecked
+              require(n >= 1 && n <= maxGifFrames,
                 s"multimodal ${cfg.name}: frame_sample frames must " +
-                  s"be >= 1, got $n")
+                  s"be in [1, $maxGifFrames], got $n")
               df = mapBinary(df, inIdx, out, ArrayType(BinaryType))(
                 ImageCodecs.frameSample(_, n))
             case "embed" =>
