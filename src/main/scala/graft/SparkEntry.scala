@@ -7651,6 +7651,209 @@ transforms:
 """)("sel")
     }),
 
+    // embed THROUGH the onnx Session seam: 8×8 fixture PNGs really
+    // decode (ImageIO) to a 192-element normalized pixel tensor and
+    // run batched through the stub:linear session (2x+1 elementwise)
+    // — the oracle replays the pixel fill arithmetic, the /255
+    // normalization and the linear map, so a hash match proves the
+    // whole bytes → decode → tensor → session.run → array<float>
+    // chain. A real vision encoder swaps in via
+    // OnnxTransform.sessionFactory with zero pipeline changes.
+    "q207_embed_session" -> pipe("out", """
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "${dir}/documents.parquet"}
+transforms:
+  - name: dims
+    module: select
+    inputs: [docs]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: w, expression: "8", type: int64}
+        - {name: h, expression: "8", type: int64}
+  - name: mm
+    module: multimodal
+    inputs: [dims]
+    parameters:
+      ops:
+        - {op: generate, widthField: w, heightField: h, seedField: doc_id, name: img}
+        - {op: embed, field: img, model: "stub:linear", grid: 8, name: emb}
+  - name: out
+    module: select
+    inputs: [mm]
+    parameters:
+      select:
+        - {name: doc_id}
+        - {name: emb}
+"""),
+
+    // STREAMING winnow near-dedup: the split-fixture drain (q183's
+    // choreography) over method: winnow — fingerprint-bucket owners
+    // with the at-arrival fingerprint-set Jaccard verify. Arrival
+    // order is globally id-ascending (ts = base + doc_id, batches
+    // split at the median), so every bucket's owner is its minimum
+    // member and the drained candidates equal the batch winnow
+    // member-vs-bucket-min verified pairs — the md5 chain replays
+    "q208_stream_winnow_dedup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val base = java.nio.file.Files.createTempDirectory("graft_q208_")
+      val in = base.resolve("in"); in.toFile.mkdirs()
+      val out = base.resolve("out").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts",
+          fexpr("timestamp_seconds(1700000000 + doc_id)"))
+      val mid = docs.agg(fexpr("percentile(doc_id, 0.5)")).head.getDouble(0)
+      stageBatch(docs, fcol("doc_id") <= mid, base, in, "b1")
+      Pipeline.execute(s, s"""
+sources:
+  - name: docs
+    module: storage
+    parameters: {path: "$in", format: parquet, stream: true}
+transforms:
+  - name: dd
+    module: dedup
+    inputs: [docs]
+    strategy: {timestampField: ts, allowedLateness: 315360000}
+    parameters: {method: winnow, field: text, idField: doc_id, threshold: 0.5, hashAlgo: md5}
+  - name: sel
+    module: select
+    inputs: [dd]
+    parameters:
+      select:
+        - {name: doc_id, type: int64}
+        - {name: fp, field: __fp}
+        - {name: dup_of, field: __dup_of, type: int64}
+        - {name: jacc, expression: "round(__jaccard, 6)"}
+sinks:
+  - name: sk
+    module: storage
+    input: sel
+    parameters: {output: "$out", format: parquet, checkpointLocation: "$base/ckpt"}
+""")
+      graft.streaming.StreamRunner.drainAll()
+      stageBatch(docs, fcol("doc_id") > mid, base, in, "b2")
+      graft.streaming.StreamRunner.drainAll()
+      graft.streaming.StreamRunner.stopAll()
+      s.read.parquet(out)
+    }),
+
+    // recall of an INCREMENTED index: base IVF-PQ build on the even
+    // vectors, a batch increment (codebookInput + centroidsInput —
+    // the guards' happy path) APPENDS the odd vectors' codes into
+    // the same index dir, and a one-pass full encode with the SAME
+    // stored artifacts builds the reference. `action: recall` runs
+    // over both; the incremented artifact's recall must equal the
+    // full build's per query (one oracle chain emits both columns)
+    "q209_recall_incremented" -> ((s: SparkSession, dir: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q209_")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: evens
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{expression: "vec_id % 2", op: "=", value: 0}]
+  - name: idx
+    module: similarity
+    inputs: [evens]
+    parameters: {action: index, field: embedding, idField: vec_id, pqM: 8, pqCodebookSize: 16, centroids: 16, hashAlgo: md5}
+sinks:
+  - name: s1
+    module: storage
+    input: idx
+    parameters: {output: "$base/codes", format: parquet}
+  - name: s2
+    module: storage
+    input: idx.codebook
+    parameters: {output: "$base/cb", format: parquet}
+  - name: s3
+    module: storage
+    input: idx.centroids
+    parameters: {output: "$base/cents", format: parquet}
+""")
+      Pipeline.execute(s, s"""
+sources:
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: ct
+    module: storage
+    parameters: {path: "$base/cents"}
+transforms:
+  - name: odds
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{expression: "vec_id % 2", op: "=", value: 1}]
+  - name: inc
+    module: similarity
+    inputs: [odds, cb, ct]
+    parameters: {action: index, field: embedding, idField: vec_id, codebookInput: cb, centroidsInput: ct}
+  - name: full
+    module: similarity
+    inputs: [emb, cb, ct]
+    parameters: {action: index, field: embedding, idField: vec_id, codebookInput: cb, centroidsInput: ct}
+sinks:
+  - name: s1
+    module: storage
+    input: inc
+    parameters: {output: "$base/codes", format: parquet, mode: append}
+  - name: s2
+    module: storage
+    input: full
+    parameters: {output: "$base/codesFull", format: parquet}
+""")
+      def recallOver(codes: String, out: String): Unit =
+        Pipeline.execute(s, s"""
+sources:
+  - name: i
+    module: storage
+    parameters: {path: "$codes"}
+  - name: cb
+    module: storage
+    parameters: {path: "$base/cb"}
+  - name: ct
+    module: storage
+    parameters: {path: "$base/cents"}
+  - name: emb
+    module: storage
+    parameters: {path: "$dir/embeddings.parquet"}
+transforms:
+  - name: q
+    module: filter
+    inputs: [emb]
+    parameters:
+      filter: [{key: vec_id, op: "<", value: 5}]
+  - name: rec
+    module: similarity
+    inputs: [i, q, cb, ct, emb]
+    parameters: {action: recall, method: ivf, field: embedding, idField: vec_id, k: 5, nProbe: 2, indexInput: i, codebookInput: cb, centroidsInput: ct, corpusInput: emb}
+sinks:
+  - name: sk
+    module: storage
+    input: rec
+    parameters: {output: "$out", format: parquet}
+""")
+      recallOver(s"$base/codes", s"$base/recInc")
+      recallOver(s"$base/codesFull", s"$base/recFull")
+      val inc = s.read.parquet(s"$base/recInc")
+        .selectExpr("query_id", "hits AS hits_inc", "exact_n",
+          "round(recall, 6) AS recall_inc")
+      val full = s.read.parquet(s"$base/recFull")
+        .selectExpr("query_id AS qf", "hits AS hits_full",
+          "round(recall, 6) AS recall_full")
+      inc.join(full, inc("query_id") === full("qf")).drop("qf")
+    }),
+
     // the same composition over the VERIFIED ngram streaming path:
     // q183's drained candidates (exact Jaccard >= 0.7 at arrival)
     // reduce to per-doc verdicts and left-join the corpus — oracle is
@@ -8907,16 +9110,21 @@ transforms:
   /** md5-seeded 16-cell IVF coarse table + cell assignment over
     * the PQ reconstruction — shared by the q190 and q205 replay
     * chains (q203 inlines a no-`e`-CTE variant). */
-  private val ivfCentsAssignCtes: String =
-    """cents AS (
+  /** [[ivfCentsAssignCtes]] with the centroid-seed selection
+    * restricted by `fitAnd` (an `AND …` suffix) — the incremented-
+    * index oracle fits coarse centroids on the BASE build's half of
+    * the corpus while still cell-assigning every vector. */
+  private def ivfCentsAssignCtesFit(fitAnd: String): String =
+    s"""cents AS (
            SELECT row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)),
                  CAST(vec_id AS VARCHAR)) - 1 AS cell,
              CAST(embedding AS DOUBLE[]) AS cvec
            FROM (SELECT vec_id, embedding FROM e
+                 WHERE true$fitAnd
                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
                    CAST(vec_id AS VARCHAR)
-                 LIMIT 16)),
+                 LIMIT 16)),""" + """
          c_assign AS (
            SELECT vec_id, cell FROM (
              SELECT r.vec_id, cents.cell,
@@ -8928,19 +9136,23 @@ transforms:
              FROM recon r CROSS JOIN cents)
            WHERE rn = 1),"""
 
+  private val ivfCentsAssignCtes: String = ivfCentsAssignCtesFit("")
+
   /** Shared md5-PQ replay prefix (codebook selection -> per-
     * subspace argmin codes), used by every PQ-family oracle —
-    * one definition, so a fix to the chain lands everywhere. */
-  private val pqCodesCtes: String =
-    """WITH cb AS (
+    * one definition, so a fix to the chain lands everywhere.
+    * `fitAnd` (an `AND …` suffix) restricts the codebook FIT side
+    * only — codes still compute for every vector. */
+  private def pqCodesCtesFit(fitAnd: String): String =
+    s"""WITH cb AS (
            SELECT row_number() OVER (ORDER BY
                md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
                - 1 AS ci,
              CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE embedding IS NOT NULL
+           FROM embeddings WHERE embedding IS NOT NULL$fitAnd
            ORDER BY md5(CAST(vec_id AS VARCHAR)),
              CAST(vec_id AS VARCHAR)
-           LIMIT 16),
+           LIMIT 16),""" + """
          subs AS (SELECT unnest(range(8)) AS j),
          dists AS (
            SELECT v.vec_id, s.j, cb.ci,
@@ -8957,15 +9169,19 @@ transforms:
              FROM dists)
            WHERE rn = 1)"""
 
-  /** [[pqCodesCtes]] + the reconstruction CTE. */
-  private val pqReconCtes: String =
-    pqCodesCtes + """,
+  private val pqCodesCtes: String = pqCodesCtesFit("")
+
+  /** [[pqCodesCtesFit]] + the reconstruction CTE. */
+  private def pqReconCtesFit(fitAnd: String): String =
+    pqCodesCtesFit(fitAnd) + """,
          recon AS (
            SELECT c.vec_id,
              flatten(list(cb.e[c.j*8 + 1 : c.j*8 + 8] ORDER BY c.j))
                AS r
            FROM codes c JOIN cb ON cb.ci = c.ci
            GROUP BY c.vec_id),"""
+
+  private val pqReconCtes: String = pqReconCtesFit("")
 
   private val recallPqOracleSql: String =
       pqReconCtes + """
@@ -11677,6 +11893,125 @@ transforms:
       (minhashDupCtes + """
          SELECT doc_id, CAST(dup_of AS BIGINT) AS dup_of
          FROM dup"""),
+
+    // embed via the stub session: pixel (x, y) of the 8×8 fixture is
+    // ((seed*1103515245 + x*31 + y*977) >> 8) & 0xffffff (positive
+    // operands, so arithmetic >> ≡ the engine's logical >>>), tensor
+    // element i is channel i%3 of pixel i//3 (row-major) over 255,
+    // and the linear stub maps 2x+1 — double arithmetic on both
+    // sides, float-cast once, so the arrays match bit-exactly
+    "q207_embed_session" ->
+      """SELECT doc_id,
+           [CAST(2.0 * ((((((doc_id*1103515245
+                 + ((i//3)%8)*31 + ((i//3)//8)*977) >> 8) & 16777215)
+                 >> (16 - 8*(i%3))) & 255) / 255.0) + 1.0 AS FLOAT)
+            for i in range(0, 192)] AS emb
+         FROM documents""",
+
+    // streaming winnow candidates: arrival order is id-ascending, so
+    // each fingerprint bucket's owner is its minimum member — the
+    // drained rows are the batch q127 fingerprint chain's
+    // member-vs-bucket-min pairs (per colliding fingerprint) that
+    // pass the fingerprint-set Jaccard verify
+    "q208_stream_winnow_dedup" ->
+      """WITH base AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id,
+             [substr(md5('0 ' || array_to_string(toks[i:i+3], ' ')),
+                1, 8)
+              for i in range(1, greatest(len(toks) - 3, 1) + 1)] AS gh
+           FROM base),
+         f AS (
+           SELECT doc_id,
+             list_distinct([list_min(gh[i:i+7])
+               for i in range(1, greatest(len(gh) - 7, 1) + 1)]) AS fps
+           FROM g),
+         fe AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         stats AS (
+           SELECT fp, min(doc_id) AS mn
+           FROM fe GROUP BY fp HAVING count(*) >= 2),
+         cand AS (
+           SELECT fe.doc_id, fe.fp, s.mn
+           FROM fe JOIN stats s ON s.fp = fe.fp
+           WHERE fe.doc_id > s.mn),
+         ver AS (
+           SELECT c.doc_id, c.fp, c.mn,
+             len(list_intersect(fa.fps, fb.fps)) AS i,
+             len(fa.fps) AS na, len(fb.fps) AS nb
+           FROM cand c
+           JOIN f fa ON fa.doc_id = c.doc_id
+           JOIN f fb ON fb.doc_id = c.mn)
+         SELECT doc_id, fp, mn AS dup_of,
+           round(i::DOUBLE / (na + nb - i), 6) AS jacc
+         FROM ver WHERE i::DOUBLE / (na + nb - i) >= 0.5""",
+
+    // incremented-index recall ≡ full-build recall: ONE chain (fit
+    // on the even half — the base build — codes/cells for every
+    // vector) emits both column sets, so the gate's two artifacts
+    // must both reproduce it to hash-match
+    "q209_recall_incremented" ->
+      (pqReconCtesFit(" AND vec_id % 2 = 0") + """
+         e AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         """ + ivfCentsAssignCtesFit(" AND vec_id % 2 = 0") + """
+         q_assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, cents.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), cents.cvec) DESC,
+                   cents.cell) AS rn
+             FROM e CROSS JOIN cents
+             WHERE e.vec_id < 5)
+           WHERE rn <= 2),
+         pairs AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM c_assign c JOIN q_assign q ON c.cell = q.cell
+           WHERE c.vec_id <> q.vec_id),
+         approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, p.neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_dot_product(
+                     CAST(eq.embedding AS DOUBLE[]), r.r) /
+                   (sqrt(list_dot_product(
+                      CAST(eq.embedding AS DOUBLE[]),
+                      CAST(eq.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(r.r, r.r))) DESC,
+                   p.neighbor_id) AS rank
+             FROM pairs p
+             JOIN e eq ON eq.vec_id = p.query_id
+             JOIN recon r ON r.vec_id = p.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+             FROM embeddings c
+             CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+             WHERE c.vec_id <> q.vec_id)
+           WHERE rank <= 5),
+         den AS (
+           SELECT query_id, count(*) AS n FROM exact GROUP BY 1),
+         hits AS (
+           SELECT a.query_id, count(*) AS h
+           FROM approx a JOIN exact x
+             ON x.query_id = a.query_id
+              AND x.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT d.query_id, coalesce(h.h, 0) AS hits_inc,
+           d.n AS exact_n,
+           round(coalesce(h.h, 0) * 1.0 / d.n, 6) AS recall_inc,
+           coalesce(h.h, 0) AS hits_full,
+           round(coalesce(h.h, 0) * 1.0 / d.n, 6) AS recall_full
+         FROM den d LEFT JOIN hits h USING (query_id)"""),
 
     // ngram streaming candidates (exact Jaccard >= 0.7) reduced to
     // per-doc verdicts and joined onto the corpus

@@ -96,6 +96,14 @@ object DedupTransform {
             "allowedLateness) to bound its state: without an " +
             "event-time horizon the seen-fingerprint state grows " +
             "with the whole stream")
+      case "winnow" =>
+        // the fingerprint-INDEX action compares nothing — it is a
+        // corpus materialization and needs the bounded batch path
+        require(p.str("action").isEmpty,
+          s"dedup ${cfg.name}: winnow action: index requires a " +
+            "bounded (batch) input — materialize the index in a " +
+            "batch stage; the streaming form emits candidate rows")
+        streamContract = Some(streamingDedupContract(cfg, method))
       case "minhash" | "simhash" | "embedding" | "ngram" =>
         streamContract = Some(streamingDedupContract(cfg, method))
       case "decontaminate" => () // stream-against-static, stateless
@@ -106,9 +114,10 @@ object DedupTransform {
             "stream. Dedup the corpus in a batch stage, use " +
             "method: exact with strategy.timestampField (first-seen-" +
             "wins within the watermark horizon), method: minhash/" +
-            "simhash/ngram/embedding with strategy.timestampField " +
-            "(LSH near-dedup within the watermark horizon, candidate " +
-            "rows), method: decontaminate (stream-against-static), or " +
+            "simhash/ngram/embedding/winnow with strategy." +
+            "timestampField (LSH/fingerprint near-dedup within the " +
+            "watermark horizon, candidate rows), method: " +
+            "decontaminate (stream-against-static), or " +
             "window the stream upstream and dedup each window's batch " +
             "output.")
     }
@@ -156,6 +165,11 @@ object DedupTransform {
     if (raw.isStreaming && method == "ngram")
       return TransformCommon.finishRouted(
         streamingNgram(raw, cfg, streamContract.get), cfg)
+    // streaming winnow near-dedup: fingerprint-bucket owner state +
+    // fingerprint-set Jaccard verify at arrival; see streamingWinnow
+    if (raw.isStreaming && method == "winnow")
+      return TransformCommon.finishRouted(
+        streamingWinnow(raw, cfg, streamContract.get), cfg)
     // (non-streamable methods on a stream threw in the pre-validation
     // match above, before any conf scoped)
     // cross-corpus mode: flag primary rows near-duplicating a
@@ -402,8 +416,13 @@ object DedupTransform {
                 // wrong canonical owner. A bounded probe (100 ids —
                 // a heuristic, not a scan) that finds ONLY numeric
                 // strings almost certainly means the user forgot
-                // idType; warn loudly with the fix named
-                if (log.isWarnEnabled && allNumericProbe(df, idField))
+                // idType; warn loudly with the fix named. The probe
+                // is an eager build-time job — `idProbe: false`
+                // skips it for genuinely-string id corpora whose
+                // ids happen to look numeric (or when build-time
+                // jobs matter)
+                if (p.bool("idProbe").getOrElse(true) &&
+                    log.isWarnEnabled && allNumericProbe(df, idField))
                   log.warn(s"dedup ${cfg.name}: verdicts ids all " +
                     "look numeric but no idType is set — min over " +
                     "STRING ids is lexicographic ('10' < '9'), " +
@@ -1025,6 +1044,116 @@ object DedupTransform {
       }.toDF()
   }
 
+  /** Streaming winnow near-dedup: the fingerprint-bucket form of
+    * [[streamingNgram]]. Each arrival's winnow fingerprints come
+    * from the SAME Column program as the batch path ([[winnowFps]] —
+    * token k-gram hashes, per-window minimum, distinct), so the two
+    * modes agree bit-identically on what a fingerprint is. Each
+    * fingerprint is a bucket key; the first-seen doc owns a bucket,
+    * and a later within-horizon member verifies its FULL fingerprint
+    * set against the owner's at arrival (Jaccard over distinct
+    * fingerprint sets — the batch verify arithmetic). A verified
+    * collision emits one candidate row (`idField`, `__fp`,
+    * `__dup_of`, `__jaccard`) per colliding fingerprint at/above
+    * `threshold`; sub-threshold collisions pass silently and never
+    * replace the owner (min-rep semantics, shared with every
+    * streaming near-dedup mode here).
+    *
+    * State per live bucket is (owner id, newest-member event time,
+    * owner fingerprint set) — fingerprints are ~2/(window+1) of the
+    * doc's gram count, so the state rides far below the text-bearing
+    * ngram mode's. The horizon bound is ngram's: a bucket expires
+    * once the watermark passes its newest member. Over time-ordered
+    * arrivals with the horizon covering the run, the drained
+    * candidates equal the batch winnow pairs verified against each
+    * bucket's minimum member (md5 mode replays in SQL — the batch
+    * q127 fingerprint chain). */
+  private def streamingWinnow(raw: DataFrame, cfg: ModuleCfg,
+      contract: (com.fasterxml.jackson.databind.JsonNode, String))
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val p = cfg.params
+    val (strategy, ts) = contract // validated once in build()
+    val textField = p.str("field").getOrElse("text")
+    val idField = p.str("idField").getOrElse(raw.columns.head)
+    val md5Mode = p.str("hashAlgo").contains("md5")
+    val k = p.int("ngramSize").getOrElse(4)
+    val w = p.int("window").getOrElse(8)
+    val threshold = p.dbl("threshold").getOrElse(0.5)
+    val seed = p.str("seed").getOrElse("0")
+    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+      .filter(col(textField).isNotNull)
+      // null event time: see streamingLsh — withWatermark does not
+      // drop null-ts rows and the horizon arithmetic would NPE
+      .filter(col(ts).isNotNull)
+    val withFps = winnowFps(
+      wm.select(col(idField).cast(StringType).as("__id"),
+        col(ts).as("__ts"), col(textField).as("__t")),
+      k, w, md5Mode, seed, keep = Seq("__ts"))
+      // one stringified fingerprint domain for key AND state: md5
+      // mode is already hex strings; xxhash64 longs render decimal.
+      // Only identity matters to the key and the set-Jaccard, and
+      // both renderings are injective
+      .withColumn("__fset", col("__fps").cast(ArrayType(StringType)))
+    val slim = withFps
+      .select(col("__id"), col("__ts"), col("__fset"),
+        explode_outer(col("__fset")).as("__fp"))
+      .filter(col("__fp").isNotNull)
+    val outSchema = StructType(Seq(
+      StructField(idField, StringType),
+      StructField("__fp", StringType),
+      StructField("__dup_of", StringType),
+      StructField("__jaccard", DoubleType)))
+    implicit val outEnc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val stateEnc = Encoders.kryo[(String, Long, Seq[String])]
+    slim.groupByKey(_.getString(3))(Encoders.STRING)
+      .flatMapGroupsWithState[(String, Long, Seq[String]), Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[(String, Long, Seq[String])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.getTimestamp(1).getTime, r.getString(0)))
+            // state carries the bucket's NEWEST member time — see
+            // streamingLsh's no-rewind note
+            var owner = state.getOption
+            var maxTs = owner.map(_._2).getOrElse(Long.MinValue)
+            var ownerSet: Set[String] =
+              owner.map(_._3.toSet).orNull
+            val out = Seq.newBuilder[Row]
+            // one emission per doc per micro-batch — see
+            // streamingLsh's multiset note
+            val emitted = scala.collection.mutable.HashSet[String]()
+            sorted.foreach { r =>
+              val id = r.getString(0)
+              val t = r.getTimestamp(1).getTime
+              if (t > maxTs) maxTs = t
+              owner match {
+                case None =>
+                  val fset = r.getSeq[String](2)
+                  owner = Some((id, t, fset))
+                  ownerSet = fset.toSet
+                case Some((oid, _, _)) if oid != id =>
+                  val g = r.getSeq[String](2).toSet
+                  val inter = g.count(ownerSet.contains)
+                  val j = inter.toDouble /
+                    (g.size + ownerSet.size - inter)
+                  if (j >= threshold && emitted.add(id))
+                    out += Row(id, key, oid, j)
+                case _ => () // the owner doc re-arriving
+              }
+            }
+            state.update((owner.get._1, maxTs, owner.get._3))
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
   /** verdicts id cast with a parse tripwire: the engine's lenient
     * (non-ANSI) cast nulls out an unparseable id, which would
     * silently drop that doc's verdict or group it under a null key
@@ -1444,7 +1573,8 @@ object DedupTransform {
     * by self-dedup and referenceInput mode so both sides of a
     * cross-corpus run compute IDENTICAL fingerprints. */
   private def winnowFps(in: DataFrame, k: Int, w: Int,
-      md5Mode: Boolean, seed: String): DataFrame = {
+      md5Mode: Boolean, seed: String,
+      keep: Seq[String] = Nil): DataFrame = {
     // validated here so BOTH the self and referenceInput paths fail
     // loudly: window 0 would make every window min null and silently
     // report zero duplicates
@@ -1477,7 +1607,7 @@ object DedupTransform {
         array_distinct(transform(
           sequence(lit(1), greatest(size(g) - w + 1, lit(1))),
           i => array_min(slice(g, i, lit(w))))))
-      .select(col("__id"), col("__fps"))
+      .select(col("__id") +: keep.map(col) :+ col("__fps"): _*)
   }
 
   /** Line-level boilerplate dedup (CCNet §3.1 / RefinedWeb line-wise

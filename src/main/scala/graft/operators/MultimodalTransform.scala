@@ -47,8 +47,14 @@ import org.apache.spark.sql.types._
   *    min(n, frames) evenly-spaced frames, re-encoded RGB PNG —
   *    REAL for GIF/stills via ImageIO; true video codecs (mp4/webm)
   *    are not in the JDK, so those bytes degrade to null
-  *  - `embed`: binary → array<float> feature vector (content-hash
-  *    seeded, deterministic — a stand-in for a real vision encoder)
+  *  - `embed`: binary → array<float> feature vector. With a `model`,
+  *    the bytes REALLY decode (ImageIO) to a grid×grid normalized
+  *    RGB pixel tensor and run batched through the `onnx`
+  *    transform's pluggable Session seam ([[OnnxTransform
+  *    .sessionFactory]]) — a real vision encoder is a jar drop-in,
+  *    and `model: stub:linear` exercises the full chain
+  *    deterministically. Without a `model`, a content-hash-seeded
+  *    deterministic stand-in vector.
   */
 object MultimodalTransform {
 
@@ -170,16 +176,56 @@ object MultimodalTransform {
             if (src.getColorModel.hasAlpha)
               java.awt.image.BufferedImage.TYPE_INT_ARGB
             else java.awt.image.BufferedImage.TYPE_INT_RGB
-          val dst = new java.awt.image.BufferedImage(w, h, kind)
-          val g = dst.createGraphics()
-          try {
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(src, 0, 0, w, h, null)
-          } finally g.dispose()
-          writePng(dst)
+          writePng(scaleTo(src, w, h, kind))
         case None => bytes
+      }
+    }
+
+    private def scaleTo(src: java.awt.image.BufferedImage, w: Int,
+        h: Int, kind: Int): java.awt.image.BufferedImage = {
+      val dst = new java.awt.image.BufferedImage(w, h, kind)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      dst
+    }
+
+    /** Decode → (rescale to grid×grid if needed) → row-major
+      * normalized RGB tensor: element 3·(y·grid+x)+c is channel c
+      * (r, g, b) of pixel (x, y) scaled by /255.0 — the standard
+      * vision-encoder preprocessing shape. Images ALREADY at
+      * grid×grid skip the rescale, so fixture pixels reach the model
+      * bit-exactly (the SQL-replayable path); undecodable bytes →
+      * null (the row degrades to a null embedding, never a throw). */
+    def pixelTensor(bytes: Array[Byte], grid: Int): Array[Double] = {
+      if (bytes == null) return null
+      if (sniff(bytes).isEmpty) return null
+      read(bytes) match {
+        case None => null
+        case Some(img0) =>
+          val img =
+            if (img0.getWidth == grid && img0.getHeight == grid) img0
+            else scaleTo(img0, grid, grid,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val t = new Array[Double](grid * grid * 3)
+          var y = 0
+          while (y < grid) {
+            var x = 0
+            while (x < grid) {
+              val p = img.getRGB(x, y)
+              val i = 3 * (y * grid + x)
+              t(i) = ((p >> 16) & 0xff) / 255.0
+              t(i + 1) = ((p >> 8) & 0xff) / 255.0
+              t(i + 2) = (p & 0xff) / 255.0
+              x += 1
+            }
+            y += 1
+          }
+          t
       }
     }
 
@@ -244,10 +290,14 @@ object MultimodalTransform {
       * each raw raster draws onto a running logical-screen-sized
       * canvas at its descriptor offset and the CANVAS is what
       * samples — a delta frame yields the full composed image, not
-      * a fragment. (Disposal modes restoreToBackground/Previous are
-      * approximated as do-not-dispose — full-frame and
-      * delta-accumulating GIFs, the overwhelming cases, compose
-      * exactly.) Reaching sampled frame k therefore decodes frames
+      * a fragment. Per-frame DISPOSAL from the
+      * GraphicControlExtension is honored: restoreToBackgroundColor
+      * clears the frame's rect after sampling (to black — the RGB
+      * canvas's stand-in for the transparent background most
+      * decoders use) and restoreToPrevious rewinds the canvas to
+      * its pre-draw state, so optimized real-world GIFs that rely
+      * on disposal don't leak stale pixels into later samples.
+      * Reaching sampled frame k therefore decodes frames
       * 0..k — one sequential pass up to the LAST sampled index.
       *
       * n is validated ≥ 1 at config time (the op's `frames` knob).
@@ -280,6 +330,9 @@ object MultimodalTransform {
           // the header peek (getWidth/getHeight decode no pixels)
           val (cw, ch) = logicalScreen(reader).getOrElse(
             (reader.getWidth(0), reader.getHeight(0)))
+          // Set, not the Seq: `contains` inside the decode loop was
+          // a linear scan — O(frames × take) comparisons per row
+          val wantedSet = wanted.toSet
           var canvas: java.awt.image.BufferedImage = null
           val out = scala.collection.mutable.ArrayBuffer
             .empty[Array[Byte]]
@@ -292,9 +345,27 @@ object MultimodalTransform {
                 math.max(ch, src.getHeight),
                 java.awt.image.BufferedImage.TYPE_INT_RGB)
             val (ox, oy) = frameOffset(reader, idx)
+            val disposal = frameDisposal(reader, idx)
+            // restoreToPrevious needs the pre-draw canvas back after
+            // this frame displays: snapshot only when that mode asks
+            val prev: java.awt.image.BufferedImage =
+              if (disposal == "restoreToPrevious") copyCanvas(canvas)
+              else null
             val g = canvas.createGraphics()
             try g.drawImage(src, ox, oy, null) finally g.dispose()
-            if (wanted.contains(idx)) out += writePng(canvas)
+            if (wantedSet.contains(idx)) out += writePng(canvas)
+            // disposal applies AFTER the frame displays (and after
+            // sampling), before the next frame draws
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val gd = canvas.createGraphics()
+                try {
+                  gd.setColor(java.awt.Color.BLACK)
+                  gd.fillRect(ox, oy, src.getWidth, src.getHeight)
+                } finally gd.dispose()
+              case "restoreToPrevious" => canvas = prev
+              case _ => () // none / doNotDispose: keep the canvas
+            }
             idx += 1
           }
           out.toSeq
@@ -322,6 +393,35 @@ object MultimodalTransform {
           case _ => None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Per-frame disposal method from the GIF
+      * GraphicControlExtension ("none" | "doNotDispose" |
+      * "restoreToBackgroundColor" | "restoreToPrevious");
+      * "none" when absent or unreadable. */
+    private def frameDisposal(reader: javax.imageio.ImageReader,
+        idx: Int): String =
+      try {
+        val md = reader.getImageMetadata(idx)
+        if (md == null) return "none"
+        md.getAsTree("javax_imageio_gif_image_1.0") match {
+          case root: org.w3c.dom.Element =>
+            val nodes = root.getElementsByTagName(
+              "GraphicControlExtension")
+            if (nodes.getLength == 0) "none"
+            else nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+              .getAttribute("disposalMethod")
+          case _ => "none"
+        }
+      } catch { case scala.util.control.NonFatal(_) => "none" }
+
+    private def copyCanvas(src: java.awt.image.BufferedImage)
+        : java.awt.image.BufferedImage = {
+      val dst = new java.awt.image.BufferedImage(
+        src.getWidth, src.getHeight, src.getType)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, null) finally g.dispose()
+      dst
+    }
 
     /** Per-frame canvas offset from the GIF image descriptor;
       * (0, 0) when absent. */
@@ -521,6 +621,27 @@ object MultimodalTransform {
                   s"be in [1, $maxGifFrames], got $n")
               df = mapBinary(df, inIdx, out, ArrayType(BinaryType))(
                 ImageCodecs.frameSample(_, n))
+            case "embed" if o.str("model").isDefined =>
+              // route through the onnx transform's pluggable Session
+              // seam: bytes → real ImageIO decode → pixel tensor →
+              // session.run → array<float>, with the SAME per-
+              // partition lifecycle + batching as OnnxTransform. A
+              // real vision encoder becomes a jar drop-in (install
+              // OnnxTransform.sessionFactory); `stub:linear` runs the
+              // deterministic elementwise 2x+1 stand-in under the
+              // oracle. Reference contract: transform/
+              // ONNXTransform.java:590 (session-run batching).
+              val modelPath = o.str("model").get
+              val grid = o.int("grid").getOrElse(8)
+              require(grid >= 1 && grid <= 64,
+                s"multimodal ${cfg.name}: embed grid must be in " +
+                  s"[1, 64], got $grid")
+              val bufferSize = o.int("bufferSize").getOrElse(32)
+              require(bufferSize >= 1,
+                s"multimodal ${cfg.name}: embed bufferSize must be " +
+                  s">= 1, got $bufferSize")
+              df = embedViaSession(df, inIdx, out, modelPath, grid,
+                bufferSize)
             case "embed" =>
               val dim = o.int("dim").getOrElse(64)
               df = mapBinary(df, inIdx, out, ArrayType(FloatType))(
@@ -549,7 +670,13 @@ object MultimodalTransform {
   private def boundedInt(row: Row, idx: Int, max: Int): Option[Int] = {
     if (row.isNullAt(idx)) return None
     val asLong: Option[Long] = row.get(idx) match {
-      case n: Number => Some(n.longValue())
+      case n: Number =>
+        // non-integral numerics (width 4.9) must degrade to null,
+        // not silently truncate via longValue — a double-typed dims
+        // column would otherwise yield smaller images than requested
+        // with no signal
+        val l = n.longValue()
+        if (n.doubleValue() == l.toDouble) Some(l) else None
       case other =>
         try Some(other.toString.trim.toLong)
         catch { case _: NumberFormatException => None }
@@ -566,6 +693,71 @@ object MultimodalTransform {
         case other => other.toString.hashCode.toLong
       }
     case _ => 0L
+  }
+
+  /** `embed` with a model: decode each row's image to a grid×grid
+    * normalized-RGB tensor and run batches through an
+    * [[OnnxTransform.Session]] — one session per partition (opened
+    * lazily, closed on task completion), rows grouped into
+    * `bufferSize` batches, undecodable rows skipped around the
+    * session (null embedding) rather than fed to it. Input tensor
+    * name "x", output tensor "out" (the stub session's contract;
+    * mapping knobs belong to the full `onnx` transform — this is the
+    * one-tensor vision-embed fast path). */
+  private def embedViaSession(df: DataFrame, inIdx: Int, out: String,
+      modelPath: String, grid: Int, bufferSize: Int): DataFrame = {
+    val outSchema = df.schema.add(out, ArrayType(FloatType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val factory = OnnxTransform.sessionFactory
+    df.mapPartitions { it =>
+      var session: OnnxTransform.Session = null
+      def sess(): OnnxTransform.Session = {
+        if (session == null) {
+          session = factory(modelPath)
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit](_ => session.close())
+        }
+        session
+      }
+      it.grouped(bufferSize).flatMap { batch =>
+        val tensors: Seq[Array[Double]] = batch.map { row =>
+          row.get(inIdx) match {
+            case b: Array[Byte] => ImageCodecs.pixelTensor(b, grid)
+            case _ => null
+          }
+        }
+        // only decodable rows reach the session; nulls scatter back
+        val live = tensors.zipWithIndex.filter(_._1 != null)
+        val outByPos: Map[Int, Array[Float]] =
+          if (live.isEmpty) Map.empty
+          else {
+            val ran = sess().run(
+              Map("x" -> live.map(_._1: Any).toIndexedSeq), live.size)
+            val vecs = ran.getOrElse("out", IndexedSeq.empty)
+            live.map(_._2).zip(vecs.map(toFloats)).toMap
+          }
+        batch.iterator.zipWithIndex.map { case (row, i) =>
+          Row.fromSeq(row.toSeq :+ outByPos.get(i).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Session outputs arrive as whatever the runtime hands back
+    * (double/float arrays or seqs) — normalize to array<float>. */
+  private def toFloats(v: Any): Array[Float] = v match {
+    case null => null
+    case a: Array[Float] => a
+    case a: Array[Double] => a.map(_.toFloat)
+    case s: Seq[_] => s.map {
+      case n: Number => n.floatValue()
+      case x => x.toString.toFloat
+    }.toArray
+    case other =>
+      throw new IllegalStateException(
+        s"embed session returned a non-vector output: " +
+          s"${other.getClass.getName}")
   }
 
   /** mapPartitions with schema evolution: append `out` of type `dt`

@@ -56,21 +56,30 @@ object OnnxTransform {
   /** Honestly-stubbed CI/test session (same stance as
     * `MultimodalTransform.StubCodecs`): a `stub:linear` model path
     * runs a deterministic linear "model" — every output tensor t is
-    * `2*x + 1` over the first input tensor, elementwise per row —
-    * so the full mapPartitions batching pipeline exercises under the
+    * `2*x + 1` over the first input tensor, elementwise per row
+    * (scalar rows stay scalar; vector rows — e.g. the multimodal
+    * embed pixel tensor — map per element to a vector) — so the
+    * full mapPartitions batching pipeline exercises under the
     * driver's DuckDB oracle without the onnxruntime jar. Real model
     * paths raise the connector-slot error until a runtime-backed
     * factory is installed. */
   class LinearStubSession extends Session with java.io.Serializable {
+    private def lin(x: Double): Double = 2.0 * x + 1.0
     def run(inputs: Map[String, IndexedSeq[Any]], n: Int)
         : Map[String, IndexedSeq[Any]] = {
       val first = inputs.valuesIterator.next()
       Map("out" -> (0 until n).map { i =>
-        (2.0 * (first(i) match {
-          case null => 0.0
-          case v: Number => v.doubleValue()
-          case v => v.toString.toDouble
-        }) + 1.0): Any
+        (first(i) match {
+          case null => lin(0.0)
+          case a: Array[Double] => a.map(lin)
+          case a: Array[Float] => a.map(v => lin(v.toDouble))
+          case s: Seq[_] => s.map {
+            case m: Number => lin(m.doubleValue())
+            case x => lin(x.toString.toDouble)
+          }
+          case v: Number => lin(v.doubleValue())
+          case v => lin(v.toString.toDouble)
+        }): Any
       })
     }
   }

@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   */
 object SimilarityTransform {
 
+  /** Session-scoped memo of SUCCESSFUL prebuilt-index validations,
+    * keyed by (analyzed-plan semantic hash, codec shape) — see the
+    * validateIndex block below. */
+  private val validatedIndexes: java.util.Set[String] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String,
+        java.lang.Boolean]())
+
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val p = cfg.params
@@ -248,11 +256,20 @@ object SimilarityTransform {
         // per job, and the validation scan reads ONE small column of
         // the table the query scans anyway
         val idx = inputs(prebuilt.get)
-        if (p.bool("validateIndex").getOrElse(true)) {
         // null __cell rows only matter to ivf probes (lsh/bruteforce
         // over an IVF-PQ index ignore the cell column entirely)
         val hasCell = idx.columns.contains("__cell") &&
           p.str("method").getOrElse("bruteforce") == "ivf"
+        // successful validations memoize per (logical plan, codec
+        // shape) within the session: the artifact is immutable by
+        // contract, so a serving loop that plans many query jobs
+        // over the same stored index pays the scan once instead of
+        // doubling every job's index read (failures throw and are
+        // never cached)
+        val vKey = idx.queryExecution.analyzed.semanticHash().toString +
+          ":" + codec.codebooks.length + ":" + hasCell
+        if (p.bool("validateIndex").getOrElse(true) &&
+            !validatedIndexes.contains(vKey)) {
         val stats = idx.filter(col("__pq").isNotNull)
           .agg(min(length(col("__pq"))).as("__w_min"),
             max(length(col("__pq"))).as("__w_max"),
@@ -284,6 +301,9 @@ object SimilarityTransform {
               "output), so ivf probes can never reach them; re-run " +
               "the increment with centroidsInput")
         }
+        // bounded memo — a clear just re-validates, never corrupts
+        if (validatedIndexes.size > 1024) validatedIndexes.clear()
+        validatedIndexes.add(vKey)
         }
         Some(codec)
       } else pqM.map(m =>

@@ -230,4 +230,173 @@ class MultimodalImageSpec extends AnyFunSuite {
       again(1L).getAs[Array[Byte]]("content")),
       "generate must be deterministic across runs")
   }
+
+  /** Hand-assemble an animated GIF with explicit per-frame disposal
+    * methods and descriptor offsets (the metadata knobs real
+    * optimized GIFs use). Solid primary colors quantize exactly into
+    * the GIF palette, so canvas pixels assert bit-exactly. */
+  private def gifWithDisposal(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)])
+      : Array[Byte] = {
+    import javax.imageio.{ImageIO, IIOImage, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, ox, oy, disposal) =>
+        val md = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def child(name: String): IIOMetadataNode = {
+          val kids = root.getElementsByTagName(name)
+          if (kids.getLength > 0)
+            kids.item(0).asInstanceOf[IIOMetadataNode]
+          else {
+            val n = new IIOMetadataNode(name)
+            root.appendChild(n); n
+          }
+        }
+        val gce = child("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        val desc = child("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", ox.toString)
+        desc.setAttribute("imageTopPosition", oy.toString)
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        md.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, md), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def solid(w: Int, h: Int, rgb: Int)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    img
+  }
+
+  private def pngPixel(png: Array[Byte], x: Int, y: Int): Int =
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png)).getRGB(x, y) & 0xffffff
+
+  test("frame_sample honors GIF disposal: restoreToBackgroundColor " +
+      "clears the frame rect, restoreToPrevious rewinds the canvas") {
+    import graft.operators.MultimodalTransform.ImageCodecs
+    val RED = 0xff0000; val GREEN = 0x00ff00; val BLUE = 0x0000ff
+    // frame 0 (full 16x8 red canvas) asks restoreToBackgroundColor:
+    // after it displays, its rect clears to background (black on the
+    // RGB canvas) — frame 1's sample must show ONLY the green delta
+    // patch, not stale red
+    val g1 = gifWithDisposal(Seq(
+      (solid(16, 8, RED), 0, 0, "restoreToBackgroundColor"),
+      (solid(4, 4, GREEN), 0, 0, "doNotDispose")))
+    val s1 = ImageCodecs.frameSample(g1, 2)
+    assert(s1.size == 2)
+    assert(pngPixel(s1(0), 12, 6) == RED) // frame 0 samples pre-dispose
+    assert(pngPixel(s1(1), 1, 1) == GREEN)
+    assert(pngPixel(s1(1), 12, 6) == 0x000000,
+      "stale frame-0 pixels must clear under restoreToBackgroundColor")
+    // frame 1 (green patch) asks restoreToPrevious: after it
+    // displays, the canvas rewinds to the frame-0 state — frame 2's
+    // sample shows red background + blue patch, and NO green
+    val g2 = gifWithDisposal(Seq(
+      (solid(16, 8, RED), 0, 0, "doNotDispose"),
+      (solid(4, 4, GREEN), 0, 0, "restoreToPrevious"),
+      (solid(4, 4, BLUE), 8, 2, "doNotDispose")))
+    val s2 = ImageCodecs.frameSample(g2, 3)
+    assert(s2.size == 3)
+    assert(pngPixel(s2(1), 1, 1) == GREEN) // sampled pre-dispose
+    assert(pngPixel(s2(2), 1, 1) == RED,
+      "green must rewind under restoreToPrevious")
+    assert(pngPixel(s2(2), 9, 3) == BLUE)
+    assert(pngPixel(s2(2), 14, 7) == RED)
+  }
+
+  test("generate rejects fractional dims: a double-typed 4.9 width " +
+      "degrades to null instead of truncating to 4") {
+    val rows = Seq((1L, 4.9, 6.0), (2L, 4.0, 6.0))
+      .toDF("doc_id", "w", "h")
+    val cfg = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"ops": [{"op": "generate", "widthField": "w",
+            "heightField": "h", "seedField": "doc_id",
+            "name": "content"}]}"""), graft.config.Json.obj())
+    val out = graft.operators.MultimodalTransform
+      .build(spark, cfg, Map("in" -> rows))("mm")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).isNullAt(out(1L).fieldIndex("content")),
+      "fractional width must degrade to null, not truncate")
+    // an INTEGRAL double is a fine width (4.0 == 4)
+    val m = graft.operators.MultimodalTransform.ImageCodecs
+      .decode(out(2L).getAs[Array[Byte]]("content"))
+    assert(m.width == 4 && m.height == 6 && m.ok)
+  }
+
+  test("embed with model routes decode → pixel tensor → session: " +
+      "stub:linear reproduces 2·(pixel/255)+1 per element; " +
+      "undecodable rows skip the session (null embedding); a real " +
+      "model path raises the onnxruntime jar error") {
+    import graft.operators.MultimodalTransform.ImageCodecs
+    val rows = Seq((1L, 8, 8), (2L, 8, 8)).toDF("doc_id", "w", "h")
+    val cfg = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"ops": [
+            {"op": "generate", "widthField": "w", "heightField": "h",
+             "seedField": "doc_id", "name": "img"},
+            {"op": "embed", "field": "img", "model": "stub:linear",
+             "grid": 8, "name": "emb"}]}"""), graft.config.Json.obj())
+    val out = graft.operators.MultimodalTransform
+      .build(spark, cfg, Map("in" -> rows))("mm")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val emb = out(1L).getSeq[Float](out(1L).fieldIndex("emb"))
+    assert(emb.size == 192)
+    val expected = ImageCodecs
+      .pixelTensor(ImageCodecs.generatePng(8, 8, 1L), 8)
+      .map(x => (2.0 * x + 1.0).toFloat)
+    assert(emb == expected.toSeq)
+    // a non-image row degrades to a null embedding, never a throw
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "img")
+    val cfgJ = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"ops": [{"op": "embed", "field": "img",
+            "model": "stub:linear", "grid": 8, "name": "emb"}]}"""),
+      graft.config.Json.obj())
+    val jOut = graft.operators.MultimodalTransform
+      .build(spark, cfgJ, Map("in" -> junk))("mm").collect()(0)
+    assert(jOut.isNullAt(jOut.fieldIndex("emb")))
+    // jar-error path: a real model path without the onnxruntime jar
+    // raises the connector-slot error (reference contract:
+    // transform/ONNXTransform.java:590 runs onnxruntime sessions)
+    val cfgR = Pipeline.ModuleCfg("mm", "multimodal", Seq("in"), Nil,
+      graft.config.Json.parse(
+        """{"ops": [
+            {"op": "generate", "widthField": "w", "heightField": "h",
+             "name": "img"},
+            {"op": "embed", "field": "img", "model": "clip.onnx",
+             "grid": 8, "name": "emb"}]}"""), graft.config.Json.obj())
+    val err = intercept[Exception] {
+      graft.operators.MultimodalTransform
+        .build(spark, cfgR, Map("in" -> rows))("mm").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(err).exists(_.contains("onnxruntime")),
+      s"expected the onnxruntime jar error, got: ${chain(err)}")
+  }
 }
