@@ -1060,14 +1060,22 @@ object DedupTransform {
     * streaming near-dedup mode here).
     *
     * State per live bucket is (owner id, newest-member event time,
-    * owner fingerprint set) — fingerprints are ~2/(window+1) of the
-    * doc's gram count, so the state rides far below the text-bearing
-    * ngram mode's. The horizon bound is ngram's: a bucket expires
-    * once the watermark passes its newest member. Over time-ordered
-    * arrivals with the horizon covering the run, the drained
-    * candidates equal the batch winnow pairs verified against each
-    * bucket's minimum member (md5 mode replays in SQL — the batch
-    * q127 fingerprint chain). */
+    * owner fingerprint set). NOTE the quadratic shape: a doc with F
+    * fingerprints owns up to F buckets and each stores its FULL
+    * F-element set (and each exploded band row ships it), so an
+    * uncapped long document costs O(F²) strings across its buckets —
+    * the winnow analogue of ngram carrying the owner TEXT per band.
+    * `maxVerifyFps` bounds it exactly like ngram's maxVerifyChars:
+    * when set, BOTH sides of the verify truncate to the first N
+    * fingerprints (a positional document prefix — banding is
+    * unaffected, every fingerprint still keys a bucket, so the cap
+    * changes only which collisions verify). Documented precision
+    * trade; default off = exact batch parity. The horizon bound is
+    * ngram's: a bucket expires once the watermark passes its newest
+    * member. Over time-ordered arrivals with the horizon covering
+    * the run, the drained candidates equal the batch winnow pairs
+    * verified against each bucket's minimum member (md5 mode
+    * replays in SQL — the batch q127 fingerprint chain). */
   private def streamingWinnow(raw: DataFrame, cfg: ModuleCfg,
       contract: (com.fasterxml.jackson.databind.JsonNode, String))
       : DataFrame = {
@@ -1083,6 +1091,12 @@ object DedupTransform {
     val w = p.int("window").getOrElse(8)
     val threshold = p.dbl("threshold").getOrElse(0.5)
     val seed = p.str("seed").getOrElse("0")
+    // maxVerifyFps: see the scaladoc — caps the fingerprint set
+    // riding in bucket state AND shipped per band row (the O(F²)
+    // bound); banding always uses the full set
+    val verifyCap = p.int("maxVerifyFps").getOrElse(0)
+    require(verifyCap >= 0,
+      s"dedup ${cfg.name}: maxVerifyFps must be >= 0, got $verifyCap")
     val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
       .filter(col(textField).isNotNull)
       // null event time: see streamingLsh — withWatermark does not
@@ -1096,10 +1110,13 @@ object DedupTransform {
       // mode is already hex strings; xxhash64 longs render decimal.
       // Only identity matters to the key and the set-Jaccard, and
       // both renderings are injective
-      .withColumn("__fset", col("__fps").cast(ArrayType(StringType)))
+      .withColumn("__fall", col("__fps").cast(ArrayType(StringType)))
+      .withColumn("__fset",
+        if (verifyCap > 0) slice(col("__fall"), 1, verifyCap)
+        else col("__fall"))
     val slim = withFps
       .select(col("__id"), col("__ts"), col("__fset"),
-        explode_outer(col("__fset")).as("__fp"))
+        explode_outer(col("__fall")).as("__fp"))
       .filter(col("__fp").isNotNull)
     val outSchema = StructType(Seq(
       StructField(idField, StringType),

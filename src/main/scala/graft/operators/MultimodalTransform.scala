@@ -414,14 +414,11 @@ object MultimodalTransform {
         }
       } catch { case scala.util.control.NonFatal(_) => "none" }
 
+    /** 1:1 snapshot — scaleTo at identity dims (the bilinear hint
+      * is a no-op at 1:1). */
     private def copyCanvas(src: java.awt.image.BufferedImage)
-        : java.awt.image.BufferedImage = {
-      val dst = new java.awt.image.BufferedImage(
-        src.getWidth, src.getHeight, src.getType)
-      val g = dst.createGraphics()
-      try g.drawImage(src, 0, 0, null) finally g.dispose()
-      dst
-    }
+        : java.awt.image.BufferedImage =
+      scaleTo(src, src.getWidth, src.getHeight, src.getType)
 
     /** Per-frame canvas offset from the GIF image descriptor;
       * (0, 0) when absent. */
@@ -734,7 +731,24 @@ object MultimodalTransform {
           else {
             val ran = sess().run(
               Map("x" -> live.map(_._1: Any).toIndexedSeq), live.size)
-            val vecs = ran.getOrElse("out", IndexedSeq.empty)
+            // loud-failure stance: a session whose output tensor is
+            // named anything else (a dropped-in real encoder emits
+            // "output"/"embedding"/...) or that returns fewer
+            // vectors than inputs must fail with the fix named —
+            // NOT emit all-null embeddings indistinguishable from
+            // undecodable bytes
+            val vecs = ran.getOrElse("out",
+              throw new IllegalStateException(
+                "embed session returned no 'out' tensor (got: " +
+                  ran.keys.mkString(", ") + ") — the embed fast " +
+                  "path expects the output tensor named 'out'; " +
+                  "adapt the Session installed via OnnxTransform" +
+                  ".sessionFactory, or use the full onnx transform " +
+                  "with an explicit outputs mapping"))
+            require(vecs.size == live.size,
+              s"embed session returned ${vecs.size} vectors for " +
+                s"${live.size} inputs — the Session must emit one " +
+                "output per row")
             live.map(_._2).zip(vecs.map(toFloats)).toMap
           }
         batch.iterator.zipWithIndex.map { case (row, i) =>

@@ -260,13 +260,25 @@ object SimilarityTransform {
         // over an IVF-PQ index ignore the cell column entirely)
         val hasCell = idx.columns.contains("__cell") &&
           p.str("method").getOrElse("bruteforce") == "ivf"
-        // successful validations memoize per (logical plan, codec
-        // shape) within the session: the artifact is immutable by
-        // contract, so a serving loop that plans many query jobs
-        // over the same stored index pays the scan once instead of
-        // doubling every job's index read (failures throw and are
-        // never cached)
+        // successful validations memoize per (file set, codec shape)
+        // within the session, so a serving loop that plans many
+        // query jobs over the same stored artifact pays the scan
+        // once instead of doubling every job's index read. The key
+        // hashes the resolved INPUT FILES, not just the plan: a
+        // plan-only key (path-based semanticHash) goes stale when
+        // the dir is appended to in place — exactly the increment
+        // workflow (`mode: append` sinks, streaming encode) whose
+        // null-__cell/width corruption this validation exists to
+        // catch. Every append/overwrite lands new UUID-named part
+        // files, so the file-set hash changes and the index
+        // re-validates; the semanticHash component separates
+        // distinct non-file-backed frames (whose inputFiles are
+        // both empty). (Failures throw and are never cached.)
+        val idxFiles = idx.inputFiles
         val vKey = idx.queryExecution.analyzed.semanticHash().toString +
+          ":" + java.util.Arrays.hashCode(
+            idxFiles.sorted.asInstanceOf[Array[AnyRef]]) +
+          ":" + idxFiles.length +
           ":" + codec.codebooks.length + ":" + hasCell
         if (p.bool("validateIndex").getOrElse(true) &&
             !validatedIndexes.contains(vKey)) {
@@ -300,10 +312,12 @@ object SimilarityTransform {
               "centroidsInput (the original build's `.centroids` " +
               "output), so ivf probes can never reach them; re-run " +
               "the increment with centroidsInput")
+          // memoize only a VALIDATED (non-empty) index: an all-null
+          // or empty code table proves nothing about rows that
+          // appear later — bounded memo, a clear just re-validates
+          if (validatedIndexes.size > 1024) validatedIndexes.clear()
+          validatedIndexes.add(vKey)
         }
-        // bounded memo — a clear just re-validates, never corrupts
-        if (validatedIndexes.size > 1024) validatedIndexes.clear()
-        validatedIndexes.add(vKey)
         }
         Some(codec)
       } else pqM.map(m =>

@@ -802,7 +802,18 @@ object StreamRunner {
             new java.io.File(dst, s"b$batchId-${f.getName}").toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-        if (paneParts.isEmpty) {
+        // the schema marker is needed at most ONCE per sink: any
+        // parquet file already in dst (a real pane part or an
+        // earlier firing's marker) carries the schema, so later
+        // empty firings skip the extra write job + commit cycle
+        // (the per-firing version partially refunded the merged-
+        // write savings on sinks with frequent empty panes). A
+        // replay that just deleted its own b<id>-* marker sees an
+        // empty dst again and rewrites — idempotence holds.
+        val dstHasSchema = Option(dst.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .exists(_.getName.endsWith(".parquet"))
+        if (paneParts.isEmpty && !dstHasSchema) {
           // a firing whose pane frame is EMPTY writes no
           // __graft_role=pane partition — mirror the ordinals
           // fallback with a schema-bearing (empty) file so a sink
@@ -823,11 +834,8 @@ object StreamRunner {
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             }
         }
-        def rmRec(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rmRec)
-          f.delete(); ()
-        }
+        def rmRec(f: java.io.File): Unit =
+          graft.ops.FsUtil.deleteRecursively(f)
         val ordsTarget = new java.io.File(s"$ordsDir/__obatch=$batchId")
         ordsDir.mkdirs() // first batch: the parquet write used to create it
         // RECURSIVE pre-move cleanup: a failed prior attempt (or a

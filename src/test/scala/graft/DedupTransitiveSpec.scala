@@ -91,10 +91,12 @@ class DedupTransitiveSpec extends AnyFunSuite {
             "transitive": true}""", stream)
     }
     assert(e.getMessage.contains("timestampField"))
-    // winnow remains corpus-wide: rejected with alternatives named
+    // lines remains corpus-wide (corpus-wide line frequencies):
+    // rejected with alternatives named (winnow streams since r20 —
+    // fingerprint-bucket owner state)
     val e2 = intercept[IllegalArgumentException] {
       runDedup(
-        """{"method": "winnow", "field": "text", "idField": "doc_id",
+        """{"method": "lines", "field": "text", "idField": "doc_id",
             "transitive": true}""", stream)
     }
     assert(e2.getMessage.contains("bounded"))

@@ -339,13 +339,28 @@ class Round19FixesSpec extends AnyFunSuite {
     // firing triggers) but `retained` drops every row → empty pane
     stage("b2", Seq((3L, 7200L, 1.0)))
     StreamRunner.drainAll()
-    StreamRunner.stopAll()
-    // the empty firing must still have published a b1-* batch file
-    // (schema-bearing) and the sink stays readable with no new rows
+    // WRITE-ONCE contract (r19 verdict): the empty firing publishes
+    // NOTHING when the sink already holds a schema-bearing parquet
+    // file — the per-firing marker was one write job + commit per
+    // empty pane, refunding part of the merged-write savings
     val files = new java.io.File(out).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet"))
-    assert(files.exists(_.startsWith("b1-")),
-      s"empty firing published nothing: ${files.mkString(", ")}")
+    assert(files.nonEmpty && files.forall(_.startsWith("b0-")),
+      s"empty firing must not re-publish a marker: ${files.mkString(", ")}")
     assert(spark.read.parquet(out).count() == afterB1)
+    // ...but a sink WITHOUT a schema file still gets its marker: drop
+    // the published parts (the all-empty-firings shape) and drive
+    // another too-late straggler — the next empty firing must publish
+    // a schema-bearing empty file so the sink stays readable
+    new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    stage("b3", Seq((4L, 10800L, 1.0)))
+    StreamRunner.drainAll()
+    StreamRunner.stopAll()
+    val files2 = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files2.nonEmpty,
+      "an empty firing into a schema-less sink must publish a marker")
+    assert(spark.read.parquet(out).count() == 0)
   }
 }

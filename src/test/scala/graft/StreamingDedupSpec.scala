@@ -85,9 +85,10 @@ class StreamingDedupSpec extends AnyFunSuite {
         |""".stripMargin)
     }
     assert(e.getMessage.contains("timestampField"))
-    // minhash/simhash stream with a timestampField now route to the
-    // LSH near-dedup path; corpus-wide methods (winnow, ngram, …)
-    // still reject streams with the alternatives named
+    // minhash/simhash/ngram/winnow stream with a timestampField via
+    // the bucket-owner near-dedup paths; genuinely corpus-wide
+    // methods (lines: corpus-wide line frequencies) still reject
+    // streams with the alternatives named
     val e2 = intercept[IllegalArgumentException] {
       Pipeline.build(spark, s"""
         |sources:
@@ -99,7 +100,7 @@ class StreamingDedupSpec extends AnyFunSuite {
         |    module: dedup
         |    inputs: [ev]
         |    strategy: {timestampField: ts}
-        |    parameters: {method: winnow, field: text}
+        |    parameters: {method: lines, field: text}
         |""".stripMargin)
     }
     assert(e2.getMessage.contains("bounded"))
@@ -782,5 +783,55 @@ class StreamingDedupSpec extends AnyFunSuite {
     // precision trade (differences past the cap are invisible)
     assert(run(s", maxVerifyChars: ${prefix.length}", "scap2") ==
       Seq(("2", "1")))
+  }
+
+  test("maxVerifyFps bounds the fingerprint set riding in winnow " +
+      "state: the capped (prefix) verify accepts what the full-set " +
+      "verify rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wcap")
+      .toString
+    // token-prefix-identical docs with fully divergent tails: winnow
+    // fps are positional (windows in document order), so the first
+    // few fingerprints of both docs come from prefix-only windows
+    // and are IDENTICAL, while the tails contribute enough distinct
+    // fingerprints to drag the full-set jaccard far below 0.9
+    val prefix = (0 until 40).map(i => s"p$i").mkString(" ")
+    val tA = prefix + " " + (0 until 60).map(i => s"a$i").mkString(" ")
+    val tB = prefix + " " + (0 until 60).map(i => s"b$i").mkString(" ")
+    def run(cap: String, sink: String): Seq[(String, String)] = {
+      stage(dir, "b1", Seq((1L, 100L, tA)))
+      Pipeline.execute(spark, s"""
+        |sources:
+        |  - name: ev
+        |    module: storage
+        |    parameters: {path: $dir/in, stream: true}
+        |transforms:
+        |  - name: dd
+        |    module: dedup
+        |    inputs: [ev]
+        |    strategy: {timestampField: ts, allowedLateness: 3600}
+        |    parameters: {method: winnow, field: text, idField: id,
+        |                 threshold: 0.9$cap}
+        |sinks:
+        |  - name: $sink
+        |    module: memory
+        |    input: dd
+        |    parameters: {outputMode: append}
+        |""".stripMargin)
+      StreamRunner.drainAll()
+      stage(dir, "b2", Seq((2L, 500L, tB)))
+      StreamRunner.drainAll()
+      val out = spark.sql(s"SELECT DISTINCT id, __dup_of FROM $sink")
+        .as[(String, String)].collect().sorted.toSeq
+      StreamRunner.stopAll()
+      new java.io.File(s"$dir/in").listFiles().foreach(_.delete())
+      out
+    }
+    // full fingerprint sets: the divergent tails dominate → jaccard
+    // far under 0.9, no candidate (prefix buckets DO collide)
+    assert(run("", "wcap1").isEmpty)
+    // capped to the first 5 fingerprints (prefix-only windows on
+    // both sides): jaccard 1.0 — the documented precision trade
+    assert(run(", maxVerifyFps: 5", "wcap2") == Seq(("2", "1")))
   }
 }
