@@ -397,6 +397,25 @@ object ScaleMain {
           "cast(doc_id % 16 + 8 as int) h")))("mm")
         .select("doc_id", "meta", "meta2")
     }
+    // embed-via-session at scale: generate → decode → pixel tensor →
+    // batched stub session per partition (the q207 chain). Map-side
+    // like imageio-pipeline, plus one session open per task and one
+    // session.run per 32-row batch — scaling must stay linear in
+    // rows ÷ cores; a real encoder only changes the per-batch
+    // constant, not the shape
+    time("embed-session") {
+      graft.operators.MultimodalTransform.build(spark,
+        ModuleCfg("mm", "multimodal", Seq("d"), Nil, Json.parse(
+          """{"ops":[
+            {"op":"generate","widthField":"w","heightField":"h",
+             "seedField":"doc_id","name":"img"},
+            {"op":"embed","field":"img","model":"stub:linear",
+             "grid":8,"name":"emb"}]}"""),
+          Json.obj()),
+        Map("d" -> docs.selectExpr("doc_id",
+          "cast(8 as int) w", "cast(8 as int) h")))("mm")
+        .select("doc_id", "emb")
+    }
     time("textAnalysis") {
       graft.operators.TextAnalysisTransform.build(spark,
         ModuleCfg("ta", "textAnalysis", Seq("d"), Nil, Json.parse(
