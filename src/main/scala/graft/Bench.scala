@@ -41,13 +41,20 @@ object Bench {
     *    directory listing the state-store and sink paths do.
     *
     * Runs OUTSIDE the timed window (after a query's samples), so it
-    * charges to no measurement. */
+    * charges to no measurement.
+    *
+    * The sweep is confined to THIS JVM's private scratch root
+    * (main() points FsUtil.scratchRoot at a dir only it owns before
+    * anything runs): a /tmp-wide prefix sweep would delete LIVE
+    * scratch belonging to other JVMs on the box — e.g. a concurrent
+    * test suite's active streaming checkpoints — and a
+    * world-writable /tmp invites symlink games besides. */
   private def hygiene(spark: SparkSession): Unit = {
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     try spark.streams.resetTerminated()
     catch { case _: Throwable => () }
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val tmp = graft.ops.FsUtil.scratchRoot.toFile
     Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory &&
         (f.getName.startsWith("graft-ckpt-") ||
@@ -173,6 +180,26 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // FIRST statement: give this battery a private scratch root, so
+    // every gate's temp dir (graft_q*/graft-ckpt-* via
+    // FsUtil.scratchDir) lands somewhere only this JVM owns — the
+    // hygiene sweep then cannot touch another process's live
+    // checkpoints, and the whole battery's scratch dies with this
+    // one dir at exit. (Re-pointing java.io.tmpdir does NOT work:
+    // the JDK caches the tmpdir location at the first Files temp
+    // call, which under an sbt fork happens before main — measured
+    // gate scratch leaking back into the shared /tmp.)
+    val privateTmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-bench-${ProcessHandle.current().pid()}-" +
+        s"${System.currentTimeMillis()}")
+    require(privateTmp.mkdirs(),
+      s"bench: could not create private tmpdir $privateTmp")
+    graft.ops.FsUtil.scratchRoot = privateTmp.toPath
+    sys.addShutdownHook {
+      try graft.ops.FsUtil.deleteRecursively(privateTmp)
+      catch { case _: Throwable => () }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -250,8 +277,10 @@ object Bench {
         // a failed query must not masquerade as a fast one: record
         // it loudly on stderr and in the JSON errors key (benchOnly
         // queries have no oracle twin to catch breakage otherwise)
+        var failed = false
         try consume(fn(spark, sfDir)) catch {
           case e: Throwable =>
+            failed = true
             if (!errors.contains(name)) errors += name
             System.err.println(
               s"bench: $name FAILED: ${e.getClass.getSimpleName}: " +
@@ -259,7 +288,10 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         val sample = (dt, (gcMillis - g0) / 1e3)
-        byName(name) = byName.get(name) match {
+        // a failed execution's time-to-failure is not a plan cost:
+        // feeding it into the min would let one transient pass-2
+        // failure report a phantom speedup next to the error flag
+        if (!failed) byName(name) = byName.get(name) match {
           case Some(prev) if prev._1 <= dt => prev
           case _ => sample
         }
@@ -278,7 +310,10 @@ object Bench {
         System.gc()
       }
     }
-    val results = selected.map { case (name, _) => name -> byName(name) }
+    // a query that failed EVERY pass has no valid sample: report 0.0
+    // next to its errors entry rather than crash the whole battery
+    val results = selected.map { case (name, _) =>
+      name -> byName.getOrElse(name, (0.0, 0.0)) }
     // per-query GC seconds INSIDE the reported (min) sample: a
     // battery number far above its isolated twin with a matching gc
     // entry is collector pressure, not a plan regression — judge

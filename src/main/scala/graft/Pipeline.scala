@@ -455,7 +455,7 @@ object Pipeline {
     val q = failures.writeStream
       .outputMode("append")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(
+        graft.ops.FsUtil.scratchDir(
           s"graft-failures-$moduleName-").toString)
       .foreachBatch(drain)
       .start()

@@ -1155,7 +1155,7 @@ transforms:
     // codebookInput — the float corpus is never re-read). Equals the
     // direct PQ+lsh run, so the oracle is q187's full replay chain
     "q189_knn_pq_index" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q189_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q189_")
       Pipeline.execute(s, s"""
 sources:
   - name: emb
@@ -1215,7 +1215,7 @@ transforms:
     // reconstructions — coarse pruning AND 32× compression from one
     // stored artifact, all md5-replayable
     "q190_knn_ivfpq_index" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q190_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q190_")
       Pipeline.execute(s, s"""
 sources:
   - name: emb
@@ -1283,7 +1283,7 @@ transforms:
     // the oracle replays codebook selection + per-subspace argmin
     "q191_stream_index_encode" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q191_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q191_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1345,7 +1345,7 @@ sinks:
     // oracle's c_assign; the whole chain is md5-replayable
     "q203_stream_ivfpq_encode" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q203_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q203_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1499,7 +1499,7 @@ transforms:
     // only for the query path. Same knobs as q195, so the stored
     // artifact must reproduce q195's recall numbers exactly
     "q198_recall_prebuilt" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q198_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q198_")
       Pipeline.execute(s, s"""
 sources:
   - name: emb
@@ -1559,7 +1559,7 @@ transforms:
     // loss of exactly the persisted index, vs the corpusInput float
     // ground truth
     "q205_recall_ivfpq_prebuilt" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q205_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q205_")
       Pipeline.execute(s, s"""
 sources:
   - name: emb
@@ -1836,7 +1836,7 @@ transforms:
     // the data), so the oracle's fixed -5h shift replays the zone
     // math exactly while the engine still runs full zone rules.
     "q70_calendar_week_stream" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q70_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q70_")
       val in = base.resolve("in").toString
       val out = base.resolve("out").toString
       // ONE input file → one micro-batch: a multi-file listing could
@@ -1971,7 +1971,7 @@ transforms:
     // aggregate would double-count and hash-mismatch).
     "q77_discarding_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
-      val base = java.nio.file.Files.createTempDirectory("graft_q77_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q77_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2251,7 +2251,7 @@ transforms:
     // sourceField mode (per-record copies), and the COPIES read back
     // — a lossless roundtrip, so the oracle is the identity
     "q155_copyfile" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q155_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q155_")
       val src = base.resolve("src").toString
       val cp = base.resolve("cp").toString
       s.read.parquet(s"$dir/nation.parquet")
@@ -2288,7 +2288,7 @@ sinks:
     // restore path), previously unit-only
     "q153_panes_restart" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
-      val base = java.nio.file.Files.createTempDirectory("graft_q153_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q153_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2353,7 +2353,7 @@ sinks:
 
     "q82_accumulating_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
-      val base = java.nio.file.Files.createTempDirectory("graft_q82_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q82_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2419,7 +2419,7 @@ sinks:
     // bucket bounds
     "q161_calendar_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
-      val base = java.nio.file.Files.createTempDirectory("graft_q161_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q161_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2487,7 +2487,7 @@ sinks:
     // timezone arithmetic (session-tz-independent two-arg timezone())
     "q167_calendar_dst_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round, expr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q167_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q167_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2556,7 +2556,7 @@ sinks:
     // the q82 pane derivation over the event×window explosion.
     "q176_sliding_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
-      val base = java.nio.file.Files.createTempDirectory("graft_q176_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q176_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2626,7 +2626,7 @@ sinks:
     // epoch 1704121200 = 2024-01-02T00:00+09:00).
     "q171_calendar_anchored_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
-      val base = java.nio.file.Files.createTempDirectory("graft_q171_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q171_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2693,7 +2693,7 @@ sinks:
     // through the pane engines' frontier/ordinal bookkeeping.
     "q172_calendar_weekoffset_panes" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round, expr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q172_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q172_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -3431,7 +3431,7 @@ transforms:
     // (reservoir mode stays batch-only, pinned by StreamGuardSpec)
     "q200_stream_sample" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q200_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q200_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -3476,7 +3476,7 @@ sinks:
     // the batch mix arithmetic with the same weights
     "q201_stream_mixture" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q201_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q201_")
       val inA = base.resolve("in-a"); inA.toFile.mkdirs()
       val inB = base.resolve("in-b"); inB.toFile.mkdirs()
       val out = base.resolve("out").toString
@@ -5237,8 +5237,7 @@ transforms:
     // options; oracle = identity on orders. Converts the
     // writer-options surface from unit-only evidence to a gate.
     "q111_csv_options_roundtrip" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q111_").toString
+      val base = graft.ops.FsUtil.scratchDir("graft_q111_").toString
       Pipeline.execute(s, s"""
 sources:
   - name: ord
@@ -5672,7 +5671,7 @@ transforms:
     // union over the staged halves equals the batch oracle
     "q193_stream_multimodal" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q193_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q193_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -5732,7 +5731,7 @@ sinks:
     // union over staged halves equals the batch arithmetic
     "q197_stream_multimodal_imageio" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q197_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q197_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -6269,7 +6268,7 @@ sinks:
     // distributed text dataset, read back via the text-format storage
     // source and re-parsed — the roundtrip equals the source table
     "q74_text_sink" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q74_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q74_")
         .toString
       Pipeline.execute(s, s"""
 sources:
@@ -6365,7 +6364,7 @@ sinks:
     // exact and no float32 is a 6-decimal halfway case, so Spark's
     // format_string and DuckDB's printf agree digit-for-digit.
     "q76_tfrecord" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q76_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q76_")
         .toString
       Pipeline.execute(s, s"""
 sources:
@@ -6439,7 +6438,7 @@ transforms:
     // only the dedup KEY — the deterministic surface — and the
     // oracle is the plain DISTINCT
     "q151_stream_dedup" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q151_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q151_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       java.nio.file.Files.copy(
@@ -6474,7 +6473,7 @@ sinks:
     }),
 
     "q92_asof_stream" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q92_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q92_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       java.nio.file.Files.copy(
@@ -6525,7 +6524,7 @@ sinks:
     // each micro-batch joins independently), so draining the stream
     // must land on exactly the q143 batch oracle
     "q158_interval_stream" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q158_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q158_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       // two staged batches (even then odd event ids) prove the
@@ -6593,8 +6592,7 @@ sinks:
       val srv = Server.start(s, 0)
       try {
         val port = srv.getAddress.getPort
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_q159_").resolve("out").toString
+        val out = graft.ops.FsUtil.scratchDir("graft_q159_").resolve("out").toString
         val cfg = s"""
 sources:
   - name: cust
@@ -6661,7 +6659,7 @@ transforms:
     // parameterized by the import's own args — against a plain
     // filter+group oracle
     "q164_config_lifecycle" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q164_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q164_")
       val sub = base.resolve("sub.yaml")
       java.nio.file.Files.write(sub,
         """transforms:
@@ -6716,7 +6714,7 @@ transforms:
     // MPipeline fallback lifecycle — and its output is what the
     // oracle checks
     "q165_alter_config" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q165_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q165_")
       val alter = base.resolve("alter.yaml")
       java.nio.file.Files.write(alter,
         s"""sources:
@@ -6753,7 +6751,7 @@ sources:
     // nothing drops and the drained result equals the batch oracle
     // exactly; maxIntervalSpan mirrors the 2h window length
     "q163_interval_ss" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q163_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q163_")
       val inL = base.resolve("inL"); inL.toFile.mkdirs()
       val inR = base.resolve("inR"); inR.toFile.mkdirs()
       val out = base.resolve("out").toString
@@ -6838,7 +6836,7 @@ sinks:
     // LEFT join exactly.
     "q166_interval_ss_left" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{lit => flit}
-      val base = java.nio.file.Files.createTempDirectory("graft_q166_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q166_")
       val inL = base.resolve("inL"); inL.toFile.mkdirs()
       val inR = base.resolve("inR"); inR.toFile.mkdirs()
       val out = base.resolve("out").toString
@@ -6943,7 +6941,7 @@ sinks:
     // filter would eat them)
     "q173_interval_ss_right" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{lit => flit}
-      val base = java.nio.file.Files.createTempDirectory("graft_q173_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q173_")
       val inL = base.resolve("inL"); inL.toFile.mkdirs()
       val inR = base.resolve("inR"); inR.toFile.mkdirs()
       val out = base.resolve("out").toString
@@ -7029,7 +7027,7 @@ sinks:
     // carrying a sentinel id
     "q174_interval_ss_full" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{lit => flit}
-      val base = java.nio.file.Files.createTempDirectory("graft_q174_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q174_")
       val inL = base.resolve("inL"); inL.toFile.mkdirs()
       val inR = base.resolve("inR"); inR.toFile.mkdirs()
       val out = base.resolve("out").toString
@@ -7120,7 +7118,7 @@ sinks:
     // the minimum points at it
     "q178_stream_lsh_dedup" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q178_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q178_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       // synthetic event time monotone in doc_id: arrival order then
@@ -7171,7 +7169,7 @@ sinks:
     // verified pairs)
     "q179_stream_embedding_dedup" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q179_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q179_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -7218,7 +7216,7 @@ sinks:
     // / type-restoration half on the third near-dedup family
     "q188_stream_embedding_verdicts" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q188_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q188_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -7278,7 +7276,7 @@ transforms:
     // batch plan (distinct hit ids + join-back) failed at sink start
     "q180_stream_decontaminate" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q180_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q180_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -7330,7 +7328,7 @@ sinks:
     // the batch oracle exactly
     "q181_stream_knn" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q181_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q181_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -7378,7 +7376,7 @@ sinks:
     // streaming query path (billion-vector index + live queries)
     "q187_stream_knn_pq" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q187_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q187_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -7426,7 +7424,7 @@ sinks:
     // indexInput run, q189)
     "q199_stream_knn_prebuilt" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q199_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q199_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -7495,7 +7493,7 @@ sinks:
     // reject paths. Same staging invariant as q178
     "q183_stream_ngram_dedup" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q183_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q183_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -7544,7 +7542,7 @@ sinks:
     // the composed output must hash-match batch minhash dedup's flags
     "q184_stream_dedup_verdicts" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q184_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q184_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -7602,7 +7600,7 @@ transforms:
     // would silently elect lexicographic owners ('10' < '9')
     "q206_verdicts_idtype" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q206_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q206_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -7698,7 +7696,7 @@ transforms:
     // member-vs-bucket-min verified pairs — the md5 chain replays
     "q208_stream_winnow_dedup" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q208_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q208_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -7747,7 +7745,7 @@ sinks:
     // over both; the incremented artifact's recall must equal the
     // full build's per query (one oracle chain emits both columns)
     "q209_recall_incremented" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q209_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q209_")
       Pipeline.execute(s, s"""
 sources:
   - name: emb
@@ -7860,7 +7858,7 @@ sinks:
     // q183's replay chain with the per-doc min folded in
     "q185_stream_ngram_verdicts" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
-      val base = java.nio.file.Files.createTempDirectory("graft_q185_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q185_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -7923,7 +7921,7 @@ transforms:
     // side. Oracle replays the same formula per day bucket
     "q182_stream_drift" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr, lit => flit}
-      val base = java.nio.file.Files.createTempDirectory("graft_q182_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q182_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -7989,7 +7987,7 @@ sinks:
     // that the approx baseline actually drives the windowed monitor
     "q186_stream_drift_approx" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{expr => fexpr, lit => flit}
-      val base = java.nio.file.Files.createTempDirectory("graft_q186_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q186_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -8052,7 +8050,7 @@ sinks:
     // staged like q163 with parity-split halves so matches span
     // micro-batches
     "q169_interval_ss_overlap" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q169_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q169_")
       val inL = base.resolve("inL"); inL.toFile.mkdirs()
       val inR = base.resolve("inR"); inR.toFile.mkdirs()
       val out = base.resolve("out").toString
@@ -8206,7 +8204,7 @@ transforms:
     // batches stage in ts order, so the selection equals the batch
     // row_number oracle
     "q168_stream_limit" -> ((s: SparkSession, dir: String) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_q168_")
+      val base = graft.ops.FsUtil.scratchDir("graft_q168_")
       val in = base.resolve("in"); in.toFile.mkdirs()
       val out = base.resolve("out").toString
       val ev = s.read.parquet(s"$dir/events.parquet")

@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
 object SimilarityTransform {
 
   /** Session-scoped memo of SUCCESSFUL prebuilt-index validations,
-    * keyed by (analyzed-plan semantic hash, codec shape) — see the
-    * validateIndex block below. */
+    * keyed by (analyzed-plan semantic hash, resolved input-file set,
+    * codec shape) — the file-set component makes in-place appends
+    * re-validate; see the validateIndex block below. */
   private val validatedIndexes: java.util.Set[String] =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String,
@@ -273,13 +274,19 @@ object SimilarityTransform {
         // files, so the file-set hash changes and the index
         // re-validates; the semanticHash component separates
         // distinct non-file-backed frames (whose inputFiles are
-        // both empty). (Failures throw and are never cached.)
-        val idxFiles = idx.inputFiles
-        val vKey = idx.queryExecution.analyzed.semanticHash().toString +
-          ":" + java.util.Arrays.hashCode(
-            idxFiles.sorted.asInstanceOf[Array[AnyRef]]) +
-          ":" + idxFiles.length +
-          ":" + codec.codebooks.length + ":" + hasCell
+        // both empty). (Failures throw and are never cached.) The
+        // key — including the file enumeration — computes only when
+        // validation is ON: `validateIndex: false` is the hot
+        // serving opt-out and must not pay a per-job file-index
+        // walk for a result it discards.
+        lazy val vKey = {
+          val idxFiles = idx.inputFiles
+          idx.queryExecution.analyzed.semanticHash().toString +
+            ":" + java.util.Arrays.hashCode(
+              idxFiles.sorted.asInstanceOf[Array[AnyRef]]) +
+            ":" + idxFiles.length +
+            ":" + codec.codebooks.length + ":" + hasCell
+        }
         if (p.bool("validateIndex").getOrElse(true) &&
             !validatedIndexes.contains(vKey)) {
         val stats = idx.filter(col("__pq").isNotNull)

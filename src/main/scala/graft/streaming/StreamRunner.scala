@@ -1150,7 +1150,7 @@ object StreamRunner {
 
   private def checkpoint(cfg: ModuleCfg): String =
     cfg.params.str("checkpointLocation").getOrElse(
-      java.nio.file.Files.createTempDirectory(
+      graft.ops.FsUtil.scratchDir(
         s"graft-ckpt-${cfg.name}-").toString)
 
   private def startPlain(cfg: ModuleCfg, df: DataFrame,
