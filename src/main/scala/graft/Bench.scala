@@ -189,8 +189,27 @@ object Bench {
     // the JDK caches the tmpdir location at the first Files temp
     // call, which under an sbt fork happens before main — measured
     // gate scratch leaking back into the shared /tmp.)
-    val privateTmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
+    val sharedTmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"))
+    // reap PRIOR batteries' private roots whose JVM is gone (the
+    // shutdown hook covers clean exits only — a kill -9/OOM leaves
+    // gigabytes of checkpoints behind): the embedded pid makes
+    // liveness checkable, so this never touches a RUNNING battery
+    Option(sharedTmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-bench-"))
+      .filter { f =>
+        // name = graft-bench-<pid>-<ts>; unparseable names count as
+        // dead (they cannot belong to a live battery using this
+        // naming scheme)
+        f.getName.split("-").lift(2).flatMap(_.toLongOption)
+          .forall { pid =>
+            val h = ProcessHandle.of(pid)
+            !h.isPresent || !h.get().isAlive
+          }
+      }
+      .foreach(f => try graft.ops.FsUtil.deleteRecursively(f)
+        catch { case _: Throwable => () })
+    val privateTmp = new java.io.File(sharedTmp,
       s"graft-bench-${ProcessHandle.current().pid()}-" +
         s"${System.currentTimeMillis()}")
     require(privateTmp.mkdirs(),
@@ -240,7 +259,9 @@ object Bench {
         try graft.streaming.StreamRunner.stopAll()
         catch { case _: Throwable => () }
       }
-    hygiene(spark) // leftover scratch from prior rounds/sessions
+    // (prior sessions' leftovers are reaped at startup via the dead-
+    // pid graft-bench-* sweep above; hygiene here only ever sees
+    // this JVM's own private root)
     selected.foreach { case (name, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       reap(name)
@@ -318,8 +339,10 @@ object Bench {
     // battery number far above its isolated twin with a matching gc
     // entry is collector pressure, not a plan regression — judge
     // r12's adjudication, now self-serve from the JSON
+    // compact(), not f"%.3f": the f interpolator renders with the
+    // default locale (comma decimals under de_DE → invalid JSON)
     val gcs = results.map { case (k, (_, g)) =>
-      s"\"" + k + "\":" + f"$g%.3f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + compact(g, 3) }.mkString("{", ",", "}")
     // stop FIRST, print LAST: the harness reads the tail of stdout and
     // any straggler log line after the JSON breaks its one-line
     // contract (this, plus per-query UDF re-registration WARNs, left

@@ -5826,8 +5826,8 @@ transforms:
     // AvroKeyInputFormat read — the roundtrip is lossless so the
     // oracle is the identity projection on the source table
     "q57_avro_files" -> ((s: SparkSession, dir: String) => {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_q57_avro").getAbsolutePath
+      val tmp = graft.ops.FsUtil.scratchDir("graft_q57_avro_")
+        .toString
       Pipeline.execute(s, s"""
 sources:
   - name: orders
@@ -6007,8 +6007,8 @@ transforms:
     // kept IN records) must roundtrip value-exact through the
     // splittable read
     "q63_avro_partitioned" -> ((s: SparkSession, dir: String) => {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_q63_avro").getAbsolutePath
+      val tmp = graft.ops.FsUtil.scratchDir("graft_q63_avro_")
+        .toString
       Pipeline.execute(s, s"""
 sources:
   - name: cust
@@ -6050,8 +6050,8 @@ transforms:
     // (BIGINT/INTEGER/DOUBLE/VARCHAR-as-CLOB).
     "q64_jdbc_roundtrip" -> ((s: SparkSession, dir: String) => {
       System.setProperty("derby.stream.error.file",
-        new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_derby.log").getAbsolutePath)
+        graft.ops.FsUtil.scratchRoot
+          .resolve("graft_derby.log").toString)
       Pipeline.execute(s, s"""
 sources:
   - name: cust
@@ -6204,8 +6204,8 @@ transforms:
     // once and the drained output equals the seeded table.
     "q73_microbatch" -> ((s: SparkSession, dir: String) => {
       System.setProperty("derby.stream.error.file",
-        new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_derby.log").getAbsolutePath)
+        graft.ops.FsUtil.scratchRoot
+          .resolve("graft_derby.log").toString)
       val expected = s.read.parquet(s"$dir/customer.parquet").count()
       val anchor = System.currentTimeMillis() / 1000L - 600L
       val startIso = java.time.Instant.ofEpochSecond(anchor).toString
