@@ -7657,6 +7657,9 @@ transforms:
     // whole bytes → decode → tensor → session.run → array<float>
     // chain. A real vision encoder swaps in via
     // OnnxTransform.sessionFactory with zero pipeline changes.
+    // The compared output serializes the array to a string (house
+    // rule, mirrors q121/q13): the driver's pandas comparator cannot
+    // sort raw array cells — this was r20's one red gate.
     "q207_embed_session" -> pipe("out", """
 sources:
   - name: docs
@@ -7679,12 +7682,10 @@ transforms:
         - {op: generate, widthField: w, heightField: h, seedField: doc_id, name: img}
         - {op: embed, field: img, model: "stub:linear", grid: 8, name: emb}
   - name: out
-    module: select
+    module: sql
     inputs: [mm]
     parameters:
-      select:
-        - {name: doc_id}
-        - {name: emb}
+      sql: "SELECT doc_id, array_join(transform(emb, x -> format_string('%.6f', x)), ',') AS emb_s FROM mm"
 """),
 
     // STREAMING winnow near-dedup: the split-fixture drain (q183's
@@ -11897,13 +11898,18 @@ transforms:
     // operands, so arithmetic >> ≡ the engine's logical >>>), tensor
     // element i is channel i%3 of pixel i//3 (row-major) over 255,
     // and the linear stub maps 2x+1 — double arithmetic on both
-    // sides, float-cast once, so the arrays match bit-exactly
+    // sides, float-cast once, so the floats match bit-exactly and
+    // %.6f of the (exactly widened) float matches on both engines.
+    // Serialized to one string per row (house rule — the driver's
+    // pandas comparator cannot sort raw array cells).
     "q207_embed_session" ->
       """SELECT doc_id,
-           [CAST(2.0 * ((((((doc_id*1103515245
-                 + ((i//3)%8)*31 + ((i//3)//8)*977) >> 8) & 16777215)
-                 >> (16 - 8*(i%3))) & 255) / 255.0) + 1.0 AS FLOAT)
-            for i in range(0, 192)] AS emb
+           array_to_string(
+             [printf('%.6f',
+                CAST(2.0 * ((((((doc_id*1103515245
+                  + ((i//3)%8)*31 + ((i//3)//8)*977) >> 8) & 16777215)
+                  >> (16 - 8*(i%3))) & 255) / 255.0) + 1.0 AS FLOAT))
+              for i in range(0, 192)], ',') AS emb_s
          FROM documents""",
 
     // streaming winnow candidates: arrival order is id-ascending, so

@@ -66,8 +66,28 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // house rule (r20 verdict: q207's raw array<float> killed the
+        // driver's pandas comparator with "unhashable type: ndarray"):
+        // compared gate output must serialize arrays/maps to strings
+        // (q13 concat, q121/q207 array_join). Fail HERE, at build
+        // time, not in the driver's comparison harness.
+        import org.apache.spark.sql.types._
+        def hasContainer(t: DataType): Boolean = t match {
+          case _: ArrayType | _: MapType => true
+          case s: StructType => s.fields.exists(f => hasContainer(f.dataType))
+          case _ => false
+        }
+        val offending = df.schema.fields.filter(f => hasContainer(f.dataType))
+        require(offending.isEmpty,
+          s"gate $name emits array/map column(s) " +
+            offending.map(_.name).mkString("[", ",", "]") +
+            " — serialize to a string (array_join/concat) before the" +
+            " final select; the driver's comparator cannot sort them")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
