@@ -64,7 +64,15 @@ object ChunkTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val df = TransformCommon.single(cfg, inputs)
+    // chunking is heavy per-row Column work (cdc: O(n·w) rolling
+    // fingerprints — md5 digests per token position in audit mode;
+    // sentence: regex segmentation + offset folds) and a sub-split
+    // corpus file would serialize ALL of it onto one task (r21
+    // measured q116's md5 cdc at 4.6 s, single-stage, one 580 KB
+    // input split — the whole digest pass on one core of 32). widen
+    // is stats-probed: inputs bigger than one split per core skip
+    // the repartition, so this only fans out genuinely narrow scans.
+    val df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
     val p = cfg.params
     val field = p.str("field").getOrElse("text")
     val sz = p.int("size").getOrElse(512)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.types._
 object CryptoTransform {
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    // deliberately NOT widened (r21 A/B): AES-CTR over short fields
+    // is cheaper than the exchange widening adds (q27 0.30→0.55 s)
     var df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     val mode = p.str("mode").getOrElse("encrypt")

@@ -1973,13 +1973,20 @@ object DedupTransform {
       // shuffle join per hop, where a flag computed in the same
       // projection is free and the probe over the checkpointed
       // frame is a shuffle-less scan
+      // LAZY checkpoint + the convergence count as the materializing
+      // action: the eager form ran TWO jobs per hop (checkpoint
+      // materialization, then the cache-scan count) — lazy truncates
+      // the logical plan identically (LogicalRDD wraps the round's
+      // un-materialized RDD) and the count below fills the
+      // checkpoint cache while it scans, so each hop pays ONE job
+      // (r21; arithmetic, partitioning and hop count unchanged)
       val next = merged.join(jumpSrc, col("__l") === col("__jv"), "left")
         .select(col("__v"),
           least(col("__l"), coalesce(col("__jl"), col("__l")))
             .as("__l"), col("__l0"))
         .select(col("__v"), col("__l"),
           (col("__l") < col("__l0")).as("__changed"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       converged = next.filter(col("__changed")).limit(1).count() == 0L
       labels = next.select("__v", "__l")
       it += 1

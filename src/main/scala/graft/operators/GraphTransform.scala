@@ -82,7 +82,13 @@ object GraphTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val df = TransformCommon.single(cfg, inputs)
+    // every method references the edge input several times (canon +
+    // vertex union legs, componentMin's symmetrize) — a COMPUTED
+    // input (a knn self-join, a fuzzy-join candidate set) would
+    // otherwise re-execute per reference (the r21 plan audit: 224
+    // scans in q132's single plan). Raw scans stay unpinned.
+    val df = TransformCommon.pinIfComputed(
+      TransformCommon.single(cfg, inputs))
     val p = cfg.params
     val method = p.str("method").getOrElse("connectedComponents")
     TransformCommon.requireBatch(df, "graph", cfg.name,
@@ -116,12 +122,18 @@ object GraphTransform {
       val tOut = p.str("triangleField").getOrElse("triangles")
       // UNDIRECTED simple-graph semantics like degrees: duplicate and
       // reversed edges count once, self-loops never close a triangle
+      // canon feeds the degree union (twice) and the orientation
+      // join; deg feeds both endpoint attaches and (coefficient) the
+      // final neighbor-degree join — both are aggregates whose
+      // re-execution per reference costs a full upstream pass, so pin
+      // them like `oriented` below (ids + one long each, bounded)
       val canon = df
         .filter(col(src).isNotNull && col(dst).isNotNull &&
           col(src) =!= col(dst))
         .select(least(col(src), col(dst)).as("__a"),
           greatest(col(src), col(dst)).as("__b"))
         .distinct()
+        .transform(graft.ops.CacheTracker.trackPersist)
       // degree-ordered orientation (compact-forward / node-iterator++,
       // Schank & Wagner 2005): orient every edge from its lower-
       // (degree, id) endpoint, then enumerate wedges only between a
@@ -133,6 +145,7 @@ object GraphTransform {
       val deg = canon.select(col("__a").as("__v"))
         .union(canon.select(col("__b").as("__v")))
         .groupBy("__v").agg(count(lit(1)).as("__deg"))
+        .transform(graft.ops.CacheTracker.trackPersist)
       val withDeg = canon
         .join(deg.select(col("__v").as("__a"), col("__deg").as("__da")),
           Seq("__a"))
@@ -274,8 +287,17 @@ object GraphTransform {
             .select(col(vOut), (lit(base) + lit(d) *
               coalesce(col("__c"), lit(0.0))).as(rOut))
         // per-round lineage truncation, as in componentMin: the
-        // iterated self-join's plan must stay O(1) per round
-        pr = updated.localCheckpoint()
+        // iterated self-join's plan must stay O(1) per round. LAZY
+        // (r21): pagerank has no per-round convergence action, so an
+        // eager checkpoint paid one job-submission barrier per round
+        // for nothing — lazily the logical plan still truncates
+        // (LogicalRDD over the round's un-materialized RDD, planned
+        // per round, O(1) depth) and the final consume executes the
+        // whole 10-round chain as one job, each round's partitions
+        // caching as they compute. Same plans, same partitioning,
+        // same arithmetic order — the q109/q138 oracles stay
+        // bit-exact.
+        pr = updated.localCheckpoint(false)
       }
       return TransformCommon.finishRouted(pr, cfg)
     }

@@ -37,7 +37,12 @@ object ProfileTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val df = TransformCommon.single(cfg, inputs)
+    // the per-column stats pass (regex counts, distincts, percentile
+    // buffers) runs in the SCAN stage — a one-split input serializes
+    // it onto a single task (r21: q112 spent its 3.4 s in one-core
+    // partial aggregation). widen is stats-probed and a no-op for
+    // streams and for inputs already wider than a split per core.
+    val df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
     val p = cfg.params
     // the ONE streaming profile shape: the drift monitor — static
     // baseline, streaming current side, per-event-time-window PSI

@@ -41,6 +41,10 @@ object TfIdfTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    // deliberately NOT widened (r21 A/B): the term explode feeds an
+    // aggregation shuffle immediately, so scan-stage parallelism buys
+    // nothing here and the extra exchange measured q110 0.49→0.79 s,
+    // q136 1.85→2.15 s
     val df = TransformCommon.single(cfg, inputs)
     val p = cfg.params
     TransformCommon.requireBatch(df, "tfidf", cfg.name,

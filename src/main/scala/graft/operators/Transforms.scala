@@ -28,6 +28,37 @@ object TransformCommon {
     inputs(cfg.inputs.head)
   }
 
+  /** Persist-if-worth-it for frames a downstream plan references more
+    * than once: an UNPINNED frame whose plan contains real computation
+    * (joins, aggregates, generators, windows, distinct) re-executes
+    * that whole pipeline once PER REFERENCE — the r21 plan audit found
+    * a graph-over-knn recipe re-running its IVF self-join 28 times
+    * (224 parquet scans in ONE physical plan, q132). A plain
+    * scan/projection/filter frame is left alone: re-reading columnar
+    * storage is what the format is for, and pinning it would trade
+    * cheap IO for cache memory (guide §5: cache only when reused AND
+    * recompute is the expensive side). Streaming frames and frames
+    * already pinned pass through untouched. */
+  def pinIfComputed(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    // withCachedData, not analyzed: an upstream trackPersist already
+    // substituted its InMemoryRelation there, so a thin projection
+    // over an already-cached aggregate does not re-pin
+    def computed = df.queryExecution.withCachedData.collectFirst {
+      case _: lp.Join => true
+      case _: lp.Aggregate => true
+      case _: lp.Generate => true
+      case _: lp.Window => true
+      case _: lp.Distinct => true
+      case _: lp.Deduplicate => true
+    }.isDefined
+    if (!df.isStreaming &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+        computed)
+      graft.ops.CacheTracker.trackPersist(df)
+    else df
+  }
+
   /** Loud batch-only guard: a corpus-wide operator fed a streaming
     * frame would otherwise fail at SINK-START time with an opaque
     * Spark analysis error (or, worse, run with silently wrong
@@ -249,7 +280,23 @@ object AggregationTransform {
         throw new IllegalArgumentException(
           s"aggregation ${cfg.name}: unknown input '$inName' " +
             s"(available: ${inputs.keys.toSeq.sorted.mkString(", ")})"))
-      var df = df0
+      // heavy partial aggregates (exact percentile/median object
+      // buffers, count_distinct's Expand) run in the SCAN stage —
+      // over a one-split input the whole pass serializes onto one
+      // task (r21: q80's expanded percentile partial took 5.0 s on
+      // one core of 32; widened: 2.5 s). ONLY these ops widen: the
+      // r21 A/B showed every fixed-size-buffer aggregate (sketches,
+      // vector pooling, sums) LOSES to the added exchange on narrow
+      // inputs (q114 kll 0.68→1.51 s, q87 hll 0.47→0.99 s), and
+      // top_k_combine crashes outright on the empty partitions a
+      // repartition of a tiny frame creates (Spark's
+      // ApproxTopKCombine.serialize MatchError: null). widen is
+      // stats-probed — a no-op for streams and for inputs already a
+      // split per core wide.
+      val heavyAggOps = Set("count_distinct", "median", "percentile")
+      val hasHeavyAgg = d.arrOf("fields").exists(f =>
+        f.str("op").orElse(f.str("func")).exists(heavyAggOps.contains))
+      var df = if (hasHeavyAgg) TransformCommon.widen(df0) else df0
       var tsCol: Option[org.apache.spark.sql.Column] = None
       val windowCol = strategyNode.flatMap { st =>
         // watermark first: it casts the ts field to TimestampType in
@@ -1058,15 +1105,26 @@ object SqlTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val rawSql = cfg.params.str("sql").getOrElse(
+      throw new IllegalArgumentException("sql module requires sql"))
     // dotted collection names (partition outputs `parts.a`,
     // dead-letter `.failures`) are invalid temp-view names — register
-    // them with underscores; SQL references the sanitized name
+    // them with underscores; SQL references the sanitized name.
+    // An input the SQL references MORE THAN ONCE (self-joins: `FROM
+    // knn a JOIN knn b`) re-executes its whole build per reference —
+    // pin computed inputs so the subtree runs once (pinIfComputed
+    // leaves plain scans alone; a CTE shadowing the view name at
+    // worst marks a lazy persist that never materializes).
     inputs.foreach { case (n, df) =>
-      df.createOrReplaceTempView(n.replace('.', '_'))
+      val view = n.replace('.', '_')
+      val refs = ("(?i)\\b" + java.util.regex.Pattern.quote(view) +
+        "\\b").r.findAllMatchIn(rawSql).size
+      val pinned =
+        if (refs >= 2) TransformCommon.pinIfComputed(df) else df
+      pinned.createOrReplaceTempView(view)
     }
     registerMdtUdfs(spark)
-    val sql = rewriteMdtSql(cfg.params.str("sql").getOrElse(
-      throw new IllegalArgumentException("sql module requires sql")))
+    val sql = rewriteMdtSql(rawSql)
     // named / positional SQL parameters (BeamSQLTransform.java:149-187)
     // map onto Spark's parameterized spark.sql
     val named = cfg.param("namedParameters").map(n =>

@@ -718,10 +718,20 @@ object StreamRunner {
         val priorId = snapIds.filter(_ < batchId).sorted.lastOption
         // snapshot files written by the merged pane+ordinals job
         // carry the full pane schema (non-key columns null-padded by
-        // the union below) — select back down to the ordinal rows
-        val prior = priorId.map(id => spark.read
-          .parquet(s"$ordsDir/__obatch=$id")
-          .select((keyCols :+ "__pane_index").map(col): _*))
+        // the union below) — read ONLY the ordinal subset, with the
+        // schema stated explicitly (key types from the pane frame +
+        // the Long ordinal): parquet ignores the file's extra
+        // columns, and passing the schema skips the per-firing
+        // footer-inference job this read otherwise schedules (the
+        // same trick as the element store's storeSchema above)
+        val prior = priorId.map { id =>
+          val ordsSchema = org.apache.spark.sql.types.StructType(
+            keyCols.map(k => pane.schema(k)) :+
+              org.apache.spark.sql.types.StructField("__pane_index",
+                org.apache.spark.sql.types.LongType))
+          spark.read.schema(ordsSchema)
+            .parquet(s"$ordsDir/__obatch=$id")
+        }
         val withIdx = prior match {
           case None => pane.withColumn("__pane_index", lit(0L))
           case Some(p) if keyCols.isEmpty =>

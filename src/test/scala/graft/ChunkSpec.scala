@@ -169,12 +169,18 @@ class ChunkSpec extends AnyFunSuite {
       "cdc chunking is per-row Column work — streams pass through")
   }
 
-  test("zero shuffle and output-name collision guard") {
+  test("zero keyed shuffle and output-name collision guard") {
     val df = Seq((1L, "a b c")).toDF("id", "text")
     val plan = chunk("""{"field": "text", "size": 2}""", df)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), "chunking must not shuffle:\n" +
-      plan)
+    // r21: narrow inputs widen through ONE round-robin exchange so
+    // the per-row chunk program parallelizes; a KEYED shuffle would
+    // still be a regression
+    assert(!plan.contains("hashpartitioning"),
+      "chunking must not key-shuffle rows:\n" + plan)
+    assert(plan.toLowerCase.contains("roundrobinpartitioning"),
+      "a narrow input should widen through the round-robin fan-out:\n"
+        + plan)
     val e = intercept[IllegalArgumentException](chunk(
       """{"field": "text", "size": 2}""",
       df.withColumn("chunk", lit(1))))

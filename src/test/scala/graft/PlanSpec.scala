@@ -202,7 +202,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("q97 chunk explode is map-side: no shuffle, no UDF") {
     val p = plan("q97_chunk")
-    assert(!p.contains("Exchange"), "chunking must not shuffle")
+    // r21: a narrow input may fan out through ONE round-robin widen
+    // exchange so the per-row chunk program parallelizes (q116's md5
+    // cdc measured 3.75 s single-task without it); a KEYED shuffle
+    // of the rows would still be a regression
+    assert(!p.contains("hashpartitioning"),
+      "chunking must not key-shuffle rows")
     assert(!p.contains("ScalaUDF"), "chunking is pure Catalyst")
     assert(p.contains("Generate"), "expected the posexplode Generate")
   }
@@ -215,7 +220,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q107 tokenizer-exact chunk stays map-side pure Catalyst") {
     val p = plan("q107_chunk_tokens")
-    assert(!p.contains("Exchange"), "token chunking must not shuffle")
+    // round-robin widen allowed (see q97 pin); keyed shuffles not
+    assert(!p.contains("hashpartitioning"),
+      "token chunking must not key-shuffle rows")
     assert(!p.contains("ScalaUDF"),
       "pattern-mode tokenize + chunk are pure Columns")
   }
@@ -239,7 +246,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q123 sentence chunking is map-side: no shuffle, no UDF") {
     val p = plan("q123_chunk_sentence")
-    assert(!p.contains("Exchange"), "sentence chunking must not shuffle")
+    // round-robin widen allowed (see q97 pin); keyed shuffles not
+    assert(!p.contains("hashpartitioning"),
+      "sentence chunking must not key-shuffle rows")
     assert(!p.contains("ScalaUDF"),
       "segmentation + offset fold are pure Catalyst")
     assert(p.contains("Generate"), "expected the posexplode Generate")
