@@ -323,8 +323,9 @@ object AggregationTransform {
       if (windowCol.isDefined) anyWindow = true
       val groupCols =
         windowCol.map(_.column.as("window")).toSeq ++ groupFields.map(col)
-      val aggCols = d.arrOf("fields")
+      val fieldNodes = d.arrOf("fields")
         .filterNot(_.bool("ignore").getOrElse(false))
+      val aggCols = fieldNodes
         .map(AggregationCompiler.compile(_, df.schema))
       // timestampCombiner (reference Strategy.java:72-73, Beam
       // TimestampCombiner): stamps the aggregate's OUTPUT event time
@@ -390,9 +391,67 @@ object AggregationTransform {
           }
           val withGid = allAgg :+ grouping_id().as("__grouping_id")
           grouped.agg(withGid.head, withGid.tail: _*)
-        } else if (groupCols.nonEmpty)
-          df.groupBy(groupCols: _*).agg(allAgg.head, allAgg.tail: _*)
-        else df.agg(allAgg.head, allAgg.tail: _*)
+        } else {
+          // exact percentile/median object buffers must not ride the
+          // count_distinct Expand: with both in ONE aggregate, Spark
+          // keys the partial object aggregate by (group, gid,
+          // distinct-key) — the key count explodes past the
+          // object-hash fallback threshold and the whole expanded
+          // input sort-aggregates with percentile buffers (q80's
+          // plan: Expand ×3 over 600k rows into an ObjectHashAggregate
+          // keyed per l_partkey). With both classes present, compile
+          // the distinct ops as their OWN aggregate over the same
+          // grouping and join back on the null-safe group key: the
+          // percentile side keeps its natural per-group object
+          // aggregate (no Expand), the distinct side keeps its
+          // hash-only Expand, and the join pairs group-count-sized
+          // frames. Both classes are deterministic, so the result is
+          // value-identical (q80 re-proven against the oracle at both
+          // SFs). Batch only — a second streaming aggregate + join
+          // would be an illegal stream-stream shape.
+          def opOf(n: com.fasterxml.jackson.databind.JsonNode): String =
+            n.str("op").orElse(n.str("func")).getOrElse("")
+          def isDistinctOp(n: com.fasterxml.jackson.databind.JsonNode) = opOf(n) == "count_distinct"
+          def isObjOp(n: com.fasterxml.jackson.databind.JsonNode) = opOf(n) == "median" ||
+            (opOf(n) == "percentile" &&
+              !n.bool("approximate").getOrElse(false))
+          val split = !df.isStreaming &&
+            fieldNodes.exists(isDistinctOp) && fieldNodes.exists(isObjOp)
+          if (!split) {
+            if (groupCols.nonEmpty)
+              df.groupBy(groupCols: _*).agg(allAgg.head, allAgg.tail: _*)
+            else df.agg(allAgg.head, allAgg.tail: _*)
+          } else {
+            val pairs = fieldNodes.zip(aggCols)
+            val (dPairs, mPairs) = pairs.partition(p => isDistinctOp(p._1))
+            val mAgg = mPairs.map(_._2) ++ extraAgg
+            val dAgg = dPairs.map(_._2)
+            val keyNames =
+              (if (windowCol.isDefined) Seq("window") else Nil) ++
+                groupFields
+            val (a, b) =
+              if (groupCols.nonEmpty)
+                (df.groupBy(groupCols: _*).agg(mAgg.head, mAgg.tail: _*),
+                  df.groupBy(groupCols: _*).agg(dAgg.head, dAgg.tail: _*))
+              else (df.agg(mAgg.head, mAgg.tail: _*),
+                df.agg(dAgg.head, dAgg.tail: _*))
+            val joined =
+              if (keyNames.isEmpty) a.crossJoin(b)
+              else a.join(b,
+                keyNames.map(k => a(k) <=> b(k)).reduce(_ && _),
+                "inner")
+            def nameOf(n: com.fasterxml.jackson.databind.JsonNode): String =
+              n.str("name").getOrElse(opOf(n))
+            // restore the declared output order exactly: group keys,
+            // then every aggregate in spec order (from whichever side
+            // computed it), then the combiner stamp
+            val outCols = keyNames.map(a(_)) ++
+              pairs.map { case (n, _) =>
+                if (isDistinctOp(n)) b(nameOf(n)) else a(nameOf(n)) } ++
+              (if (extraAgg.nonEmpty) Seq(a("__event_time")) else Nil)
+            joined.select(outCols: _*)
+          }
+        }
       // streaming calendar buckets post-project the session struct to
       // the true bucket boundaries (identity for every other window)
       val posted = windowCol.map(_.post(agged)).getOrElse(agged)

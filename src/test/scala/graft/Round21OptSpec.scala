@@ -85,4 +85,40 @@ class Round21OptSpec extends AnyFunSuite {
       "sketch ops must not widen (empty-partition combine crash):\n" +
         sketch)
   }
+
+  test("count_distinct + exact percentile split into joined aggregates") {
+    def agg(ops: String) = Pipeline.transforms("aggregation")(spark,
+      Pipeline.ModuleCfg("m", "aggregation", Seq("t"), Nil,
+        graft.config.Json.parse(
+          s"""{"groupFields": ["g"], "aggregations":
+              [{"input": "t", "fields": [$ops]}]}"""),
+        graft.config.Json.obj()),
+      Map("t" -> Seq(("x", 1.0, "a"), ("x", 2.0, "b"), ("x", 2.0, "b"),
+        ("y", 3.0, "c"), (null, 5.0, "c"))
+        .toDF("g", "v", "k")))("m")
+    val both = agg(
+      """{"name": "d", "op": "count_distinct", "field": "k"},
+         {"name": "p", "op": "percentile", "field": "v",
+          "percentile": 0.5},
+         {"name": "n", "op": "count"}""")
+    // the split shape: percentile's object aggregate is keyed by the
+    // GROUP only (no Expand above it), the distinct Expand lives in
+    // its own joined subtree
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"),
+      "mixed distinct+percentile must split into joined aggregates:\n"
+        + plan)
+    // values identical to the single-pass semantics, null group kept
+    val rows = both.orderBy(asc_nulls_first("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((null, 1L, 5.0, 1L),
+      ("x", 2L, 2.0, 3L), ("y", 1L, 3.0, 1L)), rows.toSeq.toString)
+    // single-class specs keep the one-pass plan (no join)
+    val solo = agg("""{"name": "p", "op": "percentile",
+        "field": "v", "percentile": 0.5}""")
+      .queryExecution.executedPlan.toString
+    assert(!solo.contains("Join"),
+      "percentile-only specs must stay single-pass:\n" + solo)
+  }
 }
