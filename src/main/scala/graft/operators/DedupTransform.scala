@@ -1978,8 +1978,12 @@ object DedupTransform {
       // materialization, then the cache-scan count) — lazy truncates
       // the logical plan identically (LogicalRDD wraps the round's
       // un-materialized RDD) and the count below fills the
-      // checkpoint cache while it scans, so each hop pays ONE job
-      // (r21; arithmetic, partitioning and hop count unchanged)
+      // checkpoint cache while it scans (r21; arithmetic,
+      // partitioning and hop count unchanged). On non-converged hops
+      // the limit(1) may short-circuit before every partition
+      // computed, in which case doCheckpoint launches a backfill job
+      // for the missing partitions — still cheaper than the old
+      // eager materialization + separate full count
       val next = merged.join(jumpSrc, col("__l") === col("__jv"), "left")
         .select(col("__v"),
           least(col("__l"), coalesce(col("__jl"), col("__l")))

@@ -224,6 +224,34 @@ object GraphTransform {
         s"graph ${cfg.name}: output names ${prReserved.mkString(", ")} " +
           "collide with pagerank's internal columns — pick different " +
           "vertexField/rankField")
+      // AQE scoped OFF for the iterated plans (restored below):
+      // adaptive plans report UnknownPartitioning at the
+      // localCheckpoint boundary each round truncates through, which
+      // forfeits the loop's co-partitioning (every round would
+      // re-exchange or re-broadcast both join sides), and its
+      // small-partition coalescing re-fragments the stable layout the
+      // rounds share. Iterative co-partitioned loops are exactly the
+      // shape AQE cannot help: the per-round inputs are LogicalRDDs
+      // with no stats to adapt on.
+      val sess = df.sparkSession
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partKey = "spark.sql.shuffle.partitions"
+      val aqePrior = sess.conf.get(aqeKey)
+      val partPrior = sess.conf.get(partKey)
+      // with AQE's coalescing off, the loop must size its own shuffle
+      // partitions or every tiny stage pays the session's full
+      // partition count in fixed task overhead × rounds. Derived from
+      // the edge frame's optimizer size estimate (the widen probe's
+      // arithmetic): one partition per input split, capped at the
+      // session value — scale-adaptive, no constant tuned to either
+      // local mode or the cluster.
+      val perSplit = BigInt(sess.sessionState.conf.filesMaxPartitionBytes)
+      val eBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val loopParts = ((eBytes + perSplit - 1) / perSplit)
+        .min(BigInt(partPrior.toInt)).max(BigInt(1))
+      sess.conf.set(aqeKey, "false")
+      sess.conf.set(partKey, loopParts.toString)
+      try {
       val e = df
         .select(col(src).as("__s"), col(dst).as("__d"))
         .filter(col("__s").isNotNull && col("__d").isNotNull)
@@ -239,10 +267,21 @@ object GraphTransform {
       // out-degree ONCE and checkpoint, so every round pays only the
       // rank join + contribution aggregate instead of re-deriving
       // and re-joining the degree table (measured 7.1 s → see bench
-      // for the 10-round chain gate before this hoist)
+      // for the 10-round chain gate before this hoist).
+      // Partitioned ONCE by source (r22, guide §2.4 "two operations
+      // keyed the same way share one exchange"): localCheckpoint
+      // captures the physical partitioning, and `vertices`/`pr` leave
+      // their distinct/aggregate hash-partitioned on the vertex id,
+      // so every round's rank join is co-partitioned — edges pay ONE
+      // Exchange total instead of inheriting the scan's layout (at
+      // small SF: a single split, which serialized each round's
+      // join+partial-aggregate onto one task). The per-round shuffle
+      // that remains is the contribution aggregate keyed by dst —
+      // the one fundamentally required by the operation.
       val outDeg = e.groupBy(col("__s"))
         .agg(count(lit(1)).cast(DoubleType).as("__deg"))
-      val eDeg = e.join(outDeg, Seq("__s")).localCheckpoint()
+      val eDeg = e.join(outDeg, Seq("__s"))
+        .repartition(col("__s")).localCheckpoint()
       // `handleDangling: true` — the textbook semantic: mass parked
       // on vertices with no out-edges redistributes uniformly each
       // round (pr' = (1−d)/N + d·(Σ contribs + danglingMass/N)), so
@@ -260,7 +299,7 @@ object GraphTransform {
       var pr = vertices.withColumn(rOut, lit(1.0 / n))
       for (_ <- 1 to iters) {
         val contribs = eDeg
-          .join(pr, eDeg("__s") === pr(vOut))
+          .join(pr.hint("merge"), eDeg("__s") === pr(vOut))
           .select(col("__d").as(vOut),
             (col(rOut) / col("__deg")).as("__c"))
           .groupBy(col(vOut))
@@ -277,13 +316,13 @@ object GraphTransform {
               .agg((coalesce(sum(col(rOut)), lit(0.0)) / lit(n))
                 .as("__dm"))
             vertices
-              .join(contribs, Seq(vOut), "left")
+              .join(contribs.hint("merge"), Seq(vOut), "left")
               .crossJoin(broadcast(dm))
               .select(col(vOut), (lit(base) + lit(d) *
                 (coalesce(col("__c"), lit(0.0)) + col("__dm")))
                 .as(rOut))
           } else vertices
-            .join(contribs, Seq(vOut), "left")
+            .join(contribs.hint("merge"), Seq(vOut), "left")
             .select(col(vOut), (lit(base) + lit(d) *
               coalesce(col("__c"), lit(0.0))).as(rOut))
         // per-round lineage truncation, as in componentMin: the
@@ -300,6 +339,10 @@ object GraphTransform {
         pr = updated.localCheckpoint(false)
       }
       return TransformCommon.finishRouted(pr, cfg)
+      } finally {
+        sess.conf.set(aqeKey, aqePrior)
+        sess.conf.set(partKey, partPrior)
+      }
     }
     val cOut = p.str("componentField").getOrElse("component")
     val reservedOut = Seq(vOut, cOut)

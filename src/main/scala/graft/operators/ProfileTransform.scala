@@ -37,13 +37,24 @@ object ProfileTransform {
 
   def build(spark: SparkSession, cfg: ModuleCfg,
       inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    // the per-column stats pass (regex counts, distincts, percentile
-    // buffers) runs in the SCAN stage — a one-split input serializes
-    // it onto a single task (r21: q112 spent its 3.4 s in one-core
-    // partial aggregation). widen is stats-probed and a no-op for
-    // streams and for inputs already wider than a split per core.
-    val df = TransformCommon.widen(TransformCommon.single(cfg, inputs))
+    val raw = TransformCommon.single(cfg, inputs)
     val p = cfg.params
+    // the per-column stats pass runs in the SCAN stage — a one-split
+    // input serializes it onto a single task (r21: q112 spent its
+    // 3.4 s in one-core partial aggregation). Widen ONLY the exact
+    // profile: its per-column count_distinct is the Expand-heavy op
+    // that needs map parallelism. The approx profile's buffers (HLL
+    // distincts, KLL percentiles) are fixed-size partials that LOSE
+    // to the added exchange — the same measured rule as
+    // AggregationTransform's op-conditioned widen (r21 A/B: kll
+    // 0.68→1.51 s, hll 0.47→0.99 s widened). Drift keeps the widen:
+    // its per-row bucket programs are the heavy path there. widen is
+    // stats-probed and a no-op for streams and wide inputs.
+    val approxProfile = p.bool("approx").getOrElse(false) &&
+      p.str("baselineInput").isEmpty
+    val df =
+      if (approxProfile) raw
+      else TransformCommon.widen(raw)
     // the ONE streaming profile shape: the drift monitor — static
     // baseline, streaming current side, per-event-time-window PSI
     if (df.isStreaming && p.str("baselineInput").isDefined)

@@ -38,23 +38,42 @@ object TransformCommon {
     * storage is what the format is for, and pinning it would trade
     * cheap IO for cache memory (guide §5: cache only when reused AND
     * recompute is the expensive side). Streaming frames and frames
-    * already pinned pass through untouched. */
+    * already pinned pass through untouched.
+    *
+    * Cost guard (guide §5's third clause — cache only when cheaper
+    * than recompute; the r22 fix for the q104 regression the
+    * unguarded pin caused): multi-pass shapes (joins, generators)
+    * always pin — their re-execution cost is a full upstream pass per
+    * reference wherever AQE's exchange reuse misses. Single-exchange
+    * shapes (a bare aggregate/window/distinct) pin only when the
+    * optimizer estimates the frame past the broadcast threshold:
+    * below it, the InMemoryRelation build + materialization barrier
+    * costs more than the recompute AQE stage reuse already
+    * deduplicates in-action (q104: three ~100-group aggregates pinned
+    * = 0.57 s → 1.04-1.40 s across every r21 battery). Scale-safe by
+    * construction: a 100 TB aggregate's estimated output blows past
+    * the threshold and still pins. */
   def pinIfComputed(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
     // withCachedData, not analyzed: an upstream trackPersist already
     // substituted its InMemoryRelation there, so a thin projection
     // over an already-cached aggregate does not re-pin
-    def computed = df.queryExecution.withCachedData.collectFirst {
+    lazy val plan = df.queryExecution.withCachedData
+    def multiPass = plan.collectFirst {
       case _: lp.Join => true
-      case _: lp.Aggregate => true
       case _: lp.Generate => true
+    }.isDefined
+    def singleExchange = plan.collectFirst {
+      case _: lp.Aggregate => true
       case _: lp.Window => true
       case _: lp.Distinct => true
       case _: lp.Deduplicate => true
     }.isDefined
+    def bigEnough = df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
     if (!df.isStreaming &&
         df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
-        computed)
+        (multiPass || (singleExchange && bigEnough)))
       graft.ops.CacheTracker.trackPersist(df)
     else df
   }
@@ -294,8 +313,12 @@ object AggregationTransform {
       // stats-probed — a no-op for streams and for inputs already a
       // split per core wide.
       val heavyAggOps = Set("count_distinct", "median", "percentile")
-      val hasHeavyAgg = d.arrOf("fields").exists(f =>
-        f.str("op").orElse(f.str("func")).exists(heavyAggOps.contains))
+      // ignore-filtered (r22 advice): an ignored field never compiles,
+      // so it must not trigger the widen exchange either
+      val hasHeavyAgg = d.arrOf("fields")
+        .filterNot(_.bool("ignore").getOrElse(false))
+        .exists(f =>
+          f.str("op").orElse(f.str("func")).exists(heavyAggOps.contains))
       var df = if (hasHeavyAgg) TransformCommon.widen(df0) else df0
       var tsCol: Option[org.apache.spark.sql.Column] = None
       val windowCol = strategyNode.flatMap { st =>
@@ -422,7 +445,14 @@ object AggregationTransform {
               df.groupBy(groupCols: _*).agg(allAgg.head, allAgg.tail: _*)
             else df.agg(allAgg.head, allAgg.tail: _*)
           } else {
-            val pairs = fieldNodes.zip(aggCols)
+            // each compiled aggregate gets a unique internal alias
+            // (r22 advice): with duplicate declared names (two
+            // unnamed count_distinct ops) a nameOf lookup on the
+            // joined sides would be ambiguous; positional aliases
+            // never collide, and the final select restores the
+            // declared names in spec order
+            val pairs = fieldNodes.zip(aggCols).zipWithIndex
+              .map { case ((n, c), i) => (n, c.as(s"__agg_$i"), i) }
             val (dPairs, mPairs) = pairs.partition(p => isDistinctOp(p._1))
             val mAgg = mPairs.map(_._2) ++ extraAgg
             val dAgg = dPairs.map(_._2)
@@ -446,8 +476,9 @@ object AggregationTransform {
             // then every aggregate in spec order (from whichever side
             // computed it), then the combiner stamp
             val outCols = keyNames.map(a(_)) ++
-              pairs.map { case (n, _) =>
-                if (isDistinctOp(n)) b(nameOf(n)) else a(nameOf(n)) } ++
+              pairs.map { case (n, _, i) =>
+                (if (isDistinctOp(n)) b(s"__agg_$i") else a(s"__agg_$i"))
+                  .as(nameOf(n)) } ++
               (if (extraAgg.nonEmpty) Seq(a("__event_time")) else Nil)
             joined.select(outCols: _*)
           }
@@ -1172,12 +1203,19 @@ object SqlTransform {
     // An input the SQL references MORE THAN ONCE (self-joins: `FROM
     // knn a JOIN knn b`) re-executes its whole build per reference —
     // pin computed inputs so the subtree runs once (pinIfComputed
-    // leaves plain scans alone; a CTE shadowing the view name at
-    // worst marks a lazy persist that never materializes).
+    // leaves plain scans and sub-broadcast-threshold aggregates
+    // alone; a CTE shadowing the view name at worst marks a lazy
+    // persist that never materializes). The count runs over the SQL
+    // with string literals and comments blanked (r22 advice): a view
+    // name inside a literal or `-- comment` is not a reference.
+    val countable = rawSql
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("--[^\n]*", " ")
+      .replaceAll("'(?:[^']|'')*'", "''")
     inputs.foreach { case (n, df) =>
       val view = n.replace('.', '_')
       val refs = ("(?i)\\b" + java.util.regex.Pattern.quote(view) +
-        "\\b").r.findAllMatchIn(rawSql).size
+        "\\b").r.findAllMatchIn(countable).size
       val pinned =
         if (refs >= 2) TransformCommon.pinIfComputed(df) else df
       pinned.createOrReplaceTempView(view)
