@@ -803,6 +803,25 @@ object DedupTransform {
     *
     * Ids surface as strings (one fixed state/output schema for any
     * id type); downstream casts restore the original type. */
+  /** `widenCompute: true` — pre-state compute widening for the
+    * streaming near-dedup paths: the per-row signature/fingerprint
+    * program runs in the stage BEFORE the state shuffle, whose
+    * parallelism is the SOURCE's partitioning (a file stream staging
+    * a handful of files per batch = a handful of tasks, regardless
+    * of cores or shuffle partitions). Repartitioning the watermarked
+    * batch to cluster parallelism decouples compute width from
+    * `stateShufflePartitions`: state stores sized to live-bucket
+    * volume, signature compute sized to cores (r22 matrix on q183:
+    * state 8 alone 4.1 s, +widen 3.2 s, baseline 5.5 s at 32/32).
+    * Opt-in: on a wide ingest source the extra round-robin exchange
+    * of raw text buys nothing — the batch-side stats-probed widen
+    * has no streaming analogue, so the trade is declared per job. */
+  private def widenStreamCompute(df: DataFrame,
+      p: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    if (p.bool("widenCompute").getOrElse(false))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
   private def streamingLsh(raw: DataFrame, cfg: ModuleCfg,
       method: String,
       contract: (com.fasterxml.jackson.databind.JsonNode, String))
@@ -815,14 +834,15 @@ object DedupTransform {
     val textField = p.str("field").getOrElse("text")
     val idField = p.str("idField").getOrElse(raw.columns.head)
     val md5Mode = p.str("hashAlgo").contains("md5")
-    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
-      .filter(col(textField).isNotNull) // null text: never a candidate
-      // null event time: skipped — withWatermark does NOT drop
-      // null-ts rows, and the stateful horizon arithmetic below
-      // (getTimestamp.getTime) has no meaningful ordering for them;
-      // an unguarded null would NPE inside flatMapGroupsWithState
-      // and kill the query
-      .filter(col(ts).isNotNull)
+    val wm = widenStreamCompute(
+      graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+        .filter(col(textField).isNotNull) // null text: never a candidate
+        // null event time: skipped — withWatermark does NOT drop
+        // null-ts rows, and the stateful horizon arithmetic below
+        // (getTimestamp.getTime) has no meaningful ordering for them;
+        // an unguarded null would NPE inside flatMapGroupsWithState
+        // and kill the query
+        .filter(col(ts).isNotNull), p)
     // band rows (__id, __ts, __band_idx, __band_hash) — the watermark
     // tag travels with the aliased event-time attribute
     val bandRows: DataFrame = method match {
@@ -960,11 +980,12 @@ object DedupTransform {
     val verifyCap = p.int("maxVerifyChars").getOrElse(0)
     require(verifyCap >= 0,
       s"dedup ${cfg.name}: maxVerifyChars must be >= 0, got $verifyCap")
-    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
-      .filter(col(textField).isNotNull)
-      // null event time: see streamingLsh — withWatermark does not
-      // drop null-ts rows and the horizon arithmetic would NPE
-      .filter(col(ts).isNotNull)
+    val wm = widenStreamCompute(
+      graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+        .filter(col(textField).isNotNull)
+        // null event time: see streamingLsh — withWatermark does not
+        // drop null-ts rows and the horizon arithmetic would NPE
+        .filter(col(ts).isNotNull), p)
     val sigUdf = if (md5Mode) minhashSigMd5Udf(n, m, charGrams = true)
       else minhashSigUdf(n, m, charGrams = true)
     val slim = wm
@@ -1097,11 +1118,12 @@ object DedupTransform {
     val verifyCap = p.int("maxVerifyFps").getOrElse(0)
     require(verifyCap >= 0,
       s"dedup ${cfg.name}: maxVerifyFps must be >= 0, got $verifyCap")
-    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
-      .filter(col(textField).isNotNull)
-      // null event time: see streamingLsh — withWatermark does not
-      // drop null-ts rows and the horizon arithmetic would NPE
-      .filter(col(ts).isNotNull)
+    val wm = widenStreamCompute(
+      graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+        .filter(col(textField).isNotNull)
+        // null event time: see streamingLsh — withWatermark does not
+        // drop null-ts rows and the horizon arithmetic would NPE
+        .filter(col(ts).isNotNull), p)
     val withFps = winnowFps(
       wm.select(col(idField).cast(StringType).as("__id"),
         col(ts).as("__ts"), col(textField).as("__t")),
@@ -1262,11 +1284,12 @@ object DedupTransform {
     val planes = p.int("planes").getOrElse(12)
     val threshold = p.dbl("threshold").getOrElse(0.95)
     // null embeddings never bucket (same rule as batch)
-    val wm = graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
-      .filter(col(embField).isNotNull)
-      // null event time: see streamingLsh — withWatermark does not
-      // drop null-ts rows and the horizon arithmetic would NPE
-      .filter(col(ts).isNotNull)
+    val wm = widenStreamCompute(
+      graft.streaming.Strategy.applyWatermark(raw, strategy, ts)
+        .filter(col(embField).isNotNull)
+        // null event time: see streamingLsh — withWatermark does not
+        // drop null-ts rows and the horizon arithmetic would NPE
+        .filter(col(ts).isNotNull), p)
     val bucketCol =
       if (md5Mode) hyperplaneBucketMd5(col("__emb"), dim, planes)
       else hyperplaneBucket(col("__emb"), dim, planes, seed = 42L)

@@ -257,6 +257,13 @@ object ProfileTransform {
       throw new IllegalArgumentException(
         s"profile ${cfg.name}: streaming drift needs " +
           "strategy.timestampField to anchor its windows"))
+    // NOT knob-ed like the streaming dedup paths (r22 measured
+    // decline): a stateShufflePartitions+widenCompute pair mirroring
+    // the dedup gates moved the drift gates nothing (paired min-of-3
+    // 5.85/5.89 → 5.70/6.13 s) — the monitor's per-window state is a
+    // fixed vector of longs over a handful of windows, so its drain
+    // cost is micro-batch choreography (sentinel staging + the
+    // watermark-advancing no-data batch), not state-store commits.
     val wm = graft.streaming.Strategy.applyWatermark(cur, strategy, ts)
     val gw = graft.streaming.Strategy
       .windowGroup(strategy, col(ts), streaming = true)
