@@ -1945,6 +1945,31 @@ object DedupTransform {
       label: String = "dedup transitive",
       hint: String = "raise maxIterations or lower the similarity " +
         "threshold"): DataFrame = {
+    // materialize the pair frame FIRST, under the session's normal
+    // planning: the loop scope below turns AQE off and sizes shuffle
+    // partitions to the loop's own (tiny) width, and that scope must
+    // not leak into the possibly-expensive upstream that computes the
+    // pairs — measured r22: q126's KNN subtree re-ran inside the
+    // scope at the loop's width, 3.3 → 7.4 s. The checkpoint also
+    // lets the edges union below read the upstream once instead of
+    // twice.
+    val mat = pairs.localCheckpoint(true)
+    // planner scope for the iterated hops (r22): AQE off — adaptive
+    // plans report UnknownPartitioning at each hop's localCheckpoint
+    // boundary, which silently forfeited the edges-stay-put design
+    // below (the "LogicalRDD keeps the partitioning" contract only
+    // holds for non-adaptive plans) — plus shuffle partitions derived
+    // from the pair frame's size estimate; see
+    // TransformCommon.withLoopPlanning.
+    TransformCommon.withLoopPlanning(mat) {
+      componentMinLoop(mat, maxIter, label, hint)
+    }
+  }
+
+  private def componentMinLoop(pairs: DataFrame,
+      maxIter: Int,
+      label: String,
+      hint: String): DataFrame = {
     // localCheckpoint (not persist) on every iterate: an iterative
     // self-join grows the logical plan ~2x per hop — persist truncates
     // recompute but not analysis, so by ~15 hops Catalyst is
@@ -1977,10 +2002,16 @@ object DedupTransform {
           s"$label: component labels still changing after " +
             s"$maxIter iterations — the graph has a chain longer " +
             s"than maxIter; $hint")
-      val nbrMin = edges.join(labels, edges("__s") === labels("__v"))
+      // shuffle_hash hints (r22): with AQE scoped off the planner
+      // would pick sort-merge (LogicalRDD sides have no stats to
+      // qualify for broadcast), which re-SORTS the static edge frame
+      // every hop — a hash build of the label side is linear and
+      // respects the loop's co-partitioning the same way
+      val nbrMin = edges
+        .join(labels.hint("shuffle_hash"), edges("__s") === labels("__v"))
         .select(edges("__d").as("__v"), labels("__l").as("__nl"))
         .groupBy("__v").agg(min("__nl").as("__nl"))
-      val merged = labels.join(nbrMin, Seq("__v"), "left")
+      val merged = labels.join(nbrMin.hint("shuffle_hash"), Seq("__v"), "left")
         .select(col("__v"), col("__l").as("__l0"),
           least(col("__l"), coalesce(col("__nl"), col("__l")))
             .as("__l"))
@@ -2007,7 +2038,8 @@ object DedupTransform {
       // computed, in which case doCheckpoint launches a backfill job
       // for the missing partitions — still cheaper than the old
       // eager materialization + separate full count
-      val next = merged.join(jumpSrc, col("__l") === col("__jv"), "left")
+      val next = merged
+        .join(jumpSrc.hint("shuffle_hash"), col("__l") === col("__jv"), "left")
         .select(col("__v"),
           least(col("__l"), coalesce(col("__jl"), col("__l")))
             .as("__l"), col("__l0"))

@@ -224,34 +224,11 @@ object GraphTransform {
         s"graph ${cfg.name}: output names ${prReserved.mkString(", ")} " +
           "collide with pagerank's internal columns — pick different " +
           "vertexField/rankField")
-      // AQE scoped OFF for the iterated plans (restored below):
-      // adaptive plans report UnknownPartitioning at the
-      // localCheckpoint boundary each round truncates through, which
-      // forfeits the loop's co-partitioning (every round would
-      // re-exchange or re-broadcast both join sides), and its
-      // small-partition coalescing re-fragments the stable layout the
-      // rounds share. Iterative co-partitioned loops are exactly the
-      // shape AQE cannot help: the per-round inputs are LogicalRDDs
-      // with no stats to adapt on.
-      val sess = df.sparkSession
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val partKey = "spark.sql.shuffle.partitions"
-      val aqePrior = sess.conf.get(aqeKey)
-      val partPrior = sess.conf.get(partKey)
-      // with AQE's coalescing off, the loop must size its own shuffle
-      // partitions or every tiny stage pays the session's full
-      // partition count in fixed task overhead × rounds. Derived from
-      // the edge frame's optimizer size estimate (the widen probe's
-      // arithmetic): one partition per input split, capped at the
-      // session value — scale-adaptive, no constant tuned to either
-      // local mode or the cluster.
-      val perSplit = BigInt(sess.sessionState.conf.filesMaxPartitionBytes)
-      val eBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val loopParts = ((eBytes + perSplit - 1) / perSplit)
-        .min(BigInt(partPrior.toInt)).max(BigInt(1))
-      sess.conf.set(aqeKey, "false")
-      sess.conf.set(partKey, loopParts.toString)
-      try {
+      // planner scope for the iterated rounds: AQE off (adaptive
+      // plans forfeit the loop's co-partitioning at each checkpoint
+      // boundary) + shuffle partitions derived from the edge frame's
+      // size estimate — see TransformCommon.withLoopPlanning.
+      return TransformCommon.withLoopPlanning(df) {
       val e = df
         .select(col(src).as("__s"), col(dst).as("__d"))
         .filter(col("__s").isNotNull && col("__d").isNotNull)
@@ -338,10 +315,7 @@ object GraphTransform {
         // bit-exact.
         pr = updated.localCheckpoint(false)
       }
-      return TransformCommon.finishRouted(pr, cfg)
-      } finally {
-        sess.conf.set(aqeKey, aqePrior)
-        sess.conf.set(partKey, partPrior)
+      TransformCommon.finishRouted(pr, cfg)
       }
     }
     val cOut = p.str("componentField").getOrElse("component")

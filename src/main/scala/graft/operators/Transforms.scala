@@ -109,6 +109,51 @@ object TransformCommon {
     if (tieCols.isEmpty) lit(0L) else xxhash64(tieCols: _*)
   }
 
+  /** Scoped planner settings for iterative checkpoint-truncated
+    * loops (pagerank, componentMin): run `body` with AQE off and the
+    * shuffle-partition count derived from `df`'s optimizer size
+    * estimate, restoring both confs after.
+    *
+    * Why AQE off: adaptive plans report UnknownPartitioning at the
+    * per-round localCheckpoint boundary (measured r22 — the q109
+    * LogicalRDD read `UnknownPartitioning(0)` with AQE on,
+    * `hashpartitioning(vertex, N)` with it off), which forfeits the
+    * co-partitioning an iterated join loop is built around — every
+    * round re-exchanges or re-broadcasts both sides, paying a driver
+    * collect round-trip per broadcast per round. AQE also has
+    * nothing to adapt on here: the loop inputs are LogicalRDDs with
+    * no stats.
+    *
+    * Why derived partitions: without AQE's coalescing, every tiny
+    * per-round stage would otherwise pay the session's full
+    * partition count in fixed task overhead × rounds. One partition
+    * per estimated input split, capped at the session value — the
+    * widen probe's arithmetic, scale-adaptive in both directions,
+    * no constant tuned to local mode or the cluster. Plans with no
+    * real stats (the defaultSizeInBytes sentinel) keep the session
+    * count. */
+  def withLoopPlanning[A](df: DataFrame)(body: => A): A = {
+    val sess = df.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqePrior = sess.conf.get(aqeKey)
+    val partPrior = sess.conf.get(partKey)
+    val perSplit = BigInt(sess.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sentinel = BigInt(sess.sessionState.conf.defaultSizeInBytes)
+    val loopParts =
+      if (bytes >= sentinel) BigInt(partPrior.toInt)
+      else ((bytes + perSplit - 1) / perSplit)
+        .min(BigInt(partPrior.toInt)).max(BigInt(1))
+    sess.conf.set(aqeKey, "false")
+    sess.conf.set(partKey, loopParts.toString)
+    try body
+    finally {
+      sess.conf.set(aqeKey, aqePrior)
+      sess.conf.set(partKey, partPrior)
+    }
+  }
+
   /** Raise map-side parallelism when a batch input arrives in fewer
     * partitions than the cluster has cores — e.g. one small parquet
     * file is one split, which would serialize per-row CPU work
