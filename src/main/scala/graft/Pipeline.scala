@@ -214,6 +214,38 @@ object Pipeline {
       sinksStarted: java.util.concurrent.atomic.AtomicBoolean =
         new java.util.concurrent.atomic.AtomicBoolean(false))
       : (Map[String, DataFrame], Seq[() => Unit]) = {
+    // Engine runtime default, scoped to graph construction (r22):
+    // let AQE right-size cached plans. Operators persist reused
+    // candidate/index frames (CacheTracker, pinIfComputed) during
+    // construction, and Spark compiles an InMemoryRelation's plan
+    // EAGERLY at persist() under the conf in effect then; with the
+    // default (false) it materializes at the full session shuffle-
+    // partition count and every later stage reads that layout
+    // uncoalesced — measured at sf0.1: q132 6.81→4.84 s, q126
+    // 4.78→3.61, q140 4.49→3.68 (min-of-3 paired). Scale-neutral in
+    // the other direction: AQE sizes the cached plan's partitioning
+    // from the data, so large frames keep their width. Restored
+    // after construction (consumers planned under the default treat
+    // the cached output partitioning conservatively — correct either
+    // way); an explicitly user-set value wins and is left alone.
+    val cacheAqeKey =
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val cacheAqeUserSet = spark.sessionState.conf.contains(cacheAqeKey)
+    if (!cacheAqeUserSet) spark.conf.set(cacheAqeKey, "true")
+    try runPhased0(spark, configText, args, context, executeSinks,
+      sinksStarted)
+    // unset, not set-back-to-prior: a set() would mark the key as
+    // explicitly configured, so every LATER run would read it as
+    // user-set and skip the scope (and nested runs re-scope
+    // idempotently either way)
+    finally if (!cacheAqeUserSet) spark.conf.unset(cacheAqeKey)
+  }
+
+  private def runPhased0(spark: SparkSession, configText: String,
+      args: Map[String, String], context: Option[String],
+      executeSinks: Boolean,
+      sinksStarted: java.util.concurrent.atomic.AtomicBoolean)
+      : (Map[String, DataFrame], Seq[() => Unit]) = {
     warnSessionConf(spark)
     val deferred = scala.collection.mutable.ArrayBuffer[() => Unit]()
     // sink actions by module name, once-guarded: a module that WAITS
